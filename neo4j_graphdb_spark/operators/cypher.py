@@ -1,0 +1,93 @@
+"""Cypher-subset builder API (SURVEY.md §2 tier A).
+
+The reference's entire read surface is five Cypher statements; this module
+is the thin Python builder that translates that subset to DataFrame plans
+(no string parser needed — SURVEY.md §4). Mapping:
+
+* ``MATCH (n:Label)``            → :meth:`Graph.match`       (A1/A2)
+* ``MATCH (a)-[r:T]->(b)``       → :meth:`Graph.expand`      (A3)
+* ``RETURN x.p AS alias``        → plain ``df.select(...alias())``  (A4)
+* ``RETURN n`` (whole entity)    → :meth:`Graph.entity`      (A5)
+* ``LIMIT n``                    → ``df.limit(n)``           (A6)
+* ``WITH``                       → DataFrame chaining        (A10)
+* ``$param`` binding             → :func:`bind_params`       (A11)
+* ``datetime()``                 → ``F.current_timestamp()`` (A12)
+
+Physical notes: label scans hit Parquet with the label predicate pushed
+into the scan; ``expand`` is two equi hash-joins where the node side is
+broadcast when small (Catalyst decides; AQE can convert at runtime) — on a
+1000-executor cluster the big fact side never moves for a broadcast join.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.model import NODE_ID
+
+
+class Graph:
+    """A queryable property graph over canonical nodes/edges DataFrames."""
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame | None = None):
+        self.nodes_df = nodes
+        self.edges_df = edges
+
+    # --- A1 / A2: node scans -------------------------------------------------
+
+    def match(self, label: str | None = None) -> DataFrame:
+        """``MATCH (n[:label]) RETURN n…`` — label predicate pushes down to
+        the Parquet scan (``main.py:17``, ``cypher.txt:8``)."""
+        if label is None:
+            return self.nodes_df
+        return self.nodes_df.filter(F.col("label") == label)
+
+    # --- A3: 1-hop typed expand ----------------------------------------------
+
+    def expand(
+        self,
+        rel_type: str | None = None,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+        src_alias: str = "a",
+        dst_alias: str = "b",
+    ) -> DataFrame:
+        """``MATCH (a[:L1])-[r[:T]]->(b[:L2])`` binding the full triple
+        (``cypher.txt:4-5``).
+
+        Output columns are prefixed ``{src_alias}_…``, ``{dst_alias}_…``
+        plus ``rel_type``. Two equi-joins on the deterministic node ids;
+        the dimension-sized node side broadcasts.
+        """
+        if self.edges_df is None:
+            raise ValueError("graph has no edges")
+        e = self.edges_df
+        if rel_type is not None:
+            e = e.filter(F.col("rel_type") == rel_type)
+        src = _prefix(self.match(src_label), src_alias)
+        dst = _prefix(self.match(dst_label), dst_alias)
+        return (
+            e.join(src, e["src"] == src[f"{src_alias}_{NODE_ID}"])
+            .join(dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"])
+            .drop("src", "dst")
+        )
+
+    # --- A5: whole-entity value -----------------------------------------------
+
+    def entity(self, df: DataFrame, alias: str, cols: list[str] | None = None) -> Column:
+        """``RETURN n`` — materialize a row as a single struct value."""
+        cols = cols or df.columns
+        return F.struct(*[F.col(c) for c in cols]).alias(alias)
+
+
+def _prefix(df: DataFrame, alias: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{alias}_{c}") for c in df.columns])
+
+
+def bind_params(params: dict[str, Any]) -> dict[str, Column]:
+    """A11 — ``session.run(query, **params)`` analogue: parameters become
+    literals, which Catalyst constant-folds into pushed-down predicates."""
+    return {k: F.lit(v) for k, v in params.items()}

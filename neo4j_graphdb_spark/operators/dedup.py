@@ -1,0 +1,241 @@
+"""Deduplication operators (SURVEY.md §2 C7/C8, generalizing B8).
+
+The reference dedups one way only: MERGE-by-key, one record per Bolt round
+trip (``/root/reference/src/crwling.py:48`` + loop ``:144-175``). At
+training-data scale we need content-level dedup; this module provides:
+
+* :func:`exact_dedup`        — hash-groupBy keeper selection (C7)
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH
+  banded candidate generation with exact-Jaccard verification (C8)
+* :func:`simhash`            — 64-bit SimHash fingerprints
+* :func:`ngram_jaccard_pairs`— blocked exact n-gram Jaccard
+
+Design for 100 TB: everything is shuffle-by-key — no crossJoin anywhere.
+LSH band hashing turns the O(n²) pair space into groupBy(band_hash)
+buckets; candidate verification only touches same-bucket pairs. Skewed
+buckets (e.g. boilerplate-heavy corpora) are handled by AQE skew-join
+splitting plus the ``max_bucket`` guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ C7: exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct text (lowest id wins — deterministic).
+
+    ``groupBy(md5(text))`` is a single hash-shuffle with map-side partial
+    aggregation; at 100 TB the hash (16 bytes) shuffles, not the document.
+    """
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate-group summary: one row per distinct text with keeper id +
+    duplicate count (the audit view of :func:`exact_dedup`)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------------- tokenization
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (lowercased)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+# --------------------------------------------------------------- C8: MinHash
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: ``sig[i] = min over shingles of
+    xxhash64(shingle, seed=i)``.
+
+    Uses the classic "one base hash, k cheap derived permutations" trick
+    ((a_i * h + b_i) mod p) so we evaluate xxhash64 once per shingle, not
+    k times. All JVM-side expressions; signatures are ``array<bigint>``.
+    """
+    p = 2305843009213693951  # 2^61 - 1, Mersenne prime
+    shingles = word_shingles(text_col, shingle_n).alias("_sh")
+    base = df.select(F.col(id_col), shingles).select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_h"),
+    )
+    # deterministic per-permutation coefficients (small fixed LCG constants)
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd => invertible-ish mixing
+        b = 0x9E3779B97F4A7C15 % p if i % 2 else 0x2545F4914F6CDD1D % p
+        b = (b + i * 1099511628211) % p
+        sig_cols.append(
+            F.array_min(
+                F.transform(F.col("_h"), lambda h, a=a, b=b: F.pmod(h * a + b, F.lit(p)))
+            ).alias(f"_s{i}")
+        )
+    sigged = base.select(F.col(id_col), *sig_cols)
+    return sigged.select(
+        F.col(id_col), F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + exact-Jaccard verification.
+
+    shingle → minhash → band-hash → groupBy(band) self-join within bucket
+    → distinct candidate pairs → verify exact Jaccard on the shingle sets.
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # guard: drop pathological buckets (boilerplate explosion) — logged size cap
+    sized = band_entries.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_n") <= max_bucket)
+
+    left = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+# --------------------------------------------------------------- C8: SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of per-token hash bits.
+
+    Implemented as explode → per-bit vote aggregation → bit reassembly;
+    one shuffle on the document id, all built-in expressions.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, 1)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        F.col(id_col),
+        *[
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    votes = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    sim = votes.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+# ----------------------------------------------------- C8: blocked n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs that share a blocking key.
+
+    The SQL-expressible baseline for C8 (oracle-checkable): blocking keeps
+    the pair space linear-ish; the join is an equi-join on the block key.
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing (tier C11).
+
+Images/audio/video travel as opaque ``binary`` columns plus typed metadata
+(the lakehouse-standard layout); per-item processing runs in Arrow-batched
+``mapInPandas`` stages so the Python boundary is crossed once per batch,
+not once per row. The actual decoders (PIL/librosa/ffmpeg) are NOT in this
+container, so the decode kernel is a clearly-marked deterministic stub —
+the Spark-side contract (schema, batching, partitioning) is real and
+tested; swapping in a real decoder changes one inner function only.
+
+The embedding pipeline (vector feature extraction) is real end-to-end:
+see :func:`embedding_features`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes | None, kind: str) -> list[float]:
+    """STUB decode kernel — deterministic fake features.
+
+    Real deployment: replace with PIL.Image.open / soundfile.read /
+    frame-sampling; the surrounding Arrow plumbing is unchanged.
+    Raises ``NotImplementedError`` for kinds a real decoder must handle
+    but the fake cannot fabricate meaningfully.
+    """
+    if kind not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    if payload is None:
+        return []
+    # deterministic 8-dim "feature": byte histogram over 8 bins
+    hist = [0] * 8
+    for b in payload:
+        hist[b >> 5] += 1
+    total = max(len(payload), 1)
+    return [h / total for h in hist]
+
+
+def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + featurize media rows via ``mapInPandas`` (Arrow batches).
+
+    Partitioning contract: upstream should size partitions by *bytes* not
+    rows (``spark.sql.files.maxPartitionBytes``) because payloads dominate;
+    the stage is embarrassingly parallel — no shuffle.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int32"),
+                    "feature": [
+                        _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a deterministic media table from any text table (test
+    harness for the plumbing: payload = utf-8 bytes of the text)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+def embedding_features(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Vector feature extraction that IS fully real: L2 norm, mean, max —
+    computed JVM-side over the array column (no UDF)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    return embeddings.select(
+        "*",
+        F.sqrt(sq).alias("l2_norm"),
+        (F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)).alias("mean_val"),
+        F.array_max(v).alias("max_val"),
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (SURVEY.md §2 C9).
+
+Two tiers, same output contract ``(query_id, vec_id, cosine, rank)``:
+
+* :func:`cosine_topk`      — exact brute force; the correctness baseline.
+  The query side is small and broadcast, so the corpus never shuffles:
+  at 100 TB the scan streams once past the broadcast queries — the best
+  possible exact plan.
+* :func:`lsh_cosine_topk`  — random-hyperplane LSH bucketing (the scale
+  path): corpus and queries hash to sign-pattern buckets; only same-bucket
+  (or near-bucket, via multi-probe ``num_tables``) pairs are scored.
+  Recall < 1 by design; the baseline above is the oracle for measuring it.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — pure JVM expressions,
+no Python in the loop (PAPERS.md top-k literature pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries(query_id, embedding)`` is broadcast against the corpus; ranks
+    are deterministic (ties broken by corpus id).
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a counter hash
+    (splitmix64) — no RNG state, reproducible on any executor."""
+    vals = []
+    x = (table * 1315423911 + bit * 2654435761 + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        vals.append((z / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, table: int, num_bits: int = 12) -> Column:
+    """Random-hyperplane signature: ``num_bits`` sign bits packed into a long."""
+    acc = F.lit(0).cast("long")
+    for bit in range(num_bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table, bit)])
+        sign = F.when(_dot(vec, plane) >= 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + sign
+    return acc
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_tables: int = 4,
+    num_bits: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket in any of
+    ``num_tables`` hash tables. Shuffle key = (table, bucket); the corpus
+    is hashed once, so cost is O(corpus × tables) + same-bucket scoring."""
+    c = corpus.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv")
+    )
+
+    def bucketed(df: DataFrame, vcol: str) -> DataFrame:
+        parts = []
+        for t in range(num_tables):
+            parts.append(
+                df.select(
+                    "*", F.lit(t).alias("_t"), lsh_bucket(F.col(vcol), dim, t, num_bits).alias("_b")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = bucketed(c, "_cv")
+    qb = bucketed(q, "_qv")
+    cand = (
+        cb.join(qb, on=["_t", "_b"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, "_qv", "_cv")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col), cosine(F.col("_qv"), F.col("_cv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory with 100TB-minded defaults.
+
+The reference keeps a single long-lived driver connection
+(``/root/reference/src/database.py:4-16`` — ``Neo4jManager`` wraps one Bolt
+driver); our analogue is one SparkSession with adaptive execution enabled.
+
+Defaults are tuned for correctness-at-scale:
+
+* AQE on (runtime shuffle-partition coalescing + skew-join splitting),
+* Arrow on (vectorized pandas-UDF transfer for the Python-side operators),
+* shuffle partitions sized from ``SPARK_GRAFT_CPUS`` locally; on a real
+  cluster the AQE coalescer makes the static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver fixture table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,81 @@
+"""Event-time windowed aggregation + stateful dedup (tier C14-C17).
+
+These transformations are stream/batch agnostic — the same function works
+on a ``readStream`` DataFrame (incremental state-store execution) and on a
+batch DataFrame (ordinary hash agg), which is exactly how Structured
+Streaming is meant to be used. Watermarks bound state at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str | None = None,
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """C14 — tumbling window count/sum over event time."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), width).alias("w")] + [
+        F.col(c) for c in (group_extra or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in (group_extra or [])],
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """C14 — sliding window (each event lands in width/slide windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """C15 — session windows: events within ``gap`` of each other merge."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """C17 — stateful exactly-once dedup within the watermark horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

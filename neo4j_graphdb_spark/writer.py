@@ -1,0 +1,225 @@
+"""Batch MERGE-upsert write path (SURVEY.md §2 A7-A9, A13).
+
+The reference's write path is one Cypher ``MERGE … SET …`` per record over
+Bolt (``/root/reference/src/crwling.py:47-60``) with write counters read
+from the result summary (``:61-64``). Our semantic contract, preserved:
+
+* **MERGE node** (A7): upsert by (label, merge-key) — create iff absent.
+* **SET** (A8): overwrite properties on match *and* on create; an incoming
+  NULL keeps the old value (column-wise last-writer-wins).
+* **MERGE edge** (A9): create (src,dst,rel_type) iff absent; idempotent.
+* **Counters** (A13): ``nodes_created`` / ``properties_set`` /
+  ``relationships_created`` mirroring ``summary.counters``.
+
+The architectural change (SURVEY.md §3): the per-record Bolt round-trip
+loop becomes ONE batched upsert per call — a left-anti/coalesce join over
+deterministic ids (model.py), i.e. a pure shuffle-join the optimizer can
+plan, broadcast, and skew-split.
+
+Storage is versioned Parquet (``v0, v1, …`` + a ``_CURRENT`` pointer):
+writers never mutate in place, readers pin a version — the same
+write-new-then-swap-pointer discipline object-store table formats use.
+At 100 TB the drop-in upgrade is a transactional table format (Delta /
+Iceberg ``MERGE INTO``) so unaffected files are not rewritten; the join
+logic below is exactly what those formats execute under the hood.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes
+
+
+@dataclass
+class WriteSummary:
+    """Mirror of the Bolt result-summary counters the reference inspects
+    (``/root/reference/src/crwling.py:61-64``)."""
+
+    nodes_created: int = 0
+    properties_set: int = 0
+    relationships_created: int = 0
+
+    def __add__(self, other: "WriteSummary") -> "WriteSummary":
+        return WriteSummary(
+            self.nodes_created + other.nodes_created,
+            self.properties_set + other.properties_set,
+            self.relationships_created + other.relationships_created,
+        )
+
+
+class _VersionedTable:
+    """Write-new + pointer-swap Parquet table (no in-place mutation)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def current_path(self) -> str | None:
+        v = self.current_version()
+        return None if v < 0 else os.path.join(self.root, f"v{v}")
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        path = self.current_path()
+        return None if path is None else spark.read.parquet(path)
+
+    def write_next(self, df: DataFrame) -> str:
+        v = self.current_version() + 1
+        path = os.path.join(self.root, f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        with open(self._pointer, "w") as f:
+            f.write(str(v))
+        return path
+
+
+class GraphStore:
+    """A property-graph stored as canonical nodes/edges Parquet tables.
+
+    Plays the role of the reference's ``Neo4jManager``
+    (``/root/reference/src/database.py:4-16``): the long-lived handle that
+    the ingest pipeline writes through and queries read from.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._nodes = _VersionedTable(os.path.join(root, "nodes"))
+        self._edges = _VersionedTable(os.path.join(root, "edges"))
+
+    # ---------------------------------------------------------------- reads
+
+    def nodes(self) -> DataFrame | None:
+        return self._nodes.read(self.spark)
+
+    def edges(self) -> DataFrame | None:
+        return self._edges.read(self.spark)
+
+    # --------------------------------------------------------------- writes
+
+    def merge_nodes(
+        self,
+        updates: DataFrame,
+        label: str,
+        key_col: str,
+        prop_cols: list[str],
+        order_col: str | None = None,
+    ) -> WriteSummary:
+        """Batch ``MERGE (n:label {key}) SET n.p1=…, n.p2=…``.
+
+        ``order_col`` resolves duplicate keys *within* the batch (last
+        writer wins, as the reference's sequential per-record loop would);
+        without it the key column itself orders the tie-break
+        deterministically.
+        """
+        carry = prop_cols + ([order_col] if order_col and order_col not in prop_cols else [])
+        incoming = as_nodes(updates, label, key_col, carry)
+
+        # within-batch last-writer-wins (B8 in-batch dedup)
+        order = F.col(order_col).desc() if order_col else F.col("key").desc()
+        w = Window.partitionBy(NODE_ID).orderBy(order)
+        incoming = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if order_col and order_col not in prop_cols:
+            incoming = incoming.drop(order_col)
+
+        existing = self.nodes()
+        if existing is None:
+            merged = incoming
+            created = merged.count()
+            props_set = _count_prop_cells(incoming, prop_cols)
+            self._nodes.write_next(merged)
+            return WriteSummary(nodes_created=created, properties_set=props_set)
+
+        # align schemas: union of property columns across labels
+        all_props = sorted(
+            (set(existing.columns) | set(incoming.columns)) - {NODE_ID, "label", "key"}
+        )
+        old = _with_missing(existing, incoming, all_props).alias("old")
+        new = _with_missing(incoming, existing, all_props).alias("new")
+
+        # MERGE = full outer on deterministic id; SET = column-wise coalesce
+        joined = old.join(new, on=NODE_ID, how="full_outer")
+        merged = joined.select(
+            F.col(NODE_ID),
+            F.coalesce(F.col("new.label"), F.col("old.label")).alias("label"),
+            F.coalesce(F.col("new.key"), F.col("old.key")).alias("key"),
+            *[
+                F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
+                for c in all_props
+            ],
+        )
+
+        created = joined.filter(F.col("old.label").isNull()).count()
+        props_set = _count_prop_cells(incoming, prop_cols)
+        self._nodes.write_next(merged)
+        return WriteSummary(nodes_created=created, properties_set=props_set)
+
+    def merge_edges(
+        self,
+        updates: DataFrame,
+        rel_type: str,
+        src_label: str,
+        src_key_col: str,
+        dst_label: str,
+        dst_key_col: str,
+    ) -> WriteSummary:
+        """Batch ``MERGE (a)-[:REL]->(b)`` — create-if-absent, idempotent
+        (``/root/reference/src/crwling.py:54``, ``src/ingest.py:7``)."""
+        incoming = as_edges(
+            updates, rel_type, src_label, src_key_col, dst_label, dst_key_col
+        ).dropDuplicates(["src", "dst", "rel_type"])
+
+        existing = self.edges()
+        if existing is None:
+            created = incoming.count()
+            self._edges.write_next(incoming)
+            return WriteSummary(relationships_created=created)
+
+        fresh = incoming.join(
+            existing, on=["src", "dst", "rel_type"], how="left_anti"
+        )
+        created = fresh.count()
+        self._edges.write_next(existing.unionByName(fresh))
+        return WriteSummary(relationships_created=created)
+
+
+def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> DataFrame:
+    """Add NULL columns for properties the other side has, in canonical order."""
+    cols = [F.col(NODE_ID), F.col("label"), F.col("key")]
+    for c in all_props:
+        if c in df.columns:
+            cols.append(F.col(c))
+        else:
+            dtype = dict(other.dtypes).get(c, "string")
+            cols.append(F.lit(None).cast(dtype).alias(c))
+    return df.select(*cols)
+
+
+def _count_prop_cells(incoming: DataFrame, prop_cols: list[str]) -> int:
+    """``properties_set`` = non-null incoming property cells (each SET of a
+    non-null value counts once, matching Neo4j's counter semantics for the
+    reference's unconditional ``SET`` — ``src/crwling.py:49-51``)."""
+    if not prop_cols:
+        return 0
+    row = incoming.select(
+        [F.count(F.col(c)).alias(c) for c in prop_cols]
+    ).collect()[0]
+    return int(sum(row[c] for c in prop_cols))

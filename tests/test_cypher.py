@@ -1,0 +1,65 @@
+"""Tier-A read-path tests: the five reference Cypher statements as API
+calls (FIXTURES.md golden end-to-end), over a fixture-built graph.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.operators.cypher import Graph, bind_params
+from neo4j_graphdb_spark.sources.fixtures import article_publisher_graph
+
+
+@pytest.fixture(scope="module")
+def graph(spark, sf_dir):
+    g = article_publisher_graph(spark, sf_dir)
+    nodes = g["articles"].unionByName(g["publishers"], allowMissingColumns=True)
+    return Graph(nodes, g["written_by"])
+
+
+def test_a1_label_scan(graph):
+    # MATCH (a:Article) RETURN a.title AS title LIMIT 5   (main.py:17)
+    out = graph.match("Article").select(F.col("title").alias("title")).limit(5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert out.columns == ["title"]
+
+
+def test_a2_all_nodes_scan_limit(graph):
+    # MATCH (n) RETURN n LIMIT 25   (cypher.txt:8)
+    assert graph.match().limit(25).count() == 25
+
+
+def test_a3_expand(graph):
+    # MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t  (cypher.txt:4-5)
+    # same operator over the Article/Publisher graph
+    triples = graph.expand("WRITTEN_BY", "Article", "Publisher", "a", "p")
+    assert triples.count() == graph.edges_df.count()
+    row = triples.select("a_key", "rel_type", "p_key").first()
+    assert row["rel_type"] == "WRITTEN_BY"
+    assert row["a_key"].startswith("doc://")
+
+
+def test_a5_whole_entity(graph):
+    arts = graph.match("Article")
+    out = arts.select(graph.entity(arts, "a")).limit(3).collect()
+    assert all(r["a"]["label"] == "Article" for r in out)
+    assert all(r["a"]["title"] is not None for r in out)
+
+
+def test_a11_params(graph):
+    # session.run(query, name=..., tech=...) analogue
+    p = bind_params({"label": "Article"})
+    out = graph.nodes_df.filter(F.col("label") == p["label"])
+    assert out.count() == graph.match("Article").count()
+
+
+def test_a12_datetime(spark):
+    # datetime() → current_timestamp  (src/crwling.py:51)
+    row = spark.range(1).select(F.current_timestamp().alias("t")).first()
+    assert row["t"] is not None
+
+
+def test_label_scan_pushdown(graph):
+    """The label predicate must reach the scan (SURVEY.md §4)."""
+    plan = graph.match("Article")._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan

@@ -1,0 +1,100 @@
+"""Write-path tests: MERGE node/edge upsert + counters (A7-A9, A13).
+
+Mirrors the reference's informal counter checks
+(``/root/reference/src/crwling.py:61-64``): fresh keys create nodes,
+re-runs create zero nodes but still set properties, and the whole thing
+is idempotent (FIXTURES.md upsert counter matrix).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.writer import GraphStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path / "graph"))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "link string, title string, content string")
+
+
+def test_merge_nodes_create_then_update(spark, store):
+    b1 = _batch(spark, [("u1", "t1", "c1"), ("u2", "t2", "c2")])
+    s1 = store.merge_nodes(b1, "Article", "link", ["title", "content"])
+    assert s1.nodes_created == 2
+    assert s1.properties_set == 4
+
+    # re-run same batch: zero creates, properties still set (Neo4j SET counts)
+    s2 = store.merge_nodes(b1, "Article", "link", ["title", "content"])
+    assert s2.nodes_created == 0
+    assert s2.properties_set == 4
+    assert store.nodes().count() == 2
+
+    # update one, add one
+    b2 = _batch(spark, [("u2", "t2-new", None), ("u3", "t3", "c3")])
+    s3 = store.merge_nodes(b2, "Article", "link", ["title", "content"])
+    assert s3.nodes_created == 1
+    nodes = {r["key"]: r for r in store.nodes().collect()}
+    assert nodes["u2"]["title"] == "t2-new"
+    assert nodes["u2"]["content"] == "c2"  # NULL incoming keeps old (SET semantics)
+    assert len(nodes) == 3
+
+
+def test_merge_nodes_within_batch_dedup(spark, store):
+    dup = spark.createDataFrame(
+        [("u1", "first", 1), ("u1", "last", 2)], "link string, title string, seq int"
+    )
+    s = store.merge_nodes(dup, "Article", "link", ["title"], order_col="seq")
+    assert s.nodes_created == 1
+    assert store.nodes().collect()[0]["title"] == "last"
+
+
+def test_merge_nodes_multi_label(spark, store):
+    arts = _batch(spark, [("u1", "t1", "c1")])
+    store.merge_nodes(arts, "Article", "link", ["title", "content"])
+    pubs = spark.createDataFrame([("Pub A",)], "name string")
+    s = store.merge_nodes(pubs, "Publisher", "name", ["name"])
+    assert s.nodes_created == 1
+    labels = {r["label"] for r in store.nodes().collect()}
+    assert labels == {"Article", "Publisher"}
+    # same key under a different label is a different node
+    pubs2 = spark.createDataFrame([("u1",)], "name string")
+    s2 = store.merge_nodes(pubs2, "Publisher", "name", ["name"])
+    assert s2.nodes_created == 1
+
+
+def test_merge_edges_idempotent(spark, store):
+    arts = _batch(spark, [("u1", "t1", "c1"), ("u2", "t2", "c2")])
+    store.merge_nodes(arts, "Article", "link", ["title", "content"])
+    pubs = spark.createDataFrame([("P1",)], "name string")
+    store.merge_nodes(pubs, "Publisher", "name", ["name"])
+
+    rel = spark.createDataFrame(
+        [("u1", "P1"), ("u2", "P1"), ("u1", "P1")], "link string, publisher string"
+    )
+    s1 = store.merge_edges(rel, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    assert s1.relationships_created == 2
+    s2 = store.merge_edges(rel, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    assert s2.relationships_created == 0
+    assert store.edges().count() == 2
+
+
+def test_edge_node_id_join_consistency(spark, store):
+    """Edges reference nodes via the same deterministic id function."""
+    arts = _batch(spark, [("u1", "t1", "c1")])
+    store.merge_nodes(arts, "Article", "link", ["title", "content"])
+    pubs = spark.createDataFrame([("P1",)], "name string")
+    store.merge_nodes(pubs, "Publisher", "name", ["name"])
+    rel = spark.createDataFrame([("u1", "P1")], "link string, publisher string")
+    store.merge_edges(rel, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+
+    joined = (
+        store.edges()
+        .join(store.nodes().alias("s"), F.col("src") == F.col("s.node_id"))
+        .join(store.nodes().alias("d"), F.col("dst") == F.col("d.node_id"))
+    )
+    rows = joined.select(F.col("s.key").alias("sk"), F.col("d.key").alias("dk")).collect()
+    assert [(r["sk"], r["dk"]) for r in rows] == [("u1", "P1")]
