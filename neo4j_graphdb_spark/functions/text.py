@@ -20,7 +20,10 @@ def clean_text(col: Column | str) -> Column:
     squeeze runs of spaces, trim."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"<[^>]*>", "")
-    c = F.regexp_replace(c, "[\\n\\t\\r​]", " ")
+    # zero-width space is *deleted* (not blanked) — the reference does
+    # .replace('​',''), so 'foo​bar' must become 'foobar'.
+    c = F.regexp_replace(c, "​", "")
+    c = F.regexp_replace(c, "[\\n\\t\\r]", " ")
     c = F.regexp_replace(c, " {2,}", " ")
     return F.trim(c)
 

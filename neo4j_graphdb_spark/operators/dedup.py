@@ -66,32 +66,58 @@ def word_shingles(text_col: str, n: int = 3):
 # --------------------------------------------------------------- C8: MinHash
 
 
+_MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i, 0 < a,b < 2^31-1.
+
+    Both hash h and coefficients live below 2^31, so ``h*a + b < 2^62``
+    never wraps a Java long before the ``pmod`` (the silent-overflow trap
+    of mixing 63-bit hashes with multiplicative permutations).
+    """
+    a = _splitmix64(2 * i) % (_MINHASH_P - 1) + 1
+    b = _splitmix64(2 * i + 1) % _MINHASH_P
+    return a, b
+
+
+def _perm(a: int, b: int):
+    """Single-argument lambda factory: PySpark counts lambda *parameters*
+    (default args included) to pick the HOF arity, so capturing a/b via
+    defaults breaks ``F.transform`` — capture via closure instead."""
+    return lambda h: F.pmod(h * a + b, F.lit(_MINHASH_P))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: ``sig[i] = min over shingles of
-    xxhash64(shingle, seed=i)``.
+    perm_i(xxhash64(shingle))``.
 
     Uses the classic "one base hash, k cheap derived permutations" trick
     ((a_i * h + b_i) mod p) so we evaluate xxhash64 once per shingle, not
     k times. All JVM-side expressions; signatures are ``array<bigint>``.
     """
-    p = 2305843009213693951  # 2^61 - 1, Mersenne prime
     shingles = word_shingles(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), shingles).select(
         F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_h"),
+        F.transform(
+            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+        ).alias("_h"),
     )
-    # deterministic per-permutation coefficients (small fixed LCG constants)
     sig_cols = []
     for i in range(num_hashes):
-        a = 2 * i + 1  # odd => invertible-ish mixing
-        b = 0x9E3779B97F4A7C15 % p if i % 2 else 0x2545F4914F6CDD1D % p
-        b = (b + i * 1099511628211) % p
+        a, b = _perm_coeffs(i)
         sig_cols.append(
-            F.array_min(
-                F.transform(F.col("_h"), lambda h, a=a, b=b: F.pmod(h * a + b, F.lit(p)))
-            ).alias(f"_s{i}")
+            F.array_min(F.transform(F.col("_h"), _perm(a, b))).alias(f"_s{i}")
         )
     sigged = base.select(F.col(id_col), *sig_cols)
     return sigged.select(
@@ -172,19 +198,28 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of per-token hash bits.
+    """64-bit SimHash per document: sign-sum of per-token hash bits,
+    term-frequency weighted (each token *occurrence* votes, per Charikar's
+    construction) — on small-vocabulary corpora a distinct-token vote
+    makes every document hash nearly alike, so frequency weighting is
+    what gives the fingerprint its discriminative power.
 
     Implemented as explode → per-bit vote aggregation → bit reassembly;
     one shuffle on the document id, all built-in expressions.
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, 1)).alias("tok"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    # NB: bit 63's mask must be built with shiftleft — F.lit(1 << 63) does
+    # not fit a Java long and raises at plan time.
+    def mask(i: int):
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
     bits = toks.select(
         F.col(id_col),
         *[
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1).alias(f"b{i}")
+            F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1).alias(f"b{i}")
             for i in range(64)
         ],
     )
@@ -193,7 +228,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
                 for i in range(64)
             ],
             F.lit(0).cast("long"),

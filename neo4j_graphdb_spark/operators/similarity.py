@@ -46,11 +46,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries(query_id, embedding)`` is broadcast against the corpus; ranks
-    are deterministic (ties broken by corpus id).
+    are deterministic (ties broken by corpus id). ``exclude_self`` drops
+    ``query_id == vec_id`` pairs — only meaningful when queries and corpus
+    share an id namespace (it is opt-in precisely because with disjoint
+    namespaces it would silently drop an unrelated corpus row).
     """
     c = corpus.select(
         F.col(id_col),
@@ -60,7 +64,10 @@ def cosine_topk(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
-    scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
+    cond = (
+        F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+    )
+    scored = c.join(F.broadcast(q), cond).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),

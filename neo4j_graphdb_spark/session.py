@@ -17,16 +17,29 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None) -> SparkSession:
-    """Build (or reuse) the engine's SparkSession."""
+    """Build (or reuse) the engine's SparkSession.
+
+    The local master is a *fallback only*: an active session, a
+    ``spark.master`` system property (``spark-submit --master``), or a
+    ``SPARK_MASTER`` env var all take precedence, so the same code runs
+    unchanged on a real cluster.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    builder = SparkSession.builder.appName(app_name)
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        builder.config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -42,5 +55,27 @@ def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver fixture table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver fixture table (TESTDATA.md).
+
+    Handles ``TIMESTAMP(NANOS)`` parquet columns (e.g. ``events.ts``),
+    which vanilla Spark rejects with PARQUET_TYPE_ILLEGAL: they are read
+    as nano-epoch longs (legacy conf) and rebuilt as microsecond
+    timestamps — the same floor-truncation DuckDB applies, so oracle
+    comparisons stay exact.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL (nanos)
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+    import pyarrow.parquet as pq
+
+    ns_cols = [
+        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df

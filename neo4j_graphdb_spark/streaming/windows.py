@@ -18,23 +18,23 @@ def tumbling_window_agg(
     width: str = "1 hour",
     watermark: str | None = None,
     group_extra: list[str] | None = None,
+    value_col: str | None = None,
 ) -> DataFrame:
-    """C14 — tumbling window count/sum over event time."""
+    """C14 — tumbling window count (+ sum of ``value_col`` when given)
+    over event time. Works on any input schema: only ``ts_col`` (and the
+    optional ``value_col``/``group_extra``) must exist."""
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     keys = [F.window(F.col(ts_col), width).alias("w")] + [
         F.col(c) for c in (group_extra or [])
     ]
-    return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            *[F.col(c) for c in (group_extra or [])],
-            "n_events",
-            "sum_value",
-        )
-    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    out_cols = [F.col("w.start").alias("window_start")] + [
+        F.col(c) for c in (group_extra or [])
+    ] + ["n_events"] + ([f"sum_{value_col}"] if value_col is not None else [])
+    return df.groupBy(*keys).agg(*aggs).select(*out_cols)
 
 
 def sliding_window_agg(

@@ -6,7 +6,13 @@ from the result summary (``:61-64``). Our semantic contract, preserved:
 
 * **MERGE node** (A7): upsert by (label, merge-key) — create iff absent.
 * **SET** (A8): overwrite properties on match *and* on create; an incoming
-  NULL keeps the old value (column-wise last-writer-wins).
+  NULL keeps the old value (column-wise last-writer-wins). **Intentional
+  divergence from Neo4j**: Cypher ``SET a.p = null`` *removes* the
+  property, while this writer's coalesce keeps the old value — batch
+  pipelines use NULL for "no new value", and property removal is a
+  separate tombstone concern out of scope here (the reference never sets
+  a null parameter: ``src/crwling.py:49-51`` always binds crawled
+  strings).
 * **MERGE edge** (A9): create (src,dst,rel_type) iff absent; idempotent.
 * **Counters** (A13): ``nodes_created`` / ``properties_set`` /
   ``relationships_created`` mirroring ``summary.counters``.
@@ -78,10 +84,17 @@ class _VersionedTable:
         path = self.current_path()
         return None if path is None else spark.read.parquet(path)
 
-    def write_next(self, df: DataFrame) -> str:
+    def write_next(self, df: DataFrame, partition_by: str | None = None) -> str:
         v = self.current_version() + 1
         path = os.path.join(self.root, f"v{v}")
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            # label/rel_type partitioning: label scans (A1) become partition
+            # pruning — at 100 TB a MATCH (:Article) touches only that
+            # label's files, and a MERGE batch rewrite is bounded by the
+            # labels present in the batch (not the whole table).
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
         with open(self._pointer, "w") as f:
             f.write(str(v))
         return path
@@ -129,9 +142,17 @@ class GraphStore:
         carry = prop_cols + ([order_col] if order_col and order_col not in prop_cols else [])
         incoming = as_nodes(updates, label, key_col, carry)
 
-        # within-batch last-writer-wins (B8 in-batch dedup)
-        order = F.col(order_col).desc() if order_col else F.col("key").desc()
-        w = Window.partitionBy(NODE_ID).orderBy(order)
+        # within-batch last-writer-wins (B8 in-batch dedup). Rows sharing a
+        # node_id also share `key`, so ordering must tie-break on content
+        # (a hash of the property values) to stay deterministic when no
+        # order_col is given.
+        content_tiebreak = F.xxhash64(
+            *[F.col(c).cast("string") for c in prop_cols]
+        ) if prop_cols else F.lit(0)
+        order = (
+            [F.col(order_col).desc()] if order_col else []
+        ) + [content_tiebreak.desc()]
+        w = Window.partitionBy(NODE_ID).orderBy(*order)
         incoming = (
             incoming.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -142,10 +163,11 @@ class GraphStore:
 
         existing = self.nodes()
         if existing is None:
-            merged = incoming
+            merged = incoming.persist()
             created = merged.count()
-            props_set = _count_prop_cells(incoming, prop_cols)
-            self._nodes.write_next(merged)
+            props_set = _count_prop_cells(merged, prop_cols)
+            self._nodes.write_next(merged, partition_by="label")
+            merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
 
         # align schemas: union of property columns across labels
@@ -155,8 +177,10 @@ class GraphStore:
         old = _with_missing(existing, incoming, all_props).alias("old")
         new = _with_missing(incoming, existing, all_props).alias("new")
 
-        # MERGE = full outer on deterministic id; SET = column-wise coalesce
-        joined = old.join(new, on=NODE_ID, how="full_outer")
+        # MERGE = full outer on deterministic id; SET = column-wise coalesce.
+        # Persisted so the counter pass and the write pass execute the join
+        # once — at 100 TB re-running the merge join doubles write cost.
+        joined = old.join(new, on=NODE_ID, how="full_outer").persist()
         merged = joined.select(
             F.col(NODE_ID),
             F.coalesce(F.col("new.label"), F.col("old.label")).alias("label"),
@@ -169,7 +193,8 @@ class GraphStore:
 
         created = joined.filter(F.col("old.label").isNull()).count()
         props_set = _count_prop_cells(incoming, prop_cols)
-        self._nodes.write_next(merged)
+        self._nodes.write_next(merged, partition_by="label")
+        joined.unpersist()
         return WriteSummary(nodes_created=created, properties_set=props_set)
 
     def merge_edges(
@@ -189,15 +214,18 @@ class GraphStore:
 
         existing = self.edges()
         if existing is None:
+            incoming = incoming.persist()
             created = incoming.count()
-            self._edges.write_next(incoming)
+            self._edges.write_next(incoming, partition_by="rel_type")
+            incoming.unpersist()
             return WriteSummary(relationships_created=created)
 
         fresh = incoming.join(
             existing, on=["src", "dst", "rel_type"], how="left_anti"
-        )
+        ).persist()
         created = fresh.count()
-        self._edges.write_next(existing.unionByName(fresh))
+        self._edges.write_next(existing.unionByName(fresh), partition_by="rel_type")
+        fresh.unpersist()
         return WriteSummary(relationships_created=created)
 
 
