@@ -1,0 +1,75 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Headliners cover every workload class the engine claims: scan+agg,
+multi-way broadcast joins, the graph expand, iterative CC, LSH dedup,
+brute-force cosine top-k, windowed aggregation, and the MERGE write path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "rel_region_revenue",
+    "a3_expand",
+    "a7_merge_upsert",
+    "c1_degrees",
+    "c3_connected_components",
+    "c7_exact_dedup",
+    "c8_minhash_lsh",
+    "c9_cosine_topk",
+    "c14_tumbling_window",
+    "c15_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from neo4j_graphdb_spark.registry import QUERIES
+    from neo4j_graphdb_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + first-scan warmup so q1 doesn't absorb session startup cost
+    from neo4j_graphdb_spark.session import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1016 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a ``(spark, sf_dir) -> DataFrame`` callable plus, where
+SQL-expressible, a DuckDB oracle string over the same fixture tables.
+
+This is the verification spine of the engine: the driver runs each pair
+side-by-side at sf=0.01 and hash-compares results (row-count + schema +
+order-insensitive value-hash). Conventions that keep the comparison
+stable across engines:
+
+* every aggregate / computed column is aliased identically in Spark and
+  SQL;
+* float results are ``round``-ed (6 dp for ratios/cosines, 2 dp for
+  money sums) on BOTH sides so cross-engine summation-order drift can't
+  flip the hash;
+* counts are cast to ``bigint`` on both sides;
+* timestamps are formatted to strings (DuckDB reads the fixtures'
+  TIMESTAMP(NANOS) at ns precision, Spark at µs — strings at s/day
+  granularity compare exactly);
+* graph queries never expose ``node_id`` (xxhash64 is not available in
+  DuckDB) — they project natural keys back out, which *also* proves the
+  id-join machinery reconstructs the right pairs.
+
+Reference grounding: tier-A semantics from the five Cypher statements
+(``/root/reference/src/crwling.py:47-56``, ``src/ingest.py:4-8``,
+``main.py:17``, ``cypher.txt:4-8``); tier-B from the crawl pipeline
+(``src/crwling.py:37-43,147,153,168``); tier C from BASELINE.json's
+north star.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes
+from neo4j_graphdb_spark.operators.cypher import Graph, bind_params
+from neo4j_graphdb_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from neo4j_graphdb_spark.operators.json_ops import json_get, json_get_int
+from neo4j_graphdb_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from neo4j_graphdb_spark.functions.text import (
+    bpe_ish_token_count,
+    clean_text,
+    detect_language,
+    doc_fingerprint,
+    impute_publisher,
+    ingest_filter,
+    quality_score_cols,
+    word_count,
+)
+from neo4j_graphdb_spark.graph.algorithms import (
+    connected_components,
+    degrees,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_count,
+)
+from neo4j_graphdb_spark.session import load_table
+from neo4j_graphdb_spark.streaming.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+from neo4j_graphdb_spark.writer import GraphStore
+
+# --------------------------------------------------------------------------
+# shared graph builders (in-memory, no store writes — read queries)
+# --------------------------------------------------------------------------
+
+
+def _article_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-record shape (`{'title','link','publisher','content'}`,
+    /root/reference/src/crwling.py:165-170) derived from `documents`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("content"),
+        F.col("source").alias("publisher"),
+    )
+
+
+def article_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Article/Publisher graph (FIXTURES.md) as in-memory DataFrames."""
+    src = _article_source(spark, sf_dir)
+    articles = as_nodes(src, "Article", "link", ["title", "content"])
+    publishers = as_nodes(
+        src.select("publisher").distinct(), "Publisher", "publisher", []
+    )
+    nodes = articles.unionByName(publishers, allowMissingColumns=True)
+    edges = as_edges(src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    return Graph(nodes, edges)
+
+
+def analytics_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Analytics graph (FIXTURES.md): Customer/Supplier -FROM-> Nation
+    -IN-> Region. A forest whose components are exactly the region trees —
+    which is what makes CC/BFS oracle-expressible without recursion."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_nationkey").cast("string").alias("nk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("sk"),
+        F.col("s_nationkey").cast("string").alias("nk"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("nk"),
+        F.col("n_regionkey").cast("string").alias("rk"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("string").alias("rk")
+    )
+    nodes = (
+        as_nodes(cust, "Customer", "ck")
+        .unionByName(as_nodes(supp, "Supplier", "sk"))
+        .unionByName(as_nodes(nat, "Nation", "nk"))
+        .unionByName(as_nodes(reg, "Region", "rk"))
+    )
+    edges = (
+        as_edges(cust, "FROM", "Customer", "ck", "Nation", "nk")
+        .unionByName(as_edges(supp, "FROM", "Supplier", "sk", "Nation", "nk"))
+        .unionByName(as_edges(nat, "IN", "Nation", "nk", "Region", "rk"))
+    )
+    return Graph(nodes, edges)
+
+
+_ANALYTICS_EDGES_SQL = """
+    SELECT 'Customer' AS src_label, cast(c_custkey AS varchar) AS src_key,
+           'Nation' AS dst_label, cast(c_nationkey AS varchar) AS dst_key
+    FROM customer
+    UNION ALL
+    SELECT 'Supplier', cast(s_suppkey AS varchar), 'Nation', cast(s_nationkey AS varchar)
+    FROM supplier
+    UNION ALL
+    SELECT 'Nation', cast(n_nationkey AS varchar), 'Region', cast(n_regionkey AS varchar)
+    FROM nation
+"""
+
+_ANALYTICS_NODES_SQL = """
+    SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key,
+           cast(c_nationkey AS varchar) AS nk FROM customer
+    UNION ALL
+    SELECT 'Supplier', cast(s_suppkey AS varchar), cast(s_nationkey AS varchar) FROM supplier
+    UNION ALL
+    SELECT 'Nation', cast(n_nationkey AS varchar), cast(n_nationkey AS varchar) FROM nation
+"""
+
+
+def _node_keys(g: Graph) -> DataFrame:
+    return g.nodes_df.select(F.col(NODE_ID).alias("id"), "label", "key")
+
+
+# --------------------------------------------------------------------------
+# tier A — Cypher operators
+# --------------------------------------------------------------------------
+
+
+def q_a1_label_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A4: MATCH (a:Article) RETURN a.link AS link, a.title AS title
+    (main.py:17 generalization)."""
+    g = article_graph(spark, sf_dir)
+    return g.match("Article").select(
+        F.col("key").alias("link"), F.col("title").alias("title")
+    )
+
+
+def q_a2_all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: MATCH (n) RETURN n.label, n.key (cypher.txt:8)."""
+    g = article_graph(spark, sf_dir)
+    return g.match().select("label", "key")
+
+
+def q_a3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) (cypher.txt:4-5
+    pattern on the crawl graph, src/crwling.py:54)."""
+    g = article_graph(spark, sf_dir)
+    t = g.expand(rel_type="WRITTEN_BY", src_label="Article", dst_label="Publisher")
+    return t.select(F.col("a_key").alias("link"), F.col("b_key").alias("publisher"))
+
+
+def q_a5_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: RETURN a (whole-entity value, src/crwling.py:55) — serialized
+    to JSON so the struct value is engine-comparable."""
+    g = article_graph(spark, sf_dir)
+    arts = g.match("Article")
+    return arts.select(
+        F.to_json(F.struct(F.col("key").alias("link"), F.col("title"))).alias("article")
+    )
+
+
+def q_a6_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: LIMIT 5 (main.py:17) — with ORDER BY for a deterministic oracle."""
+    g = article_graph(spark, sf_dir)
+    return (
+        g.match("Article")
+        .select(F.col("key").alias("link"), "title")
+        .orderBy("link")
+        .limit(5)
+    )
+
+
+def q_a7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MERGE upsert through the real store — batch 1 all articles,
+    batch 2 overwrites title for doc_id % 10 == 0 (src/crwling.py:48-51
+    MERGE…SET last-writer-wins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.upper(F.substring("text", 1, 40)).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a7_"))
+    store.merge_nodes(b1, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(b2, label="Article", key_col="link", prop_cols=["title"])
+    return store.nodes().select(F.col("key").alias("link"), "title")
+
+
+def q_a8_set_null_keeps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: SET with NULL-keeps-old coalesce semantics — batch 2 sends
+    NULL titles for odd doc_ids (old value must survive) and uppercase
+    for even ones (overwrite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    b2 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.substring("text", 1, 40))).alias(
+            "title"
+        ),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a8_"))
+    store.merge_nodes(b1, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(b2, label="Article", key_col="link", prop_cols=["title"])
+    return store.nodes().select(F.col("key").alias("link"), "title")
+
+
+def q_a9_merge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: MERGE relationship, idempotent on re-run (src/crwling.py:54) —
+    merged twice, read back through expand."""
+    src = _article_source(spark, sf_dir)
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a9_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    pairs = src.select("link", "publisher")
+    store.merge_edges(pairs, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    store.merge_edges(pairs, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    g = Graph(store.nodes(), store.edges())
+    t = g.expand(rel_type="WRITTEN_BY", src_label="Article", dst_label="Publisher")
+    return t.select(F.col("a_key").alias("link"), F.col("b_key").alias("publisher"))
+
+
+def q_a11_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: query parameters (session.run(query, params),
+    src/crwling.py:59) — $lang binds to a literal the optimizer folds."""
+    params = bind_params({"lang": "de"})
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == params["lang"]).select("doc_id", "lang")
+
+
+def q_a12_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: datetime() at write time (src/crwling.py:51) — verify every
+    merged node got a sane current timestamp."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.current_timestamp().alias("published_at"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a12_"))
+    store.merge_nodes(b, label="Article", key_col="link", prop_cols=["published_at"])
+    return store.nodes().agg(
+        F.sum(
+            (F.col("published_at") > F.lit("2020-01-01"))
+            .cast("bigint")
+        ).alias("n_stamped")
+    )
+
+
+def q_a13_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: write counters (summary.counters, src/crwling.py:61-64) —
+    fresh merge then idempotent re-merge; counters are exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("content"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a13_"))
+    s1 = store.merge_nodes(b, label="Article", key_col="link", prop_cols=["title", "content"])
+    s2 = store.merge_nodes(b, label="Article", key_col="link", prop_cols=["title", "content"])
+    return spark.createDataFrame(
+        [
+            (
+                s1.nodes_created,
+                s1.properties_set,
+                s2.nodes_created,
+                s2.properties_set,
+            )
+        ],
+        "first_created bigint, first_props_set bigint, second_created bigint, second_props_set bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# tier B — ingest pipeline
+# --------------------------------------------------------------------------
+
+
+def q_b5_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text("text").alias("cleaned"))
+
+
+def q_b6_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: drop google self-links (src/crwling.py:147) and short titles
+    (:153) — bad rows synthesized deterministically from doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("https://google.com/x"))
+        .otherwise(F.concat(F.lit("doc://"), F.col("doc_id").cast("string")))
+        .alias("link"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("abc"))
+        .otherwise(F.substring("text", 1, 40))
+        .alias("title"),
+    )
+    return ingest_filter(recs).select("doc_id", "link")
+
+
+def q_b7_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: NULL publisher → 'Google News' (src/crwling.py:168)."""
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("publisher"),
+    )
+    return recs.select("doc_id", impute_publisher("publisher").alias("publisher"))
+
+
+def q_b8_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: within-batch key dedup (the MERGE-on-link guarantee,
+    src/crwling.py:48) on a deliberately doubled batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs)
+    return doubled.dropDuplicates(["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# tier C — graph analytics
+# --------------------------------------------------------------------------
+
+
+def q_c1_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = analytics_graph(spark, sf_dir)
+    d = degrees(g.edges_df)
+    return (
+        _node_keys(g)
+        .join(d, on="id", how="left")
+        .select(
+            "label",
+            "key",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+        )
+    )
+
+
+def q_c2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — no SQL oracle (iterative); rows-only check. Rank sum ≈ 1 is
+    asserted in pytest."""
+    g = analytics_graph(spark, sf_dir)
+    pr = pagerank(g.nodes_df, g.edges_df, max_iter=8)
+    nk = _node_keys(g)
+    return nk.join(pr, nk["id"] == pr[NODE_ID]).select(
+        "label", "key", F.round("rank", 8).alias("rank")
+    )
+
+
+def q_c3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — components of the region forest; each component holds exactly
+    one Region node, so the component is identified by that region key
+    (oracle = the FK rollup, no recursion needed)."""
+    g = analytics_graph(spark, sf_dir)
+    comp = connected_components(g.nodes_df, g.edges_df)
+    region_of_comp = (
+        comp.join(
+            _node_keys(g).filter(F.col("label") == "Region"), on="id"
+        ).select(F.col("comp"), F.col("key").alias("region_key"))
+    )
+    return (
+        comp.join(region_of_comp, on="comp")
+        .join(_node_keys(g), on="id")
+        .select("label", "key", "region_key")
+    )
+
+
+def q_c4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — BFS distance from Region roots over reversed edges:
+    Region=0, Nation=1, Customer/Supplier=2."""
+    g = analytics_graph(spark, sf_dir)
+    rev = g.edges_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sources = g.nodes_df.filter(F.col("label") == "Region").select(
+        F.col(NODE_ID).alias("id")
+    )
+    dist = shortest_paths(rev, sources, max_hops=5)
+    return (
+        _node_keys(g)
+        .join(dist, on="id")
+        .select("label", "key", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def q_c5_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — triangle count on the order/part/supplier co-occurrence graph
+    (each lineitem contributes edges O-P, O-S, P-S)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("ok"),
+        F.col("l_partkey").cast("string").alias("pk"),
+        F.col("l_suppkey").cast("string").alias("sk"),
+    )
+    edges = (
+        as_edges(li, "OP", "O", "ok", "P", "pk")
+        .unionByName(as_edges(li, "OS", "O", "ok", "S", "sk"))
+        .unionByName(as_edges(li, "PS", "P", "pk", "S", "sk"))
+    )
+    return triangle_count(edges).select(F.col("triangles").cast("bigint").alias("triangles"))
+
+
+def q_c6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — rows-only (iterative, tie-broken mode; not SQL-expressible)."""
+    g = analytics_graph(spark, sf_dir)
+    lp = label_propagation(g.nodes_df, g.edges_df, max_iter=3)
+    return (
+        _node_keys(g)
+        .join(lp, on="id")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .select("community_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# tier C — LLM pipeline
+# --------------------------------------------------------------------------
+
+
+def q_c7_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — exact dedup keeps min-id per distinct text; duplicates are
+    synthesized (fixtures have none) by re-adding every 5th doc under a
+    shifted id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    return exact_dup_groups(corpus, "text", "doc_id").select(
+        "text_hash",
+        F.col("keeper_id").cast("bigint").alias("keeper_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+
+
+def q_c8_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 (SQL-expressible baseline) — blocked exact word-set Jaccard
+    within language blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], shingle_n=1, threshold=0.5
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_c8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — MinHash-LSH near-dup pairs; rows-only (xxhash64 has no DuckDB
+    twin). Verified against known near-dup pairs in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.6
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — SimHash fingerprints; rows-only (no DuckDB xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+def q_c9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — exact top-5 cosine neighbors for the 5 lowest-id vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = cosine_topk(emb, queries, k=5)
+    return tk.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_c9_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — LSH ANN variant; rows-only (approximate by design; recall is
+    measured against the exact baseline in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = lsh_cosine_topk(emb, queries, dim=64, k=5, num_tables=4, num_bits=8)
+    return tk.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_c10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].cast("bigint").alias("n_chars"),
+        q["n_words"].cast("bigint").alias("n_words"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        word_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def q_c10_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("lang_guess"))
+
+
+def q_c10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_c12_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        json_get("props", "k").alias("k_str"),
+        json_get_int("props", "k").alias("k_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tier C — streaming (run on the REAL streaming engine via availableNow)
+# --------------------------------------------------------------------------
+
+
+def q_c13_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 — readStream → foreachBatch MERGE upsert → read the store
+    back. The stream runs availableNow on the documents parquet."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import stream_upsert_sink
+
+    stream = (
+        stream_table(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+            F.substring("text", 1, 40).alias("title"),
+        )
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_c13_"))
+    q = stream_upsert_sink(
+        stream,
+        store,
+        label="Article",
+        key_col="link",
+        prop_cols=["title"],
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_c13_"),
+    )
+    q.awaitTermination()
+    return store.nodes().select(F.col("key").alias("link"), "title")
+
+
+def q_c14_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14+C16 — daily tumbling window per event type with watermark
+    (batch/stream-agnostic plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = tumbling_window_agg(
+        ev, ts_col="ts", width="1 day", watermark="1 day",
+        group_extra=["event_type"], value_col="value",
+    )
+    return w.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_c15_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 — per-user session windows, 30 min gap."""
+    ev = load_table(spark, sf_dir, "events")
+    s = session_window_agg(ev, ts_col="ts", gap="30 minutes", key_col="user_id")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+def q_c17_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — stateful stream dedup within the watermark horizon, run on
+    the real streaming engine (availableNow, memory sink)."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.windows import stream_dedup
+
+    stream = stream_table(spark, sf_dir, "events")
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="90 days")
+    out = run_stream_to_memory(spark, deduped, output_mode="append")
+    return out.agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+
+
+# --------------------------------------------------------------------------
+# relational headline queries (bench workload; Catalyst join/agg surface)
+# --------------------------------------------------------------------------
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem (bench headline: scan +
+    hash-agg throughput)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join + agg + deterministic top-10 (bench headline:
+    shuffle-join throughput; the customer side broadcasts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup to region (bench headline: multi-join with
+    broadcast dims)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_label_scan": q_a1_label_scan,
+    "a2_all_nodes": q_a2_all_nodes,
+    "a3_expand": q_a3_expand,
+    "a5_entity": q_a5_entity,
+    "a6_limit": q_a6_limit,
+    "a7_merge_upsert": q_a7_merge_upsert,
+    "a8_set_null_keeps": q_a8_set_null_keeps,
+    "a9_merge_edges": q_a9_merge_edges,
+    "a11_params": q_a11_params,
+    "a12_datetime": q_a12_datetime,
+    "a13_counters": q_a13_counters,
+    "b5_clean_text": q_b5_clean_text,
+    "b6_ingest_filter": q_b6_ingest_filter,
+    "b7_impute": q_b7_impute,
+    "b8_batch_dedup": q_b8_batch_dedup,
+    "c1_degrees": q_c1_degrees,
+    "c2_pagerank": q_c2_pagerank,
+    "c3_connected_components": q_c3_connected_components,
+    "c4_bfs": q_c4_bfs,
+    "c5_triangles": q_c5_triangles,
+    "c6_label_propagation": q_c6_label_propagation,
+    "c7_exact_dedup": q_c7_exact_dedup,
+    "c8_ngram_jaccard": q_c8_ngram_jaccard,
+    "c8_minhash_lsh": q_c8_minhash_lsh,
+    "c8_simhash": q_c8_simhash,
+    "c9_cosine_topk": q_c9_cosine_topk,
+    "c9_lsh_ann": q_c9_lsh_ann,
+    "c10_text_stats": q_c10_text_stats,
+    "c10_lang_detect": q_c10_lang_detect,
+    "c10_fingerprint": q_c10_fingerprint,
+    "c12_json_access": q_c12_json_access,
+    "c13_stream_ingest": q_c13_stream_ingest,
+    "c14_tumbling_window": q_c14_tumbling_window,
+    "c15_session_window": q_c15_session_window,
+    "c17_stream_dedup": q_c17_stream_dedup,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "rel_region_revenue": q_rel_region_revenue,
+}
+
+
+_CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(replace(regexp_replace("
+    "text, '<[^>]*>', '', 'g'), chr(8203), ''), '[\\n\\t\\r]', ' ', 'g'),"
+    " ' {2,}', ' ', 'g'))"
+)
+
+_ARTICLES_SQL = (
+    "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+    "substr(text, 1, 40) AS title FROM documents"
+)
+
+ORACLES: dict[str, str] = {
+    "a1_label_scan": _ARTICLES_SQL,
+    "a2_all_nodes": (
+        "SELECT 'Article' AS label, concat('doc://', cast(doc_id AS varchar)) AS key "
+        "FROM documents UNION ALL "
+        "SELECT 'Publisher' AS label, source AS key FROM (SELECT DISTINCT source FROM documents)"
+    ),
+    "a3_expand": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, source AS publisher "
+        "FROM documents"
+    ),
+    "a5_entity": (
+        "SELECT to_json(struct_pack(link := concat('doc://', cast(doc_id AS varchar)), "
+        "title := substr(text, 1, 40))) AS article FROM documents"
+    ),
+    "a6_limit": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "substr(text, 1, 40) AS title FROM documents "
+        "ORDER BY link LIMIT 5"
+    ),
+    "a7_merge_upsert": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "CASE WHEN doc_id % 10 = 0 THEN upper(substr(text, 1, 40)) "
+        "ELSE substr(text, 1, 40) END AS title FROM documents"
+    ),
+    "a8_set_null_keeps": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "CASE WHEN doc_id % 2 = 0 THEN upper(substr(text, 1, 40)) "
+        "ELSE substr(text, 1, 40) END AS title FROM documents"
+    ),
+    "a9_merge_edges": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, source AS publisher "
+        "FROM documents"
+    ),
+    "a11_params": "SELECT doc_id, lang FROM documents WHERE lang = 'de'",
+    "a12_datetime": "SELECT count(*)::bigint AS n_stamped FROM documents",
+    "a13_counters": (
+        "SELECT count(*)::bigint AS first_created, (2 * count(*))::bigint AS first_props_set, "
+        "0::bigint AS second_created, (2 * count(*))::bigint AS second_props_set "
+        "FROM documents"
+    ),
+    "b5_clean_text": f"SELECT doc_id, {_CLEAN_SQL} AS cleaned FROM documents",
+    "b6_ingest_filter": (
+        "SELECT doc_id, concat('doc://', cast(doc_id AS varchar)) AS link "
+        "FROM documents WHERE doc_id % 13 <> 0 "
+        "AND length(trim(CASE WHEN doc_id % 11 = 0 THEN 'abc' ELSE substr(text, 1, 40) END)) >= 5"
+    ),
+    "b7_impute": (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'Google News' ELSE source END AS publisher "
+        "FROM documents"
+    ),
+    "b8_batch_dedup": (
+        "SELECT DISTINCT doc_id, text FROM "
+        "(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)"
+    ),
+    "c1_degrees": f"""
+        WITH edges AS ({_ANALYTICS_EDGES_SQL}),
+        nodes AS (
+            SELECT DISTINCT src_label AS label, src_key AS key FROM edges
+            UNION SELECT DISTINCT dst_label, dst_key FROM edges
+        ),
+        out_d AS (SELECT src_label AS label, src_key AS key, count(*)::bigint AS out_degree
+                  FROM edges GROUP BY 1, 2),
+        in_d AS (SELECT dst_label AS label, dst_key AS key, count(*)::bigint AS in_degree
+                 FROM edges GROUP BY 1, 2)
+        SELECT n.label, n.key,
+               coalesce(o.out_degree, 0)::bigint AS out_degree,
+               coalesce(i.in_degree, 0)::bigint AS in_degree,
+               (coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0))::bigint AS degree
+        FROM nodes n
+        LEFT JOIN out_d o ON n.label = o.label AND n.key = o.key
+        LEFT JOIN in_d i ON n.label = i.label AND n.key = i.key
+    """,
+    "c3_connected_components": """
+        SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key,
+               cast(n_regionkey AS varchar) AS region_key
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'Supplier', cast(s_suppkey AS varchar), cast(n_regionkey AS varchar)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'Nation', cast(n_nationkey AS varchar), cast(n_regionkey AS varchar) FROM nation
+        UNION ALL
+        SELECT 'Region', cast(r_regionkey AS varchar), cast(r_regionkey AS varchar) FROM region
+    """,
+    "c4_bfs": """
+        SELECT 'Region' AS label, cast(r_regionkey AS varchar) AS key, 0 AS dist FROM region
+        UNION ALL
+        SELECT 'Nation', cast(n_nationkey AS varchar), 1 FROM nation
+        UNION ALL
+        SELECT 'Customer', cast(c_custkey AS varchar), 2 FROM customer
+        UNION ALL
+        SELECT 'Supplier', cast(s_suppkey AS varchar), 2 FROM supplier
+    """,
+    "c5_triangles": """
+        WITH raw AS (
+            SELECT concat('O:', cast(l_orderkey AS varchar)) AS a,
+                   concat('P:', cast(l_partkey AS varchar)) AS b FROM lineitem
+            UNION ALL
+            SELECT concat('O:', cast(l_orderkey AS varchar)),
+                   concat('S:', cast(l_suppkey AS varchar)) FROM lineitem
+            UNION ALL
+            SELECT concat('P:', cast(l_partkey AS varchar)),
+                   concat('S:', cast(l_suppkey AS varchar)) FROM lineitem
+        ),
+        und AS (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b
+        )
+        SELECT count(*)::bigint AS triangles
+        FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "c7_exact_dedup": (
+        "SELECT md5(text) AS text_hash, doc_id::bigint AS keeper_id, "
+        "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::bigint AS n_dups FROM documents"
+    ),
+    "c8_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words
+            FROM documents
+        )
+        SELECT a.doc_id::bigint AS id_a, b.doc_id::bigint AS id_b,
+               round(len(list_intersect(a.words, b.words))::double
+                     / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.words, b.words))::double
+              / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    """,
+    "c9_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> cast(x AS double)) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ),
+        c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(q.qv, c.cv) AS cos
+            FROM q CROSS JOIN c
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "c10_text_stats": """
+        SELECT doc_id,
+               length(text)::bigint AS n_chars,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint AS n_words,
+               round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::double
+                     / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+               round(CASE WHEN length(trim(text)) > 0 THEN
+                     len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it|for|on|with)\\b'))::double
+                     / len(string_split_regex(trim(text), '\\s+')) ELSE 0.0 END, 6) AS stopword_ratio,
+               round(CASE WHEN length(trim(text)) > 0 THEN
+                     length(regexp_replace(text, '\\s+', '', 'g'))::double
+                     / len(string_split_regex(trim(text), '\\s+')) ELSE 0.0 END, 6) AS mean_word_len,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::bigint AS bpe_tokens
+        FROM documents
+    """,
+    "c10_lang_detect": """
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                    WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                    WHEN regexp_matches(text, '(?i)(\\b(und|der|die|das|nicht|ist)\\b|[äöüß])') THEN 'de'
+                    WHEN regexp_matches(text, '(?i)(\\b(le|la|les|est|une|dans)\\b|[àâçéèê])') THEN 'fr'
+                    WHEN regexp_matches(text, '(?i)(\\b(el|los|las|es|una|para)\\b|[ñ¿¡])') THEN 'es'
+                    ELSE 'en' END AS lang_guess
+        FROM documents
+    """,
+    "c10_fingerprint": """
+        WITH norm AS (
+            SELECT doc_id,
+                   substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 256) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(1, greatest(length(n) - 7, 1) + 1),
+                                  i -> md5(substr(n, i, 8))),
+                   'min') AS fingerprint
+        FROM norm
+    """,
+    "c12_json_access": (
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+        "cast(json_extract_string(props, '$.k') AS bigint) AS k_int FROM events"
+    ),
+    "c13_stream_ingest": _ARTICLES_SQL,
+    "c14_tumbling_window": """
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS window_day,
+               event_type,
+               count(*)::bigint AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "c15_session_window": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o
+        )
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*)::bigint AS n_events
+        FROM s GROUP BY user_id, sess
+    """,
+    "c17_stream_dedup": "SELECT count(DISTINCT event_id)::bigint AS n_unique FROM events",
+    "rel_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*)::bigint AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_top_customers": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+    """,
+    "rel_region_revenue": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::bigint AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}

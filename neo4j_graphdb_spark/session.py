@@ -64,18 +64,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     comparisons stay exact.
     """
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        return spark.read.parquet(path)
-    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL (nanos)
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
-            raise
     import pyarrow.parquet as pq
 
     ns_cols = [
         f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
     ]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # The conf is session-global, so detection must be schema-driven (an
+    # exception-based probe would mis-read the NEXT nanos table as longs
+    # once the conf sticks).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str):
+    """``readStream`` over one fixture table.
+
+    Streaming file sources require a *directory*; the fixture is a single
+    parquet file, so it is symlinked into a fresh temp dir. NANOS
+    timestamp columns get the same long→micros rebuild as
+    :func:`load_table`, applied on top of the stream.
+    """
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/{name}.parquet"
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    os.symlink(path, os.path.join(d, f"{name}.parquet"))
+    ns_cols = [
+        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+    ]
+    batch_schema = load_table(spark, sf_dir, name).schema
+    if not ns_cols:
+        return spark.readStream.schema(batch_schema).parquet(d)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField(
+                f.name, T.LongType() if f.name in ns_cols else f.dataType, True
+            )
+            for f in batch_schema
+        ]
+    )
+    df = spark.readStream.schema(raw_schema).parquet(d)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

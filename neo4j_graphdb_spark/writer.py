@@ -129,7 +129,7 @@ class GraphStore:
         updates: DataFrame,
         label: str,
         key_col: str,
-        prop_cols: list[str],
+        prop_cols: list[str] | None = None,
         order_col: str | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (n:label {key}) SET n.p1=…, n.p2=…``.
@@ -139,6 +139,7 @@ class GraphStore:
         without it the key column itself orders the tie-break
         deterministically.
         """
+        prop_cols = prop_cols or []
         carry = prop_cols + ([order_col] if order_col and order_col not in prop_cols else [])
         incoming = as_nodes(updates, label, key_col, carry)
 
