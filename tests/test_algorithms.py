@@ -1,0 +1,105 @@
+"""Tier C1-C6 graph algorithms on tiny graphs with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.graph.algorithms import (
+    connected_components,
+    degrees,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_count,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    """Two components: a 4-node directed cycle-with-chord {1,2,3,4} and
+    an isolated edge {10,11}."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11]], "node_id bigint"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    return nodes, edges
+
+
+def test_degrees(spark, toy):
+    _, edges = toy
+    d = {r["id"]: (r["out_degree"], r["in_degree"], r["degree"]) for r in degrees(edges).collect()}
+    assert d[1] == (2, 1, 3)  # out: 1->2, 1->3; in: 4->1
+    assert d[2] == (1, 1, 2)
+    assert d[10] == (1, 0, 1)
+    assert d[11] == (0, 1, 1)
+
+
+def test_pagerank_invariants(spark, toy):
+    nodes, edges = toy
+    pr = pagerank(nodes, edges, max_iter=15)
+    ranks = {r["node_id"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # rank mass conserved
+    assert all(v > 0 for v in ranks.values())
+    # 11 is a pure sink fed by 10; 10 only gets base+dangling mass
+    assert ranks[11] > ranks[10]
+    # 1 and 3 each have two in-edges; 2 and 4 have one
+    assert ranks[3] > ranks[2]
+
+
+def test_pagerank_star_closed_form(spark):
+    """Hub-and-spoke: 3 leaves → hub. Closed form (d=0.85, N=4, dangling
+    hub redistributes): verified against the standard iterative formula."""
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id bigint")
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src bigint, dst bigint")
+    pr = {r["node_id"]: r["rank"] for r in pagerank(nodes, edges, max_iter=40).collect()}
+    # leaves are symmetric; hub absorbs 3 leaf contributions
+    assert abs(pr[1] - pr[2]) < 1e-9 and abs(pr[2] - pr[3]) < 1e-9
+    assert pr[0] > 3 * pr[1] * 0.8
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_connected_components(spark, toy):
+    nodes, edges = toy
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[1] != comp[10]
+
+
+def test_connected_components_path_graph(spark):
+    """Worst case for min-propagation: a path 0-1-2-…-19."""
+    n = 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges, max_iter=n).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_bfs(spark, toy):
+    _, edges = toy
+    src = spark.createDataFrame([(1,)], "id bigint")
+    dist = {r["id"]: r["dist"] for r in shortest_paths(edges, src, max_hops=5).collect()}
+    assert dist == {1: 0, 2: 1, 3: 1, 4: 2}  # 1->3 chord shortens 3
+
+
+def test_triangles(spark, toy):
+    _, edges = toy
+    # undirected triangles: {1,2,3} (1-2,2-3,1-3) and {1,3,4} (3-4,4-1,1-3)
+    assert triangle_count(edges).collect()[0]["triangles"] == 2
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge — LPA must separate them."""
+    c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    edges = [(a, b) for a in c1 for b in c1 if a < b] + [
+        (a, b) for a in c2 for b in c2 if a < b
+    ] + [(3, 10)]
+    nodes = spark.createDataFrame([(i,) for i in c1 + c2], "node_id bigint")
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    lbl = {r["id"]: r["lbl"] for r in label_propagation(nodes, e, max_iter=5).collect()}
+    assert len({lbl[i] for i in c1}) == 1
+    assert len({lbl[i] for i in c2}) == 1
+    assert lbl[0] != lbl[13]

@@ -1,0 +1,124 @@
+"""Tier C7-C9: dedup and similarity with hand-checkable answers."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from neo4j_graphdb_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # one-word change: high jaccard
+    far = "completely different text about spark dataframes and shuffle partitions"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],  # 4 = exact dup of 1
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup(spark, corpus):
+    kept = sorted(r["doc_id"] for r in exact_dedup(corpus, "text", "doc_id").collect())
+    assert kept == [1, 2, 3]  # 4 deduped into 1 (min id wins)
+    groups = {r["keeper_id"]: r["n_dups"] for r in exact_dup_groups(corpus, "text", "doc_id").collect()}
+    assert groups == {1: 2, 2: 1, 3: 1}
+
+
+def test_minhash_signature_shape_and_determinism(spark, corpus):
+    s1 = minhash_signatures(corpus, "text", "doc_id", num_hashes=32).collect()
+    s2 = minhash_signatures(corpus, "text", "doc_id", num_hashes=32).collect()
+    sig = {r["doc_id"]: r["minhash"] for r in s1}
+    assert all(len(v) == 32 for v in sig.values())
+    assert sig == {r["doc_id"]: r["minhash"] for r in s2}  # deterministic
+    assert sig[1] == sig[4]  # identical text → identical signature
+    # near-dup shares most mins; unrelated shares few
+    shared_near = sum(a == b for a, b in zip(sig[1], sig[2]))
+    shared_far = sum(a == b for a, b in zip(sig[1], sig[3]))
+    assert shared_near > shared_far
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_blocked(spark, corpus):
+    blocked = corpus.withColumn("blk", F.lit(1))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            blocked, "text", "doc_id", block_cols=["blk"], shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    # word sets: base has 12 distinct words, near swaps 1 → J = 11/13
+    assert abs(pairs[(1, 2)] - 11 / 13) < 1e-9
+
+
+def test_simhash_proximity(spark, corpus):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(corpus, "text", "doc_id").collect()}
+    assert h[1] == h[4]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    assert hamming(h[1], h[2]) <= 16
+
+
+def test_cosine_topk_hand_computed(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [2.0, 0.0])], "query_id bigint, embedding array<float>"
+    )
+    rows = cosine_topk(corpus, q, k=3).collect()
+    got = {r["vec_id"]: (r["cosine"], r["rank"]) for r in rows}
+    assert got[1][0] == pytest.approx(1.0) and got[1][1] == 1
+    assert got[3][0] == pytest.approx(1 / math.sqrt(2)) and got[3][1] == 2
+    assert got[2][0] == pytest.approx(0.0) and got[2][1] == 3
+
+
+def test_lsh_ann_recall_vs_exact(spark, sf_dir):
+    """LSH ANN must recover most of the exact top-5 on the fixture
+    embeddings (recall measured against the exact baseline)."""
+    from neo4j_graphdb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+        if r["query_id"] != r["vec_id"]
+    }
+    # fixture embeddings are near-random (top-5 cosine ≈ 0.3), so the
+    # sign-bit collision probability is only ~0.6/bit — few bits + many
+    # tables is the right operating point (p_table=0.21, 8 tables → 0.85
+    # expected recall); clustered real corpora would use 10-12 bits.
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(emb, q, dim=64, k=5, num_tables=8, num_bits=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

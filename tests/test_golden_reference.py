@@ -1,0 +1,111 @@
+"""Golden end-to-end: the five reference Cypher statements as engine API
+calls against a fixed fixture graph, compared to committed expected
+outputs (SURVEY.md §5).
+
+The five statements:
+1. the crawl upsert  — MERGE Article + SET + MERGE Publisher + MERGE
+   WRITTEN_BY + RETURN a            (/root/reference/src/crwling.py:47-56)
+2. the seed upsert   — MERGE User/Tech/INTERESTED_IN
+   (/root/reference/src/ingest.py:4-8)
+3. verification read — MATCH (a:Article) RETURN a.title AS title LIMIT 5
+   (/root/reference/main.py:17)
+4. typed expand      — MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+   RETURN u, r, t                   (/root/reference/cypher.txt:4-5)
+5. browse            — MATCH (n) RETURN n LIMIT 25
+   (/root/reference/cypher.txt:8)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.model import node_struct
+from neo4j_graphdb_spark.operators.cypher import Graph, bind_params
+from neo4j_graphdb_spark.writer import GraphStore
+
+ARTICLES = [
+    # (link, title, content, publisher) — fixed fixture "crawl batch"
+    ("https://n.example/a1", "Alpha launches beta", "body one", "Daily Alpha"),
+    ("https://n.example/a2", "Beta ships gamma", "body two", "Beta Times"),
+    ("https://n.example/a3", "Gamma review roundup", "body three", "Daily Alpha"),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("golden"))
+    s = GraphStore(spark, root)
+    batch = spark.createDataFrame(
+        ARTICLES, "link string, title string, content string, publisher string"
+    ).withColumn("published_at", F.current_timestamp())
+
+    # statement 1 — the crawl upsert (run twice: MERGE idempotence)
+    for _ in range(2):
+        summary = s.merge_nodes(
+            batch, label="Article", key_col="link",
+            prop_cols=["title", "content", "published_at"],
+        )
+        s.merge_nodes(
+            batch.select("publisher").distinct(), label="Publisher", key_col="publisher"
+        )
+        s.merge_edges(
+            batch.select("link", "publisher"),
+            "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+        )
+    assert summary.nodes_created == 0  # second pass created nothing
+
+    # statement 2 — the seed upsert (ingest.py: insert_user("Beomzh", "GraphRAG"))
+    params = bind_params({"name": "Beomzh", "tech": "GraphRAG"})
+    seed = spark.range(1).select(
+        params["name"].alias("name"), params["tech"].alias("tech")
+    )
+    s.merge_nodes(seed, label="User", key_col="name")
+    s.merge_nodes(seed.select(F.col("tech").alias("name")), label="Tech", key_col="name")
+    s.merge_edges(seed, "INTERESTED_IN", "User", "name", "Tech", "tech")
+    return s
+
+
+def test_statement3_verification_read(spark, store):
+    g = Graph(store.nodes(), store.edges())
+    titles = sorted(
+        r["title"] for r in g.match("Article").select(F.col("title").alias("title")).limit(5).collect()
+    )
+    # golden output
+    assert titles == ["Alpha launches beta", "Beta ships gamma", "Gamma review roundup"]
+
+
+def test_statement4_typed_expand_whole_entities(spark, store):
+    g = Graph(store.nodes(), store.edges())
+    t = g.expand(rel_type="INTERESTED_IN", src_label="User", dst_label="Tech",
+                 src_alias="u", dst_alias="t")
+    rows = t.select(
+        F.struct(F.col("u_label"), F.col("u_key")).alias("u"),
+        F.col("rel_type").alias("r"),
+        F.struct(F.col("t_label"), F.col("t_key")).alias("t"),
+    ).collect()
+    assert len(rows) == 1
+    u, r, tt = rows[0]["u"], rows[0]["r"], rows[0]["t"]
+    assert (u["u_label"], u["u_key"]) == ("User", "Beomzh")
+    assert r == "INTERESTED_IN"
+    assert (tt["t_label"], tt["t_key"]) == ("Tech", "GraphRAG")
+
+
+def test_statement5_browse_all(spark, store):
+    g = Graph(store.nodes(), store.edges())
+    nodes = g.match()
+    rows = nodes.select(node_struct(nodes, "n")).limit(25).collect()
+    # graph total: 3 Articles + 2 Publishers + 1 User + 1 Tech = 7 < 25
+    assert len(rows) == 7
+    labels = sorted(r["n"]["label"] for r in rows)
+    assert labels == ["Article", "Article", "Article", "Publisher", "Publisher", "Tech", "User"]
+
+
+def test_write_counters_golden(spark, store):
+    """The counter distinction the reference prints (crwling.py:61-64):
+    fresh MERGE → nodes_created>0; re-MERGE → only properties_set."""
+    batch = spark.createDataFrame(
+        [("https://n.example/new", "Brand new headline")], "link string, title string"
+    )
+    s1 = store.merge_nodes(batch, label="Article", key_col="link", prop_cols=["title"])
+    s2 = store.merge_nodes(batch, label="Article", key_col="link", prop_cols=["title"])
+    assert s1.nodes_created == 1 and s1.properties_set == 1
+    assert s2.nodes_created == 0 and s2.properties_set == 1

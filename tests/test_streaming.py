@@ -1,0 +1,105 @@
+"""Tier C13-C17: streaming operators on the real streaming engine
+(availableNow triggers, memory/foreachBatch sinks)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.session import load_table, stream_table
+from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory, stream_upsert_sink
+from neo4j_graphdb_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def tiny_events(spark):
+    rows = [
+        (1, ts("2024-01-01 00:05:00"), 7, "click", 1.0),
+        (2, ts("2024-01-01 00:20:00"), 7, "click", 2.0),
+        (3, ts("2024-01-01 01:10:00"), 7, "view", 4.0),
+        (4, ts("2024-01-01 00:30:00"), 8, "click", 8.0),
+        (1, ts("2024-01-01 00:05:00"), 7, "click", 1.0),  # duplicate event_id
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_tumbling_window_batch(spark, tiny_events):
+    out = {
+        (r["window_start"].isoformat(), ): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_agg(tiny_events, width="1 hour", value_col="value").collect()
+    }
+    assert out[("2024-01-01T00:00:00",)] == (4, 12.0)
+    assert out[("2024-01-01T01:00:00",)] == (1, 4.0)
+
+
+def test_sliding_window_batch(spark, tiny_events):
+    rows = sliding_window_agg(tiny_events, width="1 hour", slide="30 minutes").collect()
+    got = {r["window_start"].isoformat(): r["n_events"] for r in rows}
+    # events at 00:05(x2),00:20,00:30 → window 23:30 has 3, 00:00 has 4,
+    # 00:30 has 2 (00:30 event + 01:10), 01:00 has 1
+    assert got["2024-01-01T00:00:00"] == 4
+    assert got["2023-12-31T23:30:00"] == 3
+
+
+def test_session_window_batch(spark, tiny_events):
+    rows = session_window_agg(tiny_events, gap="30 minutes", key_col="user_id").collect()
+    sess = {(r["user_id"], r["session_start"].isoformat()): r["n_events"] for r in rows}
+    # user 7: 00:05,00:05,00:20 chain (gap<=30m) = one session of 3;
+    # 01:10 separate; user 8: one session
+    assert sess[(7, "2024-01-01T00:05:00")] == 3
+    assert sess[(7, "2024-01-01T01:10:00")] == 1
+    assert sess[(8, "2024-01-01T00:30:00")] == 1
+
+
+def test_stream_windows_on_real_stream(spark, sf_dir):
+    """The same tumbling transformation over readStream must agree with
+    the batch run — stream/batch parity is the Structured Streaming
+    contract."""
+    stream = stream_table(spark, sf_dir, "events")
+    agg = tumbling_window_agg(stream, width="1 day", watermark="1 day", value_col="value")
+    streamed = run_stream_to_memory(spark, agg, output_mode="complete")
+    batch = tumbling_window_agg(
+        load_table(spark, sf_dir, "events"), width="1 day", value_col="value"
+    )
+    s = {(r["window_start"], r["n_events"], round(r["sum_value"], 6)) for r in streamed.collect()}
+    b = {(r["window_start"], r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()}
+    assert s == b
+
+
+def test_stream_dedup(spark, tmp_path, tiny_events):
+    src_dir = str(tmp_path / "events_src")
+    tiny_events.write.parquet(src_dir)
+    stream = spark.readStream.schema(tiny_events.schema).parquet(src_dir)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 day")
+    out = run_stream_to_memory(spark, deduped, output_mode="append")
+    assert out.count() == 4  # 5 rows, one duplicate event_id dropped
+
+
+def test_stream_upsert_sink(spark, tmp_path, sf_dir):
+    """C13: micro-batch MERGE via foreachBatch, then idempotent re-run."""
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    stream = stream_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, str(tmp_path / "g"))
+    q = stream_upsert_sink(
+        stream, store, label="Article", key_col="link", prop_cols=["title"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    n = store.nodes().count()
+    assert n == load_table(spark, sf_dir, "documents").count()
+    assert sum(s.nodes_created for s in q._upsert_summaries) == n

@@ -1,0 +1,138 @@
+"""Tier B5-B7 + C10-C12: text analysis, JSON access, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.functions.text import (
+    bpe_ish_token_count,
+    clean_text,
+    detect_language,
+    doc_fingerprint,
+    impute_publisher,
+    ingest_filter,
+    quality_score_cols,
+    word_count,
+)
+from neo4j_graphdb_spark.operators.json_ops import json_get, json_get_int, json_parse
+from neo4j_graphdb_spark.operators.multimodal import (
+    embedding_features,
+    extract_media_features,
+    synthetic_media,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "s string")
+
+
+def test_clean_text_vectors(spark):
+    """The reference's clean_text contract (src/crwling.py:37-43)."""
+    cases = {
+        "<b>hello</b> world": "hello world",
+        "a\nb\tc\rd": "a b c d",
+        "foo​bar": "foobar",  # zero-width DELETED, not blanked
+        "  padded  ": "padded",
+        "": "",
+        "<div><p>x</p></div>": "x",
+    }
+    for raw, want in cases.items():
+        got = _one(spark, raw).select(clean_text("s").alias("c")).collect()[0]["c"]
+        assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+
+
+def test_ingest_filter_and_impute(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://news.example/a", "long enough title", None),
+            ("https://google.com/x", "long enough title", "P"),
+            ("https://news.example/b", "tiny", "P"),
+        ],
+        "link string, title string, publisher string",
+    )
+    kept = ingest_filter(df).select(
+        "link", impute_publisher("publisher").alias("publisher")
+    ).collect()
+    assert len(kept) == 1
+    assert kept[0]["link"] == "https://news.example/a"
+    assert kept[0]["publisher"] == "Google News"
+
+
+def test_word_and_token_counts(spark):
+    df = _one(spark, "Hello, world! 42 times")
+    r = df.select(
+        word_count("s").alias("w"), bpe_ish_token_count("s").alias("t")
+    ).collect()[0]
+    assert r["w"] == 4
+    # Hello , world ! 42 times → 6 bpe-ish tokens
+    assert r["t"] == 6
+    assert _one(spark, "   ").select(word_count("s").alias("w")).collect()[0]["w"] == 0
+
+
+def test_quality_scores(spark):
+    q = quality_score_cols(F.col("s"))
+    r = _one(spark, "the cat!").select(
+        q["n_chars"].alias("c"), q["n_words"].alias("w"),
+        q["punct_ratio"].alias("p"), q["stopword_ratio"].alias("st"),
+        q["mean_word_len"].alias("m"),
+    ).collect()[0]
+    assert r["c"] == 8 and r["w"] == 2
+    assert r["p"] == pytest.approx(1 / 8)
+    assert r["st"] == pytest.approx(0.5)  # 'the' of 2 words
+    assert r["m"] == pytest.approx(7 / 2)  # 'thecat!' / 2
+
+
+def test_detect_language(spark):
+    cases = {
+        "der Hund ist nicht hier": "de",
+        "le chat est dans la maison": "fr",
+        "el perro es una mascota": "es",
+        "这是一个中文句子": "zh",
+        "plain english text": "en",
+    }
+    for text, want in cases.items():
+        got = _one(spark, text).select(detect_language("s").alias("l")).collect()[0]["l"]
+        assert got == want, f"{text!r} -> {got}"
+
+
+def test_doc_fingerprint_stability(spark):
+    a = _one(spark, "Some document   body text").select(doc_fingerprint("s").alias("f"))
+    b = _one(spark, "some DOCUMENT body\t\ttext").select(doc_fingerprint("s").alias("f"))
+    # whitespace/case-normalized → identical fingerprints
+    assert a.collect()[0]["f"] == b.collect()[0]["f"]
+
+
+def test_json_access(spark):
+    df = spark.createDataFrame([('{"k": 87, "tag": "x"}',)], "props string")
+    r = df.select(
+        json_get("props", "k").alias("ks"),
+        json_get_int("props", "k").alias("ki"),
+        json_get("props", "tag").alias("t"),
+        json_parse("props", "k bigint, tag string").alias("st"),
+    ).collect()[0]
+    assert r["ks"] == "87" and r["ki"] == 87 and r["t"] == "x"
+    assert r["st"]["k"] == 87 and r["st"]["tag"] == "x"
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from neo4j_graphdb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = synthetic_media(docs, "doc_id", "text")
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["kind"] in {"image", "audio", "video"}
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # histogram normalized
+
+
+def test_embedding_features(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    r = embedding_features(df).collect()[0]
+    assert r["l2_norm"] == pytest.approx(5.0)
+    assert r["mean_val"] == pytest.approx(3.5)
+    assert r["max_val"] == pytest.approx(4.0)
