@@ -57,9 +57,10 @@ def pagerank(
     )
 
     for _ in range(max_iter):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank").alias("s")).collect()[0]["s"]
-            or 0.0
+        # dangling mass stays a lazy 1-row aggregate broadcast into the
+        # update — one Spark job per superstep, no driver-side collect
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contribs = (
             ranks.filter(F.col("out_deg") > 0)
@@ -68,13 +69,17 @@ def pagerank(
             .groupBy(id_col)
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             ranks.join(contribs, on=id_col, how="left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 id_col,
                 "out_deg",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("_dm") / n_nodes
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint()
         )
@@ -82,15 +87,111 @@ def pagerank(
 
 
 def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "node_id",
+    algorithm: str = "star",
+) -> DataFrame:
+    """C3 — undirected connected components.
+
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    contraction — O(log n) rounds, the web-scale algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"; PAPERS.md).
+    ``algorithm="min_propagation"``: simple min-id flooding — O(diameter)
+    rounds; kept as the differential-testing reference.
+
+    Returns ``(id, comp)`` where ``comp`` is the component's minimum
+    node id.
+    """
+    if algorithm == "star":
+        return _cc_star(nodes, edges, max_iter=max_iter, id_col=id_col)
+    return _cc_min_propagation(nodes, edges, max_iter=max_iter, id_col=id_col)
+
+
+def _cc_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30, id_col: str = "node_id"
+) -> DataFrame:
+    """Large-star/small-star contraction.
+
+    Each round:
+      large-star — every node links its *larger* neighbors to its
+      minimum neighborhood member;
+      small-star — every node links its *smaller* neighbors (and itself)
+      to the minimum.
+    The edge list contracts toward a star forest rooted at component
+    minima; rounds needed are O(log n) regardless of diameter (the
+    100 TB upgrade over flooding: a path-shaped graph converges in ~log
+    supersteps, not length supersteps). Each phase is one groupBy + one
+    equi-join shuffle; the fixed point is detected with a cheap
+    count+hash aggregate (one scalar collect per round).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        return (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        ori = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            ori.join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        self_links = mins.select(F.col("u"), F.col("m").alias("v"))
+        return linked.unionByName(self_links).distinct()
+
+    def checksum(e: DataFrame):
+        # bit_xor is order-insensitive and can't overflow (ANSI mode
+        # rejects a plain sum of 64-bit hashes)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # star forest: (child, root). Roots and isolated nodes map to self.
+    comp = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(e.select(F.col("u").alias("id"), F.col("v").alias("_root")), on="id", how="left")
+        .select("id", F.coalesce("_root", F.col("id")).alias("comp"))
+    )
+    return comp
+
+
+def _cc_min_propagation(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20, id_col: str = "node_id"
 ) -> DataFrame:
-    """C3 — undirected connected components by iterative min-id propagation.
-
-    Converges in O(diameter) supersteps; each superstep = one message
-    aggregation shuffle. (The large-star/small-star contraction variant
-    converges in O(log n) and is the drop-in upgrade for web-scale graphs;
-    min-propagation keeps the plan simplest and is exact regardless.)
-    """
+    """Min-id flooding — O(diameter) supersteps, one shuffle each."""
     und = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

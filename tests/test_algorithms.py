@@ -68,14 +68,26 @@ def test_connected_components(spark, toy):
 
 
 def test_connected_components_path_graph(spark):
-    """Worst case for min-propagation: a path 0-1-2-…-19."""
-    n = 20
+    """Path 0-1-2-…-39: O(diameter) for flooding, O(log n) for star —
+    star must solve it well inside log-n-ish rounds (max_iter=8 ≪ 39)."""
+    n = 40
     nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id bigint")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
     )
-    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges, max_iter=n).collect()}
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges, max_iter=8).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_connected_components_star_vs_flooding(spark, toy):
+    """Differential: both algorithms agree on every node."""
+    nodes, edges = toy
+    star = {r["id"]: r["comp"] for r in connected_components(nodes, edges, algorithm="star").collect()}
+    flood = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, edges, algorithm="min_propagation").collect()
+    }
+    assert star == flood
 
 
 def test_bfs(spark, toy):
