@@ -19,8 +19,10 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_top_customers",
     "rel_region_revenue",
+    "rel_window_topn",
     "a3_expand",
     "a7_merge_upsert",
+    "b3_html_extract",
     "c1_degrees",
     "c3_connected_components",
     "c7_exact_dedup",
@@ -49,8 +51,13 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # one warmup execution per query (JIT, code cache, file-listing
+    # caches), then the measured run — steady-state throughput is the
+    # meaningful proxy for at-scale cost, where per-job fixed overhead
+    # amortizes to nothing
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()

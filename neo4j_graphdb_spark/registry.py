@@ -315,9 +315,71 @@ def q_a13_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a4_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: RETURN a.title AS headline (aliased projection, main.py:17)."""
+    g = article_graph(spark, sf_dir)
+    return g.match("Article").select(
+        F.col("key").alias("link"), F.upper(F.col("title")).alias("headline")
+    )
+
+
 # --------------------------------------------------------------------------
 # tier B — ingest pipeline
 # --------------------------------------------------------------------------
+
+# Whitespace-normalized, markup-safe title/content fragments shared by the
+# B3/B4 HTML round-trip queries: the SERP page is *synthesized* from
+# `documents`, parsed back through the real extractor, and the oracle
+# predicts the output straight from the table.
+_TITLE_EXPR = "regexp_replace(regexp_replace(substr(text, 1, 40), '[<>&]', '', 'g'), '\\s+', ' ', 'g')"
+
+
+def _safe_title(col):
+    return F.regexp_replace(
+        F.regexp_replace(F.substring(col, 1, 40), "[<>&]", ""), r"\s+", " "
+    )
+
+
+def q_b3_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — full HTML round trip: build a SERP-shaped page per document,
+    parse it with the mapInPandas extractor, explode the records
+    (src/crwling.py:136-153 semantics, oracle-verified)."""
+    from neo4j_graphdb_spark.sources.html_extract import extract_articles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.format_string(
+            '<html><body><div id="search">'
+            '<div data-ved="1"><a href="doc://%s">'
+            '<div role="heading">%s</div></a><span>%s</span></div>'
+            "</div></body></html>",
+            F.col("doc_id").cast("string"),
+            _safe_title(F.col("text")),
+            F.col("source"),
+        ).alias("html"),
+    )
+    out = extract_articles(pages)
+    return out.filter(F.col("_error").isNull()).select(
+        "page_id", "title", "link", "publisher"
+    )
+
+
+def q_b4_detail_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 — detail-page selector coalesce round trip: content div built
+    from the document text, extracted back through the selector chain +
+    clean_text (src/crwling.py:71-87)."""
+    from neo4j_graphdb_spark.sources.html_extract import extract_content
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.format_string(
+            '<html><body><div id="wrap"><div id="dic_area">%s</div></div></body></html>',
+            _safe_title(F.col("text")),
+        ).alias("detail_html"),
+    )
+    return extract_content(pages).select("doc_id", "content")
 
 
 def q_b5_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +617,38 @@ def q_c10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_c11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — multimodal feature extraction through the Arrow/mapInPandas
+    plumbing (decode kernel is the documented deterministic stub, so the
+    check is rows-only; the plumbing itself is pytest-covered)."""
+    from neo4j_graphdb_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs, "doc_id", "text")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def q_c11_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — vector feature extraction over the embedding column, fully
+    JVM-side (oracle-verified against DuckDB list aggregates)."""
+    from neo4j_graphdb_spark.operators.multimodal import embedding_features
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = embedding_features(emb)
+    return f.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
 def q_c12_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -700,6 +794,59 @@ def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface (SURVEY §2.D extension): top-3 orders per
+    customer by price, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no finished ('F') order — the
+    status filter keeps the result non-empty at every sf."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface: parts that appear in some lineitem, priced."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi").select(
+        "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+
+
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: nations with customers but no suppliers
+    (EXCEPT) and nations with both (INTERSECT), tagged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    only_cust = cust.exceptAll(supp).withColumn("tag", F.lit("cust_only"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -708,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
     "a3_expand": q_a3_expand,
+    "a4_projection": q_a4_projection,
     "a5_entity": q_a5_entity,
     "a6_limit": q_a6_limit,
     "a7_merge_upsert": q_a7_merge_upsert,
@@ -716,6 +864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a11_params": q_a11_params,
     "a12_datetime": q_a12_datetime,
     "a13_counters": q_a13_counters,
+    "b3_html_extract": q_b3_html_extract,
+    "b4_detail_content": q_b4_detail_content,
     "b5_clean_text": q_b5_clean_text,
     "b6_ingest_filter": q_b6_ingest_filter,
     "b7_impute": q_b7_impute,
@@ -735,6 +885,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_text_stats": q_c10_text_stats,
     "c10_lang_detect": q_c10_lang_detect,
     "c10_fingerprint": q_c10_fingerprint,
+    "c11_multimodal": q_c11_multimodal,
+    "c11_embedding_features": q_c11_embedding_features,
     "c12_json_access": q_c12_json_access,
     "c13_stream_ingest": q_c13_stream_ingest,
     "c14_tumbling_window": q_c14_tumbling_window,
@@ -743,6 +895,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
+    "rel_window_topn": q_rel_window_topn,
+    "rel_anti_join": q_rel_anti_join,
+    "rel_semi_join": q_rel_semi_join,
+    "rel_set_ops": q_rel_set_ops,
 }
 
 
@@ -791,6 +947,10 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, source AS publisher "
         "FROM documents"
     ),
+    "a4_projection": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "upper(substr(text, 1, 40)) AS headline FROM documents"
+    ),
     "a11_params": "SELECT doc_id, lang FROM documents WHERE lang = 'de'",
     "a12_datetime": "SELECT count(*)::bigint AS n_stamped FROM documents",
     "a13_counters": (
@@ -798,6 +958,19 @@ ORACLES: dict[str, str] = {
         "0::bigint AS second_created, (2 * count(*))::bigint AS second_props_set "
         "FROM documents"
     ),
+    "b3_html_extract": f"""
+        SELECT cast(doc_id AS varchar) AS page_id,
+               trim({_TITLE_EXPR}) AS title,
+               concat('doc://', cast(doc_id AS varchar)) AS link,
+               source AS publisher
+        FROM documents
+        WHERE length(trim({_TITLE_EXPR})) >= 5
+    """,
+    "b4_detail_content": f"""
+        SELECT doc_id,
+               trim(regexp_replace({_TITLE_EXPR}, ' {{2,}}', ' ', 'g')) AS content
+        FROM documents
+    """,
     "b5_clean_text": f"SELECT doc_id, {_CLEAN_SQL} AS cleaned FROM documents",
     "b6_ingest_filter": (
         "SELECT doc_id, concat('doc://', cast(doc_id AS varchar)) AS link "
@@ -952,6 +1125,16 @@ ORACLES: dict[str, str] = {
                    'min') AS fingerprint
         FROM norm
     """,
+    "c11_embedding_features": """
+        SELECT vec_id,
+               round(sqrt(list_aggregate(list_transform(embedding,
+                     x -> cast(x AS double) * cast(x AS double)), 'sum')), 6) AS l2_norm,
+               round(list_aggregate(list_transform(embedding,
+                     x -> cast(x AS double)), 'sum') / len(embedding), 6) AS mean_val,
+               round(list_aggregate(list_transform(embedding,
+                     x -> cast(x AS double)), 'max'), 6) AS max_val
+        FROM embeddings
+    """,
     "c12_json_access": (
         "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
         "cast(json_extract_string(props, '$.k') AS bigint) AS k_int FROM events"
@@ -1012,5 +1195,31 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "rel_window_topn": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn::int AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "rel_anti_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+    ),
+    "rel_semi_join": (
+        "SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice FROM part "
+        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+    ),
+    "rel_set_ops": """
+        SELECT nk, 'cust_only' AS tag FROM
+            (SELECT DISTINCT c_nationkey AS nk FROM customer
+             EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nk, 'both' AS tag FROM
+            (SELECT DISTINCT c_nationkey AS nk FROM customer
+             INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
     """,
 }
