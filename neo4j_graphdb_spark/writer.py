@@ -82,7 +82,11 @@ class _VersionedTable:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         path = self.current_path()
-        return None if path is None else spark.read.parquet(path)
+        if path is None:
+            return None
+        # partitions written in different batches may carry different
+        # property columns; schema merging pads the gaps with NULLs
+        return spark.read.option("mergeSchema", "true").parquet(path)
 
     def write_next(self, df: DataFrame, partition_by: str | None = None) -> str:
         v = self.current_version() + 1
@@ -95,6 +99,34 @@ class _VersionedTable:
             # labels present in the batch (not the whole table).
             w = w.partitionBy(partition_by)
         w.parquet(path)
+        with open(self._pointer, "w") as f:
+            f.write(str(v))
+        return path
+
+    def write_next_partial(
+        self, df: DataFrame, partition_by: str, touched_values: list[str]
+    ) -> str:
+        """Write ``df`` (rows of the *touched* partitions only) as the next
+        version and carry every untouched partition over from the current
+        version as hardlinks.
+
+        This bounds MERGE write amplification to O(touched partition), not
+        O(table) — the same file-reuse discipline Delta/Iceberg implement
+        with manifests; on a shared filesystem the hardlink becomes a
+        manifest entry referencing the old file.
+        """
+        prev = self.current_path()
+        v = self.current_version() + 1
+        path = os.path.join(self.root, f"v{v}")
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        if prev is not None:
+            touched_dirs = {f"{partition_by}={tv}" for tv in touched_values}
+            for entry in os.listdir(prev):
+                if not entry.startswith(f"{partition_by}="):
+                    continue
+                if entry in touched_dirs:
+                    continue
+                _hardlink_tree(os.path.join(prev, entry), os.path.join(path, entry))
         with open(self._pointer, "w") as f:
             f.write(str(v))
         return path
@@ -171,12 +203,17 @@ class GraphStore:
             merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
 
-        # align schemas: union of property columns across labels
+        # A merge batch touches exactly one label, and node_id embeds the
+        # label, so the join only needs the touched partition: the read is
+        # partition-pruned and the write rewrites ONLY this label's files
+        # (untouched labels carry over as hardlinks) — O(partition) MERGE
+        # cost instead of O(table).
+        touched = existing.filter(F.col("label") == label)
         all_props = sorted(
-            (set(existing.columns) | set(incoming.columns)) - {NODE_ID, "label", "key"}
+            (set(touched.columns) | set(incoming.columns)) - {NODE_ID, "label", "key"}
         )
-        old = _with_missing(existing, incoming, all_props).alias("old")
-        new = _with_missing(incoming, existing, all_props).alias("new")
+        old = _with_missing(touched, incoming, all_props).alias("old")
+        new = _with_missing(incoming, touched, all_props).alias("new")
 
         # MERGE = full outer on deterministic id; SET = column-wise coalesce.
         # Persisted so the counter pass and the write pass execute the join
@@ -194,7 +231,7 @@ class GraphStore:
 
         created = joined.filter(F.col("old.label").isNull()).count()
         props_set = _count_prop_cells(incoming, prop_cols)
-        self._nodes.write_next(merged, partition_by="label")
+        self._nodes.write_next_partial(merged, "label", [label])
         joined.unpersist()
         return WriteSummary(nodes_created=created, properties_set=props_set)
 
@@ -221,13 +258,32 @@ class GraphStore:
             incoming.unpersist()
             return WriteSummary(relationships_created=created)
 
+        # same partial-rewrite discipline as merge_nodes: the anti-join
+        # and the union only touch this rel_type's partition
+        touched = existing.filter(F.col("rel_type") == rel_type)
         fresh = incoming.join(
-            existing, on=["src", "dst", "rel_type"], how="left_anti"
+            touched, on=["src", "dst", "rel_type"], how="left_anti"
         ).persist()
         created = fresh.count()
-        self._edges.write_next(existing.unionByName(fresh), partition_by="rel_type")
+        self._edges.write_next_partial(
+            touched.unionByName(fresh), "rel_type", [rel_type]
+        )
         fresh.unpersist()
         return WriteSummary(relationships_created=created)
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    """Mirror a partition directory into the new version via hardlinks —
+    zero data copied, the files are shared between versions (read-only by
+    the write-new-then-swap discipline)."""
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        target_dir = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target_dir, exist_ok=True)
+        for fn in filenames:
+            if fn.startswith("."):
+                continue
+            os.link(os.path.join(dirpath, fn), os.path.join(target_dir, fn))
 
 
 def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> DataFrame:

@@ -82,6 +82,64 @@ def test_merge_edges_idempotent(spark, store):
     assert store.edges().count() == 2
 
 
+def test_partial_rewrite_hardlinks_untouched_partitions(spark, store, tmp_path):
+    """MERGE on one label must NOT rewrite other labels' files: the new
+    version carries them over as hardlinks (same inode) — O(partition)
+    write amplification, the 100 TB write-path contract."""
+    import os
+
+    arts = _batch(spark, [("u1", "t1", "c1"), ("u2", "t2", "c2")])
+    store.merge_nodes(arts, "Article", "link", ["title", "content"])
+    pubs = spark.createDataFrame([("Pub A",)], "name string")
+    store.merge_nodes(pubs, "Publisher", "name", [])
+
+    nodes_root = os.path.join(store.root, "nodes")
+    v1, v2 = os.path.join(nodes_root, "v0"), os.path.join(nodes_root, "v1")
+
+    def inodes(version_dir, part):
+        d = os.path.join(version_dir, part)
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    # Article partition in v1 is hardlinked from v0 (same inodes)
+    assert inodes(v1, "label=Article") == inodes(v2, "label=Article")
+    # reads see both labels, with schema merged across partitions
+    nodes = {r["key"]: r for r in store.nodes().collect()}
+    assert set(nodes) == {"u1", "u2", "Pub A"}
+    assert nodes["u1"]["title"] == "t1"
+    assert nodes["Pub A"]["title"] is None  # padded by mergeSchema
+
+    # third merge updates Articles only; Publisher files carried from v1
+    store.merge_nodes(_batch(spark, [("u1", "t1x", None)]), "Article", "link", ["title", "content"])
+    v3 = os.path.join(nodes_root, "v2")
+    assert inodes(v2, "label=Publisher") == inodes(v3, "label=Publisher")
+    assert {r["key"]: r["title"] for r in store.nodes().collect()}["u1"] == "t1x"
+
+
+def test_label_scan_partition_pruning(spark, store):
+    """A1 pushdown contract: the label predicate must surface as a
+    PartitionFilter on the parquet scan, not a post-scan filter."""
+    arts = _batch(spark, [("u1", "t1", "c1")])
+    store.merge_nodes(arts, "Article", "link", ["title", "content"])
+    pubs = spark.createDataFrame([("P1",)], "name string")
+    store.merge_nodes(pubs, "Publisher", "name", [])
+
+    plan = (
+        store.nodes()
+        .filter(F.col("label") == "Article")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert "PartitionFilters" in plan
+    assert re.search(r"label#\d+ = Article", plan), plan[:2000]
+
+
 def test_edge_node_id_join_consistency(spark, store):
     """Edges reference nodes via the same deterministic id function."""
     arts = _batch(spark, [("u1", "t1", "c1")])
