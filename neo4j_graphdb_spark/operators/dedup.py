@@ -237,6 +237,73 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sim
 
 
+# ------------------------------------------------- C8: embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "exact",
+    num_tables: int = 8,
+    num_bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    * ``method="exact"`` — broadcast self-join over all pairs; the
+      correctness baseline (O(n²) scoring, corpus streamed once past the
+      broadcast copy — only viable when one side fits in a broadcast).
+    * ``method="lsh"`` — random-hyperplane bucketing (same family as
+      :func:`~neo4j_graphdb_spark.operators.similarity.lsh_cosine_topk`):
+      only same-bucket pairs are scored; recall < 1 by design, measured
+      against the exact baseline in tests. This is the 100 TB path —
+      shuffle key (table, bucket), no quadratic pair space.
+    """
+    from neo4j_graphdb_spark.operators.similarity import cosine, lsh_bucket
+
+    v = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+    if method == "exact":
+        a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        parts = []
+        for t in range(num_tables):
+            parts.append(
+                v.select(
+                    F.col(id_col),
+                    F.col("_v"),
+                    F.lit(t).alias("_t"),
+                    lsh_bucket(F.col("_v"), dim, t, num_bits).alias("_b"),
+                )
+            )
+        bucketed = parts[0]
+        for p in parts[1:]:
+            bucketed = bucketed.unionByName(p)
+        a = bucketed.select("_t", "_b", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+        b = bucketed.select("_t", "_b", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = (
+            a.join(b, on=["_t", "_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ----------------------------------------------------- C8: blocked n-gram Jaccard
 
 

@@ -569,6 +569,16 @@ def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", "doc_id")
 
 
+def q_c8_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — embedding-cosine near-dup pairs, exact baseline (the LSH
+    scale path is recall-tested against this in pytest)."""
+    from neo4j_graphdb_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, method="exact")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_c9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 — exact top-5 cosine neighbors for the 5 lowest-id vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -713,6 +723,25 @@ def q_c15_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+def q_c18_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 — custom stateful operator (applyInPandasWithState) on the
+    real streaming engine; a single availableNow batch makes the running
+    totals equal the global aggregate, which the oracle checks (the
+    cross-batch state path is pytest-covered)."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.stateful import running_totals
+
+    stream = stream_table(spark, sf_dir, "events")
+    out = run_stream_to_memory(
+        spark, running_totals(stream, key_col="user_id"), output_mode="update"
+    )
+    return out.groupBy("key").agg(
+        F.max("total_events").cast("bigint").alias("total_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
     )
 
 
@@ -880,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c8_ngram_jaccard": q_c8_ngram_jaccard,
     "c8_minhash_lsh": q_c8_minhash_lsh,
     "c8_simhash": q_c8_simhash,
+    "c8_embedding_near_dup": q_c8_embedding_near_dup,
     "c9_cosine_topk": q_c9_cosine_topk,
     "c9_lsh_ann": q_c9_lsh_ann,
     "c10_text_stats": q_c10_text_stats,
@@ -892,6 +922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c14_tumbling_window": q_c14_tumbling_window,
     "c15_session_window": q_c15_session_window,
     "c17_stream_dedup": q_c17_stream_dedup,
+    "c18_stateful_totals": q_c18_stateful_totals,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -1057,6 +1088,21 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.words, b.words))::double
               / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    """,
+    "c8_embedding_near_dup": """
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+    "c18_stateful_totals": """
+        SELECT user_id AS key, count(*)::bigint AS total_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
     """,
     "c9_cosine_topk": """
         WITH q AS (

@@ -86,6 +86,62 @@ def test_stream_dedup(spark, tmp_path, tiny_events):
     assert out.count() == 4  # 5 rows, one duplicate event_id dropped
 
 
+def test_stateful_running_totals(spark, tmp_path, tiny_events):
+    """applyInPandasWithState: state must persist ACROSS micro-batches —
+    two files + maxFilesPerTrigger=1 forces two batches; the final
+    running totals must equal the global batch aggregate."""
+    from neo4j_graphdb_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    rows = tiny_events.collect()
+    for chunk in (rows[:3], rows[3:]):  # subtract would drop the dup row
+        spark.createDataFrame(chunk, tiny_events.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(tiny_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_to_memory(
+        spark, running_totals(stream, key_col="user_id"), output_mode="update"
+    )
+    # update mode emits one row per key per batch and the sink does not
+    # guarantee order — running totals are monotone, so max = latest
+    pdf = out.toPandas()
+    last = pdf.groupby("key").max()
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in tiny_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    for k, (n, v) in expected.items():
+        assert last.loc[k, "total_events"] == n
+        assert last.loc[k, "total_value"] == pytest.approx(v)
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark, sf_dir):
+    from neo4j_graphdb_spark.operators.dedup import embedding_near_dup_pairs
+    from neo4j_graphdb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.35, method="exact").collect()
+    }
+    assert exact  # threshold chosen to be non-trivial on the fixtures
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.35, method="lsh", dim=64, num_tables=8, num_bits=3
+        ).collect()
+    }
+    assert lsh <= exact  # LSH candidates are verified exactly → no false positives
+    assert len(lsh) / len(exact) >= 0.5  # recall floor
+
+
 def test_stream_upsert_sink(spark, tmp_path, sf_dir):
     """C13: micro-batch MERGE via foreachBatch, then idempotent re-run."""
     from neo4j_graphdb_spark.writer import GraphStore
