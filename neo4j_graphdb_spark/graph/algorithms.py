@@ -140,12 +140,13 @@ def _cc_star(
         mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least(F.col("u"), F.col("mn")).alias("m")
         )
+        # no distinct here: small_star's orient+distinct dedups anyway,
+        # saving one shuffle per round
         return (
             sym.join(mins, on="u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -172,7 +173,9 @@ def _cc_star(
 
     prev = checksum(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        # lazy checkpoint: the checksum action materializes it, so each
+        # round is ONE Spark job (plan: 2 groupBy + 2 join shuffles)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             break

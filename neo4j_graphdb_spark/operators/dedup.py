@@ -96,6 +96,9 @@ def _perm(a: int, b: int):
     return lambda h: F.pmod(h * a + b, F.lit(_MINHASH_P))
 
 
+from neo4j_graphdb_spark.session import spread_partitions as _spread
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
@@ -106,6 +109,7 @@ def minhash_signatures(
     ((a_i * h + b_i) mod p) so we evaluate xxhash64 once per shingle, not
     k times. All JVM-side expressions; signatures are ``array<bigint>``.
     """
+    df = _spread(df)
     shingles = word_shingles(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), shingles).select(
         F.col(id_col),
@@ -175,7 +179,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = _spread(df).select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -207,7 +211,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Implemented as explode → per-bit vote aggregation → bit reassembly;
     one shuffle on the document id, all built-in expressions.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -321,7 +325,7 @@ def ngram_jaccard_pairs(
     the pair space linear-ish; the join is an equi-join on the block key.
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         word_shingles(text_col, shingle_n).alias("sh"),

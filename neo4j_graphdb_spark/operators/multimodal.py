@@ -83,7 +83,9 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
             yield out
 
-    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    return spread_partitions(media).mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
 def synthetic_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -81,6 +81,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def spread_partitions(df):
+    """Ensure CPU-heavy per-row work uses every core: a small parquet
+    input arrives as ONE partition locally (one file ≈ one split), which
+    would serialize an expression-heavy or mapInPandas stage on a single
+    task. At cluster scale inputs come pre-split and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str):
     """``readStream`` over one fixture table.
 

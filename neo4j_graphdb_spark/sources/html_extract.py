@@ -271,7 +271,9 @@ def extract_articles(df: DataFrame, html_col: str = "html", id_col: str = "page_
                 out, columns=["page_id", "title", "link", "publisher", "_error"]
             )
 
-    return df.select(F.col(id_col), F.col(html_col)).mapInPandas(
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    return spread_partitions(df.select(F.col(id_col), F.col(html_col))).mapInPandas(
         run, schema=EXTRACT_SCHEMA
     )
 
