@@ -130,7 +130,8 @@ def _cc_star(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first checksum action materializes it — one job fewer
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -150,9 +151,12 @@ def _cc_star(
         )
 
     def small_star(e: DataFrame) -> DataFrame:
+        # no distinct on the oriented multiset: min() is duplicate-blind
+        # and the final distinct canonicalizes the output set, so the
+        # extra exchange per round (the dedup shuffle) buys nothing
         ori = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         mins = ori.groupBy("u").agg(F.min("v").alias("m"))
         linked = (
             ori.join(mins, on="u")

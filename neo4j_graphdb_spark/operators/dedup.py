@@ -177,9 +177,24 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # materialized once (lazily): referenced twice below — without
+        # this the whole minhash plan would execute twice
+        .localCheckpoint(eager=False)
     )
 
-    sh = _spread(df).select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    # verify only documents that appear in some candidate pair: at scale
+    # candidates are a vanishing fraction of the corpus, so re-shingling
+    # everything for the verify join would dominate the whole pipeline —
+    # semi-join first, then shingle just the survivors
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        _spread(df.join(cand_ids, on=id_col, how="left_semi"))
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (

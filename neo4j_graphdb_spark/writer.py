@@ -197,8 +197,13 @@ class GraphStore:
         existing = self.nodes()
         if existing is None:
             merged = incoming.persist()
-            created = merged.count()
-            props_set = _count_prop_cells(merged, prop_cols)
+            # one action for both counters (created + non-null prop cells)
+            row = merged.agg(
+                F.count(F.lit(1)).alias("_created"),
+                *[F.count(F.col(c)).alias(c) for c in prop_cols],
+            ).collect()[0]
+            created = int(row["_created"])
+            props_set = int(sum(row[c] for c in prop_cols))
             self._nodes.write_next(merged, partition_by="label")
             merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
@@ -229,8 +234,15 @@ class GraphStore:
             ],
         )
 
-        created = joined.filter(F.col("old.label").isNull()).count()
-        props_set = _count_prop_cells(incoming, prop_cols)
+        # one action computes both counters from the persisted join; the
+        # non-null new.* cells equal the deduped incoming cells, so this
+        # avoids re-executing the incoming plan just to count it
+        row = joined.agg(
+            F.count(F.when(F.col("old.label").isNull(), F.lit(1))).alias("_created"),
+            *[F.count(F.col(f"new.{c}")).alias(c) for c in prop_cols],
+        ).collect()[0]
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in prop_cols))
         self._nodes.write_next_partial(merged, "label", [label])
         joined.unpersist()
         return WriteSummary(nodes_created=created, properties_set=props_set)
@@ -298,13 +310,3 @@ def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> Data
     return df.select(*cols)
 
 
-def _count_prop_cells(incoming: DataFrame, prop_cols: list[str]) -> int:
-    """``properties_set`` = non-null incoming property cells (each SET of a
-    non-null value counts once, matching Neo4j's counter semantics for the
-    reference's unconditional ``SET`` — ``src/crwling.py:49-51``)."""
-    if not prop_cols:
-        return 0
-    row = incoming.select(
-        [F.count(F.col(c)).alias(c) for c in prop_cols]
-    ).collect()[0]
-    return int(sum(row[c] for c in prop_cols))
