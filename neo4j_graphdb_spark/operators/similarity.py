@@ -82,6 +82,90 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Index build: every corpus vector is assigned to its nearest cell
+    centroid (argmax cosine, ties to the lowest centroid id). Search:
+    each query probes its ``nprobe`` nearest cells and scores only the
+    vectors inverted-listed there — the candidate set shrinks by
+    ~``nprobe / n_centroids`` versus brute force, and the scoring join
+    shuffles on the cell id, so at 100 TB each cell's list streams
+    through exactly one task wave and the corpus is never replicated
+    (the LSH variant replicates it ×num_tables).
+
+    The coarse quantizer is deterministic — the ``n_centroids`` lowest-id
+    corpus vectors seed the cells — so the whole operator is reproducible
+    and SQL-checkable end to end. Centroid *quality* is pluggable: train
+    k-means offline and substitute the centroid table without touching
+    the search path.
+    """
+    c = corpus.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    cents = (
+        c.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("_cent"), F.col("_cv").alias("_cent_v"))
+    )
+
+    # index: argmax-cosine cell per corpus vector (one broadcast pass)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "_cv",
+            "_cent",
+            cosine(F.col("_cv"), F.col("_cent_v")).alias("_ac"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr("max_by(_cent, struct(_ac, -_cent))").alias("_cell"),
+            F.first("_cv").alias("_cv"),
+        )
+    )
+
+    # search: each query probes its nprobe nearest cells
+    pw = Window.partitionBy(query_id_col).orderBy(F.col("_qc").desc(), F.col("_cent").asc())
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id_col),
+            "_qv",
+            "_cent",
+            cosine(F.col("_qv"), F.col("_cent_v")).alias("_qc"),
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, "_qv", F.col("_cent").alias("_cell"))
+    )
+
+    scored = assigned.join(F.broadcast(probed), on="_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane from a counter hash
     (splitmix64) — no RNG state, reproducible on any executor."""

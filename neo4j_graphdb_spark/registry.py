@@ -44,7 +44,7 @@ from neo4j_graphdb_spark.operators.dedup import (
     simhash,
 )
 from neo4j_graphdb_spark.operators.json_ops import json_get, json_get_int
-from neo4j_graphdb_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from neo4j_graphdb_spark.operators.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
 from neo4j_graphdb_spark.functions.text import (
     bpe_ish_token_count,
     clean_text,
@@ -152,6 +152,63 @@ _ANALYTICS_NODES_SQL = """
     UNION ALL
     SELECT 'Nation', cast(n_nationkey AS varchar), cast(n_nationkey AS varchar) FROM nation
 """
+
+
+def _pagerank_oracle_sql(iters: int = 8, d: float = 0.85) -> str:
+    """DuckDB twin of :func:`graph.algorithms.pagerank` on the analytics
+    graph: the fixed ``iters`` supersteps unroll into chained CTEs (no
+    recursion needed — the iteration count is static), each mirroring the
+    Spark superstep exactly: dangling mass from out-degree-0 ranks,
+    contributions ``rank/out_deg`` summed per destination, update
+    ``(1-d)/N + d·dm/N + d·Σcontrib``."""
+    steps = []
+    for i in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+        # step references its predecessor twice (dangling-mass subquery +
+        # contribution join) — un-materialized, the plan doubles per step
+        # (2^iters evaluations of r0)
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT b.label, b.key, b.od,
+                   (1 - {d}) / nn.n
+                   + {d} * (SELECT coalesce(sum("rank"), 0) FROM r{i - 1} WHERE od = 0) / nn.n
+                   + {d} * coalesce(c.contrib, 0) AS "rank"
+            FROM base b CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst_label AS label, e.dst_key AS key,
+                       sum(r."rank" / r.od) AS contrib
+                FROM edges e
+                JOIN r{i - 1} r ON e.src_label = r.label AND e.src_key = r.key
+                WHERE r.od > 0
+                GROUP BY 1, 2
+            ) c ON b.label = c.label AND b.key = c.key
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH edges AS MATERIALIZED ({_ANALYTICS_EDGES_SQL}),
+        nodes AS (
+            SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key FROM customer
+            UNION ALL
+            SELECT 'Supplier', cast(s_suppkey AS varchar) FROM supplier
+            UNION ALL
+            SELECT 'Nation', cast(n_nationkey AS varchar) FROM nation
+            UNION ALL
+            SELECT 'Region', cast(r_regionkey AS varchar) FROM region
+        ),
+        deg AS (
+            SELECT src_label AS label, src_key AS key, count(*) AS od
+            FROM edges GROUP BY 1, 2
+        ),
+        base AS MATERIALIZED (
+            SELECT n.label, n.key, coalesce(d.od, 0) AS od
+            FROM nodes n LEFT JOIN deg d ON n.label = d.label AND n.key = d.key
+        ),
+        nn AS MATERIALIZED (SELECT count(*)::double AS n FROM base),
+        r0 AS (SELECT b.label, b.key, b.od, 1.0 / nn.n AS "rank" FROM base b CROSS JOIN nn),
+        {chain}
+        SELECT label, key, round("rank", 6) AS "rank" FROM r{iters}
+    """
 
 
 def _node_keys(g: Graph) -> DataFrame:
@@ -445,13 +502,16 @@ def q_c1_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 — no SQL oracle (iterative); rows-only check. Rank sum ≈ 1 is
-    asserted in pytest."""
+    """C2 — full DuckDB oracle: the 8 fixed supersteps unroll into 8
+    chained CTEs (``_pagerank_oracle_sql``), so the iterative operator is
+    value-checked, not just row-counted. Ranks round to 6 dp on both
+    sides — double noise from summation order is ~1e-15, eight orders of
+    magnitude under the rounding grid."""
     g = analytics_graph(spark, sf_dir)
     pr = pagerank(g.nodes_df, g.edges_df, max_iter=8)
     nk = _node_keys(g)
     return nk.join(pr, nk["id"] == pr[NODE_ID]).select(
-        "label", "key", F.round("rank", 8).alias("rank")
+        "label", "key", F.round("rank", 6).alias("rank")
     )
 
 
@@ -600,6 +660,23 @@ def q_c9_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tk = lsh_cosine_topk(emb, queries, dim=64, k=5, num_tables=4, num_bits=8)
     return tk.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_c9_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — IVF ANN variant (deterministic seed centroids), full DuckDB
+    oracle: the coarse quantizer, probe list, and ranking are all
+    reproducible, so the approximation itself is value-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5)
+    return tk.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_c10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c8_embedding_near_dup": q_c8_embedding_near_dup,
     "c9_cosine_topk": q_c9_cosine_topk,
     "c9_lsh_ann": q_c9_lsh_ann,
+    "c9_ivf_topk": q_c9_ivf_topk,
     "c10_text_stats": q_c10_text_stats,
     "c10_lang_detect": q_c10_lang_detect,
     "c10_fingerprint": q_c10_fingerprint,
@@ -1034,6 +1112,7 @@ ORACLES: dict[str, str] = {
         LEFT JOIN out_d o ON n.label = o.label AND n.key = o.key
         LEFT JOIN in_d i ON n.label = i.label AND n.key = i.key
     """,
+    "c2_pagerank": _pagerank_oracle_sql(),
     "c3_connected_components": """
         SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key,
                cast(n_regionkey AS varchar) AS region_key
@@ -1118,6 +1197,48 @@ ORACLES: dict[str, str] = {
             SELECT q.query_id, c.vec_id,
                    list_cosine_similarity(q.qv, c.cv) AS cos
             FROM q CROSS JOIN c
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "c9_ivf_topk": """
+        WITH c AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        cents AS MATERIALIZED (
+            SELECT vec_id AS cent_id, cv AS cent_v FROM c ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT vec_id, cv, cent_id AS cell FROM (
+                SELECT c.vec_id, c.cv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS rn
+                FROM c CROSS JOIN cents ct
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, cv AS qv FROM c ORDER BY vec_id LIMIT 5),
+        probed AS (
+            SELECT query_id, qv, cent_id AS cell FROM (
+                SELECT q.query_id, q.qv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS pr
+                FROM q CROSS JOIN cents ct
+            ) WHERE pr <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(p.qv, a.cv) AS cos
+            FROM probed p JOIN assigned a ON a.cell = p.cell
         ),
         ranked AS (
             SELECT query_id, vec_id, cos,

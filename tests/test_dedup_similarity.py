@@ -13,7 +13,11 @@ from neo4j_graphdb_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from neo4j_graphdb_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from neo4j_graphdb_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -122,3 +126,41 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: deterministic output (seeded centroids, no RNG) and
+    reasonable recall against the exact baseline when probing a quarter
+    of the cells."""
+    from neo4j_graphdb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, q, n_centroids=16, nprobe=4, k=5).collect()
+    )
+    r2 = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, q, n_centroids=16, nprobe=4, k=5).collect()
+    )
+    assert r1 == r2  # no RNG anywhere in the path
+    assert len(r1) == 15  # k results per query — cells are never empty here
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {(a, b) for a, b, _ in r1}
+    recall = len(exact & approx) / len(exact)
+    # near-random fixture embeddings scatter neighbors across cells;
+    # probing 4/16 cells must still beat the 25% random-probe floor
+    assert recall >= 0.25, f"IVF recall too low: {recall}"
+
+    # probing ALL cells makes IVF exhaustive — must equal the exact top-k
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, n_centroids=16, nprobe=16, k=5).collect()
+    }
+    assert full == exact
