@@ -154,6 +154,122 @@ _ANALYTICS_NODES_SQL = """
 """
 
 
+def _lsh_ann_oracle_sql(
+    dim: int = 64, num_tables: int = 4, num_bits: int = 8, k: int = 5, nq: int = 5
+) -> str:
+    """DuckDB twin of :func:`operators.similarity.lsh_cosine_topk`.
+
+    The random hyperplanes are not random at runtime — they are
+    splitmix64-derived constants (``similarity._hyperplane``), so the
+    oracle inlines the *same* float literals and reproduces the exact
+    bucket assignment: sign-of-dot-product per (table, bit), bits packed
+    into an integer, candidates = same-(table, bucket) pairs. Sign
+    decisions sit O(1) away from zero while cross-engine float noise is
+    ~1e-15, so bucket equality is robust. The query set is the ``nq``
+    lowest-id corpus vectors, so buckets are computed once over the
+    corpus and reused for the query side."""
+    from neo4j_graphdb_spark.operators.similarity import _hyperplane
+
+    def bucket_expr(t: int) -> str:
+        cases = []
+        for bit in range(num_bits):
+            plane = ", ".join(repr(v) for v in _hyperplane(dim, t, bit))
+            cases.append(
+                f"(CASE WHEN list_dot_product(v, [{plane}]) >= 0 THEN {1 << bit} ELSE 0 END)"
+            )
+        return " + ".join(cases)
+
+    tables = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket_expr(t)} AS b FROM c"
+        for t in range(num_tables)
+    )
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS query_id, v AS qv FROM c ORDER BY vec_id LIMIT {nq}
+        ),
+        cb AS MATERIALIZED (
+            {tables}
+        ),
+        qb AS (
+            SELECT cb.vec_id AS query_id, cb.t, cb.b
+            FROM cb JOIN q ON cb.vec_id = q.query_id
+        ),
+        cand AS (
+            SELECT DISTINCT qb.query_id, cb.vec_id
+            FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+            WHERE qb.query_id <> cb.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_cosine_similarity(q.qv, c.v) AS cos
+            FROM cand
+            JOIN q ON cand.query_id = q.query_id
+            JOIN c ON cand.vec_id = c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _label_prop_oracle_sql(iters: int = 3) -> str:
+    """DuckDB twin of :func:`graph.algorithms.label_propagation` on the
+    arithmetic-id analytics graph: each superstep is one CTE — neighbor
+    label counts over the symmetrized edge set, winner = highest count
+    with ties to the smallest label (``row_number ORDER BY n DESC, lbl
+    ASC`` ≡ Spark's ``min_by(lbl, struct(-n, lbl))``), isolated nodes
+    keep their label via the left-join coalesce."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT l.id, coalesce(b.new_lbl, l.lbl) AS lbl
+            FROM l{i - 1} l LEFT JOIN (
+                SELECT id, lbl AS new_lbl FROM (
+                    SELECT e.dst AS id, p.lbl, count(*) AS n,
+                           row_number() OVER (
+                               PARTITION BY e.dst
+                               ORDER BY count(*) DESC, p.lbl ASC) AS rn
+                    FROM und e JOIN l{i - 1} p ON e.src = p.id
+                    GROUP BY e.dst, p.lbl
+                ) WHERE rn = 1
+            ) b ON l.id = b.id
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT c_custkey * 4 + 0 AS src, c_nationkey * 4 + 2 AS dst FROM customer
+            UNION ALL
+            SELECT s_suppkey * 4 + 1, s_nationkey * 4 + 2 FROM supplier
+            UNION ALL
+            SELECT n_nationkey * 4 + 2, n_regionkey * 4 + 3 FROM nation
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+            )
+        ),
+        nodes AS (
+            SELECT c_custkey * 4 + 0 AS id FROM customer
+            UNION ALL SELECT s_suppkey * 4 + 1 FROM supplier
+            UNION ALL SELECT n_nationkey * 4 + 2 FROM nation
+            UNION ALL SELECT r_regionkey * 4 + 3 FROM region
+        ),
+        l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+        {chain}
+        SELECT id::bigint AS id, lbl::bigint AS lbl FROM l{iters}
+    """
+
+
 def _pagerank_oracle_sql(iters: int = 8, d: float = 0.85) -> str:
     """DuckDB twin of :func:`graph.algorithms.pagerank` on the analytics
     graph: the fixed ``iters`` supersteps unroll into chained CTEs (no
@@ -566,15 +682,41 @@ def q_c5_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 — rows-only (iterative, tie-broken mode; not SQL-expressible)."""
-    g = analytics_graph(spark, sf_dir)
-    lp = label_propagation(g.nodes_df, g.edges_df, max_iter=3)
-    return (
-        _node_keys(g)
-        .join(lp, on="id")
-        .groupBy("lbl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
-        .select("community_size")
+    """C6 — full DuckDB oracle: the 3 fixed supersteps unroll into CTEs.
+
+    LP's most-frequent-neighbor rule tie-breaks on the *minimum label*,
+    so label identity and ordering must match across engines — the graph
+    here is keyed by arithmetic ids (``business_key*4 + label_code``)
+    both engines compute exactly, instead of the store's xxhash64 ids."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 4 + 0).cast("bigint").alias("id"),
+        (F.col("c_nationkey") * 4 + 2).cast("bigint").alias("nid"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 4 + 1).cast("bigint").alias("id"),
+        (F.col("s_nationkey") * 4 + 2).cast("bigint").alias("nid"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 4 + 2).cast("bigint").alias("id"),
+        (F.col("n_regionkey") * 4 + 3).cast("bigint").alias("rid"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") * 4 + 3).cast("bigint").alias("id")
+    )
+    nodes = (
+        cust.select("id")
+        .unionByName(supp.select("id"))
+        .unionByName(nat.select("id"))
+        .unionByName(reg.select("id"))
+    )
+    edges = (
+        cust.select(F.col("id").alias("src"), F.col("nid").alias("dst"))
+        .unionByName(supp.select(F.col("id").alias("src"), F.col("nid").alias("dst")))
+        .unionByName(nat.select(F.col("id").alias("src"), F.col("rid").alias("dst")))
+    )
+    lp = label_propagation(nodes, edges, max_iter=3, id_col="id")
+    return lp.select(
+        F.col("id").cast("bigint").alias("id"), F.col("lbl").cast("bigint").alias("lbl")
     )
 
 
@@ -652,8 +794,11 @@ def q_c9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c9_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C9 — LSH ANN variant; rows-only (approximate by design; recall is
-    measured against the exact baseline in pytest)."""
+    """C9 — LSH ANN variant, full DuckDB oracle: the hyperplanes are
+    deterministic constants, so the oracle inlines the same literals and
+    reproduces the bucket assignment exactly (``_lsh_ann_oracle_sql``);
+    recall is additionally measured against the exact baseline in
+    pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -953,6 +1098,63 @@ def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_cust.unionByName(both)
 
 
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in
+    one pass (partial-aggregated, one shuffle — absent-in-reference
+    extension, SURVEY.md §2 note on grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join: each click matched to the user's
+    latest at-or-before purchase (one shuffle, no inequality join —
+    operators/temporal.py)."""
+    from neo4j_graphdb_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(clicks, buys, ["user_id"], "ts", right_cols=["event_id", "value"])
+    return j.select(
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id_m").cast("bigint").alias("purchase_id"),
+        F.round("value_m", 6).alias("purchase_value"),
+    )
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: (click, purchase) pairs of the same user with
+    the purchase in the hour before the click — bucket-blocked equi-join,
+    never an O(n²) inequality join (operators/temporal.py)."""
+    from neo4j_graphdb_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    rj = range_join(clicks, buys, ["user_id"], 3600.0)
+    return rj.select(
+        F.col("l_event_id").cast("bigint").alias("click_id"),
+        F.col("r_event_id").cast("bigint").alias("purchase_id"),
+        F.round("gap_sec", 6).alias("gap_sec"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1008,6 +1210,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_anti_join": q_rel_anti_join,
     "rel_semi_join": q_rel_semi_join,
     "rel_set_ops": q_rel_set_ops,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_asof_join": q_rel_asof_join,
+    "rel_range_join": q_rel_range_join,
 }
 
 
@@ -1113,6 +1318,7 @@ ORACLES: dict[str, str] = {
         LEFT JOIN in_d i ON n.label = i.label AND n.key = i.key
     """,
     "c2_pagerank": _pagerank_oracle_sql(),
+    "c6_label_propagation": _label_prop_oracle_sql(),
     "c3_connected_components": """
         SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key,
                cast(n_regionkey AS varchar) AS region_key
@@ -1206,6 +1412,7 @@ ORACLES: dict[str, str] = {
         SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::int AS rank
         FROM ranked WHERE rank <= 5
     """,
+    "c9_lsh_ann": _lsh_ann_oracle_sql(),
     "c9_ivf_topk": """
         WITH c AS MATERIALIZED (
             SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
@@ -1388,5 +1595,28 @@ ORACLES: dict[str, str] = {
         SELECT nk, 'both' AS tag FROM
             (SELECT DISTINCT c_nationkey AS nk FROM customer
              INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    "rel_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*)::bigint AS count_order
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "rel_asof_join": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id::bigint AS click_id, c.user_id::bigint AS user_id,
+               p.event_id::bigint AS purchase_id, round(p.value, 6) AS purchase_value
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "rel_range_join": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id::bigint AS click_id, p.event_id::bigint AS purchase_id,
+               round((epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS gap_sec
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts - INTERVAL 3600 SECONDS
+                     AND p.ts < c.ts
     """,
 }
