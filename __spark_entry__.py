@@ -52,9 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; iterative /
-    hash-dependent / approximate ops (c2 pagerank, c6 LPA, c8 minhash +
-    simhash, c9 LSH ANN) are intentionally omitted → rows-only check."""
+    """DuckDB twins for every SQL-expressible query — including the
+    iterative ones (c2 pagerank and c6 label propagation unroll their
+    fixed supersteps as chained CTEs) and the deterministic approximate
+    ones (c9 LSH ANN inlines its constant hyperplanes; c9 IVF seeds its
+    centroids). Only ops bound to Spark's xxhash64 (c8 minhash, c8
+    simhash) and the multimodal decode stub (c11) are omitted →
+    rows-only check."""
     from neo4j_graphdb_spark.registry import ORACLES
 
     return dict(ORACLES)

@@ -175,7 +175,10 @@ def _cc_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = checksum(e)
+    # no standalone checksum of the input: round 0 always runs, and its
+    # checksum job materializes both the input checkpoint and round 0's —
+    # one action per round, none before the loop
+    prev: tuple | None = None
     for _ in range(max_iter):
         # lazy checkpoint: the checksum action materializes it, so each
         # round is ONE Spark job (plan: 2 groupBy + 2 join shuffles)

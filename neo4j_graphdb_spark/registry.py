@@ -1155,6 +1155,30 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join (operators/skew.py): every purchase event joined
+    to its user's first signup through the salting rewrite — bit-identical
+    to the plain join the oracle runs, with hot keys spread ×8."""
+    from neo4j_graphdb_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    j = salted_join(big, dim, ["user_id"], num_salts=8)
+    return j.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("signup_id").cast("bigint").alias("signup_id"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1213,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
+    "rel_salted_join": q_rel_salted_join,
 }
 
 
@@ -1618,5 +1643,15 @@ ORACLES: dict[str, str] = {
         FROM c JOIN p ON c.user_id = p.user_id
                      AND p.ts >= c.ts - INTERVAL 3600 SECONDS
                      AND p.ts < c.ts
+    """,
+    "rel_salted_join": """
+        WITH dim AS (
+            SELECT user_id, min(event_id) AS signup_id
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT e.event_id::bigint AS event_id, e.user_id::bigint AS user_id,
+               d.signup_id::bigint AS signup_id, round(e.value, 6) AS value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        WHERE e.event_type = 'purchase'
     """,
 }
