@@ -2,8 +2,9 @@
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
 Headliners cover every workload class the engine claims: scan+agg,
-multi-way broadcast joins, the graph expand, iterative CC, LSH dedup,
-brute-force cosine top-k, windowed aggregation, and the MERGE write path.
+multi-way broadcast joins, as-of/range temporal joins, the graph expand,
+iterative CC, LSH dedup, brute-force cosine top-k, windowed aggregation,
+and the MERGE write path.
 """
 
 from __future__ import annotations
@@ -20,6 +21,8 @@ HEADLINE = [
     "rel_top_customers",
     "rel_region_revenue",
     "rel_window_topn",
+    "rel_asof_join",
+    "rel_range_join",
     "a3_expand",
     "a7_merge_upsert",
     "b3_html_extract",

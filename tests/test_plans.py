@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions — the 100 TB checklist made executable.
+
+These don't check answers (the oracles do); they check that the plans are
+the ones you'd want on a 1000-executor cluster: filters and projections
+reaching the Parquet scan, small dimensions broadcast, label scans
+partition-pruned in the store.
+"""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.registry import QUERIES
+from neo4j_graphdb_spark.writer import GraphStore
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """rel_pricing_summary touches 5 of lineitem's 16 columns — the scan's
+    ReadSchema must not include the untouched ones."""
+    plan = _plan(QUERIES["rel_pricing_summary"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in scan
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A typed event filter must appear in PushedFilters, not only as a
+    post-scan Filter node."""
+    from neo4j_graphdb_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = _plan(ev.select("event_id"))
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters", 1)[1]
+
+
+def test_small_dimension_broadcasts(spark, sf_dir):
+    """rel_top_customers joins lineitem→orders→customer; at least the
+    customer side must be a broadcast hash join (no shuffle of the fact
+    side for it)."""
+    plan = _plan(QUERIES["rel_top_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_store_label_scan_partition_prunes(spark, sf_dir):
+    """GraphStore partitions nodes by label; a MATCH (:Article) must scan
+    only that partition (PartitionFilters on label)."""
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.registry import _article_source
+
+    src = _article_source(spark, sf_dir)
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_plan_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    g = Graph(store.nodes(), None)
+    plan = _plan(g.match("Article"))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "label" in pf
