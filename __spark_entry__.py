@@ -54,11 +54,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query — including the
     iterative ones (c2 pagerank and c6 label propagation unroll their
-    fixed supersteps as chained CTEs) and the deterministic approximate
+    fixed supersteps as chained CTEs), the deterministic approximate
     ones (c9 LSH ANN inlines its constant hyperplanes; c9 IVF seeds its
-    centroids). Only ops bound to Spark's xxhash64 (c8 minhash, c8
-    simhash) and the multimodal decode stub (c11) are omitted →
-    rows-only check."""
+    centroids), the multimodal mapInPandas path (c11 — the stub kernel
+    is a pure function the oracle recomputes), and md5-fold variants of
+    MinHash/SimHash that verify the full pipelines value-for-value.
+    Only the production xxhash64 minhash/simhash entries are omitted
+    (no DuckDB xxhash64) → rows-only; the unverified delta is the hash
+    primitive swap alone."""
     from neo4j_graphdb_spark.registry import ORACLES
 
     return dict(ORACLES)

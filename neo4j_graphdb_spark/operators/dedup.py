@@ -96,25 +96,49 @@ def _perm(a: int, b: int):
     return lambda h: F.pmod(h * a + b, F.lit(_MINHASH_P))
 
 
+def _md5_60(col):
+    """First 60 bits of md5 as a positive int64 — the cross-engine hash:
+    DuckDB reproduces it digit-for-digit (hex-fold of ``substr(md5, 1,
+    15)``), which xxhash64 cannot, so the ``hash_mode="md5_60"`` variants
+    of simhash/minhash are value-checkable against a SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col, hash_mode: str):
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col)
+    if hash_mode == "md5_60":
+        return _md5_60(col)
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
 from neo4j_graphdb_spark.session import spread_partitions as _spread
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: ``sig[i] = min over shingles of
-    perm_i(xxhash64(shingle))``.
+    perm_i(hash(shingle))``.
 
     Uses the classic "one base hash, k cheap derived permutations" trick
-    ((a_i * h + b_i) mod p) so we evaluate xxhash64 once per shingle, not
-    k times. All JVM-side expressions; signatures are ``array<bigint>``.
+    ((a_i * h + b_i) mod p) so we evaluate the base hash once per
+    shingle, not k times. All JVM-side expressions; signatures are
+    ``array<bigint>``. ``hash_mode="md5_60"`` swaps the base hash for the
+    cross-engine md5 fold (slower, oracle-checkable); the algorithm is
+    hash-agnostic.
     """
     df = _spread(df)
     shingles = word_shingles(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), shingles).select(
         F.col(id_col),
         F.transform(
-            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+            F.col("_sh"), lambda s: F.pmod(_base_hash(s, hash_mode), F.lit(_MINHASH_P))
         ).alias("_h"),
     )
     sig_cols = []
@@ -138,6 +162,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH + exact-Jaccard verification.
 
@@ -146,21 +171,22 @@ def minhash_lsh_pairs(
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_mode)
 
     band_entries = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: _base_hash(
                     F.concat_ws(
                         ",",
                         F.transform(
                             F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
                             lambda x: x.cast("string"),
                         ),
-                    )
+                    ),
+                    hash_mode,
                 ),
             )
         ).alias("band", "bucket"),
@@ -216,8 +242,11 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------- C8: SimHash
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of per-token hash bits,
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document (64-bit with xxhash64; 60-bit with the
+    cross-engine ``md5_60`` hash): sign-sum of per-token hash bits,
     term-frequency weighted (each token *occurrence* votes, per Charikar's
     construction) — on small-vocabulary corpora a distinct-token vote
     makes every document hash nearly alike, so frequency weighting is
@@ -226,10 +255,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Implemented as explode → per-bit vote aggregation → bit reassembly;
     one shuffle on the document id, all built-in expressions.
     """
+    num_bits = 64 if hash_mode == "xxhash64" else 60
     toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _base_hash(F.col("tok"), hash_mode))
     # NB: bit 63's mask must be built with shiftleft — F.lit(1 << 63) does
     # not fit a Java long and raises at plan time.
     def mask(i: int):
@@ -239,16 +269,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         *[
             F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1).alias(f"b{i}")
-            for i in range(64)
+            for i in range(num_bits)
         ],
     )
-    votes = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    votes = bits.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(num_bits)]
+    )
     sim = votes.select(
         F.col(id_col),
         sum(
             [
                 F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(num_bits)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),

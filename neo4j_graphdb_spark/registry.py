@@ -154,6 +154,118 @@ _ANALYTICS_NODES_SQL = """
 """
 
 
+_MD5_60_SQL = (
+    "list_reduce(list_transform(split(substr(md5({x}), 1, 15), ''), "
+    "d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint"
+)
+
+
+def _simhash_md5_oracle_sql(num_bits: int = 60) -> str:
+    """DuckDB twin of ``simhash(hash_mode="md5_60")``: identical token
+    split, per-bit ±1 occurrence votes, and bit reassembly; the md5 fold
+    (``_MD5_60_SQL``) reproduces Spark's ``conv(substring(md5, 1, 15),
+    16, 10)`` digit-for-digit."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(num_bits)
+    )
+    reassembly = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(num_bits)
+    )
+    h = _MD5_60_SQL.format(x="tok")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        h AS MATERIALIZED (SELECT doc_id, {h} AS h FROM toks),
+        votes AS (
+            SELECT doc_id, {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, ({reassembly})::bigint AS simhash FROM votes
+    """
+
+
+def _minhash_md5_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(hash_mode="md5_60")`` — the
+    ENTIRE pipeline: word shingles, one md5-fold base hash per shingle,
+    the same (a_i·h + b_i) mod p permutation family (coefficients from
+    ``dedup._perm_coeffs``), band bucketing, the bucket-size guard, the
+    candidate self-join, and the exact-Jaccard verification."""
+    from neo4j_graphdb_spark.operators.dedup import _MINHASH_P, _perm_coeffs
+
+    rpb = num_hashes // bands
+    sig_exprs = []
+    for i in range(num_hashes):
+        a, b = _perm_coeffs(i)
+        sig_exprs.append(
+            f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {_MINHASH_P})) AS s{i}"
+        )
+    sigs = ",\n                   ".join(sig_exprs)
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {t} AS band, {h} AS bucket FROM sigs".format(
+            t=t,
+            h=_MD5_60_SQL.format(
+                x="concat_ws(','," + ", ".join(f"s{t * rpb + j}" for j in range(rpb)) + ")"
+            ),
+        )
+        for t in range(bands)
+    )
+    shingle_hash = _MD5_60_SQL.format(x="s")
+    return f"""
+        WITH words AS MATERIALIZED (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(w) - {shingle_n}, 0) + 1),
+                i -> array_to_string(list_slice(w, i + 1, i + {shingle_n}), ' '))) AS shingles
+            FROM words
+        ),
+        hs AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(shingles, s -> ({shingle_hash}) % {_MINHASH_P}) AS hv
+            FROM sh
+        ),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, {sigs}
+            FROM hs
+        ),
+        bands AS MATERIALIZED (
+            {band_selects}
+        ),
+        sized AS (
+            SELECT doc_id, band, bucket FROM (
+                SELECT doc_id, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS n
+                FROM bands
+            ) WHERE n <= {max_bucket}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        v AS (
+            SELECT cand.id_a, cand.id_b,
+                   len(list_intersect(x.shingles, y.shingles))::double
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac
+            FROM cand
+            JOIN sh x ON cand.id_a = x.doc_id
+            JOIN sh y ON cand.id_b = y.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= {threshold}
+    """
+
+
 def _lsh_ann_oracle_sql(
     dim: int = 64, num_tables: int = 4, num_bits: int = 8, k: int = 5, nq: int = 5
 ) -> str:
@@ -766,9 +878,37 @@ def q_c8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — SimHash fingerprints; rows-only (no DuckDB xxhash64)."""
+    """C8 — SimHash fingerprints; rows-only (no DuckDB xxhash64). The
+    algorithm itself is value-checked by ``c8_simhash_md5``."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id")
+
+
+def q_c8_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — SimHash with the cross-engine md5_60 hash: the vote/reassembly
+    logic gets a full DuckDB value oracle; only the hash swap separates
+    this from the production xxhash64 path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", hash_mode="md5_60")
+
+
+def q_c8_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — the full MinHash-LSH pipeline (shingle → 64 permutations →
+    16-band bucketing → candidate join → exact-Jaccard verify) with the
+    cross-engine md5_60 base hash, value-checked end to end by a
+    generated DuckDB oracle; only the hash swap separates this from the
+    production xxhash64 path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.6,
+        hash_mode="md5_60",
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_c8_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,8 +991,10 @@ def q_c10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_c11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 — multimodal feature extraction through the Arrow/mapInPandas
-    plumbing (decode kernel is the documented deterministic stub, so the
-    check is rows-only; the plumbing itself is pytest-covered)."""
+    plumbing, full DuckDB oracle: the stub kernel's byte histogram is a
+    pure function of the (ASCII) payload, so the oracle recomputes the
+    same bins with char-class regex counts — the value check covers the
+    whole Python plumbing path (batching, schema, null handling)."""
     from neo4j_graphdb_spark.operators.multimodal import (
         extract_media_features,
         synthetic_media,
@@ -862,7 +1004,13 @@ def q_c11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(docs, "doc_id", "text")
     feats = extract_media_features(media)
     return feats.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
     )
 
 
@@ -1212,6 +1360,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c8_ngram_jaccard": q_c8_ngram_jaccard,
     "c8_minhash_lsh": q_c8_minhash_lsh,
     "c8_simhash": q_c8_simhash,
+    "c8_simhash_md5": q_c8_simhash_md5,
+    "c8_minhash_lsh_md5": q_c8_minhash_lsh_md5,
     "c8_embedding_near_dup": q_c8_embedding_near_dup,
     "c9_cosine_topk": q_c9_cosine_topk,
     "c9_lsh_ann": q_c9_lsh_ann,
@@ -1386,6 +1536,8 @@ ORACLES: dict[str, str] = {
         "SELECT md5(text) AS text_hash, doc_id::bigint AS keeper_id, "
         "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::bigint AS n_dups FROM documents"
     ),
+    "c8_simhash_md5": _simhash_md5_oracle_sql(),
+    "c8_minhash_lsh_md5": _minhash_md5_oracle_sql(),
     "c8_ngram_jaccard": """
         WITH sh AS (
             SELECT doc_id, lang,
@@ -1523,6 +1675,21 @@ ORACLES: dict[str, str] = {
                                   i -> md5(substr(n, i, 8))),
                    'min') AS fingerprint
         FROM norm
+    """,
+    "c11_multimodal": r"""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               length(text)::int AS n_bytes,
+               round(length(regexp_replace(text, '[^\x00-\x1f]', '', 'g'))::double
+                     / greatest(length(text), 1), 6) AS f0,
+               round(length(regexp_replace(text, '[^\x20-\x3f]', '', 'g'))::double
+                     / greatest(length(text), 1), 6) AS f1,
+               round(length(regexp_replace(text, '[^\x40-\x5f]', '', 'g'))::double
+                     / greatest(length(text), 1), 6) AS f2,
+               round(length(regexp_replace(text, '[^\x60-\x7f]', '', 'g'))::double
+                     / greatest(length(text), 1), 6) AS f3
+        FROM documents
     """,
     "c11_embedding_features": """
         SELECT vec_id,
