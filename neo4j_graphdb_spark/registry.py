@@ -1085,6 +1085,20 @@ def q_c14_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 — sliding window (1 day wide, 12 h slide: every event counted
+    in exactly two overlapping windows)."""
+    from neo4j_graphdb_spark.streaming.windows import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sliding_window_agg(ev, ts_col="ts", width="1 day", slide="12 hours")
+    return s.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm").alias("window_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def q_c15_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15 — per-user session windows, 30 min gap."""
     ev = load_table(spark, sf_dir, "events")
@@ -1374,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c12_json_access": q_c12_json_access,
     "c13_stream_ingest": q_c13_stream_ingest,
     "c14_tumbling_window": q_c14_tumbling_window,
+    "c14_sliding_window": q_c14_sliding_window,
     "c15_session_window": q_c15_session_window,
     "c17_stream_dedup": q_c17_stream_dedup,
     "c18_stateful_totals": q_c18_stateful_totals,
@@ -1712,6 +1727,17 @@ ORACLES: dict[str, str] = {
                count(*)::bigint AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "c14_sliding_window": """
+        WITH w AS (
+            SELECT time_bucket(INTERVAL 12 HOURS, ts) AS ws FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 12 HOURS, ts) - INTERVAL 12 HOURS FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+               strftime(ws + INTERVAL 24 HOURS, '%Y-%m-%d %H:%M') AS window_end,
+               count(*)::bigint AS n_events
+        FROM w GROUP BY ws
     """,
     "c15_session_window": """
         WITH o AS (
