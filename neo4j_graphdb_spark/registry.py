@@ -1069,9 +1069,18 @@ def q_c13_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.nodes().select(F.col("key").alias("link"), "title")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone for queries that RENDER timestamps
+    (date_format): the fixture timestamps are wall-clock values that
+    DuckDB (TIMESTAMP = no-TZ) prints verbatim, so the Spark side must
+    render in UTC regardless of what session the driver hands us."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_c14_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14+C16 — daily tumbling window per event type with watermark
     (batch/stream-agnostic plan)."""
+    _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     w = tumbling_window_agg(
         ev, ts_col="ts", width="1 day", watermark="1 day",
@@ -1090,6 +1099,7 @@ def q_c14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly two overlapping windows)."""
     from neo4j_graphdb_spark.streaming.windows import sliding_window_agg
 
+    _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     s = sliding_window_agg(ev, ts_col="ts", width="1 day", slide="12 hours")
     return s.select(
@@ -1101,6 +1111,7 @@ def q_c14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_c15_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15 — per-user session windows, 30 min gap."""
+    _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     s = session_window_agg(ev, ts_col="ts", gap="30 minutes", key_col="user_id")
     return s.select(
