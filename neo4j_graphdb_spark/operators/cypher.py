@@ -75,6 +75,43 @@ class Graph:
             .drop("src", "dst")
         )
 
+    def expand_path(
+        self,
+        hops: list[tuple[str | None, str | None]],
+        start_label: str | None = None,
+        aliases: list[str] | None = None,
+    ) -> DataFrame:
+        """Fixed-length path pattern — the multi-hop generalization of
+        :meth:`expand`: ``MATCH (n0:L0)-[:T1]->(n1:L1)-[:T2]->(n2:L2)…``.
+
+        ``hops`` is a list of ``(rel_type, dst_label)`` per hop. Each hop
+        is one equi-join pair (edge ⋈ node) on the deterministic ids —
+        Catalyst broadcast-plans dimension-sized node sides, so an
+        k-hop chain over a 100 TB edge table is k hash joins with the
+        fact side never moving for broadcastable hops. Output columns
+        are prefixed ``n0_…, n1_…`` (or the given ``aliases``).
+        """
+        if self.edges_df is None:
+            raise ValueError("graph has no edges")
+        aliases = aliases or [f"n{i}" for i in range(len(hops) + 1)]
+        cur = _prefix(self.match(start_label), aliases[0])
+        prev_alias = aliases[0]
+        for i, (rel_type, dst_label) in enumerate(hops):
+            e = self.edges_df
+            if rel_type is not None:
+                e = e.filter(F.col("rel_type") == rel_type)
+            e = e.select(
+                F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")
+            )
+            nxt = _prefix(self.match(dst_label), aliases[i + 1])
+            cur = (
+                cur.join(e, cur[f"{prev_alias}_{NODE_ID}"] == e[f"_s{i}"])
+                .join(nxt, e[f"_d{i}"] == nxt[f"{aliases[i + 1]}_{NODE_ID}"])
+                .drop(f"_s{i}", f"_d{i}")
+            )
+            prev_alias = aliases[i + 1]
+        return cur
+
     # --- A5: whole-entity value -----------------------------------------------
 
     def entity(self, df: DataFrame, alias: str, cols: list[str] | None = None) -> Column:

@@ -471,6 +471,23 @@ def q_a3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(F.col("a_key").alias("link"), F.col("b_key").alias("publisher"))
 
 
+def q_a3_expand_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 generalized — fixed-length path pattern: MATCH
+    (c:Customer)-[:FROM]->(n:Nation)-[:IN]->(r:Region), the motif-chain
+    substrate for multi-hop Cypher MATCH (Graph.expand_path)."""
+    g = analytics_graph(spark, sf_dir)
+    p = g.expand_path(
+        hops=[("FROM", "Nation"), ("IN", "Region")],
+        start_label="Customer",
+        aliases=["c", "n", "r"],
+    )
+    return p.select(
+        F.col("c_key").alias("customer_key"),
+        F.col("n_key").alias("nation_key"),
+        F.col("r_key").alias("region_key"),
+    )
+
+
 def q_a5_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: RETURN a (whole-entity value, src/crwling.py:55) — serialized
     to JSON so the struct value is engine-comparable."""
@@ -1360,6 +1377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
     "a3_expand": q_a3_expand,
+    "a3_expand_2hop": q_a3_expand_2hop,
     "a4_projection": q_a4_projection,
     "a5_entity": q_a5_entity,
     "a6_limit": q_a6_limit,
@@ -1439,6 +1457,12 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, source AS publisher "
         "FROM documents"
     ),
+    "a3_expand_2hop": """
+        SELECT cast(c_custkey AS varchar) AS customer_key,
+               cast(n_nationkey AS varchar) AS nation_key,
+               cast(n_regionkey AS varchar) AS region_key
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
     "a5_entity": (
         "SELECT to_json(struct_pack(link := concat('doc://', cast(doc_id AS varchar)), "
         "title := substr(text, 1, 40))) AS article FROM documents"
