@@ -1369,6 +1369,21 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles + distinct counts per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) — the descriptive-stats
+    surface of a data-quality pass. At 100 TB the approximate swaps are
+    one-liners (``approx_percentile`` / ``approx_count_distinct``) at
+    the cost of oracle-exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1432,6 +1447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
     "rel_salted_join": q_rel_salted_join,
+    "rel_quantiles": q_rel_quantiles,
 }
 
 
@@ -1881,5 +1897,13 @@ ORACLES: dict[str, str] = {
                d.signup_id::bigint AS signup_id, round(e.value, 6) AS value
         FROM events e JOIN dim d ON e.user_id = d.user_id
         WHERE e.event_type = 'purchase'
+    """,
+    "rel_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               count(DISTINCT l_partkey)::bigint AS n_parts,
+               count(*)::bigint AS n_rows
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
