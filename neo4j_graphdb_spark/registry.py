@@ -1369,6 +1369,46 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: lineitem and orders written bucketed
+    (+sorted) by their join key with the same bucket count, so the join
+    needs NO shuffle of either side — the physical plan's only exchange
+    is the final aggregation's. This is the write-time contract that
+    turns every downstream key join into a map-side merge at 100 TB;
+    asserted in tests/test_plans.py."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bt_wh_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{wh}/lineitem")
+        .saveAsTable("bt_lineitem")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{wh}/orders")
+        .saveAsTable("bt_orders")
+    )
+    j = spark.table("bt_lineitem").join(
+        spark.table("bt_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + distinct counts per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``) — the descriptive-stats
@@ -1448,6 +1488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_range_join": q_rel_range_join,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
+    "rel_bucketed_join": q_rel_bucketed_join,
 }
 
 
@@ -1905,5 +1946,12 @@ ORACLES: dict[str, str] = {
                count(DISTINCT l_partkey)::bigint AS n_parts,
                count(*)::bigint AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "rel_bucketed_join": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*)::bigint AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
 }

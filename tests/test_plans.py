@@ -47,6 +47,24 @@ def test_small_dimension_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """With broadcast disabled (forcing the sort-merge path a 100 TB fact
+    join takes), the bucketed tables' join must need NO shuffle exchange
+    of either side — the only hash exchange left is the final agg's."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["rel_bucketed_join"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # nothing below the join reshuffles: bucket layout satisfies the
+    # join's distribution requirement on both sides
+    assert "Exchange hashpartitioning" not in join_part
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+
+
 def test_store_label_scan_partition_prunes(spark, sf_dir):
     """GraphStore partitions nodes by label; a MATCH (:Article) must scan
     only that partition (PartitionFilters on label)."""
