@@ -103,6 +103,22 @@ class _VersionedTable:
             f.write(str(v))
         return path
 
+    def is_partitioned_by(self, partition_by: str) -> bool:
+        """True iff the current version's directory layout is hive-partitioned
+        on ``partition_by`` (or the table is empty, so the next write
+        establishes the layout). A version written without ``partitionBy``
+        holds plain ``part-*.parquet`` files — a partial rewrite over such a
+        layout would silently drop every row outside the touched values, so
+        callers must check this before choosing the partial path."""
+        path = self.current_path()
+        if path is None:
+            return True
+        prefix = f"{partition_by}="
+        return all(
+            e.startswith(prefix) or e.startswith(".") or e.startswith("_")
+            for e in os.listdir(path)
+        )
+
     def write_next_partial(
         self, df: DataFrame, partition_by: str, touched_values: list[str]
     ) -> str:
@@ -114,8 +130,19 @@ class _VersionedTable:
         O(table) — the same file-reuse discipline Delta/Iceberg implement
         with manifests; on a shared filesystem the hardlink becomes a
         manifest entry referencing the old file.
+
+        Raises ``ValueError`` if the current version is not partitioned on
+        ``partition_by``: carrying over "untouched partitions" from an
+        unpartitioned layout would carry over nothing, silently losing every
+        other partition's data on upgrade of a legacy store.
         """
         prev = self.current_path()
+        if prev is not None and not self.is_partitioned_by(partition_by):
+            raise ValueError(
+                f"current version at {prev} is not partitioned by "
+                f"{partition_by!r}; a partial rewrite would drop its data — "
+                "use write_next() with the full table to upgrade the layout"
+            )
         v = self.current_version() + 1
         path = os.path.join(self.root, f"v{v}")
         df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
@@ -243,7 +270,17 @@ class GraphStore:
         ).collect()[0]
         created = int(row["_created"])
         props_set = int(sum(row[c] for c in prop_cols))
-        self._nodes.write_next_partial(merged, "label", [label])
+        if self._nodes.is_partitioned_by("label"):
+            self._nodes.write_next_partial(merged, "label", [label])
+        else:
+            # legacy/unpartitioned store: a partial rewrite would silently
+            # drop every other label (ADVICE r2) — do one full rewrite that
+            # also upgrades the layout to label-partitioned
+            untouched = existing.filter(F.col("label") != label)
+            self._nodes.write_next(
+                untouched.unionByName(merged, allowMissingColumns=True),
+                partition_by="label",
+            )
         joined.unpersist()
         return WriteSummary(nodes_created=created, properties_set=props_set)
 
@@ -277,9 +314,20 @@ class GraphStore:
             touched, on=["src", "dst", "rel_type"], how="left_anti"
         ).persist()
         created = fresh.count()
-        self._edges.write_next_partial(
-            touched.unionByName(fresh), "rel_type", [rel_type]
-        )
+        if self._edges.is_partitioned_by("rel_type"):
+            self._edges.write_next_partial(
+                touched.unionByName(fresh), "rel_type", [rel_type]
+            )
+        else:
+            # same legacy-layout guard as merge_nodes: full rewrite that
+            # upgrades the store to rel_type-partitioned
+            untouched = existing.filter(F.col("rel_type") != rel_type)
+            self._edges.write_next(
+                untouched.unionByName(
+                    touched.unionByName(fresh), allowMissingColumns=True
+                ),
+                partition_by="rel_type",
+            )
         fresh.unpersist()
         return WriteSummary(relationships_created=created)
 

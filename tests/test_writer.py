@@ -156,3 +156,79 @@ def test_edge_node_id_join_consistency(spark, store):
     )
     rows = joined.select(F.col("s.key").alias("sk"), F.col("d.key").alias("dk")).collect()
     assert [(r["sk"], r["dk"]) for r in rows] == [("u1", "P1")]
+
+
+def test_legacy_unpartitioned_store_upgrade(spark, tmp_path):
+    """ADVICE r2 (medium): a store whose current version was written WITHOUT
+    label partitioning must not lose other labels' rows when merged into —
+    the writer detects the legacy layout and does one full rewrite that also
+    upgrades it to partitioned."""
+    import os
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.writer import GraphStore, _VersionedTable
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root)
+
+    # simulate a legacy store: two labels written flat (no partitionBy)
+    arts = as_nodes(_batch(spark, [("u1", "t1", "c1")]), "Article", "link", ["title", "content"])
+    pubs = as_nodes(
+        spark.createDataFrame([("P1",)], "name string"), "Publisher", "name", []
+    )
+    legacy = arts.unionByName(pubs, allowMissingColumns=True)
+    _VersionedTable(os.path.join(root, "nodes")).write_next(legacy)  # no partition_by
+    assert not store._nodes.is_partitioned_by("label")
+
+    # direct partial write over the legacy layout must refuse, not lose data
+    with pytest.raises(ValueError, match="not partitioned"):
+        store._nodes.write_next_partial(arts, "label", ["Article"])
+
+    # merge into one label: the OTHER label must survive the rewrite
+    s = store.merge_nodes(
+        _batch(spark, [("u1", "t1x", "c1"), ("u3", "t3", "c3")]),
+        "Article",
+        "link",
+        ["title", "content"],
+    )
+    assert s.nodes_created == 1
+    rows = {r["key"]: r for r in store.nodes().collect()}
+    assert set(rows) == {"u1", "u3", "P1"}  # Publisher row NOT dropped
+    assert rows["u1"]["title"] == "t1x"
+    assert rows["P1"]["label"] == "Publisher"
+    # and the store is now upgraded to the partitioned layout
+    assert store._nodes.is_partitioned_by("label")
+
+
+def test_legacy_unpartitioned_edges_upgrade(spark, tmp_path):
+    """Same legacy-layout guard for the edges table."""
+    import os
+
+    from neo4j_graphdb_spark.model import as_edges
+    from neo4j_graphdb_spark.writer import GraphStore, _VersionedTable
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root)
+
+    e1 = as_edges(
+        spark.createDataFrame([("u1", "P1")], "link string, publisher string"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+    e2 = as_edges(
+        spark.createDataFrame([("u1", "u2")], "a string, b string"),
+        "LINKS_TO", "Article", "a", "Article", "b",
+    )
+    _VersionedTable(os.path.join(root, "edges")).write_next(e1.unionByName(e2))
+    assert not store._edges.is_partitioned_by("rel_type")
+
+    s = store.merge_edges(
+        spark.createDataFrame([("u3", "P1")], "link string, publisher string"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+    assert s.relationships_created == 1
+    by_type = {}
+    for r in store.edges().collect():
+        by_type.setdefault(r["rel_type"], 0)
+        by_type[r["rel_type"]] += 1
+    assert by_type == {"WRITTEN_BY": 2, "LINKS_TO": 1}  # LINKS_TO NOT dropped
+    assert store._edges.is_partitioned_by("rel_type")
