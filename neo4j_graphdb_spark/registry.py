@@ -625,6 +625,51 @@ def q_a4_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a10_with_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: WITH as an *observable* pipeline boundary —
+
+        MATCH (p:Publisher)
+        WITH p ORDER BY p.key LIMIT 10          <- mid-pipeline sort+limit
+        MATCH (a:Article)-[:WRITTEN_BY]->(p)
+        RETURN p.key AS publisher, count(a) AS n_articles
+
+    A mid-pipeline ORDER BY/LIMIT is impossible in Cypher without WITH
+    (RETURN-level LIMIT would truncate the final aggregate instead), so a
+    passing oracle proves the intermediate stage exists: only the first
+    half of the publishers survive into the second MATCH."""
+    g = article_graph(spark, sf_dir)
+    top_pubs = (
+        g.match("Publisher").select(F.col("key")).orderBy("key").limit(10)
+    )
+    t = g.expand(rel_type="WRITTEN_BY", src_label="Article", dst_label="Publisher")
+    return (
+        t.join(top_pubs, t["b_key"] == top_pubs["key"])
+        .groupBy(F.col("b_key").alias("publisher"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_articles"))
+    )
+
+
+def q_a14_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: result materialization contract — the driver can consume a
+    result either fully materialized (``collect``, the reference's
+    ``list(session.run(...))``) or streamed (``toLocalIterator``, the Bolt
+    cursor analogue); both must yield identical rows in identical order.
+    The returned 1-row frame carries both counts plus the row-identity
+    verdict, so a materialization bug flips the value hash."""
+    g = article_graph(spark, sf_dir)
+    df = (
+        g.match("Article")
+        .select(F.col("key").alias("link"), "title")
+        .orderBy("link")
+    )
+    collected = df.collect()
+    streamed = list(df.toLocalIterator())
+    return spark.createDataFrame(
+        [(len(collected), len(streamed), collected == streamed)],
+        "n_collected bigint, n_streamed bigint, identical boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # tier B — ingest pipeline
 # --------------------------------------------------------------------------
@@ -723,6 +768,38 @@ def q_b8_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs)
     return doubled.dropDuplicates(["doc_id"])
+
+
+def q_b1_paginated_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: the pagination parameter table that drives the paginated web
+    source (``start = p*10 + 1``, src/crwling.py:110-112). One SERP page
+    per 10 corpus documents, so the entry scales with sf; the fetch itself
+    stays outside the engine (SURVEY §2.B1) — its contract is to fill
+    ``html``/``status`` columns over exactly these rows."""
+    from neo4j_graphdb_spark.sources.html_extract import paginated_param_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return paginated_param_table(spark, "ai news", pages=(n_docs + 9) // 10)
+
+
+def q_b2_status_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: HTTP status handling (src/crwling.py:119-125) — statuses are
+    synthesized deterministically from doc_id (429 at doc_id%350==347,
+    503 at doc_id%31==5, else 200), then the reference policy applies:
+    429 aborts the crawl (every later page dropped), other non-200 pages
+    are skipped, 200s survive. At sf0.001 no doc_id hits the 429 branch,
+    which exercises the no-abort path of the same plan."""
+    from neo4j_graphdb_spark.sources.html_extract import apply_status_policy
+
+    docs = load_table(spark, sf_dir, "documents")
+    fetched = docs.select(
+        F.col("doc_id").alias("page_num"),
+        F.when(F.col("doc_id") % 350 == 347, 429)
+        .when(F.col("doc_id") % 31 == 5, 503)
+        .otherwise(200)
+        .alias("status"),
+    )
+    return apply_status_policy(fetched).select("page_num", "status")
 
 
 # --------------------------------------------------------------------------
@@ -1138,6 +1215,67 @@ def q_c15_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c16_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: watermark / late-data semantics made observable on the REAL
+    streaming engine. The source is split into three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered): batch 1 is the full events
+    table; batch 2 is a single "heartbeat" event (a copy of the max-ts
+    row, whose window the watermark never passes, so it cannot affect the
+    output); batch 3 replays the earliest day's events, by then late
+    beyond the 1-day watermark. Append-mode tumbling windows must
+
+    * DROP the late replay (counts equal the single-copy oracle — without
+      the watermark every first-day count would double), and
+    * WITHHOLD windows the watermark has not yet passed (the final
+      partial days are absent from the output).
+
+    Both effects are encoded in the oracle's ``window_end <= max(ts) -
+    1 day`` predicate, so either failure flips the hash. The heartbeat
+    batch exists because the late-row filter uses the watermark that was
+    operative when the batch was *planned* — one batch after the data
+    that advanced it — so the replay must arrive two batches after the
+    full table (measured: without it the replay double-counts; with it
+    the engine reports the replay in numRowsDroppedByWatermark)."""
+    import os as _os
+    import time as _time
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    sdir = tempfile.mkdtemp(prefix="c16_stream_")
+    b0, b1, b2 = (_os.path.join(sdir, f"b{i}") for i in range(3))
+    ev.coalesce(1).write.parquet(b0)
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    ev.filter(F.col("ts") == F.lit(bounds["hi"])).coalesce(1).write.parquet(b1)
+    late = ev.filter(F.col("ts") < F.lit(bounds["lo"]) + F.expr("INTERVAL 1 DAY"))
+    late.coalesce(1).write.parquet(b2)
+    # the file source processes oldest-mtime first: pin each batch 60s
+    # apart so batch order is deterministic
+    now = _time.time()
+    for off, sub in enumerate((b0, b1, b2)):
+        for fn in _os.listdir(sub):
+            _os.utime(_os.path.join(sub, fn), (now + 60 * off, now + 60 * off))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b*")
+    )
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+
+    agg = tumbling_window_agg(
+        stream, ts_col="ts", width="1 day", watermark="1 day",
+        group_extra=["event_type"], value_col="value",
+    )
+    out = run_stream_to_memory(spark, agg, output_mode="append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def q_c18_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C18 — custom stateful operator (applyInPandasWithState) on the
     real streaming engine; a single availableNow batch makes the running
@@ -1439,9 +1577,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_merge_upsert": q_a7_merge_upsert,
     "a8_set_null_keeps": q_a8_set_null_keeps,
     "a9_merge_edges": q_a9_merge_edges,
+    "a10_with_chain": q_a10_with_chain,
     "a11_params": q_a11_params,
     "a12_datetime": q_a12_datetime,
     "a13_counters": q_a13_counters,
+    "a14_materialization": q_a14_materialization,
+    "b1_paginated_source": q_b1_paginated_source,
+    "b2_status_policy": q_b2_status_policy,
     "b3_html_extract": q_b3_html_extract,
     "b4_detail_content": q_b4_detail_content,
     "b5_clean_text": q_b5_clean_text,
@@ -1474,6 +1616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c14_tumbling_window": q_c14_tumbling_window,
     "c14_sliding_window": q_c14_sliding_window,
     "c15_session_window": q_c15_session_window,
+    "c16_watermark_late_data": q_c16_watermark_late_data,
     "c17_stream_dedup": q_c17_stream_dedup,
     "c18_stateful_totals": q_c18_stateful_totals,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -1547,6 +1690,19 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
         "upper(substr(text, 1, 40)) AS headline FROM documents"
     ),
+    "a10_with_chain": """
+        WITH top_pubs AS (
+            SELECT DISTINCT source FROM documents ORDER BY source LIMIT 10
+        )
+        SELECT source AS publisher, count(*)::bigint AS n_articles
+        FROM documents
+        WHERE source IN (SELECT source FROM top_pubs)
+        GROUP BY source
+    """,
+    "a14_materialization": (
+        "SELECT count(*)::bigint AS n_collected, count(*)::bigint AS n_streamed, "
+        "true AS identical FROM documents"
+    ),
     "a11_params": "SELECT doc_id, lang FROM documents WHERE lang = 'de'",
     "a12_datetime": "SELECT count(*)::bigint AS n_stamped FROM documents",
     "a13_counters": (
@@ -1581,6 +1737,26 @@ ORACLES: dict[str, str] = {
         "SELECT DISTINCT doc_id, text FROM "
         "(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)"
     ),
+    "b1_paginated_source": """
+        WITH n AS (SELECT ceil(count(*) / 10.0)::bigint AS pages FROM documents),
+        nums AS (SELECT row_number() OVER () - 1 AS i FROM documents)
+        SELECT (i + 1)::bigint AS page_num,
+               (i * 10 + 1)::bigint AS start,
+               'ai news' AS keyword
+        FROM nums, n WHERE i < n.pages
+    """,
+    "b2_status_policy": """
+        WITH fetched AS (
+            SELECT doc_id AS page_num,
+                   CASE WHEN doc_id % 350 = 347 THEN 429
+                        WHEN doc_id % 31 = 5 THEN 503
+                        ELSE 200 END AS status
+            FROM documents
+        ),
+        cut AS (SELECT min(page_num) AS p FROM fetched WHERE status = 429)
+        SELECT page_num, status FROM fetched, cut
+        WHERE (cut.p IS NULL OR page_num < cut.p) AND status = 200
+    """,
     "c1_degrees": f"""
         WITH edges AS ({_ANALYTICS_EDGES_SQL}),
         nodes AS (
@@ -1849,6 +2025,16 @@ ORACLES: dict[str, str] = {
         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                count(*)::bigint AS n_events
         FROM s GROUP BY user_id, sess
+    """,
+    "c16_watermark_late_data": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events)
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS window_day,
+               event_type,
+               count(*)::bigint AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events, wm
+        WHERE time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= wm.w
+        GROUP BY 1, 2
     """,
     "c17_stream_dedup": "SELECT count(DISTINCT event_id)::bigint AS n_unique FROM events",
     "rel_pricing_summary": """

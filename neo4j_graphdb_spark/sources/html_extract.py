@@ -322,13 +322,44 @@ def write_quarantine(bad: DataFrame, root: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def apply_status_policy(
+    df: DataFrame, page_col: str = "page_num", status_col: str = "status"
+) -> DataFrame:
+    """B2 — the reference's HTTP status policy
+    (``/root/reference/src/crwling.py:119-125``) over a DataFrame of
+    fetched pages:
+
+    * ``429`` *aborts the crawl* (the reference ``break``s): every page at
+      or after the first 429 — in page order — is dropped, because the
+      sequential crawler would never have fetched them;
+    * any other non-200 is warned and *skipped* (the page yields no
+      records but the crawl continues);
+    * ``200`` pages pass through to extraction.
+
+    Physical shape: the abort cutoff is a 1-row aggregate broadcast to
+    every partition — no sort, no window, one scan of pages + one scan for
+    the min. At 100 TB of fetch logs this stays a broadcast-join plan.
+    """
+    cutoff = df.filter(F.col(status_col) == 429).agg(
+        F.min(F.col(page_col)).alias("_abort_page")
+    )
+    return (
+        df.join(F.broadcast(cutoff))
+        .filter(
+            F.col("_abort_page").isNull() | (F.col(page_col) < F.col("_abort_page"))
+        )
+        .filter(F.col(status_col) == 200)
+        .drop("_abort_page")
+    )
+
+
 def paginated_param_table(spark, keyword: str, pages: int) -> DataFrame:
     """B1 — the pagination parameter generator (``start = p*10 + 1``,
     src/crwling.py:110-112) as a DataFrame the fetcher maps over. The
-    HTTP fetch itself (and its 429-abort / non-200-warn policy, B2,
-    ``:119-125``) belongs to the source outside the engine; its contract
-    is to fill a ``html`` column and a ``status`` column, after which
-    ``filter(status == 200)`` and :func:`extract_articles` take over."""
+    HTTP fetch itself belongs to the source outside the engine; its
+    contract is to fill a ``html`` column and a ``status`` column, after
+    which :func:`apply_status_policy` (B2, ``:119-125``) and
+    :func:`extract_articles` take over."""
     return spark.range(pages).select(
         (F.col("id") + 1).alias("page_num"),
         (F.col("id") * 10 + 1).alias("start"),

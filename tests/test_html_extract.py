@@ -160,3 +160,23 @@ def test_end_to_end_into_graph(spark, tmp_path):
     triples = g.expand(rel_type="WRITTEN_BY", src_label="Article", dst_label="Publisher")
     pairs = {(r["a_key"], r["b_key"]) for r in triples.collect()}
     assert ("https://news.example.com/a1", "Example Times") in pairs
+
+
+def test_status_policy_abort_and_skip(spark):
+    """B2: 429 aborts (pages at/after the first 429 drop, reference
+    `break`), other non-200s skip, 200s survive (src/crwling.py:119-125)."""
+    from neo4j_graphdb_spark.sources.html_extract import apply_status_policy
+
+    rows = [(1, 200), (2, 503), (3, 200), (4, 429), (5, 200), (6, 429), (7, 200)]
+    df = spark.createDataFrame(rows, "page_num int, status int")
+    kept = sorted(r["page_num"] for r in apply_status_policy(df).collect())
+    assert kept == [1, 3]  # 2 skipped (503), 4+ aborted
+
+    # no 429 anywhere: only the non-200 skip applies
+    df2 = spark.createDataFrame([(1, 200), (2, 404), (3, 200)], "page_num int, status int")
+    kept2 = sorted(r["page_num"] for r in apply_status_policy(df2).collect())
+    assert kept2 == [1, 3]
+
+    # 429 on the very first page: nothing survives
+    df3 = spark.createDataFrame([(1, 429), (2, 200)], "page_num int, status int")
+    assert apply_status_policy(df3).count() == 0
