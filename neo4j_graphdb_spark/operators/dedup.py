@@ -192,9 +192,17 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
     # guard: drop pathological buckets (boilerplate explosion) — logged size cap
-    sized = band_entries.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("_n") <= max_bucket)
+    # Materialized once (lazily): both sides of the bucket self-join read
+    # it, and without the checkpoint the whole shingle→64-permutation
+    # signature pipeline would execute twice (alias-renamed exchanges
+    # don't qualify for Spark's ReusedExchange).
+    sized = (
+        band_entries.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .localCheckpoint(eager=False)
+    )
 
     left = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))

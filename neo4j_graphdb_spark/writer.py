@@ -64,6 +64,13 @@ class _VersionedTable:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # schema of the current version, tracked across writes in this
+        # process: a known schema lets reads skip the mergeSchema footer
+        # scan entirely (a distributed job over every file) — the same
+        # role a table-format catalog plays at 100 TB. None = unknown
+        # (store created by an earlier process) → mergeSchema fallback.
+        self._schema = None
+        self._schema_version = -2
 
     @property
     def _pointer(self) -> str:
@@ -84,9 +91,16 @@ class _VersionedTable:
         path = self.current_path()
         if path is None:
             return None
+        v = self.current_version()
+        if self._schema is not None and self._schema_version == v:
+            # known schema: no footer-merging job; files missing newer
+            # property columns surface them as NULL, same as mergeSchema
+            return spark.read.schema(self._schema).parquet(path)
         # partitions written in different batches may carry different
         # property columns; schema merging pads the gaps with NULLs
-        return spark.read.option("mergeSchema", "true").parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        self._schema, self._schema_version = df.schema, v
+        return df
 
     def write_next(self, df: DataFrame, partition_by: str | None = None) -> str:
         v = self.current_version() + 1
@@ -101,6 +115,7 @@ class _VersionedTable:
         w.parquet(path)
         with open(self._pointer, "w") as f:
             f.write(str(v))
+        self._schema, self._schema_version = df.schema, v
         return path
 
     def is_partitioned_by(self, partition_by: str) -> bool:
@@ -143,7 +158,8 @@ class _VersionedTable:
                 f"{partition_by!r}; a partial rewrite would drop its data — "
                 "use write_next() with the full table to upgrade the layout"
             )
-        v = self.current_version() + 1
+        prev_v = self.current_version()
+        v = prev_v + 1
         path = os.path.join(self.root, f"v{v}")
         df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
         if prev is not None:
@@ -156,6 +172,22 @@ class _VersionedTable:
                 _hardlink_tree(os.path.join(prev, entry), os.path.join(path, entry))
         with open(self._pointer, "w") as f:
             f.write(str(v))
+        # new version's schema = this write's columns plus any carried
+        # partition's extra property columns (known iff the previous
+        # version's schema was)
+        if prev is None:
+            self._schema, self._schema_version = df.schema, v
+        elif self._schema is not None and self._schema_version == prev_v:
+            from pyspark.sql import types as _T
+
+            known = {f.name for f in df.schema.fields}
+            self._schema = _T.StructType(
+                list(df.schema.fields)
+                + [f for f in self._schema.fields if f.name not in known]
+            )
+            self._schema_version = v
+        else:
+            self._schema, self._schema_version = None, -2
         return path
 
 
