@@ -1,0 +1,374 @@
+"""Cypher *string* front-end for the reference's statement subset.
+
+The engine's primary query surface is the builder API
+(:mod:`neo4j_graphdb_spark.operators.cypher` — a documented SURVEY §4
+decision), but the reference executes literal Cypher text
+(``/root/reference/main.py:17``, ``src/crwling.py:47-56``,
+``src/ingest.py:4-8``, ``cypher.txt:4-8``). This module parses exactly
+that subset and compiles it onto the builder + writer, so the
+reference's statements run verbatim:
+
+* ``MATCH (a:Label)`` / ``MATCH (n)`` — node scan (A1/A2)
+* ``MATCH (a:L1)-[r:T]->(b:L2)`` — typed expand (A3)
+* ``MERGE (a:Label {prop: $param})`` — node upsert (A7)
+* ``SET a.p = $param | datetime()`` — property set (A8/A12)
+* ``MERGE (a)-[:T]->(b)`` — relationship upsert (A9)
+* ``WITH a`` — pipeline boundary (A10)
+* ``RETURN item [AS alias] [, …]`` with ``alias`` / ``alias.prop`` (A4/A5)
+* ``LIMIT n`` (A6)
+* ``$param`` binding (A11)
+
+Batch-native by construction: the reference binds one record per
+``session.run`` round trip; here ``params`` may be either a scalar dict
+(reference semantics — compiled to a 1-row DataFrame) or an arbitrary
+DataFrame whose columns are the parameters, in which case ONE call
+upserts the whole batch through the same statement text — the
+per-record Bolt loop becomes a single batched merge plan.
+
+Out of scope (raises ``CypherUnsupported``): WHERE, OPTIONAL MATCH,
+variable-length paths, DELETE/REMOVE, subqueries — none appear in the
+reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_graphdb_spark.model import NODE_ID
+from neo4j_graphdb_spark.operators.cypher import Graph
+from neo4j_graphdb_spark.writer import GraphStore, WriteSummary
+
+
+class CypherUnsupported(ValueError):
+    """Statement uses syntax outside the reference subset."""
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "RETURN", "LIMIT")
+
+_CLAUSE_RE = re.compile(
+    r"\b(" + "|".join(_CLAUSE_KEYWORDS) + r")\b", re.IGNORECASE
+)
+
+# (alias:Label {prop: $param, ...}) — every piece optional but the parens
+_NODE_RE = re.compile(
+    r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)$"
+)
+
+# (a)-[r:T]->(b) with optional labels/alias on each piece
+_REL_RE = re.compile(
+    r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
+    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*:\s*(?P<rel_type>\w+)\s*\]\s*->\s*"
+    r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
+)
+
+_PROP_PAIR_RE = re.compile(r"(\w+)\s*:\s*\$(\w+)")
+
+_SET_ITEM_RE = re.compile(
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?:\$(?P<param>\w+)|(?P<dt>datetime\(\s*\)))$"
+)
+
+_RETURN_ITEM_RE = re.compile(
+    r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
+)
+
+
+@dataclass
+class _Clause:
+    kind: str
+    body: str
+
+
+@dataclass
+class _NodePattern:
+    alias: str
+    label: str | None
+    key_prop: str | None = None  # prop name in the {…} map
+    key_param: str | None = None  # $param bound to it
+    set_props: dict[str, str | None] = field(default_factory=dict)
+    # prop name -> param name, or None for datetime()
+
+
+_UNSUPPORTED_KEYWORDS = re.compile(
+    r"\b(WHERE|DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
+    re.IGNORECASE,
+)
+
+
+def split_clauses(query: str) -> list[_Clause]:
+    """Split a statement into top-level clauses. Safe for the subset: no
+    string literals exist (all values arrive via ``$params``), so clause
+    keywords cannot appear quoted."""
+    text = " ".join(query.split())
+    bad = _UNSUPPORTED_KEYWORDS.search(text)
+    if bad:
+        raise CypherUnsupported(f"{bad.group(0).upper()} is outside the subset")
+    parts = _CLAUSE_RE.split(text)
+    if parts[0].strip():
+        raise CypherUnsupported(f"statement must start with a clause: {parts[0]!r}")
+    clauses = []
+    for i in range(1, len(parts), 2):
+        clauses.append(_Clause(parts[i].upper(), parts[i + 1].strip().rstrip(",")))
+    if not clauses:
+        raise CypherUnsupported("empty statement")
+    return clauses
+
+
+def _parse_props(props: str | None) -> list[tuple[str, str]]:
+    if not props:
+        return []
+    pairs = _PROP_PAIR_RE.findall(props)
+    inner = props.strip()[1:-1].strip()
+    if inner and len(pairs) != len([p for p in inner.split(",") if p.strip()]):
+        raise CypherUnsupported(f"only {{prop: $param}} maps supported: {props!r}")
+    return pairs
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas not nested inside (), [] or {}."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+# --------------------------------------------------------------------------
+# execution
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CypherResult:
+    """What ``session.run`` hands back, split into the two things the
+    reference consumes: rows (``result``) and ``summary.counters``."""
+
+    df: DataFrame | None
+    summary: WriteSummary | None
+
+
+def run_cypher(
+    spark: SparkSession,
+    query: str,
+    params: dict | DataFrame | None = None,
+    *,
+    store: GraphStore | None = None,
+    graph: Graph | None = None,
+) -> CypherResult:
+    """Execute one statement of the reference's Cypher subset.
+
+    Write statements (any ``MERGE``/``SET``) require ``store`` and run the
+    batched upsert path; read statements run against ``graph`` (or the
+    store's current nodes/edges). ``params`` is a scalar dict (one
+    logical record, the reference's shape) or a DataFrame of parameter
+    columns (batch-native).
+    """
+    clauses = split_clauses(query)
+    is_write = any(c.kind in ("MERGE", "SET") for c in clauses)
+    if is_write:
+        if store is None:
+            raise ValueError("write statement needs a GraphStore")
+        return _run_write(spark, clauses, params, store)
+    if graph is None:
+        if store is None:
+            raise ValueError("read statement needs a Graph or GraphStore")
+        nodes = store.nodes()
+        if nodes is None:
+            raise ValueError("store is empty")
+        graph = Graph(nodes, store.edges())
+    return CypherResult(_run_read(clauses, graph), None)
+
+
+def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataFrame:
+    if isinstance(params, DataFrame):
+        return params
+    if not params:
+        raise ValueError("write statement needs params")
+    return spark.createDataFrame([tuple(params.values())], list(params.keys()))
+
+
+def _run_write(
+    spark: SparkSession,
+    clauses: list[_Clause],
+    params: dict | DataFrame | None,
+    store: GraphStore,
+) -> CypherResult:
+    pdf = _params_frame(spark, params)
+    nodes: dict[str, _NodePattern] = {}
+    node_order: list[str] = []
+    edges: list[tuple[str, str, str]] = []  # (src_alias, rel_type, dst_alias)
+    returns: list[str] = []
+
+    for c in clauses:
+        if c.kind == "MERGE":
+            m = _REL_RE.match(c.body)
+            if m:
+                sa, da = m.group("src_alias"), m.group("dst_alias")
+                for a in (sa, da):
+                    if a not in nodes:
+                        raise CypherUnsupported(
+                            f"MERGE relationship on unbound alias {a!r}"
+                        )
+                edges.append((sa, m.group("rel_type"), da))
+                continue
+            n = _NODE_RE.match(c.body)
+            if not n or not n.group("alias") or not n.group("label"):
+                raise CypherUnsupported(f"unsupported MERGE pattern: {c.body!r}")
+            pairs = _parse_props(n.group("props"))
+            if len(pairs) != 1:
+                raise CypherUnsupported(
+                    f"MERGE needs exactly one key prop (got {c.body!r})"
+                )
+            np = _NodePattern(
+                n.group("alias"), n.group("label"),
+                key_prop=pairs[0][0], key_param=pairs[0][1],
+            )
+            if np.alias in nodes:
+                raise CypherUnsupported(f"alias {np.alias!r} merged twice")
+            nodes[np.alias] = np
+            node_order.append(np.alias)
+        elif c.kind == "SET":
+            for item in _split_top_commas(c.body):
+                m = _SET_ITEM_RE.match(item)
+                if not m:
+                    raise CypherUnsupported(f"unsupported SET item: {item!r}")
+                np = nodes.get(m.group("alias"))
+                if np is None:
+                    raise CypherUnsupported(f"SET on unbound alias: {item!r}")
+                np.set_props[m.group("prop")] = m.group("param")  # None for datetime()
+        elif c.kind == "WITH":
+            for item in _split_top_commas(c.body):
+                if item not in nodes:
+                    raise CypherUnsupported(f"WITH on unbound alias: {item!r}")
+        elif c.kind == "RETURN":
+            returns = _split_top_commas(c.body)
+        elif c.kind in ("MATCH", "LIMIT"):
+            raise CypherUnsupported(f"{c.kind} unsupported in write statements")
+
+    # flush: nodes in clause order, then relationships (reference order)
+    total = WriteSummary()
+    for alias in node_order:
+        np = nodes[alias]
+        cols = [F.col(np.key_param).alias(np.key_prop)]
+        prop_cols = []
+        for prop, param in np.set_props.items():
+            cols.append(
+                (F.current_timestamp() if param is None else F.col(param)).alias(prop)
+            )
+            prop_cols.append(prop)
+        total = total + store.merge_nodes(
+            pdf.select(*cols), label=np.label, key_col=np.key_prop,
+            prop_cols=prop_cols,
+        )
+    for sa, rel_type, da in edges:
+        s, d = nodes[sa], nodes[da]
+        total = total + store.merge_edges(
+            pdf.select(s.key_param, d.key_param),
+            rel_type, s.label, s.key_param, d.label, d.key_param,
+        )
+
+    df = None
+    if returns:
+        if len(returns) != 1 or "." in returns[0]:
+            raise CypherUnsupported(
+                f"write RETURN supports a single entity alias: {returns!r}"
+            )
+        np = nodes[returns[0]]
+        keys = pdf.select(F.col(np.key_param).alias("key")).distinct()
+        df = (
+            store.nodes()
+            .filter(F.col("label") == np.label)
+            .join(keys, on="key", how="left_semi")
+        )
+    return CypherResult(df, total)
+
+
+def _entity_struct(df: DataFrame, prefix: str, out: str):
+    cols = [c for c in df.columns if c.startswith(prefix) and not c.endswith(NODE_ID)]
+    return F.struct(
+        *[F.col(c).alias(c[len(prefix):]) for c in cols]
+    ).alias(out)
+
+
+def _run_read(clauses: list[_Clause], graph: Graph) -> DataFrame:
+    df: DataFrame | None = None
+    aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
+    rel_alias: str | None = None
+    rel_prefixed = False
+    limit: int | None = None
+    returns: list[str] = []
+
+    for c in clauses:
+        if c.kind == "MATCH":
+            if df is not None:
+                raise CypherUnsupported("multiple MATCH clauses unsupported")
+            m = _REL_RE.match(c.body)
+            if m:
+                sa = m.group("src_alias") or "a"
+                da = m.group("dst_alias") or "b"
+                df = graph.expand(
+                    rel_type=m.group("rel_type"),
+                    src_label=m.group("src_label"),
+                    dst_label=m.group("dst_label"),
+                    src_alias=sa, dst_alias=da,
+                )
+                aliases[sa] = f"{sa}_"
+                aliases[da] = f"{da}_"
+                rel_alias = m.group("rel_alias")
+                rel_prefixed = True
+                continue
+            n = _NODE_RE.match(c.body)
+            if not n or n.group("props"):
+                raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
+            df = graph.match(n.group("label"))
+            aliases[n.group("alias") or "n"] = ""
+        elif c.kind == "RETURN":
+            returns = _split_top_commas(c.body)
+        elif c.kind == "LIMIT":
+            limit = int(c.body)
+        else:
+            raise CypherUnsupported(f"{c.kind} unsupported in read statements")
+
+    if df is None or not returns:
+        raise CypherUnsupported("read statement needs MATCH … RETURN …")
+
+    out_cols = []
+    for item in returns:
+        m = _RETURN_ITEM_RE.match(item)
+        if not m:
+            raise CypherUnsupported(f"unsupported RETURN item: {item!r}")
+        alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
+        if alias in aliases:
+            prefix = aliases[alias]
+            if prop is None:
+                out_cols.append(_entity_struct(df, prefix, out or alias) if rel_prefixed
+                                else _node_entity(df, out or alias))
+            else:
+                out_cols.append(F.col(f"{prefix}{prop}").alias(out or prop))
+        elif rel_alias is not None and alias == rel_alias:
+            out_cols.append(F.col("rel_type").alias(out or alias))
+        else:
+            raise CypherUnsupported(f"RETURN of unbound alias: {item!r}")
+    out = df.select(*out_cols)
+    return out.limit(limit) if limit is not None else out
+
+
+def _node_entity(df: DataFrame, out: str):
+    cols = [c for c in df.columns if c != NODE_ID]
+    return F.struct(*[F.col(c) for c in cols]).alias(out)

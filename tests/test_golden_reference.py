@@ -109,3 +109,124 @@ def test_write_counters_golden(spark, store):
     s2 = store.merge_nodes(batch, label="Article", key_col="link", prop_cols=["title"])
     assert s1.nodes_created == 1 and s1.properties_set == 1
     assert s2.nodes_created == 0 and s2.properties_set == 1
+
+
+# ---------------------------------------------------------------------------
+# The same five statements as LITERAL Cypher text through the string
+# front-end (operators/cypher_text.py) — verbatim from the reference.
+# ---------------------------------------------------------------------------
+
+CRAWL_UPSERT = """
+        MERGE (a:Article {link: $link})
+        SET a.title = $title, 
+            a.content = $content, 
+            a.published_at = datetime()
+        WITH a
+        MERGE (p:Publisher {name: $publisher})
+        MERGE (a)-[:WRITTEN_BY]->(p)
+        RETURN a
+        """  # /root/reference/src/crwling.py:47-56
+
+SEED_UPSERT = """
+    MERGE (u:User {name: $name})
+    MERGE (t:Tech {name: $tech})
+    MERGE (u)-[:INTERESTED_IN]->(t)
+    """  # /root/reference/src/ingest.py:4-8
+
+
+@pytest.fixture(scope="module")
+def text_store(spark, tmp_path_factory):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path_factory.mktemp("golden_text")))
+    # statement 1 — per-record scalar params, exactly the reference's loop;
+    # run twice for MERGE idempotence
+    for _ in range(2):
+        for link, title, content, publisher in ARTICLES:
+            res = run_cypher(
+                spark, CRAWL_UPSERT,
+                {"link": link, "title": title, "content": content, "publisher": publisher},
+                store=s,
+            )
+            assert res.df is not None  # RETURN a
+    # statement 2 — ingest.py: insert_user("Beomzh", "GraphRAG")
+    run_cypher(spark, SEED_UPSERT, {"name": "Beomzh", "tech": "GraphRAG"}, store=s)
+    return s
+
+
+def test_text_statement1_counters_and_return(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    # third run of one record: no creates, properties still set
+    res = run_cypher(
+        spark, CRAWL_UPSERT,
+        {"link": ARTICLES[0][0], "title": ARTICLES[0][1],
+         "content": ARTICLES[0][2], "publisher": ARTICLES[0][3]},
+        store=text_store,
+    )
+    assert res.summary.nodes_created == 0
+    assert res.summary.properties_set > 0
+    row = res.df.collect()
+    assert len(row) == 1 and row[0]["title"] == ARTICLES[0][1]
+
+
+def test_text_statement3_verification_read(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark, "MATCH (a:Article) RETURN a.title AS title LIMIT 5",  # main.py:17
+        store=text_store,
+    )
+    titles = sorted(r["title"] for r in res.df.collect())
+    assert titles == ["Alpha launches beta", "Beta ships gamma", "Gamma review roundup"]
+
+
+def test_text_statement4_typed_expand(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)\nRETURN u, r, t",  # cypher.txt:4-5
+        store=text_store,
+    )
+    rows = res.df.collect()
+    assert len(rows) == 1
+    u, r, t = rows[0]["u"], rows[0]["r"], rows[0]["t"]
+    assert (u["label"], u["key"]) == ("User", "Beomzh")
+    assert r == "INTERESTED_IN"
+    assert (t["label"], t["key"]) == ("Tech", "GraphRAG")
+
+
+def test_text_statement5_browse_all(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(spark, "MATCH (n) RETURN n LIMIT 25", store=text_store)  # cypher.txt:8
+    rows = res.df.collect()
+    assert len(rows) == 7
+    labels = sorted(r["n"]["label"] for r in rows)
+    assert labels == ["Article", "Article", "Article", "Publisher", "Publisher", "Tech", "User"]
+
+
+def test_text_batch_native_params(spark, tmp_path):
+    """The same statement text upserts a whole DataFrame of parameter
+    rows in ONE call — the per-record Bolt loop becomes a batched plan."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "batch_text"))
+    pdf = spark.createDataFrame(
+        ARTICLES, "link string, title string, content string, publisher string"
+    )
+    res = run_cypher(spark, CRAWL_UPSERT, pdf, store=s)
+    assert res.summary.nodes_created == 5  # 3 articles + 2 publishers
+    assert res.summary.relationships_created == 3
+    assert res.df.count() == 3
+
+
+def test_text_unsupported_syntax_raises(spark, tmp_path):
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "unsup"))
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (n) WHERE n.x = 1 RETURN n", store=s)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MERGE (a:X {k: $k}) DELETE a", {"k": 1}, store=s)
