@@ -275,10 +275,16 @@ def shortest_paths(
 def triangle_count(edges: DataFrame) -> DataFrame:
     """C5 — global triangle count on the undirected simple graph.
 
-    Canonicalize each edge to (lo, hi) with lo < hi, then count paths
-    a<b<c with edges (a,b),(b,c),(a,c): each triangle counted exactly
-    once. Two self-joins; degree-ordered canonicalization keeps the join
-    fan-out bounded on skewed graphs.
+    Schank's degree-ordered algorithm: orient every undirected edge from
+    the lower to the higher endpoint under the total order
+    ``(degree, id)``, generate wedges only at each edge's *lower* end,
+    and close them against the oriented edge set. Every triangle is
+    counted exactly once (its minimum-order vertex owns it), and the
+    wedge fan-out per vertex is its *out*-degree under the orientation,
+    which is O(sqrt(m)) — a hub with a million neighbors owns no wedges
+    because nearly all its edges point toward it, so the self-join stays
+    bounded on power-law graphs at 100× scale (the id-ordered variant
+    explodes on exactly those hubs).
     """
     und = (
         edges.select(
@@ -287,10 +293,29 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    ord_a = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    ord_b = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    a_first = ord_a < ord_b
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, ord_b).otherwise(ord_a).alias("hi_ord"),
+    )
+    w1 = oriented.select("lo", F.col("hi").alias("y"), F.col("hi_ord").alias("y_ord"))
+    w2 = oriented.select("lo", F.col("hi").alias("z"), F.col("hi_ord").alias("z_ord"))
+    wedges = w1.join(w2, on="lo").filter(F.col("y_ord") < F.col("z_ord"))
+    close = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tri = wedges.join(close, on=["y", "z"])
     return tri.agg(F.count(F.lit(1)).alias("triangles"))
 
 

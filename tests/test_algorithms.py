@@ -115,3 +115,28 @@ def test_label_propagation_two_cliques(spark):
     assert len({lbl[i] for i in c1}) == 1
     assert len({lbl[i] for i in c2}) == 1
     assert lbl[0] != lbl[13]
+
+
+def test_triangle_count_hub_graph(spark):
+    """Skew fixture: a 200-leaf star owns no triangles; closing 3 leaf
+    pairs adds exactly 3. Under the degree orientation the hub (highest
+    order) owns zero wedges, so the self-join fan-out is bounded by leaf
+    degrees — the id-ordered variant would generate C(200,2) wedges at
+    the hub."""
+    from neo4j_graphdb_spark.graph.algorithms import triangle_count
+
+    hub_edges = [("hub", f"leaf{i}") for i in range(200)]
+    closing = [("leaf0", "leaf1"), ("leaf2", "leaf3"), ("leaf4", "leaf5")]
+    df = spark.createDataFrame(hub_edges + closing, "src string, dst string")
+    assert triangle_count(df).collect()[0]["triangles"] == 3
+
+    # star alone: zero
+    star = spark.createDataFrame(hub_edges, "src string, dst string")
+    assert triangle_count(star).collect()[0]["triangles"] == 0
+
+    # duplicate + reversed edges collapse to the simple graph
+    noisy = spark.createDataFrame(
+        hub_edges + closing + [(b, a) for a, b in closing] + closing,
+        "src string, dst string",
+    )
+    assert triangle_count(noisy).collect()[0]["triangles"] == 3
