@@ -160,19 +160,24 @@ _MD5_60_SQL = (
 )
 
 
-def _simhash_md5_oracle_sql(num_bits: int = 60) -> str:
-    """DuckDB twin of ``simhash(hash_mode="md5_60")``: identical token
-    split, per-bit ±1 occurrence votes, and bit reassembly; the md5 fold
-    (``_MD5_60_SQL``) reproduces Spark's ``conv(substring(md5, 1, 15),
-    16, 10)`` digit-for-digit."""
+def _simhash_md5_oracle_sql(num_bits: int = 60, hash_tmpl: str = _MD5_60_SQL) -> str:
+    """DuckDB twin of ``simhash``: identical token split, per-bit ±1
+    occurrence votes, and bit reassembly. With the default md5 fold
+    (``_MD5_60_SQL``, reproducing Spark's ``conv(substring(md5, 1, 15),
+    16, 10)`` digit-for-digit) this is the driver-facing 60-bit oracle;
+    ``scripts/check_oracles.py`` re-instantiates it at 64 bits over a
+    ``spark_xxhash64`` Python UDF for the production-hash twin (bit 63
+    reassembles as −2^63: two's complement, matching Spark's
+    ``shiftleft(1, 63)`` mask addition)."""
     votes = ",\n                   ".join(
         f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(num_bits)
     )
     reassembly = " + ".join(
-        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(num_bits)
+        f"CASE WHEN b{i} > 0 THEN {-(1 << i) if i == 63 else (1 << i)} ELSE 0 END"
+        for i in range(num_bits)
     )
-    h = _MD5_60_SQL.format(x="tok")
+    h = hash_tmpl.format(x="tok")
     return f"""
         WITH toks AS MATERIALIZED (
             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -193,12 +198,17 @@ def _minhash_md5_oracle_sql(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    hash_tmpl: str = _MD5_60_SQL,
+    signed_hash: bool = False,
 ) -> str:
-    """DuckDB twin of ``minhash_lsh_pairs(hash_mode="md5_60")`` — the
-    ENTIRE pipeline: word shingles, one md5-fold base hash per shingle,
-    the same (a_i·h + b_i) mod p permutation family (coefficients from
-    ``dedup._perm_coeffs``), band bucketing, the bucket-size guard, the
-    candidate self-join, and the exact-Jaccard verification."""
+    """DuckDB twin of ``minhash_lsh_pairs`` — the ENTIRE pipeline: word
+    shingles, one base hash per shingle, the same (a_i·h + b_i) mod p
+    permutation family (coefficients from ``dedup._perm_coeffs``), band
+    bucketing, the bucket-size guard, the candidate self-join, and the
+    exact-Jaccard verification. Default instantiation is the md5-fold
+    driver oracle; ``scripts/check_oracles.py`` re-instantiates it over a
+    ``spark_xxhash64`` UDF (``signed_hash=True`` → double-mod pmod, since
+    xxhash64 is signed where the md5 fold is non-negative)."""
     from neo4j_graphdb_spark.operators.dedup import _MINHASH_P, _perm_coeffs
 
     rpb = num_hashes // bands
@@ -212,13 +222,17 @@ def _minhash_md5_oracle_sql(
     band_selects = "\n            UNION ALL\n            ".join(
         "SELECT doc_id, {t} AS band, {h} AS bucket FROM sigs".format(
             t=t,
-            h=_MD5_60_SQL.format(
+            h=hash_tmpl.format(
                 x="concat_ws(','," + ", ".join(f"s{t * rpb + j}" for j in range(rpb)) + ")"
             ),
         )
         for t in range(bands)
     )
-    shingle_hash = _MD5_60_SQL.format(x="s")
+    base = hash_tmpl.format(x="s")
+    if signed_hash:
+        shingle_hash = f"((({base}) % {_MINHASH_P}) + {_MINHASH_P})"
+    else:
+        shingle_hash = base
     return f"""
         WITH words AS MATERIALIZED (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -962,8 +976,10 @@ def q_c8_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — MinHash-LSH near-dup pairs; rows-only (xxhash64 has no DuckDB
-    twin). Verified against known near-dup pairs in pytest."""
+    """C8 — MinHash-LSH near-dup pairs. Rows-only in the DRIVER harness
+    (plain-SQL oracles only); value-verified locally by
+    ``scripts/check_oracles.py`` via its ``spark_xxhash64`` DuckDB UDF,
+    plus the ``_md5`` twin's driver oracle and known-pair pytest."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.6
@@ -972,8 +988,9 @@ def q_c8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — SimHash fingerprints; rows-only (no DuckDB xxhash64). The
-    algorithm itself is value-checked by ``c8_simhash_md5``."""
+    """C8 — SimHash fingerprints. Rows-only in the DRIVER harness;
+    value-verified locally by ``scripts/check_oracles.py`` (64-bit oracle
+    over its ``spark_xxhash64`` DuckDB UDF) and by ``c8_simhash_md5``."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id")
 

@@ -18,6 +18,85 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# ---------------------------------------------------------------------------
+# Spark-compatible xxhash64 as a DuckDB Python UDF: closes the value gap
+# for the two production-hash entries (c8_minhash_lsh, c8_simhash) that
+# stay rows-only in the DRIVER's harness (plain-SQL oracles only there).
+# Standard XXH64 (Collet's reference algorithm) over the string's UTF-8
+# bytes with Spark's fixed seed 42, reinterpreted as a signed long —
+# verified identical to pyspark.sql.functions.xxhash64 on fixture data.
+# ---------------------------------------------------------------------------
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5, _M64 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5, (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, k: int) -> int:
+    return (_rotl((acc + k * _P2) & _M64, 31) * _P1) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M64, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    return h ^ (h >> 32)
+
+
+def spark_xxhash64(s: str) -> int:
+    u = _xxh64(s.encode("utf-8"), 42)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+_XXHASH_TMPL = "spark_xxhash64({x})"
+
+
+def local_oracles() -> dict[str, str]:
+    """Value oracles for the driver's rows-only entries, usable only here
+    (the driver's DuckDB has no Python UDF registry)."""
+    from neo4j_graphdb_spark.registry import (
+        _minhash_md5_oracle_sql,
+        _simhash_md5_oracle_sql,
+    )
+
+    return {
+        "c8_minhash_lsh": _minhash_md5_oracle_sql(
+            hash_tmpl=_XXHASH_TMPL, signed_hash=True
+        ),
+        "c8_simhash": _simhash_md5_oracle_sql(num_bits=64, hash_tmpl=_XXHASH_TMPL),
+    }
+
+
 def canon(v):
     if isinstance(v, float):
         # driver-style tolerance: collapse -0.0/0.0 and format stably
@@ -47,8 +126,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con.create_function("spark_xxhash64", spark_xxhash64, ["VARCHAR"], "BIGINT")
 
     qs, os_ = e.queries(), e.oracle_sql()
+    # local-only value oracles for entries the driver records rows-only
+    os_ = {**local_oracles(), **os_}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
