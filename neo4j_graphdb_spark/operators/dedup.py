@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from neo4j_graphdb_spark.session import spread_partitions as _spread
+
 # ------------------------------------------------------------------ C7: exact
 
 
@@ -110,9 +112,6 @@ def _base_hash(col, hash_mode: str):
     if hash_mode == "md5_60":
         return _md5_60(col)
     raise ValueError(f"unknown hash_mode: {hash_mode!r}")
-
-
-from neo4j_graphdb_spark.session import spread_partitions as _spread
 
 
 def minhash_signatures(

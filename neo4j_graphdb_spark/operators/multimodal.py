@@ -42,12 +42,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_stub(payload: bytes | None, kind: str) -> list[float]:
-    """STUB decode kernel — deterministic fake features.
+    """STUB decode kernel — deterministic fake features; the container
+    default (PIL/librosa/ffmpeg are not installed here).
 
-    Real deployment: replace with PIL.Image.open / soundfile.read /
-    frame-sampling; the surrounding Arrow plumbing is unchanged.
-    Raises ``NotImplementedError`` for kinds a real decoder must handle
-    but the fake cannot fabricate meaningfully.
+    Real deployment: ``register_decoder("image", my_pil_kernel)`` — the
+    surrounding Arrow plumbing is unchanged. Raises
+    ``NotImplementedError`` for kinds a real decoder must handle but the
+    fake cannot fabricate meaningfully.
     """
     if kind not in {"image", "audio", "video"}:
         raise NotImplementedError(f"unknown media kind: {kind}")
@@ -61,13 +62,34 @@ def _decode_stub(payload: bytes | None, kind: str) -> list[float]:
     return [h / total for h in hist]
 
 
+# decoder registry: kind -> (payload, kind) -> list[float]. The stub is
+# the registered default for every kind; a deployment swaps kernels
+# WITHOUT touching the mapInPandas stage (the registry is captured in the
+# task closure at plan time, so registration must precede the action).
+_DECODERS: dict[str, object] = {
+    "image": _decode_stub,
+    "audio": _decode_stub,
+    "video": _decode_stub,
+}
+
+
+def register_decoder(kind: str, fn) -> None:
+    """Install a real decode kernel ``fn(payload: bytes|None, kind: str)
+    -> list[float]`` for one media kind (e.g. PIL for ``image``)."""
+    if kind not in _DECODERS:
+        raise ValueError(f"unknown media kind: {kind!r}")
+    _DECODERS[kind] = fn
+
+
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Decode + featurize media rows via ``mapInPandas`` (Arrow batches).
+    """Decode + featurize media rows via ``mapInPandas`` (Arrow batches),
+    dispatching per-kind through the decoder registry.
 
     Partitioning contract: upstream should size partitions by *bytes* not
     rows (``spark.sql.files.maxPartitionBytes``) because payloads dominate;
     the stage is embarrassingly parallel — no shuffle.
     """
+    decoders = dict(_DECODERS)  # snapshot into the task closure
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,7 +99,8 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int32"),
                     "feature": [
-                        _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                        decoders.get(k, _decode_stub)(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
             )

@@ -55,6 +55,12 @@ def cosine_topk(
     ``query_id == vec_id`` pairs — only meaningful when queries and corpus
     share an id namespace (it is opt-in precisely because with disjoint
     namespaces it would silently drop an unrelated corpus row).
+
+    .. warning:: **Behavior change vs pre-r2 releases**: the self-pair
+       filter used to be unconditional. If your queries are drawn from
+       the corpus and you want the old "nearest *other* document"
+       semantics, pass ``exclude_self=True`` — with the default, each
+       such query's rank-1 neighbor is itself at cosine 1.0.
     """
     c = corpus.select(
         F.col(id_col),

@@ -12,7 +12,7 @@ alignment stage would:
   no per-row join, no inequality join: the pattern scales to arbitrarily
   long histories because each row is touched exactly once.
 * :func:`range_join` — (left, right) pairs of the same key with
-  ``right_ts`` in ``(left_ts - window, left_ts]``. Implemented with
+  ``right_ts`` in ``[left_ts - window, left_ts)``. Implemented with
   time-bucket blocking (bucket width = window; each left probes its own
   and the previous bucket), so the join is a 2×-fanout equi-join, never
   an O(n²) inequality join — the plan you want when both sides are
@@ -95,7 +95,10 @@ def range_join(
     right_ts: str = "ts",
 ) -> DataFrame:
     """All (left, right) pairs with the same key where the right event
-    falls in ``(left_ts - window_sec, left_ts]``.
+    falls in ``[left_ts - window_sec, left_ts)`` — strictly before the
+    left event (simultaneous events excluded), back to and including the
+    exact window boundary; equivalently ``gap_sec = left_ts - right_ts``
+    in ``(0, window_sec]``.
 
     Blocking: both sides bucket at ``floor(epoch / window_sec)``; a match
     can only live in the left row's own or previous bucket, so the left

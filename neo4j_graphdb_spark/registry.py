@@ -590,7 +590,10 @@ def q_a11_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a12_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: datetime() at write time (src/crwling.py:51) — verify every
-    merged node got a sane current timestamp."""
+    merged node got a CURRENT timestamp: the count is bounded against the
+    read-time clock (within the past hour, not in the future), so stale
+    or wrong-by-hours stamps fail the oracle (which expects the full
+    count) instead of sliding past a constant lower bound."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
@@ -598,12 +601,11 @@ def q_a12_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a12_"))
     store.merge_nodes(b, label="Article", key_col="link", prop_cols=["published_at"])
-    return store.nodes().agg(
-        F.sum(
-            (F.col("published_at") > F.lit("2020-01-01"))
-            .cast("bigint")
-        ).alias("n_stamped")
+    now = F.current_timestamp()
+    fresh = (F.col("published_at") > now - F.expr("INTERVAL 1 HOUR")) & (
+        F.col("published_at") <= now + F.expr("INTERVAL 5 MINUTES")
     )
+    return store.nodes().agg(F.sum(fresh.cast("bigint")).alias("n_stamped"))
 
 
 def q_a13_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

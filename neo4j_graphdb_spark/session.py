@@ -14,10 +14,42 @@ Defaults are tuned for correctness-at-scale:
 
 from __future__ import annotations
 
+import atexit
+import contextlib
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+_STREAM_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_stream_dirs() -> None:
+    for d in _STREAM_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@contextlib.contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope the session-global nanosAsLong conf to one read: the conf is
+    captured when the DataFrame's plan is built (verified for both batch
+    and streaming paths), so restoring it immediately afterwards keeps
+    other same-session parquet reads unaffected."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None) -> SparkSession:
@@ -71,11 +103,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ]
     if not ns_cols:
         return spark.read.parquet(path)
-    # The conf is session-global, so detection must be schema-driven (an
-    # exception-based probe would mis-read the NEXT nanos table as longs
-    # once the conf sticks).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # Detection is schema-driven (not exception-probed) so the conf is
+    # only ever set for tables that actually need it, and _nanos_as_long
+    # restores it immediately after the plan is built.
+    with _nanos_as_long(spark):
+        df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
@@ -107,6 +139,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str):
 
     path = f"{sf_dir}/{name}.parquet"
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    _STREAM_DIRS.append(d)  # reclaimed at interpreter exit
     os.symlink(path, os.path.join(d, f"{name}.parquet"))
     ns_cols = [
         f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
@@ -114,7 +147,6 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str):
     batch_schema = load_table(spark, sf_dir, name).schema
     if not ns_cols:
         return spark.readStream.schema(batch_schema).parquet(d)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(
         [
             T.StructField(
@@ -123,7 +155,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str):
             for f in batch_schema
         ]
     )
-    df = spark.readStream.schema(raw_schema).parquet(d)
+    with _nanos_as_long(spark):
+        df = spark.readStream.schema(raw_schema).parquet(d)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

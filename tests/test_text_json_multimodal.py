@@ -136,3 +136,31 @@ def test_embedding_features(spark):
     assert r["l2_norm"] == pytest.approx(5.0)
     assert r["mean_val"] == pytest.approx(3.5)
     assert r["max_val"] == pytest.approx(4.0)
+
+
+def test_decoder_registry_swap(spark):
+    """C11: a registered kernel replaces the stub for its kind without
+    touching the Spark stage; other kinds keep the default."""
+    from neo4j_graphdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "ccc"), (3, "ddd")], "doc_id long, text string"
+    )
+    media = mm.synthetic_media(docs, "doc_id", "text")
+    try:
+        mm.register_decoder("image", lambda payload, kind: [42.0])
+        out = {r["media_id"]: r for r in mm.extract_media_features(media).collect()}
+    finally:
+        mm.register_decoder("image", mm._decode_stub)
+    image_ids = [r["media_id"] for r in media.filter("kind = 'image'").collect()]
+    assert image_ids
+    for mid, row in out.items():
+        if mid in image_ids:
+            assert row["feature"] == [42.0]
+        else:
+            assert len(row["feature"]) == 8  # stub histogram
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.register_decoder("hologram", lambda p, k: [])
