@@ -1295,6 +1295,34 @@ def q_c16_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c19_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 — watermarked stream-stream interval join on the REAL
+    streaming engine: click and purchase streams joined per user with the
+    purchase in the hour before the click — the streaming twin of
+    ``rel_range_join`` (identical output, identical oracle), with state
+    evicted by watermark + time-range bound."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.joins import stream_interval_join
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            stream_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .select("user_id", "ts", "event_id")
+        )
+
+    j = stream_interval_join(
+        side("click"), side("purchase"), ["user_id"], 3600.0, watermark="90 days"
+    )
+    out = run_stream_to_memory(spark, j, output_mode="append")
+    return out.select(
+        F.col("l_event_id").cast("bigint").alias("click_id"),
+        F.col("r_event_id").cast("bigint").alias("purchase_id"),
+        F.round("gap_sec", 6).alias("gap_sec"),
+    )
+
+
 def q_c18_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C18 — custom stateful operator (applyInPandasWithState) on the
     real streaming engine; a single availableNow batch makes the running
@@ -1642,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c16_watermark_late_data": q_c16_watermark_late_data,
     "c17_stream_dedup": q_c17_stream_dedup,
     "c18_stateful_totals": q_c18_stateful_totals,
+    "c19_stream_interval_join": q_c19_stream_interval_join,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -2130,6 +2159,15 @@ ORACLES: dict[str, str] = {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "rel_range_join": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id::bigint AS click_id, p.event_id::bigint AS purchase_id,
+               round((epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS gap_sec
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts - INTERVAL 3600 SECONDS
+                     AND p.ts < c.ts
+    """,
+    "c19_stream_interval_join": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
         SELECT c.event_id::bigint AS click_id, p.event_id::bigint AS purchase_id,

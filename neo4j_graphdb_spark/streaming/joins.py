@@ -1,0 +1,71 @@
+"""Stream-stream joins (tier-C extension, completing the Structured
+Streaming surface next to windows/stateful/dedup).
+
+The reference has no streaming at all (its loop is a synchronous batch
+crawler, ``/root/reference/src/crwling.py:109-186``); this is the
+engine-native continuation of :mod:`operators.temporal`: the same
+click/purchase alignment ``range_join`` computes in batch, expressed as
+a watermarked stream-stream join that Structured Streaming executes
+incrementally with bounded state.
+
+Scale notes: a stream-stream join keys its state store on the equi-join
+columns, and the event-time range condition is what lets the engine
+EVICT state — without it, both sides buffer forever. Watermark + range
+bound state to O(window × arrival rate) per key, independent of stream
+length, which is the difference between a demo and a 100 TB/day join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    window_sec: float,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two event streams on ``key_cols`` where the right event falls
+    in ``[left_ts - window_sec, left_ts)`` — the streaming twin of
+    :func:`operators.temporal.range_join` (same interval, same
+    ``gap_sec`` output), with watermarks on both sides so the state store
+    evicts rows once they can no longer match.
+
+    Output: the key columns, all other columns prefixed ``l_``/``r_``,
+    plus ``gap_sec = left_ts - right_ts`` in ``(0, window_sec]``.
+
+    Batch/stream agnostic: on batch inputs Spark plans an ordinary join
+    with the same predicate, so one definition serves both engines (and
+    the DuckDB oracle).
+    """
+    lcols = [c for c in left.columns if c not in key_cols]
+    rcols = [c for c in right.columns if c not in key_cols]
+    l = left.select(
+        *key_cols, *[F.col(c).alias(f"l_{c}") for c in lcols]
+    )
+    r = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
+    )
+    if left.isStreaming or right.isStreaming:
+        l = l.withWatermark(f"l_{ts_col}", watermark)
+        r = r.withWatermark(f"r_{ts_col}", watermark)
+    lts, rts = F.col(f"l_{ts_col}"), F.col(f"r_{ts_col}")
+    gap = lts.cast("double") - rts.cast("double")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k) == F.col(f"_rk_{k}") for k in key_cols]
+        + [gap > 0, gap <= window_sec],
+    )
+    return (
+        l.join(r, on=cond, how=how)
+        .drop(*[f"_rk_{k}" for k in key_cols])
+        .withColumn("gap_sec", gap)
+    )

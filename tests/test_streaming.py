@@ -159,3 +159,40 @@ def test_stream_upsert_sink(spark, tmp_path, sf_dir):
     n = store.nodes().count()
     assert n == load_table(spark, sf_dir, "documents").count()
     assert sum(s.nodes_created for s in q._upsert_summaries) == n
+
+
+def test_stream_interval_join_matches_batch_range_join(spark):
+    """C19: the watermarked stream-stream join yields exactly the batch
+    range_join's pairs on the same data (same interval semantics), and
+    the same definition runs on plain batch frames."""
+    from neo4j_graphdb_spark.operators.temporal import range_join
+    from neo4j_graphdb_spark.streaming.joins import stream_interval_join
+
+    rows = [
+        # (user, ts, id) — u1: purchase 30m before click (match), purchase
+        # 2h before (no), simultaneous (no); u2: cross-user (no)
+        ("u1", "2024-01-01 10:00:00", 1),
+        ("u2", "2024-01-01 10:00:00", 2),
+    ]
+    buys = [
+        ("u1", "2024-01-01 09:30:00", 101),
+        ("u1", "2024-01-01 07:55:00", 102),
+        ("u1", "2024-01-01 10:00:00", 103),
+        ("u2", "2024-01-01 09:59:00", 104),
+    ]
+    mk = lambda data: spark.createDataFrame(
+        data, "user_id string, ts_s string, event_id int"
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts", "event_id")
+    clicks_df, buys_df = mk(rows), mk(buys)
+
+    batch = stream_interval_join(clicks_df, buys_df, ["user_id"], 3600.0)
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"], r["gap_sec"]) for r in batch.collect()
+    )
+    assert got == [(1, 101, 1800.0), (2, 104, 60.0)]
+
+    rj = range_join(clicks_df, buys_df, ["user_id"], 3600.0)
+    ref = sorted(
+        (r["l_event_id"], r["r_event_id"], r["gap_sec"]) for r in rj.collect()
+    )
+    assert got == ref
