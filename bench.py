@@ -61,11 +61,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
+        spark.catalog.clearCache()  # drop warmup-run persists before timing
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # drop this query's persists so cached blocks don't accumulate
+        # into GC pressure (and timing spikes) for later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
