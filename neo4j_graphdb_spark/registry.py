@@ -1534,6 +1534,25 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts as columns. The
+    pivot values are declared explicitly so Spark skips the extra
+    distinct-values scan and the plan is ONE partial-aggregated shuffle —
+    at 100 TB an undeclared pivot would pay a full pre-pass to discover
+    the column set."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "signup", "view", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}") for k in kinds],
+    )
+
+
 def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew-join (operators/skew.py): every purchase event joined
     to its user's first signup through the salting rewrite — bit-identical
@@ -1681,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
+    "rel_pivot": q_rel_pivot,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -2175,6 +2195,15 @@ ORACLES: dict[str, str] = {
         FROM c JOIN p ON c.user_id = p.user_id
                      AND p.ts >= c.ts - INTERVAL 3600 SECONDS
                      AND p.ts < c.ts
+    """,
+    "rel_pivot": """
+        SELECT user_id::bigint AS user_id,
+               count(*) FILTER (event_type = 'click')::bigint AS n_click,
+               count(*) FILTER (event_type = 'purchase')::bigint AS n_purchase,
+               count(*) FILTER (event_type = 'signup')::bigint AS n_signup,
+               count(*) FILTER (event_type = 'view')::bigint AS n_view,
+               count(*) FILTER (event_type = 'error')::bigint AS n_error
+        FROM events GROUP BY user_id
     """,
     "rel_salted_join": """
         WITH dim AS (
