@@ -364,6 +364,39 @@ class GraphStore:
         return WriteSummary(relationships_created=created)
 
 
+    # ------------------------------------------------------------ maintenance
+
+    def compact(self, table: str = "nodes", files_per_value: int = 1) -> str | None:
+        """Small-file compaction — the OPTIMIZE of this store.
+
+        Every MERGE batch rewrites its touched partition into fresh files,
+        so a store that ingests many small batches accumulates many small
+        parquet files per label/rel_type dir; at 100 TB that means
+        footer-bound scans and task-launch overhead. Compaction rewrites
+        the current version with at most ``files_per_value`` files per
+        partition value (clustered by a deterministic id hash), as a new
+        version — readers pinned to the old version are untouched, the
+        pointer swap is atomic, and untouched semantics are guaranteed by
+        construction (same rows, new layout).
+        """
+        if table == "nodes":
+            vt, pcol, id_col = self._nodes, "label", NODE_ID
+        elif table == "edges":
+            vt, pcol, id_col = self._edges, "rel_type", "src"
+        else:
+            raise ValueError(f"unknown table: {table!r}")
+        df = vt.read(self.spark)
+        if df is None:
+            return None
+        keys = [F.col(pcol)]
+        if files_per_value > 1:
+            keys.append(F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_value)))
+        # repartition on the partition column (+ optional intra-value
+        # salt): every partition value lands in at most files_per_value
+        # tasks, so each hive dir gets at most that many files
+        return vt.write_next(df.repartition(*keys), partition_by=pcol)
+
+
 def _hardlink_tree(src: str, dst: str) -> None:
     """Mirror a partition directory into the new version via hardlinks —
     zero data copied, the files are shared between versions (read-only by

@@ -232,3 +232,31 @@ def test_legacy_unpartitioned_edges_upgrade(spark, tmp_path):
         by_type[r["rel_type"]] += 1
     assert by_type == {"WRITTEN_BY": 2, "LINKS_TO": 1}  # LINKS_TO NOT dropped
     assert store._edges.is_partitioned_by("rel_type")
+
+
+def test_compact_bounds_files_and_preserves_data(spark, store):
+    """Compaction rewrites the current version with at most
+    files_per_value files per partition dir, same rows, new version."""
+    import os
+
+    # 4 merge batches -> several small files per label dir
+    for i in range(4):
+        b = _batch(spark, [(f"u{i}-{j}", f"t{j}", "c") for j in range(5)])
+        store.merge_nodes(b, "Article", "link", ["title", "content"])
+    before = {r["key"]: r["title"] for r in store.nodes().collect()}
+    v_before = store._nodes.current_version()
+    dir_before = os.path.join(store._nodes.current_path(), "label=Article")
+    files_before = [f for f in os.listdir(dir_before) if f.endswith(".parquet")]
+    assert len(files_before) > 1
+
+    store.compact("nodes", files_per_value=1)
+    assert store._nodes.current_version() == v_before + 1
+    assert store._nodes.is_partitioned_by("label")
+    dir_after = os.path.join(store._nodes.current_path(), "label=Article")
+    files_after = [f for f in os.listdir(dir_after) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    after = {r["key"]: r["title"] for r in store.nodes().collect()}
+    assert after == before
+
+    # empty edges table: no-op
+    assert store.compact("edges") is None
