@@ -88,6 +88,80 @@ def cosine_topk(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd refinement of IVF centroids, as DataFrame ops.
+
+    Init: the ``k`` lowest-id corpus vectors (each centroid keeps its
+    seed's id). Each iteration = one broadcast argmax-cosine assignment
+    pass over the corpus + one posexplode/avg shuffle to recompute the
+    per-dimension means — O(n·k) work, no driver-side loops over data.
+    Centroids are rounded to ``round_dp`` decimals each iteration, which
+    (a) makes the fit bit-reproducible across engines (a SQL twin
+    recomputes identical centroid literals, so the downstream IVF search
+    is value-checkable end to end) and (b) costs nothing at 6 dp against
+    float32 inputs. Cells that lose all members drop out (``k`` may
+    shrink), deterministically.
+
+    Returns ``(centroid_id bigint, centroid array<double>)`` — feed it to
+    :func:`ivf_topk` via ``centroids=``. Fixed ``iters`` (no convergence
+    collect): at 100 TB each extra iteration is one more scan+shuffle,
+    and IVF recall plateaus after a few rounds.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    cents = (
+        c.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col("_cv").alias("centroid"))
+    )
+    for _ in range(iters):
+        ct = cents.select(
+            F.col("centroid_id").alias("_cent"), F.col("centroid").alias("_cent_v")
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(ct))
+            .select(
+                F.col(id_col),
+                "_cv",
+                "_cent",
+                cosine(F.col("_cv"), F.col("_cent_v")).alias("_ac"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.expr("max_by(_cent, struct(_ac, -_cent))").alias("_cell"),
+                F.first("_cv").alias("_cv"),
+            )
+        )
+        cents = (
+            assigned.select("_cell", F.posexplode("_cv").alias("pos", "x"))
+            .groupBy("_cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], round_dp),
+                ).alias("centroid")
+            )
+            .select(F.col("_cell").alias("centroid_id"), "centroid")
+            # materialized once per iteration: consumed by the next
+            # assignment pass AND the caller; also keeps the loop at one
+            # plan per iteration instead of a super-linearly re-optimized
+            # stack
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,6 +171,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -111,9 +186,9 @@ def ivf_topk(
 
     The coarse quantizer is deterministic — the ``n_centroids`` lowest-id
     corpus vectors seed the cells — so the whole operator is reproducible
-    and SQL-checkable end to end. Centroid *quality* is pluggable: train
-    k-means offline and substitute the centroid table without touching
-    the search path.
+    and SQL-checkable end to end. Centroid *quality* is pluggable: pass
+    ``centroids=`` a ``(centroid_id, centroid)`` table (e.g. from
+    :func:`kmeans_fit`) and the search path is unchanged.
     """
     c = corpus.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv")
@@ -122,11 +197,17 @@ def ivf_topk(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
-    cents = (
-        c.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("_cent"), F.col("_cv").alias("_cent_v"))
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("centroid_id").alias("_cent"),
+            F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("_cent_v"),
+        )
+    else:
+        cents = (
+            c.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("_cent"), F.col("_cv").alias("_cent_v"))
+        )
 
     # index: argmax-cosine cell per corpus vector (one broadcast pass)
     assigned = (

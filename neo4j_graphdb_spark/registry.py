@@ -346,6 +346,82 @@ def _lsh_ann_oracle_sql(
     """
 
 
+def _ivf_kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, nprobe: int = 3, topk: int = 5, nq: int = 5
+) -> str:
+    """DuckDB twin of ``kmeans_fit`` + ``ivf_topk(centroids=...)``: the
+    Lloyd iterations unroll as chained CTEs (assignment = argmax-cosine
+    window, recompute = zipped-unnest per-dimension avg rounded to 6 dp —
+    the same rounding the Spark fit applies, so both engines carry
+    IDENTICAL centroid doubles into the search)."""
+    steps = []
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        asg{i} AS MATERIALIZED (
+            SELECT vec_id, cv, cent_id AS cell FROM (
+                SELECT c.vec_id, c.cv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS rn
+                FROM c CROSS JOIN {prev} ct
+            ) WHERE rn = 1
+        ),
+        cents{i} AS MATERIALIZED (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_v FROM (
+                SELECT cell, pos, round(avg(x), 6) AS m FROM (
+                    SELECT cell, unnest(cv) AS x, unnest(range(len(cv))) AS pos
+                    FROM asg{i}
+                ) GROUP BY cell, pos
+            ) GROUP BY cell
+        )""")
+        prev = f"cents{i}"
+    fit = ",".join(steps)
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        cents0 AS MATERIALIZED (
+            SELECT vec_id AS cent_id, cv AS cent_v FROM c ORDER BY vec_id LIMIT {k}
+        ),{fit},
+        assigned AS (
+            SELECT vec_id, cv, cent_id AS cell FROM (
+                SELECT c.vec_id, c.cv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS rn
+                FROM c CROSS JOIN {prev} ct
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, cv AS qv FROM c ORDER BY vec_id LIMIT {nq}),
+        probed AS (
+            SELECT query_id, qv, cent_id AS cell FROM (
+                SELECT q.query_id, q.qv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS pr
+                FROM q CROSS JOIN {prev} ct
+            ) WHERE pr <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(p.qv, a.cv) AS cos
+            FROM probed p JOIN assigned a ON a.cell = p.cell
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::int AS rank
+        FROM ranked WHERE rank <= {topk}
+    """
+
+
 def _label_prop_oracle_sql(iters: int = 3) -> str:
     """DuckDB twin of :func:`graph.algorithms.label_propagation` on the
     arithmetic-id analytics graph: each superstep is one CTE — neighbor
@@ -1077,6 +1153,28 @@ def q_c9_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c9_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — IVF search over k-means-FITTED centroids: two Lloyd
+    iterations (similarity.kmeans_fit, centroids rounded to 6 dp per
+    iteration) feed ivf_topk's pluggable centroid table. The DuckDB
+    oracle recomputes the identical fit (unrolled iterations) and search,
+    so the trained quantizer is value-checked end to end."""
+    from neo4j_graphdb_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = ivf_topk(emb, queries, nprobe=3, k=5, centroids=cents)
+    return tk.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_c10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = quality_score_cols(F.col("text"))
@@ -1676,6 +1774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c9_cosine_topk": q_c9_cosine_topk,
     "c9_lsh_ann": q_c9_lsh_ann,
     "c9_ivf_topk": q_c9_ivf_topk,
+    "c9_ivf_kmeans": q_c9_ivf_kmeans,
     "c10_text_stats": q_c10_text_stats,
     "c10_lang_detect": q_c10_lang_detect,
     "c10_fingerprint": q_c10_fingerprint,
@@ -1945,6 +2044,7 @@ ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 5
     """,
     "c9_lsh_ann": _lsh_ann_oracle_sql(),
+    "c9_ivf_kmeans": _ivf_kmeans_oracle_sql(),
     "c9_ivf_topk": """
         WITH c AS MATERIALIZED (
             SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv

@@ -164,3 +164,37 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
         for r in ivf_topk(emb, q, n_centroids=16, nprobe=16, k=5).collect()
     }
     assert full == exact
+
+
+def test_kmeans_fit_and_ivf_recall(spark, sf_dir):
+    """kmeans_fit: deterministic, k bounded, 64-dim double centroids;
+    feeding it to ivf_topk keeps rank-1 self-recall perfect and overall
+    recall vs exact top-k reasonable for nprobe=3/8 cells."""
+    from neo4j_graphdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from neo4j_graphdb_spark.session import load_table
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+
+    cents1 = kmeans_fit(embeddings, k=8, iters=2)
+    cents2 = kmeans_fit(embeddings, k=8, iters=2)
+    rows1 = sorted((r["centroid_id"], tuple(r["centroid"])) for r in cents1.collect())
+    rows2 = sorted((r["centroid_id"], tuple(r["centroid"])) for r in cents2.collect())
+    assert rows1 == rows2  # deterministic
+    assert 1 <= len(rows1) <= 8
+    assert all(len(v) == 64 for _, v in rows1)
+
+    qs = embeddings.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(embeddings, qs, nprobe=3, k=5, centroids=cents1)
+    exact = cosine_topk(embeddings, qs, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    # every query finds itself at rank 1 (cosine 1.0 lives in its own cell)
+    assert {(q, q) for q, _ in e} <= a
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, recall
