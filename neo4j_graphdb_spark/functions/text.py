@@ -117,3 +117,86 @@ def detect_language(col: Column | str, default: str = "en") -> Column:
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     assert expr is not None
     return expr.otherwise(F.lit(default))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the context
+    windowing stage of a training-data pipeline (tokens here = whitespace
+    words; swap in a real tokenizer upstream without changing the plan).
+
+    Pure column expressions: split → strided ``sequence`` of window
+    starts → ``slice``/``array_join`` per window → ``posexplode``. One
+    narrow stage, no shuffle, no UDF — at 100 TB this runs at scan speed.
+    Output: ``(id, chunk_id, chunk, n_tokens)``; the final window is the
+    remainder (shorter than ``chunk_tokens``), windows advance by
+    ``chunk_tokens - overlap``.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, … while start < n (1-indexed slice)
+    n_windows = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride + 1
+    )
+    windows = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "_w"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(F.col("_w"), " ").alias("chunk"),
+        F.size("_w").cast("bigint").alias("n_tokens"),
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment by hashed key — the same
+    row lands in the same split on every run, every engine, every scale
+    (the property random ``df.sample`` cannot give you on re-ingest).
+
+    Buckets the md5 of ``salt || key`` into 10^6 slots and maps
+    cumulative weight ranges to split names; the md5 fold is the engine's
+    cross-checkable hash (digit-identical in DuckDB), so the split is
+    SQL-auditable. Adds a ``split`` column; weights must sum to ~1.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    slots = 1_000_000
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(slots),
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = int(acc * slots)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -1200,6 +1200,28 @@ def q_c10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def q_c10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — overlapping token-window chunking (64-token windows, 16
+    overlap): the context-window stage of a training pipeline, pure
+    column expressions, no shuffle."""
+    from neo4j_graphdb_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+def q_c10_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — reproducible train/val/test assignment by hashed key
+    (80/10/10): same row → same split on every run and engine; the md5
+    bucket makes the assignment SQL-auditable."""
+    from neo4j_graphdb_spark.functions.text import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_c11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 — multimodal feature extraction through the Arrow/mapInPandas
     plumbing, full DuckDB oracle: the stub kernel's byte histogram is a
@@ -1778,6 +1800,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_text_stats": q_c10_text_stats,
     "c10_lang_detect": q_c10_lang_detect,
     "c10_fingerprint": q_c10_fingerprint,
+    "c10_chunking": q_c10_chunking,
+    "c10_det_split": q_c10_det_split,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c12_json_access": q_c12_json_access,
@@ -2161,6 +2185,31 @@ ORACLES: dict[str, str] = {
         "cast(json_extract_string(props, '$.k') AS bigint) AS k_int FROM events"
     ),
     "c13_stream_ingest": _ARTICLES_SQL,
+    "c10_chunking": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, w,
+                   greatest(cast(ceil((len(w) - 16) / 48.0) AS int), 1) AS nw
+            FROM toks
+        )
+        SELECT doc_id, i::bigint AS chunk_id,
+               array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ') AS chunk,
+               len(list_slice(w, i * 48 + 1, i * 48 + 64))::bigint AS n_tokens
+        FROM wins, unnest(range(nw)) AS t(i)
+    """,
+    "c10_det_split": f"""
+        SELECT doc_id,
+               CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ({_MD5_60_SQL.format(x="concat('split', cast(doc_id AS varchar))")}) % 1000000 AS b
+            FROM documents
+        )
+    """,
     "c14_tumbling_window": """
         SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS window_day,
                event_type,

@@ -164,3 +164,49 @@ def test_decoder_registry_swap(spark):
 
     with _pytest.raises(ValueError):
         mm.register_decoder("hologram", lambda p, k: [])
+
+
+def test_chunk_documents_windows(spark):
+    from neo4j_graphdb_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"]) for r in out.collect()}
+    # doc 1: stride 3 -> starts 0,3,6 (ceil((10-1)/3)=3 windows)
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == ("solo", 1)  # short doc: one remainder window
+    assert (3, 0) in rows  # empty text still yields one (empty) window
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_deterministic_split_reproducible(spark):
+    from neo4j_graphdb_spark.functions.text import deterministic_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in deterministic_split(docs, "k", w).collect()}
+    b = {r["k"]: r["split"] for r in deterministic_split(docs, "k", w).collect()}
+    assert a == b  # same assignment every run
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.07 < frac["val"] / 2000 < 0.13
+    # different salt -> different assignment
+    c = {r["k"]: r["split"] for r in deterministic_split(docs, "k", w, salt="x").collect()}
+    assert a != c
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        deterministic_split(docs, "k", {"train": 0.5, "val": 0.1})
