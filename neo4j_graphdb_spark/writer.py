@@ -102,6 +102,45 @@ class _VersionedTable:
         self._schema, self._schema_version = df.schema, v
         return df
 
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame | None:
+        """Time-travel read of one retained version (mergeSchema — the
+        schema cache only tracks the current version)."""
+        path = os.path.join(self.root, f"v{version}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"version {version} not present under {self.root} "
+                "(never written, or reclaimed by vacuum)"
+            )
+        return spark.read.option("mergeSchema", "true").parquet(path)
+
+    def list_versions(self) -> list[int]:
+        return sorted(
+            int(e[1:])
+            for e in os.listdir(self.root)
+            if e.startswith("v") and e[1:].isdigit()
+        )
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Reclaim all but the newest ``keep_last`` versions (the current
+        pointer is always kept). Safe with hardlink carry-over: links are
+        per-file references, so deleting an old version's tree never
+        touches bytes a retained version still links. Returns the
+        reclaimed version numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.list_versions()
+        cur = self.current_version()
+        keep = set(versions[-keep_last:]) | {cur}
+        gone = []
+        for v in versions:
+            if v in keep:
+                continue
+            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+            gone.append(v)
+        return gone
+
     def write_next(self, df: DataFrame, partition_by: str | None = None) -> str:
         v = self.current_version() + 1
         path = os.path.join(self.root, f"v{v}")
@@ -207,11 +246,18 @@ class GraphStore:
 
     # ---------------------------------------------------------------- reads
 
-    def nodes(self) -> DataFrame | None:
-        return self._nodes.read(self.spark)
+    def nodes(self, version: int | None = None) -> DataFrame | None:
+        """Current nodes table, or a pinned earlier ``version`` (time
+        travel — every write is a new version, so any historical state
+        remains readable until :meth:`vacuum` reclaims it)."""
+        if version is None:
+            return self._nodes.read(self.spark)
+        return self._nodes.read_version(self.spark, version)
 
-    def edges(self) -> DataFrame | None:
-        return self._edges.read(self.spark)
+    def edges(self, version: int | None = None) -> DataFrame | None:
+        if version is None:
+            return self._edges.read(self.spark)
+        return self._edges.read_version(self.spark, version)
 
     # --------------------------------------------------------------- writes
 
@@ -365,6 +411,15 @@ class GraphStore:
 
 
     # ------------------------------------------------------------ maintenance
+
+    def vacuum(self, keep_last: int = 1) -> dict[str, list[int]]:
+        """Reclaim old versions of both tables, keeping the newest
+        ``keep_last`` (current pointer always retained) — the retention
+        half of the compact/vacuum/time-travel lifecycle."""
+        return {
+            "nodes": self._nodes.vacuum(keep_last),
+            "edges": self._edges.vacuum(keep_last),
+        }
 
     def compact(self, table: str = "nodes", files_per_value: int = 1) -> str | None:
         """Small-file compaction — the OPTIMIZE of this store.

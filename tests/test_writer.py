@@ -260,3 +260,28 @@ def test_compact_bounds_files_and_preserves_data(spark, store):
 
     # empty edges table: no-op
     assert store.compact("edges") is None
+
+
+def test_time_travel_and_vacuum(spark, store):
+    """Every merge is a new readable version; vacuum reclaims old ones
+    without touching hardlink-shared bytes of retained versions."""
+    store.merge_nodes(_batch(spark, [("u1", "t1", "c1")]), "Article", "link", ["title", "content"])
+    store.merge_nodes(_batch(spark, [("u1", "t1x", "c1")]), "Article", "link", ["title", "content"])
+    store.merge_nodes(_batch(spark, [("u2", "t2", "c2")]), "Article", "link", ["title", "content"])
+
+    # time travel: v0 has the original title, v1 the overwrite, v2 adds u2
+    assert {r["key"]: r["title"] for r in store.nodes(version=0).collect()} == {"u1": "t1"}
+    assert {r["key"]: r["title"] for r in store.nodes(version=1).collect()} == {"u1": "t1x"}
+    assert set(r["key"] for r in store.nodes(version=2).collect()) == {"u1", "u2"}
+    assert store._nodes.list_versions() == [0, 1, 2]
+
+    gone = store.vacuum(keep_last=1)
+    assert gone["nodes"] == [0, 1]
+    # current data intact (v2's files were hardlink-shared with v1)
+    assert {r["key"]: r["title"] for r in store.nodes().collect()} == {"u1": "t1x", "u2": "t2"}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="reclaimed|not present"):
+        store.nodes(version=0)
+    with _p.raises(ValueError):
+        store.vacuum(keep_last=0)
