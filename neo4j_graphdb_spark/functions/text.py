@@ -200,3 +200,62 @@ def deterministic_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub common PII patterns from free text — emails, IPv4s, and
+    long digit runs (phone/card-shaped) — replacing each with a typed
+    token. Pure JVM regexes (no UDF); patterns deliberately conservative
+    (precision over recall) and portable between Java regex and RE2 so
+    the oracle can reproduce them verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(c, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>")
+    c = F.regexp_replace(c, r"\+?\b[0-9][0-9 ()-]{7,}[0-9]\b", "<PHONE>")
+    return c
+
+
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher-rules family):
+
+    * ``dup_word_frac`` — fraction of word occurrences beyond each
+      word's first (1 - distinct/total);
+    * ``top_word_frac`` — occurrences of the single most frequent word
+      over total words;
+    * ``dup_line_frac`` — fraction of newline-split lines beyond each
+      line's first.
+
+    All built-in array/higher-order expressions — no shuffle, no UDF;
+    boilerplate-heavy documents score high and get filtered upstream of
+    dedup, where they would otherwise flood LSH buckets.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    nw = F.size(words)
+    distinct_w = F.size(F.array_distinct(words))
+    # top word count = longest equal-run in the sorted word array: an
+    # O(n log n) fold, not the O(n^2) count-per-distinct-word shape that
+    # dies on long documents
+    top = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    lines = F.split(c, r"\n")
+    nl = F.size(lines)
+    distinct_l = F.size(F.array_distinct(lines))
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return {
+        "dup_word_frac": safe((nw - distinct_w).cast("double"), nw),
+        "top_word_frac": safe(top.cast("double"), nw),
+        "dup_line_frac": safe((nl - distinct_l).cast("double"), nl),
+    }

@@ -1222,6 +1222,35 @@ def q_c10_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — PII scrubbing: deterministic email/IP/phone strings injected
+    from doc_id, then redacted to typed tokens by portable regexes (the
+    oracle reproduces injection AND redaction verbatim)."""
+    from neo4j_graphdb_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-0100-"), (F.col("doc_id") % 100).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+def q_c10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — repetition quality signals (Gopher-rules family):
+    duplicate-word, top-word, and duplicate-line fractions as pure
+    higher-order array expressions."""
+    from neo4j_graphdb_spark.functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = repetition_stats("text")
+    return docs.select(
+        "doc_id", *[F.round(v, 6).alias(k) for k, v in st.items()]
+    )
+
+
 def q_c11_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11 — multimodal feature extraction through the Arrow/mapInPandas
     plumbing, full DuckDB oracle: the stub kernel's byte histogram is a
@@ -1802,6 +1831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_fingerprint": q_c10_fingerprint,
     "c10_chunking": q_c10_chunking,
     "c10_det_split": q_c10_det_split,
+    "c10_pii_redact": q_c10_pii_redact,
+    "c10_repetition": q_c10_repetition,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c12_json_access": q_c12_json_access,
@@ -2209,6 +2240,38 @@ ORACLES: dict[str, str] = {
                    ({_MD5_60_SQL.format(x="concat('split', cast(doc_id AS varchar))")}) % 1000000 AS b
             FROM documents
         )
+    """,
+    "c10_pii_redact": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   concat(substr(text, 1, 60),
+                          ' contact user', cast(doc_id AS varchar),
+                          '@example.com or 10.0.', cast(doc_id % 256 AS varchar),
+                          '.7 tel 555-0100-', cast(doc_id % 100 AS varchar)),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '\\+?\\b[0-9][0-9 ()-]{7,}[0-9]\\b', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
+    "c10_repetition": """
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(words) > 0
+                     THEN (len(words) - len(list_distinct(words)))::double / len(words)
+                     ELSE 0 END, 6) AS dup_word_frac,
+               round(CASE WHEN len(words) > 0
+                     THEN list_max(list_transform(list_distinct(words),
+                          y -> len(list_filter(words, x -> x = y))))::double / len(words)
+                     ELSE 0 END, 6) AS top_word_frac,
+               round(CASE WHEN len(lines) > 0
+                     THEN (len(lines) - len(list_distinct(lines)))::double / len(lines)
+                     ELSE 0 END, 6) AS dup_line_frac
+        FROM w
     """,
     "c14_tumbling_window": """
         SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS window_day,

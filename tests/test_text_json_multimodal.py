@@ -210,3 +210,44 @@ def test_deterministic_split_reproducible(spark):
 
     with _p.raises(ValueError):
         deterministic_split(docs, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_redact_pii_patterns(spark):
+    from neo4j_graphdb_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@foo-bar.co.uk now"),
+        (2, "server at 192.168.1.254 up"),
+        (3, "call +1 (555) 010-9999 today"),
+        (4, "clean text with no pii 42"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: r["red"] for r in df.select("id", redact_pii("t").alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> up"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text with no pii 42"
+
+
+def test_repetition_stats_values(spark):
+    from neo4j_graphdb_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),            # 1 distinct of 4 -> dup .75, top 1.0
+        (2, "a b c d"),            # all distinct
+        (3, "x y\nx y\nz w"),      # 3 lines, 1 dup line
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    st = repetition_stats("t")
+    out = {
+        r["id"]: (r["dw"], r["tw"], r["dl"])
+        for r in df.select(
+            "id",
+            st["dup_word_frac"].alias("dw"),
+            st["top_word_frac"].alias("tw"),
+            st["dup_line_frac"].alias("dl"),
+        ).collect()
+    }
+    assert out[1] == (0.75, 1.0, 0.0)
+    assert out[2] == (0.0, 0.25, 0.0)
+    assert out[3][2] == 1.0 / 3.0
