@@ -351,3 +351,96 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
+    """C-tier extension — k-core decomposition by synchronous peeling:
+    each round drops every node whose degree *within the surviving
+    subgraph* is < k; survivors of round R are exactly the k-core once a
+    round removes nothing. Returns ``(id, degree)`` — degree measured in
+    the subgraph the final filter saw.
+
+    Peeling converges in "degeneracy depth" rounds (small on real
+    graphs); each round is two semi-joins + one ``groupBy(node)``
+    shuffle over the *shrinking* survivor edge set, with the same
+    one-action-per-round lazy-checkpoint discipline as
+    ``connected_components`` (stacked unexecuted supersteps blow up
+    Catalyst re-optimization super-linearly). Early-exit when a round's
+    survivor count is unchanged — at that fixpoint extra rounds are
+    no-ops, so the early exit is value-identical to a fixed-round
+    unroll (what the SQL oracle runs).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("src").alias("id")).distinct()
+    prev_n = None
+    out = alive.withColumn("degree", F.lit(0).cast("long"))
+    for _ in range(max_rounds):
+        surv = sym.join(
+            alive.select(F.col("id").alias("src")), on="src", how="left_semi"
+        ).join(alive.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+        deg = surv.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        out = deg.filter(F.col("degree") >= k).localCheckpoint(eager=False)
+        n = out.count()  # the ONE action per round; materializes the checkpoint
+        if n == prev_n:
+            break
+        prev_n = n
+        alive = out.select("id")
+    return out
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 8,
+    id_col: str = "id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """C-tier extension — single-source(-set) weighted shortest paths by
+    synchronous Bellman-Ford supersteps: each round relaxes every edge
+    once, ``dist' = min(dist, min over (u,v,w) of dist[u] + w)``; after
+    i rounds every ≤i-edge shortest path is exact, and the loop
+    early-exits at the fixpoint (checksum unchanged — same
+    one-action-per-round pattern as ``connected_components``; a
+    convergence check by join would cost a second shuffle).
+
+    Non-negative weights assumed (no negative-cycle detection — this is
+    the Cypher ``shortestPath`` with cost substrate, not a finance
+    engine). Each superstep is one join (dist ⋈ edges, shuffle on the
+    edge src) + one ``groupBy(id).min`` — both keyed shuffles on node
+    id, no broadcast of anything growing, so the 100×-scale story is
+    the standard Pregel one: O(diameter) rounds of O(|E|) work.
+    """
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        relaxed = dist.join(edges, dist["id"] == edges["src"]).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col(weight_col).cast("double")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(id, cast(round(dist, 9) as string)))").alias("h"),
+        ).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    return dist

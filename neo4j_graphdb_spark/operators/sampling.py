@@ -1,0 +1,148 @@
+"""Deterministic sampling and sequence packing for training-data curation.
+
+Two operators a large-scale pipeline runs between dedup and tokenization:
+
+* :func:`stratified_sample` — per-stratum downsampling at exact,
+  reproducible rates (e.g. keep 10% of English, 100% of low-resource
+  languages). Hash-gated, not ``df.sample``: the same row survives on
+  every run, every engine, and every re-ingest, so the mixture is
+  auditable with plain SQL.
+* :func:`pack_sequences` — greedy first-fit-sequential packing of
+  documents into fixed-capacity context windows ("sequence packing"),
+  the standard trick for filling training batches without padding
+  waste. Packing is per-bucket, so it parallelizes across the cluster
+  with zero coordination; within a bucket the fill order is
+  deterministic (ascending id).
+
+Scale shape: stratified_sample is a pure filter (no shuffle — the gate
+is a column expression over md5). pack_sequences shuffles once on the
+bucket key and then runs a linear scan per bucket inside an Arrow-batched
+``applyInPandas``; buckets are independent, so skew is bounded by the
+bucket count you choose, not by the data.
+
+No reference twin: the reference (a Neo4j ingest crawler) has no
+sampling/packing stage; north-star extension per the training-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SLOTS = 1_000_000
+
+
+def _hash_bucket(key_col: str, salt: str):
+    """md5-fold of ``salt || key`` into [0, 1e6) — the engine's
+    cross-checkable hash (digit-identical in DuckDB, see
+    functions/text.py:deterministic_split)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_SLOTS),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    ``rates`` maps stratum value → keep-fraction in [0, 1]; strata not
+    listed use ``default_rate``. Rows keep their full schema. Sampling
+    is by ``md5(salt || key)`` so re-runs (and the SQL oracle) agree
+    row-for-row — no RNG, no partition-order sensitivity.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1] (got {r})")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1] (got {default_rate})")
+    bucket = _hash_bucket(key_col, salt)
+    thresh = None
+    for name, r in rates.items():
+        bound = F.lit(int(r * _SLOTS))
+        cond = F.col(strata_col) == F.lit(name)
+        thresh = F.when(cond, bound) if thresh is None else thresh.when(cond, bound)
+    thresh = (
+        F.lit(int(default_rate * _SLOTS))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_rate * _SLOTS)))
+    )
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    capacity: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Greedy first-fit-sequential sequence packing.
+
+    Documents are routed to ``id % n_buckets`` buckets; within a bucket,
+    in ascending ``id_col`` order, each document joins the current pack
+    if its tokens still fit, else opens a new pack. A document longer
+    than ``capacity`` gets a pack of its own (callers truncate/chunk
+    upstream via ``chunk_documents``).
+
+    Returns ``(id_col, bucket, pack_id, pack_pos, n_tokens)`` —
+    ``pack_id`` numbers packs within a bucket from 0, ``pack_pos`` the
+    document's position within its pack. Greedy-sequential (not best-fit)
+    is the industry default: it needs one linear pass, keeps documents
+    in stable order, and wastes <3% capacity at realistic length mixes.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    out_schema = (
+        f"{id_col} bigint, bucket bigint, pack_id bigint, "
+        f"pack_pos bigint, n_tokens bigint"
+    )
+    cap = capacity
+
+    def pack_one_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        pack_ids, positions = [], []
+        pack, pos, acc = 0, 0, 0
+        first = True
+        for tok in pdf["_toks"]:
+            t = int(tok)
+            if first:
+                acc, pos, first = t, 0, False
+            elif acc + t <= cap:
+                acc += t
+                pos += 1
+            else:
+                pack += 1
+                acc, pos = t, 0
+            pack_ids.append(pack)
+            positions.append(pos)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                "bucket": pdf["_bucket"].astype("int64"),
+                "pack_id": pd.Series(pack_ids, dtype="int64"),
+                "pack_pos": pd.Series(positions, dtype="int64"),
+                "n_tokens": pdf["_toks"].astype("int64"),
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("_bucket"),
+        F.col(n_tokens_col).cast("long").alias("_toks"),
+    )
+    return prepared.groupBy("_bucket").applyInPandas(pack_one_bucket, out_schema)

@@ -1781,6 +1781,105 @@ def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c20_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 — benchmark-contamination scores: word-5-gram overlap of every
+    document against a deterministic 'benchmark' subset (doc_id % 19 == 0).
+    Benchmark shingles broadcast; one corpus scan, one groupBy."""
+    from neo4j_graphdb_spark.operators.contamination import contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    return contamination_scores(docs, bench, id_col="doc_id", text_col="text", n=5)
+
+
+def q_c21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — deterministic per-language stratified sample (md5-gated, no
+    RNG): keep 50% en, 100% de, 25% fr, 10% elsewhere."""
+    from neo4j_graphdb_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_rate=0.1, salt="mix1",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_c22_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — greedy sequence packing of documents into 256-token context
+    windows across 8 independent buckets (applyInPandas per bucket; the
+    oracle replays the same greedy fold as a recursive CTE)."""
+    from neo4j_graphdb_spark.functions.text import word_count
+    from neo4j_graphdb_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", word_count("text").alias("n_tokens"))
+    return pack_sequences(toks, "doc_id", "n_tokens", capacity=256, n_buckets=8)
+
+
+def _bought_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer—Part bipartite edges via orders ⋈ lineitem (the cyclic
+    graph the tree-shaped analytics graph can't provide — k-core on a
+    forest is empty)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_c23_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 — 20-core of the Customer—Part purchase graph by synchronous
+    peeling (fixed-round unroll in the oracle; early-exit at fixpoint is
+    value-identical because peeling is monotone)."""
+    from neo4j_graphdb_spark.graph.algorithms import k_core
+
+    e = _bought_edges(spark, sf_dir)
+    out = k_core(e, k=20, max_rounds=6)
+    return out.select("id", F.col("degree").cast("bigint").alias("degree"))
+
+
+def q_c24_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 — weighted shortest paths from every Region root down the
+    (reversed) analytics forest via Bellman-Ford supersteps. Weights are
+    deterministic functions of the child key; on a forest the shortest
+    path is the unique path, so the oracle is the closed-form 2-hop sum —
+    an iterative operator value-checked without recursion."""
+    from neo4j_graphdb_spark.graph.algorithms import weighted_shortest_paths
+
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    reg = load_table(spark, sf_dir, "region")
+    e1 = nat.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("dst"),
+        ((F.col("n_nationkey") % 5) + 1).cast("double").alias("weight"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("dst"),
+        ((F.col("c_custkey") % 7) + 1).cast("double").alias("weight"),
+    )
+    e3 = supp.select(
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("dst"),
+        ((F.col("s_suppkey") % 7) + 1).cast("double").alias("weight"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    sources = reg.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("id")
+    )
+    d = weighted_shortest_paths(edges, sources, max_iter=4)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1844,6 +1943,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c17_stream_dedup": q_c17_stream_dedup,
     "c18_stateful_totals": q_c18_stateful_totals,
     "c19_stream_interval_join": q_c19_stream_interval_join,
+    "c20_contamination": q_c20_contamination,
+    "c21_stratified_sample": q_c21_stratified_sample,
+    "c22_seq_pack": q_c22_seq_pack,
+    "c23_k_core": q_c23_k_core,
+    "c24_weighted_sssp": q_c24_weighted_sssp,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -1871,6 +1975,37 @@ _ARTICLES_SQL = (
     "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
     "substr(text, 1, 40) AS title FROM documents"
 )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    """DuckDB twin of ``k_core``: the fixed peel rounds unroll into
+    chained CTEs (same technique as ``_pagerank_oracle_sql``). Round i
+    recomputes degrees over round i-1's survivor set and keeps nodes
+    with degree >= k; peeling is monotone, so the engine's count-based
+    early exit is value-identical to this full unroll."""
+    ctes = [
+        "edges AS MATERIALIZED ("
+        "SELECT DISTINCT 'C' || cast(o_custkey AS varchar) AS u, "
+        "'P' || cast(l_partkey AS varchar) AS v "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"alive{i - 1}"
+        ctes.append(
+            f"alive{i} AS MATERIALIZED ("
+            f"SELECT u AS id, count(*) AS c FROM sym "
+            f"WHERE u IN (SELECT id FROM {prev}) "
+            f"AND v IN (SELECT id FROM {prev}) "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, c::bigint AS degree FROM alive{rounds}"
+    )
+
 
 ORACLES: dict[str, str] = {
     "a1_label_scan": _ARTICLES_SQL,
@@ -2441,5 +2576,82 @@ ORACLES: dict[str, str] = {
                count(*)::bigint AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "c20_contamination": """
+        WITH grams AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(w) - 5, 0) + 2),
+                       i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS gs
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS w
+                  FROM documents)
+        ),
+        bench AS MATERIALIZED (
+            SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 19 = 0
+        ),
+        expl AS MATERIALIZED (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM expl GROUP BY doc_id),
+        hit AS (SELECT doc_id, count(*) AS n_cont FROM expl
+                WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(tot.n_grams, 0)::bigint AS n_grams,
+               coalesce(hit.n_cont, 0)::bigint AS n_contaminated,
+               round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                     THEN coalesce(hit.n_cont, 0)::double / tot.n_grams
+                     ELSE 0 END, 6) AS contamination_frac
+        FROM documents d
+        LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+    "c21_stratified_sample": f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ({_MD5_60_SQL.format(x="concat('mix1', cast(doc_id AS varchar))")})
+                       % 1000000 AS b
+            FROM documents
+        )
+        WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                            WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    "c22_seq_pack": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, doc_id % 8 AS bucket,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   0::bigint AS pack_id, 0::bigint AS pack_pos, n_tokens AS acc
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.acc + t.n_tokens <= 256 THEN p.pack_id
+                        ELSE p.pack_id + 1 END,
+                   CASE WHEN p.acc + t.n_tokens <= 256 THEN p.pack_pos + 1
+                        ELSE 0::bigint END,
+                   CASE WHEN p.acc + t.n_tokens <= 256 THEN p.acc + t.n_tokens
+                        ELSE t.n_tokens END
+            FROM packed p JOIN toks t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket::bigint AS bucket, pack_id, pack_pos,
+               n_tokens::bigint AS n_tokens
+        FROM packed
+    """,
+    "c23_k_core": _kcore_oracle_sql(k=20, rounds=6),
+    "c24_weighted_sssp": """
+        SELECT 'R' || cast(r_regionkey AS varchar) AS id, 0.0 AS dist FROM region
+        UNION ALL
+        SELECT 'N' || cast(n_nationkey AS varchar),
+               ((n_nationkey % 5) + 1)::double FROM nation
+        UNION ALL
+        SELECT 'C' || cast(c_custkey AS varchar),
+               ((n_nationkey % 5) + 1 + (c_custkey % 7) + 1)::double
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'S' || cast(s_suppkey AS varchar),
+               ((n_nationkey % 5) + 1 + (s_suppkey % 7) + 1)::double
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """,
 }

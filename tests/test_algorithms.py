@@ -140,3 +140,50 @@ def test_triangle_count_hub_graph(spark):
         "src string, dst string",
     )
     assert triangle_count(noisy).collect()[0]["triangles"] == 3
+
+
+def test_k_core_peels_tail(spark):
+    """A 5-clique (4-core) with a chain hanging off it: peeling removes
+    the chain in degeneracy-depth rounds and keeps exactly the clique."""
+    from neo4j_graphdb_spark.graph.algorithms import k_core
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    e = spark.createDataFrame(clique + chain, "src string, dst string")
+    out = {r["id"]: r["degree"] for r in k_core(e, k=3).collect()}
+    assert set(out) == {"c0", "c1", "c2", "c3", "c4"}
+    # inside the surviving subgraph every clique node has degree 4
+    assert all(d == 4 for d in out.values())
+    # k above the clique degree empties the graph
+    assert k_core(e, k=5).count() == 0
+
+
+def test_k_core_forest_is_empty_for_k2(spark):
+    from neo4j_graphdb_spark.graph.algorithms import k_core
+
+    tree = [("r", "a"), ("r", "b"), ("a", "c"), ("a", "d")]
+    e = spark.createDataFrame(tree, "src string, dst string")
+    assert k_core(e, k=2).count() == 0
+
+
+def test_weighted_shortest_paths_picks_cheaper_long_path(spark):
+    """Diamond where the 2-edge path (1+1) beats the direct edge (5) —
+    hop-count BFS would get this wrong; Bellman-Ford must not."""
+    from neo4j_graphdb_spark.graph.algorithms import weighted_shortest_paths
+
+    edges = [("s", "t", 5.0), ("s", "m", 1.0), ("m", "t", 1.0), ("t", "x", 2.0)]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    src = spark.createDataFrame([("s",)], "id string")
+    d = {r["id"]: r["dist"] for r in weighted_shortest_paths(e, src).collect()}
+    assert d == {"s": 0.0, "m": 1.0, "t": 2.0, "x": 4.0}
+
+
+def test_weighted_shortest_paths_multi_source_unreachable(spark):
+    from neo4j_graphdb_spark.graph.algorithms import weighted_shortest_paths
+
+    edges = [("a", "b", 3.0), ("c", "b", 1.0), ("z1", "z2", 1.0)]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    src = spark.createDataFrame([("a",), ("c",)], "id string")
+    d = {r["id"]: r["dist"] for r in weighted_shortest_paths(e, src).collect()}
+    # b reachable from both sources -> min wins; z* never appear
+    assert d == {"a": 0.0, "c": 0.0, "b": 1.0}
