@@ -81,3 +81,27 @@ def test_store_label_scan_partition_prunes(spark, sf_dir):
     plan = _plan(g.match("Article"))
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "label" in pf
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """c20's benchmark shingle set is tiny relative to the corpus — it
+    must reach every executor by broadcast, never by shuffling the
+    exploded corpus grams on the join key."""
+    plan = _plan(QUERIES["c20_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_pure_filter(spark, sf_dir):
+    """c21 must compile to a filter over the scan — zero exchanges; the
+    md5 gate is a row-local predicate, so sampling 100 TB costs one
+    read pass and no shuffle."""
+    plan = _plan(QUERIES["c21_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_seq_pack_single_shuffle_on_bucket(spark, sf_dir):
+    """c22 shuffles exactly once — on the pack bucket key into the
+    Arrow-batched applyInPandas; no second exchange after packing."""
+    plan = _plan(QUERIES["c22_seq_pack"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
