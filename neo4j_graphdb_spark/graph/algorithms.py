@@ -32,10 +32,15 @@ def pagerank(
     max_iter: int = 10,
     damping: float = 0.85,
     id_col: str = "node_id",
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """C2 — PageRank with dangling-mass redistribution.
 
-    rank' = (1-d)/N + d·(Σ incoming rank/out_deg + dangling/N).
+    rank' = (1-d)·tele + d·(Σ incoming rank/out_deg + dangling·tele),
+    where the teleport vector ``tele`` is uniform 1/N without
+    ``sources`` (classic PageRank — the formula reduces to
+    (1-d)/N + d·dm/N + d·Σcontrib) and uniform over the source set with
+    it (personalized PageRank: all reset mass returns to the sources).
     One shuffle per iteration (the contribution aggregation); ranks table
     is checkpointed every step to cut lineage.
     """
@@ -43,17 +48,28 @@ def pagerank(
     out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    ranks = (
+    base = (
         nodes.select(F.col(id_col))
         .distinct()
         .join(out_deg, on=id_col, how="left")
-        .select(
+        .select(id_col, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    )
+    if sources is None:
+        base = base.withColumn("tele", F.lit(1.0 / n_nodes))
+    else:
+        src = sources.select(F.col(id_col)).distinct()
+        n_src = src.count()
+        if n_src == 0:
+            raise ValueError("sources must contain at least one node id")
+        base = base.join(
+            F.broadcast(src.withColumn("_is_src", F.lit(True))), on=id_col, how="left"
+        ).select(
             id_col,
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.lit(1.0 / n_nodes).alias("rank"),
+            "out_deg",
+            F.when(F.col("_is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0)).alias("tele"),
         )
-        .repartition(id_col)
-        .localCheckpoint()
+    ranks = (
+        base.withColumn("rank", F.col("tele")).repartition(id_col).localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -75,15 +91,33 @@ def pagerank(
             .select(
                 id_col,
                 "out_deg",
+                "tele",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.col("_dm") / n_nodes
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.col("_dm") * F.col("tele")
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
     return ranks.select(id_col, "rank")
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 10,
+    damping: float = 0.85,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C-tier extension — personalized PageRank: random walks restart at
+    the source set instead of anywhere, so rank measures proximity to the
+    sources (the standard recommendation / related-entities primitive).
+    Same superstep loop and cost shape as :func:`pagerank`."""
+    return pagerank(
+        nodes, edges, max_iter=max_iter, damping=damping, id_col=id_col, sources=sources
+    )
 
 
 def connected_components(

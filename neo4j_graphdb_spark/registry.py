@@ -472,13 +472,19 @@ def _label_prop_oracle_sql(iters: int = 3) -> str:
     """
 
 
-def _pagerank_oracle_sql(iters: int = 8, d: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 8, d: float = 0.85, tele_sql: str | None = None
+) -> str:
     """DuckDB twin of :func:`graph.algorithms.pagerank` on the analytics
     graph: the fixed ``iters`` supersteps unroll into chained CTEs (no
     recursion needed — the iteration count is static), each mirroring the
     Spark superstep exactly: dangling mass from out-degree-0 ranks,
     contributions ``rank/out_deg`` summed per destination, update
-    ``(1-d)/N + d·dm/N + d·Σcontrib``."""
+    ``(1-d)·tele + d·dm·tele + d·Σcontrib``. ``tele_sql`` is the
+    teleport-probability expression per base row ``b`` — uniform
+    ``1/N`` by default (classic PageRank), source-concentrated for the
+    personalized variant."""
+    tele = tele_sql or "1.0 / nn.n"
     steps = []
     for i in range(1, iters + 1):
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
@@ -487,11 +493,11 @@ def _pagerank_oracle_sql(iters: int = 8, d: float = 0.85) -> str:
         # (2^iters evaluations of r0)
         steps.append(
             f"""r{i} AS MATERIALIZED (
-            SELECT b.label, b.key, b.od,
-                   (1 - {d}) / nn.n
-                   + {d} * (SELECT coalesce(sum("rank"), 0) FROM r{i - 1} WHERE od = 0) / nn.n
+            SELECT b.label, b.key, b.od, b.tele,
+                   (1 - {d}) * b.tele
+                   + {d} * (SELECT coalesce(sum("rank"), 0) FROM r{i - 1} WHERE od = 0) * b.tele
                    + {d} * coalesce(c.contrib, 0) AS "rank"
-            FROM base b CROSS JOIN nn
+            FROM base b
             LEFT JOIN (
                 SELECT e.dst_label AS label, e.dst_key AS key,
                        sum(r."rank" / r.od) AS contrib
@@ -518,12 +524,14 @@ def _pagerank_oracle_sql(iters: int = 8, d: float = 0.85) -> str:
             SELECT src_label AS label, src_key AS key, count(*) AS od
             FROM edges GROUP BY 1, 2
         ),
+        nn AS MATERIALIZED (SELECT count(*)::double AS n FROM nodes),
         base AS MATERIALIZED (
-            SELECT n.label, n.key, coalesce(d.od, 0) AS od
-            FROM nodes n LEFT JOIN deg d ON n.label = d.label AND n.key = d.key
+            SELECT b.label, b.key, b.od, {tele} AS tele FROM (
+                SELECT n.label, n.key, coalesce(d.od, 0) AS od
+                FROM nodes n LEFT JOIN deg d ON n.label = d.label AND n.key = d.key
+            ) b CROSS JOIN nn
         ),
-        nn AS MATERIALIZED (SELECT count(*)::double AS n FROM base),
-        r0 AS (SELECT b.label, b.key, b.od, 1.0 / nn.n AS "rank" FROM base b CROSS JOIN nn),
+        r0 AS (SELECT b.label, b.key, b.od, b.tele, b.tele AS "rank" FROM base b),
         {chain}
         SELECT label, key, round("rank", 6) AS "rank" FROM r{iters}
     """
@@ -1880,6 +1888,75 @@ def q_c24_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("id", F.round("dist", 6).alias("dist"))
 
 
+def q_c25_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 — sketch surface, self-validating: HLL distinct counts
+    (``approx_count_distinct``, rsd 1%) and GK percentiles
+    (``approx_percentile``, accuracy 10000) computed NEXT TO their exact
+    twins, emitting the exact values plus bounded-error flags. The oracle
+    is exact-only SQL expecting every flag true, so the sketches'
+    error contract is what gets value-checked — the honest way to oracle
+    an approximate operator. At 100 TB the exact twins drop out and the
+    sketches keep the single-pass, mergeable, fixed-memory plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_med"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("exact_nd").cast("bigint").alias("exact_nd"),
+        (F.abs(F.col("approx_nd") - F.col("exact_nd")) / F.col("exact_nd") <= 0.05)
+        .alias("nd_within_5pct"),
+        F.round("exact_med", 4).alias("exact_med"),
+        (F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med") <= 0.05)
+        .alias("med_within_5pct"),
+    )
+
+
+def q_c26_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 — stream-static enrichment on the real streaming engine: the
+    event stream joined to the (broadcast) customer dimension per batch,
+    then aggregated to purchases per nation. Stateless join — no
+    watermark, no state store; the streaming twin of a plain dimension
+    lookup, which is exactly what the oracle runs."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.joins import stream_static_enrich
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream_static_enrich(ev, dim, on=["user_id"])
+    out = run_stream_to_memory(spark, enriched, output_mode="append")
+    return out.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_c27_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 — personalized PageRank on the analytics graph with the five
+    Region nodes as the restart set; 8 supersteps, full value oracle
+    (``_ppr_oracle_sql`` unrolls them with the source-concentrated
+    teleport vector)."""
+    from neo4j_graphdb_spark.graph.algorithms import personalized_pagerank
+
+    g = analytics_graph(spark, sf_dir)
+    sources = g.nodes_df.filter(F.col("label") == "Region").select(NODE_ID)
+    pr = personalized_pagerank(
+        g.nodes_df.select(NODE_ID), g.edges_df, sources, max_iter=8
+    )
+    nk = _node_keys(g)
+    return nk.join(pr, nk["id"] == pr[NODE_ID]).select(
+        "label", "key", F.round("rank", 6).alias("rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1948,6 +2025,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c22_seq_pack": q_c22_seq_pack,
     "c23_k_core": q_c23_k_core,
     "c24_weighted_sssp": q_c24_weighted_sssp,
+    "c25_approx_stats": q_c25_approx_stats,
+    "c26_stream_static_join": q_c26_stream_static_join,
+    "c27_personalized_pagerank": q_c27_personalized_pagerank,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -2640,6 +2720,28 @@ ORACLES: dict[str, str] = {
         FROM packed
     """,
     "c23_k_core": _kcore_oracle_sql(k=20, rounds=6),
+    "c25_approx_stats": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey)::bigint AS exact_nd,
+               true AS nd_within_5pct,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
+               true AS med_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "c26_stream_static_join": """
+        SELECT c_nationkey, count(*)::bigint AS n_purchases,
+               round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_nationkey
+    """,
+    "c27_personalized_pagerank": _pagerank_oracle_sql(
+        iters=8,
+        tele_sql=(
+            "CASE WHEN b.label = 'Region' "
+            "THEN 1.0 / (SELECT count(*) FROM region) ELSE 0.0 END"
+        ),
+    ),
     "c24_weighted_sssp": """
         SELECT 'R' || cast(r_regionkey AS varchar) AS id, 0.0 AS dist FROM region
         UNION ALL

@@ -69,3 +69,30 @@ def stream_interval_join(
         .drop(*[f"_rk_{k}" for k in key_cols])
         .withColumn("gap_sec", gap)
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich an event stream with a static dimension table — the
+    standard "decorate the firehose" pattern (events × user profile,
+    clicks × catalog). Structured Streaming plans this as a stateless
+    per-batch join: no state store, no watermark needed, and the static
+    side is re-read each trigger, so slowly-changing dimensions pick up
+    new snapshots between batches.
+
+    ``broadcast_dim`` (default) hints the dimension to every executor —
+    at 100 TB/day of events the stream side must never shuffle for a
+    dimension lookup. Set it False only when the dimension itself is too
+    big to broadcast (the join then shuffles both sides on ``on``).
+
+    Batch/stream agnostic like :func:`stream_interval_join` — on a batch
+    input it is a plain join with identical semantics, which is exactly
+    what the DuckDB oracle runs.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

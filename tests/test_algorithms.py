@@ -187,3 +187,29 @@ def test_weighted_shortest_paths_multi_source_unreachable(spark):
     d = {r["id"]: r["dist"] for r in weighted_shortest_paths(e, src).collect()}
     # b reachable from both sources -> min wins; z* never appear
     assert d == {"a": 0.0, "c": 0.0, "b": 1.0}
+
+
+def test_personalized_pagerank_concentrates_near_sources(spark):
+    """PPR on a path a->b->c plus isolated z, restarting at {a}: all rank
+    flows down the path (a > b > c), z gets exactly zero, and classic
+    PageRank on the same graph gives z nonzero — the teleport vector is
+    what's being tested."""
+    from neo4j_graphdb_spark.graph.algorithms import pagerank, personalized_pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "node_id string")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node_id string")
+
+    ppr = {r["node_id"]: r["rank"] for r in personalized_pagerank(nodes, edges, srcs, max_iter=12).collect()}
+    assert ppr["a"] > ppr["b"] > ppr["c"]
+    assert ppr["z"] == 0.0
+    # mass sums to ~1 (dangling c and z return their mass to a)
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+
+    classic = {r["node_id"]: r["rank"] for r in pagerank(nodes, edges, max_iter=12).collect()}
+    assert classic["z"] > 0.0
+
+    import pytest as _p
+    empty = spark.createDataFrame([], "node_id string")
+    with _p.raises(ValueError):
+        personalized_pagerank(nodes, edges, empty)

@@ -196,3 +196,29 @@ def test_stream_interval_join_matches_batch_range_join(spark):
         (r["l_event_id"], r["r_event_id"], r["gap_sec"]) for r in rj.collect()
     )
     assert got == ref
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, sf_dir):
+    """C26: the stream-static join equals the plain batch join on the
+    same data, and the dimension side is broadcast (the stream side must
+    never shuffle for a dimension lookup)."""
+    from neo4j_graphdb_spark.session import load_table, stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.joins import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    ev_stream = stream_table(spark, sf_dir, "events")
+    got = run_stream_to_memory(
+        spark, stream_static_enrich(ev_stream, dim, on=["user_id"]), output_mode="append"
+    )
+    ev_batch = load_table(spark, sf_dir, "events")
+    ref = stream_static_enrich(ev_batch, dim, on=["user_id"])
+    assert got.count() == ref.count()
+    g = got.groupBy("c_nationkey").count().collect()
+    r = {x["c_nationkey"]: x["count"] for x in ref.groupBy("c_nationkey").count().collect()}
+    assert {x["c_nationkey"]: x["count"] for x in g} == r
+
+    plan = ref._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
