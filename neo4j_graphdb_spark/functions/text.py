@@ -259,3 +259,31 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
         "top_word_frac": safe(top.cast("double"), nw),
         "dup_line_frac": safe((nl - distinct_l).cast("double"), nl),
     }
+
+
+def quality_filter(
+    col: Column | str,
+    min_words: int = 30,
+    max_punct_ratio: float = 0.10,
+    min_stopword_ratio: float = 0.01,
+    max_dup_line_frac: float = 0.20,
+    max_top_word_frac: float = 0.12,
+) -> dict[str, Column]:
+    """Aggregate keep/drop verdict from the individual quality signals —
+    the Gopher-rules-style gate a corpus passes before dedup (filtering
+    first shrinks every later stage). Returns ``keep`` (boolean) and
+    ``drop_reason`` (first failing rule in a fixed precedence order, or
+    NULL when kept). All the underlying signals are pure column
+    expressions, so the whole verdict stays inside whole-stage codegen —
+    zero UDFs, zero shuffles, SQL-reproducible."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = quality_score_cols(c)
+    r = repetition_stats(c)
+    reason = (
+        F.when(q["n_words"] < min_words, F.lit("too_short"))
+        .when(q["punct_ratio"] > max_punct_ratio, F.lit("punct_heavy"))
+        .when(q["stopword_ratio"] < min_stopword_ratio, F.lit("no_stopwords"))
+        .when(r["dup_line_frac"] > max_dup_line_frac, F.lit("dup_lines"))
+        .when(r["top_word_frac"] > max_top_word_frac, F.lit("repetitive"))
+    )
+    return {"keep": reason.isNull(), "drop_reason": reason}

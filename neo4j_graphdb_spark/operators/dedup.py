@@ -399,3 +399,33 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_rounds: int = 6
+) -> DataFrame:
+    """Pairs → duplicate CLUSTERS → canonical survivors — the step every
+    production dedup pipeline runs after candidate verification: near-dup
+    relations are not transitive, so A≈B and B≈C chain into one group
+    that must keep exactly one representative.
+
+    Connected components over the verified-pair graph by min-id flooding
+    (duplicate clusters have tiny diameters — a handful of supersteps —
+    so flooding beats star-contraction's constant factor here), then
+    ``is_canonical = (id == cluster min)``. Every document appears:
+    singletons are their own canonical cluster. Returns
+    ``(id_col, cluster, is_canonical)``.
+
+    Fixed-round semantics: flooding early-exits only at the fixpoint, so
+    results equal the ``max_rounds``-round unroll the SQL oracle runs.
+    """
+    from neo4j_graphdb_spark.graph.algorithms import _cc_min_propagation
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("node_id"))
+    comp = _cc_min_propagation(nodes, edges, max_iter=max_rounds)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

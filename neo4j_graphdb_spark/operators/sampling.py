@@ -146,3 +146,36 @@ def pack_sequences(
         F.col(n_tokens_col).cast("long").alias("_toks"),
     )
     return prepared.groupBy("_bucket").applyInPandas(pack_one_bucket, out_schema)
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-order randomization:
+    every row gets a ``shard`` (md5 hash bucket) and a ``pos`` within
+    its shard (rank of the hash, ties broken by key) — together a
+    reproducible random permutation of the corpus, the thing
+    ``ORDER BY rand()`` cannot give you twice.
+
+    Scale shape: one shuffle on the shard key; the rank window is
+    PARTITIONED by shard, so no single-partition global sort ever
+    happens — at 100 TB you pick n_shards ≈ output file count and each
+    shard sorts independently (exactly how training shards are laid
+    out). Readers stream shards in order, or interleave them for
+    between-shard randomness.
+    """
+    from pyspark.sql import Window
+
+    hkey = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("_hkey", hkey).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_hkey", 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("_hkey", key_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_hkey")

@@ -1957,6 +1957,47 @@ def q_c27_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c28_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 — the COMPLETE near-dup pipeline: MinHash-LSH verified pairs →
+    connected components (min-id flooding) → canonical survivor per
+    cluster. The oracle replays the full chain — the generated minhash
+    pair SQL feeding an unrolled flooding — so pairs-to-survivors is
+    value-checked end to end (md5_60 base hash, as in c8's md5 twin)."""
+    from neo4j_graphdb_spark.operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        num_hashes=64, bands=16, jaccard_threshold=0.6, hash_mode="md5_60",
+    )
+    out = near_dup_clusters(docs, pairs, "doc_id", max_rounds=6)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def q_c29_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 — aggregate Gopher-rules gate: keep/drop verdict + first
+    failing rule, composed from the quality and repetition signals as
+    one zero-UDF column expression."""
+    from neo4j_graphdb_spark.functions.text import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = quality_filter("text")
+    return docs.select("doc_id", v["keep"].alias("keep"), v["drop_reason"].alias("drop_reason"))
+
+
+def q_c30_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 — deterministic training-order shuffle: md5 shard + in-shard
+    rank; the rank window is partitioned by shard (no global sort)."""
+    from neo4j_graphdb_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id", n_shards=16).select("doc_id", "shard", "pos")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2028,6 +2069,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c25_approx_stats": q_c25_approx_stats,
     "c26_stream_static_join": q_c26_stream_static_join,
     "c27_personalized_pagerank": q_c27_personalized_pagerank,
+    "c28_near_dup_clusters": q_c28_near_dup_clusters,
+    "c29_quality_filter": q_c29_quality_filter,
+    "c30_global_shuffle": q_c30_global_shuffle,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -2085,6 +2129,40 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, c::bigint AS degree FROM alive{rounds}"
     )
+
+
+def _cluster_oracle_sql(rounds: int = 6) -> str:
+    """DuckDB twin of ``near_dup_clusters`` over the md5 MinHash pairs:
+    the generated pair SQL becomes a CTE, then ``rounds`` min-id
+    flooding supersteps unroll (flooding early-exits only at the
+    fixpoint, so the fixed unroll is value-identical)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT l.id, least(l.comp, coalesce(m.m, l.comp)) AS comp
+            FROM l{i - 1} l LEFT JOIN (
+                SELECT e.dst AS id, min(l2.comp) AS m
+                FROM sym e JOIN l{i - 1} l2 ON e.src = l2.id
+                GROUP BY e.dst
+            ) m ON l.id = m.id
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()})
+        ),
+        sym AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM documents),
+        {chain}
+        SELECT id::bigint AS doc_id, comp::bigint AS cluster,
+               (id = comp) AS is_canonical
+        FROM l{rounds}
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -2742,6 +2820,51 @@ ORACLES: dict[str, str] = {
             "THEN 1.0 / (SELECT count(*) FROM region) ELSE 0.0 END"
         ),
     ),
+    "c28_near_dup_clusters": _cluster_oracle_sql(rounds=6),
+    "c29_quality_filter": """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+                   CASE WHEN length(text) > 0 THEN
+                        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::double
+                        / length(text) ELSE 0 END AS punct,
+                   CASE WHEN length(trim(text)) > 0 THEN
+                        len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it|for|on|with)\\b'))::double
+                        / len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS stop,
+                   (SELECT CASE WHEN len(l) > 0
+                           THEN (len(l) - len(list_distinct(l)))::double / len(l)
+                           ELSE 0 END
+                    FROM (SELECT string_split(text, chr(10)) AS l)) AS dupline,
+                   (SELECT CASE WHEN len(w) > 0
+                           THEN list_max(list_transform(list_distinct(w),
+                                y -> len(list_filter(w, x -> x = y))))::double / len(w)
+                           ELSE 0 END
+                    FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w)) AS topw
+            FROM documents
+        )
+        SELECT doc_id,
+               (reason IS NULL) AS keep, reason AS drop_reason
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN nw < 30 THEN 'too_short'
+                        WHEN punct > 0.10 THEN 'punct_heavy'
+                        WHEN stop < 0.01 THEN 'no_stopwords'
+                        WHEN dupline > 0.20 THEN 'dup_lines'
+                        WHEN topw > 0.12 THEN 'repetitive' END AS reason
+            FROM s
+        )
+    """,
+    "c30_global_shuffle": f"""
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS pos
+        FROM (
+            SELECT doc_id,
+                   md5(concat('shuffle', cast(doc_id AS varchar))) AS hkey,
+                   ({_MD5_60_SQL.format(x="concat('shuffle', cast(doc_id AS varchar))")}) % 16 AS shard
+            FROM documents
+        )
+    """,
     "c24_weighted_sssp": """
         SELECT 'R' || cast(r_regionkey AS varchar) AS id, 0.0 AS dist FROM region
         UNION ALL

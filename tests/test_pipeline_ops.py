@@ -96,3 +96,66 @@ def test_pack_sequences_capacity_never_exceeded_except_singletons(spark):
     assert packed.count() == 500 and packed.select("doc_id").distinct().count() == 500
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tokens", capacity=0)
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A≈B and B≈C (but never A≈C as a pair) must land in ONE cluster
+    with exactly one canonical; singletons stay their own cluster."""
+    from neo4j_graphdb_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in near_dup_clusters(docs, pairs, "doc_id").collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    # survivors: one per cluster
+    assert sum(1 for c, canon in out.values() if canon) == 2
+
+
+def test_quality_filter_each_rule_fires(spark):
+    from neo4j_graphdb_spark.functions.text import quality_filter
+
+    long_ok = " ".join(["the", "of", "is"] + [f"w{i}" for i in range(40)])
+    rows = [
+        (1, long_ok),                                        # keep
+        (2, "short text"),                                   # too_short
+        (3, "!!! " * 40 + long_ok),                          # punct_heavy
+        (4, " ".join(f"tok{i}" for i in range(60))),         # no_stopwords
+        (5, ("the quick line of it\n" * 9) + long_ok),       # dup_lines
+        (6, "the the the the the " * 12 + long_ok),          # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = quality_filter("text")
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in df.select("doc_id", v["keep"].alias("keep"),
+                              v["drop_reason"].alias("reason")).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "too_short")
+    assert out[3] == (False, "punct_heavy")
+    assert out[4] == (False, "no_stopwords")
+    assert out[5] == (False, "dup_lines")
+    assert out[6] == (False, "repetitive")
+
+
+def test_global_shuffle_is_permutation_and_reproducible(spark):
+    from neo4j_graphdb_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    a = global_shuffle(df, "k", n_shards=8)
+    rows = a.collect()
+    # every row exactly once, pos is 1..count(shard) within each shard
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs, different under a different salt
+    b = {(r["k"], r["shard"], r["pos"]) for r in global_shuffle(df, "k", n_shards=8).collect()}
+    assert {(r["k"], r["shard"], r["pos"]) for r in rows} == b
+    c = {(r["k"], r["shard"], r["pos"]) for r in global_shuffle(df, "k", n_shards=8, salt="v2").collect()}
+    assert b != c
