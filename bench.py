@@ -4,7 +4,8 @@
 Headliners cover every workload class the engine claims: scan+agg,
 multi-way broadcast joins, as-of/range temporal joins, the graph expand,
 iterative CC, LSH dedup, brute-force cosine top-k, windowed aggregation,
-and the MERGE write path.
+the MERGE write path, and the training-data curation pipeline
+(contamination scan, sequence packing, global shuffle, sessionization).
 """
 
 from __future__ import annotations
@@ -33,6 +34,10 @@ HEADLINE = [
     "c9_cosine_topk",
     "c14_tumbling_window",
     "c15_session_window",
+    "c20_contamination",
+    "c22_seq_pack",
+    "c30_global_shuffle",
+    "rel_sessionize",
 ]
 
 

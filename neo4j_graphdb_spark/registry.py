@@ -1998,6 +1998,53 @@ def q_c30_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle(docs, "doc_id", n_shards=16).select("doc_id", "shard", "pos")
 
 
+def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from a change stream: each (user, ts)
+    event becomes a versioned dimension row with ``valid_from``/
+    ``valid_to`` (lead over the per-user timeline; open-ended rows get
+    NULL). One window shuffle on the key — the standard way a warehouse
+    derives slowly-changing history from CDC events at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    )
+
+
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a >30-minute silence
+    starts a new session; session id = running count of gap-starts per
+    user. The batch twin of the streaming session window (c15), same
+    two-window plan every SQL engine uses — both shuffles on user_id,
+    reused by AQE."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(order)
+    with_flag = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    sess = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_flag.withColumn("session_id", sess.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2072,6 +2119,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c28_near_dup_clusters": q_c28_near_dup_clusters,
     "c29_quality_filter": q_c29_quality_filter,
     "c30_global_shuffle": q_c30_global_shuffle,
+    "rel_scd2": q_rel_scd2,
+    "rel_sessionize": q_rel_sessionize,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -2864,6 +2913,32 @@ ORACLES: dict[str, str] = {
                    ({_MD5_60_SQL.format(x="concat('shuffle', cast(doc_id AS varchar))")}) % 16 AS shard
             FROM documents
         )
+    """,
+    "rel_scd2": """
+        SELECT user_id, event_id, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S') AS valid_to
+        FROM events
+    """,
+    "rel_sessionize": """
+        WITH g AS (
+            SELECT user_id, value, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id::bigint AS session_id,
+               count(*)::bigint AS n_events, round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_id
     """,
     "c24_weighted_sssp": """
         SELECT 'R' || cast(r_regionkey AS varchar) AS id, 0.0 AS dist FROM region
