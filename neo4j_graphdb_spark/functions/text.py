@@ -287,3 +287,61 @@ def quality_filter(
         .when(r["top_word_frac"] > max_top_word_frac, F.lit("repetitive"))
     )
     return {"keep": reason.isNull(), "drop_reason": reason}
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, top_n: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens
+    with deterministic ids (rank by count desc, token asc — re-runs and
+    engines agree). Returns ``(token, n_occurrences, token_id)``.
+
+    Scale shape: one ``groupBy(token)`` shuffle over the exploded
+    corpus (map-side partial counts do the heavy lifting), then a
+    ``top_n``-bounded TakeOrdered — the id-assignment window only ever
+    sees ``top_n`` rows, so the "global" rank is driver-bounded by the
+    vocab size you asked for, not by the corpus.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def tfidf_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace tokens:
+    ``tf · ln(N / df)`` with raw term counts and unsmoothed idf — the
+    textbook formula, deterministic and SQL-reproducible. Returns
+    ``(id_col, token, tf, score)`` for every term of every document
+    (consumers take their own top-k; emitting the full matrix keeps the
+    operator's output independent of float-ranking ties across engines).
+
+    Scale shape: explode → ``groupBy(id, token)`` (one shuffle, partial
+    counts), document frequencies from the same frame (second shuffle on
+    token), then a token-keyed join — no broadcast assumption on the
+    vocabulary, which at corpus scale is itself large.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dfreq, on="token").select(
+        F.col(id_col),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )

@@ -2045,6 +2045,25 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c31_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 — corpus vocabulary: top-500 tokens by frequency with
+    deterministic rank ids (count desc, token asc)."""
+    from neo4j_graphdb_spark.functions.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", top_n=500)
+
+
+def q_c32_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 — full TF-IDF matrix (tf · ln(N/df), unsmoothed) over the
+    corpus; scores rounded to 6 dp on both engines."""
+    from neo4j_graphdb_spark.functions.text import tfidf_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_scores(docs, "doc_id", "text")
+    return out.select("doc_id", "token", "tf", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2119,6 +2138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c28_near_dup_clusters": q_c28_near_dup_clusters,
     "c29_quality_filter": q_c29_quality_filter,
     "c30_global_shuffle": q_c30_global_shuffle,
+    "c31_vocab": q_c31_vocab,
+    "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
     "rel_sessionize": q_rel_sessionize,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -2913,6 +2934,37 @@ ORACLES: dict[str, str] = {
                    ({_MD5_60_SQL.format(x="concat('shuffle', cast(doc_id AS varchar))")}) % 16 AS shard
             FROM documents
         )
+    """,
+    "c31_vocab": """
+        WITH counts AS (
+            SELECT token, count(*)::bigint AS n_occurrences
+            FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 500
+        )
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token ASC)::bigint AS token_id
+        FROM counts
+    """,
+    "c32_tfidf": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*)::bigint AS tf
+            FROM words WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(DISTINCT doc_id)::double AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
     """,
     "rel_scd2": """
         SELECT user_id, event_id, event_type AS state,

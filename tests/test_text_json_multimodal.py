@@ -251,3 +251,35 @@ def test_repetition_stats_values(spark):
     assert out[1] == (0.75, 1.0, 0.0)
     assert out[2] == (0.0, 0.25, 0.0)
     assert out[3][2] == 1.0 / 3.0
+
+
+def test_build_vocab_rank_and_determinism(spark):
+    from neo4j_graphdb_spark.functions.text import build_vocab
+
+    rows = [(1, "b a a c c c"), (2, "a  c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["token"], r["n_occurrences"], r["token_id"]) for r in
+           build_vocab(df, "text", top_n=2).orderBy("token_id").collect()]
+    # c: 4, a: 3, b: 1 -> top-2 keeps c then a; empty strings dropped
+    assert out == [("c", 4, 1), ("a", 3, 2)]
+    # count tie -> token asc decides the id order
+    tie = spark.createDataFrame([(1, "z y z y")], "doc_id long, text string")
+    t = [(r["token"], r["token_id"]) for r in
+         build_vocab(tie, "text").orderBy("token_id").collect()]
+    assert t == [("y", 1), ("z", 2)]
+
+
+def test_tfidf_scores_formula(spark):
+    import math
+
+    from neo4j_graphdb_spark.functions.text import tfidf_scores
+
+    rows = [(1, "a a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["token"]): (r["tf"], r["score"])
+           for r in tfidf_scores(df, "doc_id", "text").collect()}
+    # 'a' appears in both docs -> idf = ln(2/2) = 0
+    assert out[(1, "a")] == (2, 0.0) and out[(2, "a")] == (1, 0.0)
+    # 'b' and 'c' are singletons -> idf = ln(2/1)
+    assert out[(1, "b")][1] == pytest.approx(math.log(2.0))
+    assert out[(2, "c")][1] == pytest.approx(math.log(2.0))
