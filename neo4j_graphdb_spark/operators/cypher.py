@@ -112,6 +112,70 @@ class Graph:
             prev_alias = aliases[i + 1]
         return cur
 
+    def expand_optional(
+        self,
+        rel_type: str | None = None,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+        src_alias: str = "a",
+        dst_alias: str = "b",
+    ) -> DataFrame:
+        """``MATCH (a[:L1]) OPTIONAL MATCH (a)-[r[:T]]->(b[:L2])`` —
+        every source node appears; nodes with no matching edge carry
+        NULLs in the ``{dst_alias}_…`` and ``rel_type`` columns. Same
+        equi-joins as :meth:`expand` with the source side LEFT OUTER —
+        broadcast still applies to the dimension sides, so the
+        optionality costs nothing extra."""
+        if self.edges_df is None:
+            raise ValueError("graph has no edges")
+        e = self.edges_df
+        if rel_type is not None:
+            e = e.filter(F.col("rel_type") == rel_type)
+        dst = _prefix(self.match(dst_label), dst_alias)
+        matched = e.join(
+            dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"], "inner"
+        ).drop("dst")
+        src = _prefix(self.match(src_label), src_alias)
+        return src.join(
+            matched, src[f"{src_alias}_{NODE_ID}"] == matched["src"], "left"
+        ).drop("src")
+
+    def expand_var(
+        self,
+        rel_type: str | None = None,
+        min_hops: int = 1,
+        max_hops: int = 2,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+        src_alias: str = "a",
+        dst_alias: str = "b",
+    ) -> DataFrame:
+        """``MATCH (a[:L1])-[:T*min..max]->(b[:L2])`` — variable-length
+        path: one output row per PATH (Cypher semantics), with a
+        ``hops`` column. Bounded-depth only — the union of
+        ``max_hops - min_hops + 1`` fixed-length chains, each the
+        broadcast-join ladder of :meth:`expand_path`; unbounded ``[*]``
+        is deliberately not offered (at 100 TB you want the iterative
+        BFS substrate, ``graph.algorithms.shortest_paths``, not a join
+        explosion)."""
+        if not 1 <= min_hops <= max_hops:
+            raise ValueError("need 1 <= min_hops <= max_hops")
+        parts = []
+        for h in range(min_hops, max_hops + 1):
+            hops = [(rel_type, None)] * (h - 1) + [(rel_type, dst_label)]
+            aliases = [src_alias] + [f"_m{i}" for i in range(1, h)] + [dst_alias]
+            p = self.expand_path(hops, start_label=src_label, aliases=aliases)
+            keep = [
+                c
+                for c in p.columns
+                if c.startswith(f"{src_alias}_") or c.startswith(f"{dst_alias}_")
+            ]
+            parts.append(p.select(*keep).withColumn("hops", F.lit(h).cast("int")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # --- A5: whole-entity value -----------------------------------------------
 
     def entity(self, df: DataFrame, alias: str, cols: list[str] | None = None) -> Column:
@@ -128,3 +192,4 @@ def bind_params(params: dict[str, Any]) -> dict[str, Column]:
     """A11 — ``session.run(query, **params)`` analogue: parameters become
     literals, which Catalyst constant-folds into pushed-down predicates."""
     return {k: F.lit(v) for k, v in params.items()}
+

@@ -2064,6 +2064,62 @@ def q_c32_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "token", "tf", F.round("score", 6).alias("score"))
 
 
+def q_a3_expand_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 variant — OPTIONAL MATCH: every node appears; only Nations have
+    an outgoing IN edge, so Customer/Supplier/Region rows carry NULLs
+    (Graph.expand_optional, left-outer expand)."""
+    g = analytics_graph(spark, sf_dir)
+    t = g.expand_optional(rel_type="IN", dst_label="Region")
+    return t.select(
+        F.col("a_label").alias("src_label"),
+        F.col("a_key").alias("src_key"),
+        "rel_type",
+        F.col("b_key").alias("region_key"),
+    )
+
+
+def q_a3_expand_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 variant — variable-length path ``(c:Customer)-[*1..2]->(x)``:
+    one row per path with its hop count (1 hop lands on the Nation, 2 on
+    the Region) — Graph.expand_var, the bounded Cypher ``[*min..max]``."""
+    g = analytics_graph(spark, sf_dir)
+    t = g.expand_var(min_hops=1, max_hops=2, src_label="Customer", src_alias="c", dst_alias="x")
+    return t.select(
+        F.col("c_key").alias("customer_key"),
+        F.col("x_label").alias("end_label"),
+        F.col("x_key").alias("end_key"),
+        "hops",
+    )
+
+
+def q_a15_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — batch ``DETACH DELETE``: build the crawl graph, detach-delete
+    every 10th Article, and report the deletion counters plus surviving
+    node/edge counts (all four checked by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("source").alias("publisher"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a15_"))
+    store.merge_nodes(b, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(b, label="Publisher", key_col="publisher")
+    store.merge_edges(b, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    doomed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link")
+    )
+    s = store.delete_nodes(doomed, label="Article", key_col="link", detach=True)
+    return spark.createDataFrame(
+        [(s.nodes_deleted, s.relationships_deleted)],
+        "nodes_deleted long, relationships_deleted long",
+    ).crossJoin(
+        store.nodes().agg(F.count(F.lit(1)).alias("nodes_left")).crossJoin(
+            store.edges().agg(F.count(F.lit(1)).alias("edges_left"))
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2073,6 +2129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_all_nodes": q_a2_all_nodes,
     "a3_expand": q_a3_expand,
     "a3_expand_2hop": q_a3_expand_2hop,
+    "a3_expand_optional": q_a3_expand_optional,
+    "a3_expand_var": q_a3_expand_var,
+    "a15_detach_delete": q_a15_detach_delete,
     "a4_projection": q_a4_projection,
     "a5_entity": q_a5_entity,
     "a6_limit": q_a6_limit,
@@ -2246,6 +2305,43 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, source AS publisher "
         "FROM documents"
     ),
+    "a3_expand_optional": """
+        WITH nodes AS (
+            SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key FROM customer
+            UNION ALL
+            SELECT 'Supplier', cast(s_suppkey AS varchar) FROM supplier
+            UNION ALL
+            SELECT 'Nation', cast(n_nationkey AS varchar) FROM nation
+            UNION ALL
+            SELECT 'Region', cast(r_regionkey AS varchar) FROM region
+        ),
+        in_edges AS (
+            SELECT 'Nation' AS src_label, cast(n_nationkey AS varchar) AS src_key,
+                   cast(n_regionkey AS varchar) AS region_key
+            FROM nation
+        )
+        SELECT n.label AS src_label, n.key AS src_key,
+               CASE WHEN e.region_key IS NOT NULL THEN 'IN' END AS rel_type,
+               e.region_key
+        FROM nodes n
+        LEFT JOIN in_edges e ON n.label = e.src_label AND n.key = e.src_key
+    """,
+    "a3_expand_var": """
+        SELECT cast(c_custkey AS varchar) AS customer_key,
+               'Nation' AS end_label, cast(c_nationkey AS varchar) AS end_key,
+               1 AS hops
+        FROM customer
+        UNION ALL
+        SELECT cast(c_custkey AS varchar), 'Region', cast(n_regionkey AS varchar), 2
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "a15_detach_delete": """
+        SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)::bigint AS nodes_deleted,
+               (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)::bigint AS relationships_deleted,
+               ((SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)
+                + (SELECT count(DISTINCT source) FROM documents))::bigint AS nodes_left,
+               (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)::bigint AS edges_left
+    """,
     "a3_expand_2hop": """
         SELECT cast(c_custkey AS varchar) AS customer_key,
                cast(n_nationkey AS varchar) AS nation_key,

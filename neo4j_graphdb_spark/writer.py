@@ -49,12 +49,16 @@ class WriteSummary:
     nodes_created: int = 0
     properties_set: int = 0
     relationships_created: int = 0
+    nodes_deleted: int = 0
+    relationships_deleted: int = 0
 
     def __add__(self, other: "WriteSummary") -> "WriteSummary":
         return WriteSummary(
             self.nodes_created + other.nodes_created,
             self.properties_set + other.properties_set,
             self.relationships_created + other.relationships_created,
+            self.nodes_deleted + other.nodes_deleted,
+            self.relationships_deleted + other.relationships_deleted,
         )
 
 
@@ -409,6 +413,90 @@ class GraphStore:
         fresh.unpersist()
         return WriteSummary(relationships_created=created)
 
+
+    def delete_nodes(
+        self,
+        keys: DataFrame,
+        label: str,
+        key_col: str,
+        detach: bool = False,
+    ) -> WriteSummary:
+        """Batch ``MATCH (n:label {key}) [DETACH] DELETE n``.
+
+        Neo4j semantics preserved: plain ``DELETE`` raises if any doomed
+        node still has incident edges (either direction, any rel_type);
+        ``detach=True`` removes those edges too. Counters report
+        ``nodes_deleted`` / ``relationships_deleted`` like the Bolt
+        summary's deletion counters.
+
+        Write amplification stays partial on both tables: the node
+        rewrite touches only this label's partition, and the edge
+        rewrite touches only the rel_type partitions that actually held
+        incident edges (the touched list is a tiny distinct-collect of
+        rel_type values, driver-side metadata — not data).
+        """
+        doomed = (
+            as_nodes(keys, label, key_col)
+            .select(NODE_ID)
+            .distinct()
+            .persist()
+        )
+        existing = self.nodes()
+        if existing is None:
+            doomed.unpersist()
+            return WriteSummary()
+        edges = self.edges()
+        n_rel = 0
+        if edges is not None:
+            incident = edges.join(
+                doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_semi"
+            ).unionByName(
+                edges.join(
+                    doomed.select(F.col(NODE_ID).alias("dst")), on="dst", how="left_semi"
+                )
+            ).dropDuplicates(["src", "dst", "rel_type"]).persist()
+            n_rel = incident.count()
+            if n_rel > 0 and not detach:
+                incident.unpersist()
+                doomed.unpersist()
+                raise ValueError(
+                    f"{n_rel} relationships still reference nodes being "
+                    "deleted — use detach=True (DETACH DELETE) to remove them"
+                )
+            if n_rel > 0:
+                touched_types = [
+                    r["rel_type"]
+                    for r in incident.select("rel_type").distinct().collect()
+                ]
+                survivors = (
+                    edges.filter(F.col("rel_type").isin(touched_types))
+                    .join(doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_anti")
+                    .join(doomed.select(F.col(NODE_ID).alias("dst")), on="dst", how="left_anti")
+                )
+                if self._edges.is_partitioned_by("rel_type"):
+                    self._edges.write_next_partial(survivors, "rel_type", touched_types)
+                else:
+                    keep_other = edges.filter(~F.col("rel_type").isin(touched_types))
+                    self._edges.write_next(
+                        keep_other.unionByName(survivors), partition_by="rel_type"
+                    )
+            incident.unpersist()
+
+        touched = existing.filter(F.col("label") == label)
+        kept = touched.join(doomed, on=NODE_ID, how="left_anti").persist()
+        n_deleted = touched.count() - kept.count()
+        if n_deleted > 0:
+            if self._nodes.is_partitioned_by("label"):
+                self._nodes.write_next_partial(kept, "label", [label])
+            else:
+                others = existing.filter(F.col("label") != label)
+                self._nodes.write_next(
+                    others.unionByName(kept, allowMissingColumns=True),
+                    partition_by="label",
+                )
+        kept.unpersist()
+        doomed.unpersist()
+        return WriteSummary(nodes_deleted=n_deleted, relationships_deleted=n_rel)
 
     # ------------------------------------------------------------ maintenance
 

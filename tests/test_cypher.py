@@ -63,3 +63,40 @@ def test_label_scan_pushdown(graph):
     """The label predicate must reach the scan (SURVEY.md §4)."""
     plan = graph.match("Article")._jdf.queryExecution().executedPlan().toString()
     assert "label" in plan
+
+
+def test_expand_optional_keeps_unmatched_sources(spark):
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    n = spark.createDataFrame([("a1",), ("a2",)], "k string")
+    p = spark.createDataFrame([("p1",)], "k string")
+    e = spark.createDataFrame([("a1", "p1")], "s string, d string")
+    g = Graph(
+        as_nodes(n, "Article", "k").unionByName(as_nodes(p, "Publisher", "k")),
+        as_edges(e, "WRITTEN_BY", "Article", "s", "Publisher", "d"),
+    )
+    out = {r["a_key"]: r["b_key"] for r in
+           g.expand_optional(rel_type="WRITTEN_BY", src_label="Article",
+                             dst_label="Publisher").collect()}
+    assert out == {"a1": "p1", "a2": None}
+
+
+def test_expand_var_path_rows_and_bounds(spark):
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    # chain a -> b -> c
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    ab = spark.createDataFrame([("a", "b"), ("b", "c")], "s string, d string")
+    g = Graph(
+        as_nodes(nodes, "N", "k"),
+        as_edges(ab, "R", "N", "s", "N", "d"),
+    )
+    rows = {(r["a_key"], r["b_key"], r["hops"]) for r in
+            g.expand_var(min_hops=1, max_hops=2).collect()}
+    assert rows == {("a", "b", 1), ("b", "c", 1), ("a", "c", 2)}
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        g.expand_var(min_hops=0)

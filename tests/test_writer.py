@@ -285,3 +285,63 @@ def test_time_travel_and_vacuum(spark, store):
         store.nodes(version=0)
     with _p.raises(ValueError):
         store.vacuum(keep_last=0)
+
+
+def test_detach_delete_removes_nodes_and_incident_edges(spark, store):
+    b = spark.createDataFrame(
+        [("u1", "p1"), ("u2", "p1"), ("u3", "p2")], "link string, publisher string"
+    )
+    store.merge_nodes(b, "Article", "link")
+    store.merge_nodes(b, "Publisher", "publisher")
+    store.merge_edges(b, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    assert store.nodes().count() == 5 and store.edges().count() == 3
+
+    doomed = spark.createDataFrame([("u1",), ("u2",)], "link string")
+    s = store.delete_nodes(doomed, "Article", "link", detach=True)
+    assert s.nodes_deleted == 2 and s.relationships_deleted == 2
+    keys = {r["key"] for r in store.nodes().collect()}
+    assert keys == {"u3", "p1", "p2"}
+    assert store.edges().count() == 1
+
+    # idempotent: deleting the same keys again is a no-op
+    s2 = store.delete_nodes(doomed, "Article", "link", detach=True)
+    assert s2.nodes_deleted == 0 and s2.relationships_deleted == 0
+
+
+def test_plain_delete_refuses_connected_nodes(spark, store):
+    b = spark.createDataFrame([("u1", "p1")], "link string, publisher string")
+    store.merge_nodes(b, "Article", "link")
+    store.merge_nodes(b, "Publisher", "publisher")
+    store.merge_edges(b, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+
+    doomed = spark.createDataFrame([("u1",)], "link string")
+    with pytest.raises(ValueError, match="detach"):
+        store.delete_nodes(doomed, "Article", "link")
+    # unconnected node deletes fine without detach; edges untouched
+    lone = spark.createDataFrame([("solo", "px")], "link string, publisher string")
+    store.merge_nodes(lone, "Article", "link")
+    s = store.delete_nodes(
+        spark.createDataFrame([("solo",)], "link string"), "Article", "link"
+    )
+    assert s.nodes_deleted == 1 and s.relationships_deleted == 0
+    assert store.edges().count() == 1
+
+
+def test_delete_only_rewrites_touched_label_partition(spark, store):
+    art = spark.createDataFrame([("u1",), ("u2",)], "link string")
+    pub = spark.createDataFrame([("p1",), ("p2",)], "name string")
+    store.merge_nodes(art, "Article", "link")
+    store.merge_nodes(pub, "Publisher", "name")
+    import os
+
+    v_before = store._nodes.current_path()
+    store.delete_nodes(
+        spark.createDataFrame([("u1",)], "link string"), "Article", "link"
+    )
+    v_after = store._nodes.current_path()
+    assert v_after != v_before
+    # untouched Publisher partition carried over as hardlinks (same inode)
+    def inodes(vdir, part):
+        d = os.path.join(vdir, part)
+        return {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+    assert inodes(v_after, "label=Publisher") == inodes(v_before, "label=Publisher")
