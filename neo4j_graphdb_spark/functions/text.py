@@ -150,7 +150,9 @@ def chunk_documents(
         F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride + 1
     )
     windows = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
-    exploded = df.select(
+    # empty/blank documents produce NO chunks (mirrors word_count's
+    # 0-for-empty), never a phantom 1-token chunk of ['']
+    exploded = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
         F.posexplode(windows).alias("chunk_id", "_w"),
     )
@@ -180,15 +182,10 @@ def deterministic_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1 (got {total})")
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
     slots = 1_000_000
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(slots),
-    )
+    bucket = md5_bucket(key_col, salt, slots)
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -204,14 +201,19 @@ def deterministic_split(
 
 def redact_pii(col: Column | str) -> Column:
     """Scrub common PII patterns from free text — emails, IPv4s, and
-    long digit runs (phone/card-shaped) — replacing each with a typed
-    token. Pure JVM regexes (no UDF); patterns deliberately conservative
-    (precision over recall) and portable between Java regex and RE2 so
-    the oracle can reproduce them verbatim."""
+    phone/card-shaped digit runs — replacing each with a typed token.
+    Pure JVM regexes (no UDF); patterns deliberately conservative
+    (precision over recall) and portable between Java regex and RE2 —
+    no lookarounds — so the oracle can reproduce them verbatim.
+
+    The phone pattern requires 10-19 digits (separated by at most two
+    of ``space ( ) -`` between digits), so ISO dates (8 digits), year
+    pairs, and short decimals survive; 10+-digit runs — phone and
+    card shaped — redact even inside decimals."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
     c = F.regexp_replace(c, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>")
-    c = F.regexp_replace(c, r"\+?\b[0-9][0-9 ()-]{7,}[0-9]\b", "<PHONE>")
+    c = F.regexp_replace(c, r"\+?\b(?:[0-9][ ()-]{0,2}){9,18}[0-9]\b", "<PHONE>")
     return c
 
 
@@ -330,18 +332,27 @@ def tfidf_scores(
     Scale shape: explode → ``groupBy(id, token)`` (one shuffle, partial
     counts), document frequencies from the same frame (second shuffle on
     token), then a token-keyed join — no broadcast assumption on the
-    vocabulary, which at corpus scale is itself large.
+    vocabulary, which at corpus scale is itself large. The corpus size
+    N rides along as a lazy 1-row aggregate broadcast into the score
+    expression (no driver-side count at plan-build time, no extra scan
+    when the plan runs).
     """
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs")
+    )
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
     tf = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(dfreq, on="token").select(
-        F.col(id_col),
-        "token",
-        F.col("tf").cast("long").alias("tf"),
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    return (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("score"),
+        )
     )

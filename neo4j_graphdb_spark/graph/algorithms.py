@@ -57,10 +57,17 @@ def pagerank(
     if sources is None:
         base = base.withColumn("tele", F.lit(1.0 / n_nodes))
     else:
-        src = sources.select(F.col(id_col)).distinct()
+        # denominator = sources PRESENT in the graph — counting absent
+        # ids (typos, stale sets) would silently leak their share of the
+        # teleport mass every iteration and deflate all ranks
+        src = (
+            sources.select(F.col(id_col))
+            .distinct()
+            .join(base.select(id_col), on=id_col, how="left_semi")
+        )
         n_src = src.count()
         if n_src == 0:
-            raise ValueError("sources must contain at least one node id")
+            raise ValueError("sources must contain at least one node id present in nodes")
         base = base.join(
             F.broadcast(src.withColumn("_is_src", F.lit(True))), on=id_col, how="left"
         ).select(

@@ -57,9 +57,13 @@ def contamination_scores(
     shingle key, still never all-pairs).
     """
     bcol = bench_text_col or text_col
+    # lazily checkpointed: both the totals and the hit counts read this
+    # frame — without it the shingle explode (and the corpus scan under
+    # it) executes twice, same double-execution minhash_lsh_pairs guards
+    # against
     doc_grams = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     bench_grams = benchmark.select(
         F.explode(word_shingles(bcol, n)).alias("gram")
     ).distinct()

@@ -151,26 +151,48 @@ class Graph:
         dst_alias: str = "b",
     ) -> DataFrame:
         """``MATCH (a[:L1])-[:T*min..max]->(b[:L2])`` — variable-length
-        path: one output row per PATH (Cypher semantics), with a
-        ``hops`` column. Bounded-depth only — the union of
-        ``max_hops - min_hops + 1`` fixed-length chains, each the
-        broadcast-join ladder of :meth:`expand_path`; unbounded ``[*]``
-        is deliberately not offered (at 100 TB you want the iterative
-        BFS substrate, ``graph.algorithms.shortest_paths``, not a join
-        explosion)."""
+        path with Cypher's RELATIONSHIP-UNIQUENESS: one output row per
+        path, and no path traverses the same relationship twice (a
+        self-loop or 2-cycle therefore cannot inflate the hop counts —
+        each chain filters pairwise-distinct edge identities, O(h²)
+        comparisons on h ≤ a small bound). ``hops`` column reports the
+        length. Bounded-depth only — the union of
+        ``max_hops - min_hops + 1`` fixed-length broadcast-join ladders;
+        unbounded ``[*]`` is deliberately not offered (at 100 TB you
+        want the iterative BFS substrate,
+        ``graph.algorithms.shortest_paths``, not a join explosion)."""
         if not 1 <= min_hops <= max_hops:
             raise ValueError("need 1 <= min_hops <= max_hops")
+        if self.edges_df is None:
+            raise ValueError("graph has no edges")
+        e_base = self.edges_df
+        if rel_type is not None:
+            e_base = e_base.filter(F.col("rel_type") == rel_type)
         parts = []
         for h in range(min_hops, max_hops + 1):
-            hops = [(rel_type, None)] * (h - 1) + [(rel_type, dst_label)]
-            aliases = [src_alias] + [f"_m{i}" for i in range(1, h)] + [dst_alias]
-            p = self.expand_path(hops, start_label=src_label, aliases=aliases)
+            cur = _prefix(self.match(src_label), src_alias)
+            prev_end = f"{src_alias}_{NODE_ID}"
+            for i in range(h):
+                e = e_base.select(
+                    F.col("src").alias(f"_s{i}"),
+                    F.col("dst").alias(f"_d{i}"),
+                    F.struct("src", "dst", "rel_type").alias(f"_e{i}"),
+                )
+                cur = cur.join(e, cur[prev_end] == e[f"_s{i}"]).drop(f"_s{i}")
+                prev_end = f"_d{i}"
+            dst = _prefix(self.match(dst_label), dst_alias)
+            cur = cur.join(
+                dst, cur[f"_d{h - 1}"] == dst[f"{dst_alias}_{NODE_ID}"]
+            ).drop(*[f"_d{i}" for i in range(h)])
+            for i in range(h):
+                for j in range(i + 1, h):
+                    cur = cur.filter(F.col(f"_e{i}") != F.col(f"_e{j}"))
             keep = [
                 c
-                for c in p.columns
+                for c in cur.columns
                 if c.startswith(f"{src_alias}_") or c.startswith(f"{dst_alias}_")
             ]
-            parts.append(p.select(*keep).withColumn("hops", F.lit(h).cast("int")))
+            parts.append(cur.select(*keep).withColumn("hops", F.lit(h).cast("int")))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -31,23 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neo4j_graphdb_spark.functions.hashing import md5_bucket, md5_hex
+
 _SLOTS = 1_000_000
-
-
-def _hash_bucket(key_col: str, salt: str):
-    """md5-fold of ``salt || key`` into [0, 1e6) — the engine's
-    cross-checkable hash (digit-identical in DuckDB, see
-    functions/text.py:deterministic_split)."""
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_SLOTS),
-    )
 
 
 def stratified_sample(
@@ -70,7 +56,7 @@ def stratified_sample(
             raise ValueError(f"rate for {name!r} must be in [0,1] (got {r})")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1] (got {default_rate})")
-    bucket = _hash_bucket(key_col, salt)
+    bucket = md5_bucket(key_col, salt, _SLOTS)
     thresh = None
     for name, r in rates.items():
         bound = F.lit(int(r * _SLOTS))
@@ -107,8 +93,18 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    id_type = dict(df.dtypes)[id_col]
+    numeric_id = id_type in {"tinyint", "smallint", "int", "bigint"}
+    # numeric ids bucket by value (SQL-auditable, `id % n`); other types
+    # bucket by xxhash64 — never by cast-to-long, which would NULL out
+    # every non-numeric id and silently collapse packing into one bucket
+    bucket_expr = (
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets))
+        if numeric_id
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
     out_schema = (
-        f"{id_col} bigint, bucket bigint, pack_id bigint, "
+        f"`{id_col}` {id_type}, bucket bigint, pack_id bigint, "
         f"pack_pos bigint, n_tokens bigint"
     )
     cap = capacity
@@ -132,7 +128,7 @@ def pack_sequences(
             positions.append(pos)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype("int64"),
+                id_col: pdf[id_col],
                 "bucket": pdf["_bucket"].astype("int64"),
                 "pack_id": pd.Series(pack_ids, dtype="int64"),
                 "pack_pos": pd.Series(positions, dtype="int64"),
@@ -141,8 +137,8 @@ def pack_sequences(
         )
 
     prepared = df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("_bucket"),
+        F.col(id_col),
+        bucket_expr.alias("_bucket"),
         F.col(n_tokens_col).cast("long").alias("_toks"),
     )
     return prepared.groupBy("_bucket").applyInPandas(pack_one_bucket, out_schema)
@@ -169,13 +165,8 @@ def global_shuffle(
     """
     from pyspark.sql import Window
 
-    hkey = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    out = df.withColumn("_hkey", hkey).withColumn(
-        "shard",
-        F.pmod(
-            F.conv(F.substring("_hkey", 1, 15), 16, 10).cast("long"),
-            F.lit(n_shards),
-        ),
+    out = df.withColumn("_hkey", md5_hex(key_col, salt)).withColumn(
+        "shard", md5_bucket(key_col, salt, n_shards)
     )
     w = Window.partitionBy("shard").orderBy("_hkey", key_col)
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_hkey")

@@ -1241,7 +1241,7 @@ def q_c10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 60),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
         F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 tel 555-0100-"), (F.col("doc_id") % 100).cast("string"),
+        F.lit(".7 tel 555-0100-"), (F.lit(1000) + F.col("doc_id") % 1000).cast("string"),
     )
     return docs.select("doc_id", redact_pii(synth).alias("redacted"))
 
@@ -2706,10 +2706,10 @@ ORACLES: dict[str, str] = {
                    concat(substr(text, 1, 60),
                           ' contact user', cast(doc_id AS varchar),
                           '@example.com or 10.0.', cast(doc_id % 256 AS varchar),
-                          '.7 tel 555-0100-', cast(doc_id % 100 AS varchar)),
+                          '.7 tel 555-0100-', cast(1000 + doc_id % 1000 AS varchar)),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-                   '\\+?\\b[0-9][0-9 ()-]{7,}[0-9]\\b', '<PHONE>', 'g') AS redacted
+                   '\\+?\\b(?:[0-9][ ()-]{0,2}){9,18}[0-9]\\b', '<PHONE>', 'g') AS redacted
         FROM documents
     """,
     "c10_repetition": """

@@ -45,6 +45,11 @@ def stream_interval_join(
     with the same predicate, so one definition serves both engines (and
     the DuckDB oracle).
     """
+    if ts_col in key_cols:
+        raise ValueError(
+            f"ts_col {ts_col!r} cannot be a join key — it carries the "
+            "interval condition and is prefixed l_/r_ on each side"
+        )
     lcols = [c for c in left.columns if c not in key_cols]
     rcols = [c for c in right.columns if c not in key_cols]
     l = left.select(

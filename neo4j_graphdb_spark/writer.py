@@ -95,6 +95,16 @@ class _VersionedTable:
         path = self.current_path()
         if path is None:
             return None
+        # a version can legitimately hold ZERO data files (a delete that
+        # emptied the only partition): treat it as "no table", the same
+        # sentinel a never-written store returns — a fresh process would
+        # otherwise die in schema inference on the fileless directory
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
+        ):
+            return None
         v = self.current_version()
         if self._schema is not None and self._schema_version == v:
             # known schema: no footer-merging job; files missing newer

@@ -159,3 +159,15 @@ def test_global_shuffle_is_permutation_and_reproducible(spark):
     assert {(r["k"], r["shard"], r["pos"]) for r in rows} == b
     c = {(r["k"], r["shard"], r["pos"]) for r in global_shuffle(df, "k", n_shards=8, salt="v2").collect()}
     assert b != c
+
+
+def test_pack_sequences_string_ids(spark):
+    """Non-numeric ids must keep their values and spread across buckets
+    (xxhash64 routing), not silently collapse into one NULL bucket."""
+    rows = [(f"doc://{i}", 50) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=128, n_buckets=4)
+    rs = out.collect()
+    assert len(rs) == 64
+    assert all(r["doc_id"] is not None and r["doc_id"].startswith("doc://") for r in rs)
+    assert len({r["bucket"] for r in rs}) > 1

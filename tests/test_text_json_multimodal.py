@@ -181,7 +181,7 @@ def test_chunk_documents_windows(spark):
     assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
     assert (1, 3) not in rows
     assert rows[(2, 0)] == ("solo", 1)  # short doc: one remainder window
-    assert (3, 0) in rows  # empty text still yields one (empty) window
+    assert not any(d == 3 for d, _ in rows)  # empty text yields NO chunks
 
     import pytest as _p
 
@@ -220,6 +220,8 @@ def test_redact_pii_patterns(spark):
         (2, "server at 192.168.1.254 up"),
         (3, "call +1 (555) 010-9999 today"),
         (4, "clean text with no pii 42"),
+        (5, "released 2026-08-13 and spans 1998 2024 fine"),
+        (6, "card 4111 1111 1111 1111 leaked"),
     ]
     df = spark.createDataFrame(rows, "id int, t string")
     out = {r["id"]: r["red"] for r in df.select("id", redact_pii("t").alias("red")).collect()}
@@ -227,6 +229,10 @@ def test_redact_pii_patterns(spark):
     assert out[2] == "server at <IP> up"
     assert out[3] == "call <PHONE> today"
     assert out[4] == "clean text with no pii 42"
+    # dates and year pairs are NOT phone-shaped (under the 10-digit floor)
+    assert out[5] == "released 2026-08-13 and spans 1998 2024 fine"
+    # 16-digit card redacts
+    assert out[6] == "card <PHONE> leaked"
 
 
 def test_repetition_stats_values(spark):

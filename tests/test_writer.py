@@ -345,3 +345,19 @@ def test_delete_only_rewrites_touched_label_partition(spark, store):
         d = os.path.join(vdir, part)
         return {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
     assert inodes(v_after, "label=Publisher") == inodes(v_before, "label=Publisher")
+
+
+def test_delete_emptying_only_label_leaves_readable_store(spark, tmp_path):
+    """Deleting every node of the only label must leave the store
+    readable by a FRESH instance (no cached schema): empty version reads
+    as None, and a later merge recreates the table."""
+    root = str(tmp_path / "g2")
+    store = GraphStore(spark, root)
+    b = spark.createDataFrame([("u1",), ("u2",)], "link string")
+    store.merge_nodes(b, "Article", "link")
+    store.delete_nodes(b, "Article", "link")
+
+    fresh = GraphStore(spark, root)
+    assert fresh.nodes() is None  # empty store == never-written store
+    s = fresh.merge_nodes(b, "Article", "link")
+    assert s.nodes_created == 2 and fresh.nodes().count() == 2
