@@ -126,3 +126,82 @@ def test_simhash_md5_matches_pure_python(spark, texts):
     }
     want = {i: _simhash_md5_py(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+@given(
+    st.lists(st.integers(1, 400), min_size=1, max_size=40),
+    st.integers(32, 300),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_greedy_reference(spark, tokens, capacity, n_buckets):
+    """Spark packing ≡ a pure-Python greedy first-fit per bucket: same
+    pack ids, same positions, capacity never exceeded except singletons."""
+    from neo4j_graphdb_spark.operators.sampling import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", capacity, n_buckets).collect()
+    }
+
+    want = {}
+    for b in range(n_buckets):
+        bucket_rows = [(i, t) for i, t in rows if i % n_buckets == b]
+        pack, pos, acc, first = 0, 0, 0, True
+        for i, t in sorted(bucket_rows):
+            if first:
+                acc, pos, first = t, 0, False
+            elif acc + t <= capacity:
+                acc += t
+                pos += 1
+            else:
+                pack += 1
+                acc, pos = t, 0
+            want[i] = (b, pack, pos)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_near_dup_clusters_is_transitive_closure(spark, pairs):
+    """Cluster assignment ≡ union-find over the pair graph; exactly one
+    canonical (the min id) per cluster."""
+    from neo4j_graphdb_spark.operators.dedup import near_dup_clusters
+
+    ids = list(range(15))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs] or [(0, 0)], "id_a long, id_b long"
+    )
+    if not pairs:
+        pdf = pdf.filter("id_a <> id_b")  # empty edge set
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in near_dup_clusters(docs, pdf, "doc_id", max_rounds=15).collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {i: find(i) for i in ids}
+    # canonical root = min member of the component
+    comp_min = {}
+    for i in ids:
+        r = roots[i]
+        comp_min[r] = min(comp_min.get(r, i), i)
+    for i in ids:
+        assert out[i] == (comp_min[roots[i]], i == comp_min[roots[i]])
