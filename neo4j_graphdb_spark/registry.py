@@ -2120,6 +2120,49 @@ def q_a15_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 — full Okapi BM25 matrix (k1=1.2, b=0.75, Robertson idf);
+    scores rounded to 6 dp on both engines."""
+    from neo4j_graphdb_spark.functions.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_scores(docs, "doc_id", "text")
+    return out.select("doc_id", "token", "tf", F.round("score", 6).alias("score"))
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling / ANALYZE surface: per-column min/max/null-count/
+    distinct-count over lineitem's numeric columns, unpivoted to one row
+    per column — the statistics a cost-based optimizer or a data-quality
+    monitor collects. One aggregate pass over the table, then a stack()
+    unpivot of the single result row (driver-bounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__min, {c}__max, cast({c}__nulls as double), cast({c}__nd as double)"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as "
+        "(column_name, min_val, max_val, n_nulls, n_distinct)"
+    ).select(
+        "column_name",
+        "min_val",
+        "max_val",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2198,6 +2241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c29_quality_filter": q_c29_quality_filter,
     "c30_global_shuffle": q_c30_global_shuffle,
     "c31_vocab": q_c31_vocab,
+    "c33_bm25": q_c33_bm25,
+    "rel_profile": q_rel_profile,
     "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
     "rel_sessionize": q_rel_sessionize,
@@ -3061,6 +3106,60 @@ ORACLES: dict[str, str] = {
         SELECT tf.doc_id, tf.token, tf.tf,
                round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+    "c33_bm25": """
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+            FROM documents
+        ),
+        consts AS (
+            SELECT count(DISTINCT doc_id)::double AS n_docs, avg(dl::double) AS avgdl
+            FROM docs
+        ),
+        words AS (
+            SELECT doc_id, dl,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*)::bigint AS tf, first(dl) AS dl
+            FROM words WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(
+                   ln((c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::double / c.avgdl)),
+               6) AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN consts c
+    """,
+    "rel_profile": """
+        WITH one AS (
+            SELECT round(min(l_quantity), 4) AS q_min, round(max(l_quantity), 4) AS q_max,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::bigint AS q_nulls,
+                   count(DISTINCT l_quantity)::bigint AS q_nd,
+                   round(min(l_extendedprice), 4) AS p_min, round(max(l_extendedprice), 4) AS p_max,
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::bigint AS p_nulls,
+                   count(DISTINCT l_extendedprice)::bigint AS p_nd,
+                   round(min(l_discount), 4) AS d_min, round(max(l_discount), 4) AS d_max,
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::bigint AS d_nulls,
+                   count(DISTINCT l_discount)::bigint AS d_nd,
+                   round(min(l_tax), 4) AS t_min, round(max(l_tax), 4) AS t_max,
+                   sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::bigint AS t_nulls,
+                   count(DISTINCT l_tax)::bigint AS t_nd
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS column_name, q_min AS min_val, q_max AS max_val,
+               q_nulls AS n_nulls, q_nd AS n_distinct FROM one
+        UNION ALL
+        SELECT 'l_extendedprice', p_min, p_max, p_nulls, p_nd FROM one
+        UNION ALL
+        SELECT 'l_discount', d_min, d_max, d_nulls, d_nd FROM one
+        UNION ALL
+        SELECT 'l_tax', t_min, t_max, t_nulls, t_nd FROM one
     """,
     "rel_scd2": """
         SELECT user_id, event_id, event_type AS state,

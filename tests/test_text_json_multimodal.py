@@ -289,3 +289,25 @@ def test_tfidf_scores_formula(spark):
     # 'b' and 'c' are singletons -> idf = ln(2/1)
     assert out[(1, "b")][1] == pytest.approx(math.log(2.0))
     assert out[(2, "c")][1] == pytest.approx(math.log(2.0))
+
+
+def test_bm25_scores_formula(spark):
+    import math
+
+    from neo4j_graphdb_spark.functions.text import bm25_scores
+
+    rows = [(1, "a a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["token"]): r["score"]
+           for r in bm25_scores(df, "doc_id", "text").collect()}
+    n, avgdl, k1, b = 2.0, 2.5, 1.2, 0.75
+
+    def ref(tf, dfreq, dl):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[(1, "a")] == pytest.approx(ref(2, 2, 3))
+    assert out[(1, "b")] == pytest.approx(ref(1, 1, 3))
+    assert out[(2, "c")] == pytest.approx(ref(1, 1, 2))
+    # common term scores below rare term at same tf
+    assert out[(2, "a")] < out[(2, "c")]
