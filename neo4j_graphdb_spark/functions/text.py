@@ -140,7 +140,10 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split-then-drop-empties, NOT trim-then-split: trim strips only
+    # literal spaces, so a tab/newline-only document (or leading \t)
+    # would smuggle empty-string "tokens" into the windows
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     n = F.size(toks)
     # window starts: 0, stride, 2*stride, … while start < n (1-indexed slice)
     n_windows = F.greatest(
@@ -150,9 +153,9 @@ def chunk_documents(
         F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride + 1
     )
     windows = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
-    # empty/blank documents produce NO chunks (mirrors word_count's
-    # 0-for-empty), never a phantom 1-token chunk of ['']
-    exploded = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+    # whitespace-only documents produce NO chunks (mirrors word_count's
+    # 0-for-empty), never a phantom chunk of empty tokens
+    exploded = df.filter(F.size(toks) > 0).select(
         F.col(id_col),
         F.posexplode(windows).alias("chunk_id", "_w"),
     )

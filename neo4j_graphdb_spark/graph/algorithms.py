@@ -476,9 +476,13 @@ def weighted_shortest_paths(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=False)
         )
+        # xxhash64 over the DOUBLE column hashes its raw
+        # doubleToLongBits (with only -0.0 normalized to 0.0), so ANY
+        # relaxation — even below 1e-9 — changes the checksum; rounding
+        # to decimals here could stop the loop before the true fixpoint.
         row = dist.agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(id, cast(round(dist, 9) as string)))").alias("h"),
+            F.expr("bit_xor(xxhash64(id, dist))").alias("h"),
         ).collect()[0]
         cur = (row["n"], row["h"])
         if cur == prev:

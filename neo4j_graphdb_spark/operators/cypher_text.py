@@ -53,8 +53,11 @@ class CypherUnsupported(ValueError):
 
 _CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "RETURN", "LIMIT")
 
+# The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
+# accesses (`RETURN n.with`) or parameters (`$set`) from splitting into
+# bogus clauses: `\b` alone treats the `.`/`$` boundary as a word break.
 _CLAUSE_RE = re.compile(
-    r"\b(" + "|".join(_CLAUSE_KEYWORDS) + r")\b", re.IGNORECASE
+    r"(?<![.$\w])(" + "|".join(_CLAUSE_KEYWORDS) + r")\b", re.IGNORECASE
 )
 
 # (alias:Label {prop: $param, ...}) — every piece optional but the parens
@@ -96,8 +99,10 @@ class _NodePattern:
     # prop name -> param name, or None for datetime()
 
 
+# Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
+# must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(WHERE|DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
+    r"(?<![.$\w])(WHERE|DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
     re.IGNORECASE,
 )
 

@@ -62,6 +62,11 @@ def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None)
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # Runtime conf, so it can (and must) be applied to a pre-existing
+        # session too: without it, pandas/pyarrow-written parquet with
+        # isAdjustedToUTC=false timestamps reads as TIMESTAMP_NTZ, which
+        # Spark refuses as a watermark column and cannot cast to DOUBLE.
+        active.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         return active
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -78,6 +83,13 @@ def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver fixtures are pandas-written parquet whose timestamps
+        # are timestamp[us] with isAdjustedToUTC=false. With NTZ inference
+        # on (the Spark >=3.4 default) those load as TIMESTAMP_NTZ, which
+        # breaks withWatermark and numeric casts. Reading them as
+        # session-tz (UTC) TIMESTAMP matches DuckDB's naive-timestamp
+        # oracle semantics exactly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -102,7 +114,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
     ]
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_timestamp(spark.read.parquet(path))
     # Detection is schema-driven (not exception-probed) so the conf is
     # only ever set for tables that actually need it, and _nanos_as_long
     # restores it immediately after the plan is built.
@@ -110,6 +122,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return _ntz_to_timestamp(df)
+
+
+def _ntz_to_timestamp(df):
+    """Normalize any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    Belt-and-suspenders for sessions not built by :func:`get_spark`
+    (where ``inferTimestampNTZ.enabled=false`` already prevents NTZ):
+    NTZ cannot be a watermark column and cannot cast to numeric types,
+    so the engine standardizes on TIMESTAMP (session tz pinned to UTC),
+    which matches DuckDB's naive-timestamp oracle semantics.
+    """
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -146,7 +175,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str):
     ]
     batch_schema = load_table(spark, sf_dir, name).schema
     if not ns_cols:
-        return spark.readStream.schema(batch_schema).parquet(d)
+        return _ntz_to_timestamp(spark.readStream.schema(batch_schema).parquet(d))
     raw_schema = T.StructType(
         [
             T.StructField(

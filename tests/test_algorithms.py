@@ -189,6 +189,33 @@ def test_weighted_shortest_paths_multi_source_unreachable(spark):
     assert d == {"a": 0.0, "c": 0.0, "b": 1.0}
 
 
+def test_weighted_shortest_paths_sub_nano_relaxation_propagates(spark):
+    """Fixpoint detection must see relaxations below 1e-9: the 3-hop
+    path to ``a`` beats the direct edge by only 1e-12, and that
+    improvement must still propagate one more round to ``d``. A
+    checksum that rounds dist to 9 decimals stops after the round that
+    updates ``a`` (its change is invisible) and leaves ``d`` stale —
+    the raw-double-bits hash keeps iterating to the true fixpoint."""
+    from neo4j_graphdb_spark.graph.algorithms import weighted_shortest_paths
+
+    eps = 1e-12
+    edges = [
+        ("s", "a", 1.0),
+        ("s", "b", 0.4),
+        ("b", "c", 0.3),
+        ("c", "a", 0.3 - eps),
+        ("a", "d", 1.0),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    src = spark.createDataFrame([("s",)], "id string")
+    d = {r["id"]: r["dist"] for r in weighted_shortest_paths(e, src).collect()}
+    # accumulate in the same IEEE-754 order Bellman-Ford does
+    exp_a = (0.4 + 0.3) + (0.3 - eps)
+    assert exp_a < 1.0  # the 3-hop path really is (sub-1e-9) cheaper
+    assert d["a"] == exp_a
+    assert d["d"] == exp_a + 1.0  # the round AFTER the sub-1e-9 relaxation
+
+
 def test_personalized_pagerank_concentrates_near_sources(spark):
     """PPR on a path a->b->c plus isolated z, restarting at {a}: all rank
     flows down the path (a > b > c), z gets exactly zero, and classic

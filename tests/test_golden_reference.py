@@ -230,3 +230,20 @@ def test_text_unsupported_syntax_raises(spark, tmp_path):
         run_cypher(spark, "MATCH (n) WHERE n.x = 1 RETURN n", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MERGE (a:X {k: $k}) DELETE a", {"k": 1}, store=s)
+
+
+def test_text_keywords_inside_identifiers_do_not_split(spark):
+    """Clause keywords embedded in property accesses (`n.with`) or
+    parameter names (`$set`, `$skip`) are identifiers, not clause
+    boundaries — the splitter's lookbehind must leave them intact and
+    the unsupported-keyword screen must not reject them."""
+    from neo4j_graphdb_spark.operators.cypher_text import split_clauses
+
+    cl = split_clauses("MATCH (n:Article) RETURN n.with AS w LIMIT 5")
+    assert [c.kind for c in cl] == ["MATCH", "RETURN", "LIMIT"]
+    assert cl[1].body == "n.with AS w"
+
+    cl = split_clauses("MERGE (a:X {k: $set}) SET a.merge = $skip RETURN a")
+    assert [c.kind for c in cl] == ["MERGE", "SET", "RETURN"]
+    assert cl[0].body == "(a:X {k: $set})"
+    assert cl[1].body == "a.merge = $skip"

@@ -189,6 +189,41 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
 
 
+def test_chunking_oracle_agrees_on_blank_documents(spark):
+    """Engine vs DuckDB oracle on a corpus that CONTAINS blank and
+    whitespace-only documents: both must emit zero chunks for them
+    (the oracle once produced a phantom ('', 1) chunk — green on the
+    fixtures only because they had no blank text)."""
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graphdb_spark.functions.text import chunk_documents
+    from neo4j_graphdb_spark.registry import ORACLES
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(150))),
+        (2, "short doc"),
+        (3, ""),  # blank
+        (4, "   \t\n  "),  # whitespace-only (tabs/newlines beat trim)
+        (5, "\t lead  and   trail \n"),  # empty split-tokens at both ends
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+        for r in chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        (int(d), int(c)): (ch, int(n))
+        for d, c, ch, n in con.execute(ORACLES["c10_chunking"]).fetchall()
+    }
+    assert got == want
+    assert not any(d in (3, 4) for d, _ in got)  # blank docs -> no chunks
+    assert got[(5, 0)] == ("lead and trail", 3)  # no empty tokens survive
+
+
 def test_deterministic_split_reproducible(spark):
     from neo4j_graphdb_spark.functions.text import deterministic_split
 
