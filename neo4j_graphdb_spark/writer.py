@@ -25,9 +25,14 @@ plan, broadcast, and skew-split.
 Storage is versioned Parquet (``v0, v1, …`` + a ``_CURRENT`` pointer):
 writers never mutate in place, readers pin a version — the same
 write-new-then-swap-pointer discipline object-store table formats use.
-At 100 TB the drop-in upgrade is a transactional table format (Delta /
-Iceberg ``MERGE INTO``) so unaffected files are not rewritten; the join
-logic below is exactly what those formats execute under the hood.
+MERGE is *file-pruned*: each label/rel_type partition is hash-bucketed
+on the merge key (``label=X/_kb=N`` dirs), a batch reads and rewrites
+only the buckets its keys land in, and every untouched leaf carries
+over as hardlinks — the manifest discipline of a Delta/Iceberg
+``MERGE INTO`` expressed on hive directories. At 100 TB the drop-in
+upgrade is swapping the hardlink carry-over for real manifest entries;
+the join and pruning logic below is exactly what those formats execute
+under the hood.
 """
 
 from __future__ import annotations
@@ -39,6 +44,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes
+
+# Sub-label file pruning: each label/rel_type partition is further
+# hash-bucketed on the merge key, so a MERGE batch rewrites only the
+# buckets its keys land in — O(touched buckets), not O(label). 16 keeps
+# local test stores from fragmenting; a 100 TB deployment raises it
+# (e.g. 1024) so one bucket ≈ one comfortable rewrite unit.
+N_KEY_BUCKETS = int(os.environ.get("SPARK_GRAFT_MERGE_BUCKETS", "16"))
+BUCKET_COL = "_kb"
+
+
+def _bucket_of(*cols) -> "F.Column":
+    """Deterministic key→bucket assignment (same expression at write and
+    at prune time, so an existing row for key K is always found in
+    bucket _bucket_of(K))."""
+    return F.pmod(F.xxhash64(*cols), F.lit(N_KEY_BUCKETS)).cast("int")
 
 
 @dataclass
@@ -155,74 +175,112 @@ class _VersionedTable:
             gone.append(v)
         return gone
 
-    def write_next(self, df: DataFrame, partition_by: str | None = None) -> str:
+    def write_next(self, df: DataFrame, partition_by: str | list[str] | None = None) -> str:
         v = self.current_version() + 1
         path = os.path.join(self.root, f"v{v}")
         w = df.write.mode("overwrite")
         if partition_by is not None:
-            # label/rel_type partitioning: label scans (A1) become partition
-            # pruning — at 100 TB a MATCH (:Article) touches only that
-            # label's files, and a MERGE batch rewrite is bounded by the
-            # labels present in the batch (not the whole table).
-            w = w.partitionBy(partition_by)
+            # label/rel_type (+ key-bucket) partitioning: label scans (A1)
+            # become partition pruning — at 100 TB a MATCH (:Article)
+            # touches only that label's files — and a MERGE batch rewrite
+            # is bounded by the (label, bucket) pairs present in the batch,
+            # not the whole table.
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
         w.parquet(path)
         with open(self._pointer, "w") as f:
             f.write(str(v))
         self._schema, self._schema_version = df.schema, v
         return path
 
-    def is_partitioned_by(self, partition_by: str) -> bool:
+    def is_partitioned_by(self, partition_by: str | list[str]) -> bool:
         """True iff the current version's directory layout is hive-partitioned
-        on ``partition_by`` (or the table is empty, so the next write
-        establishes the layout). A version written without ``partitionBy``
-        holds plain ``part-*.parquet`` files — a partial rewrite over such a
-        layout would silently drop every row outside the touched values, so
-        callers must check this before choosing the partial path."""
+        on exactly the given column chain (or the table is empty, so the next
+        write establishes the layout). A version written without
+        ``partitionBy`` holds plain ``part-*.parquet`` files — a partial
+        rewrite over such a layout would silently drop every row outside the
+        touched values, so callers must check this before choosing the
+        partial path."""
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         path = self.current_path()
         if path is None:
             return True
-        prefix = f"{partition_by}="
-        return all(
-            e.startswith(prefix) or e.startswith(".") or e.startswith("_")
-            for e in os.listdir(path)
-        )
+
+        def _level_ok(d: str, depth: int) -> bool:
+            if depth == len(cols):
+                return True
+            prefix = f"{cols[depth]}="
+            for e in os.listdir(d):
+                if e.startswith(".") or e.startswith("_"):
+                    continue
+                if not e.startswith(prefix):
+                    return False
+                if not _level_ok(os.path.join(d, e), depth + 1):
+                    return False
+            return True
+
+        return _level_ok(path, 0)
 
     def write_next_partial(
-        self, df: DataFrame, partition_by: str, touched_values: list[str]
+        self,
+        df: DataFrame,
+        partition_by: str | list[str],
+        touched_values: list,
     ) -> str:
         """Write ``df`` (rows of the *touched* partitions only) as the next
         version and carry every untouched partition over from the current
         version as hardlinks.
 
-        This bounds MERGE write amplification to O(touched partition), not
-        O(table) — the same file-reuse discipline Delta/Iceberg implement
-        with manifests; on a shared filesystem the hardlink becomes a
-        manifest entry referencing the old file.
+        ``partition_by`` may be a single column or a chain (e.g.
+        ``["label", "_kb"]``); ``touched_values`` is then a list of values
+        or of tuples naming the touched leaf partitions. This bounds MERGE
+        write amplification to O(touched leaves), not O(table) — the same
+        file-reuse discipline Delta/Iceberg implement with manifests; on a
+        shared filesystem the hardlink becomes a manifest entry referencing
+        the old file.
 
         Raises ``ValueError`` if the current version is not partitioned on
         ``partition_by``: carrying over "untouched partitions" from an
         unpartitioned layout would carry over nothing, silently losing every
         other partition's data on upgrade of a legacy store.
         """
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         prev = self.current_path()
-        if prev is not None and not self.is_partitioned_by(partition_by):
+        if prev is not None and not self.is_partitioned_by(cols):
             raise ValueError(
                 f"current version at {prev} is not partitioned by "
-                f"{partition_by!r}; a partial rewrite would drop its data — "
+                f"{cols!r}; a partial rewrite would drop its data — "
                 "use write_next() with the full table to upgrade the layout"
             )
         prev_v = self.current_version()
         v = prev_v + 1
         path = os.path.join(self.root, f"v{v}")
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        df.write.mode("overwrite").partitionBy(*cols).parquet(path)
         if prev is not None:
-            touched_dirs = {f"{partition_by}={tv}" for tv in touched_values}
-            for entry in os.listdir(prev):
-                if not entry.startswith(f"{partition_by}="):
-                    continue
-                if entry in touched_dirs:
-                    continue
-                _hardlink_tree(os.path.join(prev, entry), os.path.join(path, entry))
+            # hive dir values are strings — normalize touched (which may
+            # carry ints, e.g. bucket ids) for comparison
+            touched = {
+                tuple(str(x) for x in (tv if isinstance(tv, tuple) else (tv,)))
+                for tv in touched_values
+            }
+
+            def _carry(src: str, dst: str, depth: int, crumbs: tuple) -> None:
+                """Hardlink every leaf partition dir not in ``touched``;
+                descend only into levels that contain touched leaves."""
+                if depth == len(cols):
+                    return  # fully-touched leaf: freshly written, no carry
+                prefix = f"{cols[depth]}="
+                for e in os.listdir(src):
+                    if not e.startswith(prefix):
+                        continue
+                    val = crumbs + (e[len(prefix):],)
+                    if not any(t[: depth + 1] == val for t in touched):
+                        # nothing below here was touched: link whole subtree
+                        _hardlink_tree(os.path.join(src, e), os.path.join(dst, e))
+                    else:
+                        _carry(os.path.join(src, e), os.path.join(dst, e), depth + 1, val)
+
+            _carry(prev, path, 0, ())
         with open(self._pointer, "w") as f:
             f.write(str(v))
         # new version's schema = this write's columns plus any carried
@@ -263,15 +321,22 @@ class GraphStore:
     def nodes(self, version: int | None = None) -> DataFrame | None:
         """Current nodes table, or a pinned earlier ``version`` (time
         travel — every write is a new version, so any historical state
-        remains readable until :meth:`vacuum` reclaims it)."""
+        remains readable until :meth:`vacuum` reclaims it). The internal
+        key-bucket partition column is dropped: it is storage layout, not
+        graph data (consumers filtering on ``label`` still prune at the
+        directory level — bucket dirs nest *inside* label dirs)."""
         if version is None:
-            return self._nodes.read(self.spark)
-        return self._nodes.read_version(self.spark, version)
+            df = self._nodes.read(self.spark)
+        else:
+            df = self._nodes.read_version(self.spark, version)
+        return None if df is None else _drop_bucket(df)
 
     def edges(self, version: int | None = None) -> DataFrame | None:
         if version is None:
-            return self._edges.read(self.spark)
-        return self._edges.read_version(self.spark, version)
+            df = self._edges.read(self.spark)
+        else:
+            df = self._edges.read_version(self.spark, version)
+        return None if df is None else _drop_bucket(df)
 
     # --------------------------------------------------------------- writes
 
@@ -313,7 +378,9 @@ class GraphStore:
         if order_col and order_col not in prop_cols:
             incoming = incoming.drop(order_col)
 
-        existing = self.nodes()
+        incoming = incoming.withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+
+        existing = self._nodes.read(self.spark)
         if existing is None:
             merged = incoming.persist()
             # one action for both counters (created + non-null prop cells)
@@ -323,18 +390,31 @@ class GraphStore:
             ).collect()[0]
             created = int(row["_created"])
             props_set = int(sum(row[c] for c in prop_cols))
-            self._nodes.write_next(merged, partition_by="label")
+            self._nodes.write_next(merged, partition_by=["label", BUCKET_COL])
             merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
 
-        # A merge batch touches exactly one label, and node_id embeds the
-        # label, so the join only needs the touched partition: the read is
-        # partition-pruned and the write rewrites ONLY this label's files
-        # (untouched labels carry over as hardlinks) — O(partition) MERGE
-        # cost instead of O(table).
+        # File-pruned MERGE: a batch touches exactly one label, and within
+        # it only the key-hash buckets its keys land in — an existing row
+        # for key K can only live in bucket _bucket_of(K). The read is
+        # pruned to (label, touched buckets) and the write rewrites ONLY
+        # those leaf dirs (everything else carries over as hardlinks) —
+        # O(touched buckets) MERGE cost instead of O(label): the manifest
+        # discipline of a Delta/Iceberg MERGE INTO, on hive dirs. The
+        # bucket list is driver-side metadata, bounded by N_KEY_BUCKETS.
+        bucketed = (
+            self._nodes.is_partitioned_by(["label", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in incoming.select(BUCKET_COL).distinct().collect()
+        ]
         touched = existing.filter(F.col("label") == label)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
         all_props = sorted(
-            (set(touched.columns) | set(incoming.columns)) - {NODE_ID, "label", "key"}
+            (set(touched.columns) | set(incoming.columns))
+            - {NODE_ID, "label", "key", BUCKET_COL}
         )
         old = _with_missing(touched, incoming, all_props).alias("old")
         new = _with_missing(incoming, touched, all_props).alias("new")
@@ -351,7 +431,7 @@ class GraphStore:
                 F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
                 for c in all_props
             ],
-        )
+        ).withColumn(BUCKET_COL, _bucket_of(F.col("key")))
 
         # one action computes both counters from the persisted join; the
         # non-null new.* cells equal the deduped incoming cells, so this
@@ -362,16 +442,21 @@ class GraphStore:
         ).collect()[0]
         created = int(row["_created"])
         props_set = int(sum(row[c] for c in prop_cols))
-        if self._nodes.is_partitioned_by("label"):
-            self._nodes.write_next_partial(merged, "label", [label])
+        if bucketed:
+            self._nodes.write_next_partial(
+                merged, ["label", BUCKET_COL], [(label, b) for b in buckets]
+            )
         else:
-            # legacy/unpartitioned store: a partial rewrite would silently
-            # drop every other label (ADVICE r2) — do one full rewrite that
-            # also upgrades the layout to label-partitioned
-            untouched = existing.filter(F.col("label") != label)
+            # legacy layout (unpartitioned, or label-only from an older
+            # store): a partial rewrite would silently drop data (ADVICE
+            # r2) — do one full rewrite that upgrades the layout to
+            # label+bucket partitioning
+            untouched = existing.filter(F.col("label") != label).withColumn(
+                BUCKET_COL, _bucket_of(F.col("key"))
+            )
             self._nodes.write_next(
                 untouched.unionByName(merged, allowMissingColumns=True),
-                partition_by="label",
+                partition_by=["label", BUCKET_COL],
             )
         joined.unpersist()
         return WriteSummary(nodes_created=created, properties_set=props_set)
@@ -387,38 +472,62 @@ class GraphStore:
     ) -> WriteSummary:
         """Batch ``MERGE (a)-[:REL]->(b)`` — create-if-absent, idempotent
         (``/root/reference/src/crwling.py:54``, ``src/ingest.py:7``)."""
-        incoming = as_edges(
-            updates, rel_type, src_label, src_key_col, dst_label, dst_key_col
-        ).dropDuplicates(["src", "dst", "rel_type"])
+        incoming = (
+            as_edges(updates, rel_type, src_label, src_key_col, dst_label, dst_key_col)
+            .dropDuplicates(["src", "dst", "rel_type"])
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+        )
 
-        existing = self.edges()
+        existing = self._edges.read(self.spark)
         if existing is None:
             incoming = incoming.persist()
             created = incoming.count()
-            self._edges.write_next(incoming, partition_by="rel_type")
+            self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
             incoming.unpersist()
             return WriteSummary(relationships_created=created)
 
-        # same partial-rewrite discipline as merge_nodes: the anti-join
-        # and the union only touch this rel_type's partition
+        # same file-pruned discipline as merge_nodes: an existing copy of
+        # edge (s,d) can only live in bucket _bucket_of(s,d), so the
+        # anti-join, union, and rewrite touch only this rel_type's touched
+        # buckets
+        bucketed = (
+            self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in incoming.select(BUCKET_COL).distinct().collect()
+        ]
         touched = existing.filter(F.col("rel_type") == rel_type)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        if BUCKET_COL not in touched.columns:
+            touched = touched.withColumn(
+                BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+            )
         fresh = incoming.join(
             touched, on=["src", "dst", "rel_type"], how="left_anti"
         ).persist()
         created = fresh.count()
-        if self._edges.is_partitioned_by("rel_type"):
+        if bucketed:
             self._edges.write_next_partial(
-                touched.unionByName(fresh), "rel_type", [rel_type]
+                touched.unionByName(fresh),
+                ["rel_type", BUCKET_COL],
+                [(rel_type, b) for b in buckets],
             )
         else:
-            # same legacy-layout guard as merge_nodes: full rewrite that
-            # upgrades the store to rel_type-partitioned
-            untouched = existing.filter(F.col("rel_type") != rel_type)
+            # legacy-layout guard (unpartitioned or rel_type-only store):
+            # full rewrite that upgrades to rel_type+bucket partitioning
+            untouched = existing
+            if BUCKET_COL not in untouched.columns:
+                untouched = untouched.withColumn(
+                    BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                )
+            untouched = untouched.filter(F.col("rel_type") != rel_type)
             self._edges.write_next(
                 untouched.unionByName(
                     touched.unionByName(fresh), allowMissingColumns=True
                 ),
-                partition_by="rel_type",
+                partition_by=["rel_type", BUCKET_COL],
             )
         fresh.unpersist()
         return WriteSummary(relationships_created=created)
@@ -447,17 +556,20 @@ class GraphStore:
         """
         doomed = (
             as_nodes(keys, label, key_col)
-            .select(NODE_ID)
+            .select(NODE_ID, _bucket_of(F.col("key")).alias(BUCKET_COL))
             .distinct()
             .persist()
         )
-        existing = self.nodes()
+        existing = self._nodes.read(self.spark)
         if existing is None:
             doomed.unpersist()
             return WriteSummary()
-        edges = self.edges()
+        edges = self._edges.read(self.spark)
         n_rel = 0
         if edges is not None:
+            # incident-edge discovery cannot prune: a doomed node may be
+            # referenced from any (rel_type, bucket) — this scan is the
+            # inherent full-index lookup of a DETACH DELETE
             incident = edges.join(
                 doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_semi"
             ).unionByName(
@@ -474,36 +586,79 @@ class GraphStore:
                     "deleted — use detach=True (DETACH DELETE) to remove them"
                 )
             if n_rel > 0:
-                touched_types = [
-                    r["rel_type"]
-                    for r in incident.select("rel_type").distinct().collect()
-                ]
-                survivors = (
-                    edges.filter(F.col("rel_type").isin(touched_types))
-                    .join(doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_anti")
-                    .join(doomed.select(F.col(NODE_ID).alias("dst")), on="dst", how="left_anti")
+                edges_bucketed = (
+                    self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
+                    and BUCKET_COL in edges.columns
                 )
-                if self._edges.is_partitioned_by("rel_type"):
-                    self._edges.write_next_partial(survivors, "rel_type", touched_types)
+                if edges_bucketed:
+                    # the REWRITE does prune: only the (rel_type, bucket)
+                    # leaves that actually held incident edges are
+                    # rewritten (tiny distinct-collect of leaf metadata)
+                    inc_kb = incident
+                    if BUCKET_COL not in inc_kb.columns:
+                        inc_kb = inc_kb.withColumn(
+                            BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                        )
+                    touched_leaves = [
+                        (r["rel_type"], r[BUCKET_COL])
+                        for r in inc_kb.select("rel_type", BUCKET_COL).distinct().collect()
+                    ]
+                    touched_types = sorted({t for t, _ in touched_leaves})
+                    leaf_pred = F.lit(False)
+                    for t in touched_types:
+                        kb_for_t = [b for tt, b in touched_leaves if tt == t]
+                        leaf_pred = leaf_pred | (
+                            (F.col("rel_type") == t) & F.col(BUCKET_COL).isin(kb_for_t)
+                        )
+                    survivors = (
+                        edges.filter(leaf_pred)
+                        .join(doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_anti")
+                        .join(doomed.select(F.col(NODE_ID).alias("dst")), on="dst", how="left_anti")
+                    )
+                    self._edges.write_next_partial(
+                        survivors, ["rel_type", BUCKET_COL], touched_leaves
+                    )
                 else:
-                    keep_other = edges.filter(~F.col("rel_type").isin(touched_types))
+                    # legacy layout: full rewrite, upgrading to
+                    # rel_type+bucket partitioning
+                    survivors = (
+                        edges.join(doomed.select(F.col(NODE_ID).alias("src")), on="src", how="left_anti")
+                        .join(doomed.select(F.col(NODE_ID).alias("dst")), on="dst", how="left_anti")
+                    )
+                    if BUCKET_COL not in survivors.columns:
+                        survivors = survivors.withColumn(
+                            BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                        )
                     self._edges.write_next(
-                        keep_other.unionByName(survivors), partition_by="rel_type"
+                        survivors, partition_by=["rel_type", BUCKET_COL]
                     )
             incident.unpersist()
 
+        nodes_bucketed = (
+            self._nodes.is_partitioned_by(["label", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
         touched = existing.filter(F.col("label") == label)
-        kept = touched.join(doomed, on=NODE_ID, how="left_anti").persist()
+        doomed_buckets = [
+            r[BUCKET_COL] for r in doomed.select(BUCKET_COL).distinct().collect()
+        ]
+        if nodes_bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(doomed_buckets))
+        kept = touched.join(
+            doomed.select(NODE_ID), on=NODE_ID, how="left_anti"
+        ).persist()
         n_deleted = touched.count() - kept.count()
         if n_deleted > 0:
-            if self._nodes.is_partitioned_by("label"):
-                self._nodes.write_next_partial(kept, "label", [label])
+            if nodes_bucketed:
+                self._nodes.write_next_partial(
+                    kept, ["label", BUCKET_COL], [(label, b) for b in doomed_buckets]
+                )
             else:
                 others = existing.filter(F.col("label") != label)
-                self._nodes.write_next(
-                    others.unionByName(kept, allowMissingColumns=True),
-                    partition_by="label",
-                )
+                full = others.unionByName(kept, allowMissingColumns=True)
+                if BUCKET_COL not in full.columns:
+                    full = full.withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+                self._nodes.write_next(full, partition_by=["label", BUCKET_COL])
         kept.unpersist()
         doomed.unpersist()
         return WriteSummary(nodes_deleted=n_deleted, relationships_deleted=n_rel)
@@ -533,21 +688,33 @@ class GraphStore:
         construction (same rows, new layout).
         """
         if table == "nodes":
-            vt, pcol, id_col = self._nodes, "label", NODE_ID
+            vt, pcol, id_col, kb = self._nodes, "label", NODE_ID, _bucket_of(F.col("key"))
         elif table == "edges":
-            vt, pcol, id_col = self._edges, "rel_type", "src"
+            vt, pcol, id_col, kb = (
+                self._edges,
+                "rel_type",
+                "src",
+                _bucket_of(F.col("src"), F.col("dst")),
+            )
         else:
             raise ValueError(f"unknown table: {table!r}")
         df = vt.read(self.spark)
         if df is None:
             return None
-        keys = [F.col(pcol)]
+        if BUCKET_COL not in df.columns:
+            # compacting a legacy store also upgrades it to the bucketed
+            # layout (the one full rewrite the upgrade needs anyway)
+            df = df.withColumn(BUCKET_COL, kb)
+        keys = [F.col(pcol), F.col(BUCKET_COL)]
         if files_per_value > 1:
             keys.append(F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_value)))
-        # repartition on the partition column (+ optional intra-value
-        # salt): every partition value lands in at most files_per_value
-        # tasks, so each hive dir gets at most that many files
-        return vt.write_next(df.repartition(*keys), partition_by=pcol)
+        # repartition on the partition columns (+ optional intra-leaf
+        # salt): every (value, bucket) leaf lands in at most
+        # files_per_value tasks, so each hive dir gets at most that many
+        # files
+        return vt.write_next(
+            df.repartition(*keys), partition_by=[pcol, BUCKET_COL]
+        )
 
 
 def _hardlink_tree(src: str, dst: str) -> None:
@@ -562,6 +729,11 @@ def _hardlink_tree(src: str, dst: str) -> None:
             if fn.startswith("."):
                 continue
             os.link(os.path.join(dirpath, fn), os.path.join(target_dir, fn))
+
+
+def _drop_bucket(df: DataFrame) -> DataFrame:
+    """Hide the internal key-bucket partition column from consumers."""
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> DataFrame:

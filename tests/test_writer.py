@@ -99,13 +99,18 @@ def test_partial_rewrite_hardlinks_untouched_partitions(spark, store, tmp_path):
     def inodes(version_dir, part):
         d = os.path.join(version_dir, part)
         return {
-            fn: os.stat(os.path.join(d, fn)).st_ino
-            for fn in os.listdir(d)
+            os.path.relpath(os.path.join(dp, fn), d): os.stat(
+                os.path.join(dp, fn)
+            ).st_ino
+            for dp, _, fns in os.walk(d)
+            for fn in fns
             if fn.endswith(".parquet")
         }
 
-    # Article partition in v1 is hardlinked from v0 (same inodes)
-    assert inodes(v1, "label=Article") == inodes(v2, "label=Article")
+    # Article partition in v1 is hardlinked from v0 (same inodes);
+    # the walk is recursive because each label nests _kb bucket dirs
+    arts_v1 = inodes(v1, "label=Article")
+    assert arts_v1 and arts_v1 == inodes(v2, "label=Article")
     # reads see both labels, with schema merged across partitions
     nodes = {r["key"]: r for r in store.nodes().collect()}
     assert set(nodes) == {"u1", "u2", "Pub A"}
@@ -115,7 +120,18 @@ def test_partial_rewrite_hardlinks_untouched_partitions(spark, store, tmp_path):
     # third merge updates Articles only; Publisher files carried from v1
     store.merge_nodes(_batch(spark, [("u1", "t1x", None)]), "Article", "link", ["title", "content"])
     v3 = os.path.join(nodes_root, "v2")
-    assert inodes(v2, "label=Publisher") == inodes(v3, "label=Publisher")
+    pubs_v2 = inodes(v2, "label=Publisher")
+    assert pubs_v2 and pubs_v2 == inodes(v3, "label=Publisher")
+    # file-pruned MERGE: only u1's bucket rewritten — every OTHER
+    # Article bucket dir carries over as hardlinks too
+    from neo4j_graphdb_spark.writer import BUCKET_COL, _bucket_of
+    u1_kb = spark.range(1).select(
+        _bucket_of(F.lit("u1")).alias("b")  # buckets hash the key column
+    ).collect()[0]["b"]
+    arts_v2, arts_v3 = inodes(v2, "label=Article"), inodes(v3, "label=Article")
+    untouched_v2 = {f: i for f, i in arts_v2.items() if not f.startswith(f"{BUCKET_COL}={u1_kb}/")}
+    untouched_v3 = {f: i for f, i in arts_v3.items() if not f.startswith(f"{BUCKET_COL}={u1_kb}/")}
+    assert untouched_v2 == untouched_v3
     assert {r["key"]: r["title"] for r in store.nodes().collect()}["u1"] == "t1x"
 
 
@@ -236,25 +252,36 @@ def test_legacy_unpartitioned_edges_upgrade(spark, tmp_path):
 
 def test_compact_bounds_files_and_preserves_data(spark, store):
     """Compaction rewrites the current version with at most
-    files_per_value files per partition dir, same rows, new version."""
+    files_per_value files per (label, bucket) leaf dir, same rows, new
+    version."""
     import os
+    from collections import Counter
 
-    # 4 merge batches -> several small files per label dir
+    def leaf_files(version_path):
+        """parquet files per leaf dir under label=Article (leaves are
+        the nested _kb bucket dirs)."""
+        root = os.path.join(version_path, "label=Article")
+        c = Counter()
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    c[os.path.relpath(dp, root)] += 1
+        return c
+
+    # 4 merge batches -> several small files across the bucket dirs
     for i in range(4):
         b = _batch(spark, [(f"u{i}-{j}", f"t{j}", "c") for j in range(5)])
         store.merge_nodes(b, "Article", "link", ["title", "content"])
     before = {r["key"]: r["title"] for r in store.nodes().collect()}
     v_before = store._nodes.current_version()
-    dir_before = os.path.join(store._nodes.current_path(), "label=Article")
-    files_before = [f for f in os.listdir(dir_before) if f.endswith(".parquet")]
-    assert len(files_before) > 1
+    assert sum(leaf_files(store._nodes.current_path()).values()) > 1
 
     store.compact("nodes", files_per_value=1)
     assert store._nodes.current_version() == v_before + 1
     assert store._nodes.is_partitioned_by("label")
-    dir_after = os.path.join(store._nodes.current_path(), "label=Article")
-    files_after = [f for f in os.listdir(dir_after) if f.endswith(".parquet")]
-    assert len(files_after) == 1
+    assert all(
+        n == 1 for n in leaf_files(store._nodes.current_path()).values()
+    )
     after = {r["key"]: r["title"] for r in store.nodes().collect()}
     assert after == before
 
