@@ -2,10 +2,11 @@
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
 Headliners cover every workload class the engine claims: scan+agg,
-multi-way broadcast joins, as-of/range temporal joins, the graph expand,
-iterative CC, LSH dedup, brute-force cosine top-k, windowed aggregation,
-the MERGE write path, and the training-data curation pipeline
-(contamination scan, sequence packing, global shuffle, sessionization).
+multi-way broadcast joins, as-of/range temporal joins, the hypertable
+rollup cascade, the graph expand, iterative CC, LSH dedup, brute-force
+cosine top-k, windowed aggregation, the MERGE write path, and the
+training-data curation pipeline (contamination scan, sequence packing,
+global shuffle, sessionization).
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ HEADLINE = [
     "rel_window_topn",
     "rel_asof_join",
     "rel_range_join",
+    "rel_time_rollup",
     "a3_expand",
     "a7_merge_upsert",
     "b3_html_extract",

@@ -17,9 +17,13 @@ alignment stage would:
   and the previous bucket), so the join is a 2×-fanout equi-join, never
   an O(n²) inequality join — the plan you want when both sides are
   100 TB event logs.
+* :func:`time_rollup` — hypertable-style multi-resolution continuous
+  aggregate: the finest resolution aggregates the raw events (the only
+  full-data shuffle), every coarser resolution re-aggregates the
+  previous rollup — the TimescaleDB continuous-aggregate cascade.
 
-Both are exact operators with DuckDB oracles (``ASOF JOIN`` / plain
-inequality join at fixture scale).
+All are exact operators with DuckDB oracles (``ASOF JOIN`` / plain
+inequality join / per-resolution GROUP BY at fixture scale).
 """
 
 from __future__ import annotations
@@ -84,6 +88,77 @@ def asof_join(
             *[F.col("_f" + c).alias(c + suffix) for c in right_cols],
         )
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    dims: list[str] | None = None,
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style rollup: one row per (resolution, time bucket,
+    dims) with count/sum/min/max of ``value_col``, for every resolution
+    in the coarsening chain.
+
+    The at-scale shape is hierarchical: the finest resolution is the
+    ONLY aggregation that shuffles the raw events; each coarser level
+    re-aggregates the previous rollup, whose size is bounded by buckets
+    × dims, not by events — at 100 TB the hour and day levels are
+    re-aggs of a table ~6 orders of magnitude smaller than the input.
+    Sums run over ``decimal(18,6)``, which is associative (unlike
+    float), so the cascade is value-identical to aggregating each
+    resolution directly from the raw events — that identity is exactly
+    what the DuckDB oracle checks. Count/min/max are associative by
+    nature.
+
+    ``resolutions`` must be ordered finest→coarsest with each entry a
+    valid ``date_trunc`` unit coarser than the previous.
+    """
+    dims = dims or []
+    finest = resolutions[0]
+    # each level is lazily checkpointed so the union's coarser branches
+    # physically re-aggregate the PREVIOUS rollup's materialized blocks
+    # instead of re-running the raw-event aggregation per branch (the
+    # static plan otherwise duplicates the finest exchange once per
+    # resolution); blocks are reclaimed by the ContextCleaner when the
+    # result is released
+    cur = (
+        df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *dims)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    levels = [(finest, cur)]
+    for res in resolutions[1:]:
+        cur = (
+            cur.groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), *dims)
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("_s").alias("_s"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append((res, cur))
+    out = None
+    for res, frame in levels:
+        tagged = frame.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            *dims,
+            "n_events",
+            F.round(F.col("_s").cast("double"), 6).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def range_join(

@@ -1693,6 +1693,19 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day
+    count/sum/min/max of event values per event_type — minute aggregates
+    the raw events (the only full shuffle), hour re-aggregates minute,
+    day re-aggregates hour (operators/temporal.py). Decimal sums make
+    the cascade value-identical to direct per-resolution aggregation,
+    which is what the oracle computes."""
+    from neo4j_graphdb_spark.operators.temporal import time_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return time_rollup(ev, "ts", ["event_type"], "value")
+
+
 def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): per-user event-type counts as columns. The
     pivot values are declared explicitly so Spark skips the extra
@@ -2213,6 +2226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
+    "rel_time_rollup": q_rel_time_rollup,
     "rel_pivot": q_rel_pivot,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
@@ -2920,6 +2934,26 @@ ORACLES: dict[str, str] = {
         FROM c JOIN p ON c.user_id = p.user_id
                      AND p.ts >= c.ts - INTERVAL 3600 SECONDS
                      AND p.ts < c.ts
+    """,
+    # each resolution aggregated DIRECTLY from the raw events: the
+    # engine's hierarchical cascade (hour from minute, day from hour)
+    # must be value-identical because its sums run over decimal(18,6)
+    "rel_time_rollup": """
+        SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket, event_type,
+               count(*)::bigint AS n_events,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6) AS sum_value,
+               round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'hour', date_trunc('hour', ts), event_type, count(*)::bigint,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
+               round(min(value), 6), round(max(value), 6)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type, count(*)::bigint,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
+               round(min(value), 6), round(max(value), 6)
+        FROM events GROUP BY 2, 3
     """,
     "rel_pivot": """
         SELECT user_id::bigint AS user_id,

@@ -378,7 +378,13 @@ class GraphStore:
         if order_col and order_col not in prop_cols:
             incoming = incoming.drop(order_col)
 
-        incoming = incoming.withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+        # lazy checkpoint: the deduped batch is materialized ONCE (by the
+        # bucket-list collect) and reused by the merge join and the write,
+        # instead of re-running the dedup window per action; blocks are
+        # reclaimed by the ContextCleaner when the merge returns
+        incoming = incoming.withColumn(
+            BUCKET_COL, _bucket_of(F.col("key"))
+        ).localCheckpoint(eager=False)
 
         existing = self._nodes.read(self.spark)
         if existing is None:

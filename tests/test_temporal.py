@@ -74,3 +74,34 @@ def test_range_join_bucket_boundary(spark):
     )
     got = range_join(left, right, ["user_id"], window_sec=100.0).collect()
     assert len(got) == 1 and got[0]["gap_sec"] == 100.0
+
+
+def test_time_rollup_hierarchical_equals_direct(spark):
+    """Hand-checkable multi-resolution rollup: minute buckets aggregate
+    raw rows; hour and day levels re-aggregate the previous rollup and
+    must equal direct aggregation (decimal sums are associative)."""
+    from neo4j_graphdb_spark.operators.temporal import time_rollup
+
+    rows = [
+        ("a", 1.1, _ts("2026-01-01 10:00:10")),
+        ("a", 2.2, _ts("2026-01-01 10:00:50")),  # same minute as above
+        ("a", 4.4, _ts("2026-01-01 10:59:00")),  # same hour, new minute
+        ("a", 8.8, _ts("2026-01-01 23:30:00")),  # same day, new hour
+        ("b", 0.5, _ts("2026-01-01 10:00:20")),  # other dim, same minute
+        ("a", 16.0, _ts("2026-01-02 00:00:00")),  # next day
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    out = time_rollup(ev, "ts", ["event_type"], "value")
+    got = {
+        (r["resolution"], str(r["bucket"]), r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in out.collect()
+    }
+    assert got[("minute", "2026-01-01 10:00:00", "a")] == (2, 3.3, 1.1, 2.2)
+    assert got[("minute", "2026-01-01 10:00:00", "b")] == (1, 0.5, 0.5, 0.5)
+    assert got[("hour", "2026-01-01 10:00:00", "a")] == (3, 7.7, 1.1, 4.4)
+    assert got[("day", "2026-01-01 00:00:00", "a")] == (4, 16.5, 1.1, 8.8)
+    assert got[("day", "2026-01-02 00:00:00", "a")] == (1, 16.0, 16.0, 16.0)
+    # 4 a-minutes + 1 b-minute + 3 a-hours + 1 b-hour + 2 a-days + 1 b-day
+    assert len(got) == 12
