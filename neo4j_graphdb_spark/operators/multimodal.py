@@ -111,6 +111,133 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     return spread_partitions(media).mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def _resize_stub(payload: bytes | None, kind: str, max_bytes: int) -> bytes | None:
+    """STUB resize kernel — deterministic fake thumbnail: the first
+    ``max_bytes`` of the payload (a PIL kernel would decode, resample to
+    the target box, and re-encode; the crop keeps the stub reproducible
+    in the DuckDB oracle via ``substring(blob)``)."""
+    if kind not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    if payload is None:
+        return None
+    return payload[:max_bytes]
+
+
+_RESIZERS: dict[str, object] = {
+    "image": _resize_stub,
+    "audio": _resize_stub,
+    "video": _resize_stub,
+}
+
+
+def register_resizer(kind: str, fn) -> None:
+    """Install a real resize kernel ``fn(payload, kind, max_bytes) ->
+    bytes|None`` for one media kind (e.g. PIL thumbnail for ``image``)."""
+    if kind not in _RESIZERS:
+        raise ValueError(f"unknown media kind: {kind!r}")
+    _RESIZERS[kind] = fn
+
+
+def resize_media(media: DataFrame, max_bytes: int = 4096) -> DataFrame:
+    """Thumbnail/downsample stage: per-row payload transform via
+    ``mapInPandas`` (Arrow batches, one Python crossing per batch),
+    dispatching through the resizer registry. Embarrassingly parallel —
+    no shuffle; partition sizing is byte-driven upstream, same contract
+    as :func:`extract_media_features`.
+
+    Output: ``(media_id, kind, out_bytes, thumb)`` with the resized
+    payload as a binary column.
+    """
+    resizers = dict(_RESIZERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                resizers.get(k, _resize_stub)(p, k, max_bytes)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_bytes": [0 if t is None else len(t) for t in thumbs],
+                    "thumb": thumbs,
+                }
+            )
+
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("out_bytes", T.IntegerType(), True),
+            T.StructField("thumb", T.BinaryType(), True),
+        ]
+    )
+    return spread_partitions(media).mapInPandas(run, schema=schema)
+
+
+def _frame_stub(payload: bytes | None, frame_bytes: int, stride: int) -> list[tuple[int, bytes]]:
+    """STUB frame extractor — deterministic fake codec: the payload is
+    treated as a stream of fixed ``frame_bytes`` frames, and every
+    ``stride``-th frame is emitted (an ffmpeg kernel would decode the
+    container and sample real frames; fixed-size slicing keeps the stub
+    reproducible in the DuckDB oracle via ``substring(blob)``)."""
+    if payload is None:
+        return []
+    n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+    return [
+        (i, payload[i * frame_bytes : (i + 1) * frame_bytes])
+        for i in range(0, n_frames, stride)
+    ]
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling stage for video rows: one output row per sampled
+    frame, via ``mapInPandas`` (the 1→N row fanout is why this is a
+    mapInPandas stage and not a scalar pandas UDF — each input batch
+    yields a differently-sized output batch).
+
+    At scale the fanout multiplies bytes, not keys: the stage stays
+    shuffle-free, and downstream per-frame work inherits the input's
+    partitioning. Output: ``(media_id, frame_idx, n_bytes, frame)``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in _frame_stub(p, frame_bytes, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("n_bytes", T.IntegerType(), True),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+    vids = media.filter(F.col("kind") == "video")
+    return spread_partitions(vids).mapInPandas(run, schema=schema)
+
+
 def synthetic_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Manufacture a deterministic media table from any text table (test
     harness for the plumbing: payload = utf-8 bytes of the text)."""

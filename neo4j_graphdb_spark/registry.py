@@ -1299,6 +1299,38 @@ def q_c11_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c11_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — media resize (thumbnail) through the Arrow/mapInPandas
+    plumbing and the resizer kernel registry; the stub kernel crops to
+    the first 4096 payload bytes, so the oracle replays it exactly with
+    ``substring(blob)`` and compares the full thumbnail via base64."""
+    from neo4j_graphdb_spark.operators.multimodal import resize_media, synthetic_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs, "doc_id", "text")
+    out = resize_media(media, max_bytes=4096)
+    # hex, not base64: DuckDB has no BLOB substring, so the oracle
+    # slices hex(blob) as VARCHAR — 2 hex chars per payload byte
+    return out.select(
+        "media_id", "kind", "out_bytes", F.hex("thumb").alias("thumb_hex")
+    )
+
+
+def q_c11_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — video frame sampling (1→N fanout mapInPandas): the stub
+    codec treats the payload as fixed 256-byte frames and emits every
+    4th; the oracle replays the slicing with ``substring(blob)`` over a
+    ``range()`` unnest and compares each frame via base64."""
+    from neo4j_graphdb_spark.operators.multimodal import sample_frames, synthetic_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs, "doc_id", "text")
+    fr = sample_frames(media, frame_bytes=256, stride=4)
+    return fr.select(
+        "media_id", "frame_idx", "n_bytes", F.hex("frame").alias("frame_hex")
+    )
+
+
 def q_c12_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -2190,6 +2222,8 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
+    "c11_resize": q_c11_resize,
+    "c11_frame_sample": q_c11_frame_sample,
     "c12_json_access": q_c12_json_access,
     "c13_stream_ingest": q_c13_stream_ingest,
     "c14_tumbling_window": q_c14_tumbling_window,
@@ -2725,6 +2759,28 @@ ORACLES: dict[str, str] = {
                round(length(regexp_replace(text, '[^\x60-\x7f]', '', 'g'))::double
                      / greatest(length(text), 1), 6) AS f3
         FROM documents
+    """,
+    "c11_resize": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               least(octet_length(encode(text)), 4096)::int AS out_bytes,
+               substring(hex(encode(text)), 1, 8192) AS thumb_hex
+        FROM documents
+    """,
+    "c11_frame_sample": """
+        WITH v AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        f AS (
+            SELECT media_id, h, n, cast(ceil(n / 256.0) AS int) AS nf FROM v
+        )
+        SELECT media_id, i::bigint AS frame_idx,
+               least(256, n - i * 256)::int AS n_bytes,
+               substring(h, i * 512 + 1, 512) AS frame_hex
+        FROM f, unnest(range(0, nf, 4)) AS t(i)
     """,
     "c11_embedding_features": """
         SELECT vec_id,

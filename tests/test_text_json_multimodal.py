@@ -166,6 +166,61 @@ def test_decoder_registry_swap(spark):
         mm.register_decoder("hologram", lambda p, k: [])
 
 
+def test_resize_media_crop_and_registry(spark):
+    """C11 resize plumbing: stub crops to max_bytes; a registered kernel
+    replaces it per kind without touching the mapInPandas stage."""
+    from neo4j_graphdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 50), (1, "y" * 5), (2, "z" * 50)], "doc_id long, text string"
+    )
+    media = mm.synthetic_media(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in mm.resize_media(media, max_bytes=16).collect()}
+    assert out[0]["out_bytes"] == 16 and out[0]["thumb"] == b"x" * 16
+    assert out[1]["out_bytes"] == 5 and out[1]["thumb"] == b"y" * 5  # shorter than box
+
+    try:
+        mm.register_resizer("image", lambda p, k, n: b"IMG")
+        swapped = {
+            r["media_id"]: r["thumb"]
+            for r in mm.resize_media(media, max_bytes=16).collect()
+        }
+    finally:
+        mm.register_resizer("image", mm._resize_stub)
+    assert swapped[0] == b"IMG"  # doc 0 -> image kind
+    assert swapped[2] == b"z" * 16  # video keeps the stub
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mm.register_resizer("hologram", lambda p, k, n: b"")
+
+
+def test_sample_frames_fanout(spark):
+    """C11 frame sampling: fixed-size frame slicing with stride, video
+    rows only, last frame is the remainder."""
+    from neo4j_graphdb_spark.operators import multimodal as mm
+
+    # doc 2 -> video; payload 10 bytes, frame_bytes=3 -> frames 0..3,
+    # stride 2 keeps 0 and 2; frame 3 (remainder, 1 byte) is skipped
+    docs = spark.createDataFrame(
+        [(2, "abcdefghij"), (0, "not-a-video")], "doc_id long, text string"
+    )
+    media = mm.synthetic_media(docs, "doc_id", "text")
+    rows = {
+        (r["media_id"], r["frame_idx"]): (r["n_bytes"], r["frame"])
+        for r in mm.sample_frames(media, frame_bytes=3, stride=2).collect()
+    }
+    assert rows == {(2, 0): (3, b"abc"), (2, 2): (3, b"ghi")}
+
+    # stride 1 keeps every frame incl. the 1-byte remainder
+    rows = {
+        r["frame_idx"]: r["frame"]
+        for r in mm.sample_frames(media, frame_bytes=3, stride=1).collect()
+    }
+    assert rows == {0: b"abc", 1: b"def", 2: b"ghi", 3: b"j"}
+
+
 def test_chunk_documents_windows(spark):
     from neo4j_graphdb_spark.functions.text import chunk_documents
 
