@@ -1962,6 +1962,21 @@ def q_c25_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c34_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 — heavy-hitter tokens via the Misra-Gries shortlist + exact
+    verify pipeline (operators/sketch.py): per-partition bounded-memory
+    summaries (no token-universe shuffle), broadcast-semi-join exact
+    pass over the shortlist only. capacity >= 2/frac makes the output
+    EXACT, so plain GROUP BY/HAVING SQL is a full value oracle."""
+    from neo4j_graphdb_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(tokens, "token", frac=0.002)
+
+
 def q_c26_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26 — stream-static enrichment on the real streaming engine: the
     event stream joined to the (broadcast) customer dimension per batch,
@@ -2246,6 +2261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c30_global_shuffle": q_c30_global_shuffle,
     "c31_vocab": q_c31_vocab,
     "c33_bm25": q_c33_bm25,
+    "c34_heavy_hitters": q_c34_heavy_hitters,
     "rel_profile": q_rel_profile,
     "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
@@ -3174,6 +3190,19 @@ ORACLES: dict[str, str] = {
                    ({_MD5_60_SQL.format(x="concat('shuffle', cast(doc_id AS varchar))")}) % 16 AS shard
             FROM documents
         )
+    """,
+    "c34_heavy_hitters": """
+        WITH w AS (
+            SELECT token FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        t AS (SELECT count(*) AS n FROM w)
+        SELECT w.token, count(*)::bigint AS freq
+        FROM w, t
+        GROUP BY w.token, t.n
+        HAVING count(*) > 0.002 * t.n
     """,
     "c31_vocab": """
         WITH counts AS (

@@ -171,3 +171,27 @@ def test_pack_sequences_string_ids(spark):
     assert len(rs) == 64
     assert all(r["doc_id"] is not None and r["doc_id"].startswith("doc://") for r in rs)
     assert len({r["bucket"] for r in rs}) > 1
+
+
+def test_heavy_hitters_exact_over_skewed_tokens(spark):
+    """Misra-Gries shortlist + exact verify returns EXACTLY the tokens
+    above the frequency threshold, across many partitions."""
+    from neo4j_graphdb_spark.operators.sketch import heavy_hitters
+    from pyspark.sql import functions as F
+
+    # 'hot' 400/1000, 'warm' 100/1000, everything else unique (cold)
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 100 + [(f"cold{i}",) for i in range(500)]
+    )
+    toks = spark.createDataFrame(rows, "token string").repartition(8)
+    got = {r["token"]: r["freq"] for r in heavy_hitters(toks, "token", frac=0.05).collect()}
+    assert got == {"hot": 400, "warm": 100}  # > 50 of 1000
+
+    # tighter threshold keeps only the top token
+    got = {r["token"]: r["freq"] for r in heavy_hitters(toks, "token", frac=0.2).collect()}
+    assert got == {"hot": 400}
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        heavy_hitters(toks, "token", frac=0.05, capacity=3)  # < 1/frac
