@@ -205,3 +205,75 @@ def test_near_dup_clusters_is_transitive_closure(spark, pairs):
         comp_min[r] = min(comp_min.get(r, i), i)
     for i in ids:
         assert out[i] == (comp_min[roots[i]], i == comp_min[roots[i]])
+
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(1, 30))
+    dims = ["a", "b"]
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                draw(st.sampled_from(dims)),
+                # values with <= 2 decimals, like real money-ish metrics
+                draw(st.integers(-10_000, 10_000)) / 100.0,
+                _EPOCH + timedelta(seconds=draw(st.integers(0, 3 * 86400))),
+            )
+        )
+    return out
+
+
+@given(event_streams())
+@settings(**_SETTINGS)
+def test_time_rollup_matches_pandas_direct_aggregation(spark, rows):
+    """The hierarchical cascade (hour from minute, day from hour) must
+    equal DIRECT per-resolution aggregation of the raw rows — the
+    decimal-sum associativity contract, checked against pandas."""
+    from neo4j_graphdb_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = {
+        (r["resolution"], r["bucket"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in time_rollup(df, "ts", ["event_type"], "value").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_type", "value", "ts"])
+    want = {}
+    for res, freq in [("minute", "min"), ("hour", "h"), ("day", "D")]:
+        g = pdf.groupby([pdf["ts"].dt.floor(freq), "event_type"])["value"]
+        for (bucket, et), s in g:
+            want[(res, bucket.to_pydatetime(), et)] = (
+                len(s),
+                # same 6-dp round the operator applies; sums of 2-dp
+                # values are exact in decimal, and float on <=30 of them
+                # stays within 1e-6 of the decimal truth
+                round(float(s.sum()), 6),
+                round(float(s.min()), 6),
+                round(float(s.max()), 6),
+            )
+    assert got == want
+
+
+@given(
+    st.lists(st.sampled_from(["x", "y", "z"] + [f"rare{i}" for i in range(20)]), min_size=1, max_size=200),
+    st.sampled_from([0.05, 0.1, 0.3]),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_matches_exact_counting(spark, toks, frac):
+    """Sketch shortlist + exact verify == plain exact counting with the
+    same threshold, for any token mix and partitioning."""
+    from collections import Counter
+
+    from neo4j_graphdb_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(4)
+    got = {r["token"]: r["freq"] for r in heavy_hitters(df, "token", frac=frac).collect()}
+    c = Counter(toks)
+    want = {t: n for t, n in c.items() if n > frac * len(toks)}
+    assert got == want
