@@ -1977,6 +1977,67 @@ def q_c34_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tokens, "token", frac=0.002)
 
 
+def q_c35_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 — hypertable maintenance on the REAL streaming engine: the
+    finest (minute) rollup level runs as a streaming aggregation
+    (state store, availableNow trigger, memory sink), and the hour/day
+    levels re-aggregate the streamed minute table in batch — the
+    continuous-aggregate discipline where only the finest level ever
+    sees raw events (operators/temporal.py documents the batch twin).
+    Decimal sums keep the cascade value-identical to direct
+    aggregation, so the oracle is the same per-resolution SQL as
+    rel_time_rollup."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+
+    ev = stream_table(spark, sf_dir, "events")
+    minute_stream = (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    minute = run_stream_to_memory(spark, minute_stream, output_mode="complete").select(
+        F.col("w.start").alias("bucket"),
+        "event_type",
+        "n_events",
+        "_s",
+        "min_value",
+        "max_value",
+    ).localCheckpoint(eager=False)
+
+    levels = [("minute", minute)]
+    cur = minute
+    for res in ("hour", "day"):
+        cur = (
+            cur.groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), "event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("_s").alias("_s"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append((res, cur))
+    out = None
+    for res, frame in levels:
+        tagged = frame.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "event_type",
+            "n_events",
+            F.round(F.col("_s").cast("double"), 6).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def q_c26_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26 — stream-static enrichment on the real streaming engine: the
     event stream joined to the (broadcast) customer dimension per batch,
@@ -2262,6 +2323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c31_vocab": q_c31_vocab,
     "c33_bm25": q_c33_bm25,
     "c34_heavy_hitters": q_c34_heavy_hitters,
+    "c35_stream_rollup": q_c35_stream_rollup,
     "rel_profile": q_rel_profile,
     "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
@@ -3009,7 +3071,26 @@ ORACLES: dict[str, str] = {
     """,
     # each resolution aggregated DIRECTLY from the raw events: the
     # engine's hierarchical cascade (hour from minute, day from hour)
-    # must be value-identical because its sums run over decimal(18,6)
+    # must be value-identical because its sums run over decimal(18,6);
+    # c35 produces the same result with the minute level maintained on
+    # the streaming engine, so it shares this oracle shape
+    "c35_stream_rollup": """
+        SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket, event_type,
+               count(*)::bigint AS n_events,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6) AS sum_value,
+               round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'hour', date_trunc('hour', ts), event_type, count(*)::bigint,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
+               round(min(value), 6), round(max(value), 6)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type, count(*)::bigint,
+               round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
+               round(min(value), 6), round(max(value), 6)
+        FROM events GROUP BY 2, 3
+    """,
     "rel_time_rollup": """
         SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket, event_type,
                count(*)::bigint AS n_events,

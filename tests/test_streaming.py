@@ -222,3 +222,28 @@ def test_stream_static_enrich_matches_batch_and_broadcasts(spark, sf_dir):
 
     plan = ref._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_rollup_cascade_matches_batch_rollup(spark, sf_dir):
+    """C35: minute level maintained by the streaming engine, hour/day
+    re-aggregated from it in batch — value-identical to the all-batch
+    time_rollup cascade (decimal sums are associative, so maintenance
+    strategy cannot change the numbers)."""
+    from neo4j_graphdb_spark.operators.temporal import time_rollup
+    from neo4j_graphdb_spark.registry import q_c35_stream_rollup
+    from neo4j_graphdb_spark.session import load_table
+
+    got = {
+        (r["resolution"], r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in q_c35_stream_rollup(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    want = {
+        (r["resolution"], r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in time_rollup(ev, "ts", ["event_type"], "value").collect()
+    }
+    assert got == want
