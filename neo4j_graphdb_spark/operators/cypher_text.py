@@ -17,6 +17,9 @@ reference's statements run verbatim:
 * ``RETURN item [AS alias] [, …]`` with ``alias`` / ``alias.prop`` (A4/A5)
 * ``LIMIT n`` (A6)
 * ``$param`` binding (A11)
+* ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
+  ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
+  beyond the reference's statements; its users write these constantly)
 
 Batch-native by construction: the reference binds one record per
 ``session.run`` round trip; here ``params`` may be either a scalar dict
@@ -25,9 +28,9 @@ DataFrame whose columns are the parameters, in which case ONE call
 upserts the whole batch through the same statement text — the
 per-record Bolt loop becomes a single batched merge plan.
 
-Out of scope (raises ``CypherUnsupported``): WHERE, OPTIONAL MATCH,
-variable-length paths, DELETE/REMOVE, subqueries — none appear in the
-reference.
+Out of scope (raises ``CypherUnsupported``): OPTIONAL MATCH,
+variable-length paths, DELETE/REMOVE, OR/NOT predicates, subqueries —
+none appear in the reference.
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ class CypherUnsupported(ValueError):
 # parsing
 # --------------------------------------------------------------------------
 
-_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "RETURN", "LIMIT")
+_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "LIMIT")
 
 # The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
 # accesses (`RETURN n.with`) or parameters (`$set`) from splitting into
@@ -102,20 +105,44 @@ class _NodePattern:
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"(?<![.$\w])(WHERE|DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
+    r"(?<![.$\w])(DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
     re.IGNORECASE,
 )
 
+# one WHERE conjunct: alias.prop <op> ($param | signed number | 'masked
+# string literal' — by parse time literals are \x00<i>\x00 sentinels)
+_WHERE_ITEM_RE = re.compile(
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*"
+    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00)$"
+)
 
-def split_clauses(query: str) -> list[_Clause]:
-    """Split a statement into top-level clauses. Safe for the subset: no
-    string literals exist (all values arrive via ``$params``), so clause
-    keywords cannot appear quoted."""
-    text = " ".join(query.split())
-    bad = _UNSUPPORTED_KEYWORDS.search(text)
+_STRING_LIT_RE = re.compile(r"'([^']*)'")
+
+
+def _mask_strings(text: str) -> tuple[str, list[str]]:
+    """Replace single-quoted literals with ``\\x00<i>\\x00`` sentinels so
+    clause splitting and keyword screening never look inside them —
+    ``WHERE n.title = 'RETURN of the King'`` must not split on RETURN."""
+    table: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        table.append(m.group(1))
+        return f"\x00{len(table) - 1}\x00"
+
+    return _STRING_LIT_RE.sub(repl, text), table
+
+
+def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
+    """Split a statement into top-level clauses plus the string-literal
+    table. String literals are masked first, so quoted clause keywords
+    cannot confuse the split; parameters stay the preferred value
+    channel. Clause bodies carry ``\\x00<i>\\x00`` sentinels that index
+    into the returned table."""
+    masked, lits = _mask_strings(" ".join(query.split()))
+    bad = _UNSUPPORTED_KEYWORDS.search(masked)
     if bad:
         raise CypherUnsupported(f"{bad.group(0).upper()} is outside the subset")
-    parts = _CLAUSE_RE.split(text)
+    parts = _CLAUSE_RE.split(masked)
     if parts[0].strip():
         raise CypherUnsupported(f"statement must start with a clause: {parts[0]!r}")
     clauses = []
@@ -123,7 +150,13 @@ def split_clauses(query: str) -> list[_Clause]:
         clauses.append(_Clause(parts[i].upper(), parts[i + 1].strip().rstrip(",")))
     if not clauses:
         raise CypherUnsupported("empty statement")
-    return clauses
+    return clauses, lits
+
+
+def split_clauses(query: str) -> list[_Clause]:
+    """Clause split without the literal table (bodies keep sentinels for
+    any quoted literal — use :func:`split_clauses_masked` to resolve)."""
+    return split_clauses_masked(query)[0]
 
 
 def _parse_props(props: str | None) -> list[tuple[str, str]]:
@@ -184,9 +217,11 @@ def run_cypher(
     logical record, the reference's shape) or a DataFrame of parameter
     columns (batch-native).
     """
-    clauses = split_clauses(query)
+    clauses, lits = split_clauses_masked(query)
     is_write = any(c.kind in ("MERGE", "SET") for c in clauses)
     if is_write:
+        if any(c.kind == "WHERE" for c in clauses):
+            raise CypherUnsupported("WHERE unsupported in write statements")
         if store is None:
             raise ValueError("write statement needs a GraphStore")
         return _run_write(spark, clauses, params, store)
@@ -197,7 +232,8 @@ def run_cypher(
         if nodes is None:
             raise ValueError("store is empty")
         graph = Graph(nodes, store.edges())
-    return CypherResult(_run_read(clauses, graph), None)
+    read_params = params if isinstance(params, dict) else None
+    return CypherResult(_run_read(clauses, graph, lits, read_params), None)
 
 
 def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataFrame:
@@ -304,6 +340,21 @@ def _run_write(
     return CypherResult(df, total)
 
 
+def _prop_col(df: DataFrame, prefix: str, prop: str):
+    """Resolve ``alias.prop`` to a column. A name with no matching
+    column resolves to the canonical ``key`` column: each label stores
+    its single merge-key property under ``key`` whatever the statement
+    called it (``MERGE (a:Article {link: $link})`` stores ``link`` AS
+    the key), so ``a.link`` in WHERE/RETURN means the key."""
+    name = f"{prefix}{prop}"
+    if name in df.columns:
+        return F.col(name)
+    key_name = f"{prefix}key"
+    if key_name in df.columns:
+        return F.col(key_name)
+    raise CypherUnsupported(f"unknown property {prop!r}")
+
+
 def _entity_struct(df: DataFrame, prefix: str, out: str):
     cols = [c for c in df.columns if c.startswith(prefix) and not c.endswith(NODE_ID)]
     return F.struct(
@@ -311,13 +362,42 @@ def _entity_struct(df: DataFrame, prefix: str, out: str):
     ).alias(out)
 
 
-def _run_read(clauses: list[_Clause], graph: Graph) -> DataFrame:
+def _where_value(val: str, lits: list[str], params: dict | None):
+    """Resolve one WHERE comparand: $param → bound value, sentinel →
+    string literal, else numeric literal."""
+    if val.startswith("$"):
+        if not params or val[1:] not in params:
+            raise CypherUnsupported(f"unbound parameter {val!r} in WHERE")
+        return params[val[1:]]
+    if val.startswith("\x00"):
+        return lits[int(val.strip("\x00"))]
+    return float(val) if "." in val else int(val)
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _run_read(
+    clauses: list[_Clause],
+    graph: Graph,
+    lits: list[str] | None = None,
+    params: dict | None = None,
+) -> DataFrame:
+    lits = lits or []
     df: DataFrame | None = None
     aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
     rel_alias: str | None = None
     rel_prefixed = False
     limit: int | None = None
     returns: list[str] = []
+    predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
 
     for c in clauses:
         if c.kind == "MATCH":
@@ -339,10 +419,22 @@ def _run_read(clauses: list[_Clause], graph: Graph) -> DataFrame:
                 rel_prefixed = True
                 continue
             n = _NODE_RE.match(c.body)
-            if not n or n.group("props"):
+            if not n:
                 raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
             df = graph.match(n.group("label"))
-            aliases[n.group("alias") or "n"] = ""
+            alias = n.group("alias") or "n"
+            aliases[alias] = ""
+            # MATCH (n:L {prop: $param}) — inline equality filters
+            for prop, param in _parse_props(n.group("props")):
+                predicates.append((alias, prop, "=", f"${param}"))
+        elif c.kind == "WHERE":
+            for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
+                m = _WHERE_ITEM_RE.match(item.strip())
+                if not m:
+                    raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
+                predicates.append(
+                    (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
+                )
         elif c.kind == "RETURN":
             returns = _split_top_commas(c.body)
         elif c.kind == "LIMIT":
@@ -352,6 +444,18 @@ def _run_read(clauses: list[_Clause], graph: Graph) -> DataFrame:
 
     if df is None or not returns:
         raise CypherUnsupported("read statement needs MATCH … RETURN …")
+
+    for alias, prop, op, raw in predicates:
+        if alias not in aliases:
+            raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
+        # a plain column comparison Catalyst pushes into the scan —
+        # WHERE costs a filter, never a different plan shape
+        df = df.filter(
+            _OPS[op](
+                _prop_col(df, aliases[alias], prop),
+                F.lit(_where_value(raw, lits, params)),
+            )
+        )
 
     out_cols = []
     for item in returns:
@@ -365,7 +469,7 @@ def _run_read(clauses: list[_Clause], graph: Graph) -> DataFrame:
                 out_cols.append(_entity_struct(df, prefix, out or alias) if rel_prefixed
                                 else _node_entity(df, out or alias))
             else:
-                out_cols.append(F.col(f"{prefix}{prop}").alias(out or prop))
+                out_cols.append(_prop_col(df, prefix, prop).alias(out or prop))
         elif rel_alias is not None and alias == rel_alias:
             out_cols.append(F.col("rel_type").alias(out or alias))
         else:

@@ -227,9 +227,71 @@ def test_text_unsupported_syntax_raises(spark, tmp_path):
 
     s = GraphStore(spark, str(tmp_path / "unsup"))
     with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (n) WHERE n.x = 1 RETURN n", store=s)
+        run_cypher(spark, "MATCH (n) RETURN n SKIP 2", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MERGE (a:X {k: $k}) DELETE a", {"k": 1}, store=s)
+
+
+def test_text_where_filters(spark, text_store):
+    """WHERE extension: param / literal comparisons compile to plain
+    column filters; string literals may contain clause keywords."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title = $t RETURN a.title AS title",
+        {"t": ARTICLES[0][1]},
+        store=text_store,
+    )
+    assert [r["title"] for r in res.df.collect()] == [ARTICLES[0][1]]
+
+    # quoted literal containing RETURN must not split the statement
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title = 'RETURN of the King' RETURN a.title AS t",
+        store=text_store,
+    )
+    assert res.df.count() == 0
+
+    # inline MATCH props are equality filters; AND chains conjoin
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {link: $l}) RETURN a.link AS link",
+        {"l": ARTICLES[1][0]},
+        store=text_store,
+    )
+    assert [r["link"] for r in res.df.collect()] == [ARTICLES[1][0]]
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title <> $t AND a.link = $l RETURN a.link AS link",
+        {"t": "nope", "l": ARTICLES[2][0]},
+        store=text_store,
+    )
+    assert [r["link"] for r in res.df.collect()] == [ARTICLES[2][0]]
+
+    # WHERE on the expand's two-sided aliases
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) WHERE t.key = $k RETURN u.key AS who",
+        {"k": "GraphRAG"},
+        store=text_store,
+    )
+    assert [r["who"] for r in res.df.collect()] == ["Beomzh"]
+
+    import pytest as _p
+
+    with _p.raises(CypherUnsupported):  # writes still refuse WHERE
+        run_cypher(
+            spark, "MERGE (a:X {k: $k}) WHERE a.k = $k", {"k": 1}, store=text_store
+        )
+    with _p.raises(CypherUnsupported):  # OR stays out of the subset
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE a.title = $t OR a.title = $u RETURN a",
+            {"t": "x", "u": "y"},
+            store=text_store,
+        )
 
 
 def test_text_keywords_inside_identifiers_do_not_split(spark):
