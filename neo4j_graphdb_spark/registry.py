@@ -2243,6 +2243,36 @@ def q_a15_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a16_text_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 ext — the Cypher *string* front-end end-to-end with WHERE:
+    batch-MERGE the documents through literal statement text, then run
+    ``MATCH (a:Article) WHERE a.lang = $l RETURN a.link AS link`` — the
+    filter parses from text, resolves the property, binds the param,
+    and pushes down to the store scan (operators/cypher_text.py)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("lang").alias("lang"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a16_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.title = $title, a.lang = $lang",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.lang = $l RETURN a.link AS link, a.title AS title",
+        {"l": "de"},
+        store=store,
+    )
+    return res.df
+
+
 def q_c33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C33 — full Okapi BM25 matrix (k1=1.2, b=0.75, Robertson idf);
     scores rounded to 6 dp on both engines."""
@@ -2324,6 +2354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c33_bm25": q_c33_bm25,
     "c34_heavy_hitters": q_c34_heavy_hitters,
     "c35_stream_rollup": q_c35_stream_rollup,
+    "a16_text_where": q_a16_text_where,
     "rel_profile": q_rel_profile,
     "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
@@ -3272,6 +3303,10 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
     """,
+    "a16_text_where": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "substr(text, 1, 40) AS title FROM documents WHERE lang = 'de'"
+    ),
     "c34_heavy_hitters": """
         WITH w AS (
             SELECT token FROM (
