@@ -62,21 +62,26 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     # one warmup execution per query (JIT, code cache, file-listing
-    # caches), then the measured run — steady-state throughput is the
-    # meaningful proxy for at-scale cost, where per-job fixed overhead
-    # amortizes to nothing
+    # caches), then TWO measured runs keeping the min — steady-state
+    # throughput is the meaningful proxy for at-scale cost (per-job
+    # fixed overhead amortizes to nothing), and the min discards
+    # transient host-contention spikes that hit one run but not both
     timings: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
         spark.catalog.clearCache()  # drop warmup-run persists before timing
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # drop this run's persists so cached blocks don't accumulate
+            # into GC pressure (and timing spikes) for later queries
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # drop this query's persists so cached blocks don't accumulate
-        # into GC pressure (and timing spikes) for later queries
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
