@@ -20,6 +20,8 @@ reference's statements run verbatim:
 * ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
   ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
   beyond the reference's statements; its users write these constantly)
+* ``ORDER BY item [ASC|DESC] [, …]`` over the RETURN columns (same
+  extension rationale; compiles to a plain sort before LIMIT)
 
 Batch-native by construction: the reference binds one record per
 ``session.run`` round trip; here ``params`` may be either a scalar dict
@@ -54,7 +56,7 @@ class CypherUnsupported(ValueError):
 # parsing
 # --------------------------------------------------------------------------
 
-_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "LIMIT")
+_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "LIMIT")
 
 # The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
 # accesses (`RETURN n.with`) or parameters (`$set`) from splitting into
@@ -299,7 +301,7 @@ def _run_write(
                     raise CypherUnsupported(f"WITH on unbound alias: {item!r}")
         elif c.kind == "RETURN":
             returns = _split_top_commas(c.body)
-        elif c.kind in ("MATCH", "LIMIT"):
+        else:  # MATCH / ORDER / LIMIT / anything future
             raise CypherUnsupported(f"{c.kind} unsupported in write statements")
 
     # flush: nodes in clause order, then relationships (reference order)
@@ -398,6 +400,7 @@ def _run_read(
     limit: int | None = None
     returns: list[str] = []
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
+    order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
     for c in clauses:
         if c.kind == "MATCH":
@@ -437,6 +440,19 @@ def _run_read(
                 )
         elif c.kind == "RETURN":
             returns = _split_top_commas(c.body)
+        elif c.kind == "ORDER":
+            body = re.sub(r"^BY\s+", "", c.body, flags=re.IGNORECASE)
+            for item in _split_top_commas(body):
+                m = re.match(
+                    r"^(?P<key>\w+(?:\.\w+)?)(?:\s+(?P<dir>ASC|DESC))?$",
+                    item,
+                    re.IGNORECASE,
+                )
+                if not m:
+                    raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
+                order_by.append(
+                    (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
+                )
         elif c.kind == "LIMIT":
             limit = int(c.body)
         else:
@@ -458,6 +474,7 @@ def _run_read(
         )
 
     out_cols = []
+    out_exprs: dict[str, object] = {}  # output name -> source expression
     for item in returns:
         m = _RETURN_ITEM_RE.match(item)
         if not m:
@@ -469,11 +486,32 @@ def _run_read(
                 out_cols.append(_entity_struct(df, prefix, out or alias) if rel_prefixed
                                 else _node_entity(df, out or alias))
             else:
-                out_cols.append(_prop_col(df, prefix, prop).alias(out or prop))
+                e = _prop_col(df, prefix, prop)
+                out_cols.append(e.alias(out or prop))
+                out_exprs[out or prop] = e
         elif rel_alias is not None and alias == rel_alias:
             out_cols.append(F.col("rel_type").alias(out or alias))
+            out_exprs[out or alias] = F.col("rel_type")
         else:
             raise CypherUnsupported(f"RETURN of unbound alias: {item!r}")
+    if order_by:
+        # sort BEFORE the projection so keys may be either RETURN output
+        # names or any bound alias.prop; projection preserves the order
+        sorts = []
+        for key, desc in order_by:
+            if "." in key:
+                a, p = key.split(".", 1)
+                if a not in aliases:
+                    raise CypherUnsupported(f"ORDER BY on unbound alias: {key!r}")
+                e = _prop_col(df, aliases[a], p)
+            elif key in out_exprs:
+                e = out_exprs[key]
+            else:
+                raise CypherUnsupported(
+                    f"ORDER BY key {key!r} is neither alias.prop nor a RETURN name"
+                )
+            sorts.append(e.desc() if desc else e.asc())
+        df = df.orderBy(*sorts)
     out = df.select(*out_cols)
     return out.limit(limit) if limit is not None else out
 

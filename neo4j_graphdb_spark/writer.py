@@ -188,10 +188,19 @@ class _VersionedTable:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
             w = w.partitionBy(*cols)
         w.parquet(path)
-        with open(self._pointer, "w") as f:
-            f.write(str(v))
+        self._swap_pointer(v)
         self._schema, self._schema_version = df.schema, v
         return path
+
+    def _swap_pointer(self, v: int) -> None:
+        """Atomically advance ``_CURRENT`` (write temp + rename): a crash
+        mid-publish leaves the pointer on the previous complete version,
+        never a torn read — the commit step of the write-new-then-swap
+        discipline."""
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)
 
     def is_partitioned_by(self, partition_by: str | list[str]) -> bool:
         """True iff the current version's directory layout is hive-partitioned
@@ -281,8 +290,7 @@ class _VersionedTable:
                         _carry(os.path.join(src, e), os.path.join(dst, e), depth + 1, val)
 
             _carry(prev, path, 0, ())
-        with open(self._pointer, "w") as f:
-            f.write(str(v))
+        self._swap_pointer(v)
         # new version's schema = this write's columns plus any carried
         # partition's extra property columns (known iff the previous
         # version's schema was)

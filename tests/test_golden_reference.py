@@ -294,6 +294,41 @@ def test_text_where_filters(spark, text_store):
         )
 
 
+def test_text_order_by_limit(spark, text_store):
+    """ORDER BY extension: sorts by RETURN output name or alias.prop,
+    ASC/DESC, composing with LIMIT into a top-k."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS t ORDER BY t DESC LIMIT 2",
+        store=text_store,
+    )
+    got = [r["t"] for r in res.df.collect()]
+    assert got == sorted(got, reverse=True) and len(got) == 2
+
+    # alias.prop key that is NOT the projected output name
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS t ORDER BY a.link ASC",
+        store=text_store,
+    )
+    by_link = run_cypher(
+        spark, "MATCH (a:Article) RETURN a.link AS l, a.title AS t", store=text_store
+    )
+    want = [r["t"] for r in sorted(by_link.df.collect(), key=lambda r: r["l"])]
+    assert [r["t"] for r in res.df.collect()] == want
+
+    import pytest as _p
+
+    with _p.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.title AS t ORDER BY unknown_name",
+            store=text_store,
+        )
+
+
 def test_text_keywords_inside_identifiers_do_not_split(spark):
     """Clause keywords embedded in property accesses (`n.with`) or
     parameter names (`$set`, `$skip`) are identifiers, not clause
