@@ -216,6 +216,41 @@ def test_legacy_unpartitioned_store_upgrade(spark, tmp_path):
     assert store._nodes.is_partitioned_by("label")
 
 
+def test_legacy_label_only_store_upgrade_to_bucketed(spark, tmp_path):
+    """A store from the pre-bucketing writer (label-partitioned only,
+    no _kb level) must upgrade on its next merge via one full rewrite —
+    never a partial write that would mislay rows across layouts."""
+    import os
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.writer import BUCKET_COL, GraphStore, _VersionedTable
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root)
+    arts = as_nodes(
+        _batch(spark, [("u1", "t1", "c1"), ("u2", "t2", "c2")]),
+        "Article", "link", ["title", "content"],
+    )
+    pubs = as_nodes(
+        spark.createDataFrame([("P1",)], "name string"), "Publisher", "name", []
+    )
+    legacy = arts.unionByName(pubs, allowMissingColumns=True)
+    _VersionedTable(os.path.join(root, "nodes")).write_next(legacy, partition_by="label")
+    assert store._nodes.is_partitioned_by("label")
+    assert not store._nodes.is_partitioned_by(["label", BUCKET_COL])
+
+    s = store.merge_nodes(
+        _batch(spark, [("u1", "t1x", None), ("u9", "t9", "c9")]),
+        "Article", "link", ["title", "content"],
+    )
+    assert s.nodes_created == 1
+    rows = {r["key"]: r for r in store.nodes().collect()}
+    assert set(rows) == {"u1", "u2", "u9", "P1"}  # nothing mislaid
+    assert rows["u1"]["title"] == "t1x"
+    assert store._nodes.is_partitioned_by(["label", BUCKET_COL])  # upgraded
+    assert BUCKET_COL not in store.nodes().columns  # still hidden
+
+
 def test_legacy_unpartitioned_edges_upgrade(spark, tmp_path):
     """Same legacy-layout guard for the edges table."""
     import os
