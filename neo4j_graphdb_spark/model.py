@@ -82,12 +82,16 @@ def as_edges(
     src_key_col: str,
     dst_label: str,
     dst_key_col: str,
+    prop_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Project a DataFrame of (src_key, dst_key) pairs into canonical edges."""
+    """Project a DataFrame of (src_key, dst_key) pairs into canonical
+    edges, carrying any typed relationship-property columns alongside
+    (the edge twin of :func:`as_nodes`'s prop passthrough)."""
     return df.select(
         node_id_expr(src_label, src_key_col).alias("src"),
         node_id_expr(dst_label, dst_key_col).alias("dst"),
         F.lit(rel_type).alias("rel_type"),
+        *[F.col(c) for c in (prop_cols or [])],
     )
 
 

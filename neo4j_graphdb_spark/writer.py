@@ -483,26 +483,49 @@ class GraphStore:
         src_key_col: str,
         dst_label: str,
         dst_key_col: str,
+        prop_cols: list[str] | None = None,
     ) -> WriteSummary:
-        """Batch ``MERGE (a)-[:REL]->(b)`` — create-if-absent, idempotent
-        (``/root/reference/src/crwling.py:54``, ``src/ingest.py:7``)."""
+        """Batch ``MERGE (a)-[r:REL]->(b) [SET r.p = …]`` —
+        create-if-absent, idempotent (``/root/reference/src/crwling.py:54``,
+        ``src/ingest.py:7``), with optional relationship properties
+        upserted under the same column-wise coalesce semantics as node
+        SET (incoming NULL keeps the old value)."""
+        prop_cols = prop_cols or []
+        incoming = as_edges(
+            updates, rel_type, src_label, src_key_col, dst_label, dst_key_col, prop_cols
+        )
+        # within-batch last-writer-wins, deterministic via content
+        # tiebreak (mirrors merge_nodes)
+        content_tiebreak = F.xxhash64(
+            *[F.col(c).cast("string") for c in prop_cols]
+        ) if prop_cols else F.lit(0)
+        w = Window.partitionBy("src", "dst", "rel_type").orderBy(content_tiebreak.desc())
         incoming = (
-            as_edges(updates, rel_type, src_label, src_key_col, dst_label, dst_key_col)
-            .dropDuplicates(["src", "dst", "rel_type"])
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+            .localCheckpoint(eager=False)
         )
 
         existing = self._edges.read(self.spark)
         if existing is None:
             incoming = incoming.persist()
-            created = incoming.count()
+            row = incoming.agg(
+                F.count(F.lit(1)).alias("_created"),
+                *[F.count(F.col(c)).alias(c) for c in prop_cols],
+            ).collect()[0]
+            created = int(row["_created"])
+            props_set = int(sum(row[c] for c in prop_cols))
             self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
             incoming.unpersist()
-            return WriteSummary(relationships_created=created)
+            return WriteSummary(
+                relationships_created=created, properties_set=props_set
+            )
 
         # same file-pruned discipline as merge_nodes: an existing copy of
         # edge (s,d) can only live in bucket _bucket_of(s,d), so the
-        # anti-join, union, and rewrite touch only this rel_type's touched
+        # join, union, and rewrite touch only this rel_type's touched
         # buckets
         bucketed = (
             self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
@@ -514,17 +537,30 @@ class GraphStore:
         touched = existing.filter(F.col("rel_type") == rel_type)
         if bucketed:
             touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
-        if BUCKET_COL not in touched.columns:
-            touched = touched.withColumn(
-                BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
-            )
-        fresh = incoming.join(
-            touched, on=["src", "dst", "rel_type"], how="left_anti"
-        ).persist()
-        created = fresh.count()
+        edge_key = ["src", "dst", "rel_type"]
+        all_props = sorted(
+            (set(touched.columns) | set(incoming.columns))
+            - set(edge_key) - {BUCKET_COL}
+        )
+        old = _with_missing_edges(touched, incoming, all_props).alias("old")
+        new = _with_missing_edges(incoming, touched, all_props).alias("new")
+        joined = old.join(new, on=edge_key, how="full_outer").persist()
+        merged = joined.select(
+            *edge_key,
+            *[
+                F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
+                for c in all_props
+            ],
+        ).withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+        row = joined.agg(
+            F.count(F.when(F.col("old._present").isNull(), F.lit(1))).alias("_created"),
+            *[F.count(F.col(f"new.{c}")).alias(c) for c in prop_cols],
+        ).collect()[0]
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in prop_cols))
         if bucketed:
             self._edges.write_next_partial(
-                touched.unionByName(fresh),
+                merged,
                 ["rel_type", BUCKET_COL],
                 [(rel_type, b) for b in buckets],
             )
@@ -538,13 +574,11 @@ class GraphStore:
                 )
             untouched = untouched.filter(F.col("rel_type") != rel_type)
             self._edges.write_next(
-                untouched.unionByName(
-                    touched.unionByName(fresh), allowMissingColumns=True
-                ),
+                untouched.unionByName(merged, allowMissingColumns=True),
                 partition_by=["rel_type", BUCKET_COL],
             )
-        fresh.unpersist()
-        return WriteSummary(relationships_created=created)
+        joined.unpersist()
+        return WriteSummary(relationships_created=created, properties_set=props_set)
 
 
     def delete_nodes(
@@ -748,6 +782,20 @@ def _hardlink_tree(src: str, dst: str) -> None:
 def _drop_bucket(df: DataFrame) -> DataFrame:
     """Hide the internal key-bucket partition column from consumers."""
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def _with_missing_edges(df: DataFrame, other: DataFrame, all_props: list[str]) -> DataFrame:
+    """Edge twin of :func:`_with_missing`: canonical key + a constant
+    ``_present`` marker (so the full-outer join can detect side absence
+    even for prop-less edges) + NULL-padded property columns."""
+    cols = [F.col("src"), F.col("dst"), F.col("rel_type"), F.lit(1).alias("_present")]
+    for c in all_props:
+        if c in df.columns:
+            cols.append(F.col(c))
+        else:
+            dtype = dict(other.dtypes).get(c, "string")
+            cols.append(F.lit(None).cast(dtype).alias(c))
+    return df.select(*cols)
 
 
 def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> DataFrame:

@@ -423,3 +423,51 @@ def test_delete_emptying_only_label_leaves_readable_store(spark, tmp_path):
     assert fresh.nodes() is None  # empty store == never-written store
     s = fresh.merge_nodes(b, "Article", "link")
     assert s.nodes_created == 2 and fresh.nodes().count() == 2
+
+
+def test_merge_edges_with_properties(spark, tmp_path):
+    """MERGE (a)-[r:T]->(b) SET r.p: relationship properties upsert with
+    the same coalesce semantics as node SET — create sets them, re-merge
+    overwrites non-null values, NULL keeps the old value."""
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    b1 = spark.createDataFrame(
+        [("u1", "P1", 0.9, "2026-01-01"), ("u2", "P1", 0.5, "2026-01-02")],
+        "link string, publisher string, weight double, since string",
+    )
+    s1 = store.merge_edges(
+        b1, "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+        prop_cols=["weight", "since"],
+    )
+    assert s1.relationships_created == 2
+    assert s1.properties_set == 4
+
+    # overwrite one prop, NULL the other -> old value kept; no creates
+    b2 = spark.createDataFrame(
+        [("u1", "P1", 0.95, None)],
+        "link string, publisher string, weight double, since string",
+    )
+    s2 = store.merge_edges(
+        b2, "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+        prop_cols=["weight", "since"],
+    )
+    assert s2.relationships_created == 0
+    assert s2.properties_set == 1  # only the non-null cell
+    rows = {
+        (r["src"], r["dst"]): (r["weight"], r["since"])
+        for r in store.edges().collect()
+    }
+    vals = sorted(rows.values())
+    assert vals == [(0.5, "2026-01-02"), (0.95, "2026-01-01")]
+
+    # prop-less merge of a NEW pair must not disturb existing props
+    b3 = spark.createDataFrame([("u3", "P1")], "link string, publisher string")
+    s3 = store.merge_edges(b3, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    assert s3.relationships_created == 1 and s3.properties_set == 0
+    assert store.edges().count() == 3
+    assert sorted(
+        (r["weight"], r["since"])
+        for r in store.edges().collect()
+        if r["weight"] is not None
+    ) == [(0.5, "2026-01-02"), (0.95, "2026-01-01")]
