@@ -195,3 +195,15 @@ def test_heavy_hitters_exact_over_skewed_tokens(spark):
 
     with _p.raises(ValueError):
         heavy_hitters(toks, "token", frac=0.05, capacity=3)  # < 1/frac
+
+
+def test_heavy_hitters_empty_and_uniform_inputs(spark):
+    """Edge cases: an empty frame yields no hitters (no div-by-zero on
+    the n=0 threshold), and an all-unique stream yields none either."""
+    from neo4j_graphdb_spark.operators.sketch import heavy_hitters
+
+    empty = spark.createDataFrame([], "token string")
+    assert heavy_hitters(empty, "token", frac=0.1).count() == 0
+
+    uniq = spark.createDataFrame([(f"t{i}",) for i in range(100)], "token string")
+    assert heavy_hitters(uniq, "token", frac=0.05).count() == 0
