@@ -207,3 +207,100 @@ def range_join(
             (le - re_).alias("gap_sec"),
         )
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_sec: int = 300,
+) -> DataFrame:
+    """Hypertable-style gap-fill: bucket events to a fixed-width time
+    grid per key, materialize EVERY bucket between the key's first and
+    last observation, and fill the empty ones two ways —
+    last-observation-carried-forward (``value_locf``, TimescaleDB
+    ``locf()``) and linear interpolation between the surrounding
+    observations (``value_interp``, TimescaleDB ``interpolate()``).
+    Leading buckets (before the first observation) stay NULL in both;
+    trailing buckets (after the last) carry the LOCF value but NULL
+    interpolation, matching the TimescaleDB functions.
+
+    Scale shape: the raw events are touched exactly once (the per-bucket
+    aggregation — the only full-data shuffle); everything downstream is
+    bounded by grid size (keys × span/bucket), not event count, so at
+    100 TB the fill itself runs over a table orders of magnitude smaller
+    than the input. The grid is built with ``sequence``+``explode`` over
+    bucket INDICES (bigint), never a driver-side loop, and the fill is
+    one ordered window per key. A key whose span/bucket ratio exceeds
+    ~10^7 buckets would need the window split into epoch-range chunks;
+    at that point the bucket width is wrong for the data.
+
+    The per-bucket observed value is the bucket SUM over
+    ``decimal(18,6)`` rounded to 6 dp — associative and therefore
+    bit-identical to the DuckDB oracle regardless of partitioning (an
+    average would divide, and double tie-rounding at the 6th decimal
+    differs between engines). Interpolation is emitted UNROUNDED: its
+    inputs are those identical rounded doubles plus integer bucket
+    indices, so the single IEEE expression evaluates to the same bits
+    on both sides.
+    """
+    b = F.floor(F.col(ts_col).cast("double") / F.lit(bucket_sec)).cast("bigint")
+    # lazy checkpoint: the static plan otherwise inlines this raw-event
+    # aggregation into BOTH the span/grid branch and the join's probe
+    # side, re-scanning the input once per branch — with it, the grid
+    # and the fill reuse the one materialized bucket table
+    obs = (
+        df.groupBy(*key_cols, b.alias("_b"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"))
+        .select(
+            *key_cols,
+            "_b",
+            F.round(F.col("_s").cast("double"), 6).alias("_obs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = spans.select(
+        *key_cols, F.explode(F.sequence("_b0", "_b1")).alias("_b")
+    )
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("_obs").isNotNull(), F.col("_b"))
+    filled = (
+        grid.join(obs, on=[*key_cols, "_b"], how="left")
+        .select(
+            *key_cols,
+            "_b",
+            "_obs",
+            F.last("_obs", ignorenulls=True).over(w_back).alias("_pv"),
+            F.last(obs_b, ignorenulls=True).over(w_back).alias("_pb"),
+            F.first("_obs", ignorenulls=True).over(w_fwd).alias("_nv"),
+            F.first(obs_b, ignorenulls=True).over(w_fwd).alias("_nb"),
+        )
+    )
+    interp = F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (
+            (F.col("_b") - F.col("_pb")).cast("double")
+            / (F.col("_nb") - F.col("_pb")).cast("double")
+        )
+    )
+    return filled.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("_b") * bucket_sec).alias("bucket"),
+        F.col("_obs").isNotNull().alias("is_observed"),
+        F.col("_pv").alias("value_locf"),
+        interp.alias("value_interp"),
+    )

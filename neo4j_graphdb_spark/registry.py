@@ -1738,6 +1738,20 @@ def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(ev, "ts", ["event_type"], "value")
 
 
+def q_rel_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf()`` + ``interpolate()``): 5-minute buckets of event values
+    per event_type, every bucket in each type's span materialized, empty
+    buckets filled by carry-forward and by linear interpolation
+    (operators/temporal.py gap_fill). Raw events are shuffled once; the
+    fill runs over the bounded grid. The oracle replays the identical
+    grid + ignore-nulls windows in DuckDB."""
+    from neo4j_graphdb_spark.operators.temporal import gap_fill
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return gap_fill(ev, ["event_type"], "ts", "value", bucket_sec=300)
+
+
 def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): per-user event-type counts as columns. The
     pivot values are declared explicitly so Spark skips the extra
@@ -2374,8 +2388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
-    "a1_label_scan": q_a1_label_scan,
-    "a2_all_nodes": q_a2_all_nodes,
+    "rel_gap_fill": q_rel_gap_fill,
     "a3_expand": q_a3_expand,
     "a3_expand_2hop": q_a3_expand_2hop,
     "a3_expand_optional": q_a3_expand_optional,
@@ -2424,6 +2437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_det_split": q_c10_det_split,
     "c10_pii_redact": q_c10_pii_redact,
     "c10_repetition": q_c10_repetition,
+    "a1_label_scan": q_a1_label_scan,
+    "a2_all_nodes": q_a2_all_nodes,
 }
 
 
@@ -3138,6 +3153,44 @@ ORACLES: dict[str, str] = {
                round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
                round(min(value), 6), round(max(value), 6)
         FROM events GROUP BY 2, 3
+    """,
+    "rel_gap_fill": """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) AS b,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS obs
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT event_type, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+        ),
+        j AS (
+            SELECT g.event_type, g.b, o.obs,
+                   last_value(o.obs IGNORE NULLS) OVER w_back AS pv,
+                   last_value(CASE WHEN o.obs IS NOT NULL THEN g.b END
+                              IGNORE NULLS) OVER w_back AS pb,
+                   first_value(o.obs IGNORE NULLS) OVER w_fwd AS nv,
+                   first_value(CASE WHEN o.obs IS NOT NULL THEN g.b END
+                               IGNORE NULLS) OVER w_fwd AS nb
+            FROM grid g LEFT JOIN obs o
+              ON g.event_type = o.event_type AND g.b = o.b
+            WINDOW w_back AS (PARTITION BY g.event_type ORDER BY g.b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_fwd AS (PARTITION BY g.event_type ORDER BY g.b
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type,
+               make_timestamp(b * 300 * 1000000) AS bucket,
+               (obs IS NOT NULL) AS is_observed,
+               pv AS value_locf,
+               CASE WHEN obs IS NOT NULL THEN obs
+                    ELSE pv + (nv - pv) * (CAST(b - pb AS DOUBLE)
+                                           / CAST(nb - pb AS DOUBLE))
+               END AS value_interp
+        FROM j
     """,
     "rel_pivot": """
         SELECT user_id::bigint AS user_id,

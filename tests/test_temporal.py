@@ -105,3 +105,56 @@ def test_time_rollup_hierarchical_equals_direct(spark):
     assert got[("day", "2026-01-02 00:00:00", "a")] == (1, 16.0, 16.0, 16.0)
     # 4 a-minutes + 1 b-minute + 3 a-hours + 1 b-hour + 2 a-days + 1 b-day
     assert len(got) == 12
+
+
+def test_gap_fill_locf_and_interp(spark):
+    from neo4j_graphdb_spark.operators.temporal import gap_fill
+
+    # key "a": bucket 0 holds two events (sum 10), buckets 1-2 are a gap,
+    # bucket 3 observes 4 — LOCF carries 10 across the gap while the
+    # interpolation walks 10 -> 4 linearly
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 00:00:10"), 4.0),
+            ("a", _ts("2026-01-01 00:00:40"), 6.0),   # bucket 0 sum=10
+            ("a", _ts("2026-01-01 00:03:30"), 4.0),   # bucket 3
+            ("b", _ts("2026-01-01 00:00:00"), 1.0),   # single-bucket key
+        ],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        (r["k"], r["bucket"].minute): r
+        for r in gap_fill(df, ["k"], "ts", "value", bucket_sec=60).collect()
+    }
+    assert len(out) == 5  # a: minutes 0-3, b: minute 0
+    a0, a1, a2, a3 = (out[("a", m)] for m in range(4))
+    assert a0["is_observed"] and a0["value_locf"] == 10.0 and a0["value_interp"] == 10.0
+    # gap buckets: LOCF carries 10.0; interp walks 10 -> 4 linearly
+    assert not a1["is_observed"] and a1["value_locf"] == 10.0
+    assert a1["value_interp"] == pytest.approx(8.0)
+    assert a2["value_interp"] == pytest.approx(6.0)
+    assert a3["is_observed"] and a3["value_locf"] == 4.0
+    b0 = out[("b", 0)]
+    assert b0["is_observed"] and b0["value_locf"] == 1.0 and b0["value_interp"] == 1.0
+
+
+def test_gap_fill_leading_buckets_stay_null(spark):
+    from neo4j_graphdb_spark.operators.temporal import gap_fill
+
+    # span starts at the key's FIRST observation — no leading buckets are
+    # invented; a trailing gap would carry LOCF but NULL interp (no next)
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2026-01-01 00:05:00"), 2.0),
+            ("a", _ts("2026-01-01 00:07:30"), 8.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    rows = sorted(
+        gap_fill(df, ["k"], "ts", "value", bucket_sec=60).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"].minute for r in rows] == [5, 6, 7]
+    assert [r["is_observed"] for r in rows] == [True, False, True]
+    mid = rows[1]
+    assert mid["value_locf"] == 2.0 and mid["value_interp"] == pytest.approx(5.0)
