@@ -6,6 +6,7 @@ from neo4j_graphdb_spark.graph.algorithms import (
     shortest_paths,
     triangle_count,
     label_propagation,
+    hits,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "shortest_paths",
     "triangle_count",
     "label_propagation",
+    "hits",
 ]

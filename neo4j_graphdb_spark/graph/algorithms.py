@@ -489,3 +489,59 @@ def weighted_shortest_paths(
             break
         prev = cur
     return dist
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 6,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C36 — HITS hubs & authorities (Kleinberg). Each superstep is the
+    classic pair of half-steps: ``auth = Eᵀ·hub`` then L2-normalize,
+    ``hub = E·auth`` then L2-normalize. The reference exposes no graph
+    analytics at all (its queries stop at 1-hop expands,
+    /root/reference/cypher.txt:4-8); this is a BASELINE.json north-star
+    extension next to PageRank.
+
+    Scale shape: two key-partitioned aggregations per superstep (the
+    Eᵀ·hub and E·auth shuffles — same cost profile as a PageRank step);
+    each L2 norm stays a lazy 1-row aggregate broadcast into the
+    division, so no driver-side collect anywhere. Scores are
+    checkpointed per superstep to cut lineage. Fixed ``max_iter`` keeps
+    the operator oracle-expressible as unrolled CTEs.
+    """
+    base = nodes.select(F.col(id_col)).distinct()
+    scores = (
+        base.select(id_col, F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+        .repartition(id_col)
+        .localCheckpoint()
+    )
+
+    def _half(frontier: DataFrame, score_col: str, edge_in: str, edge_out: str, out: str) -> DataFrame:
+        raw = (
+            edges.join(
+                frontier.select(F.col(id_col).alias("_k"), score_col),
+                edges[edge_in] == F.col("_k"),
+            )
+            .groupBy(F.col(edge_out).alias(id_col))
+            .agg(F.sum(score_col).alias("_r"))
+        )
+        filled = base.join(raw, on=id_col, how="left").select(
+            id_col, F.coalesce("_r", F.lit(0.0)).alias("_r")
+        )
+        nrm = filled.agg(F.sqrt(F.sum(F.col("_r") * F.col("_r"))).alias("_n"))
+        return filled.crossJoin(F.broadcast(nrm)).select(
+            id_col,
+            F.when(F.col("_n") > 0, F.col("_r") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+
+    for _ in range(max_iter):
+        auth = _half(scores, "hub", "src", "dst", "auth")
+        hub = _half(auth, "auth", "dst", "src", "hub")
+        # both sides are already hash-partitioned on the id from their
+        # groupBy/fill joins, so this recombination doesn't reshuffle
+        scores = hub.join(auth, on=id_col).localCheckpoint()
+    return scores.select(id_col, "hub", "auth")

@@ -537,6 +537,68 @@ def _pagerank_oracle_sql(
     """
 
 
+def _hits_oracle_sql(iters: int = 6) -> str:
+    """DuckDB twin of :func:`graph.algorithms.hits` on the analytics
+    graph: each superstep's two half-steps (auth = Eᵀ·hub, hub = E·auth,
+    both L2-normalized) unroll into chained MATERIALIZED CTEs — the same
+    technique as ``_pagerank_oracle_sql``. Norm sums run over ~16k
+    doubles, so cross-engine summation-order noise is ~1e-12 relative,
+    four orders under the 6-dp rounding grid."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT n.label, n.key, coalesce(x.s, 0) AS raw
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst_label AS label, e.dst_key AS key, sum(h.hub) AS s
+                FROM edges e JOIN h{i - 1} h
+                  ON e.src_label = h.label AND e.src_key = h.key
+                GROUP BY 1, 2
+            ) x ON n.label = x.label AND n.key = x.key
+        ),
+        an{i} AS MATERIALIZED (SELECT sqrt(sum(raw * raw)) AS nrm FROM a{i}),
+        aa{i} AS MATERIALIZED (
+            SELECT label, key,
+                   CASE WHEN (SELECT nrm FROM an{i}) > 0
+                        THEN raw / (SELECT nrm FROM an{i}) ELSE 0 END AS auth
+            FROM a{i}
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT n.label, n.key, coalesce(x.s, 0) AS raw
+            FROM nodes n LEFT JOIN (
+                SELECT e.src_label AS label, e.src_key AS key, sum(a.auth) AS s
+                FROM edges e JOIN aa{i} a
+                  ON e.dst_label = a.label AND e.dst_key = a.key
+                GROUP BY 1, 2
+            ) x ON n.label = x.label AND n.key = x.key
+        ),
+        hn{i} AS MATERIALIZED (SELECT sqrt(sum(raw * raw)) AS nrm FROM hr{i}),
+        h{i} AS MATERIALIZED (
+            SELECT label, key,
+                   CASE WHEN (SELECT nrm FROM hn{i}) > 0
+                        THEN raw / (SELECT nrm FROM hn{i}) ELSE 0 END AS hub
+            FROM hr{i}
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH edges AS MATERIALIZED ({_ANALYTICS_EDGES_SQL}),
+        nodes AS MATERIALIZED (
+            SELECT 'Customer' AS label, cast(c_custkey AS varchar) AS key FROM customer
+            UNION ALL
+            SELECT 'Supplier', cast(s_suppkey AS varchar) FROM supplier
+            UNION ALL
+            SELECT 'Nation', cast(n_nationkey AS varchar) FROM nation
+            UNION ALL
+            SELECT 'Region', cast(r_regionkey AS varchar) FROM region
+        ),
+        h0 AS (SELECT label, key, 1.0 AS hub FROM nodes),
+        {chain}
+        SELECT h.label, h.key, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+        FROM h{iters} h JOIN aa{iters} a ON h.label = a.label AND h.key = a.key
+    """
+
+
 def _node_keys(g: Graph) -> DataFrame:
     return g.nodes_df.select(F.col(NODE_ID).alias("id"), "label", "key")
 
@@ -2094,6 +2156,24 @@ def q_c27_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c36_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36 — HITS hubs/authorities on the analytics graph, 6 supersteps
+    (graph/algorithms.py hits). Full value oracle: ``_hits_oracle_sql``
+    unrolls each superstep's two L2-normalized half-steps into chained
+    CTEs, so the iterative scores are value-checked like PageRank's."""
+    from neo4j_graphdb_spark.graph.algorithms import hits
+
+    g = analytics_graph(spark, sf_dir)
+    hs = hits(g.nodes_df.select(NODE_ID), g.edges_df, max_iter=6)
+    nk = _node_keys(g)
+    return nk.join(hs, nk["id"] == hs[NODE_ID]).select(
+        "label",
+        "key",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def q_c28_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C28 — the COMPLETE near-dup pipeline: MinHash-LSH verified pairs →
     connected components (min-id flooding) → canonical survivor per
@@ -2389,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
     "rel_gap_fill": q_rel_gap_fill,
+    "c36_hits": q_c36_hits,
     "a3_expand": q_a3_expand,
     "a3_expand_2hop": q_a3_expand_2hop,
     "a3_expand_optional": q_a3_expand_optional,
@@ -3304,6 +3385,7 @@ ORACLES: dict[str, str] = {
         WHERE event_type = 'purchase'
         GROUP BY c_nationkey
     """,
+    "c36_hits": _hits_oracle_sql(),
     "c27_personalized_pagerank": _pagerank_oracle_sql(
         iters=8,
         tele_sql=(

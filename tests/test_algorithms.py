@@ -240,3 +240,36 @@ def test_personalized_pagerank_concentrates_near_sources(spark):
     empty = spark.createDataFrame([], "node_id string")
     with _p.raises(ValueError):
         personalized_pagerank(nodes, edges, empty)
+
+
+def test_hits_star_closed_form(spark):
+    """One hub pointing at 3 authorities converges in one step: hub score
+    1 at the center (sole non-zero hub), auth 1/sqrt(3) per leaf."""
+    from neo4j_graphdb_spark.graph.algorithms import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id bigint")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint")
+    hs = {r["node_id"]: r for r in hits(nodes, edges, max_iter=3).collect()}
+    assert hs[0]["hub"] == pytest.approx(1.0)
+    assert hs[0]["auth"] == pytest.approx(0.0)
+    for leaf in (1, 2, 3):
+        assert hs[leaf]["auth"] == pytest.approx(3 ** -0.5)
+        assert hs[leaf]["hub"] == pytest.approx(0.0)
+
+
+def test_hits_bipartite_degree_order(spark):
+    """Two hubs with different fanout over shared authorities: the hub
+    covering more authorities scores higher, and the authority covered by
+    both hubs outranks single-hub ones; L2 norms stay 1."""
+    from neo4j_graphdb_spark.graph.algorithms import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id bigint")
+    # hub 0 -> {2,3,4}, hub 1 -> {4,5}; authority 4 is shared
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 3), (0, 4), (1, 4), (1, 5)], "src bigint, dst bigint"
+    )
+    hs = {r["node_id"]: r for r in hits(nodes, edges, max_iter=12).collect()}
+    assert hs[0]["hub"] > hs[1]["hub"] > 0
+    assert hs[4]["auth"] > hs[2]["auth"] > 0
+    assert sum(r["hub"] ** 2 for r in hs.values()) == pytest.approx(1.0)
+    assert sum(r["auth"] ** 2 for r in hs.values()) == pytest.approx(1.0)
