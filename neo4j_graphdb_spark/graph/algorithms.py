@@ -7,7 +7,7 @@ with per-step ``localCheckpoint``. Nothing here uses RDDs or UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -545,3 +545,66 @@ def hits(
         # groupBy/fill joins, so this recombination doesn't reshuffle
         scores = hub.join(auth, on=id_col).localCheckpoint()
     return scores.select(id_col, "hub", "auth")
+
+
+def node_similarity(
+    edges: DataFrame,
+    top_k: int = 5,
+    degree_cap: int | None = None,
+) -> DataFrame:
+    """C37 — top-k Jaccard node similarity (Neo4j GDS ``nodeSimilarity``):
+    for every source node, the ``top_k`` other sources with the highest
+    Jaccard overlap of out-neighbor sets, ties broken by neighbor id.
+    The reference exposes nothing beyond 1-hop expands
+    (/root/reference/cypher.txt:4-8); this is the BASELINE.json
+    north-star recommendation primitive ("customers who bought similar
+    parts").
+
+    Shape: candidate pairs come ONLY from co-occurrence on a shared
+    neighbor (one equi-join on the neighbor id) — node pairs with empty
+    intersection are never materialized, which is what makes this
+    tractable where the all-pairs matrix is not. Degrees ride along on
+    the edge rows (joined once, co-partitioned), so the pair aggregation
+    needs no post-join. Cost is Σ_nbr deg(nbr)² pair partials: a viral
+    neighbor with 10^6 owners would contribute 10^12 pairs, so at scale
+    you pass ``degree_cap`` to drop neighbors above the cap from the
+    candidate generation (the GDS ``degreeCutoff`` move — a documented
+    approximation; similarity among a hub's co-owners is dominated by
+    their OTHER shared neighbors anyway).
+    """
+    e = edges.select("src", "dst").distinct()
+    if degree_cap is not None:
+        keep = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .filter(F.col("_nd") <= degree_cap)
+            .select("dst")
+        )
+        e = e.join(keep, on="dst", how="left_semi")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, on="src")
+    lhs = ed.select(F.col("src").alias("a"), F.col("_deg").alias("_da"), "dst")
+    rhs = ed.select(F.col("src").alias("b"), F.col("_deg").alias("_db"), "dst")
+    pairs = (
+        lhs.join(rhs, on="dst")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min("_da").alias("_da"),
+            F.min("_db").alias("_db"),
+        )
+    )
+    jac = pairs.select(
+        "a",
+        "b",
+        (
+            F.col("_inter")
+            / (F.col("_da") + F.col("_db") - F.col("_inter")).cast("double")
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b").asc())
+    return (
+        jac.select("a", "b", "jaccard", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -2174,6 +2174,29 @@ def q_c36_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c37_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37 — GDS-style top-5 Jaccard node similarity over the
+    customer–part ownership graph (orders⋈lineitem, the same bipartite
+    substrate as c23_k_core): per customer, the 5 customers with the
+    most-overlapping part baskets (graph/algorithms.py
+    node_similarity). Exact at fixture scale (no degree cap); the
+    oracle replays the co-occurrence join + window in DuckDB."""
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = node_similarity(cp, top_k=5)
+    return out.select(
+        F.col("a").cast("bigint").alias("custkey"),
+        F.col("b").cast("bigint").alias("neighbor"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_c28_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C28 — the COMPLETE near-dup pipeline: MinHash-LSH verified pairs →
     connected components (min-id flooding) → canonical survivor per
@@ -2520,6 +2543,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_repetition": q_c10_repetition,
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
+    # new this round — beyond the 50-entry driver window on purpose (the
+    # window must spend its slots on the never-verified backlog first);
+    # these are value-checked by scripts/check_oracles.py and rotate
+    # into the window next round
+    "c37_node_similarity": q_c37_node_similarity,
 }
 
 
@@ -3386,6 +3414,34 @@ ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
     """,
     "c36_hits": _hits_oracle_sql(),
+    "c37_node_similarity": """
+        WITH cp AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        deg AS MATERIALIZED (SELECT c, count(*) AS d FROM cp GROUP BY c),
+        inter AS (
+            SELECT a.c AS ca, b.c AS cb, count(*) AS i
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c <> b.c
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT ca, cb,
+                   i / CAST(da.d + db.d - i AS DOUBLE) AS jac
+            FROM inter
+            JOIN deg da ON ca = da.c
+            JOIN deg db ON cb = db.c
+        ),
+        r AS (
+            SELECT ca, cb, jac,
+                   row_number() OVER (PARTITION BY ca
+                                      ORDER BY jac DESC, cb ASC) AS rn
+            FROM j
+        )
+        SELECT ca::bigint AS custkey, cb::bigint AS neighbor,
+               round(jac, 6) AS jaccard, rn::bigint AS rank
+        FROM r WHERE rn <= 5
+    """,
     "c27_personalized_pagerank": _pagerank_oracle_sql(
         iters=8,
         tele_sql=(

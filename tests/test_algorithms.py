@@ -273,3 +273,40 @@ def test_hits_bipartite_degree_order(spark):
     assert hs[4]["auth"] > hs[2]["auth"] > 0
     assert sum(r["hub"] ** 2 for r in hs.values()) == pytest.approx(1.0)
     assert sum(r["auth"] ** 2 for r in hs.values()) == pytest.approx(1.0)
+
+
+def test_node_similarity_hand_checked(spark):
+    """Three owners over four items with known Jaccards: a={1,2,3},
+    b={2,3,4}, c={4}. jac(a,b)=2/4, jac(b,c)=1/3, jac(a,c)=0 (never a
+    candidate pair — no shared item, so the pair must not appear)."""
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    e = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4), ("c", 4)],
+        "src string, dst bigint",
+    )
+    out = {(r["a"], r["b"]): r for r in node_similarity(e, top_k=5).collect()}
+    assert out[("a", "b")]["jaccard"] == pytest.approx(0.5)
+    assert out[("b", "c")]["jaccard"] == pytest.approx(1 / 3)
+    assert ("a", "c") not in out and ("c", "a") not in out
+    assert out[("b", "a")]["rank"] == 1 and out[("b", "c")]["rank"] == 2
+
+
+def test_node_similarity_degree_cap_drops_hub(spark):
+    """A neighbor above the cap stops generating candidate pairs: with
+    cap 2, the 3-owner hub item is excluded and only the pair sharing a
+    quiet item survives (its Jaccard now over capped neighbor sets)."""
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    e = spark.createDataFrame(
+        [("a", 99), ("b", 99), ("c", 99), ("a", 1), ("b", 1)],
+        "src string, dst bigint",
+    )
+    uncapped = node_similarity(e, top_k=5)
+    assert uncapped.filter(F.col("a") == "c").count() == 2
+    capped = {
+        (r["a"], r["b"]): r
+        for r in node_similarity(e, top_k=5, degree_cap=2).collect()
+    }
+    assert set(capped) == {("a", "b"), ("b", "a")}
+    assert capped[("a", "b")]["jaccard"] == pytest.approx(1.0)
