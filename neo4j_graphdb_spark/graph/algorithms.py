@@ -608,3 +608,68 @@ def node_similarity(
         jac.select("a", "b", "jaccard", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    n_steps: int = 4,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C38 — deterministic uniform random walks (node2vec with p=q=1 /
+    Pixie-style recommendation walks): one walk per ``starts`` row, each
+    step moving to a uniformly-chosen out-neighbor. "Random" is a pure
+    hash — step i from node v in walk w picks neighbor index
+    ``md5(w:i:v) mod out_deg(v)`` — so the operator is reproducible
+    across runs/partitionings and value-checkable against an oracle that
+    replays the same hash; there is no RNG state to coordinate across
+    1000 executors. A walk ends early at a node with no out-neighbors
+    (the step join is inner).
+
+    Shape: the adjacency gets a per-source neighbor index once (one
+    window over src, checkpointed, reused by every step); each step is
+    then a single equi-join of the constant-size walk frontier against
+    adjacency on (node, chosen index) — cost is O(walks) per step,
+    independent of graph size, the property that makes hash-walks viable
+    on web-scale graphs.
+
+    Returns (walk_id, step, node) with step 0 = the start node.
+    """
+    w_src = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(w_src) - 1).alias("_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("_deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = starts.select(
+        F.col(id_col).cast("string").alias("walk_id"),
+        F.col(id_col).cast("string").alias("node"),
+    )
+    levels = [frontier.select("walk_id", F.lit(0).alias("step"), "node")]
+    for i in range(1, n_steps + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(str(i)), F.col("node"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.col("_deg"),
+        )
+        frontier = frontier.join(
+            adj, (adj["src"] == F.col("node")) & (adj["_idx"] == pick)
+        ).select("walk_id", F.col("dst").alias("node"))
+        levels.append(frontier.select("walk_id", F.lit(i).alias("step"), "node"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

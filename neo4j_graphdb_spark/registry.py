@@ -599,6 +599,40 @@ def _hits_oracle_sql(iters: int = 6) -> str:
     """
 
 
+def _walks_oracle_sql(steps: int = 4, mod: int = 10) -> str:
+    """DuckDB twin of :func:`graph.algorithms.random_walks` on the
+    customer–part co-purchase graph: each hash-walk step unrolls into a
+    CTE joining the previous frontier to the indexed adjacency on the
+    SAME ``md5(walk:step:node) mod degree`` choice the engine computes
+    (``_MD5_60_SQL`` reproduces Spark's conv(substr(md5,1,15),16,10)
+    bit-for-bit), so every visited node is value-checked."""
+    ctes = [
+        "cp AS MATERIALIZED ("
+        "SELECT DISTINCT 'C' || cast(o_custkey AS varchar) AS src, "
+        "'P' || cast(l_partkey AS varchar) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp)",
+        "adj AS MATERIALIZED ("
+        "SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM sym)",
+        "s0 AS (SELECT 'C' || cast(c_custkey AS varchar) AS walk_id, "
+        "'C' || cast(c_custkey AS varchar) AS node "
+        f"FROM customer WHERE c_custkey % {mod} = 0)",
+    ]
+    for i in range(1, steps + 1):
+        pick = _MD5_60_SQL.format(x=f"concat(w.walk_id, ':{i}:', w.node)")
+        ctes.append(
+            f"s{i} AS MATERIALIZED ("
+            f"SELECT w.walk_id, a.dst AS node FROM s{i - 1} w "
+            f"JOIN adj a ON a.src = w.node AND a.idx = ({pick}) % a.deg)"
+        )
+    selects = [
+        f"SELECT walk_id, {i}::bigint AS step, node FROM s{i}"
+        for i in range(steps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _node_keys(g: Graph) -> DataFrame:
     return g.nodes_df.select(F.col(NODE_ID).alias("id"), "label", "key")
 
@@ -2197,6 +2231,30 @@ def q_c37_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c38_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38 — deterministic hash-driven random walks (node2vec p=q=1 /
+    Pixie) on the symmetrized customer–part co-purchase graph, 4 steps
+    from every 10th customer (graph/algorithms.py random_walks). Full
+    value oracle: every step's md5-mod-degree neighbor choice replays in
+    DuckDB (``_walks_oracle_sql``)."""
+    from neo4j_graphdb_spark.graph.algorithms import random_walks
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    sym = cp.unionByName(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    starts = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node_id"))
+    )
+    out = random_walks(sym, starts, n_steps=4)
+    return out.select("walk_id", F.col("step").cast("bigint").alias("step"), "node")
+
+
 def q_c28_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C28 — the COMPLETE near-dup pipeline: MinHash-LSH verified pairs →
     connected components (min-id flooding) → canonical survivor per
@@ -2548,6 +2606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # these are value-checked by scripts/check_oracles.py and rotate
     # into the window next round
     "c37_node_similarity": q_c37_node_similarity,
+    "c38_random_walks": q_c38_random_walks,
 }
 
 
@@ -3414,6 +3473,7 @@ ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
     """,
     "c36_hits": _hits_oracle_sql(),
+    "c38_random_walks": _walks_oracle_sql(),
     "c37_node_similarity": """
         WITH cp AS MATERIALIZED (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p

@@ -310,3 +310,45 @@ def test_node_similarity_degree_cap_drops_hub(spark):
     }
     assert set(capped) == {("a", "b"), ("b", "a")}
     assert capped[("a", "b")]["jaccard"] == pytest.approx(1.0)
+
+
+def test_random_walks_deterministic_and_terminating(spark):
+    """The hash choice is replayable in plain Python (md5 → first 15 hex
+    → mod degree), and a walk reaching a sink node simply ends."""
+    import hashlib
+
+    from neo4j_graphdb_spark.graph.algorithms import random_walks
+
+    # "a" has neighbors b,c ; b has only sink d ; c loops back to a
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "a")],
+        "src string, dst string",
+    )
+    starts = spark.createDataFrame([("a",)], "node_id string")
+    out = random_walks(e, starts, n_steps=3)
+    got = {r["step"]: r["node"] for r in out.collect()}
+
+    def pick(walk, step, node, nbrs):
+        h = int(hashlib.md5(f"{walk}:{step}:{node}".encode()).hexdigest()[:15], 16)
+        return sorted(nbrs)[h % len(nbrs)]
+
+    nbrs = {"a": ["b", "c"], "b": ["d"], "c": ["a"]}
+    expect, node = {0: "a"}, "a"
+    for i in (1, 2, 3):
+        if node not in nbrs:
+            break
+        node = pick("a", i, node, nbrs[node])
+        expect[i] = node
+    assert got == expect
+    # run twice — identical (no RNG state anywhere)
+    again = {r["step"]: r["node"] for r in random_walks(e, starts, n_steps=3).collect()}
+    assert again == got
+
+
+def test_random_walks_sink_start_stays_put(spark):
+    from neo4j_graphdb_spark.graph.algorithms import random_walks
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    starts = spark.createDataFrame([("b",)], "node_id string")
+    rows = random_walks(e, starts, n_steps=5).collect()
+    assert [(r["step"], r["node"]) for r in rows] == [(0, "b")]
