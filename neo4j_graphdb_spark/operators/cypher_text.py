@@ -22,6 +22,12 @@ reference's statements run verbatim:
   beyond the reference's statements; its users write these constantly)
 * ``ORDER BY item [ASC|DESC] [, …]`` over the RETURN columns (same
   extension rationale; compiles to a plain sort before LIMIT)
+* ``RETURN key, count(*) | count([DISTINCT] x.p) | sum/avg/min/max(x.p)
+  | collect(x.p)`` — openCypher implicit grouping: the non-aggregate
+  items ARE the grouping keys (there is no GROUP BY in Cypher);
+  compiles to one partial-aggregated groupBy. ``collect`` lists are
+  canonically sorted (Neo4j guarantees no order)
+* ``RETURN DISTINCT …`` — projected-row dedup (one shuffle)
 
 Batch-native by construction: the reference binds one record per
 ``session.run`` round trip; here ``params`` may be either a scalar dict
@@ -85,6 +91,13 @@ _SET_ITEM_RE = re.compile(
 
 _RETURN_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
+)
+
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*"
+    r"(?:(?P<star>\*)|(?P<dist>DISTINCT\s+)?(?P<alias>\w+)(?:\.(?P<prop>\w+))?)"
+    r"\s*\)(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
 )
 
 
@@ -399,6 +412,7 @@ def _run_read(
     rel_prefixed = False
     limit: int | None = None
     returns: list[str] = []
+    return_distinct = False
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
@@ -439,7 +453,12 @@ def _run_read(
                     (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
                 )
         elif c.kind == "RETURN":
-            returns = _split_top_commas(c.body)
+            body = c.body
+            dm = re.match(r"^DISTINCT\s+", body, re.IGNORECASE)
+            if dm:
+                return_distinct = True
+                body = body[dm.end():]
+            returns = _split_top_commas(body)
         elif c.kind == "ORDER":
             body = re.sub(r"^BY\s+", "", c.body, flags=re.IGNORECASE)
             for item in _split_top_commas(body):
@@ -473,7 +492,13 @@ def _run_read(
             )
         )
 
+    if any(_AGG_ITEM_RE.match(i) for i in returns):
+        if return_distinct:
+            raise CypherUnsupported("RETURN DISTINCT cannot combine with aggregation")
+        return _aggregate_return(df, returns, aliases, rel_alias, order_by, limit)
+
     out_cols = []
+    out_names: list[str] = []
     out_exprs: dict[str, object] = {}  # output name -> source expression
     for item in returns:
         m = _RETURN_ITEM_RE.match(item)
@@ -485,15 +510,34 @@ def _run_read(
             if prop is None:
                 out_cols.append(_entity_struct(df, prefix, out or alias) if rel_prefixed
                                 else _node_entity(df, out or alias))
+                out_names.append(out or alias)
             else:
                 e = _prop_col(df, prefix, prop)
                 out_cols.append(e.alias(out or prop))
                 out_exprs[out or prop] = e
+                out_names.append(out or prop)
         elif rel_alias is not None and alias == rel_alias:
             out_cols.append(F.col("rel_type").alias(out or alias))
             out_exprs[out or alias] = F.col("rel_type")
+            out_names.append(out or alias)
         else:
             raise CypherUnsupported(f"RETURN of unbound alias: {item!r}")
+    if return_distinct:
+        # Cypher: DISTINCT dedups the projected rows, ORDER BY then sorts
+        # the RESULT — so keys must be RETURN output names here (the
+        # pre-projection sort below would be discarded by the dedup
+        # exchange anyway)
+        out = df.select(*out_cols).distinct()
+        if order_by:
+            sorts = []
+            for key, desc in order_by:
+                if key not in out_names:
+                    raise CypherUnsupported(
+                        f"ORDER BY with DISTINCT must use a RETURN name, got {key!r}"
+                    )
+                sorts.append(F.col(key).desc() if desc else F.col(key).asc())
+            out = out.orderBy(*sorts)
+        return out.limit(limit) if limit is not None else out
     if order_by:
         # sort BEFORE the projection so keys may be either RETURN output
         # names or any bound alias.prop; projection preserves the order
@@ -514,6 +558,81 @@ def _run_read(
         df = df.orderBy(*sorts)
     out = df.select(*out_cols)
     return out.limit(limit) if limit is not None else out
+
+
+def _aggregate_return(
+    df: DataFrame,
+    returns: list[str],
+    aliases: dict[str, str],
+    rel_alias: str | None,
+    order_by: list[tuple[str, bool]],
+    limit: int | None,
+) -> DataFrame:
+    """Cypher implicit grouping: when any RETURN item aggregates, every
+    non-aggregate item becomes a grouping key (openCypher's rule — there
+    is no GROUP BY clause to write). ``collect()`` lists are sorted:
+    Neo4j guarantees no element order, and a canonical order is what
+    makes the result value-comparable across partitionings and against
+    the SQL oracle."""
+    keys, aggs, name_map = [], [], {}
+
+    def _source(alias: str, prop: str | None):
+        if alias in aliases:
+            if prop is None:
+                raise CypherUnsupported(
+                    f"whole-entity {alias!r} unsupported in aggregating RETURN"
+                )
+            return _prop_col(df, aliases[alias], prop)
+        if rel_alias is not None and alias == rel_alias and prop is None:
+            return F.col("rel_type")
+        raise CypherUnsupported(f"RETURN of unbound alias: {alias!r}")
+
+    for item in returns:
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            name = am.group("out") or re.sub(r"\s+", "", item)
+            if am.group("star"):
+                if fn != "count":
+                    raise CypherUnsupported(f"{fn}(*) is not Cypher")
+                agg = F.count(F.lit(1))
+            else:
+                e = _source(am.group("alias"), am.group("prop"))
+                if am.group("dist"):
+                    if fn != "count":
+                        raise CypherUnsupported(
+                            f"DISTINCT inside {fn}() unsupported (count only)"
+                        )
+                    agg = F.countDistinct(e)
+                elif fn == "collect":
+                    agg = F.array_sort(F.collect_list(e))
+                else:
+                    agg = getattr(F, fn)(e)
+            aggs.append(agg.alias(name))
+            name_map[name] = name
+        else:
+            m = _RETURN_ITEM_RE.match(item)
+            if not m:
+                raise CypherUnsupported(f"unsupported RETURN item: {item!r}")
+            alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
+            e = _source(alias, prop)
+            name = out or prop or alias
+            keys.append(e.alias(name))
+            name_map[name] = name
+            if prop is not None:
+                name_map[f"{alias}.{prop}"] = name
+    grouped = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if order_by:
+        sorts = []
+        for key, desc in order_by:
+            if key not in name_map:
+                raise CypherUnsupported(
+                    f"ORDER BY key {key!r} is not a RETURN name or grouped alias.prop"
+                )
+            c = F.col(name_map[key])
+            sorts.append(c.desc() if desc else c.asc())
+        grouped = grouped.orderBy(*sorts)
+    return grouped.limit(limit) if limit is not None else grouped
 
 
 def _node_entity(df: DataFrame, out: str):

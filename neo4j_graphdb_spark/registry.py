@@ -2448,6 +2448,25 @@ def q_a16_text_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a17_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 ext — openCypher implicit-grouping aggregation through the
+    string front-end: the non-aggregate RETURN item is the grouping key
+    (Cypher has no GROUP BY). The statement text parses, expands the
+    WRITTEN_BY pattern, and compiles to ONE partial-aggregated groupBy
+    (operators/cypher_text.py _aggregate_return)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN p.name AS publisher, count(*) AS n_articles, "
+        "min(a.link) AS first_link "
+        "ORDER BY n_articles DESC, publisher ASC",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C33 — full Okapi BM25 matrix (k1=1.2, b=0.75, Robertson idf);
     scores rounded to 6 dp on both engines."""
@@ -2607,6 +2626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # into the window next round
     "c37_node_similarity": q_c37_node_similarity,
     "c38_random_walks": q_c38_random_walks,
+    "a17_text_agg": q_a17_text_agg,
 }
 
 
@@ -3474,6 +3494,11 @@ ORACLES: dict[str, str] = {
     """,
     "c36_hits": _hits_oracle_sql(),
     "c38_random_walks": _walks_oracle_sql(),
+    "a17_text_agg": """
+        SELECT source AS publisher, count(*)::bigint AS n_articles,
+               min(concat('doc://', cast(doc_id AS varchar))) AS first_link
+        FROM documents GROUP BY source
+    """,
     "c37_node_similarity": """
         WITH cp AS MATERIALIZED (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p

@@ -344,3 +344,79 @@ def test_text_keywords_inside_identifiers_do_not_split(spark):
     assert [c.kind for c in cl] == ["MERGE", "SET", "RETURN"]
     assert cl[0].body == "(a:X {k: $set})"
     assert cl[1].body == "a.merge = $skip"
+
+
+def test_text_aggregation_implicit_grouping(spark, text_store):
+    """count(*)/min with a plain item: the plain item is the implicit
+    grouping key (openCypher rule)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN p.name AS publisher, count(*) AS n, min(a.link) AS first_link "
+        "ORDER BY n DESC, publisher ASC",
+        store=text_store,
+    )
+    rows = [(r["publisher"], r["n"], r["first_link"]) for r in res.df.collect()]
+    assert rows == [
+        ("Daily Alpha", 2, "https://n.example/a1"),
+        ("Beta Times", 1, "https://n.example/a2"),
+    ]
+
+
+def test_text_aggregation_global_and_distinct_count(spark, text_store):
+    """No plain items -> one global row; count(DISTINCT x.p) dedups."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN count(*) AS n_edges, count(DISTINCT p.name) AS n_publishers",
+        store=text_store,
+    )
+    row = res.df.collect()
+    assert len(row) == 1
+    assert (row[0]["n_edges"], row[0]["n_publishers"]) == (3, 2)
+
+
+def test_text_collect_is_canonically_sorted(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN p.name AS publisher, collect(a.title) AS titles",
+        store=text_store,
+    )
+    got = {r["publisher"]: r["titles"] for r in res.df.collect()}
+    assert got["Daily Alpha"] == ["Alpha launches beta", "Gamma review roundup"]
+    assert got["Beta Times"] == ["Beta ships gamma"]
+
+
+def test_text_return_distinct(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN DISTINCT p.name AS publisher ORDER BY publisher",
+        store=text_store,
+    )
+    assert [r["publisher"] for r in res.df.collect()] == ["Beta Times", "Daily Alpha"]
+
+
+def test_text_aggregation_unsupported_forms_raise(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    for bad in (
+        "MATCH (a:Article) RETURN sum(*)",
+        "MATCH (a:Article) RETURN sum(DISTINCT a.title)",
+        "MATCH (a:Article) RETURN a, count(*)",  # whole-entity group key
+        "MATCH (a:Article) RETURN DISTINCT a.title, count(*)",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, store=text_store)
