@@ -1725,6 +1725,90 @@ def q_rel_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (product-analytics staple, SURVEY §2.D
+    extension): per user, the first ``view``, the first ``click``
+    strictly AFTER that view, and the first ``purchase`` strictly after
+    that click — stage = how deep the user got, in order. The three
+    conditional mins are cascaded windows over ONE user partitioning
+    (the per-user shuffle happens once; the later stages reuse it), so
+    the whole funnel is a single pass over the events — no self-joins,
+    which is what keeps it linear when the event log is 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stage = (
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("first_view"),
+            F.min("t2").alias("first_click_after"),
+            F.min("t3").alias("first_purchase_after"),
+            F.max(stage).cast("bigint").alias("stage"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "first_view",
+            "first_click_after",
+            "first_purchase_after",
+            "stage",
+        )
+    )
+
+
+def q_rel_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (SURVEY §2.D — lag/lead/frame-bounded
+    aggregate/row_number in one pass): per event_type daily value series
+    with previous/next day, trailing-7-day moving sum, and day index.
+    Every windowed value rides the associative ``decimal(18,6)`` daily
+    sums, so results are exact cross-engine (a moving AVERAGE would
+    divide and hit double tie-rounding). One tiny rollup shuffle, then
+    ONE partitioning serves all four window columns."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.col("_s").cast("double"), 6).alias("day_sum"),
+        F.round(F.lag("_s", 1).over(w).cast("double"), 6).alias("prev_day_sum"),
+        F.round(F.lead("_s", 1).over(w).cast("double"), 6).alias("next_day_sum"),
+        F.round(F.sum("_s").over(w7).cast("double"), 6).alias("trailing_7d_sum"),
+        F.row_number().over(w).cast("bigint").alias("day_index"),
+    )
+
+
 def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface: customers with no finished ('F') order — the
     status filter keeps the result non-empty at every sf."""
@@ -2627,6 +2711,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c37_node_similarity": q_c37_node_similarity,
     "c38_random_walks": q_c38_random_walks,
     "a17_text_agg": q_a17_text_agg,
+    "rel_funnel": q_rel_funnel,
+    "rel_moving_window": q_rel_moving_window,
 }
 
 
@@ -3341,6 +3427,53 @@ ORACLES: dict[str, str] = {
                round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
                round(min(value), 6), round(max(value), 6)
         FROM events GROUP BY 2, 3
+    """,
+    "rel_moving_window": """
+        WITH daily AS (
+            -- cast: DuckDB date_trunc('day') yields DATE, Spark yields
+            -- TIMESTAMP; the compare is type-sensitive
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   sum(CAST(value AS DECIMAL(18,6))) AS s
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               round(CAST(s AS DOUBLE), 6) AS day_sum,
+               round(CAST(lag(s) OVER w AS DOUBLE), 6) AS prev_day_sum,
+               round(CAST(lead(s) OVER w AS DOUBLE), 6) AS next_day_sum,
+               round(CAST(sum(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE), 6) AS trailing_7d_sum,
+               (row_number() OVER w)::bigint AS day_index
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    "rel_funnel": """
+        WITH t1 AS (
+            SELECT user_id, min(ts) FILTER (event_type = 'view') AS t1
+            FROM events GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id::bigint AS user_id,
+               t1.t1 AS first_view,
+               t2.t2 AS first_click_after,
+               t3.t3 AS first_purchase_after,
+               ((t1.t1 IS NOT NULL)::int + (t2.t2 IS NOT NULL)::int
+                + (t3.t3 IS NOT NULL)::int)::bigint AS stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN t1 ON u.user_id = t1.user_id
+        LEFT JOIN t2 ON u.user_id = t2.user_id
+        LEFT JOIN t3 ON u.user_id = t3.user_id
     """,
     "rel_gap_fill": """
         WITH obs AS (
