@@ -200,6 +200,7 @@ def _minhash_md5_oracle_sql(
     max_bucket: int = 1000,
     hash_tmpl: str = _MD5_60_SQL,
     signed_hash: bool = False,
+    stream_split: bool = False,
 ) -> str:
     """DuckDB twin of ``minhash_lsh_pairs`` — the ENTIRE pipeline: word
     shingles, one base hash per shingle, the same (a_i·h + b_i) mod p
@@ -208,7 +209,10 @@ def _minhash_md5_oracle_sql(
     exact-Jaccard verification. Default instantiation is the md5-fold
     driver oracle; ``scripts/check_oracles.py`` re-instantiates it over a
     ``spark_xxhash64`` UDF (``signed_hash=True`` → double-mod pmod, since
-    xxhash64 is signed where the md5 fold is non-negative)."""
+    xxhash64 is signed where the md5 fold is non-negative).
+    ``stream_split=True`` emits the ``stream_near_dup`` variant instead:
+    odd-id documents are the stream, even-id the guarded historical band
+    table, candidates cross the split only."""
     from neo4j_graphdb_spark.operators.dedup import _MINHASH_P, _perm_coeffs
 
     rpb = num_hashes // bands
@@ -233,6 +237,25 @@ def _minhash_md5_oracle_sql(
         shingle_hash = f"((({base}) % {_MINHASH_P}) + {_MINHASH_P})"
     else:
         shingle_hash = base
+    hist_filter = " WHERE doc_id % 2 = 0" if stream_split else ""
+    if stream_split:
+        # stream rows (odd ids) probe the guarded historical buckets
+        cand_sql = (
+            "SELECT DISTINCT s.doc_id AS id_a, h.doc_id AS id_b "
+            "FROM (SELECT doc_id, band, bucket FROM bands WHERE doc_id % 2 = 1) s "
+            "JOIN sized h ON s.band = h.band AND s.bucket = h.bucket"
+        )
+        out_sql = (
+            "id_a::bigint AS stream_id, id_b::bigint AS hist_id, "
+            "round(jac, 6) AS jaccard"
+        )
+    else:
+        cand_sql = (
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sized a JOIN sized b "
+            "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        )
+        out_sql = "id_a, id_b, round(jac, 6) AS jaccard"
     return f"""
         WITH words AS MATERIALIZED (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -260,14 +283,10 @@ def _minhash_md5_oracle_sql(
             SELECT doc_id, band, bucket FROM (
                 SELECT doc_id, band, bucket,
                        count(*) OVER (PARTITION BY band, bucket) AS n
-                FROM bands
+                FROM bands{hist_filter}
             ) WHERE n <= {max_bucket}
         ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sized a JOIN sized b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        ),
+        cand AS ({cand_sql}),
         v AS (
             SELECT cand.id_a, cand.id_b,
                    len(list_intersect(x.shingles, y.shingles))::double
@@ -276,7 +295,7 @@ def _minhash_md5_oracle_sql(
             JOIN sh x ON cand.id_a = x.doc_id
             JOIN sh y ON cand.id_b = y.doc_id
         )
-        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= {threshold}
+        SELECT {out_sql} FROM v WHERE jac >= {threshold}
     """
 
 
@@ -2256,6 +2275,33 @@ def q_c26_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c39_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 — streaming near-dup gate on the real engine: odd-id
+    documents arrive as a stream and are checked against the even-id
+    historical corpus through a stateless stream-static MinHash-LSH band
+    join with per-row exact-Jaccard verification (operators/dedup.py
+    stream_near_dup, md5_60 hash). Band multiplicity collapses with a
+    batch distinct over the materialized sink; the oracle replays the
+    identical split, guard, and verification in DuckDB
+    (``_minhash_md5_oracle_sql(stream_split=True)``)."""
+    from neo4j_graphdb_spark.operators.dedup import stream_near_dup
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+
+    sdocs = stream_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    hist = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    res = stream_near_dup(sdocs, hist)
+    out = run_stream_to_memory(spark, res, output_mode="append")
+    return (
+        out.select(
+            F.col("stream_id").cast("bigint").alias("stream_id"),
+            F.col("hist_id").cast("bigint").alias("hist_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
 def q_c27_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C27 — personalized PageRank on the analytics graph with the five
     Region nodes as the restart set; 8 supersteps, full value oracle
@@ -2713,6 +2759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a17_text_agg": q_a17_text_agg,
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
+    "c39_stream_near_dup": q_c39_stream_near_dup,
 }
 
 
@@ -3004,6 +3051,7 @@ ORACLES: dict[str, str] = {
     ),
     "c8_simhash_md5": _simhash_md5_oracle_sql(),
     "c8_minhash_lsh_md5": _minhash_md5_oracle_sql(),
+    "c39_stream_near_dup": _minhash_md5_oracle_sql(stream_split=True),
     "c8_ngram_jaccard": """
         WITH sh AS (
             SELECT doc_id, lang,

@@ -198,3 +198,33 @@ def test_kmeans_fit_and_ivf_recall(spark, sf_dir):
     assert {(q, q) for q, _ in e} <= a
     recall = len(a & e) / len(e)
     assert recall >= 0.5, recall
+
+
+def test_stream_near_dup_batch_equivalence(spark, corpus):
+    """The stream-static gate is stream/batch agnostic: run it on the
+    corpus split odd/even as plain batch frames and check it finds
+    exactly the cross-split near-dups that minhash_lsh_pairs finds on
+    the full corpus — including the exact-dup pair (1, 4), which crosses
+    the split (1 streams, 4 is history) at jaccard 1.0."""
+    from neo4j_graphdb_spark.operators.dedup import stream_near_dup
+
+    stream = corpus.filter(F.col("doc_id") % 2 == 1)
+    hist = corpus.filter(F.col("doc_id") % 2 == 0)
+    hits = stream_near_dup(
+        stream, hist, hash_mode="md5_60", jaccard_threshold=0.6
+    )
+    got = {(r["stream_id"], r["hist_id"]) for r in hits.collect()}
+    full = minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.6, hash_mode="md5_60",
+    )
+    expect = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:
+            s, h = (a, b) if a % 2 == 1 else (b, a)
+            expect.add((s, h))
+    assert got == expect
+    assert (1, 4) in got  # exact dup across the split, jaccard 1.0
+    jac = {(r["stream_id"], r["hist_id"]): r["jaccard"] for r in hits.collect()}
+    assert jac[(1, 4)] == pytest.approx(1.0)
