@@ -40,6 +40,11 @@ HEADLINE = [
     "c22_seq_pack",
     "c30_global_shuffle",
     "rel_sessionize",
+    # round 6 additions — gap-fill grid, iterative normalized graph op,
+    # co-occurrence similarity join
+    "rel_gap_fill",
+    "c36_hits",
+    "c37_node_similarity",
 ]
 
 
