@@ -327,6 +327,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     bounded on power-law graphs at 100× scale (the id-ordered variant
     explodes on exactly those hubs).
     """
+    return _triangle_rows(edges).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def _triangle_rows(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration (see :func:`triangle_count`):
+    one row per closed triangle with its three corners (lo, y, z)."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -356,8 +362,53 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     w2 = oriented.select("lo", F.col("hi").alias("z"), F.col("hi_ord").alias("z_ord"))
     wedges = w1.join(w2, on="lo").filter(F.col("y_ord") < F.col("z_ord"))
     close = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    tri = wedges.join(close, on=["y", "z"])
-    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+    return wedges.join(close, on=["y", "z"]).select("lo", "y", "z")
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """C40 — per-node triangle participation and local clustering
+    coefficient ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` on the
+    undirected simple graph (Watts-Strogatz local coefficient; deg < 2
+    → 0.0 by convention).
+
+    Reuses the degree-ordered enumeration of :func:`triangle_count` —
+    each triangle materializes exactly once and then credits its three
+    corners, so the only additions over the global count are a 3-way
+    explode and one count shuffle. Inherits the O(sqrt(m)) wedge bound,
+    which is precisely what keeps PER-NODE triangle counting alive on
+    power-law graphs: the naive per-node wedge count explodes at hubs,
+    the oriented one never generates their wedges.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    corners = (
+        _triangle_rows(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        .select(F.explode(F.array("lo", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    filled = deg.join(corners, on="v", how="left").select(
+        "v", "degree", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.col("triangles")
+        / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return filled.select("v", "degree", "triangles", lcc.alias("lcc"))
 
 
 def label_propagation(

@@ -1102,6 +1102,32 @@ def q_c5_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).select(F.col("triangles").cast("bigint").alias("triangles"))
 
 
+def q_c40_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 — per-node triangles + local clustering coefficient on the
+    order/part/supplier co-occurrence graph (c5's substrate, readable
+    string node ids so the oracle joins on the same keys;
+    graph/algorithms.py clustering_coefficient)."""
+    from neo4j_graphdb_spark.graph.algorithms import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("o"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+    raw = (
+        li.select(F.col("o").alias("src"), F.col("p").alias("dst"))
+        .unionByName(li.select(F.col("o").alias("src"), F.col("s").alias("dst")))
+        .unionByName(li.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+    )
+    out = clustering_coefficient(raw)
+    return out.select(
+        F.col("v").alias("node"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+        F.round("lcc", 6).alias("lcc"),
+    )
+
+
 def q_c6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — full DuckDB oracle: the 3 fixed supersteps unroll into CTEs.
 
@@ -1825,6 +1851,44 @@ def q_rel_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("_s", 1).over(w).cast("double"), 6).alias("next_day_sum"),
         F.round(F.sum("_s").over(w7).cast("double"), 6).alias("trailing_7d_sum"),
         F.row_number().over(w).cast("bigint").alias("day_index"),
+    )
+
+
+def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-flavored market share: per order year, the fraction of
+    lineitem revenue delivered by ASIA-region suppliers. Five-way join —
+    the fact-fact lineitem⋈orders shuffle plus a broadcast chain for
+    supplier→nation→region (Catalyst broadcasts each dimension; the
+    fact tables never shuffle for them). The share divides the two
+    ALREADY-ROUNDED revenue sums, so both engines divide identical
+    doubles and the 6-dp rounding is noise-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    agged = j.groupBy("o_year").agg(
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("r_name") == "ASIA", F.col("rev")).otherwise(0.0)), 2
+        ).alias("asia_revenue"),
+    )
+    return agged.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        "total_revenue",
+        "asia_revenue",
+        F.round(F.col("asia_revenue") / F.col("total_revenue"), 6).alias("asia_share"),
     )
 
 
@@ -2760,6 +2824,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
     "c39_stream_near_dup": q_c39_stream_near_dup,
+    "c40_clustering_coeff": q_c40_clustering_coeff,
+    "rel_market_share": q_rel_market_share,
 }
 
 
@@ -3027,6 +3093,45 @@ ORACLES: dict[str, str] = {
         SELECT 'Customer', cast(c_custkey AS varchar), 2 FROM customer
         UNION ALL
         SELECT 'Supplier', cast(s_suppkey AS varchar), 2 FROM supplier
+    """,
+    "c40_clustering_coeff": """
+        WITH raw AS (
+            SELECT concat('O:', cast(l_orderkey AS varchar)) AS a,
+                   concat('P:', cast(l_partkey AS varchar)) AS b FROM lineitem
+            UNION ALL
+            SELECT concat('O:', cast(l_orderkey AS varchar)),
+                   concat('S:', cast(l_suppkey AS varchar)) FROM lineitem
+            UNION ALL
+            SELECT concat('P:', cast(l_partkey AS varchar)),
+                   concat('S:', cast(l_suppkey AS varchar)) FROM lineitem
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        t AS (SELECT v, count(*) AS tri_n FROM corners GROUP BY v),
+        deg AS (
+            SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        )
+        SELECT d.v AS node, d.deg::bigint AS degree,
+               coalesce(t.tri_n, 0)::bigint AS triangles,
+               CASE WHEN d.deg >= 2
+                    THEN round(2.0 * coalesce(t.tri_n, 0)
+                               / (d.deg * (d.deg - 1.0)), 6)
+                    ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN t ON d.v = t.v
     """,
     "c5_triangles": """
         WITH raw AS (
@@ -3475,6 +3580,28 @@ ORACLES: dict[str, str] = {
                round(cast(sum(cast(value AS decimal(18,6))) AS double), 6),
                round(min(value), 6), round(max(value), 6)
         FROM events GROUP BY 2, 3
+    """,
+    "rel_market_share": """
+        WITH j AS (
+            SELECT year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev,
+                   r.r_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        agged AS (
+            SELECT o_year,
+                   round(sum(rev), 2) AS total_revenue,
+                   round(sum(CASE WHEN r_name = 'ASIA' THEN rev ELSE 0.0 END), 2)
+                       AS asia_revenue
+            FROM j GROUP BY o_year
+        )
+        SELECT o_year::bigint AS o_year, total_revenue, asia_revenue,
+               round(asia_revenue / total_revenue, 6) AS asia_share
+        FROM agged
     """,
     "rel_moving_window": """
         WITH daily AS (

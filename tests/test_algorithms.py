@@ -352,3 +352,41 @@ def test_random_walks_sink_start_stays_put(spark):
     starts = spark.createDataFrame([("b",)], "node_id string")
     rows = random_walks(e, starts, n_steps=5).collect()
     assert [(r["step"], r["node"]) for r in rows] == [(0, "b")]
+
+
+def test_clustering_coefficient_hand_checked(spark):
+    """K4 minus one edge: nodes 1,2 (deg 3) sit in 2 triangles each ->
+    lcc 2/3; nodes 3,4 (deg 2) sit in 1 -> lcc 1. A pendant node 5 has
+    deg 1 -> lcc 0 by convention."""
+    from neo4j_graphdb_spark.graph.algorithms import clustering_coefficient
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 5)],
+        "src bigint, dst bigint",
+    )
+    out = {r["v"]: r for r in clustering_coefficient(e).collect()}
+    assert (out[1]["degree"], out[1]["triangles"]) == (4, 2)
+    assert out[1]["lcc"] == pytest.approx(2 / 6)
+    assert (out[2]["degree"], out[2]["triangles"]) == (3, 2)
+    assert out[2]["lcc"] == pytest.approx(2 / 3)
+    for v in (3, 4):
+        assert (out[v]["degree"], out[v]["triangles"]) == (2, 1)
+        assert out[v]["lcc"] == pytest.approx(1.0)
+    assert (out[5]["degree"], out[5]["triangles"], out[5]["lcc"]) == (1, 0, 0.0)
+
+
+def test_clustering_matches_global_triangle_count(spark):
+    """Σ per-node triangles = 3 × global count (each triangle credits
+    its three corners) on a mixed random-ish graph."""
+    from neo4j_graphdb_spark.graph.algorithms import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + [
+        (i, (i + 1) % 20) for i in range(20)
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    total = triangle_count(e).collect()[0]["triangles"]
+    per_node = clustering_coefficient(e).agg(F.sum("triangles")).collect()[0][0]
+    assert per_node == 3 * total
