@@ -41,10 +41,11 @@ HEADLINE = [
     "c30_global_shuffle",
     "rel_sessionize",
     # round 6 additions — gap-fill grid, iterative normalized graph op,
-    # co-occurrence similarity join
+    # co-occurrence similarity join, 5-way broadcast-chain join
     "rel_gap_fill",
     "c36_hits",
     "c37_node_similarity",
+    "rel_market_share",
 ]
 
 

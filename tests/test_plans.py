@@ -105,3 +105,19 @@ def test_seq_pack_single_shuffle_on_bucket(spark, sf_dir):
     plan = _plan(QUERIES["c22_seq_pack"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_market_share_broadcasts_dimension_chain(spark, sf_dir):
+    """rel_market_share: supplier/nation/region must all arrive by
+    broadcast — three BroadcastHashJoins; the fact tables shuffle only
+    for the lineitem⋈orders key join."""
+    plan = _plan(QUERIES["rel_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_gap_fill_scans_raw_events_once(spark, sf_dir):
+    """rel_gap_fill: the raw-event aggregation is checkpointed, so the
+    span/grid branch and the fill join must NOT each re-scan the events
+    parquet."""
+    plan = _plan(QUERIES["rel_gap_fill"](spark, sf_dir))
+    assert plan.count("events.parquet") <= 1
