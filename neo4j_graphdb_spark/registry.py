@@ -558,45 +558,27 @@ def _pagerank_oracle_sql(
 
 def _hits_oracle_sql(iters: int = 6) -> str:
     """DuckDB twin of :func:`graph.algorithms.hits` on the analytics
-    graph: each superstep's two half-steps (auth = Eᵀ·hub, hub = E·auth,
-    both L2-normalized) unroll into chained MATERIALIZED CTEs — the same
-    technique as ``_pagerank_oracle_sql``. Norm sums run over ~16k
+    graph: the RAW power-iteration supersteps (auth = Eᵀ·hub,
+    hub = E·auth, no per-step normalization — matching the engine's
+    normalize-once-at-the-end formulation) unroll into chained
+    MATERIALIZED CTEs, then both vectors zero-fill over the node set and
+    L2-normalize in the terminal SELECT. Norm sums run over ~16k
     doubles, so cross-engine summation-order noise is ~1e-12 relative,
     four orders under the 6-dp rounding grid."""
     steps = []
     for i in range(1, iters + 1):
         steps.append(
             f"""a{i} AS MATERIALIZED (
-            SELECT n.label, n.key, coalesce(x.s, 0) AS raw
-            FROM nodes n LEFT JOIN (
-                SELECT e.dst_label AS label, e.dst_key AS key, sum(h.hub) AS s
-                FROM edges e JOIN h{i - 1} h
-                  ON e.src_label = h.label AND e.src_key = h.key
-                GROUP BY 1, 2
-            ) x ON n.label = x.label AND n.key = x.key
+            SELECT e.dst_label AS label, e.dst_key AS key, sum(h.hub) AS auth
+            FROM edges e JOIN h{i - 1} h
+              ON e.src_label = h.label AND e.src_key = h.key
+            GROUP BY 1, 2
         ),
-        an{i} AS MATERIALIZED (SELECT sqrt(sum(raw * raw)) AS nrm FROM a{i}),
-        aa{i} AS MATERIALIZED (
-            SELECT label, key,
-                   CASE WHEN (SELECT nrm FROM an{i}) > 0
-                        THEN raw / (SELECT nrm FROM an{i}) ELSE 0 END AS auth
-            FROM a{i}
-        ),
-        hr{i} AS MATERIALIZED (
-            SELECT n.label, n.key, coalesce(x.s, 0) AS raw
-            FROM nodes n LEFT JOIN (
-                SELECT e.src_label AS label, e.src_key AS key, sum(a.auth) AS s
-                FROM edges e JOIN aa{i} a
-                  ON e.dst_label = a.label AND e.dst_key = a.key
-                GROUP BY 1, 2
-            ) x ON n.label = x.label AND n.key = x.key
-        ),
-        hn{i} AS MATERIALIZED (SELECT sqrt(sum(raw * raw)) AS nrm FROM hr{i}),
         h{i} AS MATERIALIZED (
-            SELECT label, key,
-                   CASE WHEN (SELECT nrm FROM hn{i}) > 0
-                        THEN raw / (SELECT nrm FROM hn{i}) ELSE 0 END AS hub
-            FROM hr{i}
+            SELECT e.src_label AS label, e.src_key AS key, sum(a.auth) AS hub
+            FROM edges e JOIN a{i} a
+              ON e.dst_label = a.label AND e.dst_key = a.key
+            GROUP BY 1, 2
         )"""
         )
     chain = ",\n        ".join(steps)
@@ -612,9 +594,22 @@ def _hits_oracle_sql(iters: int = 6) -> str:
             SELECT 'Region', cast(r_regionkey AS varchar) FROM region
         ),
         h0 AS (SELECT label, key, 1.0 AS hub FROM nodes),
-        {chain}
-        SELECT h.label, h.key, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
-        FROM h{iters} h JOIN aa{iters} a ON h.label = a.label AND h.key = a.key
+        {chain},
+        filled AS MATERIALIZED (
+            SELECT n.label, n.key,
+                   coalesce(h.hub, 0) AS hub, coalesce(a.auth, 0) AS auth
+            FROM nodes n
+            LEFT JOIN h{iters} h ON n.label = h.label AND n.key = h.key
+            LEFT JOIN a{iters} a ON n.label = a.label AND n.key = a.key
+        ),
+        norms AS MATERIALIZED (
+            SELECT sqrt(sum(hub * hub)) AS nh, sqrt(sum(auth * auth)) AS na
+            FROM filled
+        )
+        SELECT f.label, f.key,
+               round(CASE WHEN n.nh > 0 THEN f.hub / n.nh ELSE 0 END, 6) AS hub,
+               round(CASE WHEN n.na > 0 THEN f.auth / n.na ELSE 0 END, 6) AS auth
+        FROM filled f CROSS JOIN norms n
     """
 
 
