@@ -331,3 +331,64 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """C41 — symmetric per-vector int8 quantization of an embedding
+    column (the standard 4× compression step before shipping vectors to
+    an ANN index): ``q[i] = floor(v[i] * 127 / max_abs + 0.5)`` with the
+    per-vector scale stored alongside, plus the reconstruction RMSE so a
+    pipeline can gate on quantization loss. All pure JVM array
+    expressions over one scan — embarrassingly parallel, no shuffle.
+
+    ``floor(x + 0.5)`` instead of ``round``: element-level rounding must
+    be bit-identical across engines (a .5-boundary element would
+    otherwise flip on round-half-even vs half-away), and floor is exact
+    in both. The zero vector keeps scale 0 and quantizes to zeros.
+    """
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(
+        max_abs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / max_abs + F.lit(0.5))
+            .cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # the raw scale keeps an internal name: aliasing the ROUNDED output
+    # column "scale" in the same select would capture the error
+    # expression's by-name reference and silently compute the RMSE
+    # against the rounded scale
+    with_q = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        scale.alias("_scale"),
+        q.alias("q8"),
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.col("q8"),
+                lambda x, qi: (x.cast("double") - qi * F.col("_scale"))
+                * (x.cast("double") - qi * F.col("_scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size(F.col("q8"))
+    )
+    return with_q.select(
+        id_col,
+        F.round("_scale", 6).alias("scale"),
+        "q8",
+        F.round(err, 6).alias("rmse"),
+    )

@@ -1097,6 +1097,22 @@ def q_c5_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).select(F.col("triangles").cast("bigint").alias("triangles"))
 
 
+def q_c41_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 — symmetric per-vector int8 quantization of the embeddings
+    table with reconstruction RMSE (operators/similarity.py
+    quantize_int8); the floor(x+0.5) grid makes every element
+    bit-identical to the DuckDB replay."""
+    from neo4j_graphdb_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding", "vec_id").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "scale",
+        "q8",
+        "rmse",
+    )
+
+
 def q_c40_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C40 — per-node triangles + local clustering coefficient on the
     order/part/supplier co-occurrence graph (c5's substrate, readable
@@ -2821,6 +2837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
     "rel_market_share": q_rel_market_share,
+    "c41_quantize": q_c41_quantize,
 }
 
 
@@ -3088,6 +3105,28 @@ ORACLES: dict[str, str] = {
         SELECT 'Customer', cast(c_custkey AS varchar), 2 FROM customer
         UNION ALL
         SELECT 'Supplier', cast(s_suppkey AS varchar), 2 FROM supplier
+    """,
+    "c41_quantize": """
+        WITH base AS (
+            SELECT vec_id, embedding AS v,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, v,
+                   CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS scale,
+                   CASE WHEN ma > 0
+                        THEN list_transform(v,
+                             x -> floor(x::DOUBLE * 127.0 / ma + 0.5)::INT)
+                        ELSE list_transform(v, x -> 0) END AS q8
+            FROM base
+        )
+        SELECT vec_id::bigint AS vec_id, round(scale, 6) AS scale, q8,
+               round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                     i -> (v[i]::DOUBLE - q8[i] * scale)
+                          * (v[i]::DOUBLE - q8[i] * scale)))
+                     / len(q8)), 6) AS rmse
+        FROM q
     """,
     "c40_clustering_coeff": """
         WITH raw AS (

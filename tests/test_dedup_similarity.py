@@ -228,3 +228,22 @@ def test_stream_near_dup_batch_equivalence(spark, corpus):
     assert (1, 4) in got  # exact dup across the split, jaccard 1.0
     jac = {(r["stream_id"], r["hist_id"]): r["jaccard"] for r in hits.collect()}
     assert jac[(1, 4)] == pytest.approx(1.0)
+
+
+def test_quantize_int8_round_trip(spark):
+    """Known vector: max_abs 2.0 -> scale 2/127; the max element hits
+    ±127 exactly; dequantized values land within scale/2 of the input;
+    the zero vector keeps scale 0 / all-zero codes / zero error."""
+    from neo4j_graphdb_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -1.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == pytest.approx(2.0 / 127.0, abs=1e-6)
+    assert r1["q8"] == [127, -63, 32, 0]  # floor(x*63.5 + 0.5)
+    assert r1["rmse"] < 2.0 / 127.0 / 2  # within half a quant step
+    r2 = out[2]
+    assert (r2["scale"], r2["q8"], r2["rmse"]) == (0.0, [0, 0, 0, 0], 0.0)
