@@ -28,6 +28,9 @@ reference's statements run verbatim:
   compiles to one partial-aggregated groupBy. ``collect`` lists are
   canonically sorted (Neo4j guarantees no order)
 * ``RETURN DISTINCT …`` — projected-row dedup (one shuffle)
+* ``MATCH (a:L) OPTIONAL MATCH (a)-[r:T]->(b:L2)`` — left-outer expand
+  from the scanned label; unmatched rows carry NULL relationship/target
+  (compiles to ``Graph.expand_optional``)
 
 Batch-native by construction: the reference binds one record per
 ``session.run`` round trip; here ``params`` may be either a scalar dict
@@ -36,9 +39,9 @@ DataFrame whose columns are the parameters, in which case ONE call
 upserts the whole batch through the same statement text — the
 per-record Bolt loop becomes a single batched merge plan.
 
-Out of scope (raises ``CypherUnsupported``): OPTIONAL MATCH,
-variable-length paths, DELETE/REMOVE, OR/NOT predicates, subqueries —
-none appear in the reference.
+Out of scope (raises ``CypherUnsupported``): variable-length path
+text, DELETE/REMOVE, OR/NOT predicates, subqueries — none appear in
+the reference (the builder API covers var-length and DETACH DELETE).
 """
 
 from __future__ import annotations
@@ -120,7 +123,7 @@ class _NodePattern:
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"(?<![.$\w])(DELETE|REMOVE|OPTIONAL|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
+    r"(?<![.$\w])(DELETE|REMOVE|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
     re.IGNORECASE,
 )
 
@@ -163,6 +166,27 @@ def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
     clauses = []
     for i in range(1, len(parts), 2):
         clauses.append(_Clause(parts[i].upper(), parts[i + 1].strip().rstrip(",")))
+    # OPTIONAL is not a clause keyword, so "… OPTIONAL MATCH (…)" leaves
+    # a dangling OPTIONAL at the END of the previous clause body — fold
+    # it into the following MATCH as its own clause kind
+    for j in range(1, len(clauses)):
+        prev = clauses[j - 1]
+        if clauses[j].kind == "MATCH" and re.search(
+            r"(?<![.$\w])OPTIONAL$", prev.body, re.IGNORECASE
+        ):
+            prev.body = prev.body[: -len("OPTIONAL")].rstrip()
+            clauses[j].kind = "OPTIONAL_MATCH"
+    bad_opt = next(
+        (
+            c
+            for c in clauses
+            if c.kind != "OPTIONAL_MATCH"
+            and re.search(r"(?<![.$\w])OPTIONAL(?![\w$])", c.body, re.IGNORECASE)
+        ),
+        None,
+    )
+    if bad_opt:
+        raise CypherUnsupported("OPTIONAL outside OPTIONAL MATCH is outside the subset")
     if not clauses:
         raise CypherUnsupported("empty statement")
     return clauses, lits
@@ -413,6 +437,7 @@ def _run_read(
     limit: int | None = None
     returns: list[str] = []
     return_distinct = False
+    node_match: tuple[str, str | None] | None = None
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
@@ -441,9 +466,35 @@ def _run_read(
             df = graph.match(n.group("label"))
             alias = n.group("alias") or "n"
             aliases[alias] = ""
+            node_match = (alias, n.group("label"))
             # MATCH (n:L {prop: $param}) — inline equality filters
             for prop, param in _parse_props(n.group("props")):
                 predicates.append((alias, prop, "=", f"${param}"))
+        elif c.kind == "OPTIONAL_MATCH":
+            if df is None or node_match is None:
+                raise CypherUnsupported("OPTIONAL MATCH needs a preceding node MATCH")
+            m = _REL_RE.match(c.body)
+            if not m:
+                raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
+            sa, s_label = node_match
+            if (m.group("src_alias") or sa) != sa or m.group("src_label"):
+                raise CypherUnsupported(
+                    "OPTIONAL MATCH source must be the bare alias bound by MATCH"
+                )
+            da = m.group("dst_alias") or "b"
+            # the node scan is re-expressed as the LEFT side of the
+            # optional expand; deferred predicates on the source alias
+            # re-resolve through its new column prefix
+            df = graph.expand_optional(
+                rel_type=m.group("rel_type"),
+                src_label=s_label,
+                dst_label=m.group("dst_label"),
+                src_alias=sa, dst_alias=da,
+            )
+            aliases[sa] = f"{sa}_"
+            aliases[da] = f"{da}_"
+            rel_alias = m.group("rel_alias")
+            rel_prefixed = True
         elif c.kind == "WHERE":
             for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
                 m = _WHERE_ITEM_RE.match(item.strip())

@@ -2672,6 +2672,31 @@ def q_a17_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a18_text_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 ext — OPTIONAL MATCH through the string front-end: Articles
+    whose doc_id divides by 3 carry no WRITTEN_BY edge, so the optional
+    expand must keep them with NULL relationship and publisher (left
+    outer expand, operators/cypher_text.py OPTIONAL_MATCH clause)."""
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = _article_source(spark, sf_dir)
+    articles = as_nodes(src, "Article", "link", ["title", "content"])
+    pubs = as_nodes(src.select("publisher").distinct(), "Publisher", "publisher", [])
+    nodes = articles.unionByName(pubs, allowMissingColumns=True)
+    linked = src.filter(
+        F.regexp_extract("link", r"(\d+)$", 1).cast("long") % 3 != 0
+    )
+    edges = as_edges(linked, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, r AS rel, p.name AS publisher",
+        graph=Graph(nodes, edges),
+    )
+    return res.df
+
+
 def q_c33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C33 — full Okapi BM25 matrix (k1=1.2, b=0.75, Robertson idf);
     scores rounded to 6 dp on both engines."""
@@ -2838,6 +2863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c40_clustering_coeff": q_c40_clustering_coeff,
     "rel_market_share": q_rel_market_share,
     "c41_quantize": q_c41_quantize,
+    "a18_text_optional": q_a18_text_optional,
 }
 
 
@@ -3840,6 +3866,12 @@ ORACLES: dict[str, str] = {
         SELECT source AS publisher, count(*)::bigint AS n_articles,
                min(concat('doc://', cast(doc_id AS varchar))) AS first_link
         FROM documents GROUP BY source
+    """,
+    "a18_text_optional": """
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               CASE WHEN doc_id % 3 <> 0 THEN 'WRITTEN_BY' END AS rel,
+               CASE WHEN doc_id % 3 <> 0 THEN source END AS publisher
+        FROM documents
     """,
     "c37_node_similarity": """
         WITH cp AS MATERIALIZED (

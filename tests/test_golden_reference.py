@@ -420,3 +420,42 @@ def test_text_aggregation_unsupported_forms_raise(spark, text_store):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, store=text_store)
+
+
+def test_text_optional_match_keeps_unmatched(spark, tmp_path):
+    """OPTIONAL MATCH: a publisher-less article survives the expand with
+    NULL relationship and publisher; the matched one carries both."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "opt"))
+    run_cypher(spark, CRAWL_UPSERT,
+               {"link": "l1", "title": "t1", "content": "c1", "publisher": "P1"},
+               store=s)
+    run_cypher(spark, "MERGE (a:Article {link: $link}) SET a.title = $title",
+               {"link": "l2", "title": "t2"}, store=s)
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, r AS rel, p.name AS publisher ORDER BY link",
+        store=s,
+    )
+    rows = [(r["link"], r["rel"], r["publisher"]) for r in res.df.collect()]
+    assert rows == [("l1", "WRITTEN_BY", "P1"), ("l2", None, None)]
+
+
+def test_text_optional_match_requires_bound_source(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    for bad in (
+        # no preceding MATCH
+        "OPTIONAL MATCH (a)-[r:WRITTEN_BY]->(p:Publisher) RETURN a.link",
+        # source alias doesn't match the bound one
+        "MATCH (a:Article) OPTIONAL MATCH (x)-[r:WRITTEN_BY]->(p:Publisher) RETURN a.link",
+        # stray OPTIONAL
+        "MATCH (a:Article) RETURN a.optional_thing OPTIONAL",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, store=text_store)
