@@ -170,3 +170,49 @@ def global_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("_hkey", key_col)
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_hkey")
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """C42 — downsample to a TARGET MIXTURE (the dataset-mixing step of
+    a training-data pipeline: "make the corpus 50% en / 30% de / 20%
+    fr"). Unlike :func:`stratified_sample`, the keep-rates are not given
+    — they are DERIVED from the observed stratum counts: the output is
+    the largest corpus achievable without upsampling any stratum
+    (``N_out = min over strata of n_s / share_s``; the binding stratum
+    keeps everything), and each stratum keeps
+    ``share_s · N_out / n_s`` of its rows. Strata outside the target
+    drop entirely.
+
+    The rate computation is a one-row aggregate over per-stratum counts
+    broadcast back into the same deterministic md5-bucket gate as
+    ``stratified_sample`` — one count shuffle plus one scan with a
+    row-local filter, no RNG, replayable row-for-row by the SQL oracle.
+    Realized shares converge to the targets as strata grow (hash
+    granularity is 1e-6).
+    """
+    spark = df.sparkSession
+    t = spark.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        f"{strata_col} string, share double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = counts.join(F.broadcast(t), on=strata_col)
+    nout = j.agg(F.min(F.col("_n") / F.col("share")).alias("_nout"))
+    rates = j.crossJoin(F.broadcast(nout)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("share") * F.col("_nout") / F.col("_n")
+        ).alias("_rate"),
+    )
+    bucket = md5_bucket(key_col, salt, _SLOTS)
+    return (
+        df.join(F.broadcast(rates), on=strata_col)
+        .filter(bucket < F.floor(F.col("_rate") * _SLOTS).cast("bigint"))
+        .drop("_rate")
+    )

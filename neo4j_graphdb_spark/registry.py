@@ -2149,6 +2149,55 @@ def q_c21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_c42_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 — dataset-mixture downsampling: derive per-language keep
+    rates that reshape the corpus to 50% en / 30% de / 20% fr without
+    upsampling (operators/sampling.py mixture_sample), then gate rows
+    with the deterministic md5 bucket. The oracle recomputes the same
+    rate algebra and gate in SQL."""
+    from neo4j_graphdb_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, salt="mix2"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (product-analytics staple, §2.D extension): users
+    cohorted by first-activity week; for each (cohort, week offset) the
+    distinct active users and the retention fraction. Two aggregations
+    over the user partitioning plus a broadcast of cohort sizes; week
+    arithmetic stays in exact epoch integers (week-truncated timestamps
+    differ by exact multiples of 604800 s)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    j = activity.join(first, on="user_id")
+    offset = (
+        (F.col("w").cast("double") - F.col("cohort_week").cast("double"))
+        / F.lit(604800.0)
+    ).cast("bigint")
+    ret = j.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return ret.join(sizes, on="cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
 def q_c22_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C22 — greedy sequence packing of documents into 256-token context
     windows across 8 independent buckets (applyInPandas per bucket; the
@@ -2864,6 +2913,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_market_share": q_rel_market_share,
     "c41_quantize": q_c41_quantize,
     "a18_text_optional": q_a18_text_optional,
+    "c42_mixture_sample": q_c42_mixture_sample,
+    "rel_retention": q_rel_retention,
 }
 
 
@@ -3807,6 +3858,48 @@ ORACLES: dict[str, str] = {
                      ELSE 0 END, 6) AS contamination_frac
         FROM documents d
         LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+    "c42_mixture_sample": f"""
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        t(stratum, share) AS (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)),
+        j AS (SELECT c.lang, c.n, t.share FROM counts c JOIN t ON c.lang = t.stratum),
+        nout AS (SELECT min(n / share) AS v FROM j),
+        rates AS (
+            SELECT lang, least(1.0, share * (SELECT v FROM nout) / n) AS rate
+            FROM j
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ({_MD5_60_SQL.format(x="concat('mix2', cast(doc_id AS varchar))")})
+                  % 1000000
+              < floor(r.rate * 1000000)
+    """,
+    "rel_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+            FROM events
+        ),
+        ret AS (
+            SELECT f.cohort_week,
+                   CAST((epoch(a.w) - epoch(f.cohort_week)) / 604800.0 AS BIGINT)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY 1
+        )
+        SELECT r.cohort_week, r.week_offset,
+               r.n_active::bigint AS n_active, s.n_cohort::bigint AS n_cohort,
+               round(r.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+        FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
     """,
     "c21_stratified_sample": f"""
         SELECT doc_id, lang FROM (

@@ -207,3 +207,38 @@ def test_heavy_hitters_empty_and_uniform_inputs(spark):
 
     uniq = spark.createDataFrame([(f"t{i}",) for i in range(100)], "token string")
     assert heavy_hitters(uniq, "token", frac=0.05).count() == 0
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """1000 a / 1000 b / 100 c with target 45/45/10: c is binding
+    (100/0.1 = 1000 = N_out), so c keeps everything and a,b keep ~45%;
+    realized shares land within hash granularity of the target."""
+    from neo4j_graphdb_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(1000 + i, "b") for i in range(1000)]
+        + [(2000 + i, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = mixture_sample(df, "doc_id", "lang", {"a": 0.45, "b": 0.45, "c": 0.10})
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert got["c"] == 100  # binding stratum keeps all rows
+    for s in ("a", "b"):
+        assert 380 <= got[s] <= 520  # ~450 expected, md5-bucket noise
+    # deterministic: identical on re-run
+    again = sorted(r["doc_id"] for r in mixture_sample(
+        df, "doc_id", "lang", {"a": 0.45, "b": 0.45, "c": 0.10}).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_mixture_sample_drops_untargeted_strata(spark):
+    from neo4j_graphdb_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "x")], "doc_id bigint, lang string"
+    )
+    kept = mixture_sample(df, "doc_id", "lang", {"a": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
