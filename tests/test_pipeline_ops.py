@@ -222,9 +222,10 @@ def test_mixture_sample_hits_target_shares(spark):
     )
     df = spark.createDataFrame(rows, "doc_id bigint, lang string")
     out = mixture_sample(df, "doc_id", "lang", {"a": 0.45, "b": 0.45, "c": 0.10})
-    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
-        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
-    ).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     assert got["c"] == 100  # binding stratum keeps all rows
     for s in ("a", "b"):
         assert 380 <= got[s] <= 520  # ~450 expected, md5-bucket noise
