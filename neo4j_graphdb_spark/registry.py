@@ -1903,6 +1903,30 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (ANALYZE/profiling
+    companion to rel_profile): one groupBy on the floor-bucket — a
+    single partial-aggregated shuffle whose cardinality is the bin
+    count, the textbook scalable histogram."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("bigint")
+    return (
+        o.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 20000.0).alias("bin_lo"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
 def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface: customers with no finished ('F') order — the
     status filter keeps the result non-empty at every sf."""
@@ -2915,6 +2939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a18_text_optional": q_a18_text_optional,
     "c42_mixture_sample": q_c42_mixture_sample,
     "rel_retention": q_rel_retention,
+    "rel_histogram": q_rel_histogram,
 }
 
 
@@ -3873,6 +3898,15 @@ ORACLES: dict[str, str] = {
         WHERE ({_MD5_60_SQL.format(x="concat('mix2', cast(doc_id AS varchar))")})
                   % 1000000
               < floor(r.rate * 1000000)
+    """,
+    "rel_histogram": """
+        SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+               CAST(floor(o_totalprice / 20000.0) AS BIGINT)
+                   * CAST(20000.0 AS DOUBLE) AS bin_lo,
+               count(*)::bigint AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1
     """,
     "rel_retention": """
         WITH first AS (

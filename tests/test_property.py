@@ -277,3 +277,90 @@ def test_heavy_hitters_matches_exact_counting(spark, toks, frac):
     c = Counter(toks)
     want = {t: n for t, n in c.items() if n > frac * len(toks)}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),  # (owner, item)
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_node_similarity_matches_brute_force(spark, edges):
+    """node_similarity == brute-force Jaccard over every co-occurring
+    pair (k large enough to disable the top-k cut)."""
+    from itertools import combinations
+
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in node_similarity(df, top_k=100).collect()
+    }
+
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    want = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        inter = len(nbrs[a] & nbrs[b])
+        if inter:
+            j = inter / len(nbrs[a] | nbrs[b])
+            want[(a, b)] = j
+            want[(b, a)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 600), st.integers(-50, 50)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_gap_fill_matches_pure_reference(spark, events):
+    """gap_fill LOCF/interp against a pure-Python per-key replay
+    (60s buckets; values integral so sums are exact)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from neo4j_graphdb_spark.operators.temporal import gap_fill
+
+    rows = [
+        (str(k), _EPOCH + timedelta(seconds=s), float(v)) for k, s, v in events
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r["k"], int(r["bucket"].timestamp())): (
+            r["is_observed"], r["value_locf"], r["value_interp"]
+        )
+        for r in gap_fill(df, ["k"], "ts", "value", bucket_sec=60).collect()
+    }
+
+    obs = defaultdict(dict)
+    for k, s, v in events:
+        b = int((_EPOCH + timedelta(seconds=s)).timestamp()) // 60
+        obs[str(k)][b] = obs[str(k)].get(b, 0.0) + float(v)
+    want = {}
+    for k, buckets in obs.items():
+        bs = sorted(buckets)
+        for b in range(bs[0], bs[-1] + 1):
+            if b in buckets:
+                o = round(buckets[b], 6)
+                want[(k, b * 60)] = (True, o, o)
+            else:
+                pb = max(x for x in bs if x < b)
+                nb = min(x for x in bs if x > b)
+                pv, nv = round(buckets[pb], 6), round(buckets[nb], 6)
+                interp = pv + (nv - pv) * (b - pb) / (nb - pb)
+                want[(k, b * 60)] = (False, pv, interp)
+    assert set(got) == set(want)
+    for key, (o, locf, interp) in want.items():
+        go, gl, gi = got[key]
+        assert go == o and gl == locf
+        assert abs(gi - interp) < 1e-9
