@@ -407,3 +407,41 @@ def bm25_scores(
             (idf * F.col("tf") * (k1 + 1.0) / denom).alias("score"),
         )
     )
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C43 — unigram language-model quality score: each document's mean
+    token log-probability under the corpus's OWN unigram distribution
+    (``mean ln(count_token / total_tokens)``) — the classic
+    fluency/quality signal a curation pipeline thresholds on (documents
+    full of rare junk tokens score far below fluent ones). No smoothing
+    term: every scored token exists in the corpus by construction.
+
+    Scale shape: one token-count shuffle over the exploded corpus
+    (map-side partials), the total as a 1-row broadcast, then the
+    per-document re-aggregation joins the exploded tokens against the
+    vocabulary-sized count table — a broadcast-or-bucketed dimension
+    join, never a corpus-sized shuffle of anything but the token stream
+    itself. Tokenization is the same whitespace contract as
+    :func:`build_vocab` / :func:`tfidf_scores`.
+
+    Returns ``(id_col, n_tokens, avg_logp)``; documents with no tokens
+    drop out (nothing to score).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    total = words.agg(F.count(F.lit(1)).alias("_t"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("_n") / F.col("_t")).alias("_lp")
+    )
+    return (
+        words.join(logp, on="token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+    )

@@ -2173,6 +2173,19 @@ def q_c21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_c43_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43 — unigram LM quality score per document: mean token
+    log-probability under the corpus's own unigram distribution
+    (functions/text.py lm_score). Cross-engine ln noise is ~1e-16 per
+    token against scores of magnitude ~7, far under the 6-dp grid."""
+    from neo4j_graphdb_spark.functions.text import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_tokens", "avg_logp"
+    )
+
+
 def q_c42_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C42 — dataset-mixture downsampling: derive per-language keep
     rates that reshape the corpus to 50% en / 30% de / 20% fr without
@@ -2940,6 +2953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c42_mixture_sample": q_c42_mixture_sample,
     "rel_retention": q_rel_retention,
     "rel_histogram": q_rel_histogram,
+    "c43_lm_score": q_c43_lm_score,
 }
 
 
@@ -3898,6 +3912,25 @@ ORACLES: dict[str, str] = {
         WHERE ({_MD5_60_SQL.format(x="concat('mix2', cast(doc_id AS varchar))")})
                   % 1000000
               < floor(r.rate * 1000000)
+    """,
+    "c43_lm_score": """
+        WITH w AS MATERIALIZED (
+            SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        counts AS MATERIALIZED (SELECT token, count(*) AS n FROM w GROUP BY token),
+        total AS (SELECT count(*) AS t FROM w),
+        logp AS (
+            SELECT token, ln(n / (SELECT CAST(t AS DOUBLE) FROM total)) AS lp
+            FROM counts
+        )
+        SELECT w.doc_id::bigint AS doc_id, count(*)::bigint AS n_tokens,
+               round(sum(l.lp) / count(*), 6) AS avg_logp
+        FROM w JOIN logp l ON w.token = l.token
+        GROUP BY w.doc_id
     """,
     "rel_histogram": """
         SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,

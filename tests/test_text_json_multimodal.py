@@ -401,3 +401,28 @@ def test_bm25_scores_formula(spark):
     assert out[(2, "c")] == pytest.approx(ref(1, 1, 2))
     # common term scores below rare term at same tf
     assert out[(2, "a")] < out[(2, "c")]
+
+
+def test_lm_score_ranks_fluent_above_junk(spark):
+    """Common-token documents outscore rare-token ones; a doc repeating
+    the corpus's dominant token has the highest mean log-prob, and the
+    hand-computed value matches."""
+    import math
+
+    from neo4j_graphdb_spark.functions.text import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the rare1 rare2"),
+            (3, "zzz qqq xxx yyy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs, "doc_id", "text").collect()}
+    assert out[1]["avg_logp"] > out[2]["avg_logp"] > out[3]["avg_logp"]
+    assert out[1]["n_tokens"] == 4
+    # corpus: 12 tokens, 'the' appears 6 times -> doc1 score = ln(6/12)
+    assert out[1]["avg_logp"] == pytest.approx(math.log(0.5), abs=1e-6)
+    # doc3: four singletons -> ln(1/12)
+    assert out[3]["avg_logp"] == pytest.approx(math.log(1 / 12), abs=1e-6)
