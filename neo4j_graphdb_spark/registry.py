@@ -782,6 +782,42 @@ def q_a11_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.col("lang") == params["lang"]).select("doc_id", "lang")
 
 
+def q_a19_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 ext — small-file compaction (the store's OPTIMIZE) through
+    the value gate: ingest the documents in FOUR separate MERGE batches
+    (each rewrite leaves its own small files), compact to one file per
+    partition value, and prove the read-back is row-identical — the
+    oracle is simply the expected document projection. Also asserts the
+    file count actually shrank, so the entry fails if compaction becomes
+    a no-op."""
+    import glob as _glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        (F.col("doc_id") % 4).alias("_batch"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a19_"))
+    for i in range(4):
+        store.merge_nodes(
+            b.filter(F.col("_batch") == i).drop("_batch"),
+            label="Article",
+            key_col="link",
+            prop_cols=["title"],
+        )
+
+    def _n_files() -> int:
+        cur = store._nodes.current_path()
+        return len(_glob.glob(f"{cur}/**/*.parquet", recursive=True))
+
+    before = _n_files()
+    store.compact("nodes")
+    after = _n_files()
+    assert after < before, (before, after)
+    return store.nodes().select(F.col("key").alias("link"), "title")
+
+
 def q_a12_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: datetime() at write time (src/crwling.py:51) — verify every
     merged node got a CURRENT timestamp: the count is bounded against the
@@ -2954,6 +2990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_retention": q_rel_retention,
     "rel_histogram": q_rel_histogram,
     "c43_lm_score": q_c43_lm_score,
+    "a19_store_compact": q_a19_store_compact,
 }
 
 
@@ -4027,6 +4064,7 @@ ORACLES: dict[str, str] = {
                min(concat('doc://', cast(doc_id AS varchar))) AS first_link
         FROM documents GROUP BY source
     """,
+    "a19_store_compact": _ARTICLES_SQL,
     "a18_text_optional": """
         SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
                CASE WHEN doc_id % 3 <> 0 THEN 'WRITTEN_BY' END AS rel,
