@@ -666,12 +666,14 @@ def node_similarity(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    pairs = half.unionByName(
-        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "_inter")
-    )
-    jac = (
-        pairs.join(deg.select(F.col("src").alias("a"), F.col("_deg").alias("_da")), on="a")
-        .join(deg.select(F.col("src").alias("b"), F.col("_deg").alias("_db")), on="b")
+    # degrees attach (broadcast — one row per node, dwarfed by the pair
+    # table) and jaccard evaluates BEFORE mirroring, so the expensive
+    # wedge aggregation runs on the a<b half only; the checkpoint stops
+    # the union's two branches from recomputing that whole chain twice
+    bdeg = F.broadcast(deg)
+    jhalf = (
+        half.join(bdeg.select(F.col("src").alias("a"), F.col("_deg").alias("_da")), on="a")
+        .join(bdeg.select(F.col("src").alias("b"), F.col("_deg").alias("_db")), on="b")
         .select(
             "a",
             "b",
@@ -680,6 +682,10 @@ def node_similarity(
                 / (F.col("_da") + F.col("_db") - F.col("_inter")).cast("double")
             ).alias("jaccard"),
         )
+        .localCheckpoint(eager=False)
+    )
+    jac = jhalf.unionByName(
+        jhalf.select(F.col("b").alias("a"), F.col("a").alias("b"), "jaccard")
     )
     w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b").asc())
     return (
@@ -751,3 +757,98 @@ def random_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def landmark_closeness(
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 4,
+) -> DataFrame:
+    """C44 — harmonic closeness centrality against a deterministic
+    landmark sample (the scalable stand-in for exact all-pairs
+    closeness, which is O(V·E) and off the table at 100 TB; landmark /
+    pivot closeness is the standard approximation — Eppstein–Wang).
+    The reference exposes nothing beyond 1-hop expands
+    (/root/reference/cypher.txt:4-8); this is a BASELINE.json
+    graph-analytics extension.
+
+    Landmarks are the ``n_landmarks`` nodes with the smallest
+    ``md5(id)`` — a deterministic, uniformly-spread sample that needs no
+    RNG state and replays bit-identically in the SQL oracle. The BFS
+    carries ``(landmark, node, dist)`` state — O(V · k) rows, k fixed —
+    and each round is one frontier⋈edges shuffle plus an anti-join
+    against the visited set, the same bounded-frontier shape as
+    :func:`shortest_paths`.
+
+    Returns ``(id, n_reached, harmonic_x12)`` for every node that
+    reaches ≥1 landmark: ``n_reached`` landmarks reached and the
+    harmonic sum ``Σ 1/dist`` scaled by 12 (the LCM of hop counts
+    1..4), which makes it an exact integer — no floating-point
+    round-trip to disagree with the oracle about. Callers wanting the
+    conventional value divide by 12.
+    """
+    if max_hops > 4:
+        raise ValueError("harmonic_x12 scaling is exact only for dist <= 4")
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    landmarks = (
+        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_landmarks)
+        .select(F.col("id").alias("lm"))
+    )
+    dist = landmarks.select(
+        "lm", F.col("lm").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("lm", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, on=["lm", "id"], how="left_anti")
+            .withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("12 div dist")).alias("harmonic_x12"),
+        )
+    )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """C45 — skip-gram (center, context) training-pair extraction from
+    walk traces — the DeepWalk/node2vec example generator that turns
+    :func:`random_walks` output into embedding-training data (the
+    LLM-data-pipeline bridge: same shape as text token windows).
+
+    One self-join keyed on ``walk_id`` with ``0 < |Δstep| ≤ window``:
+    the key bounds per-row fan-out at ``2·window``, so the join output
+    is O(walks · steps · window) regardless of graph size, and the
+    aggregation to ``(center, context, n_pairs)`` collapses repeated
+    co-visits map-side before the final shuffle.
+    """
+    a = walks.select(
+        F.col("walk_id").alias("_w"), F.col("step").alias("_i"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id").alias("_w"), F.col("step").alias("_j"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, on="_w")
+        .filter(
+            (F.col("_i") != F.col("_j"))
+            & (F.abs(F.col("_i") - F.col("_j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

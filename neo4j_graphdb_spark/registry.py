@@ -2862,6 +2862,149 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c44_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44 — landmark harmonic closeness on the symmetrized
+    Customer/Supplier–Nation–Region hierarchy (c4's substrate, readable
+    string node ids): 8 md5-smallest landmarks, 4-hop multi-source BFS
+    (graph/algorithms.py landmark_closeness). ``harmonic_x12`` is an
+    exact integer (LCM-of-hops scaling), so the DuckDB replay — same
+    md5 landmark pick, 4 unrolled BFS level CTEs — matches with no
+    floating-point tolerance games."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_closeness
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    base = cu.unionByName(su).unionByName(na)
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = landmark_closeness(sym, n_landmarks=8, max_hops=4)
+    return out.select(
+        F.col("id").alias("node"),
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+        F.col("harmonic_x12").cast("bigint").alias("harmonic_x12"),
+    )
+
+
+def q_c45_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 — skip-gram (center, context, n_pairs) training pairs from
+    the c38 hash-walks (window=2) — the DeepWalk/node2vec example
+    generator (graph/algorithms.py skipgram_pairs). The oracle replays
+    the full walk SQL and self-joins it on walk position, so every pair
+    count is value-checked."""
+    from neo4j_graphdb_spark.graph.algorithms import random_walks, skipgram_pairs
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    sym = cp.unionByName(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    starts = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node_id"))
+    )
+    walks = random_walks(sym, starts, n_steps=4)
+    out = skipgram_pairs(walks, window=2)
+    return out.select(
+        "center", "context", F.col("n_pairs").cast("bigint").alias("n_pairs")
+    )
+
+
+def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REL — correlated scalar subquery (TPC-H Q17 shape): per-brand
+    revenue from small-quantity orders, where "small" is measured
+    against the per-part average (the subquery correlates on
+    ``p_partkey``). Declared through ``spark.sql`` so Catalyst's
+    decorrelation rewrites it into the aggregate-then-join plan —
+    exactly what a hand-written two-pass pipeline would do, for free,
+    and the shape that survives 100× scale (no per-row re-scan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_csub")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_part_csub")
+    return spark.sql(
+        """
+        SELECT p.p_brand AS p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM _li_csub l JOIN _part_csub p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM _li_csub l2
+            WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+        """
+    )
+
+
+def _closeness_oracle_sql() -> str:
+    """DuckDB twin of :func:`graph.algorithms.landmark_closeness` on the
+    symmetrized customer/supplier–nation–region graph: same md5-ordered
+    landmark pick, BFS unrolled into 4 level CTEs, min-dist per
+    (landmark, node), integer harmonic_x12."""
+    levels = "\n".join(
+        f"        p{i} AS MATERIALIZED (SELECT DISTINCT p.lm, e.dst AS id "
+        f"FROM p{i - 1} p JOIN edges e ON e.src = p.id),"
+        for i in range(1, 5)
+    )
+    return f"""
+        WITH base AS (
+            SELECT 'C' || cast(c_custkey AS varchar) AS src,
+                   'N' || cast(c_nationkey AS varchar) AS dst FROM customer
+            UNION ALL
+            SELECT 'S' || cast(s_suppkey AS varchar),
+                   'N' || cast(s_nationkey AS varchar) FROM supplier
+            UNION ALL
+            SELECT 'N' || cast(n_nationkey AS varchar),
+                   'R' || cast(n_regionkey AS varchar) FROM nation
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        lms AS MATERIALIZED (SELECT id AS lm FROM nodes ORDER BY md5(id), id LIMIT 8),
+        p0 AS (SELECT lm, lm AS id FROM lms),
+{levels}
+        lvl AS (
+            SELECT lm, id, 0 AS dist FROM p0
+            UNION ALL SELECT lm, id, 1 FROM p1
+            UNION ALL SELECT lm, id, 2 FROM p2
+            UNION ALL SELECT lm, id, 3 FROM p3
+            UNION ALL SELECT lm, id, 4 FROM p4
+        ),
+        mind AS (SELECT lm, id, min(dist) AS dist FROM lvl GROUP BY 1, 2)
+        SELECT id AS node, count(*)::bigint AS n_reached,
+               sum(12 // dist)::bigint AS harmonic_x12
+        FROM mind WHERE dist > 0 GROUP BY id
+    """
+
+
+def _walk_pairs_oracle_sql() -> str:
+    """Skip-gram twin: the full :func:`_walks_oracle_sql` replay wrapped
+    as one CTE, self-joined on walk position with 0 < |Δstep| ≤ 2."""
+    return f"""
+        WITH walks AS MATERIALIZED (SELECT * FROM ({_walks_oracle_sql()}) t)
+        SELECT a.node AS center, b.node AS context, count(*)::bigint AS n_pairs
+        FROM walks a
+        JOIN walks b
+          ON a.walk_id = b.walk_id
+         AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2991,6 +3134,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_histogram": q_rel_histogram,
     "c43_lm_score": q_c43_lm_score,
     "a19_store_compact": q_a19_store_compact,
+    "c44_closeness": q_c44_closeness,
+    "c45_walk_pairs": q_c45_walk_pairs,
+    "rel_correlated_sub": q_rel_correlated_sub,
 }
 
 
@@ -4065,6 +4211,19 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "a19_store_compact": _ARTICLES_SQL,
+    "c44_closeness": _closeness_oracle_sql(),
+    "c45_walk_pairs": _walk_pairs_oracle_sql(),
+    "rel_correlated_sub": """
+        SELECT p.p_brand AS p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+    """,
     "a18_text_optional": """
         SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
                CASE WHEN doc_id % 3 <> 0 THEN 'WRITTEN_BY' END AS rel,

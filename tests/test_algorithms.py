@@ -390,3 +390,89 @@ def test_clustering_matches_global_triangle_count(spark):
     total = triangle_count(e).collect()[0]["triangles"]
     per_node = clustering_coefficient(e).agg(F.sum("triangles")).collect()[0][0]
     assert per_node == 3 * total
+
+
+def test_landmark_closeness_path_graph(spark):
+    """Path 'a'-'b'-'c'-'d' (undirected): md5 ordering is fixed, so the
+    landmark set with k=2 is deterministic; hand-check harmonic_x12."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_closeness
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    # md5 order of {a,b,c,d}: computed here, not assumed
+    import hashlib
+
+    ids = sorted("abcd", key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))
+    lms = set(ids[:2])
+    out = {
+        r["id"]: (r["n_reached"], r["harmonic_x12"])
+        for r in landmark_closeness(edges, n_landmarks=2, max_hops=4).collect()
+    }
+    pos = {c: i for i, c in enumerate("abcd")}
+    for node in "abcd":
+        reach = [lm for lm in lms if lm != node]
+        exp_n = len(reach)
+        exp_h = sum(12 // abs(pos[lm] - pos[node]) for lm in reach)
+        if exp_n:
+            assert out[node] == (exp_n, exp_h), node
+        else:
+            assert node not in out
+
+
+def test_landmark_closeness_disconnected(spark):
+    """Two 2-cliques: a node never reaches the other component's
+    landmarks; n_reached counts only its own side."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_closeness
+
+    und = [("a", "b"), ("x", "y")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    out = {
+        r["id"]: (r["n_reached"], r["harmonic_x12"])
+        for r in landmark_closeness(edges, n_landmarks=4, max_hops=4).collect()
+    }
+    # every node is a landmark (k=4 >= |V|); each reaches only its pair
+    assert out == {k: (1, 12) for k in ["a", "b", "x", "y"]}
+
+
+def test_skipgram_pairs_window(spark):
+    """One 3-step walk a->b->c->d, window 2: pair multiset is symmetric
+    and distance-bounded."""
+    from neo4j_graphdb_spark.graph.algorithms import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w", i, n) for i, n in enumerate("abcd")],
+        "walk_id string, step int, node string",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    pos = {c: i for i, c in enumerate("abcd")}
+    exp = {}
+    for c in "abcd":
+        for x in "abcd":
+            d = abs(pos[c] - pos[x])
+            if 0 < d <= 2:
+                exp[(c, x)] = exp.get((c, x), 0) + 1
+    assert got == exp
+
+
+def test_skipgram_pairs_counts_repeat_visits(spark):
+    """A walk that revisits a node produces multiple pairs, aggregated
+    into n_pairs."""
+    from neo4j_graphdb_spark.graph.algorithms import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "a")],
+        "walk_id string, step int, node string",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "a")] == 2  # step 0 <-> step 2, both directions
