@@ -15,7 +15,8 @@ reference's statements run verbatim:
 * ``MERGE (a)-[:T]->(b)`` — relationship upsert (A9)
 * ``WITH a`` — pipeline boundary (A10)
 * ``RETURN item [AS alias] [, …]`` with ``alias`` / ``alias.prop`` (A4/A5)
-* ``LIMIT n`` (A6)
+* ``LIMIT n`` (A6) and ``SKIP n`` — offset pagination, the statement
+  form of the reference's page loop (src/crwling.py:110)
 * ``$param`` binding (A11)
 * ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
   ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
@@ -65,7 +66,9 @@ class CypherUnsupported(ValueError):
 # parsing
 # --------------------------------------------------------------------------
 
-_CLAUSE_KEYWORDS = ("MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "LIMIT")
+_CLAUSE_KEYWORDS = (
+    "MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "SKIP", "LIMIT",
+)
 
 # The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
 # accesses (`RETURN n.with`) or parameters (`$set`) from splitting into
@@ -123,7 +126,7 @@ class _NodePattern:
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"(?<![.$\w])(DELETE|REMOVE|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION|SKIP)\b",
+    r"(?<![.$\w])(DELETE|REMOVE|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION)\b",
     re.IGNORECASE,
 )
 
@@ -435,6 +438,7 @@ def _run_read(
     rel_alias: str | None = None
     rel_prefixed = False
     limit: int | None = None
+    skip: int | None = None
     returns: list[str] = []
     return_distinct = False
     node_match: tuple[str, str | None] | None = None
@@ -523,6 +527,11 @@ def _run_read(
                 order_by.append(
                     (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
                 )
+        elif c.kind == "SKIP":
+            # the reference pages its crawl the same way
+            # (src/crwling.py:110 — start = (p_num * 10) + 1); SKIP is
+            # Cypher's offset, applied after ORDER BY and before LIMIT
+            skip = int(c.body)
         elif c.kind == "LIMIT":
             limit = int(c.body)
         else:
@@ -546,7 +555,9 @@ def _run_read(
     if any(_AGG_ITEM_RE.match(i) for i in returns):
         if return_distinct:
             raise CypherUnsupported("RETURN DISTINCT cannot combine with aggregation")
-        return _aggregate_return(df, returns, aliases, rel_alias, order_by, limit)
+        return _aggregate_return(
+            df, returns, aliases, rel_alias, order_by, skip, limit
+        )
 
     out_cols = []
     out_names: list[str] = []
@@ -588,7 +599,7 @@ def _run_read(
                     )
                 sorts.append(F.col(key).desc() if desc else F.col(key).asc())
             out = out.orderBy(*sorts)
-        return out.limit(limit) if limit is not None else out
+        return _page(out, skip, limit)
     if order_by:
         # sort BEFORE the projection so keys may be either RETURN output
         # names or any bound alias.prop; projection preserves the order
@@ -608,7 +619,15 @@ def _run_read(
             sorts.append(e.desc() if desc else e.asc())
         df = df.orderBy(*sorts)
     out = df.select(*out_cols)
-    return out.limit(limit) if limit is not None else out
+    return _page(out, skip, limit)
+
+
+def _page(df: DataFrame, skip: int | None, limit: int | None) -> DataFrame:
+    """SKIP/LIMIT pagination: offset first, then limit — Cypher's
+    ``SKIP s LIMIT l`` returns rows s..s+l of the ordered result."""
+    if skip:
+        df = df.offset(skip)
+    return df.limit(limit) if limit is not None else df
 
 
 def _aggregate_return(
@@ -617,6 +636,7 @@ def _aggregate_return(
     aliases: dict[str, str],
     rel_alias: str | None,
     order_by: list[tuple[str, bool]],
+    skip: int | None,
     limit: int | None,
 ) -> DataFrame:
     """Cypher implicit grouping: when any RETURN item aggregates, every
@@ -683,7 +703,7 @@ def _aggregate_return(
             c = F.col(name_map[key])
             sorts.append(c.desc() if desc else c.asc())
         grouped = grouped.orderBy(*sorts)
-    return grouped.limit(limit) if limit is not None else grouped
+    return _page(grouped, skip, limit)
 
 
 def _node_entity(df: DataFrame, out: str):

@@ -2948,6 +2948,35 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a20_text_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 ext — SKIP/LIMIT pagination through the Cypher string
+    front-end: the statement form of the reference's crawl page loop
+    (src/crwling.py:110 — ``start = (p_num * 10) + 1``). ORDER BY makes
+    the page deterministic, SKIP compiles to ``DataFrame.offset``,
+    LIMIT to the usual top-k (operators/cypher_text.py)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a20_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.title = $title",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, a.title AS title "
+        "ORDER BY link SKIP 10 LIMIT 20",
+        store=store,
+    )
+    return res.df
+
+
 def _closeness_oracle_sql() -> str:
     """DuckDB twin of :func:`graph.algorithms.landmark_closeness` on the
     symmetrized customer/supplier–nation–region graph: same md5-ordered
@@ -3137,6 +3166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c44_closeness": q_c44_closeness,
     "c45_walk_pairs": q_c45_walk_pairs,
     "rel_correlated_sub": q_rel_correlated_sub,
+    "a20_text_paginate": q_a20_text_paginate,
 }
 
 
@@ -4224,6 +4254,11 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY p.p_brand
     """,
+    "a20_text_paginate": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, "
+        "substr(text, 1, 40) AS title FROM documents "
+        "ORDER BY link OFFSET 10 LIMIT 20"
+    ),
     "a18_text_optional": """
         SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
                CASE WHEN doc_id % 3 <> 0 THEN 'WRITTEN_BY' END AS rel,

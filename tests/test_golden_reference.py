@@ -227,7 +227,7 @@ def test_text_unsupported_syntax_raises(spark, tmp_path):
 
     s = GraphStore(spark, str(tmp_path / "unsup"))
     with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (n) RETURN n SKIP 2", store=s)
+        run_cypher(spark, "UNWIND [1, 2] AS x RETURN x", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MERGE (a:X {k: $k}) DELETE a", {"k": 1}, store=s)
 
@@ -459,3 +459,37 @@ def test_text_optional_match_requires_bound_source(spark, text_store):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, store=text_store)
+
+
+def test_text_skip_paginates(spark, text_store):
+    """SKIP extension: ORDER BY t SKIP 1 LIMIT 2 returns rows 1..3 of
+    the sorted result — the statement form of the reference's page loop
+    (src/crwling.py:110)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    full = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS t ORDER BY t",
+        store=text_store,
+    )
+    want = [r["t"] for r in full.df.collect()][1:3]
+    page = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS t ORDER BY t SKIP 1 LIMIT 2",
+        store=text_store,
+    )
+    assert [r["t"] for r in page.df.collect()] == want
+
+    # SKIP alone (no LIMIT) drops the first n rows
+    rest = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS t ORDER BY t SKIP 2",
+        store=text_store,
+    )
+    assert [r["t"] for r in rest.df.collect()] == [r["t"] for r in full.df.collect()][2:]
+
+    # `RETURN n.skip` still parses as a property access, not a clause
+    res = run_cypher(
+        spark, "MATCH (a:Article) RETURN a.skip AS s LIMIT 1", store=text_store
+    )
+    assert res.df.columns == ["s"]
