@@ -759,6 +759,45 @@ def random_walks(
     return out
 
 
+def _landmark_distances(
+    edges: DataFrame,
+    n_landmarks: int,
+    max_hops: int,
+) -> DataFrame:
+    """Multi-source BFS state shared by the landmark centralities:
+    ``(lm, id, dist)`` min-distances from the ``n_landmarks`` nodes with
+    the smallest ``md5(id)`` (deterministic, RNG-free, replayable in the
+    SQL oracles). O(V · k) rows; each round is one frontier⋈edges
+    shuffle plus an anti-join against the visited set."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    landmarks = (
+        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_landmarks)
+        .select(F.col("id").alias("lm"))
+    )
+    dist = landmarks.select(
+        "lm", F.col("lm").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("lm", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, on=["lm", "id"], how="left_anti")
+            .withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
 def landmark_closeness(
     edges: DataFrame,
     n_landmarks: int = 8,
@@ -789,32 +828,7 @@ def landmark_closeness(
     """
     if max_hops > 4:
         raise ValueError("harmonic_x12 scaling is exact only for dist <= 4")
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    landmarks = (
-        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(n_landmarks)
-        .select(F.col("id").alias("lm"))
-    )
-    dist = landmarks.select(
-        "lm", F.col("lm").alias("id"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = dist
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select("lm", F.col("dst").alias("id"))
-            .distinct()
-            .join(dist, on=["lm", "id"], how="left_anti")
-            .withColumn("dist", F.lit(hop))
-        ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
-            break
-        dist = dist.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    dist = _landmark_distances(edges, n_landmarks, max_hops)
     return (
         dist.filter(F.col("dist") > 0)
         .groupBy("id")
@@ -822,6 +836,56 @@ def landmark_closeness(
             F.count(F.lit(1)).alias("n_reached"),
             F.sum(F.expr("12 div dist")).alias("harmonic_x12"),
         )
+    )
+
+
+def landmark_betweenness(
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 4,
+) -> DataFrame:
+    """C46 — landmark betweenness: for every node v, the number of
+    unordered landmark pairs (s, t) with a shortest path through v —
+    the sampled-pair stand-in for exact Brandes betweenness (O(V·E),
+    off the table at 100 TB; pair-sampling is the standard estimator —
+    Brandes–Pich). Same BASELINE.json graph-analytics tier as
+    :func:`landmark_closeness`, and the same single multi-source BFS
+    supplies all inputs.
+
+    The test is the metric characterization of intermediacy:
+    ``dist(s,v) + dist(v,t) = dist(s,t)`` with v ∉ {s, t} — v lies on
+    at least one shortest s–t path. (Exact Brandes apportions σ-path
+    fractions; the indicator count is the documented approximation
+    here, monotone in the same ordering for unique-shortest-path
+    graphs.) Shape: the BFS state self-joins on the node id — O(V·k²)
+    rows, k fixed — against a broadcast k×k landmark-pair distance
+    table; no all-pairs anything.
+
+    Returns ``(id, betweenness)`` for nodes on ≥1 landmark-pair
+    shortest path. Pairs whose endpoints never meet within ``max_hops``
+    contribute nothing.
+    """
+    dist = _landmark_distances(edges, n_landmarks, max_hops)
+    # k×k landmark-pair distances: BFS rows whose node is itself a landmark
+    lm_ids = dist.filter(F.col("dist") == 0).select(F.col("lm").alias("_t"))
+    pair_d = F.broadcast(
+        dist.join(lm_ids, dist["id"] == F.col("_t"), "left_semi")
+        .filter(F.col("lm") < F.col("id"))
+        .select(F.col("lm").alias("_s"), F.col("id").alias("_t"), F.col("dist").alias("_dst"))
+    )
+    sv = dist.select(F.col("lm").alias("_s"), "id", F.col("dist").alias("_dsv"))
+    tv = dist.select(F.col("lm").alias("_t"), "id", F.col("dist").alias("_dtv"))
+    return (
+        sv.join(tv, on="id")
+        .filter(F.col("_s") < F.col("_t"))
+        .join(pair_d, on=["_s", "_t"])
+        .filter(
+            (F.col("_dsv") + F.col("_dtv") == F.col("_dst"))
+            & (F.col("_dsv") > 0)
+            & (F.col("_dtv") > 0)
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("betweenness"))
     )
 
 

@@ -2948,6 +2948,38 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c46_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 — landmark betweenness on the same symmetrized hierarchy as
+    c44 (graph/algorithms.py landmark_betweenness): count of
+    landmark-pair shortest paths through each node, via the
+    dist(s,v)+dist(v,t)=dist(s,t) intermediacy test over ONE
+    multi-source BFS. Integer counts — the oracle replays the BFS and
+    the pair test exactly."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_betweenness
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    base = cu.unionByName(su).unionByName(na)
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = landmark_betweenness(sym, n_landmarks=8, max_hops=4)
+    return out.select(
+        F.col("id").alias("node"),
+        F.col("betweenness").cast("bigint").alias("betweenness"),
+    )
+
+
 def q_a20_text_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 ext — SKIP/LIMIT pagination through the Cypher string
     front-end: the statement form of the reference's crawl page loop
@@ -2977,11 +3009,12 @@ def q_a20_text_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
-def _closeness_oracle_sql() -> str:
-    """DuckDB twin of :func:`graph.algorithms.landmark_closeness` on the
-    symmetrized customer/supplier–nation–region graph: same md5-ordered
-    landmark pick, BFS unrolled into 4 level CTEs, min-dist per
-    (landmark, node), integer harmonic_x12."""
+def _landmark_bfs_ctes() -> str:
+    """Shared CTE chain for the landmark-centrality oracles: the
+    symmetrized customer/supplier–nation–region graph, the md5-ordered
+    8-landmark pick, BFS unrolled into 4 level CTEs, and ``mind`` —
+    min-dist per (landmark, node) — matching
+    :func:`graph.algorithms._landmark_distances`."""
     levels = "\n".join(
         f"        p{i} AS MATERIALIZED (SELECT DISTINCT p.lm, e.dst AS id "
         f"FROM p{i - 1} p JOIN edges e ON e.src = p.id),"
@@ -3012,10 +3045,38 @@ def _closeness_oracle_sql() -> str:
             UNION ALL SELECT lm, id, 3 FROM p3
             UNION ALL SELECT lm, id, 4 FROM p4
         ),
-        mind AS (SELECT lm, id, min(dist) AS dist FROM lvl GROUP BY 1, 2)
+        mind AS MATERIALIZED (SELECT lm, id, min(dist) AS dist FROM lvl GROUP BY 1, 2)"""
+
+
+def _closeness_oracle_sql() -> str:
+    """DuckDB twin of :func:`graph.algorithms.landmark_closeness`:
+    shared landmark-BFS chain + integer harmonic_x12."""
+    return f"""{_landmark_bfs_ctes()}
         SELECT id AS node, count(*)::bigint AS n_reached,
                sum(12 // dist)::bigint AS harmonic_x12
         FROM mind WHERE dist > 0 GROUP BY id
+    """
+
+
+def _betweenness_oracle_sql() -> str:
+    """DuckDB twin of :func:`graph.algorithms.landmark_betweenness`:
+    shared landmark-BFS chain, then the metric intermediacy test —
+    v is on a shortest s–t landmark path iff
+    dist(s,v) + dist(v,t) = dist(s,t), v not an endpoint."""
+    return f"""{_landmark_bfs_ctes()},
+        lmd AS MATERIALIZED (
+            SELECT m.lm AS s, m.id AS t, m.dist AS dst
+            FROM mind m
+            WHERE m.id IN (SELECT lm FROM lms) AND m.lm < m.id
+        )
+        SELECT sv.id AS node, count(*)::bigint AS betweenness
+        FROM mind sv
+        JOIN mind tv ON sv.id = tv.id
+        JOIN lmd ON lmd.s = sv.lm AND lmd.t = tv.lm
+        WHERE sv.lm < tv.lm
+          AND sv.dist + tv.dist = lmd.dst
+          AND sv.dist > 0 AND tv.dist > 0
+        GROUP BY sv.id
     """
 
 
@@ -3167,6 +3228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c45_walk_pairs": q_c45_walk_pairs,
     "rel_correlated_sub": q_rel_correlated_sub,
     "a20_text_paginate": q_a20_text_paginate,
+    "c46_betweenness": q_c46_betweenness,
 }
 
 
@@ -4242,6 +4304,7 @@ ORACLES: dict[str, str] = {
     """,
     "a19_store_compact": _ARTICLES_SQL,
     "c44_closeness": _closeness_oracle_sql(),
+    "c46_betweenness": _betweenness_oracle_sql(),
     "c45_walk_pairs": _walk_pairs_oracle_sql(),
     "rel_correlated_sub": """
         SELECT p.p_brand AS p_brand,

@@ -476,3 +476,30 @@ def test_skipgram_pairs_counts_repeat_visits(spark):
     }
     assert got[("a", "b")] == 2 and got[("b", "a")] == 2
     assert got[("a", "a")] == 2  # step 0 <-> step 2, both directions
+
+
+def test_landmark_betweenness_path_and_star(spark):
+    """All nodes as landmarks: path a-b-c-d gives the interior nodes 2
+    pair-paths each; a 3-leaf star routes all 3 leaf pairs through the
+    hub."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_betweenness
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    path = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in landmark_betweenness(path, n_landmarks=4, max_hops=4).collect()
+    }
+    assert got == {"b": 2, "c": 2}
+
+    star_und = [("x", "l1"), ("x", "l2"), ("x", "l3")]
+    star = spark.createDataFrame(
+        star_und + [(d, s) for s, d in star_und], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in landmark_betweenness(star, n_landmarks=4, max_hops=4).collect()
+    }
+    assert got == {"x": 3}
