@@ -17,6 +17,10 @@ reference's statements run verbatim:
 * ``RETURN item [AS alias] [, …]`` with ``alias`` / ``alias.prop`` (A4/A5)
 * ``LIMIT n`` (A6) and ``SKIP n`` — offset pagination, the statement
   form of the reference's page loop (src/crwling.py:110)
+* ``UNWIND $rows AS row`` leading a write — Neo4j's batched-ingest
+  idiom; ``row.col`` references resolve against the batch DataFrame
+  (or a list-of-dicts param), so the reference's per-record session
+  loop (src/crwling.py:58-60) becomes one merge plan
 * ``$param`` binding (A11)
 * ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
   ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
@@ -68,6 +72,7 @@ class CypherUnsupported(ValueError):
 
 _CLAUSE_KEYWORDS = (
     "MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "SKIP", "LIMIT",
+    "UNWIND",
 )
 
 # The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
@@ -126,7 +131,7 @@ class _NodePattern:
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"(?<![.$\w])(DELETE|REMOVE|CREATE|UNWIND|FOREACH|DETACH|CALL|UNION)\b",
+    r"(?<![.$\w])(DELETE|REMOVE|CREATE|FOREACH|DETACH|CALL|UNION)\b",
     re.IGNORECASE,
 )
 
@@ -286,13 +291,52 @@ def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataF
     return spark.createDataFrame([tuple(params.values())], list(params.keys()))
 
 
+_UNWIND_RE = re.compile(r"^\$(\w+)\s+AS\s+(\w+)$", re.IGNORECASE)
+
+
+def _apply_unwind(
+    spark: SparkSession,
+    clauses: list[_Clause],
+    params: dict | DataFrame | None,
+) -> tuple[list[_Clause], DataFrame]:
+    """``UNWIND $rows AS row`` — Neo4j's batched-ingest idiom (the fix
+    every reference user applies to the per-record loop at
+    /root/reference/src/crwling.py:58-60). The row alias is sugar over
+    the batch DataFrame this engine is already native in: ``row.col``
+    references rewrite to ``$col``, and the rows param (a DataFrame, or
+    a list of dicts for the literal Neo4j call shape) IS the batch.
+    """
+    um = _UNWIND_RE.match(clauses[0].body)
+    if not um:
+        raise CypherUnsupported(f"unsupported UNWIND form: {clauses[0].body!r}")
+    pname, alias = um.group(1), um.group(2)
+    if isinstance(params, DataFrame):
+        pdf = params
+    elif isinstance(params, dict) and isinstance(params.get(pname), list):
+        rows = params[pname]
+        if not rows:
+            raise ValueError(f"UNWIND ${pname} is empty")
+        pdf = spark.createDataFrame(rows)
+    else:
+        raise CypherUnsupported(
+            f"UNWIND ${pname} needs a DataFrame param or a list of dicts"
+        )
+    ref = re.compile(rf"(?<![\w$.]){re.escape(alias)}\.(\w+)")
+    return [_Clause(c.kind, ref.sub(r"$\1", c.body)) for c in clauses[1:]], pdf
+
+
 def _run_write(
     spark: SparkSession,
     clauses: list[_Clause],
     params: dict | DataFrame | None,
     store: GraphStore,
 ) -> CypherResult:
-    pdf = _params_frame(spark, params)
+    if clauses and clauses[0].kind == "UNWIND":
+        clauses, pdf = _apply_unwind(spark, clauses, params)
+    else:
+        if any(c.kind == "UNWIND" for c in clauses):
+            raise CypherUnsupported("UNWIND must lead the write statement")
+        pdf = _params_frame(spark, params)
     nodes: dict[str, _NodePattern] = {}
     node_order: list[str] = []
     edges: list[tuple[str, str, str]] = []  # (src_alias, rel_type, dst_alias)

@@ -2948,6 +2948,39 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a21_text_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 ext — the reference's ingest statement pair
+    (src/ingest.py:4-8: ``MERGE (u:User {name:…}) MERGE (t:Tech
+    {name:…}) MERGE (u)-[:INTERESTED_IN]->(t)``) run as ONE batched
+    UNWIND statement instead of a per-record loop, then queried back
+    with the cypher.txt:4-5 MATCH. ``row.col`` references resolve
+    against the batch DataFrame (operators/cypher_text.py
+    _apply_unwind)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+        F.col("event_type").alias("tech"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a21_"))
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row "
+        "MERGE (u:User {name: row.user}) MERGE (t:Tech {name: row.tech}) "
+        "MERGE (u)-[:INTERESTED_IN]->(t)",
+        rows,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) "
+        "RETURN u.name AS user, t.name AS tech",
+        store=store,
+    )
+    return res.df
+
+
 def q_c46_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C46 — landmark betweenness on the same symmetrized hierarchy as
     c44 (graph/algorithms.py landmark_betweenness): count of
@@ -3229,6 +3262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_correlated_sub": q_rel_correlated_sub,
     "a20_text_paginate": q_a20_text_paginate,
     "c46_betweenness": q_c46_betweenness,
+    "a21_text_unwind": q_a21_text_unwind,
 }
 
 
@@ -4305,6 +4339,10 @@ ORACLES: dict[str, str] = {
     "a19_store_compact": _ARTICLES_SQL,
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
+    "a21_text_unwind": (
+        "SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user, "
+        "event_type AS tech FROM events"
+    ),
     "c45_walk_pairs": _walk_pairs_oracle_sql(),
     "rel_correlated_sub": """
         SELECT p.p_brand AS p_brand,

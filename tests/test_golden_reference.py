@@ -493,3 +493,53 @@ def test_text_skip_paginates(spark, text_store):
         spark, "MATCH (a:Article) RETURN a.skip AS s LIMIT 1", store=text_store
     )
     assert res.df.columns == ["s"]
+
+
+def test_text_unwind_batch_ingest(spark, tmp_path):
+    """UNWIND $rows AS row leading a write: the reference's ingest pair
+    (src/ingest.py:4-8) as one batched statement — row.col references
+    resolve against a list-of-dicts param or a batch DataFrame."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    stmt = (
+        "UNWIND $rows AS row "
+        "MERGE (u:User {name: row.user}) MERGE (t:Tech {name: row.tech}) "
+        "MERGE (u)-[:INTERESTED_IN]->(t)"
+    )
+    s = GraphStore(spark, str(tmp_path / "unwind_dicts"))
+    res = run_cypher(
+        spark,
+        stmt,
+        {"rows": [
+            {"user": "Beomzh", "tech": "Neo4j"},
+            {"user": "Beomzh", "tech": "Spark"},
+            {"user": "Ada", "tech": "Spark"},
+        ]},
+        store=s,
+    )
+    assert res.summary.nodes_created == 4  # 2 users + 2 techs
+    out = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) "
+        "RETURN u.name AS user, t.name AS tech",
+        store=s,
+    )
+    got = {(r["user"], r["tech"]) for r in out.df.collect()}
+    assert got == {("Beomzh", "Neo4j"), ("Beomzh", "Spark"), ("Ada", "Spark")}
+
+    # batch-DataFrame param form, same statement text
+    s2 = GraphStore(spark, str(tmp_path / "unwind_df"))
+    batch = spark.createDataFrame(
+        [("Beomzh", "Neo4j"), ("Ada", "Spark")], "user string, tech string"
+    )
+    res2 = run_cypher(spark, stmt, batch, store=s2)
+    assert res2.summary.nodes_created == 4
+
+    # UNWIND must lead; reads reject it; malformed bodies reject
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MERGE (u:User {name: $n}) UNWIND $rows AS row",
+            {"n": "x", "rows": [{"user": "u"}]}, store=s,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "UNWIND [1,2] AS x RETURN x", store=s)
