@@ -916,3 +916,82 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    id_col: str = "id",
+    label_col: str = "lbl",
+) -> DataFrame:
+    """C47 — Newman modularity of a community assignment (the quality
+    score for :func:`label_propagation` / :func:`connected_components`
+    output; Neo4j GDS exposes the same as ``modularity``). One row:
+    ``(m, n_communities, intra_edges, modularity)``.
+
+    Exactness: Q = Σ_c [L_c/m − (d_c/2m)²] is evaluated as
+    ``(4·m·ΣL_c − Σd_c²) / (4·m²)`` — every aggregate is an exact
+    integer and the single final division is IEEE-correctly-rounded, so
+    the value is bit-identical across engines and partitionings (no
+    order-dependent float summation). The integer products stay inside
+    a long for m ≲ 10⁹ edges; past that, scale per-community first.
+
+    Shape: canonicalize undirected edges once (least/greatest +
+    distinct), tag both endpoints with their community (two equi-joins
+    on the assignment table), aggregate — no iteration, no driver-side
+    data, and the 1-row global aggregates meet via broadcast crossJoin
+    (the corpus-stats pattern of functions/text.py).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ca = communities.select(F.col(id_col).alias("a"), F.col(label_col).alias("_la"))
+    cb = communities.select(F.col(id_col).alias("b"), F.col(label_col).alias("_lb"))
+    intra = (
+        e.join(ca, on="a")
+        .join(cb, on="b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("_lbl"))
+        .agg(F.count(F.lit(1)).alias("_lc"))
+    )
+    deg = (
+        e.select(F.col("a").alias("_id"))
+        .unionByName(e.select(F.col("b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    dsum = (
+        deg.join(
+            communities.select(
+                F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+            ),
+            on="_id",
+        )
+        .groupBy("_lbl")
+        .agg(F.sum("_deg").alias("_dc"))
+    )
+    percomm = dsum.join(intra, on="_lbl", how="left").fillna(0, subset=["_lc"])
+    g = percomm.agg(
+        F.sum("_lc").alias("_s1"),
+        F.sum(F.col("_dc") * F.col("_dc")).alias("_s2"),
+    )
+    m1 = e.agg(F.count(F.lit(1)).alias("m"))
+    ncomm = communities.agg(F.countDistinct(label_col).alias("n_communities"))
+    return (
+        g.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(ncomm))
+        .select(
+            "m",
+            "n_communities",
+            F.col("_s1").alias("intra_edges"),
+            (
+                (4 * F.col("m") * F.col("_s1") - F.col("_s2"))
+                / (4.0 * F.col("m") * F.col("m"))
+            ).alias("modularity"),
+        )
+    )

@@ -2948,6 +2948,50 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c47_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 — Newman modularity of the c6 label-propagation communities
+    on the arithmetic-id analytics graph (graph/algorithms.py
+    modularity). The value is evaluated as one exact-integer expression
+    with a single final IEEE division, so the DuckDB replay — the c6
+    LPA CTE chain + the same integer aggregates — is bit-identical."""
+    from neo4j_graphdb_spark.graph.algorithms import label_propagation, modularity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 4 + 0).cast("bigint").alias("id"),
+        (F.col("c_nationkey") * 4 + 2).cast("bigint").alias("nid"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 4 + 1).cast("bigint").alias("id"),
+        (F.col("s_nationkey") * 4 + 2).cast("bigint").alias("nid"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 4 + 2).cast("bigint").alias("id"),
+        (F.col("n_regionkey") * 4 + 3).cast("bigint").alias("rid"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") * 4 + 3).cast("bigint").alias("id")
+    )
+    nodes = (
+        cust.select("id")
+        .unionByName(supp.select("id"))
+        .unionByName(nat.select("id"))
+        .unionByName(reg.select("id"))
+    )
+    edges = (
+        cust.select(F.col("id").alias("src"), F.col("nid").alias("dst"))
+        .unionByName(supp.select(F.col("id").alias("src"), F.col("nid").alias("dst")))
+        .unionByName(nat.select(F.col("id").alias("src"), F.col("rid").alias("dst")))
+    )
+    lp = label_propagation(nodes, edges, max_iter=3, id_col="id")
+    out = modularity(edges, lp, id_col="id", label_col="lbl")
+    return out.select(
+        F.col("m").cast("bigint").alias("m"),
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        F.col("intra_edges").cast("bigint").alias("intra_edges"),
+        F.round("modularity", 9).alias("modularity"),
+    )
+
+
 def q_a21_text_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21 ext — the reference's ingest statement pair
     (src/ingest.py:4-8: ``MERGE (u:User {name:…}) MERGE (t:Tech
@@ -3113,6 +3157,50 @@ def _betweenness_oracle_sql() -> str:
     """
 
 
+def _modularity_oracle_sql() -> str:
+    """DuckDB twin of :func:`graph.algorithms.modularity` over the c6
+    LPA communities: the full LPA replay as one CTE, then the same
+    exact-integer aggregates and single final division."""
+    return f"""
+        WITH comm AS MATERIALIZED (SELECT * FROM ({_label_prop_oracle_sql()}) t),
+        me0 AS (
+            SELECT c_custkey * 4 + 0 AS src, c_nationkey * 4 + 2 AS dst FROM customer
+            UNION ALL
+            SELECT s_suppkey * 4 + 1, s_nationkey * 4 + 2 FROM supplier
+            UNION ALL
+            SELECT n_nationkey * 4 + 2, n_regionkey * 4 + 3 FROM nation
+        ),
+        ce AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM me0 WHERE src <> dst
+        ),
+        mm AS (SELECT count(*)::bigint AS m FROM ce),
+        deg AS (
+            SELECT id, count(*)::bigint AS deg
+            FROM (SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+            GROUP BY id
+        ),
+        intra AS (
+            SELECT ca.lbl AS lbl, count(*)::bigint AS lc
+            FROM ce JOIN comm ca ON ce.a = ca.id JOIN comm cb ON ce.b = cb.id
+            WHERE ca.lbl = cb.lbl GROUP BY 1
+        ),
+        dsum AS (
+            SELECT c.lbl, sum(d.deg)::bigint AS dc
+            FROM deg d JOIN comm c ON d.id = c.id GROUP BY 1
+        ),
+        pc AS (
+            SELECT s.lbl, coalesce(i.lc, 0) AS lc, s.dc
+            FROM dsum s LEFT JOIN intra i ON s.lbl = i.lbl
+        ),
+        g AS (SELECT sum(lc)::bigint AS s1, sum(dc * dc)::bigint AS s2 FROM pc),
+        nc AS (SELECT count(DISTINCT lbl)::bigint AS n_communities FROM comm)
+        SELECT m, n_communities, s1 AS intra_edges,
+               round((4 * m * s1 - s2) / (4.0 * m * m), 9) AS modularity
+        FROM g, mm, nc
+    """
+
+
 def _walk_pairs_oracle_sql() -> str:
     """Skip-gram twin: the full :func:`_walks_oracle_sql` replay wrapped
     as one CTE, self-joined on walk position with 0 < |Δstep| ≤ 2."""
@@ -3263,6 +3351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a20_text_paginate": q_a20_text_paginate,
     "c46_betweenness": q_c46_betweenness,
     "a21_text_unwind": q_a21_text_unwind,
+    "c47_modularity": q_c47_modularity,
 }
 
 
@@ -4339,6 +4428,7 @@ ORACLES: dict[str, str] = {
     "a19_store_compact": _ARTICLES_SQL,
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
+    "c47_modularity": _modularity_oracle_sql(),
     "a21_text_unwind": (
         "SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user, "
         "event_type AS tech FROM events"

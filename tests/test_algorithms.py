@@ -503,3 +503,36 @@ def test_landmark_betweenness_path_and_star(spark):
         for r in landmark_betweenness(star, n_landmarks=4, max_hops=4).collect()
     }
     assert got == {"x": 3}
+
+
+def test_modularity_two_triangles(spark):
+    """Two triangles joined by a bridge, communities = the triangles:
+    m=7, L_c=3 each, d_c=7 each -> Q = (4*7*6 - 98)/196 = 70/196."""
+    from neo4j_graphdb_spark.graph.algorithms import modularity
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    edges = spark.createDataFrame(tri, "src string, dst string")
+    comm = spark.createDataFrame(
+        [(n, 1) for n in "abc"] + [(n, 2) for n in "def"], "id string, lbl int"
+    )
+    row = modularity(edges, comm).collect()[0]
+    assert row["m"] == 7 and row["n_communities"] == 2 and row["intra_edges"] == 6
+    assert abs(row["modularity"] - 70 / 196) < 1e-12
+
+    # duplicate / reversed input edges canonicalize away
+    noisy = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    row2 = modularity(noisy, comm).collect()[0]
+    assert row2["m"] == 7 and abs(row2["modularity"] - 70 / 196) < 1e-12
+
+
+def test_modularity_all_one_community(spark):
+    """A single community holding every node: Q = 1 - 1 = ... exactly
+    (4*m*m - (2m)^2)/(4m^2) = 0."""
+    from neo4j_graphdb_spark.graph.algorithms import modularity
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    comm = spark.createDataFrame([(n, 9) for n in "abc"], "id string, lbl int")
+    row = modularity(edges, comm).collect()[0]
+    assert row["modularity"] == 0.0 and row["intra_edges"] == 2
