@@ -272,6 +272,10 @@ def run_cypher(
         if store is None:
             raise ValueError("write statement needs a GraphStore")
         return _run_write(spark, clauses, params, store)
+    if any(c.kind == "UNWIND" for c in clauses):
+        # UNWIND is the batched-WRITE idiom here; raising before the
+        # graph resolves keeps the error about the syntax, not the store
+        raise CypherUnsupported("UNWIND unsupported in read statements")
     if graph is None:
         if store is None:
             raise ValueError("read statement needs a Graph or GraphStore")
