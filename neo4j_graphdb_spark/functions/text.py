@@ -445,3 +445,49 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.sum("_lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
         )
     )
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C48 — bigram language-model quality score: each document's mean
+    conditional log-probability ``mean ln(c(w1,w2) / c_prefix(w1))``
+    under the corpus's OWN bigram distribution — the next step up from
+    :func:`lm_score`'s unigram signal (fluent word ORDER now matters:
+    shuffled-word junk that fools a unigram model scores low here). No
+    smoothing: every scored bigram exists in the corpus by
+    construction, and the prefix counts come from the same bigram
+    table, so probabilities per prefix sum to exactly 1.
+
+    Scale shape: tokens explode once with positions, adjacency is a
+    ``lead`` window over the per-document ordering (one shuffle keyed
+    by document — same key the re-aggregation needs), the bigram and
+    prefix count tables are vocabulary²-bounded dimension joins. No
+    corpus-sized shuffle beyond the token stream.
+
+    Returns ``(id_col, n_bigrams, avg_logp)``; documents with fewer
+    than 2 tokens drop out (nothing to score).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_pos", "_w1"
+        ),
+    ).filter(F.col("_w1") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bi = words.withColumn("_w2", F.lead("_w1").over(w)).filter(
+        F.col("_w2").isNotNull()
+    )
+    counts2 = bi.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_n2"))
+    counts1 = bi.groupBy("_w1").agg(F.count(F.lit(1)).alias("_n1"))
+    logp = counts2.join(counts1, on="_w1").select(
+        "_w1", "_w2", F.log(F.col("_n2") / F.col("_n1")).alias("_lp")
+    )
+    return (
+        bi.join(logp, on=["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("_lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+    )

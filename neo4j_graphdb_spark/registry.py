@@ -2948,6 +2948,18 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c48_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 — bigram-LM mean conditional log-prob per document over the
+    corpus's own bigram distribution (functions/text.py
+    bigram_lm_score); the unigram c43 signal's order-sensitive upgrade.
+    The oracle pairs adjacent survivors of the same tokenization with a
+    lateral index walk."""
+    from neo4j_graphdb_spark.functions.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text")
+
+
 def q_c47_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C47 — Newman modularity of the c6 label-propagation communities
     on the arithmetic-id analytics graph (graph/algorithms.py
@@ -3352,6 +3364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c46_betweenness": q_c46_betweenness,
     "a21_text_unwind": q_a21_text_unwind,
     "c47_modularity": q_c47_modularity,
+    "c48_bigram_lm": q_c48_bigram_lm,
 }
 
 
@@ -4429,6 +4442,30 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c48_bigram_lm": """
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks
+        ),
+        bi AS MATERIALIZED (
+            SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pos
+        ),
+        c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+        c1 AS MATERIALIZED (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+        logp AS (
+            SELECT c2.w1, c2.w2, ln(c2.n2 / CAST(c1.n1 AS DOUBLE)) AS lp
+            FROM c2 JOIN c1 ON c2.w1 = c1.w1
+        )
+        SELECT b.doc_id::bigint AS doc_id, count(*)::bigint AS n_bigrams,
+               round(sum(l.lp) / count(*), 6) AS avg_logp
+        FROM bi b JOIN logp l ON b.w1 = l.w1 AND b.w2 = l.w2
+        GROUP BY b.doc_id
+    """,
     "a21_text_unwind": (
         "SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user, "
         "event_type AS tech FROM events"

@@ -426,3 +426,42 @@ def test_lm_score_ranks_fluent_above_junk(spark):
     assert out[1]["avg_logp"] == pytest.approx(math.log(0.5), abs=1e-6)
     # doc3: four singletons -> ln(1/12)
     assert out[3]["avg_logp"] == pytest.approx(math.log(1 / 12), abs=1e-6)
+
+
+def test_bigram_lm_score_hand_checked(spark):
+    """Corpus 'a b', 'a b', 'a c': bigrams ab,ab,ac -> p(b|a)=2/3,
+    p(c|a)=1/3; every doc has exactly 1 bigram."""
+    import math
+
+    from neo4j_graphdb_spark.functions.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, "  ")],
+        "id bigint, text string",
+    )
+    got = {r["id"]: (r["n_bigrams"], r["avg_logp"]) for r in
+           bigram_lm_score(docs, "id", "text").collect()}
+    assert set(got) == {1, 2, 3}  # <2 tokens drops out
+    assert got[1] == (1, round(math.log(2 / 3), 6))
+    assert got[2] == got[1]
+    assert got[3] == (1, round(math.log(1 / 3), 6))
+
+
+def test_bigram_lm_orders_matter(spark):
+    """The same word multiset in different orders gets different bigram
+    scores (the property the unigram model lacks)."""
+    from neo4j_graphdb_spark.functions.text import bigram_lm_score, lm_score
+
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a c b")],
+        "id bigint, text string",
+    )
+    uni = {r["id"]: r["avg_logp"] for r in lm_score(docs, "id", "text").collect()}
+    assert len(set(uni.values())) == 1  # unigram: identical scores
+    bi = {r["id"]: r["avg_logp"] for r in bigram_lm_score(docs, "id", "text").collect()}
+    # p(b|a)=2/3, p(c|b)=1; p(c|a)=1/3, p(b|c)=1
+    assert bi[1] == bi[2] == round(math.log(2 / 3) / 2, 6)
+    assert bi[3] == round(math.log(1 / 3) / 2, 6)
+    assert bi[1] > bi[3]  # the repeated order wins
