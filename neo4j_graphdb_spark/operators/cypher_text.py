@@ -21,6 +21,10 @@ reference's statements run verbatim:
   idiom; ``row.col`` references resolve against the batch DataFrame
   (or a list-of-dicts param), so the reference's per-record session
   loop (src/crwling.py:58-60) becomes one merge plan
+* ``UNWIND $ids AS x`` leading a read — batch point-lookup:
+  ``WHERE a.prop = x`` compiles to a broadcast equi-join against the
+  id list (one distributed job, not N round trips), and ``x`` is
+  RETURN-able
 * ``$param`` binding (A11)
 * ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
   ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
@@ -139,7 +143,7 @@ _UNSUPPORTED_KEYWORDS = re.compile(
 # string literal' — by parse time literals are \x00<i>\x00 sentinels)
 _WHERE_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*"
-    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00)$"
+    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\w+)$"
 )
 
 _STRING_LIT_RE = re.compile(r"'([^']*)'")
@@ -273,9 +277,14 @@ def run_cypher(
             raise ValueError("write statement needs a GraphStore")
         return _run_write(spark, clauses, params, store)
     if any(c.kind == "UNWIND" for c in clauses):
-        # UNWIND is the batched-WRITE idiom here; raising before the
-        # graph resolves keeps the error about the syntax, not the store
-        raise CypherUnsupported("UNWIND unsupported in read statements")
+        # validate placement and form before the graph resolves, so the
+        # error is about the syntax, not the store
+        if clauses[0].kind != "UNWIND":
+            raise CypherUnsupported("UNWIND must lead the read statement")
+        if not _UNWIND_RE.match(clauses[0].body):
+            raise CypherUnsupported(
+                f"unsupported UNWIND form: {clauses[0].body!r}"
+            )
     if graph is None:
         if store is None:
             raise ValueError("read statement needs a Graph or GraphStore")
@@ -493,8 +502,29 @@ def _run_read(
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
+    unwind_name: str | None = None
+    unwind_frame: DataFrame | None = None
+
     for c in clauses:
-        if c.kind == "MATCH":
+        if c.kind == "UNWIND":
+            # read-side UNWIND: batch point-lookup — the list param
+            # becomes a 1-column frame, and `WHERE alias.prop = name`
+            # compiles to a broadcast join against it (Neo4j's idiomatic
+            # "MATCH by id list" shape, distributed instead of N round
+            # trips). Must lead; run_cypher rejects it elsewhere.
+            um = _UNWIND_RE.match(c.body)
+            if not um:
+                raise CypherUnsupported(f"unsupported UNWIND form: {c.body!r}")
+            vals = (params or {}).get(um.group(1))
+            if not isinstance(vals, list) or not vals:
+                raise CypherUnsupported(
+                    f"read UNWIND ${um.group(1)} needs a non-empty list param"
+                )
+            unwind_name = um.group(2)
+            unwind_frame = graph.nodes_df.sparkSession.createDataFrame(
+                [(v,) for v in vals], [unwind_name]
+            )
+        elif c.kind == "MATCH":
             if df is not None:
                 raise CypherUnsupported("multiple MATCH clauses unsupported")
             m = _REL_RE.match(c.body)
@@ -591,6 +621,18 @@ def _run_read(
     for alias, prop, op, raw in predicates:
         if alias not in aliases:
             raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
+        if raw == unwind_name and unwind_frame is not None:
+            # comparison against the unwound variable: a broadcast
+            # equi-join (the batch point-lookup), not a per-value scan
+            if op != "=":
+                raise CypherUnsupported("UNWIND comparisons support = only")
+            df = df.join(
+                F.broadcast(unwind_frame),
+                _prop_col(df, aliases[alias], prop) == unwind_frame[unwind_name],
+            )
+            continue
+        if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+            raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
         # a plain column comparison Catalyst pushes into the scan —
         # WHERE costs a filter, never a different plan shape
         df = df.filter(
@@ -629,6 +671,10 @@ def _run_read(
         elif rel_alias is not None and alias == rel_alias:
             out_cols.append(F.col("rel_type").alias(out or alias))
             out_exprs[out or alias] = F.col("rel_type")
+            out_names.append(out or alias)
+        elif alias == unwind_name and prop is None:
+            out_cols.append(F.col(unwind_name).alias(out or alias))
+            out_exprs[out or alias] = F.col(unwind_name)
             out_names.append(out or alias)
         else:
             raise CypherUnsupported(f"RETURN of unbound alias: {item!r}")

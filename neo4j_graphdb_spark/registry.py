@@ -2948,6 +2948,38 @@ def q_rel_correlated_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 ext — read-side UNWIND batch point-lookup through the string
+    front-end: an id-list param joins the Article store as ONE broadcast
+    equi-join instead of N per-id round trips (the distributed answer
+    to the reference's per-record session.run loop). Duplicate ids in
+    the list multiply rows — Cypher UNWIND semantics — which the
+    oracle's VALUES join reproduces."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a22_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.title = $title",
+        pdf,
+        store=store,
+    )
+    ids = ["doc://3", "doc://7", "doc://7", "doc://11", "doc://no-such"]
+    res = run_cypher(
+        spark,
+        "UNWIND $ids AS wanted MATCH (a:Article) WHERE a.link = wanted "
+        "RETURN wanted, a.title AS title",
+        {"ids": ids},
+        store=store,
+    )
+    return res.df
+
+
 def q_c48_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48 — bigram-LM mean conditional log-prob per document over the
     corpus's own bigram distribution (functions/text.py
@@ -3365,6 +3397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a21_text_unwind": q_a21_text_unwind,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
+    "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
 }
 
 
@@ -4442,6 +4475,13 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "a22_text_unwind_lookup": """
+        SELECT w.wanted, substr(d.text, 1, 40) AS title
+        FROM (VALUES ('doc://3'), ('doc://7'), ('doc://7'), ('doc://11'),
+                     ('doc://no-such')) AS w(wanted)
+        JOIN documents d
+          ON concat('doc://', cast(d.doc_id AS varchar)) = w.wanted
+    """,
     "c48_bigram_lm": """
         WITH toks AS MATERIALIZED (
             SELECT doc_id,

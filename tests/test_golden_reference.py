@@ -543,3 +543,41 @@ def test_text_unwind_batch_ingest(spark, tmp_path):
         )
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "UNWIND [1,2] AS x RETURN x", store=s)
+
+
+def test_text_unwind_read_lookup(spark, text_store):
+    """Read-side UNWIND: the id-list param joins the store (duplicates
+    multiply, misses drop), and the unwound variable is RETURN-able."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    ids = [ARTICLES[0][0], ARTICLES[0][0], ARTICLES[2][0], "https://n.example/nope"]
+    res = run_cypher(
+        spark,
+        "UNWIND $ids AS wanted MATCH (a:Article) WHERE a.link = wanted "
+        "RETURN wanted, a.title AS title",
+        {"ids": ids},
+        store=text_store,
+    )
+    got = sorted((r["wanted"], r["title"]) for r in res.df.collect())
+    assert got == sorted(
+        [
+            (ARTICLES[0][0], ARTICLES[0][1]),
+            (ARTICLES[0][0], ARTICLES[0][1]),
+            (ARTICLES[2][0], ARTICLES[2][1]),
+        ]
+    )
+
+    with pytest.raises(CypherUnsupported):  # non-= comparison vs the variable
+        run_cypher(
+            spark,
+            "UNWIND $ids AS w MATCH (a:Article) WHERE a.link < w RETURN w",
+            {"ids": ids},
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):  # bare name that is not the variable
+        run_cypher(
+            spark,
+            "UNWIND $ids AS w MATCH (a:Article) WHERE a.link = other RETURN w",
+            {"ids": ids},
+            store=text_store,
+        )
