@@ -620,6 +620,16 @@ def _run_read(
 
     for alias, prop, op, raw in predicates:
         if alias not in aliases:
+            if rel_alias is not None and alias == rel_alias:
+                # relationship property predicate: edge prop columns ride
+                # the expand output unprefixed (operators/cypher.py expand
+                # keeps every edge column except src/dst)
+                if prop not in df.columns:
+                    raise CypherUnsupported(f"unknown relationship property {prop!r}")
+                df = df.filter(
+                    _OPS[op](F.col(prop), F.lit(_where_value(raw, lits, params)))
+                )
+                continue
             raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
         if raw == unwind_name and unwind_frame is not None:
             # comparison against the unwound variable: a broadcast
@@ -669,9 +679,15 @@ def _run_read(
                 out_exprs[out or prop] = e
                 out_names.append(out or prop)
         elif rel_alias is not None and alias == rel_alias:
-            out_cols.append(F.col("rel_type").alias(out or alias))
-            out_exprs[out or alias] = F.col("rel_type")
-            out_names.append(out or alias)
+            if prop is not None:
+                if prop not in df.columns:
+                    raise CypherUnsupported(f"unknown relationship property {prop!r}")
+                e = F.col(prop)
+            else:
+                e = F.col("rel_type")
+            out_cols.append(e.alias(out or prop or alias))
+            out_exprs[out or prop or alias] = e
+            out_names.append(out or prop or alias)
         elif alias == unwind_name and prop is None:
             out_cols.append(F.col(unwind_name).alias(out or alias))
             out_exprs[out or alias] = F.col(unwind_name)
@@ -748,8 +764,12 @@ def _aggregate_return(
                     f"whole-entity {alias!r} unsupported in aggregating RETURN"
                 )
             return _prop_col(df, aliases[alias], prop)
-        if rel_alias is not None and alias == rel_alias and prop is None:
-            return F.col("rel_type")
+        if rel_alias is not None and alias == rel_alias:
+            if prop is None:
+                return F.col("rel_type")
+            if prop in df.columns:
+                return F.col(prop)
+            raise CypherUnsupported(f"unknown relationship property {prop!r}")
         raise CypherUnsupported(f"RETURN of unbound alias: {alias!r}")
 
     for item in returns:

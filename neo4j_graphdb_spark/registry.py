@@ -2980,6 +2980,37 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a23_text_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 ext — relationship properties through the string front-end:
+    edges carry a ``weight`` (per-user event count, deterministic),
+    and ``WHERE r.weight >= 3 … RETURN r.weight`` parses, filters, and
+    projects the edge property (operators/cypher_text.py; writer-side
+    rel props landed with merge_edges prop_cols)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+            F.col("event_type").alias("tech"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a23_"))
+    store.merge_nodes(ev.select("user"), label="User", key_col="user")
+    store.merge_nodes(ev.select("tech").distinct(), label="Tech", key_col="tech")
+    store.merge_edges(
+        ev, "INTERESTED_IN", "User", "user", "Tech", "tech", prop_cols=["weight"]
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) WHERE r.weight >= 3 "
+        "RETURN u.user AS user, t.tech AS tech, r.weight AS weight",
+        store=store,
+    )
+    return res.df
+
+
 def q_c48_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48 — bigram-LM mean conditional log-prob per document over the
     corpus's own bigram distribution (functions/text.py
@@ -3398,6 +3429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
+    "a23_text_rel_props": q_a23_text_rel_props,
 }
 
 
@@ -4475,6 +4507,13 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "a23_text_rel_props": """
+        SELECT concat('U', cast(user_id AS varchar)) AS user,
+               event_type AS tech, count(*)::bigint AS weight
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """,
     "a22_text_unwind_lookup": """
         SELECT w.wanted, substr(d.text, 1, 40) AS title
         FROM (VALUES ('doc://3'), ('doc://7'), ('doc://7'), ('doc://11'),

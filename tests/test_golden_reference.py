@@ -581,3 +581,43 @@ def test_text_unwind_read_lookup(spark, text_store):
             {"ids": ids},
             store=text_store,
         )
+
+
+def test_text_rel_property_where_and_return(spark, tmp_path):
+    """Edge properties parse end to end: r.weight filters (WHERE) and
+    projects (RETURN), including inside aggregation; unknown rel props
+    raise."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "relprops"))
+    batch = spark.createDataFrame(
+        [("u1", "t1", 5), ("u1", "t2", 1), ("u2", "t1", 3)],
+        "u string, t string, weight int",
+    )
+    s.merge_nodes(batch.select("u"), label="User", key_col="u")
+    s.merge_nodes(batch.select("t").distinct(), label="Tech", key_col="t")
+    s.merge_edges(batch, "LIKES", "User", "u", "Tech", "t", prop_cols=["weight"])
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) WHERE r.weight >= 3 "
+        "RETURN a.u AS u, b.t AS t, r.weight AS w",
+        store=s,
+    )
+    got = sorted((r["u"], r["t"], r["w"]) for r in res.df.collect())
+    assert got == [("u1", "t1", 5), ("u2", "t1", 3)]
+
+    # aggregation over a rel property
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) RETURN b.t AS t, sum(r.weight) AS total",
+        store=s,
+    )
+    assert {(r["t"], r["total"]) for r in res.df.collect()} == {("t1", 8), ("t2", 1)}
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:User)-[r:LIKES]->(b:Tech) RETURN r.nope AS x",
+            store=s,
+        )
