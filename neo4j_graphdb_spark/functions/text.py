@@ -491,3 +491,54 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.sum("_lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
         )
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
+    """C49 — Zipf's-law fit of the corpus token distribution: the
+    least-squares slope/intercept of ln(frequency) against ln(rank)
+    over the ``top_n`` most frequent tokens. Natural-language corpora
+    sit near slope −1; scraped boilerplate, spam, and synthetic word
+    soup bend away from it — a one-number corpus-health signal for a
+    curation dashboard.
+
+    Shape: one token-count shuffle (map-side partials), a rank-ordered
+    ``top_n`` head (TakeOrdered — top-k per partition then a driver-k
+    merge, never a global sort), then the closed-form normal equations
+    as a single aggregate over ``top_n`` rows. Rank ties break on the
+    token string, so the fit is deterministic across partitionings.
+
+    Returns one row ``(n_fit, slope, intercept)``.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    top = counts.orderBy(F.col("_n").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("_n").desc(), F.col("token").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_n").cast("double")).alias("_y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).select(
+        F.col("_k").cast("bigint").alias("n_fit"),
+        F.round(
+            (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("_sy") - F.col("_sx")
+             * (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / (F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+            / F.col("_k"),
+            6,
+        ).alias("intercept"),
+    )

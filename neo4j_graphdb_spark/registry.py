@@ -2980,6 +2980,17 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c49_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 — least-squares Zipf fit (ln freq vs ln rank, top-200
+    tokens) of the corpus distribution (functions/text.py zipf_fit) —
+    the one-number corpus-health signal. Deterministic rank ties +
+    closed-form normal equations; the oracle recomputes both."""
+    from neo4j_graphdb_spark.functions.text import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=200)
+
+
 def q_a23_text_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A23 ext — relationship properties through the string front-end:
     edges carry a ``weight`` (per-user event count, deterministic),
@@ -3430,6 +3441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c48_bigram_lm": q_c48_bigram_lm,
     "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
     "a23_text_rel_props": q_a23_text_rel_props,
+    "c49_zipf_fit": q_c49_zipf_fit,
 }
 
 
@@ -4507,6 +4519,31 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c49_zipf_fit": """
+        WITH w AS MATERIALIZED (
+            SELECT token FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        counts AS (SELECT token, count(*) AS n FROM w GROUP BY token),
+        top AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+            FROM counts
+            QUALIFY r <= 200
+        ),
+        xy AS (SELECT ln(r::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM top),
+        s AS (
+            SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy
+        )
+        SELECT k::bigint AS n_fit,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+               round((sy - sx * (k * sxy - sx * sy) / (k * sxx - sx * sx)) / k, 6)
+                   AS intercept
+        FROM s
+    """,
     "a23_text_rel_props": """
         SELECT concat('U', cast(user_id AS varchar)) AS user,
                event_type AS tech, count(*)::bigint AS weight

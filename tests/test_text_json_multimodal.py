@@ -465,3 +465,49 @@ def test_bigram_lm_orders_matter(spark):
     assert bi[1] == bi[2] == round(math.log(2 / 3) / 2, 6)
     assert bi[3] == round(math.log(1 / 3) / 2, 6)
     assert bi[1] > bi[3]  # the repeated order wins
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A 4-token corpus with frequencies 64/32/16/8: the engine's
+    closed-form fit matches a hand-computed least squares on the same
+    (ln rank, ln freq) points."""
+    import math
+
+    from neo4j_graphdb_spark.functions.text import zipf_fit
+
+    docs = []
+    did = 0
+    for i, tok in enumerate(["t0", "t1", "t2", "t3"]):
+        freq = 64 >> i  # frequencies 64, 32, 16, 8 at ranks 1..4
+        for _ in range(freq):
+            docs.append((did, tok))
+            did += 1
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    row = zipf_fit(df, "text", top_n=4).collect()[0]
+    # freq_k = 64 * 2^-k at rank k+1: ln f = ln 64 - k ln 2, ln r = ln(k+1)
+    # -> NOT an exact line in ln r; instead assert the closed form matches
+    # a NumPy-free manual least squares on the same 4 points
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (64, 32, 16, 8)]
+    k = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - sx * slope) / k
+    assert row["n_fit"] == 4
+    assert abs(row["slope"] - round(slope, 6)) <= 1e-6
+    assert abs(row["intercept"] - round(intercept, 6)) <= 1e-6
+
+
+def test_zipf_fit_rank_ties_deterministic(spark):
+    """Equal-frequency tokens rank by token string, so the fit is
+    reproducible across partitionings."""
+    from neo4j_graphdb_spark.functions.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b")], "id bigint, text string"
+    )
+    r1 = zipf_fit(df, "text", top_n=2).collect()[0]
+    r2 = zipf_fit(df.repartition(7), "text", top_n=2).collect()[0]
+    assert (r1["slope"], r1["intercept"]) == (r2["slope"], r2["intercept"])
