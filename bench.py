@@ -46,6 +46,10 @@ HEADLINE = [
     "c36_hits",
     "c37_node_similarity",
     "rel_market_share",
+    # later round-6 additions — landmark multi-source BFS, per-document
+    # window adjacency + vocabulary-sized dimension joins
+    "c44_closeness",
+    "c48_bigram_lm",
 ]
 
 
