@@ -91,10 +91,12 @@ _NODE_RE = re.compile(
     r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)$"
 )
 
-# (a)-[r:T]->(b) with optional labels/alias on each piece
+# (a)-[r:T]->(b) with optional labels/alias on each piece; the :type is
+# optional too — `[r]` / `[]` match any relationship (reads only; MERGE
+# validates a type is present, Cypher requires one to create)
 _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
-    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*:\s*(?P<rel_type>\w+)\s*\]\s*->\s*"
+    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?\s*\]\s*->\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
 )
 
@@ -359,6 +361,10 @@ def _run_write(
         if c.kind == "MERGE":
             m = _REL_RE.match(c.body)
             if m:
+                if not m.group("rel_type"):
+                    raise CypherUnsupported(
+                        "MERGE relationship needs a type (Cypher cannot create an untyped edge)"
+                    )
                 sa, da = m.group("src_alias"), m.group("dst_alias")
                 for a in (sa, da):
                     if a not in nodes:

@@ -2980,6 +2980,34 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a24_text_untyped_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 ext — untyped relationship pattern ``MATCH (a)-[r]->(b)``
+    through the string front-end: the edge scan skips the rel_type
+    filter and the aggregating RETURN counts every edge by its type —
+    the cypher.txt:8-style "browse everything" shape for edges."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+        F.col("event_type").alias("tech"),
+    ).distinct()
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a24_"))
+    store.merge_nodes(users.select("user"), label="User", key_col="user")
+    store.merge_nodes(users.select("tech").distinct(), label="Tech", key_col="tech")
+    store.merge_edges(users, "INTERESTED_IN", "User", "user", "Tech", "tech")
+    store.merge_edges(
+        users.filter(F.col("tech") == "purchase"),
+        "BOUGHT", "User", "user", "Tech", "tech",
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a)-[r]->(b) RETURN r AS rel, count(*) AS n",
+        store=store,
+    )
+    return res.df
+
+
 def q_c49_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C49 — least-squares Zipf fit (ln freq vs ln rank, top-200
     tokens) of the corpus distribution (functions/text.py zipf_fit) —
@@ -3442,6 +3470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
     "a23_text_rel_props": q_a23_text_rel_props,
     "c49_zipf_fit": q_c49_zipf_fit,
+    "a24_text_untyped_rel": q_a24_text_untyped_rel,
 }
 
 
@@ -4519,6 +4548,15 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "a24_text_untyped_rel": """
+        WITH pairs AS (
+            SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS u, event_type AS t
+            FROM events
+        )
+        SELECT 'INTERESTED_IN' AS rel, count(*)::bigint AS n FROM pairs
+        UNION ALL
+        SELECT 'BOUGHT', count(*)::bigint FROM pairs WHERE t = 'purchase'
+    """,
     "c49_zipf_fit": """
         WITH w AS MATERIALIZED (
             SELECT token FROM (

@@ -621,3 +621,31 @@ def test_text_rel_property_where_and_return(spark, tmp_path):
             "MATCH (a:User)-[r:LIKES]->(b:Tech) RETURN r.nope AS x",
             store=s,
         )
+
+
+def test_text_untyped_relationship(spark, tmp_path):
+    """MATCH (a)-[r]->(b) with no rel type scans every edge type; MERGE
+    of an untyped relationship still refuses (Cypher cannot create
+    one)."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "untyped"))
+    batch = spark.createDataFrame([("u1", "t1"), ("u2", "t2")], "u string, t string")
+    s.merge_nodes(batch.select("u"), label="User", key_col="u")
+    s.merge_nodes(batch.select("t"), label="Tech", key_col="t")
+    s.merge_edges(batch, "LIKES", "User", "u", "Tech", "t")
+    s.merge_edges(batch.limit(1), "OWNS", "User", "u", "Tech", "t")
+
+    res = run_cypher(
+        spark, "MATCH (a)-[r]->(b) RETURN r AS rel, count(*) AS n", store=s
+    )
+    got = {(r["rel"], r["n"]) for r in res.df.collect()}
+    assert got == {("LIKES", 2), ("OWNS", 1)}
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (a:User {u: $u}) MERGE (b:Tech {t: $t}) MERGE (a)-[]->(b)",
+            {"u": "x", "t": "y"},
+            store=s,
+        )
