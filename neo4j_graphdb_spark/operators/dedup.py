@@ -528,3 +528,95 @@ def near_dup_clusters(
         F.col("comp").alias("cluster"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    max_df: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """C50 — asymmetric containment near-dup: ordered pairs where
+    ``|A∩B| / |A| ≥ threshold`` over word-shingle sets — the
+    subset-duplicate detector (a boilerplate page embedded inside a
+    longer one has LOW Jaccard but containment ≈ 1, so MinHash-LSH
+    never surfaces it; containment is the Broder measure built for
+    exactly that).
+
+    Blocking is by RARE shingles (document frequency ≤ ``max_df``) —
+    the entity-resolution move: a shingle shared by few documents is
+    discriminative, and the per-shingle pair fan-out is bounded by
+    ``max_df²``, so candidate generation never quadratically explodes
+    on common phrases. The exact intersection count then runs only
+    over candidate documents' postings (semi-join restricted), and
+    containment divides by each side's own set size — one exact
+    integer ratio per direction.
+
+    Trade-off (documented, same as LSH's): a true subset pair sharing
+    ONLY ultra-common shingles is missed; lower ``max_df`` = faster +
+    blinder, higher = slower + sharper.
+
+    Returns ``(src, dst, n_shared, containment)`` — containment of
+    ``src`` in ``dst``, both orientations of a pair when both clear
+    the threshold.
+    """
+    st = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+        )
+        .filter(F.col("_sh") != "")
+        .localCheckpoint(eager=False)
+    )
+    sizes = st.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    rare = (
+        st.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_sh")
+    )
+    rst = st.join(rare, on="_sh", how="left_semi")
+    cand = (
+        rst.select(F.col("_id").alias("a"), "_sh")
+        .join(rst.select(F.col("_id").alias("b"), "_sh"), on="_sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cdocs = (
+        cand.select(F.col("a").alias("_id"))
+        .unionByName(cand.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    stc = st.join(cdocs, on="_id", how="left_semi")
+    shared = (
+        stc.select(F.col("_id").alias("a"), "_sh")
+        .join(stc.select(F.col("_id").alias("b"), "_sh"), on="_sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .join(cand, on=["a", "b"], how="left_semi")
+        .join(sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sza")), on="a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_szb")), on="b")
+        .localCheckpoint(eager=False)
+    )
+    fwd = shared.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("_inter").alias("n_shared"),
+        (F.col("_inter") / F.col("_sza")).alias("containment"),
+    )
+    rev = shared.select(
+        F.col("b").alias("src"),
+        F.col("a").alias("dst"),
+        F.col("_inter").alias("n_shared"),
+        (F.col("_inter") / F.col("_szb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .select("src", "dst", "n_shared", F.round("containment", 6).alias("containment"))
+    )

@@ -2980,6 +2980,20 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 — asymmetric containment near-dup over word-shingle sets
+    with rare-shingle blocking (operators/dedup.py containment_pairs):
+    the subset-duplicate detector Jaccard-based LSH is blind to. The
+    oracle replays the same shingling, df≤8 blocking, candidate
+    restriction, and integer intersection ratios."""
+    from neo4j_graphdb_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, max_df=8, threshold=0.3
+    )
+
+
 def q_a24_text_untyped_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24 ext — untyped relationship pattern ``MATCH (a)-[r]->(b)``
     through the string front-end: the edge scan skips the rel_type
@@ -3471,6 +3485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a23_text_rel_props": q_a23_text_rel_props,
     "c49_zipf_fit": q_c49_zipf_fit,
     "a24_text_untyped_rel": q_a24_text_untyped_rel,
+    "c50_containment": q_c50_containment,
 }
 
 
@@ -4548,6 +4563,52 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c50_containment": """
+        WITH cwords AS MATERIALIZED (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ),
+        csh AS MATERIALIZED (
+            SELECT doc_id, list_filter(list_distinct(list_transform(
+                range(0, greatest(len(w) - 3, 0) + 1),
+                i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))),
+                s -> s <> '') AS shingles
+            FROM cwords
+        ),
+        st AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM csh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM st GROUP BY 1),
+        rare AS (SELECT sh FROM st GROUP BY sh HAVING count(*) <= 8),
+        rst AS (SELECT st.doc_id, st.sh FROM st JOIN rare USING (sh)),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM rst x JOIN rst y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        ),
+        cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+        stc AS MATERIALIZED (
+            SELECT st.doc_id, st.sh FROM st JOIN cdocs USING (doc_id)
+        ),
+        shared AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM stc x JOIN stc y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT s.a, s.b, s.inter, za.sz AS sza, zb.sz AS szb
+            FROM shared s
+            JOIN cand c ON s.a = c.a AND s.b = c.b
+            JOIN sizes za ON s.a = za.doc_id
+            JOIN sizes zb ON s.b = zb.doc_id
+        ),
+        cboth AS (
+            SELECT a AS src, b AS dst, inter,
+                   inter / CAST(sza AS DOUBLE) AS containment FROM scored
+            UNION ALL
+            SELECT b, a, inter, inter / CAST(szb AS DOUBLE) FROM scored
+        )
+        SELECT src, dst, inter::bigint AS n_shared,
+               round(containment, 6) AS containment
+        FROM cboth WHERE containment >= 0.3
+    """,
     "a24_text_untyped_rel": """
         WITH pairs AS (
             SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS u, event_type AS t

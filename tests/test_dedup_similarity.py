@@ -247,3 +247,43 @@ def test_quantize_int8_round_trip(spark):
     assert r1["rmse"] < 2.0 / 127.0 / 2  # within half a quant step
     r2 = out[2]
     assert (r2["scale"], r2["q8"], r2["rmse"]) == (0.0, [0, 0, 0, 0], 0.0)
+
+
+def test_containment_subset_duplicate(spark):
+    """A short doc fully embedded in a long one: Jaccard is low but
+    containment of the short side is 1.0 — the pair LSH-by-Jaccard
+    misses by design."""
+    from neo4j_graphdb_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    other = "zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id bigint, text string"
+    )
+    out = {
+        (r["src"], r["dst"]): (r["n_shared"], r["containment"])
+        for r in containment_pairs(
+            df, "text", "doc_id", shingle_n=3, max_df=5, threshold=0.5
+        ).collect()
+    }
+    # short doc has 2 distinct 3-shingles, both inside the long doc
+    assert out[(1, 2)] == (2, 1.0)
+    # reverse direction: 2 of the long doc's 43 shingles -> below 0.5
+    assert (2, 1) not in out
+    assert all(3 not in p for p in out)
+
+
+def test_containment_rare_blocking_bounds_candidates(spark):
+    """A shingle shared by MORE than max_df documents generates no
+    candidates (the documented blindness that bounds the fan-out)."""
+    from neo4j_graphdb_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, "common phrase here") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    out = containment_pairs(
+        df, "text", "doc_id", shingle_n=3, max_df=5, threshold=0.1
+    )
+    assert out.count() == 0
