@@ -1719,6 +1719,32 @@ def q_c18_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c51_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51 — streaming sessionization with emit-on-close semantics
+    (streaming/stateful.py stateful_sessions) on the real engine: a
+    session row appears exactly once, when a later event breaks the
+    30-minute gap. In the availableNow run each user's LAST session
+    stays open (its event-time timeout is past the final watermark), so
+    the oracle is batch gaps-and-islands MINUS each user's last
+    session — which pins both the session algebra and the emit rule."""
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.stateful import stateful_sessions
+
+    stream = stream_table(spark, sf_dir, "events")
+    out = run_stream_to_memory(
+        spark,
+        stateful_sessions(stream, key_col="user_id", ts_col="ts", gap_seconds=1800),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def q_c17_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C17 — stateful stream dedup within the watermark horizon, run on
     the real streaming engine (availableNow, memory sink)."""
@@ -3486,6 +3512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c49_zipf_fit": q_c49_zipf_fit,
     "a24_text_untyped_rel": q_a24_text_untyped_rel,
     "c50_containment": q_c50_containment,
+    "c51_stream_sessions": q_c51_stream_sessions,
 }
 
 
@@ -4563,6 +4590,32 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c51_stream_sessions": """
+        WITH marks AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        ),
+        s AS (
+            SELECT user_id, sid,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*)::bigint AS n_events
+            FROM g GROUP BY 1, 2
+        ),
+        last AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY 1)
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events
+        FROM s JOIN last ON s.user_id = last.user_id AND s.sid < last.last_sid
+    """,
     "c50_containment": """
         WITH cwords AS MATERIALIZED (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

@@ -247,3 +247,45 @@ def test_stream_rollup_cascade_matches_batch_rollup(spark, sf_dir):
         for r in time_rollup(ev, "ts", ["event_type"], "value").collect()
     }
     assert got == want
+
+
+def test_stateful_sessions_gap_close_and_timeout(spark, tmp_path):
+    """C51 emit rules across micro-batches: a later event breaking the
+    30-min gap closes the open session (user 1), and the event-time
+    timeout closes a silent user's session once the watermark passes
+    end+gap (user 2). Open tails never emit."""
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.stateful import stateful_sessions
+
+    schema = "user_id bigint, ts timestamp"
+    batches = [
+        [(1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:10:00")),
+         (2, ts("2024-01-01 09:00:00"))],
+        [(1, ts("2024-01-01 10:20:00")), (1, ts("2024-01-01 12:00:00"))],
+        [(3, ts("2024-01-01 13:00:00"))],
+    ]
+    src = str(tmp_path / "sess_src")
+    for chunk in batches:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = run_stream_to_memory(
+        spark,
+        stateful_sessions(stream, gap_seconds=1800, watermark="1 minutes"),
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert got == {
+        # closed by the 12:00 event breaking the gap
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3),
+        # closed by event-time timeout (final watermark 12:59 > 09:30)
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+        # closed by timeout in the trailing no-data batch (12:59 > 12:30)
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        # u3 @13:00 stays open: its timeout 13:30 is past the last watermark
+    }
