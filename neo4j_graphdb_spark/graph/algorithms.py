@@ -995,3 +995,32 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def neighbor_degree_stats(edges: DataFrame) -> DataFrame:
+    """C52 — per-node neighbor-degree aggregation (mean/max neighbor
+    degree) on the symmetrized graph — the assortativity building block
+    and the classic one-hop feature-engineering pass (a node's "how
+    connected are my neighbors" signal for ML feature tables).
+
+    Two shuffles total: the degree aggregation, then one join of the
+    edge list against the degree table (dimension-sized — broadcasts on
+    most graphs) feeding the per-node re-aggregation. Means divide two
+    exact integers, so the values are deterministic across engines.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("src").alias("_id")).agg(F.count(F.lit(1)).alias("_deg"))
+    return (
+        e.join(deg.select(F.col("_id").alias("dst"), F.col("_deg").alias("_nd")), on="dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree"),
+            F.round(F.sum("_nd") / F.count(F.lit(1)), 6).alias("mean_nbr_degree"),
+            F.max("_nd").cast("bigint").alias("max_nbr_degree"),
+        )
+    )

@@ -216,3 +216,34 @@ def mixture_sample(
         .filter(bucket < F.floor(F.col("_rate") * _SLOTS).cast("bigint"))
         .drop("_rate")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """C53 — exact per-stratum quotas: the ``n_per_stratum``
+    deterministically-chosen rows of every stratum (vs
+    :func:`stratified_sample`'s RATE-based keep, which only hits quotas
+    in expectation). The pick order is the md5 of the salted key — a
+    uniform, engine-agnostic shuffle order — with the key as
+    tiebreaker, so re-runs, engines, and partitionings all select the
+    same rows. Strata smaller than the quota keep everything.
+
+    One window shuffle keyed by the stratum — the same partitioning the
+    downstream per-stratum work wants anyway. No driver-side state, no
+    reservoir: at 100 TB the quota is enforced inside each stratum's
+    partition stream.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*stratum_cols).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -3006,6 +3006,62 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c52_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 — mean/max neighbor degree per node on the symmetrized
+    customer–part co-purchase graph (graph/algorithms.py
+    neighbor_degree_stats): the assortativity / one-hop feature pass.
+    Integer sums + single divisions keep the values bit-identical to
+    the SQL replay."""
+    from neo4j_graphdb_spark.graph.algorithms import neighbor_degree_stats
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    sym = cp.unionByName(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return neighbor_degree_stats(sym)
+
+
+def q_c53_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53 — exact 20-per-source quota sample of the documents table
+    (operators/sampling.py quota_sample): md5-ordered deterministic
+    pick, small strata keep everything. The oracle replays the same
+    salted-md5 window rank."""
+    from neo4j_graphdb_spark.operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quota_sample(docs, ["source"], "doc_id", n_per_stratum=20)
+    return out.select("doc_id", "source")
+
+
+def q_rel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REL — IQR-fence outlier scan of order totals (the profiling /
+    data-quality pass): flag orders outside [q1 - 1.5·IQR,
+    q3 + 1.5·IQR]. Percentiles interpolate linearly from exact values
+    in both engines (Spark ``percentile`` ≡ DuckDB ``quantile_cont``),
+    so the fences — broadcast as a 1-row aggregate — are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    fences = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("_q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("_q3"),
+    ).select(
+        (F.col("_q1") - 0.5 * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + 0.5 * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(fences))
+        .filter((F.col("o_totalprice") < F.col("_lo")) | (F.col("o_totalprice") > F.col("_hi")))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round("_lo", 6).alias("fence_lo"),
+            F.round("_hi", 6).alias("fence_hi"),
+        )
+    )
+
+
 def q_c50_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C50 — asymmetric containment near-dup over word-shingle sets
     with rare-shingle blocking (operators/dedup.py containment_pairs):
@@ -3513,6 +3569,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a24_text_untyped_rel": q_a24_text_untyped_rel,
     "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
+    "c52_neighbor_stats": q_c52_neighbor_stats,
+    "c53_quota_sample": q_c53_quota_sample,
+    "rel_outliers": q_rel_outliers,
 }
 
 
@@ -4590,6 +4649,46 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c52_neighbor_stats": """
+        WITH cp AS MATERIALIZED (
+            SELECT DISTINCT concat('C', cast(o_custkey AS varchar)) AS src,
+                   concat('P', cast(l_partkey AS varchar)) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM cp UNION SELECT dst, src FROM cp
+        ),
+        deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1)
+        SELECT s.src AS id, count(*)::bigint AS degree,
+               round(sum(nd.d) / CAST(count(*) AS DOUBLE), 6) AS mean_nbr_degree,
+               max(nd.d)::bigint AS max_nbr_degree
+        FROM sym s JOIN deg nd ON s.dst = nd.id
+        GROUP BY s.src
+    """,
+    "c53_quota_sample": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('quota', '|', cast(doc_id AS varchar))),
+                                doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 20
+    """,
+    "rel_outliers": """
+        WITH f AS (
+            SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders
+        ),
+        fence AS (
+            SELECT q1 - 0.5 * (q3 - q1) AS lo, q3 + 0.5 * (q3 - q1) AS hi FROM f
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS total,
+               round(lo, 6) AS fence_lo, round(hi, 6) AS fence_hi
+        FROM orders, fence
+        WHERE o_totalprice < lo OR o_totalprice > hi
+    """,
     "c51_stream_sessions": """
         WITH marks AS (
             SELECT user_id, ts,

@@ -536,3 +536,21 @@ def test_modularity_all_one_community(spark):
     comm = spark.createDataFrame([(n, 9) for n in "abc"], "id string, lbl int")
     row = modularity(edges, comm).collect()[0]
     assert row["modularity"] == 0.0 and row["intra_edges"] == 2
+
+
+def test_neighbor_degree_stats_star(spark):
+    """Star hub x with 3 leaves (symmetrized): hub's neighbors all have
+    degree 1; each leaf's single neighbor has degree 3."""
+    from neo4j_graphdb_spark.graph.algorithms import neighbor_degree_stats
+
+    und = [("x", "l1"), ("x", "l2"), ("x", "l3")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["id"]: (r["degree"], r["mean_nbr_degree"], r["max_nbr_degree"])
+        for r in neighbor_degree_stats(edges).collect()
+    }
+    assert got["x"] == (3, 1.0, 1)
+    for leaf in ("l1", "l2", "l3"):
+        assert got[leaf] == (1, 3.0, 3)

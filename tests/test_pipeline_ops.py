@@ -243,3 +243,20 @@ def test_mixture_sample_drops_untargeted_strata(spark):
     )
     kept = mixture_sample(df, "doc_id", "lang", {"a": 1.0}).collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
+def test_quota_sample_exact_quotas_and_determinism(spark):
+    """Every stratum yields exactly min(n, stratum size) rows, stable
+    across repartitioning."""
+    from neo4j_graphdb_spark.operators.sampling import quota_sample
+
+    rows = [(i, "big" if i < 50 else "tiny") for i in range(55)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    out = quota_sample(df, ["s"], "k", n_per_stratum=10)
+    got = out.groupBy("s").count().collect()
+    counts = {r["s"]: r["count"] for r in got}
+    assert counts == {"big": 10, "tiny": 5}
+
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in quota_sample(df.repartition(13), ["s"], "k", 10).collect())
+    assert a == b
