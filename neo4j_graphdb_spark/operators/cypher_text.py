@@ -489,6 +489,79 @@ _OPS = {
 }
 
 
+_POST_WHERE_RE = re.compile(
+    r"^(?P<name>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*"
+    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00)$"
+)
+_POST_RETURN_RE = re.compile(r"^(?P<name>\w+)(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE)
+
+
+def _run_post_with(
+    df: DataFrame,
+    clauses: list[_Clause],
+    lits: list[str],
+    params: dict | None,
+) -> DataFrame:
+    """The pipeline tail after an aggregating WITH: the frame is flat
+    (WITH output names are plain columns), so WHERE compares bare names
+    (Cypher's HAVING idiom — `WITH …, count(*) AS n WHERE n >= 2`),
+    RETURN renames/projects them, ORDER BY/SKIP/LIMIT page as usual."""
+    returns: list[str] = []
+    order_by: list[tuple[str, bool]] = []
+    skip: int | None = None
+    limit: int | None = None
+    for c in clauses:
+        if c.kind == "WHERE":
+            for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
+                m = _POST_WHERE_RE.match(item.strip())
+                if not m or m.group("name") not in df.columns:
+                    raise CypherUnsupported(
+                        f"unsupported WHERE after WITH: {item!r}"
+                    )
+                df = df.filter(
+                    _OPS[m.group("op")](
+                        F.col(m.group("name")),
+                        F.lit(_where_value(m.group("val"), lits, params)),
+                    )
+                )
+        elif c.kind == "RETURN":
+            returns = _split_top_commas(c.body)
+        elif c.kind == "ORDER":
+            body = re.sub(r"^BY\s+", "", c.body, flags=re.IGNORECASE)
+            for item in _split_top_commas(body):
+                m = re.match(r"^(?P<key>\w+)(?:\s+(?P<dir>ASC|DESC))?$", item, re.IGNORECASE)
+                if not m:
+                    raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
+                order_by.append((m.group("key"), (m.group("dir") or "ASC").upper() == "DESC"))
+        elif c.kind == "SKIP":
+            skip = int(c.body)
+        elif c.kind == "LIMIT":
+            limit = int(c.body)
+        else:
+            raise CypherUnsupported(f"{c.kind} unsupported after aggregating WITH")
+    if not returns:
+        raise CypherUnsupported("aggregating WITH needs a RETURN tail")
+    out_cols = []
+    name_map: dict[str, str] = {}
+    for item in returns:
+        m = _POST_RETURN_RE.match(item)
+        if not m or m.group("name") not in df.columns:
+            raise CypherUnsupported(f"RETURN after WITH must use WITH names: {item!r}")
+        name, out = m.group("name"), m.group("out") or m.group("name")
+        out_cols.append(F.col(name).alias(out))
+        name_map[name] = name
+        name_map[out] = name
+    if order_by:
+        sorts = []
+        for key, desc in order_by:
+            if key not in name_map:
+                raise CypherUnsupported(f"ORDER BY key {key!r} is not a WITH/RETURN name")
+            c = F.col(name_map[key])
+            sorts.append(c.desc() if desc else c.asc())
+        df = df.orderBy(*sorts)
+    return _page(df.select(*out_cols), skip, limit)
+
+
 def _run_read(
     clauses: list[_Clause],
     graph: Graph,
@@ -496,6 +569,18 @@ def _run_read(
     params: dict | None = None,
 ) -> DataFrame:
     lits = lits or []
+    for i, c in enumerate(clauses):
+        if c.kind == "WITH" and any(
+            _AGG_ITEM_RE.match(x) for x in _split_top_commas(c.body)
+        ):
+            # aggregating WITH: everything before it + the WITH body as
+            # a RETURN runs through the normal path (WITH shares
+            # RETURN's grammar), and the tail filters/pages the
+            # aggregated frame — one recursion, no duplicate machinery
+            inner = _run_read(
+                clauses[:i] + [_Clause("RETURN", c.body)], graph, lits, params
+            )
+            return _run_post_with(inner, clauses[i + 1 :], lits or [], params)
     df: DataFrame | None = None
     aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
     rel_alias: str | None = None

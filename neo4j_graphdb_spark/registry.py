@@ -3006,6 +3006,40 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a25_text_with_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 ext — aggregating WITH + WHERE through the string front-end
+    (Cypher's HAVING idiom): per-publisher article counts filtered to
+    n >= 2 before the RETURN tail (operators/cypher_text.py
+    _run_post_with). The WITH body rides the RETURN grammar; the tail
+    filters the aggregated frame by bare name."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("source").alias("publisher"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a25_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.title = $title "
+        "WITH a MERGE (p:Publisher {name: $publisher}) "
+        "MERGE (a)-[:WRITTEN_BY]->(p)",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WITH p.name AS publisher, count(*) AS n "
+        "WHERE n >= 2 "
+        "RETURN publisher, n ORDER BY publisher",
+        store=store,
+    )
+    return res.df
+
+
 def q_c52_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C52 — mean/max neighbor degree per node on the symmetrized
     customer–part co-purchase graph (graph/algorithms.py
@@ -3572,6 +3606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
     "rel_outliers": q_rel_outliers,
+    "a25_text_with_agg": q_a25_text_with_agg,
 }
 
 
@@ -4649,6 +4684,13 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "a25_text_with_agg": """
+        SELECT source AS publisher, count(*)::bigint AS n
+        FROM documents
+        GROUP BY source
+        HAVING count(*) >= 2
+        ORDER BY source
+    """,
     "c52_neighbor_stats": """
         WITH cp AS MATERIALIZED (
             SELECT DISTINCT concat('C', cast(o_custkey AS varchar)) AS src,

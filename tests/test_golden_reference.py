@@ -649,3 +649,40 @@ def test_text_untyped_relationship(spark, tmp_path):
             {"u": "x", "t": "y"},
             store=s,
         )
+
+
+def test_text_with_aggregation_having(spark, text_store):
+    """Aggregating WITH + bare-name WHERE (the HAVING idiom), then a
+    renaming RETURN tail with ORDER BY and LIMIT."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WITH p.name AS pub, count(*) AS n WHERE n >= 2 "
+        "RETURN pub AS publisher, n ORDER BY publisher LIMIT 5",
+        store=text_store,
+    )
+    got = [(r["publisher"], r["n"]) for r in res.df.collect()]
+    assert got == [("Daily Alpha", 2)]  # Beta Times has 1 article
+
+    # the filter is on the AGGREGATE, not the input rows
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WITH p.name AS pub, count(*) AS n WHERE n >= 1 "
+        "RETURN pub, n ORDER BY pub",
+        store=text_store,
+    )
+    assert [(r["pub"], r["n"]) for r in res.df.collect()] == [
+        ("Beta Times", 1),
+        ("Daily Alpha", 2),
+    ]
+
+    with pytest.raises(CypherUnsupported):  # tail RETURN must use WITH names
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+            "WITH p.name AS pub, count(*) AS n RETURN a.title",
+            store=text_store,
+        )
