@@ -178,7 +178,6 @@ class _VersionedTable:
     def write_next(self, df: DataFrame, partition_by: str | list[str] | None = None) -> str:
         v = self.current_version() + 1
         path = os.path.join(self.root, f"v{v}")
-        w = df.write.mode("overwrite")
         if partition_by is not None:
             # label/rel_type (+ key-bucket) partitioning: label scans (A1)
             # become partition pruning — at 100 TB a MATCH (:Article)
@@ -186,7 +185,18 @@ class _VersionedTable:
             # is bounded by the (label, bucket) pairs present in the batch,
             # not the whole table.
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-            w = w.partitionBy(*cols)
+            # cluster on the partition columns first: without this every
+            # shuffle task fans out one file per leaf dir it sees
+            # (tasks × buckets small files per merge — the classic small-
+            # files problem, and most of the merge wall-clock on many-core
+            # local runs). One task per leaf writes one file; oversized
+            # leaves split via spark.sql.files.maxRecordsPerFile, and the
+            # bucket count (writer.N_KEY_BUCKETS) is the real lever at
+            # cluster scale.
+            df = df.repartition(*[F.col(c) for c in cols])
+            w = df.write.mode("overwrite").partitionBy(*cols)
+        else:
+            w = df.write.mode("overwrite")
         w.parquet(path)
         self._swap_pointer(v)
         self._schema, self._schema_version = df.schema, v
@@ -264,6 +274,8 @@ class _VersionedTable:
         prev_v = self.current_version()
         v = prev_v + 1
         path = os.path.join(self.root, f"v{v}")
+        # same one-file-per-leaf clustering rationale as write_next
+        df = df.repartition(*[F.col(c) for c in cols])
         df.write.mode("overwrite").partitionBy(*cols).parquet(path)
         if prev is not None:
             # hive dir values are strings — normalize touched (which may
