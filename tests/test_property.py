@@ -364,3 +364,104 @@ def test_gap_fill_matches_pure_reference(spark, events):
         go, gl, gi = got[key]
         assert go == o and gl == locf
         assert abs(gi - interp) < 1e-9
+
+
+@st.composite
+def small_sym_graphs(draw):
+    n = draw(st.integers(2, 8))
+    ids = [f"n{i}" for i in range(n)]
+    edges = set()
+    for _ in range(draw(st.integers(1, 14))):
+        a = draw(st.sampled_from(ids))
+        b = draw(st.sampled_from(ids))
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    return sorted(edges)
+
+
+@given(small_sym_graphs(), st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_landmark_closeness_matches_python_bfs(spark, edges, k):
+    """landmark_closeness vs a pure-Python BFS from the same md5-picked
+    landmark set on random symmetric graphs."""
+    from collections import defaultdict
+
+    from neo4j_graphdb_spark.graph.algorithms import landmark_closeness
+
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: (r["n_reached"], r["harmonic_x12"])
+        for r in landmark_closeness(sdf, n_landmarks=k, max_hops=4).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    lms = sorted(nodes, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[:k]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    exp: dict = {}
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for h in range(1, 5):
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = h
+                        nxt.append(w)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                n, hsum = exp.get(v, (0, 0))
+                exp[v] = (n + 1, hsum + 12 // d)
+    assert got == exp
+
+
+def _py_shingles(text: str, n: int) -> set:
+    import re
+
+    w = re.split(r"\s+", text.strip().lower())
+    return {" ".join(w[i : i + n]) for i in range(0, max(len(w) - n, 0) + 1)} - {""}
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_containment_matches_python_reference(spark, texts, max_df):
+    """containment_pairs vs a brute-force Python replay of the same
+    shingling, rare-shingle blocking, and threshold."""
+    from neo4j_graphdb_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["src"], r["dst"]): (r["n_shared"], r["containment"])
+        for r in containment_pairs(
+            df, "text", "doc_id", shingle_n=2, max_df=max_df, threshold=0.4
+        ).collect()
+    }
+    sets = {i: _py_shingles(t, 2) for i, t in enumerate(texts)}
+    dfreq: dict = {}
+    for s in sets.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    rare = {sh for sh, c in dfreq.items() if c <= max_df}
+    exp: dict = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not (sets[a] & sets[b] & rare):
+                continue
+            inter = len(sets[a] & sets[b])
+            for src, dst, sz in ((a, b, len(sets[a])), (b, a, len(sets[b]))):
+                c = inter / sz
+                if c >= 0.4:
+                    exp[(src, dst)] = (inter, round(c, 6))
+    assert got == exp
