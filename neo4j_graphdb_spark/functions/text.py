@@ -542,3 +542,42 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 32
+) -> DataFrame:
+    """C54 — per-document out-of-vocabulary rate against the corpus's
+    own ``top_n`` vocabulary (:func:`build_vocab`): the tokenizer-fit /
+    domain-shift signal a pipeline tracks per source before training
+    (a slice whose OOV rate spikes is drifting away from the
+    tokenizer). Same whitespace token contract as the rest of the NLP
+    suite.
+
+    The vocabulary is ``top_n`` rows — broadcast to the token stream,
+    so the whole pass is one explode + one broadcast join + one
+    per-document aggregation; the rate divides two exact counts.
+
+    Returns ``(id_col, n_tokens, n_oov, oov_rate)``; blank documents
+    drop out.
+    """
+    vocab = build_vocab(df, text_col, top_n=top_n).select(
+        "token", F.lit(1).alias("_in_vocab")
+    )
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        words.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )

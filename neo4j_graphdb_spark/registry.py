@@ -3006,6 +3006,42 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c54_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54 — per-document OOV rate against the corpus's own top-32
+    vocabulary (functions/text.py oov_rate): the tokenizer-fit /
+    domain-drift signal. Exact counts; the rate is one division."""
+    from neo4j_graphdb_spark.functions.text import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, "doc_id", "text", top_n=32)
+
+
+def q_rel_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REL — telemetry debounce: keep only the FIRST event of every
+    burst (same user + event type within 6 h of the previous event
+    — the lag-threshold form,
+    one window pass, the standard stream-compaction primitive).
+    Deterministic tie order (ts, event_id) in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("_prev", prev)
+        .filter(
+            F.col("_prev").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("_prev") > 21600)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+    )
+
+
 def q_a25_text_with_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25 ext — aggregating WITH + WHERE through the string front-end
     (Cypher's HAVING idiom): per-publisher article counts filtered to
@@ -3607,6 +3643,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c53_quota_sample": q_c53_quota_sample,
     "rel_outliers": q_rel_outliers,
     "a25_text_with_agg": q_a25_text_with_agg,
+    "c54_oov_rate": q_c54_oov_rate,
+    "rel_debounce": q_rel_debounce,
 }
 
 
@@ -4684,6 +4722,39 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c54_oov_rate": """
+        WITH w AS MATERIALIZED (
+            SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        v AS (
+            SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+                FROM w GROUP BY token
+            ) WHERE rk <= 32
+        )
+        SELECT w.doc_id, count(*)::bigint AS n_tokens,
+               sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::bigint AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM w LEFT JOIN v ON w.token = v.token
+        GROUP BY w.doc_id
+    """,
+    "rel_debounce": """
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR ts - prev > INTERVAL 21600 SECOND
+    """,
     "a25_text_with_agg": """
         SELECT source AS publisher, count(*)::bigint AS n
         FROM documents

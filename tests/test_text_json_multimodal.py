@@ -511,3 +511,20 @@ def test_zipf_fit_rank_ties_deterministic(spark):
     r1 = zipf_fit(df, "text", top_n=2).collect()[0]
     r2 = zipf_fit(df.repartition(7), "text", top_n=2).collect()[0]
     assert (r1["slope"], r1["intercept"]) == (r2["slope"], r2["intercept"])
+
+
+def test_oov_rate_hand_checked(spark):
+    """top_n=2 vocab is {a, b} (count desc, token asc ties): doc 3's
+    'c d' is fully OOV, doc 1 fully in-vocab, doc 2 half."""
+    from neo4j_graphdb_spark.functions.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c d"), (4, "   ")],
+        "id bigint, text string",
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(docs, "id", "text", top_n=2).collect()
+    }
+    # counts: a=2, b=2, c=2, d=1 -> vocab {a, b} (token asc tiebreak)
+    assert got == {1: (3, 0, 0.0), 2: (2, 1, 0.5), 3: (2, 2, 1.0)}
