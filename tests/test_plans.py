@@ -121,3 +121,31 @@ def test_gap_fill_scans_raw_events_once(spark, sf_dir):
     parquet."""
     plan = _plan(QUERIES["rel_gap_fill"](spark, sf_dir))
     assert plan.count("events.parquet") <= 1
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """rel_correlated_sub: Catalyst must rewrite the per-part scalar
+    subquery into an aggregate-then-join — the executed plan carries a
+    join against the pre-aggregated per-part averages and NO per-row
+    subquery node."""
+    plan = _plan(QUERIES["rel_correlated_sub"](spark, sf_dir))
+    assert "Join" in plan  # agg-then-join shape
+    assert "HashAggregate" in plan
+    assert "ScalarSubquery" not in plan and "InSubquery" not in plan
+
+
+def test_unwind_lookup_broadcasts(spark, sf_dir):
+    """a22: the UNWIND id list must reach the store scan as a broadcast
+    join, not a shuffle of the Article table."""
+    plan = _plan(QUERIES["a22_text_unwind_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_single_window_shuffle(spark, sf_dir):
+    """c48: exactly one Window node (the per-document adjacency); the
+    count tables attach as joins, not extra windows."""
+    plan = _plan(QUERIES["c48_bigram_lm"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # the adjacency window partitions by the document id
+    assert "doc_id" in next(l for l in plan.splitlines() if "Window" in l)
