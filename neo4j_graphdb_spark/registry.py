@@ -3006,6 +3006,32 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c55_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 — incremental materialized-view maintenance: the events
+    table arrives as 3 slices (event_id mod 3), each folded into the
+    stored minute rollup via a versioned-table merge
+    (operators/temporal.py incremental_rollup). decimal sums make the
+    fold associative, so 3 merges ≡ one full recompute — the identity
+    the oracle checks."""
+    from neo4j_graphdb_spark.operators.temporal import incremental_rollup
+    from neo4j_graphdb_spark.writer import TableVersions
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = TableVersions(tempfile.mkdtemp(prefix="tv_c55_"))
+    out = None
+    for i in range(3):
+        out = incremental_rollup(
+            spark, versions, ev.filter(F.col("event_id") % 3 == i)
+        )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 def q_c54_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C54 — per-document OOV rate against the corpus's own top-32
     vocabulary (functions/text.py oov_rate): the tokenizer-fit /
@@ -3645,6 +3671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a25_text_with_agg": q_a25_text_with_agg,
     "c54_oov_rate": q_c54_oov_rate,
     "rel_debounce": q_rel_debounce,
+    "c55_incremental_rollup": q_c55_incremental_rollup,
 }
 
 
@@ -4722,6 +4749,15 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c55_incremental_rollup": """
+        SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               count(*)::bigint AS n_events,
+               round(sum(CAST(value AS DECIMAL(18, 6)))::DOUBLE, 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
     "c54_oov_rate": """
         WITH w AS MATERIALIZED (
             SELECT doc_id, token FROM (

@@ -322,6 +322,12 @@ class _VersionedTable:
         return path
 
 
+# public name: the versioned-table discipline is useful beyond the graph
+# store (e.g. operators/temporal.py incremental_rollup maintains a
+# materialized rollup through the same write-next + pointer-swap commit)
+TableVersions = _VersionedTable
+
+
 class GraphStore:
     """A property-graph stored as canonical nodes/edges Parquet tables.
 

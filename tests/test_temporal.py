@@ -158,3 +158,44 @@ def test_gap_fill_leading_buckets_stay_null(spark):
     assert [r["is_observed"] for r in rows] == [True, False, True]
     mid = rows[1]
     assert mid["value_locf"] == 2.0 and mid["value_interp"] == pytest.approx(5.0)
+
+
+def test_incremental_rollup_fold_equals_recompute(spark, tmp_path):
+    """Three arbitrary slices folded into the versioned rollup equal one
+    direct aggregation — including buckets present in only one slice —
+    and each merge publishes a new version."""
+    from datetime import datetime
+
+    from neo4j_graphdb_spark.operators.temporal import incremental_rollup, time_rollup
+    from neo4j_graphdb_spark.writer import TableVersions
+
+    rows = [
+        (i, datetime(2024, 1, 1, 10, i % 3, 5 * (i % 7)), float(i) / 8)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    versions = TableVersions(str(tmp_path / "tv"))
+    v0 = versions.current_version()
+    out = None
+    for i in range(3):
+        out = incremental_rollup(spark, versions, ev.filter(F.col("event_id") % 3 == i))
+    assert versions.current_version() == v0 + 3  # one published version per merge
+
+    direct = {
+        str(r["bucket"]): (r["n_events"], float(r["_s"]), r["min_value"], r["max_value"])
+        for r in ev.groupBy(F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    got = {
+        str(r["bucket"]): (
+            r["n_events"], float(r["sum_value"]), r["min_value"], r["max_value"]
+        )
+        for r in out.collect()
+    }
+    assert got == direct
