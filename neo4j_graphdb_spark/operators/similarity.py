@@ -392,3 +392,60 @@ def quantize_int8(
         "q8",
         F.round(err, 6).alias("rmse"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 8,
+    salt: str = "rp",
+) -> DataFrame:
+    """C56 — sign-hash random projection to ``out_dim`` dimensions:
+    ``y_k = Σ_j s(k,j)·v_j / √out_dim`` with ``s(k,j) ∈ {+1,−1}`` drawn
+    from the parity of ``md5(salt:k:j)`` — the Achlioptas ±1 variant of
+    Johnson–Lindenstrauss dimensionality reduction, the standard
+    pre-ANN compression step. The projection matrix IS the hash: no RNG
+    state to ship to 1000 executors, no matrix broadcast, and the SQL
+    oracle replays every sign bit.
+
+    One narrow map stage (out_dim × dim md5 evaluations per row, all
+    JVM-side), no shuffle. The fold runs in index order via
+    ``F.aggregate``, so the float summation order is fixed — the oracle
+    folds the same order with ``list_reduce`` and matches bit-for-bit.
+    """
+    import math
+
+    v = F.col(vec_col)
+    n = F.size(v)
+    inv = 1.0 / math.sqrt(out_dim)
+
+    def _merge_fn(k: int):
+        def merge(acc, j):
+            parity = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.lit(str(k)), j.cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            sign = F.when(parity < 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return acc + F.element_at(v, j + 1).cast("double") * sign
+
+        return merge
+
+    outs = [
+        F.round(
+            F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), _merge_fn(k))
+            * F.lit(inv),
+            6,
+        ).alias(f"y{k}")
+        for k in range(out_dim)
+    ]
+    return df.select(F.col(id_col), *outs)

@@ -3006,6 +3006,71 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c56_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56 — Achlioptas ±1 random projection of the embeddings to 8
+    dims (operators/similarity.py random_projection): the JL-lemma
+    pre-ANN compression with a hash-defined projection matrix. Fixed
+    fold order makes every output bit-identical to the SQL replay."""
+    from neo4j_graphdb_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "embedding", "vec_id", out_dim=8)
+
+
+def _random_projection_oracle_sql(out_dim: int = 8, salt: str = "rp") -> str:
+    """DuckDB twin of :func:`operators.similarity.random_projection`:
+    same md5-parity sign per (k, j), same index-order left fold
+    (``list_reduce`` ≡ ``F.aggregate`` with a 0.0 seed)."""
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for k in range(out_dim):
+        sign = (
+            "CASE WHEN strpos('0123456789abcdef', substr(md5("
+            f"concat('{salt}', ':', '{k}', ':', cast(j - 1 AS varchar))"
+            "), 1, 1)) - 1 < 8 THEN 1.0 ELSE -1.0 END"
+        )
+        cols.append(
+            "round(list_reduce(list_transform(range(1, len(embedding) + 1), "
+            f"j -> embedding[j]::DOUBLE * ({sign})), (a, b) -> a + b) "
+            f"* {inv!r}, 6) AS y{k}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+def q_a26_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 ext — time travel on the versioned store: after a second
+    MERGE overwrites every 10th title, the FIRST version still reads
+    intact (``GraphStore.nodes(version=…)`` — the pointer-swap layout
+    keeps old versions addressable, Delta/Iceberg style). Joins v0
+    against current and counts changed titles; the oracle recomputes
+    the overwrite predicate directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.upper(F.substring("text", 1, 40)).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a26_"))
+    store.merge_nodes(b1, label="Article", key_col="link", prop_cols=["title"])
+    v_first = store._nodes.list_versions()[0]
+    store.merge_nodes(b2, label="Article", key_col="link", prop_cols=["title"])
+    old = store.nodes(version=v_first).select(
+        F.col("key").alias("link"), F.col("title").alias("_old")
+    )
+    cur = store.nodes().select(F.col("key").alias("link"), F.col("title").alias("_new"))
+    return old.join(cur, on="link").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum((F.col("_old") != F.col("_new")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_changed"),
+    )
+
+
 def q_c55_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C55 — incremental materialized-view maintenance: the events
     table arrives as 3 slices (event_id mod 3), each folded into the
@@ -3672,6 +3737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c54_oov_rate": q_c54_oov_rate,
     "rel_debounce": q_rel_debounce,
     "c55_incremental_rollup": q_c55_incremental_rollup,
+    "a26_time_travel": q_a26_time_travel,
+    "c56_random_projection": q_c56_random_projection,
 }
 
 
@@ -4749,6 +4816,14 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
+    "c56_random_projection": _random_projection_oracle_sql(),
+    "a26_time_travel": """
+        SELECT count(*)::bigint AS n_total,
+               sum(CASE WHEN doc_id % 10 = 0
+                         AND upper(substr(text, 1, 40)) <> substr(text, 1, 40)
+                        THEN 1 ELSE 0 END)::bigint AS n_changed
+        FROM documents
+    """,
     "c55_incremental_rollup": """
         SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
                count(*)::bigint AS n_events,

@@ -287,3 +287,20 @@ def test_containment_rare_blocking_bounds_candidates(spark):
         df, "text", "doc_id", shingle_n=3, max_df=5, threshold=0.1
     )
     assert out.count() == 0
+
+
+def test_random_projection_signs_hand_checked(spark):
+    """1-dim vectors expose each component's sign directly: it must
+    match the md5 parity the docstring promises, scaled by 1/sqrt(k)."""
+    import hashlib
+    import math
+
+    from neo4j_graphdb_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(1, [2.0]), (2, [-1.5])], "vec_id bigint, embedding array<float>")
+    rows = {r["vec_id"]: r for r in random_projection(df, "embedding", "vec_id", out_dim=4).collect()}
+    for k in range(4):
+        first_hex = hashlib.md5(f"rp:{k}:0".encode()).hexdigest()[0]
+        sign = 1.0 if int(first_hex, 16) < 8 else -1.0
+        assert rows[1][f"y{k}"] == round(sign * 2.0 / math.sqrt(4), 6)
+        assert rows[2][f"y{k}"] == round(sign * -1.5 / math.sqrt(4), 6)
