@@ -25,6 +25,9 @@ reference's statements run verbatim:
   ``WHERE a.prop = x`` compiles to a broadcast equi-join against the
   id list (one distributed job, not N round trips), and ``x`` is
   RETURN-able
+* ``MERGE … ON CREATE SET … ON MATCH SET …`` — conditional property
+  application (first-seen stamps vs update-only mutations), routed to
+  the writer's create/match prop groups
 * ``$param`` binding (A11)
 * ``WHERE alias.prop <op> ($param | number | 'literal') [AND …]`` and
   ``MATCH (n:Label {prop: $param})`` — read-side filters (extension
@@ -132,12 +135,17 @@ class _NodePattern:
     key_param: str | None = None  # $param bound to it
     set_props: dict[str, str | None] = field(default_factory=dict)
     # prop name -> param name, or None for datetime()
+    create_props: dict[str, str | None] = field(default_factory=dict)  # ON CREATE SET
+    match_props: dict[str, str | None] = field(default_factory=dict)  # ON MATCH SET
 
 
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"(?<![.$\w])(DELETE|REMOVE|CREATE|FOREACH|DETACH|CALL|UNION)\b",
+    # `(?<!ON )` exempts the ON CREATE SET clause marker (statements are
+    # whitespace-normalized to single spaces before this scan); a bare
+    # CREATE statement still rejects
+    r"(?<![.$\w])(DELETE|REMOVE|(?<!ON )CREATE|FOREACH|DETACH|CALL|UNION)\b",
     re.IGNORECASE,
 )
 
@@ -357,7 +365,40 @@ def _run_write(
     edges: list[tuple[str, str, str]] = []  # (src_alias, rel_type, dst_alias)
     returns: list[str] = []
 
-    for c in clauses:
+    # `ON CREATE SET …` / `ON MATCH SET …` markers get cut up by the
+    # clause splitter: CREATE is not a clause keyword, so `ON CREATE`
+    # ends the previous body; MATCH is, so the previous body ends with a
+    # bare `ON` followed by an EMPTY MATCH clause. Normalize both into a
+    # mode tag on the following SET clause.
+    set_modes: dict[int, str] = {}
+    stripped: list[_Clause] = []
+    i = 0
+    while i < len(clauses):
+        c = clauses[i]
+        mc = re.search(r"\bON\s+CREATE\s*$", c.body, re.IGNORECASE)
+        mm = re.search(r"\bON\s*$", c.body, re.IGNORECASE)
+        if mc:
+            stripped.append(_Clause(c.kind, c.body[: mc.start()].rstrip()))
+            set_modes[len(stripped)] = "CREATE"
+            i += 1
+        elif (
+            mm
+            and i + 1 < len(clauses)
+            and clauses[i + 1].kind == "MATCH"
+            and not clauses[i + 1].body.strip()
+        ):
+            stripped.append(_Clause(c.kind, c.body[: mm.start()].rstrip()))
+            set_modes[len(stripped)] = "MATCH"
+            i += 2  # the empty MATCH clause was the marker's second half
+        else:
+            stripped.append(c)
+            i += 1
+    clauses = stripped
+    for idx, mode in set_modes.items():
+        if idx >= len(clauses) or clauses[idx].kind != "SET":
+            raise CypherUnsupported(f"ON {mode} must be followed by SET")
+
+    for ci, c in enumerate(clauses):
         if c.kind == "MERGE":
             m = _REL_RE.match(c.body)
             if m:
@@ -390,6 +431,7 @@ def _run_write(
             nodes[np.alias] = np
             node_order.append(np.alias)
         elif c.kind == "SET":
+            mode = set_modes.get(ci)
             for item in _split_top_commas(c.body):
                 m = _SET_ITEM_RE.match(item)
                 if not m:
@@ -397,7 +439,12 @@ def _run_write(
                 np = nodes.get(m.group("alias"))
                 if np is None:
                     raise CypherUnsupported(f"SET on unbound alias: {item!r}")
-                np.set_props[m.group("prop")] = m.group("param")  # None for datetime()
+                target = {
+                    None: np.set_props,
+                    "CREATE": np.create_props,
+                    "MATCH": np.match_props,
+                }[mode]
+                target[m.group("prop")] = m.group("param")  # None for datetime()
         elif c.kind == "WITH":
             for item in _split_top_commas(c.body):
                 if item not in nodes:
@@ -411,16 +458,34 @@ def _run_write(
     total = WriteSummary()
     for alias in node_order:
         np = nodes[alias]
+        # a prop set identically in BOTH branches is just an
+        # unconditional SET (created rows have no old value to keep, so
+        # the coalesce semantics coincide); different values per branch
+        # would need two batch columns — out of the subset
+        for prop in sorted(set(np.create_props) & set(np.match_props)):
+            if np.create_props[prop] == np.match_props[prop]:
+                np.set_props[prop] = np.create_props.pop(prop)
+                np.match_props.pop(prop)
+            else:
+                raise CypherUnsupported(
+                    f"{prop!r} takes different values in ON CREATE and ON MATCH"
+                )
         cols = [F.col(np.key_param).alias(np.key_prop)]
-        prop_cols = []
-        for prop, param in np.set_props.items():
-            cols.append(
-                (F.current_timestamp() if param is None else F.col(param)).alias(prop)
-            )
-            prop_cols.append(prop)
+        group_cols: dict[str, list[str]] = {}
+        for group, props in (
+            ("prop_cols", np.set_props),
+            ("create_prop_cols", np.create_props),
+            ("match_prop_cols", np.match_props),
+        ):
+            names = []
+            for prop, param in props.items():
+                cols.append(
+                    (F.current_timestamp() if param is None else F.col(param)).alias(prop)
+                )
+                names.append(prop)
+            group_cols[group] = names
         total = total + store.merge_nodes(
-            pdf.select(*cols), label=np.label, key_col=np.key_prop,
-            prop_cols=prop_cols,
+            pdf.select(*cols), label=np.label, key_col=np.key_prop, **group_cols
         )
     for sa, rel_type, da in edges:
         s, d = nodes[sa], nodes[da]

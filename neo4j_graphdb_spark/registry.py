@@ -3006,6 +3006,40 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a27_text_on_create_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 ext — ``ON CREATE SET`` / ``ON MATCH SET`` through the
+    string front-end: batch 1 stamps ``origin='b1'`` on create; batch 2
+    re-merges every 10th article with ``ON CREATE SET origin='b2'``
+    (must NOT apply — they all exist) and ``ON MATCH SET`` an uppercase
+    title (must apply). Final state proves both conditions routed
+    correctly (operators/cypher_text.py + writer.py conditional prop
+    groups)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+        F.lit("b1").alias("origin"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.upper(F.substring("text", 1, 40)).alias("title"),
+        F.lit("b2").alias("origin"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a27_"))
+    stmt = (
+        "MERGE (a:Article {link: $link}) "
+        "ON CREATE SET a.origin = $origin, a.title = $title "
+        "ON MATCH SET a.title = $title"
+    )
+    run_cypher(spark, stmt, b1, store=store)
+    run_cypher(spark, stmt, b2, store=store)
+    return store.nodes().select(
+        F.col("key").alias("link"), "title", "origin"
+    )
+
+
 def q_c56_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C56 — Achlioptas ±1 random projection of the embeddings to 8
     dims (operators/similarity.py random_projection): the JL-lemma
@@ -3739,6 +3773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c55_incremental_rollup": q_c55_incremental_rollup,
     "a26_time_travel": q_a26_time_travel,
     "c56_random_projection": q_c56_random_projection,
+    "a27_text_on_create_match": q_a27_text_on_create_match,
 }
 
 
@@ -4817,6 +4852,14 @@ ORACLES: dict[str, str] = {
     "c46_betweenness": _betweenness_oracle_sql(),
     "c47_modularity": _modularity_oracle_sql(),
     "c56_random_projection": _random_projection_oracle_sql(),
+    "a27_text_on_create_match": """
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               CASE WHEN doc_id % 10 = 0
+                    THEN upper(substr(text, 1, 40))
+                    ELSE substr(text, 1, 40) END AS title,
+               'b1' AS origin
+        FROM documents
+    """,
     "a26_time_travel": """
         SELECT count(*)::bigint AS n_total,
                sum(CASE WHEN doc_id % 10 = 0

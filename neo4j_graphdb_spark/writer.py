@@ -373,6 +373,8 @@ class GraphStore:
         key_col: str,
         prop_cols: list[str] | None = None,
         order_col: str | None = None,
+        create_prop_cols: list[str] | None = None,
+        match_prop_cols: list[str] | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (n:label {key}) SET n.p1=…, n.p2=…``.
 
@@ -380,9 +382,28 @@ class GraphStore:
         writer wins, as the reference's sequential per-record loop would);
         without it the key column itself orders the tie-break
         deterministically.
+
+        ``create_prop_cols`` / ``match_prop_cols`` are Cypher's
+        ``ON CREATE SET`` / ``ON MATCH SET``: the column applies only to
+        rows this merge CREATES (resp. rows that already existed) —
+        first-seen stamps and update-only mutations in one batch pass.
+        A column may appear in only one of the three prop lists.
         """
         prop_cols = prop_cols or []
-        carry = prop_cols + ([order_col] if order_col and order_col not in prop_cols else [])
+        create_prop_cols = create_prop_cols or []
+        match_prop_cols = match_prop_cols or []
+        groups = [set(prop_cols), set(create_prop_cols), set(match_prop_cols)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if groups[i] & groups[j]:
+                    raise ValueError(
+                        f"prop column(s) {sorted(groups[i] & groups[j])} appear "
+                        "in more than one of prop_cols/create_prop_cols/match_prop_cols"
+                    )
+        all_prop_cols = prop_cols + create_prop_cols + match_prop_cols
+        carry = all_prop_cols + (
+            [order_col] if order_col and order_col not in all_prop_cols else []
+        )
         incoming = as_nodes(updates, label, key_col, carry)
 
         # within-batch last-writer-wins (B8 in-batch dedup). Rows sharing a
@@ -390,8 +411,8 @@ class GraphStore:
         # (a hash of the property values) to stay deterministic when no
         # order_col is given.
         content_tiebreak = F.xxhash64(
-            *[F.col(c).cast("string") for c in prop_cols]
-        ) if prop_cols else F.lit(0)
+            *[F.col(c).cast("string") for c in all_prop_cols]
+        ) if all_prop_cols else F.lit(0)
         order = (
             [F.col(order_col).desc()] if order_col else []
         ) + [content_tiebreak.desc()]
@@ -414,14 +435,22 @@ class GraphStore:
 
         existing = self._nodes.read(self.spark)
         if existing is None:
-            merged = incoming.persist()
+            # fresh store: every row is CREATED — ON CREATE props apply as
+            # plain columns, ON MATCH props cannot apply (no prior row)
+            merged = incoming
+            for c in match_prop_cols:
+                merged = merged.withColumn(
+                    c, F.lit(None).cast(incoming.schema[c].dataType)
+                )
+            merged = merged.persist()
+            counted = prop_cols + create_prop_cols
             # one action for both counters (created + non-null prop cells)
             row = merged.agg(
                 F.count(F.lit(1)).alias("_created"),
-                *[F.count(F.col(c)).alias(c) for c in prop_cols],
+                *[F.count(F.col(c)).alias(c) for c in counted],
             ).collect()[0]
             created = int(row["_created"])
-            props_set = int(sum(row[c] for c in prop_cols))
+            props_set = int(sum(row[c] for c in counted))
             self._nodes.write_next(merged, partition_by=["label", BUCKET_COL])
             merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
@@ -455,25 +484,46 @@ class GraphStore:
         # Persisted so the counter pass and the write pass execute the join
         # once — at 100 TB re-running the merge join doubles write cost.
         joined = old.join(new, on=NODE_ID, how="full_outer").persist()
+        is_created = F.col("old.label").isNull()
+
+        def _prop_expr(c: str):
+            if c in create_prop_cols:
+                # ON CREATE SET: only rows this merge creates take the value
+                return F.when(is_created, F.col(f"new.{c}")).otherwise(
+                    F.col(f"old.{c}")
+                )
+            if c in match_prop_cols:
+                # ON MATCH SET: only pre-existing rows take it (with the
+                # usual NULL-keeps-old coalesce); created rows stay bare
+                return F.when(
+                    ~is_created, F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
+                ).otherwise(F.col(f"old.{c}"))
+            return F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
+
         merged = joined.select(
             F.col(NODE_ID),
             F.coalesce(F.col("new.label"), F.col("old.label")).alias("label"),
             F.coalesce(F.col("new.key"), F.col("old.key")).alias("key"),
-            *[
-                F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
-                for c in all_props
-            ],
+            *[_prop_expr(c).alias(c) for c in all_props],
         ).withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+
+        def _prop_count(c: str):
+            if c in create_prop_cols:
+                return F.count(F.when(is_created, F.col(f"new.{c}")))
+            if c in match_prop_cols:
+                return F.count(F.when(~is_created, F.col(f"new.{c}")))
+            return F.count(F.col(f"new.{c}"))
 
         # one action computes both counters from the persisted join; the
         # non-null new.* cells equal the deduped incoming cells, so this
         # avoids re-executing the incoming plan just to count it
+        counted = prop_cols + create_prop_cols + match_prop_cols
         row = joined.agg(
             F.count(F.when(F.col("old.label").isNull(), F.lit(1))).alias("_created"),
-            *[F.count(F.col(f"new.{c}")).alias(c) for c in prop_cols],
+            *[_prop_count(c).alias(c) for c in counted],
         ).collect()[0]
         created = int(row["_created"])
-        props_set = int(sum(row[c] for c in prop_cols))
+        props_set = int(sum(row[c] for c in counted))
         if bucketed:
             self._nodes.write_next_partial(
                 merged, ["label", BUCKET_COL], [(label, b) for b in buckets]

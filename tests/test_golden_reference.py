@@ -686,3 +686,37 @@ def test_text_with_aggregation_having(spark, text_store):
             "WITH p.name AS pub, count(*) AS n RETURN a.title",
             store=text_store,
         )
+
+
+def test_text_on_create_on_match(spark, tmp_path):
+    """ON CREATE SET applies only to rows the merge creates; ON MATCH
+    SET only to pre-existing rows, with the usual NULL-keeps-old
+    coalesce. Counters count only the applied cells."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "ocm"))
+    stmt = (
+        "MERGE (a:Article {link: $link}) "
+        "ON CREATE SET a.origin = $origin ON MATCH SET a.title = $title"
+    )
+    r1 = run_cypher(
+        spark, stmt, {"link": "l1", "origin": "first", "title": "T1"}, store=s
+    )
+    assert r1.summary.nodes_created == 1
+    assert r1.summary.properties_set == 1  # origin only; ON MATCH skipped
+    row = {r["key"]: r for r in s.nodes().collect()}["l1"]
+    assert row["origin"] == "first" and row["title"] is None
+
+    r2 = run_cypher(
+        spark, stmt, {"link": "l1", "origin": "second", "title": "T2"}, store=s
+    )
+    assert r2.summary.nodes_created == 0
+    assert r2.summary.properties_set == 1  # title only; ON CREATE skipped
+    row = {r["key"]: r for r in s.nodes().collect()}["l1"]
+    assert row["origin"] == "first" and row["title"] == "T2"
+
+    with pytest.raises(CypherUnsupported):  # ON CREATE must precede a SET
+        run_cypher(
+            spark, "MERGE (a:Article {link: $l}) ON CREATE RETURN a",
+            {"l": "x"}, store=s,
+        )
