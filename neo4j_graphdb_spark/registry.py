@@ -785,11 +785,14 @@ def q_a11_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a19_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A19 ext — small-file compaction (the store's OPTIMIZE) through
     the value gate: ingest the documents in FOUR separate MERGE batches
-    (each rewrite leaves its own small files), compact to one file per
-    partition value, and prove the read-back is row-identical — the
-    oracle is simply the expected document projection. Also asserts the
-    file count actually shrank, so the entry fails if compaction becomes
-    a no-op."""
+    under a tiny ``maxRecordsPerFile`` (merge writes cluster one file
+    per bucket leaf since the small-files fix, so fragmentation is
+    induced the way it actually happens at scale — oversized-leaf
+    splits and many-batch churn), compact to one file per partition
+    value, and prove the read-back is row-identical — the oracle is
+    simply the expected document projection. Also asserts the file
+    count actually shrank, so the entry fails if compaction becomes a
+    no-op."""
     import glob as _glob
 
     docs = load_table(spark, sf_dir, "documents")
@@ -799,13 +802,18 @@ def q_a19_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).alias("_batch"),
     )
     store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a19_"))
-    for i in range(4):
-        store.merge_nodes(
-            b.filter(F.col("_batch") == i).drop("_batch"),
-            label="Article",
-            key_col="link",
-            prop_cols=["title"],
-        )
+    prev_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "8")
+    try:
+        for i in range(4):
+            store.merge_nodes(
+                b.filter(F.col("_batch") == i).drop("_batch"),
+                label="Article",
+                key_col="link",
+                prop_cols=["title"],
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev_mrpf)
 
     def _n_files() -> int:
         cur = store._nodes.current_path()
