@@ -449,3 +449,34 @@ def random_projection(
         for k in range(out_dim)
     ]
     return df.select(F.col(id_col), *outs)
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """C57 — recall@k of an approximate-nearest-neighbor result against
+    the exact top-k: the evaluation harness every ANN deployment runs
+    before trusting an index ("measure, don't guess" — the recall/QPS
+    trade-off is the whole point of LSH/IVF tuning). One broadcast-sized
+    join keyed on (query, id) and a per-query aggregation; both inputs
+    here are deterministic, so the measured recall itself is
+    value-checkable cross-engine.
+
+    Returns ``(query_col, n_exact, n_hit, recall)`` per query.
+    """
+    hit = approx.select(
+        F.col(query_col), F.col(id_col), F.lit(1).alias("_hit")
+    )
+    return (
+        exact.select(query_col, id_col)
+        .join(hit, on=[query_col, id_col], how="left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
+    )

@@ -3014,6 +3014,23 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c57_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 — recall@5 of the LSH ANN index against the exact cosine
+    top-5 on the same 5 queries (operators/similarity.py ann_recall):
+    the evaluation pass an ANN deployment runs before trusting its
+    index. Both sides are deterministic, so the measured recall is
+    value-checked — the oracle composes the exact and LSH replays."""
+    from neo4j_graphdb_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_cosine_topk(emb, queries, dim=64, k=5, num_tables=4, num_bits=8)
+    return ann_recall(exact, approx)
+
+
 def q_a27_text_on_create_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A27 ext — ``ON CREATE SET`` / ``ON MATCH SET`` through the
     string front-end: batch 1 stamps ``origin='b1'`` on create; batch 2
@@ -3614,6 +3631,43 @@ def _modularity_oracle_sql() -> str:
     """
 
 
+def _ann_recall_oracle_sql() -> str:
+    """DuckDB twin of c57: the exact cosine top-5 CTE left-joined
+    against the full LSH ANN replay, recall per query."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> cast(x AS double)) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ),
+        c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(q.qv, c.cv) AS cos
+            FROM q CROSS JOIN c
+        ),
+        ex AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        ),
+        ann AS MATERIALIZED (SELECT * FROM ({_lsh_ann_oracle_sql()}) t)
+        SELECT e.query_id, count(*)::bigint AS n_exact,
+               sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_hit,
+               round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS recall
+        FROM ex e
+        LEFT JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    """
+
+
 def _walk_pairs_oracle_sql() -> str:
     """Skip-gram twin: the full :func:`_walks_oracle_sql` replay wrapped
     as one CTE, self-joined on walk position with 0 < |Δstep| ≤ 2."""
@@ -3782,6 +3836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a26_time_travel": q_a26_time_travel,
     "c56_random_projection": q_c56_random_projection,
     "a27_text_on_create_match": q_a27_text_on_create_match,
+    "c57_ann_recall": q_c57_ann_recall,
 }
 
 
@@ -4187,6 +4242,7 @@ ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 5
     """,
     "c9_lsh_ann": _lsh_ann_oracle_sql(),
+    "c57_ann_recall": _ann_recall_oracle_sql(),
     "c9_ivf_kmeans": _ivf_kmeans_oracle_sql(),
     "c9_ivf_topk": """
         WITH c AS MATERIALIZED (

@@ -304,3 +304,21 @@ def test_random_projection_signs_hand_checked(spark):
         sign = 1.0 if int(first_hex, 16) < 8 else -1.0
         assert rows[1][f"y{k}"] == round(sign * 2.0 / math.sqrt(4), 6)
         assert rows[2][f"y{k}"] == round(sign * -1.5 / math.sqrt(4), 6)
+
+
+def test_ann_recall_hand_checked(spark):
+    """Recall counts exact-set hits: 2 of 3 approx ids correct for q1,
+    full miss for q2."""
+    from neo4j_graphdb_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "query_id bigint, vec_id bigint"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 98)], "query_id bigint, vec_id bigint"
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann_recall(exact, approx).collect()
+    }
+    assert got == {1: (3, 2, round(2 / 3, 6)), 2: (1, 0, 0.0)}
