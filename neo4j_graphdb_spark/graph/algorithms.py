@@ -1024,3 +1024,25 @@ def neighbor_degree_stats(edges: DataFrame) -> DataFrame:
             F.max("_nd").cast("bigint").alias("max_nbr_degree"),
         )
     )
+
+
+def landmark_eccentricity(
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 4,
+) -> DataFrame:
+    """C58 — per-node eccentricity lower bounds from the landmark BFS
+    (max distance to any reached landmark); the max over all nodes
+    lower-bounds the graph diameter — the standard cheap diameter
+    estimate (iFUB's starting bound) at O(V·k) state, where the exact
+    eccentricity is all-pairs and off the table. Shares
+    :func:`_landmark_distances` with closeness/betweenness — one BFS
+    feeds three centralities.
+
+    Returns ``(id, n_reached, ecc_lb)``.
+    """
+    dist = _landmark_distances(edges, n_landmarks, max_hops)
+    return dist.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.max("dist").cast("bigint").alias("ecc_lb"),
+    )

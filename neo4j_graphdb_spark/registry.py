@@ -3014,6 +3014,33 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c58_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58 — landmark eccentricity lower bounds on the c44 hierarchy
+    graph (graph/algorithms.py landmark_eccentricity): max distance to
+    a reached landmark per node; the global max lower-bounds the
+    diameter. Same BFS, same oracle CTE chain, pure integer output."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_eccentricity
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    base = cu.unionByName(su).unionByName(na)
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = landmark_eccentricity(sym, n_landmarks=8, max_hops=4)
+    return out.select(F.col("id").alias("node"), "n_reached", "ecc_lb")
+
+
 def q_c57_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C57 — recall@5 of the LSH ANN index against the exact cosine
     top-5 on the same 5 queries (operators/similarity.py ann_recall):
@@ -3837,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c56_random_projection": q_c56_random_projection,
     "a27_text_on_create_match": q_a27_text_on_create_match,
     "c57_ann_recall": q_c57_ann_recall,
+    "c58_eccentricity": q_c58_eccentricity,
 }
 
 
@@ -4914,6 +4942,11 @@ ORACLES: dict[str, str] = {
     "a19_store_compact": _ARTICLES_SQL,
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
+    "c58_eccentricity": f"""{_landmark_bfs_ctes()}
+        SELECT id AS node, count(*)::bigint AS n_reached,
+               max(dist)::bigint AS ecc_lb
+        FROM mind GROUP BY id
+    """,
     "c47_modularity": _modularity_oracle_sql(),
     "c56_random_projection": _random_projection_oracle_sql(),
     "a27_text_on_create_match": """

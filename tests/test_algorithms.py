@@ -554,3 +554,19 @@ def test_neighbor_degree_stats_star(spark):
     assert got["x"] == (3, 1.0, 1)
     for leaf in ("l1", "l2", "l3"):
         assert got[leaf] == (1, 3.0, 3)
+
+
+def test_landmark_eccentricity_path(spark):
+    """Path a-b-c-d, all nodes landmarks: ecc lower bound equals the
+    true eccentricity (3, 2, 2, 3)."""
+    from neo4j_graphdb_spark.graph.algorithms import landmark_eccentricity
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["ecc_lb"]
+        for r in landmark_eccentricity(edges, n_landmarks=4, max_hops=4).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 3}
