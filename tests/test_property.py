@@ -465,3 +465,84 @@ def test_containment_matches_python_reference(spark, texts, max_df):
                 if c >= 0.4:
                     exp[(src, dst)] = (inter, round(c, 6))
     assert got == exp
+
+
+@given(small_sym_graphs(), st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_modularity_matches_python_reference(spark, edges, n_comms):
+    """modularity vs a direct Python evaluation of Newman's formula on
+    random graphs with hash-assigned communities."""
+    from neo4j_graphdb_spark.graph.algorithms import modularity
+
+    if not edges:  # Q undefined at m=0 (all sampled pairs were loops)
+        return
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    nodes = sorted({x for e in edges for x in e})
+    assign = {v: int(hashlib.md5(v.encode()).hexdigest(), 16) % n_comms for v in nodes}
+    comm = spark.createDataFrame(
+        [(v, c) for v, c in assign.items()], "id string, lbl int"
+    )
+    row = modularity(sdf, comm).collect()[0]
+
+    und = {tuple(sorted(e)) for e in edges}
+    m = len(und)
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lc: dict = {}
+    dc: dict = {}
+    for a, b in und:
+        if assign[a] == assign[b]:
+            lc[assign[a]] = lc.get(assign[a], 0) + 1
+    for v, d in deg.items():
+        dc[assign[v]] = dc.get(assign[v], 0) + d
+    s1 = sum(lc.values())
+    s2 = sum(d * d for d in dc.values())
+    q = (4 * m * s1 - s2) / (4.0 * m * m)
+    assert row["m"] == m and row["intra_edges"] == s1
+    assert row["modularity"] == q  # bit-identical: same integer formula
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=5).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_lm_matches_python_reference(spark, texts):
+    """bigram_lm_score vs a pure-Python bigram model over the same
+    corpus (same tokenization, same prefix counts)."""
+    import math
+
+    import pytest
+
+    from neo4j_graphdb_spark.functions.text import bigram_lm_score
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id bigint, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_score(df, "id", "text").collect()
+    }
+    toks = {
+        i: [w for w in t.strip().lower().split() if w] for i, t in enumerate(texts)
+    }
+    c2: dict = {}
+    c1: dict = {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    exp = {}
+    for i, ws in toks.items():
+        bis = list(zip(ws, ws[1:]))
+        if not bis:
+            continue
+        lp = sum(math.log(c2[p] / c1[p[0]]) for p in bis) / len(bis)
+        exp[i] = (len(bis), round(lp, 6))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6)
