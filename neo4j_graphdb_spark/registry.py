@@ -3014,6 +3014,41 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c59_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 — JSONL corpus interchange: export the documents as sharded
+    JSONL (sources/datafmt.py write_jsonl), read them back with an
+    explicit schema, and return the projection — the oracle is the
+    original table, so the round trip is value-checked column by
+    column."""
+    from neo4j_graphdb_spark.sources.datafmt import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_c59_")
+    write_jsonl(docs, path, n_shards=4)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, source string, lang string, text string"
+    )
+    return back.select("doc_id", "source", "lang", "text")
+
+
+def q_c60_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60 — WebDataset-style shard packaging: deterministic md5 shard
+    assignment, one tar archive per shard built in ``applyInPandas``
+    (stdlib tarfile, zeroed headers → deterministic bytes), then the
+    member inventory exploded back out via ``mapInPandas``. The oracle
+    replays the shard hash, member names, byte sizes, and payload md5s
+    — the full round trip, byte-checked."""
+    from neo4j_graphdb_spark.operators.multimodal import synthetic_media
+    from neo4j_graphdb_spark.sources.datafmt import pack_tar_shards, unpack_tar_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs, "doc_id", "text")
+    shards = pack_tar_shards(media, n_shards=4)
+    return unpack_tar_shards(shards)
+
+
 def q_c58_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C58 — landmark eccentricity lower bounds on the c44 hierarchy
     graph (graph/algorithms.py landmark_eccentricity): max distance to
@@ -3865,6 +3900,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a27_text_on_create_match": q_a27_text_on_create_match,
     "c57_ann_recall": q_c57_ann_recall,
     "c58_eccentricity": q_c58_eccentricity,
+    "c59_jsonl_roundtrip": q_c59_jsonl_roundtrip,
+    "c60_tar_shards": q_c60_tar_shards,
 }
 
 
@@ -4942,6 +4979,14 @@ ORACLES: dict[str, str] = {
     "a19_store_compact": _ARTICLES_SQL,
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
+    "c59_jsonl_roundtrip": "SELECT doc_id, source, lang, text FROM documents",
+    "c60_tar_shards": f"""
+        SELECT ({_MD5_60_SQL.format(x="cast(doc_id AS varchar)")}) % 4 AS shard,
+               concat(cast(doc_id AS varchar), '.bin') AS member,
+               strlen(text)::bigint AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
     "c58_eccentricity": f"""{_landmark_bfs_ctes()}
         SELECT id AS node, count(*)::bigint AS n_reached,
                max(dist)::bigint AS ecc_lb

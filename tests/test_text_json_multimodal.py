@@ -528,3 +528,32 @@ def test_oov_rate_hand_checked(spark):
     }
     # counts: a=2, b=2, c=2, d=1 -> vocab {a, b} (token asc tiebreak)
     assert got == {1: (3, 0, 0.0), 2: (2, 1, 0.5), 3: (2, 2, 1.0)}
+
+
+def test_tar_shards_deterministic_and_round_trip(spark):
+    """Shard tar BYTES are identical across runs/partitionings (zeroed
+    headers, sorted members), and the unpack inventory matches the
+    input payloads."""
+    import hashlib
+
+    from neo4j_graphdb_spark.operators.multimodal import synthetic_media
+    from neo4j_graphdb_spark.sources.datafmt import pack_tar_shards, unpack_tar_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(9)], "doc_id long, text string"
+    )
+    media = synthetic_media(docs, "doc_id", "text")
+    s1 = {r["shard"]: bytes(r["tar"]) for r in pack_tar_shards(media, n_shards=3).collect()}
+    s2 = {
+        r["shard"]: bytes(r["tar"])
+        for r in pack_tar_shards(media.repartition(5), n_shards=3).collect()
+    }
+    assert s1 == s2  # byte-identical archives
+
+    inv = {
+        r["member"]: (r["n_bytes"], r["payload_md5"])
+        for r in unpack_tar_shards(pack_tar_shards(media, n_shards=3)).collect()
+    }
+    for i in range(9):
+        text = f"payload {i}".encode()
+        assert inv[f"{i}.bin"] == (len(text), hashlib.md5(text).hexdigest())
