@@ -3014,6 +3014,20 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c61_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61 — Z-order clustering codes over lineitem's (orderkey,
+    partkey) bucket ids (operators/sampling.py zorder_layout): the
+    Morton interleave that makes file min/max stats selective on both
+    keys. The oracle recomputes every interleaved bit."""
+    from neo4j_graphdb_spark.operators.sampling import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    out = zorder_layout(li, "l_orderkey", "l_partkey", bits=8, n_files=8)
+    return out.select("l_orderkey", "l_partkey", "l_linenumber", "zorder")
+
+
 def q_c59_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C59 — JSONL corpus interchange: export the documents as sharded
     JSONL (sources/datafmt.py write_jsonl), read them back with an
@@ -3902,6 +3916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c58_eccentricity": q_c58_eccentricity,
     "c59_jsonl_roundtrip": q_c59_jsonl_roundtrip,
     "c60_tar_shards": q_c60_tar_shards,
+    "c61_zorder": q_c61_zorder,
 }
 
 
@@ -4980,6 +4995,15 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c59_jsonl_roundtrip": "SELECT doc_id, source, lang, text FROM documents",
+    "c61_zorder": (
+        "SELECT l_orderkey, l_partkey, l_linenumber, ("
+        + " + ".join(
+            f"((((l_orderkey % 256) >> {i}) & 1) << {2 * i})"
+            f" + ((((l_partkey % 256) >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        )
+        + ")::bigint AS zorder FROM lineitem"
+    ),
     "c60_tar_shards": f"""
         SELECT ({_MD5_60_SQL.format(x="cast(doc_id AS varchar)")}) % 4 AS shard,
                concat(cast(doc_id AS varchar), '.bin') AS member,

@@ -260,3 +260,34 @@ def test_quota_sample_exact_quotas_and_determinism(spark):
     a = sorted(r["k"] for r in out.collect())
     b = sorted(r["k"] for r in quota_sample(df.repartition(13), ["s"], "k", 10).collect())
     assert a == b
+
+
+def test_zorder_morton_hand_checked(spark):
+    """Morton interleave of known bit patterns: (a=0b11, b=0b01) ->
+    z = a0*1 + b0*2 + a1*4 + b1*8 = 1 + 2 + 4 + 0 = 7; clustering keeps
+    z nondecreasing within each output partition."""
+    from neo4j_graphdb_spark.operators.sampling import zorder_layout
+
+    df = spark.createDataFrame(
+        [(3, 1, 1), (0, 0, 2), (255, 255, 3)], "a bigint, b bigint, id bigint"
+    )
+    out = {r["id"]: r["zorder"] for r in zorder_layout(df, "a", "b", bits=8).collect()}
+    assert out[2] == 0
+    assert out[1] == 7
+    assert out[3] == (1 << 16) - 1  # all 16 interleaved bits set
+
+    from pyspark.sql import functions as F2
+
+    big = spark.createDataFrame(
+        [(i * 37 % 256, i * 91 % 256, i) for i in range(500)],
+        "a bigint, b bigint, id bigint",
+    )
+    z = zorder_layout(big, "a", "b", bits=8, n_files=4)
+    nondecreasing = z.select(
+        (F2.col("zorder") >= F2.lag("zorder").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy(F2.spark_partition_id()).orderBy(F2.monotonically_increasing_id())
+        )).alias("ok")
+    )
+    bad = nondecreasing.filter(F2.col("ok") == False).count()  # noqa: E712
+    assert bad == 0
