@@ -152,7 +152,7 @@ _UNSUPPORTED_KEYWORDS = re.compile(
 # one WHERE conjunct: alias.prop <op> ($param | signed number | 'masked
 # string literal' — by parse time literals are \x00<i>\x00 sentinels)
 _WHERE_ITEM_RE = re.compile(
-    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*"
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>|[Ii][Nn]\b)\s*"
     r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\w+)$"
 )
 
@@ -782,6 +782,14 @@ def _run_read(
                 # keeps every edge column except src/dst)
                 if prop not in df.columns:
                     raise CypherUnsupported(f"unknown relationship property {prop!r}")
+                if op.upper() == "IN":
+                    vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+                    if not isinstance(vals, list) or not vals:
+                        raise CypherUnsupported(
+                            f"IN needs a non-empty list param, got {raw!r}"
+                        )
+                    df = df.filter(F.col(prop).isin(*vals))
+                    continue
                 df = df.filter(
                     _OPS[op](F.col(prop), F.lit(_where_value(raw, lits, params)))
                 )
@@ -796,6 +804,17 @@ def _run_read(
                 F.broadcast(unwind_frame),
                 _prop_col(df, aliases[alias], prop) == unwind_frame[unwind_name],
             )
+            continue
+        if op.upper() == "IN":
+            # `prop IN $list` — a pushdown-friendly In filter; the list
+            # must be a scalar param (Cypher's literal-list form would
+            # arrive masked and is out of the subset)
+            vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+            if not isinstance(vals, list) or not vals:
+                raise CypherUnsupported(
+                    f"IN needs a non-empty list param, got {raw!r}"
+                )
+            df = df.filter(_prop_col(df, aliases[alias], prop).isin(*vals))
             continue
         if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
             raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")

@@ -3014,6 +3014,34 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a28_text_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 ext — ``WHERE a.lang IN $langs`` through the string
+    front-end: the list param compiles to a pushdown-friendly ``isin``
+    filter (operators/cypher_text.py)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("lang").alias("lang"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a28_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.lang = $lang",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.lang IN $langs "
+        "RETURN a.link AS link, a.lang AS lang",
+        {"langs": ["de", "fr"]},
+        store=store,
+    )
+    return res.df
+
+
 def q_c61_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C61 — Z-order clustering codes over lineitem's (orderkey,
     partkey) bucket ids (operators/sampling.py zorder_layout): the
@@ -3917,6 +3945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c59_jsonl_roundtrip": q_c59_jsonl_roundtrip,
     "c60_tar_shards": q_c60_tar_shards,
     "c61_zorder": q_c61_zorder,
+    "a28_text_in_list": q_a28_text_in_list,
 }
 
 
@@ -4995,6 +5024,10 @@ ORACLES: dict[str, str] = {
     "c44_closeness": _closeness_oracle_sql(),
     "c46_betweenness": _betweenness_oracle_sql(),
     "c59_jsonl_roundtrip": "SELECT doc_id, source, lang, text FROM documents",
+    "a28_text_in_list": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
+        "FROM documents WHERE lang IN ('de', 'fr')"
+    ),
     "c61_zorder": (
         "SELECT l_orderkey, l_partkey, l_linenumber, ("
         + " + ".join(

@@ -720,3 +720,27 @@ def test_text_on_create_on_match(spark, tmp_path):
             spark, "MERGE (a:Article {link: $l}) ON CREATE RETURN a",
             {"l": "x"}, store=s,
         )
+
+
+def test_text_in_list_predicate(spark, text_store):
+    """WHERE a.title IN $list filters by membership; empty or missing
+    list params reject."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    wanted = [ARTICLES[0][1], ARTICLES[2][1], "no such title"]
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title IN $ts RETURN a.title AS title",
+        {"ts": wanted},
+        store=text_store,
+    )
+    got = sorted(r["title"] for r in res.df.collect())
+    assert got == sorted([ARTICLES[0][1], ARTICLES[2][1]])
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE a.title IN $ts RETURN a.title AS t",
+            {"ts": []},
+            store=text_store,
+        )
