@@ -1046,3 +1046,30 @@ def landmark_eccentricity(
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
         F.max("dist").cast("bigint").alias("ecc_lb"),
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """C62 — log2-binned degree distribution: the first profiling look
+    at any graph (a straight line over these bins ≈ power law; a bulge
+    says hubs or near-bipartite structure — which decides skew
+    strategy for every downstream join). Bin = ⌊log2(degree)⌋ computed
+    as binary-digit count minus one — integer string algebra, not
+    floating log, so bin edges are exact and engine-agnostic
+    (``log(8)/log(2)`` can land below 3.0 in IEEE and misbin every
+    power of two).
+
+    Returns ``(bin, n_nodes, min_degree, max_degree)``.
+    """
+    d = degrees(edges)
+    bin_col = (
+        F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+    ).cast("bigint")
+    return (
+        d.filter(F.col("degree") > 0)
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )

@@ -3014,6 +3014,22 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c62_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62 — log2-binned degree distribution of the customer–part
+    co-purchase graph (graph/algorithms.py degree_histogram): the
+    power-law profiling pass that decides skew strategy. Bins via
+    binary-digit count, so edges are integer-exact in both engines."""
+    from neo4j_graphdb_spark.graph.algorithms import degree_histogram
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return degree_histogram(cp)
+
+
 def q_a28_text_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A28 ext — ``WHERE a.lang IN $langs`` through the string
     front-end: the list param compiles to a pushdown-friendly ``isin``
@@ -3946,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c60_tar_shards": q_c60_tar_shards,
     "c61_zorder": q_c61_zorder,
     "a28_text_in_list": q_a28_text_in_list,
+    "c62_degree_hist": q_c62_degree_hist,
 }
 
 
@@ -5028,6 +5045,25 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang IN ('de', 'fr')"
     ),
+    "c62_degree_hist": """
+        WITH cp AS MATERIALIZED (
+            SELECT DISTINCT concat('C', cast(o_custkey AS varchar)) AS src,
+                   concat('P', cast(l_partkey AS varchar)) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        deg AS (
+            SELECT id, sum(o)::bigint AS degree FROM (
+                SELECT src AS id, count(*) AS o FROM cp GROUP BY src
+                UNION ALL
+                SELECT dst, count(*) FROM cp GROUP BY dst
+            ) GROUP BY id
+        )
+        SELECT (length(bin(degree)) - 1)::bigint AS bin,
+               count(*)::bigint AS n_nodes,
+               min(degree)::bigint AS min_degree,
+               max(degree)::bigint AS max_degree
+        FROM deg WHERE degree > 0 GROUP BY 1
+    """,
     "c61_zorder": (
         "SELECT l_orderkey, l_partkey, l_linenumber, ("
         + " + ".join(

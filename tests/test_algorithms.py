@@ -570,3 +570,27 @@ def test_landmark_eccentricity_path(spark):
         for r in landmark_eccentricity(edges, n_landmarks=4, max_hops=4).collect()
     }
     assert got == {"a": 3, "b": 2, "c": 2, "d": 3}
+
+
+def test_degree_histogram_power_of_two_bins(spark):
+    """Degrees 1, 2, 3, 8 land in bins 0, 1, 1, 3 — power-of-two edges
+    must not misbin (the floating-log failure mode)."""
+    from neo4j_graphdb_spark.graph.algorithms import degree_histogram
+
+    # star hubs of controlled degree: h1->1 leaf, h2->2, h3->3, h8->8
+    rows = []
+    leaf = 0
+    for hub, d in (("h1", 1), ("h2", 2), ("h3", 3), ("h8", 8)):
+        for _ in range(d):
+            rows.append((hub, f"x{leaf}"))
+            leaf += 1
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        r["bin"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+        for r in degree_histogram(edges).collect()
+    }
+    # leaves all have degree 1 -> bin 0 holds h1 + 14 leaves
+    assert got[0] == (15, 1, 1)
+    assert got[1] == (2, 2, 3)  # h2, h3
+    assert got[3] == (1, 8, 8)  # h8 — exactly on the 2^3 edge
+    assert 2 not in got
