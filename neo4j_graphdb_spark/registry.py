@@ -3014,6 +3014,48 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a29_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 ext — CDC between store versions (writer.py snapshot_diff):
+    after an ingest + a delete batch + an update/insert batch, diffing
+    the FIRST version against current yields exactly the
+    insert/update/delete change feed — every op class exercised, the
+    oracle derives the same feed from the source predicates."""
+    from neo4j_graphdb_spark.writer import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a29_"))
+    store.merge_nodes(b1, label="Article", key_col="link", prop_cols=["title"])
+    v0 = store._nodes.list_versions()[0]
+
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link")
+    )
+    store.delete_nodes(doomed, label="Article", key_col="link")
+
+    updates = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.upper(F.substring("text", 1, 40)).alias("title"),
+    )
+    inserts = spark.range(3).select(
+        F.concat(F.lit("extra://"), F.col("id").cast("string")).alias("link"),
+        F.concat(F.lit("new doc "), F.col("id").cast("string")).alias("title"),
+    )
+    store.merge_nodes(
+        updates.unionByName(inserts), label="Article", key_col="link",
+        prop_cols=["title"],
+    )
+
+    old = store.nodes(version=v0).select(F.col("key").alias("link"), "title")
+    new = store.nodes().select(F.col("key").alias("link"), "title")
+    return snapshot_diff(old, new, ["link"], ["title"])
+
+
 def q_c62_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C62 — log2-binned degree distribution of the customer–part
     co-purchase graph (graph/algorithms.py degree_histogram): the
@@ -3963,6 +4005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c61_zorder": q_c61_zorder,
     "a28_text_in_list": q_a28_text_in_list,
     "c62_degree_hist": q_c62_degree_hist,
+    "a29_snapshot_diff": q_a29_snapshot_diff,
 }
 
 
@@ -5045,6 +5088,23 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang IN ('de', 'fr')"
     ),
+    "a29_snapshot_diff": """
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               'delete' AS op,
+               substr(text, 1, 40) AS old_title,
+               CAST(NULL AS VARCHAR) AS new_title
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT concat('doc://', cast(doc_id AS varchar)), 'update',
+               substr(text, 1, 40), upper(substr(text, 1, 40))
+        FROM documents
+        WHERE doc_id % 7 <> 0 AND doc_id % 10 = 0
+          AND upper(substr(text, 1, 40)) <> substr(text, 1, 40)
+        UNION ALL
+        SELECT concat('extra://', cast(i AS varchar)), 'insert',
+               CAST(NULL AS VARCHAR), concat('new doc ', cast(i AS varchar))
+        FROM range(3) t(i)
+    """,
     "c62_degree_hist": """
         WITH cp AS MATERIALIZED (
             SELECT DISTINCT concat('C', cast(o_custkey AS varchar)) AS src,

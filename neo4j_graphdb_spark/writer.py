@@ -878,3 +878,59 @@ def _with_missing(df: DataFrame, other: DataFrame, all_props: list[str]) -> Data
     return df.select(*cols)
 
 
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """A29 — CDC between two table snapshots (the consumer side of the
+    store's time travel: ``diff(nodes(v_old), nodes())`` is the change
+    feed a downstream system ingests instead of re-reading the table).
+    One full-outer join on the key: rows only in ``new`` are inserts,
+    only in ``old`` deletes, present in both with any compared column
+    differing (null-safe) updates; identical rows drop out.
+
+    Returns the key columns + ``op ∈ {insert, update, delete}`` + the
+    old/new value of every compared column. At 100 TB both sides are
+    the same bucketed layout, so the join co-partitions.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        changed = ne if changed is None else changed | ne
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "op",
+            *[F.col(f"_ov_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"_nv_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -471,3 +471,28 @@ def test_merge_edges_with_properties(spark, tmp_path):
         for r in store.edges().collect()
         if r["weight"] is not None
     ) == [(0.5, "2026-01-02"), (0.95, "2026-01-01")]
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    """Full-outer diff: only-new = insert, only-old = delete, changed
+    compare column = update, identical rows drop; NULLs compare
+    null-safely."""
+    from neo4j_graphdb_spark.writer import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "t1"), ("b", "t2"), ("c", None), ("d", "t4")],
+        "link string, title string",
+    )
+    new = spark.createDataFrame(
+        [("a", "t1"), ("b", "T2"), ("c", None), ("e", "t5")],
+        "link string, title string",
+    )
+    got = {
+        r["link"]: (r["op"], r["old_title"], r["new_title"])
+        for r in snapshot_diff(old, new, ["link"], ["title"]).collect()
+    }
+    assert got == {
+        "b": ("update", "t2", "T2"),
+        "d": ("delete", "t4", None),
+        "e": ("insert", None, "t5"),
+    }  # a unchanged, c unchanged (NULL == NULL null-safely)
