@@ -581,3 +581,44 @@ def oov_rate(
             "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """C63 — BM25 retrieval: rank documents against a query token list
+    by the sum of their per-term Okapi weights (:func:`bm25_scores`) —
+    the actual search-engine scoring loop, and the lexical half of a
+    RAG retriever.
+
+    One corpus scan: the matrix filters to the query terms, pivots to
+    one column per term (explicit value list — no extra distinct pass),
+    and the final score adds those columns in FIXED term order, so the
+    float sum is deterministic across engines and partitionings (an
+    arbitrary-order SUM aggregate would not be). Top-k with the id as
+    tiebreaker = TakeOrdered, no global sort.
+
+    Returns the ``k`` best ``(id_col, score)`` rows, score > 0.
+    """
+    bm = bm25_scores(df, id_col, text_col)
+    piv = (
+        bm.filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col)
+        .pivot("token", list(query_terms))
+        .agg(F.first("score"))
+    )
+    score = None
+    for t in query_terms:
+        term = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        piv.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )

@@ -3014,6 +3014,18 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63 — BM25 top-10 retrieval for the query ``table join query``
+    over the documents corpus (functions/text.py bm25_search): the
+    lexical RAG retriever. Fixed-order term summation keeps the float
+    score deterministic; the oracle pivots the same three terms from
+    the c33 matrix replay and adds them in the same order."""
+    from neo4j_graphdb_spark.functions.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, "doc_id", "text", ["table", "join", "query"], k=10)
+
+
 def q_a29_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A29 ext — CDC between store versions (writer.py snapshot_diff):
     after an ingest + a delete batch + an update/insert batch, diffing
@@ -4006,6 +4018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a28_text_in_list": q_a28_text_in_list,
     "c62_degree_hist": q_c62_degree_hist,
     "a29_snapshot_diff": q_a29_snapshot_diff,
+    "c63_bm25_search": q_c63_bm25_search,
 }
 
 
@@ -5088,6 +5101,49 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang IN ('de', 'fr')"
     ),
+    "c63_bm25_search": """
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+            FROM documents
+        ),
+        consts AS (
+            SELECT count(DISTINCT doc_id)::double AS n_docs, avg(dl::double) AS avgdl
+            FROM docs
+        ),
+        words AS (
+            SELECT doc_id, dl,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*)::bigint AS tf, first(dl) AS dl
+            FROM words WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        bm AS (
+            SELECT tf.doc_id, tf.token,
+                   ln((c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::double / c.avgdl))
+                       AS s
+            FROM tf JOIN dfreq USING (token) CROSS JOIN consts c
+            WHERE tf.token IN ('table', 'join', 'query')
+        ),
+        scores AS (
+            SELECT doc_id,
+                   coalesce(max(CASE WHEN token = 'table' THEN s END), 0)
+                 + coalesce(max(CASE WHEN token = 'join' THEN s END), 0)
+                 + coalesce(max(CASE WHEN token = 'query' THEN s END), 0) AS score
+            FROM bm GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 6) AS score FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM scores WHERE score > 0
+        ) WHERE rk <= 10
+    """,
     "a29_snapshot_diff": """
         SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
                'delete' AS op,

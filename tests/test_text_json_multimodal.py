@@ -557,3 +557,28 @@ def test_tar_shards_deterministic_and_round_trip(spark):
     for i in range(9):
         text = f"payload {i}".encode()
         assert inv[f"{i}.bin"] == (len(text), hashlib.md5(text).hexdigest())
+
+
+def test_bm25_search_ranks_matching_docs(spark):
+    """Documents repeating a query term outrank ones mentioning it
+    once; non-matching docs never appear; scores are deterministic
+    across partitionings."""
+    from neo4j_graphdb_spark.functions.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "completely different words"),
+            (4, "engine only here"),
+        ],
+        "id bigint, text string",
+    )
+    got = [(r["id"], r["score"]) for r in
+           bm25_search(docs, "id", "text", ["spark"], k=10).collect()]
+    assert [i for i, _ in got] == [1, 2]
+    assert got[0][1] > got[1][1]
+
+    again = [(r["id"], r["score"]) for r in
+             bm25_search(docs.repartition(7), "id", "text", ["spark"], k=10).collect()]
+    assert got == again
