@@ -287,3 +287,55 @@ def zorder_layout(
         .repartitionByRange(n_files, "zorder")
         .sortWithinPartitions("zorder")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    salt: str = "interleave",
+) -> DataFrame:
+    """C64 — source-interleaved training order: a deterministic
+    in-stratum shuffle rank plus a round-robin composite key
+    ``rank · n_strata + stratum_index``, so reading in key order draws
+    from every source in rotation — the data-mixing schedule that stops
+    a training run from seeing one source in a giant contiguous block
+    (the failure mode of concatenate-then-shuffle-badly pipelines).
+
+    No global sort anywhere: the key IS the order (same contract as
+    the md5 global shuffle), the in-stratum rank is one window keyed by
+    the stratum, and the stratum index/count ride in as a broadcast of
+    the tiny stratum dimension. Fully deterministic → replayable in
+    SQL.
+
+    Returns ``(id_col, stratum_col, intra_rank, train_key)``.
+    """
+    from pyspark.sql import Window
+
+    dim = (
+        df.select(stratum_col)
+        .distinct()
+        .withColumn(
+            "_sidx",
+            F.row_number().over(Window.orderBy(stratum_col)) - 1,
+        )
+    )
+    n = dim.agg(F.count(F.lit(1)).alias("_ns"))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.select(id_col, stratum_col)
+        .withColumn("intra_rank", (F.row_number().over(w) - 1).cast("bigint"))
+        .join(F.broadcast(dim), on=stratum_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            stratum_col,
+            "intra_rank",
+            (F.col("intra_rank") * F.col("_ns") + F.col("_sidx"))
+            .cast("bigint")
+            .alias("train_key"),
+        )
+    )

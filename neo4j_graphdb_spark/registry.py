@@ -3014,6 +3014,17 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c64_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64 — source-interleaved training order over the documents
+    (operators/sampling.py interleave_sources): deterministic
+    in-stratum md5 rank + round-robin composite key, no global sort.
+    The oracle replays rank, index, and key arithmetic exactly."""
+    from neo4j_graphdb_spark.operators.sampling import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_sources(docs, "doc_id", "source")
+
+
 def q_c63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C63 — BM25 top-10 retrieval for the query ``table join query``
     over the documents corpus (functions/text.py bm25_search): the
@@ -4019,6 +4030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c62_degree_hist": q_c62_degree_hist,
     "a29_snapshot_diff": q_a29_snapshot_diff,
     "c63_bm25_search": q_c63_bm25_search,
+    "c64_interleave": q_c64_interleave,
 }
 
 
@@ -5101,6 +5113,26 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang IN ('de', 'fr')"
     ),
+    "c64_interleave": """
+        WITH dim AS (
+            SELECT source,
+                   row_number() OVER (ORDER BY source) - 1 AS sidx
+            FROM (SELECT DISTINCT source FROM documents)
+        ),
+        n AS (SELECT count(*)::bigint AS ns FROM dim),
+        ranked AS (
+            SELECT doc_id, source,
+                   (row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('interleave', '|',
+                                           cast(doc_id AS varchar))),
+                                doc_id) - 1)::bigint AS intra_rank
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, r.intra_rank,
+               (r.intra_rank * n.ns + d.sidx)::bigint AS train_key
+        FROM ranked r JOIN dim d ON r.source = d.source CROSS JOIN n
+    """,
     "c63_bm25_search": """
         WITH docs AS (
             SELECT doc_id, text,

@@ -291,3 +291,25 @@ def test_zorder_morton_hand_checked(spark):
     )
     bad = nondecreasing.filter(F2.col("ok") == False).count()  # noqa: E712
     assert bad == 0
+
+
+def test_interleave_sources_round_robin(spark):
+    """train_key order visits sources in rotation; keys are unique and
+    stable across repartitioning."""
+    from neo4j_graphdb_spark.operators.sampling import interleave_sources
+
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    out = interleave_sources(df, "id", "src").collect()
+    by_key = sorted(out, key=lambda r: r["train_key"])
+    # equal-sized strata: the first len(strata) rows in key order are one
+    # from each source, then the cycle repeats
+    seq = [r["src"] for r in by_key]
+    for i in range(0, 30, 3):
+        assert set(seq[i : i + 3]) == {"x", "y", "z"}
+    assert len({r["train_key"] for r in out}) == 30
+
+    again = interleave_sources(df.repartition(7), "id", "src").collect()
+    assert {(r["id"], r["train_key"]) for r in again} == {
+        (r["id"], r["train_key"]) for r in out
+    }
