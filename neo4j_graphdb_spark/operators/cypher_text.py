@@ -105,6 +105,11 @@ _REL_RE = re.compile(
 
 _PROP_PAIR_RE = re.compile(r"(\w+)\s*:\s*\$(\w+)")
 
+# read-side inline props additionally accept literals (masked strings or
+# numbers): MATCH (a:Article {lang: 'de'}) — the value keeps its raw
+# token here and resolves through _where_value like any WHERE operand
+_PROP_VALUE_PAIR_RE = re.compile(r"(\w+)\s*:\s*(\$\w+|\x00\d+\x00|-?\d+(?:\.\d+)?)")
+
 _SET_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?:\$(?P<param>\w+)|(?P<dt>datetime\(\s*\)))$"
 )
@@ -227,6 +232,21 @@ def _parse_props(props: str | None) -> list[tuple[str, str]]:
     inner = props.strip()[1:-1].strip()
     if inner and len(pairs) != len([p for p in inner.split(",") if p.strip()]):
         raise CypherUnsupported(f"only {{prop: $param}} maps supported: {props!r}")
+    return pairs
+
+
+def _parse_value_props(props: str | None) -> list[tuple[str, str]]:
+    """Read-side variant of :func:`_parse_props`: values may be params
+    OR literals; returns (prop, raw value token) pairs — `$p` for
+    params, the masked/number token otherwise."""
+    if not props:
+        return []
+    pairs = _PROP_VALUE_PAIR_RE.findall(props)
+    inner = props.strip()[1:-1].strip()
+    if inner and len(pairs) != len([p for p in inner.split(",") if p.strip()]):
+        raise CypherUnsupported(
+            f"only {{prop: $param | literal}} maps supported: {props!r}"
+        )
     return pairs
 
 
@@ -705,9 +725,11 @@ def _run_read(
             alias = n.group("alias") or "n"
             aliases[alias] = ""
             node_match = (alias, n.group("label"))
-            # MATCH (n:L {prop: $param}) — inline equality filters
-            for prop, param in _parse_props(n.group("props")):
-                predicates.append((alias, prop, "=", f"${param}"))
+            # MATCH (n:L {prop: $param|'literal'|number}) — inline
+            # equality filters; raw value tokens resolve downstream
+            # through the same _where_value path as WHERE operands
+            for prop, raw in _parse_value_props(n.group("props")):
+                predicates.append((alias, prop, "=", raw))
         elif c.kind == "OPTIONAL_MATCH":
             if df is None or node_match is None:
                 raise CypherUnsupported("OPTIONAL MATCH needs a preceding node MATCH")

@@ -3014,6 +3014,30 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a30_text_literal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 ext — literal values in MATCH prop maps through the string
+    front-end: ``MATCH (a:Article {lang: 'de'})`` — the quoted literal
+    survives masking and resolves through the same value path as WHERE
+    operands (operators/cypher_text.py _parse_value_props)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("lang").alias("lang"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a30_"))
+    run_cypher(
+        spark, "MERGE (a:Article {link: $link}) SET a.lang = $lang", pdf, store=store
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {lang: 'de'}) RETURN a.link AS link, a.lang AS lang",
+        store=store,
+    )
+    return res.df
+
+
 def q_c64_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C64 — source-interleaved training order over the documents
     (operators/sampling.py interleave_sources): deterministic
@@ -4031,6 +4055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a29_snapshot_diff": q_a29_snapshot_diff,
     "c63_bm25_search": q_c63_bm25_search,
     "c64_interleave": q_c64_interleave,
+    "a30_text_literal_props": q_a30_text_literal_props,
 }
 
 
@@ -5112,6 +5137,10 @@ ORACLES: dict[str, str] = {
     "a28_text_in_list": (
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang IN ('de', 'fr')"
+    ),
+    "a30_text_literal_props": (
+        "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
+        "FROM documents WHERE lang = 'de'"
     ),
     "c64_interleave": """
         WITH dim AS (

@@ -744,3 +744,24 @@ def test_text_in_list_predicate(spark, text_store):
             {"ts": []},
             store=text_store,
         )
+
+
+def test_text_literal_props_in_match(spark, text_store):
+    """Inline literal prop maps filter reads: quoted strings (which may
+    contain clause keywords) and the $param form both work."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {title: 'Beta ships gamma'}) RETURN a.link AS link",
+        store=text_store,
+    )
+    assert [r["link"] for r in res.df.collect()] == [ARTICLES[1][0]]
+
+    # literal containing a clause keyword must not split the statement
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {title: 'where MATCH return limit'}) RETURN a.link AS l",
+        store=text_store,
+    )
+    assert res.df.count() == 0
