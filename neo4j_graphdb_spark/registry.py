@@ -3014,6 +3014,28 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c65_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65 — Adamic–Adar top-5 link prediction on the customer–part
+    ownership graph (graph/algorithms.py adamic_adar): rare shared
+    parts weigh more via 1/ln(owners). Ranked on the rounded score so
+    near-tie ordering is engine-stable; the oracle replays the wedge
+    weights and window."""
+    from neo4j_graphdb_spark.graph.algorithms import adamic_adar
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = adamic_adar(cp, top_k=5)
+    return out.select(
+        F.col("a").cast("bigint").alias("custkey"),
+        F.col("b").cast("bigint").alias("neighbor"),
+        "aa_score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_a30_text_literal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A30 ext — literal values in MATCH prop maps through the string
     front-end: ``MATCH (a:Article {lang: 'de'})`` — the quoted literal
@@ -4056,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c63_bm25_search": q_c63_bm25_search,
     "c64_interleave": q_c64_interleave,
     "a30_text_literal_props": q_a30_text_literal_props,
+    "c65_adamic_adar": q_c65_adamic_adar,
 }
 
 
@@ -5142,6 +5165,37 @@ ORACLES: dict[str, str] = {
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang = 'de'"
     ),
+    "c65_adamic_adar": """
+        WITH cp AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        wdst AS (
+            SELECT dst, 1.0 / ln(count(*)::double) AS w
+            FROM cp GROUP BY dst HAVING count(*) >= 2
+        ),
+        half AS MATERIALIZED (
+            SELECT x.src AS a, y.src AS b, sum(w.w) AS aa
+            FROM cp x
+            JOIN cp y ON x.dst = y.dst AND x.src < y.src
+            JOIN wdst w ON w.dst = x.dst
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a, b, aa FROM half
+            UNION ALL
+            SELECT b, a, aa FROM half
+        ),
+        scored AS (SELECT a, b, round(aa, 6) AS aa_score FROM pairs)
+        SELECT a::bigint AS custkey, b::bigint AS neighbor, aa_score,
+               rank::bigint AS rank
+        FROM (
+            SELECT a, b, aa_score,
+                   row_number() OVER (PARTITION BY a
+                                      ORDER BY aa_score DESC, b ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
     "c64_interleave": """
         WITH dim AS (
             SELECT source,

@@ -594,3 +594,26 @@ def test_degree_histogram_power_of_two_bins(spark):
     assert got[1] == (2, 2, 3)  # h2, h3
     assert got[3] == (1, 8, 8)  # h8 — exactly on the 2^3 edge
     assert 2 not in got
+
+
+def test_adamic_adar_hand_checked(spark):
+    """Bipartite users->items: u1,u2 share item z (3 owners) and item y
+    (2 owners); u3 owns only z. AA(u1,u2) = 1/ln(3) + 1/ln(2);
+    AA(u1,u3) = 1/ln(3)."""
+    import math
+
+    from neo4j_graphdb_spark.graph.algorithms import adamic_adar
+
+    edges = spark.createDataFrame(
+        [("u1", "z"), ("u2", "z"), ("u3", "z"), ("u1", "y"), ("u2", "y")],
+        "src string, dst string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["aa_score"], r["rank"])
+        for r in adamic_adar(edges, top_k=5).collect()
+    }
+    both = round(1 / math.log(3) + 1 / math.log(2), 6)
+    z_only = round(1 / math.log(3), 6)
+    assert got[("u1", "u2")] == (both, 1)
+    assert got[("u1", "u3")] == (z_only, 2)
+    assert got[("u3", "u1")][0] == z_only
