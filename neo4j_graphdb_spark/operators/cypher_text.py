@@ -1020,3 +1020,34 @@ def _aggregate_return(
 def _node_entity(df: DataFrame, out: str):
     cols = [c for c in df.columns if c != NODE_ID]
     return F.struct(*[F.col(c) for c in cols]).alias(out)
+
+
+def run_cypher_script(
+    spark: SparkSession,
+    script: str,
+    params: dict | DataFrame | None = None,
+    graph: Graph | None = None,
+    store: GraphStore | None = None,
+) -> list[CypherResult]:
+    """Execute a ``;``-separated statement script — the shape the
+    reference ships as a file (/root/reference/cypher.txt:4-8 holds two
+    statements). Statements run sequentially against the same store, so
+    later reads see earlier writes; string literals are masked before
+    splitting, so quoted semicolons don't split. Returns one
+    :class:`CypherResult` per non-empty statement, in order.
+    """
+    masked, lits = _mask_strings(script)
+
+    def _unmask(text: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: f"'{lits[int(m.group(1))]}'", text
+        )
+
+    results: list[CypherResult] = []
+    for stmt in masked.split(";"):
+        if not stmt.strip():
+            continue
+        results.append(
+            run_cypher(spark, _unmask(stmt), params, graph=graph, store=store)
+        )
+    return results

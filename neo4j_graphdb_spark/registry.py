@@ -3014,6 +3014,36 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a31_text_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 ext — ``;``-separated statement scripts (the file shape of
+    /root/reference/cypher.txt): a seed-upsert write followed by the
+    typed-expand read run as ONE script through
+    operators/cypher_text.py run_cypher_script; the read sees the
+    write's effects."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher_script
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+        F.col("event_type").alias("tech"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a31_"))
+    results = run_cypher_script(
+        spark,
+        """
+        UNWIND $rows AS row
+        MERGE (u:User {name: row.user})
+        MERGE (t:Tech {name: row.tech})
+        MERGE (u)-[:INTERESTED_IN]->(t);
+        MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        RETURN u.name AS user, t.name AS tech
+        """,
+        rows,
+        store=store,
+    )
+    return results[-1].df
+
+
 def q_c65_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C65 — Adamic–Adar top-5 link prediction on the customer–part
     ownership graph (graph/algorithms.py adamic_adar): rare shared
@@ -4079,6 +4109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c64_interleave": q_c64_interleave,
     "a30_text_literal_props": q_a30_text_literal_props,
     "c65_adamic_adar": q_c65_adamic_adar,
+    "a31_text_script": q_a31_text_script,
 }
 
 
@@ -5164,6 +5195,10 @@ ORACLES: dict[str, str] = {
     "a30_text_literal_props": (
         "SELECT concat('doc://', cast(doc_id AS varchar)) AS link, lang "
         "FROM documents WHERE lang = 'de'"
+    ),
+    "a31_text_script": (
+        "SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user, "
+        "event_type AS tech FROM events"
     ),
     "c65_adamic_adar": """
         WITH cp AS MATERIALIZED (

@@ -765,3 +765,24 @@ def test_text_literal_props_in_match(spark, text_store):
         store=text_store,
     )
     assert res.df.count() == 0
+
+
+def test_text_script_multi_statement(spark, tmp_path):
+    """Semicolon scripts run statements in order against the same
+    store; quoted semicolons don't split; each statement yields its own
+    result."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher_script
+
+    s = GraphStore(spark, str(tmp_path / "script"))
+    results = run_cypher_script(
+        spark,
+        "MERGE (a:Article {link: $l}) SET a.title = $t;"
+        "MATCH (a:Article) WHERE a.title = 'has; semicolon' RETURN a.link AS link;"
+        "MATCH (a:Article) RETURN a.title AS title",
+        {"l": "l1", "t": "has; semicolon"},
+        store=s,
+    )
+    assert len(results) == 3
+    assert results[0].summary.nodes_created == 1
+    assert [r["link"] for r in results[1].df.collect()] == ["l1"]
+    assert [r["title"] for r in results[2].df.collect()] == ["has; semicolon"]
