@@ -451,6 +451,215 @@ def random_projection(
     return df.select(F.col(id_col), *outs)
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance with a FIXED left-fold summation order, so a
+    SQL twin replaying the same fold is bit-identical (0.0 + x == x, so a
+    no-init left reduce matches this exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec: str, m: int, subw: int) -> DataFrame:
+    """Long form ``(id, sub, sv)``: vector split into ``m`` contiguous
+    ``subw``-dim slices. Pure array expressions — the explode multiplies
+    rows by m but each row shrinks by the same factor, so bytes scanned
+    stay constant."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col(vec), s * subw + 1, subw).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+
+
+def pq_fit(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): the ``dim``-dim space is
+    split into ``m`` orthogonal subspaces of ``dim/m`` dims, and each
+    subspace gets its own ``k``-code codebook via deterministic Lloyd
+    refinement (same discipline as :func:`kmeans_fit`: seeds are the ``k``
+    lowest-id vectors' subvectors, assignment = argmin squared-L2 with ties
+    to the lowest code id, means rounded to ``round_dp`` each iteration so
+    a SQL twin carries identical code doubles).
+
+    Scale: the codebook is ``m·k`` rows — driver-trivial, always
+    broadcast. Each Lloyd pass is one broadcast argmin over the
+    (long-form) corpus plus one ``(sub, code, pos)`` mean shuffle whose
+    cardinality is ``m·k·dim/m = k·dim`` — independent of corpus size.
+
+    Returns ``(sub int, code_id bigint, code array<double>)``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    subw = dim // m
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    subs = _subvectors(c, id_col, "_v", m, subw)
+    codes = _subvectors(
+        c.orderBy(id_col).limit(k), id_col, "_v", m, subw
+    ).select("sub", F.col(id_col).alias("code_id"), F.col("sv").alias("code"))
+    for _ in range(iters):
+        ct = codes.select(
+            "sub", F.col("code_id").alias("_code"), F.col("code").alias("_code_v")
+        )
+        assigned = (
+            subs.join(F.broadcast(ct), on="sub")
+            .select(
+                id_col,
+                "sub",
+                "sv",
+                "_code",
+                _l2sq(F.col("sv"), F.col("_code_v")).alias("_d"),
+            )
+            .groupBy(id_col, "sub")
+            .agg(
+                F.expr("min_by(_code, struct(_d, _code))").alias("_cell"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        codes = (
+            assigned.select("sub", "_cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "_cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], round_dp),
+                ).alias("code")
+            )
+            .select("sub", F.col("_cell").alias("code_id"), "code")
+            .localCheckpoint(eager=False)
+        )
+    return codes
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC).
+
+    Index: every corpus vector is encoded as ``m`` small code ids (its
+    argmin-L2 code per subspace) — at 100 TB this is the point of PQ: the
+    encoded corpus is ``m`` ints per vector instead of ``dim`` floats
+    (64-dim float32 → 4 bytes of codes is a 64× memory cut), so the
+    scoring join moves codes, never raw vectors. Search: each query
+    precomputes an ``m × k_codes`` distance table against the broadcast
+    codebook; the approximate distance of a corpus vector is the sum of
+    ``m`` table lookups — one broadcast hash join on ``(sub, code)`` plus
+    a ``(query, vec)`` re-aggregation, no vector arithmetic per pair.
+
+    Determinism: table entries are rounded to 6 dp and the per-vector sum
+    folds subspaces in fixed 0..m-1 order (map lookup, left-assoc adds),
+    so ranks and distances value-check cross-engine. Ties break on the
+    corpus id.
+
+    Returns ``(query_id, vec_id, approx_dist, rank)`` — ``approx_dist``
+    is the ADC *squared-L2* estimate (lower = closer).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    subw = dim // m
+    codes = (
+        codebook
+        if codebook is not None
+        else pq_fit(
+            corpus, dim, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    ct = codes.select(
+        "sub", F.col("code_id").alias("_code"), F.col("code").alias("_code_v")
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # encode: argmin-L2 code per (vector, subspace) — the only pass that
+    # touches raw corpus vectors
+    encoded = (
+        _subvectors(c, id_col, "_v", m, subw)
+        .join(F.broadcast(ct), on="sub")
+        .select(
+            id_col, "sub", "_code", _l2sq(F.col("sv"), F.col("_code_v")).alias("_d")
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.expr("min_by(_code, struct(_d, _code))").alias("code"))
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    # ADC distance table: nq × m × k_codes rows, broadcast
+    dtable = (
+        _subvectors(q, query_id_col, "_qv", m, subw)
+        .join(F.broadcast(ct), on="sub")
+        .select(
+            query_id_col,
+            "sub",
+            F.col("_code").alias("code"),
+            F.round(_l2sq(F.col("sv"), F.col("_code_v")), 6).alias("_td"),
+        )
+    )
+    # each (query, vec) pair has exactly one entry per subspace; the map
+    # pins the summation to sub order 0..m-1 regardless of shuffle order
+    dist = None
+    paired = (
+        encoded.join(F.broadcast(dtable), on=["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("sub", "_td")))
+            ).alias("_dm")
+        )
+    )
+    for s in range(m):
+        term = F.col("_dm").getItem(s)
+        dist = term if dist is None else dist + term
+    scored = paired.select(
+        query_id_col, id_col, F.round(dist, 6).alias("approx_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_dist", "rank")
+    )
+
+
 def ann_recall(
     exact: DataFrame,
     approx: DataFrame,

@@ -441,6 +441,100 @@ def _ivf_kmeans_oracle_sql(
     """
 
 
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, k: int = 8, iters: int = 1, nq: int = 5, topk: int = 5
+) -> str:
+    """DuckDB twin of ``pq_fit`` + ``pq_topk``: subvector slices, the
+    Lloyd pass(es), the argmin encoding, and the ADC distance table all
+    replay with the engine's exact arithmetic — ``list_reduce`` folds the
+    squared-diff list left-to-right, which is bit-identical to Spark's
+    ``F.aggregate(…, 0.0, acc+v)`` (0.0 + x == x), and the per-vector
+    distance parenthesizes the m per-subspace terms in the same fixed
+    0..m-1 order."""
+    subw = dim // m
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), "
+        "(x, y) -> x + y)"
+    )
+    steps = []
+    prev = "codes0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        asg{i} AS MATERIALIZED (
+            SELECT vec_id, sub, sv, code_id AS cell FROM (
+                SELECT s.vec_id, s.sub, s.sv, kk.code_id,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY {l2.format(a="s.sv", b="kk.code")} ASC,
+                                    kk.code_id ASC) AS rn
+                FROM subs s JOIN {prev} kk ON s.sub = kk.sub
+            ) WHERE rn = 1
+        ),
+        codes{i} AS MATERIALIZED (
+            SELECT sub, cell AS code_id, list(mm ORDER BY pos) AS code FROM (
+                SELECT sub, cell, pos, round(avg(x), 6) AS mm FROM (
+                    SELECT sub, cell, unnest(sv) AS x,
+                           unnest(range(len(sv))) AS pos
+                    FROM asg{i}
+                ) GROUP BY sub, cell, pos
+            ) GROUP BY sub, cell
+        )""")
+        prev = f"codes{i}"
+    fit = ",".join(steps)
+    # fixed-order left-assoc sum of the m table terms, same as the engine
+    terms = " + ".join(f"max(CASE WHEN sub = {s} THEN td END)" for s in range(m))
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        subs AS MATERIALIZED (
+            SELECT vec_id, ss.sub,
+                   list_slice(cv, ss.sub * {subw} + 1, ss.sub * {subw} + {subw}) AS sv
+            FROM c CROSS JOIN (SELECT unnest(range({m})) AS sub) ss
+        ),
+        codes0 AS MATERIALIZED (
+            SELECT sub, vec_id AS code_id, sv AS code FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {k})
+        ),{fit},
+        encoded AS MATERIALIZED (
+            SELECT vec_id, sub, code_id AS code FROM (
+                SELECT s.vec_id, s.sub, kk.code_id,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY {l2.format(a="s.sv", b="kk.code")} ASC,
+                                    kk.code_id ASC) AS rn
+                FROM subs s JOIN {prev} kk ON s.sub = kk.sub
+            ) WHERE rn = 1
+        ),
+        qsubs AS (
+            SELECT vec_id AS query_id, sub, sv FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT {nq})
+        ),
+        dtable AS MATERIALIZED (
+            SELECT q.query_id, q.sub, kk.code_id AS code,
+                   round({l2.format(a="q.sv", b="kk.code")}, 6) AS td
+            FROM qsubs q JOIN {prev} kk ON q.sub = kk.sub
+        ),
+        paired AS (
+            SELECT d.query_id, e.vec_id, e.sub, d.td
+            FROM encoded e JOIN dtable d ON d.sub = e.sub AND d.code = e.code
+        ),
+        dist AS (
+            SELECT query_id, vec_id, round({terms}, 6) AS approx_dist
+            FROM paired GROUP BY query_id, vec_id
+        )
+        SELECT query_id, vec_id, approx_dist, rank::bigint AS rank
+        FROM (
+            SELECT query_id, vec_id, approx_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist ASC, vec_id ASC) AS rank
+            FROM dist
+        ) WHERE rank <= {topk}
+    """
+
+
 def _label_prop_oracle_sql(iters: int = 3) -> str:
     """DuckDB twin of :func:`graph.algorithms.label_propagation` on the
     arithmetic-id analytics graph: each superstep is one CTE — neighbor
@@ -3014,6 +3108,26 @@ def q_a22_text_unwind_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66 — product-quantization ANN (operators/similarity.py pq_fit /
+    pq_topk): 64-dim vectors → 4 subspaces × 8-code codebooks (one
+    deterministic Lloyd pass), corpus encoded as 4 small ints per vector,
+    search by ADC table lookups. The memory story LSH/IVF don't have: the
+    scoring join moves codes, never raw vectors (64 float32 → 4 bytes,
+    a 64× cut at 100 TB). The DuckDB oracle replays the fit, the
+    encoding, and the fixed-fold ADC sums value-exact."""
+    from neo4j_graphdb_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = pq_topk(emb, queries, dim=64, m=4, k_codes=8, iters=1, k=5)
+    return tk.select(
+        "query_id", "vec_id", "approx_dist", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_a31_text_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A31 ext — ``;``-separated statement scripts (the file shape of
     /root/reference/cypher.txt): a seed-upsert write followed by the
@@ -4110,6 +4224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a30_text_literal_props": q_a30_text_literal_props,
     "c65_adamic_adar": q_c65_adamic_adar,
     "a31_text_script": q_a31_text_script,
+    "c66_pq_topk": q_c66_pq_topk,
 }
 
 
@@ -5850,4 +5965,5 @@ ORACLES: dict[str, str] = {
                ((n_nationkey % 5) + 1 + (s_suppkey % 7) + 1)::double
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """,
+    "c66_pq_topk": _pq_oracle_sql(),
 }

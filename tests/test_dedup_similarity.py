@@ -322,3 +322,46 @@ def test_ann_recall_hand_checked(spark):
         for r in ann_recall(exact, approx).collect()
     }
     assert got == {1: (3, 2, round(2 / 3, 6)), 2: (1, 0, 0.0)}
+
+
+def test_pq_topk_clustered_recall_and_self_hit(spark):
+    """PQ ADC on two tight clusters: a query drawn from cluster A must
+    rank its own vector first (its encoding reconstructs to the same
+    codes → minimal table distance) and fill its top-3 with cluster-A
+    members only."""
+    from neo4j_graphdb_spark.operators.similarity import pq_topk
+
+    a = [[1.0, 0.0, 1.0, 0.0] * 2 for _ in range(4)]
+    b = [[0.0, 5.0, 0.0, 5.0] * 2 for _ in range(4)]
+    rows = [(i, [v + 0.01 * i for v in vec]) for i, vec in enumerate(a)] + [
+        (10 + i, [v + 0.01 * i for v in vec]) for i, vec in enumerate(b)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(corpus, q, dim=8, m=2, k_codes=4, iters=1, k=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert all(r["vec_id"] < 10 for r in got), got
+    assert all(
+        got[i]["approx_dist"] <= got[i + 1]["approx_dist"] for i in range(len(got) - 1)
+    )
+
+
+def test_pq_fit_shape_and_determinism(spark):
+    """Codebook: one entry per (subspace, surviving code), subvector
+    width dim/m; two runs produce identical doubles (seeded init +
+    rounded means)."""
+    from neo4j_graphdb_spark.operators.similarity import pq_fit
+    from neo4j_graphdb_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = pq_fit(emb, dim=64, m=4, k=8, iters=1).collect()
+    c2 = pq_fit(emb, dim=64, m=4, k=8, iters=1).collect()
+    key = lambda r: (r["sub"], r["code_id"])
+    assert sorted(map(key, c1)) == sorted(map(key, c2))
+    assert {r["sub"] for r in c1} == {0, 1, 2, 3}
+    assert all(len(r["code"]) == 16 for r in c1)
+    d1 = {key(r): r["code"] for r in c1}
+    d2 = {key(r): r["code"] for r in c2}
+    assert d1 == d2
