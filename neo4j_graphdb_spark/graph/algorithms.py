@@ -1132,3 +1132,74 @@ def adamic_adar(
     return scored.select(
         "a", "b", "aa_score", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= top_k)
+
+
+def hierarchy_flatten(
+    parents: DataFrame,
+    rounds: int = 6,
+    id_col: str = "id",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Flatten a forest into ``(id, root, depth, path)`` by pointer
+    doubling — the bulk-synchronous transform of a recursive CTE.
+
+    ``parents(id, parent)``: one row per node; roots carry a NULL parent
+    (or point to themselves). Each round every node's ancestor pointer
+    jumps to its ancestor's ancestor, so after r rounds it has advanced
+    ``min(2^r, depth)`` levels: ``ceil(log2(max_depth))`` self-joins
+    replace ``max_depth`` sequential ones. That is the at-scale win —
+    a 100-TB hierarchy 4 000 deep resolves in 12 shuffles, not 4 000 —
+    and each shuffle is the state table keyed on the current pointer
+    (two columns + the growing path array), never the input re-scanned.
+
+    ``path`` lists the ancestors strictly above the node, nearest first,
+    ending at the root; doubling concatenates sub-paths associatively so
+    the result is exact, not just the endpoints. ``rounds`` must satisfy
+    ``2^rounds >= max depth`` — overshooting is harmless (the root's
+    self-loop is a fixpoint: d=0, empty path).
+    """
+    state = parents.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        F.when(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("d"),
+        F.when(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col)),
+            F.array().cast("array<bigint>"),
+        )
+        .otherwise(F.array(F.col(parent_col).cast("bigint")))
+        .alias("path"),
+    )
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("id").alias("_hid"),
+            F.col("anc").alias("_hanc"),
+            F.col("d").alias("_hd"),
+            F.col("path").alias("_hpath"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["_hid"])
+            .select(
+                "id",
+                F.col("_hanc").alias("anc"),
+                (F.col("d") + F.col("_hd")).alias("d"),
+                F.concat(F.col("path"), F.col("_hpath")).alias("path"),
+            )
+            # EAGER on purpose, unlike the other iterative ops here: the
+            # doubling round joins the state with ITSELF, so a lazy plan
+            # embeds two copies of the previous round's plan — 2^rounds
+            # analysis blowup. Materializing per round keeps it linear;
+            # the state is 4 narrow columns, far smaller than the input.
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "id",
+        F.col("anc").alias("root"),
+        F.col("d").alias("depth"),
+        "path",
+    )

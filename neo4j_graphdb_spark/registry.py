@@ -3128,6 +3128,35 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel ext — recursive-CTE hierarchy flattening
+    (graph/algorithms.py hierarchy_flatten): the part table as a
+    binary forest (parent = partkey div 2, root = 0), resolved to
+    (root, depth, full ancestor path) by pointer doubling — 6
+    self-joins cover depth ≤ 64 where a literal recursive CTE would
+    sequence one join per level. The DuckDB oracle IS that recursive
+    CTE, so the log-round rewrite is value-checked against the
+    textbook recursion."""
+    from neo4j_graphdb_spark.graph.algorithms import hierarchy_flatten
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    parents = part.select(
+        F.col("p_partkey").cast("bigint").alias("id"),
+        F.when(F.col("p_partkey") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("cast(p_partkey div 2 as bigint)"))
+        .alias("parent"),
+    )
+    out = hierarchy_flatten(parents, rounds=6)
+    return out.select(
+        F.col("id").alias("part_id"),
+        F.col("root").cast("bigint").alias("root"),
+        F.col("depth").cast("bigint").alias("depth"),
+        F.concat_ws("/", F.transform("path", lambda x: x.cast("string"))).alias(
+            "path"
+        ),
+    )
+
+
 def q_a31_text_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A31 ext — ``;``-separated statement scripts (the file shape of
     /root/reference/cypher.txt): a seed-upsert write followed by the
@@ -4225,6 +4254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c65_adamic_adar": q_c65_adamic_adar,
     "a31_text_script": q_a31_text_script,
     "c66_pq_topk": q_c66_pq_topk,
+    "rel_hierarchy": q_rel_hierarchy,
 }
 
 
@@ -5966,4 +5996,29 @@ ORACLES: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """,
     "c66_pq_topk": _pq_oracle_sql(),
+    "rel_hierarchy": """
+        WITH RECURSIVE pp AS (
+            SELECT p_partkey::bigint AS id,
+                   CASE WHEN p_partkey = 0 THEN NULL
+                        ELSE (p_partkey // 2)::bigint END AS parent
+            FROM part
+        ),
+        walk(id, cur, depth, path) AS (
+            SELECT id, id AS cur, 0::bigint AS depth,
+                   CAST([] AS BIGINT[]) AS path
+            FROM pp
+            UNION ALL
+            SELECT w.id, p.parent, w.depth + 1, list_append(w.path, p.parent)
+            FROM walk w JOIN pp p ON w.cur = p.id
+            WHERE p.parent IS NOT NULL
+        ),
+        done AS (
+            SELECT id, cur AS root, depth, path,
+                   row_number() OVER (PARTITION BY id ORDER BY depth DESC) AS rn
+            FROM walk
+        )
+        SELECT id AS part_id, root, depth,
+               coalesce(array_to_string(path, '/'), '') AS path
+        FROM done WHERE rn = 1
+    """,
 }

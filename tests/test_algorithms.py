@@ -617,3 +617,39 @@ def test_adamic_adar_hand_checked(spark):
     assert got[("u1", "u2")] == (both, 1)
     assert got[("u1", "u3")] == (z_only, 2)
     assert got[("u3", "u1")][0] == z_only
+
+
+def test_hierarchy_flatten_hand_checked(spark):
+    """Two trees: 1←2←4, 1←3 and a lone root 10 (NULL parent); pointer
+    doubling must recover exact depths, roots, and full ancestor paths
+    even with rounds far beyond the depth (root self-loop fixpoint)."""
+    from neo4j_graphdb_spark.graph.algorithms import hierarchy_flatten
+
+    parents = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (10, None)],
+        "id bigint, parent bigint",
+    )
+    got = {
+        r["id"]: (r["root"], r["depth"], list(r["path"]))
+        for r in hierarchy_flatten(parents, rounds=4).collect()
+    }
+    assert got == {
+        1: (1, 0, []),
+        2: (1, 1, [1]),
+        3: (1, 1, [1]),
+        4: (1, 2, [2, 1]),
+        10: (10, 0, []),
+    }
+
+
+def test_hierarchy_flatten_deep_chain_log_rounds(spark):
+    """A 20-deep chain resolves with 5 doubling rounds (2^5 = 32 ≥ 20) —
+    the log-round guarantee the operator exists for."""
+    from neo4j_graphdb_spark.graph.algorithms import hierarchy_flatten
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 21)]
+    parents = spark.createDataFrame(rows, "id bigint, parent bigint")
+    got = {r["id"]: (r["root"], r["depth"]) for r in hierarchy_flatten(parents, rounds=5).collect()}
+    assert got[20] == (0, 20)
+    assert got[0] == (0, 0)
+    assert all(got[i] == (0, i) for i in range(21))
