@@ -622,3 +622,115 @@ def bm25_search(
         .limit(k)
         .select(id_col, F.round("score", 6).alias("score"))
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+    top_words: int = 200,
+) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units") — the tokenizer-
+    induction stage of a training-data pipeline, as DataFrame algebra.
+
+    The corpus collapses FIRST to a word-frequency table (one
+    ``groupBy(word)`` shuffle; ``top_words`` most-frequent words by
+    count desc / word asc — the standard min-frequency cut every BPE
+    trainer applies), so every merge iteration runs over a
+    vocabulary-sized table, never the corpus: at 100 TB the corpus is
+    scanned exactly once, and each merge is a pair-count aggregation
+    plus an array rewrite over ≤ ``top_words`` rows. Each iteration:
+
+    1. count adjacent symbol pairs weighted by word frequency,
+    2. pick the most frequent pair (ties: lexicographically smallest),
+    3. greedily merge its non-overlapping occurrences left-to-right in
+       every word (a pure ``F.aggregate`` fold — no UDFs).
+
+    The winning pair rides back into the rewrite as a broadcast 1-row
+    crossJoin, so no driver collect happens per iteration. Returns the
+    merge table ``(step, left_sym, right_sym, pair_count)`` — the
+    artifact a BPE tokenizer ships.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(top_words)
+        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+    )
+
+    def _merge_adjacent(arr, x, y):
+        # left-to-right non-overlapping greedy merge of (x, y) -> x||y:
+        # fold each symbol in; when the accumulated tail is x and the
+        # incoming symbol is y, replace the tail with the merged token
+        return F.aggregate(
+            arr,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == x) & (s == y),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(
+                F.broadcast(
+                    best.select(F.col("x").alias("_bx"), F.col("y").alias("_by"))
+                )
+            )
+            .select(
+                "word",
+                "cnt",
+                _merge_adjacent(F.col("syms"), F.col("_bx"), F.col("_by")).alias(
+                    "syms"
+                ),
+            )
+            # EAGER: `best` derives from `words`, so the rewrite embeds
+            # two copies of the previous iteration's plan — the same
+            # 2^iters analysis blowup as the pointer-doubling self-join.
+            # The table is <= top_words rows; materializing is free.
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -535,6 +535,70 @@ def _pq_oracle_sql(
     """
 
 
+def _bpe_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
+    """DuckDB twin of ``functions.text.bpe_train``: the word-frequency
+    cut, each pair count, the winner pick, and the left-to-right greedy
+    rewrite unroll as one CTE chain per merge. The rewrite is a
+    ``list_reduce`` over single-element lists — element-order fold,
+    exactly the engine's ``F.aggregate`` (first element seeds the
+    accumulator, which equals folding from an empty list)."""
+    steps = []
+    prev = "words0"
+    for i in range(1, n_merges + 1):
+        steps.append(f"""
+        pairs{i} AS MATERIALIZED (
+            SELECT x, y, sum(cnt)::bigint AS pc FROM (
+                SELECT cnt, syms[pos] AS x, syms[pos + 1] AS y
+                FROM (
+                    SELECT cnt, syms, unnest(range(1, len(syms))) AS pos
+                    FROM {prev}
+                )
+            ) GROUP BY x, y
+        ),
+        best{i} AS MATERIALIZED (
+            SELECT x, y, pc FROM pairs{i}
+            ORDER BY pc DESC, x ASC, y ASC LIMIT 1
+        ),
+        words{i} AS MATERIALIZED (
+            SELECT word, cnt,
+                   list_reduce(
+                       list_transform(syms, s -> [s]),
+                       (acc, sl) -> CASE
+                           WHEN len(acc) > 0 AND acc[len(acc)] = b.x
+                                AND sl[1] = b.y
+                           THEN list_append(
+                                    list_slice(acc, 1, len(acc) - 1),
+                                    acc[len(acc)] || sl[1])
+                           ELSE list_append(acc, sl[1]) END
+                   ) AS syms
+            FROM {prev}, best{i} b
+        )""")
+        prev = f"words{i}"
+    chain = ",".join(steps)
+    picks = "\n            UNION ALL\n".join(
+        f"            SELECT {i}::int AS step, x AS left_sym, y AS right_sym, pc AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH words0 AS MATERIALIZED (
+            SELECT word, cnt::bigint AS cnt,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i::int, 1)) AS syms
+            FROM (
+                SELECT word, count(*) AS cnt
+                FROM (
+                    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                    FROM documents
+                )
+                GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {top_words}
+            )
+        ),{chain}
+        SELECT step, left_sym, right_sym, pair_count FROM (
+{picks}
+        )
+    """
+
+
 def _label_prop_oracle_sql(iters: int = 3) -> str:
     """DuckDB twin of :func:`graph.algorithms.label_propagation` on the
     arithmetic-id analytics graph: each superstep is one CTE — neighbor
@@ -3128,6 +3192,20 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c67_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67 — BPE tokenizer induction (functions/text.py bpe_train): 4
+    merge steps trained on the documents corpus's own word-frequency
+    table (top-200 words). The corpus is scanned once; every iteration
+    is vocabulary-sized work — the shape that lets a 100-TB corpus
+    train a tokenizer without ever re-shuffling raw text. The DuckDB
+    oracle unrolls the identical pair counts, winner picks, and greedy
+    left-to-right rewrites."""
+    from neo4j_graphdb_spark.functions.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=4, top_words=200)
+
+
 def q_rel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel ext — recursive-CTE hierarchy flattening
     (graph/algorithms.py hierarchy_flatten): the part table as a
@@ -4255,6 +4333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a31_text_script": q_a31_text_script,
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
+    "c67_bpe_merges": q_c67_bpe_merges,
 }
 
 
@@ -6021,4 +6100,5 @@ ORACLES: dict[str, str] = {
                coalesce(array_to_string(path, '/'), '') AS path
         FROM done WHERE rn = 1
     """,
+    "c67_bpe_merges": _bpe_oracle_sql(),
 }

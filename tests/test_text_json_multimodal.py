@@ -582,3 +582,21 @@ def test_bm25_search_ranks_matching_docs(spark):
     again = [(r["id"], r["score"]) for r in
              bm25_search(docs.repartition(7), "id", "text", ["spark"], k=10).collect()]
     assert got == again
+
+
+def test_bpe_train_hand_checked(spark):
+    """Textbook BPE on 'aaab'×3 + 'ab'×1: (a,a) wins round 1 with 6
+    weighted occurrences (two per 'aaab'), the greedy rewrite leaves
+    [aa,a,b], then (a,b) with 4, then (aa,ab) with 3."""
+    from neo4j_graphdb_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaab aaab aaab ab",)], "text string"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=3, top_words=10)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 4), (3, "aa", "ab", 3)]
