@@ -102,3 +102,85 @@ def heavy_hitters(
         .filter(F.col("freq") > F.lit(frac) * F.col("_total"))
         .select("token", F.col("freq").cast("bigint").alias("freq"))
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a 1-row DataFrame
+    ``(bloom map<int,bigint>)`` — word index → 64-bit mask.
+
+    The runtime-filter primitive behind every "don't shuffle the fact
+    table" plan at 100 TB: the filter is ``m_bits/64`` longs regardless
+    of key count (4 KiB here), so it broadcasts for free and the probe
+    side prunes BEFORE its shuffle — a semi-join whose network cost is
+    zero on the big side. Hash functions are the engine's md5-fold
+    (functions/hashing.py: ``conv(substr(md5(salt||key),1,15),16,10)``,
+    salts ``bloom0: … bloom{k-1}:``), so the exact bit pattern — and
+    therefore the exact false-positive set — replays in plain SQL.
+
+    Build cost: one explode (k rows per key) + one ``groupBy(word)``
+    bit_or over ≤ ``m_bits/64`` groups — map-side combine collapses it
+    to almost nothing.
+    """
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[md5_bucket(key_col, f"bloom{i}:", m_bits) for i in range(k)]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("cast(pos div 64 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("w", "mask")))
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Filter ``facts`` to rows whose ``fact_key`` passes the Bloom
+    filter built from ``keys`` — a may-contain pre-filter with false
+    positives and no false negatives (chase with an exact semi-join when
+    exactness matters; the point is that the exact join then runs on the
+    surviving sliver, so the big side never shuffles unpruned). All
+    probe arithmetic is column expressions against the broadcast 1-row
+    filter: no shuffle, no UDF, and because the hashes are the md5-fold
+    the candidate set — false positives included — is deterministic and
+    SQL-replayable."""
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
+    bloom = bloom_build(keys, key_col, m_bits=m_bits, k=k)
+    probed = facts.crossJoin(F.broadcast(bloom))
+    for i in range(k):
+        probed = probed.withColumn(f"_p{i}", md5_bucket(fact_key, f"bloom{i}:", m_bits))
+    cond = F.lit(True)
+    for i in range(k):
+        # bit i set?  word = pos div 64, mask = 1 << (pos % 64); a word
+        # absent from the map means no key ever touched it -> 0
+        cond = cond & F.expr(
+            f"(coalesce(element_at(bloom, cast(_p{i} div 64 as int)), cast(0 as bigint)) "
+            f"& shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))) != 0"
+        )
+    return probed.filter(cond).drop("bloom", *[f"_p{i}" for i in range(k)])

@@ -3192,6 +3192,36 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c68_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68 — Bloom-filter pre-join pruning (operators/sketch.py
+    bloom_build/bloom_semi_join): the runtime-filter move that keeps a
+    100-TB fact scan from shuffling rows a dimension filter will drop
+    anyway. 256 bits / 3 md5-fold hashes over the nation-7 customers is
+    DELIBERATELY undersized so false positives occur at fixture scale:
+    the output row (n_pass, n_exact, n_false_pos) value-checks the exact
+    bit pattern — FP set included — against the SQL replay."""
+    from neo4j_graphdb_spark.operators.sketch import bloom_semi_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("key")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    passed = bloom_semi_join(orders, "o_custkey", dim, "key", m_bits=256, k=3)
+    exact = orders.join(
+        dim.select(F.col("key").alias("o_custkey")), on="o_custkey", how="left_semi"
+    )
+    return (
+        passed.agg(F.count(F.lit(1)).alias("n_pass"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            "n_pass",
+            "n_exact",
+            (F.col("n_pass") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
+
+
 def q_c67_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C67 — BPE tokenizer induction (functions/text.py bpe_train): 4
     merge steps trained on the documents corpus's own word-frequency
@@ -4334,6 +4364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
+    "c68_bloom_semi_join": q_c68_bloom_semi_join,
 }
 
 
@@ -6101,4 +6132,47 @@ ORACLES: dict[str, str] = {
         FROM done WHERE rn = 1
     """,
     "c67_bpe_merges": _bpe_oracle_sql(),
+    "c68_bloom_semi_join": f"""
+        WITH dim AS MATERIALIZED (
+            SELECT c_custkey AS key FROM customer WHERE c_nationkey = 7
+        ),
+        pos AS (
+            SELECT ({_MD5_60_SQL.format(x="concat('bloom0:', cast(key AS varchar))")}) % 256 AS pos FROM dim
+            UNION ALL
+            SELECT ({_MD5_60_SQL.format(x="concat('bloom1:', cast(key AS varchar))")}) % 256 FROM dim
+            UNION ALL
+            SELECT ({_MD5_60_SQL.format(x="concat('bloom2:', cast(key AS varchar))")}) % 256 FROM dim
+        ),
+        -- a Bloom filter IS position-set membership: modeling it as the
+        -- DISTINCT position set sidesteps 64-bit shift limits while
+        -- keeping the pass/fail decision bit-identical to the engine's
+        -- word/mask packing
+        posset AS MATERIALIZED (SELECT DISTINCT pos FROM pos),
+        checks AS (
+            SELECT o_orderkey, o_custkey,
+                   ({_MD5_60_SQL.format(x="concat('bloom0:', cast(o_custkey AS varchar))")}) % 256 AS pos
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   ({_MD5_60_SQL.format(x="concat('bloom1:', cast(o_custkey AS varchar))")}) % 256
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   ({_MD5_60_SQL.format(x="concat('bloom2:', cast(o_custkey AS varchar))")}) % 256
+            FROM orders
+        ),
+        hit AS (
+            SELECT c.o_orderkey, c.o_custkey,
+                   bool_and(c.pos IN (SELECT pos FROM posset)) AS ok
+            FROM checks c
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT
+                (SELECT count(*) FROM hit WHERE ok)::bigint AS n_pass,
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT key FROM dim))::bigint AS n_exact
+        )
+        SELECT n_pass, n_exact, n_pass - n_exact AS n_false_pos FROM agg
+    """,
 }

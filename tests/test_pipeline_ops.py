@@ -313,3 +313,34 @@ def test_interleave_sources_round_robin(spark):
     assert {(r["id"], r["train_key"]) for r in again} == {
         (r["id"], r["train_key"]) for r in out
     }
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Every true match must pass the filter (Bloom guarantees no false
+    negatives); with a roomy filter the pass set equals the exact set,
+    and shrinking it only ever ADDS rows (false positives)."""
+    from neo4j_graphdb_spark.operators.sketch import bloom_semi_join
+
+    facts = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "row_id bigint, fk bigint"
+    )
+    keys = spark.createDataFrame([(3,), (17,), (42,)], "key bigint")
+    exact = {r["row_id"] for r in facts.filter(F.col("fk").isin(3, 17, 42)).collect()}
+
+    roomy = {
+        r["row_id"]
+        for r in bloom_semi_join(facts, "fk", keys, "key", m_bits=4096, k=3).collect()
+    }
+    assert roomy == exact
+
+    tight = {
+        r["row_id"]
+        for r in bloom_semi_join(facts, "fk", keys, "key", m_bits=64, k=3).collect()
+    }
+    assert exact <= tight  # no false negatives, FPs allowed
+
+    again = {
+        r["row_id"]
+        for r in bloom_semi_join(facts, "fk", keys, "key", m_bits=64, k=3).collect()
+    }
+    assert tight == again  # md5-fold hashes: the FP set is deterministic
