@@ -1866,6 +1866,76 @@ def q_c19_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c69_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C69 — LEFT OUTER stream-stream join on the REAL streaming engine:
+    clicks that never saw a purchase in the prior hour must still emit,
+    null-extended — but Structured Streaming only releases an unmatched
+    left row once the combined watermark proves no match can arrive.
+    Same multi-batch discipline as c16: batch 1 is the events table;
+    batches 2 and 3 are far-future click+purchase heartbeat pairs
+    (user_id −1, +30/+60 days) that advance BOTH sides' watermarks —
+    two of them because outer-state eviction uses the watermark that was
+    operative when the batch was *planned*, one batch behind the data.
+    The oracle is the plain LEFT JOIN twin of c19's interval join, so
+    withheld or double-emitted rows flip the hash."""
+    import os as _os
+    import time as _time
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    sdir = tempfile.mkdtemp(prefix="c69_stream_")
+    b0, b1, b2 = (_os.path.join(sdir, f"b{i}") for i in range(3))
+    ev.coalesce(1).write.parquet(b0)
+    base = ev.orderBy(F.col("ts").desc()).limit(1)
+
+    def _heartbeat(days: int, id0: int):
+        def row(eid: int, etype: str):
+            return base.select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.expr(f"ts + INTERVAL {days} DAYS").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+            )
+
+        return row(id0, "click").unionByName(row(id0 - 1, "purchase"))
+
+    _heartbeat(30, -1).coalesce(1).write.parquet(b1)
+    _heartbeat(60, -3).coalesce(1).write.parquet(b2)
+    now = _time.time()
+    for off, sub in enumerate((b0, b1, b2)):
+        for fn in _os.listdir(sub):
+            _os.utime(_os.path.join(sub, fn), (now + 60 * off, now + 60 * off))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b*")
+    )
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.joins import stream_interval_join
+
+    def side(event_type: str) -> DataFrame:
+        return stream.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts", "event_id"
+        )
+
+    j = stream_interval_join(
+        side("click"),
+        side("purchase"),
+        ["user_id"],
+        3600.0,
+        watermark="1 day",
+        how="left_outer",
+    )
+    out = run_stream_to_memory(spark, j, output_mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
+        F.col("l_event_id").cast("bigint").alias("click_id"),
+        F.col("r_event_id").cast("bigint").alias("purchase_id"),
+        F.round("gap_sec", 6).alias("gap_sec"),
+    )
+
+
 def q_c18_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C18 — custom stateful operator (applyInPandasWithState) on the
     real streaming engine; a single availableNow batch makes the running
@@ -4365,6 +4435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
+    "c69_stream_outer_join": q_c69_stream_outer_join,
 }
 
 
@@ -5094,6 +5165,15 @@ ORACLES: dict[str, str] = {
         FROM c JOIN p ON c.user_id = p.user_id
                      AND p.ts >= c.ts - INTERVAL 3600 SECONDS
                      AND p.ts < c.ts
+    """,
+    "c69_stream_outer_join": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id::bigint AS click_id, p.event_id::bigint AS purchase_id,
+               round((epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS gap_sec
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+                          AND p.ts >= c.ts - INTERVAL 3600 SECONDS
+                          AND p.ts < c.ts
     """,
     "c19_stream_interval_join": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

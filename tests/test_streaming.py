@@ -289,3 +289,66 @@ def test_stateful_sessions_gap_close_and_timeout(spark, tmp_path):
         (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
         # u3 @13:00 stays open: its timeout 13:30 is past the last watermark
     }
+
+
+def test_stream_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join must emit BOTH the matched click
+    (with its purchase) and the never-matched click (null-extended) —
+    the latter only after heartbeat batches advance both watermarks past
+    its eviction point."""
+    import os
+    import time
+
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+    from neo4j_graphdb_spark.streaming.joins import stream_interval_join
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    b0 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 12, 10, 0), 100, "click"),
+            (2, datetime(2024, 1, 1, 12, 5, 0), 100, "purchase"),
+            (3, datetime(2024, 1, 1, 12, 0, 0), 200, "click"),
+        ],
+        schema,
+    )
+    hb1 = spark.createDataFrame(
+        [
+            (-1, datetime(2024, 3, 1), -1, "click"),
+            (-2, datetime(2024, 3, 1), -1, "purchase"),
+        ],
+        schema,
+    )
+    hb2 = spark.createDataFrame(
+        [
+            (-3, datetime(2024, 5, 1), -1, "click"),
+            (-4, datetime(2024, 5, 1), -1, "purchase"),
+        ],
+        schema,
+    )
+    sdir = str(tmp_path / "c69")
+    for i, df in enumerate((b0, hb1, hb2)):
+        sub = os.path.join(sdir, f"b{i}")
+        df.coalesce(1).write.parquet(sub)
+        for fn in os.listdir(sub):
+            os.utime(os.path.join(sub, fn), (time.time() + 60 * i,) * 2)
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b*")
+    )
+
+    def side(etype):
+        return stream.filter(F.col("event_type") == etype).select(
+            "user_id", "ts", "event_id"
+        )
+
+    j = stream_interval_join(
+        side("click"), side("purchase"), ["user_id"], 3600.0,
+        watermark="1 hour", how="left_outer",
+    )
+    out = run_stream_to_memory(spark, j, output_mode="append")
+    rows = {
+        r["l_event_id"]: r["r_event_id"]
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    }
+    assert rows == {1: 2, 3: None}
