@@ -51,9 +51,13 @@ DataFrame whose columns are the parameters, in which case ONE call
 upserts the whole batch through the same statement text — the
 per-record Bolt loop becomes a single batched merge plan.
 
+``WHERE`` accepts boolean combinations — ``OR`` / ``NOT`` /
+parentheses with Cypher precedence (NOT > AND > OR) — compiled to one
+filter Column with three-valued NULL semantics.
+
 Out of scope (raises ``CypherUnsupported``): variable-length path
-text, DELETE/REMOVE, OR/NOT predicates, subqueries — none appear in
-the reference (the builder API covers var-length and DETACH DELETE).
+text, DELETE/REMOVE, subqueries — none appear in the reference (the
+builder API covers var-length and DETACH DELETE).
 """
 
 from __future__ import annotations
@@ -162,6 +166,87 @@ _WHERE_ITEM_RE = re.compile(
 )
 
 _STRING_LIT_RE = re.compile(r"'([^']*)'")
+
+# boolean WHERE grammar beyond the conjunct list: OR / NOT / parentheses
+# with Cypher precedence NOT > AND > OR. Tokenization runs over the
+# MASKED text (string literals are already sentinels), and the same
+# lookbehind as the clause splitter keeps keywords embedded in
+# identifiers (`n.nothing`, `$order`) out of the token stream.
+_BOOL_DELIM_RE = re.compile(r"\(|\)|(?<![.$\w])(?:OR|AND|NOT)\b", re.IGNORECASE)
+
+
+def _parse_bool_expr(body: str):
+    """Parse a WHERE body holding OR / NOT / parentheses into an AST of
+    ``('or'|'and', l, r)`` / ``('not', n)`` / ``('pred', alias, prop,
+    op, raw)`` nodes. The leaves reuse the conjunct grammar
+    (``_WHERE_ITEM_RE``), so everything a simple WHERE can say composes
+    under the connectives; anything else raises ``CypherUnsupported``."""
+    tokens: list[str] = []
+    pos = 0
+    for m in _BOOL_DELIM_RE.finditer(body):
+        chunk = body[pos : m.start()].strip()
+        if chunk:
+            tokens.append(chunk)
+        tokens.append(m.group(0).upper())
+        pos = m.end()
+    tail = body[pos:].strip()
+    if tail:
+        tokens.append(tail)
+
+    idx = 0
+
+    def peek():
+        return tokens[idx] if idx < len(tokens) else None
+
+    def take():
+        nonlocal idx
+        t = tokens[idx]
+        idx += 1
+        return t
+
+    def factor():
+        t = peek()
+        if t == "NOT":
+            take()
+            return ("not", factor())
+        if t == "(":
+            take()
+            e = expr()
+            if peek() != ")":
+                raise CypherUnsupported(f"unbalanced parens in WHERE: {body!r}")
+            take()
+            return e
+        if t is None or t in (")", "AND", "OR"):
+            raise CypherUnsupported(f"unsupported WHERE expression: {body!r}")
+        m = _WHERE_ITEM_RE.match(take().strip())
+        if not m:
+            raise CypherUnsupported(f"unsupported WHERE predicate in: {body!r}")
+        return (
+            "pred",
+            m.group("alias"),
+            m.group("prop"),
+            m.group("op"),
+            m.group("val"),
+        )
+
+    def term():
+        n = factor()
+        while peek() == "AND":
+            take()
+            n = ("and", n, factor())
+        return n
+
+    def expr():
+        n = term()
+        while peek() == "OR":
+            take()
+            n = ("or", n, term())
+        return n
+
+    node = expr()
+    if idx != len(tokens):
+        raise CypherUnsupported(f"trailing tokens in WHERE: {body!r}")
+    return node
 
 
 def _mask_strings(text: str) -> tuple[str, list[str]]:
@@ -676,6 +761,7 @@ def _run_read(
     return_distinct = False
     node_match: tuple[str, str | None] | None = None
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
+    where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
     unwind_name: str | None = None
@@ -756,13 +842,19 @@ def _run_read(
             rel_alias = m.group("rel_alias")
             rel_prefixed = True
         elif c.kind == "WHERE":
-            for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
-                m = _WHERE_ITEM_RE.match(item.strip())
-                if not m:
-                    raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
-                predicates.append(
-                    (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
-                )
+            if re.search(r"[()]|(?<![.$\w])(?:OR|NOT)\b", c.body, re.IGNORECASE):
+                # boolean combination: one deferred filter Column; the
+                # plan-shaping conjunct specials (UNWIND equi-join) stay
+                # exclusive to the plain-AND path below
+                where_exprs.append(_parse_bool_expr(c.body))
+            else:
+                for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
+                    m = _WHERE_ITEM_RE.match(item.strip())
+                    if not m:
+                        raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
+                    predicates.append(
+                        (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
+                    )
         elif c.kind == "RETURN":
             body = c.body
             dm = re.match(r"^DISTINCT\s+", body, re.IGNORECASE)
@@ -848,6 +940,45 @@ def _run_read(
                 F.lit(_where_value(raw, lits, params)),
             )
         )
+
+    if where_exprs:
+        # resolve each boolean AST to one filter Column: leaves reuse the
+        # simple path's column/value resolution, connectives map to
+        # Spark's three-valued &/|/~ — which IS Cypher's NULL semantics
+        # (NOT null -> null -> row dropped)
+        def _leaf(alias: str, prop: str, op: str, raw: str):
+            if alias not in aliases:
+                if rel_alias is not None and alias == rel_alias:
+                    if prop not in df.columns:
+                        raise CypherUnsupported(
+                            f"unknown relationship property {prop!r}"
+                        )
+                    col = F.col(prop)
+                else:
+                    raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
+            else:
+                col = _prop_col(df, aliases[alias], prop)
+            if op.upper() == "IN":
+                vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+                if not isinstance(vals, list) or not vals:
+                    raise CypherUnsupported(
+                        f"IN needs a non-empty list param, got {raw!r}"
+                    )
+                return col.isin(*vals)
+            if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+                raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
+            return _OPS[op](col, F.lit(_where_value(raw, lits, params)))
+
+        def _walk(n):
+            if n[0] == "pred":
+                return _leaf(n[1], n[2], n[3], n[4])
+            if n[0] == "not":
+                return ~_walk(n[1])
+            left, right = _walk(n[1]), _walk(n[2])
+            return (left & right) if n[0] == "and" else (left | right)
+
+        for node in where_exprs:
+            df = df.filter(_walk(node))
 
     if any(_AGG_ITEM_RE.match(i) for i in returns):
         if return_distinct:

@@ -3262,6 +3262,38 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a32_text_bool_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 ext — boolean WHERE through the string front-end
+    (operators/cypher_text.py _parse_bool_expr): ``WHERE (a.lang = 'de'
+    OR a.lang = $l) AND NOT a.src = 'src0'`` — OR/NOT/parentheses with
+    Cypher precedence, literals masked, the param bound, compiled to a
+    single pushdown-friendly filter Column over the store scan."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("src"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a32_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.lang = $lang, a.src = $src",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE (a.lang = 'de' OR a.lang = $l) "
+        "AND NOT a.src = 'src0' "
+        "RETURN a.link AS link, a.lang AS lang, a.src AS src",
+        {"l": "fr"},
+        store=store,
+    )
+    return res.df
+
+
 def q_c68_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C68 — Bloom-filter pre-join pruning (operators/sketch.py
     bloom_build/bloom_semi_join): the runtime-filter move that keeps a
@@ -4436,6 +4468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "c69_stream_outer_join": q_c69_stream_outer_join,
+    "a32_text_bool_where": q_a32_text_bool_where,
 }
 
 
@@ -5165,6 +5198,12 @@ ORACLES: dict[str, str] = {
         FROM c JOIN p ON c.user_id = p.user_id
                      AND p.ts >= c.ts - INTERVAL 3600 SECONDS
                      AND p.ts < c.ts
+    """,
+    "a32_text_bool_where": """
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               lang, source AS src
+        FROM documents
+        WHERE (lang = 'de' OR lang = 'fr') AND NOT source = 'src0'
     """,
     "c69_stream_outer_join": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

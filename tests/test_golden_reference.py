@@ -285,13 +285,17 @@ def test_text_where_filters(spark, text_store):
         run_cypher(
             spark, "MERGE (a:X {k: $k}) WHERE a.k = $k", {"k": 1}, store=text_store
         )
-    with _p.raises(CypherUnsupported):  # OR stays out of the subset
-        run_cypher(
-            spark,
-            "MATCH (a:Article) WHERE a.title = $t OR a.title = $u RETURN a",
-            {"t": "x", "u": "y"},
-            store=text_store,
-        )
+    # OR joined the subset (boolean WHERE — see test_text_boolean_where);
+    # a disjunction over two real titles returns both rows
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title = $t OR a.title = $u RETURN a.title AS title",
+        {"t": ARTICLES[0][1], "u": ARTICLES[2][1]},
+        store=text_store,
+    )
+    assert sorted(r["title"] for r in res.df.collect()) == sorted(
+        [ARTICLES[0][1], ARTICLES[2][1]]
+    )
 
 
 def test_text_order_by_limit(spark, text_store):
@@ -786,3 +790,41 @@ def test_text_script_multi_statement(spark, tmp_path):
     assert results[0].summary.nodes_created == 1
     assert [r["link"] for r in results[1].df.collect()] == ["l1"]
     assert [r["title"] for r in results[2].df.collect()] == ["has; semicolon"]
+
+
+def test_text_boolean_where(spark, text_store):
+    """OR / NOT / parentheses in WHERE with Cypher precedence
+    (NOT > AND > OR): parenthesized OR first, then NOT-conjunct."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE (a.title = $t1 OR a.title = $t2) "
+        "AND NOT a.content = 'body one' RETURN a.title AS title",
+        {"t1": ARTICLES[0][1], "t2": ARTICLES[1][1]},
+        store=text_store,
+    )
+    assert [r["title"] for r in res.df.collect()] == [ARTICLES[1][1]]
+
+    # precedence WITHOUT parens: NOT binds tighter than AND, AND tighter
+    # than OR -> `x OR NOT y AND z` is `x OR ((NOT y) AND z)`
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title = $t1 OR NOT a.content = 'body two' "
+        "AND a.link = 'https://n.example/a1' RETURN a.title AS title",
+        {"t1": ARTICLES[1][1]},
+        store=text_store,
+    )
+    got = sorted(r["title"] for r in res.df.collect())
+    # `t1 OR ((NOT content) AND link)`: a1 in via the right conjunct,
+    # a2 in via t1, a3 out (its link fails the AND) — a left-to-right
+    # reading `(t1 OR NOT content) AND link` would return a1 only
+    assert got == sorted([ARTICLES[0][1], ARTICLES[1][1]])
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE (a.title = $t1 RETURN a.title AS title",
+            {"t1": ARTICLES[0][1]},
+            store=text_store,
+        )
