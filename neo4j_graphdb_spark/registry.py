@@ -3262,6 +3262,32 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c70_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70 — incremental connected-components maintenance
+    (graph/algorithms.py incremental_components): the Customer/Supplier
+    FROM-edges are the loaded base; the Nation-IN-Region edges arrive as
+    the delta batch. The delta contracts onto the base labeling and CC
+    runs over one node per existing component — O(|delta| + #components)
+    for the update, never a full re-run. Min-id labels make the
+    composition EXACT, so the output (and oracle) is identical to c3's
+    full recompute — any divergence between the incremental and full
+    paths flips the hash."""
+    from neo4j_graphdb_spark.graph.algorithms import incremental_components
+
+    g = analytics_graph(spark, sf_dir)
+    base_e = g.edges_df.filter(F.col("rel_type") != "IN")
+    delta_e = g.edges_df.filter(F.col("rel_type") == "IN")
+    comp = incremental_components(g.nodes_df, base_e, delta_e)
+    region_of_comp = comp.join(
+        _node_keys(g).filter(F.col("label") == "Region"), on="id"
+    ).select(F.col("comp"), F.col("key").alias("region_key"))
+    return (
+        comp.join(region_of_comp, on="comp")
+        .join(_node_keys(g), on="id")
+        .select("label", "key", "region_key")
+    )
+
+
 def q_a32_text_bool_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A32 ext — boolean WHERE through the string front-end
     (operators/cypher_text.py _parse_bool_expr): ``WHERE (a.lang = 'de'
@@ -4469,6 +4495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "c69_stream_outer_join": q_c69_stream_outer_join,
     "a32_text_bool_where": q_a32_text_bool_where,
+    "c70_incremental_cc": q_c70_incremental_cc,
 }
 
 
@@ -6295,3 +6322,7 @@ ORACLES: dict[str, str] = {
         SELECT n_pass, n_exact, n_pass - n_exact AS n_false_pos FROM agg
     """,
 }
+
+# The incremental CC composition must be indistinguishable from the full
+# recompute — same oracle as c3, by construction (min-id label algebra).
+ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]

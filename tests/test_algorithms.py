@@ -653,3 +653,31 @@ def test_hierarchy_flatten_deep_chain_log_rounds(spark):
     assert got[20] == (0, 20)
     assert got[0] == (0, 0)
     assert all(got[i] == (0, i) for i in range(21))
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Delta edges that (a) merge two base components, (b) connect two
+    base-isolated nodes, and (c) land inside one existing component must
+    yield labels bit-identical to CC over the union."""
+    from neo4j_graphdb_spark.graph.algorithms import (
+        connected_components,
+        incremental_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "node_id bigint")
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6)], "src bigint, dst bigint"
+    )
+    delta = spark.createDataFrame(
+        [(2, 3), (7, 8), (0, 2)], "src bigint, dst bigint"
+    )
+    inc = {
+        r["id"]: r["comp"]
+        for r in incremental_components(nodes, base, delta).collect()
+    }
+    full = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, base.unionByName(delta)).collect()
+    }
+    assert inc == full
+    assert inc[4] == 0 and inc[8] == 7 and inc[9] == 9
