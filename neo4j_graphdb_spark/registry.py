@@ -2431,6 +2431,44 @@ def q_rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel ext — 2-D skyline / Pareto frontier: parts no other part beats
+    on BOTH dimensions (cheaper-or-equal price AND bigger-or-equal size,
+    strictly better in one). The textbook formulation is an O(n²)
+    dominance anti-join — the oracle runs exactly that — but the
+    engine's plan is the sort-based frontier: collapse to one row per
+    distinct price (max size), run a strictly-preceding cummax window
+    over the DISTINCT-price sequence only, and a part survives iff its
+    size ties its price group's best AND strictly beats every cheaper
+    group's best. One groupBy + one window over the frontier grid
+    (#distinct prices, not n rows) + one broadcast-sized join back: at
+    100 TB the n² pair explosion never exists. (If the dim-1 grid itself
+    were huge, the same frontier composes hierarchically: per-partition
+    frontiers then a frontier-of-frontiers — each pass is this plan.)"""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_gmax"))
+    w = Window.orderBy(F.col("p_retailprice").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = grp.withColumn("_cheaper_best", F.max("_gmax").over(w))
+    sky = part.join(F.broadcast(frontier), on="p_retailprice").filter(
+        (F.col("p_size") == F.col("_gmax"))
+        & (
+            F.col("_cheaper_best").isNull()
+            | (F.col("p_size") > F.col("_cheaper_best"))
+        )
+    )
+    return sky.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + distinct counts per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``) — the descriptive-stats
@@ -4496,6 +4534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c69_stream_outer_join": q_c69_stream_outer_join,
     "a32_text_bool_where": q_a32_text_bool_where,
     "c70_incremental_cc": q_c70_incremental_cc,
+    "rel_skyline": q_rel_skyline,
 }
 
 
@@ -6326,3 +6365,18 @@ ORACLES: dict[str, str] = {
 # The incremental CC composition must be indistinguishable from the full
 # recompute — same oracle as c3, by construction (min-id label algebra).
 ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]
+
+# Skyline oracle: the textbook quadratic dominance anti-join — the
+# engine's sort-based frontier must reproduce it row for row.
+ORACLES["rel_skyline"] = """
+    SELECT a.p_partkey::bigint AS p_partkey,
+           round(a.p_retailprice, 2) AS price,
+           a.p_size::bigint AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+"""

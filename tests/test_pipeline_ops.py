@@ -344,3 +344,25 @@ def test_bloom_semi_join_no_false_negatives(spark):
         for r in bloom_semi_join(facts, "fk", keys, "key", m_bits=64, k=3).collect()
     }
     assert tight == again  # md5-fold hashes: the FP set is deterministic
+
+
+def test_rel_skyline_hand_checked(spark, monkeypatch, tmp_path):
+    """Frontier semantics on hand data: equal-best ties both survive,
+    same-price smaller loses, equal-size-but-pricier loses, strict
+    improvement over the cheaper best survives."""
+    import neo4j_graphdb_spark.registry as reg
+
+    part = spark.createDataFrame(
+        [
+            (1, 1.0, 5),  # skyline (tie with 2)
+            (2, 1.0, 5),  # skyline (tie with 1)
+            (3, 1.0, 3),  # dominated by 1 (same price, bigger size)
+            (4, 2.0, 6),  # skyline (beats cheaper best 5)
+            (5, 2.0, 5),  # dominated by 1 (cheaper, equal size)
+            (6, 3.0, 6),  # dominated by 4 (cheaper, equal size)
+        ],
+        "p_partkey bigint, p_retailprice double, p_size int",
+    )
+    monkeypatch.setattr(reg, "load_table", lambda s, d, n: part)
+    got = {r["p_partkey"] for r in reg.q_rel_skyline(spark, "ignored").collect()}
+    assert got == {1, 2, 4}
