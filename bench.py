@@ -50,6 +50,15 @@ HEADLINE = [
     # window adjacency + vocabulary-sized dimension joins
     "c44_closeness",
     "c48_bigram_lm",
+    # round 5 (this round) additions — PQ codebook+ADC search, pointer-
+    # doubling hierarchy, BPE training loop, Bloom pre-join pruning,
+    # sort-based skyline, incremental CC maintenance
+    "c66_pq_topk",
+    "rel_hierarchy",
+    "c67_bpe_merges",
+    "c68_bloom_semi_join",
+    "rel_skyline",
+    "c70_incremental_cc",
 ]
 
 

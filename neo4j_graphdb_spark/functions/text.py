@@ -624,6 +624,25 @@ def bm25_search(
     )
 
 
+def _merge_adjacent(arr, x, y):
+    """Greedy left-to-right non-overlapping merge of adjacent (x, y) ->
+    x||y inside a symbol array: fold each symbol in; when the
+    accumulated tail is x and the incoming symbol is y, replace the tail
+    with the merged token. Shared by BPE training and application so the
+    two stages are guaranteed the same rewrite."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == x) & (s == y),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -666,22 +685,6 @@ def bpe_train(
         .limit(top_words)
         .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
     )
-
-    def _merge_adjacent(arr, x, y):
-        # left-to-right non-overlapping greedy merge of (x, y) -> x||y:
-        # fold each symbol in; when the accumulated tail is x and the
-        # incoming symbol is y, replace the tail with the merged token
-        return F.aggregate(
-            arr,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == x) & (s == y),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), s)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
 
     merges = []
     for step in range(1, n_merges + 1):
@@ -734,3 +737,56 @@ def bpe_train(
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: DataFrame,
+    n_merges: int,
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table
+    (:func:`bpe_train`'s output) and return the resulting subword
+    vocabulary ``(token, n_occurrences)``.
+
+    Same two-level shape as training: the corpus collapses once to the
+    word-frequency table, the merge list applies word-by-word in rank
+    order (each step one broadcast 1-row crossJoin + the shared
+    :func:`_merge_adjacent` fold — training and application cannot
+    drift), and the final explode+sum weighs each word's tokens by its
+    corpus frequency. Corpus scanned once; everything after is
+    vocabulary-sized.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+    )
+    for step in range(1, n_merges + 1):
+        m = merges.filter(F.col("step") == step).select(
+            F.col("left_sym").alias("_bx"), F.col("right_sym").alias("_by")
+        )
+        words = (
+            words.crossJoin(F.broadcast(m))
+            .select(
+                "word",
+                "cnt",
+                _merge_adjacent(F.col("syms"), F.col("_bx"), F.col("_by")).alias(
+                    "syms"
+                ),
+            )
+            # merges is itself a (checkpointed) result of the training
+            # loop, so this chain stays linear; eager keeps each step's
+            # plan from restacking the previous rewrites
+            .localCheckpoint(eager=True)
+        )
+    return (
+        words.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+    )

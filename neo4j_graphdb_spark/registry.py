@@ -535,13 +535,26 @@ def _pq_oracle_sql(
     """
 
 
-def _bpe_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
-    """DuckDB twin of ``functions.text.bpe_train``: the word-frequency
-    cut, each pair count, the winner pick, and the left-to-right greedy
-    rewrite unroll as one CTE chain per merge. The rewrite is a
-    ``list_reduce`` over single-element lists — element-order fold,
-    exactly the engine's ``F.aggregate`` (first element seeds the
-    accumulator, which equals folding from an empty list)."""
+_BPE_REWRITE = """
+                   list_reduce(
+                       list_transform(syms, s -> [s]),
+                       (acc, sl) -> CASE
+                           WHEN len(acc) > 0 AND acc[len(acc)] = b.x
+                                AND sl[1] = b.y
+                           THEN list_append(
+                                    list_slice(acc, 1, len(acc) - 1),
+                                    acc[len(acc)] || sl[1])
+                           ELSE list_append(acc, sl[1]) END
+                   ) AS syms"""
+
+
+def _bpe_fit_chain(n_merges: int, top_words: int) -> str:
+    """Shared WITH-body for the BPE oracles: the top-``top_words``
+    word-frequency table plus one (pair-count, winner, rewrite) CTE
+    triple per merge. The rewrite is a ``list_reduce`` over
+    single-element lists — element-order fold, exactly the engine's
+    ``F.aggregate`` (first element seeds the accumulator, which equals
+    folding from an empty list)."""
     steps = []
     prev = "words0"
     for i in range(1, n_merges + 1):
@@ -560,27 +573,12 @@ def _bpe_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
             ORDER BY pc DESC, x ASC, y ASC LIMIT 1
         ),
         words{i} AS MATERIALIZED (
-            SELECT word, cnt,
-                   list_reduce(
-                       list_transform(syms, s -> [s]),
-                       (acc, sl) -> CASE
-                           WHEN len(acc) > 0 AND acc[len(acc)] = b.x
-                                AND sl[1] = b.y
-                           THEN list_append(
-                                    list_slice(acc, 1, len(acc) - 1),
-                                    acc[len(acc)] || sl[1])
-                           ELSE list_append(acc, sl[1]) END
-                   ) AS syms
+            SELECT word, cnt,{_BPE_REWRITE}
             FROM {prev}, best{i} b
         )""")
         prev = f"words{i}"
     chain = ",".join(steps)
-    picks = "\n            UNION ALL\n".join(
-        f"            SELECT {i}::int AS step, x AS left_sym, y AS right_sym, pc AS pair_count FROM best{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return f"""
-        WITH words0 AS MATERIALIZED (
+    return f"""words0 AS MATERIALIZED (
             SELECT word, cnt::bigint AS cnt,
                    list_transform(range(1, length(word) + 1),
                                   i -> substr(word, i::int, 1)) AS syms
@@ -592,10 +590,56 @@ def _bpe_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
                 )
                 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {top_words}
             )
-        ),{chain}
+        ),{chain}"""
+
+
+def _bpe_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
+    """DuckDB twin of ``functions.text.bpe_train`` — the fit chain's
+    winner picks, one row per merge step."""
+    picks = "\n            UNION ALL\n".join(
+        f"            SELECT {i}::int AS step, x AS left_sym, y AS right_sym, pc AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {_bpe_fit_chain(n_merges, top_words)}
         SELECT step, left_sym, right_sym, pair_count FROM (
 {picks}
         )
+    """
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 4, top_words: int = 200) -> str:
+    """DuckDB twin of ``functions.text.bpe_apply``: the fit chain
+    reproduces the merge table, then the SAME rewrite unrolls over the
+    UNCAPPED word table and the final unnest+sum weighs each word's
+    tokens by its corpus frequency."""
+    rewrites = []
+    prev = "aw0"
+    for i in range(1, n_merges + 1):
+        rewrites.append(f"""
+        aw{i} AS MATERIALIZED (
+            SELECT word, cnt,{_BPE_REWRITE}
+            FROM {prev}, best{i} b
+        )""")
+        prev = f"aw{i}"
+    return f"""
+        WITH {_bpe_fit_chain(n_merges, top_words)},
+        aw0 AS MATERIALIZED (
+            SELECT word, cnt::bigint AS cnt,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i::int, 1)) AS syms
+            FROM (
+                SELECT word, count(*) AS cnt
+                FROM (
+                    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                    FROM documents
+                )
+                GROUP BY word
+            )
+        ),{",".join(rewrites)}
+        SELECT token, sum(cnt)::bigint AS n_occurrences FROM (
+            SELECT cnt, unnest(syms) AS token FROM {prev}
+        ) GROUP BY token
     """
 
 
@@ -3300,6 +3344,21 @@ def q_c66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c71_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71 — BPE tokenization with the c67-trained merges
+    (functions/text.py bpe_apply): the merge table (fit on the top-200
+    words) applies to EVERY corpus word in rank order through the same
+    shared greedy rewrite, and the output is the resulting subword
+    vocabulary weighted by corpus frequency — train and apply as one
+    value-checked pipeline. Corpus scanned once; the apply loop is
+    vocabulary-sized."""
+    from neo4j_graphdb_spark.functions.text import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=4, top_words=200)
+    return bpe_apply(docs, "text", merges, n_merges=4)
+
+
 def q_c70_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C70 — incremental connected-components maintenance
     (graph/algorithms.py incremental_components): the Customer/Supplier
@@ -4535,6 +4594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a32_text_bool_where": q_a32_text_bool_where,
     "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
+    "c71_bpe_apply": q_c71_bpe_apply,
 }
 
 
@@ -6317,6 +6377,7 @@ ORACLES: dict[str, str] = {
         FROM done WHERE rn = 1
     """,
     "c67_bpe_merges": _bpe_oracle_sql(),
+    "c71_bpe_apply": _bpe_apply_oracle_sql(),
     "c68_bloom_semi_join": f"""
         WITH dim AS MATERIALIZED (
             SELECT c_custkey AS key FROM customer WHERE c_nationkey = 7

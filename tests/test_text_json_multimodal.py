@@ -600,3 +600,17 @@ def test_bpe_train_hand_checked(spark):
         .collect()
     ]
     assert got == [(1, "a", "a", 6), (2, "a", "b", 4), (3, "aa", "ab", 3)]
+
+
+def test_bpe_apply_textbook(spark):
+    """Applying the 3 trained merges to the training corpus itself fully
+    re-fuses 'aaab' ('aa'+'ab' -> 'aaab') and leaves 'ab' one token."""
+    from neo4j_graphdb_spark.functions.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame([("aaab aaab aaab ab",)], "text string")
+    merges = bpe_train(docs, "text", n_merges=3, top_words=10)
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_apply(docs, "text", merges, n_merges=3).collect()
+    }
+    assert got == {"aaab": 3, "ab": 1}
