@@ -788,7 +788,56 @@ def _run_read(
             )
         elif c.kind == "MATCH":
             if df is not None:
-                raise CypherUnsupported("multiple MATCH clauses unsupported")
+                # chained MATCH: `MATCH (a:L1)-[:T1]->(b:L2) MATCH
+                # (b)-[:T2]->(c:L3)` — the second pattern must START from
+                # an alias the first one bound; it compiles to one more
+                # (edge ⋈ node) join pair hanging off the bound frame, so
+                # a k-clause chain is k hash joins, dimension sides
+                # broadcast (same shape as Graph.expand_path)
+                m = _REL_RE.match(c.body)
+                if not m:
+                    raise CypherUnsupported(
+                        f"chained MATCH must be a relationship pattern: {c.body!r}"
+                    )
+                sa2 = m.group("src_alias")
+                if sa2 is None or sa2 not in aliases:
+                    raise CypherUnsupported(
+                        "chained MATCH must start from a bound alias"
+                    )
+                if m.group("src_label"):
+                    raise CypherUnsupported(
+                        "chained MATCH source must be the bare bound alias"
+                    )
+                if m.group("rel_alias"):
+                    raise CypherUnsupported(
+                        "relationship alias on a chained MATCH is unsupported"
+                    )
+                da2 = m.group("dst_alias") or "c"
+                if da2 in aliases:
+                    raise CypherUnsupported(f"alias {da2!r} is already bound")
+                from neo4j_graphdb_spark.operators.cypher import _prefix
+
+                e2 = graph.edges_df
+                if e2 is None:
+                    raise CypherUnsupported("graph has no edges")
+                if m.group("rel_type"):
+                    e2 = e2.filter(F.col("rel_type") == m.group("rel_type"))
+                e2 = e2.select(
+                    F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
+                )
+                dstf = _prefix(graph.match(m.group("dst_label")), da2)
+                src_id = (
+                    F.col(f"{aliases[sa2]}{NODE_ID}")
+                    if aliases[sa2]
+                    else F.col(NODE_ID)
+                )
+                df = (
+                    df.join(e2, src_id == F.col("_e2src"))
+                    .join(dstf, F.col("_e2dst") == dstf[f"{da2}_{NODE_ID}"])
+                    .drop("_e2src", "_e2dst")
+                )
+                aliases[da2] = f"{da2}_"
+                continue
             m = _REL_RE.match(c.body)
             if m:
                 sa = m.group("src_alias") or "a"

@@ -2513,6 +2513,28 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel ext — distribution window functions (percent_rank, cume_dist,
+    ntile deciles) over the per-customer order count. The measure is an
+    integer count with a key tiebreak, so the global ordering — and
+    therefore every distribution value — is engine-exact with no float
+    tolerance. One distributed sort; a keyed variant would partition the
+    same window (Spark range-partitions the sort, so 'global window' ≠
+    'one partition' until the final rank stitch)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    return cnt.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + distinct counts per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``) — the descriptive-stats
@@ -3357,6 +3379,43 @@ def q_c71_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=4, top_words=200)
     return bpe_apply(docs, "text", merges, n_merges=4)
+
+
+def q_a33_text_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 ext — chained MATCH clauses through the string front-end
+    (operators/cypher_text.py): a 3-label path split across two MATCHes,
+    the second starting from the alias the first bound — each clause one
+    more (edge ⋈ node) join pair, dimension sides broadcast. The graph
+    is the reference's User→Tech seed extended with a Tech→Category
+    level, all written through UNWIND statement text."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher_script
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+        F.col("event_type").alias("tech"),
+        F.substring("event_type", 1, 1).alias("cat"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a33_"))
+    results = run_cypher_script(
+        spark,
+        """
+        UNWIND $rows AS row
+        MERGE (u:User {name: row.user})
+        MERGE (t:Tech {name: row.tech})
+        MERGE (u)-[:INTERESTED_IN]->(t);
+        UNWIND $rows AS row
+        MERGE (t:Tech {name: row.tech})
+        MERGE (g:Category {name: row.cat})
+        MERGE (t)-[:IN_CATEGORY]->(g);
+        MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech)
+        MATCH (t)-[:IN_CATEGORY]->(g:Category)
+        RETURN u.name AS user, t.name AS tech, g.name AS category
+        """,
+        rows,
+        store=store,
+    )
+    return results[-1].df
 
 
 def q_c70_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4595,6 +4654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
     "c71_bpe_apply": q_c71_bpe_apply,
+    "rel_distribution": q_rel_distribution,
+    "a33_text_match_chain": q_a33_text_match_chain,
 }
 
 
@@ -6426,6 +6487,23 @@ ORACLES: dict[str, str] = {
 # The incremental CC composition must be indistinguishable from the full
 # recompute — same oracle as c3, by construction (min-id label algebra).
 ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]
+
+ORACLES["a33_text_match_chain"] = """
+    SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user,
+           event_type AS tech, substr(event_type, 1, 1) AS category
+    FROM events
+"""
+
+ORACLES["rel_distribution"] = """
+    WITH cnt AS (
+        SELECT o_custkey, count(*)::bigint AS n_orders FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, n_orders,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist,
+           (ntile(10) OVER w)::int AS decile
+    FROM cnt WINDOW w AS (ORDER BY n_orders ASC, o_custkey ASC)
+"""
 
 # Skyline oracle: the textbook quadratic dominance anti-join — the
 # engine's sort-based frontier must reproduce it row for row.

@@ -828,3 +828,47 @@ def test_text_boolean_where(spark, text_store):
             {"t1": ARTICLES[0][1]},
             store=text_store,
         )
+
+
+def test_text_chained_match(spark, text_store):
+    """Second MATCH extends the bound pattern: Article→Publisher via the
+    WRITTEN_BY expand, then a chained clause re-anchored on `p` would
+    need further edges — here we chain User→Tech→(nothing), so instead
+    exercise the chain on the article graph: a→p then p back... the
+    store's only second-hop-free graph makes the NEGATIVE contracts the
+    focus; the positive path is covered by the a33 registry entry."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    # chained MATCH from an UNBOUND alias rejects
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+            "MATCH (z)-[:WRITTEN_BY]->(q:Publisher) RETURN a.link AS link",
+            store=text_store,
+        )
+    # rebinding an existing alias rejects
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+            "MATCH (a)-[:WRITTEN_BY]->(p:Publisher) RETURN a.link AS link",
+            store=text_store,
+        )
+    # positive: chain WRITTEN_BY off the scanned Article (2-clause form
+    # of the 1-clause expand — must give identical rows)
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.name AS publisher",
+        store=text_store,
+    )
+    flat = {(r["link"], r["publisher"]) for r in res.df.collect()}
+    res2 = run_cypher(
+        spark,
+        "MATCH (a:Article) MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.name AS publisher",
+        store=text_store,
+    )
+    chained = {(r["link"], r["publisher"]) for r in res2.df.collect()}
+    assert chained == flat and len(flat) == 3
