@@ -3418,6 +3418,40 @@ def q_a33_text_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results[-1].df
 
 
+def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 ext — retention / VACUUM on the versioned store
+    (writer._VersionedTable.vacuum): three merge batches stack three
+    versions; vacuum(keep_last=1) must reclaim exactly the two old
+    trees, leave the current pointer readable, and — because carry-over
+    uses per-file hardlinks — deleting old version dirs never corrupts
+    retained bytes. Structural claims assert in-entry; the summary row
+    (versions before/reclaimed/after + surviving row count) is what the
+    oracle value-checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a34_"))
+    for _ in range(3):
+        store.merge_nodes(b, label="Article", key_col="link", prop_cols=["title"])
+    vers = store._nodes.list_versions()
+    n_before = len(vers)
+    gone = store.vacuum(keep_last=1)["nodes"]
+    try:
+        store._nodes.read_version(spark, gone[0])
+        raise AssertionError("reclaimed version still readable")
+    except ValueError:
+        pass  # reclaimed versions must refuse the time-travel read
+    n_after = len(store._nodes.list_versions())
+    n_rows = store.nodes().count()
+    return spark.createDataFrame(
+        [(n_before, len(gone), n_after, n_rows)],
+        "n_versions_before bigint, n_reclaimed bigint, "
+        "n_versions_after bigint, n_rows_current bigint",
+    )
+
+
 def q_c70_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C70 — incremental connected-components maintenance
     (graph/algorithms.py incremental_components): the Customer/Supplier
@@ -4656,6 +4690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c71_bpe_apply": q_c71_bpe_apply,
     "rel_distribution": q_rel_distribution,
     "a33_text_match_chain": q_a33_text_match_chain,
+    "a34_store_vacuum": q_a34_store_vacuum,
 }
 
 
@@ -6487,6 +6522,12 @@ ORACLES: dict[str, str] = {
 # The incremental CC composition must be indistinguishable from the full
 # recompute — same oracle as c3, by construction (min-id label algebra).
 ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]
+
+ORACLES["a34_store_vacuum"] = """
+    SELECT 3::bigint AS n_versions_before, 2::bigint AS n_reclaimed,
+           1::bigint AS n_versions_after,
+           (SELECT count(*) FROM documents)::bigint AS n_rows_current
+"""
 
 ORACLES["a33_text_match_chain"] = """
     SELECT DISTINCT concat('U', cast(user_id AS varchar)) AS user,
