@@ -790,3 +790,112 @@ def bpe_apply(
         .groupBy("token")
         .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick feature vectors (Weinberger et al. 2009): each
+    token hashes to a bucket in ``[0, dim)`` with a ±1 sign from an
+    independent hash, and a document's feature is the signed count sum
+    per bucket — fixed-width features with NO vocabulary pass, the
+    property that matters at 100 TB (one corpus scan, one
+    ``(id, bucket)`` aggregation, no dictionary to build, broadcast, or
+    grow stale). Both hashes are the engine's md5-fold, so every cell
+    value replays in SQL.
+
+    Returns the sparse long form ``(id, bucket, val)`` — the natural
+    join shape for downstream linear models; densify only at the edge.
+    """
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    return (
+        toks.select(
+            id_col,
+            md5_bucket("token", "fh:", dim).cast("int").alias("bucket"),
+            (md5_bucket("token", "fhsign:", 2) * 2 - 1).cast("bigint").alias("_s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("val"))
+    )
+
+
+def ppmi_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Positive pointwise mutual information over forward co-occurrence
+    pairs (the count statistics under SGNS/GloVe-style embeddings —
+    Levy & Goldberg 2014's PPMI matrix): token w co-occurs with each of
+    the next ``window`` tokens in its document; PPMI(w,c) =
+    max(0, ln(n_wc·T / (n_w·n_c))) over the pair table's own marginals.
+
+    Adjacency comes from ``window`` lead() columns over one per-document
+    sort — no self-join of the position table — then everything is
+    integer aggregation; the single ln() per surviving pair runs on
+    integer-exact inputs, so 6-dp rounding is engine-stable. Pairs below
+    ``min_count`` drop before the marginal join (noise in PMI, and the
+    cut keeps the output bounded).
+
+    Returns ``(w, c, n_wc, ppmi)``.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("pos", "w"),
+    )
+    ww = W.partitionBy("_doc").orderBy("pos")
+    pair_cols = [F.lead("w", d).over(ww).alias(f"_c{d}") for d in range(1, window + 1)]
+    pairs = (
+        toks.select("w", *pair_cols)
+        .select(
+            "w",
+            F.explode(
+                F.array(*[F.col(f"_c{d}") for d in range(1, window + 1)])
+            ).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).alias("n_wc"))
+        .localCheckpoint(eager=False)  # reused by totals + both marginals
+    )
+    total = pairs.agg(F.sum("n_wc").alias("_t"))
+    n_w = pairs.groupBy("w").agg(F.sum("n_wc").alias("_nw"))
+    n_c = pairs.groupBy("c").agg(F.sum("n_wc").alias("_nc"))
+    return (
+        pairs.filter(F.col("n_wc") >= min_count)
+        .join(n_w, on="w")
+        .join(n_c, on="c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "c",
+            F.col("n_wc").cast("bigint").alias("n_wc"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("n_wc").cast("double")
+                        * F.col("_t").cast("double")
+                        / (F.col("_nw").cast("double") * F.col("_nc").cast("double"))
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )

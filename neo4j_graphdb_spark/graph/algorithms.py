@@ -1250,3 +1250,31 @@ def incremental_components(
         .join(merged.withColumnRenamed("id", "_c"), on="_c")
         .select("id", "comp")
     )
+
+
+def neighbor_sample(edges: DataFrame, k: int, salt: str = "ns") -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: at most ``k``
+    out-neighbors per source, picked by md5 order over the edge key —
+    the minibatch fan-out cap that makes GNN feature aggregation
+    bounded-cost per node regardless of hub degree. One window over the
+    source partitioning (the same shuffle a plain groupBy would pay);
+    the md5 rank makes the sample reproducible across runs AND engines,
+    so a SQL twin value-checks the sampled edge set itself.
+
+    Returns ``(src, dst, rn)`` with ``rn`` in ``1..k``.
+    """
+    from neo4j_graphdb_spark.functions.hashing import md5_hex
+
+    w = Window.partitionBy("src").orderBy(
+        md5_hex(
+            F.concat(F.col("src").cast("string"), F.lit(":"), F.col("dst").cast("string")),
+            salt,
+        ),
+        F.col("dst").asc(),
+    )
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

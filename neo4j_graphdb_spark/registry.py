@@ -3418,6 +3418,51 @@ def q_a33_text_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results[-1].df
 
 
+def q_c72_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72 — GraphSAGE-style deterministic neighbor sampling
+    (graph/algorithms.py neighbor_sample): at most 3 parts per customer
+    from the ownership graph, md5-ranked — the bounded fan-out that
+    makes GNN minibatch aggregation hub-proof. The sampled edge set
+    itself is value-checked (same md5 order in SQL)."""
+    from neo4j_graphdb_spark.graph.algorithms import neighbor_sample
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = neighbor_sample(cp, k=3)
+    return out.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+def q_c73_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C73 — hashing-trick features (functions/text.py hashed_features):
+    64-bucket signed token counts per document with no vocabulary pass —
+    one corpus scan, one (id, bucket) aggregation, nothing to build or
+    broadcast. md5-fold bucket and sign hashes make every cell
+    SQL-replayable."""
+    from neo4j_graphdb_spark.functions.text import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, "text", "doc_id", dim=64)
+
+
+def q_c74_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C74 — PPMI co-occurrence statistics (functions/text.py
+    ppmi_pairs): forward ±2-token pairs via lead() windows (no
+    position-table self-join), integer marginals, one ln() per
+    surviving pair — the count matrix under SGNS/GloVe embeddings
+    (Levy & Goldberg 2014), min_count=5."""
+    from neo4j_graphdb_spark.functions.text import ppmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppmi_pairs(docs, "text", "doc_id", window=2, min_count=5)
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4691,6 +4736,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_distribution": q_rel_distribution,
     "a33_text_match_chain": q_a33_text_match_chain,
     "a34_store_vacuum": q_a34_store_vacuum,
+    "c72_neighbor_sample": q_c72_neighbor_sample,
+    "c73_hashed_features": q_c73_hashed_features,
+    "c74_ppmi": q_c74_ppmi,
 }
 
 
@@ -6522,6 +6570,58 @@ ORACLES: dict[str, str] = {
 # The incremental CC composition must be indistinguishable from the full
 # recompute — same oracle as c3, by construction (min-id label algebra).
 ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]
+
+ORACLES["c72_neighbor_sample"] = """
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT src::bigint AS src, dst::bigint AS dst, rn::int AS rn FROM (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY md5(concat('ns', cast(src AS varchar), ':',
+                                       cast(dst AS varchar))), dst ASC) AS rn
+        FROM cp
+    ) WHERE rn <= 3
+"""
+
+ORACLES["c73_hashed_features"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           (({_MD5_60_SQL.format(x="concat('fh:', token)")}) % 64)::int AS bucket,
+           sum((({_MD5_60_SQL.format(x="concat('fhsign:', token)")}) % 2) * 2 - 1)::bigint AS val
+    FROM toks GROUP BY 1, 2
+"""
+
+ORACLES["c74_ppmi"] = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        FROM documents
+    ),
+    pr AS (
+        SELECT l[i] AS w, l[i + d] AS c
+        FROM (SELECT l, unnest(range(1, len(l) + 1)) AS i FROM toks),
+             (SELECT unnest(range(1, 3)) AS d)
+        WHERE i + d <= len(l)
+    ),
+    pairs AS MATERIALIZED (
+        SELECT w, c, count(*)::bigint AS n_wc FROM pr GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_wc)::bigint AS tt FROM pairs),
+    nw AS (SELECT w, sum(n_wc)::bigint AS nwv FROM pairs GROUP BY 1),
+    nc AS (SELECT c, sum(n_wc)::bigint AS ncv FROM pairs GROUP BY 1)
+    SELECT p.w, p.c, p.n_wc,
+           round(greatest(0.0,
+               ln(p.n_wc::double * t.tt::double
+                  / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
+    FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
+    WHERE p.n_wc >= 5
+"""
 
 ORACLES["a34_store_vacuum"] = """
     SELECT 3::bigint AS n_versions_before, 2::bigint AS n_reclaimed,

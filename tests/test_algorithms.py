@@ -681,3 +681,23 @@ def test_incremental_components_equals_full_recompute(spark):
     }
     assert inc == full
     assert inc[4] == 0 and inc[8] == 7 and inc[9] == 9
+
+
+def test_neighbor_sample_cap_and_determinism(spark):
+    """k-cap holds per source, sampled edges are a subset of the input,
+    and two runs pick the identical md5-ranked sample."""
+    from neo4j_graphdb_spark.graph.algorithms import neighbor_sample
+
+    edges = spark.createDataFrame(
+        [(1, d) for d in range(20)] + [(2, 100), (2, 101)],
+        "src bigint, dst bigint",
+    )
+    s1 = {(r["src"], r["dst"], r["rn"]) for r in neighbor_sample(edges, k=5).collect()}
+    s2 = {(r["src"], r["dst"], r["rn"]) for r in neighbor_sample(edges, k=5).collect()}
+    assert s1 == s2
+    by_src = {}
+    for src, dst, rn in s1:
+        by_src.setdefault(src, []).append(rn)
+        assert (src, dst) in {(1, d) for d in range(20)} | {(2, 100), (2, 101)}
+    assert sorted(by_src[1]) == [1, 2, 3, 4, 5]
+    assert sorted(by_src[2]) == [1, 2]

@@ -614,3 +614,44 @@ def test_bpe_apply_textbook(spark):
         for r in bpe_apply(docs, "text", merges, n_merges=3).collect()
     }
     assert got == {"aaab": 3, "ab": 1}
+
+
+def test_hashed_features_consistent_and_signed(spark):
+    """Same token → same (bucket, sign) everywhere: a doc with one token
+    repeated n times has exactly one feature cell of magnitude n, and
+    two docs sharing a token land in the same bucket."""
+    from neo4j_graphdb_spark.functions.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra zebra"), (2, "zebra"), (3, "aardvark")],
+        "doc_id bigint, text string",
+    )
+    rows = hashed_features(docs, "text", "doc_id", dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["bucket"], r["val"]))
+    assert len(by_doc[1]) == 1 and abs(by_doc[1][0][1]) == 3
+    assert len(by_doc[2]) == 1 and abs(by_doc[2][0][1]) == 1
+    assert by_doc[1][0][0] == by_doc[2][0][0]  # same token, same bucket
+    assert by_doc[1][0][1] // 3 == by_doc[2][0][1]  # same sign too
+
+
+def test_ppmi_hand_checked(spark):
+    """'x y x y x y' with window 2: forward pairs (x,y)=3, (x,x)=2,
+    (y,x)=2, (y,y)=2, T=9; PPMI(x,y)=ln(3·9/(5·5))."""
+    import math
+
+    from neo4j_graphdb_spark.functions.text import ppmi_pairs
+
+    docs = spark.createDataFrame([(1, "x y x y x y")], "doc_id bigint, text string")
+    rows = {
+        (r["w"], r["c"]): (r["n_wc"], r["ppmi"])
+        for r in ppmi_pairs(docs, "text", "doc_id", window=2, min_count=1).collect()
+    }
+    assert {k: v[0] for k, v in rows.items()} == {
+        ("x", "y"): 3, ("x", "x"): 2, ("y", "x"): 2, ("y", "y"): 2,
+    }
+    # marginals: nw(x)=5, nw(y)=4, nc(x)=4, nc(y)=5
+    assert rows[("x", "y")][1] == round(max(0.0, math.log(3 * 9 / (5 * 5))), 6)
+    # ln(2·9/(4·5)) = ln(0.9) < 0 → clipped to exactly 0 (the P in PPMI)
+    assert rows[("y", "y")][1] == 0.0
