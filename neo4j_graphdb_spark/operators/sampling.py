@@ -339,3 +339,55 @@ def interleave_sources(
             .alias("train_key"),
         )
     )
+
+
+def negative_sample(
+    positives,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 3,
+    salt: str = "neg",
+):
+    """Deterministic negative sampling for implicit-feedback training
+    (the BPR / SGNS data-prep step): ``k`` candidate negatives per
+    positive interaction, item ids drawn by the md5-fold over
+    ``user:item:r`` modulo the dense item-id space, then any candidate
+    that collides with a TRUE positive of the same user is dropped by
+    one anti-join. No RNG state, no driver loop: at 100 TB this is one
+    narrow projection (k-way explode) plus one shuffle (the anti-join
+    on (user, candidate)), and the same rows regenerate on every run
+    and engine — resumable training-data builds without storing the
+    negatives.
+
+    Returns ``(user, pos_item, neg_item, r)``; r in ``1..k`` (gaps where
+    a candidate collided with a positive).
+    """
+    from pyspark.sql import functions as F
+
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
+    cand = positives.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("pos_item"),
+        F.explode(F.array(*[F.lit(r) for r in range(1, k + 1)])).alias("r"),
+    ).withColumn(
+        "neg_item",
+        md5_bucket(
+            F.concat(
+                F.col("user").cast("string"),
+                F.lit(":"),
+                F.col("pos_item").cast("string"),
+                F.lit(":"),
+                F.col("r").cast("string"),
+            ),
+            salt,
+            n_items,
+        ),
+    )
+    pos_set = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("neg_item")
+    ).distinct()
+    return cand.join(pos_set, on=["user", "neg_item"], how="left_anti").select(
+        "user", "pos_item", "neg_item", F.col("r").cast("int").alias("r")
+    )

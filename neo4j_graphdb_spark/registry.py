@@ -3463,6 +3463,31 @@ def q_c74_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppmi_pairs(docs, "text", "doc_id", window=2, min_count=5)
 
 
+def q_c75_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75 — deterministic negative sampling for implicit-feedback
+    training (operators/sampling.py negative_sample): 2 md5-drawn
+    candidate negatives per (customer, part) purchase, anti-joined
+    against the user's true positives — BPR/SGNS data prep with no RNG
+    state, regenerable on any engine (the oracle regenerates it)."""
+    from neo4j_graphdb_spark.operators.sampling import negative_sample
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_items = load_table(spark, sf_dir, "part").count()
+    out = negative_sample(pos, "ck", "pk", n_items=n_items, k=2)
+    return out.select(
+        F.col("user").cast("bigint").alias("custkey"),
+        F.col("pos_item").cast("bigint").alias("pos_item"),
+        F.col("neg_item").cast("bigint").alias("neg_item"),
+        "r",
+    )
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4739,6 +4764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c72_neighbor_sample": q_c72_neighbor_sample,
     "c73_hashed_features": q_c73_hashed_features,
     "c74_ppmi": q_c74_ppmi,
+    "c75_negative_sample": q_c75_negative_sample,
 }
 
 
@@ -6621,6 +6647,25 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c75_negative_sample"] = f"""
+    WITH pos AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    n AS (SELECT count(*)::bigint AS ni FROM part),
+    cand AS (
+        SELECT ck, pk, r,
+               ({_MD5_60_SQL.format(x="concat('neg', cast(ck AS varchar), ':', cast(pk AS varchar), ':', cast(r AS varchar))")})
+                   % (SELECT ni FROM n) AS neg_item
+        FROM pos, (SELECT unnest(range(1, 3)) AS r)
+    )
+    SELECT c.ck AS custkey, c.pk AS pos_item, c.neg_item, c.r::int AS r
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p WHERE p.ck = c.ck AND p.pk = c.neg_item
+    )
 """
 
 ORACLES["a34_store_vacuum"] = """

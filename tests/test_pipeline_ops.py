@@ -366,3 +366,26 @@ def test_rel_skyline_hand_checked(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(reg, "load_table", lambda s, d, n: part)
     got = {r["p_partkey"] for r in reg.q_rel_skyline(spark, "ignored").collect()}
     assert got == {1, 2, 4}
+
+
+def test_negative_sample_excludes_positives_and_repeats(spark):
+    """No sampled negative may be a true positive of the same user; two
+    runs regenerate the identical rows; at most k candidates per
+    positive survive."""
+    from neo4j_graphdb_spark.operators.sampling import negative_sample
+
+    pos = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (2, 3)], "u bigint, i bigint"
+    )
+    got = negative_sample(pos, "u", "i", n_items=5, k=3).collect()
+    again = negative_sample(pos, "u", "i", n_items=5, k=3).collect()
+    key = lambda r: (r["user"], r["pos_item"], r["neg_item"], r["r"])
+    assert sorted(map(key, got)) == sorted(map(key, again))
+    pos_set = {(1, 0), (1, 1), (1, 2), (2, 3)}
+    for r in got:
+        assert (r["user"], r["neg_item"]) not in pos_set
+        assert 1 <= r["r"] <= 3 and 0 <= r["neg_item"] < 5
+    per_pos = {}
+    for r in got:
+        per_pos[(r["user"], r["pos_item"])] = per_pos.get((r["user"], r["pos_item"]), 0) + 1
+    assert all(v <= 3 for v in per_pos.values())
