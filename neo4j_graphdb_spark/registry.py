@@ -3488,6 +3488,42 @@ def q_c75_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c76_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76 — dedup-index evaluation ("measure, don't guess", the c57
+    pattern aimed at near-dup): recall of the banded MinHash-LSH pair
+    set against the blocked exact-Jaccard ground truth (same 3-word
+    shingles, same ≥0.6 threshold, lang blocks). LSH pairs are
+    exact-verified post-candidate, so precision is 1 by construction —
+    what banding can lose is RECALL, and this entry measures exactly
+    that, value-checked (both pipelines are deterministic, so the
+    measured recall itself cross-checks)."""
+    from neo4j_graphdb_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.6, hash_mode="md5_60",
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], shingle_n=3, threshold=0.6
+    ).select("id_a", "id_b")
+    hit = truth.join(lsh, on=["id_a", "id_b"], how="left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_lsh").cast("bigint").alias("n_lsh"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4765,6 +4801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c73_hashed_features": q_c73_hashed_features,
     "c74_ppmi": q_c74_ppmi,
     "c75_negative_sample": q_c75_negative_sample,
+    "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
 }
 
 
@@ -6647,6 +6684,38 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c76_lsh_dedup_eval"] = f"""
+    WITH lsh AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()})
+    ),
+    twords AS MATERIALIZED (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    tsh AS MATERIALIZED (
+        SELECT doc_id, lang, list_distinct(list_transform(
+            range(0, greatest(len(w) - 3, 0) + 1),
+            i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS shingles
+        FROM twords
+    ),
+    truth AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM tsh a JOIN tsh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::double
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t
+        JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b
+    )
+    SELECT (SELECT count(*) FROM truth)::bigint AS n_truth,
+           (SELECT count(*) FROM lsh)::bigint AS n_lsh,
+           (SELECT count(*) FROM hit)::bigint AS n_hit,
+           round((SELECT count(*) FROM hit)::double
+                 / (SELECT count(*) FROM truth), 6) AS recall
 """
 
 ORACLES["c75_negative_sample"] = f"""
