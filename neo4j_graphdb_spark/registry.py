@@ -2535,6 +2535,49 @@ def q_rel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel ext — point-in-time (PIT) feature join, the feature-store
+    correctness primitive (no training-serving leakage): each purchase
+    event joins the profile version that was VALID at purchase time —
+    'view' events form the SCD2 dimension history (valid_from = ts,
+    valid_to = next change, lead over one per-user window), and the
+    fact join is user-equi + interval containment. Same-timestamp
+    duplicate versions collapse automatically (their interval is empty).
+    Scale shape: one window over the dimension, one equi-join shuffled
+    on user_id with the interval as a residual filter — never a time
+    cross-product; per-user version×fact fan-out is the inherent PIT
+    cost every feature store pays."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dim = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("value").alias("profile_value"),
+            F.col("event_id").alias("profile_id"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = facts.join(dim, on="user_id").filter(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.select(
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "user_id",
+        F.col("profile_id").cast("bigint").alias("profile_id"),
+        F.round("profile_value", 6).alias("profile_value"),
+    )
+
+
 def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + distinct counts per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``) — the descriptive-stats
@@ -4802,6 +4845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c74_ppmi": q_c74_ppmi,
     "c75_negative_sample": q_c75_negative_sample,
     "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
+    "rel_pit_join": q_rel_pit_join,
 }
 
 
@@ -6684,6 +6728,26 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["rel_pit_join"] = """
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               value AS profile_value, event_id AS profile_id
+        FROM events WHERE event_type = 'view'
+    ),
+    facts AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_id::bigint AS purchase_id, f.user_id,
+           d.profile_id::bigint AS profile_id,
+           round(d.profile_value, 6) AS profile_value
+    FROM facts f JOIN dim d ON f.user_id = d.user_id
+       AND d.valid_from <= f.ts
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
 """
 
 ORACLES["c76_lsh_dedup_eval"] = f"""

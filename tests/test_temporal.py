@@ -199,3 +199,41 @@ def test_incremental_rollup_fold_equals_recompute(spark, tmp_path):
         for r in out.collect()
     }
     assert got == direct
+
+
+def test_pit_join_validity_semantics(spark, monkeypatch):
+    """PIT containment: a fact picks the version valid AT its timestamp
+    (inclusive start, exclusive end); same-ts duplicate versions
+    collapse to the later one; facts before any version drop."""
+    from datetime import datetime
+
+    import neo4j_graphdb_spark.registry as reg
+
+    t = lambda s: datetime(2024, 1, 1, 12, 0, s)
+    ev = spark.createDataFrame(
+        [
+            # user 1 profile versions at t0, t10 (dup at t10), t20
+            (100, t(0), 1, "view", 1.0, None),
+            (101, t(10), 1, "view", 2.0, None),
+            (102, t(10), 1, "view", 3.0, None),  # same ts: 101's interval empty
+            (103, t(20), 1, "view", 4.0, None),
+            # purchases: before any version / at a boundary / between / after last
+            (200, t(5), 1, "purchase", 0.0, None),
+            (201, t(10), 1, "purchase", 0.0, None),
+            (202, t(15), 1, "purchase", 0.0, None),
+            (203, t(30), 1, "purchase", 0.0, None),
+            (204, t(1), 2, "purchase", 0.0, None),  # user with no versions
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(reg, "load_table", lambda s, d, n: ev)
+    got = {
+        r["purchase_id"]: (r["profile_id"], r["profile_value"])
+        for r in reg.q_rel_pit_join(spark, "ignored").collect()
+    }
+    assert got == {
+        200: (100, 1.0),   # only v100 valid at t5
+        201: (102, 3.0),   # boundary: inclusive start of the t10 version; dup 101 empty
+        202: (102, 3.0),
+        203: (103, 4.0),   # open-ended last version
+    }
