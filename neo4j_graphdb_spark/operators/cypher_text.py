@@ -55,9 +55,13 @@ per-record Bolt loop becomes a single batched merge plan.
 parentheses with Cypher precedence (NOT > AND > OR) — compiled to one
 filter Column with three-valued NULL semantics.
 
-Out of scope (raises ``CypherUnsupported``): variable-length path
-text, DELETE/REMOVE, subqueries — none appear in the reference (the
-builder API covers var-length and DETACH DELETE).
+``MATCH (a:L1)-[r:T*min..max]->(b:L2)`` parses to the bounded
+variable-length expand (``Graph.expand_var``); ``r`` binds the path and
+``r.hops`` reads its length.
+
+Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
+DELETE/REMOVE, subqueries — none appear in the reference (the builder
+API covers DETACH DELETE).
 """
 
 from __future__ import annotations
@@ -103,7 +107,8 @@ _NODE_RE = re.compile(
 # validates a type is present, Cypher requires one to create)
 _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
-    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?\s*\]\s*->\s*"
+    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?"
+    r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?\s*\]\s*->\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
 )
 
@@ -799,6 +804,10 @@ def _run_read(
                     raise CypherUnsupported(
                         f"chained MATCH must be a relationship pattern: {c.body!r}"
                     )
+                if m.group("min_h"):
+                    raise CypherUnsupported(
+                        "variable-length patterns are unsupported in chained MATCH"
+                    )
                 sa2 = m.group("src_alias")
                 if sa2 is None or sa2 not in aliases:
                     raise CypherUnsupported(
@@ -842,12 +851,27 @@ def _run_read(
             if m:
                 sa = m.group("src_alias") or "a"
                 da = m.group("dst_alias") or "b"
-                df = graph.expand(
-                    rel_type=m.group("rel_type"),
-                    src_label=m.group("src_label"),
-                    dst_label=m.group("dst_label"),
-                    src_alias=sa, dst_alias=da,
-                )
+                if m.group("min_h"):
+                    # `-[r:T*min..max]->` — bounded variable-length path
+                    # (Graph.expand_var: union of fixed-length join
+                    # ladders with relationship uniqueness). The alias
+                    # binds the PATH; its one property is `hops`
+                    # (`r.hops`), expand_var's path-length column.
+                    df = graph.expand_var(
+                        rel_type=m.group("rel_type"),
+                        min_hops=int(m.group("min_h")),
+                        max_hops=int(m.group("max_h")),
+                        src_label=m.group("src_label"),
+                        dst_label=m.group("dst_label"),
+                        src_alias=sa, dst_alias=da,
+                    )
+                else:
+                    df = graph.expand(
+                        rel_type=m.group("rel_type"),
+                        src_label=m.group("src_label"),
+                        dst_label=m.group("dst_label"),
+                        src_alias=sa, dst_alias=da,
+                    )
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
                 rel_alias = m.group("rel_alias")
@@ -871,6 +895,10 @@ def _run_read(
             m = _REL_RE.match(c.body)
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
+            if m.group("min_h"):
+                raise CypherUnsupported(
+                    "variable-length patterns are unsupported in OPTIONAL MATCH"
+                )
             sa, s_label = node_match
             if (m.group("src_alias") or sa) != sa or m.group("src_label"):
                 raise CypherUnsupported(

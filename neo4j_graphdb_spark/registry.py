@@ -3567,6 +3567,33 @@ def q_c76_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a35_text_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 ext — variable-length path TEXT through the string front-end:
+    ``MATCH (a:Part)-[r:PARENT*1..2]->(b:Part) RETURN …, r.hops`` over
+    the part binary forest (parent = partkey div 2) — parses to
+    Graph.expand_var's union of fixed-length join ladders; the path
+    alias exposes its length as ``r.hops``. The oracle enumerates the
+    1-hop (parent) and 2-hop (grandparent) closures arithmetically."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    nodes = part.select(F.col("p_partkey").cast("string").alias("pk"))
+    parents = part.filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").cast("string").alias("pk"),
+        F.expr("cast(p_partkey div 2 as string)").alias("parent"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a35_"))
+    store.merge_nodes(nodes, label="Part", key_col="pk")
+    store.merge_edges(parents, "PARENT", "Part", "pk", "Part", "parent")
+    res = run_cypher(
+        spark,
+        "MATCH (a:Part)-[r:PARENT*1..2]->(b:Part) "
+        "RETURN a.pk AS src, b.pk AS anc, r.hops AS hops",
+        store=store,
+    )
+    return res.df.select("src", "anc", F.col("hops").cast("int").alias("hops"))
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4846,6 +4873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c75_negative_sample": q_c75_negative_sample,
     "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
     "rel_pit_join": q_rel_pit_join,
+    "a35_text_var_length": q_a35_text_var_length,
 }
 
 
@@ -6728,6 +6756,15 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["a35_text_var_length"] = """
+    SELECT cast(p_partkey AS varchar) AS src,
+           cast(p_partkey // 2 AS varchar) AS anc, 1::int AS hops
+    FROM part WHERE p_partkey >= 1
+    UNION ALL
+    SELECT cast(p_partkey AS varchar), cast(p_partkey // 4 AS varchar), 2
+    FROM part WHERE p_partkey >= 2
 """
 
 ORACLES["rel_pit_join"] = """

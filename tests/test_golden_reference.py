@@ -872,3 +872,36 @@ def test_text_chained_match(spark, text_store):
     )
     chained = {(r["link"], r["publisher"]) for r in res2.df.collect()}
     assert chained == flat and len(flat) == 3
+
+
+def test_text_var_length_path(spark, text_store):
+    """`[r:T*1..2]` parses to the bounded var-length expand; r.hops
+    reads path length; var-length stays rejected in OPTIONAL/chained
+    MATCH."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    # Article -WRITTEN_BY-> Publisher is 1-hop only: *1..2 returns the
+    # same pairs as the plain expand, all with hops = 1
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY*1..2]->(p:Publisher) "
+        "RETURN a.link AS link, p.name AS publisher, r.hops AS hops",
+        store=text_store,
+    )
+    rows = res.df.collect()
+    assert len(rows) == 3 and all(r["hops"] == 1 for r in rows)
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) OPTIONAL MATCH (a)-[r:WRITTEN_BY*1..2]->(p:Publisher) "
+            "RETURN a.link AS link",
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[x:WRITTEN_BY]->(p:Publisher) "
+            "MATCH (p)-[:W*1..2]->(q:Publisher) RETURN a.link AS link",
+            store=text_store,
+        )
