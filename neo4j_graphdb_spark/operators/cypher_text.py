@@ -59,9 +59,12 @@ filter Column with three-valued NULL semantics.
 variable-length expand (``Graph.expand_var``); ``r`` binds the path and
 ``r.hops`` reads its length.
 
+``MATCH (n:Label …) [WHERE …] [DETACH] DELETE n`` compiles onto the
+batch delete (``GraphStore.delete_nodes``) with Neo4j's
+refuse-connected semantics for plain DELETE and deletion counters.
+
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
-DELETE/REMOVE, subqueries — none appear in the reference (the builder
-API covers DETACH DELETE).
+REMOVE, subqueries — none appear in the reference.
 """
 
 from __future__ import annotations
@@ -372,6 +375,51 @@ class CypherResult:
     summary: WriteSummary | None
 
 
+_DELETE_RE = re.compile(
+    r"^(?P<head>.+?)\s+(?P<detach>DETACH\s+)?DELETE\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
+    """``MATCH (n:Label …) [WHERE …] [DETACH] DELETE n`` — the batch
+    delete statement, compiled onto ``GraphStore.delete_nodes`` (which
+    keeps Neo4j semantics: plain DELETE refuses nodes with incident
+    edges; DETACH removes them too, and counters report both). The head
+    resolves through the normal read path — inline props, WHERE
+    (boolean combinations included), params — so anything MATCHable is
+    deletable."""
+
+    def unmask(text: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: "'" + lits[int(m.group(1))] + "'", text
+        )
+
+    head_clauses, head_lits = split_clauses_masked(unmask(dm.group("head")))
+    alias = dm.group("alias")
+    label = None
+    for c in head_clauses:
+        if c.kind == "MATCH":
+            n = _NODE_RE.match(c.body)
+            if not n or (n.group("alias") or "n") != alias:
+                raise CypherUnsupported(
+                    "DELETE requires a single node MATCH binding the deleted alias"
+                )
+            label = n.group("label")
+    if label is None:
+        raise CypherUnsupported("DELETE requires MATCH (alias:Label ...)")
+    nodes = store.nodes()
+    if nodes is None:
+        return CypherResult(None, WriteSummary())
+    g = Graph(nodes, store.edges())
+    df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
+    keys = df.select(F.col(alias)["key"].alias("_k"))
+    summary = store.delete_nodes(
+        keys, label=label, key_col="_k", detach=dm.group("detach") is not None
+    )
+    return CypherResult(None, summary)
+
+
 def run_cypher(
     spark: SparkSession,
     query: str,
@@ -383,11 +431,20 @@ def run_cypher(
     """Execute one statement of the reference's Cypher subset.
 
     Write statements (any ``MERGE``/``SET``) require ``store`` and run the
-    batched upsert path; read statements run against ``graph`` (or the
-    store's current nodes/edges). ``params`` is a scalar dict (one
-    logical record, the reference's shape) or a DataFrame of parameter
-    columns (batch-native).
+    batched upsert path; ``[DETACH] DELETE`` statements run the batch
+    delete; read statements run against ``graph`` (or the store's
+    current nodes/edges). ``params`` is a scalar dict (one logical
+    record, the reference's shape) or a DataFrame of parameter columns
+    (batch-native).
     """
+    masked_q, q_lits = _mask_strings(query)
+    dm = _DELETE_RE.match(masked_q.strip())
+    if dm and not re.search(r"(?<![.$\w])(MERGE|SET)\b", masked_q, re.IGNORECASE):
+        if store is None:
+            raise ValueError("DELETE statement needs a GraphStore")
+        return _run_text_delete(
+            spark, dm, q_lits, params if isinstance(params, dict) else None, store
+        )
     clauses, lits = split_clauses_masked(query)
     is_write = any(c.kind in ("MERGE", "SET") for c in clauses)
     if is_write:

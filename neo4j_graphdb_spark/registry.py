@@ -3594,6 +3594,52 @@ def q_a35_text_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("src", "anc", F.col("hops").cast("int").alias("hops"))
 
 
+def q_a36_text_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 ext — ``DETACH DELETE`` as statement TEXT
+    (operators/cypher_text.py _run_text_delete): articles + WRITTEN_BY
+    edges load through MERGE text, then ``MATCH (a:Article) WHERE
+    a.lang = 'de' DETACH DELETE a`` removes the German articles AND
+    their edges in one batch — the text twin of a15's builder-API
+    delete, counters and survivor count value-checked."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("pub"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a36_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.lang = $lang",
+        pdf,
+        store=store,
+    )
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row MERGE (a:Article {link: row.link}) "
+        "MERGE (p:Publisher {name: row.pub}) MERGE (a)-[:WRITTEN_BY]->(p)",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark, "MATCH (a:Article) WHERE a.lang = 'de' DETACH DELETE a", store=store
+    )
+    remaining = run_cypher(
+        spark, "MATCH (a:Article) RETURN a.link AS link", store=store
+    )
+    return remaining.df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining")
+    ).select(
+        F.lit(res.summary.nodes_deleted).cast("bigint").alias("nodes_deleted"),
+        F.lit(res.summary.relationships_deleted)
+        .cast("bigint")
+        .alias("relationships_deleted"),
+        "n_remaining",
+    )
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4874,6 +4920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
     "rel_pit_join": q_rel_pit_join,
     "a35_text_var_length": q_a35_text_var_length,
+    "a36_text_detach_delete": q_a36_text_detach_delete,
 }
 
 
@@ -6756,6 +6803,15 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["a36_text_detach_delete"] = """
+    SELECT (SELECT count(*) FROM documents WHERE lang = 'de')::bigint
+               AS nodes_deleted,
+           (SELECT count(*) FROM documents WHERE lang = 'de')::bigint
+               AS relationships_deleted,
+           (SELECT count(*) FROM documents WHERE lang <> 'de')::bigint
+               AS n_remaining
 """
 
 ORACLES["a35_text_var_length"] = """

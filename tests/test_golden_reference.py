@@ -905,3 +905,47 @@ def test_text_var_length_path(spark, text_store):
             "MATCH (p)-[:W*1..2]->(q:Publisher) RETURN a.link AS link",
             store=text_store,
         )
+
+
+def test_text_delete_statements(spark, tmp_path):
+    """DETACH DELETE removes matched nodes plus incident edges with
+    Neo4j counters; plain DELETE refuses a still-connected node; a
+    quoted literal containing 'DETACH DELETE x' must not trigger the
+    delete path."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, str(tmp_path / "del"))
+    batch = spark.createDataFrame(
+        [("a1", "de", "P1"), ("a2", "en", "P1"), ("a3", "de", "P2")],
+        "link string, lang string, pub string",
+    )
+    run_cypher(
+        spark, "MERGE (a:Article {link: $link}) SET a.lang = $lang", batch, store=store
+    )
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row MERGE (a:Article {link: row.link}) "
+        "MERGE (p:Publisher {name: row.pub}) MERGE (a)-[:WRITTEN_BY]->(p)",
+        batch,
+        store=store,
+    )
+    # literal containing the keywords parses as a plain read
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.lang = 'DETACH DELETE x' RETURN a.link AS link",
+        store=store,
+    )
+    assert res.df.count() == 0
+
+    res = run_cypher(
+        spark, "MATCH (a:Article) WHERE a.lang = 'de' DETACH DELETE a", store=store
+    )
+    assert res.summary.nodes_deleted == 2
+    assert res.summary.relationships_deleted == 2
+    left = run_cypher(spark, "MATCH (a:Article) RETURN a.link AS link", store=store)
+    assert [r["link"] for r in left.df.collect()] == ["a2"]
+
+    with pytest.raises(ValueError):  # plain DELETE refuses connected nodes
+        run_cypher(
+            spark, "MATCH (a:Article) WHERE a.link = 'a2' DELETE a", store=store
+        )
