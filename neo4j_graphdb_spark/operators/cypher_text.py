@@ -61,10 +61,13 @@ variable-length expand (``Graph.expand_var``); ``r`` binds the path and
 
 ``MATCH (n:Label …) [WHERE …] [DETACH] DELETE n`` compiles onto the
 batch delete (``GraphStore.delete_nodes``) with Neo4j's
-refuse-connected semantics for plain DELETE and deletion counters.
+refuse-connected semantics for plain DELETE and deletion counters;
+``… REMOVE n.p1[, n.p2]`` compiles onto the property erase
+(``GraphStore.remove_props`` — the explicit counterpart of SET's
+NULL-keeps-old coalesce).
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
-REMOVE, subqueries — none appear in the reference.
+subqueries — neither appears in the reference.
 """
 
 from __future__ import annotations
@@ -380,6 +383,58 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_REMOVE_RE = re.compile(
+    r"^(?P<head>.+?)\s+REMOVE\s+"
+    r"(?P<items>\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _head_match(head_clauses, alias):
+    """Shared by DELETE/REMOVE: the head must be one node MATCH binding
+    ``alias``; returns its label."""
+    label = None
+    for c in head_clauses:
+        if c.kind == "MATCH":
+            n = _NODE_RE.match(c.body)
+            if not n or (n.group("alias") or "n") != alias:
+                raise CypherUnsupported(
+                    "statement requires a single node MATCH binding the target alias"
+                )
+            label = n.group("label")
+    if label is None:
+        raise CypherUnsupported("statement requires MATCH (alias:Label ...)")
+    return label
+
+
+def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
+    """``MATCH (n:Label …) [WHERE …] REMOVE n.p1[, n.p2 …]`` — the
+    property-erase statement, compiled onto
+    ``GraphStore.remove_props`` (SET NULL keeps the stored value per
+    Cypher's coalesce semantics; REMOVE is the explicit erase — Neo4j's
+    SET/REMOVE split)."""
+
+    def unmask(text: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: "'" + lits[int(m.group(1))] + "'", text
+        )
+
+    items = [i.strip() for i in rm.group("items").split(",")]
+    aliases_seen = {i.split(".")[0] for i in items}
+    if len(aliases_seen) != 1:
+        raise CypherUnsupported("REMOVE items must all target one alias")
+    alias = aliases_seen.pop()
+    props = [i.split(".")[1] for i in items]
+    head_clauses, head_lits = split_clauses_masked(unmask(rm.group("head")))
+    label = _head_match(head_clauses, alias)
+    nodes = store.nodes()
+    if nodes is None:
+        return CypherResult(None, WriteSummary())
+    g = Graph(nodes, store.edges())
+    df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
+    keys = df.select(F.col(alias)["key"].alias("_k"))
+    return CypherResult(None, store.remove_props(keys, label, "_k", props))
+
 
 def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
     """``MATCH (n:Label …) [WHERE …] [DETACH] DELETE n`` — the batch
@@ -397,17 +452,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
 
     head_clauses, head_lits = split_clauses_masked(unmask(dm.group("head")))
     alias = dm.group("alias")
-    label = None
-    for c in head_clauses:
-        if c.kind == "MATCH":
-            n = _NODE_RE.match(c.body)
-            if not n or (n.group("alias") or "n") != alias:
-                raise CypherUnsupported(
-                    "DELETE requires a single node MATCH binding the deleted alias"
-                )
-            label = n.group("label")
-    if label is None:
-        raise CypherUnsupported("DELETE requires MATCH (alias:Label ...)")
+    label = _head_match(head_clauses, alias)
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
@@ -438,13 +483,21 @@ def run_cypher(
     (batch-native).
     """
     masked_q, q_lits = _mask_strings(query)
-    dm = _DELETE_RE.match(masked_q.strip())
-    if dm and not re.search(r"(?<![.$\w])(MERGE|SET)\b", masked_q, re.IGNORECASE):
-        if store is None:
-            raise ValueError("DELETE statement needs a GraphStore")
-        return _run_text_delete(
-            spark, dm, q_lits, params if isinstance(params, dict) else None, store
-        )
+    if not re.search(r"(?<![.$\w])(MERGE|SET)\b", masked_q, re.IGNORECASE):
+        dm = _DELETE_RE.match(masked_q.strip())
+        if dm:
+            if store is None:
+                raise ValueError("DELETE statement needs a GraphStore")
+            return _run_text_delete(
+                spark, dm, q_lits, params if isinstance(params, dict) else None, store
+            )
+        rm = _REMOVE_RE.match(masked_q.strip())
+        if rm:
+            if store is None:
+                raise ValueError("REMOVE statement needs a GraphStore")
+            return _run_text_remove(
+                spark, rm, q_lits, params if isinstance(params, dict) else None, store
+            )
     clauses, lits = split_clauses_masked(query)
     is_write = any(c.kind in ("MERGE", "SET") for c in clauses)
     if is_write:

@@ -3640,6 +3640,46 @@ def q_a36_text_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a37_text_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 ext — ``REMOVE n.prop`` as statement text
+    (operators/cypher_text.py _run_text_remove →
+    writer.remove_props): SET NULL keeps the stored value (Cypher's
+    coalesce — a8 proves it), so erasing needs its own verb. German
+    articles lose their title; the read-back counts erased cells,
+    surviving titles, and proves non-matched rows kept theirs."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("lang").alias("lang"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a37_"))
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.lang = $lang, a.title = $title",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark, "MATCH (a:Article) WHERE a.lang = 'de' REMOVE a.title", store=store
+    )
+    back = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, a.title AS title",
+        store=store,
+    )
+    return back.df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_articles"),
+        F.count("title").cast("bigint").alias("n_titled"),
+    ).select(
+        F.lit(res.summary.properties_set).cast("bigint").alias("n_erased"),
+        "n_articles",
+        "n_titled",
+    )
+
+
 def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A34 ext — retention / VACUUM on the versioned store
     (writer._VersionedTable.vacuum): three merge batches stack three
@@ -4921,6 +4961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pit_join": q_rel_pit_join,
     "a35_text_var_length": q_a35_text_var_length,
     "a36_text_detach_delete": q_a36_text_detach_delete,
+    "a37_text_remove": q_a37_text_remove,
 }
 
 
@@ -6803,6 +6844,14 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["a37_text_remove"] = """
+    SELECT (SELECT count(*) FROM documents WHERE lang = 'de')::bigint
+               AS n_erased,
+           (SELECT count(*) FROM documents)::bigint AS n_articles,
+           (SELECT count(*) FROM documents WHERE lang <> 'de')::bigint
+               AS n_titled
 """
 
 ORACLES["a36_text_detach_delete"] = """

@@ -779,6 +779,88 @@ class GraphStore:
         doomed.unpersist()
         return WriteSummary(nodes_deleted=n_deleted, relationships_deleted=n_rel)
 
+    def remove_props(
+        self,
+        keys: DataFrame,
+        label: str,
+        key_col: str,
+        props: list[str],
+    ) -> WriteSummary:
+        """Batch ``MATCH (n:label {key}) REMOVE n.p1[, n.p2 …]``.
+
+        REMOVE is the explicit property ERASE that Cypher pairs with
+        SET's NULL-keeps-old coalesce (see :meth:`merge_nodes`): a NULL
+        cell in a SET batch preserves the stored value, so erasing needs
+        its own verb — exactly Neo4j's SET/REMOVE split.
+        ``properties_set`` counts erased non-NULL cells (Neo4j books
+        REMOVE under properties_set too). Partial rewrite: only the
+        (label, touched key-bucket) leaves rewrite; everything else
+        carries over as hardlinks.
+        """
+        if not props:
+            raise ValueError("REMOVE needs at least one property")
+        target = (
+            as_nodes(keys, label, key_col)
+            .select(NODE_ID, _bucket_of(F.col("key")).alias(BUCKET_COL))
+            .distinct()
+            .persist()
+        )
+        existing = self._nodes.read(self.spark)
+        if existing is None:
+            target.unpersist()
+            return WriteSummary()
+        missing = [p for p in props if p not in existing.columns]
+        if missing:
+            target.unpersist()
+            raise ValueError(f"unknown properties {missing} on label {label!r}")
+        bucketed = (
+            self._nodes.is_partitioned_by(["label", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in target.select(BUCKET_COL).distinct().collect()
+        ]
+        touched = existing.filter(F.col("label") == label)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        flagged = touched.join(
+            target.select(NODE_ID).withColumn("_hit", F.lit(True)),
+            on=NODE_ID,
+            how="left",
+        ).persist()
+        row = flagged.agg(
+            *[
+                F.count(
+                    F.when(F.col("_hit") & F.col(p).isNotNull(), F.lit(1))
+                ).alias(p)
+                for p in props
+            ]
+        ).collect()[0]
+        n_erased = int(sum(row[p] for p in props))
+        cols = [
+            F.when(F.col("_hit"), F.lit(None).cast(flagged.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in props
+            else F.col(c)
+            for c in touched.columns
+        ]
+        out = flagged.select(*cols)
+        if buckets:
+            if bucketed:
+                self._nodes.write_next_partial(
+                    out, ["label", BUCKET_COL], [(label, b) for b in buckets]
+                )
+            else:
+                others = existing.filter(F.col("label") != label)
+                full = others.unionByName(out, allowMissingColumns=True)
+                if BUCKET_COL not in full.columns:
+                    full = full.withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+                self._nodes.write_next(full, partition_by=["label", BUCKET_COL])
+        flagged.unpersist()
+        target.unpersist()
+        return WriteSummary(properties_set=n_erased)
+
     # ------------------------------------------------------------ maintenance
 
     def vacuum(self, keep_last: int = 1) -> dict[str, list[int]]:

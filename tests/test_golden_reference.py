@@ -949,3 +949,33 @@ def test_text_delete_statements(spark, tmp_path):
         run_cypher(
             spark, "MATCH (a:Article) WHERE a.link = 'a2' DELETE a", store=store
         )
+
+
+def test_text_remove_property(spark, tmp_path):
+    """REMOVE erases the property only on matched rows, counts only
+    non-NULL cells, and SET NULL afterwards still keeps the (now-NULL)
+    value — the SET/REMOVE split."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, str(tmp_path / "rm"))
+    batch = spark.createDataFrame(
+        [("a1", "de", "T1"), ("a2", "en", "T2"), ("a3", "de", None)],
+        "link string, lang string, title string",
+    )
+    run_cypher(
+        spark,
+        "MERGE (a:Article {link: $link}) SET a.lang = $lang, a.title = $title",
+        batch,
+        store=store,
+    )
+    res = run_cypher(
+        spark, "MATCH (a:Article) WHERE a.lang = 'de' REMOVE a.title", store=store
+    )
+    assert res.summary.properties_set == 1  # a3's title was already NULL
+    back = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, a.title AS title",
+        store=store,
+    )
+    got = {r["link"]: r["title"] for r in back.df.collect()}
+    assert got == {"a1": None, "a2": "T2", "a3": None}
