@@ -2535,6 +2535,60 @@ def q_rel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c77_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C77 — exponential time-decay feature (the recency-weighted
+    activity score behind trending/engagement features): per user,
+    Σ value·exp(−λ·age) with λ = ln(2)/7 days (7-day half-life) and age
+    measured against the CORPUS max timestamp, so the feature is
+    deterministic — no wall clock. One scan + one groupBy; the decayed
+    sum folds in deterministic (ts, event_id) order via a sorted-struct
+    collect, because float addition order must match the oracle's
+    ORDER BY exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("_anchor"))
+    lam = 0.0990210257942779  # ln(2)/7 in 1/days, frozen so both engines share the literal
+    decayed = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.col("value")
+                * F.exp(
+                    F.lit(-lam)
+                    * (
+                        (
+                            F.col("_anchor").cast("double")
+                            - F.col("ts").cast("double")
+                        )
+                        / F.lit(86400.0)
+                    )
+                )
+            ).alias("_w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "_w"))
+                    ),
+                    lambda s: s["_w"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return decayed.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("_s", 6).alias("decayed_value"),
+    )
+
+
 def q_rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel ext — point-in-time (PIT) feature join, the feature-store
     correctness primitive (no training-serving leakage): each purchase
@@ -4962,6 +5016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a35_text_var_length": q_a35_text_var_length,
     "a36_text_detach_delete": q_a36_text_detach_delete,
     "a37_text_remove": q_a37_text_remove,
+    "c77_time_decay": q_c77_time_decay,
 }
 
 
@@ -6844,6 +6899,26 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c77_time_decay"] = """
+    WITH anchor AS (SELECT max(ts) AS a FROM events),
+    w AS (
+        SELECT user_id, ts, event_id,
+               value * exp(-0.0990210257942779
+                           * ((epoch_us(anchor.a) - epoch_us(ts)) / 1000000.0
+                              / 86400.0)) AS wv
+        FROM events, anchor
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0.0, list(wv ORDER BY ts, event_id)),
+                   (x, y) -> x + y) AS s,
+               count(*)::bigint AS n_events
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_events, round(s, 6) AS decayed_value FROM folded
 """
 
 ORACLES["a37_text_remove"] = """

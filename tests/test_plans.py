@@ -149,3 +149,40 @@ def test_bigram_lm_single_window_shuffle(spark, sf_dir):
     assert plan.count("Window") >= 1
     # the adjacency window partitions by the document id
     assert "doc_id" in next(l for l in plan.splitlines() if "Window" in l)
+
+
+def test_skyline_single_window_no_cartesian(spark, sf_dir):
+    """The sort-based skyline plan must contain the frontier window and
+    NO quadratic join (the oracle's NOT EXISTS shape would surface as a
+    cartesian/nested-loop over part×part)."""
+    plan = _plan(QUERIES["rel_skyline"](spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # frontier grid broadcasts
+
+
+def test_pq_search_broadcasts_codebook(spark, sf_dir):
+    """PQ encode + ADC scoring must hash-join against broadcast
+    codebook/table sides — the corpus never shuffles for the join — and
+    no cartesian product may appear anywhere."""
+    plan = _plan(QUERIES["c66_pq_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_no_fact_shuffle_join(spark, sf_dir):
+    """The Bloom probe is pure column arithmetic against a broadcast
+    1-row filter: no hash-partitioned join exchange may touch the fact
+    side (the only joins are broadcasts; the final count aggregations
+    are single-row)."""
+    from neo4j_graphdb_spark.operators.sketch import bloom_semi_join
+    from neo4j_graphdb_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("key")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(bloom_semi_join(orders, "o_custkey", dim, "key"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
