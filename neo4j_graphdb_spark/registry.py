@@ -2535,6 +2535,67 @@ def q_rel_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c78_real_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78 — REAL image decoding through the C11 registry, no codec
+    libs: spec-conformant uncompressed 24-bit BMPs are built per doc
+    (stdlib struct, deterministic pixel formula with byte wraparound),
+    then decoded by operators/multimodal.py bmp_decode_kernel — header
+    parse, padded bottom-up pixel walk, per-channel means — injected as
+    a call-site decoder override (the stub registry untouched). The
+    DuckDB oracle recomputes every pixel from the closed-form formula,
+    so the whole binary round-trip (encode → bytes → parse → decode →
+    aggregate) is value-checked. This retires the 'decoder is only a
+    stub' caveat: the registry contract holds for a genuine raster
+    format, and PIL/libjpeg kernels slot in identically."""
+    import pandas as _pd
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_decode_kernel,
+        bmp_encode,
+        extract_media_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        bmp_encode(
+                            8,
+                            6,
+                            (lambda m: lambda x, y, c: 31 * m + 7 * x + 13 * y + 5 * c)(
+                                int(m)
+                            ),
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoders={"image": bmp_decode_kernel})
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f.getItem(0).cast("int").alias("width"),
+        f.getItem(1).cast("int").alias("height"),
+        F.round(f.getItem(2), 6).alias("mean_b"),
+        F.round(f.getItem(3), 6).alias("mean_g"),
+        F.round(f.getItem(4), 6).alias("mean_r"),
+    )
+
+
 def q_c77_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C77 — exponential time-decay feature (the recency-weighted
     activity score behind trending/engagement features): per user,
@@ -5017,6 +5078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a36_text_detach_delete": q_a36_text_detach_delete,
     "a37_text_remove": q_a37_text_remove,
     "c77_time_decay": q_c77_time_decay,
+    "c78_real_bmp_decode": q_c78_real_bmp_decode,
 }
 
 
@@ -6899,6 +6961,25 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c78_real_bmp_decode"] = """
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 100
+    ),
+    px AS (
+        SELECT i.media_id, cc.c,
+               (31 * i.media_id + 7 * xx.x + 13 * yy.y + 5 * cc.c) % 256 AS v
+        FROM ids i,
+             (SELECT unnest(range(8)) AS x) xx,
+             (SELECT unnest(range(6)) AS y) yy,
+             (SELECT unnest(range(3)) AS c) cc
+    )
+    SELECT media_id, 8::int AS width, 6::int AS height,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_b,
+           round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_r
+    FROM px GROUP BY media_id
 """
 
 ORACLES["c77_time_decay"] = """

@@ -655,3 +655,32 @@ def test_ppmi_hand_checked(spark):
     assert rows[("x", "y")][1] == round(max(0.0, math.log(3 * 9 / (5 * 5))), 6)
     # ln(2·9/(4·5)) = ln(0.9) < 0 → clipped to exactly 0 (the P in PPMI)
     assert rows[("y", "y")][1] == 0.0
+
+
+def test_bmp_encode_decode_roundtrip_and_errors(spark):
+    """The real BMP kernel recovers dimensions and exact channel means
+    from spec-conformant bytes (wraparound included) and rejects
+    non-BMP / non-24-bit payloads instead of fabricating features."""
+    import pytest as _p
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        bmp_decode_kernel,
+        bmp_encode,
+    )
+
+    m = 99
+    b = bmp_encode(8, 6, lambda x, y, c: 31 * m + 7 * x + 13 * y + 5 * c)
+    w, h, mb, mg, mr = bmp_decode_kernel(b, "image")
+    assert (w, h) == (8.0, 6.0)
+    exp = [
+        sum((31 * m + 7 * x + 13 * y + 5 * c) % 256 for x in range(8) for y in range(6)) / 48
+        for c in range(3)
+    ]
+    assert [mb, mg, mr] == exp
+    with _p.raises(ValueError):
+        bmp_decode_kernel(b"JUNKJUNKJUNKJUNK", "image")
+    # 24-bit only: flip the bpp field
+    bad = bytearray(b)
+    bad[28] = 8
+    with _p.raises(ValueError):
+        bmp_decode_kernel(bytes(bad), "image")
