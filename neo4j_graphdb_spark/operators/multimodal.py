@@ -337,3 +337,64 @@ def bmp_decode_kernel(payload: bytes | None, kind: str) -> list[float]:
         sums[1] / n,
         sums[2] / n,
     ]
+
+
+def wav_encode(n_samples: int, sample_rate: int, sample_fn) -> bytes:
+    """Build a spec-conformant RIFF/WAVE file: PCM, 1 channel, 16-bit
+    little-endian. ``sample_fn(i)`` supplies each sample (clamped to the
+    int16 range). The audio twin of :func:`bmp_encode`."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(sample_fn(i)))))
+        for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode_kernel(payload: bytes | None, kind: str) -> list[float]:
+    """REAL decode kernel for PCM16 WAV payloads: parses the RIFF
+    container (chunk walk — fmt before data, extra chunks tolerated),
+    validates PCM/16-bit, and returns
+    ``[sample_rate, n_samples, mean, rms]`` — the shape a librosa kernel
+    would produce. Raises on malformed containers so the stage surfaces
+    bad rows instead of fabricating features."""
+    import math
+    import struct
+
+    if payload is None:
+        return []
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 is supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks pad to even
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    mean = sum(samples) / n
+    rms = math.sqrt(sum(s * s for s in samples) / n)
+    return [float(sample_rate), float(n), mean, rms]

@@ -2596,6 +2596,61 @@ def q_c78_real_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c79_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79 — REAL audio decoding through the C11 registry, stdlib only
+    (the audio twin of c78): spec-conformant RIFF/PCM16 WAV files built
+    per doc (48 samples, deterministic waveform with wraparound),
+    decoded by operators/multimodal.py wav_decode_kernel — RIFF chunk
+    walk, PCM validation, mean + RMS. The oracle recomputes every
+    sample from the closed-form formula; a librosa kernel slots into
+    the same registry seam where the lib exists."""
+    import pandas as _pd
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        wav_decode_kernel,
+        wav_encode,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        wav_encode(
+                            48,
+                            8000,
+                            (lambda m: lambda i: (37 * i * i + 11 * i + 53 * m)
+                             % 2001 - 1000)(int(m)),
+                        )
+                        for m in pdf["media_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoders={"audio": wav_decode_kernel})
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f.getItem(0).cast("int").alias("sample_rate"),
+        f.getItem(1).cast("int").alias("n_samples"),
+        F.round(f.getItem(2), 6).alias("mean_sample"),
+        F.round(f.getItem(3), 6).alias("rms"),
+    )
+
+
 def q_c77_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C77 — exponential time-decay feature (the recency-weighted
     activity score behind trending/engagement features): per user,
@@ -5079,6 +5134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a37_text_remove": q_a37_text_remove,
     "c77_time_decay": q_c77_time_decay,
     "c78_real_bmp_decode": q_c78_real_bmp_decode,
+    "c79_real_wav_decode": q_c79_real_wav_decode,
 }
 
 
@@ -6961,6 +7017,21 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c79_real_wav_decode"] = """
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 100
+    ),
+    sm AS (
+        SELECT i.media_id,
+               (37 * s.i * s.i + 11 * s.i + 53 * i.media_id) % 2001 - 1000 AS v
+        FROM ids i, (SELECT unnest(range(48)) AS i) s
+    )
+    SELECT media_id, 8000::int AS sample_rate, 48::int AS n_samples,
+           round(sum(v)::double / 48, 6) AS mean_sample,
+           round(sqrt(sum(v * v)::double / 48), 6) AS rms
+    FROM sm GROUP BY media_id
 """
 
 ORACLES["c78_real_bmp_decode"] = """

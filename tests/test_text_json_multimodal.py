@@ -684,3 +684,30 @@ def test_bmp_encode_decode_roundtrip_and_errors(spark):
     bad[28] = 8
     with _p.raises(ValueError):
         bmp_decode_kernel(bytes(bad), "image")
+
+
+def test_wav_encode_decode_roundtrip_and_errors(spark):
+    """The real WAV kernel walks RIFF chunks (padding respected),
+    recovers rate/count/mean/RMS exactly, and rejects non-RIFF or
+    non-PCM16 payloads."""
+    import math
+
+    import pytest as _p
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        wav_decode_kernel,
+        wav_encode,
+    )
+
+    vals = [(37 * i * i + 11 * i) % 2001 - 1000 for i in range(48)]
+    b = wav_encode(48, 8000, lambda i: vals[i])
+    sr, n, mean, rms = wav_decode_kernel(b, "audio")
+    assert (sr, n) == (8000.0, 48.0)
+    assert mean == sum(vals) / 48
+    assert rms == math.sqrt(sum(v * v for v in vals) / 48)
+    with _p.raises(ValueError):
+        wav_decode_kernel(b"NOTRIFFDATA0", "audio")
+    bad = bytearray(b)
+    bad[20] = 3  # audio_fmt = IEEE float -> unsupported
+    with _p.raises(ValueError):
+        wav_decode_kernel(bytes(bad), "audio")
