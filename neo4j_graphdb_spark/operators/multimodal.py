@@ -398,3 +398,79 @@ def wav_decode_kernel(payload: bytes | None, kind: str) -> list[float]:
     mean = sum(samples) / n
     rms = math.sqrt(sum(s * s for s in samples) / n)
     return [float(sample_rate), float(n), mean, rms]
+
+
+# Minimal VALID single-pixel LZW image data for a 2-color GIF frame
+# (min code size 2: clear, one literal, end — the canonical smallest
+# conformant stream), used by the synthetic encoder below.
+_GIF_MIN_LZW = b"\x02\x02\x44\x01\x00"
+
+
+def gif_encode(width: int, height: int, n_frames: int) -> bytes:
+    """Build a structurally conformant animated GIF89a: logical screen
+    descriptor with a 2-entry global color table, ``n_frames`` 1×1 image
+    descriptors each carrying the minimal valid LZW stream, trailer.
+    The container twin of :func:`bmp_encode`/:func:`wav_encode` — frame
+    SAMPLING needs exactly this block structure; pixel decode would need
+    an LZW codec (ffmpeg/PIL seam)."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # GCT flag, 2 entries
+    out += b"\x00\x00\x00\xff\xff\xff"  # the 2-color table
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        out += _GIF_MIN_LZW
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_probe_kernel(payload: bytes | None, kind: str) -> list[float]:
+    """REAL container probe for GIF payloads: validates the signature,
+    reads the logical screen descriptor (+ skips the global color
+    table), then WALKS the block stream — image descriptors (skipping
+    local tables and LZW sub-blocks), extensions, trailer — and returns
+    ``[width, height, n_frames, gct_entries]``. This is the structural
+    pass a frame sampler runs before any codec work; pixel decode stays
+    behind the ffmpeg/PIL seam. Raises on malformed containers."""
+    import struct
+
+    if payload is None:
+        return []
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = 0
+    if packed & 0x80:
+        gct = 2 << (packed & 0x07)
+        pos += 3 * gct
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            return [float(width), float(height), float(frames), float(gct)]
+        if b == 0x2C:  # image descriptor
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))  # local color table
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        elif b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("missing GIF trailer")

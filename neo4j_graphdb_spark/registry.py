@@ -2651,6 +2651,57 @@ def q_c79_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c80_real_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C80 — REAL video-container probing through the C11 registry
+    (completing the media trio with c78/c79): structurally conformant
+    animated GIF89a files built per doc (1 + doc_id%4 frames, 2-entry
+    palette, minimal valid LZW streams) and walked by
+    operators/multimodal.py gif_probe_kernel — signature, screen
+    descriptor, image-descriptor/extension block stream — returning
+    dimensions, frame count, palette size. This IS the structural pass
+    frame sampling needs; pixel decode stays behind the ffmpeg seam.
+    Oracle = the closed-form frame formula."""
+    import pandas as _pd
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        gif_encode,
+        gif_probe_kernel,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        gif_encode(8, 6, 1 + int(m) % 4) for m in pdf["media_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoders={"video": gif_probe_kernel})
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f.getItem(0).cast("int").alias("width"),
+        f.getItem(1).cast("int").alias("height"),
+        f.getItem(2).cast("int").alias("n_frames"),
+        f.getItem(3).cast("int").alias("palette"),
+    )
+
+
 def q_c77_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C77 — exponential time-decay feature (the recency-weighted
     activity score behind trending/engagement features): per user,
@@ -5135,6 +5186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c77_time_decay": q_c77_time_decay,
     "c78_real_bmp_decode": q_c78_real_bmp_decode,
     "c79_real_wav_decode": q_c79_real_wav_decode,
+    "c80_real_gif_probe": q_c80_real_gif_probe,
 }
 
 
@@ -7017,6 +7069,12 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c80_real_gif_probe"] = """
+    SELECT doc_id AS media_id, 8::int AS width, 6::int AS height,
+           (1 + doc_id % 4)::int AS n_frames, 2::int AS palette
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
 """
 
 ORACLES["c79_real_wav_decode"] = """

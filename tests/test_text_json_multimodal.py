@@ -711,3 +711,26 @@ def test_wav_encode_decode_roundtrip_and_errors(spark):
     bad[20] = 3  # audio_fmt = IEEE float -> unsupported
     with _p.raises(ValueError):
         wav_decode_kernel(bytes(bad), "audio")
+
+
+def test_gif_probe_blocks_and_errors(spark):
+    """The GIF probe walks the real block stream: frames counted through
+    image descriptors, extensions skipped, malformed containers
+    rejected."""
+    import pytest as _p
+
+    from neo4j_graphdb_spark.operators.multimodal import (
+        gif_encode,
+        gif_probe_kernel,
+    )
+
+    b = gif_encode(16, 9, 3)
+    assert gif_probe_kernel(b, "video") == [16.0, 9.0, 3.0, 2.0]
+    # splice a graphic-control extension before the trailer: still 3 frames
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = b[:-1] + ext + b"\x3b"
+    assert gif_probe_kernel(spliced, "video") == [16.0, 9.0, 3.0, 2.0]
+    with _p.raises(ValueError):
+        gif_probe_kernel(b"NOTAGIF89a....", "video")
+    with _p.raises(ValueError):
+        gif_probe_kernel(b[:-1], "video")  # trailer chopped off
