@@ -2756,6 +2756,33 @@ def q_c77_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel ext — TIME-range window frame (RANGE BETWEEN INTERVAL …
+    PRECEDING), the moving-aggregate shape rows-frames can't express
+    when events are irregularly spaced: per user, the trailing-1-hour
+    event count and value sum at every event. Spark's rangeBetween is
+    numeric, so the ordering key is epoch MICROseconds (the fixtures'
+    native precision — epoch seconds would truncate and widen frames at
+    sub-second boundaries vs the oracle's interval arithmetic); the sum
+    runs over decimal(18,6) so in-frame addition order cannot flip a
+    bit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum(dec).over(w).cast("double"), 6).alias("sum_trailing_1h"),
+    )
+
+
 def q_rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel ext — point-in-time (PIT) feature join, the feature-store
     correctness primitive (no training-serving leakage): each purchase
@@ -3898,6 +3925,35 @@ def q_a37_text_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(res.summary.properties_set).cast("bigint").alias("n_erased"),
         "n_articles",
         "n_titled",
+    )
+
+
+def q_a38_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 ext — MERGE schema evolution (writer._with_missing): a later
+    batch introduces a property the store has never seen (`views`, on
+    the even-id half only). The merge widens the schema in place —
+    pre-existing rows read back with NULL views, the overlap keeps both
+    old and new values, and no rewrite of untouched columns happens.
+    The oracle recomputes the widened-table aggregate from the fixture
+    predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        (F.col("doc_id") * 10).cast("bigint").alias("views"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a38_"))
+    store.merge_nodes(b1, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(b2, label="Article", key_col="link", prop_cols=["views"])
+    nodes = store.nodes()
+    return nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_articles"),
+        F.count("title").cast("bigint").alias("n_titled"),
+        F.count("views").cast("bigint").alias("n_viewed"),
+        F.sum("views").cast("bigint").alias("total_views"),
     )
 
 
@@ -5187,6 +5243,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c78_real_bmp_decode": q_c78_real_bmp_decode,
     "c79_real_wav_decode": q_c79_real_wav_decode,
     "c80_real_gif_probe": q_c80_real_gif_probe,
+    "rel_rolling_1h": q_rel_rolling_1h,
+    "a38_schema_evolution": q_a38_schema_evolution,
 }
 
 
@@ -7069,6 +7127,26 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["a38_schema_evolution"] = """
+    SELECT count(*)::bigint AS n_articles,
+           count(*)::bigint AS n_titled,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::bigint
+               AS n_viewed,
+           (SELECT sum(doc_id * 10) FROM documents
+            WHERE doc_id % 2 = 0)::bigint AS total_views
+    FROM documents
+"""
+
+ORACLES["rel_rolling_1h"] = """
+    SELECT event_id, user_id,
+           count(*) OVER w::bigint AS n_trailing_1h,
+           round(cast(sum(cast(value AS decimal(18,6))) OVER w AS double), 6)
+               AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
 
 ORACLES["c80_real_gif_probe"] = """
