@@ -59,6 +59,9 @@ HEADLINE = [
     "c68_bloom_semi_join",
     "rel_skyline",
     "c70_incremental_cc",
+    # Arrow/mapInPandas round-trip throughput + time-range window frame
+    "c78_real_bmp_decode",
+    "rel_rolling_1h",
 ]
 
 
