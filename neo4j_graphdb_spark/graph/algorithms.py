@@ -1231,8 +1231,23 @@ def incremental_components(
     :func:`connected_components`.
     """
     base = connected_components(nodes, base_edges, max_iter=max_iter, id_col=id_col)
-    lab_s = base.select(F.col("id").alias("src"), F.col("comp").alias("_cs"))
-    lab_d = base.select(F.col("id").alias("dst"), F.col("comp").alias("_cd"))
+    return merge_delta_components(base, delta_edges, max_iter=max_iter, id_col=id_col)
+
+
+def merge_delta_components(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """One CDC step of :func:`incremental_components`, exposed on its
+    own so a *streaming* foreachBatch sink can fold arriving edge
+    batches into a persisted ``(id, comp)`` labeling — the contracted
+    graph has one node per existing component, and min-id label algebra
+    keeps every step exact (composition of exact steps is exact, so N
+    micro-batches ≡ one full recompute, bit for bit)."""
+    lab_s = labels.select(F.col("id").alias("src"), F.col("comp").alias("_cs"))
+    lab_d = labels.select(F.col("id").alias("dst"), F.col("comp").alias("_cd"))
     contracted = (
         delta_edges.select("src", "dst")
         .join(lab_s, on="src")
@@ -1241,12 +1256,12 @@ def incremental_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    comp_nodes = base.select(F.col("comp").alias(id_col)).distinct()
+    comp_nodes = labels.select(F.col("comp").alias(id_col)).distinct()
     merged = connected_components(
         comp_nodes, contracted, max_iter=max_iter, id_col=id_col
     )
     return (
-        base.select("id", F.col("comp").alias("_c"))
+        labels.select("id", F.col("comp").alias("_c"))
         .join(merged.withColumnRenamed("id", "_c"), on="_c")
         .select("id", "comp")
     )

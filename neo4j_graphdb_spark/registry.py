@@ -3991,6 +3991,73 @@ def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c81_stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81 — STREAMING graph maintenance on the real engine: edges
+    arrive in two micro-batches (Customer/Supplier FROM edges, then
+    Nation-IN-Region edges) and a foreachBatch sink folds each batch
+    into a VERSIONED (id, comp) labeling table via
+    graph/algorithms.py merge_delta_components — every update is
+    O(|batch| + #components), the labeling is time-travelable (one
+    store version per batch), and min-id label algebra makes N
+    micro-batches ≡ one full recompute bit for bit, which is exactly
+    what the c3-identical oracle checks."""
+    import os as _os
+    import time as _time
+
+    from neo4j_graphdb_spark.graph.algorithms import merge_delta_components
+    from neo4j_graphdb_spark.model import NODE_ID
+    from neo4j_graphdb_spark.writer import _VersionedTable
+
+    _utc(spark)
+    g = analytics_graph(spark, sf_dir)
+    e = g.edges_df.select("src", "dst", "rel_type")
+    sdir = tempfile.mkdtemp(prefix="c81_stream_")
+    b0, b1 = (_os.path.join(sdir, f"b{i}") for i in range(2))
+    e.filter(F.col("rel_type") != "IN").coalesce(1).write.parquet(b0)
+    e.filter(F.col("rel_type") == "IN").coalesce(1).write.parquet(b1)
+    now = _time.time()
+    for off, sub in enumerate((b0, b1)):
+        for fn in _os.listdir(sub):
+            _os.utime(_os.path.join(sub, fn), (now + 60 * off,) * 2)
+
+    labels = _VersionedTable(_os.path.join(sdir, "labels"))
+    # v1: the empty-edge labeling — every known node its own component
+    labels.write_next(
+        g.nodes_df.select(
+            F.col(NODE_ID).alias("id"), F.col(NODE_ID).alias("comp")
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b*")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        labels.write_next(merge_delta_components(labels.read(spark), batch_df))
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", _os.path.join(sdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(labels.list_versions()) == 3, "expected init + 2 batch versions"
+    comp = labels.read(spark)
+    region_of_comp = comp.join(
+        _node_keys(g).filter(F.col("label") == "Region"), on="id"
+    ).select(F.col("comp"), F.col("key").alias("region_key"))
+    return (
+        comp.join(region_of_comp, on="comp")
+        .join(_node_keys(g), on="id")
+        .select("label", "key", "region_key")
+    )
+
+
 def q_c70_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C70 — incremental connected-components maintenance
     (graph/algorithms.py incremental_components): the Customer/Supplier
@@ -5245,6 +5312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c80_real_gif_probe": q_c80_real_gif_probe,
     "rel_rolling_1h": q_rel_rolling_1h,
     "a38_schema_evolution": q_a38_schema_evolution,
+    "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
 }
 
 
@@ -7076,6 +7144,7 @@ ORACLES: dict[str, str] = {
 # The incremental CC composition must be indistinguishable from the full
 # recompute — same oracle as c3, by construction (min-id label algebra).
 ORACLES["c70_incremental_cc"] = ORACLES["c3_connected_components"]
+ORACLES["c81_stream_incremental_cc"] = ORACLES["c3_connected_components"]
 
 ORACLES["c72_neighbor_sample"] = """
     WITH cp AS MATERIALIZED (

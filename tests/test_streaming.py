@@ -352,3 +352,33 @@ def test_stream_outer_join_emits_unmatched(spark, tmp_path):
         for r in out.filter(F.col("user_id") >= 0).collect()
     }
     assert rows == {1: 2, 3: None}
+
+
+def test_merge_delta_components_composes_across_batches(spark):
+    """Folding edge batches one at a time through merge_delta_components
+    must land on the same labels as one full CC over everything — the
+    exactness claim behind the streaming maintenance entry."""
+    from neo4j_graphdb_spark.graph.algorithms import (
+        connected_components,
+        merge_delta_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node_id bigint")
+    labels = nodes.selectExpr("node_id AS id", "node_id AS comp")
+    batches = [
+        [(0, 1), (2, 3)],
+        [(4, 5)],
+        [(1, 2), (5, 6)],  # merges {0,1}+{2,3}; extends {4,5}
+    ]
+    alle = []
+    for b in batches:
+        bdf = spark.createDataFrame(b, "src bigint, dst bigint")
+        labels = merge_delta_components(labels, bdf)
+        alle += b
+    full = connected_components(
+        nodes, spark.createDataFrame(alle, "src bigint, dst bigint")
+    )
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    want = {r["id"]: r["comp"] for r in full.collect()}
+    assert got == want
+    assert got[3] == 0 and got[6] == 4 and got[7] == 7
