@@ -3928,6 +3928,46 @@ def q_a37_text_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a39_store_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 ext — the SQL surface over the graph store
+    (writer.GraphStore.sql): the Article/Publisher graph loads through
+    MERGE statements, then plain Spark SQL joins the node and edge
+    views — per-publisher article counts with a rank window — proving a
+    user can drop to full SQL against the store without an export. The
+    store scan keeps its pruning (the views are the partitioned parquet
+    reads)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("pub"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a39_"))
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row MERGE (a:Article {link: row.link}) "
+        "MERGE (p:Publisher {name: row.pub}) MERGE (a)-[:WRITTEN_BY]->(p)",
+        pdf,
+        store=store,
+    )
+    return store.sql(
+        """
+        SELECT p.key AS publisher,
+               count(*) AS n_articles,
+               rank() OVER (ORDER BY count(*) DESC, p.key ASC) AS pub_rank
+        FROM edges e
+        JOIN nodes p ON e.dst = p.node_id AND p.label = 'Publisher'
+        WHERE e.rel_type = 'WRITTEN_BY'
+        GROUP BY p.key
+        """
+    ).select(
+        "publisher",
+        F.col("n_articles").cast("bigint").alias("n_articles"),
+        F.col("pub_rank").cast("bigint").alias("pub_rank"),
+    )
+
+
 def q_a38_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A38 ext — MERGE schema evolution (writer._with_missing): a later
     batch introduces a property the store has never seen (`views`, on
@@ -5313,6 +5353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rolling_1h": q_rel_rolling_1h,
     "a38_schema_evolution": q_a38_schema_evolution,
     "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
+    "a39_store_sql": q_a39_store_sql,
 }
 
 
@@ -7196,6 +7237,12 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["a39_store_sql"] = """
+    SELECT source AS publisher, count(*)::bigint AS n_articles,
+           rank() OVER (ORDER BY count(*) DESC, source ASC)::bigint AS pub_rank
+    FROM documents GROUP BY source
 """
 
 ORACLES["a38_schema_evolution"] = """

@@ -861,6 +861,30 @@ class GraphStore:
         target.unpersist()
         return WriteSummary(properties_set=n_erased)
 
+    def sql(
+        self,
+        query: str,
+        nodes_view: str = "nodes",
+        edges_view: str = "edges",
+    ) -> DataFrame:
+        """Run Spark SQL over the store's CURRENT tables as temp views —
+        the escape hatch to the full SQL surface (multi-way joins,
+        window functions, rollups, joins against external tables)
+        without copying the graph out of the store. Views are plain
+        pointers to the versioned parquet scan, so label/bucket
+        partition pruning and column pushdown apply exactly as they do
+        to the DataFrame reads; re-registration per call keeps the view
+        pinned to the current version (a time-traveling caller can
+        register ``nodes(version=…)`` itself)."""
+        n = self.nodes()
+        if n is None:
+            raise ValueError("store is empty")
+        n.createOrReplaceTempView(nodes_view)
+        e = self.edges()
+        if e is not None:
+            e.createOrReplaceTempView(edges_view)
+        return self.spark.sql(query)
+
     # ------------------------------------------------------------ maintenance
 
     def vacuum(self, keep_last: int = 1) -> dict[str, list[int]]:
