@@ -1293,3 +1293,68 @@ def neighbor_sample(edges: DataFrame, k: int, salt: str = "ns") -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    THE one-number answer to "do hubs attach to hubs?" (positive:
+    social-style mixing; negative: hub-and-spoke). Everything before
+    the final formula is integer aggregation over one degree join per
+    side (Σx, Σy, Σxy, Σx², Σy², m — exact on both engines), and the
+    single IEEE division/sqrt at the end makes the value bit-identical
+    cross-engine. One edge scan + two broadcastable degree joins.
+
+    Returns one row ``(m_directed_pairs, assortativity)``.
+    """
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    sym = (
+        edges.select("src", "dst")
+        .distinct()
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    pairs = (
+        sym.join(deg.select(F.col("src"), F.col("_d").alias("_dx")), on="src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("_d").alias("_dy")),
+            on="dst",
+        )
+        .select(
+            F.col("_dx").cast("bigint").alias("x"),
+            F.col("_dy").cast("bigint").alias("y"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / m
+    denx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / m
+    deny = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / m
+    return agg.select(
+        F.col("m").cast("bigint").alias("m_directed_pairs"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("assortativity"),
+    )

@@ -4031,6 +4031,19 @@ def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c82_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82 — degree assortativity (Newman 2002) of the analytics graph
+    (graph/algorithms.py degree_assortativity): do hubs attach to hubs?
+    The region forest is strongly DISassortative (leaf customers hang
+    off hub nations), which the coefficient's sign immediately shows.
+    Integer sums all the way to one final IEEE division, so the value is
+    bit-identical cross-engine."""
+    from neo4j_graphdb_spark.graph.algorithms import degree_assortativity
+
+    g = analytics_graph(spark, sf_dir)
+    return degree_assortativity(g.edges_df)
+
+
 def q_c81_stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C81 — STREAMING graph maintenance on the real engine: edges
     arrive in two micro-batches (Customer/Supplier FROM edges, then
@@ -5354,6 +5367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a38_schema_evolution": q_a38_schema_evolution,
     "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
     "a39_store_sql": q_a39_store_sql,
+    "c82_assortativity": q_c82_assortativity,
 }
 
 
@@ -7237,6 +7251,39 @@ ORACLES["c74_ppmi"] = """
                   / (nw.nwv::double * nc.ncv::double))), 6) AS ppmi
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
+"""
+
+ORACLES["c82_assortativity"] = """
+    WITH e0 AS MATERIALIZED (
+        SELECT c_custkey * 4 + 0 AS src, c_nationkey * 4 + 2 AS dst FROM customer
+        UNION ALL
+        SELECT s_suppkey * 4 + 1, s_nationkey * 4 + 2 FROM supplier
+        UNION ALL
+        SELECT n_nationkey * 4 + 2, n_regionkey * 4 + 3 FROM nation
+    ),
+    sym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        )
+    ),
+    deg AS (SELECT src, count(*)::bigint AS d FROM sym GROUP BY src),
+    pairs AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM sym JOIN deg dx ON sym.src = dx.src
+                 JOIN deg dy ON sym.dst = dy.src
+    ),
+    agg AS (
+        SELECT count(*)::bigint AS m, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+               sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+               sum(y * y)::bigint AS syy
+        FROM pairs
+    )
+    SELECT m AS m_directed_pairs,
+           round((sxy::double - sx::double * sy::double / m::double)
+                 / sqrt((sxx::double - sx::double * sx::double / m::double)
+                        * (syy::double - sy::double * sy::double / m::double)),
+                 6) AS assortativity
+    FROM agg
 """
 
 ORACLES["a39_store_sql"] = """

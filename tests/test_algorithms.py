@@ -701,3 +701,18 @@ def test_neighbor_sample_cap_and_determinism(spark):
         assert (src, dst) in {(1, d) for d in range(20)} | {(2, 100), (2, 101)}
     assert sorted(by_src[1]) == [1, 2, 3, 4, 5]
     assert sorted(by_src[2]) == [1, 2]
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """A star K(1,3) is maximally disassortative: every edge pairs the
+    hub (deg 3) with a leaf (deg 1), so the endpoint-degree Pearson
+    correlation is exactly −1; a clean 4-cycle (all degrees equal) is
+    degenerate (zero variance) — excluded by construction here."""
+    from neo4j_graphdb_spark.graph.algorithms import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["m_directed_pairs"] == 6
+    assert row["assortativity"] == -1.0
