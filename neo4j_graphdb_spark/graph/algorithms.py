@@ -1358,3 +1358,117 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.col("m").cast("bigint").alias("m_directed_pairs"),
         F.round(num / F.sqrt(denx * deny), 6).alias("assortativity"),
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    n_steps: int = 3,
+    w_return: int = 1,
+    w_shared: int = 2,
+    w_far: int = 4,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec 2016) with
+    EXACT rational bias and zero float randomness. The three node2vec
+    transition classes — return to the previous node (weight 1/p), move
+    to a neighbor SHARED with the previous node (weight 1), move
+    farther (weight 1/q) — are expressed as small INTEGER replica
+    counts ``w_return : w_shared : w_far`` (defaults 1:2:4 ≡ p=2,
+    q=0.5 at scale 2): every candidate is replicated ``weight`` times
+    and the md5-minimal replica wins, so P(candidate) ∝ weight exactly
+    — reproducible across runs, partitionings, and engines, with no
+    RNG state and no floating-point sampling to drift.
+
+    Step 1 has no previous node and uses the uniform first-order pick
+    (:func:`random_walks`' md5-mod-degree). Each later step costs one
+    adjacency join (candidates), one adjacency join (the
+    shared-neighbor flag — node2vec's dtx=1 test), a bounded explode
+    (≤ max weight per candidate), and one per-walk min — O(walks ·
+    avg_degree · w̄) per step, independent of graph size.
+
+    Returns ``(walk_id, step, node)``, step 0 = start.
+    """
+    if min(w_return, w_shared, w_far) < 1:
+        # a zero would need candidate EXCLUSION, and F.sequence(1, 0)
+        # counts DOWN ([1, 0] — two replicas), silently inverting the
+        # intent; demand positive integers instead
+        raise ValueError("replica weights must be positive integers")
+    adj = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    w_src = Window.partitionBy("src").orderBy("dst")
+    idx_adj = adj.select(
+        "src",
+        "dst",
+        (F.row_number().over(w_src) - 1).alias("_idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("_deg"),
+    ).localCheckpoint(eager=False)
+    f0 = starts.select(
+        F.col(id_col).cast("string").alias("walk_id"),
+        F.col(id_col).cast("string").alias("node"),
+    )
+    levels = [f0.select("walk_id", F.lit(0).alias("step"), "node")]
+    pick = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("walk_id"), F.lit("1"), F.col("node"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.col("_deg"),
+    )
+    frontier = f0.join(
+        idx_adj, (idx_adj["src"] == F.col("node")) & (idx_adj["_idx"] == pick)
+    ).select("walk_id", F.col("node").alias("prev"), F.col("dst").alias("node"))
+    levels.append(frontier.select("walk_id", F.lit(1).alias("step"), "node"))
+    for i in range(2, n_steps + 1):
+        cands = frontier.join(adj, adj["src"] == frontier["node"]).select(
+            "walk_id",
+            "prev",
+            F.col("node").alias("cur"),
+            F.col("dst").alias("cand"),
+        )
+        flagged = cands.join(
+            adj.select(
+                F.col("src").alias("_ps"),
+                F.col("dst").alias("_pd"),
+                F.lit(True).alias("_sh"),
+            ),
+            (F.col("_ps") == F.col("prev")) & (F.col("_pd") == F.col("cand")),
+            "left",
+        )
+        rep = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(w_return))
+            .when(F.col("_sh"), F.lit(w_shared))
+            .otherwise(F.lit(w_far))
+        )
+        expl = flagged.select(
+            "walk_id",
+            "cur",
+            "cand",
+            F.explode(F.sequence(F.lit(1), rep)).alias("_r"),
+        ).withColumn(
+            "_k",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("walk_id"),
+                    F.lit(str(i)),
+                    F.col("cand"),
+                    F.col("_r").cast("string"),
+                )
+            ),
+        )
+        chosen = expl.groupBy("walk_id").agg(
+            F.expr("min_by(struct(cur, cand), struct(_k, cand, _r))").alias("_c")
+        )
+        frontier = chosen.select(
+            "walk_id", F.col("_c.cur").alias("prev"), F.col("_c.cand").alias("node")
+        ).localCheckpoint(eager=False)
+        levels.append(frontier.select("walk_id", F.lit(i).alias("step"), "node"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

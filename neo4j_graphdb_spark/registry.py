@@ -815,6 +815,74 @@ def _hits_oracle_sql(iters: int = 6) -> str:
     """
 
 
+def _biased_walks_oracle_sql(
+    steps: int = 3,
+    mod: int = 20,
+    w_return: int = 1,
+    w_shared: int = 2,
+    w_far: int = 4,
+) -> str:
+    """DuckDB twin of :func:`graph.algorithms.biased_walks`: step 1 is
+    the uniform md5-mod-degree pick; each biased step unrolls into a
+    CTE that generates candidates, LEFT-joins the shared-neighbor
+    flag, replicates each candidate ``weight`` times against a bounded
+    replica table, and takes the md5-minimal replica per walk — the
+    identical integer-replica weighted choice, hex-key compare and
+    all."""
+    wmax = max(w_return, w_shared, w_far)
+    ctes = [
+        "cp AS MATERIALIZED ("
+        "SELECT DISTINCT 'C' || cast(o_custkey AS varchar) AS src, "
+        "'P' || cast(l_partkey AS varchar) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp)",
+        "adj AS MATERIALIZED ("
+        "SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM sym)",
+        "s0 AS (SELECT 'C' || cast(c_custkey AS varchar) AS walk_id, "
+        "'C' || cast(c_custkey AS varchar) AS node "
+        f"FROM customer WHERE c_custkey % {mod} = 0)",
+    ]
+    pick1 = _MD5_60_SQL.format(x="concat(w.walk_id, ':1:', w.node)")
+    ctes.append(
+        "f1 AS MATERIALIZED ("
+        "SELECT w.walk_id, w.node AS prev, a.dst AS node FROM s0 w "
+        f"JOIN adj a ON a.src = w.node AND a.idx = ({pick1}) % a.deg)"
+    )
+    for i in range(2, steps + 1):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+            SELECT walk_id, cur AS prev, cand AS node FROM (
+                SELECT e.walk_id, e.cur, e.cand,
+                       row_number() OVER (PARTITION BY e.walk_id
+                                          ORDER BY e.k, e.cand, e.r) AS rn
+                FROM (
+                    SELECT c.walk_id, c.cur, c.cand, rr.r,
+                           md5(concat(c.walk_id, ':{i}:', c.cand, ':',
+                                      cast(rr.r AS varchar))) AS k
+                    FROM (
+                        SELECT f.walk_id, f.prev, f.node AS cur,
+                               a.dst AS cand,
+                               CASE WHEN a.dst = f.prev THEN {w_return}
+                                    WHEN sh.src IS NOT NULL THEN {w_shared}
+                                    ELSE {w_far} END AS w
+                        FROM f{i - 1} f
+                        JOIN sym a ON a.src = f.node
+                        LEFT JOIN sym sh
+                               ON sh.src = f.prev AND sh.dst = a.dst
+                    ) c, (SELECT unnest(range(1, {wmax} + 1)) AS r) rr
+                    WHERE rr.r <= c.w
+                ) e
+            ) WHERE rn = 1
+        )"""
+        )
+    selects = ["SELECT walk_id, 0::bigint AS step, node FROM s0"] + [
+        f"SELECT walk_id, {i}::bigint AS step, node FROM f{i}"
+        for i in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _walks_oracle_sql(steps: int = 4, mod: int = 10) -> str:
     """DuckDB twin of :func:`graph.algorithms.random_walks` on the
     customer–part co-purchase graph: each hash-walk step unrolls into a
@@ -4031,6 +4099,37 @@ def q_a34_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c83_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83 — node2vec SECOND-ORDER biased walks (graph/algorithms.py
+    biased_walks) on the symmetrized co-purchase graph, 3 steps from
+    every 20th customer, weights 1:2:4 (return : shared-neighbor :
+    far ≡ p=2, q=0.5): the integer-replica trick makes the weighted
+    choice exact and hash-deterministic, so EVERY visited node —
+    bias and all — value-checks against the DuckDB replay."""
+    from neo4j_graphdb_spark.graph.algorithms import biased_walks
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    sym = cp.unionByName(
+        cp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node_id")
+        )
+    )
+    out = biased_walks(sym, starts, n_steps=3)
+    return out.select(
+        "walk_id", F.col("step").cast("bigint").alias("step"), "node"
+    )
+
+
 def q_c82_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C82 — degree assortativity (Newman 2002) of the analytics graph
     (graph/algorithms.py degree_assortativity): do hubs attach to hubs?
@@ -5368,6 +5467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
     "a39_store_sql": q_a39_store_sql,
     "c82_assortativity": q_c82_assortativity,
+    "c83_node2vec_walks": q_c83_node2vec_walks,
 }
 
 
@@ -7252,6 +7352,8 @@ ORACLES["c74_ppmi"] = """
     FROM pairs p JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN t
     WHERE p.n_wc >= 5
 """
+
+ORACLES["c83_node2vec_walks"] = _biased_walks_oracle_sql()
 
 ORACLES["c82_assortativity"] = """
     WITH e0 AS MATERIALIZED (

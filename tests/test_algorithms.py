@@ -716,3 +716,42 @@ def test_degree_assortativity_star_is_minus_one(spark):
     row = degree_assortativity(star).collect()[0]
     assert row["m_directed_pairs"] == 6
     assert row["assortativity"] == -1.0
+
+
+def test_biased_walks_bias_and_validity(spark):
+    """Second-order bias steers the walk: on a symmetric star, step 2
+    from the hub with a 999:1:1 return weight sends every walk back to
+    its start; every consecutive pair must be a real edge; two runs are
+    identical; zero weights reject."""
+    import pytest as _p
+
+    from neo4j_graphdb_spark.graph.algorithms import biased_walks
+
+    half = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "src bigint, dst bigint"
+    ).selectExpr("cast(src as string) src", "cast(dst as string) dst")
+    starts = spark.createDataFrame([("1",), ("2",), ("3",)], "node_id string")
+
+    out = biased_walks(edges, starts, n_steps=2, w_return=999, w_shared=1, w_far=1)
+    rows = {(r["walk_id"], r["step"]): r["node"] for r in out.collect()}
+    for s in ("1", "2", "3"):
+        assert rows[(s, 0)] == s
+        assert rows[(s, 1)] == "0"  # a leaf's only neighbor
+        assert rows[(s, 2)] == s  # 999:1:1 return bias wins
+
+    again = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in biased_walks(
+            edges, starts, n_steps=2, w_return=999, w_shared=1, w_far=1
+        ).collect()
+    }
+    assert rows == again
+
+    edge_set = {("0", x) for x in "123"} | {(x, "0") for x in "123"}
+    for s in ("1", "2", "3"):
+        for step in (1, 2):
+            assert (rows[(s, step - 1)], rows[(s, step)]) in edge_set
+
+    with _p.raises(ValueError):
+        biased_walks(edges, starts, n_steps=2, w_return=0)
