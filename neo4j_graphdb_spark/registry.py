@@ -5280,6 +5280,14 @@ def _walk_pairs_oracle_sql() -> str:
 # that have never had a driver-artifact row — c11+ streaming/pipeline ops
 # and the rel_* relational suite — lead, and the long-green a/b/c1-c10
 # block trails. Functionally the dict is order-insensitive.
+#
+# Rotation ledger (so future rounds keep widening driver coverage):
+#   r02-r04 windows covered the a1-a15 / b1-b8 / c1-c10 block;
+#   r05's window covers the current first 50 (c11-c36 + the early rel_*).
+#   Next rotation should LEAD with the round-5 additions that have only
+#   judge-side verification so far: c37-c83, a16-a39, and the later
+#   rel_* entries (hierarchy, skyline, distribution, pit_join,
+#   rolling_1h, funnel, retention, …).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
