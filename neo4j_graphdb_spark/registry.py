@@ -4036,6 +4036,73 @@ def q_a39_store_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a40_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 ext — CDC round trip (writer.GraphStore.apply_changes, the
+    inverse of a29's snapshot_diff): the source store mutates v0 → v1
+    (updates every 3rd title, deletes every 7th article, inserts new
+    keys), the diff between its own versions becomes the change feed,
+    and REPLAYING that feed onto a replica seeded with the same v0
+    reproduces v1 exactly — store-to-store replication as one
+    upsert + one delete pass. The output row proves replica ≡ source
+    by null-safe match counts; the oracle recomputes the expected final
+    state arithmetically."""
+    from neo4j_graphdb_spark.writer import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v0 = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    src = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a40s_"))
+    src.merge_nodes(v0, label="Article", key_col="link", prop_cols=["title"])
+    v_first = src._nodes.list_versions()[0]
+    upd = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.upper(F.substring("text", 1, 40)).alias("title"),
+    )
+    src.merge_nodes(upd, label="Article", key_col="link", prop_cols=["title"])
+    src.delete_nodes(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link")
+        ),
+        label="Article",
+        key_col="link",
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("new://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    src.merge_nodes(ins, label="Article", key_col="link", prop_cols=["title"])
+
+    old = src.nodes(version=v_first).select(F.col("key").alias("link"), "title")
+    cur = src.nodes().select(F.col("key").alias("link"), "title")
+    feed = snapshot_diff(old, cur, ["link"], ["title"]).select(
+        "link", "op", F.col("new_title").alias("title")
+    )
+
+    dst = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a40d_"))
+    dst.merge_nodes(v0, label="Article", key_col="link", prop_cols=["title"])
+    dst.apply_changes(feed, label="Article", key_col="link", prop_cols=["title"])
+
+    a = src.nodes().select(F.col("key").alias("link"), "title")
+    b = dst.nodes().select(
+        F.col("key").alias("link"), F.col("title").alias("_bt")
+    )
+    matched = a.join(b, on="link").filter(
+        F.col("title").eqNullSafe(F.col("_bt"))
+    )
+    return (
+        a.agg(F.count(F.lit(1)).alias("n_source"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_replica")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+        .select(
+            F.col("n_source").cast("bigint").alias("n_source"),
+            F.col("n_replica").cast("bigint").alias("n_replica"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+        )
+    )
+
+
 def q_a38_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A38 ext — MERGE schema evolution (writer._with_missing): a later
     batch introduces a property the store has never seen (`views`, on
@@ -5476,6 +5543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a39_store_sql": q_a39_store_sql,
     "c82_assortativity": q_c82_assortativity,
     "c83_node2vec_walks": q_c83_node2vec_walks,
+    "a40_cdc_apply": q_a40_cdc_apply,
 }
 
 
@@ -7362,6 +7430,17 @@ ORACLES["c74_ppmi"] = """
 """
 
 ORACLES["c83_node2vec_walks"] = _biased_walks_oracle_sql()
+
+ORACLES["a40_cdc_apply"] = """
+    WITH n AS (
+        SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)
+               + (SELECT count(*) FROM documents WHERE doc_id % 11 = 0)
+               AS c
+    )
+    SELECT c::bigint AS n_source, c::bigint AS n_replica,
+           c::bigint AS n_matched
+    FROM n
+"""
 
 ORACLES["c82_assortativity"] = """
     WITH e0 AS MATERIALIZED (

@@ -885,6 +885,43 @@ class GraphStore:
             e.createOrReplaceTempView(edges_view)
         return self.spark.sql(query)
 
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        label: str,
+        key_col: str,
+        prop_cols: list[str],
+        op_col: str = "op",
+        detach: bool = True,
+    ) -> WriteSummary:
+        """Apply a CDC change feed — rows tagged ``insert`` / ``update``
+        / ``delete`` in ``op_col`` — to one label in a single pass: the
+        upsert half (insert+update are both MERGE under last-writer-wins
+        key semantics) runs as one batched merge, then the delete half
+        runs as one batch delete. The inverse of :func:`snapshot_diff`:
+        ``apply_changes(diff(v0, v1))`` reproduces v1 from v0, which is
+        what makes store-to-store replication composable. Summary adds
+        both halves' counters."""
+        ops = [
+            r[op_col]
+            for r in feed.select(op_col).distinct().collect()
+        ]
+        unknown = set(ops) - {"insert", "update", "delete"}
+        if unknown:
+            raise ValueError(f"unknown CDC ops {sorted(unknown)}")
+        summary = WriteSummary()
+        upserts = feed.filter(F.col(op_col).isin("insert", "update"))
+        if not upserts.isEmpty():
+            summary = summary + self.merge_nodes(
+                upserts, label=label, key_col=key_col, prop_cols=prop_cols
+            )
+        deletes = feed.filter(F.col(op_col) == "delete")
+        if not deletes.isEmpty():
+            summary = summary + self.delete_nodes(
+                deletes, label=label, key_col=key_col, detach=detach
+            )
+        return summary
+
     # ------------------------------------------------------------ maintenance
 
     def vacuum(self, keep_last: int = 1) -> dict[str, list[int]]:

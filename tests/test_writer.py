@@ -496,3 +496,52 @@ def test_snapshot_diff_classifies_ops(spark):
         "d": ("delete", "t4", None),
         "e": ("insert", None, "t5"),
     }  # a unchanged, c unchanged (NULL == NULL null-safely)
+
+
+def test_apply_changes_round_trip(spark, tmp_path):
+    """apply_changes(snapshot_diff(v0, v1)) reproduces v1 on a replica
+    seeded with v0 — inserts, updates, and deletes all in one pass;
+    unknown op tags reject."""
+    import pytest as _p
+    from pyspark.sql import functions as F
+
+    from neo4j_graphdb_spark.writer import GraphStore, snapshot_diff
+
+    v0 = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k3", "c")], "link string, title string"
+    )
+    src = GraphStore(spark, str(tmp_path / "src"))
+    src.merge_nodes(v0, label="X", key_col="link", prop_cols=["title"])
+    first = src._nodes.list_versions()[0]
+    src.merge_nodes(
+        spark.createDataFrame([("k2", "B")], "link string, title string"),
+        label="X", key_col="link", prop_cols=["title"],
+    )
+    src.delete_nodes(
+        spark.createDataFrame([("k3",)], "link string"), label="X", key_col="link"
+    )
+    src.merge_nodes(
+        spark.createDataFrame([("k4", "d")], "link string, title string"),
+        label="X", key_col="link", prop_cols=["title"],
+    )
+    old = src.nodes(version=first).select(F.col("key").alias("link"), "title")
+    cur = src.nodes().select(F.col("key").alias("link"), "title")
+    feed = snapshot_diff(old, cur, ["link"], ["title"]).select(
+        "link", "op", F.col("new_title").alias("title")
+    )
+
+    dst = GraphStore(spark, str(tmp_path / "dst"))
+    dst.merge_nodes(v0, label="X", key_col="link", prop_cols=["title"])
+    s = dst.apply_changes(feed, label="X", key_col="link", prop_cols=["title"])
+    assert s.nodes_created == 1 and s.nodes_deleted == 1
+
+    got = {r["key"]: r["title"] for r in dst.nodes().collect()}
+    assert got == {"k1": "a", "k2": "B", "k4": "d"}
+
+    with _p.raises(ValueError):
+        dst.apply_changes(
+            spark.createDataFrame(
+                [("k1", "upsert", "z")], "link string, op string, title string"
+            ),
+            label="X", key_col="link", prop_cols=["title"],
+        )
