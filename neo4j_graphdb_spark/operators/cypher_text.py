@@ -114,7 +114,8 @@ _NODE_RE = re.compile(
 _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
     r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?"
-    r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?\s*\]\s*->\s*"
+    r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?"
+    r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*->\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
 )
 
@@ -632,7 +633,11 @@ def _run_write(
                         raise CypherUnsupported(
                             f"MERGE relationship on unbound alias {a!r}"
                         )
-                edges.append((sa, m.group("rel_type"), da))
+                # `[:T {weight: $w}]` — typed relationship properties
+                # ride the same merge (writer.merge_edges prop_cols)
+                edges.append(
+                    (sa, m.group("rel_type"), da, _parse_props(m.group("rel_props")))
+                )
                 continue
             n = _NODE_RE.match(c.body)
             if not n or not n.group("alias") or not n.group("label"):
@@ -707,11 +712,13 @@ def _run_write(
         total = total + store.merge_nodes(
             pdf.select(*cols), label=np.label, key_col=np.key_prop, **group_cols
         )
-    for sa, rel_type, da in edges:
+    for sa, rel_type, da, rel_props in edges:
         s, d = nodes[sa], nodes[da]
+        prop_sel = [F.col(param).alias(prop) for prop, param in rel_props]
         total = total + store.merge_edges(
-            pdf.select(s.key_param, d.key_param),
+            pdf.select(s.key_param, d.key_param, *prop_sel),
             rel_type, s.label, s.key_param, d.label, d.key_param,
+            prop_cols=[prop for prop, _ in rel_props] or None,
         )
 
     df = None
@@ -918,6 +925,10 @@ def _run_read(
                     raise CypherUnsupported(
                         "variable-length patterns are unsupported in chained MATCH"
                     )
+                if m.group("rel_props"):
+                    raise CypherUnsupported(
+                        "inline relationship properties are unsupported in chained MATCH"
+                    )
                 sa2 = m.group("src_alias")
                 if sa2 is None or sa2 not in aliases:
                     raise CypherUnsupported(
@@ -962,6 +973,10 @@ def _run_read(
                 sa = m.group("src_alias") or "a"
                 da = m.group("dst_alias") or "b"
                 if m.group("min_h"):
+                    if m.group("rel_props"):
+                        raise CypherUnsupported(
+                            "inline properties on a variable-length pattern"
+                        )
                     # `-[r:T*min..max]->` — bounded variable-length path
                     # (Graph.expand_var: union of fixed-length join
                     # ladders with relationship uniqueness). The alias
@@ -986,6 +1001,18 @@ def _run_read(
                 aliases[da] = f"{da}_"
                 rel_alias = m.group("rel_alias")
                 rel_prefixed = True
+                if not m.group("min_h") and m.group("rel_props"):
+                    # inline rel-prop map: equality filters on the edge
+                    # columns (which ride the expand unprefixed), same
+                    # value-resolution path as WHERE operands
+                    for prop, raw in _parse_value_props(m.group("rel_props")):
+                        if prop not in df.columns:
+                            raise CypherUnsupported(
+                                f"unknown relationship property {prop!r}"
+                            )
+                        df = df.filter(
+                            F.col(prop) == F.lit(_where_value(raw, lits, params))
+                        )
                 continue
             n = _NODE_RE.match(c.body)
             if not n:
@@ -1008,6 +1035,10 @@ def _run_read(
             if m.group("min_h"):
                 raise CypherUnsupported(
                     "variable-length patterns are unsupported in OPTIONAL MATCH"
+                )
+            if m.group("rel_props"):
+                raise CypherUnsupported(
+                    "inline relationship properties are unsupported in OPTIONAL MATCH"
                 )
             sa, s_label = node_match
             if (m.group("src_alias") or sa) != sa or m.group("src_label"):

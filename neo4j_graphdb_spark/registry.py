@@ -4036,6 +4036,42 @@ def q_a39_store_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a41_text_rel_prop_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 ext — relationship properties in MERGE text AND inline rel
+    prop maps on reads: ``MERGE (u)-[:INTERESTED_IN {weight: $w}]->(t)``
+    writes the typed edge property through the batched merge, and the
+    read ``MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) WHERE
+    r.weight >= 10`` filters on it — the write/read round trip of the
+    rel-prop surface entirely as statement text."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("user"),
+            F.col("event_type").alias("tech"),
+            "w",
+        )
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a41_"))
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: $user}) MERGE (t:Tech {name: $tech}) "
+        "MERGE (u)-[:INTERESTED_IN {weight: $w}]->(t)",
+        rows,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) WHERE r.weight >= 10 "
+        "RETURN u.name AS user, t.name AS tech, r.weight AS weight",
+        store=store,
+    )
+    return res.df.select("user", "tech", F.col("weight").cast("bigint").alias("weight"))
+
+
 def q_a40_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A40 ext — CDC round trip (writer.GraphStore.apply_changes, the
     inverse of a29's snapshot_diff): the source store mutates v0 → v1
@@ -5544,6 +5580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c82_assortativity": q_c82_assortativity,
     "c83_node2vec_walks": q_c83_node2vec_walks,
     "a40_cdc_apply": q_a40_cdc_apply,
+    "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
 }
 
 
@@ -7430,6 +7467,12 @@ ORACLES["c74_ppmi"] = """
 """
 
 ORACLES["c83_node2vec_walks"] = _biased_walks_oracle_sql()
+
+ORACLES["a41_text_rel_prop_merge"] = """
+    SELECT concat('U', cast(user_id AS varchar)) AS user,
+           event_type AS tech, count(*)::bigint AS weight
+    FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
+"""
 
 ORACLES["a40_cdc_apply"] = """
     WITH n AS (

@@ -979,3 +979,38 @@ def test_text_remove_property(spark, tmp_path):
     )
     got = {r["link"]: r["title"] for r in back.df.collect()}
     assert got == {"a1": None, "a2": "T2", "a3": None}
+
+
+def test_text_rel_prop_merge_and_inline_match(spark, tmp_path):
+    """Rel props write through MERGE text and filter through inline rel
+    prop maps on the read pattern; var-length + inline props reject."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    store = GraphStore(spark, str(tmp_path / "rp"))
+    rows = spark.createDataFrame(
+        [("u1", "t1", 5), ("u1", "t2", 9), ("u2", "t1", 5)],
+        "user string, tech string, w long",
+    )
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: $user}) MERGE (t:Tech {name: $tech}) "
+        "MERGE (u)-[:LIKES {weight: $w}]->(t)",
+        rows,
+        store=store,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:LIKES {weight: 5}]->(t:Tech) "
+        "RETURN u.name AS user, t.name AS tech",
+        store=store,
+    )
+    got = {(r["user"], r["tech"]) for r in res.df.collect()}
+    assert got == {("u1", "t1"), ("u2", "t1")}
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User)-[r:LIKES*1..2 {weight: 5}]->(t:Tech) "
+            "RETURN u.name AS user",
+            store=store,
+        )
