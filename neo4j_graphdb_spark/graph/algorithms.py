@@ -615,6 +615,27 @@ def hits(
     )
 
 
+def capped_distinct_edges(edges: DataFrame, degree_cap: int | None) -> DataFrame:
+    """Distinct (src, dst) edges with hot destination nodes dropped: a
+    dst whose in-degree exceeds ``degree_cap`` is removed from the edge
+    set via a LEFT SEMI join against the under-cap degree table (the GDS
+    ``degreeCutoff`` guard). This runs BEFORE any wedge/pair join, so
+    the exploded candidate stream is bounded at cap² pairs per shared
+    neighbor — the difference between Σ deg² with deg ≤ cap and an
+    unbounded viral-key blow-up at 100× scale. ``None`` skips the guard
+    (exact mode)."""
+    e = edges.select("src", "dst").distinct()
+    if degree_cap is None:
+        return e
+    keep = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= degree_cap)
+        .select("dst")
+    )
+    return e.join(keep, on="dst", how="left_semi")
+
+
 def node_similarity(
     edges: DataFrame,
     top_k: int = 5,
@@ -644,15 +665,7 @@ def node_similarity(
     approximation; similarity among a hub's co-owners is dominated by
     their OTHER shared neighbors anyway).
     """
-    e = edges.select("src", "dst").distinct()
-    if degree_cap is not None:
-        keep = (
-            e.groupBy("dst")
-            .agg(F.count(F.lit(1)).alias("_nd"))
-            .filter(F.col("_nd") <= degree_cap)
-            .select("dst")
-        )
-        e = e.join(keep, on="dst", how="left_semi")
+    e = capped_distinct_edges(edges, degree_cap)
     e = e.localCheckpoint(eager=False)  # reused by both join sides + deg
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     lhs = e.select(F.col("src").alias("a"), "dst")

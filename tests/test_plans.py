@@ -186,3 +186,25 @@ def test_bloom_probe_no_fact_shuffle_join(spark, sf_dir):
     plan = _plan(bloom_semi_join(orders, "o_custkey", dim, "key"))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_node_similarity_degree_cap_semi_join_guard(spark, sf_dir):
+    """The c37 entry ships with degree_cap=40: the capped edge frame must
+    carry the guard as a LEFT SEMI join against the under-cap degree
+    aggregate BEFORE any wedge join sees the edges — the plan that
+    bounds a viral neighbor's pair fan-out at cap² instead of deg²."""
+    from neo4j_graphdb_spark.graph.algorithms import capped_distinct_edges
+    from neo4j_graphdb_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    plan = _plan(capped_distinct_edges(cp, degree_cap=40))
+    assert "LeftSemi" in plan
+    # and the guard genuinely filters when a dst exceeds the cap (tight
+    # cap here — sf0.001's hottest part sits under 40; sf0.01+ exceed it)
+    n_uncapped = capped_distinct_edges(cp, None).count()
+    n_capped = capped_distinct_edges(cp, 5).count()
+    assert n_capped < n_uncapped
