@@ -33,6 +33,7 @@ def pagerank(
     damping: float = 0.85,
     id_col: str = "node_id",
     sources: DataFrame | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """C2 — PageRank with dangling-mass redistribution.
 
@@ -43,6 +44,22 @@ def pagerank(
     it (personalized PageRank: all reset mass returns to the sources).
     One shuffle per iteration (the contribution aggregation); ranks table
     is checkpointed every step to cut lineage.
+
+    Superstep count is ADAPTIVE, capped at ``max_iter``. Two exits:
+
+    * exact stationarity (always on): the same checksum-fold as
+      connected_components — if an iteration reproduces the previous
+      ranks BIT-EXACTLY (xxhash64 bit_xor fold), every further
+      iteration would too (the update is a deterministic function of
+      the ranks), so stopping is provably value-identical to the full
+      ``max_iter`` unroll and the unrolled-CTE oracles stay valid.
+      The checksum rides the same one-action-per-superstep job that
+      materializes the lazy checkpoint — no extra Spark jobs.
+    * ``tol`` (opt-in, default off): additionally stop when
+      ``max |Δrank| < tol`` — the practical production exit at scale
+      (L∞ residual, the standard PageRank stopping rule). This is an
+      approximation relative to the fixed unroll, so oracle-checked
+      registry entries leave it ``None``.
     """
     n_nodes = nodes.select(id_col).distinct().count()
     out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
@@ -79,6 +96,7 @@ def pagerank(
         base.withColumn("rank", F.col("tele")).repartition(id_col).localCheckpoint()
     )
 
+    prev_sum: tuple | None = None
     for _ in range(max_iter):
         # dangling mass stays a lazy 1-row aggregate broadcast into the
         # update — one Spark job per superstep, no driver-side collect
@@ -99,14 +117,27 @@ def pagerank(
                 id_col,
                 "out_deg",
                 "tele",
+                F.col("rank").alias("_prev"),
                 (
                     F.lit(1.0 - damping) * F.col("tele")
                     + F.lit(damping) * F.col("_dm") * F.col("tele")
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # one action per superstep: materializes the lazy checkpoint AND
+        # folds the convergence evidence (bit-exact checksum + L∞ delta)
+        row = ranks.agg(
+            F.expr(f"bit_xor(xxhash64({id_col}, rank))").alias("_h"),
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
+        ).collect()[0]
+        ranks = ranks.drop("_prev")
+        cur_sum = (row["_h"], row["_n"])
+        if cur_sum == prev_sum or (tol is not None and row["_delta"] < tol):
+            break
+        prev_sum = cur_sum
     return ranks.select(id_col, "rank")
 
 
@@ -547,6 +578,7 @@ def hits(
     edges: DataFrame,
     max_iter: int = 6,
     id_col: str = "node_id",
+    tol: float | None = None,
 ) -> DataFrame:
     """C36 — HITS hubs & authorities (Kleinberg): after ``max_iter``
     supersteps of ``auth = Eᵀ·hub``, ``hub = E·auth``, both vectors are
@@ -568,10 +600,22 @@ def hits(
     two norms are ONE 1-row aggregate broadcast into the final
     projection, so there is no driver-side collect anywhere. Fixed
     ``max_iter`` keeps the operator oracle-expressible as unrolled CTEs.
+
+    ``tol`` (opt-in, default off) makes the superstep count ADAPTIVE,
+    capped at ``max_iter``: stop once the L∞ delta of the NORMALIZED
+    hub vector between supersteps falls under ``tol`` (raw scores grow
+    by λ(EEᵀ) each round, so convergence must be measured on the
+    normalized direction — the standard power-iteration stopping rule).
+    The residual check costs one extra 1-row aggregate per superstep
+    (norm broadcast + join on the previous checkpointed hub), which is
+    why it is opt-in: at a fixed small ``max_iter`` the fixed unroll is
+    cheaper AND stays value-identical to the unrolled-CTE oracle, while
+    a 100×-scale run with ``max_iter=50`` wants the early exit.
     """
     base = nodes.select(F.col(id_col)).distinct()
     hub = base.select(id_col, F.lit(1.0).alias("hub"))
     auth = None
+    prev_hub = None
     for _ in range(max_iter):
         auth = (
             edges.join(
@@ -591,6 +635,31 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
             .localCheckpoint(eager=False)
         )
+        if tol is not None:
+            if prev_hub is not None:
+                norms2 = hub.agg(
+                    F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("_n2")
+                )
+                prev_n = prev_hub.agg(
+                    F.sqrt(F.sum(F.col("_ph") * F.col("_ph"))).alias("_n1")
+                )
+                row = (
+                    hub.join(prev_hub, on=id_col, how="outer")
+                    .crossJoin(F.broadcast(norms2))
+                    .crossJoin(F.broadcast(prev_n))
+                    .agg(
+                        F.max(
+                            F.abs(
+                                F.coalesce(F.col("hub"), F.lit(0.0)) / F.col("_n2")
+                                - F.coalesce(F.col("_ph"), F.lit(0.0)) / F.col("_n1")
+                            )
+                        ).alias("_delta")
+                    )
+                    .collect()[0]
+                )
+                if row["_delta"] is not None and row["_delta"] < tol:
+                    break
+            prev_hub = hub.select(id_col, F.col("hub").alias("_ph"))
     filled = (
         base.join(hub, on=id_col, how="left")
         .join(auth, on=id_col, how="left")

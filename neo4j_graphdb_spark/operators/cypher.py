@@ -54,6 +54,7 @@ class Graph:
         dst_label: str | None = None,
         src_alias: str = "a",
         dst_alias: str = "b",
+        direction: str = "out",
     ) -> DataFrame:
         """``MATCH (a[:L1])-[r[:T]]->(b[:L2])`` binding the full triple
         (``cypher.txt:4-5``).
@@ -61,12 +62,22 @@ class Graph:
         Output columns are prefixed ``{src_alias}_…``, ``{dst_alias}_…``
         plus ``rel_type``. Two equi-joins on the deterministic node ids;
         the dimension-sized node side broadcasts.
+
+        ``direction`` follows openCypher arrows: ``"out"`` is
+        ``-[…]->``, ``"in"`` is ``<-[…]-`` (the stored edge runs from
+        the ``dst_alias`` node to the ``src_alias`` node), ``"both"`` is
+        the undirected ``-[…]-`` — each stored edge matches in BOTH
+        orientations (two output rows per edge, Cypher's semantics; a
+        self-loop matches once). The orientation is a column swap /
+        union on the edge side BEFORE the joins, so the plan shape —
+        and the broadcast of the dimension node sides — is unchanged.
         """
         if self.edges_df is None:
             raise ValueError("graph has no edges")
         e = self.edges_df
         if rel_type is not None:
             e = e.filter(F.col("rel_type") == rel_type)
+        e = _orient_edges(e, direction)
         src = _prefix(self.match(src_label), src_alias)
         dst = _prefix(self.match(dst_label), dst_alias)
         return (
@@ -119,18 +130,23 @@ class Graph:
         dst_label: str | None = None,
         src_alias: str = "a",
         dst_alias: str = "b",
+        direction: str = "out",
     ) -> DataFrame:
         """``MATCH (a[:L1]) OPTIONAL MATCH (a)-[r[:T]]->(b[:L2])`` —
         every source node appears; nodes with no matching edge carry
         NULLs in the ``{dst_alias}_…`` and ``rel_type`` columns. Same
         equi-joins as :meth:`expand` with the source side LEFT OUTER —
         broadcast still applies to the dimension sides, so the
-        optionality costs nothing extra."""
+        optionality costs nothing extra. ``direction`` as in
+        :meth:`expand` (edge-side column swap/union, applied before the
+        outer join so the optionality semantics are orientation-blind).
+        """
         if self.edges_df is None:
             raise ValueError("graph has no edges")
         e = self.edges_df
         if rel_type is not None:
             e = e.filter(F.col("rel_type") == rel_type)
+        e = _orient_edges(e, direction)
         dst = _prefix(self.match(dst_label), dst_alias)
         matched = e.join(
             dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"], "inner"
@@ -208,6 +224,27 @@ class Graph:
 
 def _prefix(df: DataFrame, alias: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{alias}_{c}") for c in df.columns])
+
+
+def _orient_edges(e: DataFrame, direction: str) -> DataFrame:
+    """Re-orient an edge frame for a Cypher arrow direction: ``"out"``
+    passes through, ``"in"`` swaps src/dst, ``"both"`` unions the two
+    orientations (self-loops kept once — the undirected pattern binds a
+    self-loop relationship a single time in Cypher). Every non-endpoint
+    column (rel_type, properties) rides along unchanged."""
+    if direction == "out":
+        return e
+    others = [c for c in e.columns if c not in ("src", "dst")]
+    swapped = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+    )
+    if direction == "in":
+        return swapped
+    if direction == "both":
+        return e.select("src", "dst", *others).unionByName(
+            swapped.filter(F.col("src") != F.col("dst"))
+        )
+    raise ValueError(f"unknown direction: {direction!r}")
 
 
 def bind_params(params: dict[str, Any]) -> dict[str, Column]:

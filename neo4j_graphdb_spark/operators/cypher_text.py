@@ -110,14 +110,29 @@ _NODE_RE = re.compile(
 
 # (a)-[r:T]->(b) with optional labels/alias on each piece; the :type is
 # optional too — `[r]` / `[]` match any relationship (reads only; MERGE
-# validates a type is present, Cypher requires one to create)
+# validates a type is present, Cypher requires one to create). All three
+# openCypher orientations parse: `-[…]->` outgoing, `<-[…]-` incoming,
+# `-[…]-` undirected — the arrow heads are the optional larrow/rarrow
+# groups, resolved by _rel_direction.
 _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
-    r"\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?"
+    r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?"
     r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?"
-    r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*->\s*"
+    r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*-\s*(?P<rarrow>>)?\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
 )
+
+
+def _rel_direction(m: re.Match) -> str:
+    """Arrow heads → expand direction: ``-[…]->`` = "out", ``<-[…]-`` =
+    "in", ``-[…]-`` = "both"; ``<-[…]->`` is not a pattern Cypher has."""
+    if m.group("larrow") and m.group("rarrow"):
+        raise CypherUnsupported("<-[…]-> is not a valid relationship pattern")
+    if m.group("larrow"):
+        return "in"
+    if m.group("rarrow"):
+        return "out"
+    return "both"
 
 _PROP_PAIR_RE = re.compile(r"(\w+)\s*:\s*\$(\w+)")
 
@@ -484,6 +499,11 @@ def run_cypher(
     (batch-native).
     """
     masked_q, q_lits = _mask_strings(query)
+    union_parts = _UNION_SPLIT_RE.split(masked_q)
+    if len(union_parts) > 1:
+        return _run_union(
+            spark, union_parts, q_lits, params, store=store, graph=graph
+        )
     if not re.search(r"(?<![.$\w])(MERGE|SET)\b", masked_q, re.IGNORECASE):
         dm = _DELETE_RE.match(masked_q.strip())
         if dm:
@@ -525,6 +545,74 @@ def run_cypher(
         graph = Graph(nodes, store.edges())
     read_params = params if isinstance(params, dict) else None
     return CypherResult(_run_read(clauses, graph, lits, read_params), None)
+
+
+# UNION between whole statements (masked text, so a quoted 'UNION' never
+# splits). The capture group distinguishes UNION ALL from plain UNION.
+_UNION_SPLIT_RE = re.compile(r"(?<![.$\w])UNION(\s+ALL)?(?![\w$])", re.IGNORECASE)
+
+
+def _unmask(text: str, lits: list[str]) -> str:
+    """Inverse of :func:`_mask_strings`: restore quoted literals so a
+    statement fragment can re-enter :func:`run_cypher` whole."""
+    return re.sub(r"\x00(\d+)\x00", lambda m: f"'{lits[int(m.group(1))]}'", text)
+
+
+def _run_union(
+    spark: SparkSession,
+    parts: list[str],
+    lits: list[str],
+    params: dict | DataFrame | None,
+    *,
+    store: GraphStore | None,
+    graph: Graph | None,
+) -> CypherResult:
+    """``MATCH … RETURN … UNION [ALL] MATCH … RETURN …`` — each branch
+    compiles independently through the read path and the results combine
+    with ``unionByName`` (+ ``dropDuplicates`` for distinct UNION, which
+    is openCypher's default). Neo4j's rules are enforced: read-only
+    branches, identical RETURN column names everywhere, and no mixing of
+    UNION with UNION ALL in one statement. The union is a zero-shuffle
+    concatenation for ALL; distinct adds the one hash exchange the
+    semantics require."""
+    stmts = [p.strip() for p in parts[0::2]]
+    alls = {bool(f and f.strip()) for f in parts[1::2]}
+    if len(alls) > 1:
+        raise CypherUnsupported(
+            "mixing UNION and UNION ALL in one statement is not allowed"
+        )
+    bad = next(
+        (
+            s
+            for s in stmts
+            if re.search(
+                r"(?<![.$\w])(MERGE|SET|DELETE|REMOVE|DETACH)\b", s, re.IGNORECASE
+            )
+        ),
+        None,
+    )
+    if bad is not None:
+        raise CypherUnsupported("UNION supports read statements only")
+    if any(not s for s in stmts):
+        raise CypherUnsupported("empty statement in UNION")
+    frames: list[DataFrame] = []
+    for s in stmts:
+        res = run_cypher(spark, _unmask(s, lits), params, store=store, graph=graph)
+        if res.df is None:
+            raise CypherUnsupported("UNION branch produced no rows frame")
+        frames.append(res.df)
+    cols0 = frames[0].columns
+    for f in frames[1:]:
+        if sorted(f.columns) != sorted(cols0):
+            raise CypherUnsupported(
+                f"UNION requires identical RETURN columns: {cols0} vs {f.columns}"
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if not alls.pop():
+        out = out.dropDuplicates()
+    return CypherResult(out, None)
 
 
 def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataFrame:
@@ -627,7 +715,15 @@ def _run_write(
                     raise CypherUnsupported(
                         "MERGE relationship needs a type (Cypher cannot create an untyped edge)"
                     )
+                direction = _rel_direction(m)
+                if direction == "both":
+                    raise CypherUnsupported(
+                        "MERGE requires a directed relationship pattern"
+                    )
                 sa, da = m.group("src_alias"), m.group("dst_alias")
+                if direction == "in":
+                    # (a)<-[:T]-(b) — the stored edge runs b→a
+                    sa, da = da, sa
                 for a in (sa, da):
                     if a not in nodes:
                         raise CypherUnsupported(
@@ -945,14 +1041,17 @@ def _run_read(
                 da2 = m.group("dst_alias") or "c"
                 if da2 in aliases:
                     raise CypherUnsupported(f"alias {da2!r} is already bound")
-                from neo4j_graphdb_spark.operators.cypher import _prefix
+                from neo4j_graphdb_spark.operators.cypher import (
+                    _orient_edges,
+                    _prefix,
+                )
 
                 e2 = graph.edges_df
                 if e2 is None:
                     raise CypherUnsupported("graph has no edges")
                 if m.group("rel_type"):
                     e2 = e2.filter(F.col("rel_type") == m.group("rel_type"))
-                e2 = e2.select(
+                e2 = _orient_edges(e2, _rel_direction(m)).select(
                     F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
                 )
                 dstf = _prefix(graph.match(m.group("dst_label")), da2)
@@ -972,23 +1071,38 @@ def _run_read(
             if m:
                 sa = m.group("src_alias") or "a"
                 da = m.group("dst_alias") or "b"
+                direction = _rel_direction(m)
                 if m.group("min_h"):
                     if m.group("rel_props"):
                         raise CypherUnsupported(
                             "inline properties on a variable-length pattern"
+                        )
+                    if direction == "both":
+                        raise CypherUnsupported(
+                            "undirected variable-length patterns are unsupported"
                         )
                     # `-[r:T*min..max]->` — bounded variable-length path
                     # (Graph.expand_var: union of fixed-length join
                     # ladders with relationship uniqueness). The alias
                     # binds the PATH; its one property is `hops`
                     # (`r.hops`), expand_var's path-length column.
+                    # Incoming `<-[…*m..n]-` is the same ladder walked
+                    # from the right end: swap the endpoint roles.
+                    va_src, va_dst = (
+                        (sa, da) if direction == "out" else (da, sa)
+                    )
+                    va_src_label, va_dst_label = (
+                        (m.group("src_label"), m.group("dst_label"))
+                        if direction == "out"
+                        else (m.group("dst_label"), m.group("src_label"))
+                    )
                     df = graph.expand_var(
                         rel_type=m.group("rel_type"),
                         min_hops=int(m.group("min_h")),
                         max_hops=int(m.group("max_h")),
-                        src_label=m.group("src_label"),
-                        dst_label=m.group("dst_label"),
-                        src_alias=sa, dst_alias=da,
+                        src_label=va_src_label,
+                        dst_label=va_dst_label,
+                        src_alias=va_src, dst_alias=va_dst,
                     )
                 else:
                     df = graph.expand(
@@ -996,6 +1110,7 @@ def _run_read(
                         src_label=m.group("src_label"),
                         dst_label=m.group("dst_label"),
                         src_alias=sa, dst_alias=da,
+                        direction=direction,
                     )
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
@@ -1054,6 +1169,7 @@ def _run_read(
                 src_label=s_label,
                 dst_label=m.group("dst_label"),
                 src_alias=sa, dst_alias=da,
+                direction=_rel_direction(m),
             )
             aliases[sa] = f"{sa}_"
             aliases[da] = f"{da}_"

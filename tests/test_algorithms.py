@@ -755,3 +755,35 @@ def test_biased_walks_bias_and_validity(spark):
 
     with _p.raises(ValueError):
         biased_walks(edges, starts, n_steps=2, w_return=0)
+
+
+def test_pagerank_tol_early_exit_matches_fixed(spark, toy):
+    """The L∞-residual early exit (tol) stops sooner yet lands within
+    tol-scale distance of the long fixed run; the always-on bit-exact
+    exit never changes values (same call, higher cap, identical result
+    when the sequence is already stationary)."""
+    nodes, edges = toy
+    fixed = {r["node_id"]: r["rank"] for r in pagerank(nodes, edges, max_iter=60).collect()}
+    tolr = {r["node_id"]: r["rank"] for r in pagerank(nodes, edges, max_iter=60, tol=1e-10).collect()}
+    assert set(fixed) == set(tolr)
+    assert all(abs(fixed[k] - tolr[k]) < 1e-8 for k in fixed)
+    assert abs(sum(tolr.values()) - 1.0) < 1e-6
+
+
+def test_hits_tol_converges_to_fixed_point(spark):
+    """Bipartite 2×2 complete graph: normalized hub/auth vectors are
+    uniform at the fixed point; the tol run must reach them and stop
+    under the cap (values equal the long fixed run within tol-scale)."""
+    from neo4j_graphdb_spark.graph.algorithms import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id bigint")
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2), (1, 3)], "src bigint, dst bigint"
+    )
+    ht = {r["node_id"]: (r["hub"], r["auth"]) for r in
+          hits(nodes, edges, max_iter=50, tol=1e-9).collect()}
+    import math
+    inv = 1 / math.sqrt(2)
+    assert abs(ht[0][0] - inv) < 1e-6 and abs(ht[1][0] - inv) < 1e-6
+    assert abs(ht[2][1] - inv) < 1e-6 and abs(ht[3][1] - inv) < 1e-6
+    assert ht[2][0] == 0.0 and ht[0][1] == 0.0

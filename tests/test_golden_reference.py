@@ -1014,3 +1014,204 @@ def test_text_rel_prop_merge_and_inline_match(spark, tmp_path):
             "RETURN u.name AS user",
             store=store,
         )
+
+
+# --------------------------------------------------------------------------
+# relationship-pattern orientations (incoming / undirected) — the first
+# queries a Neo4j Browser user types after cypher.txt:4
+# --------------------------------------------------------------------------
+
+
+def test_text_incoming_pattern_mirrors_outgoing(spark, text_store):
+    """`(t:Tech)<-[r:INTERESTED_IN]-(u:User)` must bind exactly the rows
+    of the outgoing spelling — the arrow flip is a join-side swap, not a
+    different result."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    outgoing = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) "
+        "RETURN u.name AS user, t.name AS tech",
+        store=text_store,
+    ).df
+    incoming = run_cypher(
+        spark,
+        "MATCH (t:Tech)<-[r:INTERESTED_IN]-(u:User) "
+        "RETURN u.name AS user, t.name AS tech",
+        store=text_store,
+    ).df
+    assert incoming.columns == outgoing.columns
+    assert sorted(map(tuple, incoming.collect())) == sorted(
+        map(tuple, outgoing.collect())
+    )
+    assert incoming.count() > 0
+
+
+def test_text_undirected_pattern_binds_both_orientations(spark, text_store):
+    """Untyped-endpoint `-[r:WRITTEN_BY]-` matches every edge in BOTH
+    orientations (2 rows per edge); with labels on the endpoints the
+    mirrored half dies on the label filters, leaving the outgoing rows."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    n_edges = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.name AS pub",
+        store=text_store,
+    ).df.count()
+    both = run_cypher(
+        spark,
+        "MATCH (x)-[r:WRITTEN_BY]-(y) RETURN x.key AS xk, y.key AS yk",
+        store=text_store,
+    ).df
+    assert both.count() == 2 * n_edges
+    labeled = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]-(p:Publisher) "
+        "RETURN a.link AS link, p.name AS pub",
+        store=text_store,
+    ).df
+    assert labeled.count() == n_edges
+
+
+def test_text_incoming_merge_swaps_endpoints(spark, tmp_path):
+    """`MERGE (t:Tech {…})<-[:LIKES]-(u:User {…})` must store the edge
+    u→t: the outgoing read of the mirrored pattern finds it."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "incoming_merge"))
+    run_cypher(
+        spark,
+        "MERGE (t:Tech {name: $tech}) MERGE (u:User {name: $name}) "
+        "MERGE (t)<-[:LIKES]-(u)",
+        {"tech": "Spark", "name": "Ada"},
+        store=s,
+    )
+    got = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:LIKES]->(t:Tech) RETURN u.name AS user, t.name AS tech",
+        store=s,
+    ).df.collect()
+    assert [tuple(r) for r in got] == [("Ada", "Spark")]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (t:Tech {name: $tech}) MERGE (u:User {name: $name}) "
+            "MERGE (t)-[:LIKES]-(u)",
+            {"tech": "Spark", "name": "Ada"},
+            store=s,
+        )
+
+
+def test_text_chained_match_incoming(spark, text_store):
+    """Chained MATCH with an incoming second clause: co-authorship —
+    `MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) MATCH
+    (p)<-[:WRITTEN_BY]-(z:Article)` equals the outgoing chained spelling
+    with the same publisher pivot."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    inc = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "MATCH (p)<-[:WRITTEN_BY]-(z:Article) "
+        "RETURN a.link AS a_link, z.link AS z_link",
+        store=text_store,
+    ).df
+    out = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "MATCH (p)-[:WRITTEN_BY]-(z:Article) "
+        "RETURN a.link AS a_link, z.link AS z_link",
+        store=text_store,
+    ).df
+    assert inc.count() > 0
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_text_double_arrow_rejected(spark, text_store):
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:User)<-[r:INTERESTED_IN]->(b:Tech) RETURN a.name AS n",
+            store=text_store,
+        )
+
+
+def test_text_union_distinct_and_all(spark, text_store):
+    """UNION between read statements: distinct semantics by default
+    (openCypher), ALL keeps duplicates; mismatched RETURN columns and
+    UNION/UNION ALL mixing are refused like Neo4j refuses them."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = run_cypher(
+        spark, "MATCH (u:User) RETURN u.name AS name", store=text_store
+    ).df.count()
+    doubled = run_cypher(
+        spark,
+        "MATCH (u:User) RETURN u.name AS name "
+        "UNION ALL MATCH (u:User) RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert doubled.count() == 2 * n
+    deduped = run_cypher(
+        spark,
+        "MATCH (u:User) RETURN u.name AS name "
+        "UNION MATCH (u:User) RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert deduped.count() == n
+    mixed_labels = run_cypher(
+        spark,
+        "MATCH (u:User) RETURN u.name AS name "
+        "UNION MATCH (t:Tech) RETURN t.name AS name",
+        store=text_store,
+    ).df
+    names = {r["name"] for r in mixed_labels.collect()}
+    assert "Beomzh" in names and "GraphRAG" in names
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) RETURN u.name AS name "
+            "UNION MATCH (t:Tech) RETURN t.name AS tech",
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) RETURN u.name AS name "
+            "UNION ALL MATCH (t:Tech) RETURN t.name AS name "
+            "UNION MATCH (u:User) RETURN u.name AS name",
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (u:User {name: $name}) "
+            "UNION MATCH (u:User) RETURN u.name AS name",
+            {"name": "x"},
+            store=text_store,
+        )
+
+
+def test_text_union_quoted_keyword_not_split(spark, text_store):
+    """A quoted 'UNION' inside a string literal must not split the
+    statement (masking runs before the UNION scan)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE u.name = 'UNION ALL' RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert res.count() == 0
