@@ -142,7 +142,9 @@ _PROP_PAIR_RE = re.compile(r"(\w+)\s*:\s*\$(\w+)")
 _PROP_VALUE_PAIR_RE = re.compile(r"(\w+)\s*:\s*(\$\w+|\x00\d+\x00|-?\d+(?:\.\d+)?)")
 
 _SET_ITEM_RE = re.compile(
-    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?:\$(?P<param>\w+)|(?P<dt>datetime\(\s*\)))$"
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?:\$(?P<param>\w+)"
+    r"|(?P<dt>datetime\(\s*\))"
+    r"|datetime\(\s*\{\s*epochMillis\s*:\s*\$(?P<epoch>\w+)\s*\}\s*\))$"
 )
 
 _RETURN_ITEM_RE = re.compile(
@@ -186,11 +188,62 @@ _UNSUPPORTED_KEYWORDS = re.compile(
 )
 
 # one WHERE conjunct: alias.prop <op> ($param | signed number | 'masked
-# string literal' — by parse time literals are \x00<i>\x00 sentinels)
+# string literal' — by parse time literals are \x00<i>\x00 sentinels |
+# \x01<i>\x01 — a temporal expression pre-resolved to a Column)
 _WHERE_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>|[Ii][Nn]\b)\s*"
-    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\w+)$"
+    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\x01\d+\x01|\w+)$"
 )
+
+# Cypher temporal subset: `datetime()` optionally shifted by a duration
+# literal — `datetime() - duration('P30D')` is the idiomatic "last 30
+# days" WHERE bound. Durations accept the exact-length ISO-8601 subset
+# (weeks/days/time); calendar units (Y/M) are rejected because their
+# length depends on the anchor date — Cypher's own duration() keeps
+# months as a separate component for the same reason, and a fixed-length
+# approximation would silently disagree with it.
+_TEMPORAL_EXPR_RE = re.compile(
+    r"datetime\(\s*\)(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?",
+)
+
+_DURATION_ISO_RE = re.compile(
+    r"^P(?!$)(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?!$)(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def duration_seconds(iso: str) -> float:
+    """Parse the exact-length ISO-8601 duration subset (PnW nD TnH nM
+    nS) to seconds. Calendar units (years/months) raise — they have no
+    fixed length (Neo4j `duration` keeps them as a separate month
+    component for exactly that reason)."""
+    if re.search(r"\d+[YM]", iso.split("T")[0]):
+        raise CypherUnsupported(
+            f"calendar units (Y/M) in duration are unsupported: {iso!r}"
+        )
+    m = _DURATION_ISO_RE.match(iso.strip())
+    if not m:
+        raise CypherUnsupported(f"unsupported duration literal: {iso!r}")
+    w, d, h, mi, s = (m.group(g) for g in ("w", "d", "h", "m", "s"))
+    return (
+        int(w or 0) * 604800
+        + int(d or 0) * 86400
+        + int(h or 0) * 3600
+        + int(mi or 0) * 60
+        + float(s or 0)
+    )
+
+
+def _temporal_column(m: re.Match, lits: list[str]):
+    """Compile one matched temporal expression to a Column:
+    ``current_timestamp() ± INTERVAL n SECOND`` — constant-folded by
+    Catalyst into a pushdown-able literal bound."""
+    col = F.current_timestamp()
+    if m.group("dur") is None:
+        return col
+    secs = duration_seconds(lits[int(m.group("dur").strip("\x00"))])
+    delta = F.expr(f"INTERVAL '{secs}' SECOND")
+    return col + delta if m.group("sign") == "+" else col - delta
 
 _STRING_LIT_RE = re.compile(r"'([^']*)'")
 
@@ -765,7 +818,12 @@ def _run_write(
                     "CREATE": np.create_props,
                     "MATCH": np.match_props,
                 }[mode]
-                target[m.group("prop")] = m.group("param")  # None for datetime()
+                # value encoding: param name | None for datetime() |
+                # ("epoch_ms", param) for datetime({epochMillis: $p})
+                if m.group("epoch"):
+                    target[m.group("prop")] = ("epoch_ms", m.group("epoch"))
+                else:
+                    target[m.group("prop")] = m.group("param")
         elif c.kind == "WITH":
             for item in _split_top_commas(c.body):
                 if item not in nodes:
@@ -800,9 +858,13 @@ def _run_write(
         ):
             names = []
             for prop, param in props.items():
-                cols.append(
-                    (F.current_timestamp() if param is None else F.col(param)).alias(prop)
-                )
+                if param is None:
+                    val = F.current_timestamp()
+                elif isinstance(param, tuple):  # ("epoch_ms", param_name)
+                    val = F.timestamp_millis(F.col(param[1]).cast("long"))
+                else:
+                    val = F.col(param)
+                cols.append(val.alias(prop))
                 names.append(prop)
             group_cols[group] = names
         total = total + store.merge_nodes(
@@ -980,6 +1042,7 @@ def _run_read(
     node_match: tuple[str, str | None] | None = None
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
+    temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
     unwind_name: str | None = None
@@ -1176,13 +1239,23 @@ def _run_read(
             rel_alias = m.group("rel_alias")
             rel_prefixed = True
         elif c.kind == "WHERE":
-            if re.search(r"[()]|(?<![.$\w])(?:OR|NOT)\b", c.body, re.IGNORECASE):
+            body = c.body
+            if "datetime" in body.lower():
+                # temporal expressions compile to Columns FIRST and leave
+                # \x01<i>\x01 operand sentinels, so their parentheses
+                # never reach the boolean-grammar trigger or tokenizer
+                def _stash(m: re.Match) -> str:
+                    temporal_cols.append(_temporal_column(m, lits))
+                    return f"\x01{len(temporal_cols) - 1}\x01"
+
+                body = _TEMPORAL_EXPR_RE.sub(_stash, body)
+            if re.search(r"[()]|(?<![.$\w])(?:OR|NOT)\b", body, re.IGNORECASE):
                 # boolean combination: one deferred filter Column; the
                 # plan-shaping conjunct specials (UNWIND equi-join) stay
                 # exclusive to the plain-AND path below
-                where_exprs.append(_parse_bool_expr(c.body))
+                where_exprs.append(_parse_bool_expr(body))
             else:
-                for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
+                for item in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
                     m = _WHERE_ITEM_RE.match(item.strip())
                     if not m:
                         raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
@@ -1222,6 +1295,14 @@ def _run_read(
     if df is None or not returns:
         raise CypherUnsupported("read statement needs MATCH … RETURN …")
 
+    def _operand(raw: str):
+        """One WHERE comparand as a Column: temporal sentinel → its
+        pre-compiled expression, anything else → literal value."""
+        tm = re.fullmatch(r"\x01(\d+)\x01", raw)
+        if tm:
+            return temporal_cols[int(tm.group(1))]
+        return F.lit(_where_value(raw, lits, params))
+
     for alias, prop, op, raw in predicates:
         if alias not in aliases:
             if rel_alias is not None and alias == rel_alias:
@@ -1238,9 +1319,7 @@ def _run_read(
                         )
                     df = df.filter(F.col(prop).isin(*vals))
                     continue
-                df = df.filter(
-                    _OPS[op](F.col(prop), F.lit(_where_value(raw, lits, params)))
-                )
+                df = df.filter(_OPS[op](F.col(prop), _operand(raw)))
                 continue
             raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
         if raw == unwind_name and unwind_frame is not None:
@@ -1269,10 +1348,7 @@ def _run_read(
         # a plain column comparison Catalyst pushes into the scan —
         # WHERE costs a filter, never a different plan shape
         df = df.filter(
-            _OPS[op](
-                _prop_col(df, aliases[alias], prop),
-                F.lit(_where_value(raw, lits, params)),
-            )
+            _OPS[op](_prop_col(df, aliases[alias], prop), _operand(raw))
         )
 
     if where_exprs:
@@ -1301,7 +1377,7 @@ def _run_read(
                 return col.isin(*vals)
             if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
                 raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
-            return _OPS[op](col, F.lit(_where_value(raw, lits, params)))
+            return _OPS[op](col, _operand(raw))
 
         def _walk(n):
             if n[0] == "pred":

@@ -5424,6 +5424,66 @@ def q_a44_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a45_text_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 ext — Cypher temporal expressions in WHERE through the string
+    front-end: ``datetime() - duration('P10000D')`` compiles to
+    ``current_timestamp() - INTERVAL`` (operators/cypher_text.py
+    _temporal_column), which Catalyst constant-folds into a pushdown-able
+    bound. The 10000-day window spans every fixture timestamp and
+    ``< datetime()`` upper-bounds in the future, so the result is the
+    deterministic per-type count the oracle states directly (the same
+    now()-bounding trick as a12_datetime)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events")
+    nodes = as_nodes(
+        ev.select(
+            F.col("event_id").cast("string").alias("eid"), "ts", "event_type"
+        ),
+        "Event",
+        "eid",
+        ["ts", "event_type"],
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (e:Event) WHERE e.ts > datetime() - duration('P10000D') "
+        "AND e.ts < datetime() "
+        "RETURN e.event_type AS type, count(*) AS n",
+        graph=Graph(nodes, None),
+    )
+    return res.df
+
+
+def q_a46_text_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46 ext — ``datetime({epochMillis: $ms})`` coercion in SET through
+    the string front-end: the Neo4j idiom for stamping a stored property
+    from an epoch value (the reference stamps with bare ``datetime()``,
+    src/crwling.py:51; this is its parameterized sibling). The write
+    path compiles it to ``timestamp_millis(cast(ms AS long))`` — the
+    round trip through the store must reproduce the source timestamps
+    second-exact, which the oracle states from the events table."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.select(
+        F.col("event_id").cast("string").alias("eid"),
+        (F.unix_timestamp("ts") * 1000).alias("ms"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a46_"))
+    run_cypher(
+        spark,
+        "MERGE (e:Event {eid: $eid}) SET e.stamp = datetime({epochMillis: $ms})",
+        pdf,
+        store=store,
+    )
+    res = run_cypher(
+        spark, "MATCH (e:Event) RETURN e.eid AS eid, e.stamp AS stamp", store=store
+    ).df
+    return res.select(
+        "eid", F.date_format("stamp", "yyyy-MM-dd HH:mm:ss").alias("stamp")
+    )
+
+
 def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C84 — GraphRAG hybrid retrieval composition, the workload the
     reference signals but never ships (unused langchain/langchain-neo4j/
@@ -5559,6 +5619,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a39_store_sql": q_a39_store_sql,
     "a40_cdc_apply": q_a40_cdc_apply,
     "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
+    "a45_text_temporal": q_a45_text_temporal,
+    "a46_text_epoch_millis": q_a46_text_epoch_millis,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5575,9 +5637,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c51_stream_sessions": q_c51_stream_sessions,
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
+    # ---- r7 window backlog: remaining never-driver-checked entries ----
     "c54_oov_rate": q_c54_oov_rate,
     "c55_incremental_rollup": q_c55_incremental_rollup,
-    # ---- r7 window backlog: remaining never-driver-checked entries ----
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
     "rel_market_share": q_rel_market_share,
@@ -7978,4 +8040,15 @@ ORACLES["c84_graphrag"] = """
                row_number() OVER (ORDER BY cos DESC, doc_id) AS rk
         FROM scored
     ) WHERE rk <= 10
+"""
+
+ORACLES["a45_text_temporal"] = """
+    SELECT event_type AS type, count(*)::bigint AS n
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["a46_text_epoch_millis"] = """
+    SELECT cast(event_id AS varchar) AS eid,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS stamp
+    FROM events
 """

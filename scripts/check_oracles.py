@@ -2,7 +2,15 @@
 ``queries()`` entry and its DuckDB ``oracle_sql()`` twin on the same
 fixtures and compare row-count + column names + order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [name ...]
+Both sides are WALL-TIMED (spark_s = plan + execute + collect; duckdb_s =
+parse + execute + fetch), so the same run doubles as the
+engine-vs-DuckDB benchmark: ``--json PATH`` writes a per-query
+``{name: {spark_s, duckdb_s, status, rows}}`` artifact — the
+"within 2× of baseline" evidence BASELINE.md cannot provide (the
+reference publishes no numbers; DuckDB on identical SQL over identical
+parquet is the stand-in yardstick).
+
+Usage: python scripts/check_oracles.py [--json PATH] [sf_dir] [name ...]
 """
 
 from __future__ import annotations
@@ -19,12 +27,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 # ---------------------------------------------------------------------------
-# Spark-compatible xxhash64 as a DuckDB Python UDF: closes the value gap
-# for the two production-hash entries (c8_minhash_lsh, c8_simhash) that
-# stay rows-only in the DRIVER's harness (plain-SQL oracles only there).
-# Standard XXH64 (Collet's reference algorithm) over the string's UTF-8
-# bytes with Spark's fixed seed 42, reinterpreted as a signed long —
-# verified identical to pyspark.sql.functions.xxhash64 on fixture data.
+# Spark-compatible xxhash64 as a DuckDB Python UDF: standard XXH64
+# (Collet's reference algorithm) over the string's UTF-8 bytes with
+# Spark's fixed seed 42, reinterpreted as a signed long — verified
+# identical to pyspark.sql.functions.xxhash64 on fixture data. Available
+# to ad-hoc oracle SQL as spark_xxhash64(...).
 # ---------------------------------------------------------------------------
 
 _P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
@@ -78,23 +85,11 @@ def spark_xxhash64(s: str) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-_XXHASH_TMPL = "spark_xxhash64({x})"
-
-
-def local_oracles() -> dict[str, str]:
-    """Value oracles for the driver's rows-only entries, usable only here
-    (the driver's DuckDB has no Python UDF registry)."""
-    from neo4j_graphdb_spark.registry import (
-        _minhash_md5_oracle_sql,
-        _simhash_md5_oracle_sql,
-    )
-
-    return {
-        "c8_minhash_lsh": _minhash_md5_oracle_sql(
-            hash_tmpl=_XXHASH_TMPL, signed_hash=True
-        ),
-        "c8_simhash": _simhash_md5_oracle_sql(num_bits=64, hash_tmpl=_XXHASH_TMPL),
-    }
+# NOTE: since round 6 the c8_minhash_lsh / c8_simhash registry entries
+# declare the md5_60 hash with full plain-SQL oracles, so no local-only
+# UDF oracles remain; the spark_xxhash64 UDF above stays registered for
+# ad-hoc verification of the production xxhash64 hash mode (pytest covers
+# it continuously — tests/test_dedup_similarity.py).
 
 
 def canon(v):
@@ -116,8 +111,16 @@ def row_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from neo4j_graphdb_spark.session import get_spark
@@ -129,9 +132,8 @@ def main() -> int:
     con.create_function("spark_xxhash64", spark_xxhash64, ["VARCHAR"], "BIGINT")
 
     qs, os_ = e.queries(), e.oracle_sql()
-    # local-only value oracles for entries the driver records rows-only
-    os_ = {**local_oracles(), **os_}
     n_pass = n_fail = n_rowsonly = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -143,11 +145,19 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: spark error: {str(ex).splitlines()[0][:200]}")
             n_fail += 1
+            report[name] = {"status": "spark_error"}
             continue
+        spark_s = time.time() - t0
         if name not in os_:
-            print(f"rows {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            print(f"rows {name}: {len(srows)} rows (rows-only, {spark_s:.1f}s)")
             n_rowsonly += 1
+            report[name] = {
+                "status": "rows_only",
+                "spark_s": round(spark_s, 3),
+                "rows": len(srows),
+            }
             continue
+        t1 = time.time()
         try:
             res = con.sql(os_[name])
             dcols = [d[0] for d in res.description]
@@ -155,7 +165,9 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0][:200]}")
             n_fail += 1
+            report[name] = {"status": "duckdb_error", "spark_s": round(spark_s, 3)}
             continue
+        duckdb_s = time.time() - t1
         ok = True
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
@@ -169,12 +181,40 @@ def main() -> int:
                 diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}")
                 ok = False
+        report[name] = {
+            "status": "pass" if ok else "fail",
+            "spark_s": round(spark_s, 3),
+            "duckdb_s": round(duckdb_s, 3),
+            "rows": len(srows),
+        }
         if ok:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name}: {len(srows)} rows "
+                f"(spark {spark_s:.1f}s, duckdb {duckdb_s:.1f}s)"
+            )
             n_pass += 1
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        timed = [
+            r for r in report.values() if "spark_s" in r and "duckdb_s" in r
+        ]
+        summary = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "spark_total_s": round(sum(r["spark_s"] for r in timed), 3),
+            "duckdb_total_s": round(sum(r["duckdb_s"] for r in timed), 3),
+            "queries": report,
+        }
+        if summary["duckdb_total_s"] > 0:
+            summary["spark_vs_duckdb_ratio"] = round(
+                summary["spark_total_s"] / summary["duckdb_total_s"], 3
+            )
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

@@ -1215,3 +1215,62 @@ def test_text_union_quoted_keyword_not_split(spark, text_store):
         store=text_store,
     ).df
     assert res.count() == 0
+
+
+def test_text_temporal_where_and_duration(spark, text_store):
+    """`datetime() ± duration('ISO')` in WHERE: a window spanning all
+    stored stamps keeps every row, a window ending before them keeps
+    none; calendar units and malformed durations are refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        duration_seconds,
+        run_cypher,
+    )
+
+    n = run_cypher(
+        spark, "MATCH (a:Article) RETURN a.link AS link", store=text_store
+    ).df.count()
+    # published_at stamps were written with datetime() during fixture setup
+    recent = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.published_at > datetime() - duration('P1D') "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df
+    assert recent.count() == n
+    future = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.published_at > datetime() + duration('PT1H') "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df
+    assert future.count() == 0
+    assert duration_seconds("P2W") == 2 * 7 * 86400
+    assert duration_seconds("PT0.5S") == 0.5
+    with pytest.raises(CypherUnsupported):
+        duration_seconds("P3M")
+    with pytest.raises(CypherUnsupported):
+        duration_seconds("PQ1D")
+
+
+def test_text_epoch_millis_set_roundtrip(spark, tmp_path):
+    """`SET n.ts = datetime({epochMillis: $ms})` stores the exact
+    instant: reading it back equals the source epoch to the second."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "epoch"))
+    ms = 1704067200000  # 2024-01-01T00:00:00Z
+    run_cypher(
+        spark,
+        "MERGE (e:Event {eid: $eid}) SET e.stamp = datetime({epochMillis: $ms})",
+        {"eid": "e1", "ms": ms},
+        store=s,
+    )
+    row = (
+        run_cypher(
+            spark, "MATCH (e:Event) RETURN e.eid AS eid, e.stamp AS stamp", store=s
+        )
+        .df.selectExpr("eid", "unix_timestamp(stamp) * 1000 AS got_ms")
+        .collect()[0]
+    )
+    assert row["eid"] == "e1" and row["got_ms"] == ms
