@@ -1554,3 +1554,112 @@ def biased_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def _reach_min(
+    active: DataFrame, edges: DataFrame, id_col: str, max_iter: int
+) -> DataFrame:
+    """min-id REACHABILITY fixpoint along edge direction: ``lbl(v)`` =
+    the smallest id in v's forward closure (v itself included). Messages
+    flow dst→src (a successor's label improves its predecessors), one
+    key-partitioned aggregation per superstep, checksum-fold convergence
+    (same one-action-per-round shape as connected_components)."""
+    lbl = active.select(id_col).withColumn("lbl", F.col(id_col))
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        msgs = (
+            lbl.join(edges, lbl[id_col] == edges["dst"])
+            .select(F.col("src").alias(id_col), F.col("lbl").alias("m"))
+            .groupBy(id_col)
+            .agg(F.min("m").alias("m"))
+        )
+        lbl = (
+            lbl.join(msgs, on=id_col, how="left")
+            .select(
+                id_col,
+                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({id_col}, lbl))").alias("h"),
+        ).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    return lbl
+
+
+def strongly_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 10,
+    max_iter: int = 30,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C85 — strongly connected components of a DIRECTED graph (the
+    capability class c3's undirected CC cannot express: cycles matter).
+    The reference exposes no graph analytics at all
+    (/root/reference/cypher.txt:4-8); SCC is the directed sibling of the
+    BASELINE.json north-star CC.
+
+    Algorithm — iterated forward/backward min-label intersection (the
+    DataFrame-friendly form of FW-BW coloring, Fleischer et al. 2000):
+    per round, ``fmin(v)`` = min id in v's forward closure and
+    ``bmin(v)`` = min id in its backward closure (two :func:`_reach_min`
+    fixpoints, the second over reversed edges). Within one SCC the two
+    closures are INVARIANT (every member reaches exactly the same node
+    set), so fmin/bmin are per-SCC values, and ``fmin(v) == bmin(v) == m``
+    holds iff m sits in both closures — i.e. v↔m, v ∈ SCC(m). Settled
+    nodes leave the active set (and their edges leave the graph); the
+    SCC holding the smallest active id always settles (its own id is
+    both minima), so every round retires at least one SCC and the loop
+    terminates in ≤ #condensation-levels rounds — small for real graphs
+    (the condensation is a DAG). Runs out of rounds → ValueError rather
+    than a silently wrong labeling.
+
+    Scale shape: each superstep is one key-partitioned aggregation over
+    the live edge set; settled SCCs and their edges are anti-joined out,
+    so later rounds shrink. No collects beyond the 1-row convergence
+    checksums.
+    """
+    active = nodes.select(id_col).distinct().localCheckpoint()
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .join(active.select(F.col(id_col).alias("src")), on="src", how="left_semi")
+        .join(active.select(F.col(id_col).alias("dst")), on="dst", how="left_semi")
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    result = active.select(id_col, F.col(id_col).alias("scc")).limit(0)
+    for _ in range(max_rounds):
+        if active.limit(1).count() == 0:
+            return result
+        f = _reach_min(active, e, id_col, max_iter).withColumnRenamed("lbl", "_f")
+        b = _reach_min(active, rev, id_col, max_iter).withColumnRenamed("lbl", "_b")
+        settled = (
+            f.join(b, on=id_col)
+            .filter(F.col("_f") == F.col("_b"))
+            .select(id_col, F.col("_f").alias("scc"))
+            .localCheckpoint()
+        )
+        result = result.unionByName(settled).localCheckpoint()
+        done = settled.select(id_col)
+        active = active.join(done, on=id_col, how="left_anti").localCheckpoint()
+        e = (
+            e.join(done.withColumnRenamed(id_col, "src"), on="src", how="left_anti")
+            .join(done.withColumnRenamed(id_col, "dst"), on="dst", how="left_anti")
+            .localCheckpoint()
+        )
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if active.limit(1).count() != 0:
+        raise ValueError(
+            f"SCC did not settle within max_rounds={max_rounds}; "
+            "raise it (rounds needed = condensation levels of the graph)"
+        )
+    return result

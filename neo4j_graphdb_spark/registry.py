@@ -795,7 +795,7 @@ def _hits_oracle_sql(iters: int = 6) -> str:
             UNION ALL
             SELECT 'Region', cast(r_regionkey AS varchar) FROM region
         ),
-        h0 AS (SELECT label, key, 1.0 AS hub FROM nodes),
+        h0 AS (SELECT label, key, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
         {chain},
         filled AS MATERIALIZED (
             SELECT n.label, n.key,
@@ -1502,9 +1502,10 @@ def q_c6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c7_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7 — exact dedup keeps min-id per distinct text; duplicates are
-    synthesized (fixtures have none) by re-adding every 5th doc under a
-    shifted id."""
+    """C7 — exact dedup keeps min-id per distinct text; extra duplicates
+    are synthesized by re-adding every 5th doc under a shifted id (sf0.1
+    also carries 8 natural duplicate texts, which the grouped oracle
+    replays — do not assume one group per doc_id)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -5484,6 +5485,52 @@ def q_a46_text_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c85_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85 — strongly connected components (graph/algorithms.py
+    strongly_connected_components, FW-BW min-label coloring) on a
+    directed graph with KNOWN cycle structure: within each region the
+    nations form a directed ring (each nation → the next key in its
+    region, last wraps to first), and every customer points at its
+    nation. SCCs therefore are: one ring per region (scc = the
+    lexicographically smallest nation id in the ring) and a singleton
+    per customer — which is exactly what the oracle states in closed
+    form, the same construction-over-recursion trick as the c3 forest
+    oracle. The settle loop genuinely iterates: customers settle in
+    round 1 (their own id undercuts the ring ids both ways), rings need
+    round 2 once the customer tails are anti-joined out."""
+    from neo4j_graphdb_spark.graph.algorithms import strongly_connected_components
+    from pyspark.sql import Window
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_regionkey").alias("rk"),
+        F.col("n_nationkey").alias("nk"),
+    )
+    w = Window.partitionBy("rk").orderBy("nk")
+    ring = nat.select(
+        F.col("id").alias("src"),
+        F.coalesce(
+            F.lead("id").over(w),
+            F.first("id").over(
+                Window.partitionBy("rk")
+                .orderBy("nk")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        ).alias("dst"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    edges = ring.unionByName(cust)
+    nodes = (
+        nat.select(F.col("id").alias("node_id"))
+        .unionByName(cust.select(F.col("src").alias("node_id")))
+    )
+    out = strongly_connected_components(nodes, edges, max_rounds=5)
+    return out.select(F.col("node_id").alias("id"), "scc")
+
+
 def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C84 — GraphRAG hybrid retrieval composition, the workload the
     reference signals but never ships (unused langchain/langchain-neo4j/
@@ -5638,6 +5685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c85_scc": q_c85_scc,
     "c54_oov_rate": q_c54_oov_rate,
     "c55_incremental_rollup": q_c55_incremental_rollup,
     "rel_funnel": q_rel_funnel,
@@ -6125,10 +6173,19 @@ ORACLES: dict[str, str] = {
         SELECT count(*)::bigint AS triangles
         FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
-    "c7_exact_dedup": (
-        "SELECT md5(text) AS text_hash, doc_id::bigint AS keeper_id, "
-        "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::bigint AS n_dups FROM documents"
-    ),
+    # a full GROUP BY replay, NOT the per-doc shortcut: sf0.1's documents
+    # carry 8 natural duplicate texts (5000 rows, 4992 distinct), so any
+    # oracle assuming one group per doc_id under-merges above sf0.01
+    "c7_exact_dedup": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT md5(text) AS text_hash, min(doc_id)::bigint AS keeper_id,
+               count(*)::bigint AS n_dups
+        FROM corpus GROUP BY text
+    """,
     "c8_simhash": _simhash_md5_oracle_sql(),
     "c8_minhash_lsh": _minhash_md5_oracle_sql(),
     "c39_stream_near_dup": _minhash_md5_oracle_sql(stream_split=True),
@@ -8051,4 +8108,18 @@ ORACLES["a46_text_epoch_millis"] = """
     SELECT cast(event_id AS varchar) AS eid,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS stamp
     FROM events
+"""
+
+ORACLES["c85_scc"] = """
+    WITH nmin AS (
+        SELECT n_regionkey,
+               min('N' || cast(n_nationkey AS varchar)) AS scc
+        FROM nation GROUP BY n_regionkey
+    )
+    SELECT 'N' || cast(n.n_nationkey AS varchar) AS id, m.scc AS scc
+    FROM nation n JOIN nmin m ON n.n_regionkey = m.n_regionkey
+    UNION ALL
+    SELECT 'C' || cast(c_custkey AS varchar) AS id,
+           'C' || cast(c_custkey AS varchar) AS scc
+    FROM customer
 """

@@ -115,9 +115,14 @@ def main() -> int:
 
     argv = list(sys.argv[1:])
     json_out = None
+    best_of = 1
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        del argv[i : i + 2]
+    if "--best-of" in argv:
+        i = argv.index("--best-of")
+        best_of = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -181,6 +186,17 @@ def main() -> int:
                 diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}")
                 ok = False
+        # --best-of N: after the (cold) correctness pass, re-time both
+        # sides N-1 more times and keep the minimum — bench.py's
+        # steady-state methodology, so the emitted ratio compares warm
+        # engine throughput rather than first-run plan/JIT overhead
+        for _ in range(best_of - 1):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            spark_s = min(spark_s, time.time() - t0)
+            t1 = time.time()
+            con.sql(os_[name]).fetchall()
+            duckdb_s = min(duckdb_s, time.time() - t1)
         report[name] = {
             "status": "pass" if ok else "fail",
             "spark_s": round(spark_s, 3),

@@ -787,3 +787,41 @@ def test_hits_tol_converges_to_fixed_point(spark):
     assert abs(ht[0][0] - inv) < 1e-6 and abs(ht[1][0] - inv) < 1e-6
     assert abs(ht[2][1] - inv) < 1e-6 and abs(ht[3][1] - inv) < 1e-6
     assert ht[2][0] == 0.0 and ht[0][1] == 0.0
+
+
+def test_scc_hand_graph(spark):
+    """Two 2-cycles bridged by a one-way edge + a tail: SCCs are the two
+    cycles and singletons — and the bridge direction must NOT merge
+    them (undirected CC would)."""
+    from neo4j_graphdb_spark.graph.algorithms import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    scc = {
+        r["node_id"]: r["scc"]
+        for r in strongly_connected_components(nodes, edges, max_rounds=6).collect()
+    }
+    assert scc == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    # the same graph is ONE undirected component — direction is the point
+    cc = {
+        r["id"]: r["comp"] for r in connected_components(nodes, edges).collect()
+    }
+    assert len(set(cc.values())) == 1
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from neo4j_graphdb_spark.graph.algorithms import strongly_connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id bigint")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (1, 3)], "src bigint, dst bigint")
+    scc = {
+        r["node_id"]: r["scc"]
+        for r in strongly_connected_components(nodes, edges).collect()
+    }
+    assert scc == {0: 0, 1: 1, 2: 2, 3: 3}
