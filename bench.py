@@ -62,6 +62,10 @@ HEADLINE = [
     # Arrow/mapInPandas round-trip throughput + time-range window frame
     "c78_real_bmp_decode",
     "rel_rolling_1h",
+    # round 6 additions — GraphRAG retrieve→expand→rerank composition,
+    # FW-BW strongly-connected components (directed cycles)
+    "c84_graphrag",
+    "c85_scc",
 ]
 
 

@@ -899,3 +899,77 @@ def ppmi_pairs(
             ).alias("ppmi"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the memorization-risk
+    signal of an LLM training corpus (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", found verbatim ~50-token
+    spans repeated across web corpora drive memorization): every
+    ``window``-token sliding span is hashed, spans occurring in 2+
+    DISTINCT documents are flagged, and each document reports how much
+    of it is made of flagged spans.
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_fraction)`` — one row
+    per document with at least ``window`` tokens; ``dup_fraction``
+    rounded to 6 dp.
+
+    Scale shape: the explode produces ~one row per token (the same
+    order of magnitude as any tokenization pass); the duplicate-span
+    set comes from ONE map-side-combined ``groupBy(span_hash)`` whose
+    agg is ``count(distinct doc) >= 2`` capped semantics via two-level
+    aggregation, and flags flow back by a single semi-joinable hash
+    join on the span hash. No pairwise document comparison exists
+    anywhere — cost is linear in corpus tokens, the only shape that
+    survives 100 TB. The span hash is md5 over the joined window, so
+    the entire pipeline replays in SQL.
+    """
+    c = F.lower(F.trim(F.col(text_col)))
+    words = F.split(c, r"\s+")
+    # parallelize the span explode even off a single-file corpus (one
+    # input split otherwise serializes the md5-per-span work on a core)
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    base = spread_partitions(df).select(
+        F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
+    ).filter(F.col("_n") >= window)
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.col("_n") - F.lit(window - 1))
+        ).alias("_i"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), window))
+        ).alias("_span"),
+    )
+    spans = spans.localCheckpoint(eager=False)  # reused: flag build + stats
+    dup = (
+        spans.select("_span", id_col)
+        .distinct()
+        .groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_span")
+    )
+    flagged = spans.join(dup, on="_span", how="left_semi")
+    tot = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    hit = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        tot.join(hit, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_fraction"),
+        )
+    )

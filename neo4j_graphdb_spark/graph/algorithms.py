@@ -34,8 +34,16 @@ def pagerank(
     id_col: str = "node_id",
     sources: DataFrame | None = None,
     tol: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """C2 — PageRank with dangling-mass redistribution.
+
+    ``weight_col`` switches to WEIGHTED PageRank: a node's rank splits
+    across its out-edges proportionally to the edge weight
+    (``rank · w / Σ_out w``) instead of uniformly — the standard
+    weighted-graph formulation; dangling = zero total out-weight. The
+    superstep shape (one contribution shuffle, broadcast dangling mass)
+    is identical.
 
     rank' = (1-d)·tele + d·(Σ incoming rank/out_deg + dangling·tele),
     where the teleport vector ``tele`` is uniform 1/N without
@@ -62,9 +70,14 @@ def pagerank(
       registry entries leave it ``None``.
     """
     n_nodes = nodes.select(id_col).distinct().count()
-    out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    if weight_col is None:
+        out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+    else:
+        out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
+            F.sum(F.col(weight_col).cast("double")).alias("out_deg")
+        )
     base = (
         nodes.select(F.col(id_col))
         .distinct()
@@ -103,10 +116,19 @@ def pagerank(
         dangling = ranks.filter(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
+        per_edge = (
+            (F.col("rank") / F.col("out_deg"))
+            if weight_col is None
+            else (
+                F.col("rank")
+                * F.col(weight_col).cast("double")
+                / F.col("out_deg")
+            )
+        )
         contribs = (
             ranks.filter(F.col("out_deg") > 0)
             .join(edges, ranks[id_col] == edges["src"])
-            .select(F.col("dst").alias(id_col), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(F.col("dst").alias(id_col), per_edge.alias("c"))
             .groupBy(id_col)
             .agg(F.sum("c").alias("c"))
         )
@@ -687,22 +709,29 @@ def hits(
 def capped_distinct_edges(edges: DataFrame, degree_cap: int | None) -> DataFrame:
     """Distinct (src, dst) edges with hot destination nodes dropped: a
     dst whose in-degree exceeds ``degree_cap`` is removed from the edge
-    set via a LEFT SEMI join against the under-cap degree table (the GDS
-    ``degreeCutoff`` guard). This runs BEFORE any wedge/pair join, so
-    the exploded candidate stream is bounded at cap² pairs per shared
-    neighbor — the difference between Σ deg² with deg ≤ cap and an
-    unbounded viral-key blow-up at 100× scale. ``None`` skips the guard
-    (exact mode)."""
+    set (the GDS ``degreeCutoff`` guard). This runs BEFORE any
+    wedge/pair join, so the exploded candidate stream is bounded at
+    cap² pairs per shared neighbor — the difference between Σ deg² with
+    deg ≤ cap and an unbounded viral-key blow-up at 100× scale.
+
+    The guard is a BROADCAST LEFT ANTI join against the OVER-cap set:
+    the hot list is small *by construction* at any scale (a power-law
+    tail has few keys above any fixed cap — 637 of 20k parts at sf0.1),
+    so the exclusion costs the edge side no shuffle at all, where the
+    keep-list semi-join variant would shuffle-join against a table the
+    size of the key universe. The distinct exchange is shared with the
+    hot-set aggregation via Spark's ReuseExchange (identical subplans).
+    ``None`` skips the guard (exact mode)."""
     e = edges.select("src", "dst").distinct()
     if degree_cap is None:
         return e
-    keep = (
+    hot = (
         e.groupBy("dst")
         .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") <= degree_cap)
+        .filter(F.col("_nd") > degree_cap)
         .select("dst")
     )
-    return e.join(keep, on="dst", how="left_semi")
+    return e.join(F.broadcast(hot), on="dst", how="left_anti")
 
 
 def node_similarity(
@@ -1555,45 +1584,6 @@ def biased_walks(
         out = out.unionByName(lv)
     return out
 
-
-def _reach_min(
-    active: DataFrame, edges: DataFrame, id_col: str, max_iter: int
-) -> DataFrame:
-    """min-id REACHABILITY fixpoint along edge direction: ``lbl(v)`` =
-    the smallest id in v's forward closure (v itself included). Messages
-    flow dst→src (a successor's label improves its predecessors), one
-    key-partitioned aggregation per superstep, checksum-fold convergence
-    (same one-action-per-round shape as connected_components)."""
-    lbl = active.select(id_col).withColumn("lbl", F.col(id_col))
-    prev: tuple | None = None
-    for _ in range(max_iter):
-        msgs = (
-            lbl.join(edges, lbl[id_col] == edges["dst"])
-            .select(F.col("src").alias(id_col), F.col("lbl").alias("m"))
-            .groupBy(id_col)
-            .agg(F.min("m").alias("m"))
-        )
-        lbl = (
-            lbl.join(msgs, on=id_col, how="left")
-            .select(
-                id_col,
-                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
-        row = lbl.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(f"bit_xor(xxhash64({id_col}, lbl))").alias("h"),
-        ).collect()[0]
-        cur = (row["n"], row["h"])
-        if cur == prev:
-            break
-        prev = cur
-    return lbl
-
-
 def strongly_connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -1610,8 +1600,8 @@ def strongly_connected_components(
     Algorithm — iterated forward/backward min-label intersection (the
     DataFrame-friendly form of FW-BW coloring, Fleischer et al. 2000):
     per round, ``fmin(v)`` = min id in v's forward closure and
-    ``bmin(v)`` = min id in its backward closure (two :func:`_reach_min`
-    fixpoints, the second over reversed edges). Within one SCC the two
+    ``bmin(v)`` = min id in its backward closure (one fused min-label
+    fixpoint advancing both directions per superstep). Within one SCC the two
     closures are INVARIANT (every member reaches exactly the same node
     set), so fmin/bmin are per-SCC values, and ``fmin(v) == bmin(v) == m``
     holds iff m sits in both closures — i.e. v↔m, v ∈ SCC(m). Settled
@@ -1635,16 +1625,55 @@ def strongly_connected_components(
         .join(active.select(F.col(id_col).alias("dst")), on="dst", how="left_semi")
         .localCheckpoint()
     )
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     result = active.select(id_col, F.col(id_col).alias("scc")).limit(0)
     for _ in range(max_rounds):
         if active.limit(1).count() == 0:
             return result
-        f = _reach_min(active, e, id_col, max_iter).withColumnRenamed("lbl", "_f")
-        b = _reach_min(active, rev, id_col, max_iter).withColumnRenamed("lbl", "_b")
+        # forward and backward minima advance in ONE fused superstep
+        # loop (both message aggregations land in the same Spark job),
+        # so the round costs half the job-scheduling overhead of two
+        # sequential fixpoints — which dominates for iterative ops
+        lbl = active.select(
+            id_col, F.col(id_col).alias("_f"), F.col(id_col).alias("_b")
+        )
+        prev: tuple | None = None
+        for _i in range(max_iter):
+            fmsgs = (
+                lbl.join(e, lbl[id_col] == e["dst"])
+                .select(F.col("src").alias(id_col), F.col("_f").alias("_fm"))
+                .groupBy(id_col)
+                .agg(F.min("_fm").alias("_fm"))
+            )
+            bmsgs = (
+                lbl.join(e, lbl[id_col] == e["src"])
+                .select(F.col("dst").alias(id_col), F.col("_b").alias("_bm"))
+                .groupBy(id_col)
+                .agg(F.min("_bm").alias("_bm"))
+            )
+            lbl = (
+                lbl.join(fmsgs, on=id_col, how="left")
+                .join(bmsgs, on=id_col, how="left")
+                .select(
+                    id_col,
+                    F.least(
+                        F.col("_f"), F.coalesce(F.col("_fm"), F.col("_f"))
+                    ).alias("_f"),
+                    F.least(
+                        F.col("_b"), F.coalesce(F.col("_bm"), F.col("_b"))
+                    ).alias("_b"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            row = lbl.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(xxhash64({id_col}, _f, _b))").alias("h"),
+            ).collect()[0]
+            cur = (row["n"], row["h"])
+            if cur == prev:
+                break
+            prev = cur
         settled = (
-            f.join(b, on=id_col)
-            .filter(F.col("_f") == F.col("_b"))
+            lbl.filter(F.col("_f") == F.col("_b"))
             .select(id_col, F.col("_f").alias("scc"))
             .localCheckpoint()
         )

@@ -694,7 +694,10 @@ def _label_prop_oracle_sql(iters: int = 3) -> str:
 
 
 def _pagerank_oracle_sql(
-    iters: int = 8, d: float = 0.85, tele_sql: str | None = None
+    iters: int = 8,
+    d: float = 0.85,
+    tele_sql: str | None = None,
+    weight_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`graph.algorithms.pagerank` on the analytics
     graph: the fixed ``iters`` supersteps unroll into chained CTEs (no
@@ -704,8 +707,18 @@ def _pagerank_oracle_sql(
     ``(1-d)·tele + d·dm·tele + d·Σcontrib``. ``tele_sql`` is the
     teleport-probability expression per base row ``b`` — uniform
     ``1/N`` by default (classic PageRank), source-concentrated for the
-    personalized variant."""
+    personalized variant. ``weight_sql`` (an expression over edge row
+    ``e``) switches to the weighted formulation: out-"degree" becomes
+    Σ weights and each contribution is ``rank·w/Σw`` — the unweighted
+    branch keeps its original expression text verbatim so existing
+    oracle results are untouched."""
     tele = tele_sql or "1.0 / nn.n"
+    contrib = (
+        'sum(r."rank" / r.od)'
+        if weight_sql is None
+        else f'sum(r."rank" * ({weight_sql}) / r.od)'
+    )
+    degexpr = "count(*)" if weight_sql is None else f"sum({weight_sql})"
     steps = []
     for i in range(1, iters + 1):
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
@@ -721,7 +734,7 @@ def _pagerank_oracle_sql(
             FROM base b
             LEFT JOIN (
                 SELECT e.dst_label AS label, e.dst_key AS key,
-                       sum(r."rank" / r.od) AS contrib
+                       {contrib} AS contrib
                 FROM edges e
                 JOIN r{i - 1} r ON e.src_label = r.label AND e.src_key = r.key
                 WHERE r.od > 0
@@ -742,7 +755,7 @@ def _pagerank_oracle_sql(
             SELECT 'Region', cast(r_regionkey AS varchar) FROM region
         ),
         deg AS (
-            SELECT src_label AS label, src_key AS key, count(*) AS od
+            SELECT src_label AS label, src_key AS key, {degexpr} AS od
             FROM edges GROUP BY 1, 2
         ),
         nn AS MATERIALIZED (SELECT count(*)::double AS n FROM nodes),
@@ -5531,6 +5544,61 @@ def q_c85_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node_id").alias("id"), "scc")
 
 
+def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C87 — WEIGHTED PageRank (graph/algorithms.py pagerank
+    ``weight_col``): rank splits across out-edges proportionally to a
+    deterministic integer edge weight ((src_key % 3) + (dst_key % 2) + 1,
+    computable from the keys on both engines), dangling = zero total
+    out-weight. Same 8 unrolled supersteps and oracle machinery as c2 —
+    ``_pagerank_oracle_sql(weight_sql=…)`` swaps the out-degree for
+    Σ weights and each contribution for rank·w/Σw."""
+    from neo4j_graphdb_spark.model import node_id_expr
+
+    def we(df: DataFrame, sl: str, sk: str, dl: str, dk: str) -> DataFrame:
+        # keys hash as STRINGS — node_id_expr must see the same operand
+        # type as_nodes hashed, or the ids silently diverge
+        return df.select(
+            node_id_expr(sl, F.col(sk).cast("string")).alias("src"),
+            node_id_expr(dl, F.col(dk).cast("string")).alias("dst"),
+            (
+                (F.col(sk).cast("long") % 3) + (F.col(dk).cast("long") % 2) + 1
+            ).cast("double").alias("w"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    edges = (
+        we(cust, "Customer", "c_custkey", "Nation", "c_nationkey")
+        .unionByName(we(supp, "Supplier", "s_suppkey", "Nation", "s_nationkey"))
+        .unionByName(we(nat, "Nation", "n_nationkey", "Region", "n_regionkey"))
+    )
+    g = analytics_graph(spark, sf_dir)
+    pr = pagerank(g.nodes_df, edges, max_iter=8, weight_col="w")
+    nk = _node_keys(g)
+    return nk.join(pr, nk["id"] == pr[NODE_ID]).select(
+        "label", "key", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_c86_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86 — cross-document duplicated-span stats (functions/text.py
+    dup_span_stats): 20-token sliding spans hashed, spans in 2+ distinct
+    docs flagged, per-doc duplicated fraction — the Lee et al. 2022
+    memorization-risk signal. Guaranteed duplication is synthesized the
+    c7 way (every 10th doc re-added under a shifted id); the fixture
+    also carries natural cross-doc spans, which the grouped oracle
+    replays rather than assumes away."""
+    from neo4j_graphdb_spark.functions.text import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    return dup_span_stats(corpus, "doc_id", "text", window=20)
+
+
 def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C84 — GraphRAG hybrid retrieval composition, the workload the
     reference signals but never ships (unused langchain/langchain-neo4j/
@@ -5686,6 +5754,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c53_quota_sample": q_c53_quota_sample,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
     "c85_scc": q_c85_scc,
+    "c86_dup_spans": q_c86_dup_spans,
+    "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
     "c55_incremental_rollup": q_c55_incremental_rollup,
     "rel_funnel": q_rel_funnel,
@@ -8123,3 +8193,41 @@ ORACLES["c85_scc"] = """
            'C' || cast(c_custkey AS varchar) AS scc
     FROM customer
 """
+
+ORACLES["c86_dup_spans"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM corpus
+    ),
+    s AS (
+        SELECT doc_id, md5(array_to_string(words[i:i+19], ' ')) AS span
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 19 + 1)) AS i) t
+        WHERE len(words) >= 20
+    ),
+    dup AS (
+        SELECT span FROM (SELECT DISTINCT span, doc_id FROM s)
+        GROUP BY span HAVING count(*) >= 2
+    ),
+    tot AS (SELECT doc_id, count(*)::bigint AS n_spans FROM s GROUP BY doc_id),
+    hit AS (
+        SELECT s.doc_id, count(*)::bigint AS n_dup FROM s JOIN dup USING (span)
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id, t.n_spans,
+           coalesce(h.n_dup, 0)::bigint AS n_dup_spans,
+           round(coalesce(h.n_dup, 0) / CAST(t.n_spans AS DOUBLE), 6)
+               AS dup_fraction
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+ORACLES["c87_weighted_pagerank"] = _pagerank_oracle_sql(
+    iters=8,
+    weight_sql=(
+        "(cast(src_key AS bigint) % 3) + (cast(dst_key AS bigint) % 2) + 1"
+    ),
+)

@@ -825,3 +825,27 @@ def test_scc_dag_is_all_singletons(spark):
         for r in strongly_connected_components(nodes, edges).collect()
     }
     assert scc == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_weighted_pagerank_weight_direction(spark):
+    """Two leaves feed a hub with weights 3 and 1 via an intermediate
+    pair: the heavier path's midpoint must outrank the lighter one's,
+    and weight=1 everywhere must equal the unweighted run exactly."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node_id bigint")
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 3, 1.0), (2, 4, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    pr = {
+        r["node_id"]: r["rank"]
+        for r in pagerank(nodes, edges, max_iter=10, weight_col="w").collect()
+    }
+    assert pr[1] > pr[2]  # 3/4 of node 0's rank flows to 1, 1/4 to 2
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    uni = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0)], "src bigint, dst bigint, w double"
+    )
+    nodes3 = spark.createDataFrame([(i,) for i in range(3)], "node_id bigint")
+    a = {r["node_id"]: r["rank"] for r in pagerank(nodes3, uni, max_iter=6, weight_col="w").collect()}
+    b = {r["node_id"]: r["rank"] for r in pagerank(nodes3, uni.select("src", "dst"), max_iter=6).collect()}
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

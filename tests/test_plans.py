@@ -190,9 +190,11 @@ def test_bloom_probe_no_fact_shuffle_join(spark, sf_dir):
 
 def test_node_similarity_degree_cap_semi_join_guard(spark, sf_dir):
     """The c37 entry ships with degree_cap=40: the capped edge frame must
-    carry the guard as a LEFT SEMI join against the under-cap degree
-    aggregate BEFORE any wedge join sees the edges — the plan that
-    bounds a viral neighbor's pair fan-out at cap² instead of deg²."""
+    carry the guard as a broadcast LEFT ANTI join against the over-cap
+    hot set BEFORE any wedge join sees the edges — the plan that bounds
+    a viral neighbor's pair fan-out at cap² instead of deg², with no
+    extra shuffle of the edge side (the hot list is small by
+    construction at any scale)."""
     from neo4j_graphdb_spark.graph.algorithms import capped_distinct_edges
     from neo4j_graphdb_spark.session import load_table
 
@@ -202,7 +204,7 @@ def test_node_similarity_degree_cap_semi_join_guard(spark, sf_dir):
         F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     plan = _plan(capped_distinct_edges(cp, degree_cap=40))
-    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     # and the guard genuinely filters when a dst exceeds the cap (tight
     # cap here — sf0.001's hottest part sits under 40; sf0.01+ exceed it)
     n_uncapped = capped_distinct_edges(cp, None).count()

@@ -734,3 +734,27 @@ def test_gif_probe_blocks_and_errors(spark):
         gif_probe_kernel(b"NOTAGIF89a....", "video")
     with _p.raises(ValueError):
         gif_probe_kernel(b[:-1], "video")  # trailer chopped off
+
+
+def test_dup_span_stats_known_duplicates(spark):
+    """Two docs sharing an exact 20-token block are mutually flagged for
+    exactly the block's spans; the unique doc reports zero; short docs
+    (under the window) drop out."""
+    from neo4j_graphdb_spark.functions.text import dup_span_stats
+
+    block = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, block + " tailA unique alpha"),
+        (2, "headB leading " + block),
+        (3, " ".join(f"other{i}" for i in range(25))),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 < 20 tokens
+    # doc1: 23 tokens -> 4 spans, only the leading pure block span dups
+    assert got[1]["n_spans"] == 4 and got[1]["n_dup_spans"] == 1
+    # doc2: 22 tokens -> 3 spans, only the trailing pure block span dups
+    assert got[2]["n_spans"] == 3 and got[2]["n_dup_spans"] == 1
+    assert got[3]["n_dup_spans"] == 0
+    assert abs(got[1]["dup_fraction"] - 0.25) < 1e-9
