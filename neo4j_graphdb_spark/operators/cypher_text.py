@@ -191,7 +191,9 @@ _UNSUPPORTED_KEYWORDS = re.compile(
 # string literal' — by parse time literals are \x00<i>\x00 sentinels |
 # \x01<i>\x01 — a temporal expression pre-resolved to a Column)
 _WHERE_ITEM_RE = re.compile(
-    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>|[Ii][Nn]\b)\s*"
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*"
+    r"(?P<op>=~|<=|>=|<>|=|<|>|[Ii][Nn]\b"
+    r"|(?i:STARTS_WITH)|(?i:ENDS_WITH)|(?i:CONTAINS))\s*"
     r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\x01\d+\x01|\w+)$"
 )
 
@@ -349,6 +351,12 @@ def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
     channel. Clause bodies carry ``\\x00<i>\\x00`` sentinels that index
     into the returned table."""
     masked, lits = _mask_strings(" ".join(query.split()))
+    # `STARTS WITH` / `ENDS WITH` carry the WITH clause keyword inside a
+    # two-word operator — fold them to one \w token BEFORE the clause
+    # split so the pipeline boundary regex cannot fire mid-predicate
+    # (the op grammar accepts both spellings)
+    masked = re.sub(r"(?i)(?<![.$\w])STARTS\s+WITH\b", "STARTS_WITH", masked)
+    masked = re.sub(r"(?i)(?<![.$\w])ENDS\s+WITH\b", "ENDS_WITH", masked)
     bad = _UNSUPPORTED_KEYWORDS.search(masked)
     if bad:
         raise CypherUnsupported(f"{bad.group(0).upper()} is outside the subset")
@@ -936,7 +944,22 @@ _OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # Cypher string predicates — all compile to Catalyst predicates with
+    # data-source pushdown forms (StringStartsWith/EndsWith/Contains);
+    # `=~` is Cypher's full-match regex, which Java-side rlike is NOT
+    # (it substring-matches), so the pattern is anchored
+    "STARTS WITH": lambda c, v: c.startswith(v),
+    "ENDS WITH": lambda c, v: c.endswith(v),
+    "CONTAINS": lambda c, v: c.contains(v),
+    "=~": lambda c, v: F.rlike(c, F.concat(F.lit("^(?:"), v, F.lit(")$"))),
 }
+
+
+def _op_fn(op: str):
+    """Canonicalize an operator token (case, inner whitespace) to its
+    Column predicate; the multi-word string predicates arrive with
+    arbitrary spacing/case from the statement text."""
+    return _OPS[re.sub(r"[_\s]+", " ", op.strip().upper())]
 
 
 _POST_WHERE_RE = re.compile(
@@ -1319,7 +1342,7 @@ def _run_read(
                         )
                     df = df.filter(F.col(prop).isin(*vals))
                     continue
-                df = df.filter(_OPS[op](F.col(prop), _operand(raw)))
+                df = df.filter(_op_fn(op)(F.col(prop), _operand(raw)))
                 continue
             raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
         if raw == unwind_name and unwind_frame is not None:
@@ -1348,7 +1371,7 @@ def _run_read(
         # a plain column comparison Catalyst pushes into the scan —
         # WHERE costs a filter, never a different plan shape
         df = df.filter(
-            _OPS[op](_prop_col(df, aliases[alias], prop), _operand(raw))
+            _op_fn(op)(_prop_col(df, aliases[alias], prop), _operand(raw))
         )
 
     if where_exprs:
@@ -1377,7 +1400,7 @@ def _run_read(
                 return col.isin(*vals)
             if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
                 raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
-            return _OPS[op](col, _operand(raw))
+            return _op_fn(op)(col, _operand(raw))
 
         def _walk(n):
             if n[0] == "pred":

@@ -5544,6 +5544,27 @@ def q_c85_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node_id").alias("id"), "scc")
 
 
+def q_a47_text_string_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 ext — Cypher string predicates in the text front-end:
+    ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS`` / ``=~`` (full-match
+    regex, Cypher semantics — rlike is anchored under the hood), all
+    composed under the boolean WHERE grammar. STARTS WITH reaches the
+    parquet scan as a pushed ``StringStartsWith`` filter; the two-word
+    operators fold to one token before clause splitting so the WITH
+    keyword inside them never breaks the pipeline split."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.link STARTS WITH 'doc://1' "
+        "OR (a.link ENDS WITH '7' AND a.link CONTAINS '9') "
+        "OR a.link =~ 'doc://[0-9]' "
+        "RETURN a.link AS link",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C87 — WEIGHTED PageRank (graph/algorithms.py pagerank
     ``weight_col``): rank splits across out-edges proportionally to a
@@ -5736,6 +5757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
     "a45_text_temporal": q_a45_text_temporal,
     "a46_text_epoch_millis": q_a46_text_epoch_millis,
+    "a47_text_string_preds": q_a47_text_string_preds,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5751,8 +5773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
     "c52_neighbor_stats": q_c52_neighbor_stats,
-    "c53_quota_sample": q_c53_quota_sample,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c53_quota_sample": q_c53_quota_sample,
     "c85_scc": q_c85_scc,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
@@ -8231,3 +8253,13 @@ ORACLES["c87_weighted_pagerank"] = _pagerank_oracle_sql(
         "(cast(src_key AS bigint) % 3) + (cast(dst_key AS bigint) % 2) + 1"
     ),
 )
+
+ORACLES["a47_text_string_preds"] = """
+    SELECT link FROM (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link
+        FROM documents
+    )
+    WHERE link LIKE 'doc://1%'
+       OR (link LIKE '%7' AND link LIKE '%9%')
+       OR regexp_full_match(link, 'doc://[0-9]')
+"""

@@ -1274,3 +1274,42 @@ def test_text_epoch_millis_set_roundtrip(spark, tmp_path):
         .collect()[0]
     )
     assert row["eid"] == "e1" and row["got_ms"] == ms
+
+
+def test_text_string_predicates(spark, text_store):
+    """STARTS WITH / ENDS WITH / CONTAINS / =~ in WHERE: Cypher
+    semantics (=~ is a FULL match), composing under AND/OR, and the
+    folded two-word operators must not break WITH-pipeline parsing."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    def links(where, params=None):
+        df = run_cypher(
+            spark,
+            f"MATCH (a:Article) WHERE {where} RETURN a.link AS link",
+            params,
+            store=text_store,
+        ).df
+        return {r["link"] for r in df.collect()}
+
+    all_links = links("a.link STARTS WITH 'http'")
+    assert all_links  # fixture links are http://...
+    assert links("a.link CONTAINS 'example'") <= all_links
+    assert links("a.link ENDS WITH 'zzz-no-such-suffix'") == set()
+    # =~ full-match: a prefix alone matches nothing, .* completes it
+    assert links("a.link =~ 'http'") == set()
+    assert links("a.link =~ 'http.*'") == all_links
+    assert links("a.link =~ $p", {"p": "http.*"}) == all_links
+    # boolean composition
+    both = links(
+        "a.link STARTS WITH 'http' AND NOT (a.link ENDS WITH 'zzz')"
+    )
+    assert both == all_links
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE a.link STARTS 'x' RETURN a.link AS link",
+            store=text_store,
+        )
