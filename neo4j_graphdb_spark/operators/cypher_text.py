@@ -955,6 +955,58 @@ _OPS = {
 }
 
 
+_EXISTS_ITEM_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>[^{}]+)\}$", re.IGNORECASE
+)
+
+
+def _extract_exists(body: str, out: list) -> str:
+    """Pull ``[NOT] EXISTS { <relationship pattern> }`` conjuncts out of
+    a WHERE body (they compile to LEFT SEMI / LEFT ANTI joins, not
+    Columns, so they must be whole top-level AND conjuncts — anything
+    else is refused). Returns the body with those conjuncts removed."""
+    remaining: list[str] = []
+    for it in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+        it_s = it.strip()
+        m = _EXISTS_ITEM_RE.match(it_s)
+        if not m:
+            if re.search(r"(?<![.$\w])EXISTS\b", it_s, re.IGNORECASE):
+                raise CypherUnsupported(
+                    "EXISTS must be a whole AND conjunct of the form "
+                    "[NOT] EXISTS { (a)-[:T]->(:L) } (it compiles to a "
+                    "semi/anti join and cannot sit under OR)"
+                )
+            remaining.append(it)
+            continue
+        pm = _REL_RE.match(m.group("pat").strip())
+        if not pm:
+            raise CypherUnsupported(
+                f"unsupported EXISTS pattern: {m.group('pat').strip()!r}"
+            )
+        if pm.group("min_h") or pm.group("rel_props"):
+            raise CypherUnsupported(
+                "variable-length / property patterns are unsupported in EXISTS"
+            )
+        if not pm.group("src_alias") or pm.group("src_label"):
+            raise CypherUnsupported(
+                "EXISTS source must be the bare bound alias"
+            )
+        if pm.group("dst_alias"):
+            raise CypherUnsupported(
+                "EXISTS target must be anonymous: () or (:Label)"
+            )
+        out.append(
+            (
+                pm.group("src_alias"),
+                pm.group("rel_type"),
+                _rel_direction(pm),
+                pm.group("dst_label"),
+                bool(m.group("neg")),
+            )
+        )
+    return " AND ".join(remaining).strip()
+
+
 def _op_fn(op: str):
     """Canonicalize an operator token (case, inner whitespace) to its
     Column predicate; the multi-word string predicates arrive with
@@ -1066,6 +1118,7 @@ def _run_read(
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
+    exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
     unwind_name: str | None = None
@@ -1263,6 +1316,15 @@ def _run_read(
             rel_prefixed = True
         elif c.kind == "WHERE":
             body = c.body
+            if "exists" in body.lower():
+                # pattern-existence predicates: `[NOT] EXISTS { (a)-[:T]->(:L) }`
+                # compile to LEFT SEMI / LEFT ANTI joins, so they are
+                # extracted as top-level AND conjuncts BEFORE the boolean
+                # grammar sees the body (a join is not a Column; under OR
+                # it cannot compose — rejected below)
+                body = _extract_exists(body, exists_preds)
+                if not body:
+                    continue
             if "datetime" in body.lower():
                 # temporal expressions compile to Columns FIRST and leave
                 # \x01<i>\x01 operand sentinels, so their parentheses
@@ -1412,6 +1474,33 @@ def _run_read(
 
         for node in where_exprs:
             df = df.filter(_walk(node))
+
+    for sa, rel_type, direction, dst_label, negated in exists_preds:
+        # [NOT] EXISTS { (a)-[:T]->(:L) } — one LEFT SEMI (ANTI when
+        # negated) join of the bound frame against the qualifying edge
+        # endpoints; the label restriction is itself a semi join on the
+        # dimension-sized node side, so no new columns and no fan-out
+        # ever reach the main frame
+        if sa is None or sa not in aliases:
+            raise CypherUnsupported(f"EXISTS on unbound alias: {sa!r}")
+        from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+        e = graph.edges_df
+        if e is None:
+            raise CypherUnsupported("graph has no edges")
+        if rel_type:
+            e = e.filter(F.col("rel_type") == rel_type)
+        e = _orient_edges(e, direction)
+        if dst_label is not None:
+            lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
+            e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
+        srcs = e.select(F.col("src").alias("_xsrc"))
+        src_id = (
+            F.col(f"{aliases[sa]}{NODE_ID}") if aliases[sa] else F.col(NODE_ID)
+        )
+        df = df.join(
+            srcs, src_id == F.col("_xsrc"), "left_anti" if negated else "left_semi"
+        )
 
     if any(_AGG_ITEM_RE.match(i) for i in returns):
         if return_distinct:

@@ -5565,6 +5565,33 @@ def q_a47_text_string_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a48_text_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 ext — pattern-existence predicates in the text front-end:
+    ``[NOT] EXISTS { (a)-[:T]->(:L) }`` compiles to a LEFT SEMI / LEFT
+    ANTI join against the qualifying edge endpoints (never a new column,
+    never fan-out). The graph is a18's: articles whose doc_id divides by
+    3 carry no WRITTEN_BY edge, so NOT EXISTS must return exactly that
+    third — which the oracle states from the construction."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = _article_source(spark, sf_dir)
+    articles = as_nodes(src, "Article", "link", ["title"])
+    pubs = as_nodes(src.select("publisher").distinct(), "Publisher", "publisher", [])
+    nodes = articles.unionByName(pubs, allowMissingColumns=True)
+    linked = src.filter(
+        F.regexp_extract("link", r"(\d+)$", 1).cast("long") % 3 != 0
+    )
+    edges = as_edges(linked, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) "
+        "WHERE NOT EXISTS { (a)-[:WRITTEN_BY]->(:Publisher) } "
+        "RETURN a.link AS link",
+        graph=Graph(nodes, edges),
+    )
+    return res.df
+
+
 def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C87 — WEIGHTED PageRank (graph/algorithms.py pagerank
     ``weight_col``): rank splits across out-edges proportionally to a
@@ -5758,6 +5785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a45_text_temporal": q_a45_text_temporal,
     "a46_text_epoch_millis": q_a46_text_epoch_millis,
     "a47_text_string_preds": q_a47_text_string_preds,
+    "a48_text_exists": q_a48_text_exists,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5772,8 +5800,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c49_zipf_fit": q_c49_zipf_fit,
     "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
-    "c52_neighbor_stats": q_c52_neighbor_stats,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
     "c85_scc": q_c85_scc,
     "c86_dup_spans": q_c86_dup_spans,
@@ -8262,4 +8290,9 @@ ORACLES["a47_text_string_preds"] = """
     WHERE link LIKE 'doc://1%'
        OR (link LIKE '%7' AND link LIKE '%9%')
        OR regexp_full_match(link, 'doc://[0-9]')
+"""
+
+ORACLES["a48_text_exists"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link
+    FROM documents WHERE doc_id % 3 = 0
 """

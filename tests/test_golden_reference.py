@@ -1313,3 +1313,61 @@ def test_text_string_predicates(spark, text_store):
             "MATCH (a:Article) WHERE a.link STARTS 'x' RETURN a.link AS link",
             store=text_store,
         )
+
+
+def test_text_exists_pattern_predicate(spark, text_store):
+    """[NOT] EXISTS { pattern }: semi/anti-join semantics — every User
+    has an INTERESTED_IN edge, so EXISTS keeps all and NOT EXISTS keeps
+    none; label-restricted and incoming variants work; EXISTS under OR
+    and unbound aliases are refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n_users = run_cypher(
+        spark, "MATCH (u:User) RETURN u.name AS name", store=text_store
+    ).df.count()
+    ex = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE EXISTS { (u)-[:INTERESTED_IN]->(:Tech) } "
+        "RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert ex.count() == n_users
+    nx = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE NOT EXISTS { (u)-[:INTERESTED_IN]->() } "
+        "RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert nx.count() == 0
+    # incoming: Tech nodes with at least one interested user
+    inc = run_cypher(
+        spark,
+        "MATCH (t:Tech) WHERE EXISTS { (t)<-[:INTERESTED_IN]-(:User) } "
+        "RETURN t.name AS name",
+        store=text_store,
+    ).df
+    assert inc.count() >= 1
+    # wrong rel type -> empty
+    none = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE EXISTS { (u)-[:NO_SUCH_TYPE]->() } "
+        "RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert none.count() == 0
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) WHERE EXISTS { (u)-[:X]->() } OR u.name = 'a' "
+            "RETURN u.name AS name",
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) WHERE EXISTS { (z)-[:X]->() } RETURN u.name AS name",
+            store=text_store,
+        )
