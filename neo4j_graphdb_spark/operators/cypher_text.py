@@ -151,6 +151,13 @@ _RETURN_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
 
+# labels(n) / type(r) / id(n) — Cypher's entity-introspection functions
+_FN_ITEM_RE = re.compile(
+    r"^(?P<fn>labels|type|id)\s*\(\s*(?P<alias>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
+)
+
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*"
     r"(?:(?P<star>\*)|(?P<dist>DISTINCT\s+)?(?P<alias>\w+)(?:\.(?P<prop>\w+))?)"
@@ -1513,6 +1520,32 @@ def _run_read(
     out_names: list[str] = []
     out_exprs: dict[str, object] = {}  # output name -> source expression
     for item in returns:
+        fm = _FN_ITEM_RE.match(item)
+        if fm:
+            # labels(n) / type(r) / id(n) — the introspection trio every
+            # Neo4j result pane shows. labels() is a 1-element array
+            # (single-label model, §1.3); id() is the deterministic
+            # content-derived node id, NOT a Neo4j counter.
+            fn = fm.group("fn").lower()
+            fa, out = fm.group("alias"), fm.group("out")
+            name = out or f"{fn}_{fa}"
+            if fn == "type":
+                if rel_alias is None or fa != rel_alias:
+                    raise CypherUnsupported(
+                        f"type() needs the bound relationship alias, got {fa!r}"
+                    )
+                e = F.col("rel_type")
+            elif fa in aliases:
+                col = "label" if fn == "labels" else NODE_ID
+                e = _prop_col(df, aliases[fa], col)
+                if fn == "labels":
+                    e = F.array(e)
+            else:
+                raise CypherUnsupported(f"{fn}() on unbound alias: {fa!r}")
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
         m = _RETURN_ITEM_RE.match(item)
         if not m:
             raise CypherUnsupported(f"unsupported RETURN item: {item!r}")

@@ -5592,6 +5592,24 @@ def q_a48_text_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a49_text_labels_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 ext — Cypher entity-introspection functions in RETURN:
+    ``labels(n)`` (1-element array under the single-label model, §1.3),
+    ``type(r)`` (the relationship type column), ``id(n)`` also parses
+    (deterministic content-derived id — excluded here because node ids
+    are engine-specific and the registry convention never exposes them
+    to the oracle hash)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, labels(a) AS ls, type(r) AS rel",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C87 — WEIGHTED PageRank (graph/algorithms.py pagerank
     ``weight_col``): rank splits across out-edges proportionally to a
@@ -5786,6 +5804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a46_text_epoch_millis": q_a46_text_epoch_millis,
     "a47_text_string_preds": q_a47_text_string_preds,
     "a48_text_exists": q_a48_text_exists,
+    "a49_text_labels_type": q_a49_text_labels_type,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5799,8 +5818,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
     "c50_containment": q_c50_containment,
-    "c51_stream_sessions": q_c51_stream_sessions,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c51_stream_sessions": q_c51_stream_sessions,
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
     "c85_scc": q_c85_scc,
@@ -8295,4 +8314,10 @@ ORACLES["a47_text_string_preds"] = """
 ORACLES["a48_text_exists"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link
     FROM documents WHERE doc_id % 3 = 0
+"""
+
+ORACLES["a49_text_labels_type"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           ['Article'] AS ls, 'WRITTEN_BY' AS rel
+    FROM documents
 """

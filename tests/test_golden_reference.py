@@ -1371,3 +1371,42 @@ def test_text_exists_pattern_predicate(spark, text_store):
             "MATCH (u:User) WHERE EXISTS { (z)-[:X]->() } RETURN u.name AS name",
             store=text_store,
         )
+
+
+def test_text_labels_type_id_functions(spark, text_store):
+    """labels(n)/type(r)/id(n) in RETURN: labels is a 1-element array,
+    type needs the relationship alias, id is the deterministic content
+    hash (equal across two reads of the same node)."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    rows = run_cypher(
+        spark,
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) "
+        "RETURN u.name AS name, labels(u) AS ls, type(r) AS rel, id(t) AS tid",
+        store=text_store,
+    ).df.collect()
+    assert rows and all(r["ls"] == ["User"] for r in rows)
+    assert all(r["rel"] == "INTERESTED_IN" for r in rows)
+    again = run_cypher(
+        spark,
+        "MATCH (t:Tech) RETURN t.name AS name, id(t) AS tid",
+        store=text_store,
+    ).df.collect()
+    ids = {r["name"]: r["tid"] for r in again}
+    for r in rows:
+        assert isinstance(r["tid"], int)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) RETURN type(u) AS t",
+            store=text_store,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) RETURN labels(z) AS l",
+            store=text_store,
+        )
