@@ -1692,3 +1692,77 @@ def strongly_connected_components(
             "raise it (rounds needed = condensation levels of the graph)"
         )
     return result
+
+
+def k_truss(edges: DataFrame, k: int = 4, max_iter: int = 20) -> DataFrame:
+    """C88 — k-truss subgraph (Cohen 2008): the maximal subgraph where
+    every edge participates in at least ``k - 2`` triangles. The
+    edge-level sibling of k-core — cores bound degree, trusses bound
+    COHESION, which is why community and spam-cluster mining prefer
+    them. The reference exposes no graph analytics at all
+    (/root/reference/cypher.txt:4-8).
+
+    Peeling loop: per round, per-edge triangle support comes from the
+    same degree-ordered adjacency enumeration as triangle_count — each
+    triangle x<y<z is found once as a wedge (x→y, x→z) closed by
+    (y, z), so a hub only fans out over its HIGHER-ordered neighbors —
+    and every triangle credits its three edges via a 3-row explode +
+    one ``groupBy(edge)``. Edges under the support threshold drop,
+    support recomputes on the survivors (removals cascade), and the
+    checksum-fold convergence test ends the loop the round nothing
+    changes — one materializing action per round, lazily checkpointed.
+    Peeling is monotone, so the fixpoint is the unique k-truss.
+
+    Returns the surviving canonical edges ``(u, v)`` with ``u < v``.
+    """
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        adj = e  # canonical u<v doubles as the ordered adjacency
+        wedges = (
+            adj.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .join(adj.select(F.col("u").alias("x"), F.col("v").alias("z")), on="x")
+            .filter(F.col("y") < F.col("z"))
+        )
+        tri = wedges.join(
+            e.select(F.col("u").alias("y"), F.col("v").alias("z")),
+            on=["y", "z"],
+            how="left_semi",
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                        F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                        F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+            .filter(F.col("_sup") >= k - 2)
+            .select("u", "v")
+        )
+        e = e.join(sup, on=["u", "v"], how="left_semi").localCheckpoint(
+            eager=False
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev or row["n"] == 0:
+            break
+        prev = cur
+    return e

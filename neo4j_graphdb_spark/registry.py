@@ -5610,6 +5610,34 @@ def q_a49_text_labels_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c88_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88 — 4-truss (graph/algorithms.py k_truss) on a graph with KNOWN
+    truss structure: each region's 5 nations form a clique (K5 — every
+    edge supports 3 triangles) and every customer hangs off its nation
+    as a tail (support 0). The 4-truss is exactly the union of the five
+    K5s — tails peel in round 1, cliques are stable — which the oracle
+    states in closed form (same construction-over-recursion trick as
+    c85's rings)."""
+    from neo4j_graphdb_spark.graph.algorithms import k_truss
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    clique = (
+        nat.alias("a")
+        .join(nat.alias("b"), on="rk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    out = k_truss(clique.unionByName(cust), k=4)
+    return out.select("u", "v")
+
+
 def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C87 — WEIGHTED PageRank (graph/algorithms.py pagerank
     ``weight_col``): rank splits across out-edges proportionally to a
@@ -5823,6 +5851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
     "c85_scc": q_c85_scc,
+    "c88_ktruss": q_c88_ktruss,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
@@ -8320,4 +8349,15 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            ['Article'] AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["c88_ktruss"] = """
+    SELECT least('N' || cast(a.n_nationkey AS varchar),
+                 'N' || cast(b.n_nationkey AS varchar)) AS u,
+           greatest('N' || cast(a.n_nationkey AS varchar),
+                    'N' || cast(b.n_nationkey AS varchar)) AS v
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey
+     AND 'N' || cast(a.n_nationkey AS varchar)
+       < 'N' || cast(b.n_nationkey AS varchar)
 """

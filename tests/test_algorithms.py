@@ -849,3 +849,33 @@ def test_weighted_pagerank_weight_direction(spark):
     a = {r["node_id"]: r["rank"] for r in pagerank(nodes3, uni, max_iter=6, weight_col="w").collect()}
     b = {r["node_id"]: r["rank"] for r in pagerank(nodes3, uni.select("src", "dst"), max_iter=6).collect()}
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_k_truss_cascading_peel(spark):
+    """K4 with a pendant triangle: the 4-truss keeps exactly the K4 —
+    the pendant triangle's edges support only 1 triangle each and peel;
+    their removal must NOT cascade into the clique. A 5-truss of K4 is
+    empty (support 2 < 3)."""
+    from neo4j_graphdb_spark.graph.algorithms import k_truss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (4, 6), (5, 6)]                          # pendant tri
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    t4 = {(r["u"], r["v"]) for r in k_truss(df, k=4).collect()}
+    assert t4 == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert k_truss(df, k=5).count() == 0
+    # k=3 keeps every triangle edge (support >= 1), drops nothing here
+    t3 = {(r["u"], r["v"]) for r in k_truss(df, k=3).collect()}
+    assert t3 == set(edges)
+
+
+def test_k_truss_chain_cascade(spark):
+    """Two triangles sharing an edge: the shared edge has support 2 but
+    the outer edges have 1 — under k=4 the outer edges peel first and
+    the shared edge must then CASCADE out (its triangles vanished)."""
+    from neo4j_graphdb_spark.graph.algorithms import k_truss
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src bigint, dst bigint"
+    )
+    assert k_truss(df, k=4).count() == 0
