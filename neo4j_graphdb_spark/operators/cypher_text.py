@@ -1126,10 +1126,145 @@ def _run_read(
     where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
     exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
+    in_with = False  # inside a non-aggregating WITH segment
+    with_order: list = []  # mid-pipeline sort Columns pending a LIMIT/SKIP
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
     unwind_name: str | None = None
     unwind_frame: DataFrame | None = None
+
+    def _apply_pending() -> None:
+        """Apply every deferred WHERE artifact (simple predicates,
+        boolean ASTs, EXISTS semi/anti joins) to the current frame and
+        clear the queues. Called terminally, and at each mid-pipeline
+        WITH boundary — Cypher scopes a WHERE to its clause block, so
+        filters recorded before a WITH must run before the WITH's
+        projection/pagination, not after a later LIMIT."""
+        nonlocal df
+        def _operand(raw: str):
+            """One WHERE comparand as a Column: temporal sentinel → its
+            pre-compiled expression, anything else → literal value."""
+            tm = re.fullmatch(r"\x01(\d+)\x01", raw)
+            if tm:
+                return temporal_cols[int(tm.group(1))]
+            return F.lit(_where_value(raw, lits, params))
+
+        for alias, prop, op, raw in predicates:
+            if alias not in aliases:
+                if rel_alias is not None and alias == rel_alias:
+                    # relationship property predicate: edge prop columns ride
+                    # the expand output unprefixed (operators/cypher.py expand
+                    # keeps every edge column except src/dst)
+                    if prop not in df.columns:
+                        raise CypherUnsupported(f"unknown relationship property {prop!r}")
+                    if op.upper() == "IN":
+                        vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+                        if not isinstance(vals, list) or not vals:
+                            raise CypherUnsupported(
+                                f"IN needs a non-empty list param, got {raw!r}"
+                            )
+                        df = df.filter(F.col(prop).isin(*vals))
+                        continue
+                    df = df.filter(_op_fn(op)(F.col(prop), _operand(raw)))
+                    continue
+                raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
+            if raw == unwind_name and unwind_frame is not None:
+                # comparison against the unwound variable: a broadcast
+                # equi-join (the batch point-lookup), not a per-value scan
+                if op != "=":
+                    raise CypherUnsupported("UNWIND comparisons support = only")
+                df = df.join(
+                    F.broadcast(unwind_frame),
+                    _prop_col(df, aliases[alias], prop) == unwind_frame[unwind_name],
+                )
+                continue
+            if op.upper() == "IN":
+                # `prop IN $list` — a pushdown-friendly In filter; the list
+                # must be a scalar param (Cypher's literal-list form would
+                # arrive masked and is out of the subset)
+                vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+                if not isinstance(vals, list) or not vals:
+                    raise CypherUnsupported(
+                        f"IN needs a non-empty list param, got {raw!r}"
+                    )
+                df = df.filter(_prop_col(df, aliases[alias], prop).isin(*vals))
+                continue
+            if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+                raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
+            # a plain column comparison Catalyst pushes into the scan —
+            # WHERE costs a filter, never a different plan shape
+            df = df.filter(
+                _op_fn(op)(_prop_col(df, aliases[alias], prop), _operand(raw))
+            )
+
+        if where_exprs:
+            # resolve each boolean AST to one filter Column: leaves reuse the
+            # simple path's column/value resolution, connectives map to
+            # Spark's three-valued &/|/~ — which IS Cypher's NULL semantics
+            # (NOT null -> null -> row dropped)
+            def _leaf(alias: str, prop: str, op: str, raw: str):
+                if alias not in aliases:
+                    if rel_alias is not None and alias == rel_alias:
+                        if prop not in df.columns:
+                            raise CypherUnsupported(
+                                f"unknown relationship property {prop!r}"
+                            )
+                        col = F.col(prop)
+                    else:
+                        raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
+                else:
+                    col = _prop_col(df, aliases[alias], prop)
+                if op.upper() == "IN":
+                    vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
+                    if not isinstance(vals, list) or not vals:
+                        raise CypherUnsupported(
+                            f"IN needs a non-empty list param, got {raw!r}"
+                        )
+                    return col.isin(*vals)
+                if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+                    raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
+                return _op_fn(op)(col, _operand(raw))
+
+            def _walk(n):
+                if n[0] == "pred":
+                    return _leaf(n[1], n[2], n[3], n[4])
+                if n[0] == "not":
+                    return ~_walk(n[1])
+                left, right = _walk(n[1]), _walk(n[2])
+                return (left & right) if n[0] == "and" else (left | right)
+
+            for node in where_exprs:
+                df = df.filter(_walk(node))
+
+        for sa, rel_type, direction, dst_label, negated in exists_preds:
+            # [NOT] EXISTS { (a)-[:T]->(:L) } — one LEFT SEMI (ANTI when
+            # negated) join of the bound frame against the qualifying edge
+            # endpoints; the label restriction is itself a semi join on the
+            # dimension-sized node side, so no new columns and no fan-out
+            # ever reach the main frame
+            if sa is None or sa not in aliases:
+                raise CypherUnsupported(f"EXISTS on unbound alias: {sa!r}")
+            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+            e = graph.edges_df
+            if e is None:
+                raise CypherUnsupported("graph has no edges")
+            if rel_type:
+                e = e.filter(F.col("rel_type") == rel_type)
+            e = _orient_edges(e, direction)
+            if dst_label is not None:
+                lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
+                e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
+            srcs = e.select(F.col("src").alias("_xsrc"))
+            src_id = (
+                F.col(f"{aliases[sa]}{NODE_ID}") if aliases[sa] else F.col(NODE_ID)
+            )
+            df = df.join(
+                srcs, src_id == F.col("_xsrc"), "left_anti" if negated else "left_semi"
+            )
+        predicates.clear()
+        where_exprs.clear()
+        exists_preds.clear()
 
     for c in clauses:
         if c.kind == "UNWIND":
@@ -1152,6 +1287,8 @@ def _run_read(
             )
         elif c.kind == "MATCH":
             if df is not None:
+                in_with = False
+                with_order = []
                 # chained MATCH: `MATCH (a:L1)-[:T1]->(b:L2) MATCH
                 # (b)-[:T2]->(c:L3)` — the second pattern must START from
                 # an alias the first one bound; it compiles to one more
@@ -1354,7 +1491,44 @@ def _run_read(
                     predicates.append(
                         (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
                     )
+        elif c.kind == "WITH":
+            # non-aggregating WITH: a mid-pipeline horizon. Deferred
+            # filters flush FIRST (Cypher scopes a WHERE to its clause
+            # block — it must run before this projection, and before any
+            # pagination that follows), then the frame narrows to the
+            # listed aliases (everything else leaves scope) and the
+            # following ORDER BY / SKIP / LIMIT apply mid-pipeline
+            # instead of terminally. The aggregating form is handled by
+            # the recursion pre-pass above.
+            if df is None:
+                raise CypherUnsupported("WITH needs a preceding MATCH")
+            items = _split_top_commas(c.body)
+            for it in items:
+                if it not in aliases:
+                    raise CypherUnsupported(
+                        f"WITH supports bound bare aliases, got {it!r}"
+                    )
+            _apply_pending()
+            keep_prefixes = [aliases[it] for it in items]
+            if "" not in keep_prefixes:
+                cols = [
+                    col
+                    for col in df.columns
+                    if any(col.startswith(p) for p in keep_prefixes)
+                ]
+                df = df.select(*cols)
+                rel_alias = None  # edge columns left the scope
+            aliases = {it: aliases[it] for it in items}
+            in_with = True
+            with_order = []
         elif c.kind == "RETURN":
+            if in_with:
+                if with_order:
+                    # a trailing WITH … ORDER BY with no LIMIT fixes the
+                    # result order entering RETURN
+                    df = df.orderBy(*with_order)
+                    with_order = []
+                in_with = False
             body = c.body
             dm = re.match(r"^DISTINCT\s+", body, re.IGNORECASE)
             if dm:
@@ -1371,143 +1545,47 @@ def _run_read(
                 )
                 if not m:
                     raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
-                order_by.append(
-                    (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
-                )
+                if in_with:
+                    key, desc = m.group("key"), bool(m.group("dir")) and m.group("dir").upper() == "DESC"
+                    if "." not in key:
+                        raise CypherUnsupported(
+                            f"WITH … ORDER BY needs alias.prop keys, got {key!r}"
+                        )
+                    a, prop = key.split(".", 1)
+                    if a not in aliases:
+                        raise CypherUnsupported(f"ORDER BY on unbound alias: {a!r}")
+                    col = _prop_col(df, aliases[a], prop)
+                    with_order.append(col.desc() if desc else col.asc())
+                else:
+                    order_by.append(
+                        (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
+                    )
         elif c.kind == "SKIP":
             # the reference pages its crawl the same way
             # (src/crwling.py:110 — start = (p_num * 10) + 1); SKIP is
             # Cypher's offset, applied after ORDER BY and before LIMIT
-            skip = int(c.body)
+            if in_with:
+                if with_order:
+                    df = df.orderBy(*with_order)
+                    with_order = []
+                df = df.offset(int(c.body))
+            else:
+                skip = int(c.body)
         elif c.kind == "LIMIT":
-            limit = int(c.body)
+            if in_with:
+                if with_order:
+                    df = df.orderBy(*with_order)
+                    with_order = []
+                df = df.limit(int(c.body))
+            else:
+                limit = int(c.body)
         else:
             raise CypherUnsupported(f"{c.kind} unsupported in read statements")
 
     if df is None or not returns:
         raise CypherUnsupported("read statement needs MATCH … RETURN …")
 
-    def _operand(raw: str):
-        """One WHERE comparand as a Column: temporal sentinel → its
-        pre-compiled expression, anything else → literal value."""
-        tm = re.fullmatch(r"\x01(\d+)\x01", raw)
-        if tm:
-            return temporal_cols[int(tm.group(1))]
-        return F.lit(_where_value(raw, lits, params))
-
-    for alias, prop, op, raw in predicates:
-        if alias not in aliases:
-            if rel_alias is not None and alias == rel_alias:
-                # relationship property predicate: edge prop columns ride
-                # the expand output unprefixed (operators/cypher.py expand
-                # keeps every edge column except src/dst)
-                if prop not in df.columns:
-                    raise CypherUnsupported(f"unknown relationship property {prop!r}")
-                if op.upper() == "IN":
-                    vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-                    if not isinstance(vals, list) or not vals:
-                        raise CypherUnsupported(
-                            f"IN needs a non-empty list param, got {raw!r}"
-                        )
-                    df = df.filter(F.col(prop).isin(*vals))
-                    continue
-                df = df.filter(_op_fn(op)(F.col(prop), _operand(raw)))
-                continue
-            raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
-        if raw == unwind_name and unwind_frame is not None:
-            # comparison against the unwound variable: a broadcast
-            # equi-join (the batch point-lookup), not a per-value scan
-            if op != "=":
-                raise CypherUnsupported("UNWIND comparisons support = only")
-            df = df.join(
-                F.broadcast(unwind_frame),
-                _prop_col(df, aliases[alias], prop) == unwind_frame[unwind_name],
-            )
-            continue
-        if op.upper() == "IN":
-            # `prop IN $list` — a pushdown-friendly In filter; the list
-            # must be a scalar param (Cypher's literal-list form would
-            # arrive masked and is out of the subset)
-            vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-            if not isinstance(vals, list) or not vals:
-                raise CypherUnsupported(
-                    f"IN needs a non-empty list param, got {raw!r}"
-                )
-            df = df.filter(_prop_col(df, aliases[alias], prop).isin(*vals))
-            continue
-        if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
-            raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
-        # a plain column comparison Catalyst pushes into the scan —
-        # WHERE costs a filter, never a different plan shape
-        df = df.filter(
-            _op_fn(op)(_prop_col(df, aliases[alias], prop), _operand(raw))
-        )
-
-    if where_exprs:
-        # resolve each boolean AST to one filter Column: leaves reuse the
-        # simple path's column/value resolution, connectives map to
-        # Spark's three-valued &/|/~ — which IS Cypher's NULL semantics
-        # (NOT null -> null -> row dropped)
-        def _leaf(alias: str, prop: str, op: str, raw: str):
-            if alias not in aliases:
-                if rel_alias is not None and alias == rel_alias:
-                    if prop not in df.columns:
-                        raise CypherUnsupported(
-                            f"unknown relationship property {prop!r}"
-                        )
-                    col = F.col(prop)
-                else:
-                    raise CypherUnsupported(f"WHERE on unbound alias: {alias!r}")
-            else:
-                col = _prop_col(df, aliases[alias], prop)
-            if op.upper() == "IN":
-                vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-                if not isinstance(vals, list) or not vals:
-                    raise CypherUnsupported(
-                        f"IN needs a non-empty list param, got {raw!r}"
-                    )
-                return col.isin(*vals)
-            if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
-                raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
-            return _op_fn(op)(col, _operand(raw))
-
-        def _walk(n):
-            if n[0] == "pred":
-                return _leaf(n[1], n[2], n[3], n[4])
-            if n[0] == "not":
-                return ~_walk(n[1])
-            left, right = _walk(n[1]), _walk(n[2])
-            return (left & right) if n[0] == "and" else (left | right)
-
-        for node in where_exprs:
-            df = df.filter(_walk(node))
-
-    for sa, rel_type, direction, dst_label, negated in exists_preds:
-        # [NOT] EXISTS { (a)-[:T]->(:L) } — one LEFT SEMI (ANTI when
-        # negated) join of the bound frame against the qualifying edge
-        # endpoints; the label restriction is itself a semi join on the
-        # dimension-sized node side, so no new columns and no fan-out
-        # ever reach the main frame
-        if sa is None or sa not in aliases:
-            raise CypherUnsupported(f"EXISTS on unbound alias: {sa!r}")
-        from neo4j_graphdb_spark.operators.cypher import _orient_edges
-
-        e = graph.edges_df
-        if e is None:
-            raise CypherUnsupported("graph has no edges")
-        if rel_type:
-            e = e.filter(F.col("rel_type") == rel_type)
-        e = _orient_edges(e, direction)
-        if dst_label is not None:
-            lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
-            e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
-        srcs = e.select(F.col("src").alias("_xsrc"))
-        src_id = (
-            F.col(f"{aliases[sa]}{NODE_ID}") if aliases[sa] else F.col(NODE_ID)
-        )
-        df = df.join(
-            srcs, src_id == F.col("_xsrc"), "left_anti" if negated else "left_semi"
-        )
+    _apply_pending()
 
     if any(_AGG_ITEM_RE.match(i) for i in returns):
         if return_distinct:

@@ -5610,6 +5610,31 @@ def q_a49_text_labels_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 ext — NON-aggregating WITH pipelines in the string front-end:
+    the a10 statement verbatim as text —
+
+        MATCH (p:Publisher) WITH p ORDER BY p.name LIMIT 10
+        MATCH (p)<-[:WRITTEN_BY]-(a:Article)
+        RETURN p.name AS publisher, count(*) AS n_articles
+
+    The WITH flushes deferred filters, narrows scope to ``p``, applies
+    the sort+limit MID-pipeline (only the first 10 publishers survive
+    into the second MATCH — a RETURN-level LIMIT would truncate the
+    final aggregate instead), and the chained incoming MATCH + implicit
+    grouping run on the paginated frame. Oracle = a10's."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (p:Publisher) WITH p ORDER BY p.name LIMIT 10 "
+        "MATCH (p)<-[:WRITTEN_BY]-(a:Article) "
+        "RETURN p.name AS publisher, count(*) AS n_articles",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c88_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C88 — 4-truss (graph/algorithms.py k_truss) on a graph with KNOWN
     truss structure: each region's 5 nations form a clique (K5 — every
@@ -5833,6 +5858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a47_text_string_preds": q_a47_text_string_preds,
     "a48_text_exists": q_a48_text_exists,
     "a49_text_labels_type": q_a49_text_labels_type,
+    "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5845,8 +5871,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
-    "c50_containment": q_c50_containment,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
     "c52_neighbor_stats": q_c52_neighbor_stats,
     "c53_quota_sample": q_c53_quota_sample,
@@ -8361,3 +8387,5 @@ ORACLES["c88_ktruss"] = """
      AND 'N' || cast(a.n_nationkey AS varchar)
        < 'N' || cast(b.n_nationkey AS varchar)
 """
+
+ORACLES["a50_text_with_pipeline"] = ORACLES["a10_with_chain"]

@@ -1410,3 +1410,49 @@ def test_text_labels_type_id_functions(spark, text_store):
             "MATCH (u:User) RETURN labels(z) AS l",
             store=text_store,
         )
+
+
+def test_text_with_pipeline_mid_sort_limit(spark, text_store):
+    """Non-aggregating WITH: mid-pipeline ORDER BY + LIMIT restricts
+    what flows into the NEXT clause (not the final result), WHERE before
+    the WITH flushes pre-pagination, scope narrows to the listed
+    aliases, and SKIP pages mid-stream."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    # first 2 techs by name, then their users — vs the unrestricted join
+    limited = run_cypher(
+        spark,
+        "MATCH (t:Tech) WITH t ORDER BY t.name LIMIT 1 "
+        "MATCH (t)<-[:INTERESTED_IN]-(u:User) "
+        "RETURN t.name AS tech, u.name AS user",
+        store=text_store,
+    ).df
+    techs = {r["tech"] for r in limited.collect()}
+    assert len(techs) == 1
+    full = run_cypher(
+        spark,
+        "MATCH (t:Tech) WITH t "
+        "MATCH (t)<-[:INTERESTED_IN]-(u:User) "
+        "RETURN t.name AS tech, u.name AS user",
+        store=text_store,
+    ).df
+    assert full.count() >= limited.count()
+    # WHERE before WITH flushes before the LIMIT
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.link STARTS WITH 'http' "
+        "WITH a ORDER BY a.link SKIP 1 LIMIT 2 RETURN a.link AS link",
+        store=text_store,
+    ).df.collect()
+    assert len(rows) == 2
+    # dropped aliases leave scope
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) WITH u "
+            "RETURN t.name AS tech",
+            store=text_store,
+        )
