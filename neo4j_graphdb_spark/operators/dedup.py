@@ -620,3 +620,78 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src", "dst", "n_shared", F.round("containment", 6).alias("containment"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then prune near-duplicate items WITHIN each
+    cluster — the trick that makes semantic dedup tractable where the
+    all-pairs cosine matrix is not (pair generation is bounded by
+    Σ cluster_size², controlled by ``k``, instead of n²).
+
+    Pruning policy is deterministic greedy-by-id: an item drops iff some
+    LOWER-id member of its cluster sits above ``threshold`` cosine (the
+    paper keeps extreme-from-centroid representatives; min-id is the
+    order-free engine-agnostic equivalent, and what makes the pass
+    SQL-replayable). Returns ``(id_col, cluster, keep)`` for every
+    vector.
+
+    Scale shape: the k-means fit is :func:`similarity.kmeans_fit`
+    (broadcast argmax assignment, one shuffle per Lloyd round); the
+    within-cluster pair join shuffles once on the cluster id; nothing
+    ever compares across clusters. A skewed giant cluster is the knob's
+    fault — raise ``k`` (the paper runs k ≈ √n or larger).
+    """
+    from neo4j_graphdb_spark.operators.similarity import cosine, kmeans_fit
+
+    cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    c = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    ct = cents.select(
+        F.col("centroid_id").alias("_cent"), F.col("centroid").alias("_cent_v")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(ct))
+        .select(
+            F.col(id_col),
+            "_cv",
+            "_cent",
+            cosine(F.col("_cv"), F.col("_cent_v")).alias("_ac"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr("max_by(_cent, struct(_ac, -_cent))").alias("cluster"),
+            F.first("_cv").alias("_cv"),
+        )
+        .localCheckpoint(eager=False)  # reused by both pair sides + output
+    )
+    lhs = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("_ida"), F.col("_cv").alias("_va")
+    )
+    rhs = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("_idb"), F.col("_cv").alias("_vb")
+    )
+    dropped = (
+        lhs.join(rhs, on="cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) > threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_drop", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )

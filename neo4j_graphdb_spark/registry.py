@@ -441,6 +441,65 @@ def _ivf_kmeans_oracle_sql(
     """
 
 
+def _semdedup_oracle_sql(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
+    """DuckDB twin of :func:`operators.dedup.semdedup`: the same Lloyd
+    unroll as ``_ivf_kmeans_oracle_sql`` (identical rounded centroids),
+    then the within-cluster lower-id near-dup test as one EXISTS-shaped
+    self-join."""
+    steps = []
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        asg{i} AS MATERIALIZED (
+            SELECT vec_id, cv, cent_id AS cell FROM (
+                SELECT c.vec_id, c.cv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS rn
+                FROM c CROSS JOIN {prev} ct
+            ) WHERE rn = 1
+        ),
+        cents{i} AS MATERIALIZED (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_v FROM (
+                SELECT cell, pos, round(avg(x), 6) AS m FROM (
+                    SELECT cell, unnest(cv) AS x, unnest(range(len(cv))) AS pos
+                    FROM asg{i}
+                ) GROUP BY cell, pos
+            ) GROUP BY cell
+        )""")
+        prev = f"cents{i}"
+    fit = ",".join(steps)
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+            FROM embeddings
+        ),
+        cents0 AS MATERIALIZED (
+            SELECT vec_id AS cent_id, cv AS cent_v FROM c ORDER BY vec_id LIMIT {k}
+        ),{fit},
+        assigned AS MATERIALIZED (
+            SELECT vec_id, cv, cent_id AS cell FROM (
+                SELECT c.vec_id, c.cv, ct.cent_id,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, ct.cent_v) DESC,
+                                    ct.cent_id ASC) AS rn
+                FROM c CROSS JOIN {prev} ct
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.cv, b.cv) > {threshold}
+        )
+        SELECT a.vec_id, a.cell::bigint AS cluster,
+               (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+        FROM assigned a
+    """
+
+
 def _pq_oracle_sql(
     dim: int = 64, m: int = 4, k: int = 8, iters: int = 1, nq: int = 5, topk: int = 5
 ) -> str:
@@ -5635,6 +5694,22 @@ def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c89_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89 — SemDeDup semantic dedup (operators/dedup.py semdedup):
+    k-means the embedding space (the c9 deterministic Lloyd fit), then
+    drop any vector whose cluster holds a lower-id member above 0.3
+    cosine — pair work bounded by Σ cluster_size², never n². Full value
+    oracle: the identical Lloyd unroll plus the within-cluster EXISTS
+    self-join (``_semdedup_oracle_sql``)."""
+    from neo4j_graphdb_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k=8, iters=2, threshold=0.3)
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "keep"
+    )
+
+
 def q_c88_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C88 — 4-truss (graph/algorithms.py k_truss) on a graph with KNOWN
     truss structure: each region's 5 nations form a clique (K5 — every
@@ -5878,6 +5953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c53_quota_sample": q_c53_quota_sample,
     "c85_scc": q_c85_scc,
     "c88_ktruss": q_c88_ktruss,
+    "c89_semdedup": q_c89_semdedup,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
@@ -8389,3 +8465,5 @@ ORACLES["c88_ktruss"] = """
 """
 
 ORACLES["a50_text_with_pipeline"] = ORACLES["a10_with_chain"]
+
+ORACLES["c89_semdedup"] = _semdedup_oracle_sql(k=8, iters=2, threshold=0.3)

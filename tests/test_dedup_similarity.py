@@ -365,3 +365,26 @@ def test_pq_fit_shape_and_determinism(spark):
     d1 = {key(r): r["code"] for r in c1}
     d2 = {key(r): r["code"] for r in c2}
     assert d1 == d2
+
+
+def test_semdedup_known_duplicates(spark):
+    """Three exact-duplicate vectors and one orthogonal vector: the
+    duplicates land in one cluster, only the min-id survives; the
+    orthogonal vector keeps regardless of cluster."""
+    from neo4j_graphdb_spark.operators.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, iters=1, threshold=0.9).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[3]["keep"] is False
+    assert out[4]["keep"] is True
+    assert out[2]["cluster"] == out[1]["cluster"] == out[3]["cluster"]
+    # determinism: same output on a second run
+    again = {r["vec_id"]: tuple(r) for r in semdedup(df, k=2, iters=1, threshold=0.9).collect()}
+    assert again == {k2: tuple(v) for k2, v in out.items()}
