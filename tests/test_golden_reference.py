@@ -1456,3 +1456,31 @@ def test_text_with_pipeline_mid_sort_limit(spark, text_store):
             "RETURN t.name AS tech",
             store=text_store,
         )
+
+
+def test_cli_main_write_then_read(spark, tmp_path, capsys):
+    """`python -m neo4j_graphdb_spark`: a write script reports counters,
+    the read prints header + rows, an empty result says so — the
+    reference's main.py interaction shape (main.py:17-25)."""
+    from neo4j_graphdb_spark.__main__ import main
+
+    store_dir = str(tmp_path / "cli_store")
+    rc = main(
+        [
+            "--store", store_dir,
+            "--param", "name=Ada", "--param", "tech=Spark",
+            "MERGE (u:User {name: $name}) MERGE (t:Tech {name: $tech}) "
+            "MERGE (u)-[:INTERESTED_IN]->(t); "
+            "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) "
+            "RETURN u.name AS user, t.name AS tech",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nodes_created=2" in out and "relationships_created=1" in out
+    assert "user\ttech" in out and "Ada\tSpark" in out
+    rc = main(
+        ["--store", store_dir, "MATCH (z:Zilch) RETURN z.name AS name"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "(no rows)" in out
