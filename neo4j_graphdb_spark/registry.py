@@ -5887,12 +5887,14 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r02-r04 windows covered the a1-a15 / b1-b8 / c1-c10 block;
 #   r05's window covered c11-c36 + the early rel_* suite;
 #   r06's window (current first 50) = the round-6 additions
-#   (a42-a44, c84) + the three entries changed this round
+#   (a42-a50, c84) + the three entries changed this round
 #   (c37 degree-capped, c8_minhash_lsh / c8_simhash md5-oracled) + the
-#   a17-a41 front-end/writer backlog + c38-c55.
+#   a17-a41 front-end/writer backlog + c38-c48.
 #   Next rotation (r07) should LEAD with the block tagged "r7 window
-#   backlog" below — c56-c83 and the late rel_* entries — which will
-#   complete driver coverage of every declared entry.
+#   backlog" below — c49-c83, c85-c89, and the late rel_* entries —
+#   which completes driver coverage of every declared entry in two
+#   windows (the backlog is ~54 entries; whatever r07's 50 slots miss,
+#   r08 leads with).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r6 driver window (first 50): new + changed entries, then the
     # never-driver-checked a*/c37-c55 backlog (rotation ledger below) ----
