@@ -147,6 +147,10 @@ _SET_ITEM_RE = re.compile(
     r"|datetime\(\s*\{\s*epochMillis\s*:\s*\$(?P<epoch>\w+)\s*\}\s*\))$"
 )
 
+# `SET n += $map` — Neo4j's property-map merge (mutating += keeps
+# untouched props; our SET coalesce semantics already do)
+_SET_MAP_RE = re.compile(r"^(?P<alias>\w+)\s*\+=\s*\$(?P<param>\w+)$")
+
 _RETURN_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
@@ -822,6 +826,28 @@ def _run_write(
         elif c.kind == "SET":
             mode = set_modes.get(ci)
             for item in _split_top_commas(c.body):
+                mm2 = _SET_MAP_RE.match(item)
+                if mm2:
+                    # `SET a += $props`: the dict param's keys become
+                    # per-prop literal SETs at compile time — identical
+                    # writer path, identical counters; a DataFrame batch
+                    # would need a map column, out of the subset
+                    np = nodes.get(mm2.group("alias"))
+                    if np is None:
+                        raise CypherUnsupported(f"SET on unbound alias: {item!r}")
+                    pv = (params or {}).get(mm2.group("param")) if isinstance(params, dict) else None
+                    if not isinstance(pv, dict) or not pv:
+                        raise CypherUnsupported(
+                            f"SET += needs a non-empty dict param, got ${mm2.group('param')}"
+                        )
+                    target = {
+                        None: np.set_props,
+                        "CREATE": np.create_props,
+                        "MATCH": np.match_props,
+                    }[mode]
+                    for pk, pval in pv.items():
+                        target[pk] = ("lit", pval)
+                    continue
                 m = _SET_ITEM_RE.match(item)
                 if not m:
                     raise CypherUnsupported(f"unsupported SET item: {item!r}")
@@ -875,8 +901,10 @@ def _run_write(
             for prop, param in props.items():
                 if param is None:
                     val = F.current_timestamp()
-                elif isinstance(param, tuple):  # ("epoch_ms", param_name)
+                elif isinstance(param, tuple) and param[0] == "epoch_ms":
                     val = F.timestamp_millis(F.col(param[1]).cast("long"))
+                elif isinstance(param, tuple) and param[0] == "lit":
+                    val = F.lit(param[1])
                 else:
                     val = F.col(param)
                 cols.append(val.alias(prop))

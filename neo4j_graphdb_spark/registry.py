@@ -5694,6 +5694,41 @@ def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a51_text_set_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 ext — ``SET a += $props`` property-map merge (the Neo4j batch
+    ingest idiom): the dict param's keys compile into per-prop literal
+    SETs on the same writer path (coalesce keeps untouched props, the
+    counters book the applied cells). Three documents get patched
+    titles plus a brand-new ``rank`` property (schema widening — the
+    untouched rows read it back NULL), which the oracle states with a
+    CASE over the patched ids."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a51_"))
+    run_cypher(
+        spark, "MERGE (a:Article {link: $link}) SET a.title = $title", pdf,
+        store=store,
+    )
+    for i, d in enumerate((3, 7, 11)):
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $link}) SET a += $props",
+            {"link": f"doc://{d}", "props": {"title": f"patched {i}", "rank": i}},
+            store=store,
+        )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, a.title AS title, a.rank AS rank",
+        store=store,
+    )
+    return res.df
+
+
 def q_c89_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C89 — SemDeDup semantic dedup (operators/dedup.py semdedup):
     k-means the embedding space (the c9 deterministic Lloyd fit), then
@@ -5936,6 +5971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a48_text_exists": q_a48_text_exists,
     "a49_text_labels_type": q_a49_text_labels_type,
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
+    "a51_text_set_map": q_a51_text_set_map,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -5947,8 +5983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c46_betweenness": q_c46_betweenness,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
-    "c49_zipf_fit": q_c49_zipf_fit,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c49_zipf_fit": q_c49_zipf_fit,
     "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
     "c52_neighbor_stats": q_c52_neighbor_stats,
@@ -8469,3 +8505,12 @@ ORACLES["c88_ktruss"] = """
 ORACLES["a50_text_with_pipeline"] = ORACLES["a10_with_chain"]
 
 ORACLES["c89_semdedup"] = _semdedup_oracle_sql(k=8, iters=2, threshold=0.3)
+
+ORACLES["a51_text_set_map"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           CASE doc_id WHEN 3 THEN 'patched 0' WHEN 7 THEN 'patched 1'
+                WHEN 11 THEN 'patched 2' ELSE substr(text, 1, 40) END AS title,
+           (CASE doc_id WHEN 3 THEN 0 WHEN 7 THEN 1 WHEN 11 THEN 2 END)::bigint
+               AS rank
+    FROM documents
+"""

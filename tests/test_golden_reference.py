@@ -1484,3 +1484,41 @@ def test_cli_main_write_then_read(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "(no rows)" in out
+
+
+def test_text_set_map_merge(spark, tmp_path):
+    """SET a += $props: map keys become property SETs (coalesce keeps
+    untouched props on re-merge), composes with ON CREATE and plain
+    SET, and refuses non-dict params."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "set_map"))
+    r = run_cypher(
+        spark,
+        "MERGE (a:Doc {k: $k}) SET a += $props",
+        {"k": "d1", "props": {"title": "T1", "rank": 7}},
+        store=s,
+    )
+    assert r.summary.nodes_created == 1 and r.summary.properties_set == 2
+    run_cypher(
+        spark,
+        "MERGE (a:Doc {k: $k}) SET a += $props",
+        {"k": "d1", "props": {"rank": 9}},
+        store=s,
+    )
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.k AS k, a.title AS title, a.rank AS rank",
+        store=s,
+    ).df.collect()
+    assert [tuple(r) for r in rows] == [("d1", "T1", 9)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (a:Doc {k: $k}) SET a += $nope",
+            {"k": "x", "nope": 3},
+            store=s,
+        )
