@@ -5729,6 +5729,31 @@ def q_a51_text_set_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c90_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90 — per-day approximate distinct users (HyperLogLog++,
+    ``approx_count_distinct`` rsd=5%) NEXT TO the exact twin, windowed —
+    the dashboard cardinality pattern where the sketch replaces a
+    count-distinct expand at scale (mergeable partials, one pass). Like
+    c25, the oracle checks the exact counts plus the sketch's
+    bounded-error VERDICT (|approx−exact| ≤ 3·rsd·exact — ~4 sigma;
+    Spark's HLL is deterministic for fixed input, so a bound break flips
+    the hash loudly instead of hiding)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    out = ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_n_approx"),
+    )
+    return out.select(
+        "day",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            <= 3 * 0.05 * F.col("n_exact")
+        ).alias("bound_ok"),
+    )
+
+
 def q_c89_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C89 — SemDeDup semantic dedup (operators/dedup.py semdedup):
     k-means the embedding space (the c9 deterministic Lloyd fit), then
@@ -5992,6 +6017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c85_scc": q_c85_scc,
     "c88_ktruss": q_c88_ktruss,
     "c89_semdedup": q_c89_semdedup,
+    "c90_window_approx_distinct": q_c90_window_approx_distinct,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
@@ -8513,4 +8539,11 @@ ORACLES["a51_text_set_map"] = """
            (CASE doc_id WHEN 3 THEN 0 WHEN 7 THEN 1 WHEN 11 THEN 2 END)::bigint
                AS rank
     FROM documents
+"""
+
+ORACLES["c90_window_approx_distinct"] = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id)::bigint AS n_exact,
+           true AS bound_ok
+    FROM events GROUP BY 1
 """
