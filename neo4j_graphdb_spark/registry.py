@@ -5951,10 +5951,10 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (c37 degree-capped, c8_minhash_lsh / c8_simhash md5-oracled) + the
 #   a17-a41 front-end/writer backlog + c38-c48.
 #   Next rotation (r07) should LEAD with the block tagged "r7 window
-#   backlog" below — c49-c83, c85-c89, and the late rel_* entries —
-#   which completes driver coverage of every declared entry in two
-#   windows (the backlog is ~54 entries; whatever r07's 50 slots miss,
-#   r08 leads with).
+#   backlog" below — c49 onward, the c85-c90 round-6 additions, and the
+#   late rel_* entries — which completes driver coverage of every
+#   declared entry in two windows (the backlog is ~60 entries; whatever
+#   r07's 50 slots miss, r08 leads with).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r6 driver window (first 50): new + changed entries, then the
     # never-driver-checked a*/c37-c55 backlog (rotation ledger below) ----
