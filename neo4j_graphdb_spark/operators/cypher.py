@@ -131,6 +131,7 @@ class Graph:
         src_alias: str = "a",
         dst_alias: str = "b",
         direction: str = "out",
+        on_extra=None,
     ) -> DataFrame:
         """``MATCH (a[:L1]) OPTIONAL MATCH (a)-[r[:T]]->(b[:L2])`` —
         every source node appears; nodes with no matching edge carry
@@ -140,7 +141,13 @@ class Graph:
         optionality costs nothing extra. ``direction`` as in
         :meth:`expand` (edge-side column swap/union, applied before the
         outer join so the optionality semantics are orientation-blind).
-        """
+
+        ``on_extra`` — optional ``(src_df, matched_df) -> Column``
+        folded into the outer join's ON condition: this is Cypher's
+        ``OPTIONAL MATCH … WHERE`` semantics, where a failing predicate
+        NULLs the optional side instead of dropping the row (a
+        post-join filter — the thing it must NOT compile to — would
+        drop it)."""
         if self.edges_df is None:
             raise ValueError("graph has no edges")
         e = self.edges_df
@@ -152,9 +159,10 @@ class Graph:
             dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"], "inner"
         ).drop("dst")
         src = _prefix(self.match(src_label), src_alias)
-        return src.join(
-            matched, src[f"{src_alias}_{NODE_ID}"] == matched["src"], "left"
-        ).drop("src")
+        cond = src[f"{src_alias}_{NODE_ID}"] == matched["src"]
+        if on_extra is not None:
+            cond = cond & on_extra(src, matched)
+        return src.join(matched, cond, "left").drop("src")
 
     def expand_var(
         self,

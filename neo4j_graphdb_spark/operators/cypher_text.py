@@ -1294,7 +1294,10 @@ def _run_read(
         where_exprs.clear()
         exists_preds.clear()
 
-    for c in clauses:
+    consumed: set[int] = set()  # WHERE clauses folded into an OPTIONAL MATCH
+    for _ci, c in enumerate(clauses):
+        if _ci in consumed:
+            continue
         if c.kind == "UNWIND":
             # read-side UNWIND: batch point-lookup — the list param
             # becomes a 1-column frame, and `WHERE alias.prop = name`
@@ -1475,16 +1478,81 @@ def _run_read(
             # the node scan is re-expressed as the LEFT side of the
             # optional expand; deferred predicates on the source alias
             # re-resolve through its new column prefix
+            opt_rel = m.group("rel_alias")
+            on_extra = None
+            nxt = clauses[_ci + 1] if _ci + 1 < len(clauses) else None
+            if nxt is not None and nxt.kind == "WHERE":
+                # Cypher scopes this WHERE to the OPTIONAL pattern: it
+                # folds into the outer join's ON condition (a failing
+                # predicate NULLs the optional side; a post-join filter
+                # would wrongly DROP the source row). Temporal/EXISTS
+                # forms stay out of this position.
+                if re.search(
+                    r"(?<![.$\w])(?:datetime|EXISTS)\b", nxt.body, re.IGNORECASE
+                ):
+                    raise CypherUnsupported(
+                        "datetime()/EXISTS are unsupported in an "
+                        "OPTIONAL MATCH … WHERE"
+                    )
+                opt_ast = _parse_bool_expr(nxt.body)
+                consumed.add(_ci + 1)
+
+                def _make_on_extra(ast, sa=sa, da=da, rel=opt_rel):
+                    def _on(src_df, matched_df):
+                        def _leaf(al, prop, op, raw):
+                            if al == sa:
+                                col = _prop_col(src_df, f"{sa}_", prop)
+                            elif al == da:
+                                col = _prop_col(matched_df, f"{da}_", prop)
+                            elif rel is not None and al == rel:
+                                if prop not in matched_df.columns:
+                                    raise CypherUnsupported(
+                                        f"unknown relationship property {prop!r}"
+                                    )
+                                col = matched_df[prop]
+                            else:
+                                raise CypherUnsupported(
+                                    f"OPTIONAL MATCH WHERE on unbound alias: {al!r}"
+                                )
+                            if op.upper() == "IN":
+                                vals = (
+                                    (params or {}).get(raw[1:])
+                                    if raw.startswith("$")
+                                    else None
+                                )
+                                if not isinstance(vals, list) or not vals:
+                                    raise CypherUnsupported(
+                                        f"IN needs a non-empty list param, got {raw!r}"
+                                    )
+                                return col.isin(*vals)
+                            return _op_fn(op)(
+                                col, F.lit(_where_value(raw, lits, params))
+                            )
+
+                        def _walk(n):
+                            if n[0] == "pred":
+                                return _leaf(n[1], n[2], n[3], n[4])
+                            if n[0] == "not":
+                                return ~_walk(n[1])
+                            l, r = _walk(n[1]), _walk(n[2])
+                            return (l & r) if n[0] == "and" else (l | r)
+
+                        return _walk(ast)
+
+                    return _on
+
+                on_extra = _make_on_extra(opt_ast)
             df = graph.expand_optional(
                 rel_type=m.group("rel_type"),
                 src_label=s_label,
                 dst_label=m.group("dst_label"),
                 src_alias=sa, dst_alias=da,
                 direction=_rel_direction(m),
+                on_extra=on_extra,
             )
             aliases[sa] = f"{sa}_"
             aliases[da] = f"{da}_"
-            rel_alias = m.group("rel_alias")
+            rel_alias = opt_rel
             rel_prefixed = True
         elif c.kind == "WHERE":
             body = c.body

@@ -5729,6 +5729,25 @@ def q_a51_text_set_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a52_text_optional_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 ext — ``OPTIONAL MATCH … WHERE`` with CYPHER semantics: the
+    predicate folds into the outer join's ON condition, so a failing
+    match NULLs the optional side instead of dropping the source row
+    (the subtle difference a post-join filter gets wrong — every Article
+    must appear, only src1's carry a publisher). The oracle states the
+    CASE directly."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE p.name = 'src1' "
+        "RETURN a.link AS link, p.name AS pub",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c90_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C90 — per-day approximate distinct users (HyperLogLog++,
     ``approx_count_distinct`` rsd=5%) NEXT TO the exact twin, windowed —
@@ -5997,6 +6016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a49_text_labels_type": q_a49_text_labels_type,
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "a51_text_set_map": q_a51_text_set_map,
+    "a52_text_optional_where": q_a52_text_optional_where,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -6007,8 +6027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c45_walk_pairs": q_c45_walk_pairs,
     "c46_betweenness": q_c46_betweenness,
     "c47_modularity": q_c47_modularity,
-    "c48_bigram_lm": q_c48_bigram_lm,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
     "c50_containment": q_c50_containment,
     "c51_stream_sessions": q_c51_stream_sessions,
@@ -8546,4 +8566,10 @@ ORACLES["c90_window_approx_distinct"] = """
            count(DISTINCT user_id)::bigint AS n_exact,
            true AS bound_ok
     FROM events GROUP BY 1
+"""
+
+ORACLES["a52_text_optional_where"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           CASE WHEN source = 'src1' THEN source END AS pub
+    FROM documents
 """

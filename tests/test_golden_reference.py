@@ -1522,3 +1522,32 @@ def test_text_set_map_merge(spark, tmp_path):
             {"k": "x", "nope": 3},
             store=s,
         )
+
+
+def test_text_optional_match_where_on_folds(spark, text_store):
+    """OPTIONAL MATCH … WHERE has ON-condition semantics: a failing
+    predicate NULLs the optional side, never drops the source row —
+    boolean OR and source-alias predicates included."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    n_users = run_cypher(
+        spark, "MATCH (u:User) RETURN u.name AS name", store=text_store
+    ).df.count()
+    df = run_cypher(
+        spark,
+        "MATCH (u:User) OPTIONAL MATCH (u)-[r:INTERESTED_IN]->(t:Tech) "
+        "WHERE t.name = 'no-such-tech' "
+        "RETURN u.name AS user, t.name AS tech",
+        store=text_store,
+    ).df
+    assert df.count() == n_users
+    assert df.filter("tech IS NOT NULL").count() == 0
+    df2 = run_cypher(
+        spark,
+        "MATCH (u:User) OPTIONAL MATCH (u)-[r:INTERESTED_IN]->(t:Tech) "
+        "WHERE t.name = 'GraphRAG' OR t.name = 'no-such' "
+        "RETURN u.name AS user, t.name AS tech",
+        store=text_store,
+    ).df
+    assert df2.count() >= n_users
+    assert df2.filter("tech = 'GraphRAG'").count() >= 1
