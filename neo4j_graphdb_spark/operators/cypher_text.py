@@ -155,6 +155,11 @@ _RETURN_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
 
+# COUNT { (a)-[:T]->(:L) } — Cypher 5 pattern-count expression in RETURN
+_COUNT_ITEM_RE = re.compile(
+    r"^COUNT\s*\{(?P<pat>[^{}]+)\}(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
+)
+
 # labels(n) / type(r) / id(n) — Cypher's entity-introspection functions
 _FN_ITEM_RE = re.compile(
     r"^(?P<fn>labels|type|id)\s*\(\s*(?P<alias>\w+)\s*\)"
@@ -1694,6 +1699,57 @@ def _run_read(
     out_names: list[str] = []
     out_exprs: dict[str, object] = {}  # output name -> source expression
     for item in returns:
+        cm = _COUNT_ITEM_RE.match(item)
+        if cm:
+            # per-row pattern count: one oriented [+ label-restricted]
+            # degree aggregation LEFT-joined onto the frame, unmatched
+            # rows coalesce to 0 — the expand-and-count a Neo4j user
+            # writes as `COUNT { (a)-[:T]->(:L) }`; never fan-out on the
+            # main frame, the aggregation happens on the edge side
+            pm = _REL_RE.match(cm.group("pat").strip())
+            if not pm:
+                raise CypherUnsupported(
+                    f"unsupported COUNT pattern: {cm.group('pat').strip()!r}"
+                )
+            if pm.group("min_h") or pm.group("rel_props"):
+                raise CypherUnsupported(
+                    "variable-length / property patterns are unsupported in COUNT"
+                )
+            ca = pm.group("src_alias")
+            if not ca or pm.group("src_label") or ca not in aliases:
+                raise CypherUnsupported(
+                    "COUNT source must be a bound bare alias"
+                )
+            if pm.group("dst_alias"):
+                raise CypherUnsupported(
+                    "COUNT target must be anonymous: () or (:Label)"
+                )
+            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+            ce = graph.edges_df
+            if ce is None:
+                raise CypherUnsupported("graph has no edges")
+            if pm.group("rel_type"):
+                ce = ce.filter(F.col("rel_type") == pm.group("rel_type"))
+            ce = _orient_edges(ce, _rel_direction(pm))
+            if pm.group("dst_label") is not None:
+                lbl_ids = graph.match(pm.group("dst_label")).select(
+                    F.col(NODE_ID).alias("_cid")
+                )
+                ce = ce.join(lbl_ids, ce["dst"] == F.col("_cid"), "left_semi")
+            name = cm.group("out") or f"count_{ca}"
+            cnt = ce.groupBy(F.col("src").alias("_csrc")).agg(
+                F.count(F.lit(1)).alias(f"_cnt_{name}")
+            )
+            src_id = (
+                F.col(f"{aliases[ca]}{NODE_ID}") if aliases[ca] else F.col(NODE_ID)
+            )
+            df = df.join(cnt, src_id == F.col("_csrc"), "left").drop("_csrc")
+            e = F.coalesce(F.col(f"_cnt_{name}"), F.lit(0)).cast("bigint")
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
         fm = _FN_ITEM_RE.match(item)
         if fm:
             # labels(n) / type(r) / id(n) — the introspection trio every

@@ -5748,6 +5748,23 @@ def q_a52_text_optional_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a53_text_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 ext — Cypher 5 ``COUNT { pattern }`` expression in RETURN:
+    per-publisher incoming-article counts as one oriented degree
+    aggregation LEFT-joined onto the frame (coalesce 0) — the aggregate
+    runs on the edge side, the main frame never fans out. Oracle = the
+    per-source GROUP BY."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (p:Publisher) RETURN p.name AS pub, "
+        "COUNT { (p)<-[:WRITTEN_BY]-(:Article) } AS n_articles",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_c90_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C90 — per-day approximate distinct users (HyperLogLog++,
     ``approx_count_distinct`` rsd=5%) NEXT TO the exact twin, windowed —
@@ -6017,6 +6034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "a51_text_set_map": q_a51_text_set_map,
     "a52_text_optional_where": q_a52_text_optional_where,
+    "a53_text_count_pattern": q_a53_text_count_pattern,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -6026,8 +6044,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c44_closeness": q_c44_closeness,
     "c45_walk_pairs": q_c45_walk_pairs,
     "c46_betweenness": q_c46_betweenness,
-    "c47_modularity": q_c47_modularity,
     # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
     "c50_containment": q_c50_containment,
@@ -8572,4 +8590,9 @@ ORACLES["a52_text_optional_where"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            CASE WHEN source = 'src1' THEN source END AS pub
     FROM documents
+"""
+
+ORACLES["a53_text_count_pattern"] = """
+    SELECT source AS pub, count(*)::bigint AS n_articles
+    FROM documents GROUP BY source
 """

@@ -1551,3 +1551,36 @@ def test_text_optional_match_where_on_folds(spark, text_store):
     ).df
     assert df2.count() >= n_users
     assert df2.filter("tech = 'GraphRAG'").count() >= 1
+
+
+def test_text_count_pattern_expression(spark, text_store):
+    """COUNT { pattern } in RETURN: per-row degree with 0 for no-match,
+    label restriction and incoming orientation honored; unbound alias
+    and var-length patterns refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    rows = run_cypher(
+        spark,
+        "MATCH (u:User) RETURN u.name AS name, "
+        "COUNT { (u)-[:INTERESTED_IN]->(:Tech) } AS n_tech, "
+        "COUNT { (u)-[:NO_SUCH]->() } AS n_zero",
+        store=text_store,
+    ).df.collect()
+    assert rows and all(r["n_zero"] == 0 for r in rows)
+    assert any(r["n_tech"] >= 1 for r in rows)
+    inc = run_cypher(
+        spark,
+        "MATCH (t:Tech) RETURN t.name AS name, "
+        "COUNT { (t)<-[:INTERESTED_IN]-(:User) } AS n_users",
+        store=text_store,
+    ).df.collect()
+    assert sum(r["n_users"] for r in inc) == sum(r["n_tech"] for r in rows)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (u:User) RETURN COUNT { (z)-[:X]->() } AS n",
+            store=text_store,
+        )
