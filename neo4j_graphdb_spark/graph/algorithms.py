@@ -738,6 +738,7 @@ def node_similarity(
     edges: DataFrame,
     top_k: int = 5,
     degree_cap: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """C37 — top-k Jaccard node similarity (Neo4j GDS ``nodeSimilarity``):
     for every source node, the ``top_k`` other sources with the highest
@@ -782,17 +783,27 @@ def node_similarity(
     # wedge aggregation runs on the a<b half only; the checkpoint stops
     # the union's two branches from recomputing that whole chain twice
     bdeg = F.broadcast(deg)
+    # GDS similarity trio over the same wedge substrate (all symmetric,
+    # so the a<b half-computation + mirror trick holds for each):
+    #   jaccard  |∩| / |∪|          — the default
+    #   overlap  |∩| / min(da, db)  — subset/containment flavor
+    #   cosine   |∩| / √(da·db)     — binary-vector cosine
+    if metric == "jaccard":
+        score = F.col("_inter") / (
+            F.col("_da") + F.col("_db") - F.col("_inter")
+        ).cast("double")
+    elif metric == "overlap":
+        score = F.col("_inter") / F.least("_da", "_db").cast("double")
+    elif metric == "cosine":
+        score = F.col("_inter") / F.sqrt(
+            F.col("_da").cast("double") * F.col("_db")
+        )
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     jhalf = (
         half.join(bdeg.select(F.col("src").alias("a"), F.col("_deg").alias("_da")), on="a")
         .join(bdeg.select(F.col("src").alias("b"), F.col("_deg").alias("_db")), on="b")
-        .select(
-            "a",
-            "b",
-            (
-                F.col("_inter")
-                / (F.col("_da") + F.col("_db") - F.col("_inter")).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("a", "b", score.alias("jaccard"))
         .localCheckpoint(eager=False)
     )
     jac = jhalf.unionByName(

@@ -5765,6 +5765,29 @@ def q_a53_text_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C91 — top-5 OVERLAP-coefficient node similarity
+    (|∩| / min(da, db), the subset-flavored member of the GDS
+    similarity trio; graph/algorithms.py node_similarity
+    ``metric="overlap"``) over the same degree-capped customer–part
+    substrate as c37 — one wedge plan, three metrics. The oracle swaps
+    only the score formula in the c37 replay."""
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = node_similarity(cp, top_k=5, degree_cap=40, metric="overlap")
+    return out.select(
+        F.col("a").cast("bigint").alias("custkey"),
+        F.col("b").cast("bigint").alias("neighbor"),
+        F.round("jaccard", 6).alias("overlap"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_c90_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C90 — per-day approximate distinct users (HyperLogLog++,
     ``approx_count_distinct`` rsd=5%) NEXT TO the exact twin, windowed —
@@ -6056,6 +6079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c88_ktruss": q_c88_ktruss,
     "c89_semdedup": q_c89_semdedup,
     "c90_window_approx_distinct": q_c90_window_approx_distinct,
+    "c91_overlap_similarity": q_c91_overlap_similarity,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
@@ -8595,4 +8619,38 @@ ORACLES["a52_text_optional_where"] = """
 ORACLES["a53_text_count_pattern"] = """
     SELECT source AS pub, count(*)::bigint AS n_articles
     FROM documents GROUP BY source
+"""
+
+ORACLES["c91_overlap_similarity"] = """
+    WITH cp0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    pdeg AS (SELECT p, count(*) AS pd FROM cp0 GROUP BY p),
+    cp AS MATERIALIZED (
+        SELECT c, p FROM cp0
+        WHERE p IN (SELECT p FROM pdeg WHERE pd <= 40)
+    ),
+    deg AS MATERIALIZED (SELECT c, count(*) AS d FROM cp GROUP BY c),
+    inter AS (
+        SELECT a.c AS ca, b.c AS cb, count(*) AS i
+        FROM cp a JOIN cp b ON a.p = b.p AND a.c <> b.c
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT ca, cb,
+               i / CAST(least(da.d, db.d) AS DOUBLE) AS sc
+        FROM inter
+        JOIN deg da ON ca = da.c
+        JOIN deg db ON cb = db.c
+    ),
+    r AS (
+        SELECT ca, cb, sc,
+               row_number() OVER (PARTITION BY ca
+                                  ORDER BY sc DESC, cb ASC) AS rn
+        FROM j
+    )
+    SELECT ca::bigint AS custkey, cb::bigint AS neighbor,
+           round(sc, 6) AS overlap, rn::bigint AS rank
+    FROM r WHERE rn <= 5
 """

@@ -879,3 +879,28 @@ def test_k_truss_chain_cascade(spark):
         [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src bigint, dst bigint"
     )
     assert k_truss(df, k=4).count() == 0
+
+
+def test_node_similarity_metric_trio(spark):
+    """Jaccard/overlap/cosine on a hand wedge: A={1,2}, B={2,3}, so
+    jaccard=1/3, overlap=1/2, cosine=1/2; a strict subset C={2}⊂B gives
+    overlap 1.0 while jaccard stays 1/2."""
+    import pytest as _p
+    from neo4j_graphdb_spark.graph.algorithms import node_similarity
+
+    e = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 2), ("B", 3), ("C", 2)],
+        "src string, dst bigint",
+    )
+    def score(metric, x, y):
+        out = {(r["a"], r["b"]): r["jaccard"]
+               for r in node_similarity(e, top_k=5, metric=metric).collect()}
+        return out[(x, y)]
+
+    assert score("jaccard", "A", "B") == _p.approx(1 / 3)
+    assert score("overlap", "A", "B") == _p.approx(1 / 2)
+    assert score("cosine", "A", "B") == _p.approx(1 / 2)
+    assert score("overlap", "C", "B") == _p.approx(1.0)
+    assert score("jaccard", "C", "B") == _p.approx(1 / 2)
+    with _p.raises(ValueError):
+        node_similarity(e, metric="nope")
