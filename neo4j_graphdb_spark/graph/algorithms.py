@@ -1648,6 +1648,7 @@ def strongly_connected_components(
             id_col, F.col(id_col).alias("_f"), F.col(id_col).alias("_b")
         )
         prev: tuple | None = None
+        inner_converged = False
         for _i in range(max_iter):
             fmsgs = (
                 lbl.join(e, lbl[id_col] == e["dst"])
@@ -1681,8 +1682,19 @@ def strongly_connected_components(
             ).collect()[0]
             cur = (row["n"], row["h"])
             if cur == prev:
+                inner_converged = True
                 break
             prev = cur
+        if not inner_converged:
+            # Partially-propagated labels can still satisfy _f == _b with a
+            # non-minimal member id (e.g. a directed cycle longer than
+            # max_iter hops), which would silently fragment one SCC into
+            # several labels — honor the docstring's promise and refuse.
+            raise ValueError(
+                f"SCC min-label fixpoint did not converge within "
+                f"max_iter={max_iter}; raise it (iterations needed ~ longest "
+                "shortest-path within one SCC)"
+            )
         settled = (
             lbl.filter(F.col("_f") == F.col("_b"))
             .select(id_col, F.col("_f").alias("scc"))
@@ -1696,7 +1708,6 @@ def strongly_connected_components(
             .join(done.withColumnRenamed(id_col, "dst"), on="dst", how="left_anti")
             .localCheckpoint()
         )
-        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     if active.limit(1).count() != 0:
         raise ValueError(
             f"SCC did not settle within max_rounds={max_rounds}; "
@@ -1736,6 +1747,11 @@ def k_truss(edges: DataFrame, k: int = 4, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if k == 2:
+        # Every edge trivially has support >= 0, so the 2-truss is the whole
+        # (canonicalized) graph — the peeling loop below would wrongly drop
+        # triangle-free edges because they never appear in the sup aggregate.
+        return e
     prev: tuple | None = None
     for _ in range(max_iter):
         adj = e  # canonical u<v doubles as the ordered adjacency

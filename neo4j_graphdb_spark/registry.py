@@ -1495,10 +1495,14 @@ def q_c41_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graphdb_spark.operators.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # q8 is array<int>; the driver's canonicalizer hashes rows via a
+    # pandas sort that cannot factorize list cells, so serialize the
+    # vector to a '|'-joined string here (the API function itself keeps
+    # the typed array).
     return quantize_int8(emb, "embedding", "vec_id").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         "scale",
-        "q8",
+        F.array_join(F.transform("q8", lambda x: x.cast("string")), "|").alias("q8"),
         "rmse",
     )
 
@@ -5666,7 +5670,10 @@ def q_a49_text_labels_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN a.link AS link, labels(a) AS ls, type(r) AS rel",
         graph=article_graph(spark, sf_dir),
     )
-    return res.df
+    # labels() yields array<string>; the driver canonicalizer cannot hash
+    # list cells, so join to a ','-string for the oracle comparison (the
+    # Cypher front-end itself keeps the typed array).
+    return res.df.select("link", F.array_join("ls", ",").alias("ls"), "rel")
 
 
 def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6506,7 +6513,8 @@ ORACLES: dict[str, str] = {
                         ELSE list_transform(v, x -> 0) END AS q8
             FROM base
         )
-        SELECT vec_id::bigint AS vec_id, round(scale, 6) AS scale, q8,
+        SELECT vec_id::bigint AS vec_id, round(scale, 6) AS scale,
+               array_to_string(q8, '|') AS q8,
                round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
                      i -> (v[i]::DOUBLE - q8[i] * scale)
                           * (v[i]::DOUBLE - q8[i] * scale)))
@@ -8575,7 +8583,7 @@ ORACLES["a48_text_exists"] = """
 
 ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
-           ['Article'] AS ls, 'WRITTEN_BY' AS rel
+           'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
 """
 

@@ -827,6 +827,40 @@ def test_scc_dag_is_all_singletons(spark):
     assert scc == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_scc_long_cycle_converges_or_raises(spark):
+    """A 12-node directed cycle is ONE SCC; with max_iter too small for the
+    min-label to circulate, the inner fixpoint must raise rather than
+    settle a fragmented labeling (ADVICE r6: partially-propagated labels
+    can satisfy _f == _b with a non-minimal member id)."""
+    from neo4j_graphdb_spark.graph.algorithms import strongly_connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id bigint")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    scc = {
+        r["node_id"]: r["scc"]
+        for r in strongly_connected_components(nodes, edges, max_iter=30).collect()
+    }
+    assert set(scc.values()) == {0} and len(scc) == n
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(nodes, edges, max_iter=3)
+
+
+def test_k_truss_k2_is_whole_graph(spark):
+    """k=2 threshold is support >= 0, so EVERY edge survives — including
+    triangle-free ones that never appear in the support aggregate
+    (ADVICE r6: the peeling loop used to drop them)."""
+    from neo4j_graphdb_spark.graph.algorithms import k_truss
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    t2 = {(r["u"], r["v"]) for r in k_truss(df, k=2).collect()}
+    assert t2 == {(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)}
+
+
 def test_weighted_pagerank_weight_direction(spark):
     """Two leaves feed a hub with weights 3 and 1 via an intermediate
     pair: the heavier path's midpoint must outrank the lighter one's,
