@@ -11,6 +11,11 @@ reference's statements run verbatim:
 * ``MATCH (a:Label)`` / ``MATCH (n)`` — node scan (A1/A2)
 * ``MATCH (a:L1)-[r:T]->(b:L2)`` — typed expand (A3)
 * ``MERGE (a:Label {prop: $param})`` — node upsert (A7)
+* ``CREATE (a:Label {key: $p, …}), (b:M {…})`` / ``CREATE (a)-[:T]->(b)``
+  — Neo4j's duplicate-ALLOWED insert, distinct from MERGE: replaying the
+  same CREATE mints a new node copy per key (instance-ordinal identity,
+  ``writer.create_nodes``) and a new parallel relationship
+  (``writer.create_edges``); comma-separated pattern lists supported
 * ``SET a.p = $param | datetime()`` — property set (A8/A12)
 * ``MERGE (a)-[:T]->(b)`` — relationship upsert (A9)
 * ``WITH a`` — pipeline boundary (A10)
@@ -92,8 +97,8 @@ class CypherUnsupported(ValueError):
 # --------------------------------------------------------------------------
 
 _CLAUSE_KEYWORDS = (
-    "MATCH", "MERGE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "SKIP", "LIMIT",
-    "UNWIND",
+    "MATCH", "MERGE", "CREATE", "SET", "WITH", "WHERE", "RETURN", "ORDER", "SKIP",
+    "LIMIT", "UNWIND",
 )
 
 # The (?<![.$\w]) lookbehind keeps clause keywords embedded in property
@@ -191,15 +196,13 @@ class _NodePattern:
     # prop name -> param name, or None for datetime()
     create_props: dict[str, str | None] = field(default_factory=dict)  # ON CREATE SET
     match_props: dict[str, str | None] = field(default_factory=dict)  # ON MATCH SET
+    create: bool = False  # CREATE (duplicate-allowed insert) vs MERGE upsert
 
 
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
-    # `(?<!ON )` exempts the ON CREATE SET clause marker (statements are
-    # whitespace-normalized to single spaces before this scan); a bare
-    # CREATE statement still rejects
-    r"(?<![.$\w])(DELETE|REMOVE|(?<!ON )CREATE|FOREACH|DETACH|CALL|UNION)\b",
+    r"(?<![.$\w])(DELETE|REMOVE|FOREACH|CALL|DETACH|UNION)\b",
     re.IGNORECASE,
 )
 
@@ -581,7 +584,7 @@ def run_cypher(
         return _run_union(
             spark, union_parts, q_lits, params, store=store, graph=graph
         )
-    if not re.search(r"(?<![.$\w])(MERGE|SET)\b", masked_q, re.IGNORECASE):
+    if not re.search(r"(?<![.$\w])(MERGE|CREATE|SET)\b", masked_q, re.IGNORECASE):
         dm = _DELETE_RE.match(masked_q.strip())
         if dm:
             if store is None:
@@ -597,7 +600,7 @@ def run_cypher(
                 spark, rm, q_lits, params if isinstance(params, dict) else None, store
             )
     clauses, lits = split_clauses_masked(query)
-    is_write = any(c.kind in ("MERGE", "SET") for c in clauses)
+    is_write = any(c.kind in ("MERGE", "CREATE", "SET") for c in clauses)
     if is_write:
         if any(c.kind == "WHERE" for c in clauses):
             raise CypherUnsupported("WHERE unsupported in write statements")
@@ -663,7 +666,9 @@ def _run_union(
             s
             for s in stmts
             if re.search(
-                r"(?<![.$\w])(MERGE|SET|DELETE|REMOVE|DETACH)\b", s, re.IGNORECASE
+                r"(?<![.$\w])(MERGE|CREATE|SET|DELETE|REMOVE|DETACH)\b",
+                s,
+                re.IGNORECASE,
             )
         ),
         None,
@@ -752,30 +757,25 @@ def _run_write(
     returns: list[str] = []
 
     # `ON CREATE SET …` / `ON MATCH SET …` markers get cut up by the
-    # clause splitter: CREATE is not a clause keyword, so `ON CREATE`
-    # ends the previous body; MATCH is, so the previous body ends with a
-    # bare `ON` followed by an EMPTY MATCH clause. Normalize both into a
-    # mode tag on the following SET clause.
+    # clause splitter: CREATE and MATCH are both clause keywords, so the
+    # previous body ends with a bare `ON` followed by an EMPTY
+    # CREATE/MATCH clause. Normalize both into a mode tag on the
+    # following SET clause.
     set_modes: dict[int, str] = {}
     stripped: list[_Clause] = []
     i = 0
     while i < len(clauses):
         c = clauses[i]
-        mc = re.search(r"\bON\s+CREATE\s*$", c.body, re.IGNORECASE)
         mm = re.search(r"\bON\s*$", c.body, re.IGNORECASE)
-        if mc:
-            stripped.append(_Clause(c.kind, c.body[: mc.start()].rstrip()))
-            set_modes[len(stripped)] = "CREATE"
-            i += 1
-        elif (
+        if (
             mm
             and i + 1 < len(clauses)
-            and clauses[i + 1].kind == "MATCH"
+            and clauses[i + 1].kind in ("CREATE", "MATCH")
             and not clauses[i + 1].body.strip()
         ):
             stripped.append(_Clause(c.kind, c.body[: mm.start()].rstrip()))
-            set_modes[len(stripped)] = "MATCH"
-            i += 2  # the empty MATCH clause was the marker's second half
+            set_modes[len(stripped)] = clauses[i + 1].kind
+            i += 2  # the empty CREATE/MATCH clause was the marker's second half
         else:
             stripped.append(c)
             i += 1
@@ -785,49 +785,80 @@ def _run_write(
             raise CypherUnsupported(f"ON {mode} must be followed by SET")
 
     for ci, c in enumerate(clauses):
-        if c.kind == "MERGE":
-            m = _REL_RE.match(c.body)
-            if m:
-                if not m.group("rel_type"):
-                    raise CypherUnsupported(
-                        "MERGE relationship needs a type (Cypher cannot create an untyped edge)"
-                    )
-                direction = _rel_direction(m)
-                if direction == "both":
-                    raise CypherUnsupported(
-                        "MERGE requires a directed relationship pattern"
-                    )
-                sa, da = m.group("src_alias"), m.group("dst_alias")
-                if direction == "in":
-                    # (a)<-[:T]-(b) — the stored edge runs b→a
-                    sa, da = da, sa
-                for a in (sa, da):
-                    if a not in nodes:
+        if c.kind in ("MERGE", "CREATE"):
+            is_create = c.kind == "CREATE"
+            # CREATE takes a comma-separated pattern list (Cypher allows
+            # `CREATE (a:L {…}), (b:M {…})`); MERGE is single-pattern
+            parts = _split_top_commas(c.body) if is_create else [c.body]
+            for part in parts:
+                m = _REL_RE.match(part)
+                if m:
+                    if not m.group("rel_type"):
                         raise CypherUnsupported(
-                            f"MERGE relationship on unbound alias {a!r}"
+                            f"{c.kind} relationship needs a type "
+                            "(Cypher cannot create an untyped edge)"
                         )
-                # `[:T {weight: $w}]` — typed relationship properties
-                # ride the same merge (writer.merge_edges prop_cols)
-                edges.append(
-                    (sa, m.group("rel_type"), da, _parse_props(m.group("rel_props")))
-                )
-                continue
-            n = _NODE_RE.match(c.body)
-            if not n or not n.group("alias") or not n.group("label"):
-                raise CypherUnsupported(f"unsupported MERGE pattern: {c.body!r}")
-            pairs = _parse_props(n.group("props"))
-            if len(pairs) != 1:
-                raise CypherUnsupported(
-                    f"MERGE needs exactly one key prop (got {c.body!r})"
-                )
-            np = _NodePattern(
-                n.group("alias"), n.group("label"),
-                key_prop=pairs[0][0], key_param=pairs[0][1],
-            )
-            if np.alias in nodes:
-                raise CypherUnsupported(f"alias {np.alias!r} merged twice")
-            nodes[np.alias] = np
-            node_order.append(np.alias)
+                    direction = _rel_direction(m)
+                    if direction == "both":
+                        raise CypherUnsupported(
+                            f"{c.kind} requires a directed relationship pattern"
+                        )
+                    sa, da = m.group("src_alias"), m.group("dst_alias")
+                    if direction == "in":
+                        # (a)<-[:T]-(b) — the stored edge runs b→a
+                        sa, da = da, sa
+                    for a in (sa, da):
+                        if a not in nodes:
+                            raise CypherUnsupported(
+                                f"{c.kind} relationship on unbound alias {a!r}"
+                            )
+                    # `[:T {weight: $w}]` — typed relationship properties
+                    # ride the same merge (writer prop_cols)
+                    edges.append(
+                        (
+                            sa,
+                            m.group("rel_type"),
+                            da,
+                            _parse_props(m.group("rel_props")),
+                            is_create,
+                        )
+                    )
+                    continue
+                n = _NODE_RE.match(part)
+                if not n or not n.group("alias") or not n.group("label"):
+                    raise CypherUnsupported(
+                        f"unsupported {c.kind} pattern: {part!r}"
+                    )
+                pairs = _parse_props(n.group("props"))
+                if is_create:
+                    # CREATE has no merge key; the FIRST prop in the map is
+                    # the storage key (the content-keyed store's identity
+                    # anchor), remaining pairs are plain created props
+                    if not pairs:
+                        raise CypherUnsupported(
+                            f"CREATE needs at least one prop (the storage "
+                            f"key): {part!r}"
+                        )
+                    np = _NodePattern(
+                        n.group("alias"), n.group("label"),
+                        key_prop=pairs[0][0], key_param=pairs[0][1],
+                        create=True,
+                    )
+                    for prop, param in pairs[1:]:
+                        np.set_props[prop] = param
+                else:
+                    if len(pairs) != 1:
+                        raise CypherUnsupported(
+                            f"MERGE needs exactly one key prop (got {part!r})"
+                        )
+                    np = _NodePattern(
+                        n.group("alias"), n.group("label"),
+                        key_prop=pairs[0][0], key_param=pairs[0][1],
+                    )
+                if np.alias in nodes:
+                    raise CypherUnsupported(f"alias {np.alias!r} bound twice")
+                nodes[np.alias] = np
+                node_order.append(np.alias)
         elif c.kind == "SET":
             mode = set_modes.get(ci)
             for item in _split_top_commas(c.body):
@@ -881,8 +912,39 @@ def _run_write(
 
     # flush: nodes in clause order, then relationships (reference order)
     total = WriteSummary()
+
+    def _prop_value(param):
+        """Resolve one SET/CREATE prop encoding to a Column."""
+        if param is None:
+            return F.current_timestamp()
+        if isinstance(param, tuple) and param[0] == "epoch_ms":
+            return F.timestamp_millis(F.col(param[1]).cast("long"))
+        if isinstance(param, tuple) and param[0] == "lit":
+            return F.lit(param[1])
+        return F.col(param)
+
     for alias in node_order:
         np = nodes[alias]
+        if np.create:
+            # CREATE: duplicate-allowed insert — every prop is a created
+            # prop (there is no matched branch to condition on)
+            if np.create_props or np.match_props:
+                raise CypherUnsupported(
+                    "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
+                    "always creates)"
+                )
+            cols = [F.col(np.key_param).alias(np.key_prop)]
+            names = []
+            for prop, param in np.set_props.items():
+                cols.append(_prop_value(param).alias(prop))
+                names.append(prop)
+            total = total + store.create_nodes(
+                pdf.select(*cols),
+                label=np.label,
+                key_col=np.key_prop,
+                prop_cols=names or None,
+            )
+            continue
         # a prop set identically in BOTH branches is just an
         # unconditional SET (created rows have no old value to keep, so
         # the coalesce semantics coincide); different values per branch
@@ -904,24 +966,17 @@ def _run_write(
         ):
             names = []
             for prop, param in props.items():
-                if param is None:
-                    val = F.current_timestamp()
-                elif isinstance(param, tuple) and param[0] == "epoch_ms":
-                    val = F.timestamp_millis(F.col(param[1]).cast("long"))
-                elif isinstance(param, tuple) and param[0] == "lit":
-                    val = F.lit(param[1])
-                else:
-                    val = F.col(param)
-                cols.append(val.alias(prop))
+                cols.append(_prop_value(param).alias(prop))
                 names.append(prop)
             group_cols[group] = names
         total = total + store.merge_nodes(
             pdf.select(*cols), label=np.label, key_col=np.key_prop, **group_cols
         )
-    for sa, rel_type, da, rel_props in edges:
+    for sa, rel_type, da, rel_props, ecreate in edges:
         s, d = nodes[sa], nodes[da]
         prop_sel = [F.col(param).alias(prop) for prop, param in rel_props]
-        total = total + store.merge_edges(
+        write_fn = store.create_edges if ecreate else store.merge_edges
+        total = total + write_fn(
             pdf.select(s.key_param, d.key_param, *prop_sel),
             rel_type, s.label, s.key_param, d.label, d.key_param,
             prop_cols=[prop for prop, _ in rel_props] or None,

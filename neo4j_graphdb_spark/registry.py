@@ -5772,6 +5772,70 @@ def q_a53_text_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a54_text_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 ext — ``CREATE`` statement in the text front-end, and the
+    CREATE-vs-MERGE duplication difference Neo4j users rely on: running
+    the same CREATE statement twice yields TWO node copies per key and
+    TWO parallel relationships per pair (duplicate-allowed insert,
+    instance-ordinal identity — writer.create_nodes/create_edges),
+    while the same MERGE replay stays idempotent at one. The oracle
+    states those multiplicities from the construction."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 20).alias("title"),
+        F.concat(F.lit("pub:"), (F.col("doc_id") % 7).cast("string")).alias("pub"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a54_"))
+    stmt_c = (
+        "CREATE (a:Created {link: $link, title: $title}), (p:CPub {name: $pub}) "
+        "CREATE (a)-[:C_REL]->(p)"
+    )
+    run_cypher(spark, stmt_c, batch, store=store)
+    run_cypher(spark, stmt_c, batch, store=store)
+    stmt_m = (
+        "MERGE (a:Merged {link: $link}) MERGE (p:MPub {name: $pub}) "
+        "MERGE (a)-[:M_REL]->(p)"
+    )
+    run_cypher(spark, stmt_m, batch, store=store)
+    run_cypher(spark, stmt_m, batch, store=store)
+    nodes = store.nodes()
+    edges = store.edges()
+    node_counts = (
+        nodes.filter(F.col("label").isin("Created", "Merged"))
+        .groupBy("key", "label")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .select(
+            F.col("key").alias("link"),
+            F.when(F.col("label") == "Created", F.lit("create_node"))
+            .otherwise(F.lit("merge_node"))
+            .alias("kind"),
+            F.col("copies").cast("bigint").alias("copies"),
+        )
+    )
+    # per-article relationship multiplicity: edge src ids resolve to the
+    # canonical (ordinal-0) article instance, so a key join recovers links
+    art = nodes.filter(F.col("label").isin("Created", "Merged")).select(
+        F.col(NODE_ID).alias("_aid"), F.col("key").alias("link")
+    )
+    edge_counts = (
+        edges.filter(F.col("rel_type").isin("C_REL", "M_REL"))
+        .join(art, F.col("src") == F.col("_aid"))
+        .groupBy("link", "rel_type")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .select(
+            "link",
+            F.when(F.col("rel_type") == "C_REL", F.lit("create_rel"))
+            .otherwise(F.lit("merge_rel"))
+            .alias("kind"),
+            F.col("copies").cast("bigint").alias("copies"),
+        )
+    )
+    return node_counts.unionByName(edge_counts)
+
+
 def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 — top-5 OVERLAP-coefficient node similarity
     (|∩| / min(da, db), the subset-flavored member of the GDS
@@ -6061,6 +6125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a47_text_string_preds": q_a47_text_string_preds,
     "a48_text_exists": q_a48_text_exists,
     "a49_text_labels_type": q_a49_text_labels_type,
+    "a54_text_create": q_a54_text_create,
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "a51_text_set_map": q_a51_text_set_map,
     "a52_text_optional_where": q_a52_text_optional_where,
@@ -8585,6 +8650,15 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["a54_text_create"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link, kind, copies
+    FROM documents,
+         (VALUES ('create_node', CAST(2 AS bigint)),
+                 ('merge_node', CAST(1 AS bigint)),
+                 ('create_rel', CAST(2 AS bigint)),
+                 ('merge_rel', CAST(1 AS bigint))) AS k(kind, copies)
 """
 
 ORACLES["c88_ktruss"] = """

@@ -648,6 +648,211 @@ class GraphStore:
         joined.unpersist()
         return WriteSummary(relationships_created=created, properties_set=props_set)
 
+    def create_nodes(
+        self,
+        updates: DataFrame,
+        label: str,
+        key_col: str,
+        prop_cols: list[str] | None = None,
+    ) -> WriteSummary:
+        """Batch ``CREATE (n:label {key, …})`` — Neo4j's duplicate-ALLOWED
+        insert, as distinct from MERGE's upsert-by-key (the reference
+        writes MERGE only, /root/reference/src/crwling.py:48, but CREATE
+        is the first write statement every Neo4j user types).
+
+        Neo4j mints a fresh internal id per CREATE, so creating the same
+        key twice yields two nodes where MERGE coalesces them. Under this
+        engine's content-derived identity the same behavior is reproduced
+        deterministically with an *instance ordinal*: the i-th copy of
+        (label, key) gets ``node_id = xxhash64(label, key, i)``, and
+        ordinal 0 keeps the plain ``xxhash64(label, key)`` id — the first
+        CREATE of a key is indistinguishable from a MERGE-created node,
+        so later MERGEs find it. Ordinals assign deterministically:
+        existing copies count first, then batch rows ordered by content
+        hash — any executor computes any id without coordination, and
+        replays of the same batch sequence rebuild identical stores.
+
+        Scale shape: ordinal assignment is one per-key window over the
+        batch plus one key-partitioned count of the touched label's
+        existing rows; the write appends into the same
+        (label, key-bucket) leaf dirs as MERGE — O(touched buckets)
+        write amplification, untouched leaves carry over as hardlinks.
+        """
+        prop_cols = prop_cols or []
+        incoming = updates.select(
+            F.col(key_col).cast("string").alias("key"),
+            *[F.col(c) for c in prop_cols],
+        )
+        content_order = (
+            F.xxhash64(*[F.col(c).cast("string") for c in prop_cols])
+            if prop_cols
+            else F.lit(0)
+        )
+        w = Window.partitionBy("key").orderBy(content_order.asc())
+        incoming = incoming.withColumn("_ord", F.row_number().over(w) - F.lit(1))
+
+        existing = self._nodes.read(self.spark)
+        if existing is not None:
+            prior = (
+                existing.filter(F.col("label") == label)
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("_prior"))
+            )
+            incoming = (
+                incoming.join(prior, on="key", how="left")
+                .withColumn(
+                    "_ord", F.col("_ord") + F.coalesce(F.col("_prior"), F.lit(0))
+                )
+                .drop("_prior")
+            )
+        node_id = F.when(
+            F.col("_ord") == 0, F.xxhash64(F.lit(label), F.col("key"))
+        ).otherwise(F.xxhash64(F.lit(label), F.col("key"), F.col("_ord")))
+        created_rows = (
+            incoming.select(
+                node_id.alias(NODE_ID),
+                F.lit(label).alias("label"),
+                F.col("key"),
+                *[F.col(c) for c in prop_cols],
+            )
+            .withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+            .persist()
+        )
+        row = created_rows.agg(
+            F.count(F.lit(1)).alias("_created"),
+            *[F.count(F.col(c)).alias(c) for c in prop_cols],
+        ).collect()[0]
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in prop_cols))
+        if existing is None:
+            self._nodes.write_next(created_rows, partition_by=["label", BUCKET_COL])
+            created_rows.unpersist()
+            return WriteSummary(nodes_created=created, properties_set=props_set)
+        bucketed = (
+            self._nodes.is_partitioned_by(["label", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL]
+            for r in created_rows.select(BUCKET_COL).distinct().collect()
+        ]
+        touched = existing.filter(F.col("label") == label)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        all_props = sorted(
+            (set(touched.columns) | set(created_rows.columns))
+            - {NODE_ID, "label", "key", BUCKET_COL}
+        )
+        merged = (
+            _with_missing(touched, created_rows, all_props)
+            .unionByName(_with_missing(created_rows, touched, all_props))
+            .withColumn(BUCKET_COL, _bucket_of(F.col("key")))
+        )
+        if bucketed:
+            self._nodes.write_next_partial(
+                merged, ["label", BUCKET_COL], [(label, b) for b in buckets]
+            )
+        else:
+            untouched = existing
+            if BUCKET_COL not in untouched.columns:
+                untouched = untouched.withColumn(
+                    BUCKET_COL, _bucket_of(F.col("key"))
+                )
+            untouched = untouched.filter(F.col("label") != label)
+            self._nodes.write_next(
+                untouched.unionByName(merged, allowMissingColumns=True),
+                partition_by=["label", BUCKET_COL],
+            )
+        created_rows.unpersist()
+        return WriteSummary(nodes_created=created, properties_set=props_set)
+
+    def create_edges(
+        self,
+        updates: DataFrame,
+        rel_type: str,
+        src_label: str,
+        src_key_col: str,
+        dst_label: str,
+        dst_key_col: str,
+        prop_cols: list[str] | None = None,
+    ) -> WriteSummary:
+        """Batch ``CREATE (a)-[:REL]->(b)`` — duplicate-allowed
+        relationship insert: Neo4j's CREATE always adds a relationship,
+        so creating the same (src, dst, type) twice yields two parallel
+        edges where MERGE keeps one. Appended rows are literal duplicate
+        rows in the edges table (edges carry no identity column), which
+        is exactly the parallel-edge representation the expand/degree
+        operators already aggregate over. Endpoint ids resolve to the
+        canonical (ordinal-0) instance of each key — the node MERGE
+        would see. Same O(touched buckets) append discipline as
+        :meth:`create_nodes`.
+        """
+        prop_cols = prop_cols or []
+        incoming = (
+            as_edges(
+                updates,
+                rel_type,
+                src_label,
+                src_key_col,
+                dst_label,
+                dst_key_col,
+                prop_cols,
+            )
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+            .persist()
+        )
+        row = incoming.agg(
+            F.count(F.lit(1)).alias("_created"),
+            *[F.count(F.col(c)).alias(c) for c in prop_cols],
+        ).collect()[0]
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in prop_cols))
+        existing = self._edges.read(self.spark)
+        if existing is None:
+            self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
+            incoming.unpersist()
+            return WriteSummary(
+                relationships_created=created, properties_set=props_set
+            )
+        bucketed = (
+            self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in incoming.select(BUCKET_COL).distinct().collect()
+        ]
+        touched = existing.filter(F.col("rel_type") == rel_type)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        edge_key = ["src", "dst", "rel_type"]
+        all_props = sorted(
+            (set(touched.columns) | set(incoming.columns))
+            - set(edge_key)
+            - {BUCKET_COL, "_present"}
+        )
+        merged = (
+            _with_missing_edges(touched, incoming, all_props)
+            .unionByName(_with_missing_edges(incoming, touched, all_props))
+            .drop("_present")
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+        )
+        if bucketed:
+            self._edges.write_next_partial(
+                merged, ["rel_type", BUCKET_COL], [(rel_type, b) for b in buckets]
+            )
+        else:
+            untouched = existing
+            if BUCKET_COL not in untouched.columns:
+                untouched = untouched.withColumn(
+                    BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                )
+            untouched = untouched.filter(F.col("rel_type") != rel_type)
+            self._edges.write_next(
+                untouched.unionByName(merged, allowMissingColumns=True),
+                partition_by=["rel_type", BUCKET_COL],
+            )
+        incoming.unpersist()
+        return WriteSummary(relationships_created=created, properties_set=props_set)
 
     def delete_nodes(
         self,

@@ -1584,3 +1584,73 @@ def test_text_count_pattern_expression(spark, text_store):
             "MATCH (u:User) RETURN COUNT { (z)-[:X]->() } AS n",
             store=text_store,
         )
+
+
+def test_text_create_duplicates_vs_merge(spark, tmp_path):
+    """CREATE is Neo4j's duplicate-ALLOWED insert: the same CREATE run
+    twice yields two node copies (distinct instance-ordinal ids) and two
+    parallel relationships, while MERGE stays idempotent; ON CREATE/ON
+    MATCH after CREATE and key-less CREATE are refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "create_store"))
+    stmt = (
+        "CREATE (a:Art {link: $link, title: $title}), (p:Pub {name: $pub}) "
+        "CREATE (a)-[:BY]->(p)"
+    )
+    r1 = run_cypher(spark, stmt, {"link": "l1", "title": "T", "pub": "P"}, store=s)
+    assert r1.summary.nodes_created == 2
+    assert r1.summary.relationships_created == 1
+    r2 = run_cypher(spark, stmt, {"link": "l1", "title": "T", "pub": "P"}, store=s)
+    assert r2.summary.nodes_created == 2  # duplicates created, not merged
+    nodes = s.nodes()
+    arts = nodes.filter("label = 'Art' AND key = 'l1'")
+    assert arts.count() == 2
+    assert arts.select("node_id").distinct().count() == 2
+    assert s.edges().filter("rel_type = 'BY'").count() == 2  # parallel edges
+    # MERGE on the same key finds the ordinal-0 copy — no third node
+    r3 = run_cypher(
+        spark,
+        "MERGE (a:Art {link: $link}) SET a.title = $title",
+        {"link": "l1", "title": "T2"},
+        store=s,
+    )
+    assert r3.summary.nodes_created == 0
+    assert s.nodes().filter("label = 'Art' AND key = 'l1'").count() == 2
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "CREATE (a:Art {link: $link}) ON CREATE SET a.title = $title",
+            {"link": "x", "title": "t"},
+            store=s,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "CREATE (a:Art)", {"link": "x"}, store=s)
+
+
+def test_text_create_batch_unwind(spark, tmp_path):
+    """UNWIND $rows AS row CREATE — the batched insert idiom: one call,
+    one plan, duplicate keys inside the batch each create a node."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "create_unwind"))
+    rows = [
+        {"link": "a", "title": "t1"},
+        {"link": "a", "title": "t2"},
+        {"link": "b", "title": "t3"},
+    ]
+    r = run_cypher(
+        spark,
+        "UNWIND $rows AS row CREATE (n:Doc {link: row.link, title: row.title})",
+        {"rows": rows},
+        store=s,
+    )
+    assert r.summary.nodes_created == 3
+    got = {
+        (x["key"], x["title"]) for x in s.nodes().filter("label='Doc'").collect()
+    }
+    assert got == {("a", "t1"), ("a", "t2"), ("b", "t3")}
+    assert s.nodes().filter("key = 'a'").select("node_id").distinct().count() == 2
