@@ -1050,6 +1050,429 @@ _OPS = {
 }
 
 
+# --------------------------------------------------------------------------
+# scalar expressions in RETURN (a55): arithmetic, string concat, coalesce,
+# CASE WHEN, and a whitelist of Cypher scalar functions over bound props.
+# Parsed to a tiny AST, compiled to ONE Catalyst Column — expressions stay
+# inside whole-stage codegen, no UDFs. Cypher coercions honored: `+`
+# concatenates when either side is a string; `/` truncates toward zero when
+# both sides are integers (the Java semantics Neo4j inherits).
+# --------------------------------------------------------------------------
+
+_EXPR_AS_RE = re.compile(r"^(?P<expr>.+?)\s+AS\s+(?P<out>\w+)$", re.IGNORECASE)
+
+_EXPR_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)"
+    r"|(?P<str>\x00\d+\x00)"
+    r"|(?P<param>\$\w+)"
+    r"|(?P<cmp><=|>=|<>|=|<|>)"
+    r"|(?P<name>\w+)"
+    r"|(?P<op>[+\-*/%(),.]))"
+)
+
+_EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL"}
+
+
+def _tokenize_expr(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _EXPR_TOKEN_RE.match(text, pos)
+        if not m:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise CypherUnsupported(f"unsupported token in expression: {rest!r}")
+        pos = m.end()
+        for kind in ("num", "str", "param", "cmp", "name", "op"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+    return toks
+
+
+def _parse_scalar_expr(text: str):
+    """Recursive-descent parse of one scalar expression to an AST of
+    ``('num'|'str'|'param'|'prop'|'null'|'neg'|'bin'|'fn'|'case', …)``
+    nodes with standard precedence (unary − > * / % > + −)."""
+    toks = _tokenize_expr(text)
+    if not toks:
+        raise CypherUnsupported(f"empty expression: {text!r}")
+    idx = 0
+
+    def peek() -> tuple[str | None, str | None]:
+        return toks[idx] if idx < len(toks) else (None, None)
+
+    def take() -> tuple[str, str]:
+        nonlocal idx
+        t = toks[idx]
+        idx += 1
+        return t
+
+    def expect_op(sym: str) -> None:
+        k, v = peek()
+        if k != "op" or v != sym:
+            raise CypherUnsupported(f"expected {sym!r} in expression: {text!r}")
+        take()
+
+    def at_keyword(word: str) -> bool:
+        k, v = peek()
+        return k == "name" and v.upper() == word
+
+    def expect_keyword(word: str) -> None:
+        if not at_keyword(word):
+            raise CypherUnsupported(f"expected {word} in expression: {text!r}")
+        take()
+
+    def parse_expr():
+        n = parse_muldiv()
+        while peek()[0] == "op" and peek()[1] in ("+", "-"):
+            _, op = take()
+            n = ("bin", op, n, parse_muldiv())
+        return n
+
+    def parse_muldiv():
+        n = parse_unary()
+        while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
+            _, op = take()
+            n = ("bin", op, n, parse_unary())
+        return n
+
+    def parse_unary():
+        if peek() == ("op", "-"):
+            take()
+            return ("neg", parse_unary())
+        return parse_primary()
+
+    def parse_primary():
+        k, v = peek()
+        if k == "num":
+            take()
+            return ("num", float(v) if "." in v else int(v))
+        if k == "str":
+            take()
+            return ("str", int(v.strip("\x00")))
+        if k == "param":
+            take()
+            return ("param", v[1:])
+        if k == "op" and v == "(":
+            take()
+            n = parse_expr()
+            expect_op(")")
+            return n
+        if k == "name":
+            up = v.upper()
+            if up == "CASE":
+                return parse_case()
+            if up == "NULL":
+                take()
+                return ("null",)
+            if up in _EXPR_KEYWORDS:
+                raise CypherUnsupported(
+                    f"misplaced keyword {v} in expression: {text!r}"
+                )
+            take()
+            nk, nv = peek()
+            if (nk, nv) == ("op", "("):
+                take()
+                args = []
+                if peek() != ("op", ")"):
+                    args.append(parse_expr())
+                    while peek() == ("op", ","):
+                        take()
+                        args.append(parse_expr())
+                expect_op(")")
+                return ("fn", v, args)
+            if (nk, nv) == ("op", "."):
+                take()
+                pk, pv = peek()
+                if pk != "name":
+                    raise CypherUnsupported(
+                        f"expected property after {v}. in expression: {text!r}"
+                    )
+                take()
+                return ("prop", v, pv)
+            raise CypherUnsupported(
+                f"bare identifier {v!r} in expression (use alias.prop): {text!r}"
+            )
+        raise CypherUnsupported(f"unsupported expression: {text!r}")
+
+    def parse_predicate():
+        left = parse_expr()
+        if at_keyword("IS"):
+            take()
+            neg = False
+            if at_keyword("NOT"):
+                take()
+                neg = True
+            expect_keyword("NULL")
+            return ("isnull", left, neg)
+        k, op = peek()
+        if k != "cmp":
+            raise CypherUnsupported(
+                f"CASE WHEN needs a comparison or IS [NOT] NULL: {text!r}"
+            )
+        take()
+        return ("cmp", op, left, parse_expr())
+
+    def parse_case():
+        expect_keyword("CASE")
+        branches = []
+        while at_keyword("WHEN"):
+            take()
+            pred = parse_predicate()
+            expect_keyword("THEN")
+            branches.append((pred, parse_expr()))
+        if not branches:
+            raise CypherUnsupported("CASE needs at least one WHEN branch")
+        els = None
+        if at_keyword("ELSE"):
+            take()
+            els = parse_expr()
+        expect_keyword("END")
+        return ("case", branches, els)
+
+    node = parse_expr()
+    if idx != len(toks):
+        raise CypherUnsupported(f"trailing tokens in expression: {text!r}")
+    return node
+
+
+_INT_DTYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_FLOAT_DTYPES = {"float", "double"}
+
+
+def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
+    """Compile an expression AST to ``(Column, type_tag)`` where the tag
+    ∈ {'str','int','float','other'} drives Cypher's coercion rules."""
+    dtypes = dict(df.dtypes)
+
+    def ty_of(dt: str) -> str:
+        if dt == "string":
+            return "str"
+        if dt in _INT_DTYPES:
+            return "int"
+        if dt in _FLOAT_DTYPES or dt.startswith("decimal"):
+            return "float"
+        return "other"
+
+    def rec(n):
+        kind = n[0]
+        if kind == "num":
+            return F.lit(n[1]), ("int" if isinstance(n[1], int) else "float")
+        if kind == "str":
+            return F.lit(lits[n[1]]), "str"
+        if kind == "null":
+            return F.lit(None), "other"
+        if kind == "param":
+            if not params or n[1] not in params:
+                raise CypherUnsupported(f"unbound parameter ${n[1]} in expression")
+            v = params[n[1]]
+            if isinstance(v, str):
+                tag = "str"
+            elif isinstance(v, bool):
+                tag = "other"
+            elif isinstance(v, int):
+                tag = "int"
+            elif isinstance(v, float):
+                tag = "float"
+            else:
+                tag = "other"
+            return F.lit(v), tag
+        if kind == "prop":
+            alias, prop = n[1], n[2]
+            if alias in aliases:
+                col = _prop_col(df, aliases[alias], prop)
+                name = f"{aliases[alias]}{prop}"
+                dt = dtypes.get(name, dtypes.get(f"{aliases[alias]}key", ""))
+            elif rel_alias is not None and alias == rel_alias:
+                if prop not in df.columns:
+                    raise CypherUnsupported(
+                        f"unknown relationship property {prop!r}"
+                    )
+                col, dt = F.col(prop), dtypes[prop]
+            else:
+                raise CypherUnsupported(f"expression on unbound alias: {alias!r}")
+            return col, ty_of(dt)
+        if kind == "neg":
+            c, t = rec(n[1])
+            if t == "str":
+                raise CypherUnsupported("unary minus on a string operand")
+            return -c, t
+        if kind == "bin":
+            op, lc_ast, rc_ast = n[1], n[2], n[3]
+            lc, lt = rec(lc_ast)
+            rc, rt = rec(rc_ast)
+            if op == "+" and "str" in (lt, rt):
+                # Cypher: 'a' + 1 = 'a1' — concat, numbers stringified
+                return F.concat(lc.cast("string"), rc.cast("string")), "str"
+            if "str" in (lt, rt):
+                raise CypherUnsupported(f"arithmetic {op!r} on a string operand")
+            if op == "+":
+                res = lc + rc
+            elif op == "-":
+                res = lc - rc
+            elif op == "*":
+                res = lc * rc
+            elif op == "%":
+                res = lc % rc
+            else:  # "/"
+                res = lc / rc
+                if lt == rt == "int":
+                    # Cypher integer division truncates toward zero (Java);
+                    # double→long cast truncates toward zero too
+                    return res.cast("long"), "int"
+                return res, "float"
+            if lt == rt == "int":
+                return res, "int"
+            return res, ("float" if "float" in (lt, rt) else "other")
+        if kind == "fn":
+            return compile_fn(n[1], n[2])
+        if kind == "case":
+            branches, els = n[1], n[2]
+            col, tag = None, "other"
+            for pred, val in branches:
+                pc = rec_pred(pred)
+                vc, vt = rec(val)
+                col = F.when(pc, vc) if col is None else col.when(pc, vc)
+                if tag == "other":
+                    tag = vt
+            if els is not None:
+                ec, et = rec(els)
+                col = col.otherwise(ec)
+                if tag == "other":
+                    tag = et
+            return col, tag
+        raise CypherUnsupported(f"unsupported expression node: {kind!r}")
+
+    def rec_pred(p):
+        if p[0] == "isnull":
+            c, _ = rec(p[1])
+            return c.isNotNull() if p[2] else c.isNull()
+        _, op, l, r = p
+        lc, _ = rec(l)
+        rc, _ = rec(r)
+        return _OPS[op](lc, rc)
+
+    def _int_literal(arg_ast, fn: str) -> int:
+        if arg_ast[0] != "num" or not isinstance(arg_ast[1], int):
+            raise CypherUnsupported(
+                f"{fn} needs an integer literal argument in this position"
+            )
+        return arg_ast[1]
+
+    def compile_fn(fname_raw: str, args):
+        fname = fname_raw.lower()
+
+        def need(*counts):
+            if len(args) not in counts:
+                raise CypherUnsupported(
+                    f"{fname_raw} takes {' or '.join(map(str, counts))} "
+                    f"argument(s), got {len(args)}"
+                )
+
+        if fname == "coalesce":
+            if not args:
+                raise CypherUnsupported("coalesce needs at least one argument")
+            compiled = [rec(a) for a in args]
+            tags = [t for _, t in compiled]
+            tag = "str" if "str" in tags else tags[0]
+            return F.coalesce(*[c for c, _ in compiled]), tag
+        if fname in ("toupper", "tolower", "trim", "ltrim", "rtrim"):
+            need(1)
+            c, _ = rec(args[0])
+            spark_fn = {
+                "toupper": F.upper, "tolower": F.lower,
+                "trim": F.trim, "ltrim": F.ltrim, "rtrim": F.rtrim,
+            }[fname]
+            return spark_fn(c), "str"
+        if fname == "tostring":
+            need(1)
+            c, _ = rec(args[0])
+            return c.cast("string"), "str"
+        if fname == "tointeger":
+            need(1)
+            c, _ = rec(args[0])
+            return c.cast("long"), "int"
+        if fname == "tofloat":
+            need(1)
+            c, _ = rec(args[0])
+            return c.cast("double"), "float"
+        if fname == "size":
+            need(1)
+            c, _ = rec(args[0])
+            return F.length(c).cast("bigint"), "int"
+        if fname == "abs":
+            need(1)
+            c, t = rec(args[0])
+            return F.abs(c), t
+        if fname == "sign":
+            need(1)
+            c, _ = rec(args[0])
+            return F.signum(c).cast("long"), "int"
+        if fname == "round":
+            need(1, 2)
+            c, _ = rec(args[0])
+            if len(args) == 2:
+                return F.round(c, _int_literal(args[1], "round")), "float"
+            return F.round(c), "float"
+        if fname == "floor":
+            need(1)
+            c, _ = rec(args[0])
+            return F.floor(c).cast("long"), "int"
+        if fname == "ceil":
+            need(1)
+            c, _ = rec(args[0])
+            return F.ceil(c).cast("long"), "int"
+        if fname == "replace":
+            need(3)
+            c, _ = rec(args[0])
+            s, st = rec(args[1])
+            r, rt = rec(args[2])
+            return F.replace(c, s, r), "str"
+        if fname == "left":
+            need(2)
+            c, _ = rec(args[0])
+            return F.substring(c, 1, _int_literal(args[1], "left")), "str"
+        if fname == "right":
+            need(2)
+            c, _ = rec(args[0])
+            k = _int_literal(args[1], "right")
+            return F.substring(c, -k, k), "str"
+        if fname == "substring":
+            # Cypher substring(s, start[, length]) is 0-based
+            need(2, 3)
+            c, _ = rec(args[0])
+            start = _int_literal(args[1], "substring") + 1
+            length = (
+                _int_literal(args[2], "substring")
+                if len(args) == 3
+                else 2147483647
+            )
+            return F.substring(c, start, length), "str"
+        raise CypherUnsupported(
+            f"unsupported function {fname_raw!r} in expression (supported: "
+            "coalesce, toUpper, toLower, toString, toInteger, toFloat, size, "
+            "abs, sign, round, floor, ceil, trim, ltrim, rtrim, replace, "
+            "left, right, substring)"
+        )
+
+    return rec(ast)
+
+
+def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
+    """One RETURN expression item → (Column, output name). With no
+    ``AS``, the name is the whitespace-squeezed expression text (the
+    Neo4j result-pane convention)."""
+    am = _EXPR_AS_RE.match(item)
+    body, out = (am.group("expr"), am.group("out")) if am else (item, None)
+    col, _ = _compile_scalar(
+        _parse_scalar_expr(body), df, aliases, rel_alias, lits, params
+    )
+    return col, (out or re.sub(r"\s+", "", body))
+
+
 _EXISTS_ITEM_RE = re.compile(
     r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>[^{}]+)\}$", re.IGNORECASE
 )
@@ -1833,7 +2256,16 @@ def _run_read(
             continue
         m = _RETURN_ITEM_RE.match(item)
         if not m:
-            raise CypherUnsupported(f"unsupported RETURN item: {item!r}")
+            # scalar-expression fallback: arithmetic / concat / coalesce /
+            # CASE / whitelisted functions over bound props, compiled to
+            # one Catalyst Column (stays in whole-stage codegen)
+            e, name = _compile_return_expr(
+                item, df, aliases, rel_alias, lits, params
+            )
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
         alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
         if alias in aliases:
             prefix = aliases[alias]

@@ -5836,6 +5836,47 @@ def q_a54_text_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_counts.unionByName(edge_counts)
 
 
+def q_a55_text_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 ext — scalar expressions in RETURN (cypher_text
+    _parse_scalar_expr/_compile_scalar): arithmetic with Cypher's
+    integer-division truncation, string concat via `+`, coalesce, CASE
+    WHEN, and whitelisted functions (size/toUpper/substring 0-based) —
+    all compiled to single Catalyst Columns, no UDFs. The oracle replays
+    each expression in SQL."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 40).alias("snippet"),
+        F.col("doc_id").cast("int").alias("score"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("source")).alias("maybe"),
+    )
+    nodes = as_nodes(src, "Doc", "link", ["snippet", "score", "maybe"])
+    res = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS link, "
+        "size(a.snippet) AS n_chars, "
+        "a.score * 2 + 1 AS s2, "
+        "a.score / 3 AS s3, "
+        "'doc: ' + a.link AS tag, "
+        "coalesce(a.maybe, 'none') AS fb, "
+        "CASE WHEN a.score % 2 = 0 THEN 'even' ELSE 'odd' END AS parity, "
+        "toUpper(substring(a.snippet, 0, 5)) AS head5",
+        graph=Graph(nodes, None),
+    )
+    return res.df.select(
+        "link",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("s2").cast("bigint").alias("s2"),
+        F.col("s3").cast("bigint").alias("s3"),
+        "tag",
+        "fb",
+        "parity",
+        "head5",
+    )
+
+
 def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 — top-5 OVERLAP-coefficient node similarity
     (|∩| / min(da, db), the subset-flavored member of the GDS
@@ -6126,6 +6167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a48_text_exists": q_a48_text_exists,
     "a49_text_labels_type": q_a49_text_labels_type,
     "a54_text_create": q_a54_text_create,
+    "a55_text_expressions": q_a55_text_expressions,
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "a51_text_set_map": q_a51_text_set_map,
     "a52_text_optional_where": q_a52_text_optional_where,
@@ -8649,6 +8691,18 @@ ORACLES["a48_text_exists"] = """
 ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
+    FROM documents
+"""
+
+ORACLES["a55_text_expressions"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           CAST(length(substr(text, 1, 40)) AS bigint) AS n_chars,
+           CAST(doc_id * 2 + 1 AS bigint) AS s2,
+           CAST(doc_id // 3 AS bigint) AS s3,
+           concat('doc: doc://', cast(doc_id AS varchar)) AS tag,
+           CASE WHEN doc_id % 3 <> 0 THEN source ELSE 'none' END AS fb,
+           CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+           upper(substr(substr(text, 1, 40), 1, 5)) AS head5
     FROM documents
 """
 

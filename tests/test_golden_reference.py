@@ -1654,3 +1654,47 @@ def test_text_create_batch_unwind(spark, tmp_path):
     }
     assert got == {("a", "t1"), ("a", "t2"), ("b", "t3")}
     assert s.nodes().filter("key = 'a'").select("node_id").distinct().count() == 2
+
+
+def test_text_return_scalar_expressions(spark):
+    """RETURN expressions: Cypher coercions (string + anything =
+    concat, int/int division truncates toward zero), coalesce, CASE,
+    function whitelist; unknown functions / unbound aliases / dangling
+    operators are refused."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "Alpha", 3), ("l2", None, 7), ("l3", "Gamma", -4)],
+        "link string, title string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title", "score"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS link, "
+        "a.score / 2 AS half, "
+        "a.score + ' pts' AS pts, "
+        "coalesce(a.title, 'untitled') AS t, "
+        "CASE WHEN a.title IS NULL THEN 1 ELSE 0 END AS missing, "
+        "abs(a.score) % 3 AS m "
+        "ORDER BY link",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in rows] == [
+        ("l1", 1, "3 pts", "Alpha", 0, 0),
+        ("l2", 3, "7 pts", "untitled", 1, 1),
+        ("l3", -2, "-4 pts", "Gamma", 0, 1),  # -4/2 = -2 (trunc toward 0)
+    ]
+    for bad in (
+        "MATCH (a:Doc) RETURN foo(a.score) AS x",
+        "MATCH (a:Doc) RETURN b.score + 1 AS x",
+        "MATCH (a:Doc) RETURN a.score + AS x",
+        "MATCH (a:Doc) RETURN CASE WHEN a.score THEN 1 END AS x",
+        "MATCH (a:Doc) RETURN a.title - 1 AS x",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
