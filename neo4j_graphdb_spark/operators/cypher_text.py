@@ -165,11 +165,17 @@ _COUNT_ITEM_RE = re.compile(
     r"^COUNT\s*\{(?P<pat>[^{}]+)\}(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
 
-# labels(n) / type(r) / id(n) — Cypher's entity-introspection functions
+# labels(n) / type(r) / id(n) — Cypher's entity-introspection functions;
+# length(p) — path length for a shortestPath/var-length binding
 _FN_ITEM_RE = re.compile(
-    r"^(?P<fn>labels|type|id)\s*\(\s*(?P<alias>\w+)\s*\)"
+    r"^(?P<fn>labels|type|id|length)\s*\(\s*(?P<alias>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE,
+)
+
+# p = shortestPath((a:L)-[:T*1..k]->(b:M)) — depth-capped shortest path
+_SHORTEST_RE = re.compile(
+    r"^(?P<palias>\w+)\s*=\s*shortestPath\s*\((?P<pat>.+)\)$", re.IGNORECASE
 )
 
 _AGG_ITEM_RE = re.compile(
@@ -561,6 +567,210 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
     return CypherResult(None, summary)
 
 
+# CALL graft.<proc>({cfg}) YIELD cols [RETURN …] [ORDER BY …] [SKIP] [LIMIT]
+_CALL_RE = re.compile(
+    r"^CALL\s+graft\.(?P<proc>\w+)\s*\(\s*(?P<cfg>\{[^{}]*\})?\s*\)\s*"
+    r"YIELD\s+(?P<yields>\w+(?:\s*,\s*\w+)*)\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CALL_CFG_RE = re.compile(r"(\w+)\s*:\s*(\$\w+|\x00\d+\x00|-?\d+(?:\.\d+)?)")
+
+
+def _run_text_call(
+    spark: SparkSession,
+    cm: re.Match,
+    lits: list[str],
+    params: dict | None,
+    *,
+    store: GraphStore | None,
+    graph: Graph | None,
+) -> CypherResult:
+    """``CALL graft.<proc>({config}) YIELD cols …`` — the procedure
+    router that makes the Python algorithm library reachable from
+    statement text (the shape a Neo4j GDS user writes as
+    ``CALL gds.pageRank.stream(...) YIELD nodeId, score``). Procedures:
+    ``pagerank`` (maxIter, damping), ``cc``, ``degrees``,
+    ``bfs`` (start, label, maxHops), ``node_similarity`` (topK,
+    degreeCap, metric). Node ids never leak into results — every
+    yielded column is a natural key or a metric; unknown procedures,
+    config keys, and YIELD names are refused by name."""
+    from neo4j_graphdb_spark.graph import algorithms as alg
+
+    if graph is None:
+        if store is None:
+            raise ValueError("CALL statement needs a Graph or GraphStore")
+        nodes = store.nodes()
+        if nodes is None:
+            raise ValueError("store is empty")
+        graph = Graph(nodes, store.edges())
+    nodes_df, edges_df = graph.nodes_df, graph.edges_df
+    if edges_df is None:
+        raise CypherUnsupported("CALL graft procedures need a graph with edges")
+
+    cfg_body = cm.group("cfg") or ""
+    cfg_pairs = _CALL_CFG_RE.findall(cfg_body)
+    inner = cfg_body.strip()[1:-1].strip() if cfg_body else ""
+    if inner and len(cfg_pairs) != len([p for p in inner.split(",") if p.strip()]):
+        raise CypherUnsupported(
+            f"only {{key: $param | literal}} config maps supported: {cfg_body!r}"
+        )
+    cfg = {k: _where_value(v, lits, params) for k, v in cfg_pairs}
+
+    key_of = nodes_df.select(F.col(NODE_ID).alias("_cid"), F.col("key").alias("_ckey"))
+
+    def with_key(df: DataFrame, id_column: str, out_name: str) -> DataFrame:
+        return (
+            df.join(key_of, df[id_column] == F.col("_cid"))
+            .drop("_cid", id_column)
+            .withColumnRenamed("_ckey", out_name)
+        )
+
+    proc = cm.group("proc").lower()
+    if proc == "pagerank":
+        res = alg.pagerank(
+            nodes_df,
+            edges_df,
+            max_iter=int(cfg.pop("maxIter", 10)),
+            damping=float(cfg.pop("damping", 0.85)),
+        )
+        out = with_key(res, "node_id", "key").select("key", "rank")
+    elif proc in ("cc", "connected_components"):
+        res = alg.connected_components(
+            nodes_df, edges_df, max_iter=int(cfg.pop("maxIter", 20))
+        )
+        out = (
+            with_key(res, "id", "key")
+            .join(key_of, F.col("comp") == F.col("_cid"))
+            .drop("_cid", "comp")
+            .withColumnRenamed("_ckey", "comp")
+            .select("key", "comp")
+        )
+    elif proc == "degrees":
+        res = alg.degrees(edges_df)
+        out = with_key(res, "id", "key").select(
+            "key",
+            F.col("out_degree").cast("bigint").alias("out_degree"),
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            F.col("degree").cast("bigint").alias("degree"),
+        )
+    elif proc == "bfs":
+        start = cfg.pop("start", None)
+        if start is None:
+            raise CypherUnsupported("graft.bfs needs {start: <node key>}")
+        label = cfg.pop("label", None)
+        srcs = nodes_df
+        if label is not None:
+            srcs = srcs.filter(F.col("label") == str(label))
+        srcs = srcs.filter(F.col("key") == str(start)).select(
+            F.col(NODE_ID).alias("id")
+        )
+        res = alg.shortest_paths(
+            edges_df, srcs, max_hops=int(cfg.pop("maxHops", 10))
+        )
+        out = with_key(res, "id", "key").select(
+            "key", F.col("dist").cast("bigint").alias("dist")
+        )
+    elif proc == "node_similarity":
+        degree_cap = cfg.pop("degreeCap", None)
+        res = alg.node_similarity(
+            edges_df.select("src", "dst"),
+            top_k=int(cfg.pop("topK", 5)),
+            degree_cap=None if degree_cap is None else int(degree_cap),
+            metric=str(cfg.pop("metric", "jaccard")),
+        )
+        out = res
+        out = (
+            out.join(key_of, out["a"] == F.col("_cid"))
+            .drop("_cid", "a")
+            .withColumnRenamed("_ckey", "key1")
+        )
+        out = (
+            out.join(key_of, out["b"] == F.col("_cid"))
+            .drop("_cid", "b")
+            .withColumnRenamed("_ckey", "key2")
+        )
+        out = out.select(
+            "key1",
+            "key2",
+            F.col("jaccard").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    else:
+        raise CypherUnsupported(
+            f"unknown procedure graft.{cm.group('proc')} (available: "
+            "pagerank, cc, degrees, bfs, node_similarity)"
+        )
+    if cfg:
+        raise CypherUnsupported(
+            f"unknown config key(s) {sorted(cfg)} for graft.{proc}"
+        )
+
+    yields = [y.strip() for y in cm.group("yields").split(",")]
+    for y in yields:
+        if y not in out.columns:
+            raise CypherUnsupported(
+                f"YIELD {y!r} is not a column of graft.{proc} "
+                f"(yields: {out.columns})"
+            )
+    out = out.select(*yields)
+
+    tail = cm.group("tail").strip()
+    if tail:
+        parts = _CLAUSE_RE.split(tail)
+        if parts[0].strip():
+            raise CypherUnsupported(f"unsupported CALL tail: {tail!r}")
+        skip: int | None = None
+        limit: int | None = None
+        order_by: list[tuple[str, bool]] = []
+        sel = None
+        for i in range(1, len(parts), 2):
+            kind = parts[i].upper()
+            body = parts[i + 1].strip().rstrip(",")
+            if kind == "RETURN":
+                sel = []
+                for item in _split_top_commas(body):
+                    m2 = _POST_RETURN_RE.match(item)
+                    if not m2 or m2.group("name") not in out.columns:
+                        raise CypherUnsupported(
+                            f"RETURN after YIELD must use YIELD names: {item!r}"
+                        )
+                    sel.append(
+                        F.col(m2.group("name")).alias(
+                            m2.group("out") or m2.group("name")
+                        )
+                    )
+            elif kind == "ORDER":
+                body2 = re.sub(r"^BY\s+", "", body, flags=re.IGNORECASE)
+                for item in _split_top_commas(body2):
+                    m2 = re.match(
+                        r"^(?P<key>\w+)(?:\s+(?P<dir>ASC|DESC))?$",
+                        item,
+                        re.IGNORECASE,
+                    )
+                    if not m2 or m2.group("key") not in out.columns:
+                        raise CypherUnsupported(
+                            f"ORDER BY key must be a YIELD name: {item!r}"
+                        )
+                    order_by.append(
+                        (m2.group("key"), (m2.group("dir") or "ASC").upper() == "DESC")
+                    )
+            elif kind == "SKIP":
+                skip = int(body)
+            elif kind == "LIMIT":
+                limit = int(body)
+            else:
+                raise CypherUnsupported(f"{kind} unsupported after CALL YIELD")
+        if order_by:
+            out = out.orderBy(
+                *[F.col(k).desc() if d else F.col(k).asc() for k, d in order_by]
+            )
+        if sel is not None:
+            out = out.select(*sel)
+        out = _page(out, skip, limit)
+    return CypherResult(out, None)
+
+
 def run_cypher(
     spark: SparkSession,
     query: str,
@@ -579,6 +789,21 @@ def run_cypher(
     (batch-native).
     """
     masked_q, q_lits = _mask_strings(query)
+    callm = _CALL_RE.match(masked_q.strip())
+    if callm:
+        return _run_text_call(
+            spark,
+            callm,
+            q_lits,
+            params if isinstance(params, dict) else None,
+            store=store,
+            graph=graph,
+        )
+    if re.match(r"^\s*CALL\b", masked_q, re.IGNORECASE):
+        raise CypherUnsupported(
+            "unsupported CALL form (supported: CALL graft.<proc>({cfg}) "
+            "YIELD col[, …] [RETURN …] [ORDER BY …] [SKIP n] [LIMIT n])"
+        )
     union_parts = _UNION_SPLIT_RE.split(masked_q)
     if len(union_parts) > 1:
         return _run_union(
@@ -1800,6 +2025,97 @@ def _run_read(
                 [(v,) for v in vals], [unwind_name]
             )
         elif c.kind == "MATCH":
+            sm = _SHORTEST_RE.match(c.body)
+            if sm:
+                if df is not None:
+                    raise CypherUnsupported(
+                        "shortestPath must be the statement's first MATCH"
+                    )
+                # `*..k` sugar → `*1..k` (Neo4j's shortestPath allows a
+                # minimal length of 0 or 1 only; we support 1)
+                pat = re.sub(r"\*\s*\.\.", "*1..", sm.group("pat").strip())
+                pm = _REL_RE.match(pat)
+                if not pm or not pm.group("max_h"):
+                    raise CypherUnsupported(
+                        "shortestPath needs a bounded variable-length pattern: "
+                        "shortestPath((a)-[:T*1..k]->(b)) — an unbounded [*] "
+                        "would be a join explosion at scale"
+                    )
+                if pm.group("min_h") != "1":
+                    raise CypherUnsupported(
+                        "shortestPath supports a minimal length of 1 only"
+                    )
+                if pm.group("rel_props"):
+                    raise CypherUnsupported(
+                        "inline relationship properties are unsupported in "
+                        "shortestPath"
+                    )
+                direction = _rel_direction(pm)
+                if direction == "both":
+                    raise CypherUnsupported(
+                        "undirected shortestPath is unsupported"
+                    )
+                max_h = int(pm.group("max_h"))
+                if max_h > 20:
+                    raise CypherUnsupported(
+                        "shortestPath depth cap must be <= 20 (deeper paths "
+                        "want the iterative BFS API, graph.algorithms."
+                        "shortest_paths)"
+                    )
+                sa = pm.group("src_alias") or "a"
+                da = pm.group("dst_alias") or "b"
+                s_label = pm.group("src_label")
+                d_label = pm.group("dst_label")
+                if direction == "in":
+                    # (a)<-[*1..k]-(b): walk the ladder from the right end
+                    sa, da = da, sa
+                    s_label, d_label = d_label, s_label
+                # Pairwise depth-capped BFS as ONE LAZY join plan: level-h
+                # pair set = distinct (source, node) endpoints reachable in
+                # exactly h oriented steps, then min(hops) per pair.
+                # Deliberately no checkpoints: the plan stays declarative,
+                # so a later WHERE on the source/target alias is pushed by
+                # Catalyst through the ladder into the node scans — the
+                # two-specific-nodes idiom never BFSes the whole label.
+                from neo4j_graphdb_spark.operators.cypher import _prefix
+
+                e_sp = graph.edges_df
+                if e_sp is None:
+                    raise CypherUnsupported("graph has no edges")
+                if pm.group("rel_type"):
+                    e_sp = e_sp.filter(F.col("rel_type") == pm.group("rel_type"))
+                e_sp = e_sp.select(
+                    F.col("src").alias("_spu"), F.col("dst").alias("_spv")
+                ).distinct()
+                lvl = graph.match(s_label).select(
+                    F.col(NODE_ID).alias("_sps"), F.col(NODE_ID).alias("_spn")
+                )
+                layers = []
+                for h in range(1, max_h + 1):
+                    lvl = (
+                        lvl.join(e_sp, lvl["_spn"] == e_sp["_spu"])
+                        .select("_sps", F.col("_spv").alias("_spn"))
+                        .distinct()
+                    )
+                    layers.append(lvl.withColumn("_sph", F.lit(h)))
+                pairs = layers[0]
+                for lyr in layers[1:]:
+                    pairs = pairs.unionByName(lyr)
+                pairs = pairs.groupBy("_sps", "_spn").agg(
+                    F.min("_sph").alias("hops")
+                )
+                srcf = _prefix(graph.match(s_label), sa)
+                dstf = _prefix(graph.match(d_label), da)
+                df = (
+                    pairs.join(srcf, F.col("_sps") == srcf[f"{sa}_{NODE_ID}"])
+                    .join(dstf, F.col("_spn") == dstf[f"{da}_{NODE_ID}"])
+                    .drop("_sps", "_spn")
+                )
+                aliases[sa] = f"{sa}_"
+                aliases[da] = f"{da}_"
+                rel_alias = sm.group("palias")
+                rel_prefixed = True
+                continue
             if df is not None:
                 in_with = False
                 with_order = []
@@ -2237,7 +2553,15 @@ def _run_read(
             fn = fm.group("fn").lower()
             fa, out = fm.group("alias"), fm.group("out")
             name = out or f"{fn}_{fa}"
-            if fn == "type":
+            if fn == "length":
+                # length(p) — the hop count of a shortestPath/var-length
+                # path binding (the frame's `hops` column)
+                if rel_alias is None or fa != rel_alias or "hops" not in df.columns:
+                    raise CypherUnsupported(
+                        f"length() needs a bound path alias, got {fa!r}"
+                    )
+                e = F.col("hops").cast("bigint")
+            elif fn == "type":
                 if rel_alias is None or fa != rel_alias:
                     raise CypherUnsupported(
                         f"type() needs the bound relationship alias, got {fa!r}"

@@ -5877,6 +5877,76 @@ def q_a55_text_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a56_text_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 ext — ``MATCH p = shortestPath((a)-[:T*1..k]->(b))`` in the
+    text front-end: depth-capped pairwise BFS compiled as one LAZY join
+    plan (per-level distinct frontier, min(hops) per pair) so source
+    WHERE filters push into the node scans. Substrate: a step graph over
+    documents (edges doc i → i+1 and i → i+3), where the closed-form
+    shortest hop count for distance d via steps {1,3} is
+    ``d - 2*floor(d/3)`` — which the oracle states directly."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").cast("long").alias("id"))
+    nodes_src = base.select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 50 == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_src"),
+    )
+    nodes = as_nodes(nodes_src, "Doc", "k", ["is_src"])
+    steps = base.select(
+        "id", F.explode(F.array(F.lit(1), F.lit(3))).alias("st")
+    )
+    pairs = steps.join(
+        base.select(F.col("id").alias("id2")),
+        F.col("id2") == F.col("id") + F.col("st"),
+    ).select(
+        F.col("id").cast("string").alias("sk"),
+        F.col("id2").cast("string").alias("dk"),
+    )
+    edges = as_edges(pairs, "NEXT", "Doc", "sk", "Doc", "dk")
+    res = run_cypher(
+        spark,
+        "MATCH p = shortestPath((a:Doc)-[:NEXT*1..4]->(b:Doc)) "
+        "WHERE a.is_src = 1 "
+        "RETURN a.k AS src, b.k AS dst, length(p) AS len",
+        graph=Graph(nodes, edges),
+    )
+    return res.df
+
+
+def q_a57_text_call_algo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 ext — ``CALL graft.<proc>({cfg}) YIELD …`` procedure router
+    (cypher_text _run_text_call): the statement-text gateway to the
+    algorithm library, GDS-style. Here ``graft.bfs`` on the a56 step
+    graph (edges doc i → i+1 and i → i+3), where the BFS distance from
+    doc 0 has the closed form ``d - 2*floor(d/3)`` the oracle states;
+    unknown procedures/config/YIELD names are rejected by name (pytest
+    covers the reject matrix)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").cast("long").alias("id"))
+    nodes = as_nodes(
+        base.select(F.col("id").cast("string").alias("k")), "Doc", "k", []
+    )
+    steps = base.select("id", F.explode(F.array(F.lit(1), F.lit(3))).alias("st"))
+    pairs = steps.join(
+        base.select(F.col("id").alias("id2")),
+        F.col("id2") == F.col("id") + F.col("st"),
+    ).select(
+        F.col("id").cast("string").alias("sk"),
+        F.col("id2").cast("string").alias("dk"),
+    )
+    edges = as_edges(pairs, "NEXT", "Doc", "sk", "Doc", "dk")
+    res = run_cypher(
+        spark,
+        "CALL graft.bfs({start: '0', maxHops: 6}) YIELD key, dist",
+        graph=Graph(nodes, edges),
+    )
+    return res.df
+
+
 def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 — top-5 OVERLAP-coefficient node similarity
     (|∩| / min(da, db), the subset-flavored member of the GDS
@@ -6168,6 +6238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a49_text_labels_type": q_a49_text_labels_type,
     "a54_text_create": q_a54_text_create,
     "a55_text_expressions": q_a55_text_expressions,
+    "a56_text_shortest_path": q_a56_text_shortest_path,
+    "a57_text_call_algo": q_a57_text_call_algo,
     "a50_text_with_pipeline": q_a50_text_with_pipeline,
     "a51_text_set_map": q_a51_text_set_map,
     "a52_text_optional_where": q_a52_text_optional_where,
@@ -8692,6 +8764,24 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["a57_text_call_algo"] = """
+    SELECT cast(doc_id AS varchar) AS key,
+           CAST(doc_id - 2 * (doc_id // 3) AS bigint) AS dist
+    FROM documents
+    WHERE doc_id - 2 * (doc_id // 3) <= 6
+"""
+
+ORACLES["a56_text_shortest_path"] = """
+    SELECT cast(a.doc_id AS varchar) AS src,
+           cast(c.doc_id AS varchar) AS dst,
+           CAST((c.doc_id - a.doc_id)
+                - 2 * ((c.doc_id - a.doc_id) // 3) AS bigint) AS len
+    FROM documents a
+    JOIN documents c ON c.doc_id > a.doc_id
+    WHERE a.doc_id % 50 = 0
+      AND (c.doc_id - a.doc_id) - 2 * ((c.doc_id - a.doc_id) // 3) <= 4
 """
 
 ORACLES["a55_text_expressions"] = """

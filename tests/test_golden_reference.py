@@ -1698,3 +1698,114 @@ def test_text_return_scalar_expressions(spark):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
+
+
+def test_text_shortest_path(spark):
+    """shortestPath((a)-[:T*1..k]->(b)): min hop count per pair on a
+    chain-with-shortcut graph, both directions; unbounded / min!=1 /
+    undirected / over-cap forms are refused."""
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame(
+        [(str(i), 1 if i == 0 else 0) for i in range(10)], "k string, is_src int"
+    )
+    pairs = [(str(i), str(i + 1)) for i in range(9)] + [("0", "5")]
+    e = spark.createDataFrame(pairs, "sk string, dk string")
+    g = Graph(
+        as_nodes(n, "Doc", "k", ["is_src"]),
+        as_edges(e, "NEXT", "Doc", "sk", "Doc", "dk"),
+    )
+    rows = run_cypher(
+        spark,
+        "MATCH p = shortestPath((a:Doc)-[:NEXT*1..4]->(b:Doc)) "
+        "WHERE a.is_src = 1 "
+        "RETURN b.k AS dst, length(p) AS len ORDER BY len, dst",
+        graph=g,
+    ).df.collect()
+    # shortcut 0->5 makes 5 one hop away and 6..8 reachable in 2..4
+    assert [tuple(r) for r in rows] == [
+        ("1", 1), ("5", 1), ("2", 2), ("6", 2),
+        ("3", 3), ("7", 3), ("4", 4), ("8", 4),
+    ]
+    back = run_cypher(
+        spark,
+        "MATCH p = shortestPath((a:Doc)<-[:NEXT*1..2]-(b:Doc)) "
+        "WHERE a.k = '6' RETURN b.k AS frm, length(p) AS len ORDER BY len, frm",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in back] == [("5", 1), ("0", 2), ("4", 2)]
+    for bad in (
+        "MATCH p = shortestPath((a:Doc)-[:NEXT*2..4]->(b:Doc)) RETURN length(p) AS l",
+        "MATCH p = shortestPath((a:Doc)-[:NEXT]->(b:Doc)) RETURN length(p) AS l",
+        "MATCH p = shortestPath((a:Doc)-[:NEXT*1..50]->(b:Doc)) RETURN length(p) AS l",
+        "MATCH p = shortestPath((a:Doc)-[:NEXT*1..3]-(b:Doc)) RETURN length(p) AS l",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
+
+
+def test_text_call_procedures(spark):
+    """CALL graft.<proc> YIELD: degrees/cc/bfs/pagerank run from
+    statement text over natural keys; unknown procedures, config keys,
+    YIELD names, and non-graft CALLs are refused by name."""
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([(str(i),) for i in range(6)], "k string")
+    e = spark.createDataFrame(
+        [("0", "1"), ("1", "2"), ("2", "0"), ("3", "4"), ("0", "3")],
+        "sk string, dk string",
+    )
+    g = Graph(
+        as_nodes(n, "Doc", "k", []), as_edges(e, "NEXT", "Doc", "sk", "Doc", "dk")
+    )
+    deg = run_cypher(
+        spark,
+        "CALL graft.degrees({}) YIELD key, out_degree, in_degree ORDER BY key",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in deg] == [
+        ("0", 2, 1), ("1", 1, 1), ("2", 1, 1), ("3", 1, 1), ("4", 0, 1),
+    ]
+    cc = run_cypher(
+        spark, "CALL graft.cc({}) YIELD key, comp", graph=g
+    ).df.collect()
+    comps = {}
+    for r in cc:
+        comps.setdefault(r["comp"], set()).add(r["key"])
+    assert sorted(comps.values(), key=len) == [
+        {"5"}, {"0", "1", "2", "3", "4"},
+    ]
+    bfs = run_cypher(
+        spark,
+        "CALL graft.bfs({start: '0', maxHops: 3}) YIELD key, dist "
+        "ORDER BY dist, key",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in bfs] == [
+        ("0", 0), ("1", 1), ("3", 1), ("2", 2), ("4", 2),
+    ]
+    pr = run_cypher(
+        spark,
+        "CALL graft.pagerank({maxIter: 5}) YIELD key, rank "
+        "RETURN key, rank AS score ORDER BY rank DESC LIMIT 1",
+        graph=g,
+    ).df.collect()
+    assert pr[0]["key"] == "0"  # the cycle hub collects the most rank
+    for bad in (
+        "CALL graft.nope({}) YIELD x",
+        "CALL graft.pagerank({bogus: 1}) YIELD key",
+        "CALL graft.degrees({}) YIELD nope",
+        "CALL db.labels() YIELD label",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
