@@ -2615,25 +2615,57 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH dimensions (cheaper-or-equal price AND bigger-or-equal size,
     strictly better in one). The textbook formulation is an O(n²)
     dominance anti-join — the oracle runs exactly that — but the
-    engine's plan is the sort-based frontier: collapse to one row per
-    distinct price (max size), run a strictly-preceding cummax window
-    over the DISTINCT-price sequence only, and a part survives iff its
-    size ties its price group's best AND strictly beats every cheaper
-    group's best. One groupBy + one window over the frontier grid
-    (#distinct prices, not n rows) + one broadcast-sized join back: at
-    100 TB the n² pair explosion never exists. (If the dim-1 grid itself
-    were huge, the same frontier composes hierarchically: per-partition
-    frontiers then a frontier-of-frontiers — each pass is this plan.)"""
+    engine's plan is the HIERARCHICAL sort-based frontier: collapse to
+    one row per distinct price (max size), range-bucket the price grid
+    (a value-based floor((p-lo)/width) — no sort needed to assign), run
+    the strictly-preceding cummax WITHIN each bucket (a key-partitioned
+    window — the grid is never globally sorted into one partition), roll
+    the buckets up to one best-size row each, prefix-max THAT (a window
+    over #buckets ≈ 32 rows — the only single-partition exchange, bounded
+    by the bucket count, never by the data), and combine:
+    cheaper_best(p) = max(in-bucket prefix, all-previous-buckets best).
+    A part survives iff its size ties its price group's best AND strictly
+    beats cheaper_best. At 100 TB neither the n² pair explosion nor a
+    single-partition sort of the grid ever exists; the same construction
+    recurses if #buckets itself needed bounding."""
     from pyspark.sql import Window
 
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
     grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_gmax"))
-    w = Window.orderBy(F.col("p_retailprice").asc()).rowsBetween(
+    # bucket width from one 1-row aggregate (driver-side metadata, bounded)
+    n_buckets = 32
+    stats = part.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    ).collect()[0]
+    width = max((float(stats["hi"]) - float(stats["lo"])) / n_buckets, 1e-9)
+    bkt = F.least(
+        F.floor((F.col("p_retailprice") - F.lit(float(stats["lo"]))) / width),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    grp = grp.withColumn("_bkt", bkt)
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("p_retailprice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grp.withColumn("_local_best", F.max("_gmax").over(w_local))
+    bucket_best = grp.groupBy("_bkt").agg(F.max("_gmax").alias("_bbest"))
+    w_buckets = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    frontier = grp.withColumn("_cheaper_best", F.max("_gmax").over(w))
+    bucket_prefix = bucket_best.select(
+        "_bkt", F.max("_bbest").over(w_buckets).alias("_prev_bbest")
+    )
+    frontier = grid.join(F.broadcast(bucket_prefix), on="_bkt").select(
+        "p_retailprice",
+        "_gmax",
+        # greatest() skips NULLs: first price of the first bucket gets NULL
+        F.greatest(F.col("_local_best"), F.col("_prev_bbest")).alias(
+            "_cheaper_best"
+        ),
+    )
     sky = part.join(F.broadcast(frontier), on="p_retailprice").filter(
         (F.col("p_size") == F.col("_gmax"))
         & (
@@ -5947,6 +5979,68 @@ def q_a57_text_call_algo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a58_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 — end-to-end replay of the reference's COMPLETE statement set
+    in one store session: the crawl upsert (run twice — re-crawl must be
+    idempotent; /root/reference/src/crwling.py:47-56), the user seed
+    (src/ingest.py:4-8), then the three reads — main.py:17's title LIMIT
+    and both cypher.txt:4-8 statements — as one ``run_cypher_script``
+    call. The output projects the final graph state (article→publisher
+    edges, user→tech interest) plus a 'reads_ok' check row proving the
+    struct-returning reads executed with the expected cardinalities."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        run_cypher,
+        run_cypher_script,
+    )
+
+    src = _article_source(spark, sf_dir)
+    batch = src.select("link", "title", "content", "publisher")
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a58_"))
+    crawl = (
+        "MERGE (a:Article {link: $link}) "
+        "SET a.title = $title, a.content = $content, "
+        "a.published_at = datetime() "
+        "WITH a MERGE (p:Publisher {name: $publisher}) "
+        "MERGE (a)-[:WRITTEN_BY]->(p) RETURN a"
+    )
+    run_cypher_script(spark, crawl, batch, store=store)
+    run_cypher_script(spark, crawl, batch, store=store)  # idempotent re-crawl
+    run_cypher_script(
+        spark,
+        "MERGE (u:User {name: $name}) MERGE (t:Tech {name: $tech}) "
+        "MERGE (u)-[:INTERESTED_IN]->(t)",
+        {"name": "Beomzh", "tech": "GraphRAG"},
+        store=store,
+    )
+    reads = run_cypher_script(
+        spark,
+        "MATCH (a:Article) RETURN a.title AS title LIMIT 5; "
+        "MATCH (u:User)-[r:INTERESTED_IN]->(t:Tech) RETURN u, r, t; "
+        "MATCH (n) RETURN n LIMIT 25",
+        store=store,
+    )
+    counts = [r.df.count() for r in reads]
+    reads_ok = counts[0] == 5 and counts[1] == 1 and counts[2] == 25
+    arts = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS k, p.name AS v",
+        store=store,
+    ).df
+    users = run_cypher(
+        spark,
+        "MATCH (u:User)-[:INTERESTED_IN]->(t:Tech) "
+        "RETURN u.name AS k, t.name AS v",
+        store=store,
+    ).df
+    checks = spark.createDataFrame([("reads_ok", str(reads_ok))], ["k", "v"])
+    return (
+        arts.select(F.lit("article").alias("kind"), "k", "v")
+        .unionByName(users.select(F.lit("interest").alias("kind"), "k", "v"))
+        .unionByName(checks.select(F.lit("check").alias("kind"), "k", "v"))
+    )
+
+
 def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 — top-5 OVERLAP-coefficient node similarity
     (|∩| / min(da, db), the subset-flavored member of the GDS
@@ -6187,73 +6281,26 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation ledger (so future rounds keep widening driver coverage):
 #   r02-r04 windows covered the a1-a15 / b1-b8 / c1-c10 block;
 #   r05's window covered c11-c36 + the early rel_* suite;
-#   r06's window (current first 50) = the round-6 additions
-#   (a42-a50, c84) + the three entries changed this round
-#   (c37 degree-capped, c8_minhash_lsh / c8_simhash md5-oracled) + the
-#   a17-a41 front-end/writer backlog + c38-c48.
-#   Next rotation (r07) should LEAD with the block tagged "r7 window
-#   backlog" below — c49 onward, the c85-c90 round-6 additions, and the
-#   late rel_* entries — which completes driver coverage of every
-#   declared entry in two windows (the backlog is ~60 entries; whatever
-#   r07's 50 slots miss, r08 leads with).
+#   r06's window covered a42-a50/c84 + changed entries + a17-a41 + c38-c46;
+#   r07's window (current first 50) = the two entries fixed this round
+#   (a49/c41, array columns stringified) + the round-7 additions
+#   (a54 CREATE, a55 expressions, a56 shortestPath, a57 CALL router,
+#   a58 reference replay) + the first 43 of the never-driver-checked
+#   backlog (c47-c91, late rel_*).
+#   Next rotation (r08) should LEAD with the 14-entry block tagged
+#   "r8 window backlog" below (c73_hashed_features onward) — that
+#   completes driver coverage of every declared entry.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r6 driver window (first 50): new + changed entries, then the
-    # never-driver-checked a*/c37-c55 backlog (rotation ledger below) ----
-    "a42_text_incoming": q_a42_text_incoming,
-    "a43_text_undirected": q_a43_text_undirected,
-    "a44_text_union": q_a44_text_union,
-    "c84_graphrag": q_c84_graphrag,
-    "c37_node_similarity": q_c37_node_similarity,
-    "c8_minhash_lsh": q_c8_minhash_lsh,
-    "c8_simhash": q_c8_simhash,
-    "a17_text_agg": q_a17_text_agg,
-    "a18_text_optional": q_a18_text_optional,
-    "a19_store_compact": q_a19_store_compact,
-    "a20_text_paginate": q_a20_text_paginate,
-    "a21_text_unwind": q_a21_text_unwind,
-    "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
-    "a23_text_rel_props": q_a23_text_rel_props,
-    "a24_text_untyped_rel": q_a24_text_untyped_rel,
-    "a25_text_with_agg": q_a25_text_with_agg,
-    "a26_time_travel": q_a26_time_travel,
-    "a27_text_on_create_match": q_a27_text_on_create_match,
-    "a28_text_in_list": q_a28_text_in_list,
-    "a29_snapshot_diff": q_a29_snapshot_diff,
-    "a30_text_literal_props": q_a30_text_literal_props,
-    "a31_text_script": q_a31_text_script,
-    "a32_text_bool_where": q_a32_text_bool_where,
-    "a33_text_match_chain": q_a33_text_match_chain,
-    "a34_store_vacuum": q_a34_store_vacuum,
-    "a35_text_var_length": q_a35_text_var_length,
-    "a36_text_detach_delete": q_a36_text_detach_delete,
-    "a37_text_remove": q_a37_text_remove,
-    "a38_schema_evolution": q_a38_schema_evolution,
-    "a39_store_sql": q_a39_store_sql,
-    "a40_cdc_apply": q_a40_cdc_apply,
-    "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
-    "a45_text_temporal": q_a45_text_temporal,
-    "a46_text_epoch_millis": q_a46_text_epoch_millis,
-    "a47_text_string_preds": q_a47_text_string_preds,
-    "a48_text_exists": q_a48_text_exists,
+    # ---- r7 driver window (first 50): this round's fixed/new entries
+    # (a49/c41 array-column fix, a54-a58), then the never-driver-checked
+    # backlog (rotation ledger above) ----
     "a49_text_labels_type": q_a49_text_labels_type,
+    "c41_quantize": q_c41_quantize,
     "a54_text_create": q_a54_text_create,
     "a55_text_expressions": q_a55_text_expressions,
     "a56_text_shortest_path": q_a56_text_shortest_path,
     "a57_text_call_algo": q_a57_text_call_algo,
-    "a50_text_with_pipeline": q_a50_text_with_pipeline,
-    "a51_text_set_map": q_a51_text_set_map,
-    "a52_text_optional_where": q_a52_text_optional_where,
-    "a53_text_count_pattern": q_a53_text_count_pattern,
-    "c38_random_walks": q_c38_random_walks,
-    "c39_stream_near_dup": q_c39_stream_near_dup,
-    "c40_clustering_coeff": q_c40_clustering_coeff,
-    "c41_quantize": q_c41_quantize,
-    "c42_mixture_sample": q_c42_mixture_sample,
-    "c43_lm_score": q_c43_lm_score,
-    "c44_closeness": q_c44_closeness,
-    "c45_walk_pairs": q_c45_walk_pairs,
-    "c46_betweenness": q_c46_betweenness,
-    # ---- r7 window backlog: remaining never-driver-checked entries ----
+    "a58_reference_replay": q_a58_reference_replay,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6297,6 +6344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_skyline": q_rel_skyline,
     "c71_bpe_apply": q_c71_bpe_apply,
     "rel_distribution": q_rel_distribution,
+    # ---- r8 window backlog: remaining never-driver-checked entries ----
     "c72_neighbor_sample": q_c72_neighbor_sample,
     "c73_hashed_features": q_c73_hashed_features,
     "c74_ppmi": q_c74_ppmi,
@@ -6311,7 +6359,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
     "c82_assortativity": q_c82_assortativity,
     "c83_node2vec_walks": q_c83_node2vec_walks,
-    # ---- driver-green union of the r2-r5 windows (long-green tail) ----
+    # ---- driver-green union of the r2-r6 windows (long-green tail) ----
+    "a42_text_incoming": q_a42_text_incoming,
+    "a43_text_undirected": q_a43_text_undirected,
+    "a44_text_union": q_a44_text_union,
+    "c84_graphrag": q_c84_graphrag,
+    "c37_node_similarity": q_c37_node_similarity,
+    "c8_minhash_lsh": q_c8_minhash_lsh,
+    "c8_simhash": q_c8_simhash,
+    "a17_text_agg": q_a17_text_agg,
+    "a18_text_optional": q_a18_text_optional,
+    "a19_store_compact": q_a19_store_compact,
+    "a20_text_paginate": q_a20_text_paginate,
+    "a21_text_unwind": q_a21_text_unwind,
+    "a22_text_unwind_lookup": q_a22_text_unwind_lookup,
+    "a23_text_rel_props": q_a23_text_rel_props,
+    "a24_text_untyped_rel": q_a24_text_untyped_rel,
+    "a25_text_with_agg": q_a25_text_with_agg,
+    "a26_time_travel": q_a26_time_travel,
+    "a27_text_on_create_match": q_a27_text_on_create_match,
+    "a28_text_in_list": q_a28_text_in_list,
+    "a29_snapshot_diff": q_a29_snapshot_diff,
+    "a30_text_literal_props": q_a30_text_literal_props,
+    "a31_text_script": q_a31_text_script,
+    "a32_text_bool_where": q_a32_text_bool_where,
+    "a33_text_match_chain": q_a33_text_match_chain,
+    "a34_store_vacuum": q_a34_store_vacuum,
+    "a35_text_var_length": q_a35_text_var_length,
+    "a36_text_detach_delete": q_a36_text_detach_delete,
+    "a37_text_remove": q_a37_text_remove,
+    "a38_schema_evolution": q_a38_schema_evolution,
+    "a39_store_sql": q_a39_store_sql,
+    "a40_cdc_apply": q_a40_cdc_apply,
+    "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
+    "a45_text_temporal": q_a45_text_temporal,
+    "a46_text_epoch_millis": q_a46_text_epoch_millis,
+    "a47_text_string_preds": q_a47_text_string_preds,
+    "a48_text_exists": q_a48_text_exists,
+    "a50_text_with_pipeline": q_a50_text_with_pipeline,
+    "a51_text_set_map": q_a51_text_set_map,
+    "a52_text_optional_where": q_a52_text_optional_where,
+    "a53_text_count_pattern": q_a53_text_count_pattern,
+    "c38_random_walks": q_c38_random_walks,
+    "c39_stream_near_dup": q_c39_stream_near_dup,
+    "c40_clustering_coeff": q_c40_clustering_coeff,
+    "c42_mixture_sample": q_c42_mixture_sample,
+    "c43_lm_score": q_c43_lm_score,
+    "c44_closeness": q_c44_closeness,
+    "c45_walk_pairs": q_c45_walk_pairs,
+    "c46_betweenness": q_c46_betweenness,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -6409,6 +6505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
 }
+
 
 
 _CLEAN_SQL = (
@@ -8764,6 +8861,15 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["a58_reference_replay"] = """
+    SELECT 'article' AS kind,
+           concat('doc://', cast(doc_id AS varchar)) AS k,
+           source AS v
+    FROM documents
+    UNION ALL SELECT 'interest', 'Beomzh', 'GraphRAG'
+    UNION ALL SELECT 'check', 'reads_ok', 'True'
 """
 
 ORACLES["a57_text_call_algo"] = """

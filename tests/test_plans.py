@@ -152,13 +152,23 @@ def test_bigram_lm_single_window_shuffle(spark, sf_dir):
 
 
 def test_skyline_single_window_no_cartesian(spark, sf_dir):
-    """The sort-based skyline plan must contain the frontier window and
-    NO quadratic join (the oracle's NOT EXISTS shape would surface as a
-    cartesian/nested-loop over part×part)."""
+    """The hierarchical skyline plan must contain the frontier windows
+    and NO quadratic join (the oracle's NOT EXISTS shape would surface
+    as a cartesian/nested-loop over part×part)."""
     plan = _plan(QUERIES["rel_skyline"](spark, sf_dir))
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # frontier grid broadcasts
+
+
+def test_skyline_grid_cummax_is_bucket_partitioned(spark, sf_dir):
+    """Hierarchical frontier (frontier-of-frontiers): the grid cummax
+    window must be PARTITIONED by the price bucket — the distinct-price
+    grid is never globally sorted into one partition. The only
+    single-partition exchange allowed is the ≤32-row bucket rollup."""
+    plan = _plan(QUERIES["rel_skyline"](spark, sf_dir))
+    assert "windowspecdefinition(_bkt" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_pq_search_broadcasts_codebook(spark, sf_dir):
