@@ -831,13 +831,16 @@ def run_cypher(
             raise CypherUnsupported("WHERE unsupported in write statements")
         if store is None:
             raise ValueError("write statement needs a GraphStore")
-        return _run_write(spark, clauses, params, store)
+        return _run_write(spark, clauses, params, store, lits)
     if any(c.kind == "UNWIND" for c in clauses):
         # validate placement and form before the graph resolves, so the
         # error is about the syntax, not the store
         if clauses[0].kind != "UNWIND":
             raise CypherUnsupported("UNWIND must lead the read statement")
-        if not _UNWIND_RE.match(clauses[0].body):
+        if not (
+            _UNWIND_RE.match(clauses[0].body)
+            or _UNWIND_LIT_RE.match(clauses[0].body)
+        ):
             raise CypherUnsupported(
                 f"unsupported UNWIND form: {clauses[0].body!r}"
             )
@@ -932,11 +935,36 @@ def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataF
 
 _UNWIND_RE = re.compile(r"^\$(\w+)\s+AS\s+(\w+)$", re.IGNORECASE)
 
+# UNWIND [1, 2, 'x'] AS v — literal-list form (the smoke-test idiom)
+_UNWIND_LIT_RE = re.compile(
+    r"^\[(?P<items>[^\]]*)\]\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
+)
+
+
+def _unwind_literal_values(
+    items: str, lits: list[str], params: dict | None
+) -> list:
+    """Resolve the element tokens of a literal UNWIND list (numbers,
+    masked string literals, $params) to Python values."""
+    toks = _split_top_commas(items)
+    if not toks:
+        raise CypherUnsupported("UNWIND literal list is empty")
+    out = []
+    for t in toks:
+        try:
+            out.append(_where_value(t.strip(), lits, params))
+        except ValueError:
+            raise CypherUnsupported(
+                f"unsupported UNWIND list element: {t.strip()!r}"
+            ) from None
+    return out
+
 
 def _apply_unwind(
     spark: SparkSession,
     clauses: list[_Clause],
     params: dict | DataFrame | None,
+    lits: list[str] | None = None,
 ) -> tuple[list[_Clause], DataFrame]:
     """``UNWIND $rows AS row`` — Neo4j's batched-ingest idiom (the fix
     every reference user applies to the per-record loop at
@@ -944,10 +972,29 @@ def _apply_unwind(
     the batch DataFrame this engine is already native in: ``row.col``
     references rewrite to ``$col``, and the rows param (a DataFrame, or
     a list of dicts for the literal Neo4j call shape) IS the batch.
+    ``UNWIND [v1, v2, …] AS x`` is the literal-list form: the scalar
+    alias becomes a 1-column batch and bare ``x`` references rewrite to
+    the ``$x`` parameter.
     """
     um = _UNWIND_RE.match(clauses[0].body)
     if not um:
-        raise CypherUnsupported(f"unsupported UNWIND form: {clauses[0].body!r}")
+        lm = _UNWIND_LIT_RE.match(clauses[0].body)
+        if not lm:
+            raise CypherUnsupported(
+                f"unsupported UNWIND form: {clauses[0].body!r}"
+            )
+        alias = lm.group("alias")
+        vals = _unwind_literal_values(
+            lm.group("items"),
+            lits or [],
+            params if isinstance(params, dict) else None,
+        )
+        pdf = spark.createDataFrame([(v,) for v in vals], [alias])
+        ref = re.compile(rf"(?<![\w$.]){re.escape(alias)}(?![\w$.(])")
+        return (
+            [_Clause(c.kind, ref.sub(f"${alias}", c.body)) for c in clauses[1:]],
+            pdf,
+        )
     pname, alias = um.group(1), um.group(2)
     if isinstance(params, DataFrame):
         pdf = params
@@ -969,9 +1016,10 @@ def _run_write(
     clauses: list[_Clause],
     params: dict | DataFrame | None,
     store: GraphStore,
+    lits: list[str] | None = None,
 ) -> CypherResult:
     if clauses and clauses[0].kind == "UNWIND":
-        clauses, pdf = _apply_unwind(spark, clauses, params)
+        clauses, pdf = _apply_unwind(spark, clauses, params, lits)
     else:
         if any(c.kind == "UNWIND" for c in clauses):
             raise CypherUnsupported("UNWIND must lead the write statement")
@@ -2013,14 +2061,21 @@ def _run_read(
             # "MATCH by id list" shape, distributed instead of N round
             # trips). Must lead; run_cypher rejects it elsewhere.
             um = _UNWIND_RE.match(c.body)
-            if not um:
-                raise CypherUnsupported(f"unsupported UNWIND form: {c.body!r}")
-            vals = (params or {}).get(um.group(1))
-            if not isinstance(vals, list) or not vals:
-                raise CypherUnsupported(
-                    f"read UNWIND ${um.group(1)} needs a non-empty list param"
-                )
-            unwind_name = um.group(2)
+            if um:
+                vals = (params or {}).get(um.group(1))
+                if not isinstance(vals, list) or not vals:
+                    raise CypherUnsupported(
+                        f"read UNWIND ${um.group(1)} needs a non-empty list param"
+                    )
+                unwind_name = um.group(2)
+            else:
+                lm = _UNWIND_LIT_RE.match(c.body)
+                if not lm:
+                    raise CypherUnsupported(
+                        f"unsupported UNWIND form: {c.body!r}"
+                    )
+                vals = _unwind_literal_values(lm.group("items"), lits, params)
+                unwind_name = lm.group("alias")
             unwind_frame = graph.nodes_df.sparkSession.createDataFrame(
                 [(v,) for v in vals], [unwind_name]
             )
@@ -2477,6 +2532,9 @@ def _run_read(
         else:
             raise CypherUnsupported(f"{c.kind} unsupported in read statements")
 
+    if df is None and unwind_frame is not None and returns:
+        # pure `UNWIND […] AS x RETURN x` — the list itself is the frame
+        df = unwind_frame
     if df is None or not returns:
         raise CypherUnsupported("read statement needs MATCH … RETURN …")
 

@@ -6041,6 +6041,30 @@ def q_a58_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
+    idiom): the literal list becomes a 1-column frame; used bare it IS
+    the result, used with ``WHERE a.prop = x`` it compiles to the same
+    broadcast batch-lookup join as the $param form (cypher_text
+    _UNWIND_LIT_RE). Here: mod-3 classes [0, 1] looked up against the
+    documents-derived nodes."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        (F.col("doc_id") % 3).cast("long").alias("mod3"),
+    )
+    nodes = as_nodes(src, "Doc", "link", ["mod3"])
+    res = run_cypher(
+        spark,
+        "UNWIND [0, 1] AS m MATCH (a:Doc) WHERE a.mod3 = m "
+        "RETURN a.link AS link, m AS m",
+        graph=Graph(nodes, None),
+    )
+    return res.df
+
+
 def q_c91_overlap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 — top-5 OVERLAP-coefficient node similarity
     (|∩| / min(da, db), the subset-flavored member of the GDS
@@ -6301,6 +6325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a56_text_shortest_path": q_a56_text_shortest_path,
     "a57_text_call_algo": q_a57_text_call_algo,
     "a58_reference_replay": q_a58_reference_replay,
+    "a59_text_unwind_literal": q_a59_text_unwind_literal,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6343,8 +6368,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
     "c71_bpe_apply": q_c71_bpe_apply,
-    "rel_distribution": q_rel_distribution,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "rel_distribution": q_rel_distribution,
     "c72_neighbor_sample": q_c72_neighbor_sample,
     "c73_hashed_features": q_c73_hashed_features,
     "c74_ppmi": q_c74_ppmi,
@@ -8861,6 +8886,12 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["a59_text_unwind_literal"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           CAST(doc_id % 3 AS bigint) AS m
+    FROM documents WHERE doc_id % 3 IN (0, 1)
 """
 
 ORACLES["a58_reference_replay"] = """

@@ -1809,3 +1809,43 @@ def test_text_call_procedures(spark):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
+
+
+def test_text_unwind_literal_list(spark, tmp_path):
+    """UNWIND [literals] AS x: bare it IS the result; with a WHERE
+    equality it compiles to the broadcast batch lookup; leading a write
+    it is the batch; non-literal elements are refused."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [(str(i), i % 3) for i in range(9)], "k string, mod3 int"
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["mod3"]), None)
+    pure = run_cypher(
+        spark, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x", graph=g
+    ).df.collect()
+    assert [r["x"] for r in pure] == [1, 2, 3]
+    looked = run_cypher(
+        spark,
+        "UNWIND [0, 2] AS m MATCH (a:Doc) WHERE a.mod3 = m "
+        "RETURN a.k AS k, m AS m ORDER BY k",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in looked] == [
+        ("0", 0), ("2", 2), ("3", 0), ("5", 2), ("6", 0), ("8", 2),
+    ]
+    s = GraphStore(spark, str(tmp_path / "unwind_lit"))
+    w = run_cypher(
+        spark, "UNWIND [10, 20, 30] AS v CREATE (n:Num {val: v})", store=s
+    )
+    assert w.summary.nodes_created == 3
+    assert sorted(r["key"] for r in s.nodes().collect()) == ["10", "20", "30"]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "UNWIND [foo] AS x RETURN x", graph=g)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "UNWIND [] AS x RETURN x", graph=g)
