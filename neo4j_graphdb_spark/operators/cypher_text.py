@@ -1734,6 +1734,61 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
     return rec(ast)
 
 
+_PRED_SPLIT_RE = re.compile(
+    r"<=|>=|<>|=|<|>|\(|\)|(?<![\w$])(?:CASE|END)(?![\w$])", re.IGNORECASE
+)
+
+_IS_NULL_TAIL_RE = re.compile(
+    r"^(?P<expr>.+?)\s+IS\s+(?P<neg>NOT\s+)?NULL$", re.IGNORECASE
+)
+
+
+def _split_expr_predicate(text: str):
+    """Split one WHERE conjunct of the form ``<expr> <cmp> <expr>`` (or
+    ``<expr> IS [NOT] NULL``) at its TOP-LEVEL comparison — parens and
+    CASE…END nesting are skipped so comparisons inside a CASE WHEN never
+    split the predicate. Returns ``('cmp', left, op, right)`` /
+    ``('isnull', expr, negated)`` or None if no top-level comparison."""
+    depth = 0
+    case_depth = 0
+    for m in _PRED_SPLIT_RE.finditer(text):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok.upper() == "CASE":
+            case_depth += 1
+        elif tok.upper() == "END":
+            case_depth -= 1
+        elif depth == 0 and case_depth == 0:
+            return ("cmp", text[: m.start()].strip(), tok, text[m.end():].strip())
+    nm = _IS_NULL_TAIL_RE.match(text.strip())
+    if nm:
+        return ("isnull", nm.group("expr"), bool(nm.group("neg")))
+    return None
+
+
+def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
+    """Compile an expression-form WHERE conjunct to one filter Column."""
+    split = _split_expr_predicate(item)
+    if split is None:
+        raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
+    if split[0] == "isnull":
+        c, _ = _compile_scalar(
+            _parse_scalar_expr(split[1]), df, aliases, rel_alias, lits, params
+        )
+        return c.isNotNull() if split[2] else c.isNull()
+    _, left, op, right = split
+    lc, _ = _compile_scalar(
+        _parse_scalar_expr(left), df, aliases, rel_alias, lits, params
+    )
+    rc, _ = _compile_scalar(
+        _parse_scalar_expr(right), df, aliases, rel_alias, lits, params
+    )
+    return _OPS[op](lc, rc)
+
+
 def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
     """One RETURN expression item → (Column, output name). With no
     ``AS``, the name is the whitespace-squeezed expression text (the
@@ -1908,6 +1963,7 @@ def _run_read(
     node_match: tuple[str, str | None] | None = None
     predicates: list[tuple[str, str, str, str]] = []  # (alias, prop, op, raw val)
     where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
+    expr_predicates: list[str] = []  # expression-form conjuncts (a.x + 1 > 2)
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
     exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
     in_with = False  # inside a non-aggregating WITH segment
@@ -1980,6 +2036,17 @@ def _run_read(
             df = df.filter(
                 _op_fn(op)(_prop_col(df, aliases[alias], prop), _operand(raw))
             )
+
+        for item in expr_predicates:
+            # expression-form conjunct: both comparands compile through the
+            # scalar-expression Column compiler (arithmetic/CASE/functions),
+            # one filter each — still plain Catalyst predicates
+            df = df.filter(
+                _compile_where_expr_pred(
+                    item, df, aliases, rel_alias, lits, params
+                )
+            )
+        expr_predicates.clear()
 
         if where_exprs:
             # resolve each boolean AST to one filter Column: leaves reuse the
@@ -2428,19 +2495,33 @@ def _run_read(
                     return f"\x01{len(temporal_cols) - 1}\x01"
 
                 body = _TEMPORAL_EXPR_RE.sub(_stash, body)
-            if re.search(r"[()]|(?<![.$\w])(?:OR|NOT)\b", body, re.IGNORECASE):
+            has_bool = re.search(
+                r"(?<![.$\w])(?:OR|NOT)\b", body, re.IGNORECASE
+            )
+            if has_bool or re.search(r"[()]", body):
                 # boolean combination: one deferred filter Column; the
                 # plan-shaping conjunct specials (UNWIND equi-join) stay
-                # exclusive to the plain-AND path below
-                where_exprs.append(_parse_bool_expr(body))
-            else:
-                for item in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
-                    m = _WHERE_ITEM_RE.match(item.strip())
-                    if not m:
-                        raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
+                # exclusive to the plain-AND path below. Parens without
+                # OR/NOT may instead be arithmetic grouping or function
+                # calls — on a parse failure those fall through to the
+                # expression-predicate path.
+                try:
+                    where_exprs.append(_parse_bool_expr(body))
+                    continue
+                except CypherUnsupported:
+                    if has_bool:
+                        raise
+            for item in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+                m = _WHERE_ITEM_RE.match(item.strip())
+                if m:
                     predicates.append(
                         (m.group("alias"), m.group("prop"), m.group("op"), m.group("val"))
                     )
+                else:
+                    # expression-form conjunct (arithmetic / functions /
+                    # CASE over bound props) — compiled in _apply_pending
+                    # where the frame is known
+                    expr_predicates.append(item.strip())
         elif c.kind == "WITH":
             # non-aggregating WITH: a mid-pipeline horizon. Deferred
             # filters flush FIRST (Cypher scopes a WHERE to its clause

@@ -5869,12 +5869,13 @@ def q_a54_text_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a55_text_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A55 ext — scalar expressions in RETURN (cypher_text
+    """A55 ext — scalar expressions in RETURN and WHERE (cypher_text
     _parse_scalar_expr/_compile_scalar): arithmetic with Cypher's
     integer-division truncation, string concat via `+`, coalesce, CASE
-    WHEN, and whitelisted functions (size/toUpper/substring 0-based) —
-    all compiled to single Catalyst Columns, no UDFs. The oracle replays
-    each expression in SQL."""
+    WHEN, whitelisted functions (size/toUpper/substring 0-based), and an
+    expression-form WHERE conjunct (`a.score % 7 <> 3`) — all compiled
+    to single Catalyst Columns, no UDFs. The oracle replays each
+    expression in SQL."""
     from neo4j_graphdb_spark.operators.cypher_text import run_cypher
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5887,7 +5888,9 @@ def q_a55_text_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = as_nodes(src, "Doc", "link", ["snippet", "score", "maybe"])
     res = run_cypher(
         spark,
-        "MATCH (a:Doc) RETURN a.link AS link, "
+        "MATCH (a:Doc) "
+        "WHERE a.score % 7 <> 3 "  # expression-form WHERE conjunct
+        "RETURN a.link AS link, "
         "size(a.snippet) AS n_chars, "
         "a.score * 2 + 1 AS s2, "
         "a.score / 3 AS s3, "
@@ -8931,6 +8934,7 @@ ORACLES["a55_text_expressions"] = """
            CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
            upper(substr(substr(text, 1, 40), 1, 5)) AS head5
     FROM documents
+    WHERE doc_id % 7 <> 3
 """
 
 ORACLES["a54_text_create"] = """

@@ -1849,3 +1849,48 @@ def test_text_unwind_literal_list(spark, tmp_path):
         run_cypher(spark, "UNWIND [foo] AS x RETURN x", graph=g)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "UNWIND [] AS x RETURN x", graph=g)
+
+
+def test_text_where_scalar_expressions(spark):
+    """WHERE expression conjuncts: arithmetic (incl. parenthesized),
+    IS [NOT] NULL over expressions, coalesce, CASE — compiled to plain
+    Catalyst predicates; they AND-compose with simple conjuncts and the
+    boolean OR grammar still routes boolean bodies."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "Alpha", 3), ("l2", None, 7), ("l3", "Gamma", -4), ("l4", "Beta", 10)],
+        "link string, title string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title", "score"]), None)
+
+    def links(q):
+        return sorted(r["l"] for r in run_cypher(spark, q, graph=g).df.collect())
+
+    assert links("MATCH (a:Doc) WHERE a.score % 2 = 1 RETURN a.link AS l") == [
+        "l1", "l2",
+    ]
+    assert links(
+        "MATCH (a:Doc) WHERE (a.score + 4) * 2 > 10 RETURN a.link AS l"
+    ) == ["l1", "l2", "l4"]
+    assert links("MATCH (a:Doc) WHERE a.title IS NULL RETURN a.link AS l") == ["l2"]
+    assert links(
+        "MATCH (a:Doc) WHERE coalesce(a.title, 'zzz') = 'zzz' RETURN a.link AS l"
+    ) == ["l2"]
+    assert links(
+        "MATCH (a:Doc) WHERE size(a.link) = 2 AND a.score > 0 "
+        "AND abs(a.score) % 7 = 3 RETURN a.link AS l"
+    ) == ["l1", "l4"]
+    assert links(
+        "MATCH (a:Doc) WHERE CASE WHEN a.score > 0 THEN 1 ELSE 0 END = 1 "
+        "RETURN a.link AS l"
+    ) == ["l1", "l2", "l4"]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MATCH (a:Doc) WHERE a.score ++ 1 > 2 RETURN a.link AS l", graph=g
+        )
