@@ -849,8 +849,19 @@ def run_cypher(
             raise ValueError("read statement needs a Graph or GraphStore")
         nodes = store.nodes()
         if nodes is None:
-            raise ValueError("store is empty")
-        graph = Graph(nodes, store.edges())
+            if clauses and all(
+                c.kind in ("UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
+                for c in clauses
+            ) and _UNWIND_LIT_RE.match(clauses[0].body):
+                # pure `UNWIND [...] AS x RETURN x` touches no graph data
+                empty = spark.createDataFrame(
+                    [], "node_id long, label string, key string"
+                )
+                graph = Graph(empty, None)
+            else:
+                raise ValueError("store is empty")
+        else:
+            graph = Graph(nodes, store.edges())
     read_params = params if isinstance(params, dict) else None
     return CypherResult(_run_read(clauses, graph, lits, read_params), None)
 

@@ -695,3 +695,70 @@ def semdedup(
         "cluster",
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (Raffel et al. 2020 §2.2 lineage):
+    chunk every document's token stream into fixed ``chunk_words``-word
+    blocks, call a block boilerplate when it appears verbatim in
+    ``min_df``-or-more DISTINCT documents (headers, footers, cookie
+    banners — the cross-doc repeated furniture), and rebuild each
+    document from its surviving blocks in order.
+
+    The reference has no curation ops at all (it stores raw crawl text,
+    /root/reference/src/crwling.py:37-43); this is the transformation
+    sibling of the c86 duplicated-span STATS.
+
+    Returns ``(id_col, clean_text, n_removed)``.
+
+    100 TB shape: linear in corpus tokens, no pairwise comparisons —
+    one explode to blocks, one map-side-combined
+    ``groupBy(block).countDistinct(doc)`` (the 16-byte md5 shuffles, not
+    the block text), one broadcast-or-hash left join back, one
+    ``groupBy(doc)`` ordered reassembly. Boilerplate blocks are by
+    definition high-frequency, so the df table is tiny relative to the
+    corpus and the join side is dimension-sized.
+    """
+    cw = chunk_words
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(cw)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+    )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("_blk", "_chunk")
+    ).withColumn("_h", F.md5("_chunk"))
+    boiler = (
+        ex.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h", F.lit(1).alias("_bp"))
+    )
+    flagged = ex.join(boiler, on="_h", how="left")
+    return flagged.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_bp").isNull(),
+                                F.struct("_blk", "_chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("bigint").alias("n_removed"),
+    )

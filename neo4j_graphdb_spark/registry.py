@@ -6044,6 +6044,37 @@ def q_a58_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_c92_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92 — C4-style boilerplate removal (operators/dedup.py
+    remove_boilerplate): fixed 10-word blocks, blocks verbatim in >= 2
+    distinct docs are cross-doc furniture and get stripped, documents
+    rebuilt from surviving blocks in order — linear in corpus tokens, no
+    pairwise comparisons (the transformation sibling of c86's span
+    STATS). Substrate: a shared 10-word header injected into every even
+    doc_id, which the operator must strip exactly; the oracle replays
+    the identical chunk/df/reassemble algorithm in SQL."""
+    from neo4j_graphdb_spark.operators.dedup import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = "the quick brown fox jumps over the lazy dog again"
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(header + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_boilerplate(src, "text", "doc_id", chunk_words=10, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_removed",
+    )
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6329,6 +6360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a57_text_call_algo": q_a57_text_call_algo,
     "a58_reference_replay": q_a58_reference_replay,
     "a59_text_unwind_literal": q_a59_text_unwind_literal,
+    "c92_boilerplate": q_c92_boilerplate,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6370,8 +6402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c69_stream_outer_join": q_c69_stream_outer_join,
     "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
-    "c71_bpe_apply": q_c71_bpe_apply,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c71_bpe_apply": q_c71_bpe_apply,
     "rel_distribution": q_rel_distribution,
     "c72_neighbor_sample": q_c72_neighbor_sample,
     "c73_hashed_features": q_c73_hashed_features,
@@ -8889,6 +8921,38 @@ ORACLES["a49_text_labels_type"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            'Article' AS ls, 'WRITTEN_BY' AS rel
     FROM documents
+"""
+
+ORACLES["c92_boilerplate"] = """
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'the quick brown fox jumps over the lazy dog again '
+                         || text
+                    ELSE text END AS t
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(trim(t), ' '), 1) AS pos,
+               unnest(string_split(trim(t), ' ')) AS w
+        FROM src
+    ),
+    chunks AS (
+        SELECT doc_id, (pos - 1) // 10 AS blk,
+               string_agg(w, ' ' ORDER BY pos) AS chunk
+        FROM words GROUP BY doc_id, (pos - 1) // 10
+    ),
+    boiler AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT CAST(c.doc_id AS bigint) AS doc_id,
+           coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                               ' ' ORDER BY c.blk), '') AS clean_text,
+           CAST(count(b.chunk) AS bigint) AS n_removed
+    FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+    GROUP BY c.doc_id
 """
 
 ORACLES["a59_text_unwind_literal"] = """

@@ -388,3 +388,31 @@ def test_semdedup_known_duplicates(spark):
     # determinism: same output on a second run
     again = {r["vec_id"]: tuple(r) for r in semdedup(df, k=2, iters=1, threshold=0.9).collect()}
     assert again == {k2: tuple(v) for k2, v in out.items()}
+
+
+def test_remove_boilerplate_strips_shared_blocks(spark):
+    """remove_boilerplate: a 10-word block shared by 2+ docs is stripped
+    from every doc carrying it; unique blocks survive in order; a doc
+    with no shared blocks is untouched; min_df=3 keeps a 2-doc block."""
+    from neo4j_graphdb_spark.operators.dedup import remove_boilerplate
+
+    header = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10"
+    rows = [
+        (1, header + " a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+        (2, header + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate(df, chunk_words=10, min_df=2).collect()
+    }
+    assert out[1] == ("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10", 1)
+    assert out[2] == ("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10", 1)
+    assert out[3] == ("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", 0)
+    # higher df threshold: the 2-doc header is no longer boilerplate
+    kept = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate(df, chunk_words=10, min_df=3).collect()
+    }
+    assert kept == {1: 0, 2: 0, 3: 0}

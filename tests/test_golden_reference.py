@@ -226,8 +226,15 @@ def test_text_unsupported_syntax_raises(spark, tmp_path):
     from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
 
     s = GraphStore(spark, str(tmp_path / "unsup"))
+    # literal-list UNWIND is supported since r7 — it returns the list
+    vals = [
+        r["x"]
+        for r in run_cypher(spark, "UNWIND [1, 2] AS x RETURN x", store=s)
+        .df.collect()
+    ]
+    assert sorted(vals) == [1, 2]
     with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "UNWIND [1, 2] AS x RETURN x", store=s)
+        run_cypher(spark, "UNWIND [1, 2 FOREACH] AS x RETURN x", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MERGE (a:X {k: $k}) DELETE a", {"k": 1}, store=s)
 
@@ -539,14 +546,14 @@ def test_text_unwind_batch_ingest(spark, tmp_path):
     res2 = run_cypher(spark, stmt, batch, store=s2)
     assert res2.summary.nodes_created == 4
 
-    # UNWIND must lead; reads reject it; malformed bodies reject
+    # UNWIND must lead; literal-list reads work (r7); malformed bodies reject
     with pytest.raises(CypherUnsupported):
         run_cypher(
             spark, "MERGE (u:User {name: $n}) UNWIND $rows AS row",
             {"n": "x", "rows": [{"user": "u"}]}, store=s,
         )
-    with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "UNWIND [1,2] AS x RETURN x", store=s)
+    lit = run_cypher(spark, "UNWIND [1,2] AS x RETURN x", store=s)
+    assert sorted(r["x"] for r in lit.df.collect()) == [1, 2]
 
 
 def test_text_unwind_read_lookup(spark, text_store):
