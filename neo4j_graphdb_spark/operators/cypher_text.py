@@ -185,6 +185,19 @@ _AGG_ITEM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# aggregate over a scalar EXPRESSION: sum(a.price * a.qty), avg(…), … —
+# the inner text is handed to the scalar-expression compiler
+_AGG_EXPR_RE = re.compile(
+    r"^(?P<fn>count|sum|avg|min|max|collect)\s*\("
+    r"(?P<dist>\s*DISTINCT\s+)?(?P<inner>.+)\)"
+    r"(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _is_agg_item(item: str) -> bool:
+    return bool(_AGG_ITEM_RE.match(item) or _AGG_EXPR_RE.match(item))
+
 
 @dataclass
 class _Clause:
@@ -1953,7 +1966,7 @@ def _run_read(
     lits = lits or []
     for i, c in enumerate(clauses):
         if c.kind == "WITH" and any(
-            _AGG_ITEM_RE.match(x) for x in _split_top_commas(c.body)
+            _is_agg_item(x) for x in _split_top_commas(c.body)
         ):
             # aggregating WITH: everything before it + the WITH body as
             # a RETURN runs through the normal path (WITH shares
@@ -2632,11 +2645,11 @@ def _run_read(
 
     _apply_pending()
 
-    if any(_AGG_ITEM_RE.match(i) for i in returns):
+    if any(_is_agg_item(i) for i in returns):
         if return_distinct:
             raise CypherUnsupported("RETURN DISTINCT cannot combine with aggregation")
         return _aggregate_return(
-            df, returns, aliases, rel_alias, order_by, skip, limit
+            df, returns, aliases, rel_alias, order_by, skip, limit, lits, params
         )
 
     out_cols = []
@@ -2822,6 +2835,8 @@ def _aggregate_return(
     order_by: list[tuple[str, bool]],
     skip: int | None,
     limit: int | None,
+    lits: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Cypher implicit grouping: when any RETURN item aggregates, every
     non-aggregate item becomes a grouping key (openCypher's rule — there
@@ -2848,6 +2863,7 @@ def _aggregate_return(
 
     for item in returns:
         am = _AGG_ITEM_RE.match(item)
+        xm = None if am else _AGG_EXPR_RE.match(item)
         if am:
             fn = am.group("fn").lower()
             name = am.group("out") or re.sub(r"\s+", "", item)
@@ -2869,10 +2885,41 @@ def _aggregate_return(
                     agg = getattr(F, fn)(e)
             aggs.append(agg.alias(name))
             name_map[name] = name
+        elif xm:
+            # aggregate over a scalar expression: the inner text compiles
+            # through the expression Column compiler, the aggregate wraps it
+            fn = xm.group("fn").lower()
+            name = xm.group("out") or re.sub(r"\s+", "", item)
+            e, _ = _compile_scalar(
+                _parse_scalar_expr(xm.group("inner").strip()),
+                df,
+                aliases,
+                rel_alias,
+                lits or [],
+                params,
+            )
+            if xm.group("dist"):
+                if fn != "count":
+                    raise CypherUnsupported(
+                        f"DISTINCT inside {fn}() unsupported (count only)"
+                    )
+                agg = F.countDistinct(e)
+            elif fn == "collect":
+                agg = F.array_sort(F.collect_list(e))
+            else:
+                agg = getattr(F, fn)(e)
+            aggs.append(agg.alias(name))
+            name_map[name] = name
         else:
             m = _RETURN_ITEM_RE.match(item)
             if not m:
-                raise CypherUnsupported(f"unsupported RETURN item: {item!r}")
+                # expression grouping key — `a.price * 2 AS bucket, count(*)`
+                e, name = _compile_return_expr(
+                    item, df, aliases, rel_alias, lits or [], params
+                )
+                keys.append(e.alias(name))
+                name_map[name] = name
+                continue
             alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
             e = _source(alias, prop)
             name = out or prop or alias

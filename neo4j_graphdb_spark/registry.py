@@ -6075,6 +6075,38 @@ def q_c92_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_a60_text_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 ext — aggregates over scalar expressions and expression
+    grouping keys in the text front-end: ``sum(a.qty * a.price)`` and
+    ``a.qty % 2 AS parity`` compile through the same Column compiler as
+    a55, wrapped by the implicit-grouping aggregate (one map-side
+    combined groupBy). Values chosen as exact binary halves so the
+    double sum is order-independent."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("src"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("qty"),
+        ((F.col("doc_id") % 5) * F.lit(0.5)).alias("price"),
+    )
+    nodes = as_nodes(src, "Item", "link", ["src", "qty", "price"])
+    res = run_cypher(
+        spark,
+        "MATCH (a:Item) RETURN a.src AS src, a.qty % 2 AS parity, "
+        "sum(a.qty * a.price) AS revenue, count(*) AS n",
+        graph=Graph(nodes, None),
+    )
+    return res.df.select(
+        "src",
+        F.col("parity").cast("bigint").alias("parity"),
+        "revenue",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6361,6 +6393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a58_reference_replay": q_a58_reference_replay,
     "a59_text_unwind_literal": q_a59_text_unwind_literal,
     "c92_boilerplate": q_c92_boilerplate,
+    "a60_text_expr_agg": q_a60_text_expr_agg,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6399,10 +6432,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
-    "c69_stream_outer_join": q_c69_stream_outer_join,
     "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c69_stream_outer_join": q_c69_stream_outer_join,
     "c71_bpe_apply": q_c71_bpe_apply,
     "rel_distribution": q_rel_distribution,
     "c72_neighbor_sample": q_c72_neighbor_sample,
@@ -8953,6 +8986,15 @@ ORACLES["c92_boilerplate"] = """
            CAST(count(b.chunk) AS bigint) AS n_removed
     FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
     GROUP BY c.doc_id
+"""
+
+ORACLES["a60_text_expr_agg"] = """
+    SELECT source AS src,
+           CAST((doc_id % 7 + 1) % 2 AS bigint) AS parity,
+           sum((doc_id % 7 + 1) * ((doc_id % 5) * CAST(0.5 AS double))) AS revenue,
+           CAST(count(*) AS bigint) AS n
+    FROM documents
+    GROUP BY source, (doc_id % 7 + 1) % 2
 """
 
 ORACLES["a59_text_unwind_literal"] = """

@@ -1901,3 +1901,46 @@ def test_text_where_scalar_expressions(spark):
         run_cypher(
             spark, "MATCH (a:Doc) WHERE a.score ++ 1 > 2 RETURN a.link AS l", graph=g
         )
+
+
+def test_text_expression_aggregates(spark):
+    """Aggregates over scalar expressions (sum(a.qty * a.price)) and
+    expression grouping keys (a.qty % 2 AS parity) compile through the
+    same Column compiler; plain aggregate forms are untouched and
+    DISTINCT stays count-only."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "A", 2, 3.0), ("l2", "A", 4, 1.5), ("l3", "B", 10, 0.5)],
+        "link string, grp string, qty int, price double",
+    )
+    g = Graph(as_nodes(src, "Item", "link", ["grp", "qty", "price"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Item) RETURN a.grp AS grp, sum(a.qty * a.price) AS revenue, "
+        "count(*) AS n ORDER BY grp",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in rows] == [("A", 12.0, 2), ("B", 5.0, 1)]
+    keyed = run_cypher(
+        spark,
+        "MATCH (a:Item) RETURN a.qty % 2 AS parity, count(*) AS n",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in keyed] == [(0, 3)]
+    withd = run_cypher(
+        spark,
+        "MATCH (a:Item) WITH a.grp AS g2, sum(a.qty * 2) AS dq "
+        "WHERE dq >= 10 RETURN g2, dq ORDER BY g2",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in withd] == [("A", 12), ("B", 20)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MATCH (a:Item) RETURN sum(DISTINCT a.qty * 2) AS s", graph=g
+        )
