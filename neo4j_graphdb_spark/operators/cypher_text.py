@@ -149,7 +149,8 @@ _PROP_VALUE_PAIR_RE = re.compile(r"(\w+)\s*:\s*(\$\w+|\x00\d+\x00|-?\d+(?:\.\d+)
 _SET_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?:\$(?P<param>\w+)"
     r"|(?P<dt>datetime\(\s*\))"
-    r"|datetime\(\s*\{\s*epochMillis\s*:\s*\$(?P<epoch>\w+)\s*\}\s*\))$"
+    r"|datetime\(\s*\{\s*epochMillis\s*:\s*\$(?P<epoch>\w+)\s*\}\s*\)"
+    r"|(?P<litval>\x00\d+\x00|-?\d+(?:\.\d+)?))$"
 )
 
 # `SET n += $map` — Neo4j's property-map merge (mutating += keeps
@@ -444,6 +445,22 @@ def _parse_props(props: str | None) -> list[tuple[str, str]]:
     if inner and len(pairs) != len([p for p in inner.split(",") if p.strip()]):
         raise CypherUnsupported(f"only {{prop: $param}} maps supported: {props!r}")
     return pairs
+
+
+def _parse_write_props(
+    props: str | None, lits: list[str]
+) -> list[tuple[str, object]]:
+    """Write-side prop map: values may be $params (encoded as the param
+    name) OR literals — quoted strings / numbers, the tutorial shape
+    ``CREATE (a:Person {name: 'Alice', age: 30})`` — encoded as
+    ``("lit", value)`` for the flush-time Column builder."""
+    out: list[tuple[str, object]] = []
+    for prop, raw in _parse_value_props(props):
+        if raw.startswith("$"):
+            out.append((prop, raw[1:]))
+        else:
+            out.append((prop, ("lit", _where_value(raw, lits, None))))
+    return out
 
 
 def _parse_value_props(props: str | None) -> list[tuple[str, str]]:
@@ -953,7 +970,10 @@ def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataF
     if isinstance(params, DataFrame):
         return params
     if not params:
-        raise ValueError("write statement needs params")
+        # an all-literal statement (CREATE (a:P {name: 'Alice'})) binds no
+        # params — one logical record; a $param reference against this frame
+        # surfaces as an unresolved-column error naming the parameter
+        return spark.createDataFrame([(1,)], ["_one"])
     return spark.createDataFrame([tuple(params.values())], list(params.keys()))
 
 
@@ -1109,14 +1129,14 @@ def _run_write(
                             raise CypherUnsupported(
                                 f"{c.kind} relationship on unbound alias {a!r}"
                             )
-                    # `[:T {weight: $w}]` — typed relationship properties
-                    # ride the same merge (writer prop_cols)
+                    # `[:T {weight: $w | literal}]` — typed relationship
+                    # properties ride the same merge (writer prop_cols)
                     edges.append(
                         (
                             sa,
                             m.group("rel_type"),
                             da,
-                            _parse_props(m.group("rel_props")),
+                            _parse_write_props(m.group("rel_props"), lits or []),
                             is_create,
                         )
                     )
@@ -1126,7 +1146,7 @@ def _run_write(
                     raise CypherUnsupported(
                         f"unsupported {c.kind} pattern: {part!r}"
                     )
-                pairs = _parse_props(n.group("props"))
+                pairs = _parse_write_props(n.group("props"), lits or [])
                 if is_create:
                     # CREATE has no merge key; the FIRST prop in the map is
                     # the storage key (the content-keyed store's identity
@@ -1193,9 +1213,15 @@ def _run_write(
                     "MATCH": np.match_props,
                 }[mode]
                 # value encoding: param name | None for datetime() |
-                # ("epoch_ms", param) for datetime({epochMillis: $p})
+                # ("epoch_ms", param) for datetime({epochMillis: $p}) |
+                # ("lit", value) for quoted-string / number literals
                 if m.group("epoch"):
                     target[m.group("prop")] = ("epoch_ms", m.group("epoch"))
+                elif m.group("litval"):
+                    target[m.group("prop")] = (
+                        "lit",
+                        _where_value(m.group("litval"), lits or [], None),
+                    )
                 else:
                     target[m.group("prop")] = m.group("param")
         elif c.kind == "WITH":
@@ -1220,6 +1246,13 @@ def _run_write(
             return F.lit(param[1])
         return F.col(param)
 
+    def _key_expr(np: _NodePattern):
+        """The merge/create key as a Column: a batch param column or a
+        literal value."""
+        if isinstance(np.key_param, tuple):  # ("lit", value)
+            return F.lit(np.key_param[1])
+        return F.col(np.key_param)
+
     for alias in node_order:
         np = nodes[alias]
         if np.create:
@@ -1230,7 +1263,7 @@ def _run_write(
                     "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
                     "always creates)"
                 )
-            cols = [F.col(np.key_param).alias(np.key_prop)]
+            cols = [_key_expr(np).alias(np.key_prop)]
             names = []
             for prop, param in np.set_props.items():
                 cols.append(_prop_value(param).alias(prop))
@@ -1254,7 +1287,7 @@ def _run_write(
                 raise CypherUnsupported(
                     f"{prop!r} takes different values in ON CREATE and ON MATCH"
                 )
-        cols = [F.col(np.key_param).alias(np.key_prop)]
+        cols = [_key_expr(np).alias(np.key_prop)]
         group_cols: dict[str, list[str]] = {}
         for group, props in (
             ("prop_cols", np.set_props),
@@ -1271,11 +1304,15 @@ def _run_write(
         )
     for sa, rel_type, da, rel_props, ecreate in edges:
         s, d = nodes[sa], nodes[da]
-        prop_sel = [F.col(param).alias(prop) for prop, param in rel_props]
+        prop_sel = [_prop_value(enc).alias(prop) for prop, enc in rel_props]
         write_fn = store.create_edges if ecreate else store.merge_edges
         total = total + write_fn(
-            pdf.select(s.key_param, d.key_param, *prop_sel),
-            rel_type, s.label, s.key_param, d.label, d.key_param,
+            pdf.select(
+                _key_expr(s).alias("_src_key"),
+                _key_expr(d).alias("_dst_key"),
+                *prop_sel,
+            ),
+            rel_type, s.label, "_src_key", d.label, "_dst_key",
             prop_cols=[prop for prop, _ in rel_props] or None,
         )
 
@@ -1286,7 +1323,7 @@ def _run_write(
                 f"write RETURN supports a single entity alias: {returns!r}"
             )
         np = nodes[returns[0]]
-        keys = pdf.select(F.col(np.key_param).alias("key")).distinct()
+        keys = pdf.select(_key_expr(np).alias("key")).distinct()
         df = (
             store.nodes()
             .filter(F.col("label") == np.label)

@@ -1944,3 +1944,48 @@ def test_text_expression_aggregates(spark):
         run_cypher(
             spark, "MATCH (a:Item) RETURN sum(DISTINCT a.qty * 2) AS s", graph=g
         )
+
+
+def test_text_literal_write_props(spark, tmp_path):
+    """Literal property values in write statements — the tutorial shape
+    CREATE (a:Person {name: 'Alice', age: 30}) with NO params: node and
+    relationship prop maps, MERGE keys, and SET values all accept quoted
+    strings and numbers; params still mix in."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "lit_writes"))
+    r = run_cypher(
+        spark,
+        "CREATE (a:Person {name: 'Alice', age: 30}), (b:Person {name: 'Bob'}) "
+        "CREATE (a)-[:KNOWS {since: 2020}]->(b)",
+        store=s,
+    )
+    assert r.summary.nodes_created == 2
+    assert r.summary.relationships_created == 1
+    people = run_cypher(
+        spark,
+        "MATCH (p:Person) RETURN p.name AS name, p.age AS age ORDER BY name",
+        store=s,
+    ).df.collect()
+    assert [tuple(x) for x in people] == [("Alice", 30), ("Bob", None)]
+    assert [e["since"] for e in s.edges().collect()] == [2020]
+    r2 = run_cypher(
+        spark,
+        "MERGE (c:City {name: 'Paris'}) SET c.country = 'FR', c.pop = 2100000",
+        store=s,
+    )
+    assert r2.summary.nodes_created == 1 and r2.summary.properties_set == 2
+    r3 = run_cypher(
+        spark, "MERGE (c:City {name: $n}) SET c.country = 'DE'",
+        {"n": "Berlin"}, store=s,
+    )
+    assert r3.summary.nodes_created == 1
+    got = {
+        (x["n"], x["co"])
+        for x in run_cypher(
+            spark,
+            "MATCH (c:City) RETURN c.name AS n, c.country AS co",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("Paris", "FR"), ("Berlin", "DE")}
