@@ -762,3 +762,85 @@ def remove_boilerplate(
         ).alias("clean_text"),
         F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("bigint").alias("n_removed"),
     )
+
+
+def hamming_near_dup(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Near-duplicate pairs under HAMMING distance over a 64-bit
+    perceptual hash (the image twin of MinHash-LSH): split the hash into
+    ``bands`` equal bit-slices — by pigeonhole, two hashes within
+    ``bands - 1`` differing bits share at least one identical slice — so
+    candidate generation is one ``groupBy(band, slice)`` self-join, and
+    the exact ``bit_count(xor)`` verify runs only on candidates.
+
+    Returns ``(a, b, distance)`` with a < b, distance <= max_distance.
+
+    100 TB shape: hashes are 8 bytes/row; candidates come from
+    equality-bucketed band joins (never all-pairs), ``max_bucket`` drops
+    degenerate slices (e.g. the all-zero band of blank images) exactly
+    like minhash_lsh_pairs' guard, and the verify join moves two longs
+    per candidate.
+    """
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"max_distance={max_distance} needs bands > max_distance "
+            f"(pigeonhole guarantee); got bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    # 16 bytes/row — materialize once so the band self-join's branches
+    # (and the bucket-size guard) never re-run the upstream decode stage
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).localCheckpoint(eager=False)
+    slices = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"))
+    sizes = slices.groupBy("_band", "_val").agg(F.count(F.lit(1)).alias("_n"))
+    guarded = slices.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("_band", "_val"),
+        on=["_band", "_val"],
+        how="left_semi",
+    )
+    left = guarded.select(
+        F.col("_band"), F.col("_val"), F.col("_id").alias("a"), F.col("_h").alias("_ha")
+    )
+    right = guarded.select(
+        F.col("_band"), F.col("_val"), F.col("_id").alias("b"), F.col("_h").alias("_hb")
+    )
+    cand = (
+        left.join(right, on=["_band", "_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "distance",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("a", "b", "distance")
+    )

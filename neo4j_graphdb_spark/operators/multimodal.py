@@ -474,3 +474,66 @@ def gif_probe_kernel(payload: bytes | None, kind: str) -> list[float]:
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("missing GIF trailer")
+
+
+def bmp_dhash_bits(payload: bytes | None) -> int:
+    """64-bit DIFFERENCE hash (dHash, Krawetz 2013) of a 9x8 24-bit BMP:
+    per pixel, grayscale = (B+G+R)/3; bit(x, y) = 1 iff
+    gray(x, y) > gray(x+1, y) for x in 0..7, y in 0..7 (y=0 is the TOP
+    row), packed MSB-first (bit for (x=0, y=0) is the highest bit). The
+    canonical perceptual fingerprint: local brightness gradients survive
+    re-encoding/resizing, so near-identical images land within a few
+    bits. A PIL kernel for arbitrary rasters resizes to 9x8 first and
+    reuses this exact bit rule."""
+    import struct
+
+    if payload is None:
+        return 0
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", payload[10:14])[0]
+    width = struct.unpack("<i", payload[18:22])[0]
+    height = struct.unpack("<i", payload[22:26])[0]
+    if (width, height) != (9, 8):
+        raise ValueError(f"dhash kernel expects a 9x8 raster, got {width}x{height}")
+    row_size = (3 * width + 3) // 4 * 4
+
+    def gray(x: int, y: int) -> float:
+        # BMP rows are stored bottom-up: top row y=0 is the LAST stored row
+        base = off + (height - 1 - y) * row_size + 3 * x
+        return (payload[base] + payload[base + 1] + payload[base + 2]) / 3.0
+
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if gray(x, y) > gray(x + 1, y) else 0)
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def bmp_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash stage: ``(media_id, kind, payload)`` →
+    ``(media_id, dhash long)`` via one Arrow-batched ``mapInPandas`` —
+    embarrassingly parallel, no shuffle; the hash is 8 bytes per image,
+    so downstream near-dup joins never move payloads."""
+    from pyspark.sql import types as T
+
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [bmp_dhash_bits(p) for p in pdf["payload"]],
+                }
+            )
+
+    return spread_partitions(media).mapInPandas(run, schema=schema)

@@ -6107,6 +6107,69 @@ def q_a60_text_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93 — perceptual-hash image near-dup: real 9x8 BMPs (doc m and
+    m+250 share an avalanche-hashed pixel pattern, the copy perturbed at
+    one pixel), 64-bit dHash per image via one Arrow mapInPandas
+    (operators/multimodal.py bmp_dhash), then hamming-LSH candidate
+    pairs — 4 x 16-bit band buckets, pigeonhole-exact for distance <= 3
+    — verified by bit_count(xor) (operators/dedup.py hamming_near_dup).
+    The oracle is the honest QUADRATIC brute force: it recomputes every
+    hash closed-form in SQL and compares all pairs, so the LSH path is
+    proven exact, not just plausible."""
+    import pandas as _pd
+
+    from neo4j_graphdb_spark.operators.dedup import hamming_near_dup
+    from neo4j_graphdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_dhash,
+        bmp_encode,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def build(batches):
+        mask = 0xFFFFFFFF
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                k, pert = int(m) % 250, int(m) >= 250
+
+                def fn(x, y, c, k=k, pert=pert):
+                    h = ((x + 1) * 2654435761 + (y + 1) * 40503
+                         + (k + 1) * 9176) & mask
+                    h = (h ^ (h >> 13)) & mask
+                    h = (h * 1274126177) & mask
+                    h = h ^ (h >> 16)
+                    v = (h + 3 * c) % 256
+                    if pert and x == 4 and y == 3:
+                        v = (v + 128) % 256
+                    return v
+
+                payloads.append(bmp_encode(9, 8, fn))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    pairs = hamming_near_dup(
+        bmp_dhash(media), max_distance=3, bands=4
+    )
+    return pairs.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6394,6 +6457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a59_text_unwind_literal": q_a59_text_unwind_literal,
     "c92_boilerplate": q_c92_boilerplate,
     "a60_text_expr_agg": q_a60_text_expr_agg,
+    "c93_phash_near_dup": q_c93_phash_near_dup,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6432,9 +6496,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
-    "c70_incremental_cc": q_c70_incremental_cc,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c70_incremental_cc": q_c70_incremental_cc,
     "c69_stream_outer_join": q_c69_stream_outer_join,
     "c71_bpe_apply": q_c71_bpe_apply,
     "rel_distribution": q_rel_distribution,
@@ -8995,6 +9059,55 @@ ORACLES["a60_text_expr_agg"] = """
            CAST(count(*) AS bigint) AS n
     FROM documents
     GROUP BY source, (doc_id % 7 + 1) % 2
+"""
+
+ORACLES["c93_phash_near_dup"] = """
+    WITH base AS (
+        SELECT d.doc_id AS m, d.doc_id % 250 AS k,
+               CAST(d.doc_id >= 250 AS int) AS pert, gx.x, gy.y
+        FROM documents d,
+             generate_series(0, 8) AS gx(x),
+             generate_series(0, 7) AS gy(y)
+    ),
+    h1 AS (
+        SELECT m, x, y, pert,
+               ((x + 1) * 2654435761 + (y + 1) * 40503 + (k + 1) * 9176)
+               & 4294967295 AS h
+        FROM base
+    ),
+    h2 AS (SELECT m, x, y, pert, xor(h, h >> 13) & 4294967295 AS h FROM h1),
+    h3 AS (SELECT m, x, y, pert, (h * 1274126177) & 4294967295 AS h FROM h2),
+    h4 AS (SELECT m, x, y, pert, xor(h, h >> 16) AS h FROM h3),
+    gray AS (
+        SELECT m, x, y,
+               (CASE WHEN pert = 1 AND x = 4 AND y = 3
+                     THEN ((h % 256 + 128) % 256)
+                          + (((h + 3) % 256 + 128) % 256)
+                          + (((h + 6) % 256 + 128) % 256)
+                     ELSE (h % 256) + ((h + 3) % 256) + ((h + 6) % 256)
+                END) / 3.0 AS g
+        FROM h4
+    ),
+    bits AS (
+        SELECT a.m,
+               sum(CASE WHEN a.g > b.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.y * 8 + a.x))
+                        ELSE CAST(0 AS HUGEINT) END) AS hraw
+        FROM gray a JOIN gray b ON b.m = a.m AND b.y = a.y AND b.x = a.x + 1
+        WHERE a.x < 8
+        GROUP BY a.m
+    ),
+    hashes AS (
+        SELECT m,
+               CAST(CASE WHEN hraw >= CAST(1 AS HUGEINT) << 63
+                         THEN hraw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE hraw END AS BIGINT) AS hash
+        FROM bits
+    )
+    SELECT CAST(a.m AS bigint) AS a, CAST(b.m AS bigint) AS b,
+           CAST(bit_count(xor(a.hash, b.hash)) AS int) AS distance
+    FROM hashes a JOIN hashes b ON a.m < b.m
+    WHERE bit_count(xor(a.hash, b.hash)) <= 3
 """
 
 ORACLES["a59_text_unwind_literal"] = """

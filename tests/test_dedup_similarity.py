@@ -416,3 +416,46 @@ def test_remove_boilerplate_strips_shared_blocks(spark):
         for r in remove_boilerplate(df, chunk_words=10, min_df=3).collect()
     }
     assert kept == {1: 0, 2: 0, 3: 0}
+
+
+def test_hamming_near_dup_and_bmp_dhash(spark):
+    """hamming_near_dup: pigeonhole-exact for distance <= bands-1 —
+    known 64-bit hashes at distances 0/1/3/heavy verify against the
+    closed-form answer; bands must divide 64 and cover the distance;
+    bmp_dhash packs the 9x8 gradient bits MSB-first."""
+    from neo4j_graphdb_spark.operators.dedup import hamming_near_dup
+    from neo4j_graphdb_spark.operators.multimodal import (
+        bmp_dhash_bits,
+        bmp_encode,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base),                 # distance 0
+        (3, base ^ 0x1),           # distance 1
+        (4, base ^ 0b10101),       # distance 3
+        (5, base ^ ((1 << 50) | (1 << 30) | (1 << 10) | 1)),  # distance 4: out
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r["a"], r["b"]): r["distance"]
+        for r in hamming_near_dup(df, max_distance=3, bands=4).collect()
+    }
+    assert got == {
+        (1, 2): 0, (1, 3): 1, (2, 3): 1, (1, 4): 3, (2, 4): 3, (3, 4): 2,
+        (3, 5): 3,  # bit0 flips cancel in the xor: 4 ^ 1 flip -> 3 apart
+    }
+    with pytest.raises(ValueError):
+        hamming_near_dup(df, max_distance=4, bands=4)  # pigeonhole broken
+    with pytest.raises(ValueError):
+        hamming_near_dup(df, bands=5)  # 5 does not divide 64
+
+    # dHash bit rule: column-gradient image -> bits follow gray(x) > gray(x+1)
+    img = bmp_encode(9, 8, lambda x, y, c: (10 * x) % 256)
+    # gray strictly increases with x (10x < 256 everywhere), so every
+    # comparison gray(x) > gray(x+1) is False -> hash == 0
+    assert bmp_dhash_bits(img) == 0
+    img2 = bmp_encode(9, 8, lambda x, y, c: (255 - 10 * x) % 256)
+    # strictly decreasing -> all 64 bits set -> signed -1
+    assert bmp_dhash_bits(img2) == -1
