@@ -66,6 +66,8 @@ HEADLINE = [
     # FW-BW strongly-connected components (directed cycles)
     "c84_graphrag",
     "c85_scc",
+    "c92_boilerplate",
+    "c93_phash_near_dup",
 ]
 
 
