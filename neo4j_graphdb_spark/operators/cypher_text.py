@@ -233,7 +233,7 @@ _WHERE_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*"
     r"(?P<op>=~|<=|>=|<>|=|<|>|[Ii][Nn]\b"
     r"|(?i:STARTS_WITH)|(?i:ENDS_WITH)|(?i:CONTAINS))\s*"
-    r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\x01\d+\x01|\w+)$"
+    r"(?P<val>\[[^\]]*\]|\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00|\x01\d+\x01|\w+)$"
 )
 
 # Cypher temporal subset: `datetime()` optionally shifted by a duration
@@ -1366,6 +1366,24 @@ def _where_value(val: str, lits: list[str], params: dict | None):
     return float(val) if "." in val else int(val)
 
 
+def _in_list_values(raw: str, lits: list[str], params: dict | None) -> list:
+    """Resolve the right side of an ``IN`` predicate: a non-empty $param
+    list, or a literal list ``[v1, v2, …]`` (numbers / quoted strings /
+    $params — the same element grammar as literal UNWIND)."""
+    if raw.startswith("$"):
+        vals = (params or {}).get(raw[1:])
+        if not isinstance(vals, list) or not vals:
+            raise CypherUnsupported(
+                f"IN needs a non-empty list param, got {raw!r}"
+            )
+        return vals
+    if raw.startswith("["):
+        return _unwind_literal_values(raw[1:-1], lits, params)
+    raise CypherUnsupported(
+        f"IN needs a list param or a literal list, got {raw!r}"
+    )
+
+
 _OPS = {
     "=": lambda c, v: c == v,
     "<>": lambda c, v: c != v,
@@ -2059,12 +2077,9 @@ def _run_read(
                     if prop not in df.columns:
                         raise CypherUnsupported(f"unknown relationship property {prop!r}")
                     if op.upper() == "IN":
-                        vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-                        if not isinstance(vals, list) or not vals:
-                            raise CypherUnsupported(
-                                f"IN needs a non-empty list param, got {raw!r}"
-                            )
-                        df = df.filter(F.col(prop).isin(*vals))
+                        df = df.filter(
+                            F.col(prop).isin(*_in_list_values(raw, lits, params))
+                        )
                         continue
                     df = df.filter(_op_fn(op)(F.col(prop), _operand(raw)))
                     continue
@@ -2080,15 +2095,12 @@ def _run_read(
                 )
                 continue
             if op.upper() == "IN":
-                # `prop IN $list` — a pushdown-friendly In filter; the list
-                # must be a scalar param (Cypher's literal-list form would
-                # arrive masked and is out of the subset)
-                vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-                if not isinstance(vals, list) or not vals:
-                    raise CypherUnsupported(
-                        f"IN needs a non-empty list param, got {raw!r}"
+                # `prop IN $list | [literals]` — a pushdown-friendly In filter
+                df = df.filter(
+                    _prop_col(df, aliases[alias], prop).isin(
+                        *_in_list_values(raw, lits, params)
                     )
-                df = df.filter(_prop_col(df, aliases[alias], prop).isin(*vals))
+                )
                 continue
             if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
                 raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
@@ -2127,12 +2139,7 @@ def _run_read(
                 else:
                     col = _prop_col(df, aliases[alias], prop)
                 if op.upper() == "IN":
-                    vals = (params or {}).get(raw[1:]) if raw.startswith("$") else None
-                    if not isinstance(vals, list) or not vals:
-                        raise CypherUnsupported(
-                            f"IN needs a non-empty list param, got {raw!r}"
-                        )
-                    return col.isin(*vals)
+                    return col.isin(*_in_list_values(raw, lits, params))
                 if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
                     raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
                 return _op_fn(op)(col, _operand(raw))
@@ -2497,16 +2504,9 @@ def _run_read(
                                     f"OPTIONAL MATCH WHERE on unbound alias: {al!r}"
                                 )
                             if op.upper() == "IN":
-                                vals = (
-                                    (params or {}).get(raw[1:])
-                                    if raw.startswith("$")
-                                    else None
+                                return col.isin(
+                                    *_in_list_values(raw, lits, params)
                                 )
-                                if not isinstance(vals, list) or not vals:
-                                    raise CypherUnsupported(
-                                        f"IN needs a non-empty list param, got {raw!r}"
-                                    )
-                                return col.isin(*vals)
                             return _op_fn(op)(
                                 col, F.lit(_where_value(raw, lits, params))
                             )
@@ -2636,7 +2636,23 @@ def _run_read(
                     re.IGNORECASE,
                 )
                 if not m:
-                    raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
+                    if in_with:
+                        raise CypherUnsupported(
+                            f"unsupported WITH ORDER BY item: {item!r}"
+                        )
+                    em = re.match(
+                        r"^(?P<expr>.+?)(?:\s+(?P<dir>ASC|DESC))?$",
+                        item,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    # \x02 marks a raw expression key, compiled at sort time
+                    order_by.append(
+                        (
+                            "\x02" + em.group("expr"),
+                            (em.group("dir") or "ASC").upper() == "DESC",
+                        )
+                    )
+                    continue
                 if in_with:
                     key, desc = m.group("key"), bool(m.group("dir")) and m.group("dir").upper() == "DESC"
                     if "." not in key:
@@ -2839,7 +2855,13 @@ def _run_read(
         # names or any bound alias.prop; projection preserves the order
         sorts = []
         for key, desc in order_by:
-            if "." in key:
+            if key.startswith("\x02"):
+                # raw ORDER BY expression (arithmetic/functions/CASE)
+                e, _ = _compile_scalar(
+                    _parse_scalar_expr(key[1:]), df, aliases, rel_alias,
+                    lits, params,
+                )
+            elif "." in key:
                 a, p = key.split(".", 1)
                 if a not in aliases:
                     raise CypherUnsupported(f"ORDER BY on unbound alias: {key!r}")
@@ -2911,11 +2933,15 @@ def _aggregate_return(
             else:
                 e = _source(am.group("alias"), am.group("prop"))
                 if am.group("dist"):
-                    if fn != "count":
+                    if fn == "count":
+                        agg = F.countDistinct(e)
+                    elif fn == "collect":
+                        agg = F.array_sort(F.collect_set(e))
+                    else:
                         raise CypherUnsupported(
-                            f"DISTINCT inside {fn}() unsupported (count only)"
+                            f"DISTINCT inside {fn}() unsupported "
+                            "(count/collect only)"
                         )
-                    agg = F.countDistinct(e)
                 elif fn == "collect":
                     agg = F.array_sort(F.collect_list(e))
                 else:
@@ -2936,11 +2962,15 @@ def _aggregate_return(
                 params,
             )
             if xm.group("dist"):
-                if fn != "count":
+                if fn == "count":
+                    agg = F.countDistinct(e)
+                elif fn == "collect":
+                    agg = F.array_sort(F.collect_set(e))
+                else:
                     raise CypherUnsupported(
-                        f"DISTINCT inside {fn}() unsupported (count only)"
+                        f"DISTINCT inside {fn}() unsupported "
+                        "(count/collect only)"
                     )
-                agg = F.countDistinct(e)
             elif fn == "collect":
                 agg = F.array_sort(F.collect_list(e))
             else:

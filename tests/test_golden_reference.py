@@ -1989,3 +1989,51 @@ def test_text_literal_write_props(spark, tmp_path):
         ).df.collect()
     }
     assert got == {("Paris", "FR"), ("Berlin", "DE")}
+
+
+def test_text_collect_distinct_in_literal_order_expr(spark):
+    """Round-7 completeness trio: collect(DISTINCT x) canonical-sorted
+    sets, IN with literal lists (plain and boolean positions), and raw
+    ORDER BY expressions."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "A", 3), ("l2", "A", 3), ("l3", "A", 7), ("l4", "B", 10)],
+        "link string, grp string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "score"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.grp AS grp, collect(DISTINCT a.score) AS ss "
+        "ORDER BY grp",
+        graph=g,
+    ).df.collect()
+    assert [(x["grp"], x["ss"]) for x in r] == [("A", [3, 7]), ("B", [10])]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.score IN [3, 10] RETURN a.link AS l ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l1", "l2", "l4"]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.grp IN ['B'] OR a.score IN [7] "
+        "RETURN a.link AS l ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l3", "l4"]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l ORDER BY a.score % 4 DESC, a.link",
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l1", "l2", "l3", "l4"]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Doc) RETURN sum(DISTINCT a.score) AS s", graph=g)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Doc) WHERE a.score IN [] RETURN a.link AS l", graph=g)
