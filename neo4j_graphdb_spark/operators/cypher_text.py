@@ -1545,9 +1545,9 @@ def _parse_scalar_expr(text: str):
                     )
                 take()
                 return ("prop", v, pv)
-            raise CypherUnsupported(
-                f"bare identifier {v!r} in expression (use alias.prop): {text!r}"
-            )
+            # bare identifier — a flat column (WITH projection, UNWIND
+            # variable); resolved against the frame at compile time
+            return ("name", v)
         raise CypherUnsupported(f"unsupported expression: {text!r}")
 
     def parse_predicate():
@@ -1632,6 +1632,13 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             else:
                 tag = "other"
             return F.lit(v), tag
+        if kind == "name":
+            nm = n[1]
+            if nm in df.columns:
+                return F.col(nm), ty_of(dtypes.get(nm, ""))
+            raise CypherUnsupported(
+                f"unknown name {nm!r} in expression (not a frame column)"
+            )
         if kind == "prop":
             alias, prop = n[1], n[2]
             if alias in aliases:
@@ -2595,22 +2602,44 @@ def _run_read(
             if df is None:
                 raise CypherUnsupported("WITH needs a preceding MATCH")
             items = _split_top_commas(c.body)
+            keep: list[str] = []
+            with_exprs: list[tuple[str, str | None]] = []
             for it in items:
-                if it not in aliases:
-                    raise CypherUnsupported(
-                        f"WITH supports bound bare aliases, got {it!r}"
-                    )
+                if it in aliases:
+                    keep.append(it)
+                elif it in df.columns:
+                    # carry a flat column from an earlier WITH projection
+                    with_exprs.append((it, it))
+                else:
+                    am2 = _EXPR_AS_RE.match(it)
+                    if not am2:
+                        raise CypherUnsupported(
+                            "WITH items must be bound aliases, carried "
+                            f"names, or `expr AS name`: {it!r}"
+                        )
+                    with_exprs.append((it, None))
             _apply_pending()
-            keep_prefixes = [aliases[it] for it in items]
+            computed_cols = []
+            for raw, carried in with_exprs:
+                if carried is not None:
+                    computed_cols.append(F.col(carried))
+                else:
+                    e, nm = _compile_return_expr(
+                        raw, df, aliases, rel_alias, lits, params
+                    )
+                    computed_cols.append(e.alias(nm))
+            keep_prefixes = [aliases[it] for it in keep]
             if "" not in keep_prefixes:
                 cols = [
                     col
                     for col in df.columns
                     if any(col.startswith(p) for p in keep_prefixes)
                 ]
-                df = df.select(*cols)
+                df = df.select(*cols, *computed_cols)
                 rel_alias = None  # edge columns left the scope
-            aliases = {it: aliases[it] for it in items}
+            elif computed_cols:
+                df = df.select("*", *computed_cols)
+            aliases = {it: aliases[it] for it in keep}
             in_with = True
             with_order = []
         elif c.kind == "RETURN":
@@ -2828,6 +2857,12 @@ def _run_read(
             out_cols.append(e.alias(out or prop or alias))
             out_exprs[out or prop or alias] = e
             out_names.append(out or prop or alias)
+        elif prop is None and alias in df.columns:
+            # flat column (WITH projection) returned by bare name
+            e = F.col(alias)
+            out_cols.append(e.alias(out or alias))
+            out_exprs[out or alias] = e
+            out_names.append(out or alias)
         elif alias == unwind_name and prop is None:
             out_cols.append(F.col(unwind_name).alias(out or alias))
             out_exprs[out or alias] = F.col(unwind_name)
@@ -2912,6 +2947,8 @@ def _aggregate_return(
                     f"whole-entity {alias!r} unsupported in aggregating RETURN"
                 )
             return _prop_col(df, aliases[alias], prop)
+        if prop is None and alias in df.columns:
+            return F.col(alias)  # flat column from a WITH projection
         if rel_alias is not None and alias == rel_alias:
             if prop is None:
                 return F.col("rel_type")

@@ -2037,3 +2037,46 @@ def test_text_collect_distinct_in_literal_order_expr(spark):
         run_cypher(spark, "MATCH (a:Doc) RETURN sum(DISTINCT a.score) AS s", graph=g)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Doc) WHERE a.score IN [] RETURN a.link AS l", graph=g)
+
+
+def test_text_with_expression_projections(spark):
+    """Non-aggregating WITH carries computed columns: `WITH a, expr AS
+    name`, bare-name WHERE over them, carry through further WITHs,
+    bare-name RETURN, and use as aggregate grouping keys; unknown names
+    are refused."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "A", 3), ("l2", "A", 7), ("l3", "B", 10)],
+        "link string, grp string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "score"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a, a.score * 2 AS dbl WHERE dbl > 6 "
+        "RETURN a.link AS l, dbl ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [("l2", 14), ("l3", 20)]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a, a.score * 2 AS dbl WITH a, dbl "
+        "WHERE dbl >= 14 RETURN a.link AS l, dbl ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [("l2", 14), ("l3", 20)]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a, "
+        "CASE WHEN a.score > 5 THEN 'hi' ELSE 'lo' END AS band "
+        "RETURN band, count(*) AS n ORDER BY band",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [("hi", 2), ("lo", 1)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Doc) WITH a, nope AS x RETURN a.link AS l", graph=g)
