@@ -1793,3 +1793,158 @@ def k_truss(edges: DataFrame, k: int = 4, max_iter: int = 20) -> DataFrame:
             break
         prev = cur
     return e
+
+
+def louvain_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    weight_col: str | None = None,
+    max_sweeps: int = 20,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """C94 — modularity-greedy community detection: the LOCAL-MOVE phase
+    of Louvain (Blondel et al. 2008) run to its fixpoint on the
+    undirected (optionally weighted) graph. Each node repeatedly moves
+    to the neighboring community with the highest modularity gain
+    ``k_{u,c} - k_u * tot(c without u) / 2m``; the reference exposes no
+    graph analytics at all (/root/reference/cypher.txt:4-8), and this is
+    the quality-objective sibling of c6's majority-vote label
+    propagation (LPA has no objective; Louvain greedily climbs
+    modularity, the c47 score).
+
+    Determinism under synchronized-parallel moves: a straight "all nodes
+    move at once" loop oscillates (two singletons can swap into each
+    other's communities forever), so sweeps alternate a PARITY schedule —
+    sweep s moves only nodes with ``xxhash64(id) % 2 == s % 2`` — and
+    ties break toward the smallest community id. Every sweep is a pure
+    function of the previous labeling, so reruns are bit-identical.
+    Converges when a full parity cycle changes nothing; labels are then
+    canonicalized to each community's smallest member id.
+
+    Scale shape: per sweep, one edge⋈labels join (shuffle on node id),
+    one community-total aggregation (shuffle on community id), one
+    ``max_by`` argmax per node — O(E) work per sweep, no collects beyond
+    the 1-row 2m scalar and the convergence checksum.
+    """
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w_expr.alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    # both directions, so every (node, neighbor) incidence is one row
+    inc = und.select("u", "v", "w").unionByName(
+        und.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    ).localCheckpoint()
+    deg = inc.groupBy(F.col("u").alias("_id")).agg(F.sum("w").alias("_k"))
+    m2_row = und.agg((F.sum("w") * 2).alias("m2")).collect()[0]
+    m2 = float(m2_row["m2"] or 0.0)
+    if m2 == 0.0:
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias("community")
+        )
+    base = nodes.select(F.col(id_col).alias("_id")).distinct()
+    comm = (
+        base.join(deg, on="_id", how="left")
+        .select(
+            "_id",
+            F.col("_id").alias("_c"),
+            F.coalesce("_k", F.lit(0.0)).alias("_k"),
+        )
+        .localCheckpoint()
+    )
+    prev_hash: int | None = None
+    stable_sweeps = 0
+    for s in range(max_sweeps):
+        tot = comm.groupBy(F.col("_c").alias("_tc")).agg(
+            F.sum("_k").alias("_tot")
+        )
+        nb = (
+            inc.join(
+                comm.select(
+                    F.col("_id").alias("v"), F.col("_c").alias("_nc")
+                ),
+                on="v",
+            )
+            .groupBy(F.col("u").alias("_id"), F.col("_nc"))
+            .agg(F.sum("w").alias("_kuc"))
+        )
+        cand = (
+            nb.join(comm.select("_id", "_c", "_k"), on="_id")
+            .join(tot, nb["_nc"] == F.col("_tc"))
+            .select(
+                "_id",
+                "_c",
+                "_k",
+                "_nc",
+                (
+                    F.col("_kuc")
+                    - F.col("_k")
+                    * (
+                        F.col("_tot")
+                        - F.when(F.col("_nc") == F.col("_c"), F.col("_k"))
+                        .otherwise(F.lit(0.0))
+                    )
+                    / F.lit(m2)
+                ).alias("_gain"),
+            )
+        )
+        # argmax gain, ties toward the smallest community id; a node with
+        # no candidate row for its CURRENT community (no intra-community
+        # neighbor) competes with the implicit stay-gain of staying alone,
+        # which the explicit candidate set covers because the current
+        # community always appears when any neighbor shares it — otherwise
+        # staying has gain -k*tot'/2m <= 0 and any positive move wins
+        best = cand.groupBy("_id").agg(
+            F.expr("max_by(_nc, struct(_gain, -_nc))").alias("_best"),
+            F.max(
+                F.when(F.col("_nc") == F.col("_c"), F.col("_gain"))
+            ).alias("_stay_gain"),
+            F.max("_gain").alias("_best_gain"),
+        )
+        active = F.pmod(F.xxhash64(F.col("_id")), F.lit(2)) == (s % 2)
+        moved = (
+            comm.join(best, on="_id", how="left")
+            .select(
+                "_id",
+                F.when(
+                    active
+                    & F.col("_best").isNotNull()
+                    & (
+                        F.col("_best_gain")
+                        > F.coalesce(F.col("_stay_gain"), F.lit(0.0)) + 1e-12
+                    ),
+                    F.col("_best"),
+                )
+                .otherwise(F.col("_c"))
+                .alias("_c"),
+                "_k",
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = moved.agg(
+            F.expr("bit_xor(xxhash64(_id, _c))").alias("h")
+        ).collect()[0]
+        comm = moved
+        if row["h"] == prev_hash:
+            stable_sweeps += 1
+            if stable_sweeps >= 2:  # a full parity cycle changed nothing
+                break
+        else:
+            stable_sweeps = 0
+        prev_hash = row["h"]
+    # canonicalize: community label = smallest member id
+    canon = comm.groupBy("_c").agg(F.min("_id").alias("_lbl"))
+    return (
+        comm.join(canon, on="_c")
+        .select(F.col("_id").alias(id_col), F.col("_lbl").alias("community"))
+    )

@@ -6170,6 +6170,48 @@ def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_c94_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C94 — Louvain modularity-greedy community detection
+    (graph/algorithms.py louvain_communities): the local-move phase run
+    to its deterministic parity-scheduled fixpoint. Substrate: one
+    clique per region over the nation table plus single bridges between
+    consecutive regions' minimum nations — the modularity optimum is one
+    community per region, which the oracle states closed-form (labels
+    canonicalize to each community's smallest member)."""
+    from neo4j_graphdb_spark.graph.algorithms import louvain_communities
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nodes = nat.select(F.col("n_nationkey").cast("long").alias("node_id"))
+    cl = (
+        nat.alias("a")
+        .join(
+            nat.alias("b"),
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").cast("long").alias("src"),
+            F.col("b.n_nationkey").cast("long").alias("dst"),
+        )
+    )
+    mins = (
+        nat.groupBy("n_regionkey")
+        .agg(F.min("n_nationkey").alias("mn"))
+        .orderBy("n_regionkey")
+        .collect()
+    )
+    bridges = spark.createDataFrame(
+        [(int(mins[i]["mn"]), int(mins[i + 1]["mn"])) for i in range(len(mins) - 1)],
+        "src long, dst long",
+    )
+    out = louvain_communities(nodes, cl.unionByName(bridges))
+    return out.select(
+        F.col("node_id").cast("bigint").alias("node_id"),
+        F.col("community").cast("bigint").alias("community"),
+    )
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6458,6 +6500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c92_boilerplate": q_c92_boilerplate,
     "a60_text_expr_agg": q_a60_text_expr_agg,
     "c93_phash_near_dup": q_c93_phash_near_dup,
+    "c94_louvain": q_c94_louvain,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6495,9 +6538,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
-    "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "c70_incremental_cc": q_c70_incremental_cc,
     "c69_stream_outer_join": q_c69_stream_outer_join,
     "c71_bpe_apply": q_c71_bpe_apply,
@@ -9108,6 +9151,16 @@ ORACLES["c93_phash_near_dup"] = """
            CAST(bit_count(xor(a.hash, b.hash)) AS int) AS distance
     FROM hashes a JOIN hashes b ON a.m < b.m
     WHERE bit_count(xor(a.hash, b.hash)) <= 3
+"""
+
+ORACLES["c94_louvain"] = """
+    WITH bounds AS (
+        SELECT n_regionkey, min(n_nationkey) AS lbl
+        FROM nation GROUP BY n_regionkey
+    )
+    SELECT CAST(n.n_nationkey AS bigint) AS node_id,
+           CAST(b.lbl AS bigint) AS community
+    FROM nation n JOIN bounds b ON n.n_regionkey = b.n_regionkey
 """
 
 ORACLES["a59_text_unwind_literal"] = """

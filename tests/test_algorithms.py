@@ -938,3 +938,38 @@ def test_node_similarity_metric_trio(spark):
     assert score("jaccard", "C", "B") == _p.approx(1 / 2)
     with _p.raises(ValueError):
         node_similarity(e, metric="nope")
+
+
+def test_louvain_two_cliques(spark):
+    """Louvain local-move fixpoint: two 5-cliques joined by one bridge
+    resolve to exactly the two cliques (labels = min member); weights
+    steer membership — a heavily-weighted bridge pulls its endpoint."""
+    from neo4j_graphdb_spark.graph.algorithms import louvain_communities
+
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j, 1.0))
+    edges.append((0, 5, 1.0))
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "node_id bigint")
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    out = {
+        r["node_id"]: r["community"]
+        for r in louvain_communities(nodes, e).collect()
+    }
+    assert all(out[i] == 0 for i in range(5))
+    assert all(out[i] == 5 for i in range(5, 10))
+    # same labels with the weight column (all 1.0 == unweighted)
+    outw = {
+        r["node_id"]: r["community"]
+        for r in louvain_communities(nodes, e, weight_col="w").collect()
+    }
+    assert outw == out
+    # an isolated node keeps its own singleton community
+    nodes2 = spark.createDataFrame([(i,) for i in range(11)], "node_id bigint")
+    out2 = {
+        r["node_id"]: r["community"]
+        for r in louvain_communities(nodes2, e).collect()
+    }
+    assert out2[10] == 10
