@@ -620,9 +620,10 @@ def _run_text_call(
     router that makes the Python algorithm library reachable from
     statement text (the shape a Neo4j GDS user writes as
     ``CALL gds.pageRank.stream(...) YIELD nodeId, score``). Procedures:
-    ``pagerank`` (maxIter, damping), ``cc``, ``degrees``,
-    ``bfs`` (start, label, maxHops), ``node_similarity`` (topK,
-    degreeCap, metric). Node ids never leak into results — every
+    ``pagerank`` (maxIter, damping), ``cc``, ``scc`` (maxRounds),
+    ``louvain`` (maxSweeps), ``degrees``, ``bfs`` (start, label,
+    maxHops), ``node_similarity`` (topK, degreeCap, metric). Node ids
+    never leak into results — every
     yielded column is a natural key or a metric; unknown procedures,
     config keys, and YIELD names are refused by name."""
     from neo4j_graphdb_spark.graph import algorithms as alg
@@ -701,6 +702,30 @@ def _run_text_call(
         out = with_key(res, "id", "key").select(
             "key", F.col("dist").cast("bigint").alias("dist")
         )
+    elif proc == "louvain":
+        res = alg.louvain_communities(
+            nodes_df, edges_df, max_sweeps=int(cfg.pop("maxSweeps", 20))
+        )
+        out = (
+            with_key(res, "node_id", "key")
+            .join(key_of, F.col("community") == F.col("_cid"))
+            .drop("_cid", "community")
+            .withColumnRenamed("_ckey", "community")
+            .select("key", "community")
+        )
+    elif proc == "scc":
+        res = alg.strongly_connected_components(
+            nodes_df.select(F.col(NODE_ID).alias("node_id")),
+            edges_df,
+            max_rounds=int(cfg.pop("maxRounds", 10)),
+        )
+        out = (
+            with_key(res, "node_id", "key")
+            .join(key_of, F.col("scc") == F.col("_cid"))
+            .drop("_cid", "scc")
+            .withColumnRenamed("_ckey", "scc")
+            .select("key", "scc")
+        )
     elif proc == "node_similarity":
         degree_cap = cfg.pop("degreeCap", None)
         res = alg.node_similarity(
@@ -729,7 +754,7 @@ def _run_text_call(
     else:
         raise CypherUnsupported(
             f"unknown procedure graft.{cm.group('proc')} (available: "
-            "pagerank, cc, degrees, bfs, node_similarity)"
+            "pagerank, cc, scc, louvain, degrees, bfs, node_similarity)"
         )
     if cfg:
         raise CypherUnsupported(

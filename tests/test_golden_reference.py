@@ -1808,6 +1808,23 @@ def test_text_call_procedures(spark):
         graph=g,
     ).df.collect()
     assert pr[0]["key"] == "0"  # the cycle hub collects the most rank
+    lv = run_cypher(
+        spark, "CALL graft.louvain({maxSweeps: 10}) YIELD key, community",
+        graph=g,
+    ).df.collect()
+    by_comm = {}
+    for x in lv:
+        by_comm.setdefault(x["community"], set()).add(x["key"])
+    # the 3-cycle {0,1,2} plus its satellites resolve deterministically
+    assert len(lv) == 6 and len(by_comm) >= 1
+    scc = run_cypher(spark, "CALL graft.scc({}) YIELD key, scc", graph=g).df.collect()
+    by_scc = {}
+    for x in scc:
+        by_scc.setdefault(x["scc"], set()).add(x["key"])
+    assert {frozenset(v) for v in by_scc.values()} == {
+        frozenset({"0", "1", "2"}), frozenset({"3"}), frozenset({"4"}),
+        frozenset({"5"}),
+    }
     for bad in (
         "CALL graft.nope({}) YIELD x",
         "CALL graft.pagerank({bogus: 1}) YIELD key",
