@@ -826,6 +826,70 @@ def _run_text_call(
     return CypherResult(out, None)
 
 
+# MATCH … [WHERE …] SET alias.prop = <expr>[, …] — the update statement
+_UPDATE_RE = re.compile(
+    r"^(?P<head>MATCH\s.+?)\s+SET\s+(?P<items>.+)$", re.IGNORECASE | re.DOTALL
+)
+
+_UPDATE_ITEM_RE = re.compile(
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?P<expr>.+)$", re.DOTALL
+)
+
+
+def _run_text_update(spark, um, lits, params, store) -> CypherResult:
+    """``MATCH (n:Label …) [WHERE …] SET n.p = <expr>[, …]`` — Neo4j's
+    read-modify-write update statement: the head resolves through the
+    normal read path (inline props, WHERE — boolean grammar, expression
+    conjuncts), each SET value is a full scalar expression over the
+    MATCHED row's properties (``SET c.pop = c.pop + 1``), and the
+    computed batch flows through the same ``merge_nodes`` upsert as
+    MERGE…SET — one distributed read + one bucketed merge write, with
+    Neo4j counters (nodes_created stays 0; properties_set counts
+    applied cells)."""
+
+    def unmask(text: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: "'" + lits[int(m.group(1))] + "'", text
+        )
+
+    items = []
+    for raw in _split_top_commas(um.group("items")):
+        im = _UPDATE_ITEM_RE.match(raw.strip())
+        if not im:
+            raise CypherUnsupported(
+                f"unsupported update SET item: {unmask(raw.strip())!r}"
+            )
+        items.append(
+            (im.group("alias"), im.group("prop"), unmask(im.group("expr").strip()))
+        )
+    aliases_seen = {a for a, _, _ in items}
+    if len(aliases_seen) != 1:
+        raise CypherUnsupported("update SET items must all target one alias")
+    alias = aliases_seen.pop()
+    props = [p for _, p, _ in items]
+    if len(set(props)) != len(props):
+        raise CypherUnsupported("duplicate property in update SET items")
+    head_clauses, head_lits = split_clauses_masked(unmask(um.group("head")))
+    label = _head_match(head_clauses, alias)
+    nodes = store.nodes()
+    if nodes is None:
+        return CypherResult(None, WriteSummary())
+    g = Graph(nodes, store.edges())
+    ret_body = ", ".join(
+        [f"{alias}.key AS _k"] + [f"{expr} AS {prop}" for _, prop, expr in items]
+    )
+    # the RETURN expression machinery compiles each SET value against the
+    # matched frame; literals re-mask through one whole-statement split
+    upd_clauses, upd_lits = split_clauses_masked(
+        unmask(um.group("head")) + " RETURN " + ret_body
+    )
+    updates = _run_read(upd_clauses, g, upd_lits, params)
+    summary = store.merge_nodes(
+        updates, label=label, key_col="_k", prop_cols=props
+    )
+    return CypherResult(None, summary)
+
+
 def run_cypher(
     spark: SparkSession,
     query: str,
@@ -864,6 +928,17 @@ def run_cypher(
         return _run_union(
             spark, union_parts, q_lits, params, store=store, graph=graph
         )
+    if re.search(
+        r"(?<![.$\w])SET\b", masked_q, re.IGNORECASE
+    ) and not re.search(r"(?<![.$\w])(MERGE|CREATE)\b", masked_q, re.IGNORECASE):
+        um = _UPDATE_RE.match(masked_q.strip())
+        if um:
+            if store is None:
+                raise ValueError("update statement needs a GraphStore")
+            return _run_text_update(
+                spark, um, q_lits, params if isinstance(params, dict) else None,
+                store,
+            )
     if not re.search(r"(?<![.$\w])(MERGE|CREATE|SET)\b", masked_q, re.IGNORECASE):
         dm = _DELETE_RE.match(masked_q.strip())
         if dm:

@@ -6212,6 +6212,43 @@ def q_c94_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_a61_text_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 ext — the UPDATE statement ``MATCH … WHERE … SET n.p = <expr>``
+    (cypher_text _run_text_update): Neo4j's read-modify-write — each SET
+    value is a full scalar expression over the MATCHED row's properties
+    (here toUpper(d.title) and d.score / 2 on even docs), compiled by the
+    RETURN-expression machinery and flowed through the same bucketed
+    merge_nodes upsert as MERGE…SET. Output = the post-update store
+    state, which the oracle states closed-form."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 20).alias("title"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a61_"))
+    store.merge_nodes(
+        seed, label="Doc", key_col="link", prop_cols=["title", "score"]
+    )
+    run_cypher(
+        spark,
+        "MATCH (d:Doc) WHERE d.score % 2 = 0 "
+        "SET d.title = toUpper(d.title), d.grade = d.score / 2",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (d:Doc) RETURN d.link AS link, d.title AS title, "
+        "d.grade AS grade",
+        store=store,
+    ).df.select(
+        "link", "title", F.col("grade").cast("bigint").alias("grade")
+    )
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6501,6 +6538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a60_text_expr_agg": q_a60_text_expr_agg,
     "c93_phash_near_dup": q_c93_phash_near_dup,
     "c94_louvain": q_c94_louvain,
+    "a61_text_update": q_a61_text_update,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6537,9 +6575,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c65_adamic_adar": q_c65_adamic_adar,
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
-    "c67_bpe_merges": q_c67_bpe_merges,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "c70_incremental_cc": q_c70_incremental_cc,
     "c69_stream_outer_join": q_c69_stream_outer_join,
@@ -9161,6 +9199,15 @@ ORACLES["c94_louvain"] = """
     SELECT CAST(n.n_nationkey AS bigint) AS node_id,
            CAST(b.lbl AS bigint) AS community
     FROM nation n JOIN bounds b ON n.n_regionkey = b.n_regionkey
+"""
+
+ORACLES["a61_text_update"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           CASE WHEN doc_id % 2 = 0 THEN upper(substr(text, 1, 20))
+                ELSE substr(text, 1, 20) END AS title,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id // 2 AS bigint)
+                ELSE NULL END AS grade
+    FROM documents
 """
 
 ORACLES["a59_text_unwind_literal"] = """

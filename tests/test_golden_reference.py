@@ -2097,3 +2097,49 @@ def test_text_with_expression_projections(spark):
     assert [tuple(x) for x in r] == [("hi", 2), ("lo", 1)]
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Doc) WITH a, nope AS x RETURN a.link AS l", graph=g)
+
+
+def test_text_update_statement(spark, tmp_path):
+    """MATCH … WHERE … SET n.p = <expr>: read-modify-write with full
+    scalar expressions over matched props, Neo4j counters (no node
+    creation), WHERE restriction honored, untouched rows and props
+    preserved; malformed items and multi-match heads refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "upd"))
+    run_cypher(
+        spark,
+        "CREATE (c:City {name: 'Paris', pop: 100}), "
+        "(d:City {name: 'Berlin', pop: 50})",
+        store=s,
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (c:City) WHERE c.pop >= 100 "
+        "SET c.pop = c.pop + 1, c.tag = 'big'",
+        store=s,
+    )
+    assert r.summary.nodes_created == 0 and r.summary.properties_set == 2
+    rows = run_cypher(
+        spark,
+        "MATCH (c:City) RETURN c.name AS n, c.pop AS p, c.tag AS t ORDER BY n",
+        store=s,
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [("Berlin", 50, None), ("Paris", 101, "big")]
+    run_cypher(
+        spark,
+        "MATCH (c:City) WHERE c.name = $n SET c.pop = c.pop * 2",
+        {"n": "Berlin"},
+        store=s,
+    )
+    rows2 = run_cypher(
+        spark, "MATCH (c:City) RETURN c.name AS n, c.pop AS p ORDER BY n", store=s
+    ).df.collect()
+    assert [tuple(x) for x in rows2] == [("Berlin", 100), ("Paris", 101)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (c:City) SET c.pop = , c.x = 1", store=s)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (c:City), (d:City) SET c.pop = 1", store=s)
