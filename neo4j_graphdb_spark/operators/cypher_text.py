@@ -584,11 +584,53 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
 
     head_clauses, head_lits = split_clauses_masked(unmask(dm.group("head")))
     alias = dm.group("alias")
-    label = _head_match(head_clauses, alias)
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
     g = Graph(nodes, store.edges())
+    # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] DELETE r` — relationship
+    # deletion: the head resolves through the read path, endpoint keys
+    # feed the batch edge delete (nodes untouched)
+    for c in head_clauses:
+        if c.kind != "MATCH":
+            continue
+        rm2 = _REL_RE.match(c.body)
+        if rm2 and rm2.group("rel_alias") == alias:
+            if dm.group("detach"):
+                raise CypherUnsupported(
+                    "DETACH applies to nodes, not relationships"
+                )
+            if rm2.group("min_h"):
+                raise CypherUnsupported(
+                    "variable-length patterns are unsupported in DELETE"
+                )
+            if not rm2.group("rel_type"):
+                raise CypherUnsupported(
+                    "DELETE r needs a typed relationship pattern"
+                )
+            direction = _rel_direction(rm2)
+            if direction == "both":
+                raise CypherUnsupported(
+                    "DELETE r needs a directed relationship pattern"
+                )
+            sa = rm2.group("src_alias") or "a"
+            da = rm2.group("dst_alias") or "b"
+            s_label = rm2.group("src_label")
+            d_label = rm2.group("dst_label")
+            if direction == "in":
+                sa, da = da, sa
+                s_label, d_label = d_label, s_label
+            if not s_label or not d_label:
+                raise CypherUnsupported(
+                    "DELETE r needs labeled endpoints (keys resolve per label)"
+                )
+            ret = _Clause("RETURN", f"{sa}.key AS _sk, {da}.key AS _dk")
+            df = _run_read(head_clauses + [ret], g, head_lits, params)
+            summary = store.delete_edges(
+                df, rm2.group("rel_type"), s_label, "_sk", d_label, "_dk"
+            )
+            return CypherResult(None, summary)
+    label = _head_match(head_clauses, alias)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
     keys = df.select(F.col(alias)["key"].alias("_k"))
     summary = store.delete_nodes(

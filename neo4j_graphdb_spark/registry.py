@@ -6249,6 +6249,41 @@ def q_a61_text_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_a62_text_delete_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 ext — relationship deletion:
+    ``MATCH (a)-[r:T]->(p) WHERE … DELETE r`` (cypher_text rel-DELETE
+    route onto ``GraphStore.delete_edges``): the head resolves through
+    the full read path, doomed edges anti-join out of only the touched
+    (rel_type, bucket) leaves, nodes stay. Here: drop WRITTEN_BY edges
+    of articles whose link ends in '0', return the surviving pairs —
+    which the oracle states from the construction."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = _article_source(spark, sf_dir)
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a62_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher"
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE a.link ENDS WITH '0' DELETE r",
+        store=store,
+    )
+    assert res.summary.relationships_deleted > 0
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.name AS publisher",
+        store=store,
+    ).df
+
+
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 ext — ``UNWIND [literal, …] AS x`` (the Neo4j smoke-test
     idiom): the literal list becomes a 1-column frame; used bare it IS
@@ -6539,6 +6574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c93_phash_near_dup": q_c93_phash_near_dup,
     "c94_louvain": q_c94_louvain,
     "a61_text_update": q_a61_text_update,
+    "a62_text_delete_rel": q_a62_text_delete_rel,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6574,9 +6610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c64_interleave": q_c64_interleave,
     "c65_adamic_adar": q_c65_adamic_adar,
     "c66_pq_topk": q_c66_pq_topk,
-    "rel_hierarchy": q_rel_hierarchy,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
     "c70_incremental_cc": q_c70_incremental_cc,
@@ -9208,6 +9244,13 @@ ORACLES["a61_text_update"] = """
            CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id // 2 AS bigint)
                 ELSE NULL END AS grade
     FROM documents
+"""
+
+ORACLES["a62_text_delete_rel"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS publisher
+    FROM documents
+    WHERE doc_id % 10 <> 0
 """
 
 ORACLES["a59_text_unwind_literal"] = """

@@ -854,6 +854,80 @@ class GraphStore:
         incoming.unpersist()
         return WriteSummary(relationships_created=created, properties_set=props_set)
 
+    def delete_edges(
+        self,
+        pairs: DataFrame,
+        rel_type: str,
+        src_label: str,
+        src_key_col: str,
+        dst_label: str,
+        dst_key_col: str,
+    ) -> WriteSummary:
+        """Batch ``MATCH (a)-[r:REL]->(b) DELETE r`` — relationship
+        deletion by endpoint keys. Every stored copy of a doomed
+        (src, dst, rel_type) goes (parallel CREATE-made edges are all
+        bound by the MATCH in Neo4j too); nodes are untouched. Write
+        amplification stays partial: only the (rel_type, bucket) leaves
+        that held doomed edges rewrite, everything else carries over as
+        hardlinks."""
+        doomed = (
+            as_edges(
+                pairs, rel_type, src_label, src_key_col, dst_label, dst_key_col
+            )
+            .select("src", "dst", "rel_type")
+            .distinct()
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+            .persist()
+        )
+        existing = self._edges.read(self.spark)
+        if existing is None:
+            doomed.unpersist()
+            return WriteSummary()
+        bucketed = (
+            self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in doomed.select(BUCKET_COL).distinct().collect()
+        ]
+        touched = existing.filter(F.col("rel_type") == rel_type)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        touched = touched.persist()
+        survivors = touched.join(
+            doomed.select("src", "dst", "rel_type"),
+            on=["src", "dst", "rel_type"],
+            how="left_anti",
+        )
+        n_del = touched.count() - survivors.count()
+        if bucketed:
+            self._edges.write_next_partial(
+                survivors.withColumn(
+                    BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                ),
+                ["rel_type", BUCKET_COL],
+                [(rel_type, b) for b in buckets],
+            )
+        else:
+            untouched = existing
+            if BUCKET_COL not in untouched.columns:
+                untouched = untouched.withColumn(
+                    BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                )
+            untouched = untouched.filter(F.col("rel_type") != rel_type)
+            self._edges.write_next(
+                untouched.unionByName(
+                    survivors.withColumn(
+                        BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                    ),
+                    allowMissingColumns=True,
+                ),
+                partition_by=["rel_type", BUCKET_COL],
+            )
+        touched.unpersist()
+        doomed.unpersist()
+        return WriteSummary(relationships_deleted=int(n_del))
+
     def delete_nodes(
         self,
         keys: DataFrame,

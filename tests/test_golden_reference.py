@@ -2143,3 +2143,42 @@ def test_text_update_statement(spark, tmp_path):
         run_cypher(spark, "MATCH (c:City) SET c.pop = , c.x = 1", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (c:City), (d:City) SET c.pop = 1", store=s)
+
+
+def test_text_delete_relationship(spark, tmp_path):
+    """MATCH (a)-[r:T]->(p) WHERE ... DELETE r: doomed edges (all
+    parallel copies) leave, nodes stay, counters report
+    relationships_deleted; DETACH on a relationship and untyped/
+    unlabeled patterns are refused."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "edel"))
+    run_cypher(
+        spark,
+        "CREATE (a:Art {link: 'l1'}), (b:Art {link: 'l2'}), "
+        "(p:Pub {name: 'P'}), (q:Pub {name: 'Q'}) "
+        "CREATE (a)-[:BY]->(p) CREATE (a)-[:BY]->(q) CREATE (b)-[:BY]->(p)",
+        store=s,
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) WHERE p.name = 'P' DELETE r",
+        store=s,
+    )
+    assert r.summary.relationships_deleted == 2
+    left = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) RETURN a.link AS l, p.name AS n",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in left) == [("l1", "Q")]
+    assert s.nodes().count() == 4
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Art)-[r:BY]->(p:Pub) DETACH DELETE r", store=s)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Art)-[r]->(p:Pub) DELETE r", store=s)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a)-[r:BY]->(p) DELETE r", store=s)
