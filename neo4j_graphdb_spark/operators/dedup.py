@@ -844,3 +844,82 @@ def hamming_near_dup(
         .filter(F.col("distance") <= max_distance)
         .select("a", "b", "distance")
     )
+
+
+def stream_hamming_near_dup(
+    stream_hashes: DataFrame,
+    hist_hashes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """C95 — streaming perceptual-hash gate (the image twin of c39's
+    MinHash stream gate): every arriving image hash is checked against a
+    STATIC historical hash table through the same hamming-LSH geometry
+    as :func:`hamming_near_dup` — band-slice explode per row, equality
+    join on (band, slice) against the precomputed historical slice
+    table, ``bit_count(xor)`` verify per candidate. Entirely STATELESS
+    (no watermark, no state store): the history is a static table, so
+    the identical plan runs on a ``readStream`` micro-batch and on a
+    batch frame — which is how the oracle checks it.
+
+    The ``max_bucket`` guard applies to the HISTORY only (a degenerate
+    slice there — e.g. the all-zero band of blank images — would fan
+    every matching stream row out by its size); stream rows are per-row
+    work. Emits one row per (stream_id, hist_id, band) hit with the
+    exact distance — several bands can surface the same pair; collapse
+    with a downstream ``distinct``/``dropDuplicates``.
+    """
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"max_distance={max_distance} needs bands > max_distance "
+            f"(pigeonhole guarantee); got bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def slices(df: DataFrame, out_id: str, out_hash: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_hash),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(F.col(hash_col), i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select(
+            out_id, out_hash,
+            F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"),
+        )
+
+    hist = (
+        slices(hist_hashes, "hist_id", "_hh")
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_band", "_val"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+        .localCheckpoint(eager=False)
+    )
+    s = slices(stream_hashes, "stream_id", "_sh")
+    return (
+        s.join(hist, on=["_band", "_val"])
+        .withColumn(
+            "distance",
+            F.bit_count(F.col("_sh").bitwiseXOR(F.col("_hh"))).cast("int"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("stream_id", "hist_id", F.col("_band").alias("band"), "distance")
+    )

@@ -6108,24 +6108,16 @@ def q_a60_text_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C93 — perceptual-hash image near-dup: real 9x8 BMPs (doc m and
-    m+250 share an avalanche-hashed pixel pattern, the copy perturbed at
-    one pixel), 64-bit dHash per image via one Arrow mapInPandas
-    (operators/multimodal.py bmp_dhash), then hamming-LSH candidate
-    pairs — 4 x 16-bit band buckets, pigeonhole-exact for distance <= 3
-    — verified by bit_count(xor) (operators/dedup.py hamming_near_dup).
-    The oracle is the honest QUADRATIC brute force: it recomputes every
-    hash closed-form in SQL and compares all pairs, so the LSH path is
-    proven exact, not just plausible."""
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared c93/c95 substrate: one 9x8 BMP per doc — doc m and m+250
+    share an avalanche-hashed pixel pattern, the copy perturbed at one
+    pixel (so their dHashes sit within a couple of bits), while patterns
+    of different k are hash-scrambled far apart. The oracles recompute
+    every pixel closed-form (_PHASH_HASHES_CTE)."""
     import pandas as _pd
 
-    from neo4j_graphdb_spark.operators.dedup import hamming_near_dup
-    from neo4j_graphdb_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        bmp_dhash,
-        bmp_encode,
-    )
+    from neo4j_graphdb_spark.operators.multimodal import MEDIA_SCHEMA, bmp_encode
 
     ids = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("media_id")
@@ -6159,7 +6151,23 @@ def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    return ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93 — perceptual-hash image near-dup: real 9x8 BMPs (doc m and
+    m+250 share an avalanche-hashed pixel pattern, the copy perturbed at
+    one pixel), 64-bit dHash per image via one Arrow mapInPandas
+    (operators/multimodal.py bmp_dhash), then hamming-LSH candidate
+    pairs — 4 x 16-bit band buckets, pigeonhole-exact for distance <= 3
+    — verified by bit_count(xor) (operators/dedup.py hamming_near_dup).
+    The oracle is the honest QUADRATIC brute force: it recomputes every
+    hash closed-form in SQL and compares all pairs, so the LSH path is
+    proven exact, not just plausible."""
+    from neo4j_graphdb_spark.operators.dedup import hamming_near_dup
+    from neo4j_graphdb_spark.operators.multimodal import bmp_dhash
+
+    media = _phash_media(spark, sf_dir)
     pairs = hamming_near_dup(
         bmp_dhash(media), max_distance=3, bands=4
     )
@@ -6282,6 +6290,30 @@ def q_a62_text_delete_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN a.link AS link, p.name AS publisher",
         store=store,
     ).df
+
+
+
+def q_c95_stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95 — streaming perceptual-hash near-dup gate (operators/dedup.py
+    stream_hamming_near_dup): arriving image hashes (docs >= 250, the
+    perturbed copies of the c93 substrate) checked against the STATIC
+    history (docs < 250) via stream-static band-slice equality joins +
+    bit_count verify — the stateless plan that runs unchanged on a
+    readStream micro-batch, here replayed as a batch frame so the
+    brute-force SQL oracle value-checks every emitted pair."""
+    from neo4j_graphdb_spark.operators.dedup import stream_hamming_near_dup
+    from neo4j_graphdb_spark.operators.multimodal import bmp_dhash
+
+    media = _phash_media(spark, sf_dir)
+    hashes = bmp_dhash(media).localCheckpoint(eager=False)
+    hist = hashes.filter(F.col("media_id") < 250)
+    stream = hashes.filter(F.col("media_id") >= 250)
+    hits = stream_hamming_near_dup(stream, hist, max_distance=3, bands=4)
+    return hits.select(
+        F.col("stream_id").cast("bigint").alias("stream_id"),
+        F.col("hist_id").cast("bigint").alias("hist_id"),
+        F.col("distance").cast("int").alias("distance"),
+    ).distinct()
 
 
 def q_a59_text_unwind_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6575,6 +6607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c94_louvain": q_c94_louvain,
     "a61_text_update": q_a61_text_update,
     "a62_text_delete_rel": q_a62_text_delete_rel,
+    "c95_stream_phash_gate": q_c95_stream_phash_gate,
     "c47_modularity": q_c47_modularity,
     "c48_bigram_lm": q_c48_bigram_lm,
     "c49_zipf_fit": q_c49_zipf_fit,
@@ -6609,9 +6642,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c63_bm25_search": q_c63_bm25_search,
     "c64_interleave": q_c64_interleave,
     "c65_adamic_adar": q_c65_adamic_adar,
-    "c66_pq_topk": q_c66_pq_topk,
     "rel_skyline": q_rel_skyline,
     # ---- r8 window backlog: remaining never-driver-checked entries ----
+    "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
     "c68_bloom_semi_join": q_c68_bloom_semi_join,
@@ -9178,7 +9211,7 @@ ORACLES["a60_text_expr_agg"] = """
     GROUP BY source, (doc_id % 7 + 1) % 2
 """
 
-ORACLES["c93_phash_near_dup"] = """
+_PHASH_HASHES_CTE = """
     WITH base AS (
         SELECT d.doc_id AS m, d.doc_id % 250 AS k,
                CAST(d.doc_id >= 250 AS int) AS pert, gx.x, gy.y
@@ -9221,9 +9254,20 @@ ORACLES["c93_phash_near_dup"] = """
                          ELSE hraw END AS BIGINT) AS hash
         FROM bits
     )
+"""
+
+ORACLES["c93_phash_near_dup"] = _PHASH_HASHES_CTE + """
     SELECT CAST(a.m AS bigint) AS a, CAST(b.m AS bigint) AS b,
            CAST(bit_count(xor(a.hash, b.hash)) AS int) AS distance
     FROM hashes a JOIN hashes b ON a.m < b.m
+    WHERE bit_count(xor(a.hash, b.hash)) <= 3
+"""
+
+ORACLES["c95_stream_phash_gate"] = _PHASH_HASHES_CTE + """
+    SELECT CAST(b.m AS bigint) AS stream_id,
+           CAST(a.m AS bigint) AS hist_id,
+           CAST(bit_count(xor(a.hash, b.hash)) AS int) AS distance
+    FROM hashes a JOIN hashes b ON a.m < 250 AND b.m >= 250
     WHERE bit_count(xor(a.hash, b.hash)) <= 3
 """
 

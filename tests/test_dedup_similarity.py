@@ -459,3 +459,42 @@ def test_hamming_near_dup_and_bmp_dhash(spark):
     img2 = bmp_encode(9, 8, lambda x, y, c: (255 - 10 * x) % 256)
     # strictly decreasing -> all 64 bits set -> signed -1
     assert bmp_dhash_bits(img2) == -1
+
+
+def test_stream_hamming_gate_batch_equivalence(spark):
+    """The perceptual-hash stream gate (band-slice stream-static join +
+    bit_count verify) finds exactly the cross-split pairs hamming_near_dup
+    finds on the union, with identical distances; multi-band hits
+    collapse under distinct; the pigeonhole guard still enforces."""
+    from neo4j_graphdb_spark.operators.dedup import (
+        hamming_near_dup,
+        stream_hamming_near_dup,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base), (2, base ^ 0x1), (3, base ^ 0b111),
+        (11, base), (12, base ^ (1 << 40)), (13, ~base),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    hist = df.filter("media_id < 10")
+    stream = df.filter("media_id >= 10")
+    got = {
+        (r["stream_id"], r["hist_id"]): r["distance"]
+        for r in stream_hamming_near_dup(stream, hist, max_distance=3, bands=4)
+        .select("stream_id", "hist_id", "distance")
+        .distinct()
+        .collect()
+    }
+    full = hamming_near_dup(df, max_distance=3, bands=4).collect()
+    expect = {}
+    for r in full:
+        a, b = r["a"], r["b"]
+        if (a < 10) != (b < 10):
+            s, h = (b, a) if a < 10 else (a, b)
+            expect[(s, h)] = r["distance"]
+    assert got == expect
+    assert (11, 1) in got and got[(11, 1)] == 0
+    assert (13, 1) not in got  # ~base is 64 bits away
+    with pytest.raises(ValueError):
+        stream_hamming_near_dup(stream, hist, max_distance=4, bands=4)

@@ -220,3 +220,19 @@ def test_node_similarity_degree_cap_semi_join_guard(spark, sf_dir):
     n_uncapped = capped_distinct_edges(cp, None).count()
     n_capped = capped_distinct_edges(cp, 5).count()
     assert n_capped < n_uncapped
+
+
+def test_phash_near_dup_band_join_no_cartesian(spark, sf_dir):
+    """c93: candidates must come from an equality band join (hash
+    exchange on the band slice), never a cartesian; the verify stage is
+    a plain projection over candidates."""
+    plan = _plan(QUERIES["c93_phash_near_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_louvain_sweep_no_cartesian(spark, sf_dir):
+    """c94: every Louvain sweep is key-partitioned joins/aggregations —
+    no cartesian anywhere in the final labeling plan."""
+    plan = _plan(QUERIES["c94_louvain"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
