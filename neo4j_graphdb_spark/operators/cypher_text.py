@@ -71,6 +71,26 @@ refuse-connected semantics for plain DELETE and deletion counters;
 (``GraphStore.remove_props`` — the explicit counterpart of SET's
 NULL-keeps-old coalesce).
 
+Round-7 additions (all oracle-checked through registry entries a54-a62):
+
+* ``CREATE`` — duplicate-allowed inserts (instance-ordinal identity),
+  comma-separated pattern lists, parallel relationships, literal props
+* scalar expressions — RETURN / WHERE conjuncts / ORDER BY / aggregate
+  arguments / expression grouping keys / non-aggregating WITH
+  projections (``WITH a, a.x + 1 AS y``): arithmetic with Cypher
+  integer-division truncation, string ``+`` concat, coalesce, CASE
+  WHEN (comparisons and IS [NOT] NULL), and a whitelisted function set
+  — every expression compiles to ONE Catalyst Column, no UDFs
+* ``MATCH p = shortestPath((a)-[:T*1..k]->(b))`` + ``length(p)`` —
+  depth-capped pairwise BFS as one lazy join plan
+* ``CALL graft.{pagerank,cc,scc,louvain,degrees,bfs,node_similarity}``
+  procedure routing with YIELD / RETURN / ORDER BY / SKIP / LIMIT
+* ``MATCH … SET n.p = <expr>`` update statement (read-modify-write)
+* ``MATCH (a)-[r:T]->(b) DELETE r`` relationship deletion
+* ``UNWIND [literals] AS x`` (bare, read-lookup, and write-batch
+  positions), ``IN [literal list]``, ``collect(DISTINCT x)``, literal
+  property values in every write position
+
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
 """
