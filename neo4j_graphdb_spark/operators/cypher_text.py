@@ -186,10 +186,11 @@ _COUNT_ITEM_RE = re.compile(
     r"^COUNT\s*\{(?P<pat>[^{}]+)\}(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
 
-# labels(n) / type(r) / id(n) — Cypher's entity-introspection functions;
-# length(p) — path length for a shortestPath/var-length binding
+# labels(n) / type(r) / id(n) / keys(n) / properties(n) — Cypher's
+# entity-introspection functions; length(p) — path length for a
+# shortestPath/var-length binding
 _FN_ITEM_RE = re.compile(
-    r"^(?P<fn>labels|type|id|length)\s*\(\s*(?P<alias>\w+)\s*\)"
+    r"^(?P<fn>labels|type|id|length|keys|properties)\s*\(\s*(?P<alias>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE,
 )
@@ -2974,6 +2975,43 @@ def _run_read(
                         f"type() needs the bound relationship alias, got {fa!r}"
                     )
                 e = F.col("rel_type")
+            elif fa in aliases and fn in ("keys", "properties"):
+                # the entity's non-null property cells: keys() as a sorted
+                # name array, properties() as a canonical JSON string
+                # (to_json drops nulls; fields sort alphabetically so the
+                # serialization is partitioning-independent)
+                prefix = aliases[fa]
+                prop_names = sorted(
+                    c[len(prefix):]
+                    for c in df.columns
+                    if c.startswith(prefix)
+                    and not c.endswith(NODE_ID)
+                    and c != f"{prefix}label"
+                )
+                if fn == "keys":
+                    e = F.sort_array(
+                        F.filter(
+                            F.array(
+                                *[
+                                    F.when(
+                                        F.col(f"{prefix}{p}").isNotNull(),
+                                        F.lit(p),
+                                    )
+                                    for p in prop_names
+                                ]
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
+                    )
+                else:
+                    e = F.to_json(
+                        F.struct(
+                            *[
+                                F.col(f"{prefix}{p}").alias(p)
+                                for p in prop_names
+                            ]
+                        )
+                    )
             elif fa in aliases:
                 col = "label" if fn == "labels" else NODE_ID
                 e = _prop_col(df, aliases[fa], col)

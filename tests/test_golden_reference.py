@@ -2182,3 +2182,28 @@ def test_text_delete_relationship(spark, tmp_path):
         run_cypher(spark, "MATCH (a:Art)-[r]->(p:Pub) DELETE r", store=s)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a)-[r:BY]->(p) DELETE r", store=s)
+
+
+def test_text_keys_properties_introspection(spark):
+    """keys(n): sorted non-null property names; properties(n): canonical
+    JSON of the non-null property cells (alphabetical fields, nulls
+    dropped) — the introspection pair every Neo4j result pane shows."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", "T1", 5), ("l2", None, 7)],
+        "link string, title string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title", "score"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, keys(a) AS ks, "
+        "properties(a) AS ps ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert rows[0]["ks"] == ["key", "score", "title"]
+    assert rows[1]["ks"] == ["key", "score"]  # null title drops
+    assert rows[0]["ps"] == '{"key":"l1","score":5,"title":"T1"}'
+    assert rows[1]["ps"] == '{"key":"l2","score":7}'
