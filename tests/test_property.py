@@ -546,3 +546,76 @@ def test_bigram_lm_matches_python_reference(spark, texts):
     for i in exp:
         assert got[i][0] == exp[i][0]
         assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6)
+
+
+def _java_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _java_mod(a: int, b: int) -> int:
+    return a - _java_div(a, b) * b
+
+
+@st.composite
+def cypher_arith(draw, depth=0):
+    """(expression text, pure-Python evaluator) pairs over props a.x/a.y
+    with Cypher's Java semantics (trunc-toward-zero /, Java-sign %)."""
+    if depth >= 3 or (depth > 0 and draw(st.booleans())):
+        c = draw(st.integers(0, 2))
+        if c == 0:
+            v = draw(st.integers(-9, 9))
+            return (str(v), lambda x, y, v=v: v)
+        if c == 1:
+            return ("a.x", lambda x, y: x)
+        return ("a.y", lambda x, y: y)
+    op = draw(st.sampled_from(["+", "-", "*", "/", "%"]))
+    ls, lf = draw(cypher_arith(depth=depth + 1))
+    if op in ("/", "%"):
+        d = draw(st.integers(1, 9))
+        rs, rf = str(d), (lambda x, y, d=d: d)
+    else:
+        rs, rf = draw(cypher_arith(depth=depth + 1))
+    ops = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": _java_div,
+        "%": _java_mod,
+    }
+    fn = ops[op]
+    return (
+        f"({ls} {op} {rs})",
+        lambda x, y, lf=lf, rf=rf, fn=fn: fn(lf(x, y), rf(x, y)),
+    )
+
+
+@given(cypher_arith(), st.lists(
+    st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+    min_size=1, max_size=4, unique=True,
+))
+@settings(**_SETTINGS)
+def test_cypher_expression_compiler_matches_python(spark, expr, rows):
+    """Differential: randomized arithmetic over bound props through the
+    Cypher text front-end equals a pure-Python evaluator with Java
+    integer semantics (trunc-toward-zero division, Java-sign %)."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    text, pyfn = expr
+    src = spark.createDataFrame(
+        [(f"l{i}", x, y) for i, (x, y) in enumerate(rows)],
+        "link string, x int, y int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["x", "y"]), None)
+    got = {
+        r["l"]: r["v"]
+        for r in run_cypher(
+            spark,
+            f"MATCH (a:Doc) RETURN a.link AS l, {text} AS v",
+            graph=g,
+        ).df.collect()
+    }
+    want = {f"l{i}": pyfn(x, y) for i, (x, y) in enumerate(rows)}
+    assert got == want
