@@ -874,9 +874,9 @@ def _run_text_call(
                         (m2.group("key"), (m2.group("dir") or "ASC").upper() == "DESC")
                     )
             elif kind == "SKIP":
-                skip = int(body)
+                skip = _page_count(body, params, "SKIP")
             elif kind == "LIMIT":
-                limit = int(body)
+                limit = _page_count(body, params, "LIMIT")
             else:
                 raise CypherUnsupported(f"{kind} unsupported after CALL YIELD")
         if order_by:
@@ -2154,9 +2154,9 @@ def _run_post_with(
                     raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
                 order_by.append((m.group("key"), (m.group("dir") or "ASC").upper() == "DESC"))
         elif c.kind == "SKIP":
-            skip = int(c.body)
+            skip = _page_count(c.body, params, "SKIP")
         elif c.kind == "LIMIT":
-            limit = int(c.body)
+            limit = _page_count(c.body, params, "LIMIT")
         else:
             raise CypherUnsupported(f"{c.kind} unsupported after aggregating WITH")
     if not returns:
@@ -2868,17 +2868,17 @@ def _run_read(
                 if with_order:
                     df = df.orderBy(*with_order)
                     with_order = []
-                df = df.offset(int(c.body))
+                df = df.offset(_page_count(c.body, params, "SKIP"))
             else:
-                skip = int(c.body)
+                skip = _page_count(c.body, params, "SKIP")
         elif c.kind == "LIMIT":
             if in_with:
                 if with_order:
                     df = df.orderBy(*with_order)
                     with_order = []
-                df = df.limit(int(c.body))
+                df = df.limit(_page_count(c.body, params, "LIMIT"))
             else:
-                limit = int(c.body)
+                limit = _page_count(c.body, params, "LIMIT")
         else:
             raise CypherUnsupported(f"{c.kind} unsupported in read statements")
 
@@ -3112,6 +3112,22 @@ def _run_read(
     out = df.select(*out_cols)
     return _page(out, skip, limit)
 
+
+
+def _page_count(body: str, params: dict | None, what: str) -> int:
+    """Resolve a SKIP/LIMIT operand: integer literal or $param."""
+    body = body.strip()
+    if body.startswith("$"):
+        v = (params or {}).get(body[1:])
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise CypherUnsupported(
+                f"{what} ${body[1:]} needs a non-negative integer param"
+            )
+        return v
+    try:
+        return int(body)
+    except ValueError:
+        raise CypherUnsupported(f"unsupported {what} operand: {body!r}") from None
 
 def _page(df: DataFrame, skip: int | None, limit: int | None) -> DataFrame:
     """SKIP/LIMIT pagination: offset first, then limit — Cypher's

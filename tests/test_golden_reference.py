@@ -2207,3 +2207,28 @@ def test_text_keys_properties_introspection(spark):
     assert rows[1]["ks"] == ["key", "score"]  # null title drops
     assert rows[0]["ps"] == '{"key":"l1","score":5,"title":"T1"}'
     assert rows[1]["ps"] == '{"key":"l2","score":7}'
+
+
+def test_text_skip_limit_params(spark):
+    """SKIP $s LIMIT $n — parameterized pagination (Neo4j's standard
+    page-through idiom); non-integer params refused."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame([(str(i),) for i in range(10)], "k string")
+    g = Graph(as_nodes(src, "Doc", "k", []), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.k AS k ORDER BY k SKIP $s LIMIT $n",
+        {"s": 2, "n": 3},
+        graph=g,
+    ).df.collect()
+    assert [x["k"] for x in r] == ["2", "3", "4"]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MATCH (a:Doc) RETURN a.k AS k LIMIT $n", {"n": "x"}, graph=g
+        )
