@@ -2064,7 +2064,20 @@ def _extract_exists(body: str, out: list) -> str:
     for it in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
         it_s = it.strip()
         m = _EXISTS_ITEM_RE.match(it_s)
-        if not m:
+        pat_text = None
+        negated = False
+        if m:
+            pat_text = m.group("pat").strip()
+            negated = bool(m.group("neg"))
+        else:
+            # legacy bare pattern predicate: `WHERE [NOT] (a)-[:T]->(:L)`
+            # — the pre-EXISTS Cypher spelling, same semi/anti compile
+            bare = re.match(r"^(?P<neg>NOT\s+)?(?P<pat>\(.+\))$", it_s,
+                            re.IGNORECASE | re.DOTALL)
+            if bare and _REL_RE.match(bare.group("pat").strip()):
+                pat_text = bare.group("pat").strip()
+                negated = bool(bare.group("neg"))
+        if pat_text is None:
             if re.search(r"(?<![.$\w])EXISTS\b", it_s, re.IGNORECASE):
                 raise CypherUnsupported(
                     "EXISTS must be a whole AND conjunct of the form "
@@ -2073,10 +2086,10 @@ def _extract_exists(body: str, out: list) -> str:
                 )
             remaining.append(it)
             continue
-        pm = _REL_RE.match(m.group("pat").strip())
+        pm = _REL_RE.match(pat_text)
         if not pm:
             raise CypherUnsupported(
-                f"unsupported EXISTS pattern: {m.group('pat').strip()!r}"
+                f"unsupported EXISTS pattern: {pat_text!r}"
             )
         if pm.group("min_h") or pm.group("rel_props"):
             raise CypherUnsupported(
@@ -2096,7 +2109,7 @@ def _extract_exists(body: str, out: list) -> str:
                 pm.group("rel_type"),
                 _rel_direction(pm),
                 pm.group("dst_label"),
-                bool(m.group("neg")),
+                negated,
             )
         )
     return " AND ".join(remaining).strip()
@@ -2708,7 +2721,9 @@ def _run_read(
             rel_prefixed = True
         elif c.kind == "WHERE":
             body = c.body
-            if "exists" in body.lower():
+            if "exists" in body.lower() or re.search(
+                r"\)\s*<?-\s*\[", body
+            ):
                 # pattern-existence predicates: `[NOT] EXISTS { (a)-[:T]->(:L) }`
                 # compile to LEFT SEMI / LEFT ANTI joins, so they are
                 # extracted as top-level AND conjuncts BEFORE the boolean

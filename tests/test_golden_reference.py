@@ -2232,3 +2232,40 @@ def test_text_skip_limit_params(spark):
         run_cypher(
             spark, "MATCH (a:Doc) RETURN a.k AS k LIMIT $n", {"n": "x"}, graph=g
         )
+
+
+def test_text_bare_pattern_predicate(spark, text_store):
+    """Legacy pattern predicates — `WHERE [NOT] (a)-[:T]->(:L)` without
+    the EXISTS keyword — compile to the same semi/anti joins as the
+    EXISTS{} form and agree with it exactly."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    bare = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE (a)-[:WRITTEN_BY]->(:Publisher) "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df.collect()
+    modern = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:WRITTEN_BY]->(:Publisher) } "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df.collect()
+    assert sorted(r["link"] for r in bare) == sorted(r["link"] for r in modern)
+    bare_neg = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE NOT (a)-[:WRITTEN_BY]->(:Publisher) "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df.collect()
+    modern_neg = run_cypher(
+        spark,
+        "MATCH (a:Article) "
+        "WHERE NOT EXISTS { (a)-[:WRITTEN_BY]->(:Publisher) } "
+        "RETURN a.link AS link",
+        store=text_store,
+    ).df.collect()
+    assert sorted(r["link"] for r in bare_neg) == sorted(
+        r["link"] for r in modern_neg
+    )
