@@ -6584,10 +6584,13 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r07's window (current first 50) = the two entries fixed this round
 #   (a49/c41, array columns stringified) + the round-7 additions
 #   (a54 CREATE, a55 expressions, a56 shortestPath, a57 CALL router,
-#   a58 reference replay) + the first 43 of the never-driver-checked
-#   backlog (c47-c91, late rel_*).
-#   Next rotation (r08) should LEAD with the 14-entry block tagged
-#   "r8 window backlog" below (c73_hashed_features onward) — that
+#   a58 reference replay, a59 literal UNWIND, a60 expression aggregates,
+#   a61 update statement, a62 rel deletion, c92 boilerplate removal,
+#   c93 phash near-dup, c94 Louvain, c95 stream phash gate) + the
+#   remaining slots from the never-driver-checked backlog.
+#   Next rotation (r08) should LEAD with the 22-entry block tagged
+#   "r8 window backlog" below (c66_pq_topk through c83_node2vec_walks —
+#   includes the entries this round's additions displaced) — that
 #   completes driver coverage of every declared entry.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r7 driver window (first 50): this round's fixed/new entries
