@@ -1649,7 +1649,12 @@ def strongly_connected_components(
         )
         prev: tuple | None = None
         inner_converged = False
-        for _i in range(max_iter):
+        # max_iter propagation steps + 1: convergence is only observable
+        # on the iteration AFTER the labels settle (cur == prev), so an
+        # input whose min-label needs exactly max_iter hops must get one
+        # extra confirming pass rather than a spurious
+        # "did not converge".
+        for _i in range(max_iter + 1):
             fmsgs = (
                 lbl.join(e, lbl[id_col] == e["dst"])
                 .select(F.col("src").alias(id_col), F.col("_f").alias("_fm"))
@@ -1898,12 +1903,13 @@ def louvain_communities(
                 ).alias("_gain"),
             )
         )
-        # argmax gain, ties toward the smallest community id; a node with
+        # argmax gain, ties toward the smallest community id. A node with
         # no candidate row for its CURRENT community (no intra-community
-        # neighbor) competes with the implicit stay-gain of staying alone,
-        # which the explicit candidate set covers because the current
-        # community always appears when any neighbor shares it — otherwise
-        # staying has gain -k*tot'/2m <= 0 and any positive move wins
+        # neighbor — e.g. the neighbor that pulled it in moved away later)
+        # has k_{u,C} = 0, so its true stay gain is the analytic
+        # -k_u * (tot(C) - k_u) / 2m (<= 0), NOT zero: coalescing the
+        # missing stay-gain to 0 would wrongly veto every
+        # modularity-improving move whose gain lies in (true_stay, 0].
         best = cand.groupBy("_id").agg(
             F.expr("max_by(_nc, struct(_gain, -_nc))").alias("_best"),
             F.max(
@@ -1912,17 +1918,21 @@ def louvain_communities(
             F.max("_gain").alias("_best_gain"),
         )
         active = F.pmod(F.xxhash64(F.col("_id")), F.lit(2)) == (s % 2)
+        stay = F.coalesce(
+            F.col("_stay_gain"),
+            -F.col("_k")
+            * (F.coalesce(F.col("_tot"), F.col("_k")) - F.col("_k"))
+            / F.lit(m2),
+        )
         moved = (
             comm.join(best, on="_id", how="left")
+            .join(tot, comm["_c"] == tot["_tc"], "left")
             .select(
                 "_id",
                 F.when(
                     active
                     & F.col("_best").isNotNull()
-                    & (
-                        F.col("_best_gain")
-                        > F.coalesce(F.col("_stay_gain"), F.lit(0.0)) + 1e-12
-                    ),
+                    & (F.col("_best_gain") > stay + 1e-12),
                     F.col("_best"),
                 )
                 .otherwise(F.col("_c"))

@@ -105,7 +105,7 @@ from pyspark.sql import functions as F
 
 from neo4j_graphdb_spark.model import NODE_ID
 from neo4j_graphdb_spark.operators.cypher import Graph
-from neo4j_graphdb_spark.writer import GraphStore, WriteSummary
+from neo4j_graphdb_spark.writer import BUCKET_COL, GraphStore, WriteSummary
 
 
 class CypherUnsupported(ValueError):
@@ -645,10 +645,31 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 raise CypherUnsupported(
                     "DELETE r needs labeled endpoints (keys resolve per label)"
                 )
-            ret = _Clause("RETURN", f"{sa}.key AS _sk, {da}.key AS _dk")
+            # Project the matched relationships' property values alongside
+            # the endpoint keys: a WHERE on r's props binds only SOME of
+            # the parallel (src, dst, rel_type) copies, so the doom key
+            # must extend to the property values or the delete would take
+            # unmatched siblings down too (writer.delete_edges null-safe
+            # prop matching).
+            edf = store.edges()
+            rel_props = [
+                c
+                for c in (edf.columns if edf is not None else [])
+                if c not in ("src", "dst", "rel_type", BUCKET_COL)
+            ]
+            ret_items = [f"{sa}.key AS _sk", f"{da}.key AS _dk"] + [
+                f"{rm2.group('rel_alias')}.{p} AS _rp_{p}" for p in rel_props
+            ]
+            ret = _Clause("RETURN", ", ".join(ret_items))
             df = _run_read(head_clauses + [ret], g, head_lits, params)
             summary = store.delete_edges(
-                df, rm2.group("rel_type"), s_label, "_sk", d_label, "_dk"
+                df,
+                rm2.group("rel_type"),
+                s_label,
+                "_sk",
+                d_label,
+                "_dk",
+                rel_prop_cols={p: f"_rp_{p}" for p in rel_props},
             )
             return CypherResult(None, summary)
     label = _head_match(head_clauses, alias)
@@ -711,6 +732,43 @@ def _run_text_call(
         )
     cfg = {k: _where_value(v, lits, params) for k, v in cfg_pairs}
 
+    # Validate the procedure name, config keys, and YIELD names BEFORE
+    # dispatch: pagerank/scc/louvain run eagerly (per-superstep driver
+    # actions) inside the call, so a typo must be refused upfront, not
+    # after minutes of cluster work.
+    known = {
+        "pagerank": ({"maxIter", "damping"}, ["key", "rank"]),
+        "cc": ({"maxIter"}, ["key", "comp"]),
+        "connected_components": ({"maxIter"}, ["key", "comp"]),
+        "degrees": (set(), ["key", "out_degree", "in_degree", "degree"]),
+        "bfs": ({"start", "label", "maxHops"}, ["key", "dist"]),
+        "louvain": ({"maxSweeps"}, ["key", "community"]),
+        "scc": ({"maxRounds"}, ["key", "scc"]),
+        "node_similarity": (
+            {"topK", "degreeCap", "metric"},
+            ["key1", "key2", "score", "rank"],
+        ),
+    }
+    proc = cm.group("proc").lower()
+    if proc not in known:
+        raise CypherUnsupported(
+            f"unknown procedure graft.{cm.group('proc')} (available: "
+            "pagerank, cc, scc, louvain, degrees, bfs, node_similarity)"
+        )
+    allowed_cfg, yield_cols = known[proc]
+    unknown_cfg = set(cfg) - allowed_cfg
+    if unknown_cfg:
+        raise CypherUnsupported(
+            f"unknown config key(s) {sorted(unknown_cfg)} for graft.{proc}"
+        )
+    yields = [y.strip() for y in cm.group("yields").split(",")]
+    for y in yields:
+        if y not in yield_cols:
+            raise CypherUnsupported(
+                f"YIELD {y!r} is not a column of graft.{proc} "
+                f"(yields: {yield_cols})"
+            )
+
     key_of = nodes_df.select(F.col(NODE_ID).alias("_cid"), F.col("key").alias("_ckey"))
 
     def with_key(df: DataFrame, id_column: str, out_name: str) -> DataFrame:
@@ -720,7 +778,6 @@ def _run_text_call(
             .withColumnRenamed("_ckey", out_name)
         )
 
-    proc = cm.group("proc").lower()
     if proc == "pagerank":
         res = alg.pagerank(
             nodes_df,
@@ -814,23 +871,8 @@ def _run_text_call(
             F.col("jaccard").alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
         )
-    else:
-        raise CypherUnsupported(
-            f"unknown procedure graft.{cm.group('proc')} (available: "
-            "pagerank, cc, scc, louvain, degrees, bfs, node_similarity)"
-        )
-    if cfg:
-        raise CypherUnsupported(
-            f"unknown config key(s) {sorted(cfg)} for graft.{proc}"
-        )
-
-    yields = [y.strip() for y in cm.group("yields").split(",")]
-    for y in yields:
-        if y not in out.columns:
-            raise CypherUnsupported(
-                f"YIELD {y!r} is not a column of graft.{proc} "
-                f"(yields: {out.columns})"
-            )
+    else:  # pragma: no cover - proc membership validated upfront
+        raise CypherUnsupported(f"unhandled procedure graft.{proc}")
     out = out.select(*yields)
 
     tail = cm.group("tail").strip()
@@ -1840,12 +1882,14 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             elif op == "%":
                 res = lc % rc
             else:  # "/"
-                res = lc / rc
                 if lt == rt == "int":
-                    # Cypher integer division truncates toward zero (Java);
-                    # double→long cast truncates toward zero too
-                    return res.cast("long"), "int"
-                return res, "float"
+                    # Cypher integer division truncates toward zero (Java).
+                    # Spark's IntegralDivide (`div`) stays exact on longs —
+                    # a double round-trip would lose exactness above 2^53 —
+                    # and raises DIVIDE_BY_ZERO under ANSI mode, matching
+                    # Neo4j's "/ by zero" error instead of a silent NULL.
+                    return F.call_function("div", lc, rc), "int"
+                return lc / rc, "float"
             if lt == rt == "int":
                 return res, "int"
             return res, ("float" if "float" in (lt, rt) else "other")
@@ -2994,14 +3038,21 @@ def _run_read(
                 # the entity's non-null property cells: keys() as a sorted
                 # name array, properties() as a canonical JSON string
                 # (to_json drops nulls; fields sort alphabetically so the
-                # serialization is partitioning-independent)
+                # serialization is partitioning-independent). Suffixes are
+                # validated against the nodes-table schema so frame columns
+                # that are NOT properties of the entity (UNWIND variables,
+                # WITH-computed columns riding an unprefixed frame) never
+                # leak into keys()/properties().
                 prefix = aliases[fa]
+                node_props = {
+                    c
+                    for c in graph.nodes_df.columns
+                    if c not in (NODE_ID, "label")
+                }
                 prop_names = sorted(
                     c[len(prefix):]
                     for c in df.columns
-                    if c.startswith(prefix)
-                    and not c.endswith(NODE_ID)
-                    and c != f"{prefix}label"
+                    if c.startswith(prefix) and c[len(prefix):] in node_props
                 )
                 if fn == "keys":
                     e = F.sort_array(
@@ -3188,6 +3239,23 @@ def _aggregate_return(
             raise CypherUnsupported(f"unknown relationship property {prop!r}")
         raise CypherUnsupported(f"RETURN of unbound alias: {alias!r}")
 
+    def _build_agg(fn: str, dist: bool, e):
+        """One aggregate Column from (function, DISTINCT?, source) — the
+        single construction point shared by the plain-source and
+        expression-source branches, so the supported-DISTINCT set and
+        collect() canonical ordering can never diverge between them."""
+        if dist:
+            if fn == "count":
+                return F.countDistinct(e)
+            if fn == "collect":
+                return F.array_sort(F.collect_set(e))
+            raise CypherUnsupported(
+                f"DISTINCT inside {fn}() unsupported (count/collect only)"
+            )
+        if fn == "collect":
+            return F.array_sort(F.collect_list(e))
+        return getattr(F, fn)(e)
+
     for item in returns:
         am = _AGG_ITEM_RE.match(item)
         xm = None if am else _AGG_EXPR_RE.match(item)
@@ -3200,22 +3268,14 @@ def _aggregate_return(
                 agg = F.count(F.lit(1))
             else:
                 e = _source(am.group("alias"), am.group("prop"))
-                if am.group("dist"):
-                    if fn == "count":
-                        agg = F.countDistinct(e)
-                    elif fn == "collect":
-                        agg = F.array_sort(F.collect_set(e))
-                    else:
-                        raise CypherUnsupported(
-                            f"DISTINCT inside {fn}() unsupported "
-                            "(count/collect only)"
-                        )
-                elif fn == "collect":
-                    agg = F.array_sort(F.collect_list(e))
-                else:
-                    agg = getattr(F, fn)(e)
+                agg = _build_agg(fn, bool(am.group("dist")), e)
             aggs.append(agg.alias(name))
             name_map[name] = name
+            # the whitespace-normalized item text resolves ORDER BY
+            # expressions that repeat the aggregate (ORDER BY count(*))
+            name_map[
+                re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))
+            ] = name
         elif xm:
             # aggregate over a scalar expression: the inner text compiles
             # through the expression Column compiler, the aggregate wraps it
@@ -3229,22 +3289,12 @@ def _aggregate_return(
                 lits or [],
                 params,
             )
-            if xm.group("dist"):
-                if fn == "count":
-                    agg = F.countDistinct(e)
-                elif fn == "collect":
-                    agg = F.array_sort(F.collect_set(e))
-                else:
-                    raise CypherUnsupported(
-                        f"DISTINCT inside {fn}() unsupported "
-                        "(count/collect only)"
-                    )
-            elif fn == "collect":
-                agg = F.array_sort(F.collect_list(e))
-            else:
-                agg = getattr(F, fn)(e)
+            agg = _build_agg(fn, bool(xm.group("dist")), e)
             aggs.append(agg.alias(name))
             name_map[name] = name
+            name_map[
+                re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))
+            ] = name
         else:
             m = _RETURN_ITEM_RE.match(item)
             if not m:
@@ -3254,6 +3304,9 @@ def _aggregate_return(
                 )
                 keys.append(e.alias(name))
                 name_map[name] = name
+                name_map[
+                    re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))
+                ] = name
                 continue
             alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
             e = _source(alias, prop)
@@ -3266,6 +3319,19 @@ def _aggregate_return(
     if order_by:
         sorts = []
         for key, desc in order_by:
+            if key.startswith("\x02"):
+                # raw ORDER BY expression from the read path: in an
+                # aggregating RETURN it must textually repeat a RETURN
+                # item (ORDER BY count(*) DESC) — resolve through the
+                # whitespace-normalized item text, and refuse with the
+                # user's own expression, never the internal sentinel
+                raw = key[1:].strip()
+                key = re.sub(r"\s+", "", raw)
+                if key not in name_map:
+                    raise CypherUnsupported(
+                        f"ORDER BY expression {raw!r} must repeat a RETURN "
+                        "item of the aggregating RETURN (or use its alias)"
+                    )
             if key not in name_map:
                 raise CypherUnsupported(
                     f"ORDER BY key {key!r} is not a RETURN name or grouped alias.prop"

@@ -732,8 +732,13 @@ def remove_boilerplate(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
     )
+    # posexplode_outer: a NULL text yields a NULL chunk array, which a
+    # plain posexplode would drop entirely — the doc must still come out
+    # the other side with clean_text = '' (the per-doc output contract),
+    # not vanish. The NULL placeholder row carries a NULL _h, which can
+    # never match a boilerplate hash in the join below.
     ex = docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("_blk", "_chunk")
+        F.col(id_col), F.posexplode_outer(chunks).alias("_blk", "_chunk")
     ).withColumn("_h", F.md5("_chunk"))
     boiler = (
         ex.groupBy("_h")
@@ -764,6 +769,54 @@ def remove_boilerplate(
     )
 
 
+def _hamming_band_slices(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    out_id: str,
+    out_hash: str,
+    bands: int,
+    max_distance: int,
+) -> DataFrame:
+    """Shared candidate-generation front of :func:`hamming_near_dup` and
+    :func:`stream_hamming_near_dup`: validate the 64-bit band geometry
+    (``bands`` must divide 64; pigeonhole needs ``bands > max_distance``)
+    and explode each hash into one ``(_band, _val)`` slice row per band.
+    One construction point, so the slicing and its guards cannot diverge
+    between the batch and streaming variants."""
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"max_distance={max_distance} needs bands > max_distance "
+            f"(pigeonhole guarantee); got bands={bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(hash_col).alias(out_hash),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        out_id,
+        out_hash,
+        F.col("_b.band").alias("_band"),
+        F.col("_b.val").alias("_val"),
+    )
+
+
 def hamming_near_dup(
     hashes: DataFrame,
     hash_col: str = "dhash",
@@ -787,37 +840,12 @@ def hamming_near_dup(
     like minhash_lsh_pairs' guard, and the verify join moves two longs
     per candidate.
     """
-    if not 64 % bands == 0:
-        raise ValueError("bands must divide 64")
-    if max_distance > bands - 1:
-        raise ValueError(
-            f"max_distance={max_distance} needs bands > max_distance "
-            f"(pigeonhole guarantee); got bands={bands}"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
     # 16 bytes/row — materialize once so the band self-join's branches
     # (and the bucket-size guard) never re-run the upstream decode stage
     h = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     ).localCheckpoint(eager=False)
-    slices = h.select(
-        "_id",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("_h"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_h", F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"))
+    slices = _hamming_band_slices(h, "_h", "_id", "_id", "_h", bands, max_distance)
     sizes = slices.groupBy("_band", "_val").agg(F.count(F.lit(1)).alias("_n"))
     guarded = slices.join(
         sizes.filter(F.col("_n") <= max_bucket).select("_band", "_val"),
@@ -872,40 +900,10 @@ def stream_hamming_near_dup(
     exact distance — several bands can surface the same pair; collapse
     with a downstream ``distinct``/``dropDuplicates``.
     """
-    if not 64 % bands == 0:
-        raise ValueError("bands must divide 64")
-    if max_distance > bands - 1:
-        raise ValueError(
-            f"max_distance={max_distance} needs bands > max_distance "
-            f"(pigeonhole guarantee); got bands={bands}"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    def slices(df: DataFrame, out_id: str, out_hash: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(hash_col).alias(out_hash),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftrightunsigned(F.col(hash_col), i * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("val"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("_b"),
-        ).select(
-            out_id, out_hash,
-            F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"),
-        )
-
     hist = (
-        slices(hist_hashes, "hist_id", "_hh")
+        _hamming_band_slices(
+            hist_hashes, hash_col, id_col, "hist_id", "_hh", bands, max_distance
+        )
         .withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy("_band", "_val"))
         )
@@ -913,7 +911,9 @@ def stream_hamming_near_dup(
         .drop("_n")
         .localCheckpoint(eager=False)
     )
-    s = slices(stream_hashes, "stream_id", "_sh")
+    s = _hamming_band_slices(
+        stream_hashes, hash_col, id_col, "stream_id", "_sh", bands, max_distance
+    )
     return (
         s.join(hist, on=["_band", "_val"])
         .withColumn(

@@ -862,19 +862,38 @@ class GraphStore:
         src_key_col: str,
         dst_label: str,
         dst_key_col: str,
+        rel_prop_cols: dict[str, str] | None = None,
     ) -> WriteSummary:
         """Batch ``MATCH (a)-[r:REL]->(b) DELETE r`` — relationship
-        deletion by endpoint keys. Every stored copy of a doomed
-        (src, dst, rel_type) goes (parallel CREATE-made edges are all
-        bound by the MATCH in Neo4j too); nodes are untouched. Write
+        deletion by endpoint keys. Without ``rel_prop_cols`` every stored
+        copy of a doomed (src, dst, rel_type) goes (an unfiltered MATCH
+        binds all parallel edges in Neo4j too); with ``rel_prop_cols``
+        (stored edge-prop column → ``pairs`` column) the doom key extends
+        to the relationship's property values, so a WHERE that matched
+        only ONE of several parallel edges deletes only that one —
+        identical-valued copies are indistinguishable and die together,
+        exactly as an all-binding MATCH would. Props join null-safely
+        (absent props are legitimate values). Nodes are untouched. Write
         amplification stays partial: only the (rel_type, bucket) leaves
         that held doomed edges rewrite, everything else carries over as
         hardlinks."""
+        prop_map = rel_prop_cols or {}
         doomed = (
             as_edges(
-                pairs, rel_type, src_label, src_key_col, dst_label, dst_key_col
+                pairs,
+                rel_type,
+                src_label,
+                src_key_col,
+                dst_label,
+                dst_key_col,
+                prop_cols=list(prop_map.values()),
             )
-            .select("src", "dst", "rel_type")
+            .select(
+                "src",
+                "dst",
+                "rel_type",
+                *[F.col(pc).alias(sc) for sc, pc in prop_map.items()],
+            )
             .distinct()
             .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
             .persist()
@@ -894,9 +913,19 @@ class GraphStore:
         if bucketed:
             touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
         touched = touched.persist()
-        survivors = touched.join(
-            doomed.select("src", "dst", "rel_type"),
-            on=["src", "dst", "rel_type"],
+        join_cols = ["src", "dst", "rel_type"] + [
+            c for c in prop_map if c in existing.columns
+        ]
+        dm = doomed.select(*join_cols).alias("_doom")
+        tch = touched.alias("_tch")
+        survivors = tch.join(
+            dm,
+            # null-safe on every key: property columns legitimately hold
+            # NULLs (union edge schema), and NULL = NULL must doom the row
+            [
+                F.col(f"_tch.{c}").eqNullSafe(F.col(f"_doom.{c}"))
+                for c in join_cols
+            ],
             how="left_anti",
         )
         n_del = touched.count() - survivors.count()

@@ -846,6 +846,17 @@ def test_scc_long_cycle_converges_or_raises(spark):
     assert set(scc.values()) == {0} and len(scc) == n
     with pytest.raises(ValueError, match="did not converge"):
         strongly_connected_components(nodes, edges, max_iter=3)
+    # exact boundary: the min label needs n-1 propagation steps to
+    # circulate the cycle; max_iter = n-1 must succeed (the convergence
+    # check needs one EXTRA confirming pass, which the implementation
+    # grants on top of max_iter rather than spuriously raising)
+    exact = {
+        r["node_id"]: r["scc"]
+        for r in strongly_connected_components(
+            nodes, edges, max_iter=n - 1
+        ).collect()
+    }
+    assert set(exact.values()) == {0} and len(exact) == n
 
 
 def test_k_truss_k2_is_whole_graph(spark):

@@ -418,6 +418,30 @@ def test_remove_boilerplate_strips_shared_blocks(spark):
     assert kept == {1: 0, 2: 0, 3: 0}
 
 
+def test_remove_boilerplate_keeps_null_text_docs(spark):
+    """A NULL-text document must still appear in the output with
+    clean_text = '' and n_removed = 0 (per-doc contract): the chunk
+    explode would otherwise drop it and a downstream rejoin on doc_id
+    would silently lose the document."""
+    from neo4j_graphdb_spark.operators.dedup import remove_boilerplate
+
+    header = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10"
+    rows = [
+        (1, header + " a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+        (2, header),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate(df, chunk_words=10, min_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[3] == ("", 0)
+    assert out[1] == ("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10", 1)
+    assert out[2] == ("", 1)
+
+
 def test_hamming_near_dup_and_bmp_dhash(spark):
     """hamming_near_dup: pigeonhole-exact for distance <= bands-1 —
     known 64-bit hashes at distances 0/1/3/heavy verify against the

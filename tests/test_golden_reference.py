@@ -2269,3 +2269,168 @@ def test_text_bare_pattern_predicate(spark, text_store):
     assert sorted(r["link"] for r in bare_neg) == sorted(
         r["link"] for r in modern_neg
     )
+
+
+def test_text_delete_relationship_prop_filtered(spark, tmp_path):
+    """DELETE r with a WHERE on r's properties dooms only the matched
+    parallel copies: two CREATE-made (a)-[:T]->(b) edges with w=1 and
+    w=5 must not both die when the filter bound only w=1 (Neo4j deletes
+    the bound relationship, not every same-endpoint sibling)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "edelp"))
+    run_cypher(
+        spark,
+        "CREATE (a:P {k: 'x'}), (b:Q {k: 'y'}) "
+        "CREATE (a)-[:T {w: 1}]->(b) CREATE (a)-[:T {w: 5}]->(b)",
+        store=s,
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:P)-[r:T]->(b:Q) WHERE r.w = 1 DELETE r",
+        store=s,
+    )
+    assert r.summary.relationships_deleted == 1
+    left = run_cypher(
+        spark,
+        "MATCH (a:P)-[r:T]->(b:Q) RETURN r.w AS w",
+        store=s,
+    ).df.collect()
+    assert [x["w"] for x in left] == [5]
+    # unfiltered DELETE takes every remaining copy
+    r2 = run_cypher(spark, "MATCH (a:P)-[r:T]->(b:Q) DELETE r", store=s)
+    assert r2.summary.relationships_deleted == 1
+
+
+def test_text_keys_properties_ignore_unwind_vars(spark):
+    """keys(n)/properties(n) must reflect n's property schema only: the
+    UNWIND variable joins the frame as a plain column and must NOT leak
+    into the introspection result."""
+    import json
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", "T1", 5), ("l2", "T2", 7)],
+        "link string, title string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title", "score"]), None)
+    rows = run_cypher(
+        spark,
+        "UNWIND $ids AS wanted MATCH (n:Doc) WHERE n.key = wanted "
+        "RETURN keys(n) AS ks, properties(n) AS ps",
+        {"ids": ["l1"]},
+        graph=g,
+    ).df.collect()
+    assert len(rows) == 1
+    assert rows[0]["ks"] == ["key", "score", "title"]
+    assert set(json.loads(rows[0]["ps"])) == {"key", "score", "title"}
+
+
+def test_text_integer_division_exact(spark):
+    """Cypher `/` on two integers is exact Java long division — a double
+    round-trip would corrupt quotients above 2^53."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    big = 9007199254740993  # 2^53 + 1: rounds to 2^53 as a double
+    src = spark.createDataFrame([("k1", big)], "key string, big long")
+    g = Graph(as_nodes(src, "Doc", "key", ["big"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN n.big / 3 AS q, n.big % 3 AS r, "
+        "n.big / 2.0 AS f",
+        graph=g,
+    ).df.collect()
+    assert rows[0]["q"] == big // 3
+    assert rows[0]["r"] == big % 3
+    assert abs(rows[0]["f"] - big / 2.0) < 1e-3
+
+
+def test_text_order_by_aggregate_expression(spark):
+    """ORDER BY count(*) in an aggregating RETURN resolves by repeating
+    the RETURN item's text; an unmatched expression is refused with the
+    user's own expression (no internal sentinel bytes)."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "y")],
+        "key string, src string",
+    )
+    g = Graph(as_nodes(src, "Doc", "key", ["src"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN n.src AS s, count(*) AS n "
+        "ORDER BY count(*) DESC",
+        graph=g,
+    ).df.collect()
+    assert [(r["s"], r["n"]) for r in rows] == [("x", 3), ("y", 1)]
+    with _pytest.raises(CypherUnsupported) as ei:
+        run_cypher(
+            spark,
+            "MATCH (n:Doc) RETURN n.src AS s, count(*) AS n "
+            "ORDER BY sum(n.score) DESC",
+            graph=g,
+        )
+    assert "\x02" not in str(ei.value)
+    assert "sum(n.score)" in str(ei.value)
+
+
+def test_text_call_router_validates_before_execution(spark):
+    """Unknown config keys and YIELD typos are refused BEFORE the
+    procedure runs — pagerank/louvain/scc execute eagerly inside the
+    dispatch, so a typo must never cost the full job."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    nsrc = spark.createDataFrame([(str(i),) for i in range(4)], "k string")
+    esrc = spark.createDataFrame(
+        [(str(i), str((i + 1) % 4)) for i in range(4)], "s string, d string"
+    )
+    g = Graph(
+        as_nodes(nsrc, "N", "k"), as_edges(esrc, "T", "N", "s", "N", "d")
+    )
+    calls = 0
+    from neo4j_graphdb_spark.graph import algorithms as alg
+
+    orig = alg.louvain_communities
+
+    def _spy(*a, **kw):
+        nonlocal calls
+        calls += 1
+        return orig(*a, **kw)
+
+    alg.louvain_communities = _spy
+    try:
+        with _pytest.raises(CypherUnsupported, match="unknown config"):
+            run_cypher(
+                spark,
+                "CALL graft.louvain({maxSweeps: 5, tpyo: 1}) "
+                "YIELD key, community",
+                graph=g,
+            )
+        with _pytest.raises(CypherUnsupported, match="YIELD"):
+            run_cypher(
+                spark,
+                "CALL graft.louvain({maxSweeps: 5}) YIELD key, communty",
+                graph=g,
+            )
+    finally:
+        alg.louvain_communities = orig
+    assert calls == 0
