@@ -769,6 +769,105 @@ def remove_boilerplate(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1
+    lineage): every ``window``-token sliding span is hashed (lowercased
+    tokens, same geometry as ``functions.text.dup_span_stats``); a span
+    occurring in ``min_docs``-or-more DISTINCT documents marks ALL the
+    token positions it covers, and each document is rebuilt from its
+    uncovered tokens in order. The transformation sibling of the c86
+    span STATS — stats tell you how contaminated a corpus is, this op
+    actually cuts the verbatim cross-doc repetition that drives
+    memorization. The reference stores raw crawl text with no curation
+    at all (/root/reference/src/crwling.py:37-43).
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` — one row per
+    input document (short and NULL-text docs included, untouched).
+
+    100 TB shape: linear in corpus tokens — the span explode is the
+    usual one-row-per-token pass, duplicate detection is ONE
+    map-side-combined ``groupBy(span_hash)`` (16-byte md5 shuffles, not
+    the text), and coverage expands ONLY the flagged spans by the
+    window factor (cost ∝ duplicated tokens × window, not corpus ×
+    window). All joins key on (doc, position) or the span hash; no
+    pairwise document comparison anywhere.
+    """
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = spread_partitions(docs).select(
+        F.col(id_col),
+        F.split(t, r"\s+").alias("_w"),
+        F.split(F.lower(t), r"\s+").alias("_lw"),
+    ).withColumn("_n", F.size("_w"))
+    base = base.localCheckpoint(eager=False)  # reused: spans + tokens + totals
+    spans = base.filter(F.col("_n") >= window).select(
+        id_col,
+        F.col("_lw"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("_n") - F.lit(window - 1))
+        ).alias("_i"),
+    ).select(
+        id_col,
+        "_i",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_lw"), F.col("_i"), window))
+        ).alias("_span"),
+    )
+    spans = spans.localCheckpoint(eager=False)  # reused: dup build + flag join
+    dup = (
+        spans.select("_span", id_col)
+        .distinct()
+        .groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_span")
+    )
+    covered = (
+        spans.join(dup, on="_span", how="left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + F.lit(window - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        id_col, F.posexplode(F.col("_w")).alias("_p0", "_tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_tok")
+    survivors = tokens.join(covered, on=[id_col, "_pos"], how="left_anti")
+    kept = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select(id_col, F.col("_n"))
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            (F.col("_n") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def _hamming_band_slices(
     df: DataFrame,
     hash_col: str,

@@ -6075,6 +6075,33 @@ def q_c92_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c96_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C96 — ExactSubstr-style duplicated-span REMOVAL
+    (operators/dedup.py remove_duplicated_spans): 20-token sliding
+    spans hashed over lowercased tokens, spans verbatim in >= 2
+    distinct docs mark every covered token position, documents rebuilt
+    from the uncovered tokens in order — the TRANSFORMATION sibling of
+    c86's duplicated-span STATS (Lee et al. 2022 lineage: stats measure
+    the memorization risk, this op removes it). Guaranteed duplication
+    is synthesized the c86 way (every 10th doc re-added under a shifted
+    id); the oracle replays the identical span/coverage/reassembly
+    algorithm in SQL. Linear in corpus tokens; the only super-unit
+    expansion (coverage explode) applies to FLAGGED spans only."""
+    from neo4j_graphdb_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    out = remove_duplicated_spans(corpus, "text", "doc_id", window=20)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_tokens",
+        "n_removed",
+    )
+
 
 def q_a60_text_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A60 ext — aggregates over scalar expressions and expression
@@ -6814,6 +6841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_repetition": q_c10_repetition,
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
+    "c96_span_removal": q_c96_span_removal,
 }
 
 
@@ -9143,6 +9171,56 @@ ORACLES["c86_dup_spans"] = """
            round(coalesce(h.n_dup, 0) / CAST(t.n_spans AS DOUBLE), 6)
                AS dup_fraction
     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+ORACLES["c96_span_removal"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (
+        SELECT doc_id,
+               string_split_regex(trim(coalesce(text, '')), '\\s+') AS words,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')
+                   AS lwords
+        FROM corpus
+    ),
+    s AS (
+        SELECT doc_id, i,
+               md5(array_to_string(lwords[i:i+19], ' ')) AS span
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 19 + 1)) AS i) t
+        WHERE len(words) >= 20
+    ),
+    dup AS (
+        SELECT span FROM (SELECT DISTINCT span, doc_id FROM s)
+        GROUP BY span HAVING count(*) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT s.doc_id, p AS pos
+        FROM s JOIN dup USING (span),
+             LATERAL (SELECT unnest(range(s.i, s.i + 20)) AS p) u
+    ),
+    toks AS (
+        SELECT doc_id, generate_subscripts(words, 1) AS pos,
+               unnest(words) AS tok
+        FROM w
+    ),
+    surv AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*)::bigint AS n_kept
+        FROM surv GROUP BY doc_id
+    )
+    SELECT w.doc_id::bigint AS doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(w.words)::bigint AS n_tokens,
+           (len(w.words) - coalesce(a.n_kept, 0))::bigint AS n_removed
+    FROM w LEFT JOIN agg a USING (doc_id)
 """
 
 ORACLES["c87_weighted_pagerank"] = _pagerank_oracle_sql(

@@ -522,3 +522,39 @@ def test_stream_hamming_gate_batch_equivalence(spark):
     assert (13, 1) not in got  # ~base is 64 bits away
     with pytest.raises(ValueError):
         stream_hamming_near_dup(stream, hist, max_distance=4, bands=4)
+
+
+def test_remove_duplicated_spans(spark):
+    """ExactSubstr-style removal: a 20-token span verbatim in 2 docs is
+    cut from both (case-insensitive match), unique text survives in
+    order, short and NULL-text docs pass through untouched."""
+    from neo4j_graphdb_spark.operators.dedup import remove_duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, shared + " a1 a2 a3"),
+        (2, "b1 b2 " + shared.upper()),
+        (3, "c1 c2 c3 c4"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicated_spans(df, window=20).collect()
+    }
+    assert out[1] == ("a1 a2 a3", 23, 20)
+    assert out[2] == ("b1 b2", 22, 20)  # uppercased copy still matches
+    assert out[3] == ("c1 c2 c3 c4", 4, 0)
+    assert out[4] == ("", 1, 0)
+    # overlapping flagged spans: a doc with the span twice loses both
+    # occurrences, coverage positions dedup via DISTINCT
+    df2 = spark.createDataFrame(
+        [(1, shared + " mid " + shared), (2, shared)],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(df2, window=20).collect()
+    }
+    assert out2[1] == ("mid", 40)
+    assert out2[2] == ("", 20)
