@@ -90,6 +90,9 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
 * ``UNWIND [literals] AS x`` (bare, read-lookup, and write-batch
   positions), ``IN [literal list]``, ``collect(DISTINCT x)``, literal
   property values in every write position
+* ``EXPLAIN <read>`` / ``PROFILE <read>`` — the formatted Spark
+  physical plan without/with execution (``CypherResult.plan``,
+  ``.rows``); writes are refused by name (they execute eagerly)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
@@ -525,10 +528,15 @@ def _split_top_commas(s: str) -> list[str]:
 @dataclass
 class CypherResult:
     """What ``session.run`` hands back, split into the two things the
-    reference consumes: rows (``result``) and ``summary.counters``."""
+    reference consumes: rows (``result``) and ``summary.counters``.
+    ``plan`` carries the formatted Spark physical plan for
+    ``EXPLAIN``/``PROFILE`` statements (``rows`` additionally holds the
+    executed row count under ``PROFILE``)."""
 
     df: DataFrame | None
     summary: WriteSummary | None
+    plan: str | None = None
+    rows: int | None = None
 
 
 _DELETE_RE = re.compile(
@@ -995,6 +1003,52 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     return CypherResult(None, summary)
 
 
+_EXPLAIN_RE = re.compile(
+    r"^\s*(?P<kind>EXPLAIN|PROFILE)\b\s*(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_explain(
+    spark: SparkSession,
+    kind: str,
+    inner: str,
+    params: dict | DataFrame | None,
+    *,
+    store: GraphStore | None,
+    graph: Graph | None,
+) -> CypherResult:
+    """``EXPLAIN <read statement>`` / ``PROFILE <read statement>`` — the
+    introspection pair every Neo4j tutorial reaches for. EXPLAIN
+    compiles the statement and returns the formatted Spark physical plan
+    WITHOUT executing (Spark's lazy DataFrame makes this exact: the plan
+    is the real one, not an estimate); PROFILE executes and reports the
+    row count alongside the plan. Both land in ``CypherResult.plan`` /
+    ``.rows``, with EXPLAIN also projecting the plan as a 1-row frame so
+    scripts can consume it. Write statements are refused by name: the
+    write path executes eagerly, so a no-execute EXPLAIN would lie."""
+    import io
+    from contextlib import redirect_stdout
+
+    masked, _ = _mask_strings(inner)
+    if re.search(
+        r"(?<![.$\w])(MERGE|CREATE|SET|DELETE|REMOVE)\b", masked, re.IGNORECASE
+    ):
+        raise CypherUnsupported(
+            f"{kind} supports read statements only (write statements "
+            "execute eagerly in the batched upsert path)"
+        )
+    res = run_cypher(spark, inner.strip(), params, store=store, graph=graph)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.df.explain("formatted")
+    plan = buf.getvalue().strip()
+    if kind == "EXPLAIN":
+        pdf = spark.createDataFrame([(plan,)], "plan string")
+        return CypherResult(pdf, WriteSummary(), plan=plan)
+    return CypherResult(res.df, WriteSummary(), plan=plan, rows=res.df.count())
+
+
 def run_cypher(
     spark: SparkSession,
     query: str,
@@ -1012,6 +1066,16 @@ def run_cypher(
     record, the reference's shape) or a DataFrame of parameter columns
     (batch-native).
     """
+    em = _EXPLAIN_RE.match(query)
+    if em:
+        return _run_explain(
+            spark,
+            em.group("kind").upper(),
+            em.group("rest"),
+            params,
+            store=store,
+            graph=graph,
+        )
     masked_q, q_lits = _mask_strings(query)
     callm = _CALL_RE.match(masked_q.strip())
     if callm:

@@ -2434,3 +2434,41 @@ def test_text_call_router_validates_before_execution(spark):
     finally:
         alg.louvain_communities = orig
     assert calls == 0
+
+
+def test_text_explain_profile(spark):
+    """EXPLAIN returns the formatted Spark physical plan WITHOUT
+    executing; PROFILE executes and reports the row count alongside the
+    plan; write statements are refused by name (the write path runs
+    eagerly, so a no-execute EXPLAIN would lie)."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [(str(i), i % 3) for i in range(30)], "k string, grp int"
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["grp"]), None)
+    r = run_cypher(
+        spark,
+        "EXPLAIN MATCH (n:Doc) WHERE n.grp = 1 RETURN n.key AS k",
+        graph=g,
+    )
+    assert "Physical Plan" in r.plan and r.rows is None
+    assert r.df.collect()[0]["plan"] == r.plan
+    p = run_cypher(
+        spark,
+        "PROFILE MATCH (n:Doc) WHERE n.grp = 1 RETURN n.key AS k",
+        graph=g,
+    )
+    assert p.rows == 10 and "Physical Plan" in p.plan
+    assert p.df.count() == 10
+    with _pytest.raises(CypherUnsupported, match="read statements only"):
+        run_cypher(spark, "EXPLAIN MERGE (n:Doc {k: 'x'})", graph=g)
+    with _pytest.raises(CypherUnsupported, match="read statements only"):
+        run_cypher(spark, "PROFILE MATCH (n:Doc) DETACH DELETE n", graph=g)
