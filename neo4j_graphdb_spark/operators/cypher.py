@@ -74,10 +74,7 @@ class Graph:
         """
         if self.edges_df is None:
             raise ValueError("graph has no edges")
-        e = self.edges_df
-        if rel_type is not None:
-            e = e.filter(F.col("rel_type") == rel_type)
-        e = _orient_edges(e, direction)
+        e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
         src = _prefix(self.match(src_label), src_alias)
         dst = _prefix(self.match(dst_label), dst_alias)
         return (
@@ -150,10 +147,7 @@ class Graph:
         drop it)."""
         if self.edges_df is None:
             raise ValueError("graph has no edges")
-        e = self.edges_df
-        if rel_type is not None:
-            e = e.filter(F.col("rel_type") == rel_type)
-        e = _orient_edges(e, direction)
+        e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
         dst = _prefix(self.match(dst_label), dst_alias)
         matched = e.join(
             dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"], "inner"
@@ -190,8 +184,7 @@ class Graph:
         if self.edges_df is None:
             raise ValueError("graph has no edges")
         e_base = self.edges_df
-        if rel_type is not None:
-            e_base = e_base.filter(F.col("rel_type") == rel_type)
+        e_base = _rel_filter(e_base, rel_type)
         parts = []
         for h in range(min_hops, max_hops + 1):
             cur = _prefix(self.match(src_label), src_alias)
@@ -228,6 +221,21 @@ class Graph:
         """``RETURN n`` — materialize a row as a single struct value."""
         cols = cols or df.columns
         return F.struct(*[F.col(c) for c in cols]).alias(alias)
+
+
+def _rel_filter(e: DataFrame, rel_type) -> DataFrame:
+    """Filter the edge frame by relationship type. ``rel_type`` is a
+    single type name, a list of alternatives (Cypher's ``[:A|B]``
+    type-alternation pattern — compiled to one ``isin``, still a
+    pushable scan predicate), or None (untyped: every edge matches)."""
+    if rel_type is None:
+        return e
+    if isinstance(rel_type, (list, tuple)):
+        ts = list(rel_type)
+        if len(ts) == 1:
+            return e.filter(F.col("rel_type") == ts[0])
+        return e.filter(F.col("rel_type").isin(ts))
+    return e.filter(F.col("rel_type") == rel_type)
 
 
 def _prefix(df: DataFrame, alias: str) -> DataFrame:

@@ -93,6 +93,9 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
 * ``EXPLAIN <read>`` / ``PROFILE <read>`` — the formatted Spark
   physical plan without/with execution (``CypherResult.plan``,
   ``.rows``); writes are refused by name (they execute eagerly)
+* relationship-type alternation ``[r:A|B]`` — one ``isin`` scan
+  predicate; rides plain/var-length expand, EXISTS and COUNT patterns
+  (writes and DELETE r keep the one-stored-type rule)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
@@ -108,6 +111,7 @@ from pyspark.sql import functions as F
 
 from neo4j_graphdb_spark.model import NODE_ID
 from neo4j_graphdb_spark.operators.cypher import Graph
+from neo4j_graphdb_spark.operators.cypher import _rel_filter as _cy_rel_filter
 from neo4j_graphdb_spark.writer import BUCKET_COL, GraphStore, WriteSummary
 
 
@@ -144,7 +148,8 @@ _NODE_RE = re.compile(
 # groups, resolved by _rel_direction.
 _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
-    r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?\s*(?::\s*(?P<rel_type>\w+))?"
+    r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?"
+    r"(?:\s*:\s*(?P<rel_type>\w+(?:\s*\|\s*\w+)*))?"
     r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?"
     r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*-\s*(?P<rarrow>>)?\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
@@ -161,6 +166,24 @@ def _rel_direction(m: re.Match) -> str:
     if m.group("rarrow"):
         return "out"
     return "both"
+
+def _rel_types(raw: str | None):
+    """The rel-type pattern text as expand's ``rel_type`` argument:
+    ``'A'`` stays a plain string, ``'A|B'`` (Cypher type alternation)
+    splits to the list form ``_rel_filter`` compiles to one ``isin``."""
+    if raw is None or "|" not in raw:
+        return raw
+    return [t.strip() for t in raw.split("|")]
+
+
+def _single_rel_type(raw: str | None, what: str) -> str | None:
+    """Refuse type alternation where the statement needs exactly one
+    stored type (writes create one edge; DELETE dooms one type's
+    buckets)."""
+    if raw is not None and "|" in raw:
+        raise CypherUnsupported(f"{what} needs a single relationship type, got {raw!r}")
+    return raw
+
 
 _PROP_PAIR_RE = re.compile(r"(\w+)\s*:\s*\$(\w+)")
 
@@ -637,6 +660,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 raise CypherUnsupported(
                     "DELETE r needs a typed relationship pattern"
                 )
+            _single_rel_type(rm2.group("rel_type"), "DELETE r")
             direction = _rel_direction(rm2)
             if direction == "both":
                 raise CypherUnsupported(
@@ -1384,6 +1408,7 @@ def _run_write(
                             f"{c.kind} relationship needs a type "
                             "(Cypher cannot create an untyped edge)"
                         )
+                    _single_rel_type(m.group("rel_type"), c.kind)
                     direction = _rel_direction(m)
                     if direction == "both":
                         raise CypherUnsupported(
@@ -2459,9 +2484,7 @@ def _run_read(
             e = graph.edges_df
             if e is None:
                 raise CypherUnsupported("graph has no edges")
-            if rel_type:
-                e = e.filter(F.col("rel_type") == rel_type)
-            e = _orient_edges(e, direction)
+            e = _orient_edges(_cy_rel_filter(e, _rel_types(rel_type)), direction)
             if dst_label is not None:
                 lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
                 e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
@@ -2563,8 +2586,7 @@ def _run_read(
                 e_sp = graph.edges_df
                 if e_sp is None:
                     raise CypherUnsupported("graph has no edges")
-                if pm.group("rel_type"):
-                    e_sp = e_sp.filter(F.col("rel_type") == pm.group("rel_type"))
+                e_sp = _cy_rel_filter(e_sp, _rel_types(pm.group("rel_type")))
                 e_sp = e_sp.select(
                     F.col("src").alias("_spu"), F.col("dst").alias("_spv")
                 ).distinct()
@@ -2643,8 +2665,7 @@ def _run_read(
                 e2 = graph.edges_df
                 if e2 is None:
                     raise CypherUnsupported("graph has no edges")
-                if m.group("rel_type"):
-                    e2 = e2.filter(F.col("rel_type") == m.group("rel_type"))
+                e2 = _cy_rel_filter(e2, _rel_types(m.group("rel_type")))
                 e2 = _orient_edges(e2, _rel_direction(m)).select(
                     F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
                 )
@@ -2691,7 +2712,7 @@ def _run_read(
                         else (m.group("dst_label"), m.group("src_label"))
                     )
                     df = graph.expand_var(
-                        rel_type=m.group("rel_type"),
+                        rel_type=_rel_types(m.group("rel_type")),
                         min_hops=int(m.group("min_h")),
                         max_hops=int(m.group("max_h")),
                         src_label=va_src_label,
@@ -2700,7 +2721,7 @@ def _run_read(
                     )
                 else:
                     df = graph.expand(
-                        rel_type=m.group("rel_type"),
+                        rel_type=_rel_types(m.group("rel_type")),
                         src_label=m.group("src_label"),
                         dst_label=m.group("dst_label"),
                         src_alias=sa, dst_alias=da,
@@ -2816,7 +2837,7 @@ def _run_read(
 
                 on_extra = _make_on_extra(opt_ast)
             df = graph.expand_optional(
-                rel_type=m.group("rel_type"),
+                rel_type=_rel_types(m.group("rel_type")),
                 src_label=s_label,
                 dst_label=m.group("dst_label"),
                 src_alias=sa, dst_alias=da,
@@ -3054,8 +3075,7 @@ def _run_read(
             ce = graph.edges_df
             if ce is None:
                 raise CypherUnsupported("graph has no edges")
-            if pm.group("rel_type"):
-                ce = ce.filter(F.col("rel_type") == pm.group("rel_type"))
+            ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, _rel_direction(pm))
             if pm.group("dst_label") is not None:
                 lbl_ids = graph.match(pm.group("dst_label")).select(

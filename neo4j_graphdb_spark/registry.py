@@ -6103,6 +6103,27 @@ def q_c96_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
+    the string front-end (Cypher's multi-type pattern, openCypher §
+    relationship patterns): compiles to ONE ``isin`` scan predicate on
+    the edge frame (operators/cypher.py _rel_filter) — still a pushable
+    filter, the plan shape is the single-type expand's. Alternation
+    also rides var-length, EXISTS and COUNT patterns; writes and
+    DELETE refuse it by name (one stored type per edge). The analytics
+    graph's two types (Customer/Supplier-FROM->Nation-IN->Region) make
+    the oracle a 3-way UNION ALL."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (x)-[r:FROM|IN]->(y) "
+        "RETURN x.key AS xk, type(r) AS t, y.key AS yk",
+        graph=analytics_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_a60_text_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A60 ext — aggregates over scalar expressions and expression
     grouping keys in the text front-end: ``sum(a.qty * a.price)`` and
@@ -6842,6 +6863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
     "c96_span_removal": q_c96_span_removal,
+    "a63_text_rel_alternation": q_a63_text_rel_alternation,
 }
 
 
@@ -9171,6 +9193,18 @@ ORACLES["c86_dup_spans"] = """
            round(coalesce(h.n_dup, 0) / CAST(t.n_spans AS DOUBLE), 6)
                AS dup_fraction
     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+ORACLES["a63_text_rel_alternation"] = """
+    SELECT cast(c_custkey AS varchar) AS xk, 'FROM' AS t,
+           cast(c_nationkey AS varchar) AS yk
+    FROM customer
+    UNION ALL
+    SELECT cast(s_suppkey AS varchar), 'FROM', cast(s_nationkey AS varchar)
+    FROM supplier
+    UNION ALL
+    SELECT cast(n_nationkey AS varchar), 'IN', cast(n_regionkey AS varchar)
+    FROM nation
 """
 
 ORACLES["c96_span_removal"] = """

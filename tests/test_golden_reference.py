@@ -2472,3 +2472,72 @@ def test_text_explain_profile(spark):
         run_cypher(spark, "EXPLAIN MERGE (n:Doc {k: 'x'})", graph=g)
     with _pytest.raises(CypherUnsupported, match="read statements only"):
         run_cypher(spark, "PROFILE MATCH (n:Doc) DETACH DELETE n", graph=g)
+
+
+def test_text_rel_type_alternation(spark, tmp_path):
+    """[r:A|B] matches edges of either type across plain expand,
+    var-length, EXISTS and COUNT patterns (one isin scan predicate);
+    MERGE/CREATE and DELETE r refuse alternation by name (one stored
+    type per edge)."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([(str(i),) for i in range(5)], "k string")
+    ea = spark.createDataFrame([("0", "1"), ("1", "2")], "s string, d string")
+    eb = spark.createDataFrame([("2", "3")], "s string, d string")
+    ec = spark.createDataFrame([("3", "4")], "s string, d string")
+    edges = (
+        as_edges(ea, "A", "N", "s", "N", "d")
+        .unionByName(as_edges(eb, "B", "N", "s", "N", "d"))
+        .unionByName(as_edges(ec, "C", "N", "s", "N", "d"))
+    )
+    g = Graph(as_nodes(n, "N", "k"), edges)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:N)-[r:A|B]->(b:N) "
+        "RETURN a.key AS s, type(r) AS t, b.key AS d",
+        graph=g,
+    ).df.collect()
+    assert sorted((r["s"], r["t"], r["d"]) for r in rows) == [
+        ("0", "A", "1"),
+        ("1", "A", "2"),
+        ("2", "B", "3"),
+    ]
+    v = run_cypher(
+        spark,
+        "MATCH (a:N)-[r:A|B*1..3]->(b:N) WHERE a.key = '0' "
+        "RETURN b.key AS d, r.hops AS h",
+        graph=g,
+    ).df.collect()
+    assert sorted((r["d"], r["h"]) for r in v) == [("1", 1), ("2", 2), ("3", 3)]
+    e = run_cypher(
+        spark,
+        "MATCH (a:N) WHERE EXISTS { (a)-[:B|C]->() } RETURN a.key AS k",
+        graph=g,
+    ).df.collect()
+    assert sorted(r["k"] for r in e) == ["2", "3"]
+    c = run_cypher(
+        spark,
+        "MATCH (a:N) RETURN a.key AS k, COUNT { (a)-[:A|C]->() } AS n",
+        graph=g,
+    ).df.collect()
+    assert {r["k"]: r["n"] for r in c} == {"0": 1, "1": 1, "2": 0, "3": 1, "4": 0}
+    s = GraphStore(spark, str(tmp_path / "alt"))
+    run_cypher(
+        spark, "CREATE (a:N {k: 'x'}), (b:N {k: 'y'}) CREATE (a)-[:A]->(b)",
+        store=s,
+    )
+    with _pytest.raises(CypherUnsupported, match="single relationship type"):
+        run_cypher(
+            spark,
+            "MERGE (a:N {k: 'x'}) MERGE (b:N {k: 'y'}) MERGE (a)-[:A|B]->(b)",
+            store=s,
+        )
+    with _pytest.raises(CypherUnsupported, match="single relationship type"):
+        run_cypher(spark, "MATCH (a:N)-[r:A|B]->(b:N) DELETE r", store=s)
