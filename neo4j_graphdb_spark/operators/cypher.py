@@ -38,11 +38,18 @@ class Graph:
 
     # --- A1 / A2: node scans -------------------------------------------------
 
-    def match(self, label: str | None = None) -> DataFrame:
+    def match(self, label: str | list[str] | None = None) -> DataFrame:
         """``MATCH (n[:label]) RETURN n…`` — label predicate pushes down to
-        the Parquet scan (``main.py:17``, ``cypher.txt:8``)."""
+        the Parquet scan (``main.py:17``, ``cypher.txt:8``). A list is
+        Cypher 5's label alternation ``(n:A|B)``: one ``isin``, still a
+        partition-prunable predicate on the label partition column."""
         if label is None:
             return self.nodes_df
+        if isinstance(label, (list, tuple)):
+            ls = list(label)
+            if len(ls) == 1:
+                return self.nodes_df.filter(F.col("label") == ls[0])
+            return self.nodes_df.filter(F.col("label").isin(ls))
         return self.nodes_df.filter(F.col("label") == label)
 
     # --- A3: 1-hop typed expand ----------------------------------------------

@@ -93,9 +93,10 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
 * ``EXPLAIN <read>`` / ``PROFILE <read>`` — the formatted Spark
   physical plan without/with execution (``CypherResult.plan``,
   ``.rows``); writes are refused by name (they execute eagerly)
-* relationship-type alternation ``[r:A|B]`` — one ``isin`` scan
-  predicate; rides plain/var-length expand, EXISTS and COUNT patterns
-  (writes and DELETE r keep the one-stored-type rule)
+* relationship-type alternation ``[r:A|B]`` and label alternation
+  ``(x:A|B)`` — each one ``isin`` scan predicate (the label form stays
+  partition-prunable); both ride plain/var-length expand, EXISTS and
+  COUNT patterns (writes, DELETE and REMOVE keep the one-name rule)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
@@ -137,7 +138,8 @@ _CLAUSE_RE = re.compile(
 
 # (alias:Label {prop: $param, ...}) — every piece optional but the parens
 _NODE_RE = re.compile(
-    r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)$"
+    r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+(?:\s*\|\s*\w+)*))?"
+    r"\s*(?P<props>\{[^}]*\})?\s*\)$"
 )
 
 # (a)-[r:T]->(b) with optional labels/alias on each piece; the :type is
@@ -147,12 +149,12 @@ _NODE_RE = re.compile(
 # `-[…]-` undirected — the arrow heads are the optional larrow/rarrow
 # groups, resolved by _rel_direction.
 _REL_RE = re.compile(
-    r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+))?\s*\)"
+    r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+(?:\s*\|\s*\w+)*))?\s*\)"
     r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?"
     r"(?:\s*:\s*(?P<rel_type>\w+(?:\s*\|\s*\w+)*))?"
     r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?"
     r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*-\s*(?P<rarrow>>)?\s*"
-    r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+))?\s*\)$"
+    r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+(?:\s*\|\s*\w+)*))?\s*\)$"
 )
 
 
@@ -177,11 +179,13 @@ def _rel_types(raw: str | None):
 
 
 def _single_rel_type(raw: str | None, what: str) -> str | None:
-    """Refuse type alternation where the statement needs exactly one
-    stored type (writes create one edge; DELETE dooms one type's
-    buckets)."""
+    """Refuse ``|`` alternation where the statement needs exactly one
+    stored name — writes create one edge/node, DELETE dooms one type's
+    (or label's) buckets."""
     if raw is not None and "|" in raw:
-        raise CypherUnsupported(f"{what} needs a single relationship type, got {raw!r}")
+        raise CypherUnsupported(
+            f"{what} needs a single name (no '|' alternation), got {raw!r}"
+        )
     return raw
 
 
@@ -585,7 +589,7 @@ def _head_match(head_clauses, alias):
                 raise CypherUnsupported(
                     "statement requires a single node MATCH binding the target alias"
                 )
-            label = n.group("label")
+            label = _single_rel_type(n.group("label"), "this statement's label")
     if label is None:
         raise CypherUnsupported("statement requires MATCH (alias:Label ...)")
     return label
@@ -668,8 +672,8 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 )
             sa = rm2.group("src_alias") or "a"
             da = rm2.group("dst_alias") or "b"
-            s_label = rm2.group("src_label")
-            d_label = rm2.group("dst_label")
+            s_label = _single_rel_type(rm2.group("src_label"), "DELETE r endpoint")
+            d_label = _single_rel_type(rm2.group("dst_label"), "DELETE r endpoint")
             if direction == "in":
                 sa, da = da, sa
                 s_label, d_label = d_label, s_label
@@ -1436,6 +1440,8 @@ def _run_write(
                     )
                     continue
                 n = _NODE_RE.match(part)
+                if n and n.group("label"):
+                    _single_rel_type(n.group("label"), f"{c.kind} node label")
                 if not n or not n.group("alias") or not n.group("label"):
                     raise CypherUnsupported(
                         f"unsupported {c.kind} pattern: {part!r}"
@@ -2241,7 +2247,7 @@ def _extract_exists(body: str, out: list) -> str:
                 pm.group("src_alias"),
                 pm.group("rel_type"),
                 _rel_direction(pm),
-                pm.group("dst_label"),
+                _rel_types(pm.group("dst_label")),
                 negated,
             )
         )
@@ -2568,8 +2574,8 @@ def _run_read(
                     )
                 sa = pm.group("src_alias") or "a"
                 da = pm.group("dst_alias") or "b"
-                s_label = pm.group("src_label")
-                d_label = pm.group("dst_label")
+                s_label = _rel_types(pm.group("src_label"))
+                d_label = _rel_types(pm.group("dst_label"))
                 if direction == "in":
                     # (a)<-[*1..k]-(b): walk the ladder from the right end
                     sa, da = da, sa
@@ -2669,7 +2675,7 @@ def _run_read(
                 e2 = _orient_edges(e2, _rel_direction(m)).select(
                     F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
                 )
-                dstf = _prefix(graph.match(m.group("dst_label")), da2)
+                dstf = _prefix(graph.match(_rel_types(m.group("dst_label"))), da2)
                 src_id = (
                     F.col(f"{aliases[sa2]}{NODE_ID}")
                     if aliases[sa2]
@@ -2707,9 +2713,9 @@ def _run_read(
                         (sa, da) if direction == "out" else (da, sa)
                     )
                     va_src_label, va_dst_label = (
-                        (m.group("src_label"), m.group("dst_label"))
+                        (_rel_types(m.group("src_label")), _rel_types(m.group("dst_label")))
                         if direction == "out"
-                        else (m.group("dst_label"), m.group("src_label"))
+                        else (_rel_types(m.group("dst_label")), _rel_types(m.group("src_label")))
                     )
                     df = graph.expand_var(
                         rel_type=_rel_types(m.group("rel_type")),
@@ -2722,8 +2728,8 @@ def _run_read(
                 else:
                     df = graph.expand(
                         rel_type=_rel_types(m.group("rel_type")),
-                        src_label=m.group("src_label"),
-                        dst_label=m.group("dst_label"),
+                        src_label=_rel_types(m.group("src_label")),
+                        dst_label=_rel_types(m.group("dst_label")),
                         src_alias=sa, dst_alias=da,
                         direction=direction,
                     )
@@ -2747,7 +2753,7 @@ def _run_read(
             n = _NODE_RE.match(c.body)
             if not n:
                 raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
-            df = graph.match(n.group("label"))
+            df = graph.match(_rel_types(n.group("label")))
             alias = n.group("alias") or "n"
             aliases[alias] = ""
             node_match = (alias, n.group("label"))
@@ -2838,8 +2844,8 @@ def _run_read(
                 on_extra = _make_on_extra(opt_ast)
             df = graph.expand_optional(
                 rel_type=_rel_types(m.group("rel_type")),
-                src_label=s_label,
-                dst_label=m.group("dst_label"),
+                src_label=_rel_types(s_label),
+                dst_label=_rel_types(m.group("dst_label")),
                 src_alias=sa, dst_alias=da,
                 direction=_rel_direction(m),
                 on_extra=on_extra,
@@ -3078,7 +3084,7 @@ def _run_read(
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, _rel_direction(pm))
             if pm.group("dst_label") is not None:
-                lbl_ids = graph.match(pm.group("dst_label")).select(
+                lbl_ids = graph.match(_rel_types(pm.group("dst_label"))).select(
                     F.col(NODE_ID).alias("_cid")
                 )
                 ce = ce.join(lbl_ids, ce["dst"] == F.col("_cid"), "left_semi")

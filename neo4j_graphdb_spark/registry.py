@@ -6103,6 +6103,24 @@ def q_c96_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a64_text_label_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 ext — label ALTERNATION ``(x:Customer|Supplier)`` (Cypher 5
+    label expressions) in node scans and expand endpoints: compiles to
+    ONE ``isin`` on the label partition column (operators/cypher.py
+    Graph.match), still partition-prunable; single-label statements
+    (DELETE/REMOVE heads, write patterns) refuse it by name. Oracle =
+    UNION ALL of the two FROM-edge populations."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (x:Customer|Supplier)-[r:FROM]->(n:Nation) "
+        "RETURN x.key AS xk, n.key AS nk",
+        graph=analytics_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6864,6 +6882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_all_nodes": q_a2_all_nodes,
     "c96_span_removal": q_c96_span_removal,
     "a63_text_rel_alternation": q_a63_text_rel_alternation,
+    "a64_text_label_alternation": q_a64_text_label_alternation,
 }
 
 
@@ -9205,6 +9224,15 @@ ORACLES["a63_text_rel_alternation"] = """
     UNION ALL
     SELECT cast(n_nationkey AS varchar), 'IN', cast(n_regionkey AS varchar)
     FROM nation
+"""
+
+ORACLES["a64_text_label_alternation"] = """
+    SELECT cast(c_custkey AS varchar) AS xk,
+           cast(c_nationkey AS varchar) AS nk
+    FROM customer
+    UNION ALL
+    SELECT cast(s_suppkey AS varchar), cast(s_nationkey AS varchar)
+    FROM supplier
 """
 
 ORACLES["c96_span_removal"] = """

@@ -2533,11 +2533,60 @@ def test_text_rel_type_alternation(spark, tmp_path):
         spark, "CREATE (a:N {k: 'x'}), (b:N {k: 'y'}) CREATE (a)-[:A]->(b)",
         store=s,
     )
-    with _pytest.raises(CypherUnsupported, match="single relationship type"):
+    with _pytest.raises(CypherUnsupported, match="single name"):
         run_cypher(
             spark,
             "MERGE (a:N {k: 'x'}) MERGE (b:N {k: 'y'}) MERGE (a)-[:A|B]->(b)",
             store=s,
         )
-    with _pytest.raises(CypherUnsupported, match="single relationship type"):
+    with _pytest.raises(CypherUnsupported, match="single name"):
         run_cypher(spark, "MATCH (a:N)-[r:A|B]->(b:N) DELETE r", store=s)
+
+
+def test_text_label_alternation(spark):
+    """(x:A|B) label alternation in node scans and expand endpoints —
+    one isin on the label partition column; single-label statements
+    (DELETE heads, write patterns) refuse it by name."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    c = spark.createDataFrame([("c1",), ("c2",)], "k string")
+    s = spark.createDataFrame([("s1",)], "k string")
+    nn = spark.createDataFrame([("n1",)], "k string")
+    nodes = (
+        as_nodes(c, "Customer", "k")
+        .unionByName(as_nodes(s, "Supplier", "k"))
+        .unionByName(as_nodes(nn, "Nation", "k"))
+    )
+    e1 = spark.createDataFrame([("c1", "n1"), ("c2", "n1")], "a string, b string")
+    e2 = spark.createDataFrame([("s1", "n1")], "a string, b string")
+    edges = as_edges(e1, "FROM", "Customer", "a", "Nation", "b").unionByName(
+        as_edges(e2, "FROM", "Supplier", "a", "Nation", "b")
+    )
+    g = Graph(nodes, edges)
+    r = run_cypher(
+        spark, "MATCH (x:Customer|Supplier) RETURN x.key AS k", graph=g
+    ).df.collect()
+    assert sorted(x["k"] for x in r) == ["c1", "c2", "s1"]
+    r2 = run_cypher(
+        spark,
+        "MATCH (x:Customer|Supplier)-[r:FROM]->(n:Nation) "
+        "RETURN x.key AS k, n.key AS nk",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["k"], x["nk"]) for x in r2) == [
+        ("c1", "n1"),
+        ("c2", "n1"),
+        ("s1", "n1"),
+    ]
+    # scans with a non-matching second label are a plain subset
+    r3 = run_cypher(
+        spark, "MATCH (x:Supplier|Nation) RETURN x.key AS k", graph=g
+    ).df.collect()
+    assert sorted(x["k"] for x in r3) == ["n1", "s1"]
