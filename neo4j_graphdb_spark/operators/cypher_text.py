@@ -97,6 +97,9 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   ``(x:A|B)`` — each one ``isin`` scan predicate (the label form stays
   partition-prunable); both ride plain/var-length expand, EXISTS and
   COUNT patterns (writes, DELETE and REMOVE keep the one-name rule)
+* list literals ``[1, 2, 3]`` and comprehensions ``[x IN xs WHERE p |
+  e]`` — ``array``/``filter``/``transform`` higher-order Catalyst
+  expressions; ``size()`` dispatches characters-vs-elements
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
@@ -434,6 +437,33 @@ def _mask_strings(text: str) -> tuple[str, list[str]]:
     return _STRING_LIT_RE.sub(repl, text), table
 
 
+def _clause_split_outside_brackets(masked: str) -> list[str]:
+    """``_CLAUSE_RE.split`` that ignores keyword hits inside ``[…]`` —
+    list comprehensions carry WHERE (and ``|``) inside their brackets,
+    which must not open a new clause. Relationship patterns also use
+    brackets but never contain clause keywords, so depth tracking is
+    safe for both. Returns the same [pre, kw, body, kw, body, …] shape
+    as ``re.split`` with one capture group."""
+    depth = 0
+    depths = []
+    for ch in masked:
+        if ch == "[":
+            depth += 1
+        depths.append(depth)
+        if ch == "]":
+            depth -= 1
+    parts: list[str] = []
+    last = 0
+    for m in _CLAUSE_RE.finditer(masked):
+        if depths[m.start()] > 0:
+            continue
+        parts.append(masked[last:m.start()])
+        parts.append(m.group(1))
+        last = m.end()
+    parts.append(masked[last:])
+    return parts
+
+
 def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
     """Split a statement into top-level clauses plus the string-literal
     table. String literals are masked first, so quoted clause keywords
@@ -450,7 +480,7 @@ def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
     bad = _UNSUPPORTED_KEYWORDS.search(masked)
     if bad:
         raise CypherUnsupported(f"{bad.group(0).upper()} is outside the subset")
-    parts = _CLAUSE_RE.split(masked)
+    parts = _clause_split_outside_brackets(masked)
     if parts[0].strip():
         raise CypherUnsupported(f"statement must start with a clause: {parts[0]!r}")
     clauses = []
@@ -1719,7 +1749,7 @@ _EXPR_TOKEN_RE = re.compile(
     r"|(?P<param>\$\w+)"
     r"|(?P<cmp><=|>=|<>|=|<|>)"
     r"|(?P<name>\w+)"
-    r"|(?P<op>[+\-*/%(),.]))"
+    r"|(?P<op>[+\-*/%(),.\[\]|]))"
 )
 
 _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL"}
@@ -1813,6 +1843,39 @@ def _parse_scalar_expr(text: str):
             n = parse_expr()
             expect_op(")")
             return n
+        if k == "op" and v == "[":
+            take()
+            # [x IN xs …] — list comprehension; anything else — literal list
+            nk, nv = peek()
+            nxt = toks[idx + 1] if idx + 1 < len(toks) else (None, None)
+            if nk == "name" and nxt == ("name", "IN") or (
+                nk == "name" and nxt[0] == "name" and (nxt[1] or "").upper() == "IN"
+            ):
+                _, var = take()
+                take()  # IN
+                src = parse_expr()
+                pred = None
+                body = None
+                if at_keyword("WHERE"):
+                    take()
+                    pred = parse_predicate()
+                if peek() == ("op", "|"):
+                    take()
+                    body = parse_expr()
+                expect_op("]")
+                if pred is None and body is None:
+                    raise CypherUnsupported(
+                        "list comprehension needs WHERE and/or | projection"
+                    )
+                return ("comp", var, src, pred, body)
+            items = []
+            if peek() != ("op", "]"):
+                items.append(parse_expr())
+                while peek() == ("op", ","):
+                    take()
+                    items.append(parse_expr())
+            expect_op("]")
+            return ("list", items)
         if k == "name":
             up = v.upper()
             if up == "CASE":
@@ -1909,6 +1972,8 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             return "float"
         return "other"
 
+    lam_env: dict = {}  # comprehension variables, bound around the HOF call
+
     def rec(n):
         kind = n[0]
         if kind == "num":
@@ -1934,6 +1999,8 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             return F.lit(v), tag
         if kind == "name":
             nm = n[1]
+            if nm in lam_env:
+                return lam_env[nm], "other"
             if nm in df.columns:
                 return F.col(nm), ty_of(dtypes.get(nm, ""))
             raise CypherUnsupported(
@@ -1968,6 +2035,8 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 return F.concat(lc.cast("string"), rc.cast("string")), "str"
             if "str" in (lt, rt):
                 raise CypherUnsupported(f"arithmetic {op!r} on a string operand")
+            if "list" in (lt, rt):
+                raise CypherUnsupported(f"arithmetic {op!r} on a list operand")
             if op == "+":
                 res = lc + rc
             elif op == "-":
@@ -2005,6 +2074,35 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 if tag == "other":
                     tag = et
             return col, tag
+        if kind == "list":
+            cols = [rec(i)[0] for i in n[1]]
+            return F.array(*cols), "list"
+        if kind == "comp":
+            # [x IN xs WHERE p | e] — F.filter / F.transform higher-order
+            # functions: the lambda binds x via lam_env for the nested
+            # compile, everything stays one Catalyst expression (no UDF)
+            var, src, pred, body = n[1], n[2], n[3], n[4]
+            col, _ = rec(src)
+
+            def _bound(node, is_pred):
+                def _f(x):
+                    if var in lam_env:
+                        raise CypherUnsupported(
+                            f"comprehension variable {var!r} shadows an outer one"
+                        )
+                    lam_env[var] = x
+                    try:
+                        return rec_pred(node) if is_pred else rec(node)[0]
+                    finally:
+                        del lam_env[var]
+
+                return _f
+
+            if pred is not None:
+                col = F.filter(col, _bound(pred, True))
+            if body is not None:
+                col = F.transform(col, _bound(body, False))
+            return col, "list"
         raise CypherUnsupported(f"unsupported expression node: {kind!r}")
 
     def rec_pred(p):
@@ -2061,8 +2159,12 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             c, _ = rec(args[0])
             return c.cast("double"), "float"
         if fname == "size":
+            # Cypher size() counts characters of a string and elements of
+            # a list — dispatch on the compiled operand's type tag
             need(1)
-            c, _ = rec(args[0])
+            c, t = rec(args[0])
+            if t == "list":
+                return F.size(c).cast("bigint"), "int"
             return F.length(c).cast("bigint"), "int"
         if fname == "abs":
             need(1)

@@ -6121,6 +6121,33 @@ def q_a64_text_label_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a65_text_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 ext — list literals and comprehensions ``[x IN xs WHERE p |
+    e]`` in the expression compiler: filter/projection compile to
+    Spark's ``filter``/``transform`` higher-order functions — one
+    Catalyst expression, no UDF, whole-stage codegen; ``size()``
+    dispatches on the operand type (characters for strings, elements
+    for lists). The clause splitter is bracket-aware so the WHERE
+    inside a comprehension never opens a clause. Oracle replays the
+    identical lambda pipeline with DuckDB's list_filter/list_transform."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("k"),
+        (F.col("doc_id") % 5).cast("int").alias("m"),
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["m"]), None)
+    res = run_cypher(
+        spark,
+        "MATCH (d:Doc) RETURN d.key AS k, "
+        "size([x IN [1,2,3,4,5] WHERE x > d.m | x * 2]) AS n_big, "
+        "size(d.key) AS key_len",
+        graph=g,
+    )
+    return res.df
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6883,6 +6910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c96_span_removal": q_c96_span_removal,
     "a63_text_rel_alternation": q_a63_text_rel_alternation,
     "a64_text_label_alternation": q_a64_text_label_alternation,
+    "a65_text_list_comprehension": q_a65_text_list_comprehension,
 }
 
 
@@ -9233,6 +9261,15 @@ ORACLES["a64_text_label_alternation"] = """
     UNION ALL
     SELECT cast(s_suppkey AS varchar), cast(s_nationkey AS varchar)
     FROM supplier
+"""
+
+ORACLES["a65_text_list_comprehension"] = """
+    SELECT cast(doc_id AS varchar) AS k,
+           CAST(len(list_transform(
+               list_filter([1, 2, 3, 4, 5], x -> x > doc_id % 5),
+               x -> x * 2)) AS bigint) AS n_big,
+           CAST(length(cast(doc_id AS varchar)) AS bigint) AS key_len
+    FROM documents
 """
 
 ORACLES["c96_span_removal"] = """

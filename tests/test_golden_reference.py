@@ -2590,3 +2590,49 @@ def test_text_label_alternation(spark):
         spark, "MATCH (x:Supplier|Nation) RETURN x.key AS k", graph=g
     ).df.collect()
     assert sorted(x["k"] for x in r3) == ["n1", "s1"]
+
+
+def test_text_list_literals_and_comprehensions(spark):
+    """[e1, e2] literal lists and [x IN xs WHERE p | e] comprehensions
+    compile to array/filter/transform higher-order expressions; size()
+    dispatches string-vs-list; WHERE inside brackets never opens a
+    clause; arithmetic on a list operand is refused."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame([("k1", 2)], "k string, m int")
+    g = Graph(as_nodes(src, "Doc", "k", ["m"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN "
+        "size([x IN [1,2,3,4] WHERE x > 1 | x * n.m]) AS s, "
+        "[x IN [1,2,3,4] WHERE x > 2] AS f, "
+        "[x IN $ids | x + 1] AS p, "
+        "[n.m, 5] AS l, "
+        "size(n.key) AS sl",
+        {"ids": [10, 20]},
+        graph=g,
+    ).df.collect()[0]
+    assert r["s"] == 3
+    assert r["f"] == [3, 4]
+    assert r["p"] == [11, 21]
+    assert r["l"] == [2, 5]
+    assert r["sl"] == 2
+    # comprehension in a WHERE conjunct (bracket-aware clause split)
+    rows = run_cypher(
+        spark,
+        "MATCH (n:Doc) WHERE size([x IN [1,2,3] WHERE x >= n.m]) = 2 "
+        "RETURN n.key AS k",
+        graph=g,
+    ).df.collect()
+    assert [x["k"] for x in rows] == ["k1"]
+    with _pytest.raises(CypherUnsupported, match="list operand"):
+        run_cypher(spark, "MATCH (n:Doc) RETURN [1,2] + 3 AS bad", graph=g)
+    with _pytest.raises(CypherUnsupported, match="WHERE and/or"):
+        run_cypher(spark, "MATCH (n:Doc) RETURN [x IN [1,2]] AS bad", graph=g)
