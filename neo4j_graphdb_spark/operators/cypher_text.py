@@ -2166,6 +2166,29 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if t == "list":
                 return F.size(c).cast("bigint"), "int"
             return F.length(c).cast("bigint"), "int"
+        if fname == "head":
+            need(1)
+            c, _ = rec(args[0])
+            return F.element_at(c, 1), "other"
+        if fname == "last":
+            need(1)
+            c, _ = rec(args[0])
+            return F.element_at(c, -1), "other"
+        if fname == "reverse":
+            # Cypher reverse() flips a string or a list; F.reverse does both
+            need(1)
+            c, t = rec(args[0])
+            return F.reverse(c), t
+        if fname == "range":
+            # range(start, end[, step]) — INCLUSIVE end (Cypher/Spark
+            # sequence semantics agree, unlike Python)
+            need(2, 3)
+            lo, _ = rec(args[0])
+            hi, _ = rec(args[1])
+            if len(args) == 3:
+                st, _ = rec(args[2])
+                return F.sequence(lo, hi, st), "list"
+            return F.sequence(lo, hi), "list"
         if fname == "abs":
             need(1)
             c, t = rec(args[0])
@@ -2218,7 +2241,7 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             f"unsupported function {fname_raw!r} in expression (supported: "
             "coalesce, toUpper, toLower, toString, toInteger, toFloat, size, "
             "abs, sign, round, floor, ceil, trim, ltrim, rtrim, replace, "
-            "left, right, substring)"
+            "left, right, substring, head, last, reverse, range)"
         )
 
     return rec(ast)

@@ -2636,3 +2636,27 @@ def test_text_list_literals_and_comprehensions(spark):
         run_cypher(spark, "MATCH (n:Doc) RETURN [1,2] + 3 AS bad", graph=g)
     with _pytest.raises(CypherUnsupported, match="WHERE and/or"):
         run_cypher(spark, "MATCH (n:Doc) RETURN [x IN [1,2]] AS bad", graph=g)
+
+
+def test_text_list_functions(spark):
+    """head/last/reverse/range list functions: range is end-inclusive,
+    reverse flips both strings and lists, head/last are element_at
+    1/-1."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame([("k1", 3)], "k string, m int")
+    g = Graph(as_nodes(src, "Doc", "k", ["m"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN "
+        "head([x IN range(1, n.m) | x * 10]) AS h, "
+        "last(range(1, n.m)) AS l, "
+        "reverse(range(1, 3)) AS rv, "
+        "reverse(n.key) AS rs, "
+        "size(range(0, 10, 2)) AS sr",
+        graph=g,
+    ).df.collect()[0]
+    assert r["h"] == 10 and r["l"] == 3
+    assert r["rv"] == [3, 2, 1] and r["rs"] == "1k" and r["sr"] == 6
