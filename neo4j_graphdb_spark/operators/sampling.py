@@ -218,6 +218,55 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-pretraining
+    alpha-sampling of mT5/XLM-R lineage: sampling probability of
+    stratum s ∝ ``n_s^alpha``, ``alpha < 1`` upweights small strata
+    RELATIVE to their raw proportion — English stops drowning out
+    Swahili). Downsample-only: target shares are derived from the
+    observed counts (``share_s = n_s^alpha / Σ n^alpha``), the output is
+    the largest corpus achievable without upsampling
+    (``N_out = min n_s / share_s``), and rows gate through the same
+    deterministic md5 bucket as :func:`mixture_sample` — no RNG, the
+    SQL oracle replays row-for-row. ``alpha = 1`` keeps everything
+    (shares equal raw proportions); ``alpha = 0`` equalizes strata.
+    Rates round to 6 dp BEFORE the slot gate so double-precision ulp
+    differences between engines cannot flip a boundary row.
+
+    100 TB shape: one per-stratum count shuffle, a strata-sized
+    broadcast of derived rates, one scan with a row-local hash filter.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    z = counts.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("_z"))
+    shares = counts.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        "_n",
+        (F.pow("_n", F.lit(alpha)) / F.col("_z")).alias("_share"),
+    )
+    nout = shares.agg(F.min(F.col("_n") / F.col("_share")).alias("_nout"))
+    rates = shares.crossJoin(F.broadcast(nout)).select(
+        strata_col,
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("_share") * F.col("_nout") / F.col("_n")
+            ),
+            6,
+        ).alias("_rate"),
+    )
+    bucket = md5_bucket(key_col, salt, _SLOTS)
+    return (
+        df.join(F.broadcast(rates), on=strata_col)
+        .filter(bucket < F.round(F.col("_rate") * _SLOTS).cast("bigint"))
+        .drop("_rate")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     stratum_cols: list[str],

@@ -6148,6 +6148,23 @@ def q_a65_text_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame
     return res.df
 
 
+def q_c97_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97 — temperature-based corpus mixing (operators/sampling.py
+    temperature_mixture, the mT5/XLM-R alpha-sampling lineage): target
+    shares derived as ``n_s^alpha / Σ n^alpha`` over the OBSERVED
+    language counts (alpha=0.5 upweights small languages), the largest
+    no-upsampling corpus computed from the binding stratum, rows gated
+    through the deterministic md5 bucket — c42's fixed-share mixer with
+    the share table replaced by the temperature formula. The oracle
+    replays the identical count → pow → min → round(…, 6) → hash-gate
+    algebra in SQL."""
+    from neo4j_graphdb_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "doc_id", "lang", alpha=0.5, salt="temp97")
+    return out.select("doc_id", "lang")
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6911,6 +6928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a63_text_rel_alternation": q_a63_text_rel_alternation,
     "a64_text_label_alternation": q_a64_text_label_alternation,
     "a65_text_list_comprehension": q_a65_text_list_comprehension,
+    "c97_temperature_mixture": q_c97_temperature_mixture,
 }
 
 
@@ -9270,6 +9288,25 @@ ORACLES["a65_text_list_comprehension"] = """
                x -> x * 2)) AS bigint) AS n_big,
            CAST(length(cast(doc_id AS varchar)) AS bigint) AS key_len
     FROM documents
+"""
+
+ORACLES["c97_temperature_mixture"] = f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT sum(pow(n, 0.5)) AS z FROM counts),
+    shares AS (
+        SELECT lang, n, pow(n, 0.5) / (SELECT z FROM z) AS share FROM counts
+    ),
+    nout AS (SELECT min(n / share) AS v FROM shares),
+    rates AS (
+        SELECT lang,
+               round(least(1.0, share * (SELECT v FROM nout) / n), 6) AS rate
+        FROM shares
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ({_MD5_60_SQL.format(x="concat('temp97', cast(doc_id AS varchar))")})
+              % 1000000
+          < round(r.rate * 1000000)
 """
 
 ORACLES["c96_span_removal"] = """

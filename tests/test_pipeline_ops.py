@@ -389,3 +389,35 @@ def test_negative_sample_excludes_positives_and_repeats(spark):
     for r in got:
         per_pos[(r["user"], r["pos_item"])] = per_pos.get((r["user"], r["pos_item"]), 0) + 1
     assert all(v <= 3 for v in per_pos.values())
+
+
+def test_temperature_mixture(spark):
+    """alpha-sampling: alpha=1 keeps everything (shares = raw
+    proportions, every stratum binds); alpha=0 equalizes strata (output
+    ≈ k * n_min); alpha=0.5 lands between; deterministic across runs;
+    unknown strata never appear."""
+    from neo4j_graphdb_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    full = temperature_mixture(df, "k", "lang", alpha=1.0).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in full.collect()}
+    assert got == {"big": 900, "small": 100}
+    eq = temperature_mixture(df, "k", "lang", alpha=0.0).groupBy("lang").count()
+    got0 = {r["lang"]: r["count"] for r in eq.collect()}
+    # equal shares, binding stratum = small (100): each stratum keeps ~100
+    assert got0["small"] == 100
+    assert abs(got0["big"] - 100) <= 30  # rate-gate binomial noise, ~3 sigma
+    mid = temperature_mixture(df, "k", "lang", alpha=0.5).groupBy("lang").count()
+    gotm = {r["lang"]: r["count"] for r in mid.collect()}
+    assert got0["big"] <= gotm["big"] <= 900
+    assert gotm["small"] == 100
+    # deterministic
+    again = {
+        r["lang"]: r["count"]
+        for r in temperature_mixture(df, "k", "lang", alpha=0.5)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert again == gotm
