@@ -99,7 +99,11 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   COUNT patterns (writes, DELETE and REMOVE keep the one-name rule)
 * list literals ``[1, 2, 3]`` and comprehensions ``[x IN xs WHERE p |
   e]`` — ``array``/``filter``/``transform`` higher-order Catalyst
-  expressions; ``size()`` dispatches characters-vs-elements
+  expressions; ``size()`` dispatches characters-vs-elements; ``split``/
+  ``head``/``last``/``reverse``/``range`` list functions;
+  ``UNWIND <any frame-independent list expression> AS x`` (range,
+  split, comprehensions — compiled and exploded to the unwind frame);
+  ``keys(r)``/``properties(r)`` relationship introspection
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
 subqueries — neither appears in the reference.
@@ -1197,6 +1201,11 @@ def run_cypher(
         if not (
             _UNWIND_RE.match(clauses[0].body)
             or _UNWIND_LIT_RE.match(clauses[0].body)
+            or re.match(
+                r"^.+?\s+AS\s+\w+\s*$",
+                clauses[0].body,
+                re.IGNORECASE | re.DOTALL,
+            )
         ):
             raise CypherUnsupported(
                 f"unsupported UNWIND form: {clauses[0].body!r}"
@@ -2166,6 +2175,17 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if t == "list":
                 return F.size(c).cast("bigint"), "int"
             return F.length(c).cast("bigint"), "int"
+        if fname == "split":
+            # Cypher split(s, delim) — delim is a literal string, escaped
+            # so it splits verbatim (F.split takes a regex)
+            need(2)
+            c, _ = rec(args[0])
+            if args[1][0] != "str":
+                raise CypherUnsupported(
+                    "split() needs a literal string delimiter"
+                )
+            delim = lits[args[1][1]]
+            return F.split(c, re.escape(delim)), "list"
         if fname == "head":
             need(1)
             c, _ = rec(args[0])
@@ -2241,7 +2261,7 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             f"unsupported function {fname_raw!r} in expression (supported: "
             "coalesce, toUpper, toLower, toString, toInteger, toFloat, size, "
             "abs, sign, round, floor, ceil, trim, ltrim, rtrim, replace, "
-            "left, right, substring, head, last, reverse, range)"
+            "left, right, substring, split, head, last, reverse, range)"
         )
 
     return rec(ast)
@@ -2650,12 +2670,51 @@ def _run_read(
                 unwind_name = um.group(2)
             else:
                 lm = _UNWIND_LIT_RE.match(c.body)
-                if not lm:
-                    raise CypherUnsupported(
-                        f"unsupported UNWIND form: {c.body!r}"
+                vals = None
+                if lm:
+                    try:
+                        vals = _unwind_literal_values(
+                            lm.group("items"), lits, params
+                        )
+                        unwind_name = lm.group("alias")
+                    except CypherUnsupported:
+                        # bracketed but not a literal list — e.g. a list
+                        # comprehension; falls through to the expression
+                        # compiler below
+                        vals = None
+                if vals is None:
+                    # UNWIND <list expression> AS x — range()/split()/
+                    # comprehensions over literals and params: compile
+                    # against a dummy 1-row frame (frame-independence is
+                    # the requirement — props can't resolve here) and
+                    # explode to the unwind frame
+                    xm = re.match(
+                        r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$",
+                        c.body,
+                        re.IGNORECASE | re.DOTALL,
                     )
-                vals = _unwind_literal_values(lm.group("items"), lits, params)
-                unwind_name = lm.group("alias")
+                    if not xm:
+                        raise CypherUnsupported(
+                            f"unsupported UNWIND form: {c.body!r}"
+                        )
+                    dummy = graph.nodes_df.sparkSession.range(1)
+                    col, tag = _compile_scalar(
+                        _parse_scalar_expr(xm.group("expr")),
+                        dummy,
+                        {},
+                        None,
+                        lits,
+                        params,
+                    )
+                    if tag not in ("list", "other"):
+                        raise CypherUnsupported(
+                            f"UNWIND needs a list expression, got {tag}"
+                        )
+                    unwind_name = xm.group("alias")
+                    unwind_frame = dummy.select(
+                        F.explode(col).alias(unwind_name)
+                    )
+                    continue
             unwind_frame = graph.nodes_df.sparkSession.createDataFrame(
                 [(v,) for v in vals], [unwind_name]
             )
@@ -3249,25 +3308,41 @@ def _run_read(
                         f"type() needs the bound relationship alias, got {fa!r}"
                     )
                 e = F.col("rel_type")
-            elif fa in aliases and fn in ("keys", "properties"):
+            elif fn in ("keys", "properties") and (
+                fa in aliases
+                or (rel_alias is not None and fa == rel_alias)
+            ):
                 # the entity's non-null property cells: keys() as a sorted
                 # name array, properties() as a canonical JSON string
                 # (to_json drops nulls; fields sort alphabetically so the
                 # serialization is partitioning-independent). Suffixes are
-                # validated against the nodes-table schema so frame columns
-                # that are NOT properties of the entity (UNWIND variables,
-                # WITH-computed columns riding an unprefixed frame) never
-                # leak into keys()/properties().
-                prefix = aliases[fa]
-                node_props = {
-                    c
-                    for c in graph.nodes_df.columns
-                    if c not in (NODE_ID, "label")
-                }
+                # validated against the nodes-table (or edges-table) schema
+                # so frame columns that are NOT properties of the entity
+                # (UNWIND variables, WITH-computed columns) never leak in.
+                if fa in aliases:
+                    prefix = aliases[fa]
+                    ent_props = {
+                        c
+                        for c in graph.nodes_df.columns
+                        if c not in (NODE_ID, "label")
+                    }
+                else:
+                    # relationship alias: edge prop columns ride the
+                    # expand output unprefixed
+                    prefix = ""
+                    ent_props = {
+                        c
+                        for c in (
+                            graph.edges_df.columns
+                            if graph.edges_df is not None
+                            else []
+                        )
+                        if c not in ("src", "dst", "rel_type", BUCKET_COL)
+                    }
                 prop_names = sorted(
                     c[len(prefix):]
                     for c in df.columns
-                    if c.startswith(prefix) and c[len(prefix):] in node_props
+                    if c.startswith(prefix) and c[len(prefix):] in ent_props
                 )
                 if fn == "keys":
                     e = F.sort_array(

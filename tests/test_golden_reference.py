@@ -1871,8 +1871,9 @@ def test_text_unwind_literal_list(spark, tmp_path):
     assert sorted(r["key"] for r in s.nodes().collect()) == ["10", "20", "30"]
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "UNWIND [foo] AS x RETURN x", graph=g)
-    with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "UNWIND [] AS x RETURN x", graph=g)
+    # Neo4j semantics: UNWIND over an empty list yields zero rows (the
+    # expression-UNWIND path made this exact instead of a refusal)
+    assert run_cypher(spark, "UNWIND [] AS x RETURN x", graph=g).df.count() == 0
 
 
 def test_text_where_scalar_expressions(spark):
@@ -2660,3 +2661,52 @@ def test_text_list_functions(spark):
     ).df.collect()[0]
     assert r["h"] == 10 and r["l"] == 3
     assert r["rv"] == [3, 2, 1] and r["rs"] == "1k" and r["sr"] == 6
+
+
+def test_text_unwind_expressions_and_rel_introspection(spark):
+    """UNWIND accepts any frame-independent list expression — range(),
+    split(), comprehensions — compiled and exploded to the unwind
+    frame; keys(r)/properties(r) introspect relationship properties
+    (edge-schema-validated, NULL cells dropped)."""
+    import json
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    n = spark.createDataFrame([("1", 10), ("2", 20), ("3", 30)], "k string, v int")
+    g = Graph(as_nodes(n, "Doc", "k", ["v"]), None)
+    r = run_cypher(
+        spark,
+        "UNWIND range(1, 2) AS i MATCH (n:Doc) WHERE n.key = i "
+        "RETURN i, n.v AS v",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["i"], x["v"]) for x in r) == [(1, 10), (2, 20)]
+    r2 = run_cypher(
+        spark,
+        "UNWIND split('1;3', ';') AS s MATCH (n:Doc) WHERE n.key = s "
+        "RETURN n.v AS v",
+        graph=g,
+    ).df.collect()
+    assert sorted(x["v"] for x in r2) == [10, 30]
+    r3 = run_cypher(
+        spark, "UNWIND [x IN range(1,4) WHERE x > 2] AS i RETURN i", graph=g
+    ).df.collect()
+    assert sorted(x["i"] for x in r3) == [3, 4]
+
+    nn = spark.createDataFrame([("a",), ("b",)], "k string")
+    e = spark.createDataFrame(
+        [("a", "b", 3, None)], "s string, d string, w int, note string"
+    )
+    g2 = Graph(
+        as_nodes(nn, "N", "k"),
+        as_edges(e, "T", "N", "s", "N", "d", ["w", "note"]),
+    )
+    row = run_cypher(
+        spark,
+        "MATCH (x:N)-[r:T]->(y:N) RETURN keys(r) AS ks, properties(r) AS ps",
+        graph=g2,
+    ).df.collect()[0]
+    assert row["ks"] == ["w"]  # NULL note dropped
+    assert json.loads(row["ps"]) == {"w": 3}
