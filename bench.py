@@ -68,6 +68,10 @@ HEADLINE = [
     "c85_scc",
     "c92_boilerplate",
     "c93_phash_near_dup",
+    # round 7 additions — ExactSubstr duplicated-span removal,
+    # temperature/alpha corpus mixing
+    "c96_span_removal",
+    "c97_temperature_mixture",
 ]
 
 

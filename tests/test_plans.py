@@ -236,3 +236,22 @@ def test_louvain_sweep_no_cartesian(spark, sf_dir):
     no cartesian anywhere in the final labeling plan."""
     plan = _plan(QUERIES["c94_louvain"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_cartesian_no_udf(spark, sf_dir):
+    """c96: span hashing, duplicate detection, coverage and reassembly
+    are all joins/aggregations on (doc, pos) or the span hash — no
+    cartesian, no Python UDF stage anywhere."""
+    plan = _plan(QUERIES["c96_span_removal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_temperature_mixture_broadcast_rates(spark, sf_dir):
+    """c97: the derived per-stratum rates are a strata-sized dimension —
+    they must reach the corpus scan by broadcast, and the gate is a
+    row-local hash filter (no corpus shuffle)."""
+    plan = _plan(QUERIES["c97_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
