@@ -530,6 +530,48 @@ def near_dup_clusters(
     )
 
 
+def quality_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Quality-aware near-dup deduplication — the production refinement
+    of :func:`near_dup_clusters`'s min-id canonicalization: within each
+    duplicate cluster KEEP THE BEST document (highest ``score``, ties
+    toward the smallest id), not the arbitrarily-smallest id. This is
+    the standard curation move (C4/RefinedWeb lineage): when a page
+    exists as amp/mobile/print variants, keep the longest/cleanest one.
+
+    ``score`` is a Column evaluated over ``df`` (token count, a quality
+    model's output column — anything orderable); ``id_col`` must be
+    numeric (the tie-break negates it). Returns one row per input doc:
+    ``(id_col, cluster, quality, is_kept)``.
+
+    100 TB shape: clustering is the flooding CC (tiny diameters); the
+    per-cluster argmax is ONE map-side-combined ``max_by`` aggregation —
+    no per-cluster sort, no window over the corpus — and the winner
+    table joins back on the cluster id."""
+    clusters = near_dup_clusters(df, pairs, id_col, max_rounds)
+    scored = df.select(F.col(id_col), score.alias("quality"))
+    j = scored.join(clusters.select(id_col, "cluster"), on=id_col)
+    best = j.groupBy("cluster").agg(
+        F.expr(
+            f"max_by({id_col}, struct(quality, -{id_col}))"
+        ).alias("_keep")
+    )
+    return (
+        j.join(best, on="cluster")
+        .select(
+            id_col,
+            "cluster",
+            "quality",
+            (F.col(id_col) == F.col("_keep")).alias("is_kept"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -6165,6 +6165,32 @@ def q_c97_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_c98_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C98 — quality-aware near-dup dedup (operators/dedup.py
+    quality_dedup): c28's MinHash-LSH pair → flooding-CC cluster chain,
+    but the survivor is the BEST document per cluster (highest token
+    count here — any quality column plugs in), ties toward the smallest
+    id — the C4/RefinedWeb keep-the-longest-variant move, replacing
+    min-id canonicalization. One map-side-combined max_by per cluster,
+    no corpus-wide window. The oracle replays pairs → unrolled flooding
+    → per-cluster argmax in SQL."""
+    from neo4j_graphdb_spark.operators.dedup import quality_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        num_hashes=64, bands=16, jaccard_threshold=0.6, hash_mode="md5_60",
+    )
+    score = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    out = quality_dedup(docs, pairs, "doc_id", score, max_rounds=6)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("quality").cast("bigint").alias("quality"),
+        "is_kept",
+    )
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6932,6 +6958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a64_text_label_alternation": q_a64_text_label_alternation,
     "a65_text_list_comprehension": q_a65_text_list_comprehension,
     "c97_temperature_mixture": q_c97_temperature_mixture,
+    "c98_quality_dedup": q_c98_quality_dedup,
 }
 
 
@@ -7009,6 +7036,52 @@ def _cluster_oracle_sql(rounds: int = 6) -> str:
         SELECT id::bigint AS doc_id, comp::bigint AS cluster,
                (id = comp) AS is_canonical
         FROM l{rounds}
+    """
+
+
+def _quality_dedup_oracle_sql(rounds: int = 6) -> str:
+    """DuckDB twin of ``quality_dedup`` over the md5 MinHash pairs: the
+    c28 cluster chain, then a per-cluster argmax by (token count DESC,
+    id ASC) expressed as a window rank — value-identical to the
+    engine's map-side max_by because the orderings coincide."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT l.id, least(l.comp, coalesce(m.m, l.comp)) AS comp
+            FROM l{i - 1} l LEFT JOIN (
+                SELECT e.dst AS id, min(l2.comp) AS m
+                FROM sym e JOIN l{i - 1} l2 ON e.src = l2.id
+                GROUP BY e.dst
+            ) m ON l.id = m.id
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()})
+        ),
+        sym AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM documents),
+        {chain},
+        q AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint)
+                       AS quality
+            FROM documents
+        ),
+        j AS (
+            SELECT l.id, l.comp, q.quality
+            FROM l{rounds} l JOIN q ON l.id = q.doc_id
+        )
+        SELECT id::bigint AS doc_id, comp::bigint AS cluster, quality,
+               (row_number() OVER (
+                    PARTITION BY comp ORDER BY quality DESC, id ASC) = 1)
+                   AS is_kept
+        FROM j
     """
 
 
@@ -9311,6 +9384,8 @@ ORACLES["c97_temperature_mixture"] = f"""
               % 1000000
           < round(r.rate * 1000000)
 """
+
+ORACLES["c98_quality_dedup"] = _quality_dedup_oracle_sql(rounds=6)
 
 ORACLES["c96_span_removal"] = """
     WITH corpus AS (

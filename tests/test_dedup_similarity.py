@@ -558,3 +558,29 @@ def test_remove_duplicated_spans(spark):
     }
     assert out2[1] == ("mid", 40)
     assert out2[2] == ("", 20)
+
+
+def test_quality_dedup_keeps_best_per_cluster(spark):
+    """quality_dedup keeps the highest-score doc per near-dup cluster
+    (ties toward the smallest id); singletons keep themselves; every
+    input row comes back exactly once."""
+    from neo4j_graphdb_spark.operators.dedup import quality_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1)], "doc_id long, nt int"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster"], r["quality"], r["is_kept"])
+        for r in quality_dedup(
+            docs, pairs, "doc_id", F.col("nt").cast("bigint")
+        ).collect()
+    }
+    assert len(out) == 4
+    # cluster {1,2,3}: 2 and 3 tie on quality 9 -> smaller id 2 wins
+    assert out[1] == (1, 5, False)
+    assert out[2] == (1, 9, True)
+    assert out[3] == (1, 9, False)
+    assert out[4] == (4, 1, True)  # singleton keeps itself
