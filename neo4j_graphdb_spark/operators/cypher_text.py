@@ -3512,11 +3512,17 @@ def _aggregate_return(
     the SQL oracle."""
     keys, aggs, name_map = [], [], {}
 
-    def _source(alias: str, prop: str | None):
+    def _source(alias: str, prop: str | None, fn: str | None = None):
         if alias in aliases:
             if prop is None:
+                if fn in ("count",):
+                    # count(n) / count(DISTINCT n): Cypher counts the
+                    # non-null BINDINGS of the alias — the node-id column
+                    # is exactly that (NULL on an unmatched OPTIONAL side,
+                    # distinct per entity)
+                    return _prop_col(df, aliases[alias], NODE_ID)
                 raise CypherUnsupported(
-                    f"whole-entity {alias!r} unsupported in aggregating RETURN"
+                    f"whole-entity {alias!r} unsupported in {fn or 'aggregating'}()"
                 )
             return _prop_col(df, aliases[alias], prop)
         if prop is None and alias in df.columns:
@@ -3557,7 +3563,7 @@ def _aggregate_return(
                     raise CypherUnsupported(f"{fn}(*) is not Cypher")
                 agg = F.count(F.lit(1))
             else:
-                e = _source(am.group("alias"), am.group("prop"))
+                e = _source(am.group("alias"), am.group("prop"), fn)
                 agg = _build_agg(fn, bool(am.group("dist")), e)
             aggs.append(agg.alias(name))
             name_map[name] = name

@@ -2710,3 +2710,44 @@ def test_text_unwind_expressions_and_rel_introspection(spark):
     ).df.collect()[0]
     assert row["ks"] == ["w"]  # NULL note dropped
     assert json.loads(row["ps"]) == {"w": 3}
+
+
+def test_text_count_whole_entity(spark):
+    """count(a) / count(DISTINCT a) on a whole entity counts the alias's
+    non-null BINDINGS (Neo4j semantics — the node-id column is exactly
+    that); other aggregates still refuse whole entities by name."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("a1",), ("a2",), ("a3",)], "k string")
+    p = spark.createDataFrame([("p1",), ("p2",)], "k string")
+    e = spark.createDataFrame(
+        [("a1", "p1"), ("a2", "p1"), ("a3", "p2")], "s string, d string"
+    )
+    g = Graph(
+        as_nodes(n, "Art", "k").unionByName(as_nodes(p, "Pub", "k")),
+        as_edges(e, "BY", "Art", "s", "Pub", "d"),
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) RETURN p.key AS pub, count(a) AS n "
+        "ORDER BY n DESC",
+        graph=g,
+    ).df.collect()
+    assert [(x["pub"], x["n"]) for x in r] == [("p1", 2), ("p2", 1)]
+    r3 = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) RETURN count(DISTINCT a) AS n",
+        graph=g,
+    ).df.collect()
+    assert r3[0]["n"] == 3
+    with _pytest.raises(CypherUnsupported, match="whole-entity"):
+        run_cypher(
+            spark, "MATCH (a:Art)-[r:BY]->(p:Pub) RETURN sum(a) AS s", graph=g
+        )
