@@ -97,6 +97,10 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   ``(x:A|B)`` — each one ``isin`` scan predicate (the label form stays
   partition-prunable); both ride plain/var-length expand, EXISTS and
   COUNT patterns (writes, DELETE and REMOVE keep the one-name rule)
+* whole-entity aggregation — ``count(a)`` / ``count(DISTINCT a)``
+  (non-null bindings via the node-id column) and whole-entity grouping
+  keys ``WITH p, count(a) AS n WHERE … RETURN p.key, n`` (the entity
+  groups as one struct column; the tail opens it with field access)
 * list literals ``[1, 2, 3]`` and comprehensions ``[x IN xs WHERE p |
   e]`` — ``array``/``filter``/``transform`` higher-order Catalyst
   expressions; ``size()`` dispatches characters-vs-elements; ``split``/
@@ -2410,7 +2414,10 @@ _POST_WHERE_RE = re.compile(
     r"^(?P<name>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*"
     r"(?P<val>\$\w+|-?\d+(?:\.\d+)?|\x00\d+\x00)$"
 )
-_POST_RETURN_RE = re.compile(r"^(?P<name>\w+)(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE)
+_POST_RETURN_RE = re.compile(
+    r"^(?P<name>\w+)(?:\.(?P<field>\w+))?(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
+)
 
 
 def _run_post_with(
@@ -2464,10 +2471,22 @@ def _run_post_with(
         m = _POST_RETURN_RE.match(item)
         if not m or m.group("name") not in df.columns:
             raise CypherUnsupported(f"RETURN after WITH must use WITH names: {item!r}")
-        name, out = m.group("name"), m.group("out") or m.group("name")
-        out_cols.append(F.col(name).alias(out))
-        name_map[name] = name
-        name_map[out] = name
+        name, field = m.group("name"), m.group("field")
+        if field is not None:
+            # `p.key` over a whole-entity WITH key — struct field access
+            if not dict(df.dtypes)[name].startswith("struct"):
+                raise CypherUnsupported(
+                    f"{name!r} is not an entity column; {item!r} needs a "
+                    "whole-entity WITH key"
+                )
+            out = m.group("out") or field
+            out_cols.append(F.col(name)[field].alias(out))
+            name_map[out] = f"{name}.{field}"  # F.col resolves the field
+        else:
+            out = m.group("out") or name
+            out_cols.append(F.col(name).alias(out))
+            name_map[name] = name
+            name_map[out] = name
     if order_by:
         sorts = []
         for key, desc in order_by:
@@ -3605,6 +3624,22 @@ def _aggregate_return(
                 ] = name
                 continue
             alias, prop, out = m.group("alias"), m.group("prop"), m.group("out")
+            if prop is None and alias in aliases:
+                # whole-entity grouping key — `WITH p, count(a) AS n` /
+                # `RETURN p, count(a)`: the entity groups as ONE struct
+                # column (deterministic field order → a valid, stable
+                # grouping key), which a post-WITH tail can open with
+                # `p.key`-style field access
+                name = out or alias
+                prefix = aliases[alias]
+                e = (
+                    _entity_struct(df, prefix, name)
+                    if prefix
+                    else _node_entity(df, name)
+                )
+                keys.append(e)
+                name_map[name] = name
+                continue
             e = _source(alias, prop)
             name = out or prop or alias
             keys.append(e.alias(name))

@@ -6191,6 +6191,26 @@ def q_c98_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a66_text_entity_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66 ext — whole-entity grouping keys in aggregating WITH
+    (``WITH p, count(a) AS n WHERE … RETURN p.key, n`` — THE canonical
+    Neo4j HAVING idiom): the entity groups as one struct column
+    (deterministic field order makes it a stable grouping key), the
+    post-WITH tail filters on the aggregate and opens the struct with
+    field access. Compiles to one groupBy on the struct + a filter —
+    the same plan as grouping by the flat key."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WITH p, count(a) AS n WHERE n >= 20 "
+        "RETURN p.key AS pub, n",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6959,6 +6979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a65_text_list_comprehension": q_a65_text_list_comprehension,
     "c97_temperature_mixture": q_c97_temperature_mixture,
     "c98_quality_dedup": q_c98_quality_dedup,
+    "a66_text_entity_group_key": q_a66_text_entity_group_key,
 }
 
 
@@ -9386,6 +9407,11 @@ ORACLES["c97_temperature_mixture"] = f"""
 """
 
 ORACLES["c98_quality_dedup"] = _quality_dedup_oracle_sql(rounds=6)
+
+ORACLES["a66_text_entity_group_key"] = """
+    SELECT source AS pub, count(*)::bigint AS n
+    FROM documents GROUP BY source HAVING count(*) >= 20
+"""
 
 ORACLES["c96_span_removal"] = """
     WITH corpus AS (

@@ -2751,3 +2751,56 @@ def test_text_count_whole_entity(spark):
         run_cypher(
             spark, "MATCH (a:Art)-[r:BY]->(p:Pub) RETURN sum(a) AS s", graph=g
         )
+
+
+def test_text_whole_entity_with_key(spark):
+    """WITH p, count(a) AS n — the entity groups as one struct key; the
+    post-WITH tail filters the aggregate, opens the struct with p.key
+    field access, and sorts by the projected name; field access on a
+    non-struct column refuses."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("a1",), ("a2",), ("a3",)], "k string")
+    p = spark.createDataFrame([("p1",), ("p2",)], "k string")
+    e = spark.createDataFrame(
+        [("a1", "p1"), ("a2", "p1"), ("a3", "p2")], "s string, d string"
+    )
+    g = Graph(
+        as_nodes(n, "Art", "k").unionByName(as_nodes(p, "Pub", "k")),
+        as_edges(e, "BY", "Art", "s", "Pub", "d"),
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) WITH p, count(a) AS n WHERE n > 1 "
+        "RETURN p.key AS pub, n",
+        graph=g,
+    ).df.collect()
+    assert [(x["pub"], x["n"]) for x in r] == [("p1", 2)]
+    r2 = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) WITH p, count(a) AS n "
+        "RETURN p, n ORDER BY n DESC",
+        graph=g,
+    ).df.collect()
+    assert [(x["p"]["key"], x["n"]) for x in r2] == [("p1", 2), ("p2", 1)]
+    r3 = run_cypher(
+        spark,
+        "MATCH (a:Art)-[r:BY]->(p:Pub) WITH p, count(a) AS n "
+        "RETURN p.key AS pub, n ORDER BY pub DESC",
+        graph=g,
+    ).df.collect()
+    assert [x["pub"] for x in r3] == ["p2", "p1"]
+    with _pytest.raises(CypherUnsupported, match="not an entity column"):
+        run_cypher(
+            spark,
+            "MATCH (a:Art)-[r:BY]->(p:Pub) WITH p.key AS pk, count(a) AS n "
+            "RETURN pk.key AS z",
+            graph=g,
+        )
