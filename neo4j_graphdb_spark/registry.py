@@ -6746,10 +6746,11 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   remaining slots from the never-driver-checked backlog.
 #   Next rotation (r08) should LEAD with the 22-entry block tagged
 #   "r8 window backlog" below (c66_pq_topk through c83_node2vec_walks —
-#   includes the entries this round's additions displaced) PLUS the six
-#   entries added after the r7 window froze (c96 span removal, a63 rel
-#   alternation, a64 label alternation, a65 list comprehensions, c97
-#   temperature mixture — appended at the dict tail) — that completes
+#   includes the entries this round's additions displaced) PLUS the
+#   seven entries added after the r7 window froze (c96 span removal,
+#   a63 rel alternation, a64 label alternation, a65 list
+#   comprehensions, c97 temperature mixture, c98 quality dedup, a66
+#   entity group keys — appended at the dict tail) — that completes
 #   driver coverage of every declared entry.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r7 driver window (first 50): this round's fixed/new entries

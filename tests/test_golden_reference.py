@@ -423,10 +423,12 @@ def test_text_aggregation_unsupported_forms_raise(spark, text_store):
         run_cypher,
     )
 
+    # NB whole-entity grouping keys (RETURN a, count(*)) are supported
+    # since round 7 — see test_text_whole_entity_with_key
     for bad in (
         "MATCH (a:Article) RETURN sum(*)",
         "MATCH (a:Article) RETURN sum(DISTINCT a.title)",
-        "MATCH (a:Article) RETURN a, count(*)",  # whole-entity group key
+        "MATCH (a:Article) RETURN sum(a)",  # whole-entity non-count agg
         "MATCH (a:Article) RETURN DISTINCT a.title, count(*)",
     ):
         with pytest.raises(CypherUnsupported):
