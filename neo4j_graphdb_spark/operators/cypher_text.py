@@ -242,7 +242,7 @@ _SHORTEST_RE = re.compile(
 )
 
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*"
+    r"^(?P<fn>count|sum|avg|min|max|collect|stDev|stDevP)\s*\(\s*"
     r"(?:(?P<star>\*)|(?P<dist>DISTINCT\s+)?(?P<alias>\w+)(?:\.(?P<prop>\w+))?)"
     r"\s*\)(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE,
@@ -251,15 +251,26 @@ _AGG_ITEM_RE = re.compile(
 # aggregate over a scalar EXPRESSION: sum(a.price * a.qty), avg(…), … —
 # the inner text is handed to the scalar-expression compiler
 _AGG_EXPR_RE = re.compile(
-    r"^(?P<fn>count|sum|avg|min|max|collect)\s*\("
+    r"^(?P<fn>count|sum|avg|min|max|collect|stDev|stDevP)\s*\("
     r"(?P<dist>\s*DISTINCT\s+)?(?P<inner>.+)\)"
     r"(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
+_PERCENTILE_RE = re.compile(
+    r"^(?P<fn>percentileCont|percentileDisc)\s*\(\s*(?P<inner>.+?)\s*,"
+    r"\s*(?P<p>(?:0?\.\d+|0|1)(?:\.0+)?)\s*\)(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
+)
+
+
 def _is_agg_item(item: str) -> bool:
-    return bool(_AGG_ITEM_RE.match(item) or _AGG_EXPR_RE.match(item))
+    return bool(
+        _AGG_ITEM_RE.match(item)
+        or _AGG_EXPR_RE.match(item)
+        or _PERCENTILE_RE.match(item)
+    )
 
 
 @dataclass
@@ -3569,9 +3580,41 @@ def _aggregate_return(
             )
         if fn == "collect":
             return F.array_sort(F.collect_list(e))
+        if fn == "stdev":
+            return F.stddev_samp(e)
+        if fn == "stdevp":
+            return F.stddev_pop(e)
         return getattr(F, fn)(e)
 
     for item in returns:
+        qm = _PERCENTILE_RE.match(item)
+        if qm:
+            # percentileCont(expr, p) — Cypher's continuous (linear
+            # interpolation) percentile maps exactly onto Spark's exact
+            # `percentile` aggregate; percentileDisc is refused by name
+            # (Spark has no exact discrete-percentile aggregate — an
+            # approx answer would silently disagree with Neo4j)
+            if qm.group("fn").lower() == "percentiledisc":
+                raise CypherUnsupported(
+                    "percentileDisc is unsupported (use percentileCont)"
+                )
+            e, _ = _compile_scalar(
+                _parse_scalar_expr(qm.group("inner").strip()),
+                df,
+                aliases,
+                rel_alias,
+                lits or [],
+                params,
+            )
+            name = qm.group("out") or re.sub(r"\s+", "", item)
+            aggs.append(
+                F.percentile(e, float(qm.group("p"))).alias(name)
+            )
+            name_map[name] = name
+            name_map[
+                re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))
+            ] = name
+            continue
         am = _AGG_ITEM_RE.match(item)
         xm = None if am else _AGG_EXPR_RE.match(item)
         if am:

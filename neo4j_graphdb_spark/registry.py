@@ -6211,6 +6211,37 @@ def q_a66_text_entity_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df
 
 
+def q_a67_text_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67 ext — Neo4j's statistical aggregates through the text
+    front-end: ``stDev`` (sample), ``stDevP`` (population), and
+    ``percentileCont`` (continuous/interpolated — maps exactly onto
+    Spark's exact ``percentile`` aggregate; ``percentileDisc`` is
+    refused by name rather than silently approximated). Grouped per
+    language over a deterministic numeric property; both engines round
+    to 6 dp so aggregation-order ulps can't flip the hash."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("k"),
+        "lang",
+        (F.col("doc_id") % 97).cast("double").alias("nt"),
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["lang", "nt"]), None)
+    res = run_cypher(
+        spark,
+        "MATCH (d:Doc) RETURN d.lang AS lang, stDev(d.nt) AS sd, "
+        "stDevP(d.nt) AS sdp, percentileCont(d.nt, 0.5) AS med",
+        graph=g,
+    )
+    return res.df.select(
+        "lang",
+        F.round("sd", 6).alias("sd"),
+        F.round("sdp", 6).alias("sdp"),
+        F.round("med", 6).alias("med"),
+    )
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6981,6 +7012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c97_temperature_mixture": q_c97_temperature_mixture,
     "c98_quality_dedup": q_c98_quality_dedup,
     "a66_text_entity_group_key": q_a66_text_entity_group_key,
+    "a67_text_stats_aggregates": q_a67_text_stats_aggregates,
 }
 
 
@@ -9412,6 +9444,14 @@ ORACLES["c98_quality_dedup"] = _quality_dedup_oracle_sql(rounds=6)
 ORACLES["a66_text_entity_group_key"] = """
     SELECT source AS pub, count(*)::bigint AS n
     FROM documents GROUP BY source HAVING count(*) >= 20
+"""
+
+ORACLES["a67_text_stats_aggregates"] = """
+    SELECT lang,
+           round(stddev_samp(CAST(doc_id % 97 AS double)), 6) AS sd,
+           round(stddev_pop(CAST(doc_id % 97 AS double)), 6) AS sdp,
+           round(quantile_cont(CAST(doc_id % 97 AS double), 0.5), 6) AS med
+    FROM documents GROUP BY lang
 """
 
 ORACLES["c96_span_removal"] = """

@@ -2806,3 +2806,40 @@ def test_text_whole_entity_with_key(spark):
             "RETURN pk.key AS z",
             graph=g,
         )
+
+
+def test_text_stats_aggregates(spark):
+    """stDev (sample) / stDevP (population) / percentileCont map onto
+    stddev_samp / stddev_pop / exact percentile; percentileDisc is
+    refused by name rather than silently approximated."""
+    import statistics
+
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    src = spark.createDataFrame(
+        [(str(i), v) for i, v in enumerate(vals)], "k string, x double"
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["x"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN stDev(n.x) AS sd, stDevP(n.x) AS sdp, "
+        "percentileCont(n.x, 0.5) AS med, "
+        "percentileCont(n.x * 2, 0.25) AS q1x2",
+        graph=g,
+    ).df.collect()[0]
+    assert abs(r["sd"] - statistics.stdev(vals)) < 1e-9
+    assert abs(r["sdp"] - statistics.pstdev(vals)) < 1e-9
+    assert abs(r["med"] - 4.5) < 1e-9
+    assert abs(r["q1x2"] - 8.0) < 1e-9
+    with _pytest.raises(CypherUnsupported, match="percentileDisc"):
+        run_cypher(
+            spark, "MATCH (n:Doc) RETURN percentileDisc(n.x, 0.5) AS d", graph=g
+        )
