@@ -53,10 +53,19 @@ def node_id_expr(label: Column | str, key: Column | str) -> Column:
     two short strings are ~2^-64 per pair — acceptable for analytic graphs
     (and vastly safer than the reference's reliance on Neo4j's per-store
     id counter when data is rebuilt).
+
+    The key is hashed as a STRING — the same representation the canonical
+    ``nodes.key`` column stores — so *every* path that mints an id (MERGE
+    via :func:`as_nodes`, CREATE ordinals in ``writer.create_nodes``,
+    edge endpoints via :func:`as_edges`, and any re-derivation from a
+    stored ``key``) agrees regardless of the caller's source column type.
+    xxhash64 hashes a long and its decimal string differently, so without
+    this normalization a CREATE over a bigint key would mint ids that
+    MERGE/as_edges (fed the raw long) could never find.
     """
     label_c = F.lit(label) if isinstance(label, str) else label
     key_c = F.col(key) if isinstance(key, str) else key
-    return F.xxhash64(label_c, key_c)
+    return F.xxhash64(label_c, key_c.cast("string"))
 
 
 def as_nodes(df: DataFrame, label: str, key_col: str, prop_cols: list[str] | None = None) -> DataFrame:

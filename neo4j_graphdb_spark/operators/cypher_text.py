@@ -1115,6 +1115,14 @@ def _run_explain(
             f"{kind} supports read statements only (write statements "
             "execute eagerly in the batched upsert path)"
         )
+    if re.match(r"\s*CALL\b", masked, re.IGNORECASE):
+        # graph procedures (CALL graft.*) drive eager per-superstep loops
+        # while building their result frame — a no-execute EXPLAIN would
+        # lie exactly the way it would for writes
+        raise CypherUnsupported(
+            f"{kind} supports plain read statements only (CALL procedures "
+            "execute their supersteps eagerly while planning)"
+        )
     res = run_cypher(spark, inner.strip(), params, store=store, graph=graph)
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -3541,6 +3549,7 @@ def _aggregate_return(
     makes the result value-comparable across partitionings and against
     the SQL oracle."""
     keys, aggs, name_map = [], [], {}
+    hidden_keys: list[str] = []  # identity columns behind entity group keys
 
     def _source(alias: str, prop: str | None, fn: str | None = None):
         if alias in aliases:
@@ -3672,7 +3681,13 @@ def _aggregate_return(
                 # `RETURN p, count(a)`: the entity groups as ONE struct
                 # column (deterministic field order → a valid, stable
                 # grouping key), which a post-WITH tail can open with
-                # `p.key`-style field access
+                # `p.key`-style field access. Neo4j groups by node
+                # IDENTITY, so two parallel nodes minted by CREATE
+                # ordinals (same content, different ids) must stay two
+                # groups: the node-id column joins the grouping key as a
+                # HIDDEN column (it functionally determines the struct,
+                # so (id, struct) groups exactly by identity) and is
+                # dropped after the agg so the visible schema is unchanged
                 name = out or alias
                 prefix = aliases[alias]
                 e = (
@@ -3680,6 +3695,11 @@ def _aggregate_return(
                     if prefix
                     else _node_entity(df, name)
                 )
+                id_col = f"{prefix}{NODE_ID}" if prefix else NODE_ID
+                if id_col in df.columns:
+                    hid = f"_gid_{name}"
+                    keys.append(F.col(id_col).alias(hid))
+                    hidden_keys.append(hid)
                 keys.append(e)
                 name_map[name] = name
                 continue
@@ -3690,6 +3710,8 @@ def _aggregate_return(
             if prop is not None:
                 name_map[f"{alias}.{prop}"] = name
     grouped = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if hidden_keys:
+        grouped = grouped.drop(*hidden_keys)
     if order_by:
         sorts = []
         for key, desc in order_by:

@@ -934,6 +934,10 @@ def _hamming_band_slices(
         )
     width = 64 // bands
     mask = (1 << width) - 1
+    # NULL hashes (missing payloads — bmp_dhash_bits(None) is None) carry
+    # no perceptual signal: drop them here, the single shared entry of
+    # both variants, so they can never surface as candidates
+    df = df.filter(F.col(hash_col).isNotNull())
     return df.select(
         F.col(id_col).alias(out_id),
         F.col(hash_col).alias(out_hash),

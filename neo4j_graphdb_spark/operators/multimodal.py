@@ -476,7 +476,7 @@ def gif_probe_kernel(payload: bytes | None, kind: str) -> list[float]:
     raise ValueError("missing GIF trailer")
 
 
-def bmp_dhash_bits(payload: bytes | None) -> int:
+def bmp_dhash_bits(payload: bytes | None) -> int | None:
     """64-bit DIFFERENCE hash (dHash, Krawetz 2013) of a 9x8 24-bit BMP:
     per pixel, grayscale = (B+G+R)/3; bit(x, y) = 1 iff
     gray(x, y) > gray(x+1, y) for x in 0..7, y in 0..7 (y=0 is the TOP
@@ -484,11 +484,15 @@ def bmp_dhash_bits(payload: bytes | None) -> int:
     canonical perceptual fingerprint: local brightness gradients survive
     re-encoding/resizing, so near-identical images land within a few
     bits. A PIL kernel for arbitrary rasters resizes to 9x8 first and
-    reuses this exact bit rule."""
+    reuses this exact bit rule.
+
+    ``None`` payloads hash to ``None`` (nullable LongType downstream) —
+    NOT to a sentinel 0, which would surface every missing image as a
+    distance-0 "near-duplicate" of every other missing/blank image."""
     import struct
 
     if payload is None:
-        return 0
+        return None
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = struct.unpack("<I", payload[10:14])[0]

@@ -6630,8 +6630,8 @@ def q_c87_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graphdb_spark.model import node_id_expr
 
     def we(df: DataFrame, sl: str, sk: str, dl: str, dk: str) -> DataFrame:
-        # keys hash as STRINGS — node_id_expr must see the same operand
-        # type as_nodes hashed, or the ids silently diverge
+        # node_id_expr stringifies keys internally, so raw-typed key
+        # columns are fine here; the explicit casts are kept for clarity
         return df.select(
             node_id_expr(sl, F.col(sk).cast("string")).alias("src"),
             node_id_expr(dl, F.col(dk).cast("string")).alias("dst"),

@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes
+from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes, node_id_expr
 
 # Sub-label file pruning: each label/rel_type partition is further
 # hash-bucketed on the merge key, so a MERGE batch rewrites only the
@@ -705,8 +705,11 @@ class GraphStore:
                 )
                 .drop("_prior")
             )
+        # ordinal 0 MUST mint the same id as as_nodes/as_edges
+        # (node_id_expr over the stringified key) so MERGE finds the first
+        # CREATE of a key and CREATE-d edges resolve their endpoints
         node_id = F.when(
-            F.col("_ord") == 0, F.xxhash64(F.lit(label), F.col("key"))
+            F.col("_ord") == 0, node_id_expr(label, F.col("key"))
         ).otherwise(F.xxhash64(F.lit(label), F.col("key"), F.col("_ord")))
         created_rows = (
             incoming.select(

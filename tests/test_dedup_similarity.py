@@ -584,3 +584,36 @@ def test_quality_dedup_keeps_best_per_cluster(spark):
     assert out[2] == (1, 9, True)
     assert out[3] == (1, 9, False)
     assert out[4] == (4, 1, True)  # singleton keeps itself
+
+
+def test_null_payload_hash_is_null_and_excluded(spark):
+    """Regression (ADVICE r7, low): a NULL payload must hash to NULL, and
+    null hashes must never surface as candidates — previously
+    bmp_dhash_bits(None) returned 0, pairing every missing image with
+    every other missing/blank image at distance 0."""
+    from neo4j_graphdb_spark.operators.dedup import (
+        hamming_near_dup,
+        stream_hamming_near_dup,
+    )
+    from neo4j_graphdb_spark.operators.multimodal import bmp_dhash, bmp_dhash_bits
+
+    assert bmp_dhash_bits(None) is None
+
+    media = spark.createDataFrame(
+        [(1, "image", None), (2, "image", None)],
+        "media_id long, kind string, payload binary",
+    )
+    hashes = bmp_dhash(media)
+    assert [r["dhash"] for r in hashes.collect()] == [None, None]
+    assert hamming_near_dup(hashes).count() == 0
+
+    mixed = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7)], "media_id long, dhash long"
+    )
+    assert hamming_near_dup(mixed).count() == 0
+    assert (
+        stream_hamming_near_dup(
+            mixed, spark.createDataFrame([(9, None)], "media_id long, dhash long")
+        ).count()
+        == 0
+    )

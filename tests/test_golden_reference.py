@@ -2475,6 +2475,10 @@ def test_text_explain_profile(spark):
         run_cypher(spark, "EXPLAIN MERGE (n:Doc {k: 'x'})", graph=g)
     with _pytest.raises(CypherUnsupported, match="read statements only"):
         run_cypher(spark, "PROFILE MATCH (n:Doc) DETACH DELETE n", graph=g)
+    # CALL procedures drive eager superstep loops while building their
+    # frame — EXPLAIN's no-execute promise cannot hold (ADVICE r7, low)
+    with _pytest.raises(CypherUnsupported, match="CALL procedures"):
+        run_cypher(spark, "EXPLAIN CALL graft.pagerank() YIELD key", graph=g)
 
 
 def test_text_rel_type_alternation(spark, tmp_path):
@@ -2843,3 +2847,24 @@ def test_text_stats_aggregates(spark):
         run_cypher(
             spark, "MATCH (n:Doc) RETURN percentileDisc(n.x, 0.5) AS d", graph=g
         )
+
+
+def test_text_entity_group_key_groups_by_identity(spark, tmp_path):
+    """Regression (ADVICE r7, medium): `RETURN p, count(*)` groups by node
+    IDENTITY, Neo4j-style — two parallel nodes minted by CREATE ordinals
+    (same label/key/props, different node ids) must form two groups, not
+    collapse into one value-equal struct group."""
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    batch = spark.createDataFrame([("k1", "t")], "link string, title string")
+    store.create_nodes(batch, "Art", "link", ["title"])
+    store.create_nodes(batch, "Art", "link", ["title"])  # parallel copy
+    g = Graph(store.nodes(), None)
+    r = run_cypher(
+        spark, "MATCH (p:Art) RETURN p, count(*) AS n", graph=g
+    ).df.collect()
+    assert len(r) == 2 and all(x["n"] == 1 for x in r)
+    assert all(x["p"]["key"] == "k1" for x in r)

@@ -545,3 +545,35 @@ def test_apply_changes_round_trip(spark, tmp_path):
             ),
             label="X", key_col="link", prop_cols=["title"],
         )
+
+
+def test_create_with_nonstring_key_agrees_with_merge_and_edges(spark, tmp_path):
+    """Regression (ADVICE r7, high): every id-minting path must hash the
+    key in the SAME representation. CREATE over a bigint key used to hash
+    the string-cast key while as_edges/merge_nodes hashed the raw long —
+    CREATE-d edges dangled and a later MERGE of the same key minted a
+    duplicate instead of finding the ordinal-0 node."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    nodes = spark.createDataFrame([(1, "a"), (2, "b")], "k long, title string")
+    store.create_nodes(nodes, label="N", key_col="k", prop_cols=["title"])
+
+    # edges minted from the SAME raw long keys must resolve both endpoints
+    edges = spark.createDataFrame([(1, 2)], "sk long, dk long")
+    store.create_edges(edges, "REL", "N", "sk", "N", "dk")
+    stored_n = store.nodes()
+    stored_e = store.edges()
+    resolved = (
+        stored_e.join(stored_n.select(F.col("node_id").alias("src")), "src")
+        .join(stored_n.select(F.col("node_id").alias("dst")), "dst")
+    )
+    assert resolved.count() == 1  # no dangling endpoint
+
+    # MERGE of the same long key must FIND the CREATE-d node, not duplicate
+    s = store.merge_nodes(
+        spark.createDataFrame([(1, "a2")], "k long, title string"),
+        label="N", key_col="k", prop_cols=["title"],
+    )
+    assert s.nodes_created == 0
+    assert store.nodes().filter(F.col("key") == "1").count() == 1
+    got = store.nodes().filter(F.col("key") == "1").collect()[0]["title"]
+    assert got == "a2"
