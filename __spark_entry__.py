@@ -59,9 +59,7 @@ def oracle_sql() -> dict[str, str]:
     centroids), the multimodal mapInPandas path (c11 — the stub kernel
     is a pure function the oracle recomputes), and md5-fold variants of
     MinHash/SimHash that verify the full pipelines value-for-value.
-    Only the production xxhash64 minhash/simhash entries are omitted
-    (no DuckDB xxhash64) → rows-only; the unverified delta is the hash
-    primitive swap alone."""
+    EVERY declared entry has an oracle — none are rows-only."""
     from neo4j_graphdb_spark.registry import ORACLES
 
     return dict(ORACLES)

@@ -1172,10 +1172,16 @@ def run_cypher(
             store=store,
             graph=graph,
         )
+    subq = _split_call_subquery(masked_q)
+    if subq is not None:
+        return _run_call_subquery(
+            spark, subq, q_lits, params, store=store, graph=graph
+        )
     if re.match(r"^\s*CALL\b", masked_q, re.IGNORECASE):
         raise CypherUnsupported(
             "unsupported CALL form (supported: CALL graft.<proc>({cfg}) "
-            "YIELD col[, …] [RETURN …] [ORDER BY …] [SKIP n] [LIMIT n])"
+            "YIELD col[, …] [RETURN …] [ORDER BY …] [SKIP n] [LIMIT n], "
+            "or a CALL { … } subquery)"
         )
     union_parts = _UNION_SPLIT_RE.split(masked_q)
     if len(union_parts) > 1:
@@ -1323,6 +1329,240 @@ def _run_union(
     if not alls.pop():
         out = out.dropDuplicates()
     return CypherResult(out, None)
+
+
+_CALL_SUBQ_RE = re.compile(r"(?<![.$\w])CALL\s*\{", re.IGNORECASE)
+
+
+def _split_call_subquery(masked: str) -> tuple[str, str, str] | None:
+    """Find a top-level ``CALL { … }`` in masked statement text and split
+    into (pre, inner, post) around it by brace balancing (string literals
+    are already sentinels, so quoted braces cannot confuse the count).
+    Returns None when the statement has no CALL-brace form."""
+    m = _CALL_SUBQ_RE.search(masked)
+    if m is None:
+        return None
+    depth = 0
+    for i in range(m.end() - 1, len(masked)):
+        if masked[i] == "{":
+            depth += 1
+        elif masked[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return masked[: m.start()], masked[m.end() : i], masked[i + 1 :]
+    raise CypherUnsupported("unbalanced braces in CALL { … }")
+
+
+def _is_agg_item(item: str) -> bool:
+    return bool(
+        _AGG_ITEM_RE.match(item)
+        or _AGG_EXPR_RE.match(item)
+        or _PERCENTILE_RE.match(item)
+    )
+
+
+def _apply_flat_tail(
+    df: DataFrame,
+    tail: str,
+    lits: list[str],
+    params: dict | None,
+) -> DataFrame:
+    """Run a ``[WHERE …] RETURN … [ORDER BY …] [SKIP n] [LIMIT n]`` tail
+    over a FLAT frame (subquery output names are plain columns). The
+    aggregating form routes through :func:`_aggregate_return` with an
+    empty alias map — Cypher's implicit-grouping rule applies to the
+    subquery's columns exactly as it would to WITH names — and the plain
+    form reuses the post-WITH projector."""
+    clauses, tail_lits = split_clauses_masked(_unmask(tail, lits))
+    if not any(c.kind == "RETURN" for c in clauses):
+        raise CypherUnsupported("CALL { … } needs a RETURN tail")
+    returns: list[str] = []
+    order_by: list[tuple[str, bool]] = []
+    skip: int | None = None
+    limit: int | None = None
+    for c in clauses:
+        if c.kind == "WHERE":
+            for item in re.split(r"\s+AND\s+", c.body, flags=re.IGNORECASE):
+                m = _POST_WHERE_RE.match(item.strip())
+                if not m or m.group("name") not in df.columns:
+                    raise CypherUnsupported(
+                        f"unsupported WHERE after CALL subquery: {item!r}"
+                    )
+                df = df.filter(
+                    _OPS[m.group("op")](
+                        F.col(m.group("name")),
+                        F.lit(_where_value(m.group("val"), tail_lits, params)),
+                    )
+                )
+        elif c.kind == "RETURN":
+            returns = _split_top_commas(c.body)
+        elif c.kind == "ORDER":
+            body = re.sub(r"^BY\s+", "", c.body, flags=re.IGNORECASE)
+            for item in _split_top_commas(body):
+                m = re.match(
+                    r"^(?P<key>\w+)(?:\s+(?P<dir>ASC|DESC))?$", item, re.IGNORECASE
+                )
+                if not m:
+                    raise CypherUnsupported(f"unsupported ORDER BY item: {item!r}")
+                order_by.append(
+                    (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
+                )
+        elif c.kind == "SKIP":
+            skip = _page_count(c.body, params, "SKIP")
+        elif c.kind == "LIMIT":
+            limit = _page_count(c.body, params, "LIMIT")
+        else:
+            raise CypherUnsupported(f"{c.kind} unsupported after CALL {{ … }}")
+    if any(_is_agg_item(i) for i in returns):
+        return _aggregate_return(
+            df, returns, {}, None, order_by, skip, limit, tail_lits, params
+        )
+    ret = _Clause("RETURN", " , ".join(returns))
+    rest = [_Clause("ORDER", "BY " + ", ".join(
+        f"{k} {'DESC' if d else 'ASC'}" for k, d in order_by
+    ))] if order_by else []
+    if skip is not None:
+        rest.append(_Clause("SKIP", str(skip)))
+    if limit is not None:
+        rest.append(_Clause("LIMIT", str(limit)))
+    return _run_post_with(df, [ret] + rest, tail_lits, params)
+
+
+def _run_call_subquery(
+    spark: SparkSession,
+    parts: tuple[str, str, str],
+    lits: list[str],
+    params: dict | DataFrame | None,
+    *,
+    store: GraphStore | None,
+    graph: Graph | None,
+) -> CypherResult:
+    """``CALL { … }`` subqueries (openCypher §15), two shapes:
+
+    1. **Leading, uncorrelated** — ``CALL { <stmt> [UNION <stmt>] }
+       RETURN …``: the inner statement compiles through the normal read
+       path (UNION branches included), and the outer tail projects,
+       filters, or AGGREGATES over its columns — the canonical
+       post-UNION-aggregation idiom Neo4j added CALL subqueries for
+       (plain UNION cannot be aggregated without one).
+    2. **Correlated per-row aggregate** — ``MATCH (p:L) CALL { WITH p
+       MATCH (p)-[:T]->(x) [WHERE …] RETURN count(x) AS c } RETURN …``:
+       rewritten source-to-source into ``MATCH (p:L) OPTIONAL MATCH
+       (p)-[:T]->(x) [WHERE …] WITH p, count(x) AS c RETURN …`` — both
+       forms mean "for each outer row, aggregate over the subquery's
+       matches, 0/empty when none" (OPTIONAL's unmatched side yields a
+       NULL binding that count() skips; the importing WITH becomes the
+       entity grouping key, which groups by node IDENTITY). The rewrite
+       compiles to one extra hash join + one aggregation — no per-row
+       re-execution, which is what makes the shape survive 100 TB.
+
+    Everything else (unit/write subqueries, uncorrelated mid-pipeline
+    CALL, non-aggregate correlated RETURN, subqueries IN TRANSACTIONS)
+    is refused by name.
+    """
+    pre, inner, post = (p.strip() for p in parts)
+    if not inner:
+        raise CypherUnsupported("empty CALL { … } subquery")
+    if re.search(
+        r"(?<![.$\w])(MERGE|CREATE|SET|DELETE|REMOVE|DETACH)\b",
+        inner,
+        re.IGNORECASE,
+    ):
+        raise CypherUnsupported(
+            "CALL { … } supports read subqueries only (write subqueries "
+            "execute eagerly in the batched upsert path)"
+        )
+    if re.match(r"^\s*IN\s+TRANSACTIONS\b", post, re.IGNORECASE):
+        raise CypherUnsupported("CALL { … } IN TRANSACTIONS is outside the subset")
+    imp = re.match(r"^WITH\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s+(?=MATCH|OPTIONAL)",
+                   inner, re.IGNORECASE)
+    if not pre:
+        if imp:
+            raise CypherUnsupported(
+                "importing WITH in CALL { … } needs a preceding MATCH"
+            )
+        if not post.strip():
+            raise CypherUnsupported("CALL { … } needs a RETURN tail")
+        sub = run_cypher(
+            spark, _unmask(inner, lits), params, store=store, graph=graph
+        )
+        if sub.df is None:
+            raise CypherUnsupported("CALL { … } subquery produced no rows frame")
+        read_params = params if isinstance(params, dict) else None
+        return CypherResult(
+            _apply_flat_tail(sub.df, post, lits, read_params), None
+        )
+    if not imp:
+        raise CypherUnsupported(
+            "uncorrelated CALL { … } after MATCH (row-multiplying subquery) "
+            "is outside the subset — lead the statement with it, or import "
+            "rows with WITH"
+        )
+    body = inner[imp.end():].strip()
+    bm = re.match(
+        r"^(?:OPTIONAL\s+)?MATCH\s+(?P<rest>.+?)\s+RETURN\s+(?P<ret>.+)$",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not bm:
+        raise CypherUnsupported(
+            f"correlated CALL {{ … }} supports WITH <aliases> MATCH … "
+            f"RETURN <aggregates>: {body!r}"
+        )
+    ret_items = _split_top_commas(bm.group("ret"))
+    not_agg = next((i for i in ret_items if not _is_agg_item(i)), None)
+    if not_agg is not None:
+        raise CypherUnsupported(
+            "correlated CALL { … } must RETURN aggregates only (general "
+            f"row-multiplying subqueries are outside the subset): {not_agg!r}"
+        )
+    no_name = next(
+        (i for i in ret_items
+         if not re.search(r"\s+AS\s+\w+\s*$", i, re.IGNORECASE)),
+        None,
+    )
+    if no_name is not None:
+        raise CypherUnsupported(
+            f"correlated CALL {{ … }} aggregates need AS names: {no_name!r}"
+        )
+    imports = [n.strip() for n in imp.group("names").split(",")]
+    rest = bm.group("rest").strip()
+    # the OPTIONAL expand wants the BOUND alias as the pattern source;
+    # `WITH p MATCH (a:Art)-[:BY]->(p)` writes it as the destination, so
+    # flip the pattern (reversing the arrow preserves semantics exactly)
+    wm = re.match(r"^(?P<pat>.+?)\s+WHERE\s+(?P<cond>.+)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    pat = (wm.group("pat") if wm else rest).strip()
+    pm = _REL_RE.match(pat)
+    if (
+        pm
+        and imports
+        and pm.group("dst_alias") == imports[0]
+        and pm.group("src_alias") != imports[0]
+        and not pm.group("min_h")
+    ):
+        d = _rel_direction(pm)
+        arrow_l, arrow_r = ("<", "") if d == "out" else ("", ">") if d == "in" else ("", "")
+        rel_bits = pm.group("rel_alias") or ""
+        if pm.group("rel_type"):
+            rel_bits += f":{pm.group('rel_type')}"
+        if pm.group("rel_props"):
+            rel_bits += f" {pm.group('rel_props')}"
+        def _node_txt(alias, label):
+            return f"({alias or ''}{':' + label if label else ''})"
+        pat = (
+            _node_txt(pm.group("dst_alias"), pm.group("dst_label"))
+            + f"{arrow_l}-[{rel_bits}]-{arrow_r}"
+            + _node_txt(pm.group("src_alias"), pm.group("src_label"))
+        )
+    rest = pat + (f" WHERE {wm.group('cond')}" if wm else "")
+    rewritten = (
+        f"{pre} OPTIONAL MATCH {rest} "
+        f"WITH {', '.join(imports + ret_items)} {post}"
+    )
+    return run_cypher(
+        spark, _unmask(rewritten, lits), params, store=store, graph=graph
+    )
 
 
 def _params_frame(spark: SparkSession, params: dict | DataFrame | None) -> DataFrame:

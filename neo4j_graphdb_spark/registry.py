@@ -6242,6 +6242,53 @@ def q_a67_text_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a68_text_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68 ext — correlated ``CALL { … }`` subquery (openCypher §15,
+    Neo4j 4.x+) through the string front-end: ``MATCH (p:Publisher)
+    CALL { WITH p MATCH (a)-[:WRITTEN_BY]->(p) WHERE … RETURN count(a) }
+    RETURN …`` — for each publisher, the count of its articles whose
+    link ends in '0' (a filter some publishers fail entirely, proving
+    the zero-count path). Compiles source-to-source into OPTIONAL MATCH
+    + aggregating WITH (operators/cypher_text.py _run_call_subquery):
+    one hash join + one aggregation, NO per-row re-execution — the
+    shape that survives 100 TB. The WHERE folds into the outer join's
+    ON condition (a failing predicate NULLs the optional side, count()
+    skips the NULL binding)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (p:Publisher) CALL { WITH p "
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p) WHERE a.link ENDS WITH '0' "
+        "RETURN count(a) AS n0 } "
+        "RETURN p.key AS publisher, n0",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df.select("publisher", F.col("n0").cast("bigint").alias("n0"))
+
+
+def q_a74_text_call_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74 ext — uncorrelated leading ``CALL { … UNION ALL … }`` with an
+    AGGREGATING outer RETURN — the canonical post-UNION-aggregation
+    idiom CALL subqueries exist for (plain UNION cannot be aggregated
+    without one). The inner branches compile through the normal read
+    path; the outer ``RETURN key, count(*)`` routes through the same
+    implicit-grouping aggregator as WITH names
+    (operators/cypher_text.py _apply_flat_tail). Publishers ride two
+    branches, so their count is 2; every article counts once."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "CALL { MATCH (a:Article) RETURN a.link AS key "
+        "UNION ALL MATCH (p:Publisher) RETURN p.name AS key "
+        "UNION ALL MATCH (p:Publisher) RETURN p.name AS key } "
+        "RETURN key, count(*) AS n",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df.select("key", F.col("n").cast("bigint").alias("n"))
+
+
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A63 ext — relationship-type ALTERNATION ``[r:FROM|IN]`` through
     the string front-end (Cypher's multi-type pattern, openCypher §
@@ -6775,18 +6822,52 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   a61 update statement, a62 rel deletion, c92 boilerplate removal,
 #   c93 phash near-dup, c94 Louvain, c95 stream phash gate) + the
 #   remaining slots from the never-driver-checked backlog.
-#   Next rotation (r08) should LEAD with the 22-entry block tagged
-#   "r8 window backlog" below (c66_pq_topk through c83_node2vec_walks —
-#   includes the entries this round's additions displaced) PLUS the
-#   seven entries added after the r7 window froze (c96 span removal,
-#   a63 rel alternation, a64 label alternation, a65 list
-#   comprehensions, c97 temperature mixture, c98 quality dedup, a66
-#   entity group keys — appended at the dict tail) — that completes
-#   driver coverage of every declared entry.
+#   r08's window (current first 50) = the 30 never-driver-checked
+#   entries (the 22-entry backlog block c66_pq_topk..c83_node2vec_walks
+#   plus the 8 post-r7-window tail additions c96/a63/a64/a65/c97/c98/
+#   a66/a67) — completing a driver-artifact row for EVERY declared
+#   entry — followed by this round's additions in slots 31-50.
+#   From r09 on, only new/changed entries need to lead; cumulative
+#   driver coverage is total.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r7 driver window (first 50): this round's fixed/new entries
-    # (a49/c41 array-column fix, a54-a58), then the never-driver-checked
-    # backlog (rotation ledger above) ----
+    # ---- r8 driver window (first 50): the 30 never-driver-checked
+    # entries (22-entry backlog block + the 8 post-r7-window tail
+    # additions), completing a driver-artifact row for every declared
+    # entry; slots 31-50 carry the round-8 additions (ledger above) ----
+    "c66_pq_topk": q_c66_pq_topk,
+    "rel_hierarchy": q_rel_hierarchy,
+    "c67_bpe_merges": q_c67_bpe_merges,
+    "c68_bloom_semi_join": q_c68_bloom_semi_join,
+    "c70_incremental_cc": q_c70_incremental_cc,
+    "c69_stream_outer_join": q_c69_stream_outer_join,
+    "c71_bpe_apply": q_c71_bpe_apply,
+    "rel_distribution": q_rel_distribution,
+    "c72_neighbor_sample": q_c72_neighbor_sample,
+    "c73_hashed_features": q_c73_hashed_features,
+    "c74_ppmi": q_c74_ppmi,
+    "c75_negative_sample": q_c75_negative_sample,
+    "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
+    "rel_pit_join": q_rel_pit_join,
+    "c77_time_decay": q_c77_time_decay,
+    "c78_real_bmp_decode": q_c78_real_bmp_decode,
+    "c79_real_wav_decode": q_c79_real_wav_decode,
+    "c80_real_gif_probe": q_c80_real_gif_probe,
+    "rel_rolling_1h": q_rel_rolling_1h,
+    "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
+    "c82_assortativity": q_c82_assortativity,
+    "c83_node2vec_walks": q_c83_node2vec_walks,
+    "c96_span_removal": q_c96_span_removal,
+    "a63_text_rel_alternation": q_a63_text_rel_alternation,
+    "a64_text_label_alternation": q_a64_text_label_alternation,
+    "a65_text_list_comprehension": q_a65_text_list_comprehension,
+    "c97_temperature_mixture": q_c97_temperature_mixture,
+    "c98_quality_dedup": q_c98_quality_dedup,
+    "a66_text_entity_group_key": q_a66_text_entity_group_key,
+    "a67_text_stats_aggregates": q_a67_text_stats_aggregates,
+    # ---- r8 additions land here (inside the 50-entry window) ----
+    "a68_text_call_subquery": q_a68_text_call_subquery,
+    "a74_text_call_union_agg": q_a74_text_call_union_agg,
+    # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
     "a54_text_create": q_a54_text_create,
@@ -6837,30 +6918,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c64_interleave": q_c64_interleave,
     "c65_adamic_adar": q_c65_adamic_adar,
     "rel_skyline": q_rel_skyline,
-    # ---- r8 window backlog: remaining never-driver-checked entries ----
-    "c66_pq_topk": q_c66_pq_topk,
-    "rel_hierarchy": q_rel_hierarchy,
-    "c67_bpe_merges": q_c67_bpe_merges,
-    "c68_bloom_semi_join": q_c68_bloom_semi_join,
-    "c70_incremental_cc": q_c70_incremental_cc,
-    "c69_stream_outer_join": q_c69_stream_outer_join,
-    "c71_bpe_apply": q_c71_bpe_apply,
-    "rel_distribution": q_rel_distribution,
-    "c72_neighbor_sample": q_c72_neighbor_sample,
-    "c73_hashed_features": q_c73_hashed_features,
-    "c74_ppmi": q_c74_ppmi,
-    "c75_negative_sample": q_c75_negative_sample,
-    "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
-    "rel_pit_join": q_rel_pit_join,
-    "c77_time_decay": q_c77_time_decay,
-    "c78_real_bmp_decode": q_c78_real_bmp_decode,
-    "c79_real_wav_decode": q_c79_real_wav_decode,
-    "c80_real_gif_probe": q_c80_real_gif_probe,
-    "rel_rolling_1h": q_rel_rolling_1h,
-    "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
-    "c82_assortativity": q_c82_assortativity,
-    "c83_node2vec_walks": q_c83_node2vec_walks,
-    # ---- driver-green union of the r2-r6 windows (long-green tail) ----
     "a42_text_incoming": q_a42_text_incoming,
     "a43_text_undirected": q_a43_text_undirected,
     "a44_text_union": q_a44_text_union,
@@ -7005,14 +7062,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_repetition": q_c10_repetition,
     "a1_label_scan": q_a1_label_scan,
     "a2_all_nodes": q_a2_all_nodes,
-    "c96_span_removal": q_c96_span_removal,
-    "a63_text_rel_alternation": q_a63_text_rel_alternation,
-    "a64_text_label_alternation": q_a64_text_label_alternation,
-    "a65_text_list_comprehension": q_a65_text_list_comprehension,
-    "c97_temperature_mixture": q_c97_temperature_mixture,
-    "c98_quality_dedup": q_c98_quality_dedup,
-    "a66_text_entity_group_key": q_a66_text_entity_group_key,
-    "a67_text_stats_aggregates": q_a67_text_stats_aggregates,
 }
 
 
@@ -9788,4 +9837,19 @@ ORACLES["c91_overlap_similarity"] = """
     SELECT ca::bigint AS custkey, cb::bigint AS neighbor,
            round(sc, 6) AS overlap, rn::bigint AS rank
     FROM r WHERE rn <= 5
+"""
+
+ORACLES["a68_text_call_subquery"] = """
+    SELECT source AS publisher,
+           count(CASE WHEN cast(doc_id AS varchar) LIKE '%0' THEN 1 END)::bigint AS n0
+    FROM documents GROUP BY source
+"""
+
+ORACLES["a74_text_call_union_agg"] = """
+    WITH u AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS key FROM documents
+        UNION ALL SELECT key FROM (SELECT DISTINCT source AS key FROM documents)
+        UNION ALL SELECT key FROM (SELECT DISTINCT source AS key FROM documents)
+    )
+    SELECT key, count(*)::bigint AS n FROM u GROUP BY key
 """

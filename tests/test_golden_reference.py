@@ -2868,3 +2868,97 @@ def test_text_entity_group_key_groups_by_identity(spark, tmp_path):
     ).df.collect()
     assert len(r) == 2 and all(x["n"] == 1 for x in r)
     assert all(x["p"]["key"] == "k1" for x in r)
+
+
+def test_text_call_subquery_shapes(spark):
+    """CALL { … } subqueries (a68/a74): leading uncorrelated form with a
+    post-UNION aggregating tail; correlated importing-WITH form compiled
+    to OPTIONAL MATCH + aggregating WITH (zero-count rows included, and
+    the inner WHERE scoped to the subquery, not the outer row); reject
+    matrix for the forms outside the subset."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("a1", 1), ("a2", 2), ("a3", 3)], "k string, x int")
+    p = spark.createDataFrame([("p1",), ("p2",), ("p3",)], "k string")
+    e = spark.createDataFrame(
+        [("a1", "p1"), ("a2", "p1"), ("a3", "p2")], "s string, d string"
+    )
+    g = Graph(
+        as_nodes(n, "Art", "k", ["x"]).unionByName(
+            as_nodes(p, "Pub", "k"), allowMissingColumns=True
+        ),
+        as_edges(e, "BY", "Art", "s", "Pub", "d"),
+    )
+
+    # uncorrelated: post-UNION aggregation with grouping + ORDER BY
+    r = run_cypher(
+        spark,
+        "CALL { MATCH (a:Art)-[:BY]->(p:Pub) RETURN p.key AS pub "
+        "UNION ALL MATCH (p:Pub) RETURN p.key AS pub } "
+        "RETURN pub, count(*) AS n ORDER BY n DESC, pub ASC",
+        graph=g,
+    ).df.collect()
+    assert [(x["pub"], x["n"]) for x in r] == [("p1", 3), ("p2", 2), ("p3", 1)]
+
+    # uncorrelated: plain (non-aggregating) tail with WHERE + LIMIT
+    r = run_cypher(
+        spark,
+        "CALL { MATCH (a:Art) RETURN a.key AS k UNION "
+        "MATCH (a:Art) RETURN a.key AS k } "
+        "RETURN k ORDER BY k LIMIT 2",
+        graph=g,
+    ).df.collect()
+    assert [x["k"] for x in r] == ["a1", "a2"]
+
+    # correlated: per-row count, bound alias on the pattern's DST side
+    # (the compiler flips the pattern), zero-count publisher included
+    r = run_cypher(
+        spark,
+        "MATCH (p:Pub) CALL { WITH p MATCH (a:Art)-[:BY]->(p) "
+        "RETURN count(a) AS cnt } RETURN p.key AS pub, cnt ORDER BY pub",
+        graph=g,
+    ).df.collect()
+    assert [(x["pub"], x["cnt"]) for x in r] == [("p1", 2), ("p2", 1), ("p3", 0)]
+
+    # correlated with inner WHERE: scoped to the subquery (ON-semantics)
+    r = run_cypher(
+        spark,
+        "MATCH (p:Pub) CALL { WITH p MATCH (a:Art)-[:BY]->(p) "
+        "WHERE a.x >= 2 RETURN count(a) AS cnt } "
+        "RETURN p.key AS pub, cnt ORDER BY pub",
+        graph=g,
+    ).df.collect()
+    assert [(x["pub"], x["cnt"]) for x in r] == [("p1", 1), ("p2", 1), ("p3", 0)]
+
+    # correlated: bound alias already on the SRC side (no flip)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art) CALL { WITH a MATCH (a)-[:BY]->(p:Pub) "
+        "RETURN count(p) AS np } RETURN a.key AS k, np ORDER BY k",
+        graph=g,
+    ).df.collect()
+    assert [(x["k"], x["np"]) for x in r] == [("a1", 1), ("a2", 1), ("a3", 1)]
+
+    # reject matrix
+    for q, pat in [
+        ("CALL { MATCH (a:Art) RETURN a.key AS k }", "RETURN tail"),
+        ("CALL { } RETURN 1 AS x", "empty CALL"),
+        ("MATCH (p:Pub) CALL { MATCH (a:Art) RETURN a.key AS k } RETURN k",
+         "uncorrelated"),
+        ("MATCH (p:Pub) CALL { WITH p MATCH (a:Art)-[:BY]->(p) "
+         "RETURN a.key AS k } RETURN k", "aggregates only"),
+        ("CALL { CREATE (n:X {k: 'v'}) } RETURN 1 AS x", "read subqueries only"),
+        ("MATCH (p:Pub) CALL { WITH p MATCH (a:Art)-[:BY]->(p) "
+         "RETURN count(a) } RETURN p.key AS k", "AS names"),
+        ("CALL { MATCH (a:Art) RETURN a.key AS k } IN TRANSACTIONS RETURN k",
+         "IN TRANSACTIONS"),
+    ]:
+        with _pytest.raises(CypherUnsupported, match=pat):
+            run_cypher(spark, q, graph=g)
