@@ -174,6 +174,7 @@ class Graph:
         dst_label: str | None = None,
         src_alias: str = "a",
         dst_alias: str = "b",
+        collect_paths: bool = False,
     ) -> DataFrame:
         """``MATCH (a[:L1])-[:T*min..max]->(b[:L2])`` — variable-length
         path with Cypher's RELATIONSHIP-UNIQUENESS: one output row per
@@ -185,13 +186,38 @@ class Graph:
         ``max_hops - min_hops + 1`` fixed-length broadcast-join ladders;
         unbounded ``[*]`` is deliberately not offered (at 100 TB you
         want the iterative BFS substrate,
-        ``graph.algorithms.shortest_paths``, not a join explosion)."""
+        ``graph.algorithms.shortest_paths``, not a join explosion).
+
+        ``collect_paths=True`` additionally materializes the path
+        itself: ``path_keys`` (the node merge-keys along the path, in
+        order — the oracle-able projection of Cypher's ``nodes(p)``) and
+        ``path_types`` (the relationship types in order —
+        ``relationships(p)``). One extra hash join enriches each edge
+        with its destination's key BEFORE the ladder, so the arrays
+        assemble from columns already riding the joins — no extra
+        shuffle per hop and no post-hoc path reconstruction.
+        """
         if not 1 <= min_hops <= max_hops:
             raise ValueError("need 1 <= min_hops <= max_hops")
         if self.edges_df is None:
             raise ValueError("graph has no edges")
         e_base = self.edges_df
         e_base = _rel_filter(e_base, rel_type)
+        if collect_paths:
+            key_map = self.nodes_df.select(
+                F.col(NODE_ID).alias("_pkid"), F.col("key").alias("_pkkey")
+            )
+            e_base = e_base.join(
+                key_map, e_base["dst"] == F.col("_pkid")
+            ).drop("_pkid")
+        edge_struct = (
+            (lambda: F.struct(
+                F.col("src"), F.col("dst"), F.col("rel_type"),
+                F.col("_pkkey").alias("dst_key"),
+            ))
+            if collect_paths
+            else (lambda: F.struct("src", "dst", "rel_type"))
+        )
         parts = []
         for h in range(min_hops, max_hops + 1):
             cur = _prefix(self.match(src_label), src_alias)
@@ -200,7 +226,7 @@ class Graph:
                 e = e_base.select(
                     F.col("src").alias(f"_s{i}"),
                     F.col("dst").alias(f"_d{i}"),
-                    F.struct("src", "dst", "rel_type").alias(f"_e{i}"),
+                    edge_struct().alias(f"_e{i}"),
                 )
                 cur = cur.join(e, cur[prev_end] == e[f"_s{i}"]).drop(f"_s{i}")
                 prev_end = f"_d{i}"
@@ -216,7 +242,25 @@ class Graph:
                 for c in cur.columns
                 if c.startswith(f"{src_alias}_") or c.startswith(f"{dst_alias}_")
             ]
-            parts.append(cur.select(*keep).withColumn("hops", F.lit(h).cast("int")))
+            extra = []
+            if collect_paths:
+                extra = [
+                    F.concat(
+                        F.array(F.col(f"{src_alias}_key")),
+                        F.array(*[
+                            F.col(f"_e{i}").getField("dst_key")
+                            for i in range(h)
+                        ]),
+                    ).alias("path_keys"),
+                    F.array(*[
+                        F.col(f"_e{i}").getField("rel_type") for i in range(h)
+                    ]).alias("path_types"),
+                ]
+            parts.append(
+                cur.select(*keep, *extra).withColumn(
+                    "hops", F.lit(h).cast("int")
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

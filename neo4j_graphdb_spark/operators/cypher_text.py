@@ -231,7 +231,8 @@ _COUNT_ITEM_RE = re.compile(
 # entity-introspection functions; length(p) — path length for a
 # shortestPath/var-length binding
 _FN_ITEM_RE = re.compile(
-    r"^(?P<fn>labels|type|id|length|keys|properties)\s*\(\s*(?P<alias>\w+)\s*\)"
+    r"^(?P<fn>labels|type|id|length|keys|properties|nodes|relationships)"
+    r"\s*\(\s*(?P<alias>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE,
 )
@@ -239,6 +240,15 @@ _FN_ITEM_RE = re.compile(
 # p = shortestPath((a:L)-[:T*1..k]->(b:M)) — depth-capped shortest path
 _SHORTEST_RE = re.compile(
     r"^(?P<palias>\w+)\s*=\s*shortestPath\s*\((?P<pat>.+)\)$", re.IGNORECASE
+)
+
+# p = (a:L)-[:T*1..k]->(b:M) — plain path-variable binding (a69)
+_PATH_BIND_RE = re.compile(r"^(?P<palias>\w+)\s*=\s*(?P<pat>\(.+)$")
+
+# n {.title, .link} — map projection RETURN item (a72)
+_MAP_PROJ_RE = re.compile(
+    r"^(?P<alias>\w+)\s*\{(?P<fields>[^{}]*)\}(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
 )
 
 _AGG_ITEM_RE = re.compile(
@@ -412,6 +422,29 @@ def _parse_bool_expr(body: str):
             return e
         if t is None or t in (")", "AND", "OR"):
             raise CypherUnsupported(f"unsupported WHERE expression: {body!r}")
+        if (
+            re.fullmatch(r"(?i)all|any|none|single", t.strip())
+            and idx + 1 < len(tokens)
+            and tokens[idx + 1] == "("
+        ):
+            # list-predicate leaf — all/any/none/single(x IN xs WHERE p).
+            # The paren tokenizer shredded the call; reassemble it through
+            # its balanced parens into one text leaf the scalar compiler
+            # owns (the inner WHERE/cmp grammar is its, not this one's)
+            parts = [take()]
+            depth = 0
+            while idx < len(tokens):
+                tok = take()
+                parts.append(tok)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            if depth != 0:
+                raise CypherUnsupported(f"unbalanced parens in WHERE: {body!r}")
+            return ("exprpred", " ".join(parts))
         m = _WHERE_ITEM_RE.match(take().strip())
         if not m:
             raise CypherUnsupported(f"unsupported WHERE predicate in: {body!r}")
@@ -457,19 +490,21 @@ def _mask_strings(text: str) -> tuple[str, list[str]]:
 
 
 def _clause_split_outside_brackets(masked: str) -> list[str]:
-    """``_CLAUSE_RE.split`` that ignores keyword hits inside ``[…]`` —
-    list comprehensions carry WHERE (and ``|``) inside their brackets,
-    which must not open a new clause. Relationship patterns also use
-    brackets but never contain clause keywords, so depth tracking is
-    safe for both. Returns the same [pre, kw, body, kw, body, …] shape
-    as ``re.split`` with one capture group."""
+    """``_CLAUSE_RE.split`` that ignores keyword hits inside ``[…]`` or
+    ``(…)`` — list comprehensions carry WHERE (and ``|``) inside their
+    brackets, and list PREDICATES (``all(x IN xs WHERE …)``) carry it
+    inside their parens; neither must open a new clause. Relationship
+    and node patterns also use brackets/parens but never contain clause
+    keywords at depth, so depth tracking is safe for all. Returns the
+    same [pre, kw, body, kw, body, …] shape as ``re.split`` with one
+    capture group."""
     depth = 0
     depths = []
     for ch in masked:
-        if ch == "[":
+        if ch in "[(":
             depth += 1
         depths.append(depth)
-        if ch == "]":
+        if ch in "])":
             depth -= 1
     parts: list[str] = []
     last = 0
@@ -2161,6 +2196,24 @@ def _parse_scalar_expr(text: str):
                 )
             take()
             nk, nv = peek()
+            if (nk, nv) == ("op", "(") and up in ("ALL", "ANY", "NONE", "SINGLE"):
+                # list predicates (openCypher §4.2): all/any/none/single
+                # (x IN list WHERE pred) — compiled to forall/exists
+                # higher-order functions below, one Catalyst expression
+                take()
+                vk, vv = take()
+                ik, iv = take()
+                if vk != "name" or ik != "name" or (iv or "").upper() != "IN":
+                    raise CypherUnsupported(
+                        f"{v}() needs the form {v}(x IN list WHERE predicate)"
+                    )
+                src = parse_expr()
+                if not at_keyword("WHERE"):
+                    raise CypherUnsupported(f"{v}() needs a WHERE predicate")
+                take()
+                pred = parse_predicate()
+                expect_op(")")
+                return ("listpred", up.lower(), vv, src, pred)
             if (nk, nv) == ("op", "("):
                 take()
                 args = []
@@ -2179,6 +2232,26 @@ def _parse_scalar_expr(text: str):
                         f"expected property after {v}. in expression: {text!r}"
                     )
                 take()
+                if v.lower() == "datetime" and pv.lower() == "truncate":
+                    # datetime.truncate('unit', expr) — Neo4j's temporal
+                    # truncation, compiled to date_trunc below
+                    expect_op("(")
+                    unit_ast = parse_expr()
+                    expect_op(",")
+                    inner = parse_expr()
+                    expect_op(")")
+                    return ("ttrunc", unit_ast, inner)
+                if peek() == ("op", "."):
+                    # chained access: a.ts.year — a temporal COMPONENT of
+                    # the property (openCypher instant accessors)
+                    take()
+                    ck2, cv2 = peek()
+                    if ck2 != "name":
+                        raise CypherUnsupported(
+                            f"expected component after {v}.{pv}.: {text!r}"
+                        )
+                    take()
+                    return ("tfield", ("prop", v, pv), cv2)
                 return ("prop", v, pv)
             # bare identifier — a flat column (WITH projection, UNWIND
             # variable); resolved against the frame at compile time
@@ -2375,6 +2448,78 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if body is not None:
                 col = F.transform(col, _bound(body, False))
             return col, "list"
+        if kind == "tfield":
+            # a.ts.year / .month / … — openCypher instant component
+            # accessors, each ONE Catalyst datetime function (pushdown-
+            # friendly; year(ts) > 2020 even folds to a range filter)
+            base, field = n[1], n[2]
+            c, _ = rec(base)
+            fl = field.lower()
+            simple = {
+                "year": F.year, "month": F.month, "day": F.dayofmonth,
+                "hour": F.hour, "minute": F.minute, "second": F.second,
+                "week": F.weekofyear, "quarter": F.quarter,
+                "ordinalday": F.dayofyear,
+            }
+            if fl in simple:
+                return simple[fl](c).cast("bigint"), "int"
+            if fl == "dayofweek":
+                # Neo4j is ISO (Mon=1..Sun=7); Spark's dayofweek is
+                # Sun=1..Sat=7 — shift
+                return ((F.dayofweek(c) + 5) % 7 + 1).cast("bigint"), "int"
+            if fl == "epochseconds":
+                return F.unix_timestamp(c).cast("bigint"), "int"
+            if fl == "epochmillis":
+                return (c.cast("double") * 1000).cast("bigint"), "int"
+            raise CypherUnsupported(
+                f"unsupported temporal component {field!r} (supported: "
+                "year month day hour minute second week quarter "
+                "dayOfWeek ordinalDay epochSeconds epochMillis)"
+            )
+        if kind == "ttrunc":
+            # datetime.truncate('day', x) — date_trunc keeps the value a
+            # timestamp (Neo4j semantics), so it groups/compares directly
+            unit_ast, inner = n[1], n[2]
+            if unit_ast[0] != "str":
+                raise CypherUnsupported(
+                    "datetime.truncate needs a literal unit string"
+                )
+            unit = lits[unit_ast[1]].lower()
+            if unit not in (
+                "year", "quarter", "month", "week", "day",
+                "hour", "minute", "second",
+            ):
+                raise CypherUnsupported(
+                    f"unsupported truncate unit {unit!r}"
+                )
+            c, _ = rec(inner)
+            return F.date_trunc(unit, c), "other"
+        if kind == "listpred":
+            # all/any/none/single(x IN xs WHERE p): forall / exists /
+            # NOT exists / size(filter)=1 — higher-order functions over
+            # the array, no UDF. Three-valued like Cypher: a NULL list
+            # yields NULL, which a WHERE context drops.
+            fn, var, src, pred = n[1], n[2], n[3], n[4]
+            col, _ = rec(src)
+
+            def _bound_p(x):
+                if var in lam_env:
+                    raise CypherUnsupported(
+                        f"list-predicate variable {var!r} shadows an outer one"
+                    )
+                lam_env[var] = x
+                try:
+                    return rec_pred(pred)
+                finally:
+                    del lam_env[var]
+
+            if fn == "all":
+                return F.forall(col, _bound_p), "bool"
+            if fn == "any":
+                return F.exists(col, _bound_p), "bool"
+            if fn == "none":
+                return ~F.exists(col, _bound_p), "bool"
+            return (F.size(F.filter(col, _bound_p)) == 1), "bool"
         raise CypherUnsupported(f"unsupported expression node: {kind!r}")
 
     def rec_pred(p):
@@ -2472,6 +2617,13 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 st, _ = rec(args[2])
                 return F.sequence(lo, hi, st), "list"
             return F.sequence(lo, hi), "list"
+        if fname == "date":
+            # date() — today; date(x) — truncate an instant to its date
+            need(0, 1)
+            if not args:
+                return F.current_date(), "other"
+            c, _ = rec(args[0])
+            return F.to_date(c), "other"
         if fname == "abs":
             need(1)
             c, t = rec(args[0])
@@ -2565,8 +2717,22 @@ def _split_expr_predicate(text: str):
     return None
 
 
+_LISTPRED_ITEM_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?(?:all|any|none|single)\s*\(.+\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
     """Compile an expression-form WHERE conjunct to one filter Column."""
+    lm = _LISTPRED_ITEM_RE.match(item.strip())
+    if lm:
+        # a bare list predicate IS the conjunct — no comparator to split
+        body = re.sub(r"^NOT\s+", "", item.strip(), flags=re.IGNORECASE)
+        c, _ = _compile_scalar(
+            _parse_scalar_expr(body), df, aliases, rel_alias, lits, params
+        )
+        return ~c if lm.group("neg") else c
     split = _split_expr_predicate(item)
     if split is None:
         raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
@@ -2780,6 +2946,7 @@ def _run_read(
     aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
     rel_alias: str | None = None
     rel_prefixed = False
+    path_bind: str | None = None  # path variable from `p = (…)-[*…]->(…)`
     limit: int | None = None
     skip: int | None = None
     returns: list[str] = []
@@ -2892,6 +3059,12 @@ def _run_read(
             def _walk(n):
                 if n[0] == "pred":
                     return _leaf(n[1], n[2], n[3], n[4])
+                if n[0] == "exprpred":
+                    # reassembled list-predicate leaf (all/any/none/
+                    # single) — the scalar compiler owns its grammar
+                    return _compile_where_expr_pred(
+                        n[1], df, aliases, rel_alias, lits, params
+                    )
                 if n[0] == "not":
                     return ~_walk(n[1])
                 left, right = _walk(n[1]), _walk(n[2])
@@ -2997,6 +3170,33 @@ def _run_read(
                 [(v,) for v in vals], [unwind_name]
             )
         elif c.kind == "MATCH":
+            pbm = None if _SHORTEST_RE.match(c.body) else _PATH_BIND_RE.match(c.body)
+            if pbm is not None:
+                # `p = (a)-[:T*1..k]->(b)` — the path variable binds the
+                # whole var-length match; nodes(p)/relationships(p)/
+                # length(p) read the ladder's collected columns. Strip
+                # the binding prefix and let the var-length branch below
+                # compile the pattern (with collect_paths on).
+                if df is not None:
+                    raise CypherUnsupported(
+                        "path binding must be the statement's first MATCH"
+                    )
+                mpb = _REL_RE.match(pbm.group("pat").strip())
+                if not mpb or not mpb.group("min_h"):
+                    raise CypherUnsupported(
+                        "path binding needs a bounded variable-length "
+                        "pattern: p = (a)-[:T*min..max]->(b) — bind "
+                        "shortestPath(…) for shortest paths; single-hop "
+                        "paths are *1..1"
+                    )
+                if mpb.group("rel_alias"):
+                    raise CypherUnsupported(
+                        "bind the path OR the relationship, not both: "
+                        "the path variable already exposes length()/"
+                        "relationships()"
+                    )
+                path_bind = pbm.group("palias")
+                c.body = pbm.group("pat").strip()
             sm = _SHORTEST_RE.match(c.body)
             if sm:
                 if df is not None:
@@ -3186,6 +3386,7 @@ def _run_read(
                         src_label=va_src_label,
                         dst_label=va_dst_label,
                         src_alias=va_src, dst_alias=va_dst,
+                        collect_paths=path_bind is not None,
                     )
                 else:
                     df = graph.expand(
@@ -3197,7 +3398,7 @@ def _run_read(
                     )
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
-                rel_alias = m.group("rel_alias")
+                rel_alias = path_bind or m.group("rel_alias")
                 rel_prefixed = True
                 if not m.group("min_h") and m.group("rel_props"):
                     # inline rel-prop map: equality filters on the edge
@@ -3294,6 +3495,11 @@ def _run_read(
                         def _walk(n):
                             if n[0] == "pred":
                                 return _leaf(n[1], n[2], n[3], n[4])
+                            if n[0] == "exprpred":
+                                raise CypherUnsupported(
+                                    "list predicates are unsupported in "
+                                    "an OPTIONAL MATCH … WHERE"
+                                )
                             if n[0] == "not":
                                 return ~_walk(n[1])
                             l, r = _walk(n[1]), _walk(n[2])
@@ -3563,6 +3769,39 @@ def _run_read(
             out_exprs[name] = e
             out_names.append(name)
             continue
+        mp = _MAP_PROJ_RE.match(item)
+        if mp:
+            # map projection `n {.title, .link}` (openCypher §3.11) — a
+            # struct of exactly the listed properties, field order as
+            # written (deterministic, so value-hashes are stable). Only
+            # the `.prop` entry form is in the subset; variables,
+            # `.*`, and literal entries are refused below.
+            alias = mp.group("alias")
+            if alias not in aliases:
+                raise CypherUnsupported(
+                    f"map projection on unbound alias: {alias!r}"
+                )
+            entries = [
+                f.strip() for f in mp.group("fields").split(",") if f.strip()
+            ]
+            if not entries:
+                raise CypherUnsupported("empty map projection")
+            cols = []
+            for f in entries:
+                fm2 = re.fullmatch(r"\.\s*(\w+)", f)
+                if not fm2:
+                    raise CypherUnsupported(
+                        "map projection supports .prop entries only "
+                        f"(no .*, variables, or literal entries): {f!r}"
+                    )
+                prop = fm2.group(1)
+                cols.append(_prop_col(df, aliases[alias], prop).alias(prop))
+            name = mp.group("out") or alias
+            e = F.struct(*cols)
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
         fm = _FN_ITEM_RE.match(item)
         if fm:
             # labels(n) / type(r) / id(n) — the introspection trio every
@@ -3580,6 +3819,23 @@ def _run_read(
                         f"length() needs a bound path alias, got {fa!r}"
                     )
                 e = F.col("hops").cast("bigint")
+            elif fn in ("nodes", "relationships"):
+                # nodes(p)/relationships(p) over a `p = (…)-[*…]->(…)`
+                # binding: the ladder collected the path as ordered
+                # arrays — nodes(p) yields the node MERGE-KEY list and
+                # relationships(p) the type list (full entity structs
+                # along a path are outside the subset; the key/type
+                # projections are the oracle-able core)
+                if (
+                    rel_alias is None
+                    or fa != rel_alias
+                    or "path_keys" not in df.columns
+                ):
+                    raise CypherUnsupported(
+                        f"{fn}() needs a path variable bound with "
+                        f"p = (…)-[:T*min..max]->(…), got {fa!r}"
+                    )
+                e = F.col("path_keys" if fn == "nodes" else "path_types")
             elif fn == "type":
                 if rel_alias is None or fa != rel_alias:
                     raise CypherUnsupported(
@@ -3840,13 +4096,15 @@ def _aggregate_return(
         if qm:
             # percentileCont(expr, p) — Cypher's continuous (linear
             # interpolation) percentile maps exactly onto Spark's exact
-            # `percentile` aggregate; percentileDisc is refused by name
-            # (Spark has no exact discrete-percentile aggregate — an
-            # approx answer would silently disagree with Neo4j)
-            if qm.group("fn").lower() == "percentiledisc":
-                raise CypherUnsupported(
-                    "percentileDisc is unsupported (use percentileCont)"
-                )
+            # `percentile` aggregate. percentileDisc(expr, p) is Neo4j's
+            # NEAREST-RANK discrete percentile: the value at 1-based
+            # rank max(1, ceil(p·n)) of the sorted group — computed
+            # EXACTLY as element_at(array_sort(collect_list(…)), rank),
+            # never approximated (approx_percentile would silently
+            # disagree with Neo4j). The collected group is one agg
+            # buffer; fine for the grouped shapes Cypher aggregates
+            # serve — a whole-corpus ungrouped percentile over 100 TB
+            # wants approx_stats (c25) instead, by design.
             e, _ = _compile_scalar(
                 _parse_scalar_expr(qm.group("inner").strip()),
                 df,
@@ -3855,10 +4113,16 @@ def _aggregate_return(
                 lits or [],
                 params,
             )
+            p = float(qm.group("p"))
             name = qm.group("out") or re.sub(r"\s+", "", item)
-            aggs.append(
-                F.percentile(e, float(qm.group("p"))).alias(name)
-            )
+            if qm.group("fn").lower() == "percentiledisc":
+                sorted_e = F.array_sort(F.collect_list(e))
+                rank = F.greatest(
+                    F.lit(1), F.ceil(F.size(sorted_e) * F.lit(p)).cast("int")
+                )
+                aggs.append(F.element_at(sorted_e, rank).alias(name))
+            else:
+                aggs.append(F.percentile(e, p).alias(name))
             name_map[name] = name
             name_map[
                 re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))

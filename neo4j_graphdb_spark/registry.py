@@ -6215,8 +6215,10 @@ def q_a67_text_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A67 ext — Neo4j's statistical aggregates through the text
     front-end: ``stDev`` (sample), ``stDevP`` (population), and
     ``percentileCont`` (continuous/interpolated — maps exactly onto
-    Spark's exact ``percentile`` aggregate; ``percentileDisc`` is
-    refused by name rather than silently approximated). Grouped per
+    Spark's exact ``percentile`` aggregate) and ``percentileDisc``
+    (Neo4j's nearest-rank discrete percentile — EXACT, the value at
+    1-based rank max(1, ceil(p*n)) of the sorted group, computed via
+    element_at(array_sort(collect_list))). Grouped per
     language over a deterministic numeric property; both engines round
     to 6 dp so aggregation-order ulps can't flip the hash."""
     from neo4j_graphdb_spark.operators.cypher_text import run_cypher
@@ -6231,7 +6233,8 @@ def q_a67_text_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "MATCH (d:Doc) RETURN d.lang AS lang, stDev(d.nt) AS sd, "
-        "stDevP(d.nt) AS sdp, percentileCont(d.nt, 0.5) AS med",
+        "stDevP(d.nt) AS sdp, percentileCont(d.nt, 0.5) AS med, "
+        "percentileDisc(d.nt, 0.5) AS med_d",
         graph=g,
     )
     return res.df.select(
@@ -6239,6 +6242,7 @@ def q_a67_text_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sd", 6).alias("sd"),
         F.round("sdp", 6).alias("sdp"),
         F.round("med", 6).alias("med"),
+        F.round("med_d", 6).alias("med_d"),
     )
 
 
@@ -6287,6 +6291,111 @@ def q_a74_text_call_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph=article_graph(spark, sf_dir),
     )
     return res.df.select("key", F.col("n").cast("bigint").alias("n"))
+
+
+def q_a69_text_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69 ext — path variables: ``MATCH p = (c:Customer)-[*1..2]->(x)``
+    binds the whole var-length match; ``length(p)`` is the hop count,
+    ``nodes(p)`` the node merge-keys along the path in order,
+    ``relationships(p)`` the type list (operators/cypher.py expand_var
+    collect_paths — ONE extra hash join enriches each edge with its
+    destination key before the ladder, so the arrays assemble from
+    columns already riding the joins, no per-path reconstruction).
+    Arrays are joined to strings for the value-hash (the a49/c41
+    array-column lesson). Hop-1 paths are the FROM edges; hop-2 the
+    Customer→Nation→Region chains."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH p = (c:Customer)-[*1..2]->(x) "
+        "RETURN c.key AS ck, x.key AS xk, length(p) AS len, "
+        "nodes(p) AS ns, relationships(p) AS rs",
+        graph=analytics_graph(spark, sf_dir),
+    )
+    return res.df.select(
+        "ck", "xk", F.col("len").cast("bigint").alias("len"),
+        F.concat_ws("->", "ns").alias("path"),
+        F.concat_ws("->", "rs").alias("rels"),
+    )
+
+
+def q_a70_text_list_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70 ext — Cypher list predicates ``all/any/none/single(x IN xs
+    WHERE …)`` (openCypher §4.2) compiled to ``forall``/``exists``/
+    ``size(filter(…))`` higher-order functions — one Catalyst expression
+    per predicate, no UDF (operators/cypher_text.py 'listpred' node).
+    Exercised in BOTH positions: WHERE (``any`` gates the rows, through
+    the boolean grammar's reassembled-leaf path) and RETURN (three
+    projected predicates). The deterministic array prop is
+    ``[doc_id%5, doc_id%7, doc_id%11]``; DuckDB's lambda
+    ``list_filter`` states the same predicates closed-form."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.array(
+            F.col("doc_id") % 5, F.col("doc_id") % 7, F.col("doc_id") % 11
+        ).alias("xs"),
+    )
+    g = Graph(as_nodes(src, "Doc", "k", ["xs"]), None)
+    res = run_cypher(
+        spark,
+        "MATCH (d:Doc) WHERE any(x IN d.xs WHERE x = 0) "
+        "RETURN d.key AS k, all(x IN d.xs WHERE x < 10) AS all_lt10, "
+        "none(x IN d.xs WHERE x > 9) AS no_gt9, "
+        "single(x IN d.xs WHERE x = 0) AS one_zero",
+        graph=g,
+    )
+    return res.df
+
+
+def q_a71_text_temporal_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A71 ext — openCypher instant component accessors through the text
+    front-end: ``e.ts.year/.month/.day/.dayOfWeek`` compile to single
+    Catalyst datetime functions ('tfield' node — dayOfWeek shifted to
+    Neo4j's ISO Mon=1..Sun=7 from Spark's Sun=1), ``date(e.ts)``
+    truncates to a date, and all of them serve as implicit GROUPING
+    KEYS of the aggregating RETURN (the expression-grouping path).
+    DuckDB's ``date_part``/``isodow`` state the same components."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("k"), "ts"
+    )
+    g = Graph(as_nodes(ev, "Ev", "k", ["ts"]), None)
+    res = run_cypher(
+        spark,
+        "MATCH (e:Ev) RETURN e.ts.year AS y, e.ts.month AS mo, "
+        "e.ts.day AS d, e.ts.dayOfWeek AS dow, date(e.ts) AS dt, "
+        "count(*) AS n",
+        graph=g,
+    )
+    return res.df.select(
+        "y", "mo", "d", "dow", "dt", F.col("n").cast("bigint").alias("n")
+    )
+
+
+def q_a72_text_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72 ext — map projections ``RETURN a {.title, .link}``
+    (openCypher §3.11) through the text front-end: a struct of exactly
+    the listed properties in written order (operators/cypher_text.py
+    _MAP_PROJ_RE), the entity-struct machinery's selective sibling.
+    ``.link`` resolves through the canonical-key fallback (the merge
+    key is stored AS ``key`` whatever the statement called it). The
+    struct is reopened to flat columns for the value-hash — field
+    ACCESS proves construction, without JSON-escaping coupling."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a {.title, .link} AS m",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df.select(
+        F.col("m.title").alias("title"), F.col("m.link").alias("link")
+    )
 
 
 def q_a63_text_rel_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6867,6 +6976,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r8 additions land here (inside the 50-entry window) ----
     "a68_text_call_subquery": q_a68_text_call_subquery,
     "a74_text_call_union_agg": q_a74_text_call_union_agg,
+    "a69_text_path_functions": q_a69_text_path_functions,
+    "a70_text_list_predicates": q_a70_text_list_predicates,
+    "a71_text_temporal_parts": q_a71_text_temporal_parts,
+    "a72_text_map_projection": q_a72_text_map_projection,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -9499,7 +9612,9 @@ ORACLES["a67_text_stats_aggregates"] = """
     SELECT lang,
            round(stddev_samp(CAST(doc_id % 97 AS double)), 6) AS sd,
            round(stddev_pop(CAST(doc_id % 97 AS double)), 6) AS sdp,
-           round(quantile_cont(CAST(doc_id % 97 AS double), 0.5), 6) AS med
+           round(quantile_cont(CAST(doc_id % 97 AS double), 0.5), 6) AS med,
+           round(list_extract(list_sort(list(CAST(doc_id % 97 AS double))),
+                 greatest(1, cast(ceil(0.5 * count(*)) AS int))), 6) AS med_d
     FROM documents GROUP BY lang
 """
 
@@ -9852,4 +9967,55 @@ ORACLES["a74_text_call_union_agg"] = """
         UNION ALL SELECT key FROM (SELECT DISTINCT source AS key FROM documents)
     )
     SELECT key, count(*)::bigint AS n FROM u GROUP BY key
+"""
+
+ORACLES["a69_text_path_functions"] = """
+    WITH h1 AS (
+        SELECT cast(c_custkey AS varchar) AS ck,
+               cast(c_nationkey AS varchar) AS xk,
+               1::bigint AS len,
+               concat(cast(c_custkey AS varchar), '->',
+                      cast(c_nationkey AS varchar)) AS path,
+               'FROM' AS rels
+        FROM customer
+    ), h2 AS (
+        SELECT cast(c_custkey AS varchar),
+               cast(n_regionkey AS varchar),
+               2::bigint,
+               concat(cast(c_custkey AS varchar), '->',
+                      cast(c_nationkey AS varchar), '->',
+                      cast(n_regionkey AS varchar)),
+               'FROM->IN'
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT * FROM h1 UNION ALL SELECT * FROM h2
+"""
+
+ORACLES["a70_text_list_predicates"] = """
+    WITH t AS (
+        SELECT cast(doc_id AS varchar) AS k,
+               list_value(doc_id % 5, doc_id % 7, doc_id % 11) AS xs
+        FROM documents
+    )
+    SELECT k,
+           len(list_filter(xs, x -> x >= 10)) = 0 AS all_lt10,
+           len(list_filter(xs, x -> x > 9)) = 0 AS no_gt9,
+           len(list_filter(xs, x -> x = 0)) = 1 AS one_zero
+    FROM t WHERE len(list_filter(xs, x -> x = 0)) >= 1
+"""
+
+ORACLES["a71_text_temporal_parts"] = """
+    SELECT date_part('year', ts)::bigint AS y,
+           date_part('month', ts)::bigint AS mo,
+           date_part('day', ts)::bigint AS d,
+           isodow(ts)::bigint AS dow,
+           CAST(ts AS DATE) AS dt,
+           count(*)::bigint AS n
+    FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+ORACLES["a72_text_map_projection"] = """
+    SELECT substr(text, 1, 40) AS title,
+           concat('doc://', cast(doc_id AS varchar)) AS link
+    FROM documents
 """

@@ -2814,18 +2814,14 @@ def test_text_whole_entity_with_key(spark):
 
 def test_text_stats_aggregates(spark):
     """stDev (sample) / stDevP (population) / percentileCont map onto
-    stddev_samp / stddev_pop / exact percentile; percentileDisc is
-    refused by name rather than silently approximated."""
+    stddev_samp / stddev_pop / exact percentile; percentileDisc is the
+    EXACT nearest-rank value (1-based rank max(1, ceil(p·n)) of the
+    sorted group), never an approximation."""
     import statistics
-
-    import pytest as _pytest
 
     from neo4j_graphdb_spark.model import as_nodes
     from neo4j_graphdb_spark.operators.cypher import Graph
-    from neo4j_graphdb_spark.operators.cypher_text import (
-        CypherUnsupported,
-        run_cypher,
-    )
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
 
     vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
     src = spark.createDataFrame(
@@ -2843,10 +2839,16 @@ def test_text_stats_aggregates(spark):
     assert abs(r["sdp"] - statistics.pstdev(vals)) < 1e-9
     assert abs(r["med"] - 4.5) < 1e-9
     assert abs(r["q1x2"] - 8.0) < 1e-9
-    with _pytest.raises(CypherUnsupported, match="percentileDisc"):
-        run_cypher(
-            spark, "MATCH (n:Doc) RETURN percentileDisc(n.x, 0.5) AS d", graph=g
-        )
+    # percentileDisc nearest-rank: n=8 → p=0.5 → rank 4 → 4.0;
+    # p=0 → rank 1 (min); p=1 → rank 8 (max); p=0.51 → rank 5 → 5.0
+    d = run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN percentileDisc(n.x, 0.5) AS d50, "
+        "percentileDisc(n.x, 0) AS d0, percentileDisc(n.x, 1) AS d100, "
+        "percentileDisc(n.x, 0.51) AS d51",
+        graph=g,
+    ).df.collect()[0]
+    assert (d["d50"], d["d0"], d["d100"], d["d51"]) == (4.0, 2.0, 9.0, 5.0)
 
 
 def test_text_entity_group_key_groups_by_identity(spark, tmp_path):
@@ -2962,3 +2964,152 @@ def test_text_call_subquery_shapes(spark):
     ]:
         with _pytest.raises(CypherUnsupported, match=pat):
             run_cypher(spark, q, graph=g)
+
+
+def test_text_path_variables_and_list_predicates(spark):
+    """a69/a70: `p = (a)-[:T*1..2]->(b)` binds a path variable whose
+    nodes(p)/relationships(p)/length(p) read the ladder's collected
+    columns; all/any/none/single(x IN xs WHERE …) compile to
+    forall/exists higher-order functions in both RETURN and WHERE
+    (including under NOT/OR in the boolean grammar)."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("n1",), ("n2",), ("n3",), ("n4",)], "k string")
+    e = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n1", "n3")],
+        "s string, d string",
+    )
+    g = Graph(as_nodes(n, "N", "k"), as_edges(e, "T", "N", "s", "N", "d"))
+    r = run_cypher(
+        spark,
+        "MATCH p = (a:N)-[:T*1..2]->(b:N) RETURN a.key AS src, b.key AS dst, "
+        "length(p) AS len, nodes(p) AS ns, relationships(p) AS rs "
+        "ORDER BY src, dst, len",
+        graph=g,
+    ).df.collect()
+    assert [(x["src"], x["dst"], x["len"], x["ns"], x["rs"]) for x in r] == [
+        ("n1", "n2", 1, ["n1", "n2"], ["T"]),
+        ("n1", "n3", 1, ["n1", "n3"], ["T"]),
+        ("n1", "n3", 2, ["n1", "n2", "n3"], ["T", "T"]),
+        ("n1", "n4", 2, ["n1", "n3", "n4"], ["T", "T"]),
+        ("n2", "n3", 1, ["n2", "n3"], ["T"]),
+        ("n2", "n4", 2, ["n2", "n3", "n4"], ["T", "T"]),
+        ("n3", "n4", 1, ["n3", "n4"], ["T"]),
+    ]
+    with _pytest.raises(CypherUnsupported, match="not both"):
+        run_cypher(spark, "MATCH p = (a:N)-[r:T*1..2]->(b:N) RETURN length(p) AS l", graph=g)
+    with _pytest.raises(CypherUnsupported, match="variable-length"):
+        run_cypher(spark, "MATCH p = (a:N)-[:T]->(b:N) RETURN length(p) AS l", graph=g)
+    with _pytest.raises(CypherUnsupported, match="path variable"):
+        run_cypher(spark, "MATCH (a:N)-[:T*1..2]->(b:N) RETURN nodes(a) AS x", graph=g)
+
+    src = spark.createDataFrame(
+        [("d1", [1, 2, 3]), ("d2", [5, 6]), ("d3", [0, 5]), ("d4", [])],
+        "k string, xs array<int>",
+    )
+    gd = Graph(as_nodes(src, "Doc", "k", ["xs"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (d:Doc) RETURN d.key AS k, all(x IN d.xs WHERE x > 0) AS al, "
+        "any(x IN d.xs WHERE x > 4) AS an, none(x IN d.xs WHERE x = 0) AS no, "
+        "single(x IN d.xs WHERE x > 4) AS si ORDER BY k",
+        graph=gd,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [
+        ("d1", True, False, True, False),
+        ("d2", True, True, True, False),
+        ("d3", False, True, False, True),
+        ("d4", True, False, True, False),  # vacuous truth on []
+    ]
+    got = run_cypher(
+        spark,
+        "MATCH (d:Doc) WHERE NOT any(x IN d.xs WHERE x = 0) "
+        "RETURN d.key AS k ORDER BY k",
+        graph=gd,
+    ).df.collect()
+    assert [x["k"] for x in got] == ["d1", "d2", "d4"]
+    got = run_cypher(
+        spark,
+        "MATCH (d:Doc) WHERE any(x IN d.xs WHERE x = 0) OR "
+        "single(x IN d.xs WHERE x = 6) RETURN d.key AS k ORDER BY k",
+        graph=gd,
+    ).df.collect()
+    assert [x["k"] for x in got] == ["d2", "d3"]
+    with _pytest.raises(CypherUnsupported, match="WHERE predicate"):
+        run_cypher(spark, "MATCH (d:Doc) RETURN all(x IN d.xs) AS a", graph=gd)
+
+
+def test_text_map_projection_and_temporal_parts(spark):
+    """a72/a71: map projections return a struct of exactly the listed
+    props (key fallback included); temporal component accessors compile
+    to single datetime functions with Neo4j's ISO dayOfWeek, and
+    datetime.truncate/date() truncate instants."""
+    import datetime
+
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("u1", "T1", "c1"), ("u2", "T2", "c2")],
+        "link string, title string, content string",
+    )
+    g = Graph(as_nodes(src, "Art", "link", ["title", "content"]), None)
+    r = run_cypher(
+        spark, "MATCH (a:Art) RETURN a {.title, .link} AS m ORDER BY a.link",
+        graph=g,
+    ).df.collect()
+    assert [x["m"].asDict() for x in r] == [
+        {"title": "T1", "link": "u1"},
+        {"title": "T2", "link": "u2"},
+    ]
+    for q, pat in [
+        ("MATCH (a:Art) RETURN a {.*} AS m", "prop entries only"),
+        ("MATCH (a:Art) RETURN a {} AS m", "empty map projection"),
+        ("MATCH (a:Art) RETURN b {.title} AS m", "unbound alias"),
+    ]:
+        with _pytest.raises(CypherUnsupported, match=pat):
+            run_cypher(spark, q, graph=g)
+
+    ev = spark.createDataFrame(
+        [("e1", datetime.datetime(2024, 3, 15, 14, 30, 45)),
+         ("e2", datetime.datetime(2024, 1, 7, 0, 0, 0))],  # a Sunday
+        "k string, ts timestamp",
+    )
+    gt = Graph(as_nodes(ev, "Ev", "k", ["ts"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (e:Ev) RETURN e.key AS k, e.ts.year AS y, e.ts.month AS mo, "
+        "e.ts.day AS d, e.ts.hour AS h, e.ts.dayOfWeek AS dow, "
+        "datetime.truncate('month', e.ts) AS mts, date(e.ts) AS dt ORDER BY k",
+        graph=gt,
+    ).df.collect()
+    assert tuple(r[0]) == (
+        "e1", 2024, 3, 15, 14, 5,  # 2024-03-15 is a Friday → ISO 5
+        datetime.datetime(2024, 3, 1, 0, 0), datetime.date(2024, 3, 15),
+    )
+    assert r[1]["dow"] == 7  # Sunday → ISO 7
+    got = run_cypher(
+        spark, "MATCH (e:Ev) WHERE e.ts.month = 3 RETURN e.key AS k", graph=gt
+    ).df.collect()
+    assert [x["k"] for x in got] == ["e1"]
+    with _pytest.raises(CypherUnsupported, match="temporal component"):
+        run_cypher(spark, "MATCH (e:Ev) RETURN e.ts.century AS c", graph=gt)
+    with _pytest.raises(CypherUnsupported, match="truncate unit"):
+        run_cypher(
+            spark,
+            "MATCH (e:Ev) RETURN datetime.truncate('decade', e.ts) AS x",
+            graph=gt,
+        )
