@@ -1806,6 +1806,7 @@ def louvain_communities(
     weight_col: str | None = None,
     max_sweeps: int = 20,
     id_col: str = "node_id",
+    self_weight: DataFrame | None = None,
 ) -> DataFrame:
     """C94 — modularity-greedy community detection: the LOCAL-MOVE phase
     of Louvain (Blondel et al. 2008) run to its fixpoint on the
@@ -1821,10 +1822,24 @@ def louvain_communities(
     move at once" loop oscillates (two singletons can swap into each
     other's communities forever), so sweeps alternate a PARITY schedule —
     sweep s moves only nodes with ``xxhash64(id) % 2 == s % 2`` — and
-    ties break toward the smallest community id. Every sweep is a pure
+    ties break toward the smallest community id. The parity schedule
+    alone still lets two SAME-PARITY mutual-best nodes swap communities
+    in lock-step (the distributed-Louvain 2-cycle; it is the common
+    case on aggregated levels, where a bridged community pair is two
+    mutually-best super-nodes), so a SWAP-BREAK rule runs per sweep:
+    among intended moves u: A→B and v: B→A, only the smaller id moves —
+    one movers⋈movers semi-join; the blocked node re-evaluates next
+    sweep against the merged state and stays put. Every sweep is a pure
     function of the previous labeling, so reruns are bit-identical.
     Converges when a full parity cycle changes nothing; labels are then
     canonicalized to each community's smallest member id.
+
+    ``self_weight`` (columns ``id``, ``sw``) supplies per-node
+    SELF-LOOP weight — the intra-community weight folded into a
+    super-node by :func:`louvain_multilevel`'s aggregation phase. A
+    self-loop contributes 2·sw to its node's degree and sw to m
+    (standard Louvain accounting); it never appears in any k_{u,c},
+    since it moves WITH the node.
 
     Scale shape: per sweep, one edge⋈labels join (shuffle on node id),
     one community-total aggregation (shuffle on community id), one
@@ -1851,8 +1866,25 @@ def louvain_communities(
         )
     ).localCheckpoint()
     deg = inc.groupBy(F.col("u").alias("_id")).agg(F.sum("w").alias("_k"))
+    sw_sum = 0.0
+    if self_weight is not None:
+        sw = self_weight.select(
+            F.col("id").alias("_id"), F.col("sw").cast("double").alias("_sw")
+        )
+        deg = (
+            deg.join(sw, on="_id", how="full")
+            .select(
+                "_id",
+                (
+                    F.coalesce("_k", F.lit(0.0))
+                    + F.lit(2.0) * F.coalesce("_sw", F.lit(0.0))
+                ).alias("_k"),
+            )
+        )
+        sw_row = sw.agg(F.sum("_sw").alias("s")).collect()[0]
+        sw_sum = float(sw_row["s"] or 0.0)
     m2_row = und.agg((F.sum("w") * 2).alias("m2")).collect()[0]
-    m2 = float(m2_row["m2"] or 0.0)
+    m2 = float(m2_row["m2"] or 0.0) + 2.0 * sw_sum
     if m2 == 0.0:
         return nodes.select(
             F.col(id_col), F.col(id_col).alias("community")
@@ -1924,11 +1956,13 @@ def louvain_communities(
             * (F.coalesce(F.col("_tot"), F.col("_k")) - F.col("_k"))
             / F.lit(m2),
         )
-        moved = (
+        intent = (
             comm.join(best, on="_id", how="left")
             .join(tot, comm["_c"] == tot["_tc"], "left")
             .select(
                 "_id",
+                "_c",
+                "_k",
                 F.when(
                     active
                     & F.col("_best").isNotNull()
@@ -1936,6 +1970,35 @@ def louvain_communities(
                     F.col("_best"),
                 )
                 .otherwise(F.col("_c"))
+                .alias("_new"),
+            )
+            # lazy-checkpointed so the swap-break self-join below reuses
+            # ONE materialization of the sweep subplan instead of
+            # replaying the cand/best join tree on both sides
+            .localCheckpoint(eager=False)
+        )
+        # swap-break: of two intended moves u: A→B, v: B→A in the same
+        # sweep, only the smaller id executes (the other re-evaluates
+        # next sweep against the merged state) — kills the 2-cycle the
+        # parity schedule can't when both ids share a parity
+        movers = intent.filter(F.col("_new") != F.col("_c"))
+        blocked = movers.alias("mv").join(
+            movers.select(
+                F.col("_c").alias("_bf"),
+                F.col("_new").alias("_bt"),
+                F.col("_id").alias("_bid"),
+            ),
+            (F.col("mv._c") == F.col("_bt"))
+            & (F.col("mv._new") == F.col("_bf"))
+            & (F.col("_bid") < F.col("mv._id")),
+            "left_semi",
+        ).select("_id").withColumn("_blk", F.lit(True))
+        moved = (
+            intent.join(blocked, on="_id", how="left")
+            .select(
+                "_id",
+                F.when(F.col("_blk"), F.col("_c"))
+                .otherwise(F.col("_new"))
                 .alias("_c"),
                 "_k",
             )
@@ -1958,3 +2021,113 @@ def louvain_communities(
         comm.join(canon, on="_c")
         .select(F.col("_id").alias(id_col), F.col("_lbl").alias("community"))
     )
+
+
+def louvain_multilevel(
+    nodes: DataFrame,
+    edges: DataFrame,
+    weight_col: str | None = None,
+    max_sweeps: int = 20,
+    max_levels: int = 4,
+    id_col: str = "node_id",
+    local_limit: int = 200_000,
+) -> DataFrame:
+    """C99 — FULL Louvain (Blondel et al. 2008): alternate the
+    local-move phase (:func:`louvain_communities`) with the AGGREGATION
+    phase the one-level variant stops short of — fold each community
+    into a super-node (intra-community weight becomes its self-loop,
+    inter-community weight sums into super-edges) and re-run local
+    moves on the contracted graph. Level-2 moves merge WHOLE
+    communities at once, which no sequence of single-node moves can do
+    when every individual crossing is modularity-negative (the
+    resolution-limit fixture: two bridged triangles — one level leaves
+    two communities, the aggregated level merges them).
+
+    Determinism: each level is the deterministic parity-scheduled,
+    swap-broken local move; super-node ids ARE community labels
+    (smallest member id), so the contracted graph and the final
+    composed labels are pure functions of the input. Stops early when a
+    level moves nothing or no inter-community edges remain.
+
+    Scale shape: the aggregation is two hash joins (tag endpoints with
+    their community) + one groupBy per side of the self/cross split —
+    all on the CONTRACTED edge set, which shrinks geometrically per
+    level on community-structured graphs; level L's local move costs
+    O(E_L) per sweep like level 0's. The mapping composition is one
+    join per level on the (shrinking) label column.
+
+    Driver-small contraction: once a level's super graph fits under
+    ``local_limit`` edges, it is collected and re-planted as a
+    LocalRelation. Checkpointed frames carry UNKNOWN stats, so the
+    per-sweep joins of a distributed contracted level plan as
+    sort-merge (~25 shuffle stages/sweep of near-empty partitions —
+    pure stage-latency tax); a LocalRelation's known tiny size lets
+    Catalyst broadcast every per-sweep join instead (measured 15×
+    on the resolution-limit fixture). At 100 TB the first level that
+    shrinks under the limit takes the fast path; bigger levels stay
+    fully distributed.
+    """
+    w_expr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            w_expr.alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    mapping = louvain_communities(
+        nodes, e, weight_col="w", max_sweeps=max_sweeps, id_col=id_col
+    ).localCheckpoint(eager=False)
+    for _ in range(1, max_levels):
+        ms = mapping.select(F.col(id_col).alias("src"), F.col("community").alias("_cs"))
+        md = mapping.select(F.col(id_col).alias("dst"), F.col("community").alias("_cd"))
+        tagged = e.join(ms, on="src").join(md, on="dst")
+        sup_e = (
+            tagged.filter(F.col("_cs") != F.col("_cd"))
+            .select(
+                F.least("_cs", "_cd").alias("src"),
+                F.greatest("_cs", "_cd").alias("dst"),
+                "w",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        n_sup_e = sup_e.count()
+        if n_sup_e == 0:
+            break
+        self_w = (
+            tagged.filter(F.col("_cs") == F.col("_cd"))
+            .groupBy(F.col("_cs").alias("id"))
+            .agg(F.sum("w").alias("sw"))
+        )
+        sup_n = mapping.select(F.col("community").alias("node_id")).distinct()
+        if n_sup_e <= local_limit:
+            # driver-small contraction → LocalRelation, so every
+            # per-sweep join inside the local move broadcasts
+            spark = mapping.sparkSession
+            sup_e = spark.createDataFrame(sup_e.collect(), sup_e.schema)
+            self_w = spark.createDataFrame(self_w.collect(), self_w.schema)
+            sup_n = spark.createDataFrame(sup_n.collect(), sup_n.schema)
+        lvl = louvain_communities(
+            sup_n,
+            sup_e,
+            weight_col="w",
+            max_sweeps=max_sweeps,
+            self_weight=self_w,
+        ).localCheckpoint(eager=False)
+        if lvl.filter(F.col("node_id") != F.col("community")).limit(1).count() == 0:
+            break
+        relabel = lvl.select(
+            F.col("node_id").alias("_old"), F.col("community").alias("_newc")
+        )
+        mapping = (
+            mapping.join(relabel, mapping["community"] == F.col("_old"))
+            .select(F.col(id_col), F.col("_newc").alias("community"))
+            .localCheckpoint(eager=False)
+        )
+    return mapping

@@ -83,7 +83,9 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   — every expression compiles to ONE Catalyst Column, no UDFs
 * ``MATCH p = shortestPath((a)-[:T*1..k]->(b))`` + ``length(p)`` —
   depth-capped pairwise BFS as one lazy join plan
-* ``CALL graft.{pagerank,cc,scc,louvain,degrees,bfs,node_similarity}``
+* ``CALL graft.{pagerank,cc,scc,louvain,label_propagation,degrees,bfs,
+  node_similarity,adamic_adar,k_core,k_truss,closeness,betweenness,
+  eccentricity,hits,triangle_count,clustering,assortativity}``
   procedure routing with YIELD / RETURN / ORDER BY / SKIP / LIMIT
 * ``MATCH … SET n.p = <expr>`` update statement (read-modify-write)
 * ``MATCH (a)-[r:T]->(b) DELETE r`` relationship deletion
@@ -825,8 +827,14 @@ def _run_text_call(
     statement text (the shape a Neo4j GDS user writes as
     ``CALL gds.pageRank.stream(...) YIELD nodeId, score``). Procedures:
     ``pagerank`` (maxIter, damping), ``cc``, ``scc`` (maxRounds),
-    ``louvain`` (maxSweeps), ``degrees``, ``bfs`` (start, label,
-    maxHops), ``node_similarity`` (topK, degreeCap, metric). Node ids
+    ``louvain`` (maxSweeps), ``label_propagation`` (maxIter),
+    ``degrees``, ``bfs`` (start, label, maxHops), ``node_similarity`` /
+    ``adamic_adar`` (topK, degreeCap[, metric]), ``k_core`` (k,
+    maxRounds), ``k_truss`` (k), the landmark centralities
+    ``closeness`` / ``betweenness`` / ``eccentricity`` (landmarks,
+    maxHops), ``hits`` (maxIter), and the whole-graph profiles
+    ``triangle_count`` / ``clustering`` / ``assortativity`` — the FULL
+    Python algorithm library, one YIELD-validated route each. Node ids
     never leak into results — every
     yielded column is a natural key or a metric; unknown procedures,
     config keys, and YIELD names are refused by name."""
@@ -862,18 +870,38 @@ def _run_text_call(
         "connected_components": ({"maxIter"}, ["key", "comp"]),
         "degrees": (set(), ["key", "out_degree", "in_degree", "degree"]),
         "bfs": ({"start", "label", "maxHops"}, ["key", "dist"]),
-        "louvain": ({"maxSweeps"}, ["key", "community"]),
+        "louvain": ({"maxSweeps", "levels"}, ["key", "community"]),
         "scc": ({"maxRounds"}, ["key", "scc"]),
         "node_similarity": (
             {"topK", "degreeCap", "metric"},
             ["key1", "key2", "score", "rank"],
         ),
+        "label_propagation": ({"maxIter"}, ["key", "community"]),
+        "k_core": ({"k", "maxRounds"}, ["key", "degree"]),
+        "k_truss": ({"k"}, ["key1", "key2"]),
+        "closeness": (
+            {"landmarks", "maxHops"},
+            ["key", "n_reached", "harmonic_x12"],
+        ),
+        "betweenness": ({"landmarks", "maxHops"}, ["key", "betweenness"]),
+        "eccentricity": (
+            {"landmarks", "maxHops"},
+            ["key", "n_reached", "ecc_lb"],
+        ),
+        "hits": ({"maxIter"}, ["key", "hub", "auth"]),
+        "adamic_adar": (
+            {"topK", "degreeCap"},
+            ["key1", "key2", "score", "rank"],
+        ),
+        "triangle_count": (set(), ["triangles"]),
+        "clustering": (set(), ["key", "degree", "triangles", "lcc"]),
+        "assortativity": (set(), ["m_directed_pairs", "assortativity"]),
     }
     proc = cm.group("proc").lower()
     if proc not in known:
         raise CypherUnsupported(
             f"unknown procedure graft.{cm.group('proc')} (available: "
-            "pagerank, cc, scc, louvain, degrees, bfs, node_similarity)"
+            + ", ".join(sorted(known)) + ")"
         )
     allowed_cfg, yield_cols = known[proc]
     unknown_cfg = set(cfg) - allowed_cfg
@@ -943,9 +971,18 @@ def _run_text_call(
             "key", F.col("dist").cast("bigint").alias("dist")
         )
     elif proc == "louvain":
-        res = alg.louvain_communities(
-            nodes_df, edges_df, max_sweeps=int(cfg.pop("maxSweeps", 20))
-        )
+        levels = int(cfg.pop("levels", 1))
+        if levels > 1:
+            res = alg.louvain_multilevel(
+                nodes_df,
+                edges_df,
+                max_sweeps=int(cfg.pop("maxSweeps", 20)),
+                max_levels=levels,
+            )
+        else:
+            res = alg.louvain_communities(
+                nodes_df, edges_df, max_sweeps=int(cfg.pop("maxSweeps", 20))
+            )
         out = (
             with_key(res, "node_id", "key")
             .join(key_of, F.col("community") == F.col("_cid"))
@@ -991,6 +1028,82 @@ def _run_text_call(
             F.col("jaccard").alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    elif proc == "label_propagation":
+        res = alg.label_propagation(
+            nodes_df, edges_df, max_iter=int(cfg.pop("maxIter", 5))
+        )
+        out = (
+            with_key(res, "id", "key")
+            .join(key_of, F.col("lbl") == F.col("_cid"))
+            .drop("_cid", "lbl")
+            .withColumnRenamed("_ckey", "community")
+            .select("key", "community")
+        )
+    elif proc == "k_core":
+        res = alg.k_core(
+            edges_df,
+            k=int(cfg.pop("k", 2)),
+            max_rounds=int(cfg.pop("maxRounds", 8)),
+        )
+        out = with_key(res, "id", "key").select(
+            "key", F.col("degree").cast("bigint").alias("degree")
+        )
+    elif proc == "k_truss":
+        res = alg.k_truss(edges_df, k=int(cfg.pop("k", 4)))
+        out = with_key(res, "u", "key1")
+        out = with_key(out, "v", "key2").select("key1", "key2")
+    elif proc in ("closeness", "betweenness", "eccentricity"):
+        kw = dict(
+            n_landmarks=int(cfg.pop("landmarks", 8)),
+            max_hops=int(cfg.pop("maxHops", 4)),
+        )
+        if proc == "closeness":
+            res = alg.landmark_closeness(edges_df, **kw)
+            keep = [
+                F.col("n_reached").cast("bigint").alias("n_reached"),
+                F.col("harmonic_x12").cast("bigint").alias("harmonic_x12"),
+            ]
+        elif proc == "betweenness":
+            res = alg.landmark_betweenness(edges_df, **kw)
+            keep = [F.col("betweenness").cast("bigint").alias("betweenness")]
+        else:
+            res = alg.landmark_eccentricity(edges_df, **kw)
+            keep = [
+                F.col("n_reached").cast("bigint").alias("n_reached"),
+                F.col("ecc_lb").cast("bigint").alias("ecc_lb"),
+            ]
+        out = with_key(res, "id", "key").select("key", *keep)
+    elif proc == "hits":
+        res = alg.hits(nodes_df, edges_df, max_iter=int(cfg.pop("maxIter", 6)))
+        out = with_key(res, "node_id", "key").select("key", "hub", "auth")
+    elif proc == "adamic_adar":
+        degree_cap = cfg.pop("degreeCap", None)
+        res = alg.adamic_adar(
+            edges_df.select("src", "dst"),
+            top_k=int(cfg.pop("topK", 5)),
+            degree_cap=None if degree_cap is None else int(degree_cap),
+        )
+        out = with_key(res, "a", "key1")
+        out = with_key(out, "b", "key2").select(
+            "key1",
+            "key2",
+            F.col("aa_score").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    elif proc == "triangle_count":
+        out = alg.triangle_count(edges_df).select(
+            F.col("triangles").cast("bigint").alias("triangles")
+        )
+    elif proc == "clustering":
+        res = alg.clustering_coefficient(edges_df)
+        out = with_key(res, "v", "key").select(
+            "key",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("triangles").cast("bigint").alias("triangles"),
+            F.col("lcc"),
+        )
+    elif proc == "assortativity":
+        out = alg.degree_assortativity(edges_df)
     else:  # pragma: no cover - proc membership validated upfront
         raise CypherUnsupported(f"unhandled procedure graft.{proc}")
     out = out.select(*yields)

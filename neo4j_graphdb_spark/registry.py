@@ -6293,6 +6293,59 @@ def q_a74_text_call_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("key", F.col("n").cast("bigint").alias("n"))
 
 
+def q_a73_text_call_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A73 ext — the CALL router's EXPANDED procedure surface
+    (cypher_text _run_text_call now routes the FULL algorithm library:
+    label_propagation, k_core, k_truss, closeness, betweenness,
+    eccentricity, hits, adamic_adar, triangle_count, clustering,
+    assortativity — GDS names a Neo4j user already knows). Sampled here:
+    ``graft.k_core`` (iterative peeling, per-node rows) and
+    ``graft.assortativity`` (whole-graph single row) over the cyclic
+    Customer—Part purchase graph, both through STATEMENT TEXT with
+    YIELD validation. Results union into (proc, key, value) rows; the
+    oracle unrolls the same peel rounds as c23 and restates Newman's
+    coefficient closed-form over the same sym CTE."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    e = _bought_edges(spark, sf_dir)
+    keys = (
+        e.select(F.col("src").alias("k"))
+        .unionByName(e.select(F.col("dst").alias("k")))
+        .distinct()
+    )
+    g = Graph(
+        as_nodes(keys, "Item", "k"),
+        as_edges(e, "BOUGHT", "Item", "src", "Item", "dst"),
+    )
+    core = run_cypher(
+        spark,
+        "CALL graft.k_core({k: 20, maxRounds: 6}) YIELD key, degree",
+        graph=g,
+    ).df.select(
+        F.lit("k_core").alias("proc"),
+        "key",
+        F.col("degree").cast("double").alias("value"),
+    )
+    asst = run_cypher(
+        spark,
+        "CALL graft.assortativity({}) "
+        "YIELD m_directed_pairs, assortativity",
+        graph=g,
+    ).df
+    asst2 = asst.select(
+        F.lit("assortativity").alias("proc"),
+        F.lit("coefficient").alias("key"),
+        F.col("assortativity").alias("value"),
+    ).unionByName(
+        asst.select(
+            F.lit("assortativity").alias("proc"),
+            F.lit("m_directed_pairs").alias("key"),
+            F.col("m_directed_pairs").cast("double").alias("value"),
+        )
+    )
+    return core.unionByName(asst2)
+
+
 def q_a69_text_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A69 ext — path variables: ``MATCH p = (c:Customer)-[*1..2]->(x)``
     binds the whole var-length match; ``length(p)`` is the hop count,
@@ -6562,6 +6615,44 @@ def q_c94_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("community").cast("bigint").alias("community"),
     )
 
+
+
+def q_c99_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99 — FULL multilevel Louvain (graph/algorithms.py
+    louvain_multilevel): local-move + AGGREGATION phases alternating,
+    vs c94's local-move-only. Substrate is the resolution-limit fixture
+    (Fortunato & Barthélemy 2007) built on doc ids: per group of six, two
+    triangles {6g..6g+2} / {6g+3..6g+5} and one bridge 6g+2—6g+3. One
+    level PROVABLY stops short — moving any single bridge endpoint
+    across is modularity-negative (stay 2−12/14D vs move 1−21/14D), so
+    local moves alone leave two communities per dumbbell — while the
+    aggregated level merges each super-node pair (gain 1−3.5/D > 0 for
+    D ≥ 4). The oracle states the two-level optimum closed-form:
+    community = 6·(id div 6), the smallest member of the dumbbell."""
+    from neo4j_graphdb_spark.graph.algorithms import louvain_multilevel
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    lim = F.broadcast(
+        docs.agg((F.floor(F.count(F.lit(1)) / 6) * 6).alias("_lim"))
+    )
+    base = docs.crossJoin(lim).filter(F.col("id") < F.col("_lim")).select("id")
+    sides = base.filter(F.col("id") % 6 != 5).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    chords = base.filter((F.col("id") % 6).isin(0, 3)).select(
+        F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+    )
+    out = louvain_multilevel(
+        base.select(F.col("id").alias("node_id")),
+        sides.unionByName(chords),
+        max_sweeps=10,
+    )
+    return out.select(
+        F.col("node_id").cast("bigint").alias("node_id"),
+        F.col("community").cast("bigint").alias("community"),
+    )
 
 
 def q_a61_text_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6980,6 +7071,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a70_text_list_predicates": q_a70_text_list_predicates,
     "a71_text_temporal_parts": q_a71_text_temporal_parts,
     "a72_text_map_projection": q_a72_text_map_projection,
+    "a73_text_call_library": q_a73_text_call_library,
+    "c99_louvain_multilevel": q_c99_louvain_multilevel,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -9967,6 +10060,64 @@ ORACLES["a74_text_call_union_agg"] = """
         UNION ALL SELECT key FROM (SELECT DISTINCT source AS key FROM documents)
     )
     SELECT key, count(*)::bigint AS n FROM u GROUP BY key
+"""
+
+def _call_library_oracle_sql(k: int = 20, rounds: int = 6) -> str:
+    """DuckDB twin of a73: the c23 peel unroll plus Newman's
+    assortativity closed-form, both over the SAME bought-edges sym CTE
+    the engine's router sees."""
+    ctes = [
+        "edges AS MATERIALIZED ("
+        "SELECT DISTINCT 'C' || cast(o_custkey AS varchar) AS u, "
+        "'P' || cast(l_partkey AS varchar) AS v "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"alive{i - 1}"
+        ctes.append(
+            f"alive{i} AS MATERIALIZED ("
+            f"SELECT u AS id, count(*) AS c FROM sym "
+            f"WHERE u IN (SELECT id FROM {prev}) "
+            f"AND v IN (SELECT id FROM {prev}) "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+    ctes.append("deg AS (SELECT u, count(*)::bigint AS d FROM sym GROUP BY u)")
+    ctes.append(
+        "prs AS (SELECT dx.d AS x, dy.d AS y FROM sym "
+        "JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u)"
+    )
+    ctes.append(
+        "agg AS (SELECT count(*)::bigint AS m, sum(x)::bigint AS sx, "
+        "sum(y)::bigint AS sy, sum(x * y)::bigint AS sxy, "
+        "sum(x * x)::bigint AS sxx, sum(y * y)::bigint AS syy FROM prs)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT 'k_core' AS proc, id AS key, c::double AS value FROM alive{rounds}
+    UNION ALL
+    SELECT 'assortativity', 'coefficient',
+           round((sxy::double - sx::double * sy::double / m::double)
+                 / sqrt((sxx::double - sx::double * sx::double / m::double)
+                        * (syy::double - sy::double * sy::double / m::double)),
+                 6)
+    FROM agg
+    UNION ALL
+    SELECT 'assortativity', 'm_directed_pairs', m::double FROM agg
+"""
+    )
+
+
+ORACLES["a73_text_call_library"] = _call_library_oracle_sql()
+
+ORACLES["c99_louvain_multilevel"] = """
+    WITH lim AS (SELECT (count(*) // 6) * 6 AS n FROM documents)
+    SELECT doc_id::bigint AS node_id,
+           (doc_id // 6 * 6)::bigint AS community
+    FROM documents, lim WHERE doc_id < n
 """
 
 ORACLES["a69_text_path_functions"] = """

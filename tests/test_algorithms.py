@@ -984,3 +984,41 @@ def test_louvain_two_cliques(spark):
         for r in louvain_communities(nodes2, e).collect()
     }
     assert out2[10] == 10
+
+
+def test_louvain_multilevel_resolution_limit(spark):
+    """c99: the aggregation phase merges what single-node moves cannot.
+    Resolution-limit fixture — D bridged triangle-pairs (dumbbells):
+    one-level Louvain leaves 2 communities per dumbbell (every single
+    bridge-endpoint crossing is modularity-negative), the multilevel
+    run merges each pair via a level-2 super-node move (gain
+    1 − 3.5/D > 0), landing on community = smallest member. Also pins
+    the swap-break: super-node pairs are mutual-best SINGLETONS at
+    level 2, so without it same-parity pairs would swap forever and
+    never merge."""
+    from neo4j_graphdb_spark.graph.algorithms import (
+        louvain_communities,
+        louvain_multilevel,
+    )
+
+    D = 6
+    edges = []
+    for g in range(D):
+        b = 6 * g
+        for t in (0, 3):
+            edges += [
+                (b + t, b + t + 1), (b + t, b + t + 2),
+                (b + t + 1, b + t + 2),
+            ]
+        edges.append((b + 2, b + 3))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(i,) for i in range(6 * D)], "node_id long")
+
+    one = louvain_communities(n, e, max_sweeps=10).collect()
+    assert len({r["community"] for r in one}) == 2 * D  # stops short
+    multi = louvain_multilevel(n, e, max_sweeps=10).collect()
+    assert {r["community"] for r in multi} == {6 * g for g in range(D)}
+    assert all(r["community"] == 6 * (r["node_id"] // 6) for r in multi)
+    # determinism: bit-identical on rerun
+    again = louvain_multilevel(n, e, max_sweeps=10).collect()
+    assert sorted(map(tuple, multi)) == sorted(map(tuple, again))

@@ -1837,6 +1837,106 @@ def test_text_call_procedures(spark):
             run_cypher(spark, bad, graph=g)
 
 
+def test_text_call_full_library(spark):
+    """The expanded router: the whole Python algorithm library is
+    reachable from statement text — k_core/k_truss (peeling),
+    label_propagation/hits/adamic_adar (iterative + link prediction),
+    closeness/betweenness/eccentricity (landmark centralities),
+    triangle_count/clustering/assortativity (whole-graph profiles) —
+    each with YIELD validation over natural keys."""
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    # K4 on {0,1,2,3} plus pendant 4—0: the 3-core (and 4-truss) is the
+    # K4; the pendant peels off
+    n = spark.createDataFrame([(str(i),) for i in range(5)], "k string")
+    k4 = [(str(a), str(b)) for a in range(4) for b in range(a + 1, 4)]
+    und = k4 + [("4", "0")]
+    # both directions: the landmark BFS follows edge direction (its
+    # oracles state the same), so an undirected test graph lists both
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "sk string, dk string"
+    )
+    g = Graph(
+        as_nodes(n, "V", "k", []), as_edges(e, "E", "V", "sk", "V", "dk")
+    )
+    core = run_cypher(
+        spark, "CALL graft.k_core({k: 3}) YIELD key, degree ORDER BY key",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in core] == [(str(i), 3) for i in range(4)]
+    truss = run_cypher(
+        spark, "CALL graft.k_truss({k: 4}) YIELD key1, key2", graph=g
+    ).df.collect()
+    # canonical u<v is by internal id, so compare unordered pairs
+    assert {frozenset((r["key1"], r["key2"])) for r in truss} == {
+        frozenset(p) for p in k4
+    }
+    tri = run_cypher(
+        spark, "CALL graft.triangle_count({}) YIELD triangles", graph=g
+    ).df.collect()
+    assert tri[0]["triangles"] == 4  # C(4,3) in K4
+    cl = run_cypher(
+        spark,
+        "CALL graft.clustering({}) YIELD key, degree, triangles, lcc "
+        "ORDER BY key",
+        graph=g,
+    ).df.collect()
+    assert (cl[0]["key"], cl[0]["degree"], cl[0]["triangles"]) == ("0", 4, 3)
+    assert cl[4]["lcc"] == 0.0  # pendant
+    ecc = run_cypher(
+        spark,
+        "CALL graft.eccentricity({landmarks: 5, maxHops: 3}) "
+        "YIELD key, ecc_lb ORDER BY key",
+        graph=g,
+    ).df.collect()
+    assert ecc[-1]["key"] == "4" and ecc[-1]["ecc_lb"] == 2
+    close = run_cypher(
+        spark,
+        "CALL graft.closeness({landmarks: 5}) YIELD key, harmonic_x12",
+        graph=g,
+    ).df.collect()
+    by_k = {r["key"]: r["harmonic_x12"] for r in close}
+    # node 0: dist 1 to all four others -> 4 * 12/1 = 48
+    assert by_k["0"] == 48
+    bet = run_cypher(
+        spark,
+        "CALL graft.betweenness({landmarks: 5}) YIELD key, betweenness",
+        graph=g,
+    ).df.collect()
+    # node 0 is the cut vertex: on every shortest path 4<->{1,2,3}
+    assert max(bet, key=lambda r: r["betweenness"])["key"] == "0"
+    lp = run_cypher(
+        spark,
+        "CALL graft.label_propagation({maxIter: 4}) YIELD key, community",
+        graph=g,
+    ).df.collect()
+    assert len(lp) == 5
+    hits_r = run_cypher(
+        spark, "CALL graft.hits({maxIter: 4}) YIELD key, hub, auth", graph=g
+    ).df.collect()
+    assert len(hits_r) == 5 and all(r["hub"] >= 0 for r in hits_r)
+    aa = run_cypher(
+        spark,
+        "CALL graft.adamic_adar({topK: 3}) YIELD key1, key2, score, rank",
+        graph=g,
+    ).df.collect()
+    assert len(aa) > 0 and all(r["score"] > 0 for r in aa)
+    asst = run_cypher(
+        spark,
+        "CALL graft.assortativity({}) YIELD m_directed_pairs, assortativity",
+        graph=g,
+    ).df.collect()
+    assert asst[0]["m_directed_pairs"] == 14  # 7 undirected edges
+    assert asst[0]["assortativity"] < 0  # pendant drags it negative
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "CALL graft.k_core({}) YIELD key, nope", graph=g)
+
+
 def test_text_unwind_literal_list(spark, tmp_path):
     """UNWIND [literals] AS x: bare it IS the result; with a WHERE
     equality it compiles to the broadcast batch lookup; leading a write
