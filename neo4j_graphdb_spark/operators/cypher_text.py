@@ -2169,7 +2169,7 @@ _EXPR_TOKEN_RE = re.compile(
     r"|(?P<param>\$\w+)"
     r"|(?P<cmp><=|>=|<>|=|<|>)"
     r"|(?P<name>\w+)"
-    r"|(?P<op>[+\-*/%(),.\[\]|]))"
+    r"|(?P<op>[+\-*/%^(),.\[\]|]))"
 )
 
 _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL"}
@@ -2235,10 +2235,18 @@ def _parse_scalar_expr(text: str):
         return n
 
     def parse_muldiv():
-        n = parse_unary()
+        n = parse_power()
         while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
             _, op = take()
-            n = ("bin", op, n, parse_unary())
+            n = ("bin", op, n, parse_power())
+        return n
+
+    def parse_power():
+        # ^ is RIGHT-associative in Cypher: 2 ^ 3 ^ 2 = 2 ^ (3 ^ 2)
+        n = parse_unary()
+        if peek() == ("op", "^"):
+            take()
+            return ("bin", "^", n, parse_power())
         return n
 
     def parse_unary():
@@ -2309,6 +2317,34 @@ def _parse_scalar_expr(text: str):
                 )
             take()
             nk, nv = peek()
+            if (nk, nv) == ("op", "(") and up == "REDUCE":
+                # reduce(acc = init, x IN list | expr) — Cypher's fold,
+                # compiled to the `aggregate` higher-order function
+                take()
+                ak, av = take()
+                if ak != "name":
+                    raise CypherUnsupported(
+                        "reduce() needs the form "
+                        "reduce(acc = init, x IN list | expr)"
+                    )
+                if peek() != ("cmp", "="):
+                    raise CypherUnsupported(
+                        "reduce() needs `acc = <initial value>`"
+                    )
+                take()
+                init = parse_expr()
+                expect_op(",")
+                vk, vv = take()
+                ik, iv = take()
+                if vk != "name" or ik != "name" or (iv or "").upper() != "IN":
+                    raise CypherUnsupported(
+                        "reduce() needs `x IN <list>` after the accumulator"
+                    )
+                src = parse_expr()
+                expect_op("|")
+                body = parse_expr()
+                expect_op(")")
+                return ("reduce", av, init, vv, src, body)
             if (nk, nv) == ("op", "(") and up in ("ALL", "ANY", "NONE", "SINGLE"):
                 # list predicates (openCypher §4.2): all/any/none/single
                 # (x IN list WHERE pred) — compiled to forall/exists
