@@ -973,3 +973,35 @@ def dup_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """URL canonicalization for crawl-style dedup — the normalization
+    every common-crawl pipeline applies before exact URL dedup (cf. the
+    reference's link-keyed upsert, /root/reference/src/crwling.py:47-56,
+    which dedups on the RAW link and so re-crawls http/https/utm
+    variants of the same page).
+
+    Steps, in order: trim → drop the #fragment → lowercase scheme+host →
+    strip a redundant default port (:80 on http, :443 on https) → strip
+    a leading www. → drop tracking query params (utm_*, fbclid, gclid)
+    → collapse the ?/& debris that leaves behind → strip one trailing
+    slash. A pure regexp_replace chain: JVM-side, whole-stage-codegen,
+    and every pattern is RE2-safe (no lookarounds) so the same chain
+    replays verbatim in DuckDB for the oracle.
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase ONLY scheme://host (path/query stay case-significant)
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"(.)/$", r"$1")
+    return u

@@ -117,6 +117,7 @@ subqueries — neither appears in the reference.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -244,8 +245,23 @@ _SHORTEST_RE = re.compile(
     r"^(?P<palias>\w+)\s*=\s*shortestPath\s*\((?P<pat>.+)\)$", re.IGNORECASE
 )
 
+# p = allShortestPaths((a:L)-[:T*1..k]->(b:M)) — EVERY minimal-length
+# path per (a, b) pair, one row each
+_ALL_SHORTEST_RE = re.compile(
+    r"^(?P<palias>\w+)\s*=\s*allShortestPaths\s*\((?P<pat>.+)\)$",
+    re.IGNORECASE,
+)
+
 # p = (a:L)-[:T*1..k]->(b:M) — plain path-variable binding (a69)
 _PATH_BIND_RE = re.compile(r"^(?P<palias>\w+)\s*=\s*(?P<pat>\(.+)$")
+
+# [(a)-[:T]->(x) | x.prop] — pattern comprehension RETURN item,
+# optionally wrapped in size(); single-hop, bound source alias
+_PAT_COMP_RE = re.compile(
+    r"^(?P<size>size\s*\(\s*)?\[\s*(?P<pat>\(.+?)\s*\|\s*(?P<proj>[^\]]+?)\s*\]"
+    r"(?(size)\s*\))(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
+)
 
 # n {.title, .link} — map projection RETURN item (a72)
 _MAP_PROJ_RE = re.compile(
@@ -1310,6 +1326,15 @@ def run_cypher(
             graph=graph,
         )
     masked_q, q_lits = _mask_strings(query)
+    fe = _rewrite_foreach(masked_q)
+    if fe is not None:
+        # FOREACH (x IN list | <update>) — sugar for UNWIND list AS x
+        # <update> (identical write effects; FOREACH just doesn't bind
+        # x into a result, and write statements return only counters
+        # anyway). Re-enter whole so every write path sees the rewrite.
+        return run_cypher(
+            spark, _unmask(fe, q_lits), params, store=store, graph=graph
+        )
     callm = _CALL_RE.match(masked_q.strip())
     if callm:
         return _run_text_call(
@@ -1412,6 +1437,58 @@ def run_cypher(
 # UNION between whole statements (masked text, so a quoted 'UNION' never
 # splits). The capture group distinguishes UNION ALL from plain UNION.
 _UNION_SPLIT_RE = re.compile(r"(?<![.$\w])UNION(\s+ALL)?(?![\w$])", re.IGNORECASE)
+
+
+_FOREACH_HEAD_RE = re.compile(
+    r"^\s*FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+", re.IGNORECASE
+)
+
+
+def _rewrite_foreach(masked: str) -> str | None:
+    """Rewrite a statement-initial ``FOREACH (x IN <list> | <update>)``
+    to ``UNWIND <list> AS x <update>`` (masked text, so quoted ``|`` or
+    parens never miscount). Neo4j's FOREACH applies one update clause
+    per list element — exactly UNWIND's write-batch semantics here,
+    since write statements surface only counters. Nested FOREACH bodies
+    re-enter via the recursive run_cypher call. Returns None when the
+    statement is not a FOREACH (the common case, zero-cost)."""
+    m = _FOREACH_HEAD_RE.match(masked)
+    if m is None:
+        if re.search(r"(?<![.$\w])FOREACH(?![\w$])", masked, re.IGNORECASE):
+            raise CypherUnsupported(
+                "FOREACH is supported only as the whole statement: "
+                "FOREACH (x IN <list> | CREATE/MERGE/SET …)"
+            )
+        return None
+    # find the matching close paren of FOREACH( by depth count
+    depth, start = 1, m.end()
+    i, bar = start, None
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        elif ch == "|" and depth == 1 and bar is None:
+            bar = i
+        i += 1
+    if depth != 0 or bar is None:
+        raise CypherUnsupported(
+            "FOREACH needs the form FOREACH (x IN <list> | <update clause>)"
+        )
+    if masked[i + 1 :].strip():
+        raise CypherUnsupported(
+            "FOREACH must be the whole statement (no trailing clauses)"
+        )
+    src = masked[start:bar].strip()
+    body = masked[bar + 1 : i].strip()
+    if not src or not body:
+        raise CypherUnsupported(
+            "FOREACH needs the form FOREACH (x IN <list> | <update clause>)"
+        )
+    return f"UNWIND {src} AS {m.group('var')} {body}"
 
 
 def _unmask(text: str, lits: list[str]) -> str:
@@ -1771,8 +1848,41 @@ def _apply_unwind(
     if not um:
         lm = _UNWIND_LIT_RE.match(clauses[0].body)
         if not lm:
-            raise CypherUnsupported(
-                f"unsupported UNWIND form: {clauses[0].body!r}"
+            # UNWIND <frame-independent list expression> AS x leading a
+            # write (the FOREACH rewrite lands here for range()/
+            # comprehension sources) — same dummy-frame compile as the
+            # read path
+            xm = re.match(
+                r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$",
+                clauses[0].body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not xm:
+                raise CypherUnsupported(
+                    f"unsupported UNWIND form: {clauses[0].body!r}"
+                )
+            dummy = spark.range(1)
+            col, tag = _compile_scalar(
+                _parse_scalar_expr(xm.group("expr")),
+                dummy,
+                {},
+                None,
+                lits or [],
+                params if isinstance(params, dict) else None,
+            )
+            if tag not in ("list", "other"):
+                raise CypherUnsupported(
+                    f"UNWIND needs a list expression, got {tag}"
+                )
+            alias = xm.group("alias")
+            pdf = dummy.select(F.explode(col).alias(alias))
+            ref = re.compile(rf"(?<![\w$.]){re.escape(alias)}(?![\w$.(])")
+            return (
+                [
+                    _Clause(c.kind, ref.sub(f"${alias}", c.body))
+                    for c in clauses[1:]
+                ],
+                pdf,
             )
         alias = lm.group("alias")
         vals = _unwind_literal_values(
@@ -1892,10 +2002,14 @@ def _run_write(
                 n = _NODE_RE.match(part)
                 if n and n.group("label"):
                     _single_rel_type(n.group("label"), f"{c.kind} node label")
-                if not n or not n.group("alias") or not n.group("label"):
+                if not n or not n.group("label"):
                     raise CypherUnsupported(
                         f"unsupported {c.kind} pattern: {part!r}"
                     )
+                # anonymous node `CREATE (:L {…})` — mint an internal
+                # alias (nothing downstream can reference it, which is
+                # exactly the anonymous contract)
+                node_alias = n.group("alias") or f"_anon{len(nodes)}"
                 pairs = _parse_write_props(n.group("props"), lits or [])
                 if is_create:
                     # CREATE has no merge key; the FIRST prop in the map is
@@ -1907,7 +2021,7 @@ def _run_write(
                             f"key): {part!r}"
                         )
                     np = _NodePattern(
-                        n.group("alias"), n.group("label"),
+                        node_alias, n.group("label"),
                         key_prop=pairs[0][0], key_param=pairs[0][1],
                         create=True,
                     )
@@ -1919,7 +2033,7 @@ def _run_write(
                             f"MERGE needs exactly one key prop (got {part!r})"
                         )
                     np = _NodePattern(
-                        n.group("alias"), n.group("label"),
+                        node_alias, n.group("label"),
                         key_prop=pairs[0][0], key_param=pairs[0][1],
                     )
                 if np.alias in nodes:
@@ -2427,10 +2541,17 @@ def _parse_scalar_expr(text: str):
 
     def parse_case():
         expect_keyword("CASE")
+        # simple form `CASE x WHEN v THEN r …` — an operand expression
+        # before the first WHEN; each WHEN then carries a VALUE compared
+        # by equality (openCypher §9.2, the form Neo4j tutorials use for
+        # label-style recodes). Searched form when WHEN comes first.
+        operand = None
+        if not at_keyword("WHEN"):
+            operand = parse_expr()
         branches = []
         while at_keyword("WHEN"):
             take()
-            pred = parse_predicate()
+            pred = parse_expr() if operand is not None else parse_predicate()
             expect_keyword("THEN")
             branches.append((pred, parse_expr()))
         if not branches:
@@ -2440,6 +2561,8 @@ def _parse_scalar_expr(text: str):
             take()
             els = parse_expr()
         expect_keyword("END")
+        if operand is not None:
+            return ("case_simple", operand, branches, els)
         return ("case", branches, els)
 
     node = parse_expr()
@@ -2562,6 +2685,24 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 col = F.when(pc, vc) if col is None else col.when(pc, vc)
                 if tag == "other":
                     tag = vt
+            if els is not None:
+                ec, et = rec(els)
+                col = col.otherwise(ec)
+                if tag == "other":
+                    tag = et
+            return col, tag
+        if kind == "case_simple":
+            # CASE x WHEN v THEN r … — operand compiled ONCE, each WHEN
+            # value an equality test against it (one Catalyst CaseWhen)
+            operand, branches, els = n[1], n[2], n[3]
+            oc, _ = rec(operand)
+            col, tag = None, "other"
+            for val, res_ast in branches:
+                vc, _ = rec(val)
+                rc, rt = rec(res_ast)
+                col = F.when(oc == vc, rc) if col is None else col.when(oc == vc, rc)
+                if tag == "other":
+                    tag = rt
             if els is not None:
                 ec, et = rec(els)
                 col = col.otherwise(ec)
@@ -2821,11 +2962,50 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 else 2147483647
             )
             return F.substring(c, start, length), "str"
+        if fname in ("sqrt", "exp", "log", "log10", "sin", "cos", "tan",
+                     "asin", "acos", "atan"):
+            # Cypher's math library (openCypher §10.4); log is NATURAL log
+            # (Neo4j semantics — Spark's F.log with one arg agrees)
+            need(1)
+            c, _ = rec(args[0])
+            spark_fn = {
+                "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+                "sin": F.sin, "cos": F.cos, "tan": F.tan,
+                "asin": F.asin, "acos": F.acos, "atan": F.atan,
+            }[fname]
+            return spark_fn(c.cast("double")), "float"
+        if fname == "atan2":
+            need(2)
+            y, _ = rec(args[0])
+            x, _ = rec(args[1])
+            return F.atan2(y.cast("double"), x.cast("double")), "float"
+        if fname == "pi":
+            need(0)
+            return F.lit(math.pi), "float"
+        if fname == "e":
+            need(0)
+            return F.lit(math.e), "float"
+        if fname == "toboolean":
+            # toBoolean('true'/'false', boolean passthrough; anything
+            # else → NULL — Neo4j's lenient conversion)
+            need(1)
+            c, _ = rec(args[0])
+            return (
+                F.when(F.lower(c.cast("string")) == "true", F.lit(True))
+                .when(F.lower(c.cast("string")) == "false", F.lit(False))
+            ), "other"
+        if fname == "timestamp":
+            # timestamp() — current epoch millis (non-deterministic per
+            # statement, like Neo4j's per-transaction clock)
+            need(0)
+            return (F.unix_timestamp(F.current_timestamp()) * 1000), "int"
         raise CypherUnsupported(
             f"unsupported function {fname_raw!r} in expression (supported: "
-            "coalesce, toUpper, toLower, toString, toInteger, toFloat, size, "
-            "abs, sign, round, floor, ceil, trim, ltrim, rtrim, replace, "
-            "left, right, substring, split, head, last, reverse, range)"
+            "coalesce, toUpper, toLower, toString, toInteger, toFloat, "
+            "toBoolean, size, abs, sign, round, floor, ceil, sqrt, exp, log, "
+            "log10, sin, cos, tan, asin, acos, atan, atan2, pi, e, trim, "
+            "ltrim, rtrim, replace, left, right, substring, split, head, "
+            "last, reverse, range, timestamp)"
         )
 
     return rec(ast)
@@ -3096,6 +3276,7 @@ def _run_read(
     rel_alias: str | None = None
     rel_prefixed = False
     path_bind: str | None = None  # path variable from `p = (…)-[*…]->(…)`
+    all_shortest = False  # p = allShortestPaths(…): keep min-hop rows only
     limit: int | None = None
     skip: int | None = None
     returns: list[str] = []
@@ -3319,7 +3500,44 @@ def _run_read(
                 [(v,) for v in vals], [unwind_name]
             )
         elif c.kind == "MATCH":
-            pbm = None if _SHORTEST_RE.match(c.body) else _PATH_BIND_RE.match(c.body)
+            asm = _ALL_SHORTEST_RE.match(c.body)
+            if asm is not None:
+                # `p = allShortestPaths((a)-[:T*1..k]->(b))` — EVERY
+                # minimal-length path per endpoint pair. Compiles to the
+                # same path-collecting var-length ladder as a plain path
+                # binding, then one window keeps rows whose hop count
+                # equals the pair's minimum — Catalyst pushes endpoint
+                # WHEREs through both, so the two-specific-nodes idiom
+                # never ladders the whole label. (Neo4j semantics:
+                # neo4j.com/docs/cypher-manual allShortestPaths; the
+                # reference itself has no path queries — SURVEY §2.A.)
+                if df is not None:
+                    raise CypherUnsupported(
+                        "allShortestPaths must be the statement's first MATCH"
+                    )
+                pat = re.sub(r"\*\s*\.\.", "*1..", asm.group("pat").strip())
+                mas = _REL_RE.match(pat)
+                if not mas or not mas.group("max_h"):
+                    raise CypherUnsupported(
+                        "allShortestPaths needs a bounded variable-length "
+                        "pattern: allShortestPaths((a)-[:T*1..k]->(b))"
+                    )
+                if mas.group("min_h") != "1":
+                    raise CypherUnsupported(
+                        "allShortestPaths supports a minimal length of 1 only"
+                    )
+                if mas.group("rel_alias"):
+                    raise CypherUnsupported(
+                        "bind the path OR the relationship, not both"
+                    )
+                path_bind = asm.group("palias")
+                all_shortest = True
+                c.body = pat
+            pbm = (
+                None
+                if _SHORTEST_RE.match(c.body) or all_shortest
+                else _PATH_BIND_RE.match(c.body)
+            )
             if pbm is not None:
                 # `p = (a)-[:T*1..k]->(b)` — the path variable binds the
                 # whole var-length match; nodes(p)/relationships(p)/
@@ -3537,6 +3755,17 @@ def _run_read(
                         src_alias=va_src, dst_alias=va_dst,
                         collect_paths=path_bind is not None,
                     )
+                    if all_shortest:
+                        from pyspark.sql.window import Window
+
+                        w = Window.partitionBy(
+                            f"{va_src}_{NODE_ID}", f"{va_dst}_{NODE_ID}"
+                        )
+                        df = (
+                            df.withColumn("_minh", F.min("hops").over(w))
+                            .filter(F.col("hops") == F.col("_minh"))
+                            .drop("_minh")
+                        )
                 else:
                     df = graph.expand(
                         rel_type=_rel_types(m.group("rel_type")),
@@ -3914,6 +4143,84 @@ def _run_read(
             )
             df = df.join(cnt, src_id == F.col("_csrc"), "left").drop("_csrc")
             e = F.coalesce(F.col(f"_cnt_{name}"), F.lit(0)).cast("bigint")
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
+        pcm = _PAT_COMP_RE.match(item)
+        if pcm:
+            # pattern comprehension `[(a)-[:T]->(x) | x.prop] AS xs`
+            # (openCypher §3.10), optionally wrapped in size(). Compiles
+            # like COUNT {…}: ONE aggregation on the edge side grouped
+            # by the source node id, then a broadcastable left join —
+            # never a fan-out of the main frame. The collected list is
+            # sort_array'd: Neo4j leaves comprehension order undefined,
+            # a canonical order makes results partitioning-independent.
+            pm = _REL_RE.match(pcm.group("pat").strip())
+            if not pm:
+                raise CypherUnsupported(
+                    f"unsupported comprehension pattern: {pcm.group('pat')!r}"
+                )
+            if pm.group("min_h") or pm.group("rel_props"):
+                raise CypherUnsupported(
+                    "variable-length / property patterns are unsupported "
+                    "in pattern comprehensions"
+                )
+            ca = pm.group("src_alias")
+            if not ca or pm.group("src_label") or ca not in aliases:
+                raise CypherUnsupported(
+                    "pattern-comprehension source must be a bound bare alias"
+                )
+            da = pm.group("dst_alias")
+            prm = re.fullmatch(
+                r"(?P<a>\w+)\.(?P<p>\w+)", pcm.group("proj").strip()
+            )
+            if not da or not prm or prm.group("a") != da:
+                raise CypherUnsupported(
+                    "pattern-comprehension projection must be "
+                    "<target alias>.<property>"
+                )
+            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+            ce = graph.edges_df
+            if ce is None:
+                raise CypherUnsupported("graph has no edges")
+            ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
+            ce = _orient_edges(ce, _rel_direction(pm))
+            dstn = graph.match(_rel_types(pm.group("dst_label")))
+            # key-name fallback, same convention as _prop_col: an
+            # unknown property name reads the storage key column
+            prop = prm.group("p") if prm.group("p") in dstn.columns else "key"
+            name = pcm.group("out")
+            if not name:
+                raise CypherUnsupported(
+                    "pattern comprehensions need an AS alias"
+                )
+            side = (
+                ce.join(
+                    dstn.select(
+                        F.col(NODE_ID).alias("_pcid"),
+                        F.col(prop).alias("_pcval"),
+                    ),
+                    ce["dst"] == F.col("_pcid"),
+                )
+                .groupBy(F.col("src").alias("_pcsrc"))
+                .agg(F.sort_array(F.collect_list("_pcval")).alias(f"_pcl_{name}"))
+            )
+            src_id = (
+                F.col(f"{aliases[ca]}{NODE_ID}") if aliases[ca] else F.col(NODE_ID)
+            )
+            df = df.join(side, src_id == F.col("_pcsrc"), "left").drop("_pcsrc")
+            arr_dt = dict(side.dtypes)[f"_pcl_{name}"]
+            filled = F.coalesce(
+                F.col(f"_pcl_{name}"), F.lit(None).cast(arr_dt)
+            )
+            if pcm.group("size"):
+                e = F.coalesce(F.size(filled), F.lit(0)).cast("bigint")
+            else:
+                e = F.coalesce(
+                    filled, F.expr(f"cast(array() as {arr_dt})")
+                )
             out_cols.append(e.alias(name))
             out_exprs[name] = e
             out_names.append(name)

@@ -440,3 +440,73 @@ def negative_sample(
     return cand.join(pos_set, on=["user", "neg_item"], how="left_anti").select(
         "user", "pos_item", "neg_item", F.col("r").cast("int").alias("r")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    dim: int = 256,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate a target
+    and a raw unigram distribution over ``dim`` hashed buckets, then
+    score every document by the sum of per-token log importance ratios
+    ``ln(p_target[b] / p_raw[b])``. Select-top-fraction by score to
+    resample the raw corpus toward the target domain.
+
+    ``target_col`` is a boolean column marking the target-domain rows
+    (they stay in the raw estimate too — DSIR's raw distribution is the
+    whole pool). Laplace +1 smoothing keeps empty buckets finite.
+
+    Scale shape: one token scan feeding two ``dim``-row aggregations
+    (map-side combined), the log-ratio table is ``dim`` rows →
+    broadcast to the token stream, and the per-doc score is one more
+    (id)-keyed aggregation. No vocabulary, no driver loop, nothing
+    proportional to corpus size but the scans. The md5-fold bucket hash
+    makes every score SQL-replayable.
+
+    No reference twin (the reference has no curation stage);
+    training-pipeline mandate. Returns ``(id, n_tokens, score)`` with
+    the score rounded to 4 places for cross-engine hash stability.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("_t"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("_tok"),
+    ).withColumn("_b", md5_bucket("_tok", "dsir:", dim).cast("int"))
+    tgt = toks.filter(F.col("_t")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_np")
+    )
+    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_nq"))
+    tot_t = tgt.agg(F.sum("_np").alias("_tp"))
+    tot_r = raw.agg(F.sum("_nq").alias("_tq"))
+    ratio = (
+        raw.join(tgt, "_b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_np"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_tp") + F.lit(float(dim)))
+                )
+                - F.log(
+                    (F.col("_nq") + F.lit(1.0))
+                    / (F.col("_tq") + F.lit(float(dim)))
+                )
+            ).alias("_lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_lr"), 4).alias("score"),
+        )
+    )

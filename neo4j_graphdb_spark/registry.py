@@ -7002,6 +7002,194 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a75_text_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A75 ext — simple-form CASE (``CASE x WHEN v THEN r … END``,
+    openCypher §9.2: operand compiled ONCE, WHEN values equality-tested
+    — one Catalyst CaseWhen) plus the math function library
+    (sqrt/exp/log/log10/trig/pi/e — openCypher §10.4, each a single
+    JVM-side function call). Both in one read over event nodes; the
+    searched CASE form has been covered since a55."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("k"),
+        F.col("event_type").alias("et"),
+        F.col("value").alias("val"),
+    )
+    g = Graph(as_nodes(ev, "Ev", "k", ["et", "val"]), None)
+    res = run_cypher(
+        spark,
+        "MATCH (e:Ev) WHERE e.val > 150 "
+        "RETURN e.key AS k, "
+        "CASE e.et WHEN 'click' THEN 'c' WHEN 'error' THEN 'x' ELSE 'o' END AS cls, "
+        "round(sqrt(e.val), 4) AS sq, round(log10(e.val), 4) AS lg",
+        graph=g,
+    )
+    return res.df
+
+
+def q_a76_text_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76 ext — ``FOREACH (x IN <list> | <update>)`` (openCypher §13.3)
+    as sugar over the UNWIND write batch (cypher_text._rewrite_foreach:
+    identical write effects, and write statements surface only
+    counters). Exercises both sources — a literal list under MERGE
+    (replayed twice to prove idempotence) and a range() expression
+    under CREATE with an ANONYMOUS node pattern (minted internal
+    alias). The oracle states the resulting multiplicities."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a76_"))
+    run_cypher(
+        spark, "FOREACH (x IN range(1, 20) | CREATE (:FE {k: x}))", store=store
+    )
+    stmt = "FOREACH (s IN ['a', 'b', 'c'] | MERGE (m:FM {k: s}))"
+    run_cypher(spark, stmt, store=store)
+    run_cypher(spark, stmt, store=store)  # MERGE replay: still 3
+    return (
+        store.nodes()
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("key").alias("mn"),
+            F.max("key").alias("mx"),
+        )
+        .select("label", "n", "mn", "mx")
+    )
+
+
+def q_a77_text_all_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A77 ext — ``allShortestPaths`` (the Neo4j pair of a56's
+    shortestPath): EVERY minimal-length path per endpoint pair, one row
+    each. Compiles to the path-collecting var-length ladder + ONE
+    window keeping rows at the pair's min hop count
+    (cypher_text._ALL_SHORTEST_RE); endpoint predicates push through
+    both. The fixture is a diamond forest off ``documents`` — S_i
+    branches through two middles into the same sink, so every pair has
+    exactly TWO length-2 shortest paths and the oracle is a closed-form
+    UNION ALL."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 100).alias("i"))
+        .distinct()
+    )
+    s = ids.select(F.concat(F.lit("s"), F.col("i")).alias("k"), "i")
+    mids = ids.select((F.col("i") % 5).alias("j")).distinct()
+    ma = mids.select(F.concat(F.lit("ma"), F.col("j")).alias("k"), "j")
+    mb = mids.select(F.concat(F.lit("mb"), F.col("j")).alias("k"), "j")
+    ts = mids.select((F.col("j") % 2).alias("m")).distinct().select(
+        F.concat(F.lit("t"), F.col("m")).alias("k"), "m"
+    )
+    nodes = (
+        as_nodes(s, "S", "k")
+        .unionByName(as_nodes(ma.unionByName(mb), "M", "k"))
+        .unionByName(as_nodes(ts, "T", "k"))
+    )
+    e_sa = s.select(
+        "k", F.concat(F.lit("ma"), (F.col("i") % 5)).alias("d")
+    )
+    e_sb = s.select(
+        "k", F.concat(F.lit("mb"), (F.col("i") % 5)).alias("d")
+    )
+    e_mt = (
+        ma.unionByName(mb)
+        .select("k", F.concat(F.lit("t"), (F.col("j") % 2)).alias("d"))
+    )
+    edges = (
+        as_edges(e_sa, "R", "S", "k", "M", "d")
+        .unionByName(as_edges(e_sb, "R", "S", "k", "M", "d"))
+        .unionByName(as_edges(e_mt, "R", "M", "k", "T", "d"))
+    )
+    res = run_cypher(
+        spark,
+        "MATCH p = allShortestPaths((a:S)-[:R*1..3]->(b:T)) "
+        "RETURN a.key AS ak, b.key AS bk, length(p) AS len, nodes(p) AS ns",
+        graph=Graph(nodes, edges),
+    )
+    return res.df.select(
+        "ak", "bk", F.col("len").cast("bigint").alias("len"),
+        F.concat_ws("->", "ns").alias("path"),
+    )
+
+
+def q_a78_text_pattern_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78 ext — pattern comprehensions ``[(p)<-[:W]-(a) | a.title]``
+    (openCypher §3.10), plain and size()-wrapped. Compiles like the
+    COUNT{} pattern: ONE edge-side aggregation grouped by source node
+    id + a left join back — never a fan-out-and-regroup of the main
+    frame, so the plan survives high-degree publishers. Lists are
+    sort_array'd (Neo4j leaves the order undefined; canonical order
+    makes the value-hash partitioning-independent) and joined to
+    strings for the compare."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    res = run_cypher(
+        spark,
+        "MATCH (p:Publisher) RETURN p.key AS pub, "
+        "[(p)<-[:WRITTEN_BY]-(a) | a.title] AS titles, "
+        "size([(p)<-[:WRITTEN_BY]-(a) | a.title]) AS n",
+        graph=article_graph(spark, sf_dir),
+    )
+    return res.df.select(
+        "pub", F.concat_ws("|", "titles").alias("titles"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_c100_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C100 — URL canonicalization + exact URL dedup, the step every
+    crawl pipeline runs before content dedup (the reference upserts on
+    the RAW link, /root/reference/src/crwling.py:47-56, so http/https/
+    utm variants of one page re-crawl forever). Deterministic messy
+    URLs are derived in-query from ``documents`` (scheme case, www,
+    :443, utm_/fbclid params and #fragments vary by doc_id residues);
+    ``canonical_url`` — a pure RE2-safe regexp_replace chain, JVM-side,
+    whole-stage-codegen — collapses the variants, and the dedup keeps
+    ``min(doc_id)`` per canonical URL. At 100 TB this is one scan + one
+    (canonical)-keyed aggregation."""
+    from neo4j_graphdb_spark.functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 1, F.lit("/?utm_source=feed&id=")
+        ).otherwise(F.lit("/?id=")),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(F.col("doc_id"), canonical_url(messy).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def q_c101_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101 — DSIR-style importance scores (Xie et al. 2023): hashed
+    unigram distributions for the target domain (lang='en') vs the raw
+    pool, per-document sum of log importance ratios
+    (operators/sampling.py dsir_scores). One token scan, two dim-row
+    aggregations, a broadcast ratio join, one (doc)-keyed sum — no
+    vocabulary, no driver loop; the md5-fold bucket hash replays in
+    SQL."""
+    from neo4j_graphdb_spark.operators.sampling import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return dsir_scores(docs, "text", "doc_id", "is_en", dim=256)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7022,13 +7210,14 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   a61 update statement, a62 rel deletion, c92 boilerplate removal,
 #   c93 phash near-dup, c94 Louvain, c95 stream phash gate) + the
 #   remaining slots from the never-driver-checked backlog.
-#   r08's window (current first 50) = the 30 never-driver-checked
-#   entries (the 22-entry backlog block c66_pq_topk..c83_node2vec_walks
-#   plus the 8 post-r7-window tail additions c96/a63/a64/a65/c97/c98/
-#   a66/a67) — completing a driver-artifact row for EVERY declared
-#   entry — followed by this round's additions in slots 31-50.
-#   From r09 on, only new/changed entries need to lead; cumulative
-#   driver coverage is total.
+#   r08 produced NO driver artifact (CORRECTNESS_r08.json never
+#   materialized), so the r09 window (current first 50) still leads
+#   with the 30 never-driver-checked entries (22-entry backlog block
+#   c66..c83 + the 8 post-r7 tail additions c96/a63-a67/c97/c98),
+#   then the 8 round-8 additions (a68/a74/a69-a73/c99), then the 6
+#   round-9 additions (a75-a78/c100/c101) — 44 never-driver-checked
+#   entries inside the window, completing a driver-artifact row for
+#   every declared entry once r09's harness runs.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r8 driver window (first 50): the 30 never-driver-checked
     # entries (22-entry backlog block + the 8 post-r7-window tail
@@ -7073,6 +7262,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a72_text_map_projection": q_a72_text_map_projection,
     "a73_text_call_library": q_a73_text_call_library,
     "c99_louvain_multilevel": q_c99_louvain_multilevel,
+    # ---- r9 additions (still inside the 50-entry window: 38 + 6 = 44) ----
+    "a75_text_case_math": q_a75_text_case_math,
+    "a76_text_foreach": q_a76_text_foreach,
+    "a77_text_all_shortest": q_a77_text_all_shortest,
+    "a78_text_pattern_comp": q_a78_text_pattern_comp,
+    "c100_url_dedup": q_c100_url_dedup,
+    "c101_dsir": q_c101_dsir,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -10169,4 +10365,109 @@ ORACLES["a72_text_map_projection"] = """
     SELECT substr(text, 1, 40) AS title,
            concat('doc://', cast(doc_id AS varchar)) AS link
     FROM documents
+"""
+
+ORACLES["a75_text_case_math"] = """
+    SELECT cast(event_id AS varchar) AS k,
+           CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'x'
+                ELSE 'o' END AS cls,
+           round(sqrt(value), 4) AS sq,
+           round(log10(value), 4) AS lg
+    FROM events WHERE value > 150
+"""
+
+ORACLES["a76_text_foreach"] = """
+    SELECT 'FE' AS label, 20::bigint AS n, '1' AS mn, '9' AS mx
+    UNION ALL
+    SELECT 'FM', 3::bigint, 'a', 'c'
+"""
+
+ORACLES["a77_text_all_shortest"] = """
+    WITH i AS (SELECT DISTINCT doc_id % 100 AS i FROM documents),
+    s AS (SELECT concat('s', cast(i AS varchar)) AS ak,
+                 concat('t', cast((i % 5) % 2 AS varchar)) AS bk,
+                 cast(i % 5 AS varchar) AS j, cast(i AS varchar) AS istr
+          FROM i)
+    SELECT ak, bk, 2::bigint AS len,
+           concat('s', istr, '->ma', j, '->t', cast(bk[2] AS varchar)) AS path
+    FROM s
+    UNION ALL
+    SELECT ak, bk, 2::bigint,
+           concat('s', istr, '->mb', j, '->t', cast(bk[2] AS varchar))
+    FROM s
+"""
+
+ORACLES["a78_text_pattern_comp"] = """
+    SELECT source AS pub,
+           string_agg(substr(text, 1, 40), '|' ORDER BY substr(text, 1, 40)) AS titles,
+           count(*)::bigint AS n
+    FROM documents GROUP BY source
+"""
+
+_CANON_URL_SQL = """
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        concat(
+            lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+            regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+        ),
+        '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2'),
+        '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2'),
+        '^(https?://)www\\.', '\\1'),
+        '([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+        '\\?&+', '?'),
+        '&&+', '&', 'g'),
+        '[?&]+$', ''),
+        '(.)/$', '\\1')
+"""
+
+ORACLES["c100_url_dedup"] = f"""
+    WITH m AS (
+        SELECT doc_id,
+               concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
+                   '://',
+                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+                   source, '.Example.com',
+                   CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE '' END,
+                   '/docs/', cast(doc_id % 50 AS varchar),
+                   CASE WHEN doc_id % 2 = 1 THEN '/?utm_source=feed&id='
+                        ELSE '/?id=' END,
+                   cast(doc_id % 20 AS varchar),
+                   CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END
+               ) AS u0
+        FROM documents
+    ),
+    f AS (SELECT doc_id, regexp_replace(trim(u0), '#.*$', '') AS u2 FROM m),
+    c AS (SELECT doc_id, {_CANON_URL_SQL} AS canon FROM f)
+    SELECT canon, count(*)::bigint AS n, min(doc_id) AS keeper
+    FROM c GROUP BY canon
+"""
+
+ORACLES["c101_dsir"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang = 'en' AS t,
+               (({_MD5_60_SQL.format(x="concat('dsir:', tok)")}) % 256)::int AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        )
+    ),
+    tgt AS (SELECT b, count(*)::bigint AS np FROM toks WHERE t GROUP BY b),
+    raw AS (SELECT b, count(*)::bigint AS nq FROM toks GROUP BY b),
+    tots AS (
+        SELECT (SELECT sum(np) FROM tgt)::double AS tp,
+               (SELECT sum(nq) FROM raw)::double AS tq
+    ),
+    ratio AS (
+        SELECT raw.b,
+               ln((coalesce(tgt.np, 0) + 1.0) / (tots.tp + 256.0))
+               - ln((raw.nq + 1.0) / (tots.tq + 256.0)) AS lr
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    )
+    SELECT toks.doc_id, count(*)::bigint AS n_tokens,
+           round(sum(ratio.lr), 4) AS score
+    FROM toks JOIN ratio ON toks.b = ratio.b
+    GROUP BY toks.doc_id
 """

@@ -3213,3 +3213,163 @@ def test_text_map_projection_and_temporal_parts(spark):
             "MATCH (e:Ev) RETURN datetime.truncate('decade', e.ts) AS x",
             graph=gt,
         )
+
+
+def test_text_simple_case_and_math(spark):
+    """a75: simple-form CASE (operand compiled once, WHEN values
+    equality-tested) and the math function pack, all single Catalyst
+    expressions."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    n = spark.createDataFrame(
+        [("a", 4.0), ("b", 100.0), ("c", 1.0)], "k string, v double"
+    )
+    g = Graph(as_nodes(n, "N", "k", ["v"]), None)
+    rows = {
+        r["k"]: r
+        for r in run_cypher(
+            spark,
+            "MATCH (n:N) RETURN n.k AS k, "
+            "CASE n.k WHEN 'a' THEN 10 WHEN 'b' THEN 20 ELSE 0 END AS cls, "
+            "sqrt(n.v) AS sq, round(log10(n.v), 6) AS lg, "
+            "round(exp(0), 6) AS e1, round(pi(), 4) AS p, "
+            "toBoolean('true') AS tb, atan2(0, 1) AS at",
+            graph=g,
+        ).df.collect()
+    }
+    assert (rows["a"]["cls"], rows["b"]["cls"], rows["c"]["cls"]) == (10, 20, 0)
+    assert rows["a"]["sq"] == 2.0
+    assert rows["b"]["lg"] == 2.0
+    assert rows["c"]["e1"] == 1.0
+    assert rows["a"]["p"] == 3.1416
+    assert rows["a"]["tb"] is True
+    assert rows["a"]["at"] == 0.0
+
+
+def test_text_foreach_rewrite(spark, tmp_path):
+    """FOREACH (x IN list | update) rewrites to the UNWIND write batch:
+    literal lists, range() expressions, anonymous CREATE patterns, and
+    MERGE idempotence all ride the existing write paths."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "foreach"))
+    r = run_cypher(
+        spark, "FOREACH (x IN ['a', 'b'] | CREATE (:FE {k: x}))", store=s
+    )
+    assert r.summary.nodes_created == 2
+    r2 = run_cypher(
+        spark, "FOREACH (x IN range(1, 4) | MERGE (m:FM {k: x}))", store=s
+    )
+    assert r2.summary.nodes_created == 4
+    r3 = run_cypher(
+        spark, "FOREACH (x IN range(1, 4) | MERGE (m:FM {k: x}))", store=s
+    )
+    assert r3.summary.nodes_created == 0  # MERGE replay is idempotent
+    labels = {
+        (r["label"]): r["n"]
+        for r in s.nodes().groupBy("label").count().withColumnRenamed("count", "n").collect()
+    }
+    assert labels == {"FE": 2, "FM": 4}
+    with _pytest.raises(CypherUnsupported, match="whole statement"):
+        run_cypher(
+            spark,
+            "MATCH (n:FE) FOREACH (x IN [1] | SET n.p = x)",
+            store=s,
+        )
+    with _pytest.raises(CypherUnsupported, match="FOREACH"):
+        run_cypher(spark, "FOREACH (x IN [1, 2])", store=s)
+
+
+def test_text_all_shortest_paths(spark):
+    """allShortestPaths returns EVERY minimal-length path per pair:
+    diamond a->{b,c}->d yields both 2-hop paths, and the direct edge
+    a->d (when present) suppresses them."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "k string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "s string, d string"
+    )
+    g = Graph(as_nodes(n, "N", "k"), as_edges(e, "T", "N", "s", "N", "d"))
+    q = (
+        "MATCH p = allShortestPaths((a:N)-[:T*1..3]->(b:N)) "
+        "WHERE a.key = 'a' AND b.key = 'd' "
+        "RETURN length(p) AS len, nodes(p) AS ns"
+    )
+    rows = sorted(
+        (r["len"], r["ns"]) for r in run_cypher(spark, q, graph=g).df.collect()
+    )
+    assert rows == [(2, ["a", "b", "d"]), (2, ["a", "c", "d"])]
+    # add the direct edge: min length drops to 1, only that path remains
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")],
+        "s string, d string",
+    )
+    g2 = Graph(as_nodes(n, "N", "k"), as_edges(e2, "T", "N", "s", "N", "d"))
+    rows2 = sorted(
+        (r["len"], r["ns"]) for r in run_cypher(spark, q, graph=g2).df.collect()
+    )
+    assert rows2 == [(1, ["a", "d"])]
+    with _pytest.raises(CypherUnsupported, match="bounded"):
+        run_cypher(
+            spark,
+            "MATCH p = allShortestPaths((a:N)-[:T*]->(b:N)) RETURN length(p) AS l",
+            graph=g,
+        )
+
+
+def test_text_pattern_comprehension(spark):
+    """Pattern comprehensions [(a)-[:T]->(x) | x.prop] compile to one
+    edge-side aggregation + a left join (no main-frame fan-out);
+    no-match rows yield an empty list, size() counts it as 0."""
+    import pytest as _pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    n = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "s string, d string"
+    )
+    g = Graph(as_nodes(n, "N", "k"), as_edges(e, "T", "N", "s", "N", "d"))
+    rows = {
+        r["k"]: (r["outs"], r["n"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:N) RETURN a.k AS k, [(a)-[:T]->(x) | x.k] AS outs, "
+            "size([(a)-[:T]->(x) | x.k]) AS n",
+            graph=g,
+        ).df.collect()
+    }
+    assert rows == {"a": (["b", "c"], 2), "b": (["c"], 1), "c": ([], 0)}
+    # incoming direction
+    rows_in = {
+        r["k"]: r["ins"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:N) RETURN a.k AS k, [(a)<-[:T]-(x) | x.k] AS ins",
+            graph=g,
+        ).df.collect()
+    }
+    assert rows_in == {"a": [], "b": ["a"], "c": ["a", "b"]}
+    with _pytest.raises(CypherUnsupported, match="AS alias"):
+        run_cypher(spark, "MATCH (a:N) RETURN [(a)-[:T]->(x) | x.k]", graph=g)

@@ -421,3 +421,39 @@ def test_temperature_mixture(spark):
         .collect()
     }
     assert again == gotm
+
+
+def test_canonical_url(spark):
+    from neo4j_graphdb_spark.functions.text import canonical_url
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Docs/5/?utm_source=feed&id=7#frag",
+        "https://example.com/Docs/5?id=7",
+        "http://Example.com:80/a/b/",
+        "https://example.com/a?utm_campaign=x&utm_medium=y",
+        "https://example.com/a?id=1&fbclid=abc&x=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert out[0] == "https://example.com/Docs/5/?id=7"
+    assert out[1] == "https://example.com/Docs/5?id=7"
+    assert out[2] == "http://example.com/a/b"
+    assert out[3] == "https://example.com/a"
+    assert out[4] == "https://example.com/a?id=1&x=2"
+
+
+def test_dsir_scores_prefers_target_like_docs(spark):
+    from neo4j_graphdb_spark.operators.sampling import dsir_scores
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "alpha beta alpha beta gamma", True),
+        (3, "alpha beta gamma delta", False),     # target-like
+        (4, "zeta eta theta iota kappa", False),  # off-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {r["doc_id"]: r for r in dsir_scores(df, "text", "doc_id", "t", dim=64).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4]["n_tokens"] == 5
+    # the doc sharing the target's vocabulary outscores the disjoint one
+    assert out[3]["score"] > out[4]["score"]
