@@ -2131,3 +2131,69 @@ def louvain_multilevel(
             .localCheckpoint(eager=False)
         )
     return mapping
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Weighted single-source shortest paths from a set of sources —
+    the min-plus (Bellman-Ford) companion of :func:`shortest_paths`:
+    each round relaxes every edge out of the improved frontier, and the
+    pair table keeps ``min(dist)`` per (source, node). Rounds are
+    bounded (like every ladder in this engine — an unbounded relax is a
+    join explosion at scale); a round with no improvement exits early,
+    so ``max_rounds`` is a cap, not a schedule.
+
+    ``edges`` needs ``src, dst, weight`` (non-negative weights — with
+    them, ``diameter`` rounds suffice exactly as in Dijkstra's
+    invariant). Returns ``(source, id, dist)`` PAIRWISE distances; at
+    100 TB run it per source-batch — the state is |sources| × reachable
+    nodes, and batching sources bounds it (same geometry as the
+    shortestPath text ladder, which Catalyst prunes per-pair).
+
+    No reference twin (the reference has no weighted paths; SURVEY §2.C
+    north-star companion of C4). Frontier and dist checkpoint per round
+    — the lineage would otherwise double per superstep.
+    """
+    dist = (
+        sources.select(F.col(id_col).alias("source"))
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("id"),
+            F.lit(0.0).alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        old = dist.select(
+            "source", "id", F.col("dist").alias("_old")
+        )
+        improved = (
+            cand.join(old, ["source", "id"], "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("source", "id", "dist")
+        ).localCheckpoint()
+        if improved.limit(1).count() == 0:
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint()
+        frontier = improved
+    return dist

@@ -111,8 +111,25 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   split, comprehensions — compiled and exploded to the unwind frame);
   ``keys(r)``/``properties(r)`` relationship introspection
 
-Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths,
-subqueries — neither appears in the reference.
+* simple-form ``CASE x WHEN v THEN r … END`` (operand compiled once,
+  equality-tested per WHEN) alongside the searched form; the math
+  function library (sqrt/exp/log/log10/trig/atan2/pi/e — one JVM-side
+  function each), ``toBoolean``, ``timestamp()``
+* ``FOREACH (x IN <list> | <update clause>)`` — rewritten to the UNWIND
+  write batch (identical write effects and counters); list sources:
+  literals, $params, frame-independent expressions (range(), …)
+* ``MATCH p = allShortestPaths((a)-[:T*1..k]->(b))`` — EVERY
+  minimal-length path per pair: the path-collecting var-length ladder
+  + one window keeping rows at the pair's min hop count
+* pattern comprehensions ``[(a)-[:T]->(x) | x.prop]`` in RETURN (plain
+  or size()-wrapped, AS-aliased) — ONE edge-side aggregation joined
+  back, never a fan-out of the main frame
+* anonymous node patterns in CREATE/MERGE (``CREATE (:L {k: 1})``) —
+  an internal alias is minted
+
+Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths —
+it does not appear in the reference, and at scale it is a join
+explosion by construction.
 """
 
 from __future__ import annotations

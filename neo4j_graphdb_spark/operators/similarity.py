@@ -689,3 +689,96 @@ def ann_recall(
         )
         .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Full d×d covariance matrix of an embedding column — the input to
+    PCA/whitening/ZCA in an embedding-curation pipeline (and the
+    diagnostic for anisotropy/dimension collapse in learned spaces).
+
+    Scale shape — the part that matters at 100 TB: each Arrow batch
+    contributes ONE d×d partial Gram matrix (a numpy ``X.T @ X`` inside
+    ``mapInPandas``, so the reduce traffic is d² rows PER BATCH, never
+    N·d² exploded rows), plus d partial feature sums and a count; one
+    (i, j) aggregation merges the partials and the covariance finishes
+    as ``(Σxxᵀ − Σx Σxᵀ/n) / (n−1)`` — all DataFrame ops, nothing
+    driver-side, associative and therefore AQE/skew-safe. Rounded for
+    cross-engine hash stability (float32 products are exact in float64;
+    only the sum order differs between engines).
+
+    Returns the sparse long form ``(i, j, cov)``, i ≤ j omitted‐free
+    (full matrix — symmetric consumers can filter i <= j).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = dim
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].tolist()
+            if not vecs:
+                continue
+            x = np.asarray(vecs, dtype=np.float64)
+            g = x.T @ x  # d×d partial Gram
+            i_idx, j_idx = np.meshgrid(range(d), range(d), indexing="ij")
+            out = pd.DataFrame(
+                {
+                    "i": i_idx.ravel().astype("int32"),
+                    "j": j_idx.ravel().astype("int32"),
+                    "s": g.ravel(),
+                    "n": np.int64(0),
+                }
+            )
+            sums = pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype="int32"),
+                    "j": np.full(d, -1, dtype="int32"),
+                    "s": x.sum(axis=0),
+                    "n": np.int64(0),
+                }
+            )
+            cnt = pd.DataFrame(
+                {"i": [-1], "j": [-1], "s": [0.0], "n": [len(vecs)]}
+            )
+            yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(gen, schema="i int, j int, s double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    xx = parts.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+        "i", "j", F.col("s").alias("sxy")
+    )
+    mx = parts.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("_mi"), F.col("s").alias("sx")
+    )
+    cnt = parts.filter(F.col("i") == -1).select(F.col("n").alias("_n"))
+    return (
+        xx.join(F.broadcast(mx), xx["i"] == mx["_mi"])
+        .drop("_mi")
+        .join(
+            F.broadcast(
+                mx.select(F.col("_mi").alias("_mj"), F.col("sx").alias("sy"))
+            ),
+            xx["j"] == F.col("_mj"),
+        )
+        .drop("_mj")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("_n"))
+                / (F.col("_n") - 1),
+                round_to,
+            ).alias("cov"),
+        )
+    )

@@ -7190,6 +7190,55 @@ def q_c101_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, "text", "doc_id", "is_en", dim=256)
 
 
+def q_c102_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C102 — full 64×64 covariance of the embedding column
+    (operators/similarity.py embedding_covariance): per-Arrow-batch
+    numpy Gram partials (d² rows per BATCH, never N·d² exploded rows)
+    merged by one (i, j) aggregation, covariance finished as
+    ``(Σxxᵀ − ΣxΣxᵀ/n)/(n−1)`` in DataFrame ops — the PCA/whitening
+    input of an embedding-curation stage. The oracle states the same
+    matrix from a flat self-join (fine at sf, wrong shape at 100 TB —
+    which is the point of the partial-Gram path)."""
+    from neo4j_graphdb_spark.operators.similarity import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
+def q_c103_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C103 — weighted single-source shortest paths (graph/algorithms.py
+    weighted_sssp): bounded min-plus Bellman-Ford relaxation — each
+    round one (frontier ⋈ edges) + a (source, node) min, early-exit on
+    no improvement. Weights are key-derived residues on the analytics
+    forest (Customer→Nation→Region), so every pair has a UNIQUE path
+    and the oracle is the closed-form join chain; the ENGINE still runs
+    the general relaxation loop."""
+    from neo4j_graphdb_spark.graph.algorithms import weighted_sssp
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("nid"),
+        ((F.col("c_custkey") % 7) + 1).cast("double").alias("w"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("rid"),
+        ((F.col("n_nationkey") % 5) + 1).cast("double").alias("w"),
+    )
+    edges = cust.select(
+        F.col("id").alias("src"), F.col("nid").alias("dst"), F.col("w").alias("weight")
+    ).unionByName(
+        nat.select(
+            F.col("id").alias("src"), F.col("rid").alias("dst"),
+            F.col("w").alias("weight"),
+        )
+    )
+    out = weighted_sssp(edges, cust.select("id"), max_rounds=4)
+    return out.select(
+        "source", "id", F.round("dist", 6).alias("dist")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7269,6 +7318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a78_text_pattern_comp": q_a78_text_pattern_comp,
     "c100_url_dedup": q_c100_url_dedup,
     "c101_dsir": q_c101_dsir,
+    "c102_embedding_covariance": q_c102_embedding_covariance,
+    "c103_weighted_sssp": q_c103_weighted_sssp,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -10470,4 +10521,41 @@ ORACLES["c101_dsir"] = f"""
            round(sum(ratio.lr), 4) AS score
     FROM toks JOIN ratio ON toks.b = ratio.b
     GROUP BY toks.doc_id
+"""
+
+ORACLES["c102_embedding_covariance"] = """
+    WITH idx AS (SELECT unnest(range(64))::int AS i),
+    flat AS (
+        SELECT vec_id, idx.i, embedding[idx.i + 1]::double AS v
+        FROM embeddings, idx
+    ),
+    s AS (
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+        FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
+    ),
+    m AS (SELECT i, sum(v) AS sx, count(*)::bigint AS n FROM flat GROUP BY i)
+    SELECT s.i, s.j,
+           round((s.sxy - mi.sx * mj.sx / mi.n) / (mi.n - 1), 6) AS cov
+    FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+"""
+
+ORACLES["c103_weighted_sssp"] = """
+    WITH c AS (
+        SELECT concat('C', cast(c_custkey AS varchar)) AS cid,
+               c_nationkey,
+               ((c_custkey % 7) + 1)::double AS w1
+        FROM customer
+    ),
+    n AS (
+        SELECT n_nationkey, n_regionkey,
+               ((n_nationkey % 5) + 1)::double AS w2
+        FROM nation
+    )
+    SELECT cid AS source, cid AS id, 0.0::double AS dist FROM c
+    UNION ALL
+    SELECT cid, concat('N', cast(c.c_nationkey AS varchar)), w1 FROM c
+    UNION ALL
+    SELECT cid, concat('R', cast(n.n_regionkey AS varchar)),
+           round(w1 + w2, 6)
+    FROM c JOIN n ON c.c_nationkey = n.n_nationkey
 """

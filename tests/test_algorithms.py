@@ -1022,3 +1022,23 @@ def test_louvain_multilevel_resolution_limit(spark):
     # determinism: bit-identical on rerun
     again = louvain_multilevel(n, e, max_sweeps=10).collect()
     assert sorted(map(tuple, multi)) == sorted(map(tuple, again))
+
+
+def test_weighted_sssp_relaxation(spark):
+    """Bellman-Ford relaxation finds the cheaper 2-hop route over the
+    heavier direct edge, and early-exits when nothing improves."""
+    from neo4j_graphdb_spark.graph.algorithms import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 2.0), ("b", "d", 1.0)],
+        "src string, dst string, weight double",
+    )
+    srcs = spark.createDataFrame([("a",)], "id string")
+    out = {
+        (r["source"], r["id"]): r["dist"]
+        for r in weighted_sssp(edges, srcs, max_rounds=5).collect()
+    }
+    assert out[("a", "a")] == 0.0
+    assert out[("a", "c")] == 1.0
+    assert out[("a", "b")] == 3.0  # via c, not the direct 10
+    assert out[("a", "d")] == 4.0

@@ -617,3 +617,25 @@ def test_null_payload_hash_is_null_and_excluded(spark):
         ).count()
         == 0
     )
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from neo4j_graphdb_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(50, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", dim=4).collect()
+    }
+    ref = np.cov(x.astype(np.float64), rowvar=False)
+    assert len(out) == 16
+    for i in range(4):
+        for j in range(4):
+            assert abs(out[(i, j)] - round(ref[i, j], 6)) < 2e-6
