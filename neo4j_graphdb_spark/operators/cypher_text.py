@@ -169,9 +169,28 @@ _CLAUSE_RE = re.compile(
 
 # (alias:Label {prop: $param, ...}) — every piece optional but the parens
 _NODE_RE = re.compile(
-    r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+(?:\s*\|\s*\w+)*))?"
+    r"^\(\s*(?P<alias>\w+)?\s*(?::\s*(?P<label>\w+(?:\s*[|:]\s*\w+)*))?"
     r"\s*(?P<props>\{[^}]*\})?\s*\)$"
 )
+
+# secondary labels live in this node prop column: a SORTED, ','-joined,
+# duplicate-free set (a plain string prop, so it rides merge_nodes,
+# REMOVE, schema evolution and time travel unchanged). The storage
+# label stays the node's PRIMARY (creation) label and keeps its
+# partition pruning; SET n:Extra / REMOVE n:Extra edit this set, and
+# the (n:A:B) conjunction scan + labels(n) read the union.
+EXTRA_LABELS = "_labels"
+
+
+def _effective_label_pred(df, label: str):
+    """(label == L) OR L ∈ split(_labels) — one node's effective label
+    set contains L."""
+    pred = F.col("label") == label
+    if EXTRA_LABELS in df.columns:
+        pred = pred | F.array_contains(
+            F.split(F.coalesce(F.col(EXTRA_LABELS), F.lit("")), ","), label
+        )
+    return pred
 
 # (a)-[r:T]->(b) with optional labels/alias on each piece; the :type is
 # optional too — `[r]` / `[]` match any relationship (reads only; MERGE
@@ -204,6 +223,11 @@ def _rel_types(raw: str | None):
     """The rel-type pattern text as expand's ``rel_type`` argument:
     ``'A'`` stays a plain string, ``'A|B'`` (Cypher type alternation)
     splits to the list form ``_rel_filter`` compiles to one ``isin``."""
+    if raw is not None and ":" in raw:
+        raise CypherUnsupported(
+            "label conjunction (:A:B) is supported in single-node MATCH "
+            "scans only"
+        )
     if raw is None or "|" not in raw:
         return raw
     return [t.strip() for t in raw.split("|")]
@@ -3811,7 +3835,25 @@ def _run_read(
             n = _NODE_RE.match(c.body)
             if not n:
                 raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
-            df = graph.match(_rel_types(n.group("label")))
+            lbl_raw = n.group("label")
+            if lbl_raw is not None and ":" in lbl_raw:
+                # (n:A:B) — label CONJUNCTION: the node's effective set
+                # {primary} ∪ _labels must contain every listed label.
+                # Secondary labels live on any primary, so this is a
+                # full node scan + one AND of contains-predicates (the
+                # single-label scan keeps its partition pruning; Neo4j
+                # likewise picks one label index and filters the rest).
+                if "|" in lbl_raw:
+                    raise CypherUnsupported(
+                        "label pattern mixes ':' conjunction with '|' "
+                        "alternation — use one"
+                    )
+                want = [t.strip() for t in lbl_raw.split(":")]
+                df = graph.match(None)
+                for lb in want:
+                    df = df.filter(_effective_label_pred(df, lb))
+            else:
+                df = graph.match(_rel_types(lbl_raw))
             alias = n.group("alias") or "n"
             aliases[alias] = ""
             node_match = (alias, n.group("label"))
