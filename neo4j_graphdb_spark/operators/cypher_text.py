@@ -234,12 +234,17 @@ def _rel_types(raw: str | None):
 
 
 def _single_rel_type(raw: str | None, what: str) -> str | None:
-    """Refuse ``|`` alternation where the statement needs exactly one
-    stored name — writes create one edge/node, DELETE dooms one type's
-    (or label's) buckets."""
-    if raw is not None and "|" in raw:
+    """Refuse ``|`` alternation AND ``:`` conjunction where the statement
+    needs exactly one stored name — writes create one edge/node, DELETE
+    dooms one type's (or label's) buckets. The ``:`` check matters:
+    ``_NODE_RE`` accepts ``(n:A:B)`` for the conjunction MATCH scan, and
+    without this guard a CREATE/MERGE head would silently store the
+    literal label ``'A:B'`` — unreachable by ``MATCH (n:A)``,
+    ``MATCH (n:B)``, or the conjunction scan itself."""
+    if raw is not None and ("|" in raw or ":" in raw):
         raise CypherUnsupported(
-            f"{what} needs a single name (no '|' alternation), got {raw!r}"
+            f"{what} needs a single name (no '|' alternation or ':' "
+            f"conjunction), got {raw!r}"
         )
     return raw
 
@@ -738,6 +743,53 @@ def _head_match(head_clauses, alias):
     return label
 
 
+def _rel_head(head_clauses, alias):
+    """If the head's MATCH is a relationship pattern binding ``alias`` as
+    its REL alias (``MATCH (a:L1)-[r:T]->(b:L2)`` with alias == 'r'),
+    validate + orient it and return ``(rel_type, sa, da, s_label,
+    d_label)``; return None when ``alias`` is not a rel alias (node
+    statement). Shared by SET r.p / REMOVE r.p (and mirrors the DELETE r
+    resolution): writes address one stored (src, dst, rel_type) key, so
+    the pattern must be directed, single-typed, with labeled endpoints."""
+    for c in head_clauses:
+        if c.kind != "MATCH":
+            continue
+        rm2 = _REL_RE.match(c.body)
+        if rm2 and rm2.group("rel_alias") == alias:
+            if rm2.group("min_h"):
+                raise CypherUnsupported(
+                    "variable-length patterns are unsupported in relationship writes"
+                )
+            if not rm2.group("rel_type"):
+                raise CypherUnsupported(
+                    "relationship writes need a typed relationship pattern"
+                )
+            _single_rel_type(rm2.group("rel_type"), "relationship write")
+            direction = _rel_direction(rm2)
+            if direction == "both":
+                raise CypherUnsupported(
+                    "relationship writes need a directed relationship pattern"
+                )
+            sa = rm2.group("src_alias") or "a"
+            da = rm2.group("dst_alias") or "b"
+            s_label = _single_rel_type(
+                rm2.group("src_label"), "relationship write endpoint"
+            )
+            d_label = _single_rel_type(
+                rm2.group("dst_label"), "relationship write endpoint"
+            )
+            if direction == "in":
+                sa, da = da, sa
+                s_label, d_label = d_label, s_label
+            if not s_label or not d_label:
+                raise CypherUnsupported(
+                    "relationship writes need labeled endpoints "
+                    "(keys resolve per label)"
+                )
+            return rm2.group("rel_type"), sa, da, s_label, d_label
+    return None
+
+
 def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
     """``MATCH (n:Label …) [WHERE …] REMOVE n.p1[, n.p2 …]`` — the
     property-erase statement, compiled onto
@@ -757,11 +809,24 @@ def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
     alias = aliases_seen.pop()
     props = [i.split(".")[1] for i in items]
     head_clauses, head_lits = split_clauses_masked(unmask(rm.group("head")))
-    label = _head_match(head_clauses, alias)
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
     g = Graph(nodes, store.edges())
+    # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] REMOVE r.p` — relationship
+    # property erase: endpoint keys feed remove_edge_props (a79)
+    rel = _rel_head(head_clauses, alias)
+    if rel is not None:
+        rel_type, sa, da, s_label, d_label = rel
+        ret = _Clause("RETURN", f"{sa}.key AS _sk, {da}.key AS _dk")
+        df = _run_read(head_clauses + [ret], g, head_lits, params)
+        return CypherResult(
+            None,
+            store.remove_edge_props(
+                df, rel_type, s_label, "_sk", d_label, "_dk", props
+            ),
+        )
+    label = _head_match(head_clauses, alias)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
     keys = df.select(F.col(alias)["key"].alias("_k"))
     return CypherResult(None, store.remove_props(keys, label, "_k", props))
@@ -1265,11 +1330,32 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     if len(set(props)) != len(props):
         raise CypherUnsupported("duplicate property in update SET items")
     head_clauses, head_lits = split_clauses_masked(unmask(um.group("head")))
-    label = _head_match(head_clauses, alias)
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
     g = Graph(nodes, store.edges())
+    # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] SET r.p = <expr>` —
+    # relationship-property update (a79): the head resolves through the
+    # read path (rel props are readable columns there), endpoint keys +
+    # computed values flow through merge_edges' coalesce upsert — the
+    # matched edges already exist, so relationships_created stays 0 and
+    # properties_set books the applied cells.
+    rel = _rel_head(head_clauses, alias)
+    if rel is not None:
+        rel_type, sa, da, s_label, d_label = rel
+        ret_body = ", ".join(
+            [f"{sa}.key AS _sk", f"{da}.key AS _dk"]
+            + [f"{expr} AS {prop}" for _, prop, expr in items]
+        )
+        upd_clauses, upd_lits = split_clauses_masked(
+            unmask(um.group("head")) + " RETURN " + ret_body
+        )
+        updates = _run_read(upd_clauses, g, upd_lits, params)
+        summary = store.merge_edges(
+            updates, rel_type, s_label, "_sk", d_label, "_dk", prop_cols=props
+        )
+        return CypherResult(None, summary)
+    label = _head_match(head_clauses, alias)
     ret_body = ", ".join(
         [f"{alias}.key AS _k"] + [f"{expr} AS {prop}" for _, prop, expr in items]
     )
@@ -3037,9 +3123,11 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             ), "other"
         if fname == "timestamp":
             # timestamp() — current epoch millis (non-deterministic per
-            # statement, like Neo4j's per-transaction clock)
+            # statement, like Neo4j's per-transaction clock). unix_millis
+            # keeps millisecond resolution; unix_timestamp()*1000 would
+            # truncate to whole seconds.
             need(0)
-            return (F.unix_timestamp(F.current_timestamp()) * 1000), "int"
+            return F.unix_millis(F.current_timestamp()), "int"
         raise CypherUnsupported(
             f"unsupported function {fname_raw!r} in expression (supported: "
             "coalesce, toUpper, toLower, toString, toInteger, toFloat, "

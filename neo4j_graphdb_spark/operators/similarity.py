@@ -696,20 +696,28 @@ def embedding_covariance(
     vec_col: str = "embedding",
     dim: int = 64,
     round_to: int = 6,
+    grid: int = 1_000_000,
 ) -> DataFrame:
     """Full d×d covariance matrix of an embedding column — the input to
     PCA/whitening/ZCA in an embedding-curation pipeline (and the
     diagnostic for anisotropy/dimension collapse in learned spaces).
 
     Scale shape — the part that matters at 100 TB: each Arrow batch
-    contributes ONE d×d partial Gram matrix (a numpy ``X.T @ X`` inside
-    ``mapInPandas``, so the reduce traffic is d² rows PER BATCH, never
-    N·d² exploded rows), plus d partial feature sums and a count; one
-    (i, j) aggregation merges the partials and the covariance finishes
-    as ``(Σxxᵀ − Σx Σxᵀ/n) / (n−1)`` — all DataFrame ops, nothing
-    driver-side, associative and therefore AQE/skew-safe. Rounded for
-    cross-engine hash stability (float32 products are exact in float64;
-    only the sum order differs between engines).
+    contributes ONE d×d partial Gram matrix (a numpy integer
+    ``Xq.T @ Xq`` inside ``mapInPandas``, so the reduce traffic is d²
+    rows PER BATCH, never N·d² exploded rows), plus d partial feature
+    sums and a count; one (i, j) aggregation merges the partials and
+    the covariance finishes as ``(Σxxᵀ − Σx Σxᵀ/n) / (n−1)`` — all
+    DataFrame ops, nothing driver-side, associative and AQE/skew-safe.
+
+    Determinism: inputs are quantized onto a fixed-point grid first
+    (``floor(x·grid + 0.5)`` → int64), so every partial sum is EXACT
+    integer arithmetic — the result is independent of batch/partition
+    order, unlike a float64 Gram whose sum order perturbs the last ulp
+    and flips round(·, 6) near .5e-6 boundaries. Partials merge as
+    decimal(38,0) so the global sum cannot overflow long at 100 TB row
+    counts; the single float division happens once at the end on
+    identical exact-integer operands in any engine.
 
     Returns the sparse long form ``(i, j, cov)``, i ≤ j omitted‐free
     (full matrix — symmetric consumers can filter i <= j).
@@ -725,7 +733,9 @@ def embedding_covariance(
             if not vecs:
                 continue
             x = np.asarray(vecs, dtype=np.float64)
-            g = x.T @ x  # d×d partial Gram
+            # fixed-point grid: exact int64 per-batch Gram (order-free)
+            xq = np.floor(x * grid + 0.5).astype(np.int64)
+            g = xq.T @ xq  # d×d exact integer partial Gram
             i_idx, j_idx = np.meshgrid(range(d), range(d), indexing="ij")
             out = pd.DataFrame(
                 {
@@ -739,20 +749,23 @@ def embedding_covariance(
                 {
                     "i": np.arange(d, dtype="int32"),
                     "j": np.full(d, -1, dtype="int32"),
-                    "s": x.sum(axis=0),
+                    "s": xq.sum(axis=0),
                     "n": np.int64(0),
                 }
             )
             cnt = pd.DataFrame(
-                {"i": [-1], "j": [-1], "s": [0.0], "n": [len(vecs)]}
+                {"i": [-1], "j": [-1], "s": np.int64(0), "n": [len(vecs)]}
             )
             yield pd.concat([out, sums, cnt], ignore_index=True)
 
     parts = (
         df.select(vec_col)
-        .mapInPandas(gen, schema="i int, j int, s double, n long")
+        .mapInPandas(gen, schema="i int, j int, s long, n long")
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            F.sum("n").alias("n"),
+        )
     )
     xx = parts.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
         "i", "j", F.col("s").alias("sxy")
@@ -775,9 +788,17 @@ def embedding_covariance(
         .select(
             "i",
             "j",
+            # identical expression tree to the oracle: exact integer sums
+            # cast to double once, then (Sxy - Sx*Sy/n)/(n-1)/grid²
             F.round(
-                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("_n"))
-                / (F.col("_n") - 1),
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sy").cast("double")
+                    / F.col("_n").cast("double")
+                )
+                / (F.col("_n").cast("double") - F.lit(1.0))
+                / F.lit(float(grid) * float(grid)),
                 round_to,
             ).alias("cov"),
         )

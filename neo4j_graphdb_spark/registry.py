@@ -7239,6 +7239,53 @@ def q_c103_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a79_text_rel_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A79 ext — relationship-property writes in the text front-end:
+    ``MATCH (a)-[r:T]->(b) WHERE … SET r.p = <expr>`` routes endpoint
+    keys + compiled expression values through ``merge_edges``' coalesce
+    upsert (cypher_text _run_text_update rel branch; writer.py:546), and
+    ``… REMOVE r.p`` erases via the new ``remove_edge_props``
+    (writer.py) — the edge twin of node SET/REMOVE, needed because the
+    reference makes edges first-class read values
+    (/root/reference/cypher.txt:4-5). Output = the post-write edge
+    state, which the oracle states closed-form from the construction."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        (F.col("doc_id") % 7).cast("int").alias("w"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a79_"))
+    store.merge_nodes(src, label="Article", key_col="link")
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+        prop_cols=["w"],
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE a.link ENDS WITH '1' SET r.w = r.w * 10 + 1",
+        store=store,
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE a.link ENDS WITH '2' REMOVE r.w",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.publisher AS publisher, r.w AS w",
+        store=store,
+    ).df.select("link", "publisher", F.col("w").cast("bigint").alias("w"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7320,6 +7367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c101_dsir": q_c101_dsir,
     "c102_embedding_covariance": q_c102_embedding_covariance,
     "c103_weighted_sssp": q_c103_weighted_sssp,
+    # ---- r11 additions (inside the 50-entry driver window) ----
+    "a79_text_rel_update": q_a79_text_rel_update,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -10156,6 +10205,15 @@ ORACLES["a61_text_update"] = """
     FROM documents
 """
 
+ORACLES["a79_text_rel_update"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS publisher,
+           CASE WHEN doc_id % 10 = 2 THEN NULL
+                WHEN doc_id % 10 = 1 THEN CAST((doc_id % 7) * 10 + 1 AS bigint)
+                ELSE CAST(doc_id % 7 AS bigint) END AS w
+    FROM documents
+"""
+
 ORACLES["a62_text_delete_rel"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            source AS publisher
@@ -10526,16 +10584,21 @@ ORACLES["c101_dsir"] = f"""
 ORACLES["c102_embedding_covariance"] = """
     WITH idx AS (SELECT unnest(range(64))::int AS i),
     flat AS (
-        SELECT vec_id, idx.i, embedding[idx.i + 1]::double AS v
+        SELECT vec_id, idx.i,
+               floor(embedding[idx.i + 1]::double * 1000000.0 + 0.5)::bigint AS v
         FROM embeddings, idx
     ),
     s AS (
-        SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v)::double AS sxy
         FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
     ),
-    m AS (SELECT i, sum(v) AS sx, count(*)::bigint AS n FROM flat GROUP BY i)
+    m AS (
+        SELECT i, sum(v)::double AS sx, count(*)::bigint AS n
+        FROM flat GROUP BY i
+    )
     SELECT s.i, s.j,
-           round((s.sxy - mi.sx * mj.sx / mi.n) / (mi.n - 1), 6) AS cov
+           round((s.sxy - mi.sx * mj.sx / mi.n::double)
+                 / (mi.n::double - 1.0) / 1000000000000.0, 6) AS cov
     FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
 """
 

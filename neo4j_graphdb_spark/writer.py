@@ -1172,6 +1172,95 @@ class GraphStore:
         target.unpersist()
         return WriteSummary(properties_set=n_erased)
 
+    def remove_edge_props(
+        self,
+        pairs: DataFrame,
+        rel_type: str,
+        src_label: str,
+        src_key_col: str,
+        dst_label: str,
+        dst_key_col: str,
+        props: list[str],
+    ) -> WriteSummary:
+        """Batch ``MATCH (a)-[r:REL]->(b) REMOVE r.p1[, r.p2 …]`` — the
+        edge twin of :meth:`remove_props`: SET on relationships keeps
+        old values for NULL cells (``merge_edges`` coalesce), so erasing
+        an edge property needs its own verb too. ``properties_set``
+        counts erased non-NULL cells (Neo4j books REMOVE there). Write
+        amplification stays partial: only the (rel_type, touched
+        src/dst-bucket) leaves rewrite; everything else carries over as
+        hardlinks."""
+        if not props:
+            raise ValueError("REMOVE needs at least one property")
+        target = (
+            as_edges(
+                pairs, rel_type, src_label, src_key_col, dst_label, dst_key_col
+            )
+            .select("src", "dst")
+            .distinct()
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+            .persist()
+        )
+        existing = self._edges.read(self.spark)
+        if existing is None:
+            target.unpersist()
+            return WriteSummary()
+        missing = [p for p in props if p not in existing.columns]
+        if missing:
+            target.unpersist()
+            raise ValueError(
+                f"unknown relationship properties {missing} on type {rel_type!r}"
+            )
+        bucketed = (
+            self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
+            and BUCKET_COL in existing.columns
+        )
+        buckets = [
+            r[BUCKET_COL] for r in target.select(BUCKET_COL).distinct().collect()
+        ]
+        touched = existing.filter(F.col("rel_type") == rel_type)
+        if bucketed:
+            touched = touched.filter(F.col(BUCKET_COL).isin(buckets))
+        flagged = touched.join(
+            target.select("src", "dst").withColumn("_hit", F.lit(True)),
+            on=["src", "dst"],
+            how="left",
+        ).persist()
+        row = flagged.agg(
+            *[
+                F.count(
+                    F.when(F.col("_hit") & F.col(p).isNotNull(), F.lit(1))
+                ).alias(p)
+                for p in props
+            ]
+        ).collect()[0]
+        n_erased = int(sum(row[p] for p in props))
+        cols = [
+            F.when(F.col("_hit"), F.lit(None).cast(flagged.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in props
+            else F.col(c)
+            for c in touched.columns
+        ]
+        out = flagged.select(*cols)
+        if buckets:
+            if bucketed:
+                self._edges.write_next_partial(
+                    out, ["rel_type", BUCKET_COL], [(rel_type, b) for b in buckets]
+                )
+            else:
+                others = existing.filter(F.col("rel_type") != rel_type)
+                full = others.unionByName(out, allowMissingColumns=True)
+                if BUCKET_COL not in full.columns:
+                    full = full.withColumn(
+                        BUCKET_COL, _bucket_of(F.col("src"), F.col("dst"))
+                    )
+                self._edges.write_next(full, partition_by=["rel_type", BUCKET_COL])
+        flagged.unpersist()
+        target.unpersist()
+        return WriteSummary(properties_set=n_erased)
+
     def sql(
         self,
         query: str,

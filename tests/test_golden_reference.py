@@ -3373,3 +3373,110 @@ def test_text_pattern_comprehension(spark):
     assert rows_in == {"a": [], "b": ["a"], "c": ["a", "b"]}
     with _pytest.raises(CypherUnsupported, match="AS alias"):
         run_cypher(spark, "MATCH (a:N) RETURN [(a)-[:T]->(x) | x.k]", graph=g)
+
+
+def test_write_delete_heads_reject_label_conjunction(spark, text_store):
+    """HIGH-severity guard (ADVICE r9/r10): `CREATE (n:A:B {...})` must
+    raise CypherUnsupported, not silently store the literal label 'A:B'
+    (which no MATCH — `(n:A)`, `(n:B)`, or the conjunction scan — could
+    ever reach). Same for MERGE / DELETE / REMOVE heads."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    for bad in (
+        "CREATE (n:Article:Featured {link: $link})",
+        "MERGE (n:Article:Featured {link: $link})",
+        "MERGE (n:Article:Featured {link: $link}) SET n.title = $t",
+        "MATCH (n:Article:Featured {link: $link}) DELETE n",
+        "MATCH (n:Article:Featured {link: $link}) REMOVE n.title",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(
+                spark, bad, {"link": "lx", "t": "t"}, store=text_store
+            )
+
+
+def test_timestamp_function_millisecond_resolution(spark, text_store):
+    """Neo4j's timestamp() is millisecond-resolution; the old
+    unix_timestamp()*1000 form always ended in 000."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN timestamp() AS ts LIMIT 1",
+        store=text_store,
+    ).df.collect()
+    assert len(rows) == 1
+    ts = rows[0]["ts"]
+    # sanity: epoch millis in a plausible range (2020..2100), i.e. not
+    # epoch-seconds (1.7e9) and not micros (1.7e15)
+    assert 1_500_000_000_000 < ts < 4_100_000_000_000
+
+
+def test_text_rel_set_and_remove(spark, tmp_path):
+    """a79 — `MATCH ()-[r:T]->() SET r.p = <expr>` updates matched edges
+    through merge_edges' coalesce upsert (relationships_created stays 0),
+    and `REMOVE r.p` erases the property via remove_edge_props; unmatched
+    edges keep their values in both cases."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "relset"))
+    batch = spark.createDataFrame(
+        [("u1", "t1", 5), ("u1", "t2", 1), ("u2", "t1", 3)],
+        "u string, t string, weight int",
+    )
+    s.merge_nodes(batch.select("u").distinct(), label="User", key_col="u")
+    s.merge_nodes(batch.select("t").distinct(), label="Tech", key_col="t")
+    s.merge_edges(batch, "LIKES", "User", "u", "Tech", "t", prop_cols=["weight"])
+
+    # SET with an expression over the matched edge's own property
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) WHERE r.weight >= 3 "
+        "SET r.weight = r.weight * 10",
+        store=s,
+    )
+    assert res.summary.relationships_created == 0
+    assert res.summary.properties_set == 2
+    got = {
+        (r["u"], r["t"]): r["w"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:User)-[r:LIKES]->(b:Tech) "
+            "RETURN a.u AS u, b.t AS t, r.weight AS w",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("u1", "t1"): 50, ("u1", "t2"): 1, ("u2", "t1"): 30}
+
+    # REMOVE erases only the matched edge's property
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) WHERE b.t = 't2' REMOVE r.weight",
+        store=s,
+    )
+    assert res.summary.properties_set == 1
+    got = {
+        (r["u"], r["t"]): r["w"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:User)-[r:LIKES]->(b:Tech) "
+            "RETURN a.u AS u, b.t AS t, r.weight AS w",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("u1", "t1"): 50, ("u1", "t2"): None, ("u2", "t1"): 30}
+
+    # guards: undirected / untyped / unlabeled-endpoint rel writes refuse
+    for bad in (
+        "MATCH (a:User)-[r:LIKES]-(b:Tech) SET r.weight = 1",
+        "MATCH (a:User)-[r]->(b:Tech) SET r.weight = 1",
+        "MATCH (a)-[r:LIKES]->(b:Tech) REMOVE r.weight",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, store=s)
