@@ -954,9 +954,13 @@ def _run_text_call(
     ``adamic_adar`` (topK, degreeCap[, metric]), ``k_core`` (k,
     maxRounds), ``k_truss`` (k), the landmark centralities
     ``closeness`` / ``betweenness`` / ``eccentricity`` (landmarks,
-    maxHops), ``hits`` (maxIter), and the whole-graph profiles
-    ``triangle_count`` / ``clustering`` / ``assortativity`` — the FULL
-    Python algorithm library, one YIELD-validated route each. Node ids
+    maxHops), ``hits`` (maxIter), the whole-graph profiles
+    ``triangle_count`` / ``clustering`` / ``assortativity``, plus
+    ``weighted_sssp`` (start, label, maxRounds, weightProperty),
+    ``random_walks`` / ``biased_walks`` (label, steps[, replica
+    weights]), and ``modularity`` (maxIter, method:
+    'label_propagation'|'cc') — the FULL Python algorithm library, one
+    YIELD-validated route each. Node ids
     never leak into results — every
     yielded column is a natural key or a metric; unknown procedures,
     config keys, and YIELD names are refused by name."""
@@ -1018,6 +1022,19 @@ def _run_text_call(
         "triangle_count": (set(), ["triangles"]),
         "clustering": (set(), ["key", "degree", "triangles", "lcc"]),
         "assortativity": (set(), ["m_directed_pairs", "assortativity"]),
+        "weighted_sssp": (
+            {"start", "label", "maxRounds", "weightProperty"},
+            ["key", "dist"],
+        ),
+        "random_walks": ({"label", "steps"}, ["walk", "step", "key"]),
+        "biased_walks": (
+            {"label", "steps", "wReturn", "wShared", "wFar"},
+            ["walk", "step", "key"],
+        ),
+        "modularity": (
+            {"maxIter", "method"},
+            ["m", "n_communities", "intra_edges", "modularity"],
+        ),
     }
     proc = cm.group("proc").lower()
     if proc not in known:
@@ -1211,6 +1228,88 @@ def _run_text_call(
             "key2",
             F.col("aa_score").alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
+        )
+    elif proc == "weighted_sssp":
+        start = cfg.pop("start", None)
+        if start is None:
+            raise CypherUnsupported("graft.weighted_sssp needs {start: <node key>}")
+        label = cfg.pop("label", None)
+        wprop = str(cfg.pop("weightProperty", "weight"))
+        if wprop not in edges_df.columns:
+            raise CypherUnsupported(
+                f"graft.weighted_sssp: edges have no {wprop!r} property "
+                f"(weightProperty names a stored edge prop)"
+            )
+        srcs = nodes_df
+        if label is not None:
+            srcs = srcs.filter(F.col("label") == str(label))
+        srcs = srcs.filter(F.col("key") == str(start)).select(
+            F.col(NODE_ID).alias("id")
+        )
+        res = alg.weighted_sssp(
+            edges_df.select(
+                "src", "dst", F.col(wprop).cast("double").alias("weight")
+            ),
+            srcs,
+            max_rounds=int(cfg.pop("maxRounds", 10)),
+        )
+        out = with_key(res.drop("source"), "id", "key").select("key", "dist")
+    elif proc in ("random_walks", "biased_walks"):
+        label = cfg.pop("label", None)
+        starts = nodes_df
+        if label is not None:
+            starts = starts.filter(F.col("label") == str(label))
+        starts = starts.select(F.col(NODE_ID).alias("node_id"))
+        steps = int(cfg.pop("steps", 3))
+        if proc == "random_walks":
+            res = alg.random_walks(
+                edges_df.select("src", "dst"), starts, n_steps=steps
+            )
+        else:
+            res = alg.biased_walks(
+                edges_df.select("src", "dst"),
+                starts,
+                n_steps=steps,
+                w_return=int(cfg.pop("wReturn", 1)),
+                w_shared=int(cfg.pop("wShared", 2)),
+                w_far=int(cfg.pop("wFar", 4)),
+            )
+        # walk ids/nodes ride as stringified node ids inside the walk
+        # ladder; rebind both to natural keys on the way out
+        res = res.select(
+            F.col("walk_id").cast("long").alias("walk_id"),
+            "step",
+            F.col("node").cast("long").alias("node"),
+        )
+        out = with_key(res, "node", "key")
+        out = with_key(out, "walk_id", "walk").select(
+            "walk", F.col("step").cast("bigint").alias("step"), "key"
+        )
+    elif proc == "modularity":
+        # method 'label_propagation' (default) scores the LPA assignment;
+        # 'cc' scores the connected-component partition — id-tiebreak-free
+        # (the PARTITION is unique whatever the internal node ids), so its
+        # result is replayable by any engine from the key graph alone
+        method = str(cfg.pop("method", "label_propagation"))
+        max_iter = int(cfg.pop("maxIter", 5))
+        if method == "cc":
+            assign = alg.connected_components(
+                nodes_df, edges_df, max_iter=max_iter
+            ).select("id", F.col("comp").alias("lbl"))
+        elif method == "label_propagation":
+            assign = alg.label_propagation(nodes_df, edges_df, max_iter=max_iter)
+        else:
+            raise CypherUnsupported(
+                "graft.modularity method must be 'label_propagation' or 'cc'"
+            )
+        res = alg.modularity(
+            edges_df.select("src", "dst"), assign, id_col="id", label_col="lbl"
+        )
+        out = res.select(
+            F.col("m").cast("bigint").alias("m"),
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.col("intra_edges").cast("bigint").alias("intra_edges"),
+            F.col("modularity"),
         )
     elif proc == "triangle_count":
         out = alg.triangle_count(edges_df).select(

@@ -7286,6 +7286,72 @@ def q_a79_text_rel_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df.select("link", "publisher", F.col("w").cast("bigint").alias("w"))
 
 
+def q_a82_text_call_library2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A82 ext — the round-11 CALL-router additions sampled from
+    statement text (cypher_text _run_text_call): ``graft.weighted_sssp``
+    (min-plus relaxation, weightProperty names a stored edge prop) and
+    ``graft.modularity({method: 'cc'})`` (Newman Q of the
+    connected-component partition — chosen because the PARTITION is
+    unique whatever the engine's internal node ids, so plain SQL can
+    replay it). Graph = the c103 weight forest
+    (Customer→Nation→Region, key-derived residue weights), where every
+    sssp distance has a closed form and the components are exactly the
+    region trees."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("k"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("nk"),
+        ((F.col("c_custkey") % 7) + 1).cast("double").alias("w"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("k"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("rk"),
+        ((F.col("n_nationkey") % 5) + 1).cast("double").alias("w"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("k")
+    )
+    nodes = (
+        as_nodes(cust.select("k"), "Customer", "k", [])
+        .unionByName(as_nodes(nat.select("k"), "Nation", "k", []))
+        .unionByName(as_nodes(reg, "Region", "k", []))
+    )
+    edges = as_edges(
+        cust, "FROM", "Customer", "k", "Nation", "nk", prop_cols=["w"]
+    ).unionByName(
+        as_edges(nat, "IN", "Nation", "k", "Region", "rk", prop_cols=["w"])
+    )
+    g = Graph(nodes, edges)
+    sssp = run_cypher(
+        spark,
+        "CALL graft.weighted_sssp({start: 'C1', label: 'Customer', "
+        "maxRounds: 4, weightProperty: 'w'}) YIELD key, dist",
+        graph=g,
+    ).df.select(
+        F.lit("sssp").alias("kind"),
+        "key",
+        F.round("dist", 6).alias("value"),
+    )
+    q = run_cypher(
+        spark,
+        "CALL graft.modularity({maxIter: 8, method: 'cc'}) "
+        "YIELD m, n_communities, intra_edges, modularity",
+        graph=g,
+    ).df
+    mod = q.select(
+        F.explode(
+            F.create_map(
+                F.lit("m"), F.col("m").cast("double"),
+                F.lit("n_communities"), F.col("n_communities").cast("double"),
+                F.lit("intra_edges"), F.col("intra_edges").cast("double"),
+                F.lit("modularity"), F.round("modularity", 6),
+            )
+        ).alias("key", "value")
+    ).select(F.lit("modularity").alias("kind"), "key", "value")
+    return sssp.unionByName(mod)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7369,6 +7435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c103_weighted_sssp": q_c103_weighted_sssp,
     # ---- r11 additions (inside the 50-entry driver window) ----
     "a79_text_rel_update": q_a79_text_rel_update,
+    "a82_text_call_library2": q_a82_text_call_library2,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
@@ -10203,6 +10270,51 @@ ORACLES["a61_text_update"] = """
            CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id // 2 AS bigint)
                 ELSE NULL END AS grade
     FROM documents
+"""
+
+ORACLES["a82_text_call_library2"] = """
+    WITH n1 AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey = 1),
+    r1 AS (
+        SELECT n_regionkey AS rk, ((n_nationkey % 5) + 1)::double AS w2
+        FROM nation JOIN n1 ON n_nationkey = nk
+    ),
+    sssp AS (
+        SELECT 'sssp' AS kind, 'C1' AS key, 0.0::double AS value
+        UNION ALL
+        SELECT 'sssp', concat('N', cast(nk AS varchar)), 2.0::double FROM n1
+        UNION ALL
+        SELECT 'sssp', concat('R', cast(rk AS varchar)), round(2.0 + w2, 6)
+        FROM r1
+    ),
+    cust_per_nation AS (
+        SELECT c_nationkey AS nk, count(*)::bigint AS nc
+        FROM customer GROUP BY 1
+    ),
+    per_r AS (
+        SELECT n.n_regionkey AS rk,
+               count(*)::bigint AS n_nat,
+               sum(coalesce(cpn.nc, 0))::bigint AS n_cust
+        FROM nation n LEFT JOIN cust_per_nation cpn ON cpn.nk = n.n_nationkey
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT sum(n_nat + n_cust)::bigint AS m,
+               count(*)::bigint AS ncomm,
+               sum((2 * (n_nat + n_cust)) * (2 * (n_nat + n_cust)))::bigint AS s2
+        FROM per_r
+    ),
+    modr AS (
+        SELECT 'modularity' AS kind, 'm' AS key, m::double AS value FROM stats
+        UNION ALL
+        SELECT 'modularity', 'n_communities', ncomm::double FROM stats
+        UNION ALL
+        SELECT 'modularity', 'intra_edges', m::double FROM stats
+        UNION ALL
+        SELECT 'modularity', 'modularity',
+               round((4 * m * m - s2)::double / (4.0 * m * m), 6)
+        FROM stats
+    )
+    SELECT * FROM sssp UNION ALL SELECT * FROM modr
 """
 
 ORACLES["a79_text_rel_update"] = """

@@ -3480,3 +3480,92 @@ def test_text_rel_set_and_remove(spark, tmp_path):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, store=s)
+
+
+def test_text_call_router_r11_procedures(spark):
+    """The r11 CALL-router additions: weighted_sssp, random_walks,
+    biased_walks, modularity — each YIELD-validated, node ids never
+    leaking (walks and sssp yield natural keys), results matching the
+    Python API run on the same graph."""
+    from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.graph import algorithms as alg
+
+    # weighted path diamond: a -1-> b -2-> d, a -4-> c -1-> d
+    nsrc = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "k string")
+    esrc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "d", 2.0), ("a", "c", 4.0), ("c", "d", 1.0)],
+        "s string, d string, w double",
+    )
+    g = Graph(
+        as_nodes(nsrc, "N", "k"),
+        as_edges(esrc, "T", "N", "s", "N", "d", prop_cols=["w"]),
+    )
+
+    res = run_cypher(
+        spark,
+        "CALL graft.weighted_sssp({start: 'a', weightProperty: 'w', "
+        "maxRounds: 4}) YIELD key, dist",
+        graph=g,
+    ).df
+    got = {r["key"]: r["dist"] for r in res.collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 4.0, "d": 3.0}
+
+    # missing weight property refused by name
+    g_unweighted = Graph(
+        as_nodes(nsrc, "N", "k"), as_edges(esrc, "T", "N", "s", "N", "d")
+    )
+    with pytest.raises(CypherUnsupported, match="weight"):
+        run_cypher(
+            spark,
+            "CALL graft.weighted_sssp({start: 'a'}) YIELD key, dist",
+            graph=g_unweighted,
+        )
+
+    # walks: same hash-walk as the Python API, but keyed not id'd
+    for proc, fn in (
+        ("random_walks", lambda s: alg.random_walks(
+            g.edges_df.select("src", "dst"), s, n_steps=2)),
+        ("biased_walks", lambda s: alg.biased_walks(
+            g.edges_df.select("src", "dst"), s, n_steps=2)),
+    ):
+        res = run_cypher(
+            spark,
+            f"CALL graft.{proc}({{steps: 2}}) YIELD walk, step, key",
+            graph=g,
+        ).df
+        rows = {(r["walk"], r["step"], r["key"]) for r in res.collect()}
+        starts = g.nodes_df.select(F.col(NODE_ID).alias("node_id"))
+        key_of = {
+            r[NODE_ID]: r["key"]
+            for r in g.nodes_df.select(NODE_ID, "key").collect()
+        }
+        want = {
+            (key_of[int(r["walk_id"])], r["step"], key_of[int(r["node"])])
+            for r in fn(starts).collect()
+        }
+        assert rows == want, proc
+        # step 0 is every start node
+        assert {(w, k) for w, s_, k in rows if s_ == 0} == {
+            (k, k) for k in ("a", "b", "c", "d")
+        }
+
+    # modularity: cc partition of the diamond = one community
+    res = run_cypher(
+        spark,
+        "CALL graft.modularity({maxIter: 6, method: 'cc'}) "
+        "YIELD m, n_communities, intra_edges, modularity",
+        graph=g,
+    ).df.collect()[0]
+    assert (res["m"], res["n_communities"], res["intra_edges"]) == (4, 1, 4)
+    assert res["modularity"] == 0.0  # single community: Q = L/m - 1 = 0
+    with pytest.raises(CypherUnsupported, match="method"):
+        run_cypher(
+            spark,
+            "CALL graft.modularity({method: 'nope'}) YIELD m",
+            graph=g,
+        )
