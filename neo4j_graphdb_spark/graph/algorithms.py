@@ -366,6 +366,61 @@ def shortest_paths(
     return dist
 
 
+def pairwise_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 64,
+    id_col: str = "id",
+) -> DataFrame:
+    """Pairwise unweighted BFS ``(source, id, hops)`` with Cypher
+    shortestPath's minimal length 1 — the ITERATIVE companion of the
+    lazy a56 join ladder, used by the text front-end for unbounded
+    ``shortestPath((a)-[:T*]->(b))``: level h holds the pairs FIRST
+    reached in exactly h oriented steps (per-level distinct + anti-join
+    against the accumulated pair table = first-reach level, identical
+    to the ladder's ``min(hops)``), and the loop exits at the first
+    empty frontier, so "unbounded" costs diameter rounds, not
+    ``max_rounds`` (a runaway-cycle backstop, not a schedule).
+
+    The (s, s, 0) seed pair is never emitted; a source re-reached
+    through a cycle reports the cycle length — exactly the bounded
+    ladder's semantics. State is |sources| × reachable pairs; at 100 TB
+    batch the sources (same geometry as :func:`weighted_sssp`).
+    Frontier and dist checkpoint per round — the lineage would
+    otherwise double per superstep.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    frontier = (
+        sources.select(F.col(id_col).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("id"))
+        .localCheckpoint(eager=False)
+    )
+    dist = None
+    for h in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+        )
+        if dist is not None:
+            nxt = nxt.join(dist.select("source", "id"), on=["source", "id"], how="left_anti")
+        nxt = nxt.localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        tagged = nxt.withColumn("hops", F.lit(h))
+        dist = (
+            tagged if dist is None
+            else dist.unionByName(tagged).localCheckpoint()
+        )
+        frontier = nxt
+    if dist is None:  # no source has any out-edge
+        return frontier.select("source", "id").limit(0).withColumn(
+            "hops", F.lit(0)
+        )
+    return dist
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """C5 — global triangle count on the undirected simple graph.
 

@@ -27,6 +27,15 @@ from pyspark.sql import types as T
 
 NODE_ID = "node_id"
 
+# secondary labels live in this node prop column: a SORTED, ','-joined,
+# duplicate-free set excluding the primary (a plain string prop, so it
+# rides merge_nodes, REMOVE, schema evolution and time travel
+# unchanged). The storage label stays the node's PRIMARY (creation)
+# label and keeps its partition pruning; `SET n:Extra` / `REMOVE
+# n:Extra` edit this set, and the (n:A:B) conjunction scan + labels(n)
+# read the union.
+EXTRA_LABELS = "_labels"
+
 NODES_SCHEMA = T.StructType(
     [
         T.StructField("node_id", T.LongType(), False),

@@ -26,7 +26,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from neo4j_graphdb_spark.model import NODE_ID
+from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 
 
 class Graph:
@@ -42,7 +42,14 @@ class Graph:
         """``MATCH (n[:label]) RETURN n…`` — label predicate pushes down to
         the Parquet scan (``main.py:17``, ``cypher.txt:8``). A list is
         Cypher 5's label alternation ``(n:A|B)``: one ``isin``, still a
-        partition-prunable predicate on the label partition column."""
+        partition-prunable predicate on the label partition column.
+
+        A ``':'``-joined string is the label CONJUNCTION ``(n:A:B)``:
+        the node's effective set {primary} ∪ split(``_labels``) must
+        contain every listed label — compiled UNION-free as one AND of
+        contains-predicates over the scan (secondary labels can live on
+        any primary, so the scan is label-unpruned; Neo4j likewise picks
+        one label index and filters the rest)."""
         if label is None:
             return self.nodes_df
         if isinstance(label, (list, tuple)):
@@ -50,6 +57,19 @@ class Graph:
             if len(ls) == 1:
                 return self.nodes_df.filter(F.col("label") == ls[0])
             return self.nodes_df.filter(F.col("label").isin(ls))
+        if ":" in label:
+            df = self.nodes_df
+            for lb in (t.strip() for t in label.split(":") if t.strip()):
+                pred = F.col("label") == lb
+                if EXTRA_LABELS in df.columns:
+                    pred = pred | F.array_contains(
+                        F.split(
+                            F.coalesce(F.col(EXTRA_LABELS), F.lit("")), ","
+                        ),
+                        lb,
+                    )
+                df = df.filter(pred)
+            return df
         return self.nodes_df.filter(F.col("label") == label)
 
     # --- A3: 1-hop typed expand ----------------------------------------------

@@ -82,10 +82,13 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   WHEN (comparisons and IS [NOT] NULL), and a whitelisted function set
   — every expression compiles to ONE Catalyst Column, no UDFs
 * ``MATCH p = shortestPath((a)-[:T*1..k]->(b))`` + ``length(p)`` —
-  depth-capped pairwise BFS as one lazy join plan
+  depth-capped pairwise BFS as one lazy join plan; the unbounded
+  ``shortestPath((a)-[:T*]->(b))`` runs the iterative pairwise-BFS
+  substrate instead (early exit at the first empty frontier)
 * ``CALL graft.{pagerank,cc,scc,louvain,label_propagation,degrees,bfs,
   node_similarity,adamic_adar,k_core,k_truss,closeness,betweenness,
-  eccentricity,hits,triangle_count,clustering,assortativity}``
+  eccentricity,hits,triangle_count,clustering,assortativity,
+  weighted_sssp,random_walks,biased_walks,modularity}``
   procedure routing with YIELD / RETURN / ORDER BY / SKIP / LIMIT
 * ``MATCH … SET n.p = <expr>`` update statement (read-modify-write)
 * ``MATCH (a)-[r:T]->(b) DELETE r`` relationship deletion
@@ -127,9 +130,10 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
 * anonymous node patterns in CREATE/MERGE (``CREATE (:L {k: 1})``) —
   an internal alias is minted
 
-Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` paths —
-it does not appear in the reference, and at scale it is a join
-explosion by construction.
+Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
+``shortestPath(…)`` — enumerating EVERY path is a join explosion by
+construction; the shortest-path form compiles to the iterative BFS
+substrate and is supported.
 """
 
 from __future__ import annotations
@@ -141,7 +145,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neo4j_graphdb_spark.model import NODE_ID
+from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 from neo4j_graphdb_spark.operators.cypher import Graph
 from neo4j_graphdb_spark.operators.cypher import _rel_filter as _cy_rel_filter
 from neo4j_graphdb_spark.writer import BUCKET_COL, GraphStore, WriteSummary
@@ -173,25 +177,6 @@ _NODE_RE = re.compile(
     r"\s*(?P<props>\{[^}]*\})?\s*\)$"
 )
 
-# secondary labels live in this node prop column: a SORTED, ','-joined,
-# duplicate-free set (a plain string prop, so it rides merge_nodes,
-# REMOVE, schema evolution and time travel unchanged). The storage
-# label stays the node's PRIMARY (creation) label and keeps its
-# partition pruning; SET n:Extra / REMOVE n:Extra edit this set, and
-# the (n:A:B) conjunction scan + labels(n) read the union.
-EXTRA_LABELS = "_labels"
-
-
-def _effective_label_pred(df, label: str):
-    """(label == L) OR L ∈ split(_labels) — one node's effective label
-    set contains L."""
-    pred = F.col("label") == label
-    if EXTRA_LABELS in df.columns:
-        pred = pred | F.array_contains(
-            F.split(F.coalesce(F.col(EXTRA_LABELS), F.lit("")), ","), label
-        )
-    return pred
-
 # (a)-[r:T]->(b) with optional labels/alias on each piece; the :type is
 # optional too — `[r]` / `[]` match any relationship (reads only; MERGE
 # validates a type is present, Cypher requires one to create). All three
@@ -199,12 +184,12 @@ def _effective_label_pred(df, label: str):
 # `-[…]-` undirected — the arrow heads are the optional larrow/rarrow
 # groups, resolved by _rel_direction.
 _REL_RE = re.compile(
-    r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+(?:\s*\|\s*\w+)*))?\s*\)"
+    r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+(?:\s*[|:]\s*\w+)*))?\s*\)"
     r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?"
     r"(?:\s*:\s*(?P<rel_type>\w+(?:\s*\|\s*\w+)*))?"
-    r"(?:\s*\*\s*(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?"
+    r"(?:\s*(?P<star>\*)\s*(?:(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?)?"
     r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*-\s*(?P<rarrow>>)?\s*"
-    r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+(?:\s*\|\s*\w+)*))?\s*\)$"
+    r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+(?:\s*[|:]\s*\w+)*))?\s*\)$"
 )
 
 
@@ -231,6 +216,26 @@ def _rel_types(raw: str | None):
     if raw is None or "|" not in raw:
         return raw
     return [t.strip() for t in raw.split("|")]
+
+
+def _node_labels(raw: str | None):
+    """Node-label pattern text for a scan/expand endpoint: ``'A'`` plain,
+    ``'A|B'`` alternation → list (one ``isin``), ``'A:B'`` CONJUNCTION →
+    the normalized ``':'``-joined string :meth:`Graph.match` compiles to
+    a UNION-free AND of effective-label contains-predicates. Mixing the
+    two is refused (Cypher has no such pattern either)."""
+    if raw is None:
+        return None
+    if ":" in raw and "|" in raw:
+        raise CypherUnsupported(
+            "label pattern mixes ':' conjunction with '|' alternation — "
+            "use one"
+        )
+    if ":" in raw:
+        return ":".join(t.strip() for t in raw.split(":") if t.strip())
+    if "|" in raw:
+        return [t.strip() for t in raw.split("|")]
+    return raw
 
 
 def _single_rel_type(raw: str | None, what: str) -> str | None:
@@ -721,9 +726,72 @@ _DELETE_RE = re.compile(
 
 _REMOVE_RE = re.compile(
     r"^(?P<head>.+?)\s+REMOVE\s+"
-    r"(?P<items>\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*$",
+    r"(?P<items>\w+\s*[.:]\s*\w+(?:\s*,\s*\w+\s*[.:]\s*\w+)*)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# `n:Extra` — a secondary-label SET/REMOVE item (vs `n.prop` for props)
+_LABEL_ITEM_RE = re.compile(r"^(?P<alias>\w+)\s*:\s*(?P<label>\w+)$")
+
+
+def _run_text_set_labels(
+    spark, um, pairs, unmask, params, store, remove: bool = False
+) -> CypherResult:
+    """``MATCH (n:L …) SET n:Extra[, …]`` / ``… REMOVE n:Extra`` — edit
+    the node's secondary-label set (the ``_labels`` prop: sorted,
+    ','-joined, duplicate-free, primary excluded) through the same
+    bucketed ``merge_nodes`` upsert as property SET. ``labels(n)`` and
+    the ``(n:A:B)`` conjunction scan read {primary} ∪ ``_labels``; the
+    PRIMARY (storage) label cannot be REMOVEd — it is the partition
+    key. Counters book one ``properties_set`` cell per touched node."""
+    aliases_seen = {a for a, _ in pairs}
+    if len(aliases_seen) != 1:
+        raise CypherUnsupported("label items must all target one alias")
+    alias = aliases_seen.pop()
+    labels = [lb for _, lb in pairs]
+    if len(set(labels)) != len(labels):
+        raise CypherUnsupported("duplicate label in SET/REMOVE label items")
+    head_clauses, head_lits = split_clauses_masked(unmask(um.group("head")))
+    primary = _head_match(head_clauses, alias)
+    if remove and primary in labels:
+        raise CypherUnsupported(
+            f"cannot REMOVE the primary label {primary!r} (the storage/"
+            "partition label); DELETE the node instead"
+        )
+    nodes = store.nodes()
+    if nodes is None:
+        return CypherResult(None, WriteSummary())
+    g = Graph(nodes, store.edges())
+    df = _run_read(
+        head_clauses + [_Clause("RETURN", alias)], g, head_lits, params
+    )
+    keys = df.select(F.col(alias)["key"].alias("_k")).distinct()
+    cur_labels = (
+        F.coalesce(F.col(EXTRA_LABELS), F.lit(""))
+        if EXTRA_LABELS in nodes.columns
+        else F.lit("")
+    )
+    cur = nodes.filter(F.col("label") == primary).select(
+        F.col("key").alias("_k"), cur_labels.alias("_cur")
+    )
+    matched = keys.join(cur, on="_k")
+    arr = F.filter(F.split(F.col("_cur"), ","), lambda x: x != "")
+    if remove:
+        new_arr = F.array_except(arr, F.array(*[F.lit(lb) for lb in labels]))
+    else:
+        new_arr = F.filter(
+            F.array_distinct(
+                F.concat(arr, F.array(*[F.lit(lb) for lb in labels]))
+            ),
+            lambda x: x != primary,
+        )
+    updates = matched.select(
+        "_k", F.array_join(F.array_sort(new_arr), ",").alias(EXTRA_LABELS)
+    )
+    summary = store.merge_nodes(
+        updates, label=primary, key_col="_k", prop_cols=[EXTRA_LABELS]
+    )
+    return CypherResult(None, summary)
 
 
 def _head_match(head_clauses, alias):
@@ -756,7 +824,7 @@ def _rel_head(head_clauses, alias):
             continue
         rm2 = _REL_RE.match(c.body)
         if rm2 and rm2.group("rel_alias") == alias:
-            if rm2.group("min_h"):
+            if rm2.group("star"):
                 raise CypherUnsupported(
                     "variable-length patterns are unsupported in relationship writes"
                 )
@@ -803,6 +871,23 @@ def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
         )
 
     items = [i.strip() for i in rm.group("items").split(",")]
+    label_items = [_LABEL_ITEM_RE.match(i) for i in items]
+    if any(label_items):
+        # `MATCH (n:L …) REMOVE n:Extra[, …]` — secondary-label erase
+        if not all(label_items):
+            raise CypherUnsupported(
+                "REMOVE mixes label items (n:Extra) with property items — "
+                "use separate statements"
+            )
+        return _run_text_set_labels(
+            spark,
+            rm,
+            [m.groups() for m in label_items],
+            unmask,
+            params,
+            store,
+            remove=True,
+        )
     aliases_seen = {i.split(".")[0] for i in items}
     if len(aliases_seen) != 1:
         raise CypherUnsupported("REMOVE items must all target one alias")
@@ -864,7 +949,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 raise CypherUnsupported(
                     "DETACH applies to nodes, not relationships"
                 )
-            if rm2.group("min_h"):
+            if rm2.group("star"):
                 raise CypherUnsupported(
                     "variable-length patterns are unsupported in DELETE"
                 )
@@ -1411,12 +1496,29 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
             r"\x00(\d+)\x00", lambda m: "'" + lits[int(m.group(1))] + "'", text
         )
 
+    raw_items = [r.strip() for r in _split_top_commas(um.group("items"))]
+    label_items = [_LABEL_ITEM_RE.match(r) for r in raw_items]
+    if any(label_items):
+        # `MATCH (n:L …) SET n:Extra[, n:More …]` — secondary-label add:
+        # edits the node's _labels set prop (sorted, ','-joined,
+        # duplicate-free, primary excluded) through the same bucketed
+        # merge_nodes upsert; labels(n) and the (n:A:B) conjunction scan
+        # read {primary} ∪ _labels. Counters book one properties_set
+        # cell per touched node (the _labels cell).
+        if not all(label_items):
+            raise CypherUnsupported(
+                "SET mixes label items (n:Extra) with property items — "
+                "use separate SET statements"
+            )
+        return _run_text_set_labels(
+            spark, um, [m.groups() for m in label_items], unmask, params, store
+        )
     items = []
-    for raw in _split_top_commas(um.group("items")):
-        im = _UPDATE_ITEM_RE.match(raw.strip())
+    for raw in raw_items:
+        im = _UPDATE_ITEM_RE.match(raw)
         if not im:
             raise CypherUnsupported(
-                f"unsupported update SET item: {unmask(raw.strip())!r}"
+                f"unsupported update SET item: {unmask(raw)!r}"
             )
         items.append(
             (im.group("alias"), im.group("prop"), unmask(im.group("expr").strip()))
@@ -1990,7 +2092,7 @@ def _run_call_subquery(
         and imports
         and pm.group("dst_alias") == imports[0]
         and pm.group("src_alias") != imports[0]
-        and not pm.group("min_h")
+        and not pm.group("star")
     ):
         d = _rel_direction(pm)
         arrow_l, arrow_r = ("<", "") if d == "out" else ("", ">") if d == "in" else ("", "")
@@ -3361,7 +3463,7 @@ def _extract_exists(body: str, out: list) -> str:
             raise CypherUnsupported(
                 f"unsupported EXISTS pattern: {pat_text!r}"
             )
-        if pm.group("min_h") or pm.group("rel_props"):
+        if pm.group("star") or pm.group("rel_props"):
             raise CypherUnsupported(
                 "variable-length / property patterns are unsupported in EXISTS"
             )
@@ -3378,7 +3480,7 @@ def _extract_exists(body: str, out: list) -> str:
                 pm.group("src_alias"),
                 pm.group("rel_type"),
                 _rel_direction(pm),
-                _rel_types(pm.group("dst_label")),
+                _node_labels(pm.group("dst_label")),
                 negated,
             )
         )
@@ -3777,7 +3879,7 @@ def _run_read(
                         "path binding must be the statement's first MATCH"
                     )
                 mpb = _REL_RE.match(pbm.group("pat").strip())
-                if not mpb or not mpb.group("min_h"):
+                if not mpb or not mpb.group("min_h") or not mpb.group("max_h"):
                     raise CypherUnsupported(
                         "path binding needs a bounded variable-length "
                         "pattern: p = (a)-[:T*min..max]->(b) — bind "
@@ -3802,13 +3904,17 @@ def _run_read(
                 # minimal length of 0 or 1 only; we support 1)
                 pat = re.sub(r"\*\s*\.\.", "*1..", sm.group("pat").strip())
                 pm = _REL_RE.match(pat)
-                if not pm or not pm.group("max_h"):
+                if not pm or not pm.group("star"):
                     raise CypherUnsupported(
-                        "shortestPath needs a bounded variable-length pattern: "
-                        "shortestPath((a)-[:T*1..k]->(b)) — an unbounded [*] "
-                        "would be a join explosion at scale"
+                        "shortestPath needs a variable-length pattern: "
+                        "shortestPath((a)-[:T*1..k]->(b)) bounded, or "
+                        "shortestPath((a)-[:T*]->(b)) unbounded"
                     )
-                if pm.group("min_h") != "1":
+                # unbounded [*]: no join-unrolled ladder — the ITERATIVE
+                # BFS substrate (pairwise_shortest_paths) runs instead,
+                # exiting at the first empty frontier (diameter rounds)
+                unbounded = not pm.group("max_h")
+                if pm.group("min_h") not in (None, "1"):
                     raise CypherUnsupported(
                         "shortestPath supports a minimal length of 1 only"
                     )
@@ -3822,17 +3928,17 @@ def _run_read(
                     raise CypherUnsupported(
                         "undirected shortestPath is unsupported"
                     )
-                max_h = int(pm.group("max_h"))
+                max_h = 0 if unbounded else int(pm.group("max_h"))
                 if max_h > 20:
                     raise CypherUnsupported(
                         "shortestPath depth cap must be <= 20 (deeper paths "
-                        "want the iterative BFS API, graph.algorithms."
-                        "shortest_paths)"
+                        "want the unbounded [*] form, which runs the "
+                        "iterative BFS substrate)"
                     )
                 sa = pm.group("src_alias") or "a"
                 da = pm.group("dst_alias") or "b"
-                s_label = _rel_types(pm.group("src_label"))
-                d_label = _rel_types(pm.group("dst_label"))
+                s_label = _node_labels(pm.group("src_label"))
+                d_label = _node_labels(pm.group("dst_label"))
                 if direction == "in":
                     # (a)<-[*1..k]-(b): walk the ladder from the right end
                     sa, da = da, sa
@@ -3853,23 +3959,50 @@ def _run_read(
                 e_sp = e_sp.select(
                     F.col("src").alias("_spu"), F.col("dst").alias("_spv")
                 ).distinct()
-                lvl = graph.match(s_label).select(
-                    F.col(NODE_ID).alias("_sps"), F.col(NODE_ID).alias("_spn")
-                )
-                layers = []
-                for h in range(1, max_h + 1):
-                    lvl = (
-                        lvl.join(e_sp, lvl["_spn"] == e_sp["_spu"])
-                        .select("_sps", F.col("_spv").alias("_spn"))
-                        .distinct()
+                if unbounded:
+                    # a80 — `shortestPath((a)-[:T*]->(b))`: the ITERATIVE
+                    # pairwise BFS substrate with the same endpoint
+                    # geometry (sources = the src-label scan); the loop
+                    # exits at the first empty frontier, so the cost is
+                    # diameter rounds, never a join explosion. Eager by
+                    # nature (per-round convergence checks), so a later
+                    # WHERE filters the pair table instead of pushing
+                    # into the iteration — restrict the source label for
+                    # the two-specific-nodes idiom.
+                    from neo4j_graphdb_spark.graph.algorithms import (
+                        pairwise_shortest_paths,
                     )
-                    layers.append(lvl.withColumn("_sph", F.lit(h)))
-                pairs = layers[0]
-                for lyr in layers[1:]:
-                    pairs = pairs.unionByName(lyr)
-                pairs = pairs.groupBy("_sps", "_spn").agg(
-                    F.min("_sph").alias("hops")
-                )
+
+                    pairs = pairwise_shortest_paths(
+                        e_sp.select(
+                            F.col("_spu").alias("src"),
+                            F.col("_spv").alias("dst"),
+                        ),
+                        graph.match(s_label).select(F.col(NODE_ID).alias("id")),
+                        max_rounds=64,
+                    ).select(
+                        F.col("source").alias("_sps"),
+                        F.col("id").alias("_spn"),
+                        "hops",
+                    )
+                else:
+                    lvl = graph.match(s_label).select(
+                        F.col(NODE_ID).alias("_sps"), F.col(NODE_ID).alias("_spn")
+                    )
+                    layers = []
+                    for h in range(1, max_h + 1):
+                        lvl = (
+                            lvl.join(e_sp, lvl["_spn"] == e_sp["_spu"])
+                            .select("_sps", F.col("_spv").alias("_spn"))
+                            .distinct()
+                        )
+                        layers.append(lvl.withColumn("_sph", F.lit(h)))
+                    pairs = layers[0]
+                    for lyr in layers[1:]:
+                        pairs = pairs.unionByName(lyr)
+                    pairs = pairs.groupBy("_sps", "_spn").agg(
+                        F.min("_sph").alias("hops")
+                    )
                 srcf = _prefix(graph.match(s_label), sa)
                 dstf = _prefix(graph.match(d_label), da)
                 df = (
@@ -3896,7 +4029,7 @@ def _run_read(
                     raise CypherUnsupported(
                         f"chained MATCH must be a relationship pattern: {c.body!r}"
                     )
-                if m.group("min_h"):
+                if m.group("star"):
                     raise CypherUnsupported(
                         "variable-length patterns are unsupported in chained MATCH"
                     )
@@ -3932,7 +4065,7 @@ def _run_read(
                 e2 = _orient_edges(e2, _rel_direction(m)).select(
                     F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
                 )
-                dstf = _prefix(graph.match(_rel_types(m.group("dst_label"))), da2)
+                dstf = _prefix(graph.match(_node_labels(m.group("dst_label"))), da2)
                 src_id = (
                     F.col(f"{aliases[sa2]}{NODE_ID}")
                     if aliases[sa2]
@@ -3950,7 +4083,14 @@ def _run_read(
                 sa = m.group("src_alias") or "a"
                 da = m.group("dst_alias") or "b"
                 direction = _rel_direction(m)
-                if m.group("min_h"):
+                if m.group("star"):
+                    if not m.group("min_h"):
+                        raise CypherUnsupported(
+                            "unbounded [*] is supported only inside "
+                            "shortestPath((a)-[:T*]->(b)) (the iterative BFS "
+                            "substrate); a bare unbounded MATCH enumerates "
+                            "every path - a join explosion at scale"
+                        )
                     if m.group("rel_props"):
                         raise CypherUnsupported(
                             "inline properties on a variable-length pattern"
@@ -3970,9 +4110,9 @@ def _run_read(
                         (sa, da) if direction == "out" else (da, sa)
                     )
                     va_src_label, va_dst_label = (
-                        (_rel_types(m.group("src_label")), _rel_types(m.group("dst_label")))
+                        (_node_labels(m.group("src_label")), _node_labels(m.group("dst_label")))
                         if direction == "out"
-                        else (_rel_types(m.group("dst_label")), _rel_types(m.group("src_label")))
+                        else (_node_labels(m.group("dst_label")), _node_labels(m.group("src_label")))
                     )
                     df = graph.expand_var(
                         rel_type=_rel_types(m.group("rel_type")),
@@ -3997,8 +4137,8 @@ def _run_read(
                 else:
                     df = graph.expand(
                         rel_type=_rel_types(m.group("rel_type")),
-                        src_label=_rel_types(m.group("src_label")),
-                        dst_label=_rel_types(m.group("dst_label")),
+                        src_label=_node_labels(m.group("src_label")),
+                        dst_label=_node_labels(m.group("dst_label")),
                         src_alias=sa, dst_alias=da,
                         direction=direction,
                     )
@@ -4006,7 +4146,7 @@ def _run_read(
                 aliases[da] = f"{da}_"
                 rel_alias = path_bind or m.group("rel_alias")
                 rel_prefixed = True
-                if not m.group("min_h") and m.group("rel_props"):
+                if not m.group("star") and m.group("rel_props"):
                     # inline rel-prop map: equality filters on the edge
                     # columns (which ride the expand unprefixed), same
                     # value-resolution path as WHERE operands
@@ -4023,24 +4163,11 @@ def _run_read(
             if not n:
                 raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
             lbl_raw = n.group("label")
-            if lbl_raw is not None and ":" in lbl_raw:
-                # (n:A:B) — label CONJUNCTION: the node's effective set
-                # {primary} ∪ _labels must contain every listed label.
-                # Secondary labels live on any primary, so this is a
-                # full node scan + one AND of contains-predicates (the
-                # single-label scan keeps its partition pruning; Neo4j
-                # likewise picks one label index and filters the rest).
-                if "|" in lbl_raw:
-                    raise CypherUnsupported(
-                        "label pattern mixes ':' conjunction with '|' "
-                        "alternation — use one"
-                    )
-                want = [t.strip() for t in lbl_raw.split(":")]
-                df = graph.match(None)
-                for lb in want:
-                    df = df.filter(_effective_label_pred(df, lb))
-            else:
-                df = graph.match(_rel_types(lbl_raw))
+            # (n:A:B) label conjunction, (n:A|B) alternation, plain (n:A)
+            # — all compiled by Graph.match (the conjunction is a
+            # UNION-free AND of effective-label contains-predicates over
+            # {primary} ∪ _labels)
+            df = graph.match(_node_labels(lbl_raw))
             alias = n.group("alias") or "n"
             aliases[alias] = ""
             node_match = (alias, n.group("label"))
@@ -4055,7 +4182,7 @@ def _run_read(
             m = _REL_RE.match(c.body)
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
-            if m.group("min_h"):
+            if m.group("star"):
                 raise CypherUnsupported(
                     "variable-length patterns are unsupported in OPTIONAL MATCH"
                 )
@@ -4136,8 +4263,8 @@ def _run_read(
                 on_extra = _make_on_extra(opt_ast)
             df = graph.expand_optional(
                 rel_type=_rel_types(m.group("rel_type")),
-                src_label=_rel_types(s_label),
-                dst_label=_rel_types(m.group("dst_label")),
+                src_label=_node_labels(s_label),
+                dst_label=_node_labels(m.group("dst_label")),
                 src_alias=sa, dst_alias=da,
                 direction=_rel_direction(m),
                 on_extra=on_extra,
@@ -4355,7 +4482,7 @@ def _run_read(
                 raise CypherUnsupported(
                     f"unsupported COUNT pattern: {cm.group('pat').strip()!r}"
                 )
-            if pm.group("min_h") or pm.group("rel_props"):
+            if pm.group("star") or pm.group("rel_props"):
                 raise CypherUnsupported(
                     "variable-length / property patterns are unsupported in COUNT"
                 )
@@ -4376,7 +4503,7 @@ def _run_read(
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, _rel_direction(pm))
             if pm.group("dst_label") is not None:
-                lbl_ids = graph.match(_rel_types(pm.group("dst_label"))).select(
+                lbl_ids = graph.match(_node_labels(pm.group("dst_label"))).select(
                     F.col(NODE_ID).alias("_cid")
                 )
                 ce = ce.join(lbl_ids, ce["dst"] == F.col("_cid"), "left_semi")
@@ -4407,7 +4534,7 @@ def _run_read(
                 raise CypherUnsupported(
                     f"unsupported comprehension pattern: {pcm.group('pat')!r}"
                 )
-            if pm.group("min_h") or pm.group("rel_props"):
+            if pm.group("star") or pm.group("rel_props"):
                 raise CypherUnsupported(
                     "variable-length / property patterns are unsupported "
                     "in pattern comprehensions"
@@ -4433,7 +4560,7 @@ def _run_read(
                 raise CypherUnsupported("graph has no edges")
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, _rel_direction(pm))
-            dstn = graph.match(_rel_types(pm.group("dst_label")))
+            dstn = graph.match(_node_labels(pm.group("dst_label")))
             # key-name fallback, same convention as _prop_col: an
             # unknown property name reads the storage key column
             prop = prm.group("p") if prm.group("p") in dstn.columns else "key"
@@ -4608,7 +4735,22 @@ def _run_read(
                 col = "label" if fn == "labels" else NODE_ID
                 e = _prop_col(df, aliases[fa], col)
                 if fn == "labels":
-                    e = F.array(e)
+                    # labels(n) = [primary] ++ sorted extras (the
+                    # SET n:Extra set, minus the primary and empties) —
+                    # primary-first like Neo4j's creation order, extras
+                    # canonically sorted so results are deterministic
+                    extra_name = aliases[fa] + EXTRA_LABELS
+                    if extra_name in df.columns:
+                        prim = e
+                        extras = F.filter(
+                            F.split(
+                                F.coalesce(F.col(extra_name), F.lit("")), ","
+                            ),
+                            lambda x: (x != "") & (x != prim),
+                        )
+                        e = F.concat(F.array(prim), F.array_sort(extras))
+                    else:
+                        e = F.array(e)
             else:
                 raise CypherUnsupported(f"{fn}() on unbound alias: {fa!r}")
             out_cols.append(e.alias(name))

@@ -7286,6 +7286,84 @@ def q_a79_text_rel_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df.select("link", "publisher", F.col("w").cast("bigint").alias("w"))
 
 
+def q_a80_text_unbounded_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A80 ext — UNBOUNDED ``shortestPath((a:Customer)-[*]->(b))`` in
+    the text front-end: instead of refusing ``[*]``, the compiler routes
+    it onto the ITERATIVE pairwise-BFS substrate
+    (graph/algorithms.py pairwise_shortest_paths) — per-level distinct
+    frontier, anti-join first-reach, early exit at the first empty
+    frontier, so "unbounded" costs diameter rounds (here 2), never a
+    join explosion. Graph = the Customer→Nation→Region forest, where
+    every distance is closed-form: each customer reaches its nation at
+    hop 1 and its region at hop 2 — which the oracle states directly."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("k"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("nk"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("k"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("rk"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("k")
+    )
+    nodes = (
+        as_nodes(cust.select("k"), "Customer", "k", [])
+        .unionByName(as_nodes(nat.select("k"), "Nation", "k", []))
+        .unionByName(as_nodes(reg, "Region", "k", []))
+    )
+    edges = as_edges(
+        cust, "FROM", "Customer", "k", "Nation", "nk"
+    ).unionByName(as_edges(nat, "IN", "Nation", "k", "Region", "rk"))
+    res = run_cypher(
+        spark,
+        "MATCH p = shortestPath((a:Customer)-[*]->(b)) "
+        "RETURN a.k AS src, b.k AS dst, length(p) AS hops",
+        graph=Graph(nodes, edges),
+    )
+    return res.df
+
+
+def q_a81_text_label_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A81 ext — secondary labels end-to-end: ``MATCH … SET n:Featured``
+    writes the ``_labels`` set prop through the bucketed merge_nodes
+    upsert (cypher_text _run_text_set_labels), then the ``(n:A:B)``
+    label CONJUNCTION — now valid in EXPAND endpoints too — matches via
+    the UNION-free intersection filter (Graph.match), and ``labels(n)``
+    reads {primary} ∪ extras (primary first, extras sorted). Output =
+    the Featured articles' publisher pairs + label arrays, closed-form
+    from the construction (doc_id parity picks Featured)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a81_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["score"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher"
+    )
+    run_cypher(
+        spark,
+        "MATCH (n:Article) WHERE n.score % 2 = 0 SET n:Featured",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article:Featured)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, p.publisher AS publisher, labels(a) AS ls",
+        store=store,
+    ).df
+
+
 def q_a82_text_call_library2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A82 ext — the round-11 CALL-router additions sampled from
     statement text (cypher_text _run_text_call): ``graft.weighted_sssp``
@@ -7435,6 +7513,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c103_weighted_sssp": q_c103_weighted_sssp,
     # ---- r11 additions (inside the 50-entry driver window) ----
     "a79_text_rel_update": q_a79_text_rel_update,
+    "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
+    "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "a82_text_call_library2": q_a82_text_call_library2,
     # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
@@ -10270,6 +10350,25 @@ ORACLES["a61_text_update"] = """
            CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id // 2 AS bigint)
                 ELSE NULL END AS grade
     FROM documents
+"""
+
+ORACLES["a80_text_unbounded_shortest"] = """
+    SELECT concat('C', cast(c_custkey AS varchar)) AS src,
+           concat('N', cast(c_nationkey AS varchar)) AS dst,
+           CAST(1 AS bigint) AS hops
+    FROM customer
+    UNION ALL
+    SELECT concat('C', cast(c_custkey AS varchar)),
+           concat('R', cast(n_regionkey AS varchar)),
+           CAST(2 AS bigint)
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+ORACLES["a81_text_label_conjunction"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS publisher,
+           ['Article', 'Featured'] AS ls
+    FROM documents WHERE doc_id % 2 = 0
 """
 
 ORACLES["a82_text_call_library2"] = """

@@ -3569,3 +3569,134 @@ def test_text_call_router_r11_procedures(spark):
             "CALL graft.modularity({method: 'nope'}) YIELD m",
             graph=g,
         )
+
+
+def test_text_unbounded_shortest_path(spark):
+    """a80 — `shortestPath((a)-[:T*]->(b))` compiles to the iterative
+    pairwise-BFS substrate: exact first-reach hop counts on a chain with
+    a shortcut, cycle-safe (a cycle back to the source reports the cycle
+    length, the 0-hop self pair never appears), and the bounded ladder
+    and the unbounded iteration agree wherever both are defined."""
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    # chain 0→1→2→…→6 with a shortcut 0→3 and a back-edge 6→0 (cycle)
+    n = 7
+    nsrc = spark.createDataFrame([(str(i),) for i in range(n)], "k string")
+    pairs = [(str(i), str(i + 1)) for i in range(n - 1)] + [("0", "3"), ("6", "0")]
+    esrc = spark.createDataFrame(pairs, "s string, d string")
+    g = Graph(
+        as_nodes(nsrc, "N", "k"), as_edges(esrc, "T", "N", "s", "N", "d")
+    )
+
+    q = (
+        "MATCH p = shortestPath((a:N)-[:T{star}]->(b:N)) "
+        "WHERE a.k = '0' RETURN b.k AS k, length(p) AS hops"
+    )
+    unb = {
+        r["k"]: r["hops"]
+        for r in run_cypher(spark, q.format(star="*"), graph=g).df.collect()
+    }
+    # closed form: dist(0→i) = i for i<3, 1 for 3, i-2 for i>3; 0 via cycle
+    want = {"1": 1, "2": 2, "3": 1, "4": 2, "5": 3, "6": 4, "0": 5}
+    assert unb == want
+    bnd = {
+        r["k"]: r["hops"]
+        for r in run_cypher(spark, q.format(star="*1..10"), graph=g).df.collect()
+    }
+    assert bnd == unb
+
+    # unbounded [*] outside shortestPath still refuses, by name
+    with pytest.raises(CypherUnsupported, match="shortestPath"):
+        run_cypher(spark, "MATCH (a:N)-[:T*]->(b:N) RETURN b.k AS k", graph=g)
+
+
+def test_text_set_remove_labels_and_conjunction(spark, tmp_path):
+    """a81 — `SET n:Extra` / `REMOVE n:Extra` edit the node's _labels
+    set through the bucketed merge_nodes upsert; labels(n) reads
+    {primary} ∪ _labels (primary first, extras sorted); the (n:A:B)
+    conjunction matches in single-node scans AND expand endpoints
+    (UNION-free intersection filter); the primary label can't be
+    REMOVEd; label/property items don't mix."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "lbls"))
+    batch = spark.createDataFrame(
+        [("a1", 1), ("a2", 2), ("a3", 3)], "link string, score int"
+    )
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["score"])
+    s.merge_nodes(
+        spark.createDataFrame([("p1",)], "name string"),
+        label="Publisher", key_col="name",
+    )
+    s.merge_edges(
+        batch.select("link", F.lit("p1").alias("name")),
+        "BY", "Article", "link", "Publisher", "name",
+    )
+
+    r = run_cypher(
+        spark,
+        "MATCH (n:Article) WHERE n.score >= 2 SET n:Featured, n:Hot",
+        store=s,
+    )
+    assert r.summary.properties_set == 2 and r.summary.nodes_created == 0
+
+    got = sorted(
+        r["l"]
+        for r in run_cypher(
+            spark, "MATCH (n:Article:Featured) RETURN n.link AS l", store=s
+        ).df.collect()
+    )
+    assert got == ["a2", "a3"]
+
+    ls = {
+        r["l"]: r["ls"]
+        for r in run_cypher(
+            spark,
+            "MATCH (n:Article) RETURN n.link AS l, labels(n) AS ls",
+            store=s,
+        ).df.collect()
+    }
+    assert ls == {
+        "a1": ["Article"],
+        "a2": ["Article", "Featured", "Hot"],
+        "a3": ["Article", "Featured", "Hot"],
+    }
+
+    run_cypher(
+        spark, "MATCH (n:Article) WHERE n.link = 'a2' REMOVE n:Hot", store=s
+    )
+    ls = {
+        r["l"]: r["ls"]
+        for r in run_cypher(
+            spark,
+            "MATCH (n:Article) RETURN n.link AS l, labels(n) AS ls",
+            store=s,
+        ).df.collect()
+    }
+    assert ls["a2"] == ["Article", "Featured"] and ls["a3"] == [
+        "Article", "Featured", "Hot",
+    ]
+
+    # conjunction in expand endpoints, both orientations
+    for q in (
+        "MATCH (a:Article:Featured)-[r:BY]->(p:Publisher) RETURN a.link AS l",
+        "MATCH (p:Publisher)<-[r:BY]-(a:Article:Featured) RETURN a.link AS l",
+    ):
+        got = sorted(r["l"] for r in run_cypher(spark, q, store=s).df.collect())
+        assert got == ["a2", "a3"], q
+
+    # guards
+    with pytest.raises(CypherUnsupported, match="primary"):
+        run_cypher(spark, "MATCH (n:Article) REMOVE n:Article", store=s)
+    with pytest.raises(CypherUnsupported, match="mixes"):
+        run_cypher(
+            spark, "MATCH (n:Article) SET n:Featured, n.score = 9", store=s
+        )
