@@ -7458,11 +7458,69 @@ def q_a82_text_call_library2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   round-9 additions (a75-a78/c100/c101) — 44 never-driver-checked
 #   entries inside the window, completing a driver-artifact row for
 #   every declared entry once r09's harness runs.
+#   r10 re-ran the identical r9 window (zero-turn round).
+#   r11 window (current first 50) ROTATES onto the oldest greens: the
+#   r2-r4 tier-A/B/C block (a1-a16 / b1-b8 / c1-c10, minus 4 deferred
+#   c10 variants: det_split, pii_redact, repetition, chunking — rotate
+#   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
+#   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r8 driver window (first 50): the 30 never-driver-checked
-    # entries (22-entry backlog block + the 8 post-r7-window tail
-    # additions), completing a driver-artifact row for every declared
-    # entry; slots 31-50 carry the round-8 additions (ledger above) ----
+    # ---- r11 driver window (first 50): the r2-r4 tier-A/B/C block —
+    # oldest driver-greens, 6+ rounds unre-verified (rotation ledger
+    # above) — then the round-11 fix + additions in the tail slots ----
+    "a16_text_where": q_a16_text_where,
+    "a3_expand": q_a3_expand,
+    "a3_expand_2hop": q_a3_expand_2hop,
+    "a3_expand_optional": q_a3_expand_optional,
+    "a3_expand_var": q_a3_expand_var,
+    "a15_detach_delete": q_a15_detach_delete,
+    "a4_projection": q_a4_projection,
+    "a5_entity": q_a5_entity,
+    "a6_limit": q_a6_limit,
+    "a7_merge_upsert": q_a7_merge_upsert,
+    "a8_set_null_keeps": q_a8_set_null_keeps,
+    "a9_merge_edges": q_a9_merge_edges,
+    "a10_with_chain": q_a10_with_chain,
+    "a11_params": q_a11_params,
+    "a12_datetime": q_a12_datetime,
+    "a13_counters": q_a13_counters,
+    "a14_materialization": q_a14_materialization,
+    "a1_label_scan": q_a1_label_scan,
+    "a2_all_nodes": q_a2_all_nodes,
+    "b1_paginated_source": q_b1_paginated_source,
+    "b2_status_policy": q_b2_status_policy,
+    "b3_html_extract": q_b3_html_extract,
+    "b4_detail_content": q_b4_detail_content,
+    "b5_clean_text": q_b5_clean_text,
+    "b6_ingest_filter": q_b6_ingest_filter,
+    "b7_impute": q_b7_impute,
+    "b8_batch_dedup": q_b8_batch_dedup,
+    "c8_minhash_lsh": q_c8_minhash_lsh,
+    "c8_simhash": q_c8_simhash,
+    "c1_degrees": q_c1_degrees,
+    "c2_pagerank": q_c2_pagerank,
+    "c3_connected_components": q_c3_connected_components,
+    "c4_bfs": q_c4_bfs,
+    "c5_triangles": q_c5_triangles,
+    "c6_label_propagation": q_c6_label_propagation,
+    "c7_exact_dedup": q_c7_exact_dedup,
+    "c8_ngram_jaccard": q_c8_ngram_jaccard,
+    "c8_embedding_near_dup": q_c8_embedding_near_dup,
+    "c9_cosine_topk": q_c9_cosine_topk,
+    "c9_lsh_ann": q_c9_lsh_ann,
+    "c9_ivf_topk": q_c9_ivf_topk,
+    "c9_ivf_kmeans": q_c9_ivf_kmeans,
+    "c10_text_stats": q_c10_text_stats,
+    "c10_lang_detect": q_c10_lang_detect,
+    "c10_fingerprint": q_c10_fingerprint,
+    # ---- r11 fix (c102 determinism) + r11 additions ----
+    "c102_embedding_covariance": q_c102_embedding_covariance,
+    "a79_text_rel_update": q_a79_text_rel_update,
+    "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
+    "a81_text_label_conjunction": q_a81_text_label_conjunction,
+    "a82_text_call_library2": q_a82_text_call_library2,
+    # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
+    # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
@@ -7493,7 +7551,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c98_quality_dedup": q_c98_quality_dedup,
     "a66_text_entity_group_key": q_a66_text_entity_group_key,
     "a67_text_stats_aggregates": q_a67_text_stats_aggregates,
-    # ---- r8 additions land here (inside the 50-entry window) ----
     "a68_text_call_subquery": q_a68_text_call_subquery,
     "a74_text_call_union_agg": q_a74_text_call_union_agg,
     "a69_text_path_functions": q_a69_text_path_functions,
@@ -7502,21 +7559,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a72_text_map_projection": q_a72_text_map_projection,
     "a73_text_call_library": q_a73_text_call_library,
     "c99_louvain_multilevel": q_c99_louvain_multilevel,
-    # ---- r9 additions (still inside the 50-entry window: 38 + 6 = 44) ----
     "a75_text_case_math": q_a75_text_case_math,
     "a76_text_foreach": q_a76_text_foreach,
     "a77_text_all_shortest": q_a77_text_all_shortest,
     "a78_text_pattern_comp": q_a78_text_pattern_comp,
     "c100_url_dedup": q_c100_url_dedup,
     "c101_dsir": q_c101_dsir,
-    "c102_embedding_covariance": q_c102_embedding_covariance,
     "c103_weighted_sssp": q_c103_weighted_sssp,
-    # ---- r11 additions (inside the 50-entry driver window) ----
-    "a79_text_rel_update": q_a79_text_rel_update,
-    "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
-    "a81_text_label_conjunction": q_a81_text_label_conjunction,
-    "a82_text_call_library2": q_a82_text_call_library2,
-    # ---- driver-green union of the r2-r7 windows (long-green tail) ----
     "a49_text_labels_type": q_a49_text_labels_type,
     "c41_quantize": q_c41_quantize,
     "a54_text_create": q_a54_text_create,
@@ -7572,8 +7621,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a44_text_union": q_a44_text_union,
     "c84_graphrag": q_c84_graphrag,
     "c37_node_similarity": q_c37_node_similarity,
-    "c8_minhash_lsh": q_c8_minhash_lsh,
-    "c8_simhash": q_c8_simhash,
     "a17_text_agg": q_a17_text_agg,
     "a18_text_optional": q_a18_text_optional,
     "a19_store_compact": q_a19_store_compact,
@@ -7643,7 +7690,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c33_bm25": q_c33_bm25,
     "c34_heavy_hitters": q_c34_heavy_hitters,
     "c35_stream_rollup": q_c35_stream_rollup,
-    "a16_text_where": q_a16_text_where,
     "rel_profile": q_rel_profile,
     "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
@@ -7665,52 +7711,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_bucketed_join": q_rel_bucketed_join,
     "rel_gap_fill": q_rel_gap_fill,
     "c36_hits": q_c36_hits,
-    "a3_expand": q_a3_expand,
-    "a3_expand_2hop": q_a3_expand_2hop,
-    "a3_expand_optional": q_a3_expand_optional,
-    "a3_expand_var": q_a3_expand_var,
-    "a15_detach_delete": q_a15_detach_delete,
-    "a4_projection": q_a4_projection,
-    "a5_entity": q_a5_entity,
-    "a6_limit": q_a6_limit,
-    "a7_merge_upsert": q_a7_merge_upsert,
-    "a8_set_null_keeps": q_a8_set_null_keeps,
-    "a9_merge_edges": q_a9_merge_edges,
-    "a10_with_chain": q_a10_with_chain,
-    "a11_params": q_a11_params,
-    "a12_datetime": q_a12_datetime,
-    "a13_counters": q_a13_counters,
-    "a14_materialization": q_a14_materialization,
-    "b1_paginated_source": q_b1_paginated_source,
-    "b2_status_policy": q_b2_status_policy,
-    "b3_html_extract": q_b3_html_extract,
-    "b4_detail_content": q_b4_detail_content,
-    "b5_clean_text": q_b5_clean_text,
-    "b6_ingest_filter": q_b6_ingest_filter,
-    "b7_impute": q_b7_impute,
-    "b8_batch_dedup": q_b8_batch_dedup,
-    "c1_degrees": q_c1_degrees,
-    "c2_pagerank": q_c2_pagerank,
-    "c3_connected_components": q_c3_connected_components,
-    "c4_bfs": q_c4_bfs,
-    "c5_triangles": q_c5_triangles,
-    "c6_label_propagation": q_c6_label_propagation,
-    "c7_exact_dedup": q_c7_exact_dedup,
-    "c8_ngram_jaccard": q_c8_ngram_jaccard,
-    "c8_embedding_near_dup": q_c8_embedding_near_dup,
-    "c9_cosine_topk": q_c9_cosine_topk,
-    "c9_lsh_ann": q_c9_lsh_ann,
-    "c9_ivf_topk": q_c9_ivf_topk,
-    "c9_ivf_kmeans": q_c9_ivf_kmeans,
-    "c10_text_stats": q_c10_text_stats,
-    "c10_lang_detect": q_c10_lang_detect,
-    "c10_fingerprint": q_c10_fingerprint,
     "c10_chunking": q_c10_chunking,
     "c10_det_split": q_c10_det_split,
     "c10_pii_redact": q_c10_pii_redact,
     "c10_repetition": q_c10_repetition,
-    "a1_label_scan": q_a1_label_scan,
-    "a2_all_nodes": q_a2_all_nodes,
 }
 
 
