@@ -390,41 +390,56 @@ _WHERE_ITEM_RE = re.compile(
 
 # Cypher temporal subset: `datetime()` optionally shifted by a duration
 # literal — `datetime() - duration('P30D')` is the idiomatic "last 30
-# days" WHERE bound. Durations accept the exact-length ISO-8601 subset
-# (weeks/days/time); calendar units (Y/M) are rejected because their
-# length depends on the anchor date — Cypher's own duration() keeps
-# months as a separate component for the same reason, and a fixed-length
-# approximation would silently disagree with it.
+# days" WHERE bound. Durations accept the full ISO-8601 subset: the
+# exact-length part (weeks/days/time) folds to one seconds interval,
+# and calendar units (Y/M) compile to a true INTERVAL n MONTH (Neo4j
+# keeps months separate because their length depends on the anchor —
+# month interval arithmetic preserves exactly that semantics).
 _TEMPORAL_EXPR_RE = re.compile(
     r"datetime\(\s*\)(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?",
 )
 
 _DURATION_ISO_RE = re.compile(
-    r"^P(?!$)(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"^P(?!$)(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
     r"(?:T(?!$)(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
 )
 
 
-def duration_seconds(iso: str) -> float:
-    """Parse the exact-length ISO-8601 duration subset (PnW nD TnH nM
-    nS) to seconds. Calendar units (years/months) raise — they have no
-    fixed length (Neo4j `duration` keeps them as a separate month
-    component for exactly that reason)."""
-    if re.search(r"\d+[YM]", iso.split("T")[0]):
-        raise CypherUnsupported(
-            f"calendar units (Y/M) in duration are unsupported: {iso!r}"
-        )
+def duration_parts(iso: str) -> tuple[int, float]:
+    """Parse an ISO-8601 duration to ``(months, seconds)`` — the two
+    components Neo4j's own ``duration`` type keeps separate, because a
+    month has no fixed length: calendar units (Y/M before the T) stay
+    months (12·Y + M), everything exact-length (W/D and the time part)
+    folds into seconds."""
     m = _DURATION_ISO_RE.match(iso.strip())
     if not m:
         raise CypherUnsupported(f"unsupported duration literal: {iso!r}")
-    w, d, h, mi, s = (m.group(g) for g in ("w", "d", "h", "m", "s"))
-    return (
+    y, mo, w, d, h, mi, s = (
+        m.group(g) for g in ("y", "mo", "w", "d", "h", "m", "s")
+    )
+    months = int(y or 0) * 12 + int(mo or 0)
+    seconds = (
         int(w or 0) * 604800
         + int(d or 0) * 86400
         + int(h or 0) * 3600
         + int(mi or 0) * 60
         + float(s or 0)
     )
+    return months, seconds
+
+
+def duration_seconds(iso: str) -> float:
+    """Parse the exact-length ISO-8601 duration subset (PnW nD TnH nM
+    nS) to seconds. Calendar units (years/months) raise HERE — callers
+    that can do true month arithmetic (``_temporal_column`` →
+    ``INTERVAL n MONTH``) use :func:`duration_parts` instead."""
+    months, seconds = duration_parts(iso)
+    if months:
+        raise CypherUnsupported(
+            f"calendar units (Y/M) in duration are unsupported here "
+            f"(no fixed length): {iso!r}"
+        )
+    return seconds
 
 
 def _temporal_column(m: re.Match, lits: list[str]):
@@ -434,9 +449,16 @@ def _temporal_column(m: re.Match, lits: list[str]):
     col = F.current_timestamp()
     if m.group("dur") is None:
         return col
-    secs = duration_seconds(lits[int(m.group("dur").strip("\x00"))])
-    delta = F.expr(f"INTERVAL '{secs}' SECOND")
-    return col + delta if m.group("sign") == "+" else col - delta
+    months, secs = duration_parts(lits[int(m.group("dur").strip("\x00"))])
+    sign = 1 if m.group("sign") == "+" else -1
+    # componentwise like Neo4j's duration arithmetic: months first
+    # (calendar-aware, end-of-month clamped), then the exact seconds —
+    # both interval literals, so Catalyst constant-folds the whole bound
+    if months:
+        col = col + F.expr(f"INTERVAL '{sign * months}' MONTH")
+    if secs or not months:
+        col = col + F.expr(f"INTERVAL '{sign * secs}' SECOND")
+    return col
 
 _STRING_LIT_RE = re.compile(r"'([^']*)'")
 
@@ -1675,6 +1697,23 @@ def run_cypher(
         )
     subq = _split_call_subquery(masked_q)
     if subq is not None:
+        txn = _rewrite_call_in_transactions(subq)
+        if txn is not None:
+            # `UNWIND $rows AS row CALL { WITH row <write> } IN
+            # TRANSACTIONS [OF n ROWS]` — Neo4j's bulk-ingest idiom.
+            # Spark-first semantics: the per-chunk commit protocol
+            # collapses into ONE bucketed versioned write over the whole
+            # imported frame (a single atomic version bump — strictly
+            # stronger than Neo4j's chunked visibility, and the only
+            # shape that scales: per-row or per-chunk commits would
+            # serialize a 100 TB ingest). `OF n ROWS` is accepted and
+            # recorded as advisory only.
+            if store is None:
+                raise CypherUnsupported(
+                    "CALL { … } IN TRANSACTIONS needs a GraphStore"
+                )
+            txn_clauses, txn_lits = split_clauses_masked(_unmask(txn, q_lits))
+            return _run_write(spark, txn_clauses, params, store, txn_lits)
         return _run_call_subquery(
             spark, subq, q_lits, params, store=store, graph=graph
         )
@@ -1885,6 +1924,56 @@ def _run_union(
 
 
 _CALL_SUBQ_RE = re.compile(r"(?<![.$\w])CALL\s*\{", re.IGNORECASE)
+
+
+_TXN_TAIL_RE = re.compile(
+    r"^\s*IN\s+TRANSACTIONS(?:\s+OF\s+(?P<n>\d+)\s+ROWS?)?\s*$", re.IGNORECASE
+)
+_TXN_PRE_RE = re.compile(
+    r"^\s*UNWIND\s+(?P<src>.+?)\s+AS\s+(?P<var>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TXN_IMPORT_RE = re.compile(
+    r"^\s*WITH\s+(?P<var>\w+)\s+(?P<body>.+)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _rewrite_call_in_transactions(subq: tuple[str, str, str]) -> str | None:
+    """Neo4j's bulk-ingest idiom ``UNWIND <rows> AS row CALL { WITH row
+    <write> } IN TRANSACTIONS [OF n ROWS]`` → the engine's batched write
+    statement ``UNWIND <rows> AS row <write>`` (masked text in, masked
+    text out). Returns None when the tail is not IN TRANSACTIONS; raises
+    on any other shape — the chunked-commit protocol has exactly one
+    Spark-first meaning (one bucketed versioned write over the whole
+    frame), so only the canonical shape is accepted.
+    """
+    pre, inner, post = subq
+    if _TXN_TAIL_RE.match(post) is None:
+        if re.match(r"^\s*IN\s+TRANSACTIONS\b", post, re.IGNORECASE):
+            raise CypherUnsupported(
+                "IN TRANSACTIONS tail must be exactly "
+                "'IN TRANSACTIONS [OF n ROWS]'"
+            )
+        return None
+    um = _TXN_PRE_RE.match(pre)
+    if um is None:
+        raise CypherUnsupported(
+            "CALL { … } IN TRANSACTIONS supports the bulk-ingest idiom "
+            "only: UNWIND <rows> AS row CALL { WITH row <write> } "
+            "IN TRANSACTIONS [OF n ROWS]"
+        )
+    im = _TXN_IMPORT_RE.match(inner.strip())
+    if im is None or im.group("var") != um.group("var"):
+        raise CypherUnsupported(
+            "the IN TRANSACTIONS subquery must start by importing the "
+            "UNWIND variable: CALL { WITH row … }"
+        )
+    body = im.group("body").strip()
+    if not re.match(r"^\s*(MERGE|CREATE)\b", body, re.IGNORECASE):
+        raise CypherUnsupported(
+            "the IN TRANSACTIONS subquery must be a MERGE/CREATE write"
+        )
+    return f"UNWIND {um.group('src')} AS {um.group('var')} {body}"
 
 
 def _split_call_subquery(masked: str) -> tuple[str, str, str] | None:

@@ -3700,3 +3700,89 @@ def test_text_set_remove_labels_and_conjunction(spark, tmp_path):
         run_cypher(
             spark, "MATCH (n:Article) SET n:Featured, n.score = 9", store=s
         )
+
+
+def test_text_call_in_transactions(spark, tmp_path):
+    """`UNWIND $rows AS row CALL { WITH row <write> } IN TRANSACTIONS
+    [OF n ROWS]` — Neo4j's bulk-ingest idiom: the chunked-commit
+    protocol collapses into ONE bucketed versioned write over the whole
+    frame (single atomic version bump). Counters match the plain UNWIND
+    write; re-running is idempotent; non-canonical shapes refuse."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "txn"))
+    rows = [
+        {"user": "Beomzh", "tech": "Neo4j"},
+        {"user": "Beomzh", "tech": "Spark"},
+        {"user": "Ada", "tech": "Spark"},
+    ]
+    stmt = (
+        "UNWIND $rows AS row CALL { WITH row "
+        "MERGE (u:User {name: row.user}) MERGE (t:Tech {name: row.tech}) "
+        "MERGE (u)-[:INTERESTED_IN]->(t) } IN TRANSACTIONS OF 500 ROWS"
+    )
+    res = run_cypher(spark, stmt, {"rows": rows}, store=s)
+    assert res.summary.nodes_created == 4
+    assert res.summary.relationships_created == 3
+    res2 = run_cypher(spark, stmt, {"rows": rows}, store=s)
+    assert res2.summary.nodes_created == 0
+    assert res2.summary.relationships_created == 0
+
+    for bad in (
+        # no UNWIND head
+        "CALL { WITH row MERGE (u:User {name: row.user}) } IN TRANSACTIONS",
+        # no importing WITH
+        "UNWIND $rows AS row CALL { MERGE (u:User {name: row.user}) } "
+        "IN TRANSACTIONS",
+        # read subquery
+        "UNWIND $rows AS row CALL { WITH row MATCH (u:User) RETURN u } "
+        "IN TRANSACTIONS",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, {"rows": rows}, store=s)
+
+
+def test_text_calendar_durations(spark, tmp_path):
+    """duration('P1M') / P1Y / mixed P2M15D compile to true INTERVAL
+    MONTH arithmetic (+ the exact seconds part), so calendar bounds like
+    `datetime() - duration('P1M')` work; duration_parts splits months
+    from exact seconds the way Neo4j's duration type does."""
+    from datetime import datetime, timedelta
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        duration_parts,
+        run_cypher,
+    )
+
+    assert duration_parts("P1M") == (1, 0.0)
+    assert duration_parts("P1Y2M3DT4H") == (14, 3 * 86400 + 4 * 3600)
+
+    s = GraphStore(spark, str(tmp_path / "cal"))
+    now = datetime.utcnow()
+    rows = [
+        ("old", now - timedelta(days=400)),
+        ("mid", now - timedelta(days=60)),
+        ("recent", now - timedelta(days=10)),
+    ]
+    s.merge_nodes(
+        spark.createDataFrame(rows, "k string, ts timestamp"),
+        label="Ev", key_col="k", prop_cols=["ts"],
+    )
+    for dur, want in (
+        ("P1M", ["recent"]),
+        ("P1Y", ["mid", "recent"]),
+        ("P2M15D", ["mid", "recent"]),
+    ):
+        got = sorted(
+            r["k"]
+            for r in run_cypher(
+                spark,
+                f"MATCH (e:Ev) WHERE e.ts >= datetime() - duration('{dur}') "
+                "RETURN e.k AS k",
+                store=s,
+            ).df.collect()
+        )
+        assert got == want, (dur, got)
