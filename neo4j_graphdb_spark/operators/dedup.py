@@ -42,6 +42,87 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def levenshtein_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_dist: int = 8,
+    prefix: int = 20,
+    band: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a normalized key prefix —
+    the short-string companion of MinHash (titles, URLs, product names,
+    crawl keys): pairs with ``levenshtein(lower(prefix)) <= max_dist``.
+
+    Blocking keeps it off the all-pairs cliff: candidates must share
+    every ``block_cols`` value (the natural partition key — same crawl
+    source, same domain) AND a length band. Each key is emitted into its
+    own band index ``len // band`` and the next one, so with
+    ``band >= max_dist`` any pair within distance ``max_dist`` (which
+    forces ``|len_a − len_b| <= max_dist``) shares at least one (block,
+    band) bucket — the blocking is EXACT, not a recall heuristic. The
+    verify step is the JVM codegen ``levenshtein`` on the bounded
+    within-bucket pairs; ``max_block`` guards degenerate buckets the
+    way every LSH operator here does. Returns ``(id_a, id_b, dist)``
+    with ``id_a < id_b``, distinct.
+    """
+    band = band if band is not None else max(max_dist, 1)
+    if band < max_dist:
+        raise ValueError(
+            f"band width {band} < max_dist {max_dist} breaks the "
+            "pigeonhole exactness guarantee"
+        )
+    blocks = block_cols or []
+    key = F.substring(F.lower(F.col(text_col)), 1, prefix)
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in blocks], key.alias("_key")
+    ).withColumn("_len", F.length("_key"))
+    slotted = base.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("_len") / band).cast("long"),
+                (F.col("_len") / band).cast("long") + 1,
+            )
+        ).alias("_slot"),
+    )
+    if max_block is not None:
+        counts = slotted.groupBy(*blocks, "_slot").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        slotted = slotted.join(
+            counts.filter(F.col("_n") <= max_block).drop("_n"),
+            on=[*blocks, "_slot"],
+            how="left_semi",
+        )
+    a = slotted.select(
+        *[F.col(c) for c in blocks], "_slot",
+        F.col(id_col).alias("id_a"),
+        F.col("_key").alias("_ka"), F.col("_len").alias("_la"),
+    )
+    b = slotted.select(
+        *[F.col(c) for c in blocks], "_slot",
+        F.col(id_col).alias("id_b"),
+        F.col("_key").alias("_kb"), F.col("_len").alias("_lb"),
+    )
+    return (
+        a.join(b, on=[*blocks, "_slot"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Duplicate-group summary: one row per distinct text with keeper id +
     duplicate count (the audit view of :func:`exact_dedup`)."""

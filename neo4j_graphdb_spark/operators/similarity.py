@@ -88,6 +88,106 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    pool: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
+    the diversity-aware top-k every RAG retrieval stage wants: greedily
+    pick ``k`` of the ``pool`` nearest candidates, each round scoring
+    ``λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)`` (ties → smallest
+    id, so the greedy is fully deterministic).
+
+    Scale shape: the O(N) work is ONE exact top-``pool`` pass
+    (:func:`cosine_topk` — broadcast queries, no candidate explosion);
+    everything after runs on the BOUNDED per-query pool — one pool×pool
+    candidate-sim join (≤ pool² rows per query) and ``k−1`` unrolled
+    rounds of (anti-join remaining ⋈ selected-sims → max → window
+    argmax), each a constant-size frame independent of corpus size.
+    Deterministic across engines: float32→float64 widening is exact and
+    both the relevance and candidate sims are sequential folds, so the
+    greedy's argmax compares bit-identical doubles.
+
+    Returns ``(query_id, vec_id, round, mmr)`` — ``round`` = selection
+    order (1-based), ``mmr`` the round's score rounded to 6 dp (round 1
+    books the pure relevance, Neo4j-less but GDS-adjacent surface).
+    """
+    cand = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col, F.col("cosine").alias("_rel"))
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    pool_v = (
+        cand.join(vecs, on=id_col)
+        .select(query_id_col, id_col, "_rel", "_v")
+        .localCheckpoint(eager=False)
+    )
+    a = pool_v.select(
+        query_id_col, F.col(id_col).alias("_ida"), F.col("_v").alias("_va")
+    )
+    b = pool_v.select(
+        query_id_col, F.col(id_col).alias("_idb"), F.col("_v").alias("_vb")
+    )
+    sims = (
+        a.join(b, on=query_id_col)
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            query_id_col, "_ida", "_idb",
+            cosine(F.col("_va"), F.col("_vb")).alias("_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pool_df = pool_v.select(query_id_col, id_col, "_rel")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_mmr").desc(), F.col(id_col).asc()
+    )
+    selected = (
+        pool_df.withColumn("_mmr", F.col("_rel"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(query_id_col, id_col, F.lit(1).alias("round"), "_mmr")
+    )
+    for r in range(2, k + 1):
+        sel_ids = selected.select(query_id_col, F.col(id_col).alias("_idb"))
+        remaining = pool_df.join(
+            selected.select(query_id_col, id_col),
+            on=[query_id_col, id_col],
+            how="left_anti",
+        )
+        scored = (
+            remaining.join(
+                sims.withColumnRenamed("_ida", id_col),
+                on=[query_id_col, id_col],
+            )
+            .join(sel_ids, on=[query_id_col, "_idb"])
+            .groupBy(query_id_col, id_col, "_rel")
+            .agg(F.max("_s").alias("_ms"))
+            .withColumn(
+                "_mmr",
+                F.lit(float(lam)) * F.col("_rel")
+                - F.lit(1.0 - float(lam)) * F.col("_ms"),
+            )
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(query_id_col, id_col, F.lit(r).alias("round"), "_mmr")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        query_id_col, id_col, "round", F.round("_mmr", 6).alias("mmr")
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,

@@ -7430,6 +7430,141 @@ def q_a82_text_call_library2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp.unionByName(mod)
 
 
+def q_c104_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C104 — Maximal Marginal Relevance diversified top-k
+    (operators/similarity.py mmr_rerank; Carbonell & Goldstein 1998):
+    the RAG-retrieval diversity stage — one exact top-pool pass
+    (broadcast queries), then a bounded pool×pool candidate-sim join and
+    k−1 unrolled greedy rounds of λ·rel − (1−λ)·max-sim-to-selected,
+    ties to smallest id. The oracle replays the identical greedy as
+    unrolled CTE rounds (both engines fold the same float32→float64
+    values in the same order, so the argmax compares bit-identical
+    doubles)."""
+    from neo4j_graphdb_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=4, pool=8, lam=0.7)
+
+
+def _mmr_oracle_sql(k: int = 4, pool: int = 8, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR CTE chain. The (1−λ) literal is emitted with
+    Python repr so DuckDB computes with the EXACT double Spark's
+    ``F.lit(1.0 - lam)`` uses (0.7 → 0.30000000000000004, not 0.3)."""
+    lam_s, one_minus = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> cast(x AS double)) AS qv
+        FROM embeddings ORDER BY vec_id LIMIT 5
+    ),
+    c AS (
+        SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS cv
+        FROM embeddings
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(q.qv, c.cv) AS rel,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c)
+        WHERE rn <= {pool}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+               list_cosine_similarity(ca.cv, cb.cv) AS s
+        FROM pool a
+        JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN c ca ON ca.vec_id = a.vec_id
+        JOIN c cb ON cb.vec_id = b.vec_id
+    ),
+    s1 AS (
+        SELECT query_id, vec_id, rel AS mmr FROM (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM pool) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM s1)"""]
+    for r in range(2, k + 1):
+        prev = r - 1
+        parts.append(f""",
+    sc{r} AS (
+        SELECT p.query_id, p.vec_id,
+               {lam_s} * p.rel - {one_minus} * max(si.s) AS mmr
+        FROM pool p
+        JOIN sims si ON si.query_id = p.query_id AND si.ida = p.vec_id
+        JOIN sel{prev} sl ON sl.query_id = si.query_id
+                         AND sl.vec_id = si.idb
+        LEFT JOIN sel{prev} x ON x.query_id = p.query_id
+                             AND x.vec_id = p.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY p.query_id, p.vec_id, p.rel
+    ),
+    s{r} AS (
+        SELECT query_id, vec_id, mmr FROM (
+            SELECT query_id, vec_id, mmr,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, vec_id ASC) AS rn
+            FROM sc{r}) WHERE rn = 1
+    ),
+    sel{r} AS (SELECT query_id, vec_id FROM sel{prev}
+               UNION ALL SELECT query_id, vec_id FROM s{r})""")
+    selects = [
+        f"SELECT query_id, vec_id, {r} AS round, round(mmr, 6) AS mmr FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def q_c105_levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C105 — edit-distance near-dup pairs (operators/dedup.py
+    levenshtein_near_dup): the short-string companion of MinHash —
+    blocking = same ``source`` (the natural crawl partition) + length
+    bands (band ≥ max_dist makes the pigeonhole EXACT, not a recall
+    heuristic), verify = JVM codegen ``levenshtein`` on the bounded
+    within-bucket pairs. The oracle replays the simpler equivalent
+    predicate (same source, |Δlen| ≤ d, levenshtein ≤ d) — equivalence
+    of the banded and direct forms IS the exactness claim under test."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return levenshtein_near_dup(
+        docs, "text", "doc_id", block_cols=["source"], max_dist=8, prefix=20
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+def q_rel_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REL ext — multi-dimensional subtotal surface: ``CUBE(l_returnflag,
+    l_linestatus)`` over lineitem (DataFrame ``cube().agg()`` — Spark
+    plans one Expand + a single hash aggregation, so the 4 grouping
+    levels cost one scan, not four). Subtotal rows carry NULL grouping
+    keys exactly as SQL's GROUP BY CUBE — the oracle IS that SQL. The
+    OLAP dashboard shape (totals + both one-dimension margins) every
+    warehouse query surface needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7519,6 +7654,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
     "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "a82_text_call_library2": q_a82_text_call_library2,
+    # ---- late-r11 additions (rotate into the r12 driver window) ----
+    "c104_mmr_rerank": q_c104_mmr_rerank,
+    "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
+    "rel_cube_rollup": q_rel_cube_rollup,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -10366,6 +10505,29 @@ ORACLES["a80_text_unbounded_shortest"] = """
            concat('R', cast(n_regionkey AS varchar)),
            CAST(2 AS bigint)
     FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["rel_cube_rollup"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*)::bigint AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["c105_levenshtein_near_dup"] = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(lower(a.text), 1, 20),
+                       substr(lower(b.text), 1, 20))::bigint AS dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE abs(length(substr(lower(a.text), 1, 20))
+              - length(substr(lower(b.text), 1, 20))) <= 8
+      AND levenshtein(substr(lower(a.text), 1, 20),
+                      substr(lower(b.text), 1, 20)) <= 8
 """
 
 ORACLES["a81_text_label_conjunction"] = """

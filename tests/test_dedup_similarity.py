@@ -639,3 +639,90 @@ def test_embedding_covariance_matches_numpy(spark):
     for i in range(4):
         for j in range(4):
             assert abs(out[(i, j)] - round(ref[i, j], 6)) < 2e-6
+
+
+def test_mmr_rerank_greedy_matches_reference(spark):
+    """MMR greedy on a hand-built geometry: q = [1,0]; candidates a
+    (aligned), b (near-duplicate of a), c (orthogonal-ish). Plain top-2
+    would take a then b; MMR with lam=0.5 must take a then c (b is
+    penalized by its similarity to the already-selected a)."""
+    from neo4j_graphdb_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),        # a — on the x axis
+            (2, [0.999, 0.0447]),   # b — near-dup of a, most relevant to q
+            (3, [0.0, 1.0]),        # c — orthogonal to a/b, diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    out = {
+        r["round"]: (r["vec_id"], r["mmr"])
+        for r in mmr_rerank(
+            corpus, queries, k=2, pool=3, lam=0.5
+        ).collect()
+    }
+    assert out[1][0] == 2                      # b: most relevant first
+    # round 2: a scores 0.5*0.7071 - 0.5*cos(a,b)≈0.999 < 0;
+    # c scores 0.5*0.7071 - 0.5*cos(c,b)≈0.0447 > 0 → diversity wins
+    assert out[2][0] == 3, out
+    assert out[2][1] > 0.3
+
+    # with lam=1.0 MMR degenerates to plain relevance order; a and c tie
+    # on cos(q,·)=1/sqrt(2) and the smaller id breaks it
+    out = {
+        r["round"]: r["vec_id"]
+        for r in mmr_rerank(
+            corpus, queries, k=2, pool=3, lam=1.0
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_levenshtein_near_dup_blocking_is_exact(spark):
+    """The banded blocking misses nothing a direct quadratic scan finds
+    (band >= max_dist pigeonhole), dedupes multi-bucket pairs, respects
+    block_cols, and the distances equal Python's reference DP."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_near_dup
+
+    rows = [
+        (1, "s1", "the quick brown fox"),
+        (2, "s1", "the quick brown fix"),    # dist 1 to #1
+        (3, "s1", "the quick brown foxes"),  # dist 2 to #1 (prefix 20)
+        (4, "s2", "the quick brown fox"),    # other block: no cross pair
+        (5, "s1", "completely different"),
+        (6, "s1", "xx"),                     # far length: band excludes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in levenshtein_near_dup(
+            df, "text", "doc_id", block_cols=["source"], max_dist=3, prefix=20
+        ).collect()
+    }
+
+    def lev(a, b):
+        import itertools
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for (i1, s1_, t1), (i2, s2_, t2) in (
+        (x, y) for x in rows for y in rows if x[0] < y[0]
+    ):
+        if s1_ != s2_:
+            continue
+        d = lev(t1.lower()[:20], t2.lower()[:20])
+        if d <= 3 and abs(len(t1[:20]) - len(t2[:20])) <= 3:
+            want[(i1, i2)] = d
+    assert got == want and (1, 2) in got and got[(1, 2)] == 1
+    assert all(a_[0] != 4 and a_[1] != 4 for a_ in got)  # block isolation
