@@ -60,17 +60,27 @@ class Graph:
         if ":" in label:
             df = self.nodes_df
             for lb in (t.strip() for t in label.split(":") if t.strip()):
-                pred = F.col("label") == lb
-                if EXTRA_LABELS in df.columns:
-                    pred = pred | F.array_contains(
-                        F.split(
-                            F.coalesce(F.col(EXTRA_LABELS), F.lit("")), ","
-                        ),
-                        lb,
-                    )
-                df = df.filter(pred)
+                df = df.filter(self._label_pred(lb))
             return df
-        return self.nodes_df.filter(F.col("label") == label)
+        return self.nodes_df.filter(self._label_pred(label))
+
+    def _label_pred(self, label: str):
+        """One label's effective-set membership: ``label == L`` alone on
+        stores that never used secondary labels (the predicate stays a
+        partition-prunable equality), widened to ``… OR L ∈
+        split(_labels)`` once the ``_labels`` prop exists — Neo4j's
+        any-of-my-labels MATCH semantics. The OR costs the pruning on
+        secondary-labeled stores; that is the honest price of a
+        secondary label without a per-label index (Neo4j pays it with
+        one), and stores that never SET an extra label keep the pruned
+        scan."""
+        pred = F.col("label") == label
+        if EXTRA_LABELS in self.nodes_df.columns:
+            pred = pred | F.array_contains(
+                F.split(F.coalesce(F.col(EXTRA_LABELS), F.lit("")), ","),
+                label,
+            )
+        return pred
 
     # --- A3: 1-hop typed expand ----------------------------------------------
 

@@ -2417,8 +2417,23 @@ def _run_write(
                     )
                     continue
                 n = _NODE_RE.match(part)
+                extra_labels = ""
                 if n and n.group("label"):
-                    _single_rel_type(n.group("label"), f"{c.kind} node label")
+                    raw_lbl = n.group("label")
+                    if "|" in raw_lbl:
+                        _single_rel_type(raw_lbl, f"{c.kind} node label")
+                    if ":" in raw_lbl:
+                        # CREATE/MERGE (n:A:B …) — Neo4j's multi-label
+                        # write: the FIRST label is the storage/partition
+                        # primary, the rest land in the sorted _labels
+                        # set prop (the SET n:Extra machinery), so the
+                        # node is reachable by every listed label via
+                        # the conjunction scan and labels(n)
+                        want = [t.strip() for t in raw_lbl.split(":") if t.strip()]
+                        primary, rest = want[0], want[1:]
+                        extra_labels = ",".join(
+                            sorted(set(rest) - {primary})
+                        )
                 if not n or not n.group("label"):
                     raise CypherUnsupported(
                         f"unsupported {c.kind} pattern: {part!r}"
@@ -2438,7 +2453,7 @@ def _run_write(
                             f"key): {part!r}"
                         )
                     np = _NodePattern(
-                        node_alias, n.group("label"),
+                        node_alias, n.group("label").split(":")[0].strip(),
                         key_prop=pairs[0][0], key_param=pairs[0][1],
                         create=True,
                     )
@@ -2450,9 +2465,11 @@ def _run_write(
                             f"MERGE needs exactly one key prop (got {part!r})"
                         )
                     np = _NodePattern(
-                        node_alias, n.group("label"),
+                        node_alias, n.group("label").split(":")[0].strip(),
                         key_prop=pairs[0][0], key_param=pairs[0][1],
                     )
+                if extra_labels:
+                    np.set_props[EXTRA_LABELS] = ("lit", extra_labels)
                 if np.alias in nodes:
                     raise CypherUnsupported(f"alias {np.alias!r} bound twice")
                 nodes[np.alias] = np

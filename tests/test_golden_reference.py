@@ -3375,27 +3375,58 @@ def test_text_pattern_comprehension(spark):
         run_cypher(spark, "MATCH (a:N) RETURN [(a)-[:T]->(x) | x.k]", graph=g)
 
 
-def test_write_delete_heads_reject_label_conjunction(spark, text_store):
-    """HIGH-severity guard (ADVICE r9/r10): `CREATE (n:A:B {...})` must
-    raise CypherUnsupported, not silently store the literal label 'A:B'
-    (which no MATCH — `(n:A)`, `(n:B)`, or the conjunction scan — could
-    ever reach). Same for MERGE / DELETE / REMOVE heads."""
+def test_write_label_conjunction_semantics(spark, tmp_path):
+    """The ADVICE r9/r10 HIGH bug — `CREATE (n:A:B {...})` silently
+    storing an unreachable literal 'A:B' label — is resolved by
+    IMPLEMENTING the Neo4j semantics: the first label is the storage
+    primary, the rest land in the _labels set, and the node is reachable
+    by `(n:A)`, `(n:B)`, AND the `(n:A:B)` conjunction. DELETE/REMOVE
+    conjunction heads still refuse (writes address one primary)."""
     from neo4j_graphdb_spark.operators.cypher_text import (
         CypherUnsupported,
         run_cypher,
     )
 
+    s = GraphStore(spark, str(tmp_path / "conjwrite"))
+    run_cypher(
+        spark, "CREATE (n:Article:Featured {link: $link})",
+        {"link": "l1"}, store=s,
+    )
+    run_cypher(
+        spark, "MERGE (n:Article:Featured {link: $link}) SET n.title = $t",
+        {"link": "l2", "t": "t2"}, store=s,
+    )
+    for q, want in (
+        ("MATCH (n:Article) RETURN n.link AS l", ["l1", "l2"]),
+        ("MATCH (n:Featured) RETURN n.link AS l", ["l1", "l2"]),
+        ("MATCH (n:Article:Featured) RETURN n.link AS l", ["l1", "l2"]),
+    ):
+        got = sorted(r["l"] for r in run_cypher(spark, q, store=s).df.collect())
+        assert got == want, (q, got)
+    ls = {
+        r["l"]: r["ls"]
+        for r in run_cypher(
+            spark,
+            "MATCH (n:Article) RETURN n.link AS l, labels(n) AS ls",
+            store=s,
+        ).df.collect()
+    }
+    assert ls == {"l1": ["Article", "Featured"], "l2": ["Article", "Featured"]}
+
+    # MERGE idempotence: second run creates nothing
+    res = run_cypher(
+        spark, "MERGE (n:Article:Featured {link: $link})",
+        {"link": "l2"}, store=s,
+    )
+    assert res.summary.nodes_created == 0
+
+    # DELETE/REMOVE heads still refuse conjunctions
     for bad in (
-        "CREATE (n:Article:Featured {link: $link})",
-        "MERGE (n:Article:Featured {link: $link})",
-        "MERGE (n:Article:Featured {link: $link}) SET n.title = $t",
         "MATCH (n:Article:Featured {link: $link}) DELETE n",
         "MATCH (n:Article:Featured {link: $link}) REMOVE n.title",
     ):
         with pytest.raises(CypherUnsupported):
-            run_cypher(
-                spark, bad, {"link": "lx", "t": "t"}, store=text_store
-            )
+            run_cypher(spark, bad, {"link": "l1"}, store=s)
 
 
 def test_timestamp_function_millisecond_resolution(spark, text_store):
