@@ -294,6 +294,74 @@ def quality_filter(
     return {"keep": reason.isNull(), "drop_reason": reason}
 
 
+def lexical_diversity(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document lexical-diversity quality signals — the
+    repetition/gibberish filter axis every pretraining-data pipeline
+    scores (Gopher's repetition rules' statistical sibling):
+
+    * ``ttr`` — type-token ratio (distinct words / words),
+    * ``simpson`` — Gini–Simpson diversity ``1 − Σc²/n²`` (the
+      probability two sampled tokens differ; ~0 for degenerate
+      repeated-token docs),
+    * ``top_ratio`` — most-frequent-token share (template/boilerplate
+      concentration).
+
+    All three are EXACT integer ratios (counts and Σc² are exact longs;
+    one IEEE division each), so values are bit-identical across
+    engines and partitionings — deliberately chosen over Shannon
+    entropy, whose Σ p·log p both sums order-dependently and leans on
+    libm's non-correctly-rounded log. Shape: one explode (linear in
+    corpus tokens, the c86/c96 class) + two map-side-combined groupBys.
+    Docs with zero word tokens drop out (nothing to score).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("_w"),
+    )
+    per_word = toks.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+            F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_sc2"),
+            F.max("_c").cast("bigint").alias("_cmax"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                (
+                    F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                    - F.col("_sc2").cast("double")
+                )
+                / (
+                    F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("simpson"),
+            F.round(
+                F.col("_cmax").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("top_ratio"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame, text_col: str, top_n: int = 1000
 ) -> DataFrame:

@@ -7565,6 +7565,23 @@ def q_rel_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c106_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C106 — lexical-diversity quality signals (functions/text.py
+    lexical_diversity): type-token ratio, Gini-Simpson diversity
+    1 - sum(c^2)/n^2, and top-token share per document — the
+    repetition/gibberish filter axis, computed as EXACT integer ratios
+    (one IEEE division each, bit-identical across engines; chosen over
+    Shannon entropy whose order-dependent float-sum + libm log would be
+    the c102 flake class all over again)."""
+    from neo4j_graphdb_spark.functions.text import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens", "distinct_tokens", "ttr", "simpson", "top_ratio",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7658,6 +7675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c104_mmr_rerank": q_c104_mmr_rerank,
     "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
     "rel_cube_rollup": q_rel_cube_rollup,
+    "c106_lexical_diversity": q_c106_lexical_diversity,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -10508,6 +10526,26 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["c106_lexical_diversity"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    per_word AS (
+        SELECT doc_id, w, count(*)::bigint AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(c)::bigint AS n_tokens,
+           count(*)::bigint AS distinct_tokens,
+           round(count(*)::double / sum(c)::double, 6) AS ttr,
+           round((sum(c)::double * sum(c)::double
+                  - sum(c * c)::double)
+                 / (sum(c)::double * sum(c)::double), 6) AS simpson,
+           round(max(c)::double / sum(c)::double, 6) AS top_ratio
+    FROM per_word
+    GROUP BY doc_id
+"""
 
 ORACLES["rel_cube_rollup"] = """
     SELECT l_returnflag, l_linestatus,

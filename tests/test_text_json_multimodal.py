@@ -758,3 +758,32 @@ def test_dup_span_stats_known_duplicates(spark):
     assert got[2]["n_spans"] == 3 and got[2]["n_dup_spans"] == 1
     assert got[3]["n_dup_spans"] == 0
     assert abs(got[1]["dup_fraction"] - 0.25) < 1e-9
+
+
+def test_lexical_diversity_exact_ratios(spark):
+    """Hand-checked TTR / Gini-Simpson / top-share: 'a a a b' → n=4,
+    distinct=2, ttr=0.5, simpson=1-(9+1)/16=0.375, top=0.75; a
+    degenerate single-token doc scores simpson 0; an empty doc drops."""
+    from neo4j_graphdb_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "x x x x"),
+            (3, "ww xx yy zz"),
+            (4, "?!#"),  # no word tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["distinct_tokens"],
+            r["ttr"], r["simpson"], r["top_ratio"],
+        )
+        for r in lexical_diversity(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (4, 2, 0.5, 0.375, 0.75),
+        2: (4, 1, 0.25, 0.0, 1.0),
+        3: (4, 4, 1.0, 0.75, 0.25),
+    }
