@@ -7582,6 +7582,86 @@ def q_c106_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REL ext — PIVOT: ship-year rows x returnflag columns of rounded
+    quantity sums (DataFrame ``groupBy().pivot(values).agg()`` — the
+    explicit value list keeps the output schema STATIC, so the plan is
+    one hash aggregation with no value-discovery pre-pass, exactly what
+    a 100 TB pivot needs). The oracle is the portable FILTERed-aggregate
+    form every SQL engine can state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "ship_year",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+def q_c107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C107 — approximate quantiles (Greenwald-Khanna
+    ``percentile_approx``, accuracy 1000) NEXT TO the exact twin, per
+    returnflag group — the single-pass mergeable-sketch quantile that
+    replaces a full sort at 100 TB. The c90/c25 bounded-error pattern:
+    the output carries the EXACT percentiles plus a rank-error VERDICT
+    (the approx answer's true rank within eps·n of the target), so the
+    hash pins exact values + the bound holding, never the sketch's
+    merge-order-dependent raw estimate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1000
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("_p50_exact"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("_p90_exact"),
+        F.percentile_approx(
+            F.col("l_extendedprice"), F.lit(0.5), F.lit(acc)
+        ).alias("_p50_approx"),
+        F.percentile_approx(
+            F.col("l_extendedprice"), F.lit(0.9), F.lit(acc)
+        ).alias("_p90_approx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(
+            F.broadcast(
+                agg.select("l_returnflag", "_p50_approx", "_p90_approx")
+            ),
+            on="l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_p50_approx")).cast("long")
+            ).alias("_r50"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_p90_approx")).cast("long")
+            ).alias("_r90"),
+        )
+    )
+    eps = 1.0 / acc
+    out = agg.join(ranks, on="l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.round("_p50_exact", 2).alias("p50_exact"),
+        F.round("_p90_exact", 2).alias("p90_exact"),
+        F.col("_n").cast("bigint").alias("n"),
+        (
+            F.abs(F.col("_r50").cast("double") / F.col("_n") - 0.5)
+            <= F.lit(2 * eps) + F.lit(1.0) / F.col("_n")
+        ).alias("p50_bound_ok"),
+        (
+            F.abs(F.col("_r90").cast("double") / F.col("_n") - 0.9)
+            <= F.lit(2 * eps) + F.lit(1.0) / F.col("_n")
+        ).alias("p90_bound_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7676,6 +7756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
     "rel_cube_rollup": q_rel_cube_rollup,
     "c106_lexical_diversity": q_c106_lexical_diversity,
+    "rel_pivot": q_rel_pivot,
+    "c107_approx_quantiles": q_c107_approx_quantiles,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -7863,6 +7945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_range_join": q_rel_range_join,
     "rel_time_rollup": q_rel_time_rollup,
     "rel_pivot": q_rel_pivot,
+    "c107_approx_quantiles": q_c107_approx_quantiles,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10526,6 +10609,26 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["c107_approx_quantiles"] = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+           count(*)::bigint AS n,
+           TRUE AS p50_bound_ok,
+           TRUE AS p90_bound_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+ORACLES["rel_pivot"] = """
+    SELECT year(l_shipdate)::bigint AS ship_year,
+           round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_a,
+           round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_n,
+           round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
+    FROM lineitem
+    GROUP BY 1
+"""
 
 ORACLES["c106_lexical_diversity"] = """
     WITH toks AS (
