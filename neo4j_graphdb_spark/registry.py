@@ -7662,6 +7662,54 @@ def q_c107_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c108_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108 — per-window top-k keys by count (streaming/windows.py
+    windowed_topk): daily tumbling windows x top-2 event types, ties to
+    the smaller key — the "trending per hour" dashboard shape. The
+    aggregation half is the stream/batch-agnostic window agg; the
+    deterministic rank half runs over the window-count rows (dimension
+    scale), the foreachBatch step of the streaming form."""
+    from neo4j_graphdb_spark.streaming.windows import windowed_topk
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_topk(ev, ts_col="ts", key_col="event_type", width="1 day", k=2)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_c109_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109 — Z-order (Morton) clustering key (operators/layout.py
+    zorder_key): interleave user_id x value onto an 8-bit min-max grid —
+    the Delta OPTIMIZE ZORDER BY shape that gives written files tight
+    min/max envelopes in EVERY interleaved dimension, the biggest scan-
+    pruning lever at 100 TB. Exact integer/bit algebra over exact
+    min/max aggregates, so the oracle replays it bit-for-bit; output =
+    per-row key plus its top-byte layout bucket, aggregated to bucket
+    envelopes (the thing parquet stats would store)."""
+    from neo4j_graphdb_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = zorder_key(ev.select("event_id", "user_id", "value"),
+                       ["user_id", "value"], bits=8)
+    return (
+        keyed.groupBy(F.shiftright(F.col("zvalue"), 8).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(F.col("zbucket").cast("bigint").alias("zbucket"),
+                "n", "min_user", "max_user", "min_value", "max_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7758,6 +7806,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c106_lexical_diversity": q_c106_lexical_diversity,
     "rel_pivot": q_rel_pivot,
     "c107_approx_quantiles": q_c107_approx_quantiles,
+    "c108_window_topk": q_c108_window_topk,
+    "c109_zorder_layout": q_c109_zorder_layout,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -7946,6 +7996,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_time_rollup": q_rel_time_rollup,
     "rel_pivot": q_rel_pivot,
     "c107_approx_quantiles": q_c107_approx_quantiles,
+    "c108_window_topk": q_c108_window_topk,
+    "c109_zorder_layout": q_c109_zorder_layout,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10609,6 +10661,51 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["c109_zorder_layout"] = """
+    WITH stats AS (
+        SELECT min(user_id::double) AS mnu, max(user_id::double) AS mxu,
+               min(value::double) AS mnv, max(value::double) AS mxv
+        FROM events
+    ),
+    q AS (
+        SELECT e.event_id, e.user_id, e.value,
+               least(CASE WHEN (s.mxu - s.mnu) > 0 THEN
+                       floor((e.user_id::double - s.mnu) / (s.mxu - s.mnu) * 256.0)
+                     ELSE 0 END, 255)::bigint AS qu,
+               least(CASE WHEN (s.mxv - s.mnv) > 0 THEN
+                       floor((e.value::double - s.mnv) / (s.mxv - s.mnv) * 256.0)
+                     ELSE 0 END, 255)::bigint AS qv
+        FROM events e CROSS JOIN stats s
+    ),
+    z AS (
+        SELECT event_id, user_id, value,
+               (((((qu >> 0) & 1) << 0) | (((qv >> 0) & 1) << 1)) | ((((qu >> 1) & 1) << 2) | (((qv >> 1) & 1) << 3)) | ((((qu >> 2) & 1) << 4) | (((qv >> 2) & 1) << 5)) | ((((qu >> 3) & 1) << 6) | (((qv >> 3) & 1) << 7)) | ((((qu >> 4) & 1) << 8) | (((qv >> 4) & 1) << 9)) | ((((qu >> 5) & 1) << 10) | (((qv >> 5) & 1) << 11)) | ((((qu >> 6) & 1) << 12) | (((qv >> 6) & 1) << 13)) | ((((qu >> 7) & 1) << 14) | (((qv >> 7) & 1) << 15)))::bigint AS zvalue
+        FROM q
+    )
+    SELECT (zvalue >> 8)::bigint AS zbucket,
+           count(*)::bigint AS n,
+           min(user_id)::bigint AS min_user,
+           max(user_id)::bigint AS max_user,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM z
+    GROUP BY 1
+"""
+
+ORACLES["c108_window_topk"] = """
+    WITH counts AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+               event_type, count(*)::bigint AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_day, event_type, n_events, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY window_day
+            ORDER BY n_events DESC, event_type ASC)::bigint AS rank
+        FROM counts)
+    WHERE rank <= 2
+"""
 
 ORACLES["c107_approx_quantiles"] = """
     SELECT l_returnflag,

@@ -79,3 +79,46 @@ def session_window_agg(
 def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """C17 — stateful exactly-once dedup within the watermark horizon."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 day",
+    k: int = 2,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window top-k keys by event count — the dashboard
+    "trending items per hour" shape. The aggregation half
+    (window × key counts) is stream/batch agnostic exactly like
+    :func:`tumbling_window_agg`; the rank half is a per-window
+    row_number (deterministic: count desc, key asc), which streaming
+    runs inside ``foreachBatch`` over the agg's complete-mode output —
+    the documented Structured Streaming pattern for global ranks, since
+    a rank is only meaningful once a window's counts are final (i.e.
+    past the watermark). State is bounded by (windows in watermark) ×
+    (distinct keys); the rank input is the AGGREGATED frame —
+    window-count rows, not events — so the sort is dimension-scale.
+    Returns (window_start, key, n_events, rank ≤ k).
+    """
+    from pyspark.sql import Window as W
+
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    counts = (
+        df.groupBy(
+            F.window(F.col(ts_col), width).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), key_col, "n_events"
+        )
+    )
+    rank_w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

@@ -457,3 +457,77 @@ def test_dsir_scores_prefers_target_like_docs(spark):
     assert out[4]["n_tokens"] == 5
     # the doc sharing the target's vocabulary outscores the disjoint one
     assert out[3]["score"] > out[4]["score"]
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    """Morton key: hand-checked interleave on a 2-bit grid, and the
+    layout property that motivates it — range-partitioning by zvalue
+    gives every partition a bounded envelope in BOTH dimensions (the
+    parquet min/max pruning precondition), unlike a single-column sort."""
+    from neo4j_graphdb_spark.operators.layout import zorder_key, zorder_layout
+
+    # 4x4 grid: values 0..3 on both axes -> q == value with bits=2
+    rows = [(i * 4 + j, float(i), float(j)) for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        (r["x"], r["y"]): r["zvalue"]
+        for r in zorder_key(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(a, b):  # bit k of a -> 2k, bit k of b -> 2k+1
+        return sum(((int(a) >> k) & 1) << (2 * k) for k in range(2)) | sum(
+            ((int(b) >> k) & 1) << (2 * k + 1) for k in range(2)
+        )
+
+    # x == max falls in the top cell (clamp), like every closed grid
+    def q(v):
+        return min(int(v / 3.0 * 4), 3)
+
+    want = {(x, y): morton(q(x), q(y)) for _, x, y in rows}
+    assert got == want
+    assert got[(1.0, 0.0)] == 1 and got[(0.0, 1.0)] == 2  # dim order fixed
+
+    # locality: each of 4 z-range partitions spans at most half of each axis
+    parts = (
+        zorder_layout(df, ["x", "y"], bits=2, num_files=4)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert parts and all(p["dx"] <= 2.0 and p["dy"] <= 2.0 for p in parts)
+
+
+def test_windowed_topk_rank_and_ties(spark):
+    """Per-window top-k: counts desc, key asc on ties, nothing below
+    rank k; windows are independent."""
+    from datetime import datetime
+
+    from neo4j_graphdb_spark.streaming.windows import windowed_topk
+
+    def t(day, h):
+        return datetime(2026, 3, day, h)
+
+    rows = (
+        [(t(1, i), "a") for i in range(3)]
+        + [(t(1, i), "b") for i in range(3)]   # tie with a -> a first
+        + [(t(1, 10), "c")]
+        + [(t(2, i), "c") for i in range(2)]
+        + [(t(2, 5), "a")]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        (r["window_start"].day, r["rank"]): (r["event_type"], r["n_events"])
+        for r in windowed_topk(
+            df, ts_col="ts", key_col="event_type", width="1 day", k=2
+        ).collect()
+    }
+    assert got == {
+        (1, 1): ("a", 3),
+        (1, 2): ("b", 3),
+        (2, 1): ("c", 2),
+        (2, 2): ("a", 1),
+    }
