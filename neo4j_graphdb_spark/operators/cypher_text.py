@@ -1034,7 +1034,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
 
 # CALL graft.<proc>({cfg}) YIELD cols [RETURN …] [ORDER BY …] [SKIP] [LIMIT]
 _CALL_RE = re.compile(
-    r"^CALL\s+graft\.(?P<proc>\w+)\s*\(\s*(?P<cfg>\{[^{}]*\})?\s*\)\s*"
+    r"^CALL\s+(?P<ns>graft|db)\.(?P<proc>\w+)\s*\(\s*(?P<cfg>\{[^{}]*\})?\s*\)\s*"
     r"YIELD\s+(?P<yields>\w+(?:\s*,\s*\w+)*)\s*(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1081,7 +1081,8 @@ def _run_text_call(
             raise ValueError("store is empty")
         graph = Graph(nodes, store.edges())
     nodes_df, edges_df = graph.nodes_df, graph.edges_df
-    if edges_df is None:
+    ns = cm.group("ns").lower()
+    if edges_df is None and ns == "graft":
         raise CypherUnsupported("CALL graft procedures need a graph with edges")
 
     cfg_body = cm.group("cfg") or ""
@@ -1143,12 +1144,22 @@ def _run_text_call(
             ["m", "n_communities", "intra_edges", "modularity"],
         ),
     }
+    # Neo4j's schema-introspection namespace: db.labels() /
+    # db.relationshipTypes() / db.propertyKeys() — the three procedures
+    # every client/browser calls first. Config-free, tiny outputs.
+    db_known = {
+        "labels": (set(), ["label"]),
+        "relationshiptypes": (set(), ["relationshipType"]),
+        "propertykeys": (set(), ["propertyKey"]),
+    }
     proc = cm.group("proc").lower()
-    if proc not in known:
+    known_ns = db_known if ns == "db" else known
+    if proc not in known_ns:
         raise CypherUnsupported(
-            f"unknown procedure graft.{cm.group('proc')} (available: "
-            + ", ".join(sorted(known)) + ")"
+            f"unknown procedure {ns}.{cm.group('proc')} (available: "
+            + ", ".join(sorted(known_ns)) + ")"
         )
+    known = known_ns
     allowed_cfg, yield_cols = known[proc]
     unknown_cfg = set(cfg) - allowed_cfg
     if unknown_cfg:
@@ -1172,7 +1183,47 @@ def _run_text_call(
             .withColumnRenamed("_ckey", out_name)
         )
 
-    if proc == "pagerank":
+    if ns == "db":
+        if proc == "labels":
+            # effective label universe: primaries ∪ the _labels sets
+            eff = nodes_df.select(F.col("label"))
+            if EXTRA_LABELS in nodes_df.columns:
+                eff = eff.unionByName(
+                    nodes_df.select(
+                        F.explode(
+                            F.split(
+                                F.coalesce(F.col(EXTRA_LABELS), F.lit("")),
+                                ",",
+                            )
+                        ).alias("label")
+                    )
+                )
+            out = (
+                eff.filter(F.col("label") != "").distinct().orderBy("label")
+            )
+        elif proc == "relationshiptypes":
+            if edges_df is None:
+                out = spark.createDataFrame([], "relationshipType string")
+            else:
+                out = (
+                    edges_df.select(
+                        F.col("rel_type").alias("relationshipType")
+                    )
+                    .distinct()
+                    .orderBy("relationshipType")
+                )
+        else:  # propertykeys — schema-level: column names, not data
+            reserved_n = {NODE_ID, "label", EXTRA_LABELS}
+            reserved_e = {"src", "dst", "rel_type", BUCKET_COL}
+            keys = {c for c in nodes_df.columns if c not in reserved_n} | {
+                c
+                for c in (edges_df.columns if edges_df is not None else [])
+                if c not in reserved_e
+            }
+            out = spark.createDataFrame(
+                [(k,) for k in sorted(keys)], "propertyKey string"
+            )
+    elif proc == "pagerank":
         res = alg.pagerank(
             nodes_df,
             edges_df,

@@ -7710,6 +7710,51 @@ def q_c109_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a83_text_db_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A83 ext — the db.* schema-introspection trio (cypher_text
+    _run_text_call db namespace): labels (secondary-label universe
+    included), relationship types, and schema-level property keys —
+    the first three calls every Neo4j client/browser makes. Output =
+    one (kind, name) union, closed-form from the store construction."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.substring("text", 1, 20).alias("title"),
+        F.col("source").alias("publisher"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a83_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["title"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher"
+    )
+    run_cypher(
+        spark,
+        "MATCH (n:Article) WHERE n.link ENDS WITH '7' SET n:Featured",
+        store=store,
+    )
+    parts = []
+    for kind, q, col in (
+        ("label", "CALL db.labels() YIELD label", "label"),
+        ("relType", "CALL db.relationshipTypes() YIELD relationshipType",
+         "relationshipType"),
+        ("propKey", "CALL db.propertyKeys() YIELD propertyKey", "propertyKey"),
+    ):
+        parts.append(
+            run_cypher(spark, q, store=store).df.select(
+                F.lit(kind).alias("kind"), F.col(col).alias("name")
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7808,6 +7853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c107_approx_quantiles": q_c107_approx_quantiles,
     "c108_window_topk": q_c108_window_topk,
     "c109_zorder_layout": q_c109_zorder_layout,
+    "a83_text_db_introspection": q_a83_text_db_introspection,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -7998,6 +8044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c107_approx_quantiles": q_c107_approx_quantiles,
     "c108_window_topk": q_c108_window_topk,
     "c109_zorder_layout": q_c109_zorder_layout,
+    "a83_text_db_introspection": q_a83_text_db_introspection,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10661,6 +10708,15 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["a83_text_db_introspection"] = """
+    SELECT 'label' AS kind, name FROM (VALUES
+        ('Article'), ('Featured'), ('Publisher')) t(name)
+    UNION ALL
+    SELECT 'relType', 'WRITTEN_BY'
+    UNION ALL
+    SELECT 'propKey', name FROM (VALUES ('key'), ('title')) t(name)
+"""
 
 ORACLES["c109_zorder_layout"] = """
     WITH stats AS (

@@ -3817,3 +3817,60 @@ def test_text_calendar_durations(spark, tmp_path):
             ).df.collect()
         )
         assert got == want, (dur, got)
+
+
+def test_text_db_introspection_procedures(spark, tmp_path):
+    """CALL db.labels() / db.relationshipTypes() / db.propertyKeys() —
+    the schema-introspection trio every Neo4j client calls first:
+    labels include the secondary-label universe, property keys are
+    schema-level column names (node + edge), and the YIELD/tail
+    machinery applies as for graft procedures."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "dbintro"))
+    run_cypher(spark, "CREATE (n:Article:Featured {link: $l})", {"l": "x"}, store=s)
+    run_cypher(
+        spark, "MERGE (u:User {name: $n}) SET u.age = $a",
+        {"n": "u1", "a": 3}, store=s,
+    )
+    batch = spark.createDataFrame([("x", "u1", 2)], "l string, n string, w int")
+    s.merge_edges(batch, "LIKED_BY", "Article", "l", "User", "n", prop_cols=["w"])
+
+    out = [
+        r["label"]
+        for r in run_cypher(
+            spark, "CALL db.labels() YIELD label", store=s
+        ).df.collect()
+    ]
+    assert out == ["Article", "Featured", "User"]
+    out = [
+        r["relationshipType"]
+        for r in run_cypher(
+            spark,
+            "CALL db.relationshipTypes() YIELD relationshipType",
+            store=s,
+        ).df.collect()
+    ]
+    assert out == ["LIKED_BY"]
+    out = [
+        r["propertyKey"]
+        for r in run_cypher(
+            spark, "CALL db.propertyKeys() YIELD propertyKey", store=s
+        ).df.collect()
+    ]
+    assert "age" in out and "w" in out and "key" in out
+
+    row = run_cypher(
+        spark,
+        "CALL db.labels() YIELD label ORDER BY label DESC LIMIT 1",
+        store=s,
+    ).df.collect()[0]
+    assert row["label"] == "User"
+
+    with pytest.raises(CypherUnsupported, match="db.pagerank"):
+        run_cypher(spark, "CALL db.pagerank() YIELD label", store=s)
+    with pytest.raises(CypherUnsupported, match="YIELD"):
+        run_cypher(spark, "CALL db.labels() YIELD nope", store=s)
