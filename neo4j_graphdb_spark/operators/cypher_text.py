@@ -1496,23 +1496,29 @@ def _run_text_call(
         limit: int | None = None
         order_by: list[tuple[str, bool]] = []
         sel = None
+        aliased_names: set[str] = set()
         for i in range(1, len(parts), 2):
             kind = parts[i].upper()
             body = parts[i + 1].strip().rstrip(",")
             if kind == "RETURN":
                 sel = []
+                aliased_names = set()
                 for item in _split_top_commas(body):
                     m2 = _POST_RETURN_RE.match(item)
                     if not m2 or m2.group("name") not in out.columns:
                         raise CypherUnsupported(
                             f"RETURN after YIELD must use YIELD names: {item!r}"
                         )
+                    aliased_names.add(m2.group("out") or m2.group("name"))
                     sel.append(
                         F.col(m2.group("name")).alias(
                             m2.group("out") or m2.group("name")
                         )
                     )
             elif kind == "ORDER":
+                # ORDER BY follows RETURN in Cypher's clause order, so a
+                # RETURN alias is a valid sort key alongside YIELD names
+                aliased = aliased_names if sel is not None else set()
                 body2 = re.sub(r"^BY\s+", "", body, flags=re.IGNORECASE)
                 for item in _split_top_commas(body2):
                     m2 = re.match(
@@ -1520,9 +1526,13 @@ def _run_text_call(
                         item,
                         re.IGNORECASE,
                     )
-                    if not m2 or m2.group("key") not in out.columns:
+                    if not m2 or (
+                        m2.group("key") not in out.columns
+                        and m2.group("key") not in aliased
+                    ):
                         raise CypherUnsupported(
-                            f"ORDER BY key must be a YIELD name: {item!r}"
+                            f"ORDER BY key must be a YIELD name or RETURN "
+                            f"alias: {item!r}"
                         )
                     order_by.append(
                         (m2.group("key"), (m2.group("dir") or "ASC").upper() == "DESC")
@@ -1533,12 +1543,23 @@ def _run_text_call(
                 limit = _page_count(body, params, "LIMIT")
             else:
                 raise CypherUnsupported(f"{kind} unsupported after CALL YIELD")
-        if order_by:
-            out = out.orderBy(
-                *[F.col(k).desc() if d else F.col(k).asc() for k, d in order_by]
-            )
+        # Cypher clause order: RETURN projects, then ORDER BY — so sort
+        # keys may name RETURN aliases. A sort key that names a YIELD
+        # column the projection DROPPED still works: the sort runs
+        # before the projection in that case (same result set — sorting
+        # commutes with a narrowing projection).
+        sort_cols = [
+            F.col(k).desc() if d else F.col(k).asc() for k, d in order_by
+        ]
+        keys_projected = sel is None or all(
+            k in aliased_names for k, _ in order_by
+        ) if order_by else True
+        if order_by and not keys_projected:
+            out = out.orderBy(*sort_cols)
         if sel is not None:
             out = out.select(*sel)
+        if order_by and keys_projected:
+            out = out.orderBy(*sort_cols)
         out = _page(out, skip, limit)
     return CypherResult(out, None)
 

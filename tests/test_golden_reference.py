@@ -1831,7 +1831,7 @@ def test_text_call_procedures(spark):
         "CALL graft.nope({}) YIELD x",
         "CALL graft.pagerank({bogus: 1}) YIELD key",
         "CALL graft.degrees({}) YIELD nope",
-        "CALL db.labels() YIELD label",
+        "CALL db.nope() YIELD label",  # db namespace exists, proc doesn't
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
