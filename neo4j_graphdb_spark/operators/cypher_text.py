@@ -1143,6 +1143,11 @@ def _run_text_call(
             {"maxIter", "method"},
             ["m", "n_communities", "intra_edges", "modularity"],
         ),
+        "near_dup": (
+            {"label", "prop", "threshold", "numHashes", "bands", "shingle",
+             "hashMode"},
+            ["key_a", "key_b", "jaccard"],
+        ),
     }
     # Neo4j's schema-introspection namespace: db.labels() /
     # db.relationshipTypes() / db.propertyKeys() — the three procedures
@@ -1468,6 +1473,41 @@ def _run_text_call(
             F.col("n_communities").cast("bigint").alias("n_communities"),
             F.col("intra_edges").cast("bigint").alias("intra_edges"),
             F.col("modularity"),
+        )
+    elif proc == "near_dup":
+        # the dedup library through the statement gateway: MinHash-LSH
+        # near-dup pairs over ONE node label's text property — the
+        # "find duplicate articles already in the graph" ask. Banded LSH
+        # + exact-Jaccard verify (operators/dedup.py minhash_lsh_pairs),
+        # node ids rebound to natural keys on the way out.
+        from neo4j_graphdb_spark.operators.dedup import minhash_lsh_pairs
+
+        label = cfg.pop("label", None)
+        prop = str(cfg.pop("prop", "content"))
+        src_nodes = nodes_df
+        if label is not None:
+            src_nodes = src_nodes.filter(F.col("label") == str(label))
+        if prop not in src_nodes.columns:
+            raise CypherUnsupported(
+                f"graft.near_dup: nodes have no {prop!r} property"
+            )
+        pairs = minhash_lsh_pairs(
+            src_nodes.select(F.col(NODE_ID), F.col(prop)),
+            prop,
+            NODE_ID,
+            num_hashes=int(cfg.pop("numHashes", 64)),
+            bands=int(cfg.pop("bands", 16)),
+            shingle_n=int(cfg.pop("shingle", 3)),
+            jaccard_threshold=float(cfg.pop("threshold", 0.7)),
+            hash_mode=str(cfg.pop("hashMode", "xxhash64")),
+        )
+        out = with_key(pairs, "id_a", "key_a")
+        # id_a < id_b orders by the internal hash; canonicalize to
+        # lexicographic key order so results are engine-replayable
+        out = with_key(out, "id_b", "key_b").select(
+            F.least("key_a", "key_b").alias("key_a"),
+            F.greatest("key_a", "key_b").alias("key_b"),
+            F.round("jaccard", 6).alias("jaccard"),
         )
     elif proc == "triangle_count":
         out = alg.triangle_count(edges_df).select(

@@ -7755,6 +7755,40 @@ def q_a83_text_db_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_a84_text_near_dup_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A84 ext — the dedup library through the statement gateway:
+    ``CALL graft.near_dup({label, prop, threshold, hashMode}) YIELD
+    key_a, key_b, jaccard`` runs the full MinHash-LSH pipeline
+    (operators/dedup.py minhash_lsh_pairs) over ONE node label's text
+    property and rebinds internal ids to natural keys, canonicalized to
+    lexicographic pair order so the result set is engine-replayable.
+    The pair SET is id-namespace independent (banding/verify never look
+    at id values), so the same generated md5_60 oracle as c8 replays it
+    on the raw documents and maps ids to keys."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("text").alias("content"),
+        F.col("source").alias("publisher"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a84_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["content"])
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher"
+    )
+    return run_cypher(
+        spark,
+        "CALL graft.near_dup({label: 'Article', prop: 'content', "
+        "threshold: 0.6, hashMode: 'md5_60'}) YIELD key_a, key_b, jaccard",
+        store=store,
+    ).df
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7854,6 +7888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c108_window_topk": q_c108_window_topk,
     "c109_zorder_layout": q_c109_zorder_layout,
     "a83_text_db_introspection": q_a83_text_db_introspection,
+    "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -8045,6 +8080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c108_window_topk": q_c108_window_topk,
     "c109_zorder_layout": q_c109_zorder_layout,
     "a83_text_db_introspection": q_a83_text_db_introspection,
+    "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10708,6 +10744,16 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["a84_text_near_dup_proc"] = (
+    "WITH base AS (" + _minhash_md5_oracle_sql(threshold=0.6) + ")\n"
+    "SELECT least(concat('doc://', cast(id_a AS varchar)),\n"
+    "             concat('doc://', cast(id_b AS varchar))) AS key_a,\n"
+    "       greatest(concat('doc://', cast(id_a AS varchar)),\n"
+    "                concat('doc://', cast(id_b AS varchar))) AS key_b,\n"
+    "       jaccard\n"
+    "FROM base"
+)
 
 ORACLES["a83_text_db_introspection"] = """
     SELECT 'label' AS kind, name FROM (VALUES

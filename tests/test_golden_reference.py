@@ -3874,3 +3874,46 @@ def test_text_db_introspection_procedures(spark, tmp_path):
         run_cypher(spark, "CALL db.pagerank() YIELD label", store=s)
     with pytest.raises(CypherUnsupported, match="YIELD"):
         run_cypher(spark, "CALL db.labels() YIELD nope", store=s)
+
+
+def test_text_near_dup_procedure(spark, tmp_path):
+    """graft.near_dup: MinHash-LSH near-dup pairs over one label's text
+    prop from statement text — finds the planted near-duplicate, skips
+    the unrelated doc, canonicalizes pair order lexicographically, and
+    refuses unknown props by name."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "ndproc"))
+    rows = [
+        ("a1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("a2", "the quick brown fox jumps over the lazy dog again and again today"),
+        ("a3", "completely different text with nothing shared at all here folks"),
+    ]
+    batch = spark.createDataFrame(rows, "link string, content string")
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["content"])
+    s.merge_nodes(
+        spark.createDataFrame([("p1",)], "name string"),
+        label="Publisher", key_col="name",
+    )
+    s.merge_edges(
+        batch.select("link", F.lit("p1").alias("name")),
+        "BY", "Article", "link", "Publisher", "name",
+    )
+    out = run_cypher(
+        spark,
+        "CALL graft.near_dup({label: 'Article', prop: 'content', "
+        "threshold: 0.5}) YIELD key_a, key_b, jaccard",
+        store=s,
+    ).df.collect()
+    pairs = {(r["key_a"], r["key_b"]): r["jaccard"] for r in out}
+    assert set(pairs) == {("a1", "a2")}
+    assert pairs[("a1", "a2")] > 0.5
+    with pytest.raises(CypherUnsupported, match="no 'nope' property"):
+        run_cypher(
+            spark,
+            "CALL graft.near_dup({prop: 'nope'}) YIELD key_a, key_b, jaccard",
+            store=s,
+        )
