@@ -72,6 +72,13 @@ HEADLINE = [
     # temperature/alpha corpus mixing
     "c96_span_removal",
     "c97_temperature_mixture",
+    # round 11 additions — MMR diversity re-rank (bounded greedy over a
+    # top-pool), exact pigeonhole-blocked edit-distance dedup, CUBE
+    # multi-level subtotals, Z-order clustering key
+    "c104_mmr_rerank",
+    "c105_levenshtein_near_dup",
+    "rel_cube_rollup",
+    "c109_zorder_layout",
 ]
 
 

@@ -76,50 +76,65 @@ def levenshtein_near_dup(
         )
     blocks = block_cols or []
     key = F.substring(F.lower(F.col(text_col)), 1, prefix)
-    base = df.select(
-        F.col(id_col), *[F.col(c) for c in blocks], key.alias("_key")
-    ).withColumn("_len", F.length("_key"))
-    slotted = base.select(
-        "*",
+    base = (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in blocks], key.alias("_key")
+        )
+        .withColumn("_len", F.length("_key"))
+        .withColumn("_band", (F.col("_len") / band).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    # asymmetric slot emission: the LEFT side sits in its own band only,
+    # the RIGHT side is emitted into {own, own+1} — a same-band pair
+    # meets once per orientation at its band, an adjacent-band pair
+    # meets once via the lower member's right-emission; least/greatest
+    # + distinct canonicalize BEFORE the levenshtein verify, so the
+    # O(prefix²) DP never runs twice for one candidate pair
+    a = base.select(
+        *[F.col(c) for c in blocks], F.col("_band").alias("_slot"),
+        F.col(id_col).alias("_id1"),
+        F.col("_key").alias("_k1"), F.col("_len").alias("_l1"),
+    )
+    b = base.select(
+        *[F.col(c) for c in blocks],
         F.explode(
-            F.array(
-                (F.col("_len") / band).cast("long"),
-                (F.col("_len") / band).cast("long") + 1,
-            )
+            F.array(F.col("_band"), F.col("_band") + 1)
         ).alias("_slot"),
+        F.col(id_col).alias("_id2"),
+        F.col("_key").alias("_k2"), F.col("_len").alias("_l2"),
     )
     if max_block is not None:
-        counts = slotted.groupBy(*blocks, "_slot").agg(
+        counts = b.groupBy(*blocks, "_slot").agg(
             F.count(F.lit(1)).alias("_n")
         )
-        slotted = slotted.join(
-            counts.filter(F.col("_n") <= max_block).drop("_n"),
-            on=[*blocks, "_slot"],
-            how="left_semi",
-        )
-    a = slotted.select(
-        *[F.col(c) for c in blocks], "_slot",
-        F.col(id_col).alias("id_a"),
-        F.col("_key").alias("_ka"), F.col("_len").alias("_la"),
-    )
-    b = slotted.select(
-        *[F.col(c) for c in blocks], "_slot",
-        F.col(id_col).alias("id_b"),
-        F.col("_key").alias("_kb"), F.col("_len").alias("_lb"),
-    )
-    return (
+        keep = counts.filter(F.col("_n") <= max_block).drop("_n")
+        a = a.join(keep, on=[*blocks, "_slot"], how="left_semi")
+        b = b.join(keep, on=[*blocks, "_slot"], how="left_semi")
+    cand = (
         a.join(b, on=[*blocks, "_slot"])
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            (F.col("_id1") != F.col("_id2"))
+            & (F.abs(F.col("_l1") - F.col("_l2")) <= max_dist)
         )
         .select(
+            F.least("_id1", "_id2").alias("id_a"),
+            F.greatest("_id1", "_id2").alias("id_b"),
+            F.when(F.col("_id1") < F.col("_id2"), F.col("_k1"))
+            .otherwise(F.col("_k2"))
+            .alias("_ka"),
+            F.when(F.col("_id1") < F.col("_id2"), F.col("_k2"))
+            .otherwise(F.col("_k1"))
+            .alias("_kb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
             "id_a",
             "id_b",
             F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
-        .distinct()
     )
 
 
