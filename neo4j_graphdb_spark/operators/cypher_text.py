@@ -1099,7 +1099,9 @@ def _run_text_call(
     # actions) inside the call, so a typo must be refused upfront, not
     # after minutes of cluster work.
     known = {
-        "pagerank": ({"maxIter", "damping"}, ["key", "rank"]),
+        "pagerank": (
+            {"maxIter", "damping", "weightProperty", "tol"}, ["key", "rank"]
+        ),
         "cc": ({"maxIter"}, ["key", "comp"]),
         "connected_components": ({"maxIter"}, ["key", "comp"]),
         "degrees": (set(), ["key", "out_degree", "in_degree", "degree"]),
@@ -1229,11 +1231,19 @@ def _run_text_call(
                 [(k,) for k in sorted(keys)], "propertyKey string"
             )
     elif proc == "pagerank":
+        wprop = cfg.pop("weightProperty", None)
+        if wprop is not None and str(wprop) not in edges_df.columns:
+            raise CypherUnsupported(
+                f"graft.pagerank: edges have no {str(wprop)!r} property"
+            )
+        tol = cfg.pop("tol", None)
         res = alg.pagerank(
             nodes_df,
             edges_df,
             max_iter=int(cfg.pop("maxIter", 10)),
             damping=float(cfg.pop("damping", 0.85)),
+            tol=None if tol is None else float(tol),
+            weight_col=None if wprop is None else str(wprop),
         )
         out = with_key(res, "node_id", "key").select("key", "rank")
     elif proc in ("cc", "connected_components"):

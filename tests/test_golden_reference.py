@@ -3917,3 +3917,50 @@ def test_text_near_dup_procedure(spark, tmp_path):
             "CALL graft.near_dup({prop: 'nope'}) YIELD key_a, key_b, jaccard",
             store=s,
         )
+
+
+def test_text_call_pagerank_weighted(spark):
+    """graft.pagerank gains weightProperty/tol: rank splits across
+    out-edges proportionally to the stored edge weight; missing
+    properties refuse by name."""
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    nsrc = spark.createDataFrame([(str(i),) for i in range(4)], "k string")
+    esrc = spark.createDataFrame(
+        [("0", "1", 1.0), ("0", "2", 3.0), ("1", "2", 1.0), ("2", "0", 1.0)],
+        "s string, d string, w double",
+    )
+    g = Graph(
+        as_nodes(nsrc, "N", "k"),
+        as_edges(esrc, "T", "N", "s", "N", "d", prop_cols=["w"]),
+    )
+    weighted = {
+        r["key"]: r["rank"]
+        for r in run_cypher(
+            spark,
+            "CALL graft.pagerank({maxIter: 8, weightProperty: 'w'}) "
+            "YIELD key, rank",
+            graph=g,
+        ).df.collect()
+    }
+    uniform = {
+        r["key"]: r["rank"]
+        for r in run_cypher(
+            spark,
+            "CALL graft.pagerank({maxIter: 8}) YIELD key, rank",
+            graph=g,
+        ).df.collect()
+    }
+    # node 2 receives 3/4 of node 0's outgoing rank when weighted
+    assert weighted["2"] > uniform["2"] and weighted["1"] < uniform["1"]
+    with pytest.raises(CypherUnsupported, match="no 'nope' property"):
+        run_cypher(
+            spark,
+            "CALL graft.pagerank({weightProperty: 'nope'}) YIELD key, rank",
+            graph=g,
+        )
