@@ -641,6 +641,11 @@ _FLOAT_ORDER_ENTRIES = [
     "c77_time_decay",
     "c49_zipf_fit",
     "a67_text_stats_aggregates",
+    # r11 additions with rounded-float outputs: the MMR greedy argmax
+    # (bit-identical double comparisons) and the exact-ratio diversity
+    # signals must not depend on partitioning either
+    "c104_mmr_rerank",
+    "c106_lexical_diversity",
 ]
 
 
