@@ -369,6 +369,7 @@ class _NodePattern:
     create_props: dict[str, str | None] = field(default_factory=dict)  # ON CREATE SET
     match_props: dict[str, str | None] = field(default_factory=dict)  # ON MATCH SET
     create: bool = False  # CREATE (duplicate-allowed insert) vs MERGE upsert
+    match_only: bool = False  # MATCH anchor in a write: read-only, never created
 
 
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
@@ -2498,7 +2499,47 @@ def _run_write(
             raise CypherUnsupported(f"ON {mode} must be followed by SET")
 
     for ci, c in enumerate(clauses):
-        if c.kind in ("MERGE", "CREATE"):
+        if c.kind == "MATCH":
+            # MATCH-anchored write: `MATCH (a:L {k: $p}) … MERGE (a)-[:T]->(…)`
+            # — Neo4j's bind-existing-then-write idiom. Anchors are
+            # READ-ONLY key lookups: they never create the node, and any
+            # write touching them applies only where the node exists
+            # (the edge batch semi-joins the store; a missing anchor
+            # writes nothing, exactly a zero-row MATCH).
+            for part in _split_top_commas(c.body):
+                n = _NODE_RE.match(part.strip())
+                if not n or _REL_RE.match(part.strip()):
+                    raise CypherUnsupported(
+                        "MATCH in a write statement must be a single-node "
+                        f"anchor pattern: {part.strip()!r}"
+                    )
+                if not n.group("label"):
+                    raise CypherUnsupported(
+                        f"write-anchor MATCH needs a label: {part.strip()!r}"
+                    )
+                _single_rel_type(n.group("label"), "write-anchor MATCH label")
+                node_alias = n.group("alias")
+                if not node_alias:
+                    raise CypherUnsupported(
+                        "write-anchor MATCH needs an alias (nothing could "
+                        "reference an anonymous anchor)"
+                    )
+                pairs = _parse_write_props(n.group("props"), lits or [])
+                if len(pairs) != 1:
+                    raise CypherUnsupported(
+                        "write-anchor MATCH needs exactly one key prop "
+                        f"(got {part.strip()!r})"
+                    )
+                np = _NodePattern(
+                    node_alias, n.group("label"),
+                    key_prop=pairs[0][0], key_param=pairs[0][1],
+                    match_only=True,
+                )
+                if np.alias in nodes:
+                    raise CypherUnsupported(f"alias {np.alias!r} bound twice")
+                nodes[np.alias] = np
+                node_order.append(np.alias)
+        elif c.kind in ("MERGE", "CREATE"):
             is_create = c.kind == "CREATE"
             # CREATE takes a comma-separated pattern list (Cypher allows
             # `CREATE (a:L {…}), (b:M {…})`); MERGE is single-pattern
@@ -2675,6 +2716,13 @@ def _run_write(
 
     for alias in node_order:
         np = nodes[alias]
+        if np.match_only:
+            if np.set_props or np.create_props or np.match_props:
+                raise CypherUnsupported(
+                    "SET on a MATCH-anchored alias inside a write statement "
+                    "is unsupported — use the MATCH … SET update statement"
+                )
+            continue  # read-only anchor: nothing to write
         if np.create:
             # CREATE: duplicate-allowed insert — every prop is a created
             # prop (there is no matched branch to condition on)
@@ -2726,12 +2774,31 @@ def _run_write(
         s, d = nodes[sa], nodes[da]
         prop_sel = [_prop_value(enc).alias(prop) for prop, enc in rel_props]
         write_fn = store.create_edges if ecreate else store.merge_edges
+        batch = pdf.select(
+            _key_expr(s).alias("_src_key"),
+            _key_expr(d).alias("_dst_key"),
+            *prop_sel,
+        )
+        # MATCH-anchored endpoints: the edge exists only where the
+        # anchor node does — semi-join the batch against the store's
+        # (label, key) set; a missing anchor contributes zero edges
+        for np_, kc in ((s, "_src_key"), (d, "_dst_key")):
+            if not np_.match_only:
+                continue
+            existing = store.nodes()
+            if existing is None:
+                batch = batch.limit(0)
+                break
+            anchor = existing.filter(F.col("label") == np_.label).select(
+                F.col("key").alias("_anchor_key")
+            )
+            batch = batch.join(
+                anchor,
+                batch[kc].cast("string") == F.col("_anchor_key"),
+                "left_semi",
+            )
         total = total + write_fn(
-            pdf.select(
-                _key_expr(s).alias("_src_key"),
-                _key_expr(d).alias("_dst_key"),
-                *prop_sel,
-            ),
+            batch,
             rel_type, s.label, "_src_key", d.label, "_dst_key",
             prop_cols=[prop for prop, _ in rel_props] or None,
         )

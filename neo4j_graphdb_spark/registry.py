@@ -7789,6 +7789,47 @@ def q_a84_text_near_dup_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a85_text_match_anchored_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A85 ext — MATCH-anchored writes (cypher_text _run_write MATCH
+    branch): ``MATCH (a:L {k: $p}) … MERGE (a)-[:T]->(b)`` binds an
+    EXISTING node without upserting it — the edge batch semi-joins the
+    store, so a missing anchor writes nothing (Neo4j's zero-row MATCH).
+    Construction: seed every even-id article, then anchor-MERGE a
+    Tagged edge for EVERY id — only the seeded half materializes, which
+    the oracle states closed-form."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link")
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a85_"))
+    store.merge_nodes(even, label="Article", key_col="link")
+    run_cypher(spark, "MERGE (t:Tag {name: $t})", {"t": "seeded"}, store=store)
+    all_links = [
+        {"link": r["link"], "tag": "seeded"}
+        for r in docs.select(
+            F.concat(
+                F.lit("doc://"), F.col("doc_id").cast("string")
+            ).alias("link")
+        ).collect()
+    ]
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row "
+        "MATCH (a:Article {link: row.link}) MATCH (t:Tag {name: row.tag}) "
+        "MERGE (a)-[:TAGGED]->(t)",
+        {"rows": all_links},
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:TAGGED]->(t:Tag) RETURN a.link AS link, "
+        "t.name AS tag",
+        store=store,
+    ).df
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7889,6 +7930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c109_zorder_layout": q_c109_zorder_layout,
     "a83_text_db_introspection": q_a83_text_db_introspection,
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
+    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -8081,6 +8123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c109_zorder_layout": q_c109_zorder_layout,
     "a83_text_db_introspection": q_a83_text_db_introspection,
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
+    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10744,6 +10787,12 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["a85_text_match_anchored_write"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           'seeded' AS tag
+    FROM documents WHERE doc_id % 2 = 0
+"""
 
 ORACLES["a84_text_near_dup_proc"] = (
     "WITH base AS (" + _minhash_md5_oracle_sql(threshold=0.6) + ")\n"

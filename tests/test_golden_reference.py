@@ -3964,3 +3964,68 @@ def test_text_call_pagerank_weighted(spark):
             "CALL graft.pagerank({weightProperty: 'nope'}) YIELD key, rank",
             graph=g,
         )
+
+
+def test_text_match_anchored_writes(spark, tmp_path):
+    """a85 — `MATCH (a:L {k: $p}) … MERGE (a)-[:T]->(b)`: the
+    bind-existing-then-write idiom. Anchors are read-only key lookups —
+    they never create the node, a missing anchor writes nothing (the
+    zero-row MATCH), the comma form parses, mixing anchors with MERGE
+    nodes works, and RETURN of an anchor yields the stored row."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "anchored"))
+    run_cypher(spark, "MERGE (a:Article {link: $l})", {"l": "a1"}, store=s)
+    run_cypher(spark, "MERGE (t:Tag {name: $t})", {"t": "news"}, store=s)
+
+    stmt = (
+        "MATCH (a:Article {link: $l}) MATCH (t:Tag {name: $t}) "
+        "MERGE (a)-[:TAGGED]->(t)"
+    )
+    r = run_cypher(spark, stmt, {"l": "a1", "t": "news"}, store=s)
+    assert r.summary.relationships_created == 1
+    assert r.summary.nodes_created == 0
+
+    # missing anchor: nothing written, no phantom node
+    r = run_cypher(spark, stmt, {"l": "nope", "t": "news"}, store=s)
+    assert r.summary.relationships_created == 0
+    assert r.summary.nodes_created == 0
+    assert (
+        run_cypher(spark, "MATCH (a:Article) RETURN a.link AS l", store=s)
+        .df.count() == 1
+    )
+
+    # comma form, idempotent re-run
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article {link: $l}), (t:Tag {name: $t}) "
+        "MERGE (a)-[:TAGGED]->(t)",
+        {"l": "a1", "t": "news"}, store=s,
+    )
+    assert r.summary.relationships_created == 0
+
+    # anchor + MERGE node mix, with RETURN of the anchor
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {link: $l}) MERGE (t:Tag {name: $t}) "
+        "MERGE (a)-[:TAGGED]->(t) RETURN a",
+        {"l": "a1", "t": "tech"}, store=s,
+    )
+    assert res.summary.nodes_created == 1
+    assert res.summary.relationships_created == 1
+    assert res.df.count() == 1
+
+    for bad in (
+        # SET on an anchor: belongs to the update statement
+        "MATCH (a:Article {link: $l}) MERGE (t:Tag {name: $t}) SET a.x = $t",
+        # anonymous anchor
+        "MATCH (:Article {link: $l}) MERGE (t:Tag {name: $t})",
+        # rel-pattern anchor
+        "MATCH (a:Article {link: $l})-[r:TAGGED]->(b:Tag {name: $t}) "
+        "MERGE (c:X {k: $l})",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, {"l": "a1", "t": "z"}, store=s)
