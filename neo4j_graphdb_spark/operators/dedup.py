@@ -76,12 +76,31 @@ def levenshtein_near_dup(
         )
     blocks = block_cols or []
     key = F.substring(F.lower(F.col(text_col)), 1, prefix)
+    # bag-of-chars signature (a-z + space counts): for any symbol subset,
+    # L1(bag_a, bag_b) / 2 <= levenshtein(a, b) — an EXACT lower bound
+    # (each edit changes at most two bag cells), so pairs with
+    # L1 > 2*max_dist prune BEFORE the O(prefix²) DP. This carries the
+    # candidate pruning when the length bands cannot (fixed-length
+    # prefixes all share one band).
+    _alphabet = "abcdefghijklmnopqrstuvwxyz "
     base = (
         df.select(
             F.col(id_col), *[F.col(c) for c in blocks], key.alias("_key")
         )
         .withColumn("_len", F.length("_key"))
         .withColumn("_band", (F.col("_len") / band).cast("long"))
+        .withColumn(
+            "_bag",
+            F.array(
+                *[
+                    (
+                        F.col("_len")
+                        - F.length(F.replace(F.col("_key"), F.lit(ch), F.lit("")))
+                    ).cast("int")
+                    for ch in _alphabet
+                ]
+            ),
+        )
         .localCheckpoint(eager=False)
     )
     # asymmetric slot emission: the LEFT side sits in its own band only,
@@ -94,6 +113,7 @@ def levenshtein_near_dup(
         *[F.col(c) for c in blocks], F.col("_band").alias("_slot"),
         F.col(id_col).alias("_id1"),
         F.col("_key").alias("_k1"), F.col("_len").alias("_l1"),
+        F.col("_bag").alias("_b1"),
     )
     b = base.select(
         *[F.col(c) for c in blocks],
@@ -102,6 +122,7 @@ def levenshtein_near_dup(
         ).alias("_slot"),
         F.col(id_col).alias("_id2"),
         F.col("_key").alias("_k2"), F.col("_len").alias("_l2"),
+        F.col("_bag").alias("_b2"),
     )
     if max_block is not None:
         counts = b.groupBy(*blocks, "_slot").agg(
@@ -110,11 +131,17 @@ def levenshtein_near_dup(
         keep = counts.filter(F.col("_n") <= max_block).drop("_n")
         a = a.join(keep, on=[*blocks, "_slot"], how="left_semi")
         b = b.join(keep, on=[*blocks, "_slot"], how="left_semi")
+    bag_l1 = F.aggregate(
+        F.zip_with(F.col("_b1"), F.col("_b2"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     cand = (
         a.join(b, on=[*blocks, "_slot"])
         .filter(
             (F.col("_id1") != F.col("_id2"))
             & (F.abs(F.col("_l1") - F.col("_l2")) <= max_dist)
+            & (bag_l1 <= 2 * max_dist)
         )
         .select(
             F.least("_id1", "_id2").alias("id_a"),
