@@ -2805,16 +2805,55 @@ def _run_write(
 
     df = None
     if returns:
-        if len(returns) != 1 or "." in returns[0]:
-            raise CypherUnsupported(
-                f"write RETURN supports a single entity alias: {returns!r}"
+        # whole-entity form: `… RETURN a` — the written node's stored row
+        if len(returns) == 1 and "." not in returns[0]:
+            alias0 = returns[0].strip()
+            if alias0 not in nodes:
+                raise CypherUnsupported(
+                    f"write RETURN references unbound alias {alias0!r}"
+                )
+            np = nodes[alias0]
+            keys = pdf.select(_key_expr(np).alias("key")).distinct()
+            df = (
+                store.nodes()
+                .filter(F.col("label") == np.label)
+                .join(keys, on="key", how="left_semi")
             )
-        np = nodes[returns[0]]
+            return CypherResult(df, total)
+        # projection form: `… RETURN a.link AS link, a.title` — property
+        # projections of ONE written node's post-write stored state
+        # (Neo4j's MERGE…RETURN a.prop idiom; prop names resolve through
+        # the same key-aliasing as the read path)
+        sel = []
+        proj_alias = None
+        for item in returns:
+            m2 = _RETURN_ITEM_RE.match(item.strip())
+            if not m2 or m2.group("prop") is None:
+                raise CypherUnsupported(
+                    "write RETURN supports one entity alias or property "
+                    f"projections of one alias: {returns!r}"
+                )
+            if m2.group("alias") not in nodes:
+                raise CypherUnsupported(
+                    f"write RETURN references unbound alias "
+                    f"{m2.group('alias')!r}"
+                )
+            if proj_alias is None:
+                proj_alias = m2.group("alias")
+            elif m2.group("alias") != proj_alias:
+                raise CypherUnsupported(
+                    "write RETURN projections must target one alias"
+                )
+            sel.append((m2.group("prop"), m2.group("out") or m2.group("prop")))
+        np = nodes[proj_alias]
         keys = pdf.select(_key_expr(np).alias("key")).distinct()
-        df = (
+        stored = (
             store.nodes()
             .filter(F.col("label") == np.label)
             .join(keys, on="key", how="left_semi")
+        )
+        df = stored.select(
+            *[_prop_col(stored, "", prop).alias(out) for prop, out in sel]
         )
     return CypherResult(df, total)
 

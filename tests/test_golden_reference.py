@@ -4029,3 +4029,36 @@ def test_text_match_anchored_writes(spark, tmp_path):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, {"l": "a1", "t": "z"}, store=s)
+
+
+def test_text_write_return_projections(spark, tmp_path):
+    """`MERGE … RETURN a.link AS link, a.title` — property projections
+    of the written node's post-write stored state (prop names resolve
+    through the read path's key aliasing); the whole-entity form stays;
+    multi-alias projections and unbound aliases refuse."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "wret"))
+    rows = run_cypher(
+        spark,
+        "MERGE (a:Article {link: $l}) SET a.title = $t "
+        "RETURN a.link AS link, a.title",
+        {"l": "a1", "t": "T1"}, store=s,
+    ).df.collect()
+    assert rows[0]["link"] == "a1" and rows[0]["title"] == "T1"
+
+    rows = run_cypher(
+        spark, "MERGE (a:Article {link: $l}) RETURN a", {"l": "a1"}, store=s
+    ).df.collect()
+    assert len(rows) == 1
+
+    for bad in (
+        "MERGE (a:Article {link: $l}) MERGE (b:Tag {name: $t}) "
+        "RETURN a.link, b.name",
+        "MERGE (a:Article {link: $l}) RETURN z.link",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, {"l": "a1", "t": "x"}, store=s)
