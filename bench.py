@@ -160,7 +160,7 @@ def _bench_vs_duckdb_sidecar(sf_dir: str) -> None:
     yardstick is DuckDB on identical SQL over identical parquet within
     2x. Produce that evidence EVERY round, builder-side: re-run the
     headliners through scripts/check_oracles.py (wall-timed both
-    engines, --best-of 2 = steady state) and write
+    engines; single cold pass — the bound is 2x, noise is fine) and write
     BENCH_VS_DUCKDB_r{N}.json next to the driver's artifacts. Guarded:
     opt out with SPARK_GRAFT_BENCH_VS_DUCKDB=0; failures never break
     the bench contract (the ONE JSON line above already went out)."""
@@ -177,14 +177,12 @@ def _bench_vs_duckdb_sidecar(sf_dir: str) -> None:
                 os.path.join(here, "scripts", "check_oracles.py"),
                 "--json",
                 out,
-                "--best-of",
-                "2",
                 sf_dir,
                 *HEADLINE,
             ],
             stdout=sys.stderr,
             stderr=sys.stderr,
-            timeout=900,
+            timeout=600,
             cwd=here,
             check=False,
         )
