@@ -7830,6 +7830,43 @@ def q_a85_text_match_anchored_write(spark: SparkSession, sf_dir: str) -> DataFra
     ).df
 
 
+def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110 — per-language tokenizer fertility (tokens per word): the
+    multilingual-budgeting diagnostic every pretraining mix needs —
+    languages whose tokenizer fragments words (high fertility) cost
+    disproportionate sequence length. Corpus-level ratio of BPE-ish
+    token count to whitespace word count per detected language — exact
+    integer sums, one IEEE division, one groupBy."""
+    from neo4j_graphdb_spark.functions.text import (
+        bpe_ish_token_count,
+        detect_language,
+        word_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            detect_language("text").alias("lang"),
+            bpe_ish_token_count("text").cast("bigint").alias("_toks"),
+            word_count("text").cast("bigint").alias("_words"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_toks").cast("bigint").alias("n_tokens"),
+            F.sum("_words").cast("bigint").alias("n_words"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7931,6 +7968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a83_text_db_introspection": q_a83_text_db_introspection,
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
     "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
+    "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -8124,6 +8162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a83_text_db_introspection": q_a83_text_db_introspection,
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
     "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
+    "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10787,6 +10826,30 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+ORACLES["c110_tokenizer_fertility"] = """
+    WITH scored AS (
+        SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                    WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                    WHEN regexp_matches(text, '(?i)(\\b(und|der|die|das|nicht|ist)\\b|[äöüß])') THEN 'de'
+                    WHEN regexp_matches(text, '(?i)(\\b(le|la|les|est|une|dans)\\b|[àâçéèê])') THEN 'fr'
+                    WHEN regexp_matches(text, '(?i)(\\b(el|los|las|es|una|para)\\b|[ñ¿¡])') THEN 'es'
+                    ELSE 'en' END AS lang,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::bigint AS toks,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::bigint AS words
+        FROM documents
+    )
+    SELECT lang,
+           count(*)::bigint AS n_docs,
+           sum(toks)::bigint AS n_tokens,
+           sum(words)::bigint AS n_words,
+           round(sum(toks)::double / sum(words)::double, 6) AS fertility
+    FROM scored
+    GROUP BY lang
+"""
 
 ORACLES["a85_text_match_anchored_write"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
