@@ -372,6 +372,25 @@ class _NodePattern:
     match_only: bool = False  # MATCH anchor in a write: read-only, never created
 
 
+@dataclass
+class _EdgePattern:
+    """One relationship pattern in a write statement —
+    ``MERGE (a)-[r:T {w: $w}]->(b) [ON CREATE SET r.x…]``. Inline
+    ``props`` are unconditional; the three SET groups mirror
+    _NodePattern's and land in merge_edges' prop_cols /
+    create_prop_cols / match_prop_cols."""
+
+    src_alias: str
+    rel_type: str
+    dst_alias: str
+    props: list  # inline [(prop, encoding)] pairs from the {…} map
+    create: bool  # CREATE (duplicate-allowed) vs MERGE upsert
+    alias: str | None = None  # `r` in [r:T] — SET/ON CREATE target
+    set_props: dict[str, object] = field(default_factory=dict)
+    create_props: dict[str, object] = field(default_factory=dict)  # ON CREATE SET
+    match_props: dict[str, object] = field(default_factory=dict)  # ON MATCH SET
+
+
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
 # must not be rejected as unsupported syntax.
 _UNSUPPORTED_KEYWORDS = re.compile(
@@ -2467,7 +2486,8 @@ def _run_write(
         pdf = _params_frame(spark, params)
     nodes: dict[str, _NodePattern] = {}
     node_order: list[str] = []
-    edges: list[tuple[str, str, str]] = []  # (src_alias, rel_type, dst_alias)
+    edges: list[_EdgePattern] = []
+    edge_aliases: dict[str, _EdgePattern] = {}  # `r` in [r:T] → its pattern
     returns: list[str] = []
 
     # `ON CREATE SET …` / `ON MATCH SET …` markers get cut up by the
@@ -2569,15 +2589,21 @@ def _run_write(
                             )
                     # `[:T {weight: $w | literal}]` — typed relationship
                     # properties ride the same merge (writer prop_cols)
-                    edges.append(
-                        (
-                            sa,
-                            m.group("rel_type"),
-                            da,
-                            _parse_write_props(m.group("rel_props"), lits or []),
-                            is_create,
-                        )
+                    ep = _EdgePattern(
+                        sa,
+                        m.group("rel_type"),
+                        da,
+                        _parse_write_props(m.group("rel_props"), lits or []),
+                        is_create,
+                        alias=m.group("rel_alias"),
                     )
+                    if ep.alias:
+                        if ep.alias in nodes or ep.alias in edge_aliases:
+                            raise CypherUnsupported(
+                                f"alias {ep.alias!r} bound twice"
+                            )
+                        edge_aliases[ep.alias] = ep
+                    edges.append(ep)
                     continue
                 n = _NODE_RE.match(part)
                 extra_labels = ""
@@ -2646,7 +2672,9 @@ def _run_write(
                     # per-prop literal SETs at compile time — identical
                     # writer path, identical counters; a DataFrame batch
                     # would need a map column, out of the subset
-                    np = nodes.get(mm2.group("alias"))
+                    np = nodes.get(mm2.group("alias")) or edge_aliases.get(
+                        mm2.group("alias")
+                    )
                     if np is None:
                         raise CypherUnsupported(f"SET on unbound alias: {item!r}")
                     pv = (params or {}).get(mm2.group("param")) if isinstance(params, dict) else None
@@ -2665,7 +2693,9 @@ def _run_write(
                 m = _SET_ITEM_RE.match(item)
                 if not m:
                     raise CypherUnsupported(f"unsupported SET item: {item!r}")
-                np = nodes.get(m.group("alias"))
+                np = nodes.get(m.group("alias")) or edge_aliases.get(
+                    m.group("alias")
+                )
                 if np is None:
                     raise CypherUnsupported(f"SET on unbound alias: {item!r}")
                 target = {
@@ -2770,9 +2800,40 @@ def _run_write(
         total = total + store.merge_nodes(
             pdf.select(*cols), label=np.label, key_col=np.key_prop, **group_cols
         )
-    for sa, rel_type, da, rel_props, ecreate in edges:
-        s, d = nodes[sa], nodes[da]
+    for ep in edges:
+        rel_type, ecreate = ep.rel_type, ep.create
+        s, d = nodes[ep.src_alias], nodes[ep.dst_alias]
+        if ecreate and (ep.create_props or ep.match_props):
+            raise CypherUnsupported(
+                "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
+                "always creates)"
+            )
+        # inline {…} props are unconditional — same bucket as plain SET r.p
+        rel_props = list(ep.props) + list(ep.set_props.items())
+        # a prop set identically in BOTH ON branches is an unconditional
+        # SET (same collapse rule as the node path)
+        for prop in sorted(set(ep.create_props) & set(ep.match_props)):
+            if ep.create_props[prop] == ep.match_props[prop]:
+                rel_props.append((prop, ep.create_props.pop(prop)))
+                ep.match_props.pop(prop)
+            else:
+                raise CypherUnsupported(
+                    f"{prop!r} takes different values in ON CREATE and ON MATCH"
+                )
+        seen_props = [p for p, _ in rel_props] + list(ep.create_props) + list(
+            ep.match_props
+        )
+        if len(seen_props) != len(set(seen_props)):
+            raise CypherUnsupported(
+                f"duplicate relationship property in {sorted(seen_props)!r}"
+            )
         prop_sel = [_prop_value(enc).alias(prop) for prop, enc in rel_props]
+        prop_sel += [
+            _prop_value(enc).alias(prop) for prop, enc in ep.create_props.items()
+        ]
+        prop_sel += [
+            _prop_value(enc).alias(prop) for prop, enc in ep.match_props.items()
+        ]
         write_fn = store.create_edges if ecreate else store.merge_edges
         batch = pdf.select(
             _key_expr(s).alias("_src_key"),
@@ -2797,10 +2858,14 @@ def _run_write(
                 batch[kc].cast("string") == F.col("_anchor_key"),
                 "left_semi",
             )
+        kwargs = {"prop_cols": [prop for prop, _ in rel_props] or None}
+        if not ecreate:
+            kwargs["create_prop_cols"] = list(ep.create_props) or None
+            kwargs["match_prop_cols"] = list(ep.match_props) or None
         total = total + write_fn(
             batch,
             rel_type, s.label, "_src_key", d.label, "_dst_key",
-            prop_cols=[prop for prop, _ in rel_props] or None,
+            **kwargs,
         )
 
     df = None

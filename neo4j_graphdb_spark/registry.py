@@ -7830,6 +7830,65 @@ def q_a85_text_match_anchored_write(spark: SparkSession, sf_dir: str) -> DataFra
     ).df
 
 
+def q_a86_text_rel_onmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A86 ext — ``MERGE (a)-[r:T]->(b) ON CREATE SET … ON MATCH SET …``:
+    conditional relationship properties through ``merge_edges``'
+    create_prop_cols / match_prop_cols (writer.py), the edge twin of
+    A27's node branches (reference anchor: the MERGE-only write
+    discipline of /root/reference/src/crwling.py:54 — first-seen stamps
+    vs update-only mutations in one batch pass). Construction: seed the
+    even-doc half of the Article→Publisher PUB edges (ON CREATE stamps
+    origin='seed'), then ONE distributed UNWIND batch over ALL docs
+    re-merges every edge with ON CREATE SET origin='late', flag=1 /
+    ON MATCH SET seen=row.t — evens keep their seed stamp and gain
+    ``seen``, odds are created late with ``flag``. Both passes are
+    DataFrame-param batches (no driver-side row loop); the oracle
+    states the final edge state closed-form by doc-id parity."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("pub"),
+        (F.col("doc_id") % 7).cast("long").alias("t"),
+        F.col("doc_id"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a86_"))
+    merge_q = (
+        "UNWIND $rows AS row "
+        "MERGE (a:Article {link: row.link}) "
+        "MERGE (p:Publisher {name: row.pub}) "
+        "MERGE (a)-[r:PUB]->(p) "
+    )
+    run_cypher(
+        spark,
+        merge_q + "ON CREATE SET r.origin = 'seed'",
+        rows.filter(F.col("doc_id") % 2 == 0).drop("doc_id"),
+        store=store,
+    )
+    run_cypher(
+        spark,
+        merge_q
+        + "ON CREATE SET r.origin = 'late', r.flag = 1 "
+        + "ON MATCH SET r.seen = row.t",
+        rows.drop("doc_id"),
+        store=store,
+    )
+    out = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:PUB]->(p:Publisher) RETURN a.link AS link, "
+        "p.name AS pub, r.origin AS origin, r.flag AS flag, r.seen AS seen",
+        store=store,
+    ).df
+    return out.select(
+        "link",
+        "pub",
+        "origin",
+        F.col("flag").cast("bigint").alias("flag"),
+        F.col("seen").cast("bigint").alias("seen"),
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -7969,6 +8028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
     "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
     "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
+    "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -8155,14 +8215,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
     "rel_time_rollup": q_rel_time_rollup,
-    "rel_pivot": q_rel_pivot,
-    "c107_approx_quantiles": q_c107_approx_quantiles,
-    "c108_window_topk": q_c108_window_topk,
-    "c109_zorder_layout": q_c109_zorder_layout,
-    "a83_text_db_introspection": q_a83_text_db_introspection,
-    "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
-    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
-    "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
     "rel_salted_join": q_rel_salted_join,
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
@@ -10826,6 +10878,20 @@ ORACLES["a80_text_unbounded_shortest"] = """
 """
 
 ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
+
+# a86: final edge state is closed-form from the two-pass construction —
+# even docs were seeded (origin stamp survives, ON MATCH adds seen),
+# odd docs were created by the second pass (origin='late', flag=1)
+ORACLES["a86_text_rel_onmatch"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS pub,
+           CASE WHEN doc_id % 2 = 0 THEN 'seed' ELSE 'late' END AS origin,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE CAST(1 AS bigint) END AS flag,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 AS bigint)
+                ELSE NULL END AS seen
+    FROM documents
+"""
 
 ORACLES["c110_tokenizer_fertility"] = """
     WITH scored AS (

@@ -552,21 +552,41 @@ class GraphStore:
         dst_label: str,
         dst_key_col: str,
         prop_cols: list[str] | None = None,
+        create_prop_cols: list[str] | None = None,
+        match_prop_cols: list[str] | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (a)-[r:REL]->(b) [SET r.p = …]`` —
         create-if-absent, idempotent (``/root/reference/src/crwling.py:54``,
         ``src/ingest.py:7``), with optional relationship properties
         upserted under the same column-wise coalesce semantics as node
-        SET (incoming NULL keeps the old value)."""
+        SET (incoming NULL keeps the old value).
+
+        ``create_prop_cols`` / ``match_prop_cols`` mirror
+        :meth:`merge_nodes`' ``ON CREATE SET`` / ``ON MATCH SET``: the
+        column applies only to edges this merge creates (resp. edges
+        that already existed). A column may appear in only one of the
+        three prop lists."""
         prop_cols = prop_cols or []
+        create_prop_cols = create_prop_cols or []
+        match_prop_cols = match_prop_cols or []
+        groups = [set(prop_cols), set(create_prop_cols), set(match_prop_cols)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if groups[i] & groups[j]:
+                    raise ValueError(
+                        f"prop column(s) {sorted(groups[i] & groups[j])} appear "
+                        "in more than one of prop_cols/create_prop_cols/match_prop_cols"
+                    )
+        all_prop_cols = prop_cols + create_prop_cols + match_prop_cols
         incoming = as_edges(
-            updates, rel_type, src_label, src_key_col, dst_label, dst_key_col, prop_cols
+            updates, rel_type, src_label, src_key_col, dst_label, dst_key_col,
+            all_prop_cols,
         )
         # within-batch last-writer-wins, deterministic via content
         # tiebreak (mirrors merge_nodes)
         content_tiebreak = F.xxhash64(
-            *[F.col(c).cast("string") for c in prop_cols]
-        ) if prop_cols else F.lit(0)
+            *[F.col(c).cast("string") for c in all_prop_cols]
+        ) if all_prop_cols else F.lit(0)
         w = Window.partitionBy("src", "dst", "rel_type").orderBy(content_tiebreak.desc())
         incoming = (
             incoming.withColumn("_rn", F.row_number().over(w))
@@ -578,13 +598,20 @@ class GraphStore:
 
         existing = self._edges.read(self.spark)
         if existing is None:
+            # fresh store: every edge is CREATED — ON CREATE props apply
+            # as plain columns, ON MATCH props cannot apply (no prior row)
+            for c in match_prop_cols:
+                incoming = incoming.withColumn(
+                    c, F.lit(None).cast(incoming.schema[c].dataType)
+                )
             incoming = incoming.persist()
+            counted = prop_cols + create_prop_cols
             row = incoming.agg(
                 F.count(F.lit(1)).alias("_created"),
-                *[F.count(F.col(c)).alias(c) for c in prop_cols],
+                *[F.count(F.col(c)).alias(c) for c in counted],
             ).collect()[0]
             created = int(row["_created"])
-            props_set = int(sum(row[c] for c in prop_cols))
+            props_set = int(sum(row[c] for c in counted))
             self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
             incoming.unpersist()
             return WriteSummary(
@@ -613,19 +640,41 @@ class GraphStore:
         old = _with_missing_edges(touched, incoming, all_props).alias("old")
         new = _with_missing_edges(incoming, touched, all_props).alias("new")
         joined = old.join(new, on=edge_key, how="full_outer").persist()
+        is_created = F.col("old._present").isNull()
+
+        def _prop_expr(c: str):
+            if c in create_prop_cols:
+                # ON CREATE SET: only edges this merge creates take the value
+                return F.when(is_created, F.col(f"new.{c}")).otherwise(
+                    F.col(f"old.{c}")
+                )
+            if c in match_prop_cols:
+                # ON MATCH SET: only pre-existing edges take it (with the
+                # usual NULL-keeps-old coalesce); created edges stay bare
+                return F.when(
+                    ~is_created, F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
+                ).otherwise(F.col(f"old.{c}"))
+            return F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
+
         merged = joined.select(
             *edge_key,
-            *[
-                F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
-                for c in all_props
-            ],
+            *[_prop_expr(c).alias(c) for c in all_props],
         ).withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+
+        def _prop_count(c: str):
+            if c in create_prop_cols:
+                return F.count(F.when(is_created, F.col(f"new.{c}")))
+            if c in match_prop_cols:
+                return F.count(F.when(~is_created, F.col(f"new.{c}")))
+            return F.count(F.col(f"new.{c}"))
+
+        counted = prop_cols + create_prop_cols + match_prop_cols
         row = joined.agg(
-            F.count(F.when(F.col("old._present").isNull(), F.lit(1))).alias("_created"),
-            *[F.count(F.col(f"new.{c}")).alias(c) for c in prop_cols],
+            F.count(F.when(is_created, F.lit(1))).alias("_created"),
+            *[_prop_count(c).alias(c) for c in counted],
         ).collect()[0]
         created = int(row["_created"])
-        props_set = int(sum(row[c] for c in prop_cols))
+        props_set = int(sum(row[c] for c in counted))
         if bucketed:
             self._edges.write_next_partial(
                 merged,

@@ -735,6 +735,50 @@ def test_text_on_create_on_match(spark, tmp_path):
         )
 
 
+def test_text_rel_on_create_on_match(spark, tmp_path):
+    """ON CREATE / ON MATCH SET on a relationship MERGE: conditional
+    props route through merge_edges' create/match prop groups — created
+    edges take ON CREATE values only, re-merged edges take ON MATCH
+    values only, and counters count the applied cells."""
+    from neo4j_graphdb_spark.operators.cypher_text import CypherUnsupported, run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "rocm"))
+    stmt = (
+        "MERGE (u:User {id: $u}) MERGE (v:User {id: $v}) "
+        "MERGE (u)-[r:FOLLOWS]->(v) "
+        "ON CREATE SET r.since = $t ON MATCH SET r.last = $t"
+    )
+    r1 = run_cypher(spark, stmt, {"u": "a", "v": "b", "t": "d1"}, store=s)
+    assert r1.summary.relationships_created == 1
+    assert r1.summary.properties_set == 1  # since only; ON MATCH skipped
+    row = s.edges().collect()[0]
+    assert row["since"] == "d1" and row["last"] is None
+
+    r2 = run_cypher(spark, stmt, {"u": "a", "v": "b", "t": "d2"}, store=s)
+    assert r2.summary.relationships_created == 0
+    assert r2.summary.properties_set == 1  # last only; ON CREATE skipped
+    row = s.edges().collect()[0]
+    assert row["since"] == "d1" and row["last"] == "d2"
+
+    # same prop with DIFFERENT values per branch is out of the subset
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (u:User {id: $u}) MERGE (v:User {id: $v}) "
+            "MERGE (u)-[r:FOLLOWS]->(v) "
+            "ON CREATE SET r.x = $t ON MATCH SET r.x = $u",
+            {"u": "a", "v": "b", "t": "z"}, store=s,
+        )
+    # ON CREATE/ON MATCH follow MERGE only — CREATE always creates
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (u:User {id: $u}) MERGE (v:User {id: $v}) "
+            "CREATE (u)-[r:FOLLOWS]->(v) ON CREATE SET r.x = $t",
+            {"u": "a", "v": "b", "t": "z"}, store=s,
+        )
+
+
 def test_text_in_list_predicate(spark, text_store):
     """WHERE a.title IN $list filters by membership; empty or missing
     list params reject."""
