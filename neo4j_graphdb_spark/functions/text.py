@@ -1043,6 +1043,73 @@ def dup_span_stats(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_tokens: int = 20,
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph deduplication (Wenzek et al.
+    2020: hash every paragraph, keep one copy corpus-wide, drop the
+    rest) — the removal counterpart of :func:`dup_span_stats`' flagging.
+    The fixture corpus carries no newline structure, so the paragraph
+    unit here is consecutive NON-overlapping ``para_tokens``-word
+    windows; on real data swap the splitter for ``split(text, '\\n\\n')``
+    without changing the rest of the plan.
+
+    Every distinct paragraph survives exactly at its FIRST occurrence —
+    minimum ``(doc id, paragraph index)``, the deterministic total order
+    CCNet's shard-sequential scan induces — and every later copy
+    (cross-document AND intra-document) is dropped. Returns one row per
+    non-empty document: ``(id_col, n_paras, kept, kept_chars)`` — the
+    post-dedup retention profile (a doc whose every paragraph appeared
+    earlier reports ``kept = 0``: the "document dissolves" case a
+    downstream length filter then removes).
+
+    Scale shape: one narrow chunk-explode, one map-side-combinable
+    ``groupBy(paragraph).agg(min(struct(id, idx)))`` to elect winners,
+    one hash join back, one per-doc groupBy. The min-struct aggregation
+    deliberately replaces the rank-1 window a naive port would use: a
+    viral paragraph repeated 10^9 times partial-aggregates to one row
+    per map task instead of sorting 10^9 rows inside a single window
+    partition — skew-immune at 100 TB. Grouping is by the paragraph
+    string itself (exact; at petabyte scale substitute
+    ``xxhash64(paragraph)`` to shrink the shuffle, accepting the
+    2^-64 collision odds every production pipeline accepts).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    n_para = F.ceil(n / F.lit(para_tokens)).cast("int")
+    paras_arr = F.transform(
+        F.sequence(F.lit(0), n_para - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * para_tokens + 1, para_tokens), " "
+        ),
+    )
+    ex = (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.posexplode(paras_arr).alias("_p", "_para"))
+        .localCheckpoint(eager=False)  # reused: winner election + both counts
+    )
+    winners = ex.groupBy("_para").agg(
+        F.min(F.struct(F.col(id_col).alias("_i"), F.col("_p").alias("_x"))).alias("_w")
+    )
+    kept = ex.join(winners, on="_para").filter(
+        (F.col(id_col) == F.col("_w._i")) & (F.col("_p") == F.col("_w._x"))
+    )
+    tot = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    won = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum(F.length("_para")).alias("kept_chars"),
+    )
+    return tot.join(won, on=id_col, how="left").select(
+        id_col,
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.coalesce("kept", F.lit(0)).cast("bigint").alias("kept"),
+        F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
 def canonical_url(col: Column | str) -> Column:
     """URL canonicalization for crawl-style dedup — the normalization
     every common-crawl pipeline applies before exact URL dedup (cf. the

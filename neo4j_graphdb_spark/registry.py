@@ -7889,6 +7889,23 @@ def q_a86_text_rel_onmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C111 — CCNet-style paragraph dedup (functions/text.py
+    paragraph_dedup): non-overlapping 20-token paragraphs, each
+    distinct paragraph survives only at its minimum (doc_id, index)
+    occurrence, per-doc retention profile out. Guaranteed duplication
+    synthesized the c7/c86 way (every 10th doc re-added under a shifted
+    id — its clone retains 0 paragraphs); the oracle replays the same
+    chunking + first-occurrence election in DuckDB."""
+    from neo4j_graphdb_spark.functions.text import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return paragraph_dedup(docs.unionAll(dups), "doc_id", "text", para_tokens=20)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8029,6 +8046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
     "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
     "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
+    "c111_paragraph_dedup": q_c111_paragraph_dedup,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -10882,6 +10900,38 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # a86: final edge state is closed-form from the two-pass construction —
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
+ORACLES["c111_paragraph_dedup"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM corpus
+    ),
+    paras AS (
+        SELECT doc_id, i::bigint AS p,
+               array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ') AS para
+        FROM (SELECT doc_id, w, cast(ceil(len(w) / 20.0) AS int) AS np
+              FROM toks WHERE len(w) > 0),
+             unnest(range(np)) AS t(i)
+    ),
+    ranked AS (
+        SELECT doc_id, p, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           count(*)::bigint AS n_paras,
+           coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::bigint AS kept,
+           coalesce(sum(CASE WHEN rn = 1 THEN length(para) END), 0)::bigint
+               AS kept_chars
+    FROM ranked GROUP BY doc_id
+"""
+
 ORACLES["a86_text_rel_onmatch"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            source AS pub,

@@ -531,3 +531,35 @@ def test_windowed_topk_rank_and_ties(spark):
         (2, 1): ("c", 2),
         (2, 2): ("a", 1),
     }
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from neo4j_graphdb_spark.functions.text import paragraph_dedup
+
+    p1 = "a b c d"  # 4-token paragraphs with para_tokens=4
+    p2 = "e f g h"
+    p3 = "i j k l"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),          # both paras first-seen → kept 2/2
+            (2, f"{p2} {p3}"),          # p2 seen in doc 1 → kept 1/2
+            (3, f"{p1} {p1}"),          # both copies seen (doc 1 + intra) → 0/2
+            (4, f"{p3} {p3} {p3} x"),   # p3 seen in doc 2; trailing "x"
+            (5, "   "),                 # whitespace-only → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, "doc_id", "text", para_tokens=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_paras"], out[1]["kept"]) == (2, 2)
+    assert (out[2]["n_paras"], out[2]["kept"]) == (2, 1)
+    # the dissolve case: every paragraph of doc 3 appeared earlier
+    assert (out[3]["n_paras"], out[3]["kept"]) == (2, 0)
+    # doc 4: paras are "i j k l","i j k l"(dup of doc2's? no — p3 first
+    # occurs in doc 2), remainder "x" is fresh → kept = 1 ("x" only)
+    assert (out[4]["n_paras"], out[4]["kept"]) == (4, 1)
+    assert out[4]["kept_chars"] == 1
+    assert out[1]["kept_chars"] == len(p1) + len(p2)
