@@ -595,6 +595,101 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
     return out
 
 
+def luby_mis(
+    edges: DataFrame, rounds: int = 8, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """C-tier extension — deterministic Luby maximal independent set:
+    the classic parallel MIS (Luby 1986) with the random priority
+    replaced by ``xxhash64(node)``, so every engine elects the identical
+    set. Each synchronous round, an undecided node joins the MIS iff
+    its priority is a STRICT minimum over its undecided neighbors (or
+    it has none); undecided neighbors of new members become excluded.
+    Exactly ``rounds`` rounds run (the SQL oracle unrolls the same
+    count), with an early exit once no node is undecided — value-
+    identical, since rounds after that fixpoint are no-ops. Returns
+    ``(node, state)`` with state ∈ mis | excluded | undecided; a hash
+    collision between adjacent undecided nodes leaves both undecided
+    (neither is a strict minimum) — the same verdict on every engine,
+    which is what the oracle needs (ties resolve identically, not
+    "fairly").
+
+    Scale shape: per round, two semi-joins restrict the edge set to the
+    shrinking undecided subgraph, one map-side-combinable
+    ``groupBy(src).min(prio)`` finds neighbor minima, and membership/
+    exclusion flow back through hash joins — no windows, no sorts, no
+    driver-side state beyond one count per round (the k_core
+    one-action-per-round lazy-checkpoint discipline). Luby's analysis
+    kills a constant fraction of edges per round in expectation, so 8
+    rounds decide virtually every node at any scale.
+
+    ``hash_mode`` picks the priority hash: ``xxhash64`` (production,
+    JVM-side) or ``md5_60`` (the dedup module's cross-engine hex-fold,
+    reproducible digit-for-digit in plain SQL — what the driver oracle
+    replays).
+    """
+    from neo4j_graphdb_spark.operators.dedup import _base_hash
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("prio", _base_hash(F.col("node").cast("string"), hash_mode))
+    )
+    state = nodes.withColumn("st", F.lit("u"))
+    for _ in range(rounds):
+        und = state.filter(F.col("st") == "u").select("node", "prio")
+        if und.limit(1).count() == 0:
+            break
+        eu = sym.join(
+            und.select(F.col("node").alias("src")), on="src", how="left_semi"
+        ).join(und.select(F.col("node").alias("dst")), on="dst", how="left_semi")
+        nmin = (
+            eu.join(
+                und.select(F.col("node").alias("dst"), F.col("prio").alias("_dp")),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("_dp").alias("_nmin"))
+        )
+        mis = (
+            und.join(nmin, on="node", how="left")
+            .filter(F.col("_nmin").isNull() | (F.col("prio") < F.col("_nmin")))
+            .select("node")
+        )
+        excl = (
+            eu.join(mis.select(F.col("node").alias("src")), on="src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        state = (
+            state.join(mis.withColumn("_m", F.lit(1)), on="node", how="left")
+            .join(excl.withColumn("_x", F.lit(1)), on="node", how="left")
+            .select(
+                "node",
+                "prio",
+                F.when(F.col("st") != "u", F.col("st"))
+                .when(F.col("_m").isNotNull(), F.lit("m"))
+                .when(F.col("_x").isNotNull(), F.lit("x"))
+                .otherwise(F.lit("u"))
+                .alias("st"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "node",
+        F.when(F.col("st") == "m", F.lit("mis"))
+        .when(F.col("st") == "x", F.lit("excluded"))
+        .otherwise(F.lit("undecided"))
+        .alias("state"),
+    )
+
+
 def weighted_shortest_paths(
     edges: DataFrame,
     sources: DataFrame,

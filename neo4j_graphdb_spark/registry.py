@@ -7906,6 +7906,99 @@ def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs.unionAll(dups), "doc_id", "text", para_tokens=20)
 
 
+def _mis_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of ``luby_mis`` (md5_60 priorities): the identical
+    edge construction and EXACTLY ``rounds`` unrolled synchronous
+    rounds — per round the undecided subgraph, neighbor priority
+    minima, strict-minimum MIS election, and neighbor exclusion, each
+    as one CTE (the c28 unrolled-flooding pattern)."""
+    h = _MD5_60_SQL.format(x="node")
+    parts = [
+        f"""
+    WITH raw AS (
+        SELECT concat('C', cast(o.o_custkey AS varchar)) AS src,
+               concat('P', cast(l.l_partkey AS varchar)) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey % 7 = 0
+    ),
+    sym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM raw
+            UNION ALL SELECT dst AS src, src AS dst FROM raw
+        ) WHERE src <> dst
+    ),
+    state0 AS (
+        SELECT node, {h} AS prio, 'u' AS st
+        FROM (SELECT DISTINCT src AS node FROM sym)
+    )"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""",
+    und{k} AS MATERIALIZED (SELECT node, prio FROM state{k} WHERE st = 'u'),
+    eu{k} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM sym e
+        JOIN und{k} a ON e.src = a.node
+        JOIN und{k} b ON e.dst = b.node
+    ),
+    nmin{k} AS (
+        SELECT e.src AS node, min(b.prio) AS nmin
+        FROM eu{k} e JOIN und{k} b ON e.dst = b.node
+        GROUP BY e.src
+    ),
+    mis{k} AS (
+        SELECT u.node FROM und{k} u LEFT JOIN nmin{k} m ON u.node = m.node
+        WHERE m.nmin IS NULL OR u.prio < m.nmin
+    ),
+    excl{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM eu{k} e JOIN mis{k} m ON e.src = m.node
+    ),
+    state{k + 1} AS MATERIALIZED (
+        SELECT s.node, s.prio,
+               CASE WHEN s.st <> 'u' THEN s.st
+                    WHEN m.node IS NOT NULL THEN 'm'
+                    WHEN x.node IS NOT NULL THEN 'x'
+                    ELSE 'u' END AS st
+        FROM state{k} s
+        LEFT JOIN mis{k} m ON s.node = m.node
+        LEFT JOIN excl{k} x ON s.node = x.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node,
+           CASE st WHEN 'm' THEN 'mis' WHEN 'x' THEN 'excluded'
+                ELSE 'undecided' END AS state
+    FROM state{rounds}"""
+    )
+    return "".join(parts)
+
+
+def q_c112_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C112 — deterministic Luby maximal independent set
+    (graph/algorithms.py luby_mis) on a 1/7th slice of the
+    customer–part bipartite graph: hash priorities (cross-engine
+    md5_60 fold), strict-local-minimum election, neighbor exclusion, 8
+    synchronous rounds. MIS is the classic building block for parallel
+    graph coloring / scheduling the reference has no counterpart for;
+    the oracle unrolls the identical 8 rounds in DuckDB
+    (``_mis_oracle_sql``)."""
+    from neo4j_graphdb_spark.graph.algorithms import luby_mis
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return luby_mis(cp, rounds=8, hash_mode="md5_60")
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8047,6 +8140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
     "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
     "c111_paragraph_dedup": q_c111_paragraph_dedup,
+    "c112_luby_mis": q_c112_luby_mis,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -10900,6 +10994,8 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # a86: final edge state is closed-form from the two-pass construction —
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
+ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
 ORACLES["c111_paragraph_dedup"] = """
     WITH corpus AS (
         SELECT doc_id, text FROM documents

@@ -1042,3 +1042,38 @@ def test_weighted_sssp_relaxation(spark):
     assert out[("a", "c")] == 1.0
     assert out[("a", "b")] == 3.0  # via c, not the direct 10
     assert out[("a", "d")] == 4.0
+
+
+def test_luby_mis_properties(spark):
+    """MIS invariants on a hand-built graph: the result is independent
+    (no edge joins two members), maximal (every excluded node touches a
+    member), complete after 8 rounds (no undecided), and identical
+    across hash modes in its invariants."""
+    from neo4j_graphdb_spark.graph.algorithms import luby_mis
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+         ("e", "f"),                                        # isolated pair
+         ("g", "a")],                                       # pendant
+        "src string, dst string",
+    )
+    for mode in ("xxhash64", "md5_60"):
+        out = {r["node"]: r["state"] for r in luby_mis(edges, hash_mode=mode).collect()}
+        assert set(out) == set("abcdefg")
+        assert "undecided" not in out.values()
+        mis = {n for n, s in out.items() if s == "mis"}
+        adj = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "f"), ("g", "a")]
+        # independence
+        assert not any(u in mis and v in mis for u, v in adj)
+        # maximality: every non-member has a member neighbor
+        nbrs = {}
+        for u, v in adj:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        for n, s in out.items():
+            if s == "excluded":
+                assert nbrs[n] & mis, n
+    # determinism: two runs agree exactly
+    a = sorted(luby_mis(edges).collect())
+    b = sorted(luby_mis(edges).collect())
+    assert a == b
