@@ -561,6 +561,82 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def kneser_ney_bigrams(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 200
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities — the
+    classic n-gram LM smoothing (Kneser & Ney 1995; the KenLM default)
+    and the natural upgrade of :func:`bigram_lm_score`'s unsmoothed
+    estimator. Absolute discount ``D = n1/(n1 + 2·n2)`` (counts of
+    bigram types seen once/twice), and
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                 + [D · N1+(w1·)/c(w1·)] · [N1+(·w2)/types]
+
+    where ``N1+(w1·)``/``N1+(·w2)`` are distinct-successor/-predecessor
+    type counts and ``types`` the distinct-bigram total — the
+    continuation-probability backoff that makes "Francisco" rare after
+    anything but "San".
+
+    Returns the ``top_n`` bigrams by raw count (ties broken on the
+    token strings): ``(w1, w2, c, p_kn)`` with ``p_kn`` rounded to 6 dp.
+
+    Determinism + scale shape: every aggregate is an INTEGER count
+    (map-side combinable; no float sums anywhere, so no partition-order
+    sensitivity), the discount and probability are per-row expressions
+    over those integers with IEEE divisions in a fixed tree — bit-equal
+    on any engine. The count tables are vocabulary²-bounded dimension
+    frames; the scalar (n1, n2, types) row broadcasts; the top-k is
+    TakeOrdered (per-partition heads + driver merge), never a global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_pos", "_w1"
+        ),
+    ).filter(F.col("_w1") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bi = words.withColumn("_w2", F.lead("_w1").over(w)).filter(
+        F.col("_w2").isNotNull()
+    )
+    bc = bi.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c"))
+    bc = bc.localCheckpoint(eager=False)  # feeds ctx/prec/scalars + output
+    ctx = bc.groupBy("_w1").agg(
+        F.sum("_c").alias("_ctx"), F.count(F.lit(1)).alias("_nfollow")
+    )
+    prec = bc.groupBy("_w2").agg(F.count(F.lit(1)).alias("_nprec"))
+    scalars = bc.agg(
+        F.count(F.when(F.col("_c") == 1, F.lit(1))).alias("_s1"),
+        F.count(F.when(F.col("_c") == 2, F.lit(1))).alias("_s2"),
+        F.count(F.lit(1)).alias("_types"),
+    )
+    j = (
+        bc.join(ctx, on="_w1")
+        .join(prec, on="_w2")
+        .crossJoin(F.broadcast(scalars))
+    )
+    d = F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    p_kn = (
+        F.greatest(F.col("_c") - d, F.lit(0.0)) / F.col("_ctx")
+    ) + (
+        (d * F.col("_nfollow") / F.col("_ctx"))
+        * (F.col("_nprec").cast("double") / F.col("_types"))
+    )
+    return (
+        j.select(
+            F.col("_w1").alias("w1"),
+            F.col("_w2").alias("w2"),
+            F.col("_c").cast("bigint").alias("c"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(top_n)
+    )
+
+
 def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
     """C49 — Zipf's-law fit of the corpus token distribution: the
     least-squares slope/intercept of ln(frequency) against ln(rank)

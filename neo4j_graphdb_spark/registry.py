@@ -7999,6 +7999,19 @@ def q_c112_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(cp, rounds=8, hash_mode="md5_60")
 
 
+def q_c113_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113 — interpolated Kneser-Ney smoothed bigram LM over the
+    corpus (functions/text.py kneser_ney_bigrams): absolute discount
+    from the counts-of-counts, continuation-probability backoff, top-200
+    bigrams out. All aggregates are exact integers; the probability is
+    one fixed per-row IEEE expression tree, replayed term-for-term by
+    the oracle."""
+    from neo4j_graphdb_spark.functions.text import kneser_ney_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(docs, "doc_id", "text", top_n=200)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8141,6 +8154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
     "c111_paragraph_dedup": q_c111_paragraph_dedup,
     "c112_luby_mis": q_c112_luby_mis,
+    "c113_kneser_ney": q_c113_kneser_ney,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -10995,6 +11009,43 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c113_kneser_ney"] = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks
+    ),
+    bi AS MATERIALIZED (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pos
+    ),
+    bc AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c) AS ctx, count(*) AS nfollow FROM bc GROUP BY 1),
+    prec AS (SELECT w2, count(*) AS nprec FROM bc GROUP BY 1),
+    scalars AS (
+        SELECT count(CASE WHEN c = 1 THEN 1 END) AS s1,
+               count(CASE WHEN c = 2 THEN 1 END) AS s2,
+               count(*) AS types
+        FROM bc
+    )
+    SELECT b.w1, b.w2, b.c::bigint AS c,
+           round(
+               greatest(b.c - (s.s1::DOUBLE / (s.s1 + 2 * s.s2)), 0.0)
+                   / x.ctx
+               + ((s.s1::DOUBLE / (s.s1 + 2 * s.s2)) * x.nfollow / x.ctx)
+                   * (p.nprec::DOUBLE / s.types),
+               6) AS p_kn
+    FROM bc b
+    JOIN ctx x ON b.w1 = x.w1
+    JOIN prec p ON b.w2 = p.w2
+    CROSS JOIN scalars s
+    ORDER BY b.c DESC, b.w1, b.w2
+    LIMIT 200
+"""
 
 ORACLES["c111_paragraph_dedup"] = """
     WITH corpus AS (

@@ -563,3 +563,33 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert (out[4]["n_paras"], out[4]["kept"]) == (4, 1)
     assert out[4]["kept_chars"] == 1
     assert out[1]["kept_chars"] == len(p1) + len(p2)
+
+
+def test_kneser_ney_hand_checked(spark):
+    """KN bigram smoothing on a tiny corpus where every quantity is
+    hand-countable; probabilities per context must stay in (0, 1] and
+    the discount shifts mass toward high-continuation words."""
+    from neo4j_graphdb_spark.functions.text import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b x c")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           kneser_ney_bigrams(docs, "doc_id", "text", top_n=100).collect()}
+    # bigrams: doc1 = ab,ba,ab,ba,ac ; doc2 = ab,bx,xc
+    # counts: ab=3, ba=2, ac=1, bx=1, xc=1  → types=5, n1=3, n2=1
+    assert out[("a", "b")]["c"] == 3 and out[("b", "a")]["c"] == 2
+    D = 3 / (3 + 2 * 1)  # 0.6
+    # c(a·)=4, N1+(a·)=2 ; N1+(·b)=1 ; types=5
+    expect_ab = (3 - D) / 4 + (D * 2 / 4) * (1 / 5)
+    assert abs(out[("a", "b")]["p_kn"] - round(expect_ab, 6)) < 1e-9
+    # all probabilities in (0, 1]
+    assert all(0 < r["p_kn"] <= 1 for r in out.values())
+    # per-context sums over SEEN bigrams stay below 1 (mass reserved
+    # for unseen continuations is the point of the discount)
+    from collections import defaultdict
+    per_ctx = defaultdict(float)
+    for (w1, _), r in out.items():
+        per_ctx[w1] += r["p_kn"]
+    assert all(v <= 1.0 + 1e-9 for v in per_ctx.values())
