@@ -70,6 +70,50 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    A-ES scheme (2006): each row draws a key ``u^(1/w)`` from a uniform
+    ``u``; the ``k`` largest keys are exactly a weighted sample without
+    replacement. The uniform is a HASH of the row key (no RNG):
+    ``u = (md5_60(salt‖key) + 1) / 2^60 ∈ (0, 1]``, so re-runs, other
+    engines, and the SQL oracle draw the identical sample. Selection
+    compares ``ln(u)/w`` (monotone in the key, numerically tame);
+    weights must be strictly positive.
+
+    This is the one-pass distributed answer to "sample 10M docs
+    proportional to quality score" that rejection or prefix-sum schemes
+    can't give: per-row arithmetic (no sums across rows → no
+    float-order sensitivity), then a ``top-k`` that runs as
+    per-partition heads + a driver merge (TakeOrdered), never a global
+    sort. Returns the sampled rows with their draw key (``_k``,
+    rounded 6 dp), ordered nowhere — order is the consumer's concern.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    draw = F.ln(u) / wcol
+    return (
+        df.withColumn("_k", draw)
+        .orderBy(F.col("_k").desc(), F.col(key_col).asc())
+        .limit(k)
+        .withColumn("_k", F.round("_k", 6))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -8012,6 +8012,25 @@ def q_c113_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigrams(docs, "doc_id", "text", top_n=200)
 
 
+def q_c114_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C114 — Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample): 100 documents drawn
+    proportional to ``length(text)+1`` via hash-derived uniform keys —
+    deterministic, one pass, TakeOrdered top-k. The oracle draws the
+    identical sample from the identical md5-fold uniforms."""
+    from neo4j_graphdb_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") + F.lit(1)).cast("long").alias("w")
+    )
+    out = weighted_sample(docs, "doc_id", "w", k=100)
+    return out.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.col("_k").alias("draw"),
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8083,6 +8102,9 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   c10 variants: det_split, pii_redact, repetition, chunking — rotate
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
+#   r12 window should lead with: the 4 deferred c10 variants, the
+#   late-r11 additions c104-c113 + a83-a86 + rel_cube_rollup/rel_pivot
+#   (never driver-checked), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r11 driver window (first 50): the r2-r4 tier-A/B/C block —
     # oldest driver-greens, 6+ rounds unre-verified (rotation ledger
@@ -8155,6 +8177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c111_paragraph_dedup": q_c111_paragraph_dedup,
     "c112_luby_mis": q_c112_luby_mis,
     "c113_kneser_ney": q_c113_kneser_ney,
+    "c114_weighted_sample": q_c114_weighted_sample,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11009,6 +11032,26 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c114_weighted_sample"] = """
+    WITH d AS (
+        SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
+               list_reduce(list_transform(
+                   split(substr(md5(concat('ws', cast(doc_id AS varchar))), 1, 15), ''),
+                   x -> strpos('0123456789abcdef', x) - 1),
+                   (a, b) -> a * 16 + b)::bigint AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, w,
+               ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) / w AS draw
+        FROM d
+    )
+    SELECT doc_id, w, round(draw, 6) AS draw
+    FROM keyed
+    ORDER BY draw DESC, doc_id ASC
+    LIMIT 100
+"""
 
 ORACLES["c113_kneser_ney"] = """
     WITH toks AS MATERIALIZED (

@@ -593,3 +593,23 @@ def test_kneser_ney_hand_checked(spark):
     for (w1, _), r in out.items():
         per_ctx[w1] += r["p_kn"]
     assert all(v <= 1.0 + 1e-9 for v in per_ctx.values())
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES weighted sampling: exactly k distinct rows, deterministic
+    across runs, and weight-proportional in aggregate (heavy rows beat
+    light rows at ~weight ratio over many disjoint draws)."""
+    from neo4j_graphdb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_sample(df, "id", "w", k=50).collect()
+    assert len(out) == 50 and len({r["id"] for r in out}) == 50
+    out2 = weighted_sample(df, "id", "w", k=50).collect()
+    assert sorted(r["id"] for r in out) == sorted(r["id"] for r in out2)
+    # heavy ids are 10% of rows but carry ~92% of total weight; they
+    # should dominate the sample (binomial bound: P(<25 of 50) ≈ 0)
+    heavy = sum(1 for r in out if r["id"] % 10 == 0)
+    assert heavy >= 25, heavy
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", k=0)
