@@ -8031,6 +8031,42 @@ def q_c114_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c115_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115 — opt-out domain filtering (functions/text.py
+    domain_blocklist_filter): registrable-domain (eTLD+1) extraction
+    incl. multi-label public suffixes, then a broadcast anti-join
+    against the blocklist, so every subdomain form of a blocked domain
+    drops. URLs derive deterministically from ``documents`` (subdomain
+    depth, case, and TLD vary by doc_id residues); the oracle replays
+    host extraction, suffix logic, and the anti-join."""
+    from neo4j_graphdb_spark.functions.text import domain_blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("WWW."))
+        .when(F.col("doc_id") % 4 == 2, F.lit("cdn."))
+        .when(F.col("doc_id") % 4 == 3, F.lit("a.b."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("com"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), tld,
+        F.lit("/p/"), (F.col("doc_id") % 10).cast("string"),
+    )
+    blocked = spark.createDataFrame(
+        [("src3.com",), ("src7.co.uk",), ("src11.org",), ("src15.com",)],
+        "domain string",
+    )
+    out = domain_blocklist_filter(
+        docs.withColumn("url", url).select("doc_id", "url"), "url", blocked
+    )
+    return out.select("doc_id", "_host", "_reg")
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8178,6 +8214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c112_luby_mis": q_c112_luby_mis,
     "c113_kneser_ney": q_c113_kneser_ney,
     "c114_weighted_sample": q_c114_weighted_sample,
+    "c115_domain_blocklist": q_c115_domain_blocklist,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11032,6 +11069,40 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c115_domain_blocklist"] = """
+    WITH urls AS (
+        SELECT doc_id,
+               concat('https://',
+                      CASE WHEN doc_id % 4 = 1 THEN 'WWW.'
+                           WHEN doc_id % 4 = 2 THEN 'cdn.'
+                           WHEN doc_id % 4 = 3 THEN 'a.b.'
+                           ELSE '' END,
+                      source, '.',
+                      CASE WHEN doc_id % 3 = 1 THEN 'org'
+                           WHEN doc_id % 3 = 2 THEN 'co.uk'
+                           ELSE 'com' END,
+                      '/p/', cast(doc_id % 10 AS varchar)) AS url
+        FROM documents
+    ),
+    hosted AS (
+        SELECT doc_id,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+        FROM urls
+    ),
+    reg AS (
+        SELECT doc_id, host, l,
+               CASE WHEN concat_ws('.', l[len(l) - 1], l[len(l)]) IN
+                         ('co.uk', 'com.au', 'co.jp', 'com.br', 'co.in')
+                    THEN concat_ws('.', l[len(l) - 2], l[len(l) - 1], l[len(l)])
+                    ELSE concat_ws('.', l[len(l) - 1], l[len(l)]) END AS reg
+        FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM hosted)
+    )
+    SELECT doc_id, host AS _host, reg AS _reg
+    FROM reg
+    WHERE reg NOT IN ('src3.com', 'src7.co.uk', 'src11.org', 'src15.com')
+"""
 
 ORACLES["c114_weighted_sample"] = """
     WITH d AS (

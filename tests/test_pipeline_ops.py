@@ -613,3 +613,33 @@ def test_weighted_sample_properties(spark):
     assert heavy >= 25, heavy
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", k=0)
+
+
+def test_domain_blocklist_subdomain_forms_drop(spark):
+    from neo4j_graphdb_spark.functions.text import (
+        domain_blocklist_filter,
+        registrable_domain,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://evil.com/x"),
+            (2, "https://WWW.Evil.com/y"),
+            (3, "https://a.b.evil.com:8080/z?q=1"),
+            (4, "https://good.com/x"),
+            (5, "https://evil.co.uk/x"),        # blocked multi-TLD
+            (6, "https://sub.evil.co.uk/x"),    # subdomain of multi-TLD
+            (7, "https://co.uk.good.org/x"),    # 'co.uk' as subdomain — kept
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("evil.com",), ("evil.co.uk",)], "d string")
+    kept = {r["doc_id"] for r in domain_blocklist_filter(docs, "url", blocked).collect()}
+    assert kept == {4, 7}
+    # registrable_domain unit checks
+    one = spark.range(1).select(
+        registrable_domain(F.lit("a.b.evil.co.uk")).alias("r1"),
+        registrable_domain(F.lit("cdn.evil.com")).alias("r2"),
+        registrable_domain(F.lit("evil.com")).alias("r3"),
+    ).collect()[0]
+    assert (one["r1"], one["r2"], one["r3"]) == ("evil.co.uk", "evil.com", "evil.com")
