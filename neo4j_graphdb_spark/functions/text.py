@@ -1186,6 +1186,111 @@ def paragraph_dedup(
     )
 
 
+def term_cooccurrence_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    max_df: int = 40,
+    per_doc_cap: int = 12,
+    min_co: int = 2,
+    top_n: int = 200,
+    term_ngram: int = 1,
+) -> DataFrame:
+    """Term co-occurrence graph construction — the build step of a
+    GraphRAG pipeline (the reference ships langchain-neo4j + the
+    literal "GraphRAG" label, /root/reference/requirements.txt:2-6,
+    main.py:9, but never constructs the graph; c84 retrieves over one):
+    mid-frequency "entity" terms (document frequency in
+    [``min_df``, ``max_df``] — frequent enough to connect, rare enough
+    to discriminate) become nodes, and two terms sharing ≥ ``min_co``
+    documents become an edge weighted by co-document count and NPMI
+    (normalized pointwise mutual information, +1 ≈ perfect
+    association).
+
+    Returns the ``top_n`` edges by (co-count desc, a, b):
+    ``(a, b, co, npmi)`` with a < b and npmi rounded to 6 dp.
+
+    Scale shape + skew bound: the quadratic step — pairing terms within
+    a document — is capped at ``per_doc_cap``² per document by a
+    DETERMINISTIC per-doc term head (rarest-first: df asc, term asc),
+    so a pathological 10⁶-term document contributes 66 pairs, not
+    10¹². The df filter itself kills the power-law head (stopwords)
+    before any join. All counts are integers; NPMI is one per-row IEEE
+    tree over them — no float sums, no partition sensitivity.
+
+    ``term_ngram=2`` uses adjacent word bigrams (joined with ``_``) as
+    the entity unit — the discriminative stand-in when a real NER
+    tagger isn't in the loop (swap one in upstream as a column without
+    touching the graph shape).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    if term_ngram == 1:
+        units = toks
+    elif term_ngram == 2:
+        n = F.size(toks)
+        units = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        raise ValueError(f"term_ngram must be 1 or 2 (got {term_ngram})")
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(units)).alias("term"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    kept = dfreq.filter(
+        (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
+    )
+    doc_terms = terms.join(F.broadcast(kept), on="term")
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("term").asc())
+    capped = (
+        doc_terms.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_doc_cap)
+        .drop("_rn")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    lhs = capped.select(
+        F.col(id_col), F.col("term").alias("a"), F.col("_df").alias("_dfa")
+    )
+    rhs = capped.select(
+        F.col(id_col), F.col("term").alias("b"), F.col("_df").alias("_dfb")
+    )
+    pairs = (
+        lhs.join(rhs, on=id_col)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "_dfa", "_dfb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    npmi = F.ln(
+        (F.col("co") * F.lit(n_docs)).cast("double")
+        / (F.col("_dfa") * F.col("_dfb"))
+    ) / (-F.ln(F.col("co").cast("double") / F.lit(n_docs)))
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.col("co").cast("bigint").alias("co"),
+            F.round(npmi, 6).alias("npmi"),
+        )
+        .orderBy(F.col("co").desc(), "a", "b")
+        .limit(top_n)
+    )
+
+
 _MULTI_TLDS = ("co.uk", "com.au", "co.jp", "com.br", "co.in")
 
 

@@ -8067,6 +8067,22 @@ def q_c115_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "_host", "_reg")
 
 
+def q_c116_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116 — GraphRAG graph CONSTRUCTION (functions/text.py
+    term_cooccurrence_graph): mid-df bigram "entities" → capped
+    within-doc pairing → co-doc-count + NPMI edges, top-200. The
+    complement of c84's retrieval over an existing graph — together
+    they close the GraphRAG loop the reference only signals
+    (/root/reference/requirements.txt:2-6, main.py:9). Oracle replays
+    df filter, deterministic per-doc cap, pairing, and the NPMI tree."""
+    from neo4j_graphdb_spark.functions.text import term_cooccurrence_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_cooccurrence_graph(
+        docs, "doc_id", "text", term_ngram=2
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8215,6 +8231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c113_kneser_ney": q_c113_kneser_ney,
     "c114_weighted_sample": q_c114_weighted_sample,
     "c115_domain_blocklist": q_c115_domain_blocklist,
+    "c116_term_cooccurrence": q_c116_term_cooccurrence,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11069,6 +11086,48 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c116_term_cooccurrence"] = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        FROM toks WHERE len(l) >= 2
+    ),
+    units AS MATERIALIZED (
+        SELECT DISTINCT doc_id, concat(l[i], '_', l[i + 1]) AS term FROM pos
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM units GROUP BY 1),
+    kept AS (SELECT term, df FROM dfreq WHERE df BETWEEN 3 AND 40),
+    capped AS MATERIALIZED (
+        SELECT doc_id, term, df FROM (
+            SELECT u.doc_id, u.term, k.df,
+                   row_number() OVER (PARTITION BY u.doc_id
+                                      ORDER BY k.df ASC, u.term ASC) AS rn
+            FROM units u JOIN kept k ON u.term = k.term
+        ) WHERE rn <= 12
+    ),
+    pairs AS (
+        SELECT a.term AS a, b.term AS b, a.df AS dfa, b.df AS dfb,
+               count(*) AS co
+        FROM capped a JOIN capped b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2
+    ),
+    ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT a, b, co::bigint AS co,
+           round(ln(CAST(co * nd AS DOUBLE) / (dfa * dfb))
+                     / (-ln(CAST(co AS DOUBLE) / nd)),
+                 6) AS npmi
+    FROM pairs, ndocs
+    ORDER BY co DESC, a, b
+    LIMIT 200
+"""
 
 ORACLES["c115_domain_blocklist"] = """
     WITH urls AS (

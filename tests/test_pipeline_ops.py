@@ -643,3 +643,39 @@ def test_domain_blocklist_subdomain_forms_drop(spark):
         registrable_domain(F.lit("evil.com")).alias("r3"),
     ).collect()[0]
     assert (one["r1"], one["r2"], one["r3"]) == ("evil.co.uk", "evil.com", "evil.com")
+
+
+def test_term_cooccurrence_graph_hand_checked(spark):
+    """Unigram mode on a corpus where df bounds, the per-doc cap, and
+    NPMI are all hand-computable."""
+    import math
+    from neo4j_graphdb_spark.functions.text import term_cooccurrence_graph
+
+    # x,y co-occur in 3 of 6 docs; z rides along once; 'the' is in every
+    # doc (df 6 > max_df 5 → dropped); 'rare' df 1 < min_df 2 → dropped
+    docs = spark.createDataFrame(
+        [
+            (1, "the x y"),
+            (2, "the x y z"),
+            (3, "the x y"),
+            (4, "the x rare"),
+            (5, "the z"),
+            (6, "the z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in term_cooccurrence_graph(
+        docs, "doc_id", "text",
+        min_df=2, max_df=5, per_doc_cap=12, min_co=2, top_n=100,
+    ).collect()}
+    # kept terms: x (df 4), y (df 3), z (df 3); edges with co>=2: (x,y) co=3
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r["co"] == 3
+    expect = math.log((3 * 6) / (4 * 3)) / (-math.log(3 / 6))
+    assert abs(r["npmi"] - round(expect, 6)) < 1e-9
+    # bigram mode runs and respects a < b ordering
+    bi = term_cooccurrence_graph(
+        docs, "doc_id", "text", min_df=2, max_df=5, min_co=2, term_ngram=2,
+    ).collect()
+    assert all(r["a"] < r["b"] for r in bi)
