@@ -184,3 +184,85 @@ def bloom_semi_join(
             f"& shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))) != 0"
         )
     return probed.filter(cond).drop("bloom", *[f"_p{i}" for i in range(k)])
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Deterministic HyperLogLog cardinality per group (Flajolet et al.
+    2007) — the mergeable sketch behind every 100 TB "how many distinct
+    X" answer — built so the WHOLE estimate replays bit-for-bit in SQL
+    (unlike ``approx_count_distinct``, whose HLL++ registers are
+    engine-internal): the 60-bit md5-fold hash splits into a ``2^p``
+    bucket head and a remainder whose leading-zero rank comes from the
+    LENGTH OF ITS BINARY STRING (an exact integer — no float log2 whose
+    libm rounding could differ across engines).
+
+    Register state is one ``groupBy(group, bucket).max(rank)`` —
+    integer max is order-free and map-side combinable, and IS the
+    mergeable sketch: union of corpora = max of registers, the property
+    that lets 1000 executors sketch independently and merge in
+    O(2^p). The harmonic mean's ``Σ 2^-M[j]`` is computed EXACTLY as a
+    ``Σ 2^(60-M[j])`` decimal at fixed point (no float sum → no
+    partition-order sensitivity), empty registers contributing ``2^60``
+    each; one final double division + the standard linear-counting
+    small-range branch give the estimate.
+
+    Returns ``(group_col, occupied, exact_nd, est, rel_err)`` — the
+    exact distinct count rides along, so the entry self-reports its
+    error the way c57/c76 measure recall instead of assuming it.
+    """
+    from neo4j_graphdb_spark.operators.dedup import _md5_60
+
+    m = 1 << p
+    rem_bits = 60 - p
+    h = _md5_60(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    bucket = F.shiftright(h, rem_bits)
+    rem = h % F.lit(1 << rem_bits)
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.conv(rem.cast("string"), 10, 2)) + 1
+    )
+    hashed = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        bucket.alias("_b"),
+        rank.cast("int").alias("_r"),
+    )
+    regs = hashed.groupBy(group_col, "_b").agg(F.max("_r").alias("_m"))
+    per_g = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(60 - _m as int))").cast(
+                "decimal(38,0)"
+            )
+        ).alias("_s_occ"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("exact_nd")
+    )
+    v = F.lit(m) - F.col("occupied")
+    s_scaled = F.col("_s_occ") + v.cast("decimal(38,0)") * F.lit(1 << 60).cast(
+        "decimal(38,0)"
+    )
+    s = s_scaled.cast("double") / F.lit(float(1 << 60))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = alpha * F.lit(m) * F.lit(m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5) * F.lit(m)) & (v > 0),
+        F.lit(m) * F.ln(F.lit(m) / v),
+    ).otherwise(e_raw)
+    return (
+        per_g.join(exact, on=group_col)
+        .select(
+            group_col,
+            F.col("occupied").cast("bigint").alias("occupied"),
+            F.col("exact_nd").cast("bigint").alias("exact_nd"),
+            F.round(est, 6).alias("est"),
+            F.round((est - F.col("exact_nd")) / F.col("exact_nd"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )

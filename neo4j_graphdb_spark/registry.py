@@ -8083,6 +8083,20 @@ def q_c116_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c117_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C117 — deterministic HyperLogLog per-language cardinality
+    (operators/sketch.py hll_cardinality, p=10): md5-fold registers,
+    binary-string-length ranks (exact integers), fixed-point decimal
+    harmonic sum, linear-counting small-range branch — the mergeable
+    sketch whose ENTIRE estimate the oracle replays bit-for-bit, with
+    the exact count and relative error riding along (self-measuring,
+    like c57/c76)."""
+    from neo4j_graphdb_spark.operators.sketch import hll_cardinality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_cardinality(docs, "doc_id", "lang", p=10)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8232,6 +8246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c114_weighted_sample": q_c114_weighted_sample,
     "c115_domain_blocklist": q_c115_domain_blocklist,
     "c116_term_cooccurrence": q_c116_term_cooccurrence,
+    "c117_hll_sketch": q_c117_hll_sketch,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11086,6 +11101,52 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+_HLL_FOLD = _MD5_60_SQL.format(x="concat('hll:', cast(doc_id AS varchar))")
+ORACLES["c117_hll_sketch"] = f"""
+    WITH hashed AS (
+        SELECT lang, doc_id, {_HLL_FOLD} AS h FROM documents
+    ),
+    ranked AS (
+        SELECT lang, h >> 50 AS b,
+               CASE WHEN h % 1125899906842624 = 0 THEN 51
+                    ELSE 50 - length(bin(h % 1125899906842624)) + 1 END AS r
+        FROM hashed
+    ),
+    regs AS (SELECT lang, b, max(r) AS m FROM ranked GROUP BY 1, 2),
+    perg AS (
+        SELECT lang, count(*) AS occupied,
+               sum(((1::BIGINT << (60 - m)))::HUGEINT) AS s_occ
+        FROM regs GROUP BY 1
+    ),
+    calc AS (
+        SELECT lang, occupied,
+               CAST(s_occ + (1024 - occupied)::HUGEINT
+                        * (1::BIGINT << 60)::HUGEINT AS DOUBLE)
+                   / 1152921504606846976.0 AS s
+        FROM perg
+    ),
+    est0 AS (
+        SELECT lang, occupied,
+               ((0.7213 / (1.0 + 1.079 / 1024.0)) * 1024 * 1024) / s AS e_raw
+        FROM calc
+    ),
+    est1 AS (
+        SELECT lang, occupied,
+               CASE WHEN e_raw <= 2.5 * 1024 AND (1024 - occupied) > 0
+                    THEN 1024 * ln(1024 / (1024 - occupied))
+                    ELSE e_raw END AS est
+        FROM est0
+    ),
+    exact AS (
+        SELECT lang, count(DISTINCT doc_id) AS exact_nd
+        FROM documents GROUP BY 1
+    )
+    SELECT e.lang, occupied::bigint AS occupied, exact_nd::bigint AS exact_nd,
+           round(est, 6) AS est,
+           round((est - exact_nd) / exact_nd, 6) AS rel_err
+    FROM est1 e JOIN exact x ON e.lang = x.lang
+"""
 
 ORACLES["c116_term_cooccurrence"] = """
     WITH toks AS MATERIALIZED (

@@ -679,3 +679,21 @@ def test_term_cooccurrence_graph_hand_checked(spark):
         docs, "doc_id", "text", min_df=2, max_df=5, min_co=2, term_ngram=2,
     ).collect()
     assert all(r["a"] < r["b"] for r in bi)
+
+
+def test_hll_cardinality_accuracy_and_determinism(spark):
+    """HLL (p=10, σ ≈ 1.04/√1024 ≈ 3.3%): estimates land within ~4σ of
+    truth in both the linear-counting and raw regimes, and the result
+    is partition-count invariant (integer registers + fixed-point sum)."""
+    from neo4j_graphdb_spark.operators.sketch import hll_cardinality
+
+    rows = [(i, "big" if i < 20000 else "small") for i in range(20150)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = {r["g"]: r for r in hll_cardinality(df, "id", "g", p=10).collect()}
+    assert out["big"]["exact_nd"] == 20000 and out["small"]["exact_nd"] == 150
+    assert abs(out["big"]["rel_err"]) < 0.14      # 4σ
+
+    assert abs(out["small"]["rel_err"]) < 0.14
+    out2 = {r["g"]: r for r in
+            hll_cardinality(df.repartition(7), "id", "g", p=10).collect()}
+    assert out == out2
