@@ -266,3 +266,60 @@ def hll_cardinality(
             ),
         )
     )
+
+
+def count_min_sketch(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 512,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — frequency
+    estimation in ``depth × width`` integer cells over a token universe
+    too large to groupBy, with the one-sided guarantee
+    ``estimate ≥ true`` (collisions only ever ADD). Hashes are the
+    salted md5-fold (deterministic, SQL-replayable); cell updates are
+    INTEGER sums (map-side combinable, order-free), which is also the
+    merge rule — sketches of shards add cell-wise, the property that
+    lets executors sketch independently.
+
+    Self-measuring output (the c57/c76/c117 discipline): the ``top_k``
+    exact-top tokens are point-queried through the sketch, so every row
+    reports ``(token, exact, cms_est, overcount)`` with
+    ``overcount ≥ 0`` by construction — the entry PROVES its error
+    bound on fixture data instead of assuming it.
+
+    Scale shape: one explode to (row, bucket) cell increments, one
+    2048-cell aggregation; point queries broadcast-join the tiny cell
+    table. Nothing anywhere is proportional to the token universe
+    except the exact-verify side (which exists only for the
+    self-measurement, not for the sketch itself).
+    """
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+
+    toks = tokens.select(F.col(token_col).alias("tok"))
+    bucket_arr = F.array(
+        *[md5_bucket("tok", f"cms{i}:", width) for i in range(depth)]
+    )
+    cells = (
+        toks.select(F.posexplode(bucket_arr).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.col("exact").desc(), F.col("tok").asc()).limit(top_k)
+    probes = top.select(
+        "tok", "exact", F.posexplode(bucket_arr).alias("r", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), on=["r", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact")).cast("bigint").alias("overcount"),
+    )

@@ -8097,6 +8097,33 @@ def q_c117_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(docs, "doc_id", "lang", p=10)
 
 
+def q_c118_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118 — count-min sketch over corpus BIGRAMS (operators/sketch.py
+    count_min_sketch, 4×256 cells vs a ~900-bigram universe, so
+    collisions genuinely occur and the one-sided ``overcount ≥ 0``
+    guarantee is exercised, not vacuous). Top-30 exact-top bigrams
+    point-queried through the sketch; the oracle replays cells, probes,
+    and minima."""
+    from neo4j_graphdb_spark.operators.sketch import count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    units = docs.select(F.explode(bigrams).alias("tok"))
+    return count_min_sketch(units, "tok", depth=4, width=256, top_k=30)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8247,6 +8274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c115_domain_blocklist": q_c115_domain_blocklist,
     "c116_term_cooccurrence": q_c116_term_cooccurrence,
     "c117_hll_sketch": q_c117_hll_sketch,
+    "c118_count_min": q_c118_count_min,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11101,6 +11129,40 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c118_count_min"] = """
+    WITH toks AS MATERIALIZED (
+        SELECT concat(l[i], '_', l[i + 1]) AS tok FROM (
+            SELECT l, unnest(range(1, len(l))) AS i FROM (
+                SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ) WHERE len(l) >= 2
+        )
+    ),
+    cells AS MATERIALIZED (
+        SELECT r, bucket, count(*) AS cnt FROM (
+            SELECT 0 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms0:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM toks
+            UNION ALL SELECT 1 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms1:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM toks
+            UNION ALL SELECT 2 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms2:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM toks
+            UNION ALL SELECT 3 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms3:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM toks
+        ) GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1),
+    top AS MATERIALIZED (
+        SELECT tok, exact FROM exact ORDER BY exact DESC, tok ASC LIMIT 30
+    ),
+    probes AS (
+        SELECT tok, exact, 0 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms0:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM top
+            UNION ALL SELECT tok, exact, 1 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms1:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM top
+            UNION ALL SELECT tok, exact, 2 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms2:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM top
+            UNION ALL SELECT tok, exact, 3 AS r, (list_reduce(list_transform(split(substr(md5(concat('cms3:', tok)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 256 AS bucket FROM top
+    )
+    SELECT p.tok, p.exact::bigint AS exact, min(c.cnt)::bigint AS cms_est,
+           (min(c.cnt) - p.exact)::bigint AS overcount
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.tok, p.exact
+"""
 
 _HLL_FOLD = _MD5_60_SQL.format(x="concat('hll:', cast(doc_id AS varchar))")
 ORACLES["c117_hll_sketch"] = f"""

@@ -697,3 +697,22 @@ def test_hll_cardinality_accuracy_and_determinism(spark):
     out2 = {r["g"]: r for r in
             hll_cardinality(df.repartition(7), "id", "g", p=10).collect()}
     assert out == out2
+
+
+def test_count_min_one_sided_guarantee(spark):
+    """CMS never undercounts; with width >> universe it is exact."""
+    from neo4j_graphdb_spark.operators.sketch import count_min_sketch
+
+    rows = [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 7 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "tok string")
+    out = {r["tok"]: r for r in
+           count_min_sketch(df, "tok", depth=4, width=512, top_k=10).collect()}
+    assert out["a"]["exact"] == 100
+    assert all(r["overcount"] >= 0 for r in out.values())
+    # 4 tokens vs 4x512 cells: collision-free, estimates exact
+    assert all(r["cms_est"] == r["exact"] for r in out.values())
+    # tight sketch (width 2) must collide and overcount somewhere yet
+    # still never undercount
+    tight = count_min_sketch(df, "tok", depth=2, width=2, top_k=10).collect()
+    assert all(r["cms_est"] >= r["exact"] for r in tight)
+    assert sum(r["overcount"] for r in tight) > 0
