@@ -215,33 +215,69 @@ def hll_cardinality(
     exact distinct count rides along, so the entry self-reports its
     error the way c57/c76 measure recall instead of assuming it.
     """
-    from neo4j_graphdb_spark.operators.dedup import _md5_60
-
-    m = 1 << p
-    rem_bits = 60 - p
-    h = _md5_60(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
-    bucket = F.shiftright(h, rem_bits)
-    rem = h % F.lit(1 << rem_bits)
-    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
-        F.lit(rem_bits) - F.length(F.conv(rem.cast("string"), 10, 2)) + 1
-    )
     hashed = df.select(
         F.col(group_col),
-        F.col(key_col),
-        bucket.alias("_b"),
-        rank.cast("int").alias("_r"),
+        hll_bucket(F.col(key_col), p).alias("_b"),
+        hll_rank(F.col(key_col), p).alias("_r"),
     )
     regs = hashed.groupBy(group_col, "_b").agg(F.max("_r").alias("_m"))
-    per_g = regs.groupBy(group_col).agg(
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("exact_nd")
+    )
+    return (
+        hll_estimate(regs, [group_col], p)
+        .join(exact, on=group_col)
+        .select(
+            group_col,
+            F.col("occupied").cast("bigint").alias("occupied"),
+            F.col("exact_nd").cast("bigint").alias("exact_nd"),
+            F.round(F.col("_est"), 6).alias("est"),
+            F.round(
+                (F.col("_est") - F.col("exact_nd")) / F.col("exact_nd"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_bucket(key, p: int):
+    """Register index of ``key``: top ``p`` bits of the 60-bit md5 fold."""
+    from neo4j_graphdb_spark.operators.dedup import _md5_60
+
+    h = _md5_60(F.concat(F.lit("hll:"), key.cast("string")))
+    return F.shiftright(h, 60 - p)
+
+
+def hll_rank(key, p: int):
+    """Leading-zero rank of the hash remainder + 1, via the exact
+    binary-string-length path (no float log2)."""
+    from neo4j_graphdb_spark.operators.dedup import _md5_60
+
+    rem_bits = 60 - p
+    h = _md5_60(F.concat(F.lit("hll:"), key.cast("string")))
+    rem = h % F.lit(1 << rem_bits)
+    return (
+        F.when(rem == 0, F.lit(rem_bits + 1))
+        .otherwise(
+            F.lit(rem_bits) - F.length(F.conv(rem.cast("string"), 10, 2)) + 1
+        )
+        .cast("int")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list, p: int) -> DataFrame:
+    """Finalize HLL registers ``(group…, _b, _m)`` into per-group
+    ``(group…, occupied, _est)`` — fixed-point decimal harmonic sum +
+    linear-counting branch. Split out so STREAMED registers (a
+    streaming ``max`` aggregation, the one stateful op) finalize with
+    the identical math as batch ones."""
+    m = 1 << p
+    per_g = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("occupied"),
         F.sum(
             F.expr("shiftleft(cast(1 as bigint), cast(60 - _m as int))").cast(
                 "decimal(38,0)"
             )
         ).alias("_s_occ"),
-    )
-    exact = df.groupBy(group_col).agg(
-        F.countDistinct(key_col).alias("exact_nd")
     )
     v = F.lit(m) - F.col("occupied")
     s_scaled = F.col("_s_occ") + v.cast("decimal(38,0)") * F.lit(1 << 60).cast(
@@ -254,18 +290,7 @@ def hll_cardinality(
         (e_raw <= F.lit(2.5) * F.lit(m)) & (v > 0),
         F.lit(m) * F.ln(F.lit(m) / v),
     ).otherwise(e_raw)
-    return (
-        per_g.join(exact, on=group_col)
-        .select(
-            group_col,
-            F.col("occupied").cast("bigint").alias("occupied"),
-            F.col("exact_nd").cast("bigint").alias("exact_nd"),
-            F.round(est, 6).alias("est"),
-            F.round((est - F.col("exact_nd")) / F.col("exact_nd"), 6).alias(
-                "rel_err"
-            ),
-        )
-    )
+    return per_g.select(*group_cols, "occupied", est.alias("_est"))
 
 
 def count_min_sketch(

@@ -8124,6 +8124,72 @@ def q_c118_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_sketch(units, "tok", depth=4, width=256, top_k=30)
 
 
+def q_c119_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119 — streaming distinct-count via HLL registers ON THE REAL
+    STREAMING ENGINE: per (day window, event_type, bucket) the stream
+    maintains ``max(rank)`` as its ONE stateful aggregation (availableNow
+    trigger, memory sink). Integer max is order-free, so the register
+    state is arrival-order-invariant — which is exactly why a batch SQL
+    oracle can replay a STREAMING sketch bit-for-bit. Finalization
+    (fixed-point harmonic sum + linear-counting branch,
+    operators/sketch.py hll_estimate) runs in batch over the streamed
+    register sink — the c35 continuous-aggregate discipline: the stream
+    owns the finest state, batch owns the rollup. Exact counts +
+    rel_err ride along (self-measuring)."""
+    from neo4j_graphdb_spark.operators.sketch import (
+        hll_bucket,
+        hll_estimate,
+        hll_rank,
+    )
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+
+    _utc(spark)
+    p = 8
+    ev = stream_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.window("ts", "1 day").alias("w"),
+        "event_type",
+        hll_bucket(F.col("event_id"), p).alias("_b"),
+        hll_rank(F.col("event_id"), p).alias("_r"),
+    )
+    reg_stream = hashed.groupBy("w", "event_type", "_b").agg(
+        F.max("_r").alias("_m")
+    )
+    regs = run_stream_to_memory(
+        spark, reg_stream, output_mode="complete"
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "_b",
+        "_m",
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 day")["start"], "yyyy-MM-dd"
+            ).alias("day"),
+            "event_type",
+        )
+        .agg(F.countDistinct("event_id").alias("exact_nd"))
+    )
+    return (
+        hll_estimate(regs, ["day", "event_type"], p)
+        .join(exact, on=["day", "event_type"])
+        .select(
+            "day",
+            "event_type",
+            F.col("occupied").cast("bigint").alias("occupied"),
+            F.col("exact_nd").cast("bigint").alias("exact_nd"),
+            F.round(F.col("_est"), 6).alias("est"),
+            F.round(
+                (F.col("_est") - F.col("exact_nd")) / F.col("exact_nd"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8275,6 +8341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c116_term_cooccurrence": q_c116_term_cooccurrence,
     "c117_hll_sketch": q_c117_hll_sketch,
     "c118_count_min": q_c118_count_min,
+    "c119_stream_hll": q_c119_stream_hll,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11129,6 +11196,60 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c119_stream_hll"] = """
+    WITH hashed AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               event_type,
+               (list_reduce(list_transform(split(substr(md5(concat('hll:', cast(event_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) >> 52 AS b,
+               (list_reduce(list_transform(split(substr(md5(concat('hll:', cast(event_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 4503599627370496 AS rem,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT day, event_type, b,
+               CASE WHEN rem = 0 THEN 53
+                    ELSE 52 - length(bin(rem)) + 1 END AS r
+        FROM hashed
+    ),
+    regs AS (
+        SELECT day, event_type, b, max(r) AS m
+        FROM ranked GROUP BY 1, 2, 3
+    ),
+    perg AS (
+        SELECT day, event_type, count(*) AS occupied,
+               sum(((1::BIGINT << (60 - m)))::HUGEINT) AS s_occ
+        FROM regs GROUP BY 1, 2
+    ),
+    calc AS (
+        SELECT day, event_type, occupied,
+               CAST(s_occ + (256 - occupied)::HUGEINT
+                        * (1::BIGINT << 60)::HUGEINT AS DOUBLE)
+                   / 1152921504606846976.0 AS s
+        FROM perg
+    ),
+    est0 AS (
+        SELECT day, event_type, occupied,
+               ((0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256) / s AS e_raw
+        FROM calc
+    ),
+    est1 AS (
+        SELECT day, event_type, occupied,
+               CASE WHEN e_raw <= 2.5 * 256 AND (256 - occupied) > 0
+                    THEN 256 * ln(256 / (256 - occupied))
+                    ELSE e_raw END AS est
+        FROM est0
+    ),
+    exact AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               event_type, count(DISTINCT event_id) AS exact_nd
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.day, e.event_type, occupied::bigint AS occupied,
+           exact_nd::bigint AS exact_nd, round(est, 6) AS est,
+           round((est - exact_nd) / exact_nd, 6) AS rel_err
+    FROM est1 e JOIN exact x ON e.day = x.day AND e.event_type = x.event_type
+"""
 
 ORACLES["c118_count_min"] = """
     WITH toks AS MATERIALIZED (
