@@ -348,3 +348,106 @@ def count_min_sketch(
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("exact")).cast("bigint").alias("overcount"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash range:
+# floor(CDF(k) * 2^60) for k = 0..5 (tail mass beyond 6 ≈ 5e-5 folds
+# into the last bucket). Integer literals, so both engines compare the
+# SAME constants against the SAME fold — no float CDF at query time.
+_POISSON1_CUTS = [
+    424136118829305344,   # P(X<=0) = e^-1
+    848272237658610688,   # P(X<=1)
+    1060340297073263360,  # P(X<=2)
+    1131029650211480960,  # P(X<=3)
+    1148701988496035328,  # P(X<=4)
+    1152236456152946176,  # P(X<=5)
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_col: str,
+    replicates: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for a
+    per-group MEAN — the "how sure are we" layer a curation dashboard
+    needs over every corpus metric, in the only form that distributes:
+    the Poisson bootstrap (each row enters replicate *b* with weight
+    ~ Poisson(1), independently — no global resample, so replicates
+    build in ONE pass over ``replicates × rows`` exploded rows, shuffled
+    by group like any aggregation).
+
+    Every "random" weight is the salted md5-fold of ``(key, b)`` pushed
+    through a PRE-SCALED integer inverse-CDF table (``_POISSON1_CUTS``)
+    — no RNG, no runtime float CDF — and ``value_col`` must be integer,
+    so replicate sums are EXACT integer aggregates (order-free; the
+    division into a mean happens once per replicate). The CI is the
+    [``lo``, ``hi``] empirical quantile of the ``replicates`` means,
+    taken at integer ranks over a (group, replicate)-sized frame —
+    tiny, sortable, deterministic.
+
+    Returns ``(group_col, n, point_mean, ci_lo, ci_hi)``, all rounded
+    to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    from neo4j_graphdb_spark.operators.dedup import _md5_60
+
+    reps = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b"),
+    )
+    h = _md5_60(
+        F.concat(
+            F.lit("boot:"),
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("_b").cast("string"),
+        )
+    )
+    w = F.lit(len(_POISSON1_CUTS))
+    for k in range(len(_POISSON1_CUTS) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_CUTS[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("_w", w)
+        .groupBy(group_col, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .select(
+            group_col,
+            "_b",
+            (F.col("_ws").cast("double") / F.col("_wn")).alias("_mean"),
+        )
+    )
+    ord_w = Window.partitionBy(group_col).orderBy(F.col("_mean").asc(), F.col("_b").asc())
+    ranked = means.withColumn("_rn", F.row_number().over(ord_w)).withColumn(
+        "_nb", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    lo_rank = F.greatest(F.ceil(F.lit(lo) * F.col("_nb")).cast("int"), F.lit(1))
+    hi_rank = F.least(
+        F.ceil(F.lit(hi) * F.col("_nb")).cast("int"), F.col("_nb").cast("int")
+    )
+    bounds = ranked.groupBy(group_col).agg(
+        F.min(F.when(F.col("_rn") == lo_rank, F.col("_mean"))).alias("_lo"),
+        F.min(F.when(F.col("_rn") == hi_rank, F.col("_mean"))).alias("_hi"),
+    )
+    point = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"),
+    )
+    return point.join(bounds, on=group_col).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("point_mean"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+    )

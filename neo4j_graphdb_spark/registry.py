@@ -8190,6 +8190,21 @@ def q_c119_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c120_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C120 — deterministic Poisson-bootstrap 95% CI for mean n_chars
+    per language (operators/sketch.py bootstrap_ci, 100 replicates):
+    hash-derived Poisson(1) weights from a pre-scaled integer
+    inverse-CDF table, exact integer replicate sums, empirical-quantile
+    bounds at integer ranks. The oracle replays weights, replicate
+    means, and rank selection."""
+    from neo4j_graphdb_spark.operators.sketch import bootstrap_ci
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bootstrap_ci(
+        docs, "doc_id", "n_chars", "lang", replicates=100
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8342,6 +8357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c117_hll_sketch": q_c117_hll_sketch,
     "c118_count_min": q_c118_count_min,
     "c119_stream_hll": q_c119_stream_hll,
+    "c120_bootstrap_ci": q_c120_bootstrap_ci,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11196,6 +11212,52 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c120_bootstrap_ci"] = """
+    WITH reps AS (
+        SELECT lang, doc_id, n_chars AS v, b
+        FROM documents, unnest(range(100)) AS t(b)
+    ),
+    wts AS (
+        SELECT lang, b, v,
+               CASE WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 424136118829305344 THEN 0
+                    WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 848272237658610688 THEN 1
+                    WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 1060340297073263360 THEN 2
+                    WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 1131029650211480960 THEN 3
+                    WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 1148701988496035328 THEN 4
+                    WHEN (list_reduce(list_transform(split(substr(md5(concat('boot:', cast(doc_id AS varchar), ':', cast(b AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) < 1152236456152946176 THEN 5
+                    ELSE 6 END AS w
+        FROM reps
+    ),
+    means AS (
+        SELECT lang, b, CAST(sum(w * v) AS DOUBLE) / sum(w) AS mean
+        FROM wts GROUP BY 1, 2
+        HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT lang, b, mean,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY mean ASC, b ASC) AS rn,
+               count(*) OVER (PARTITION BY lang) AS nb
+        FROM means
+    ),
+    bounds AS (
+        SELECT lang,
+               min(CASE WHEN rn = greatest(CAST(ceil(0.025 * nb) AS INT), 1)
+                        THEN mean END) AS lo,
+               min(CASE WHEN rn = least(CAST(ceil(0.975 * nb) AS INT),
+                                        CAST(nb AS INT))
+                        THEN mean END) AS hi
+        FROM ranked GROUP BY 1
+    ),
+    point AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS s FROM documents GROUP BY 1
+    )
+    SELECT p.lang, n::bigint AS n,
+           round(CAST(s AS DOUBLE) / n, 6) AS point_mean,
+           round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+    FROM point p JOIN bounds bo ON p.lang = bo.lang
+"""
 
 ORACLES["c119_stream_hll"] = """
     WITH hashed AS (

@@ -716,3 +716,20 @@ def test_count_min_one_sided_guarantee(spark):
     tight = count_min_sketch(df, "tok", depth=2, width=2, top_k=10).collect()
     assert all(r["cms_est"] >= r["exact"] for r in tight)
     assert sum(r["overcount"] for r in tight) > 0
+
+
+def test_bootstrap_ci_brackets_truth(spark):
+    """The bootstrap CI contains the sample mean, bounds are ordered,
+    and the whole thing is partition-invariant."""
+    from neo4j_graphdb_spark.operators.sketch import bootstrap_ci
+
+    rows = [(i, "g", 10 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = bootstrap_ci(df, "id", "v", "g", replicates=60).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 500
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 2.0  # σ/√n ≈ 0.09 → CI well under ±1
+    out2 = bootstrap_ci(df.repartition(13), "id", "v", "g", replicates=60).collect()
+    assert out == out2
