@@ -79,6 +79,12 @@ HEADLINE = [
     "c105_levenshtein_near_dup",
     "rel_cube_rollup",
     "c109_zorder_layout",
+    # late round 11 additions — CCNet paragraph dedup (skew-immune
+    # min-struct winner election), NPMI co-occurrence graph build,
+    # deterministic HLL registers + finalize
+    "c111_paragraph_dedup",
+    "c116_term_cooccurrence",
+    "c117_hll_sketch",
 ]
 
 

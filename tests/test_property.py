@@ -646,6 +646,15 @@ _FLOAT_ORDER_ENTRIES = [
     # signals must not depend on partitioning either
     "c104_mmr_rerank",
     "c106_lexical_diversity",
+    # late-r11 additions with rounded-float outputs: KN probabilities,
+    # A-ES draw keys, NPMI, HLL estimates, bootstrap CI bounds — all
+    # built from exact integer aggregates + fixed per-row IEEE trees,
+    # which this test pins under partitioning variation
+    "c113_kneser_ney",
+    "c114_weighted_sample",
+    "c116_term_cooccurrence",
+    "c117_hll_sketch",
+    "c120_bootstrap_ci",
 ]
 
 
