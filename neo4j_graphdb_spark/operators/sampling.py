@@ -554,3 +554,63 @@ def dsir_scores(
             F.round(F.sum("_lr"), 4).alias("score"),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Hierarchical small-cell suppression over a quasi-identifier
+    hierarchy — the statistical-disclosure-control gate a training-data
+    governance pass runs before releasing per-group statistics (census
+    "cell suppression"): a row is reported under the MOST SPECIFIC
+    quasi-identifier prefix whose group holds at least ``k`` rows;
+    columns beyond the prefix generalize to ``'*'``, and rows whose
+    coarsest prefix (the first column alone) is still smaller than
+    ``k`` are suppressed outright (level −1, identifiers all ``'*'``).
+
+    ``qi_cols`` orders the hierarchy most→least identifying; level *j*
+    keeps the first ``len(qi_cols) − j`` columns. Returns one row per
+    released cell: the generalized identifier columns, ``level``, and
+    ``n`` — integer counts only, deterministic under any partitioning.
+
+    Caveat (documented, not hidden): the PREFIX is guaranteed ≥ k, but
+    a generalized residual cell — "(a, b, *) minus its released
+    children" — can hold < k rows; strict k-anonymity needs
+    Mondrian-style global recoding, which slots in upstream of this
+    release step without changing its shape.
+
+    Scale shape: one ``groupBy`` per hierarchy level over shrinking
+    column sets (all map-side combinable), joined back broadcast (group
+    dimension tables are bounded by the identifier domain, not the data);
+    the row side never shuffles more than once per level.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    n = len(qi_cols)
+    rows = df.select(*[F.col(c).cast("string").alias(c) for c in qi_cols])
+    # level j count: rows sharing the first (n - j) identifier values —
+    # one shrinking groupBy per level, joined back (broadcast: identifier
+    # domains, not data volume)
+    for j in range(n):
+        prefix = qi_cols[: n - j]
+        cnt = rows.groupBy(*prefix).agg(F.count(F.lit(1)).alias(f"_c{j}"))
+        rows = rows.join(F.broadcast(cnt), on=prefix)
+    level = F.lit(-1)
+    for j in range(n - 1, -1, -1):
+        level = F.when(F.col(f"_c{j}") >= k, F.lit(j)).otherwise(level)
+    rows = rows.withColumn("_lvl", level)
+    gen_cols = [
+        F.when(F.col("_lvl").between(0, n - 1 - i), F.col(c))
+        .otherwise(F.lit("*"))
+        .alias(c)
+        for i, c in enumerate(qi_cols)
+    ]
+    return (
+        rows.select(*gen_cols, F.col("_lvl").alias("level"))
+        .groupBy(*qi_cols, "level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

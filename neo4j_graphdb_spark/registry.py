@@ -8205,6 +8205,23 @@ def q_c120_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c121_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C121 — hierarchical small-cell suppression (operators/sampling.py
+    k_anonymize, k=5) over the (lang, source, length-bucket)
+    quasi-identifier hierarchy: each row releases at the most specific
+    prefix with ≥ 5 rows, deeper columns generalize to '*', sub-5
+    singletons suppress. Integer counts only; the oracle replays the
+    window counts, level election, and generalization."""
+    from neo4j_graphdb_spark.operators.sampling import k_anonymize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars div 50").cast("string").alias("bucket"),
+    )
+    return k_anonymize(docs, ["lang", "source", "bucket"], k=5)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8358,6 +8375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c118_count_min": q_c118_count_min,
     "c119_stream_hll": q_c119_stream_hll,
     "c120_bootstrap_ci": q_c120_bootstrap_ci,
+    "c121_k_anonymity": q_c121_k_anonymity,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11212,6 +11230,34 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c121_k_anonymity"] = """
+    WITH rows0 AS (
+        SELECT lang AS a, source AS b,
+               cast(n_chars // 50 AS varchar) AS c
+        FROM documents
+    ),
+    cnt AS (
+        SELECT a, b, c,
+               count(*) OVER (PARTITION BY a, b, c) AS c0,
+               count(*) OVER (PARTITION BY a, b) AS c1,
+               count(*) OVER (PARTITION BY a) AS c2
+        FROM rows0
+    ),
+    lv AS (
+        SELECT a, b, c,
+               CASE WHEN c0 >= 5 THEN 0
+                    WHEN c1 >= 5 THEN 1
+                    WHEN c2 >= 5 THEN 2
+                    ELSE -1 END AS level
+        FROM cnt
+    )
+    SELECT CASE WHEN level BETWEEN 0 AND 2 THEN a ELSE '*' END AS lang,
+           CASE WHEN level BETWEEN 0 AND 1 THEN b ELSE '*' END AS source,
+           CASE WHEN level = 0 THEN c ELSE '*' END AS bucket,
+           level, count(*)::bigint AS n
+    FROM lv GROUP BY 1, 2, 3, 4
+"""
 
 ORACLES["c120_bootstrap_ci"] = """
     WITH reps AS (

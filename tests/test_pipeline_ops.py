@@ -733,3 +733,23 @@ def test_bootstrap_ci_brackets_truth(spark):
     assert r["ci_hi"] - r["ci_lo"] < 2.0  # σ/√n ≈ 0.09 → CI well under ±1
     out2 = bootstrap_ci(df.repartition(13), "id", "v", "g", replicates=60).collect()
     assert out == out2
+
+
+def test_k_anonymize_levels_and_suppression(spark):
+    from neo4j_graphdb_spark.operators.sampling import k_anonymize
+
+    rows = (
+        [("us", "web", "x")] * 5          # level 0: full cell >= k
+        + [("us", "web", "y")] * 2        # level 1: (us,web)=7 >= k
+        + [("us", "app", "z")] * 1        # level 2: (us,app)=1, (us)=8
+        + [("zz", "eh", "q")] * 2         # level -1: (zz)=2 < k
+    )
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {(r["a"], r["b"], r["c"]): r for r in
+           k_anonymize(df, ["a", "b", "c"], k=5).collect()}
+    assert out[("us", "web", "x")]["level"] == 0
+    assert out[("us", "web", "x")]["n"] == 5
+    assert out[("us", "web", "*")]["level"] == 1 and out[("us", "web", "*")]["n"] == 2
+    assert out[("us", "*", "*")]["level"] == 2 and out[("us", "*", "*")]["n"] == 1
+    assert out[("*", "*", "*")]["level"] == -1 and out[("*", "*", "*")]["n"] == 2
+    assert len(out) == 4
