@@ -375,3 +375,104 @@ def incremental_rollup(
         )
     versions.write_next(merged)
     return versions.read(spark)
+
+
+def sax_words(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    days_per_seg: int = 3,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of each group's daily-total
+    series: z-normalize, PAA-average into ``days_per_seg``-day
+    segments, and map each segment to one of four symbols at the
+    standard-normal quartile breakpoints (±0.6744897501960817, 0) —
+    the discretization behind time-series motif mining, whose output
+    ("series → word") feeds the same shingle/minhash machinery this
+    engine already runs on text.
+
+    Every aggregate is EXACT: daily totals and their squares sum as
+    decimals (the c35/rel_time_rollup discipline — no float-sum order
+    sensitivity), μ and σ fall out of the exact sums via one fixed IEEE
+    tree, and the word assembles from a sorted struct array, not an
+    order-dependent collect. Returns
+    ``(group_col, n_days, mu, sigma, sax_word)`` with μ/σ rounded 6 dp.
+
+    Scale shape: one (group, day) rollup (map-side combinable), one
+    (group, segment) rollup over ~30× fewer rows, one per-group
+    finalize — a three-level cascade, each level orders of magnitude
+    smaller, nothing driver-side.
+    """
+    b = 0.6744897501960817  # Φ⁻¹(0.75): quartile breakpoints for |A|=4
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.groupBy(F.col(group_col), day.alias("_day"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_dsum"))
+    ).localCheckpoint(eager=False)  # feeds stats + segments
+    stats = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_dsum").alias("_s1"),
+        F.sum(F.col("_dsum") * F.col("_dsum")).alias("_s2"),
+        F.min("_day").alias("_d0"),
+    )
+    mu = F.col("_s1").cast("double") / F.col("n_days")
+    sigma = F.sqrt(
+        F.col("_s2").cast("double") / F.col("n_days") - mu * mu
+    )
+    seg = (
+        daily.join(
+            F.broadcast(stats.select(group_col, "_d0")), on=group_col
+        )
+        .withColumn(
+            "_seg",
+            F.expr(f"datediff(_day, _d0) div {int(days_per_seg)}"),
+        )
+        .groupBy(group_col, "_seg")
+        .agg(
+            F.sum("_dsum").alias("_ssum"),
+            F.count(F.lit(1)).alias("_ndays"),
+        )
+    )
+    z = (
+        F.col("_ssum").cast("double") / F.col("_ndays") - F.col("_mu")
+    ) / F.col("_sigma")
+    sym = (
+        F.when(z < F.lit(-b), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(b), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    symbols = (
+        seg.join(
+            F.broadcast(
+                stats.select(
+                    group_col,
+                    "n_days",
+                    mu.alias("_mu"),
+                    sigma.alias("_sigma"),
+                )
+            ),
+            on=group_col,
+        )
+        .select(group_col, "n_days", "_mu", "_sigma", "_seg", sym.alias("_sym"))
+    )
+    return (
+        symbols.groupBy(group_col, "n_days", "_mu", "_sigma")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_seg", "_sym"))),
+                    lambda s: s["_sym"],
+                ),
+                "",
+            ).alias("sax_word")
+        )
+        .select(
+            group_col,
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round("_mu", 6).alias("mu"),
+            F.round("_sigma", 6).alias("sigma"),
+            "sax_word",
+        )
+    )

@@ -8222,6 +8222,20 @@ def q_c121_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(docs, ["lang", "source", "bucket"], k=5)
 
 
+def q_c122_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C122 — SAX symbolization of each event type's daily-total series
+    (operators/temporal.py sax_words): decimal-exact daily/segment
+    sums, z-normalization from the exact moments, 3-day PAA segments,
+    quartile-breakpoint alphabet {a,b,c,d}. The series→word output is
+    what motif mining shingles; the oracle replays the cascade
+    term-for-term."""
+    from neo4j_graphdb_spark.operators.temporal import sax_words
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sax_words(ev, "ts", "value", "event_type", days_per_seg=3)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8376,6 +8390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c119_stream_hll": q_c119_stream_hll,
     "c120_bootstrap_ci": q_c120_bootstrap_ci,
     "c121_k_anonymity": q_c121_k_anonymity,
+    "c122_sax_words": q_c122_sax_words,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11230,6 +11245,48 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c122_sax_words"] = """
+    WITH daily AS (
+        SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+               sum(CAST(value AS DECIMAL(18,6))) AS dsum
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n_days,
+               sum(dsum) AS s1, sum(dsum * dsum) AS s2, min(day) AS d0
+        FROM daily GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, n_days, d0,
+               CAST(s1 AS DOUBLE) / n_days AS mu,
+               sqrt(CAST(s2 AS DOUBLE) / n_days
+                    - (CAST(s1 AS DOUBLE) / n_days)
+                        * (CAST(s1 AS DOUBLE) / n_days)) AS sigma
+        FROM stats
+    ),
+    seg AS (
+        SELECT d.event_type, date_diff('day', m.d0, d.day) // 3 AS seg,
+               sum(d.dsum) AS ssum, count(*) AS ndays
+        FROM daily d JOIN m ON d.event_type = m.event_type
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT event_type, seg,
+               CASE WHEN z < -0.6744897501960817 THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < 0.6744897501960817 THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM (SELECT s.event_type, s.seg,
+                     (CAST(s.ssum AS DOUBLE) / s.ndays - m.mu) / m.sigma AS z
+              FROM seg s JOIN m ON s.event_type = m.event_type)
+    )
+    SELECT m.event_type, n_days::bigint AS n_days, round(mu, 6) AS mu,
+           round(sigma, 6) AS sigma,
+           string_agg(sym, '' ORDER BY seg) AS sax_word
+    FROM sym JOIN m ON sym.event_type = m.event_type
+    GROUP BY m.event_type, n_days, mu, sigma
+"""
 
 ORACLES["c121_k_anonymity"] = """
     WITH rows0 AS (

@@ -237,3 +237,27 @@ def test_pit_join_validity_semantics(spark, monkeypatch):
         202: (102, 3.0),
         203: (103, 4.0),   # open-ended last version
     }
+
+
+def test_sax_words_hand_checked(spark):
+    """SAX on a hand-built two-week series: rising ramp maps to a
+    monotone word, constant series has σ=0 handled by construction
+    (no constant groups in fixture; here we assert the ramp only)."""
+    from datetime import datetime
+    from neo4j_graphdb_spark.operators.temporal import sax_words
+
+    rows = []
+    for d in range(12):
+        # daily totals 1..12: strictly rising ramp
+        rows.append(("ramp", datetime(2026, 1, 1 + d), float(d + 1)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = sax_words(df, "ts", "value", "g", days_per_seg=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 12
+    assert r["mu"] == 6.5
+    # 4 segments averaging (2, 5, 8, 11) → z strictly rising → word
+    # visits a < b < c < d in order
+    assert r["sax_word"] == "abcd"
+    out2 = sax_words(df.repartition(5), "ts", "value", "g").collect()
+    assert out == out2
