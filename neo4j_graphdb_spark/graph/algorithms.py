@@ -2347,3 +2347,65 @@ def weighted_sssp(
         ).localCheckpoint()
         frontier = improved
     return dist
+
+
+def csr_export(edges: DataFrame, bucket_width: int = 1000) -> DataFrame:
+    """CSR (compressed sparse row) adjacency export — the layout every
+    GNN training loop (DGL/PyG-style) and most native graph kernels
+    consume: per source node its sorted neighbor list, degree, and the
+    EXCLUSIVE prefix-sum offset into the concatenated neighbor array.
+    The reference's store is adjacency-as-rows; this is the bridge out
+    of it into tensor land.
+
+    Offsets are a distributed prefix sum with NO global single-partition
+    sort: sources bucket by ``src div bucket_width`` (contiguous id
+    ranges, so bucket order = source order), the within-bucket running
+    sum is a bucket-partitioned window, and the cross-bucket base is a
+    window over the bucket-total table — ``#buckets ≈ id_range/width``
+    rows, orders of magnitude smaller than the node set (recurse the
+    same trick if even that overflows one partition). Every quantity is
+    an integer and every ordering a total order, so the result is
+    partition-invariant and SQL-replayable; neighbor lists serialize as
+    comma-joined strings for cross-engine hashing.
+
+    Returns ``(src, degree, offset, neighbors)``.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("dst"))), ","
+        ).alias("neighbors"),
+    )
+    b = adj.withColumn("_bucket", F.expr(f"src div {int(bucket_width)}"))
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = b.withColumn(
+        "_local", F.sum("degree").over(w_local) - F.col("degree")
+    )
+    btot = b.groupBy("_bucket").agg(F.sum("degree").alias("_tot"))
+    w_base = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bbase = btot.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
+    ).select("_bucket", "_base")
+    return (
+        loc.join(F.broadcast(bbase), on="_bucket")
+        .select(
+            "src",
+            F.col("degree").cast("bigint").alias("degree"),
+            (F.col("_base") + F.col("_local")).cast("bigint").alias("offset"),
+            "neighbors",
+        )
+    )

@@ -8236,6 +8236,27 @@ def q_c122_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_words(ev, "ts", "value", "event_type", days_per_seg=3)
 
 
+def q_c123_csr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C123 — CSR adjacency export (graph/algorithms.py csr_export) of
+    a 1/5 slice of the customer→part graph: sorted neighbor lists,
+    degrees, and exclusive prefix-sum offsets computed by the two-level
+    bucketed prefix sum (no global single-partition sort). The GNN/
+    tensor bridge out of adjacency-as-rows; oracle replays lists,
+    windows, and offsets."""
+    from neo4j_graphdb_spark.graph.algorithms import csr_export
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return csr_export(cp, bucket_width=1000)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8391,6 +8412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c120_bootstrap_ci": q_c120_bootstrap_ci,
     "c121_k_anonymity": q_c121_k_anonymity,
     "c122_sax_words": q_c122_sax_words,
+    "c123_csr_export": q_c123_csr_export,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11245,6 +11267,38 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c123_csr_export"] = """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey::bigint AS src, l.l_partkey::bigint AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey % 5 = 0
+    ),
+    adj AS (
+        SELECT src, count(*) AS degree,
+               array_to_string(list_sort(list(dst)), ',') AS neighbors
+        FROM e GROUP BY src
+    ),
+    b AS (SELECT *, src // 1000 AS bucket FROM adj),
+    loc AS (
+        SELECT *,
+               sum(degree) OVER (PARTITION BY bucket ORDER BY src
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - degree AS local
+        FROM b
+    ),
+    bt AS (SELECT bucket, sum(degree) AS tot FROM b GROUP BY bucket),
+    bb AS (
+        SELECT bucket,
+               COALESCE(sum(tot) OVER (ORDER BY bucket
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS base
+        FROM bt
+    )
+    SELECT src::bigint AS src, degree::bigint AS degree,
+           (base + local)::bigint AS "offset", neighbors
+    FROM loc JOIN bb USING (bucket)
+"""
 
 ORACLES["c122_sax_words"] = """
     WITH daily AS (

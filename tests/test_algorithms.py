@@ -1077,3 +1077,29 @@ def test_luby_mis_properties(spark):
     a = sorted(luby_mis(edges).collect())
     b = sorted(luby_mis(edges).collect())
     assert a == b
+
+
+def test_csr_export_offsets_are_exact_prefix_sums(spark):
+    from neo4j_graphdb_spark.graph.algorithms import csr_export
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10),       # dup edge collapses
+         (5, 20),
+         (2001, 30), (2001, 31), (2001, 32)],  # second bucket (width 1000)
+        "src long, dst long",
+    )
+    out = {r["src"]: r for r in csr_export(edges, bucket_width=1000).collect()}
+    assert out[1]["degree"] == 2 and out[1]["neighbors"] == "10,11"
+    assert out[1]["offset"] == 0
+    assert out[5]["offset"] == 2          # after src 1's two neighbors
+    assert out[2001]["offset"] == 3       # cross-bucket base carries over
+    assert out[2001]["neighbors"] == "30,31,32"
+    # CSR invariant: offsets sorted by src are the running degree sum
+    srcs = sorted(out)
+    acc = 0
+    for s in srcs:
+        assert out[s]["offset"] == acc
+        acc += out[s]["degree"]
+    out2 = {r["src"]: r for r in
+            csr_export(edges.repartition(7), bucket_width=1000).collect()}
+    assert out == out2
