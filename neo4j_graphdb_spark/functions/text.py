@@ -1119,6 +1119,66 @@ def dup_span_stats(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before
+    it in corpus order — the "how much new text does each increment
+    add" curve a growing training set is steered by (novelty collapsing
+    toward 0 = the crawl is re-reading the web; the doc-level signal
+    behind RefinedWeb/FineWeb's diminishing-returns analyses). A
+    document's distinct word ``n``-grams split into *novel* (this doc
+    is the minimum ``id_col`` ever containing the gram) vs *seen*;
+    ``novelty = novel / n_grams``.
+
+    Corpus order is ``id_col`` (ingest sequence). Same first-occurrence
+    algebra as :func:`paragraph_dedup`, one level down: a
+    map-side-combinable ``groupBy(gram).min(id)`` election (skew-immune
+    — no windows), one join back, integer counts, one rounded ratio.
+    Documents shorter than ``n`` tokens drop out.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    grams = df.select(
+        F.col(id_col),
+        toks.alias("_w"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") >= n).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+                )
+            )
+        ).alias("_g"),
+    )
+    grams = grams.localCheckpoint(eager=False)  # reused: election + counts
+    first = grams.groupBy("_g").agg(F.min(F.col(id_col)).alias("_first"))
+    flagged = grams.join(first, on="_g")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col(id_col) == F.col("_first"), F.lit(1))).alias(
+                "novel"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("novel").cast("bigint").alias("novel"),
+            F.round(F.col("novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

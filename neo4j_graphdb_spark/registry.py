@@ -8257,6 +8257,18 @@ def q_c123_csr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csr_export(cp, bucket_width=1000)
 
 
+def q_c124_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C124 — per-document 5-gram novelty in ingest order
+    (functions/text.py ngram_novelty): distinct grams whose minimum
+    doc_id is this doc / all distinct grams — the diminishing-returns
+    curve of a growing corpus. Skew-immune min-election, integer
+    counts, one rounded ratio; oracle replays the election."""
+    from neo4j_graphdb_spark.functions.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=5)
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8413,6 +8425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c121_k_anonymity": q_c121_k_anonymity,
     "c122_sax_words": q_c122_sax_words,
     "c123_csr_export": q_c123_csr_export,
+    "c124_ngram_novelty": q_c124_ngram_novelty,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11267,6 +11280,28 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c124_ngram_novelty"] = """
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(l, i, i + 4), ' ') AS g
+        FROM (
+            SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ) WHERE len(l) >= 5
+        )
+    ),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id, count(*)::bigint AS n_grams,
+           count(CASE WHEN gr.doc_id = f.first_doc THEN 1 END)::bigint AS novel,
+           round(count(CASE WHEN gr.doc_id = f.first_doc THEN 1 END)
+                     / count(*), 6) AS novelty
+    FROM grams gr JOIN first f ON gr.g = f.g
+    GROUP BY gr.doc_id
+"""
 
 ORACLES["c123_csr_export"] = """
     WITH e AS (

@@ -753,3 +753,24 @@ def test_k_anonymize_levels_and_suppression(spark):
     assert out[("us", "*", "*")]["level"] == 2 and out[("us", "*", "*")]["n"] == 1
     assert out[("*", "*", "*")]["level"] == -1 and out[("*", "*", "*")]["n"] == 2
     assert len(out) == 4
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from neo4j_graphdb_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # grams: abcde, bcdef — all novel
+            (2, "a b c d e x"),        # abcde seen; bcdex novel → 1/2
+            (3, "a b c d e f"),        # both seen → 0/2
+            (4, "short text"),         # < 5 tokens → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(docs, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_grams"], out[1]["novel"]) == (2, 2)
+    assert (out[2]["n_grams"], out[2]["novel"]) == (2, 1)
+    assert out[2]["novelty"] == 0.5
+    assert (out[3]["n_grams"], out[3]["novel"]) == (2, 0)
