@@ -655,6 +655,8 @@ _FLOAT_ORDER_ENTRIES = [
     "c116_term_cooccurrence",
     "c117_hll_sketch",
     "c120_bootstrap_ci",
+    "c122_sax_words",
+    "c124_ngram_novelty",
 ]
 
 
