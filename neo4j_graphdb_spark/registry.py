@@ -8341,8 +8341,9 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c113 + a83-a86 + rel_cube_rollup/rel_pivot
-#   (never driver-checked), then backfill with the next-oldest greens.
+#   late-r11 additions c104-c124 + a83-a86 + rel_cube_rollup/rel_pivot
+#   (never driver-checked; more than one window's worth — spill the
+#   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r11 driver window (first 50): the r2-r4 tier-A/B/C block —
     # oldest driver-greens, 6+ rounds unre-verified (rotation ledger
