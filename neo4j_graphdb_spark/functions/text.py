@@ -1213,7 +1213,17 @@ def paragraph_dedup(
     ``xxhash64(paragraph)`` to shrink the shuffle, accepting the
     2^-64 collision odds every production pipeline accepts).
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    from neo4j_graphdb_spark.session import spread_partitions
+
+    # bind the token array to a column first: slicing the raw
+    # split+filter EXPRESSION would re-tokenize once per paragraph
+    base = spread_partitions(df).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("_w"),
+    )
+    toks = F.col("_w")
     n = F.size(toks)
     n_para = F.ceil(n / F.lit(para_tokens)).cast("int")
     paras_arr = F.transform(
@@ -1223,7 +1233,7 @@ def paragraph_dedup(
         ),
     )
     ex = (
-        df.filter(n > 0)
+        base.filter(n > 0)
         .select(F.col(id_col), F.posexplode(paras_arr).alias("_p", "_para"))
         .localCheckpoint(eager=False)  # reused: winner election + both counts
     )
