@@ -4106,3 +4106,32 @@ def test_text_write_return_projections(spark, tmp_path):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, {"l": "a1", "t": "x"}, store=s)
+
+
+def test_text_anchored_write_with_rel_on_match(spark, tmp_path):
+    """a85 × a86 composition: a MATCH-anchored MERGE edge takes
+    ON CREATE/ON MATCH prop groups, and the anchor semi-join still
+    drops rows whose anchor is missing."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "aocm"))
+    run_cypher(spark, "MERGE (a:Art {link: $l})", {"l": "x"}, store=s)
+    run_cypher(spark, "MERGE (t:Tag {name: $t})", {"t": "hot"}, store=s)
+    stmt = (
+        "MATCH (a:Art {link: $l}) MATCH (t:Tag {name: $t}) "
+        "MERGE (a)-[r:TAGGED]->(t) "
+        "ON CREATE SET r.first = $v ON MATCH SET r.again = $v"
+    )
+    r1 = run_cypher(spark, stmt, {"l": "x", "t": "hot", "v": "v1"}, store=s)
+    assert r1.summary.relationships_created == 1
+    assert r1.summary.properties_set == 1
+    r2 = run_cypher(spark, stmt, {"l": "x", "t": "hot", "v": "v2"}, store=s)
+    assert r2.summary.relationships_created == 0
+    row = s.edges().collect()[0]
+    assert row["first"] == "v1" and row["again"] == "v2"
+    # missing anchor: nothing written, ON CREATE never fires
+    r3 = run_cypher(
+        spark, stmt, {"l": "absent", "t": "hot", "v": "v3"}, store=s
+    )
+    assert r3.summary.relationships_created == 0
+    assert r3.summary.properties_set == 0
