@@ -8276,6 +8276,79 @@ def q_c124_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "doc_id", "text", n=5)
 
 
+def q_c125_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C125 — count-min cells maintained ON THE STREAMING ENGINE
+    (c119's twin for the second mergeable-sketch algebra): per
+    (day window, sketch row, bucket) the stream keeps an integer
+    ``count`` — streaming sums are order-free exactly like c119's
+    maxes, so the streamed cells equal batch cells bit-for-bit and a
+    batch SQL oracle can value-check a STREAM. Finalize in batch:
+    per-day top-3 exact-count users probe the streamed cells, min over
+    rows, ``overcount ≥ 0`` self-measured. Hashes are the salted
+    md5-fold (depth 4 × width 32)."""
+    from pyspark.sql import Window
+
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+    from neo4j_graphdb_spark.session import stream_table
+    from neo4j_graphdb_spark.streaming.ingest import run_stream_to_memory
+
+    _utc(spark)
+    depth, width = 4, 32
+    ev = stream_table(spark, sf_dir, "events")
+    buckets = F.array(
+        *[md5_bucket("user_id", f"scms{i}:", width) for i in range(depth)]
+    )
+    cell_stream = (
+        ev.select(
+            F.window("ts", "1 day").alias("w"),
+            F.posexplode(buckets).alias("r", "bucket"),
+        )
+        .groupBy("w", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = run_stream_to_memory(
+        spark, cell_stream, output_mode="complete"
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "r",
+        "bucket",
+        "cnt",
+    )
+    evb = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.window("ts", "1 day")["start"], "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    exact = evb.groupBy("day", "user_id").agg(F.count(F.lit(1)).alias("exact"))
+    wtop = Window.partitionBy("day").orderBy(
+        F.col("exact").desc(), F.col("user_id").asc()
+    )
+    top = (
+        exact.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+    probes = top.select(
+        "day",
+        "user_id",
+        "exact",
+        F.posexplode(buckets).alias("r", "bucket"),
+    )
+    est = (
+        probes.join(cells, on=["day", "r", "bucket"])
+        .groupBy("day", "user_id", "exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "day",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact")).cast("bigint").alias("overcount"),
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8348,7 +8421,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c124 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c125 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8434,6 +8507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c122_sax_words": q_c122_sax_words,
     "c123_csr_export": q_c123_csr_export,
     "c124_ngram_novelty": q_c124_ngram_novelty,
+    "c125_stream_count_min": q_c125_stream_count_min,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11288,6 +11362,46 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c125_stream_count_min"] = """
+    WITH base AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               user_id
+        FROM events
+    ),
+    expanded AS (
+        SELECT day, user_id, 0 AS r, (list_reduce(list_transform(split(substr(md5(concat('scms0:', cast(user_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) % 32 AS bucket FROM base
+            UNION ALL SELECT day, user_id, 1 AS r, (list_reduce(list_transform(split(substr(md5(concat('scms1:', cast(user_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) % 32 AS bucket FROM base
+            UNION ALL SELECT day, user_id, 2 AS r, (list_reduce(list_transform(split(substr(md5(concat('scms2:', cast(user_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) % 32 AS bucket FROM base
+            UNION ALL SELECT day, user_id, 3 AS r, (list_reduce(list_transform(split(substr(md5(concat('scms3:', cast(user_id AS varchar))), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b2) -> a * 16 + b2)::bigint) % 32 AS bucket FROM base
+    ),
+    cells AS MATERIALIZED (
+        SELECT day, r, bucket, count(*) AS cnt
+        FROM expanded GROUP BY 1, 2, 3
+    ),
+    exact AS (
+        SELECT day, user_id, count(*) AS exact FROM base GROUP BY 1, 2
+    ),
+    top AS MATERIALIZED (
+        SELECT day, user_id, exact FROM (
+            SELECT day, user_id, exact,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY exact DESC, user_id ASC) AS rn
+            FROM exact
+        ) WHERE rn <= 3
+    ),
+    probes AS (
+        SELECT t.day, t.user_id, t.exact, e.r, e.bucket
+        FROM top t JOIN expanded e
+          ON t.day = e.day AND t.user_id = e.user_id
+    )
+    SELECT p.day, p.user_id::bigint AS user_id, p.exact::bigint AS exact,
+           min(c.cnt)::bigint AS cms_est,
+           (min(c.cnt) - p.exact)::bigint AS overcount
+    FROM (SELECT DISTINCT day, user_id, exact, r, bucket FROM probes) p
+    JOIN cells c ON p.day = c.day AND p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.day, p.user_id, p.exact
+"""
 
 ORACLES["c124_ngram_novelty"] = """
     WITH grams AS (
