@@ -8349,6 +8349,23 @@ def q_c125_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c126_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C126 — LEAKAGE-SAFE grouped train/val/test split: assignment
+    hashes the GROUP key (source), not the row key, so every document
+    of a source lands in the same split — near-duplicate documents
+    from one origin can never straddle train and eval (the
+    contamination c20 measures, prevented at split time). Same
+    deterministic_split machinery as c10_det_split; the oracle replays
+    the md5 bucket on the group key. Group integrity is also asserted
+    in pytest (one split per source)."""
+    from neo4j_graphdb_spark.functions.text import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8421,7 +8438,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c125 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c126 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8508,6 +8525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c123_csr_export": q_c123_csr_export,
     "c124_ngram_novelty": q_c124_ngram_novelty,
     "c125_stream_count_min": q_c125_stream_count_min,
+    "c126_grouped_split": q_c126_grouped_split,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11362,6 +11380,18 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c126_grouped_split"] = """
+    SELECT doc_id, source,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               (list_reduce(list_transform(split(substr(md5(concat('split', source)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) % 1000000 AS b
+        FROM documents
+    )
+"""
 
 ORACLES["c125_stream_count_min"] = """
     WITH base AS (
