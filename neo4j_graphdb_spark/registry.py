@@ -8366,6 +8366,41 @@ def q_c126_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+def q_c127_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C127 — seeded-Laplace noisy count release, the reproducible-DP
+    idiom (ε=1, sensitivity 1 for a count): per-language document
+    counts plus Laplace noise whose uniform comes from the salted
+    md5-fold — the seeding every production DP pipeline applies so a
+    re-run releases the SAME noise instead of a fresh privacy spend.
+    Inverse-CDF Laplace (−(1/ε)·sign(u−½)·ln(1−2|u−½|)) as one fixed
+    per-row IEEE tree over the hash; released value is the noisy count
+    rounded to an integer and floored at 0 (post-processing, DP-safe).
+    Pairs with c121's small-cell suppression as the governance duo.
+    The oracle replays hash, inverse CDF, and rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    from neo4j_graphdb_spark.operators.dedup import _md5_60
+
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        _md5_60(F.concat(F.lit("dp:"), F.col("lang"))).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    noise = (
+        F.lit(-1.0)
+        * F.signum(u - F.lit(0.5))
+        * F.ln(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    released = F.greatest(
+        F.round(F.col("n") + noise, 0).cast("bigint"), F.lit(0)
+    )
+    return counts.select(
+        "lang",
+        F.col("n").cast("bigint").alias("true_n"),
+        released.alias("released_n"),
+        F.round(noise, 6).alias("noise"),
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8438,7 +8473,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c126 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c127 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8526,6 +8561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c124_ngram_novelty": q_c124_ngram_novelty,
     "c125_stream_count_min": q_c125_stream_count_min,
     "c126_grouped_split": q_c126_grouped_split,
+    "c127_dp_noisy_release": q_c127_dp_noisy_release,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11380,6 +11416,26 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c127_dp_noisy_release"] = """
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1
+    ),
+    noised AS (
+        SELECT lang, n,
+               (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        FROM (
+            SELECT lang, n,
+                   (CAST((list_reduce(list_transform(split(substr(md5(concat('dp:', lang)), 1, 15), ''), d -> strpos('0123456789abcdef', d) - 1), (a, b) -> a * 16 + b)::bigint) AS DOUBLE) + 0.5)
+                       / 1152921504606846976.0 AS u
+            FROM counts
+        )
+    )
+    SELECT lang, n::bigint AS true_n,
+           greatest(CAST(round(n + noise, 0) AS BIGINT), 0) AS released_n,
+           round(noise, 6) AS noise
+    FROM noised
+"""
 
 ORACLES["c126_grouped_split"] = """
     SELECT doc_id, source,

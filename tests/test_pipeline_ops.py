@@ -798,3 +798,19 @@ def test_grouped_split_has_group_integrity(spark):
         F.countDistinct("split").alias("nsplits")
     )
     assert any(r["nsplits"] > 1 for r in joined.collect())
+
+
+def test_dp_noisy_release_determinism_and_bounds(spark):
+    """Seeded-Laplace release: deterministic across runs/partitionings,
+    noise magnitude consistent with ε=1 (|noise| < 20 w.p. ~1-2e-9 per
+    cell), and released counts never negative."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["c127_dp_noisy_release"]
+    a = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+    for lang, true_n, released_n, noise in a:
+        assert released_n >= 0
+        assert abs(noise) < 20
+        assert abs(released_n - true_n) <= abs(noise) + 1
