@@ -8401,6 +8401,50 @@ def q_c127_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c128_session_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C128 — within-session event-type Markov transition matrix: the
+    behavioral-analytics staple (what follows what, given the
+    rel_sessionize 30-minute session boundaries). Adjacency is a lead
+    window inside (user, session) with the same (ts, event_id) total
+    order as rel_sessionize; counts are integers; probabilities one
+    rounded division per row. Oracle replays sessions, leads, and the
+    division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(order)
+    with_flag = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    sess = F.sum("_new").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = with_flag.withColumn("_sess", sess)
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    )
+    trans = (
+        seq.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("_next").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("cnt").alias("_tot"))
+    return (
+        trans.join(tot, on="src")
+        .select(
+            "src",
+            "dst",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("_tot"), 6).alias("p"),
+        )
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8473,7 +8517,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c127 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c128 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8562,6 +8606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c125_stream_count_min": q_c125_stream_count_min,
     "c126_grouped_split": q_c126_grouped_split,
     "c127_dp_noisy_release": q_c127_dp_noisy_release,
+    "c128_session_markov": q_c128_session_markov,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11416,6 +11461,38 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c128_session_markov"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id) AS dst
+        FROM sess
+    ),
+    trans AS (
+        SELECT src, dst, count(*) AS cnt FROM seq
+        WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, sum(cnt) AS tot FROM trans GROUP BY 1)
+    SELECT t.src, t.dst, t.cnt::bigint AS cnt,
+           round(CAST(t.cnt AS DOUBLE) / x.tot, 6) AS p
+    FROM trans t JOIN tot x ON t.src = x.src
+"""
 
 ORACLES["c127_dp_noisy_release"] = """
     WITH counts AS (

@@ -261,3 +261,42 @@ def test_sax_words_hand_checked(spark):
     assert r["sax_word"] == "abcd"
     out2 = sax_words(df.repartition(5), "ts", "value", "g").collect()
     assert out == out2
+
+
+def test_session_markov_hand_checked(spark):
+    """Transitions stay inside session boundaries: a >30-min gap breaks
+    the chain, probabilities normalize per source state."""
+    from datetime import datetime, timedelta
+    import __spark_entry__  # noqa: F401  (ensures registry importable)
+    from neo4j_graphdb_spark.registry import q_c128_session_markov
+    import tempfile, os
+    from pyspark.sql import functions as F
+
+    base = datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1, session 1: A -> B -> A
+        (1, 1, base, "A", 0.0, "{}"),
+        (2, 1, base + timedelta(minutes=1), "B", 0.0, "{}"),
+        (3, 1, base + timedelta(minutes=2), "A", 0.0, "{}"),
+        # gap > 30 min: new session, single event (no transition out)
+        (4, 1, base + timedelta(minutes=60), "B", 0.0, "{}"),
+        # user 2: B -> B
+        (5, 2, base, "B", 0.0, "{}"),
+        (6, 2, base + timedelta(minutes=5), "B", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # the fixture layout is a single parquet FILE per table
+        p = os.path.join(d, "events.parquet")
+        df.toPandas().to_parquet(p, index=False)
+        out = {(r["src"], r["dst"]): r
+               for r in q_c128_session_markov(spark, d).collect()}
+    # transitions: A->B (1), B->A (1), B->B (1); the 60-min B never
+    # links back to the earlier session
+    assert out[("A", "B")]["cnt"] == 1 and out[("A", "B")]["p"] == 1.0
+    assert out[("B", "A")]["cnt"] == 1 and out[("B", "A")]["p"] == 0.5
+    assert out[("B", "B")]["cnt"] == 1 and out[("B", "B")]["p"] == 0.5
+    assert len(out) == 3
