@@ -1170,6 +1170,7 @@ def _run_text_call(
              "hashMode"},
             ["key_a", "key_b", "jaccard"],
         ),
+        "mis": ({"rounds", "hashMode"}, ["key", "state"]),
     }
     # Neo4j's schema-introspection namespace: db.labels() /
     # db.relationshipTypes() / db.propertyKeys() — the three procedures
@@ -1380,6 +1381,14 @@ def _run_text_call(
         out = with_key(res, "id", "key").select(
             "key", F.col("degree").cast("bigint").alias("degree")
         )
+    elif proc == "mis":
+        # deterministic Luby maximal independent set (c112's substrate)
+        res = alg.luby_mis(
+            edges_df,
+            rounds=int(cfg.pop("rounds", 8)),
+            hash_mode=str(cfg.pop("hashMode", "xxhash64")),
+        )
+        out = with_key(res, "node", "key").select("key", "state")
     elif proc == "k_truss":
         res = alg.k_truss(edges_df, k=int(cfg.pop("k", 4)))
         out = with_key(res, "u", "key1")

@@ -4135,3 +4135,34 @@ def test_text_anchored_write_with_rel_on_match(spark, tmp_path):
     )
     assert r3.summary.relationships_created == 0
     assert r3.summary.properties_set == 0
+
+
+def test_text_call_mis_procedure(spark, tmp_path):
+    """CALL graft.mis runs the Luby MIS over the store graph and yields
+    a valid independent, maximal, fully-decided assignment."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "mis"))
+    adj = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "f")]
+    for a, b in adj:
+        run_cypher(
+            spark,
+            "MERGE (x:N {k: $a}) MERGE (y:N {k: $b}) MERGE (x)-[:E]->(y)",
+            {"a": a, "b": b}, store=s,
+        )
+    out = {
+        r["key"]: r["state"]
+        for r in run_cypher(
+            spark, "CALL graft.mis({rounds: 8}) YIELD key, state "
+                   "RETURN key, state", store=s,
+        ).df.collect()
+    }
+    assert set(out) == set("abcdef")
+    assert "undecided" not in out.values()
+    mis = {k for k, v in out.items() if v == "mis"}
+    assert not any(u in mis and v in mis for u, v in adj)
+    nbrs = {}
+    for u, v in adj:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    assert all(nbrs[k] & mis for k, v in out.items() if v == "excluded")
