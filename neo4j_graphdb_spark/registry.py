@@ -8445,6 +8445,49 @@ def q_c128_session_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c129_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C129 — robust MAD outlier scan per order priority: the
+    median-absolute-deviation fence (|x − med| > 3·1.4826·MAD), which
+    survives the heavy tails that wreck the z-score and resists the
+    masking rel_outliers' IQR fence suffers at high contamination.
+    Exact interpolated medians on both engines (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the rel_outliers precedent), two-level:
+    group medians broadcast, deviation medians broadcast, one fence
+    filter. Output: per-group totals + outlier counts + fences."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_med")
+    )
+    dev = orders.join(F.broadcast(med), on="o_orderpriority").withColumn(
+        "_adev", F.abs(F.col("o_totalprice") - F.col("_med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    fenced = dev.join(F.broadcast(mad), on="o_orderpriority")
+    thresh = F.lit(3.0) * F.lit(1.4826) * F.col("_mad")
+    return (
+        fenced.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_adev") > thresh, F.lit(1))).alias(
+                "n_outliers"
+            ),
+            F.round(F.min("_med"), 6).alias("med"),
+            F.round(F.min("_mad"), 6).alias("mad"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            "med",
+            "mad",
+        )
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8517,7 +8560,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c128 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c129 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8607,6 +8650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c126_grouped_split": q_c126_grouped_split,
     "c127_dp_noisy_release": q_c127_dp_noisy_release,
     "c128_session_markov": q_c128_session_markov,
+    "c129_mad_outliers": q_c129_mad_outliers,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11461,6 +11505,30 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c129_mad_outliers"] = """
+    WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, o.o_totalprice, m.med,
+               abs(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+        SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority AS priority,
+           count(*)::bigint AS n,
+           count(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 END)::bigint
+               AS n_outliers,
+           round(min(d.med), 6) AS med,
+           round(min(a.mad), 6) AS mad
+    FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+    GROUP BY 1
+"""
 
 ORACLES["c128_session_markov"] = """
     WITH flagged AS (

@@ -814,3 +814,23 @@ def test_dp_noisy_release_determinism_and_bounds(spark):
         assert released_n >= 0
         assert abs(noise) < 20
         assert abs(released_n - true_n) <= abs(noise) + 1
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    import tempfile, os
+    from neo4j_graphdb_spark.registry import q_c129_mad_outliers
+    import pandas as pd
+
+    vals = [100.0 + (i % 10) for i in range(200)] + [10_000.0]  # one spike
+    pdf = pd.DataFrame({
+        "o_orderkey": range(201),
+        "o_orderpriority": ["1-URGENT"] * 201,
+        "o_totalprice": vals,
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        out = q_c129_mad_outliers(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 201 and r["n_outliers"] == 1
+    assert 100.0 <= r["med"] <= 110.0
