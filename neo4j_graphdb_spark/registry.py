@@ -8488,6 +8488,47 @@ def q_c129_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c130_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C130 — reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+    BM25 query formulations — RRF's original TREC use (fusing multiple
+    formulations of one information need) and the same fusion every
+    hybrid RAG stack applies to lexical+dense lists. Each side is the
+    c63 retriever at depth 50; ranks are total-ordered (score desc,
+    doc_id); the fused score is a FIXED two-term expression
+    (coalesce(1/(60+r_a), 0) + coalesce(1/(60+r_b), 0)) — no float
+    sums over variable row sets. Top-10 out; the oracle replays both
+    scoring chains and the fusion."""
+    from pyspark.sql import Window
+
+    from neo4j_graphdb_spark.functions.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ranked(terms):
+        hits = bm25_search(docs, "doc_id", "text", terms, k=50)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return hits.select(
+            "doc_id", F.row_number().over(w).alias("_r")
+        )
+
+    a = ranked(["table", "join", "query"]).withColumnRenamed("_r", "rank_a")
+    b = ranked(["spark", "stream", "window"]).withColumnRenamed("_r", "rank_b")
+    fused = a.join(b, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_b")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_a").cast("bigint").alias("rank_a"),
+            F.col("rank_b").cast("bigint").alias("rank_b"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8560,7 +8601,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c129 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c130 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8651,6 +8692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c127_dp_noisy_release": q_c127_dp_noisy_release,
     "c128_session_markov": q_c128_session_markov,
     "c129_mad_outliers": q_c129_mad_outliers,
+    "c130_rrf_fusion": q_c130_rrf_fusion,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11505,6 +11547,105 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c130_rrf_fusion"] = """
+    WITH
+    docs_a AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+        FROM documents
+    ),
+    consts_a AS (
+        SELECT count(DISTINCT doc_id)::double AS n_docs, avg(dl::double) AS avgdl
+        FROM docs_a
+    ),
+    words_a AS (
+        SELECT doc_id, dl,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM docs_a
+    ),
+    tf_a AS (
+        SELECT doc_id, token, count(*)::bigint AS tf, first(dl) AS dl
+        FROM words_a WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq_a AS (SELECT token, count(*) AS df FROM tf_a GROUP BY token),
+    bm_a AS (
+        SELECT tf_a.doc_id, tf_a.token,
+               ln((c.n_docs - dfreq_a.df + 0.5) / (dfreq_a.df + 0.5) + 1.0)
+               * tf_a.tf * (1.2 + 1.0)
+               / (tf_a.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf_a.dl::double / c.avgdl))
+                   AS s
+        FROM tf_a JOIN dfreq_a USING (token) CROSS JOIN consts_a c
+        WHERE tf_a.token IN ('table', 'join', 'query')
+    ),
+    scores_a AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN token = 'table' THEN s END), 0)
+             + coalesce(max(CASE WHEN token = 'join' THEN s END), 0)
+             + coalesce(max(CASE WHEN token = 'query' THEN s END), 0) AS score
+        FROM bm_a GROUP BY doc_id
+    ),
+    top_a AS (
+        SELECT doc_id, rk FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM scores_a WHERE score > 0
+        ) WHERE rk <= 50
+    ),
+    docs_b AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+        FROM documents
+    ),
+    consts_b AS (
+        SELECT count(DISTINCT doc_id)::double AS n_docs, avg(dl::double) AS avgdl
+        FROM docs_b
+    ),
+    words_b AS (
+        SELECT doc_id, dl,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM docs_b
+    ),
+    tf_b AS (
+        SELECT doc_id, token, count(*)::bigint AS tf, first(dl) AS dl
+        FROM words_b WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq_b AS (SELECT token, count(*) AS df FROM tf_b GROUP BY token),
+    bm_b AS (
+        SELECT tf_b.doc_id, tf_b.token,
+               ln((c.n_docs - dfreq_b.df + 0.5) / (dfreq_b.df + 0.5) + 1.0)
+               * tf_b.tf * (1.2 + 1.0)
+               / (tf_b.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf_b.dl::double / c.avgdl))
+                   AS s
+        FROM tf_b JOIN dfreq_b USING (token) CROSS JOIN consts_b c
+        WHERE tf_b.token IN ('spark', 'stream', 'window')
+    ),
+    scores_b AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN token = 'spark' THEN s END), 0)
+             + coalesce(max(CASE WHEN token = 'stream' THEN s END), 0)
+             + coalesce(max(CASE WHEN token = 'window' THEN s END), 0) AS score
+        FROM bm_b GROUP BY doc_id
+    ),
+    top_b AS (
+        SELECT doc_id, rk FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM scores_b WHERE score > 0
+        ) WHERE rk <= 50
+    )
+    SELECT doc_id, rank_a, rank_b, round(rrf, 6) AS rrf FROM (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.rk::bigint AS rank_a, b.rk::bigint AS rank_b,
+               COALESCE(1.0 / (60 + a.rk), 0.0)
+                   + COALESCE(1.0 / (60 + b.rk), 0.0) AS rrf
+        FROM top_a a FULL OUTER JOIN top_b b ON a.doc_id = b.doc_id
+    )
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+"""
 
 ORACLES["c129_mad_outliers"] = """
     WITH med AS (

@@ -834,3 +834,21 @@ def test_mad_outliers_flags_planted_spike(spark):
     r = out[0]
     assert r["n"] == 201 and r["n_outliers"] == 1
     assert 100.0 <= r["med"] <= 110.0
+
+
+def test_rrf_fusion_math(spark):
+    """RRF on hand-built rank lists: doc present in both lists at rank 1
+    beats a doc at rank 1 in only one list; absent side contributes 0."""
+    # exercise the fused-expression shape directly
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank_a int")
+    b = spark.createDataFrame([(1, 3), (9, 1)], "doc_id long, rank_b int")
+    fused = a.join(b, on="doc_id", how="full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_a")), F.lit(0.0)) + \
+          F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_b")), F.lit(0.0))
+    out = {r["doc_id"]: r["s"] for r in fused.select("doc_id", rrf.alias("s")).collect()}
+    assert abs(out[1] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(out[2] - 1 / 62) < 1e-12
+    assert abs(out[9] - 1 / 61) < 1e-12
+    assert out[1] > out[9] > out[2]
