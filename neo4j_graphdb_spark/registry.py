@@ -8529,6 +8529,47 @@ def q_c130_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c131_cosine_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C131 — embedding ISOTROPY diagnostic: the distribution of
+    pairwise cosines over a deterministic derangement (vector i vs
+    vector (i+97) mod N) — anisotropic ("cone-collapsed") embedding
+    spaces show a high mean pairwise cosine, the classic
+    representation-quality red flag (Ethayarajh 2019). One broadcast
+    scalar for N, one shifted self-join (no quadratic pair blowup —
+    exactly N pairs), the parity-proven fold cosine, then an integer
+    histogram on floor(cos·10). The oracle replays pairing, fold, and
+    binning."""
+    from neo4j_graphdb_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "_v"
+        ),
+    )
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("_n")))
+    a = emb.crossJoin(n).withColumn(
+        "_partner", F.pmod(F.col("vec_id") + F.lit(97), F.col("_n"))
+    )
+    b = emb.select(
+        F.col("vec_id").alias("_partner"), F.col("_v").alias("_w")
+    )
+    paired = a.join(b, on="_partner")
+    cos = cosine(F.col("_v"), F.col("_w"))
+    binned = paired.select(
+        F.floor(cos * F.lit(10.0)).cast("bigint").alias("bin"),
+        cos.alias("_c"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min("_c"), 6).alias("min_cos"),
+            F.round(F.max("_c"), 6).alias("max_cos"),
+        )
+    )
+
+
 def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C110 — per-language tokenizer fertility (tokens per word): the
     multilingual-budgeting diagnostic every pretraining mix needs —
@@ -8601,7 +8642,7 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
 #   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c130 + a83-a86 + rel_cube_rollup/rel_pivot
+#   late-r11 additions c104-c131 + a83-a86 + rel_cube_rollup/rel_pivot
 #   (never driver-checked; more than one window's worth — spill the
 #   remainder to r13), then backfill with the next-oldest greens.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8693,6 +8734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c128_session_markov": q_c128_session_markov,
     "c129_mad_outliers": q_c129_mad_outliers,
     "c130_rrf_fusion": q_c130_rrf_fusion,
+    "c131_cosine_isotropy": q_c131_cosine_isotropy,
     # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
     # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
@@ -11547,6 +11589,27 @@ ORACLES["c104_mmr_rerank"] = _mmr_oracle_sql(k=4, pool=8, lam=0.7)
 # even docs were seeded (origin stamp survives, ON MATCH adds seen),
 # odd docs were created by the second pass (origin='late', flag=1)
 ORACLES["c112_luby_mis"] = _mis_oracle_sql(rounds=8)
+
+ORACLES["c131_cosine_isotropy"] = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x AS double)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM e),
+    paired AS (
+        SELECT a.vec_id,
+               list_cosine_similarity(a.v, b.v) AS c
+        FROM e a
+        JOIN n ON TRUE
+        JOIN e b ON b.vec_id = (a.vec_id + 97) % n.n
+    )
+    SELECT CAST(floor(c * 10.0) AS BIGINT) AS bin,
+           count(*)::bigint AS n_pairs,
+           round(min(c), 6) AS min_cos,
+           round(max(c), 6) AS max_cos
+    FROM paired GROUP BY 1
+"""
 
 ORACLES["c130_rrf_fusion"] = """
     WITH

@@ -726,3 +726,25 @@ def test_levenshtein_near_dup_blocking_is_exact(spark):
             want[(i1, i2)] = d
     assert got == want and (1, 2) in got and got[(1, 2)] == 1
     assert all(a_[0] != 4 and a_[1] != 4 for a_ in got)  # block isolation
+
+
+def test_cosine_isotropy_histogram(spark):
+    """Isotropy histogram: orthonormal basis vectors pair to cosine 0
+    (bin 0); identical-direction pairs land in the top bin."""
+    import tempfile, os
+    import pandas as pd
+    from neo4j_graphdb_spark.registry import q_c131_cosine_isotropy
+
+    # 4 orthonormal basis vectors: every (i, (i+97)%4=(i+1)%4) pair is
+    # orthogonal -> cosine exactly 0.0, all four pairs in bin 0
+    vecs = [[0.0] * 4 for _ in range(4)]
+    for i in range(4):
+        vecs[i][i] = 1.0
+    pdf = pd.DataFrame({"vec_id": range(4), "embedding": vecs})
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+        out = q_c131_cosine_isotropy(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 0 and r["n_pairs"] == 4
+    assert r["min_cos"] == 0.0 and r["max_cos"] == 0.0
