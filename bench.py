@@ -129,6 +129,11 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Sidecar runs BEFORE the headline JSON so the one-JSON-line contract
+    # holds: the headline line must be the ABSOLUTE LAST stdout line the
+    # driver captures (r11 lost its official bench number to the old
+    # print-then-sidecar order — VERDICT r11 #4).
+    _bench_vs_duckdb_sidecar(sf_dir)
     print(
         json.dumps(
             {
@@ -140,13 +145,13 @@ def main() -> None:
             }
         )
     )
-    _bench_vs_duckdb_sidecar(sf_dir)
 
 
 def _infer_round() -> int:
-    """Current round number = 1 + the newest driver correctness artifact
-    (the driver writes CORRECTNESS_r{N}.json at the END of round N, and
-    runs bench.py during round N+1). Overridable via SPARK_GRAFT_ROUND."""
+    """Current round number = the newest driver correctness artifact: the
+    driver writes CORRECTNESS_r{N}.json BEFORE it runs bench.py in the
+    same round N (observed r11: CORRECTNESS_r11 existed at bench time),
+    so round = max(N), not max+1. Overridable via SPARK_GRAFT_ROUND."""
     if os.environ.get("SPARK_GRAFT_ROUND"):
         return int(os.environ["SPARK_GRAFT_ROUND"])
     import glob
@@ -158,7 +163,7 @@ def _infer_round() -> int:
         for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := _re.search(r"_r(\d+)\.json$", f))
     ]
-    return (max(ns) + 1) if ns else 0
+    return max(ns) if ns else 0
 
 
 def _bench_vs_duckdb_sidecar(sf_dir: str) -> None:
@@ -186,8 +191,8 @@ def _bench_vs_duckdb_sidecar(sf_dir: str) -> None:
                 sf_dir,
                 *HEADLINE,
             ],
-            stdout=sys.stderr,
-            stderr=sys.stderr,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
             timeout=600,
             cwd=here,
             check=False,

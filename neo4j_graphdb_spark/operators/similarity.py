@@ -797,6 +797,7 @@ def embedding_covariance(
     dim: int = 64,
     round_to: int = 6,
     grid: int = 1_000_000,
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Full d×d covariance matrix of an embedding column — the input to
     PCA/whitening/ZCA in an embedding-curation pipeline (and the
@@ -874,7 +875,7 @@ def embedding_covariance(
         F.col("i").alias("_mi"), F.col("s").alias("sx")
     )
     cnt = parts.filter(F.col("i") == -1).select(F.col("n").alias("_n"))
-    return (
+    joined = (
         xx.join(F.broadcast(mx), xx["i"] == mx["_mi"])
         .drop("_mi")
         .join(
@@ -885,21 +886,27 @@ def embedding_covariance(
         )
         .drop("_mj")
         .crossJoin(F.broadcast(cnt))
-        .select(
-            "i",
-            "j",
-            # identical expression tree to the oracle: exact integer sums
-            # cast to double once, then (Sxy - Sx*Sy/n)/(n-1)/grid²
-            F.round(
-                (
-                    F.col("sxy").cast("double")
-                    - F.col("sx").cast("double")
-                    * F.col("sy").cast("double")
-                    / F.col("_n").cast("double")
-                )
-                / (F.col("_n").cast("double") - F.lit(1.0))
-                / F.lit(float(grid) * float(grid)),
-                round_to,
-            ).alias("cov"),
-        )
     )
+    # identical expression tree to the oracle: exact integer sums cast to
+    # double once, then ((Sxy - Sx*Sy/n)/(n-1))/grid² — all operands are
+    # exact integers so the double result is bit-identical in any IEEE
+    # engine.
+    raw = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double")
+        * F.col("sy").cast("double")
+        / F.col("_n").cast("double")
+    ) / (F.col("_n").cast("double") - F.lit(1.0)) / F.lit(float(grid) * float(grid))
+    if fixed_point:
+        # Never ship engine-rounded doubles across a hash boundary: Spark
+        # rounds via BigDecimal HALF_UP on the shortest decimal repr,
+        # DuckDB via float multiply — half-way/ulp cases can differ.
+        # floor(x*10^k + 0.5) of a bit-identical double is engine-proof.
+        out_col = (
+            F.floor(raw * F.lit(float(10 ** round_to)) + F.lit(0.5))
+            .cast("long")
+            .alias("cov_micro")
+        )
+    else:
+        out_col = F.round(raw, round_to).alias("cov")
+    return joined.select("i", "j", out_col)

@@ -7202,7 +7202,11 @@ def q_c102_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graphdb_spark.operators.similarity import embedding_covariance
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_covariance(emb, "embedding", dim=64)
+    # fixed_point: emit integer cov_micro = floor(cov*1e6 + 0.5) instead of
+    # round(double, 6) — engine round() differs on half-way/ulp cases
+    # (3 consecutive driver hash flips); floor of a bit-identical double
+    # cannot (r12 fix per VERDICT r11 #2).
+    return embedding_covariance(emb, "embedding", dim=64, fixed_point=True)
 
 
 def q_c103_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7356,12 +7360,15 @@ def q_a81_text_label_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (n:Article) WHERE n.score % 2 = 0 SET n:Featured",
         store=store,
     )
-    return run_cypher(
+    res = run_cypher(
         spark,
         "MATCH (a:Article:Featured)-[r:WRITTEN_BY]->(p:Publisher) "
         "RETURN a.link AS link, p.publisher AS publisher, labels(a) AS ls",
         store=store,
     ).df
+    # labels() yields array<string>; the driver canonicalizer cannot hash
+    # list cells (a49 convention, see q_a49), so join to a ','-string.
+    return res.select("link", "publisher", F.array_join("ls", ",").alias("ls"))
 
 
 def q_a82_text_call_library2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8641,14 +8648,75 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   c10 variants: det_split, pii_redact, repetition, chunking — rotate
 #   them in r12), plus the c102 determinism FIX (fixed-point Gram sums;
 #   red in r9+r10) and the 4 round-11 additions a79/a80/a81/a82.
-#   r12 window should lead with: the 4 deferred c10 variants, the
-#   late-r11 additions c104-c131 + a83-a86 + rel_cube_rollup/rel_pivot
-#   (never driver-checked; more than one window's worth — spill the
-#   remainder to r13), then backfill with the next-oldest greens.
+#   r12 window (current first 50) = the two r11 driver-red fixes
+#   (a81 array_join'd labels, c102 fixed-point cov_micro), all 34
+#   never-driver-checked late-r11 entries (c104-c131, a83-a86,
+#   rel_cube_rollup, rel_pivot), the 4 deferred c10 variants
+#   (det_split, pii_redact, repetition, chunking), and 10 backfill
+#   slots from the next-oldest greens (r5-era c11-c16 block) that
+#   round-12 additions displace as they land.
+#   r13 window should rotate onto: any r12 additions not yet
+#   driver-checked, then the rest of the r5-era block (c17-c36 +
+#   early rel_* suite, driver-green r05, oldest remaining).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r11 driver window (first 50): the r2-r4 tier-A/B/C block —
-    # oldest driver-greens, 6+ rounds unre-verified (rotation ledger
-    # above) — then the round-11 fix + additions in the tail slots ----
+    # ---- r12 driver window (first 50): the two r11 driver-red FIXES
+    # (a81 array_join, c102 fixed-point cov_micro), then the 34
+    # never-driver-checked late-r11 entries (c104-c131, a83-a86,
+    # rel_cube_rollup, rel_pivot), the 4 deferred c10 variants, and
+    # 10 backfill slots from the next-oldest greens (r5-era c11-c16
+    # block). Round-12 additions displace backfill slots as they land.
+    # Rotation ledger above. ----
+    "a81_text_label_conjunction": q_a81_text_label_conjunction,
+    "c102_embedding_covariance": q_c102_embedding_covariance,
+    "c104_mmr_rerank": q_c104_mmr_rerank,
+    "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
+    "c106_lexical_diversity": q_c106_lexical_diversity,
+    "c107_approx_quantiles": q_c107_approx_quantiles,
+    "c108_window_topk": q_c108_window_topk,
+    "c109_zorder_layout": q_c109_zorder_layout,
+    "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
+    "c111_paragraph_dedup": q_c111_paragraph_dedup,
+    "c112_luby_mis": q_c112_luby_mis,
+    "c113_kneser_ney": q_c113_kneser_ney,
+    "c114_weighted_sample": q_c114_weighted_sample,
+    "c115_domain_blocklist": q_c115_domain_blocklist,
+    "c116_term_cooccurrence": q_c116_term_cooccurrence,
+    "c117_hll_sketch": q_c117_hll_sketch,
+    "c118_count_min": q_c118_count_min,
+    "c119_stream_hll": q_c119_stream_hll,
+    "c120_bootstrap_ci": q_c120_bootstrap_ci,
+    "c121_k_anonymity": q_c121_k_anonymity,
+    "c122_sax_words": q_c122_sax_words,
+    "c123_csr_export": q_c123_csr_export,
+    "c124_ngram_novelty": q_c124_ngram_novelty,
+    "c125_stream_count_min": q_c125_stream_count_min,
+    "c126_grouped_split": q_c126_grouped_split,
+    "c127_dp_noisy_release": q_c127_dp_noisy_release,
+    "c128_session_markov": q_c128_session_markov,
+    "c129_mad_outliers": q_c129_mad_outliers,
+    "c130_rrf_fusion": q_c130_rrf_fusion,
+    "c131_cosine_isotropy": q_c131_cosine_isotropy,
+    "a83_text_db_introspection": q_a83_text_db_introspection,
+    "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
+    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
+    "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
+    "rel_cube_rollup": q_rel_cube_rollup,
+    "rel_pivot": q_rel_pivot,
+    "c10_det_split": q_c10_det_split,
+    "c10_pii_redact": q_c10_pii_redact,
+    "c10_repetition": q_c10_repetition,
+    "c10_chunking": q_c10_chunking,
+    "c11_multimodal": q_c11_multimodal,
+    "c11_embedding_features": q_c11_embedding_features,
+    "c11_resize": q_c11_resize,
+    "c11_frame_sample": q_c11_frame_sample,
+    "c12_json_access": q_c12_json_access,
+    "c13_stream_ingest": q_c13_stream_ingest,
+    "c14_tumbling_window": q_c14_tumbling_window,
+    "c14_sliding_window": q_c14_sliding_window,
+    "c15_session_window": q_c15_session_window,
+    "c16_watermark_late_data": q_c16_watermark_late_data,
+    # ---- below the window: everything else, prior relative order ----
     "a16_text_where": q_a16_text_where,
     "a3_expand": q_a3_expand,
     "a3_expand_2hop": q_a3_expand_2hop,
@@ -8694,49 +8762,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_text_stats": q_c10_text_stats,
     "c10_lang_detect": q_c10_lang_detect,
     "c10_fingerprint": q_c10_fingerprint,
-    # ---- r11 fix (c102 determinism) + r11 additions ----
-    "c102_embedding_covariance": q_c102_embedding_covariance,
     "a79_text_rel_update": q_a79_text_rel_update,
     "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
-    "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "a82_text_call_library2": q_a82_text_call_library2,
-    # ---- late-r11 additions (rotate into the r12 driver window) ----
-    "c104_mmr_rerank": q_c104_mmr_rerank,
-    "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
-    "rel_cube_rollup": q_rel_cube_rollup,
-    "c106_lexical_diversity": q_c106_lexical_diversity,
-    "rel_pivot": q_rel_pivot,
-    "c107_approx_quantiles": q_c107_approx_quantiles,
-    "c108_window_topk": q_c108_window_topk,
-    "c109_zorder_layout": q_c109_zorder_layout,
-    "a83_text_db_introspection": q_a83_text_db_introspection,
-    "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
-    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
-    "c110_tokenizer_fertility": q_c110_tokenizer_fertility,
-    "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
-    "c111_paragraph_dedup": q_c111_paragraph_dedup,
-    "c112_luby_mis": q_c112_luby_mis,
-    "c113_kneser_ney": q_c113_kneser_ney,
-    "c114_weighted_sample": q_c114_weighted_sample,
-    "c115_domain_blocklist": q_c115_domain_blocklist,
-    "c116_term_cooccurrence": q_c116_term_cooccurrence,
-    "c117_hll_sketch": q_c117_hll_sketch,
-    "c118_count_min": q_c118_count_min,
-    "c119_stream_hll": q_c119_stream_hll,
-    "c120_bootstrap_ci": q_c120_bootstrap_ci,
-    "c121_k_anonymity": q_c121_k_anonymity,
-    "c122_sax_words": q_c122_sax_words,
-    "c123_csr_export": q_c123_csr_export,
-    "c124_ngram_novelty": q_c124_ngram_novelty,
-    "c125_stream_count_min": q_c125_stream_count_min,
-    "c126_grouped_split": q_c126_grouped_split,
-    "c127_dp_noisy_release": q_c127_dp_noisy_release,
-    "c128_session_markov": q_c128_session_markov,
-    "c129_mad_outliers": q_c129_mad_outliers,
-    "c130_rrf_fusion": q_c130_rrf_fusion,
-    "c131_cosine_isotropy": q_c131_cosine_isotropy,
-    # ---- long-green tail (driver-green r5-r10 union; 4 c10 variants
-    # deferred from the oldest block rotate in next round) ----
     "c66_pq_topk": q_c66_pq_topk,
     "rel_hierarchy": q_rel_hierarchy,
     "c67_bpe_merges": q_c67_bpe_merges,
@@ -8878,16 +8906,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c44_closeness": q_c44_closeness,
     "c45_walk_pairs": q_c45_walk_pairs,
     "c46_betweenness": q_c46_betweenness,
-    "c11_multimodal": q_c11_multimodal,
-    "c11_embedding_features": q_c11_embedding_features,
-    "c11_resize": q_c11_resize,
-    "c11_frame_sample": q_c11_frame_sample,
-    "c12_json_access": q_c12_json_access,
-    "c13_stream_ingest": q_c13_stream_ingest,
-    "c14_tumbling_window": q_c14_tumbling_window,
-    "c14_sliding_window": q_c14_sliding_window,
-    "c15_session_window": q_c15_session_window,
-    "c16_watermark_late_data": q_c16_watermark_late_data,
     "c17_stream_dedup": q_c17_stream_dedup,
     "c18_stateful_totals": q_c18_stateful_totals,
     "c19_stream_interval_join": q_c19_stream_interval_join,
@@ -8926,10 +8944,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_bucketed_join": q_rel_bucketed_join,
     "rel_gap_fill": q_rel_gap_fill,
     "c36_hits": q_c36_hits,
-    "c10_chunking": q_c10_chunking,
-    "c10_det_split": q_c10_det_split,
-    "c10_pii_redact": q_c10_pii_redact,
-    "c10_repetition": q_c10_repetition,
 }
 
 
@@ -12142,7 +12156,7 @@ ORACLES["c117_hll_sketch"] = f"""
     FROM est1 e JOIN exact x ON e.lang = x.lang
 """
 
-ORACLES["c116_term_cooccurrence"] = """
+ORACLES["c116_term_cooccurrence"] = r"""
     WITH toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -12238,7 +12252,7 @@ ORACLES["c114_weighted_sample"] = """
     LIMIT 100
 """
 
-ORACLES["c113_kneser_ney"] = """
+ORACLES["c113_kneser_ney"] = r"""
     WITH toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -12275,7 +12289,7 @@ ORACLES["c113_kneser_ney"] = """
     LIMIT 200
 """
 
-ORACLES["c111_paragraph_dedup"] = """
+ORACLES["c111_paragraph_dedup"] = r"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -12476,7 +12490,7 @@ ORACLES["c105_levenshtein_near_dup"] = """
 ORACLES["a81_text_label_conjunction"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            source AS publisher,
-           ['Article', 'Featured'] AS ls
+           'Article,Featured' AS ls
     FROM documents WHERE doc_id % 2 = 0
 """
 
@@ -12917,8 +12931,9 @@ ORACLES["c102_embedding_covariance"] = """
         FROM flat GROUP BY i
     )
     SELECT s.i, s.j,
-           round((s.sxy - mi.sx * mj.sx / mi.n::double)
-                 / (mi.n::double - 1.0) / 1000000000000.0, 6) AS cov
+           floor((s.sxy - mi.sx * mj.sx / mi.n::double)
+                 / (mi.n::double - 1.0) / 1000000000000.0
+                 * 1000000.0 + 0.5)::bigint AS cov_micro
     FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
 """
 
