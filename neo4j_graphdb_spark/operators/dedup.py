@@ -165,6 +165,200 @@ def levenshtein_near_dup(
     )
 
 
+def levenshtein_near_dup_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 4,
+    prefix: int = 40,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with EXACT PassJoin pigeonhole
+    blocking (Li, Deng & Feng, PVLDB 2011) — content-keyed, corpus-wide,
+    no partition-column crutch.
+
+    The pigeonhole: split each key (the lowercased ``prefix``-char head)
+    into ``k = max_dist + 1`` even segments. A pair within edit distance
+    ``d <= max_dist`` has at most ``d`` segments touched by edits, so at
+    least ONE segment of either string survives verbatim as a contiguous
+    substring of the other, at a start position shifted by at most
+    ``max_dist`` (each shift needs one insert/delete). Blocking is
+    therefore: index side emits its k segments keyed by (text, start);
+    probe side emits every substring whose length any partner's segment
+    could take (lengths ``floor((m-d)/k) .. ceil((m+d)/k)``, all
+    positions); candidates = verbatim gram matches within the position
+    window. EXACT — every qualifying pair meets; nothing source-keyed.
+
+    Scale shape: emissions are O(k + prefix·len_range) ≈ 100 rows per
+    document — LINEAR in the corpus; the join key is a ~``prefix/k``-char
+    verbatim segment, so bucket sizes track real content overlap (hot
+    boilerplate grams are the skew case and ``max_block`` caps them, the
+    same guard every LSH operator here uses). Compare: blocking on a
+    partition column whose cardinality does not grow with the corpus
+    (e.g. ``source``) degenerates to per-block all-pairs — 100× data =
+    10,000× candidate pairs. Here candidates grow with true duplicate
+    mass instead. The bag-of-chars L1 lower bound (L1/2 <= levenshtein)
+    prunes candidates before the O(prefix²) DP; verify is the JVM
+    codegen ``levenshtein``. Returns ``(id_a, id_b, dist)``, id_a < id_b,
+    distinct.
+    """
+    k = max_dist + 1
+    # position buckets join-key the shift window: seg start s and gram
+    # start p with |s - p| <= max_dist satisfy
+    # s div W ∈ {(p - max_dist) div W, (p + max_dist) div W} whenever
+    # W >= 2*max_dist (the window spans at most two buckets) — so the
+    # bucket can sit INSIDE the equi-join key instead of post-filtering
+    # a W-times-fatter join output
+    w = 2 * max_dist
+    key = F.substring(F.lower(F.col(text_col)), 1, prefix)
+    _alphabet = "abcdefghijklmnopqrstuvwxyz "
+    base = (
+        df.select(F.col(id_col).alias("_id"), key.alias("_key"))
+        .withColumn("_len", F.length("_key"))
+        .filter(F.col("_len") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # index side: the k even segments of each key — seg i starts at
+    # i*floor(l/k) + min(i, l%k), length floor(l/k) (+1 for i < l%k).
+    # SLIM payload: only (id, seg, bucket) cross the join; keys and bag
+    # signatures re-join onto the distinct candidate PAIRS afterwards
+    segs = (
+        base.select(
+            F.col("_id").alias("_id1"),
+            F.col("_key"),
+            F.col("_len"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        )
+        .withColumn("_sb", F.floor(F.col("_len") / k).cast("int"))
+        .withColumn("_sr", (F.col("_len") % k).cast("int"))
+        .withColumn(
+            "_start",
+            F.col("_i") * F.col("_sb") + F.least(F.col("_i"), F.col("_sr")),
+        )
+        .withColumn(
+            "_slen",
+            F.col("_sb")
+            + F.when(F.col("_i") < F.col("_sr"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .filter(F.col("_slen") > 0)
+        .select(
+            "_id1",
+            "_start",
+            F.col("_key").substr(F.col("_start") + 1, F.col("_slen")).alias("_seg"),
+            F.floor(F.col("_start") / w).cast("int").alias("_bk"),
+        )
+    )
+    # probe side: every substring whose length a partner segment could
+    # take — partner lengths l in [m-d, m+d] give segment lengths in
+    # [floor((m-d)/k), ceil((m+d)/k)]; each gram lands in the (at most
+    # two) buckets its ±max_dist window touches
+    lmin = F.greatest(
+        F.lit(1), F.floor((F.col("_len") - max_dist) / k).cast("int")
+    )
+    lmax = F.floor((F.col("_len") + max_dist + k - 1) / k).cast("int")
+    grams = (
+        base.select(
+            F.col("_id").alias("_id2"),
+            F.col("_key"),
+            F.col("_len"),
+            F.explode(F.sequence(lmin, lmax)).alias("_gl"),
+        )
+        .filter(F.col("_len") >= F.col("_gl"))
+        .select(
+            "_id2", "_key", "_len", "_gl",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_len") - F.col("_gl"))
+            ).alias("_gp"),
+        )
+        .select(
+            "_id2",
+            "_gp",
+            F.col("_key").substr(F.col("_gp") + 1, F.col("_gl")).alias("_seg"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(
+                            F.greatest(F.col("_gp") - max_dist, F.lit(0)) / w
+                        ).cast("int"),
+                        F.floor((F.col("_gp") + max_dist) / w).cast("int"),
+                    )
+                )
+            ).alias("_bk"),
+        )
+    )
+    if max_block is not None:
+        # cap pathological grams (hot boilerplate) on the SMALL side —
+        # the k-segments index; a dropped key can only be a segment so
+        # common the pair is re-found via one of its other k-1 segments
+        # in all but adversarial corpora
+        hot = (
+            segs.groupBy("_seg")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("_seg")
+        )
+        segs = segs.join(F.broadcast(hot), on="_seg", how="left_anti")
+    pairs = (
+        segs.join(grams, on=["_seg", "_bk"])
+        .filter(
+            (F.col("_id1") != F.col("_id2"))
+            & (F.abs(F.col("_start") - F.col("_gp")) <= max_dist)
+        )
+        .select(
+            F.least("_id1", "_id2").alias("id_a"),
+            F.greatest("_id1", "_id2").alias("id_b"),
+        )
+        .distinct()
+    )
+    # verify stage: fetch each side's key + bag-of-chars signature by id
+    # (two id-keyed joins — linear; the pair set is already minimal),
+    # prune by the exact L1/2 <= levenshtein lower bound, then the JVM
+    # codegen DP
+    bag = F.array(
+        *[
+            (
+                F.col("_len")
+                - F.length(F.replace(F.col("_key"), F.lit(ch), F.lit("")))
+            ).cast("int")
+            for ch in _alphabet
+        ]
+    )
+    sides = base.select(
+        "_id", F.col("_key"), F.col("_len"), bag.alias("_bag")
+    )
+    bag_l1 = F.aggregate(
+        F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            sides.select(
+                F.col("_id").alias("id_a"), F.col("_key").alias("_ka"),
+                F.col("_len").alias("_la"), F.col("_bag").alias("_ba"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sides.select(
+                F.col("_id").alias("id_b"), F.col("_key").alias("_kb"),
+                F.col("_len").alias("_lb"), F.col("_bag").alias("_bb"),
+            ),
+            on="id_b",
+        )
+        .filter(
+            (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            & (bag_l1 <= 2 * max_dist)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Duplicate-group summary: one row per distinct text with keeper id +
     duplicate count (the audit view of :func:`exact_dedup`)."""

@@ -7532,18 +7532,22 @@ def _mmr_oracle_sql(k: int = 4, pool: int = 8, lam: float = 0.7) -> str:
 
 def q_c105_levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C105 — edit-distance near-dup pairs (operators/dedup.py
-    levenshtein_near_dup): the short-string companion of MinHash —
-    blocking = same ``source`` (the natural crawl partition) + length
-    bands (band ≥ max_dist makes the pigeonhole EXACT, not a recall
-    heuristic), verify = JVM codegen ``levenshtein`` on the bounded
-    within-bucket pairs. The oracle replays the simpler equivalent
-    predicate (same source, |Δlen| ≤ d, levenshtein ≤ d) — equivalence
-    of the banded and direct forms IS the exactness claim under test."""
-    from neo4j_graphdb_spark.operators.dedup import levenshtein_near_dup
+    levenshtein_near_dup_segments): EXACT PassJoin pigeonhole blocking —
+    each key splits into max_dist+1 even segments; a pair within
+    distance d shares at least one verbatim segment (position-shifted
+    ≤ d), so candidates come from a CONTENT-keyed gram join that grows
+    with true duplicate mass, not from a partition column whose
+    cardinality is fixed (the r11 per-``source`` call degenerated to
+    per-block all-pairs: 100× data = 10,000× pairs — VERDICT r11 #3).
+    Corpus-wide (no source crutch), 40-char key, d ≤ 4 — a real
+    near-dup spec (10% edit ratio). The oracle replays the direct
+    quadratic predicate — equivalence IS the exactness claim under
+    test."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_near_dup_segments
 
     docs = load_table(spark, sf_dir, "documents")
-    return levenshtein_near_dup(
-        docs, "text", "doc_id", block_cols=["source"], max_dist=8, prefix=20
+    return levenshtein_near_dup_segments(
+        docs, "text", "doc_id", max_dist=4, prefix=40
     ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -12477,14 +12481,13 @@ ORACLES["rel_cube_rollup"] = """
 
 ORACLES["c105_levenshtein_near_dup"] = """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           levenshtein(substr(lower(a.text), 1, 20),
-                       substr(lower(b.text), 1, 20))::bigint AS dist
-    FROM documents a JOIN documents b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE abs(length(substr(lower(a.text), 1, 20))
-              - length(substr(lower(b.text), 1, 20))) <= 8
-      AND levenshtein(substr(lower(a.text), 1, 20),
-                      substr(lower(b.text), 1, 20)) <= 8
+           levenshtein(substr(lower(a.text), 1, 40),
+                       substr(lower(b.text), 1, 40))::bigint AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE abs(length(substr(lower(a.text), 1, 40))
+              - length(substr(lower(b.text), 1, 40))) <= 4
+      AND levenshtein(substr(lower(a.text), 1, 40),
+                      substr(lower(b.text), 1, 40)) <= 4
 """
 
 ORACLES["a81_text_label_conjunction"] = """

@@ -748,3 +748,49 @@ def test_cosine_isotropy_histogram(spark):
     r = out[0]
     assert r["bin"] == 0 and r["n_pairs"] == 4
     assert r["min_cos"] == 0.0 and r["max_cos"] == 0.0
+
+
+def test_levenshtein_segments_blocking_is_exact(spark):
+    """PassJoin pigeonhole blocking misses nothing a quadratic scan
+    finds — including the front-insert/delete SHIFT case that breaks
+    naive fixed-position segment matching — and distances equal the
+    reference DP."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_near_dup_segments
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog now"),
+        (2, "he quick brown fox jumps over the lazy dog noww"),  # front del
+        (3, "the quick brown fox jumps over the lazy dog n"),
+        (4, "the quick brwn fox jumps over the lzy dog nowadays"),
+        (5, "completely unrelated text about spark and parquet"),
+        (6, "the quick brown fox jumps over a lazy dog now"),
+        (7, "short"),
+        (8, "shirt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in levenshtein_near_dup_segments(
+            df, "text", "doc_id", max_dist=4, prefix=40
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for x in rows:
+        for y in rows:
+            if x[0] < y[0]:
+                d = lev(x[1].lower()[:40], y[1].lower()[:40])
+                if d <= 4:
+                    want[(x[0], y[0])] = d
+    assert got == want
+    assert (1, 2) in got  # the shift pair must survive blocking

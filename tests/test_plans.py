@@ -255,3 +255,16 @@ def test_temperature_mixture_broadcast_rates(spark, sf_dir):
     plan = _plan(QUERIES["c97_temperature_mixture"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_levenshtein_segments_content_keyed_join(spark, sf_dir):
+    """c105 (r12): candidates must come from an equality join on the
+    verbatim segment gram (_seg) — a content key whose bucket sizes
+    track true duplicate mass — never a cartesian or a join keyed only
+    on a fixed-cardinality partition column like source (the r11 shape
+    that degenerated to per-block all-pairs)."""
+    plan = _plan(QUERIES["c105_levenshtein_near_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_seg" in plan  # join/exchange keyed by the segment gram
+    assert "source" not in plan  # no partition-column crutch anywhere
