@@ -556,9 +556,39 @@ def _parse_bool_expr(body: str):
             if depth != 0:
                 raise CypherUnsupported(f"unbalanced parens in WHERE: {body!r}")
             return ("exprpred", " ".join(parts))
-        m = _WHERE_ITEM_RE.match(take().strip())
+        if re.match(r"(?i)^CASE\b", t.strip()):
+            # CASE leaf — the paren tokenizer shredded any function call
+            # inside it; reassemble through balanced parens until the
+            # chunk carrying END (and its trailing comparator, which
+            # shares that chunk) has been consumed
+            parts = [take()]
+            depth = 0
+            while idx < len(tokens) and (
+                depth > 0
+                or not any(
+                    re.search(r"(?i)\bEND\b", x) for x in parts
+                )
+            ):
+                tok = take()
+                parts.append(tok)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+            if depth != 0:
+                raise CypherUnsupported(
+                    f"unbalanced parens in WHERE: {body!r}"
+                )
+            return ("exprpred", " ".join(parts))
+        leaf = take().strip()
+        m = _WHERE_ITEM_RE.match(leaf)
         if not m:
-            raise CypherUnsupported(f"unsupported WHERE predicate in: {body!r}")
+            # not the simple alias.prop-vs-value shape: hand the leaf to
+            # the scalar-expression predicate compiler (CASE / arithmetic
+            # / functions over bound props) — the same compiler the
+            # plain-AND path uses, so `x OR CASE … END = 1` works
+            # wherever `CASE … END = 1` alone does
+            return ("exprpred", leaf)
         return (
             "pred",
             m.group("alias"),
@@ -1914,40 +1944,52 @@ def run_cypher(
             raise ValueError("write statement needs a GraphStore")
         return _run_write(spark, clauses, params, store, lits)
     if any(c.kind == "UNWIND" for c in clauses):
-        # validate placement and form before the graph resolves, so the
-        # error is about the syntax, not the store
-        if clauses[0].kind != "UNWIND":
-            raise CypherUnsupported("UNWIND must lead the read statement")
+        # validate form up front, so the error is about the syntax, not
+        # the store; placement is free — a leading UNWIND is the batch
+        # point-lookup frame, a mid-pipeline one (after MATCH or WITH)
+        # explodes a bound list column (the canonical collect→UNWIND
+        # reshaping idiom)
+        u0 = next(c for c in clauses if c.kind == "UNWIND")
         if not (
-            _UNWIND_RE.match(clauses[0].body)
-            or _UNWIND_LIT_RE.match(clauses[0].body)
+            _UNWIND_RE.match(u0.body)
+            or _UNWIND_LIT_RE.match(u0.body)
             or re.match(
                 r"^.+?\s+AS\s+\w+\s*$",
-                clauses[0].body,
+                u0.body,
                 re.IGNORECASE | re.DOTALL,
             )
         ):
             raise CypherUnsupported(
-                f"unsupported UNWIND form: {clauses[0].body!r}"
+                f"unsupported UNWIND form: {u0.body!r}"
             )
     if graph is None:
+        # statements that touch no graph data (standalone RETURN <expr>,
+        # pure UNWIND <literal list>) run against an empty graph — every
+        # client smoke-tests with `RETURN 1`
+        pure_clauses = bool(clauses) and all(
+            c.kind in ("UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
+            for c in clauses
+        )
         if store is None:
-            raise ValueError("read statement needs a Graph or GraphStore")
-        nodes = store.nodes()
-        if nodes is None:
-            if clauses and all(
-                c.kind in ("UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
-                for c in clauses
-            ) and _UNWIND_LIT_RE.match(clauses[0].body):
-                # pure `UNWIND [...] AS x RETURN x` touches no graph data
+            if pure_clauses:
                 empty = spark.createDataFrame(
                     [], "node_id long, label string, key string"
                 )
                 graph = Graph(empty, None)
             else:
-                raise ValueError("store is empty")
+                raise ValueError("read statement needs a Graph or GraphStore")
         else:
-            graph = Graph(nodes, store.edges())
+            nodes = store.nodes()
+            if nodes is None:
+                if pure_clauses:
+                    empty = spark.createDataFrame(
+                        [], "node_id long, label string, key string"
+                    )
+                    graph = Graph(empty, None)
+                else:
+                    raise ValueError("store is empty")
+            else:
+                graph = Graph(nodes, store.edges())
     read_params = params if isinstance(params, dict) else None
     return CypherResult(_run_read(clauses, graph, lits, read_params), None)
 
@@ -3953,6 +3995,22 @@ def _run_post_with(
             skip = _page_count(c.body, params, "SKIP")
         elif c.kind == "LIMIT":
             limit = _page_count(c.body, params, "LIMIT")
+        elif c.kind == "UNWIND":
+            # `WITH collect(x) AS xs UNWIND xs AS x` — the canonical
+            # Cypher reshaping idiom: one narrow explode of the WITH
+            # output column, no shuffle
+            um = re.match(
+                r"^(?P<name>\w+)\s+AS\s+(?P<alias>\w+)\s*$",
+                c.body,
+                re.IGNORECASE,
+            )
+            if not um or um.group("name") not in df.columns:
+                raise CypherUnsupported(
+                    f"UNWIND after WITH must explode a WITH name: {c.body!r}"
+                )
+            df = df.withColumn(
+                um.group("alias"), F.explode(F.col(um.group("name")))
+            )
         else:
             raise CypherUnsupported(f"{c.kind} unsupported after aggregating WITH")
     if not returns:
@@ -4174,11 +4232,44 @@ def _run_read(
         if _ci in consumed:
             continue
         if c.kind == "UNWIND":
-            # read-side UNWIND: batch point-lookup — the list param
+            if df is not None:
+                # mid-pipeline UNWIND (after MATCH or a WITH): explodes a
+                # bound list — a carried flat column (`WITH collect(x) AS
+                # xs UNWIND xs AS x`), an alias property, or any compiled
+                # list expression. One narrow explode, no shuffle.
+                xm = re.match(
+                    r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$",
+                    c.body,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not xm:
+                    raise CypherUnsupported(
+                        f"unsupported UNWIND form: {c.body!r}"
+                    )
+                _apply_pending()
+                usrc = xm.group("expr").strip()
+                if usrc in df.columns and usrc not in aliases:
+                    ucol = F.col(usrc)
+                else:
+                    ucol, utag = _compile_scalar(
+                        _parse_scalar_expr(usrc),
+                        df,
+                        aliases,
+                        rel_alias,
+                        lits,
+                        params,
+                    )
+                    if utag not in ("list", "other"):
+                        raise CypherUnsupported(
+                            f"UNWIND needs a list expression, got {utag}"
+                        )
+                df = df.withColumn(xm.group("alias"), F.explode(ucol))
+                continue
+            # leading UNWIND: batch point-lookup — the list param
             # becomes a 1-column frame, and `WHERE alias.prop = name`
             # compiles to a broadcast join against it (Neo4j's idiomatic
             # "MATCH by id list" shape, distributed instead of N round
-            # trips). Must lead; run_cypher rejects it elsewhere.
+            # trips).
             um = _UNWIND_RE.match(c.body)
             if um:
                 vals = (params or {}).get(um.group(1))
@@ -4567,6 +4658,43 @@ def _run_read(
                             F.col(prop) == F.lit(_where_value(raw, lits, params))
                         )
                 continue
+            mparts = _split_top_commas(c.body)
+            if len(mparts) > 1:
+                # comma-separated MATCH patterns — multi-anchor binding:
+                # `MATCH (a:L1), (b:L2)` compiles each anchor as a
+                # PREFIXED label scan chained by crossJoin; a WHERE
+                # equality between anchors turns the cartesian into an
+                # equi-join inside Catalyst (PushPredicateThroughJoin),
+                # so the declared cross product only executes when the
+                # user really asked for one — Neo4j's warn-but-run
+                # semantics for the same shape
+                if not all(_NODE_RE.match(p0.strip()) for p0 in mparts):
+                    raise CypherUnsupported(
+                        "comma-separated MATCH supports node anchors only: "
+                        f"{c.body!r}"
+                    )
+                for p0 in mparts:
+                    n0 = _NODE_RE.match(p0.strip())
+                    a0 = n0.group("alias")
+                    if not a0:
+                        raise CypherUnsupported(
+                            f"multi-anchor MATCH items need aliases: {p0!r}"
+                        )
+                    if a0 in aliases:
+                        raise CypherUnsupported(
+                            f"duplicate alias in MATCH anchors: {a0!r}"
+                        )
+                    scan0 = graph.match(_node_labels(n0.group("label")))
+                    pref0 = f"{a0}_"
+                    scan0 = scan0.select(
+                        *[F.col(cc).alias(pref0 + cc) for cc in scan0.columns]
+                    )
+                    df = scan0 if df is None else df.crossJoin(scan0)
+                    aliases[a0] = pref0
+                    for prop, raw in _parse_value_props(n0.group("props")):
+                        predicates.append((a0, prop, "=", raw))
+                rel_prefixed = True
+                continue
             n = _NODE_RE.match(c.body)
             if not n:
                 raise CypherUnsupported(f"unsupported MATCH pattern: {c.body!r}")
@@ -4741,7 +4869,12 @@ def _run_read(
             # the recursion pre-pass above.
             if df is None:
                 raise CypherUnsupported("WITH needs a preceding MATCH")
-            items = _split_top_commas(c.body)
+            wbody = c.body
+            wdm = re.match(r"^DISTINCT\s+", wbody, re.IGNORECASE)
+            with_distinct = bool(wdm)
+            if wdm:
+                wbody = wbody[wdm.end():]
+            items = _split_top_commas(wbody)
             keep: list[str] = []
             with_exprs: list[tuple[str, str | None]] = []
             for it in items:
@@ -4780,6 +4913,11 @@ def _run_read(
             elif computed_cols:
                 df = df.select("*", *computed_cols)
             aliases = {it: aliases[it] for it in keep}
+            if with_distinct:
+                # WITH DISTINCT …: dedup over exactly the projected scope
+                # (every column still in frame belongs to a kept alias or
+                # a computed item) — one shuffle, same as RETURN DISTINCT
+                df = df.dropDuplicates()
             in_with = True
             with_order = []
         elif c.kind == "RETURN":
@@ -4862,6 +5000,12 @@ def _run_read(
     if df is None and unwind_frame is not None and returns:
         # pure `UNWIND […] AS x RETURN x` — the list itself is the frame
         df = unwind_frame
+    if df is None and returns:
+        # standalone `RETURN <expr>`: a 1-row frame through the ordinary
+        # expression compiler — `RETURN 1` is every client's smoke test
+        df = graph.nodes_df.sparkSession.range(1).select(
+            F.lit(0).alias("_standalone")
+        )
     if df is None or not returns:
         raise CypherUnsupported("read statement needs MATCH … RETURN …")
 
@@ -5210,7 +5354,19 @@ def _run_read(
             out_exprs[out or alias] = F.col(unwind_name)
             out_names.append(out or alias)
         else:
-            raise CypherUnsupported(f"RETURN of unbound alias: {item!r}")
+            # not a bound alias — last chance: a scalar expression that
+            # HAPPENS to match the alias grammar (`1 AS one`, `true AS t`)
+            try:
+                e, name = _compile_return_expr(
+                    item, df, aliases, rel_alias, lits, params
+                )
+            except CypherUnsupported:
+                raise CypherUnsupported(
+                    f"RETURN of unbound alias: {item!r}"
+                ) from None
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
     if return_distinct:
         # Cypher: DISTINCT dedups the projected rows, ORDER BY then sorts
         # the RESULT — so keys must be RETURN output names here (the
@@ -5332,8 +5488,18 @@ def _aggregate_return(
                 return F.countDistinct(e)
             if fn == "collect":
                 return F.array_sort(F.collect_set(e))
+            if fn == "sum":
+                return F.sum_distinct(e)
+            if fn == "avg":
+                # no avg_distinct builtin: exact as Σdistinct / #distinct
+                # (both single-pass, same distinct-hash aggregation)
+                return F.sum_distinct(e) / F.countDistinct(e)
+            if fn in ("min", "max"):
+                # DISTINCT is a no-op under min/max; accept the syntax
+                return getattr(F, fn)(e)
             raise CypherUnsupported(
-                f"DISTINCT inside {fn}() unsupported (count/collect only)"
+                f"DISTINCT inside {fn}() unsupported "
+                "(count/collect/sum/avg/min/max)"
             )
         if fn == "collect":
             return F.array_sort(F.collect_list(e))

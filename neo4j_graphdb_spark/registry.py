@@ -7900,6 +7900,124 @@ def q_a86_text_rel_onmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a87_text_with_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A87 ext (r12) — ``WITH DISTINCT``: the most common mid-pipeline
+    dedup idiom (VERDICT r11 missing #1). ``MATCH (a)-[:W]->(p) WITH
+    DISTINCT p RETURN p.publisher`` dedups on NODE IDENTITY (the kept
+    alias's full prefixed scope) before the projection — one
+    dropDuplicates exchange, exactly RETURN DISTINCT's shape one clause
+    earlier. Closed form: the publishers with ≥1 article = all
+    sources."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WITH DISTINCT p RETURN p.publisher AS publisher",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a88_text_mid_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A88 ext (r12) — mid-pipeline ``UNWIND`` after an aggregating WITH
+    (VERDICT r11 missing #2): ``WITH pub, collect(link) AS links UNWIND
+    links AS link`` — the canonical Cypher collect→UNWIND reshaping
+    round-trip, compiled to collect_list then one narrow explode (no
+    extra shuffle beyond the aggregation's). Closed form: the round
+    trip is the identity on (publisher, link) pairs."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WITH p.publisher AS pub, collect(a.link) AS links "
+        "UNWIND links AS link RETURN pub, link",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a89_text_standalone_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A89 ext (r12) — standalone ``RETURN <expr>`` with no MATCH
+    (VERDICT r11 missing #3): every client's smoke test. Compiles
+    through the ordinary a55 expression compiler over a 1-row frame —
+    no graph access, no store needed."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "RETURN 1 AS one, 2 + 3 * 4 AS arith, toUpper('spark') AS up, "
+        "size([1, 2, 3]) AS sz, 1.5 * 2 AS f",
+    ).df
+
+
+def q_a90_text_multi_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A90 ext (r12) — comma-separated MATCH patterns (VERDICT r11
+    missing #4): ``MATCH (c:Customer), (n:Nation) WHERE c.nk = n.nk``
+    — multi-anchor binding compiles each anchor as a PREFIXED label
+    scan chained by crossJoin, and Catalyst's PushPredicateThroughJoin
+    turns the WHERE equality into a real equi-join (plan-tested:
+    BroadcastHashJoin, no CartesianProduct). The declared cartesian
+    only executes when no equality exists — Neo4j's warn-but-run."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_nationkey").cast("string").alias("nk"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("nk")
+    )
+    nodes = as_nodes(cust, "Customer", "ck", ["ck", "nk"]).unionByName(
+        as_nodes(nat, "Nation", "nk", ["nk"]), allowMissingColumns=True
+    )
+    return run_cypher(
+        spark,
+        "MATCH (c:Customer), (n:Nation) WHERE c.nk = n.nk "
+        "RETURN c.ck AS ck, n.nk AS nk",
+        graph=Graph(nodes, None),
+    ).df
+
+
+def q_a91_text_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A91 ext (r12) — DISTINCT inside sum/min/max aggregates (VERDICT
+    r11 missing #5; count/collect already had it): grouped
+    ``sum(DISTINCT size(a.content))`` per publisher — sum_distinct is
+    the same single-pass distinct-hash aggregation as countDistinct.
+    Integer outputs only across the hash boundary (the repo float
+    rule); avg(DISTINCT) — Σdistinct/#distinct — is exercised in
+    tests."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN p.publisher AS publisher, "
+        "sum(DISTINCT size(a.content)) AS sd, "
+        "min(DISTINCT size(a.content)) AS mn, "
+        "max(DISTINCT size(a.content)) AS mx, "
+        "count(DISTINCT size(a.content)) AS cd",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a92_text_case_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A92 ext (r12) — CASE inside WHERE, including under OR (VERDICT
+    r11 missing #6): the boolean grammar's leaves now fall back to the
+    scalar-expression predicate compiler, so ``x OR CASE … END = 1``
+    works wherever the a55/a75 CASE compiler does — still one Catalyst
+    filter Column, three-valued semantics preserved."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WHERE p.publisher = 'src3' "
+        "OR CASE WHEN size(a.content) > 300 THEN 1 ELSE 0 END = 1 "
+        "RETURN a.link AS link, p.publisher AS publisher",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
 def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C111 — CCNet-style paragraph dedup (functions/text.py
     paragraph_dedup): non-overlapping 20-token paragraphs, each
@@ -8710,6 +8828,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c10_pii_redact": q_c10_pii_redact,
     "c10_repetition": q_c10_repetition,
     "c10_chunking": q_c10_chunking,
+    "a87_text_with_distinct": q_a87_text_with_distinct,
+    "a88_text_mid_unwind": q_a88_text_mid_unwind,
+    "a89_text_standalone_return": q_a89_text_standalone_return,
+    "a90_text_multi_anchor": q_a90_text_multi_anchor,
+    "a91_text_distinct_agg": q_a91_text_distinct_agg,
+    "a92_text_case_where": q_a92_text_case_where,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12334,6 +12458,43 @@ ORACLES["a86_text_rel_onmatch"] = """
            CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 AS bigint)
                 ELSE NULL END AS seen
     FROM documents
+"""
+
+ORACLES["a87_text_with_distinct"] = """
+    SELECT DISTINCT source AS publisher FROM documents
+"""
+
+ORACLES["a88_text_mid_unwind"] = """
+    SELECT source AS pub,
+           concat('doc://', cast(doc_id AS varchar)) AS link
+    FROM documents
+"""
+
+ORACLES["a89_text_standalone_return"] = """
+    SELECT 1::int AS one, 14::int AS arith, 'SPARK' AS up,
+           3::bigint AS sz, 3.0::double AS f
+"""
+
+ORACLES["a90_text_multi_anchor"] = """
+    SELECT cast(c_custkey AS varchar) AS ck,
+           cast(c_nationkey AS varchar) AS nk
+    FROM customer
+"""
+
+ORACLES["a91_text_distinct_agg"] = """
+    SELECT source AS publisher,
+           sum(DISTINCT length(text))::bigint AS sd,
+           min(DISTINCT length(text))::bigint AS mn,
+           max(DISTINCT length(text))::bigint AS mx,
+           count(DISTINCT length(text))::bigint AS cd
+    FROM documents GROUP BY source
+"""
+
+ORACLES["a92_text_case_where"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS publisher
+    FROM documents
+    WHERE source = 'src3' OR length(text) > 300
 """
 
 ORACLES["c110_tokenizer_fertility"] = """

@@ -427,7 +427,8 @@ def test_text_aggregation_unsupported_forms_raise(spark, text_store):
     # since round 7 — see test_text_whole_entity_with_key
     for bad in (
         "MATCH (a:Article) RETURN sum(*)",
-        "MATCH (a:Article) RETURN sum(DISTINCT a.title)",
+        # DISTINCT widened to sum/avg/min/max in r12; stdev keeps refusing
+        "MATCH (a:Article) RETURN stdev(DISTINCT a.title)",
         "MATCH (a:Article) RETURN sum(a)",  # whole-entity non-count agg
         "MATCH (a:Article) RETURN DISTINCT a.title, count(*)",
     ):
@@ -2071,7 +2072,7 @@ def test_text_expression_aggregates(spark):
     """Aggregates over scalar expressions (sum(a.qty * a.price)) and
     expression grouping keys (a.qty % 2 AS parity) compile through the
     same Column compiler; plain aggregate forms are untouched and
-    DISTINCT stays count-only."""
+    DISTINCT works in count/collect/sum/avg/min/max (stdev refuses)."""
     from neo4j_graphdb_spark.model import as_nodes
     from neo4j_graphdb_spark.operators.cypher import Graph
     from neo4j_graphdb_spark.operators.cypher_text import (
@@ -2104,9 +2105,18 @@ def test_text_expression_aggregates(spark):
         graph=g,
     ).df.collect()
     assert [tuple(r) for r in withd] == [("A", 12), ("B", 20)]
+    # DISTINCT inside sum/avg over an expression source (r12): qty*2 over
+    # {2,4,10} has distinct doubles {4,8,20} -> sum 32, avg 32/3
+    sd = run_cypher(
+        spark,
+        "MATCH (a:Item) RETURN sum(DISTINCT a.qty * 2) AS s, "
+        "avg(DISTINCT a.qty * 2) AS m",
+        graph=g,
+    ).df.collect()
+    assert [tuple(r) for r in sd] == [(32, 32 / 3)]
     with pytest.raises(CypherUnsupported):
         run_cypher(
-            spark, "MATCH (a:Item) RETURN sum(DISTINCT a.qty * 2) AS s", graph=g
+            spark, "MATCH (a:Item) RETURN stdev(DISTINCT a.qty * 2) AS s", graph=g
         )
 
 
@@ -2197,8 +2207,11 @@ def test_text_collect_distinct_in_literal_order_expr(spark):
         graph=g,
     ).df.collect()
     assert [x["l"] for x in r] == ["l1", "l2", "l3", "l4"]
-    with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (a:Doc) RETURN sum(DISTINCT a.score) AS s", graph=g)
+    # sum(DISTINCT plain prop) supported since r12: {3,3,7,10} -> 20
+    sd = run_cypher(
+        spark, "MATCH (a:Doc) RETURN sum(DISTINCT a.score) AS s", graph=g
+    ).df.collect()
+    assert [tuple(r) for r in sd] == [(20,)]
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Doc) WHERE a.score IN [] RETURN a.link AS l", graph=g)
 
@@ -4166,3 +4179,89 @@ def test_text_call_mis_procedure(spark, tmp_path):
         nbrs.setdefault(u, set()).add(v)
         nbrs.setdefault(v, set()).add(u)
     assert all(nbrs[k] & mis for k, v in out.items() if v == "excluded")
+
+
+def test_text_r12_front_end_surface(spark):
+    """Round-12 grammar additions end-to-end: WITH DISTINCT (entity and
+    expression scope), mid-pipeline UNWIND (after MATCH, after
+    aggregating WITH), standalone RETURN, comma-separated MATCH
+    anchors (equality folds the cross into a join), CASE under OR/NOT
+    in WHERE — plus the reject matrix for the forms that stay out."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "A", 10), ("l2", "A", 20), ("l3", "B", 30)],
+        "link string, grp string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "score"]), None)
+
+    # standalone RETURN — no MATCH, no store, no graph
+    r = run_cypher(spark, "RETURN 1 AS one, toUpper('x') AS u").df.collect()
+    assert [tuple(x) for x in r] == [(1, "X")]
+
+    # WITH DISTINCT over an expression scope
+    r = run_cypher(
+        spark, "MATCH (a:Doc) WITH DISTINCT a.grp AS grp RETURN grp", graph=g
+    ).df.collect()
+    assert sorted(x["grp"] for x in r) == ["A", "B"]
+
+    # collect -> UNWIND round trip (aggregating-WITH tail)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.grp AS grp, collect(a.link) AS ls "
+        "UNWIND ls AS l RETURN grp, l",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["grp"], x["l"]) for x in r) == [
+        ("A", "l1"), ("A", "l2"), ("B", "l3"),
+    ]
+
+    # UNWIND mid-pipeline after MATCH (expression source)
+    assert (
+        run_cypher(
+            spark, "MATCH (a:Doc) UNWIND [1, 2] AS k RETURN a.link AS l, k",
+            graph=g,
+        ).df.count()
+        == 6
+    )
+
+    # comma-separated MATCH anchors: equality folds to a join (values),
+    # and the plan has no cartesian
+    rdf = run_cypher(
+        spark,
+        "MATCH (x:Doc), (y:Doc) WHERE x.score = y.score "
+        "RETURN x.link AS xl, y.link AS yl",
+        graph=g,
+    ).df
+    assert sorted((x["xl"], x["yl"]) for x in rdf.collect()) == [
+        ("l1", "l1"), ("l2", "l2"), ("l3", "l3"),
+    ]
+    plan = rdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # CASE under OR in WHERE, with a function call inside the CASE
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.grp = 'B' "
+        "OR CASE WHEN abs(a.score - 10) = 0 THEN 1 ELSE 0 END = 1 "
+        "RETURN a.link AS l",
+        graph=g,
+    ).df.collect()
+    assert sorted(x["l"] for x in r) == ["l1", "l3"]
+
+    # reject matrix: the forms that stay out stay LOUD
+    for bad in (
+        "MATCH (a:Doc), (a:Doc) RETURN a.link AS l",        # duplicate alias
+        "MATCH (a:Doc), (b)-[:T]->(c) RETURN a.link AS l",  # non-node anchor
+        "MATCH (a:Doc) UNWIND a.score AS k RETURN k",       # non-list UNWIND
+        "MATCH (a:Doc) RETURN stdev(DISTINCT a.score) AS s",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
