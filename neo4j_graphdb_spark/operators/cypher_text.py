@@ -3145,7 +3145,16 @@ def _parse_scalar_expr(text: str):
         if peek() == ("op", "-"):
             take()
             return ("neg", parse_unary())
-        return parse_primary()
+        n = parse_primary()
+        # postfix subscript: list element access xs[i] (0-based,
+        # negatives from the end, NULL out of range) and dynamic
+        # property access a[key] — left-associative chains allowed
+        while peek() == ("op", "["):
+            take()
+            idx_n = parse_expr()
+            expect_op("]")
+            n = ("index", n, idx_n)
+        return n
 
     def parse_primary():
         k, v = peek()
@@ -3516,6 +3525,79 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if body is not None:
                 col = F.transform(col, _bound(body, False))
             return col, "list"
+        if kind == "index":
+            # postfix subscript. Two shapes:
+            # * a[<key>] on a BOUND alias with a compile-time string key
+            #   (literal or parameter) — dynamic property access; the
+            #   typed-column store resolves keys at plan time, so the key
+            #   must be static (Neo4j resolves per-row against its prop
+            #   map; a row-dependent key is refused here, honestly)
+            # * xs[<i>] list element access — 0-based, negatives from
+            #   the end, NULL out of range (try_element_at, ANSI-safe)
+            base, idx_n = n[1], n[2]
+            if base[0] == "name" and base[1] not in lam_env and (
+                base[1] in aliases
+                or (rel_alias is not None and base[1] == rel_alias)
+            ):
+                key = None
+                if idx_n[0] == "str":
+                    key = lits[idx_n[1]]
+                elif idx_n[0] == "param":
+                    if not params or idx_n[1] not in params:
+                        raise CypherUnsupported(
+                            f"unbound parameter ${idx_n[1]} in expression"
+                        )
+                    key = params[idx_n[1]]
+                if not isinstance(key, str):
+                    raise CypherUnsupported(
+                        "dynamic property access needs a literal or "
+                        f"string-parameter key: {base[1]!r}[…]"
+                    )
+                return rec(("prop", base[1], key))
+            col, _ = rec(base)
+            ic, it = rec(idx_n)
+            if it == "str":
+                raise CypherUnsupported(
+                    "string subscripts apply to bound aliases only"
+                )
+            ic = ic.cast("int")
+            return (
+                F.when(
+                    ic >= 0, F.try_element_at(col, ic + F.lit(1))
+                ).otherwise(F.try_element_at(col, ic)),
+                "other",
+            )
+        if kind == "reduce":
+            # reduce(acc = init, x IN xs | expr) — Cypher's list fold,
+            # compiled to the `aggregate` higher-order function: init is
+            # the zero, the merge lambda binds BOTH the accumulator and
+            # the element via lam_env, one Catalyst expression, no UDF.
+            acc, init, var, src, body = n[1], n[2], n[3], n[4], n[5]
+            col, _ = rec(src)
+            init_col, init_tag = rec(init)
+            # Cypher integers are 64-bit: promote the zero so folds over
+            # bigint-typed lists (size()/length() produce bigint) type-
+            # check — `aggregate` requires merge type == init type
+            if init_tag == "int":
+                init_col = init_col.cast("long")
+            elif init_tag == "float":
+                init_col = init_col.cast("double")
+
+            def _merge(a, x):
+                if acc in lam_env or var in lam_env:
+                    raise CypherUnsupported(
+                        "reduce() variables shadow an outer binding: "
+                        f"{acc!r}/{var!r}"
+                    )
+                lam_env[acc] = a
+                lam_env[var] = x
+                try:
+                    return rec(body)[0]
+                finally:
+                    del lam_env[acc]
+                    del lam_env[var]
+
+            return F.aggregate(col, init_col, _merge), "other"
         if kind == "tfield":
             # a.ts.year / .month / … — openCypher instant component
             # accessors, each ONE Catalyst datetime function (pushdown-

@@ -8018,6 +8018,28 @@ def q_a92_text_case_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a93_text_reduce_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A93 ext (r12) — ``reduce()`` list folds + postfix subscripts
+    (VERDICT r11 missing #7/#8): ``reduce(acc = 0, x IN range(1, n) |
+    acc + x)`` compiles to the ``aggregate`` higher-order function
+    (int zeros promoted to long — Cypher integers are 64-bit);
+    ``split(…)[0]`` is 0-based list access (negatives from the end,
+    NULL out of range, try_element_at — ANSI-safe); ``a['title']`` is
+    dynamic property access with a compile-time key. Closed form: the
+    fold is the triangular number of the title's first-token length."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, "
+        "reduce(acc = 0, x IN range(1, size(split(a.title, ' ')[0])) "
+        "| acc + x) AS tri, "
+        "split(a.title, ' ')[0] AS w0, "
+        "a['title'] AS t",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
 def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C111 — CCNet-style paragraph dedup (functions/text.py
     paragraph_dedup): non-overlapping 20-token paragraphs, each
@@ -8834,6 +8856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a90_text_multi_anchor": q_a90_text_multi_anchor,
     "a91_text_distinct_agg": q_a91_text_distinct_agg,
     "a92_text_case_where": q_a92_text_case_where,
+    "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12495,6 +12518,23 @@ ORACLES["a92_text_case_where"] = """
            source AS publisher
     FROM documents
     WHERE source = 'src3' OR length(text) > 300
+"""
+
+ORACLES["a93_text_reduce_subscript"] = """
+    WITH t AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               substr(text, 1, 40) AS title
+        FROM documents
+    ),
+    w AS (
+        SELECT link, title,
+               string_split(title, ' ')[1] AS w0
+        FROM t
+    )
+    SELECT link,
+           (length(w0)::bigint * (length(w0)::bigint + 1)) / 2 AS tri,
+           w0, title AS t
+    FROM w
 """
 
 ORACLES["c110_tokenizer_fertility"] = """

@@ -4265,3 +4265,50 @@ def test_text_r12_front_end_surface(spark):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
+
+
+def test_text_reduce_and_subscripts(spark):
+    """reduce() folds (aggregate HOF, int zero promoted to 64-bit),
+    list subscripts (0-based, negative-from-end, NULL out of range),
+    dynamic property access with literal/param keys — and the refusals:
+    row-dependent keys, string subscripts on non-aliases."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    r = run_cypher(
+        spark,
+        "RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s, "
+        "reduce(acc = 1, x IN [2, 3, 4] | acc * x) AS p, "
+        "reduce(acc = 0.0, x IN [1.5, 2.5] | acc + x) AS f, "
+        "[10, 20, 30][1] AS i1, [10, 20, 30][-1] AS il, [10][5] AS oob",
+    ).df.collect()
+    assert [tuple(x) for x in r] == [(6, 24, 4.0, 20, 30, None)]
+
+    src = spark.createDataFrame(
+        [("l1", 3, "en"), ("l2", 7, "de")],
+        "link string, score int, lang string",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["score", "lang"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, a['score'] AS s, a[$k] AS lg, "
+        "reduce(acc = 0, x IN range(1, a.score) | acc + x) AS tri",
+        params={"k": "lang"},
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in r) == [
+        ("l1", 3, "en", 6), ("l2", 7, "de", 28),
+    ]
+    for bad in (
+        "MATCH (a:Doc) RETURN a[a.lang] AS s",     # row-dependent key
+        "MATCH (a:Doc) RETURN a.lang['x'] AS s",   # string subscript
+        "RETURN reduce(acc, x IN [1] | acc + x) AS s",  # no init
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
