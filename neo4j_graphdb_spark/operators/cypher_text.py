@@ -3698,6 +3698,27 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     f"argument(s), got {len(args)}"
                 )
 
+        if fname == "labels":
+            # labels(n) as a VALUE expression (membership tests, size):
+            # [primary] ++ sorted extras — identical construction to the
+            # RETURN-item path, so `'X' IN labels(n)` sees the same set
+            need(1)
+            if args[0][0] != "name":
+                raise CypherUnsupported("labels() takes a bound node alias")
+            la = args[0][1]
+            if la not in aliases:
+                raise CypherUnsupported(f"labels() on unbound alias: {la!r}")
+            prim = _prop_col(df, aliases[la], "label")
+            extra_name = aliases[la] + EXTRA_LABELS
+            if extra_name in df.columns:
+                extras = F.filter(
+                    F.split(
+                        F.coalesce(F.col(extra_name), F.lit("")), ","
+                    ),
+                    lambda x: (x != "") & (x != prim),
+                )
+                return F.concat(F.array(prim), F.array_sort(extras)), "list"
+            return F.array(prim), "list"
         if fname == "coalesce":
             if not args:
                 raise CypherUnsupported("coalesce needs at least one argument")
@@ -3878,7 +3899,9 @@ _PRED_SPLIT_RE = re.compile(
 )
 
 _IS_NULL_TAIL_RE = re.compile(
-    r"^(?P<expr>.+?)\s+IS\s+(?P<neg>NOT\s+)?NULL$", re.IGNORECASE
+    r"^(?P<expr>.+?)\s+(?:IS\s+(?P<neg>NOT\s+)?NULL"
+    r"|IS(?P<neg2>_NOT)?_NULL)$",
+    re.IGNORECASE,
 )
 
 
@@ -3904,7 +3927,11 @@ def _split_expr_predicate(text: str):
             return ("cmp", text[: m.start()].strip(), tok, text[m.end():].strip())
     nm = _IS_NULL_TAIL_RE.match(text.strip())
     if nm:
-        return ("isnull", nm.group("expr"), bool(nm.group("neg")))
+        return (
+            "isnull",
+            nm.group("expr"),
+            bool(nm.group("neg") or nm.group("neg2")),
+        )
     return None
 
 
@@ -3926,6 +3953,22 @@ def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
         return ~c if lm.group("neg") else c
     split = _split_expr_predicate(item)
     if split is None:
+        # membership test `<scalar> IN <list expr>` — array_contains over
+        # any list-typed expression (labels(n), split(...), literals)
+        inm = re.match(
+            r"^(?P<l>.+?)\s+IN\s+(?P<r>.+)$", item.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if inm:
+            lc, _ = _compile_scalar(
+                _parse_scalar_expr(inm.group("l")),
+                df, aliases, rel_alias, lits, params,
+            )
+            rc, rtag = _compile_scalar(
+                _parse_scalar_expr(inm.group("r")),
+                df, aliases, rel_alias, lits, params,
+            )
+            return F.array_contains(rc, lc)
         raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
     if split[0] == "isnull":
         c, _ = _compile_scalar(
@@ -4128,6 +4171,63 @@ def _run_post_with(
             sorts.append(c.desc() if desc else c.asc())
         df = df.orderBy(*sorts)
     return _page(df.select(*out_cols), skip, limit)
+
+
+_MH_NODE_RE = re.compile(r"\(\s*(?P<alias>\w+)?\s*(?::(?P<label>[\w|:]+))?\s*\)")
+_MH_REL_RE = re.compile(
+    r"^(?P<in><-|-)\[\s*(?P<ralias>\w+)?\s*(?::(?P<rtype>[\w|]+))?\s*\]"
+    r"(?P<out>->|-)$"
+)
+
+
+def _split_multi_hop(body: str):
+    """Split a simple multi-hop relationship chain
+    ``(a:L1)-[:T1]->(b:L2)-[:T2]->(c:L3)…`` into per-hop tuples
+    ``(src_alias, src_label, rel_alias, rel_type, direction, dst_alias,
+    dst_label)``. Returns None for anything that is not a ≥2-hop plain
+    chain (single hops, var-length, inline props, path functions keep
+    their existing compile paths). Anonymous intermediate nodes get
+    synthetic ``_mh<i>`` aliases."""
+    text = body.strip()
+    nodes = []
+    rels = []
+    pos = 0
+    while True:
+        m = _MH_NODE_RE.match(text, pos)
+        if not m:
+            return None
+        nodes.append((m.group("alias"), m.group("label")))
+        pos = m.end()
+        if pos == len(text):
+            break
+        nxt = text.find("(", pos)
+        if nxt == -1:
+            return None
+        seg = text[pos:nxt].strip()
+        rm = _MH_REL_RE.match(seg)
+        if not rm:
+            return None
+        if rm.group("in") == "<-" and rm.group("out") == "->":
+            return None
+        if rm.group("in") == "<-":
+            direction = "in"
+        elif rm.group("out") == "->":
+            direction = "out"
+        else:
+            direction = "both"
+        rels.append((rm.group("ralias"), rm.group("rtype"), direction))
+        pos = nxt
+    if len(rels) < 2:
+        return None
+    named = []
+    for i, (al, lb) in enumerate(nodes):
+        named.append((al or f"_mh{i}", lb))
+    out = []
+    for i, (ra, rt, dr) in enumerate(rels):
+        sa, sl = named[i]
+        da, dl = named[i + 1]
+        out.append((sa, sl if i == 0 else None, ra, rt, dr, da, dl))
+    return out
 
 
 def _run_read(
@@ -4659,6 +4759,116 @@ def _run_read(
                 )
                 aliases[da2] = f"{da2}_"
                 continue
+            hops = _split_multi_hop(c.body)
+            if hops is not None:
+                # multi-hop single pattern `(a:L1)-[:T1]->(b:L2)-[:T2]->(c:L3)`
+                # — the #1 Cypher idiom after one-hop. Compiles exactly like
+                # the a33 chained-MATCH shape: hop 1 is Graph.expand, every
+                # further hop one more (edge ⋈ node) join pair hanging off
+                # the bound frame — k hops = k hash joins, dimension sides
+                # broadcast. Neo4j's per-MATCH relationship uniqueness is
+                # enforced afterwards: for every pair of hops whose type
+                # sets can overlap, rows reusing the same (src, dst) edge
+                # are excluded (self-loops / cycle revisits).
+                from neo4j_graphdb_spark.operators.cypher import (
+                    _orient_edges,
+                    _prefix,
+                )
+
+                if df is not None:
+                    raise CypherUnsupported(
+                        "multi-hop patterns must be the statement's first MATCH"
+                    )
+                (sa0, sl0, ra0, rt0, dir0, da0, dl0) = hops[0]
+                if ra0:
+                    raise CypherUnsupported(
+                        "relationship aliases are unsupported in multi-hop "
+                        "patterns"
+                    )
+                df = graph.expand(
+                    rel_type=_rel_types(rt0),
+                    src_label=_node_labels(sl0),
+                    dst_label=_node_labels(dl0),
+                    src_alias=sa0, dst_alias=da0,
+                    direction=dir0,
+                )
+                aliases[sa0] = f"{sa0}_"
+                aliases[da0] = f"{da0}_"
+                rel_prefixed = True
+                endpoints = [(sa0, rt0)]  # (src alias of hop i, rel type)
+                prev_dst = da0
+                for (sa_i, sl_i, ra_i, rt_i, dir_i, da_i, dl_i) in hops[1:]:
+                    if ra_i:
+                        raise CypherUnsupported(
+                            "relationship aliases are unsupported in "
+                            "multi-hop patterns"
+                        )
+                    if sa_i != prev_dst:
+                        raise CypherUnsupported(
+                            "multi-hop pattern is not a chain"
+                        )
+                    if da_i in aliases:
+                        raise CypherUnsupported(
+                            f"alias {da_i!r} is already bound"
+                        )
+                    eh = graph.edges_df
+                    if eh is None:
+                        raise CypherUnsupported("graph has no edges")
+                    eh = _cy_rel_filter(eh, _rel_types(rt_i))
+                    eh = _orient_edges(eh, dir_i).select(
+                        F.col("src").alias("_ehsrc"), F.col("dst").alias("_ehdst")
+                    )
+                    dfh = _prefix(graph.match(_node_labels(dl_i)), da_i)
+                    df = (
+                        df.join(
+                            eh,
+                            F.col(f"{aliases[sa_i]}{NODE_ID}")
+                            == F.col("_ehsrc"),
+                        )
+                        .join(
+                            dfh, F.col("_ehdst") == dfh[f"{da_i}_{NODE_ID}"]
+                        )
+                        .drop("_ehsrc", "_ehdst")
+                    )
+                    aliases[da_i] = f"{da_i}_"
+                    endpoints.append((sa_i, rt_i))
+                    prev_dst = da_i
+                # relationship uniqueness (per-MATCH, Neo4j semantics):
+                # hop i's UNDERLYING edge row is the oriented node-id pair
+                # — (alias_i, alias_{i+1}) for ->, reversed for <- ; hops
+                # whose type sets can overlap must bind different edges
+                chain = [h[0] for h in hops] + [hops[-1][5]]
+
+                def _tset(rt):
+                    if not rt:
+                        return None  # untyped: overlaps everything
+                    return {t.strip() for t in rt.split("|") if t.strip()}
+
+                def _edge_pair(i):
+                    u, v = chain[i], chain[i + 1]
+                    return (v, u) if hops[i][4] == "in" else (u, v)
+
+                for i in range(len(hops)):
+                    for j in range(i + 1, len(hops)):
+                        if "both" in (hops[i][4], hops[j][4]):
+                            continue  # undirected: orientation unknown
+                        si, sj = _tset(hops[i][3]), _tset(hops[j][3])
+                        if si is not None and sj is not None and not (si & sj):
+                            continue
+                        (ui, vi), (uj, vj) = _edge_pair(i), _edge_pair(j)
+                        df = df.filter(
+                            ~(
+                                (
+                                    F.col(f"{ui}_{NODE_ID}")
+                                    == F.col(f"{uj}_{NODE_ID}")
+                                )
+                                & (
+                                    F.col(f"{vi}_{NODE_ID}")
+                                    == F.col(f"{vj}_{NODE_ID}")
+                                )
+                            )
+                        )
+                continue
             m = _REL_RE.match(c.body)
             if m:
                 sa = m.group("src_alias") or "a"
@@ -4893,6 +5103,19 @@ def _run_read(
             rel_prefixed = True
         elif c.kind == "WHERE":
             body = c.body
+            # normalize null tests FIRST: `IS [NOT] NULL` masks to one
+            # token so its NOT never triggers the boolean grammar, and
+            # the legacy `exists(a.prop)` property test rewrites to it
+            # before the EXISTS{} pattern extractor can grab the keyword
+            body = re.sub(
+                r"(?i)\bIS\s+NOT\s+NULL\b", "IS_NOT_NULL", body
+            )
+            body = re.sub(r"(?i)\bIS\s+NULL\b", "IS_NULL", body)
+            body = re.sub(
+                r"(?i)\bexists\s*\(\s*(\w+\.\w+)\s*\)",
+                r"\1 IS_NOT_NULL",
+                body,
+            )
             if "exists" in body.lower() or re.search(
                 r"\)\s*<?-\s*\[", body
             ):
@@ -4960,7 +5183,11 @@ def _run_read(
             keep: list[str] = []
             with_exprs: list[tuple[str, str | None]] = []
             for it in items:
-                if it in aliases:
+                if it == "*":
+                    # WITH * — carry every bound alias (and the flat
+                    # columns ride along untouched, Neo4j semantics)
+                    keep.extend(a0 for a0 in aliases if a0 not in keep)
+                elif it in aliases:
                     keep.append(it)
                 elif it in df.columns:
                     # carry a flat column from an earlier WITH projection

@@ -8040,6 +8040,70 @@ def q_a93_text_reduce_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a94_text_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A94 ext (r12) — multi-hop single MATCH pattern
+    ``(c:Customer)-[:FROM]->(n:Nation)-[:IN]->(r:Region)`` — the #1
+    Cypher idiom after one-hop, previously a refusal. Compiles exactly
+    like the a33 chained-MATCH shape (hop 1 = Graph.expand, each
+    further hop one (edge ⋈ node) join pair, dimension sides
+    broadcast) plus Neo4j's per-MATCH relationship uniqueness: hops
+    with overlapping type sets must bind different edges (golden-tested
+    on self-loop graphs; a forest has none, so the oracle is the plain
+    join chain)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_nationkey").cast("string").alias("nk"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("nk"),
+        F.col("n_regionkey").cast("string").alias("rk"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("string").alias("rk")
+    )
+    nodes = (
+        as_nodes(cust, "Customer", "ck", ["ck"])
+        .unionByName(as_nodes(nat, "Nation", "nk", ["nk"]), True)
+        .unionByName(as_nodes(reg, "Region", "rk", ["rk"]), True)
+    )
+    edges = as_edges(cust, "FROM", "Customer", "ck", "Nation", "nk").unionByName(
+        as_edges(nat, "IN", "Nation", "nk", "Region", "rk")
+    )
+    return run_cypher(
+        spark,
+        "MATCH (c:Customer)-[:FROM]->(n:Nation)-[:IN]->(r:Region) "
+        "RETURN c.ck AS ck, n.nk AS nk, r.rk AS rk",
+        graph=Graph(nodes, edges),
+    ).df
+
+
+def q_a95_text_null_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A95 ext (r12) — the null-test predicate pack: ``IS [NOT] NULL``
+    (masked to one token so its NOT never trips the boolean grammar),
+    the legacy ``exists(a.prop)`` property test (rewritten to the same
+    null test before the EXISTS{} pattern extractor can grab it),
+    ``'L' IN labels(a)`` membership (labels() as a value expression +
+    array_contains), and ``WITH *`` carry-all. Closed form: tag is
+    non-null on doc_id % 3 = 0, alt is null on doc_id % 4 = 0."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("source")).alias("tag"),
+        F.when(F.col("doc_id") % 4 != 0, F.col("source")).alias("alt"),
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Doc) "
+        "WHERE exists(a.tag) AND a.alt IS NULL AND 'Doc' IN labels(a) "
+        "WITH * RETURN a.link AS link, a.tag AS tag",
+        graph=Graph(as_nodes(src, "Doc", "link", ["tag", "alt"]), None),
+    ).df
+
+
 def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C111 — CCNet-style paragraph dedup (functions/text.py
     paragraph_dedup): non-overlapping 20-token paragraphs, each
@@ -8857,6 +8921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a91_text_distinct_agg": q_a91_text_distinct_agg,
     "a92_text_case_where": q_a92_text_case_where,
     "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
+    "a94_text_multi_hop": q_a94_text_multi_hop,
+    "a95_text_null_labels": q_a95_text_null_labels,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12535,6 +12601,20 @@ ORACLES["a93_text_reduce_subscript"] = """
            (length(w0)::bigint * (length(w0)::bigint + 1)) / 2 AS tri,
            w0, title AS t
     FROM w
+"""
+
+ORACLES["a94_text_multi_hop"] = """
+    SELECT cast(c_custkey AS varchar) AS ck,
+           cast(c_nationkey AS varchar) AS nk,
+           cast(n_regionkey AS varchar) AS rk
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+ORACLES["a95_text_null_labels"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS tag
+    FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
 """
 
 ORACLES["c110_tokenizer_fertility"] = """

@@ -4312,3 +4312,107 @@ def test_text_reduce_and_subscripts(spark):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
+
+
+def test_text_multi_hop_patterns(spark):
+    """Multi-hop single MATCH pattern: chain compile, anonymous
+    intermediates, mixed directions, WHERE pushdown, and Neo4j's
+    per-MATCH relationship uniqueness (the self-loop (l4,l4) edge may
+    appear in ONE hop of a row, never two)."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", 10), ("l2", 20), ("l3", 30), ("l4", 40)],
+        "link string, score int",
+    )
+    e = spark.createDataFrame(
+        [("l1", "l2"), ("l2", "l3"), ("l3", "l4"), ("l4", "l4")],
+        "a string, b string",
+    )
+    g = Graph(
+        as_nodes(src, "Doc", "link", ["score"]),
+        as_edges(e, "T", "Doc", "a", "Doc", "b"),
+    )
+    two = run_cypher(
+        spark,
+        "MATCH (a:Doc)-[:T]->(b:Doc)-[:T]->(c:Doc) "
+        "RETURN a.link AS l, b.link AS m, c.link AS n",
+        graph=g,
+    ).df.collect()
+    # (l4,l4,l4) would reuse the self-loop edge twice — excluded;
+    # (l3,l4,l4) uses two distinct edges — kept
+    assert sorted((r["l"], r["m"], r["n"]) for r in two) == [
+        ("l1", "l2", "l3"), ("l2", "l3", "l4"), ("l3", "l4", "l4"),
+    ]
+    three = run_cypher(
+        spark,
+        "MATCH (a:Doc)-[:T]->(b:Doc)-[:T]->(c:Doc)-[:T]->(d:Doc) "
+        "RETURN a.link AS l, d.link AS n",
+        graph=g,
+    ).df.collect()
+    assert sorted((r["l"], r["n"]) for r in three) == [
+        ("l1", "l4"), ("l2", "l4"),
+    ]
+    anon = run_cypher(
+        spark,
+        "MATCH (a:Doc)-[:T]->()-[:T]->(c:Doc) RETURN a.link AS l, c.link AS n",
+        graph=g,
+    ).df.count()
+    assert anon == 3
+    pushed = run_cypher(
+        spark,
+        "MATCH (a:Doc)-[:T]->(b:Doc)-[:T]->(c:Doc) WHERE c.score > 35 "
+        "RETURN a.link AS l",
+        graph=g,
+    ).df.collect()
+    assert sorted(r["l"] for r in pushed) == ["l2", "l3"]
+    for bad in (
+        # var-length hops keep their own compile path — not chainable
+        "MATCH (a:Doc)-[:T*1..2]->(b:Doc)-[:T]->(c:Doc) RETURN a.link AS l",
+        # second MATCH rebinding an alias refuses
+        "MATCH (a:Doc)-[:T]->(b:Doc)-[:T]->(b:Doc) RETURN a.link AS l",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
+
+
+def test_text_null_tests_and_label_membership(spark):
+    """IS [NOT] NULL under AND/OR/NOT, legacy exists(prop), 'L' IN
+    labels(n), generic value IN <list expr>, WITH * carry-all."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", "A", "en"), ("l2", "A", None), ("l3", "B", "en")],
+        "link string, grp string, lang string",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "lang"]), None)
+
+    def links(q):
+        return sorted(
+            r["l"] for r in run_cypher(spark, q, graph=g).df.collect()
+        )
+
+    assert links("MATCH (a:Doc) WHERE a.lang IS NOT NULL RETURN a.link AS l") == ["l1", "l3"]
+    assert links("MATCH (a:Doc) WHERE a.lang IS NULL RETURN a.link AS l") == ["l2"]
+    assert links(
+        "MATCH (a:Doc) WHERE a.lang IS NULL OR a.grp = 'B' RETURN a.link AS l"
+    ) == ["l2", "l3"]
+    assert links("MATCH (a:Doc) WHERE exists(a.lang) RETURN a.link AS l") == ["l1", "l3"]
+    assert links("MATCH (a:Doc) WHERE NOT exists(a.lang) RETURN a.link AS l") == ["l2"]
+    assert links("MATCH (a:Doc) WHERE 'Doc' IN labels(a) RETURN a.link AS l") == ["l1", "l2", "l3"]
+    assert links("MATCH (a:Doc) WHERE 'X' IN labels(a) RETURN a.link AS l") == []
+    assert links(
+        "MATCH (a:Doc) WHERE a.grp IN split('A,C', ',') RETURN a.link AS l"
+    ) == ["l1", "l2"]
+    assert links(
+        "MATCH (a:Doc) WHERE a.grp = 'A' WITH * RETURN a.link AS l"
+    ) == ["l1", "l2"]
