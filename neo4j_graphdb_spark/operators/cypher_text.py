@@ -1700,6 +1700,31 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
         )
 
     raw_items = [r.strip() for r in _split_top_commas(um.group("items"))]
+    # `SET n += {k: v, …}` — Neo4j's map-merge sugar: expand to one
+    # per-prop item each (`n.k = v`), which is exactly what += does to
+    # the listed keys while leaving the rest untouched. NB this engine's
+    # SET-null convention applies (a null value keeps the stored cell —
+    # the a8 contract), where Neo4j's += would remove the key.
+    expanded: list[str] = []
+    for raw in raw_items:
+        pm = re.match(
+            r"^(?P<alias>\w+)\s*\+=\s*\{(?P<body>.*)\}$", raw, re.DOTALL
+        )
+        if pm:
+            for pair in _split_top_commas(pm.group("body")):
+                km = re.match(
+                    r"^\s*(\w+)\s*:\s*(.+)$", pair, re.DOTALL
+                )
+                if not km:
+                    raise CypherUnsupported(
+                        f"unsupported map entry in SET +=: {unmask(pair)!r}"
+                    )
+                expanded.append(
+                    f"{pm.group('alias')}.{km.group(1)} = {km.group(2).strip()}"
+                )
+        else:
+            expanded.append(raw)
+    raw_items = expanded
     label_items = [_LABEL_ITEM_RE.match(r) for r in raw_items]
     if any(label_items):
         # `MATCH (n:L …) SET n:Extra[, n:More …]` — secondary-label add:
@@ -1938,8 +1963,6 @@ def run_cypher(
     clauses, lits = split_clauses_masked(query)
     is_write = any(c.kind in ("MERGE", "CREATE", "SET") for c in clauses)
     if is_write:
-        if any(c.kind == "WHERE" for c in clauses):
-            raise CypherUnsupported("WHERE unsupported in write statements")
         if store is None:
             raise ValueError("write statement needs a GraphStore")
         return _run_write(spark, clauses, params, store, lits)
@@ -2522,6 +2545,109 @@ def _apply_unwind(
     return [_Clause(c.kind, ref.sub(r"$\1", c.body)) for c in clauses[1:]], pdf
 
 
+def _derive_write_batch(
+    spark: SparkSession,
+    clauses: list[_Clause],
+    params: dict | DataFrame | None,
+    store: GraphStore,
+    lits: list[str] | None,
+):
+    """Derived writes: a READ prefix feeding MERGE/CREATE —
+    ``MATCH (a:Doc) MERGE (b:Mirror {key: a.link})`` or ``MATCH … WITH
+    a.grp AS g MERGE (x:Grp {key: g})`` — Neo4j's derive-then-upsert
+    bulk idiom. The prefix compiles through the ordinary READ compiler
+    (one distributed plan, WHERE pushdown and all), its result frame
+    becomes the write BATCH (exactly the UNWIND-$rows shape), and the
+    suffix's ``alias.prop`` / WITH-name references rewrite to batch
+    params. Returns (suffix_clauses, batch_frame), or None when the
+    statement is not this shape (anchored key-prop MATCH writes and
+    plain pattern writes keep their existing paths)."""
+    widx = next(
+        (i for i, c in enumerate(clauses) if c.kind in ("MERGE", "CREATE")),
+        None,
+    )
+    if not widx:  # no write clause, or nothing before it
+        return None
+    prefix, suffix = clauses[:widx], clauses[widx:]
+    if prefix[0].kind != "MATCH" or any(
+        c.kind not in ("MATCH", "OPTIONAL_MATCH", "WHERE", "WITH")
+        for c in prefix
+    ):
+        return None
+    # the anchored-write path owns key-prop MATCH prefixes with no
+    # WHERE/WITH: `MATCH (a:L {k: $p}) MERGE (a)-[:T]->(…)`
+    if all(
+        c.kind in ("MATCH", "OPTIONAL_MATCH") and "{" in c.body
+        for c in prefix
+    ):
+        return None
+    # read-bound aliases: node aliases in the prefix patterns, plus the
+    # last WITH's output names (flat columns)
+    read_aliases: set[str] = set()
+    for c in prefix:
+        if c.kind in ("MATCH", "OPTIONAL_MATCH"):
+            read_aliases.update(re.findall(r"\(\s*(\w+)", c.body))
+    with_names: set[str] = set()
+    last_with = next((c for c in reversed(prefix) if c.kind == "WITH"), None)
+    if last_with is not None:
+        wb = re.sub(r"^DISTINCT\s+", "", last_with.body, flags=re.IGNORECASE)
+        for it in _split_top_commas(wb):
+            am = _EXPR_AS_RE.match(it)
+            with_names.add(am.group("out") if am else it.strip())
+        read_aliases &= with_names  # aliases that survived the horizon
+    # alias.prop references in the suffix that belong to the read scope
+    refs: dict[tuple[str, str], str] = {}
+    for c in suffix:
+        for mm in re.finditer(r"(?<![\w$])(\w+)\.(\w+)(?![\w(])", c.body):
+            if mm.group(1) in read_aliases:
+                refs.setdefault(
+                    (mm.group(1), mm.group(2)),
+                    f"__w_{mm.group(1)}_{mm.group(2)}",
+                )
+    bare: set[str] = set()
+    for c in suffix:
+        for nm in re.findall(r"(?<![\w$.])(\w+)(?![\w$.(])", c.body):
+            if nm in with_names and nm not in read_aliases:
+                bare.add(nm)
+    if not refs and not bare:
+        return None  # suffix doesn't consume the read — not this shape
+    ret_items = [f"{a}.{pr} AS {out}" for (a, pr), out in refs.items()]
+    ret_items += sorted(bare)
+    read_clauses = prefix + [_Clause("RETURN", ", ".join(ret_items))]
+    nodes_df = store.nodes()
+    if nodes_df is None:
+        raise ValueError("store is empty")
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    frame = _run_read(
+        read_clauses,
+        Graph(nodes_df, store.edges()),
+        lits,
+        params if isinstance(params, dict) else None,
+    )
+    # rewrite the suffix onto the batch: a.link → $__w_a_link, g → $g
+    new_suffix = []
+    for c in suffix:
+        body = c.body
+        for (a, pr), out in refs.items():
+            body = re.sub(
+                rf"(?<![\w$]){re.escape(a)}\.{re.escape(pr)}(?![\w(])",
+                f"${out}",
+                body,
+            )
+        for nm in bare:
+            body = re.sub(
+                rf"(?<![\w$.]){re.escape(nm)}(?![\w$.(])", f"${nm}", body
+            )
+        new_suffix.append(_Clause(c.kind, body))
+    # scalar params ride along as broadcast 1-row columns
+    if isinstance(params, dict) and params:
+        scal = {k: v for k, v in params.items() if not isinstance(v, list)}
+        if scal:
+            frame = frame.crossJoin(F.broadcast(_params_frame(spark, scal)))
+    return new_suffix, frame
+
+
 def _run_write(
     spark: SparkSession,
     clauses: list[_Clause],
@@ -2532,9 +2658,20 @@ def _run_write(
     if clauses and clauses[0].kind == "UNWIND":
         clauses, pdf = _apply_unwind(spark, clauses, params, lits)
     else:
-        if any(c.kind == "UNWIND" for c in clauses):
-            raise CypherUnsupported("UNWIND must lead the write statement")
-        pdf = _params_frame(spark, params)
+        derived = _derive_write_batch(spark, clauses, params, store, lits)
+        if derived is not None:
+            clauses, pdf = derived
+        else:
+            if any(c.kind == "UNWIND" for c in clauses):
+                raise CypherUnsupported("UNWIND must lead the write statement")
+            if any(c.kind == "WHERE" for c in clauses):
+                # WHERE belongs to a derived-write read prefix; a plain
+                # pattern write has no frame to filter
+                raise CypherUnsupported(
+                    "WHERE in a write statement needs a read prefix "
+                    "feeding MERGE/CREATE (the derived-write shape)"
+                )
+            pdf = _params_frame(spark, params)
     nodes: dict[str, _NodePattern] = {}
     node_order: list[str] = []
     edges: list[_EdgePattern] = []

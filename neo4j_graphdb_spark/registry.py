@@ -8104,6 +8104,39 @@ def q_a95_text_null_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a96_text_derived_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A96 ext (r12) — derived writes: a READ prefix feeding MERGE
+    (``MATCH (a:Article) WHERE … WITH a.publisher AS pub MERGE
+    (p:Pub {key: pub})``) — Neo4j's derive-then-upsert bulk idiom,
+    previously a refusal. The prefix compiles through the ordinary READ
+    compiler (one distributed plan, WHERE pushdown intact), its result
+    frame becomes the write BATCH (exactly the UNWIND-$rows shape), and
+    suffix references rewrite to batch params — no driver loop, the
+    bucketed partial-rewrite MERGE sees one DataFrame. Closed form:
+    the Pub nodes are the distinct sources of even doc_ids."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a96_"))
+    store.merge_nodes(
+        src, label="Article", key_col="link", prop_cols=["publisher", "score"]
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.score % 2 = 0 "
+        "WITH a.publisher AS pub MERGE (p:Pub {key: pub})",
+        store=store,
+    )
+    return run_cypher(
+        spark, "MATCH (p:Pub) RETURN p.key AS publisher", store=store
+    ).df
+
+
 def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C111 — CCNet-style paragraph dedup (functions/text.py
     paragraph_dedup): non-overlapping 20-token paragraphs, each
@@ -8923,6 +8956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
     "a94_text_multi_hop": q_a94_text_multi_hop,
     "a95_text_null_labels": q_a95_text_null_labels,
+    "a96_text_derived_write": q_a96_text_derived_write,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12615,6 +12649,10 @@ ORACLES["a95_text_null_labels"] = """
            source AS tag
     FROM documents
     WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
+"""
+
+ORACLES["a96_text_derived_write"] = """
+    SELECT DISTINCT source AS publisher FROM documents WHERE doc_id % 2 = 0
 """
 
 ORACLES["c110_tokenizer_fertility"] = """

@@ -4416,3 +4416,127 @@ def test_text_null_tests_and_label_membership(spark):
     assert links(
         "MATCH (a:Doc) WHERE a.grp = 'A' WITH * RETURN a.link AS l"
     ) == ["l1", "l2"]
+
+
+def test_text_derived_writes(spark, tmp_path):
+    """Derived writes — a read prefix (MATCH/WHERE/WITH) feeding
+    MERGE: the prefix compiles through the READ compiler, its frame is
+    the write batch, suffix refs rewrite to batch params. Idempotence,
+    WHERE filtering, WITH projections, multi-clause node+edge chains,
+    and the anchored key-prop path staying untouched."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "gs"))
+    src = spark.createDataFrame(
+        [("l1", "A", 10), ("l2", "B", 20), ("l3", "A", 30)],
+        "link string, grp string, score int",
+    )
+    store.merge_nodes(src, label="Doc", key_col="link", prop_cols=["grp", "score"])
+
+    r = run_cypher(
+        spark, "MATCH (a:Doc) MERGE (b:Mirror {key: a.link})", store=store
+    )
+    assert r.summary.nodes_created == 3
+    r = run_cypher(
+        spark, "MATCH (a:Doc) MERGE (b:Mirror {key: a.link})", store=store
+    )
+    assert r.summary.nodes_created == 0  # idempotent
+
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.score > 15 "
+        "MERGE (b:Big {key: a.link}) SET b.grp = a.grp",
+        store=store,
+    )
+    assert r.summary.nodes_created == 2
+    big = run_cypher(
+        spark, "MATCH (b:Big) RETURN b.key AS k, b.grp AS g", store=store
+    ).df.collect()
+    assert sorted((x["k"], x["g"]) for x in big) == [("l2", "B"), ("l3", "A")]
+
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH DISTINCT a.grp AS g MERGE (x:Grp {key: g})",
+        store=store,
+    )
+    assert r.summary.nodes_created == 2
+
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) MERGE (s:Ref {key: a.link}) "
+        "MERGE (t:Grp {key: a.grp}) MERGE (s)-[:IN_GRP]->(t)",
+        store=store,
+    )
+    assert r.summary.relationships_created == 3
+    edges = run_cypher(
+        spark,
+        "MATCH (s:Ref)-[:IN_GRP]->(t:Grp) RETURN s.key AS k, t.key AS g",
+        store=store,
+    ).df.collect()
+    assert sorted((x["k"], x["g"]) for x in edges) == [
+        ("l1", "A"), ("l2", "B"), ("l3", "A"),
+    ]
+
+    # anchored key-prop writes keep their path (no derived hijack)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc {link: 'l1'}) MERGE (p:Pin {key: 'x'}) "
+        "MERGE (a)-[:PINNED]->(p)",
+        store=store,
+    )
+    assert r.summary.relationships_created == 1
+
+    # WHERE with no derived shape stays refused
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MERGE (x:Y {key: 'k'}) WHERE x.key = 'k'", store=store
+        )
+
+
+def test_text_set_plus_equals_update(spark, tmp_path):
+    """`SET n += {map}` on the update path expands to per-prop items:
+    other props untouched, values may be expressions over the matched
+    row, WHERE filters the batch."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "gs"))
+    src = spark.createDataFrame(
+        [("l1", "A", 10), ("l2", "B", 20)], "link string, grp string, score int"
+    )
+    store.merge_nodes(src, label="Doc", key_col="link", prop_cols=["grp", "score"])
+    r = run_cypher(
+        spark, "MATCH (a:Doc) SET a += {seen: 1, band: 'x'}", store=store
+    )
+    assert r.summary.properties_set == 4
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, a.seen AS s, a.band AS b, a.grp AS g",
+        store=store,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [
+        ("l1", 1, "x", "A"), ("l2", 1, "x", "B"),
+    ]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.score > 15 SET a += {seen: a.seen + 1}",
+        store=store,
+    )
+    assert r.summary.properties_set == 1
+    rows = run_cypher(
+        spark, "MATCH (a:Doc) RETURN a.link AS l, a.seen AS s", store=store
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [("l1", 1), ("l2", 2)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Doc) SET a += {bad}", store=store)
