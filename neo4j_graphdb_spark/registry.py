@@ -8137,6 +8137,66 @@ def q_a96_text_derived_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_c132_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C132 (r12) — the per-source DATASET CARD: the rollup every
+    curated corpus publishes (n_docs, exact-dup rate, whitespace token
+    mass, distinct-token vocabulary, mean doc length). Three linear
+    aggregations joined on the source dimension: (1) per-source doc/
+    token totals with map-side combine, (2) dup mass via
+    groupBy(source, md5(text)), (3) vocabulary via distinct (source,
+    token) then count — every shuffle keyed on source or (source,
+    token), nothing quadratic, 20-row dimension joins broadcast. Mean
+    tokens crosses the hash boundary as integer fixed-point
+    (floor(µ·1e6 + 0.5) — the repo float rule), never round(double).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_w"),
+    )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("_w")).cast("bigint").alias("total_tokens"),
+    )
+    dups = (
+        docs.groupBy("source", F.md5("text").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("_c") - F.lit(1)).cast("bigint").alias("n_dup_docs")
+        )
+    )
+    vocab = (
+        toks.select("source", F.explode("_w").alias("_t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"))
+    )
+    return (
+        base.join(F.broadcast(dups), "source")
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "total_tokens",
+            "n_distinct_tokens",
+            F.floor(
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_tokens_micro"),
+        )
+    )
+
+
 def q_c111_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C111 — CCNet-style paragraph dedup (functions/text.py
     paragraph_dedup): non-overlapping 20-token paragraphs, each
@@ -8957,6 +9017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a94_text_multi_hop": q_a94_text_multi_hop,
     "a95_text_null_labels": q_a95_text_null_labels,
     "a96_text_derived_write": q_a96_text_derived_write,
+    "c132_dataset_card": q_c132_dataset_card,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12653,6 +12714,37 @@ ORACLES["a95_text_null_labels"] = """
 
 ORACLES["a96_text_derived_write"] = """
     SELECT DISTINCT source AS publisher FROM documents WHERE doc_id % 2 = 0
+"""
+
+ORACLES["c132_dataset_card"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT source, count(*)::bigint AS n_docs,
+               sum(len(w))::bigint AS total_tokens
+        FROM toks GROUP BY source
+    ),
+    dups AS (
+        SELECT source, sum(c - 1)::bigint AS n_dup_docs FROM (
+            SELECT source, md5(text) AS h, count(*) AS c
+            FROM documents GROUP BY source, md5(text)
+        ) GROUP BY source
+    ),
+    vocab AS (
+        SELECT source, count(*)::bigint AS n_distinct_tokens FROM (
+            SELECT DISTINCT source, unnest(w) AS t FROM toks
+        ) GROUP BY source
+    )
+    SELECT base.source, n_docs, n_dup_docs, total_tokens,
+           n_distinct_tokens,
+           floor(total_tokens::double / n_docs::double * 1000000.0
+                 + 0.5)::bigint AS mean_tokens_micro
+    FROM base JOIN dups ON base.source = dups.source
+    JOIN vocab ON base.source = vocab.source
 """
 
 ORACLES["c110_tokenizer_fertility"] = """

@@ -852,3 +852,37 @@ def test_rrf_fusion_math(spark):
     assert abs(out[2] - 1 / 62) < 1e-12
     assert abs(out[9] - 1 / 61) < 1e-12
     assert out[1] > out[9] > out[2]
+
+
+def test_dataset_card_hand_corpus(spark):
+    """c132 data card on a hand corpus: dup mass, token totals,
+    vocabulary, fixed-point mean."""
+    from neo4j_graphdb_spark.registry import QUERIES
+    import tempfile, os
+
+    rows = [
+        (1, "s1", "a b c"),
+        (2, "s1", "a b c"),          # exact dup of 1
+        (3, "s1", "d e"),
+        (4, "s2", "x"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="card_")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {r["source"]: r for r in QUERIES["c132_dataset_card"](spark, d).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_dup_docs"] == 1
+    assert s1["total_tokens"] == 8  # 3 + 3 + 2
+    assert s1["n_distinct_tokens"] == 5  # a b c d e
+    assert s1["mean_tokens_micro"] == round(8 / 3 * 1e6)  # floor(x+0.5)
+    s2 = out["s2"]
+    assert (s2["n_docs"], s2["n_dup_docs"], s2["total_tokens"],
+            s2["n_distinct_tokens"], s2["mean_tokens_micro"]) == (1, 0, 1, 1, 1_000_000)
