@@ -8956,17 +8956,20 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (det_split, pii_redact, repetition, chunking), and 10 backfill
 #   slots from the next-oldest greens (r5-era c11-c16 block) that
 #   round-12 additions displace as they land.
-#   r13 window should rotate onto: any r12 additions not yet
-#   driver-checked, then the rest of the r5-era block (c17-c36 +
-#   early rel_* suite, driver-green r05, oldest remaining).
+#   The 11 r12 additions (a87-a96 Cypher-surface + c132 dataset card)
+#   displaced ALL 10 backfill slots; c132 sits at index 50 — first
+#   OUTSIDE the window (spilled; judge-verified locally in r12).
+#   r13 window should rotate onto: c132 first, then the r5-era c11-c16
+#   block that was displaced, then the rest of the r5-era block
+#   (c17-c36 + early rel_* suite, driver-green r05, oldest remaining).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r12 driver window (first 50): the two r11 driver-red FIXES
     # (a81 array_join, c102 fixed-point cov_micro), then the 34
     # never-driver-checked late-r11 entries (c104-c131, a83-a86,
     # rel_cube_rollup, rel_pivot), the 4 deferred c10 variants, and
-    # 10 backfill slots from the next-oldest greens (r5-era c11-c16
-    # block). Round-12 additions displace backfill slots as they land.
-    # Rotation ledger above. ----
+    # the 10 round-12 Cypher-surface additions a87-a96 (they displaced
+    # every backfill slot; c132 spilled to index 50 — r13 leads with
+    # it). Rotation ledger above. ----
     "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "c102_embedding_covariance": q_c102_embedding_covariance,
     "c104_mmr_rerank": q_c104_mmr_rerank,
