@@ -285,7 +285,7 @@ _COUNT_ITEM_RE = re.compile(
 # entity-introspection functions; length(p) — path length for a
 # shortestPath/var-length binding
 _FN_ITEM_RE = re.compile(
-    r"^(?P<fn>labels|type|id|length|keys|properties|nodes|relationships)"
+    r"^(?P<fn>labels|type|id|elementId|length|keys|properties|nodes|relationships)"
     r"\s*\(\s*(?P<alias>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<out>\w+))?$",
     re.IGNORECASE,
@@ -3511,6 +3511,8 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             return "int"
         if dt in _FLOAT_DTYPES or dt.startswith("decimal"):
             return "float"
+        if dt.startswith("array"):
+            return "list"
         return "other"
 
     lam_env: dict = {}  # comprehension variables, bound around the HOF call
@@ -3910,6 +3912,15 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             need(1)
             c, _ = rec(args[0])
             return F.element_at(c, -1), "other"
+        if fname == "tail":
+            # tail(xs) — everything after the head; empty list for a
+            # singleton, NULL for NULL (slice semantics match Cypher)
+            need(1)
+            c, _ = rec(args[0])
+            return (
+                F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0))),
+                "list",
+            )
         if fname == "reverse":
             # Cypher reverse() flips a string or a list; F.reverse does both
             need(1)
@@ -4282,7 +4293,18 @@ def _run_post_with(
     for item in returns:
         m = _POST_RETURN_RE.match(item)
         if not m or m.group("name") not in df.columns:
-            raise CypherUnsupported(f"RETURN after WITH must use WITH names: {item!r}")
+            # expression over WITH names: `RETURN size(xs) AS n` — the
+            # frame is flat, so the scalar compiler sees plain columns
+            try:
+                e, nm2 = _compile_return_expr(item, df, {}, None, lits, params)
+            except CypherUnsupported:
+                raise CypherUnsupported(
+                    f"RETURN after WITH must use WITH names or "
+                    f"expressions over them: {item!r}"
+                ) from None
+            out_cols.append(e.alias(nm2))
+            name_map[nm2] = nm2
+            continue
         name, field = m.group("name"), m.group("field")
         if field is not None:
             # `p.key` over a whole-entity WITH key — struct field access
@@ -4300,13 +4322,38 @@ def _run_post_with(
             name_map[name] = name
             name_map[out] = name
     if order_by:
+        # sort keys that resolve on the pre-projection frame (WITH names,
+        # incl. non-returned ones) sort df; RETURN-computed expression
+        # names only exist post-select, so those sort the projection
+        def _pre_name(key):
+            # pre-projection resolution: a RETURN name mapping onto a df
+            # column/field, or a WITH name not re-projected by RETURN
+            if key in name_map and (
+                name_map[key] in df.columns or "." in name_map[key]
+            ):
+                return name_map[key]
+            if key in df.columns:
+                return key
+            return None
+
+        pre = all(_pre_name(key) is not None for key, _ in order_by)
         sorts = []
         for key, desc in order_by:
-            if key not in name_map:
-                raise CypherUnsupported(f"ORDER BY key {key!r} is not a WITH/RETURN name")
-            c = F.col(name_map[key])
+            if key not in name_map and key not in df.columns:
+                raise CypherUnsupported(
+                    f"ORDER BY key {key!r} is not a WITH/RETURN name"
+                )
+            if not pre and key not in name_map:
+                raise CypherUnsupported(
+                    "ORDER BY cannot mix RETURN-computed keys with "
+                    f"non-returned WITH names: {key!r}"
+                )
+            c = F.col(_pre_name(key) if pre else key)
             sorts.append(c.desc() if desc else c.asc())
-        df = df.orderBy(*sorts)
+        if pre:
+            df = df.orderBy(*sorts)
+            return _page(df.select(*out_cols), skip, limit)
+        return _page(df.select(*out_cols).orderBy(*sorts), skip, limit)
     return _page(df.select(*out_cols), skip, limit)
 
 
@@ -5732,6 +5779,10 @@ def _run_read(
             elif fa in aliases:
                 col = "label" if fn == "labels" else NODE_ID
                 e = _prop_col(df, aliases[fa], col)
+                if fn == "elementid":
+                    # Neo4j 5's elementId(n): an opaque STRING identity —
+                    # here the content-derived node id stringified
+                    e = e.cast("string")
                 if fn == "labels":
                     # labels(n) = [primary] ++ sorted extras (the
                     # SET n:Extra set, minus the primary and empties) —

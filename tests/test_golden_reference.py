@@ -4540,3 +4540,46 @@ def test_text_set_plus_equals_update(spark, tmp_path):
     assert sorted(tuple(x) for x in rows) == [("l1", 1), ("l2", 2)]
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Doc) SET a += {bad}", store=store)
+
+
+def test_text_r12_expression_extras(spark):
+    """tail(), elementId(), RETURN expressions over aggregating-WITH
+    names (incl. ORDER BY a computed name and by a non-returned WITH
+    name)."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    r = run_cypher(
+        spark,
+        "RETURN tail([1, 2, 3]) AS t, tail(['a']) AS e, head([7, 8]) AS h",
+    ).df.collect()
+    assert [tuple(x) for x in r] == [([2, 3], [], 7)]
+
+    src = spark.createDataFrame([("l1", 10), ("l2", 20)], "link string, score int")
+    g = Graph(as_nodes(src, "Doc", "link", ["score"]), None)
+    eid = run_cypher(
+        spark, "MATCH (a:Doc) RETURN elementId(a) AS e LIMIT 1", graph=g
+    ).df
+    assert dict(eid.dtypes)["e"] == "string"
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH collect(DISTINCT a.score) AS xs "
+        "RETURN size(xs) AS n",
+        graph=g,
+    ).df.collect()
+    assert [x["n"] for x in r] == [2]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.score AS s, count(*) AS c "
+        "RETURN s * 2 AS d, c ORDER BY d DESC",
+        graph=g,
+    ).df.collect()
+    assert [(x["d"], x["c"]) for x in r] == [(40, 1), (20, 1)]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.score AS s, count(*) AS c "
+        "RETURN s ORDER BY c, s",
+        graph=g,
+    ).df.collect()
+    assert [x["s"] for x in r] == [10, 20]
