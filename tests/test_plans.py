@@ -268,3 +268,14 @@ def test_levenshtein_segments_content_keyed_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_seg" in plan  # join/exchange keyed by the segment gram
     assert "source" not in plan  # no partition-column crutch anywhere
+
+
+def test_multi_hop_match_broadcast_chain(spark, sf_dir):
+    """a94 (r12): a k-hop single MATCH pattern must compile to k hash
+    joins with dimension sides broadcast — never a cartesian or a
+    nested-loop join; at fixture scale all four joins (2 edge hops ×
+    (edge ⋈ node)) broadcast."""
+    plan = _plan(QUERIES["a94_text_multi_hop"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
