@@ -416,7 +416,8 @@ _WHERE_ITEM_RE = re.compile(
 # keeps months separate because their length depends on the anchor —
 # month interval arithmetic preserves exactly that semantics).
 _TEMPORAL_EXPR_RE = re.compile(
-    r"datetime\(\s*\)(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?",
+    r"datetime\(\s*(?P<arg>\x00\d+\x00)?\s*\)"
+    r"(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?",
 )
 
 _DURATION_ISO_RE = re.compile(
@@ -464,9 +465,15 @@ def duration_seconds(iso: str) -> float:
 
 def _temporal_column(m: re.Match, lits: list[str]):
     """Compile one matched temporal expression to a Column:
-    ``current_timestamp() ± INTERVAL n SECOND`` — constant-folded by
-    Catalyst into a pushdown-able literal bound."""
-    col = F.current_timestamp()
+    ``current_timestamp() ± INTERVAL n SECOND`` (or a fixed
+    ``datetime('<iso>')`` literal bound) — constant-folded by Catalyst
+    into a pushdown-able literal."""
+    if m.group("arg") is not None:
+        # datetime('<iso literal>') — a fixed instant; to_timestamp of a
+        # literal constant-folds, so the bound still pushes down
+        col = F.to_timestamp(F.lit(lits[int(m.group("arg").strip("\x00"))]))
+    else:
+        col = F.current_timestamp()
     if m.group("dur") is None:
         return col
     months, secs = duration_parts(lits[int(m.group("dur").strip("\x00"))])
@@ -3837,6 +3844,34 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     f"argument(s), got {len(args)}"
                 )
 
+        if fname == "datetime":
+            # datetime() — now; datetime('<iso>') — a fixed instant. Both
+            # constant-fold, so comparisons against them push down.
+            need(0, 1)
+            if not args:
+                return F.current_timestamp(), "other"
+            if args[0][0] != "str":
+                raise CypherUnsupported(
+                    "datetime() takes a literal ISO string"
+                )
+            return F.to_timestamp(F.lit(lits[args[0][1]])), "other"
+        if fname == "duration":
+            # duration('P…') — an INTERVAL value (months kept calendar,
+            # the exact-length rest folded to seconds, Neo4j's own
+            # duration decomposition); composes with timestamps via +/-
+            need(1)
+            if args[0][0] != "str":
+                raise CypherUnsupported(
+                    "duration() takes a literal ISO-8601 string"
+                )
+            months, secs = duration_parts(lits[args[0][1]])
+            return (
+                F.make_interval(
+                    F.lit(0), F.lit(months), F.lit(0), F.lit(0),
+                    F.lit(0), F.lit(0), F.lit(float(secs)),
+                ),
+                "other",
+            )
         if fname == "labels":
             # labels(n) as a VALUE expression (membership tests, size):
             # [primary] ++ sorted extras — identical construction to the

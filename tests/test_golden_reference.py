@@ -4583,3 +4583,44 @@ def test_text_r12_expression_extras(spark):
         graph=g,
     ).df.collect()
     assert [x["s"] for x in r] == [10, 20]
+
+
+def test_text_temporal_literals_and_durations(spark):
+    """datetime('<iso>') as a fixed WHERE bound (pushdown-eligible
+    constant), duration() arithmetic on stored timestamps in RETURN,
+    calendar + exact-length duration composition."""
+    import datetime as _dt
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [
+            ("l1", _dt.datetime(2024, 1, 1, 12, 0)),
+            ("l2", _dt.datetime(2024, 6, 15, 8, 30)),
+        ],
+        "link string, ts timestamp",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["ts"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE a.ts > datetime('2024-03-01T00:00:00') "
+        "RETURN a.link AS l",
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l2"]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, a.ts + duration('P1D') AS t2",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["l"], x["t2"]) for x in r) == [
+        ("l1", _dt.datetime(2024, 1, 2, 12, 0)),
+        ("l2", _dt.datetime(2024, 6, 16, 8, 30)),
+    ]
+    r = run_cypher(
+        spark,
+        "RETURN datetime('2024-05-01T00:00:00') + duration('P1M2DT3H') AS x",
+    ).df.collect()
+    assert r[0]["x"] == _dt.datetime(2024, 6, 3, 3, 0)
