@@ -4454,6 +4454,7 @@ def _run_read(
     graph: Graph,
     lits: list[str] | None = None,
     params: dict | None = None,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     lits = lits or []
     for i, c in enumerate(clauses):
@@ -4467,6 +4468,15 @@ def _run_read(
             inner = _run_read(
                 clauses[:i] + [_Clause("RETURN", c.body)], graph, lits, params
             )
+            if any(cc.kind == "MATCH" for cc in clauses[i + 1 :]):
+                # `WITH min(x) AS lo MATCH (b) WHERE b.y = lo …` — the
+                # scalar-subquery idiom: the aggregated frame (tiny by
+                # construction) seeds the tail's fresh read as a
+                # broadcast cross join; its flat names resolve in WHERE/
+                # RETURN like carried WITH columns
+                return _run_read(
+                    clauses[i + 1 :], graph, lits, params, seed=inner
+                )
             return _run_post_with(inner, clauses[i + 1 :], lits or [], params)
     df: DataFrame | None = None
     aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
@@ -4505,6 +4515,9 @@ def _run_read(
             tm = re.fullmatch(r"\x01(\d+)\x01", raw)
             if tm:
                 return temporal_cols[int(tm.group(1))]
+            if re.fullmatch(r"[A-Za-z_]\w*", raw) and raw in df.columns:
+                # flat carried/seeded column (WITH output) as comparand
+                return F.col(raw)
             return F.lit(_where_value(raw, lits, params))
 
         for alias, prop, op, raw in predicates:
@@ -4542,6 +4555,14 @@ def _run_read(
                 )
                 continue
             if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+                if raw in df.columns:
+                    # flat carried/seeded column (WITH output) comparand
+                    df = df.filter(
+                        _op_fn(op)(
+                            _prop_col(df, aliases[alias], prop), F.col(raw)
+                        )
+                    )
+                    continue
                 raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
             # a plain column comparison Catalyst pushes into the scan —
             # WHERE costs a filter, never a different plan shape
@@ -4580,6 +4601,8 @@ def _run_read(
                 if op.upper() == "IN":
                     return col.isin(*_in_list_values(raw, lits, params))
                 if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
+                    if raw in df.columns:
+                        return _op_fn(op)(col, F.col(raw))
                     raise CypherUnsupported(f"WHERE against unbound name: {raw!r}")
                 return _op_fn(op)(col, _operand(raw))
 
@@ -4629,9 +4652,18 @@ def _run_read(
         exists_preds.clear()
 
     consumed: set[int] = set()  # WHERE clauses folded into an OPTIONAL MATCH
+    _pending_seed = seed
     for _ci, c in enumerate(clauses):
         if _ci in consumed:
             continue
+        if df is not None and _pending_seed is not None:
+            overlap = set(df.columns) & set(_pending_seed.columns)
+            if overlap:
+                raise CypherUnsupported(
+                    f"WITH output names collide with match columns: {overlap}"
+                )
+            df = df.crossJoin(F.broadcast(_pending_seed))
+            _pending_seed = None
         if c.kind == "UNWIND":
             if df is not None:
                 # mid-pipeline UNWIND (after MATCH or a WITH): explodes a
@@ -5525,6 +5557,14 @@ def _run_read(
         else:
             raise CypherUnsupported(f"{c.kind} unsupported in read statements")
 
+    if df is not None and _pending_seed is not None:
+        overlap = set(df.columns) & set(_pending_seed.columns)
+        if overlap:
+            raise CypherUnsupported(
+                f"WITH output names collide with match columns: {overlap}"
+            )
+        df = df.crossJoin(F.broadcast(_pending_seed))
+        _pending_seed = None
     if df is None and unwind_frame is not None and returns:
         # pure `UNWIND […] AS x RETURN x` — the list itself is the frame
         df = unwind_frame

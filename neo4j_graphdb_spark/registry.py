@@ -8137,6 +8137,29 @@ def q_a96_text_derived_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a97_text_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A97 ext (r12) — the scalar-subquery idiom ``MATCH … WITH max(x)
+    AS hi MATCH (b) WHERE b.x = hi``: the aggregated frame (1 row by
+    construction) SEEDS the tail's fresh read as a broadcast cross
+    join, so the WHERE against the aggregate is a row-local filter on
+    the second scan — exactly how a warehouse plans
+    ``WHERE x = (SELECT max(x) …)``. Closed form: the max doc_id."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) WITH max(a.score) AS hi "
+        "MATCH (b:Article) WHERE b.score = hi "
+        "RETURN b.link AS link, hi",
+        graph=Graph(as_nodes(src, "Article", "link", ["score"]), None),
+    ).df
+
+
 def q_c132_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C132 (r12) — the per-source DATASET CARD: the rollup every
     curated corpus publishes (n_docs, exact-dup rate, whitespace token
@@ -8956,12 +8979,12 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (det_split, pii_redact, repetition, chunking), and 10 backfill
 #   slots from the next-oldest greens (r5-era c11-c16 block) that
 #   round-12 additions displace as they land.
-#   The 11 r12 additions (a87-a96 Cypher-surface + c132 dataset card)
-#   displaced ALL 10 backfill slots; c132 sits at index 50 — first
-#   OUTSIDE the window (spilled; judge-verified locally in r12).
-#   r13 window should rotate onto: c132 first, then the r5-era c11-c16
-#   block that was displaced, then the rest of the r5-era block
-#   (c17-c36 + early rel_* suite, driver-green r05, oldest remaining).
+#   The 13 r12 additions (a87-a97 Cypher-surface + c132 dataset card)
+#   displaced ALL 10 backfill slots; a97 (index 50) and c132 (51) sit
+#   just OUTSIDE the window (spilled; judge-verified locally in r12).
+#   r13 window should rotate onto: a97 + c132 first, then the r5-era
+#   c11-c16 block that was displaced, then the rest of the r5-era
+#   block (c17-c36 + early rel_* suite, driver-green r05, oldest).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r12 driver window (first 50): the two r11 driver-red FIXES
     # (a81 array_join, c102 fixed-point cov_micro), then the 34
@@ -9020,6 +9043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a94_text_multi_hop": q_a94_text_multi_hop,
     "a95_text_null_labels": q_a95_text_null_labels,
     "a96_text_derived_write": q_a96_text_derived_write,
+    "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
@@ -12717,6 +12741,13 @@ ORACLES["a95_text_null_labels"] = """
 
 ORACLES["a96_text_derived_write"] = """
     SELECT DISTINCT source AS publisher FROM documents WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a97_text_scalar_subquery"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           cast(doc_id AS int) AS hi
+    FROM documents
+    WHERE doc_id = (SELECT max(doc_id) FROM documents)
 """
 
 ORACLES["c132_dataset_card"] = r"""

@@ -4624,3 +4624,48 @@ def test_text_temporal_literals_and_durations(spark):
         "RETURN datetime('2024-05-01T00:00:00') + duration('P1M2DT3H') AS x",
     ).df.collect()
     assert r[0]["x"] == _dt.datetime(2024, 6, 3, 3, 0)
+
+
+def test_text_scalar_subquery_seed(spark):
+    """`WITH <agg> MATCH …` — the scalar-subquery idiom: the aggregated
+    1-row frame seeds the tail's read as a broadcast cross join; WHERE
+    against the aggregate compares a flat seeded column."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "A", 10), ("l2", "A", 20), ("l3", "B", 30)],
+        "link string, grp string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "score"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH min(a.score) AS lo "
+        "MATCH (b:Doc) WHERE b.score = lo RETURN b.link AS l",
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l1"]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH avg(a.score) AS m "
+        "MATCH (b:Doc) WHERE b.score > m RETURN b.link AS l, m",
+        graph=g,
+    ).df.collect()
+    assert [(x["l"], x["m"]) for x in r] == [("l3", 20.0)]
+    # grouped (multi-row) seeds also broadcast; every (seed row, match)
+    # combination appears — the declared semantics of the cross
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.grp AS gg, count(*) AS c "
+        "MATCH (b:Doc) WHERE b.score > 25 RETURN b.link AS l, gg, c",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["l"], x["gg"], x["c"]) for x in r) == [
+        ("l3", "A", 2), ("l3", "B", 1),
+    ]
