@@ -359,6 +359,171 @@ def levenshtein_near_dup_segments(
     )
 
 
+def levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 4,
+    prefix: int = 40,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Cross-TABLE fuzzy join (entity resolution): every (left, right)
+    pair whose normalized key prefixes are within ``max_dist`` edits —
+    matching a dirty feed against a canonical dimension (product names,
+    venue strings, citation titles) without an all-pairs cross.
+
+    Same EXACT PassJoin pigeonhole as
+    :func:`levenshtein_near_dup_segments`, asymmetric: the RIGHT
+    (canonical/dimension) side indexes its ``max_dist + 1`` even
+    segments; the LEFT (probe) side emits every substring a partner
+    segment could be. For any qualifying pair at least one right
+    segment survives the ≤ d edits verbatim inside the left key
+    (position-shifted ≤ d), so one direction of blocking suffices —
+    candidates never require the left side to index. Slim join payload,
+    distinct pairs before the verify joins, bag-of-chars L1 prune,
+    JVM-codegen DP — identical discipline to the self-join. Returns
+    ``(left_id, right_id, dist)``, distinct.
+
+    Scale: left emissions ~prefix·3 per row (linear), right emissions
+    k per row; at 100 TB the dimension side is typically orders smaller
+    and the gram join buckets by content, growing with true match mass.
+    """
+    k = max_dist + 1
+    w = 2 * max_dist
+    _alphabet = "abcdefghijklmnopqrstuvwxyz "
+
+    def _base(df, text, ident):
+        key = F.substring(F.lower(F.col(text)), 1, prefix)
+        return (
+            df.select(F.col(ident).alias("_id"), key.alias("_key"))
+            .withColumn("_len", F.length("_key"))
+            .filter(F.col("_len") > 0)
+            .localCheckpoint(eager=False)
+        )
+
+    rbase = _base(right, right_text, right_id)
+    lbase = _base(left, left_text, left_id)
+    segs = (
+        rbase.select(
+            F.col("_id").alias("_id1"),
+            F.col("_key"),
+            F.col("_len"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        )
+        .withColumn("_sb", F.floor(F.col("_len") / k).cast("int"))
+        .withColumn("_sr", (F.col("_len") % k).cast("int"))
+        .withColumn(
+            "_start",
+            F.col("_i") * F.col("_sb") + F.least(F.col("_i"), F.col("_sr")),
+        )
+        .withColumn(
+            "_slen",
+            F.col("_sb")
+            + F.when(F.col("_i") < F.col("_sr"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .filter(F.col("_slen") > 0)
+        .select(
+            "_id1",
+            "_start",
+            F.col("_key").substr(F.col("_start") + 1, F.col("_slen")).alias("_seg"),
+            F.floor(F.col("_start") / w).cast("int").alias("_bk"),
+        )
+    )
+    lmin = F.greatest(
+        F.lit(1), F.floor((F.col("_len") - max_dist) / k).cast("int")
+    )
+    lmax = F.floor((F.col("_len") + max_dist + k - 1) / k).cast("int")
+    grams = (
+        lbase.select(
+            F.col("_id").alias("_id2"),
+            F.col("_key"),
+            F.col("_len"),
+            F.explode(F.sequence(lmin, lmax)).alias("_gl"),
+        )
+        .filter(F.col("_len") >= F.col("_gl"))
+        .select(
+            "_id2", "_key", "_len", "_gl",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_len") - F.col("_gl"))
+            ).alias("_gp"),
+        )
+        .select(
+            "_id2",
+            "_gp",
+            F.col("_key").substr(F.col("_gp") + 1, F.col("_gl")).alias("_seg"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(
+                            F.greatest(F.col("_gp") - max_dist, F.lit(0)) / w
+                        ).cast("int"),
+                        F.floor((F.col("_gp") + max_dist) / w).cast("int"),
+                    )
+                )
+            ).alias("_bk"),
+        )
+    )
+    if max_block is not None:
+        hot = (
+            segs.groupBy("_seg")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("_seg")
+        )
+        segs = segs.join(F.broadcast(hot), on="_seg", how="left_anti")
+    pairs = (
+        segs.join(grams, on=["_seg", "_bk"])
+        .filter(F.abs(F.col("_start") - F.col("_gp")) <= max_dist)
+        .select(
+            F.col("_id2").alias(left_id), F.col("_id1").alias(right_id)
+        )
+        .distinct()
+    )
+    bag = F.array(
+        *[
+            (
+                F.col("_len")
+                - F.length(F.replace(F.col("_key"), F.lit(ch), F.lit("")))
+            ).cast("int")
+            for ch in _alphabet
+        ]
+    )
+    bag_l1 = F.aggregate(
+        F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            lbase.select(
+                F.col("_id").alias(left_id), bag.alias("_ba"),
+                F.col("_key").alias("_ka"), F.col("_len").alias("_la"),
+            ),
+            on=left_id,
+        )
+        .join(
+            rbase.select(
+                F.col("_id").alias(right_id), bag.alias("_bb"),
+                F.col("_key").alias("_kb"), F.col("_len").alias("_lb"),
+            ),
+            on=right_id,
+        )
+        .filter(
+            (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            & (bag_l1 <= 2 * max_dist)
+        )
+        .select(
+            left_id,
+            right_id,
+            F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Duplicate-group summary: one row per distinct text with keeper id +
     duplicate count (the audit view of :func:`exact_dedup`)."""

@@ -8160,6 +8160,35 @@ def q_a97_text_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_c133_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C133 (r12) — cross-table fuzzy JOIN (operators/dedup.py
+    levenshtein_join): entity resolution of a dirty feed (odd doc_ids)
+    against a canonical dimension (distinct even-doc keys) within edit
+    distance 4 on the 40-char head — the PassJoin pigeonhole applied
+    asymmetrically: the dimension indexes its d+1 segments, the feed
+    emits grams, one content-keyed equality join, never a cross. The
+    oracle replays the quadratic predicate — equivalence IS the
+    exactness claim."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("lid"), F.col("text")
+    )
+    right = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.substring(F.lower("text"), 1, 40).alias("canon"))
+        .agg(F.min("doc_id").alias("rid"))
+    )
+    return levenshtein_join(
+        left, right, "text", "canon", "lid", "rid", max_dist=4, prefix=40
+    ).select(
+        F.col("lid").cast("bigint").alias("lid"),
+        F.col("rid").cast("bigint").alias("rid"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
 def q_c132_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C132 (r12) — the per-source DATASET CARD: the rollup every
     curated corpus publishes (n_docs, exact-dup rate, whitespace token
@@ -8979,12 +9008,13 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (det_split, pii_redact, repetition, chunking), and 10 backfill
 #   slots from the next-oldest greens (r5-era c11-c16 block) that
 #   round-12 additions displace as they land.
-#   The 13 r12 additions (a87-a97 Cypher-surface + c132 dataset card)
-#   displaced ALL 10 backfill slots; a97 (index 50) and c132 (51) sit
-#   just OUTSIDE the window (spilled; judge-verified locally in r12).
-#   r13 window should rotate onto: a97 + c132 first, then the r5-era
-#   c11-c16 block that was displaced, then the rest of the r5-era
-#   block (c17-c36 + early rel_* suite, driver-green r05, oldest).
+#   The 14 r12 additions (a87-a97 Cypher-surface + c132 dataset card
+#   + c133 fuzzy join) displaced ALL 10 backfill slots; a97 (index
+#   50), c132 (51) and c133 (52) sit just OUTSIDE the window
+#   (spilled; judge-verified locally in r12). r13 window should rotate
+#   onto: a97 + c132 + c133 first, then the displaced r5-era c11-c16
+#   block, then the rest of the r5-era block (c17-c36 + early rel_*
+#   suite, driver-green r05, oldest).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r12 driver window (first 50): the two r11 driver-red FIXES
     # (a81 array_join, c102 fixed-point cov_micro), then the 34
@@ -9045,6 +9075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a96_text_derived_write": q_a96_text_derived_write,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
+    "c133_fuzzy_join": q_c133_fuzzy_join,
     "c11_multimodal": q_c11_multimodal,
     "c11_embedding_features": q_c11_embedding_features,
     "c11_resize": q_c11_resize,
@@ -12748,6 +12779,22 @@ ORACLES["a97_text_scalar_subquery"] = """
            cast(doc_id AS int) AS hi
     FROM documents
     WHERE doc_id = (SELECT max(doc_id) FROM documents)
+"""
+
+ORACLES["c133_fuzzy_join"] = """
+    WITH l AS (
+        SELECT doc_id AS lid, substr(lower(text), 1, 40) AS k
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    r AS (
+        SELECT min(doc_id) AS rid, canon FROM (
+            SELECT doc_id, substr(lower(text), 1, 40) AS canon
+            FROM documents WHERE doc_id % 2 = 0
+        ) GROUP BY canon
+    )
+    SELECT l.lid, r.rid, levenshtein(l.k, r.canon)::bigint AS dist
+    FROM l JOIN r ON abs(length(l.k) - length(r.canon)) <= 4
+    WHERE levenshtein(l.k, r.canon) <= 4
 """
 
 ORACLES["c132_dataset_card"] = r"""

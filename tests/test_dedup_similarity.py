@@ -794,3 +794,52 @@ def test_levenshtein_segments_blocking_is_exact(spark):
                     want[(x[0], y[0])] = d
     assert got == want
     assert (1, 2) in got  # the shift pair must survive blocking
+
+
+def test_levenshtein_join_cross_table_exact(spark):
+    """Cross-table PassJoin fuzzy join: exactness vs the quadratic scan
+    (incl. the front-shift case), asymmetric blocking (only the
+    dimension indexes segments)."""
+    from neo4j_graphdb_spark.operators.dedup import levenshtein_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "he quick brown fox jumps over the lazy dogg"),
+            (3, "a completely different string about parquet"),
+            (4, "spark sql engine"),
+        ],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "spark sql enginee"),
+            (12, "unrelated canonical value"),
+        ],
+        "rid long, canon string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in levenshtein_join(
+            left, right, "name", "canon", "lid", "rid", max_dist=4, prefix=40
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for l in left.collect():
+        for r in right.collect():
+            d = lev(l["name"].lower()[:40], r["canon"].lower()[:40])
+            if d <= 4:
+                want[(l["lid"], r["rid"])] = d
+    assert got == want and (2, 10) in got
