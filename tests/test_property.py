@@ -657,6 +657,13 @@ _FLOAT_ORDER_ENTRIES = [
     "c120_bootstrap_ci",
     "c122_sax_words",
     "c124_ngram_novelty",
+    # r12 additions whose hashed outputs pass through floats or whose
+    # candidate generation must be plan-independent: the fixed-point
+    # dataset-card mean, and the two PassJoin operators (distinct pair
+    # sets must be a function of the data, not the join bucketing)
+    "c132_dataset_card",
+    "c133_fuzzy_join",
+    "c105_levenshtein_near_dup",
 ]
 
 
