@@ -1150,6 +1150,16 @@ def _run_text_call(
             f"only {{key: $param | literal}} config maps supported: {cfg_body!r}"
         )
     cfg = {k: _where_value(v, lits, params) for k, v in cfg_pairs}
+    # GDS-dialect config aliases: every Neo4j GDS doc/snippet spells
+    # these the long way — accept both, normalize to the short form
+    _cfg_alias = {
+        "maxIterations": "maxIter",
+        "iterations": "maxIter",
+        "dampingFactor": "damping",
+        "relationshipWeightProperty": "weightProperty",
+        "tolerance": "tol",
+    }
+    cfg = {_cfg_alias.get(k, k): v for k, v in cfg.items()}
 
     # Validate the procedure name, config keys, and YIELD names BEFORE
     # dispatch: pagerank/scc/louvain run eagerly (per-superstep driver
@@ -2759,6 +2769,53 @@ def _run_write(
             # CREATE takes a comma-separated pattern list (Cypher allows
             # `CREATE (a:L {…}), (b:M {…})`); MERGE is single-pattern
             parts = _split_top_commas(c.body) if is_create else [c.body]
+            # single-clause PATH patterns — `(a:L {…})-[:T]->(b:M {…})`
+            # — decompose into the two node patterns plus a bare-alias
+            # relationship pattern (the repo's canonical write shape):
+            # each element upserts independently, exactly what separate
+            # MERGE clauses do here (Neo4j's whole-path MERGE matches
+            # the path atomically first; the per-element upsert is this
+            # engine's documented MERGE semantics)
+            expanded_parts: list[str] = []
+            for part in parts:
+                pm2 = re.match(
+                    r"^(?P<n1>\([^()]*\))\s*"
+                    r"(?P<lt><-)?-?\[(?P<rel>[^\]]*)\]-?(?P<rt>->)?\s*"
+                    r"(?P<n2>\([^()]*\))$",
+                    part.strip(),
+                )
+                node_like = re.match(r"^\([^()]*\)$", part.strip())
+                needs_split = pm2 is not None and any(
+                    ch in (pm2.group("n1") + pm2.group("n2"))
+                    for ch in (":", "{")
+                ) if pm2 else False
+                if (
+                    pm2
+                    and not node_like
+                    and needs_split  # bare-alias rel patterns keep the
+                    # existing bound-endpoints path untouched
+                    and (pm2.group("lt") or pm2.group("rt"))
+                ):
+                    n1_txt, n2_txt = pm2.group("n1"), pm2.group("n2")
+
+                    def _ensure_alias(txt, tag):
+                        m0 = re.match(r"^\(\s*(\w+)?", txt)
+                        if m0.group(1):
+                            return txt, m0.group(1)
+                        minted = f"_path{len(expanded_parts)}{tag}"
+                        return "(" + minted + txt[1:], minted
+
+                    n1_txt, a1 = _ensure_alias(n1_txt, "a")
+                    n2_txt, a2 = _ensure_alias(n2_txt, "b")
+                    arrow = (
+                        f"({a1})<-[{pm2.group('rel')}]-({a2})"
+                        if pm2.group("lt")
+                        else f"({a1})-[{pm2.group('rel')}]->({a2})"
+                    )
+                    expanded_parts.extend([n1_txt, n2_txt, arrow])
+                else:
+                    expanded_parts.append(part)
+            parts = expanded_parts
             for part in parts:
                 m = _REL_RE.match(part)
                 if m:

@@ -4669,3 +4669,39 @@ def test_text_scalar_subquery_seed(spark):
     assert sorted((x["l"], x["gg"], x["c"]) for x in r) == [
         ("l3", "A", 2), ("l3", "B", 1),
     ]
+
+
+def test_text_path_writes_and_gds_aliases(spark, tmp_path):
+    """Single-clause path writes — `CREATE (a:P {..})-[:T]->(b:P {..})`
+    decomposes to node+node+rel upserts (idempotent under MERGE,
+    anonymous endpoints minted) — and GDS-dialect CALL config aliases
+    (maxIterations/dampingFactor) normalize to the short forms."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "gs"))
+    r = run_cypher(
+        spark, "CREATE (a:P {key: 'p1'})-[:KNOWS]->(b:P {key: 'p2'})",
+        store=store,
+    )
+    assert (r.summary.nodes_created, r.summary.relationships_created) == (2, 1)
+    rows = run_cypher(
+        spark, "MATCH (a:P)-[:KNOWS]->(b:P) RETURN a.key AS x, b.key AS y",
+        store=store,
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [("p1", "p2")]
+    r = run_cypher(
+        spark, "MERGE (c:Q {key: 'q1'})-[:REL]->(d:Q {key: 'q2'})", store=store
+    )
+    assert (r.summary.nodes_created, r.summary.relationships_created) == (2, 1)
+    r = run_cypher(
+        spark, "MERGE (c:Q {key: 'q1'})-[:REL]->(d:Q {key: 'q2'})", store=store
+    )
+    assert (r.summary.nodes_created, r.summary.relationships_created) == (0, 0)
+    out = run_cypher(
+        spark,
+        "CALL graft.pagerank({maxIterations: 3, dampingFactor: 0.85}) "
+        "YIELD key, rank RETURN key ORDER BY rank DESC LIMIT 1",
+        store=store,
+    ).df.collect()
+    assert len(out) == 1
