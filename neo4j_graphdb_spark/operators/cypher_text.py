@@ -4020,14 +4020,31 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             return F.reverse(c), t
         if fname == "range":
             # range(start, end[, step]) — INCLUSIVE end (Cypher/Spark
-            # sequence semantics agree, unlike Python)
+            # sequence semantics agree, unlike Python). One divergence
+            # Spark must be guarded against: F.sequence AUTO-DESCENDS
+            # when end < start (sequence(1, 0) = [1, 0]) where Cypher
+            # returns []; with an explicit step, Cypher yields [] when
+            # the step's sign cannot reach end from start (range(1, 5,
+            # -1) = []), while Spark raises. Gate on the sign so the
+            # empty-list semantics match openCypher exactly.
             need(2, 3)
-            lo, _ = rec(args[0])
-            hi, _ = rec(args[1])
+            lo = rec(args[0])[0].cast("long")
+            hi = rec(args[1])[0].cast("long")
             if len(args) == 3:
-                st, _ = rec(args[2])
-                return F.sequence(lo, hi, st), "list"
-            return F.sequence(lo, hi), "list"
+                st = rec(args[2])[0].cast("long")
+                return (
+                    F.when(
+                        ((st > 0) & (hi >= lo)) | ((st < 0) & (hi <= lo)),
+                        F.sequence(lo, hi, st),
+                    ).otherwise(F.array().cast("array<long>")),
+                    "list",
+                )
+            return (
+                F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                    F.array().cast("array<long>")
+                ),
+                "list",
+            )
         if fname == "date":
             # date() — today; date(x) — truncate an instant to its date
             need(0, 1)
@@ -5144,7 +5161,23 @@ def _run_read(
                 # relationship uniqueness (per-MATCH, Neo4j semantics):
                 # hop i's UNDERLYING edge row is the oriented node-id pair
                 # — (alias_i, alias_{i+1}) for ->, reversed for <- ; hops
-                # whose type sets can overlap must bind different edges
+                # whose type sets can overlap must bind different edges.
+                #
+                # DOCUMENTED MULTIGRAPH DIVERGENCE (ADVICE r12): edge
+                # identity is approximated by the oriented endpoint pair
+                # plus type-SET overlap, because edges_df carries no
+                # stable per-row edge id (model.as_edges emits
+                # (src, dst, rel_type) only). Two consequences, both
+                # conservative (over-filter, never wrong rows ADDED):
+                # (1) parallel relationships sharing endpoints (e.g. two
+                # distinct self-loop edges on one node) are conflated —
+                # Neo4j would allow binding the two distinct edges, we
+                # exclude the row; (2) hops whose declared type sets
+                # merely OVERLAP are filtered even when the actually-
+                # matched types differ (the matched type isn't carried
+                # through Graph.expand's hop join). Forests and simple
+                # graphs — every fixture here — are unaffected; pinned
+                # by the self-loop golden test (a94 docstring).
                 chain = [h[0] for h in hops] + [hops[-1][5]]
 
                 def _tset(rt):

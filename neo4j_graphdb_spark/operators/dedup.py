@@ -202,6 +202,14 @@ def levenshtein_near_dup_segments(
     codegen ``levenshtein``. Returns ``(id_a, id_b, dist)``, id_a < id_b,
     distinct.
     """
+    if max_dist < 1:
+        # w = 2*max_dist is the position-bucket width — max_dist=0
+        # would divide by zero; edit distance 0 is an exact-equality
+        # join (hash-groupBy on the key), not a PassJoin problem
+        raise ValueError(
+            "max_dist must be >= 1; for exact duplicates use "
+            "exact_dedup / a groupBy on the key instead"
+        )
     k = max_dist + 1
     # position buckets join-key the shift window: seg start s and gram
     # start p with |s - p| <= max_dist satisfy
@@ -391,6 +399,13 @@ def levenshtein_join(
     k per row; at 100 TB the dimension side is typically orders smaller
     and the gram join buckets by content, growing with true match mass.
     """
+    if max_dist < 1:
+        # w = 2*max_dist is the position-bucket width — max_dist=0
+        # would divide by zero; edit distance 0 is a plain equi-join
+        raise ValueError(
+            "max_dist must be >= 1; for exact matches use an "
+            "equi-join on the normalized key instead"
+        )
     k = max_dist + 1
     w = 2 * max_dist
     _alphabet = "abcdefghijklmnopqrstuvwxyz "

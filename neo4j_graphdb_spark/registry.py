@@ -7547,7 +7547,11 @@ def q_c105_levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return levenshtein_near_dup_segments(
-        docs, "text", "doc_id", max_dist=4, prefix=40
+        # max_block=None: the oracle replays the exact quadratic
+        # predicate, so the entry must run with no recall cap — the
+        # pigeonhole guarantees only ONE surviving segment, and a capped
+        # hot segment could lose a qualifying pair (ADVICE r12)
+        docs, "text", "doc_id", max_dist=4, prefix=40, max_block=None
     ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -8181,7 +8185,11 @@ def q_c133_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rid"))
     )
     return levenshtein_join(
-        left, right, "text", "canon", "lid", "rid", max_dist=4, prefix=40
+        # max_block=None: oracle replays the exact predicate — the
+        # asymmetric pigeonhole has no redundancy on the right side, so
+        # a dropped hot index segment would lose pairs (ADVICE r12)
+        left, right, "text", "canon", "lid", "rid",
+        max_dist=4, prefix=40, max_block=None
     ).select(
         F.col("lid").cast("bigint").alias("lid"),
         F.col("rid").cast("bigint").alias("rid"),
@@ -12751,7 +12759,7 @@ ORACLES["a93_text_reduce_subscript"] = """
         FROM t
     )
     SELECT link,
-           (length(w0)::bigint * (length(w0)::bigint + 1)) / 2 AS tri,
+           (length(w0)::bigint * (length(w0)::bigint + 1)) // 2 AS tri,
            w0, title AS t
     FROM w
 """

@@ -796,6 +796,27 @@ def test_levenshtein_segments_blocking_is_exact(spark):
     assert (1, 2) in got  # the shift pair must survive blocking
 
 
+def test_levenshtein_max_dist_zero_rejected(spark):
+    """max_dist=0 would zero the position-bucket width (division by
+    zero inside the plan); both PassJoin operators must reject it
+    eagerly with a pointer at the exact-equality alternative
+    (ADVICE r12)."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.dedup import (
+        levenshtein_join,
+        levenshtein_near_dup_segments,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_dist must be >= 1"):
+        levenshtein_near_dup_segments(df, "text", "doc_id", max_dist=0)
+    with pytest.raises(ValueError, match="max_dist must be >= 1"):
+        levenshtein_join(
+            df, df, "text", "text", "doc_id", "doc_id", max_dist=0
+        )
+
+
 def test_levenshtein_join_cross_table_exact(spark):
     """Cross-table PassJoin fuzzy join: exactness vs the quadratic scan
     (incl. the front-shift case), asymmetric blocking (only the

@@ -4314,6 +4314,43 @@ def test_text_reduce_and_subscripts(spark):
             run_cypher(spark, bad, graph=g)
 
 
+def test_text_range_empty_list_semantics(spark):
+    """openCypher range(): end < start with a positive (default) step is
+    the EMPTY list, not Spark sequence's auto-descending [start..end];
+    an explicit step descends only when negative, and a step whose sign
+    cannot reach end from start also yields []. Found as a latent r12
+    bug: F.sequence(1, 0) = [1, 0] where Cypher range(1, 0) = [] — any
+    fold over range(1, size(xs)) with an empty xs got a wrong answer."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    r = run_cypher(
+        spark,
+        "RETURN range(1, 0) AS a, range(1, 3) AS b, range(5, 1, -2) AS c, "
+        "range(1, 5, -1) AS d, range(2, 2) AS e, range(0, 0) AS z",
+    ).df.collect()
+    assert [tuple(x) for x in r] == [
+        ([], [1, 2, 3], [5, 3, 1], [], [2], [0])
+    ]
+
+    # the a93 fold shape over an EMPTY first token (title starts with a
+    # space → split()[0] = '' → size 0 → range(1, 0) must fold to 0)
+    src = spark.createDataFrame(
+        [("l1", " leading space"), ("l2", "two words"), ("l3", "")],
+        "link string, title string",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, "
+        "reduce(acc = 0, x IN range(1, size(split(a.title, ' ')[0])) "
+        "| acc + x) AS tri",
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in r) == [("l1", 0), ("l2", 6), ("l3", 0)]
+
+
 def test_text_multi_hop_patterns(spark):
     """Multi-hop single MATCH pattern: chain compile, anonymous
     intermediates, mixed directions, WHERE pushdown, and Neo4j's
