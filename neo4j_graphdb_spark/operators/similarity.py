@@ -106,85 +106,143 @@ def mmr_rerank(
 
     Scale shape: the O(N) work is ONE exact top-``pool`` pass
     (:func:`cosine_topk` — broadcast queries, no candidate explosion);
-    everything after runs on the BOUNDED per-query pool — one pool×pool
-    candidate-sim join (≤ pool² rows per query) and ``k−1`` unrolled
-    rounds of (anti-join remaining ⋈ selected-sims → max → window
-    argmax), each a constant-size frame independent of corpus size.
-    Deterministic across engines: float32→float64 widening is exact and
-    both the relevance and candidate sims are sequential folds, so the
-    greedy's argmax compares bit-identical doubles.
+    everything after runs on the BOUNDED per-query pool, collected to
+    ONE row per query (pool ≤ 8 structs carrying id, relevance and the
+    widened vector), where the greedy's ``k−1`` rounds unroll at
+    EXPRESSION level (filter-remaining → score with on-the-fly cosines
+    over the collected vectors → sorted-struct argmin) — one job, one
+    tiny shuffle, zero per-round stage overhead and NO pool×pool join
+    (the r12 weakness: the plan-level unroll paid full scheduling cost
+    per round for work DuckDB did in 0.24 s). All JVM, no UDFs.
+
+    Deterministic across engines: float32→float64 widening is exact,
+    the relevance and candidate sims are the same sequential
+    :func:`cosine` fold, and each round's score is the same fixed
+    scalar tree (λ·rel − (1−λ)·max), so the greedy's argmax compares
+    bit-identical doubles; ties break on the id via the struct sort.
 
     Returns ``(query_id, vec_id, round, mmr)`` — ``round`` = selection
     order (1-based), ``mmr`` the round's score rounded to 6 dp (round 1
     books the pure relevance, Neo4j-less but GDS-adjacent surface).
     """
-    cand = cosine_topk(
-        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).select(query_id_col, id_col, F.col("cosine").alias("_rel"))
-    vecs = corpus.select(
+    lam_c = F.lit(float(lam))
+    mu_c = F.lit(1.0 - float(lam))
+    # inline top-pool pass (cosine_topk with the widened vector CARRIED
+    # through, so no re-join against the corpus): broadcast queries →
+    # rank window → pool filter → collect. The window and the groupBy
+    # share the query key, so the whole pool stage is ONE shuffle
+    # (Catalyst reuses the window's hash partitioning for the agg).
+    c = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    pool_v = (
-        cand.join(vecs, on=id_col)
-        .select(query_id_col, id_col, "_rel", "_v")
-        .localCheckpoint(eager=False)
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
-    a = pool_v.select(
-        query_id_col, F.col(id_col).alias("_ida"), F.col("_v").alias("_va")
+    scored = c.join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qv"), F.col("_v")).alias("_rel"),
+        F.col("_v"),
     )
-    b = pool_v.select(
-        query_id_col, F.col(id_col).alias("_idb"), F.col("_v").alias("_vb")
-    )
-    sims = (
-        a.join(b, on=query_id_col)
-        .filter(F.col("_ida") != F.col("_idb"))
-        .select(
-            query_id_col, "_ida", "_idb",
-            cosine(F.col("_va"), F.col("_vb")).alias("_s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    pool_df = pool_v.select(query_id_col, id_col, "_rel")
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("_mmr").desc(), F.col(id_col).asc()
+        F.col("_rel").desc(), F.col(id_col).asc()
     )
-    selected = (
-        pool_df.withColumn("_mmr", F.col("_rel"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(query_id_col, id_col, F.lit(1).alias("round"), "_mmr")
+    # one row per query: the candidate pool (id, rel, vector) as a
+    # sorted array — every greedy round below is column algebra here
+    per_q = (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= pool)
+        .groupBy(query_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("_rel").alias("rel"),
+                        F.col("_v").alias("v"),
+                    )
+                )
+            ).alias("_cands")
+        )
+    )
+
+    def _argmin(scored):
+        # scored: array<struct<nm: double, id>> — struct sort gives
+        # (−score asc = score desc, id asc tie); head is the pick
+        return F.element_at(F.array_sort(scored), 1)
+
+    # round 1: pure relevance
+    cur = per_q.withColumn(
+        "_pick1",
+        _argmin(
+            F.transform(
+                F.col("_cands"),
+                lambda c: F.struct(
+                    (-c["rel"]).alias("nm"), c["id"].alias("id")
+                ),
+            )
+        ),
+    ).withColumn(
+        "_sel",
+        F.filter(
+            F.col("_cands"), lambda c: c["id"] == F.col("_pick1")["id"]
+        ),
     )
     for r in range(2, k + 1):
-        sel_ids = selected.select(query_id_col, F.col(id_col).alias("_idb"))
-        remaining = pool_df.join(
-            selected.select(query_id_col, id_col),
-            on=[query_id_col, id_col],
-            how="left_anti",
-        )
-        scored = (
-            remaining.join(
-                sims.withColumnRenamed("_ida", id_col),
-                on=[query_id_col, id_col],
+
+        def _score(c):
+            # max sim to the already-selected set — the SAME sequential
+            # cosine fold the pool pass used, over the collected vectors
+            ms = F.array_max(
+                F.transform(
+                    F.col("_sel"), lambda s: cosine(c["v"], s["v"])
+                )
             )
-            .join(sel_ids, on=[query_id_col, "_idb"])
-            .groupBy(query_id_col, id_col, "_rel")
-            .agg(F.max("_s").alias("_ms"))
-            .withColumn(
-                "_mmr",
-                F.lit(float(lam)) * F.col("_rel")
-                - F.lit(1.0 - float(lam)) * F.col("_ms"),
+            return F.struct(
+                (-(lam_c * c["rel"] - mu_c * ms)).alias("nm"),
+                c["id"].alias("id"),
             )
+
+        remaining = F.filter(
+            F.col("_cands"),
+            lambda c: ~F.exists(
+                F.col("_sel"), lambda s: s["id"] == c["id"]
+            ),
         )
-        pick = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(query_id_col, id_col, F.lit(r).alias("round"), "_mmr")
+        cur = cur.withColumn(
+            f"_pick{r}", _argmin(F.transform(remaining, _score))
+        ).withColumn(
+            "_sel",
+            F.concat(
+                F.col("_sel"),
+                F.filter(
+                    F.col("_cands"),
+                    lambda c: c["id"] == F.col(f"_pick{r}")["id"],
+                ),
+            ),
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
-    return selected.select(
-        query_id_col, id_col, "round", F.round("_mmr", 6).alias("mmr")
+    picks = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("round"),
+                    F.col(f"_pick{r}")["id"].alias("id"),
+                    (-F.col(f"_pick{r}")["nm"]).alias("_mmr"),
+                )
+                for r in range(1, k + 1)
+            ]
+        ),
+        lambda p: p["id"].isNotNull(),
+    )
+    return cur.select(
+        query_id_col, F.explode(picks).alias("_p")
+    ).select(
+        query_id_col,
+        F.col("_p")["id"].alias(id_col),
+        F.col("_p")["round"].alias("round"),
+        F.round(F.col("_p")["_mmr"], 6).alias("mmr"),
     )
 
 
