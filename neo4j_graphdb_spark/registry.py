@@ -9122,18 +9122,84 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   onto: a97 + c132 + c133 first, then the displaced r5-era c11-c16
 #   block, then the rest of the r5-era block (c17-c36 + early rel_*
 #   suite, driver-green r05, oldest).
+#   r13 window (current first 50) = the a93 FIX (oracle int division —
+#   DuckDB '/' is float division, the c102 dtype class) + the 4 r13
+#   additions (a98 write→read continuation, a99 aggregate arithmetic,
+#   a100 percentileDisc/Cont, c134 KN perplexity gate), the 3 r12
+#   spills (a97/c132/c133), the 3 implementation-changed entries
+#   (c105 max_block=None, c104 expression-fused greedy, a85
+#   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
+#   the r5-era c17-c36 block (20), and the first 9 early rel_*
+#   entries (rel_pricing_summary … rel_histogram). Still unrotated
+#   r5-era greens for r14: the remaining early rel_* suite
+#   (rel_sessionize, rel_scd2, rel_profile, rel_anti_join,
+#   rel_semi_join, rel_set_ops, rel_grouping_sets, rel_asof_join,
+#   rel_range_join, rel_time_rollup, rel_salted_join, rel_quantiles,
+#   rel_bucketed_join, rel_gap_fill) and the r6-era a17-a53 block.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r12 driver window (first 50): the two r11 driver-red FIXES
-    # (a81 array_join, c102 fixed-point cov_micro), then the 34
-    # never-driver-checked late-r11 entries (c104-c131, a83-a86,
-    # rel_cube_rollup, rel_pivot), the 4 deferred c10 variants, and
-    # the 10 round-12 Cypher-surface additions a87-a96 (they displaced
-    # every backfill slot; c132 spilled to index 50 — r13 leads with
-    # it). Rotation ledger above. ----
+    # ---- r13 driver window (first 50): this round's fix + additions
+    # first (a93 oracle int-division fix; a98 write→read continuation,
+    # a99 aggregate arithmetic, a100 percentileDisc/Cont, c134
+    # perplexity gate), the three r12 spills (a97/c132/c133, never
+    # driver-checked), the three entries whose implementation changed
+    # this round (c105/c133 max_block=None exactness, c104 single-job
+    # greedy, a85 DataFrame-param batch), then the displaced r5-era
+    # c11-c16 block and the oldest r5-era greens (c17-c36 + the first
+    # nine early rel_* entries). Rotation ledger above. ----
+    "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
+    "a98_text_write_read_pipe": q_a98_text_write_read_pipe,
+    "a99_text_agg_arithmetic": q_a99_text_agg_arithmetic,
+    "a100_text_percentile_disc": q_a100_text_percentile_disc,
+    "c134_perplexity_filter": q_c134_perplexity_filter,
+    "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
+    "c132_dataset_card": q_c132_dataset_card,
+    "c133_fuzzy_join": q_c133_fuzzy_join,
+    "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
+    "c104_mmr_rerank": q_c104_mmr_rerank,
+    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
+    "c11_multimodal": q_c11_multimodal,
+    "c11_embedding_features": q_c11_embedding_features,
+    "c11_resize": q_c11_resize,
+    "c11_frame_sample": q_c11_frame_sample,
+    "c12_json_access": q_c12_json_access,
+    "c13_stream_ingest": q_c13_stream_ingest,
+    "c14_tumbling_window": q_c14_tumbling_window,
+    "c14_sliding_window": q_c14_sliding_window,
+    "c15_session_window": q_c15_session_window,
+    "c16_watermark_late_data": q_c16_watermark_late_data,
+    "c17_stream_dedup": q_c17_stream_dedup,
+    "c18_stateful_totals": q_c18_stateful_totals,
+    "c19_stream_interval_join": q_c19_stream_interval_join,
+    "c20_contamination": q_c20_contamination,
+    "c21_stratified_sample": q_c21_stratified_sample,
+    "c22_seq_pack": q_c22_seq_pack,
+    "c23_k_core": q_c23_k_core,
+    "c24_weighted_sssp": q_c24_weighted_sssp,
+    "c25_approx_stats": q_c25_approx_stats,
+    "c26_stream_static_join": q_c26_stream_static_join,
+    "c27_personalized_pagerank": q_c27_personalized_pagerank,
+    "c28_near_dup_clusters": q_c28_near_dup_clusters,
+    "c29_quality_filter": q_c29_quality_filter,
+    "c30_global_shuffle": q_c30_global_shuffle,
+    "c31_vocab": q_c31_vocab,
+    "c33_bm25": q_c33_bm25,
+    "c34_heavy_hitters": q_c34_heavy_hitters,
+    "c35_stream_rollup": q_c35_stream_rollup,
+    "c32_tfidf": q_c32_tfidf,
+    "c36_hits": q_c36_hits,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "rel_region_revenue": q_rel_region_revenue,
+    "rel_window_topn": q_rel_window_topn,
+    "rel_funnel": q_rel_funnel,
+    "rel_moving_window": q_rel_moving_window,
+    "rel_market_share": q_rel_market_share,
+    "rel_retention": q_rel_retention,
+    "rel_histogram": q_rel_histogram,
+    # ---- post-window: driver-green blocks, newest rotation last;
+    # order here only sets future backfill priority ----
     "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "c102_embedding_covariance": q_c102_embedding_covariance,
-    "c104_mmr_rerank": q_c104_mmr_rerank,
-    "c105_levenshtein_near_dup": q_c105_levenshtein_near_dup,
     "c106_lexical_diversity": q_c106_lexical_diversity,
     "c107_approx_quantiles": q_c107_approx_quantiles,
     "c108_window_topk": q_c108_window_topk,
@@ -9162,7 +9228,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c131_cosine_isotropy": q_c131_cosine_isotropy,
     "a83_text_db_introspection": q_a83_text_db_introspection,
     "a84_text_near_dup_proc": q_a84_text_near_dup_proc,
-    "a85_text_match_anchored_write": q_a85_text_match_anchored_write,
     "a86_text_rel_onmatch": q_a86_text_rel_onmatch,
     "rel_cube_rollup": q_rel_cube_rollup,
     "rel_pivot": q_rel_pivot,
@@ -9176,24 +9241,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a90_text_multi_anchor": q_a90_text_multi_anchor,
     "a91_text_distinct_agg": q_a91_text_distinct_agg,
     "a92_text_case_where": q_a92_text_case_where,
-    "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
     "a94_text_multi_hop": q_a94_text_multi_hop,
     "a95_text_null_labels": q_a95_text_null_labels,
     "a96_text_derived_write": q_a96_text_derived_write,
-    "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
-    "c132_dataset_card": q_c132_dataset_card,
-    "c133_fuzzy_join": q_c133_fuzzy_join,
-    "c11_multimodal": q_c11_multimodal,
-    "c11_embedding_features": q_c11_embedding_features,
-    "c11_resize": q_c11_resize,
-    "c11_frame_sample": q_c11_frame_sample,
-    "c12_json_access": q_c12_json_access,
-    "c13_stream_ingest": q_c13_stream_ingest,
-    "c14_tumbling_window": q_c14_tumbling_window,
-    "c14_sliding_window": q_c14_sliding_window,
-    "c15_session_window": q_c15_session_window,
-    "c16_watermark_late_data": q_c16_watermark_late_data,
-    # ---- below the window: everything else, prior relative order ----
     "a16_text_where": q_a16_text_where,
     "a3_expand": q_a3_expand,
     "a3_expand_2hop": q_a3_expand_2hop,
@@ -9318,11 +9368,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
     "c54_oov_rate": q_c54_oov_rate,
     "c55_incremental_rollup": q_c55_incremental_rollup,
-    "rel_funnel": q_rel_funnel,
-    "rel_moving_window": q_rel_moving_window,
-    "rel_market_share": q_rel_market_share,
-    "rel_retention": q_rel_retention,
-    "rel_histogram": q_rel_histogram,
     "rel_correlated_sub": q_rel_correlated_sub,
     "rel_outliers": q_rel_outliers,
     "rel_debounce": q_rel_debounce,
@@ -9383,32 +9428,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c44_closeness": q_c44_closeness,
     "c45_walk_pairs": q_c45_walk_pairs,
     "c46_betweenness": q_c46_betweenness,
-    "c17_stream_dedup": q_c17_stream_dedup,
-    "c18_stateful_totals": q_c18_stateful_totals,
-    "c19_stream_interval_join": q_c19_stream_interval_join,
-    "c20_contamination": q_c20_contamination,
-    "c21_stratified_sample": q_c21_stratified_sample,
-    "c22_seq_pack": q_c22_seq_pack,
-    "c23_k_core": q_c23_k_core,
-    "c24_weighted_sssp": q_c24_weighted_sssp,
-    "c25_approx_stats": q_c25_approx_stats,
-    "c26_stream_static_join": q_c26_stream_static_join,
-    "c27_personalized_pagerank": q_c27_personalized_pagerank,
-    "c28_near_dup_clusters": q_c28_near_dup_clusters,
-    "c29_quality_filter": q_c29_quality_filter,
-    "c30_global_shuffle": q_c30_global_shuffle,
-    "c31_vocab": q_c31_vocab,
-    "c33_bm25": q_c33_bm25,
-    "c34_heavy_hitters": q_c34_heavy_hitters,
-    "c35_stream_rollup": q_c35_stream_rollup,
     "rel_profile": q_rel_profile,
-    "c32_tfidf": q_c32_tfidf,
     "rel_scd2": q_rel_scd2,
     "rel_sessionize": q_rel_sessionize,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_customers": q_rel_top_customers,
-    "rel_region_revenue": q_rel_region_revenue,
-    "rel_window_topn": q_rel_window_topn,
     "rel_anti_join": q_rel_anti_join,
     "rel_semi_join": q_rel_semi_join,
     "rel_set_ops": q_rel_set_ops,
@@ -9420,11 +9442,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_quantiles": q_rel_quantiles,
     "rel_bucketed_join": q_rel_bucketed_join,
     "rel_gap_fill": q_rel_gap_fill,
-    "c36_hits": q_c36_hits,
-    "a98_text_write_read_pipe": q_a98_text_write_read_pipe,
-    "a99_text_agg_arithmetic": q_a99_text_agg_arithmetic,
-    "a100_text_percentile_disc": q_a100_text_percentile_disc,
-    "c134_perplexity_filter": q_c134_perplexity_filter,
 }
 
 

@@ -4314,6 +4314,159 @@ def test_text_reduce_and_subscripts(spark):
             run_cypher(spark, bad, graph=g)
 
 
+def test_text_aggregate_arithmetic(spark):
+    """Expressions OVER aggregates (r13): ratio-of-aggregates with
+    Cypher integer division, size(collect()), grouped and ungrouped,
+    composites mixed with plain aggregates and grouping keys, and the
+    WITH-pipeline form with a downstream WHERE."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", 3, "en"), ("l2", 7, "en"), ("l3", 10, "de")],
+        "link string, score int, lang string",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["score", "lang"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN sum(a.score) / count(a) AS ratio, "
+        "size(collect(a.link)) AS n, count(a) AS c",
+        graph=g,
+    ).df.collect()
+    assert [(x["ratio"], x["n"], x["c"]) for x in r] == [(6, 3, 3)]
+
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.lang AS lang, "
+        "sum(a.score) * 10 / count(a) AS scaled",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["lang"], x["scaled"]) for x in r) == [
+        ("de", 100), ("en", 50),
+    ]
+
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.lang AS lang, "
+        "sum(a.score) / count(a) AS m WHERE m > 4 RETURN lang, m",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["lang"], x["m"]) for x in r) == [("de", 10), ("en", 5)]
+
+
+def test_text_write_map_expressions(spark, tmp_path):
+    """Frame-independent expressions in write property maps (r13):
+    literals-of-functions and $param-bearing expressions compile
+    against the batch frame; row-dependent values refuse."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "s"))
+    r = run_cypher(
+        spark, "MERGE (m:M {k: toString(9)})", store=store
+    )
+    assert r.summary.nodes_created == 1
+    r = run_cypher(
+        spark,
+        "CREATE (m:M {k: toString($i), v: 1 + $i})",
+        params={"i": 42},
+        store=store,
+    )
+    assert r.summary.nodes_created == 1
+    rows = run_cypher(
+        spark, "MATCH (m:M) RETURN m.k AS k, m.v AS v", store=store
+    ).df.collect()
+    assert sorted((x["k"], x["v"]) for x in rows) == [
+        ("42", 43), ("9", None),
+    ]
+    # idempotence through the expression key
+    r = run_cypher(spark, "MERGE (m:M {k: toString(9)})", store=store)
+    assert r.summary.nodes_created == 0
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MERGE (m:M {k: a.title})", store=store)
+
+
+def test_text_write_read_continuation(spark, tmp_path):
+    """Write→WITH→read continuation (r13): the reference's
+    ingest-then-verify pattern as ONE statement — write counters AND a
+    read frame; anchors re-bind written aliases; rejects for
+    non-alias WITH items, unwritten aliases, and DataFrame batches."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "s"))
+    for i in range(4):
+        run_cypher(
+            spark, "MERGE (n:N {k: $k})", params={"k": f"n{i}"}, store=store
+        )
+    r = run_cypher(
+        spark,
+        "MERGE (t:Tag {name: 'x'}) WITH t "
+        "MATCH (n:N) RETURN t.name AS tag, count(n) AS cnt",
+        store=store,
+    )
+    assert r.summary.nodes_created == 1
+    assert [tuple(x) for x in r.df.collect()] == [("x", 4)]
+    # re-run: MERGE matches, read unchanged
+    r = run_cypher(
+        spark,
+        "MERGE (t:Tag {name: 'x'}) WITH t "
+        "MATCH (n:N) RETURN t.name AS tag, count(n) AS cnt",
+        store=store,
+    )
+    assert r.summary.nodes_created == 0
+    assert [tuple(x) for x in r.df.collect()] == [("x", 4)]
+    # carried-but-unreferenced alias: the read runs standalone
+    r = run_cypher(
+        spark,
+        "MERGE (t:Tag {name: 'y'}) WITH t MATCH (n:N) RETURN count(n) AS c",
+        store=store,
+    )
+    assert [tuple(x) for x in r.df.collect()] == [(4,)]
+    # relationship-pattern suffix chains off the anchor
+    run_cypher(
+        spark,
+        "MATCH (t:Tag {name: 'x'}) MATCH (u:N {k: 'n0'}) "
+        "MERGE (u)-[:TAGGED]->(t)",
+        store=store,
+    )
+    # (chained-MATCH grammar: the bound alias leads the pattern, so the
+    # incoming form binds off the anchor)
+    r = run_cypher(
+        spark,
+        "MERGE (t:Tag {name: 'x'}) WITH t "
+        "MATCH (t)<-[:TAGGED]-(u:N) RETURN u.k AS k",
+        store=store,
+    )
+    assert [tuple(x) for x in r.df.collect()] == [("n0",)]
+    for bad, p in (
+        ("MERGE (t:Tag {name:'q'}) WITH t.name MATCH (n:N) RETURN count(n) AS c", None),
+        ("MERGE (t:Tag {name:'q'}) WITH u MATCH (n:N) RETURN count(n) AS c", None),
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, params=p, store=store)
+    batch = spark.createDataFrame([("a",)], "name string")
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (t:Tag {name: $name}) WITH t MATCH (n:N) "
+            "RETURN count(n) AS c",
+            params=batch,
+            store=store,
+        )
+
+
 def test_text_range_empty_list_semantics(spark):
     """openCypher range(): end < start with a positive (default) step is
     the EMPTY list, not Spark sequence's auto-descending [start..end];

@@ -595,6 +595,59 @@ def test_kneser_ney_hand_checked(spark):
     assert all(v <= 1.0 + 1e-9 for v in per_ctx.values())
 
 
+def test_kneser_ney_doc_score_hand_corpus(spark):
+    """Per-document KN perplexity gate on the same hand-countable
+    corpus as the bigram test: the fixed-point sum equals the sum of
+    the snapped per-bigram log-probs (recomputed in Python from the
+    hand-derived KN quantities), the keep flag is the integer
+    comparison, and docs with <2 tokens drop out."""
+    import math
+
+    from neo4j_graphdb_spark.functions.text import kneser_ney_doc_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b x c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in kneser_ney_doc_score(
+            docs, "doc_id", "text", threshold_logp=-0.75
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # <2 tokens → no bigram to score
+    # hand KN table (same quantities as test_kneser_ney_hand_checked):
+    # counts ab=3, ba=2, ac=1, bx=1, xc=1; D=0.6; ctx a·=4 (N1+=2),
+    # b·=3 (N1+=2), x·=1 (N1+=1); prec ·b=1, ·a=1, ·c=2, ·x=1; types=5
+    D = 3 / (3 + 2 * 1)
+
+    def pkn(c, ctx, nfollow, nprec):
+        return max(c - D, 0.0) / ctx + (D * nfollow / ctx) * (nprec / 5)
+
+    table = {
+        ("a", "b"): pkn(3, 4, 2, 1),
+        ("b", "a"): pkn(2, 3, 2, 1),
+        ("a", "c"): pkn(1, 4, 2, 2),
+        ("b", "x"): pkn(1, 3, 2, 1),
+        ("x", "c"): pkn(1, 1, 1, 2),
+    }
+    fp = {k: math.floor(math.log(v) * 1_000_000 + 0.5) for k, v in table.items()}
+    d1 = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"), ("a", "c")]
+    d2 = [("a", "b"), ("b", "x"), ("x", "c")]
+    for doc_id, bigrams in ((1, d1), (2, d2)):
+        want_sum = sum(fp[b] for b in bigrams)
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(bigrams)
+        assert r["lp_sum_fp"] == want_sum, (doc_id, r["lp_sum_fp"], want_sum)
+        assert r["keep"] == (want_sum >= -750_000 * len(bigrams))
+    # the gate splits the corpus: doc 1 averages ≈ −0.711 (kept),
+    # doc 2 ≈ −0.802 (dropped) at threshold −0.75
+    assert out[1]["keep"] and not out[2]["keep"]
+    # a permissive threshold keeps everything
+    lax = kneser_ney_doc_score(docs, "doc_id", "text", threshold_logp=-99.0)
+    assert all(r["keep"] for r in lax.collect())
+
+
 def test_weighted_sample_properties(spark):
     """A-ES weighted sampling: exactly k distinct rows, deterministic
     across runs, and weight-proportional in aggregate (heavy rows beat

@@ -664,6 +664,11 @@ _FLOAT_ORDER_ENTRIES = [
     "c132_dataset_card",
     "c133_fuzzy_join",
     "c105_levenshtein_near_dup",
+    # r13 additions: the KN perplexity gate sums MICRO fixed-point
+    # integers per document (order-free by construction — pin it), and
+    # a100's percentileCont emits an interpolated double per group
+    "c134_perplexity_filter",
+    "a100_text_percentile_disc",
 ]
 
 
