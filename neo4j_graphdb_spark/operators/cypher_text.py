@@ -1947,6 +1947,72 @@ def _run_explain(
     return CypherResult(res.df, WriteSummary(), plan=plan, rows=res.df.count())
 
 
+def _split_update_return(clauses: list[_Clause]) -> tuple[int, int] | None:
+    """Detect the update-then-return statement shape — ``MATCH …
+    [WHERE …] SET … RETURN … [ORDER BY/SKIP/LIMIT]`` — and return
+    (SET index, RETURN index), or None for every other shape."""
+    kinds = [c.kind for c in clauses]
+    if "RETURN" not in kinds or "SET" not in kinds:
+        return None
+    si, ri = kinds.index("SET"), kinds.index("RETURN")
+    if ri != si + 1 or clauses[0].kind != "MATCH":
+        return None
+    if any(c.kind not in ("MATCH", "WHERE") for c in clauses[:si]):
+        return None
+    if any(
+        c.kind not in ("ORDER", "SKIP", "LIMIT") for c in clauses[ri + 1 :]
+    ):
+        return None
+    return si, ri
+
+
+def _run_update_then_read(
+    spark: SparkSession,
+    query: str,
+    ur: tuple[int, int],
+    params: dict | DataFrame | None,
+    store: GraphStore,
+) -> CypherResult:
+    """``MATCH … SET … RETURN …`` — Neo4j's update-then-return idiom:
+    run the update through the existing read-modify-write path, then
+    re-run the MATCH/WHERE prefix with the RETURN tail against the
+    post-write store. The re-match returns POST-update values, which is
+    Neo4j's semantics EXCEPT when a SET property also participates in
+    the match predicates (Neo4j binds first, then updates; a re-match
+    would re-evaluate) — that overlap refuses up front."""
+    clauses, lits = split_clauses_masked(query)
+    si, ri = ur
+    prefix_text = " ".join(f"{c.kind} {c.body}" for c in clauses[:si])
+    set_props: list[str] = []
+    for it in _split_top_commas(clauses[si].body):
+        m2 = _UPDATE_ITEM_RE.match(it.strip())
+        if m2:
+            set_props.append(m2.group("prop"))
+            continue
+        pm = re.match(r"^\w+\s*\+=\s*\{(?P<body>.*)\}$", it.strip(), re.DOTALL)
+        if pm:
+            for pair in _split_top_commas(pm.group("body")):
+                km = re.match(r"^\s*(\w+)\s*:", pair)
+                if km:
+                    set_props.append(km.group(1))
+    for prop in set_props:
+        if re.search(rf"\.\s*{prop}(?![\w$])", prefix_text):
+            raise CypherUnsupported(
+                f"SET…RETURN where the SET property {prop!r} also appears "
+                "in the match predicates is unsupported (the post-write "
+                "re-match would diverge from Neo4j's bind-then-update)"
+            )
+    update_text = " ".join(f"{c.kind} {c.body}" for c in clauses[:ri])
+    summary = run_cypher(
+        spark, _unmask(update_text, lits), params, store=store
+    ).summary
+    read_text = " ".join(
+        f"{c.kind} {c.body}" for c in clauses[:si] + clauses[ri:]
+    )
+    res = run_cypher(spark, _unmask(read_text, lits), params, store=store)
+    return CypherResult(res.df, summary)
+
+
 def _find_write_read_continuation(clauses: list[_Clause]) -> int | None:
     """Detect the write→WITH→read statement shape —
     ``MERGE (t:Tag {name:'x'}) WITH t MATCH (n:N) RETURN count(n)`` —
@@ -1981,6 +2047,28 @@ def _find_write_read_continuation(clauses: list[_Clause]) -> int | None:
     ):
         return None
     return w
+
+
+def _find_write_agg_return(clauses: list[_Clause]) -> bool:
+    """Detect ``MERGE/CREATE … RETURN <aggregates>`` — a write statement
+    whose RETURN aggregates over the written alias (``MERGE (t:Tag
+    {k:$v}) RETURN count(t)``). The plain write-RETURN path only serves
+    entity/property projections; this shape re-routes through the
+    write→read continuation with a synthesized ``WITH *`` pipe, so the
+    aggregate compiles through the ordinary read machinery against the
+    post-write store."""
+    if not clauses or clauses[0].kind not in ("MERGE", "CREATE"):
+        return False
+    if clauses[-1].kind != "RETURN" or not clauses[-1].body.strip():
+        return False
+    for c in clauses[:-1]:
+        if c.kind in ("MERGE", "CREATE", "SET"):
+            continue
+        if c.kind == "MATCH" and not c.body.strip():
+            continue  # ON MATCH marker fragment
+        return False
+    items = _split_top_commas(clauses[-1].body)
+    return any(_is_agg_item(i) for i in items)
 
 
 def _run_write_then_read(
@@ -2209,6 +2297,11 @@ def run_cypher(
         if um:
             if store is None:
                 raise ValueError("update statement needs a GraphStore")
+            ur = _split_update_return(split_clauses_masked(query)[0])
+            if ur is not None:
+                return _run_update_then_read(
+                    spark, query, ur, params, store
+                )
             return _run_text_update(
                 spark, um, q_lits, params if isinstance(params, dict) else None,
                 store,
@@ -2237,6 +2330,14 @@ def run_cypher(
         if cont is not None:
             return _run_write_then_read(
                 spark, clauses, cont, params, store, lits
+            )
+        if _find_write_agg_return(clauses):
+            # `MERGE … RETURN count(t)` — synthesize the WITH pipe and
+            # reuse the continuation machinery (anchor the written
+            # aliases, aggregate through the read compiler)
+            synth = clauses[:-1] + [_Clause("WITH", "*"), clauses[-1]]
+            return _run_write_then_read(
+                spark, synth, len(clauses) - 1, params, store, lits
             )
         return _run_write(spark, clauses, params, store, lits)
     if any(c.kind == "UNWIND" for c in clauses):
@@ -3839,6 +3940,16 @@ def _parse_scalar_expr(text: str):
         return ("case", branches, els)
 
     node = parse_expr()
+    # top-level postfix null test as a VALUE: `x IS [NOT] NULL` —
+    # Neo4j returns the boolean itself (`RETURN a.p IS NOT NULL AS has`)
+    if at_keyword("IS"):
+        take()
+        negated = False
+        if at_keyword("NOT"):
+            take()
+            negated = True
+        expect_keyword("NULL")
+        node = ("isnull", node, negated)
     if idx != len(toks):
         raise CypherUnsupported(f"trailing tokens in expression: {text!r}")
     return node
@@ -3913,6 +4024,10 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             else:
                 raise CypherUnsupported(f"expression on unbound alias: {alias!r}")
             return col, ty_of(dt)
+        if kind == "isnull":
+            # `x IS [NOT] NULL` as a boolean VALUE (top-level postfix)
+            c, _ = rec(n[1])
+            return (c.isNotNull() if n[2] else c.isNull()), "other"
         if kind == "neg":
             c, t = rec(n[1])
             if t == "str":
@@ -4255,13 +4370,21 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             c, _ = rec(args[0])
             return c.cast("string"), "str"
         if fname == "tointeger":
+            # Neo4j toInteger() returns NULL for unparseable input —
+            # try_cast, never the ANSI error (a string like 'de' must
+            # yield NULL, not a NumberFormatException). Float-looking
+            # strings truncate via an intermediate double, matching
+            # Neo4j ('3.9' → 3).
             need(1)
-            c, _ = rec(args[0])
-            return c.cast("long"), "int"
+            c, t = rec(args[0])
+            if t == "str":
+                return c.try_cast("double").try_cast("long"), "int"
+            return c.try_cast("long"), "int"
         if fname == "tofloat":
+            # same NULL-on-unparseable contract
             need(1)
             c, _ = rec(args[0])
-            return c.cast("double"), "float"
+            return c.try_cast("double"), "float"
         if fname == "size":
             # Cypher size() counts characters of a string and elements of
             # a list — dispatch on the compiled operand's type tag
@@ -4682,6 +4805,14 @@ def _run_post_with(
             raise CypherUnsupported(f"{c.kind} unsupported after aggregating WITH")
     if not returns:
         raise CypherUnsupported("aggregating WITH needs a RETURN tail")
+    if any(_is_agg_item(i) for i in returns):
+        # RE-aggregation after the WITH (the collect→UNWIND→sum round
+        # trip): the frame is flat, so the implicit-grouping compiler
+        # runs with an empty alias map — WITH names and unwound
+        # variables are plain columns to it
+        return _aggregate_return(
+            df, returns, {}, None, order_by, skip, limit, lits, params
+        )
     out_cols = []
     name_map: dict[str, str] = {}
     for item in returns:
@@ -6494,6 +6625,19 @@ def _aggregate_return(
             return _build_agg(xm.group("fn").lower(), bool(xm.group("dist")), e)
         raise CypherUnsupported(f"unsupported aggregate call: {txt!r}")
 
+    # grouping-key references inside composite items: Neo4j allows
+    # `RETURN a.x, a.x + count(*)` when a.x is itself a grouping key —
+    # pre-scan the plain key items so composite skeletons can rewrite
+    # `alias.prop` to the key's OUTPUT column (available post-groupBy)
+    key_subst: dict[str, str] = {}
+    for it in returns:
+        if _is_agg_item(it):
+            continue
+        km = _RETURN_ITEM_RE.match(it)
+        if km and km.group("prop") is not None:
+            out_name = km.group("out") or km.group("prop")
+            key_subst[f"{km.group('alias')}.{km.group('prop')}"] = out_name
+
     for item in returns:
         lifted = _lift_aggregates(item)
         if lifted is not None:
@@ -6509,6 +6653,12 @@ def _aggregate_return(
                 r"\s+", "",
                 re.sub(r"\s+AS\s+\w+\s*$", "", item, flags=re.IGNORECASE),
             )
+            for ref, key_name in key_subst.items():
+                skeleton = re.sub(
+                    rf"(?<![\w$]){re.escape(ref)}(?![\w$])",
+                    key_name,
+                    skeleton,
+                )
             for i, call in enumerate(calls):
                 g = f"_lift{len(lift_names)}"
                 skeleton = re.sub(rf"\b_agg{i}\b", g, skeleton)

@@ -8248,6 +8248,48 @@ def q_a100_text_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a101_text_update_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A101 ext (r13) — update-then-return (``MATCH … SET … RETURN``,
+    probed refusal this round): the update runs through the
+    read-modify-write path, then the MATCH/WHERE prefix re-runs with
+    the RETURN tail against the post-write store — POST-update values,
+    Neo4j's semantics (predicate-overlapping SET props refuse up
+    front). Closed form: score2 = doc_id + 1 for even doc_ids."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a101_"))
+    store.merge_nodes(src, label="Article", key_col="link", prop_cols=["score"])
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.score % 2 = 0 "
+        "SET a.score2 = a.score + 1 "
+        "RETURN a.link AS link, a.score2 AS score2",
+        store=store,
+    ).df
+
+
+def q_a102_text_write_agg_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A102 ext (r13) — write + aggregate RETURN (``MERGE … RETURN
+    count(t)``, probed refusal this round): routes through the
+    write→read continuation with a synthesized ``WITH *`` pipe, so the
+    aggregate compiles through the ordinary read machinery against the
+    post-write store. Closed form: one tag, count 1, its name back."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a102_"))
+    return run_cypher(
+        spark,
+        "MERGE (t:Tag {name: 'curated'}) SET t.src = 'r13' "
+        "RETURN count(t) AS n_tags, min(t.name) AS name",
+        store=store,
+    ).df
+
+
 def q_c134_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C134 (r13) — per-document Kneser-Ney perplexity quality gate
     (functions/text.py kneser_ney_doc_score): c113's smoothed bigram
@@ -9129,12 +9171,15 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   the r5-era c17-c36 block (20), and the first 9 early rel_*
-#   entries (rel_pricing_summary … rel_histogram). Still unrotated
-#   r5-era greens for r14: the remaining early rel_* suite
-#   (rel_sessionize, rel_scd2, rel_profile, rel_anti_join,
-#   rel_semi_join, rel_set_ops, rel_grouping_sets, rel_asof_join,
-#   rel_range_join, rel_time_rollup, rel_salted_join, rel_quantiles,
+#   the r5-era c17-c36 block (20), and the first 7 early rel_*
+#   entries (rel_pricing_summary … rel_market_share; the late-r13
+#   a101 update-then-return and a102 write-agg-return additions
+#   displaced rel_retention and rel_histogram to slots 51-52). Still
+#   unrotated r5-era greens for r14: rel_retention, rel_histogram,
+#   the remaining early rel_* suite (rel_sessionize, rel_scd2,
+#   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
+#   rel_grouping_sets, rel_asof_join, rel_range_join,
+#   rel_time_rollup, rel_salted_join, rel_quantiles,
 #   rel_bucketed_join, rel_gap_fill) and the r6-era a17-a53 block.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r13 driver window (first 50): this round's fix + additions
@@ -9151,6 +9196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a99_text_agg_arithmetic": q_a99_text_agg_arithmetic,
     "a100_text_percentile_disc": q_a100_text_percentile_disc,
     "c134_perplexity_filter": q_c134_perplexity_filter,
+    "a101_text_update_return": q_a101_text_update_return,
+    "a102_text_write_agg_return": q_a102_text_write_agg_return,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -9194,9 +9241,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
     "rel_market_share": q_rel_market_share,
+    # ---- post-window: driver-green blocks, newest rotation last;
+    # (rel_retention/rel_histogram displaced to r14 backfill by the
+    # late-r13 a101/a102 additions)
     "rel_retention": q_rel_retention,
     "rel_histogram": q_rel_histogram,
-    # ---- post-window: driver-green blocks, newest rotation last;
     # order here only sets future backfill priority ----
     "a81_text_label_conjunction": q_a81_text_label_conjunction,
     "c102_embedding_covariance": q_c102_embedding_covariance,
@@ -12949,6 +12998,16 @@ ORACLES["a100_text_percentile_disc"] = """
            l[greatest(1, cast(ceil(0.5 * n) AS int))]::int AS p50d,
            p50c::double AS p50c
     FROM g
+"""
+
+ORACLES["a101_text_update_return"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           (doc_id::int + 1)::int AS score2
+    FROM documents WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a102_text_write_agg_return"] = """
+    SELECT 1::bigint AS n_tags, 'curated' AS name
 """
 
 ORACLES["c134_perplexity_filter"] = r"""

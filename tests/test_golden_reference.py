@@ -4354,6 +4354,25 @@ def test_text_aggregate_arithmetic(spark):
     ).df.collect()
     assert sorted((x["lang"], x["m"]) for x in r) == [("de", 10), ("en", 5)]
 
+    # grouping-key references inside a composite (Neo4j allows them
+    # when the expression is also a standalone grouping key)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.lang AS lang, size(a.lang) + count(a) AS y",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["lang"], x["y"]) for x in r) == [("de", 3), ("en", 4)]
+
+    # RE-aggregation after an aggregating WITH + UNWIND (the
+    # collect→UNWIND→sum round trip), composites included
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WITH a.lang AS lang, collect(a.score) AS xs "
+        "UNWIND xs AS x RETURN lang, sum(x) AS s, sum(x) / count(x) AS m",
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in r) == [("de", 10, 10), ("en", 10, 5)]
+
 
 def test_text_write_map_expressions(spark, tmp_path):
     """Frame-independent expressions in write property maps (r13):
@@ -4465,6 +4484,87 @@ def test_text_write_read_continuation(spark, tmp_path):
             params=batch,
             store=store,
         )
+
+
+def test_text_null_safe_casts_and_null_value(spark):
+    """toInteger/toFloat return NULL on unparseable input (Neo4j
+    semantics — previously an ANSI cast crash); float-looking strings
+    truncate toward zero; `x IS [NOT] NULL` works as a boolean VALUE."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    r = run_cypher(
+        spark,
+        "RETURN toInteger('de') AS a, toInteger('42') AS b, "
+        "toInteger('3.9') AS c, toFloat('x') AS d, toInteger(7.9) AS e",
+    ).df.collect()
+    assert [tuple(x) for x in r] == [(None, 42, 3, None, 7)]
+
+    src = spark.createDataFrame([("l1", 3), ("l2", None)], "link string, score int")
+    g = Graph(as_nodes(src, "Doc", "link", ["score"]), None)
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, a.score IS NOT NULL AS has",
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in r) == [("l1", True), ("l2", False)]
+
+
+def test_text_update_then_return(spark, tmp_path):
+    """MATCH … SET … RETURN (r13): update counters AND post-update
+    values in one statement; ORDER BY tails; the predicate-overlap
+    reject (a SET prop in the WHERE would diverge from Neo4j's
+    bind-then-update)."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "s"))
+    for k, v in (("x", 1), ("y", 2), ("z", 3)):
+        run_cypher(
+            spark,
+            "MERGE (n:N {k: $k}) SET n.v = $v",
+            params={"k": k, "v": v},
+            store=store,
+        )
+    r = run_cypher(
+        spark,
+        "MATCH (n:N) WHERE n.v >= 2 SET n.w = n.v * 10 "
+        "RETURN n.k AS k, n.w AS w ORDER BY n.k",
+        store=store,
+    )
+    assert r.summary.properties_set == 2
+    assert [tuple(x) for x in r.df.collect()] == [("y", 20), ("z", 30)]
+    with pytest.raises(CypherUnsupported, match="bind-then-update"):
+        run_cypher(
+            spark,
+            "MATCH (n:N) WHERE n.v = 2 SET n.v = 5 RETURN n.v AS v",
+            store=store,
+        )
+
+
+def test_text_write_aggregate_return(spark, tmp_path):
+    """MERGE … RETURN <aggregate> (r13): the synthesized WITH * pipe —
+    counters from the write, the aggregate from the post-write store;
+    idempotent on re-run."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "s"))
+    for _ in range(2):
+        r = run_cypher(
+            spark,
+            "MERGE (t:Tag {name: 'a'}) "
+            "RETURN count(t) AS c, collect(t.name) AS names",
+            store=store,
+        )
+        assert [tuple(x) for x in r.df.collect()] == [(1, ["a"])]
+    assert r.summary.nodes_created == 0
 
 
 def test_text_range_empty_list_semantics(spark):
