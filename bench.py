@@ -85,6 +85,11 @@ HEADLINE = [
     "c111_paragraph_dedup",
     "c116_term_cooccurrence",
     "c117_hll_sketch",
+    # round 13 additions — per-document Kneser-Ney perplexity gate
+    # (full bigram LM + per-doc integer fixed-point scoring), and the
+    # cross-table PassJoin fuzzy join at its exact (uncapped) config
+    "c134_perplexity_filter",
+    "c133_fuzzy_join",
 ]
 
 

@@ -281,6 +281,13 @@ _COUNT_ITEM_RE = re.compile(
     r"^COUNT\s*\{(?P<pat>[^{}]+)\}(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
 
+# `[NOT] EXISTS { (a)-[:T]->(:L) } AS flag` as a RETURN *value* — the
+# boolean itself, not the WHERE semi/anti join form
+_EXISTS_RET_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>[^{}]+)\}\s+AS\s+(?P<out>\w+)$",
+    re.IGNORECASE,
+)
+
 # labels(n) / type(r) / id(n) / keys(n) / properties(n) — Cypher's
 # entity-introspection functions; length(p) — path length for a
 # shortestPath/var-length binding
@@ -6142,6 +6149,60 @@ def _run_read(
             )
             df = df.join(cnt, src_id == F.col("_csrc"), "left").drop("_csrc")
             e = F.coalesce(F.col(f"_cnt_{name}"), F.lit(0)).cast("bigint")
+            out_cols.append(e.alias(name))
+            out_exprs[name] = e
+            out_names.append(name)
+            continue
+        em = _EXISTS_RET_RE.match(item)
+        if em:
+            # `[NOT] EXISTS { (a)-[:T]->(:L) } AS flag` as a VALUE:
+            # same edge-side shape as COUNT {…} — distinct qualifying
+            # sources LEFT-joined with a marker flag, unmatched rows
+            # coalesce to false (never a fan-out of the main frame)
+            pm = _REL_RE.match(em.group("pat").strip())
+            if not pm:
+                raise CypherUnsupported(
+                    f"unsupported EXISTS pattern: {em.group('pat').strip()!r}"
+                )
+            if pm.group("star") or pm.group("rel_props"):
+                raise CypherUnsupported(
+                    "variable-length / property patterns are unsupported "
+                    "in EXISTS"
+                )
+            ea = pm.group("src_alias")
+            if not ea or pm.group("src_label") or ea not in aliases:
+                raise CypherUnsupported(
+                    "EXISTS source must be a bound bare alias"
+                )
+            if pm.group("dst_alias"):
+                raise CypherUnsupported(
+                    "EXISTS target must be anonymous: () or (:Label)"
+                )
+            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+            xe = graph.edges_df
+            if xe is None:
+                raise CypherUnsupported("graph has no edges")
+            xe = _cy_rel_filter(xe, _rel_types(pm.group("rel_type")))
+            xe = _orient_edges(xe, _rel_direction(pm))
+            if pm.group("dst_label") is not None:
+                lbl_ids = graph.match(_node_labels(pm.group("dst_label"))).select(
+                    F.col(NODE_ID).alias("_xid")
+                )
+                xe = xe.join(lbl_ids, xe["dst"] == F.col("_xid"), "left_semi")
+            name = em.group("out")
+            marks = (
+                xe.select(F.col("src").alias("_xsrc"))
+                .distinct()
+                .withColumn(f"_flag_{name}", F.lit(True))
+            )
+            src_id = (
+                F.col(f"{aliases[ea]}{NODE_ID}") if aliases[ea] else F.col(NODE_ID)
+            )
+            df = df.join(marks, src_id == F.col("_xsrc"), "left").drop("_xsrc")
+            e = F.coalesce(F.col(f"_flag_{name}"), F.lit(False))
+            if em.group("neg"):
+                e = ~e
             out_cols.append(e.alias(name))
             out_exprs[name] = e
             out_names.append(name)

@@ -4510,6 +4510,28 @@ def test_text_null_safe_casts_and_null_value(spark):
     ).df.collect()
     assert sorted(tuple(x) for x in r) == [("l1", True), ("l2", False)]
 
+    # EXISTS { pattern } as a boolean VALUE (the WHERE form's RETURN
+    # twin — edge-side distinct marker left-joined, coalesce to false)
+    from neo4j_graphdb_spark.model import as_edges
+
+    tags = spark.createDataFrame([("l1", "t1")], "link string, tag string")
+    g2 = Graph(
+        as_nodes(src, "Doc", "link", ["score"]).unionByName(
+            as_nodes(tags.select("tag"), "Tag", "tag", []), True
+        ),
+        as_edges(tags, "HAS", "Doc", "link", "Tag", "tag"),
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, "
+        "EXISTS { (a)-[:HAS]->(:Tag) } AS has, "
+        "NOT EXISTS { (a)-[:HAS]->() } AS hasnt",
+        graph=g2,
+    ).df.collect()
+    assert sorted(tuple(x) for x in r) == [
+        ("l1", True, False), ("l2", False, True),
+    ]
+
 
 def test_text_update_then_return(spark, tmp_path):
     """MATCH … SET … RETURN (r13): update counters AND post-update

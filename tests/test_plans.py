@@ -279,3 +279,31 @@ def test_multi_hop_match_broadcast_chain(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mmr_rerank_single_shuffle_plan(spark, sf_dir):
+    """c104 (r13): the greedy rounds unroll at EXPRESSION level, so the
+    whole rerank is ONE job — exactly one shuffle Exchange (the window/
+    groupBy on the query key, shared partitioning) plus the query-side
+    BroadcastExchange; no pool×pool join, no cartesian, no repeated
+    per-round stages (the r12 weak spot)."""
+    plan = _plan(QUERIES["c104_mmr_rerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    # total Exchanges = the one broadcast + exactly one shuffle
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan.count("Exchange")
+
+
+def test_perplexity_filter_dimension_joins(spark, sf_dir):
+    """c134 (r13): the bigram stream joins the vocabulary²-bounded
+    probability table on (w1, w2) via hash joins — never a cartesian;
+    the single BroadcastNestedLoopJoin is the 1-row (n1, n2, types)
+    scalars frame crossing onto the type table (the repo-wide
+    broadcast-a-1-row-aggregate pattern), and the count tables reach
+    the stream by broadcast."""
+    plan = _plan(QUERIES["c134_perplexity_filter"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the scalars row
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastExchange" in plan
