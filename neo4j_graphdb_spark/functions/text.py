@@ -618,7 +618,15 @@ def kneser_ney_bigrams(
         .join(prec, on="_w2")
         .crossJoin(F.broadcast(scalars))
     )
-    d = F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    # degenerate-corpus guard: with NO singleton/doubleton bigram types
+    # (every bigram repeats 3+ times — real at sf0.1's templated docs)
+    # the discount denominator n1 + 2*n2 is 0; KN degrades to D = 0
+    # (plain MLE, no mass to redistribute) instead of a divide-by-zero
+    d = F.when(
+        F.col("_s1") + F.lit(2) * F.col("_s2") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    )
     p_kn = (
         F.greatest(F.col("_c") - d, F.lit(0.0)) / F.col("_ctx")
     ) + (
@@ -697,7 +705,15 @@ def kneser_ney_doc_score(
         .crossJoin(F.broadcast(scalars))
     )
     # IDENTICAL expression tree to kneser_ney_bigrams (and its oracle)
-    d = F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    # degenerate-corpus guard: with NO singleton/doubleton bigram types
+    # (every bigram repeats 3+ times — real at sf0.1's templated docs)
+    # the discount denominator n1 + 2*n2 is 0; KN degrades to D = 0
+    # (plain MLE, no mass to redistribute) instead of a divide-by-zero
+    d = F.when(
+        F.col("_s1") + F.lit(2) * F.col("_s2") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("_s1").cast("double") / (F.col("_s1") + F.lit(2) * F.col("_s2"))
+    )
     p_kn = (
         F.greatest(F.col("_c") - d, F.lit(0.0)) / F.col("_ctx")
     ) + (

@@ -4663,6 +4663,27 @@ def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
     Neo4j result-pane convention)."""
     am = _EXPR_AS_RE.match(item)
     body, out = (am.group("expr"), am.group("out")) if am else (item, None)
+    mm = re.match(r"^\{(?P<body>.*)\}$", body.strip(), re.DOTALL)
+    if mm:
+        # map LITERAL `{k: <expr>, …}` — compiles to a struct of the
+        # per-key expression Columns (the same Row shape map
+        # projections produce); keys are identifiers, values any
+        # scalar expression
+        fields = []
+        for pair in _split_top_commas(mm.group("body")):
+            km = re.match(r"^\s*(\w+)\s*:\s*(.+)$", pair, re.DOTALL)
+            if not km:
+                raise CypherUnsupported(
+                    f"unsupported map literal entry: {pair!r}"
+                )
+            c, _ = _compile_scalar(
+                _parse_scalar_expr(km.group(2).strip()),
+                df, aliases, rel_alias, lits, params,
+            )
+            fields.append(c.alias(km.group(1)))
+        if not fields:
+            raise CypherUnsupported("empty map literal")
+        return F.struct(*fields), (out or re.sub(r"\s+", "", body))
     col, _ = _compile_scalar(
         _parse_scalar_expr(body), df, aliases, rel_alias, lits, params
     )

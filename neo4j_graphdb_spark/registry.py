@@ -12823,9 +12823,9 @@ ORACLES["c113_kneser_ney"] = r"""
     )
     SELECT b.w1, b.w2, b.c::bigint AS c,
            round(
-               greatest(b.c - (s.s1::DOUBLE / (s.s1 + 2 * s.s2)), 0.0)
+               greatest(b.c - (CASE WHEN s.s1 + 2 * s.s2 = 0 THEN 0.0 ELSE s.s1::DOUBLE / (s.s1 + 2 * s.s2) END), 0.0)
                    / x.ctx
-               + ((s.s1::DOUBLE / (s.s1 + 2 * s.s2)) * x.nfollow / x.ctx)
+               + ((CASE WHEN s.s1 + 2 * s.s2 = 0 THEN 0.0 ELSE s.s1::DOUBLE / (s.s1 + 2 * s.s2) END) * x.nfollow / x.ctx)
                    * (p.nprec::DOUBLE / s.types),
                6) AS p_kn
     FROM bc b
@@ -13035,9 +13035,9 @@ ORACLES["c134_perplexity_filter"] = r"""
     tbl AS MATERIALIZED (
         SELECT b.w1, b.w2,
                cast(floor(ln(
-                   greatest(b.c - (s.s1::DOUBLE / (s.s1 + 2 * s.s2)), 0.0)
+                   greatest(b.c - (CASE WHEN s.s1 + 2 * s.s2 = 0 THEN 0.0 ELSE s.s1::DOUBLE / (s.s1 + 2 * s.s2) END), 0.0)
                        / x.ctx
-                   + ((s.s1::DOUBLE / (s.s1 + 2 * s.s2)) * x.nfollow / x.ctx)
+                   + ((CASE WHEN s.s1 + 2 * s.s2 = 0 THEN 0.0 ELSE s.s1::DOUBLE / (s.s1 + 2 * s.s2) END) * x.nfollow / x.ctx)
                        * (p.nprec::DOUBLE / s.types)
                ) * 1000000.0 + 0.5) AS bigint) AS lp_fp
         FROM bc b

@@ -3232,6 +3232,16 @@ def test_text_map_projection_and_temporal_parts(spark):
         {"title": "T1", "link": "u1"},
         {"title": "T2", "link": "u2"},
     ]
+    # map LITERALS (r13): `{k: <expr>, …}` builds the same struct shape
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art) RETURN {t: a.title, n: size(a.title)} AS m "
+        "ORDER BY a.link",
+        graph=g,
+    ).df.collect()
+    assert [x["m"].asDict() for x in r] == [
+        {"t": "T1", "n": 2}, {"t": "T2", "n": 2},
+    ]
     for q, pat in [
         ("MATCH (a:Art) RETURN a {.*} AS m", "prop entries only"),
         ("MATCH (a:Art) RETURN a {} AS m", "empty map projection"),

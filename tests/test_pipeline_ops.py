@@ -648,6 +648,30 @@ def test_kneser_ney_doc_score_hand_corpus(spark):
     assert all(r["keep"] for r in lax.collect())
 
 
+def test_kneser_ney_degenerate_corpus_no_singletons(spark):
+    """A corpus where EVERY bigram type repeats 3+ times has n1 = n2 = 0
+    — the discount denominator n1 + 2·n2 is zero (real at sf0.1's
+    templated docs; was an ANSI divide-by-zero). KN degrades to D = 0,
+    i.e. the plain MLE c/ctx, on both the bigram table and the
+    per-document score."""
+    from neo4j_graphdb_spark.functions.text import (
+        kneser_ney_bigrams,
+        kneser_ney_doc_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(3)], "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): r["p_kn"] for r in
+           kneser_ney_bigrams(docs, "doc_id", "text", top_n=10).collect()}
+    # counts: ab=9, ba=6; ctx a·=9, b·=6 → MLE = 1.0 for both
+    assert out == {("a", "b"): 1.0, ("b", "a"): 1.0}
+    scored = kneser_ney_doc_score(docs, "doc_id", "text").collect()
+    assert len(scored) == 3
+    # ln(1.0) = 0 per bigram → fixed-point sum 0, kept at any threshold
+    assert all(r["lp_sum_fp"] == 0 and r["keep"] for r in scored)
+
+
 def test_weighted_sample_properties(spark):
     """A-ES weighted sampling: exactly k distinct rows, deterministic
     across runs, and weight-proportional in aggregate (heavy rows beat
