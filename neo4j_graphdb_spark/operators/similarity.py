@@ -246,6 +246,88 @@ def mmr_rerank(
     )
 
 
+def bitext_margin_mine(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix parallel-corpus miner): for every source vector the best
+    target by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            ( Σ_{z∈NNk(x,B)} cos(x,z)/2k + Σ_{z∈NNk(y,A)} cos(y,z)/2k )
+
+    — cosine normalized by both neighborhoods, which kills hub vectors
+    that are near everything. The standard alignment step a multilingual
+    training-data pipeline runs before translation-pair filtering.
+
+    Scale shape: two exact top-k passes (:func:`cosine_topk` — broadcast
+    queries at this harness's scale; IVF/LSH swap in for a real corpus),
+    each neighborhood sum a per-query fold over the collected top-k IN
+    RANK ORDER (deterministic across partitionings — a bare float
+    ``sum()`` would be partition-order sensitive), then one candidate
+    join (a's top-k only — k·|A| rows, never |A|·|B|) and a per-source
+    argmax window. Returns ``(a_id, b_id, margin)`` — one row per source
+    with any target; apply a threshold downstream (kept out of the
+    operator so the cut sits in exactly one place).
+    """
+    qa = a_df.select(F.col(id_col).alias("_qa"), F.col(vec_col))
+    qb = b_df.select(F.col(id_col).alias("_qb"), F.col(vec_col))
+    fwd = cosine_topk(
+        b_df, qa, k=k, id_col=id_col, vec_col=vec_col, query_id_col="_qa"
+    )
+    bwd = cosine_topk(
+        a_df, qb, k=k, id_col=id_col, vec_col=vec_col, query_id_col="_qb"
+    )
+
+    def _nbr_den(tk: DataFrame, qcol: str) -> DataFrame:
+        # Σ cos over the top-k in RANK order (sorted fold, not sum())
+        return (
+            tk.groupBy(qcol)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "cosine"))
+                ).alias("_l")
+            )
+            .select(
+                qcol,
+                (
+                    F.aggregate(
+                        F.col("_l"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["cosine"],
+                    )
+                    / F.lit(2.0 * k)
+                ).alias("_den"),
+            )
+        )
+
+    den_a = _nbr_den(fwd, "_qa")
+    den_b = _nbr_den(bwd, "_qb").withColumnRenamed("_qb", id_col)
+    cand = (
+        fwd.join(den_a, on="_qa")
+        .join(den_b.withColumnRenamed("_den", "_denb"), on=id_col)
+        .withColumn(
+            "_margin", F.col("cosine") / (F.col("_den") + F.col("_denb"))
+        )
+    )
+    w = Window.partitionBy("_qa").orderBy(
+        F.col("_margin").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_qa").alias("a_id"),
+            F.col(id_col).alias("b_id"),
+            F.col("_margin").alias("margin"),
+        )
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,

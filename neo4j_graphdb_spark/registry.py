@@ -8290,6 +8290,29 @@ def q_a102_text_write_agg_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_c135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C135 (r13) — margin-based bitext mining (operators/similarity.py
+    bitext_margin_mine; Artetxe & Schwenk 2019 — the LASER/CCMatrix
+    parallel-corpus aligner): even-id vectors as the source "language",
+    odd-id as the target; per source the best target by ratio margin
+    (cosine over both k-NN neighborhood means — hub-vector correction).
+    Two exact top-k passes + one candidate join (k·|A| rows) + argmax;
+    neighborhood sums fold in RANK order so the margin is
+    partition-order free. Margin rounds at 6 dp (the c9 cross-engine
+    cosine convention)."""
+    from neo4j_graphdb_spark.operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = bitext_margin_mine(a, b, k=4)
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
 def q_c134_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C134 (r13) — per-document Kneser-Ney perplexity quality gate
     (functions/text.py kneser_ney_doc_score): c113's smoothed bigram
@@ -9198,6 +9221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c134_perplexity_filter": q_c134_perplexity_filter,
     "a101_text_update_return": q_a101_text_update_return,
     "a102_text_write_agg_return": q_a102_text_write_agg_return,
+    "c135_bitext_mining": q_c135_bitext_mining,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -9240,10 +9264,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_window_topn": q_rel_window_topn,
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
-    "rel_market_share": q_rel_market_share,
     # ---- post-window: driver-green blocks, newest rotation last;
-    # (rel_retention/rel_histogram displaced to r14 backfill by the
-    # late-r13 a101/a102 additions)
+    # (rel_market_share/rel_retention/rel_histogram displaced to r14
+    # backfill by the late-r13 a101/a102/c135 additions)
+    "rel_market_share": q_rel_market_share,
     "rel_retention": q_rel_retention,
     "rel_histogram": q_rel_histogram,
     # order here only sets future backfill priority ----
@@ -12998,6 +13022,56 @@ ORACLES["a100_text_percentile_disc"] = """
            l[greatest(1, cast(ceil(0.5 * n) AS int))]::int AS p50d,
            p50c::double AS p50c
     FROM g
+"""
+
+ORACLES["c135_bitext_mining"] = """
+    WITH ab AS (
+        SELECT vec_id AS aid,
+               list_transform(embedding, x -> cast(x AS double)) AS av
+        FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    bb AS (
+        SELECT vec_id AS bid,
+               list_transform(embedding, x -> cast(x AS double)) AS bv
+        FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    fwd AS (
+        SELECT aid, bid, cos,
+               row_number() OVER (
+                   PARTITION BY aid ORDER BY cos DESC, bid ASC) AS rk
+        FROM (SELECT a.aid, b.bid,
+                     list_cosine_similarity(a.av, b.bv) AS cos
+              FROM ab a CROSS JOIN bb b)
+    ),
+    bwd AS (
+        SELECT bid, aid, cos,
+               row_number() OVER (
+                   PARTITION BY bid ORDER BY cos DESC, aid ASC) AS rk
+        FROM (SELECT b.bid, a.aid,
+                     list_cosine_similarity(b.bv, a.av) AS cos
+              FROM bb b CROSS JOIN ab a)
+    ),
+    dena AS (
+        SELECT aid, sum(cos) / 8.0 AS den FROM fwd WHERE rk <= 4 GROUP BY aid
+    ),
+    denb AS (
+        SELECT bid, sum(cos) / 8.0 AS den FROM bwd WHERE rk <= 4 GROUP BY bid
+    ),
+    cand AS (
+        SELECT f.aid, f.bid, f.cos / (da.den + db.den) AS margin
+        FROM fwd f
+        JOIN dena da ON f.aid = da.aid
+        JOIN denb db ON f.bid = db.bid
+        WHERE f.rk <= 4
+    ),
+    best AS (
+        SELECT aid, bid, margin,
+               row_number() OVER (
+                   PARTITION BY aid ORDER BY margin DESC, bid ASC) AS rn
+        FROM cand
+    )
+    SELECT aid AS a_id, bid AS b_id, round(margin, 6) AS margin
+    FROM best WHERE rn = 1
 """
 
 ORACLES["a101_text_update_return"] = """

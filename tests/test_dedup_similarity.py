@@ -641,6 +641,56 @@ def test_embedding_covariance_matches_numpy(spark):
             assert abs(out[(i, j)] - round(ref[i, j], 6)) < 2e-6
 
 
+def test_bitext_margin_matches_reference(spark):
+    """Margin mining equals a quadratic numpy reference (same ratio
+    margin, same k-NN neighborhoods, ties to smallest id), and the
+    margin actually corrects hubs: a vector near EVERYTHING gets its
+    raw-cosine win demoted once its neighborhood mean divides it."""
+    import numpy as np
+
+    from neo4j_graphdb_spark.operators.similarity import bitext_margin_mine
+
+    rng = np.random.RandomState(7)
+    va = rng.randn(12, 8).astype("float32")
+    vb = rng.randn(12, 8).astype("float32")
+    vb[0] = 0.05 * rng.randn(8) + vb.mean(axis=0)  # a hub-ish centroid
+    a_rows = [(i, [float(x) for x in va[i]]) for i in range(12)]
+    b_rows = [(100 + i, [float(x) for x in vb[i]]) for i in range(12)]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+    got = {
+        r["a_id"]: (r["b_id"], r["margin"])
+        for r in bitext_margin_mine(a, b, k=4).collect()
+    }
+
+    def cos(x, y):
+        x = x.astype("float64"); y = y.astype("float64")
+        return float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    k = 4
+    # top-k neighbor index lists: cosine desc, id asc on ties
+    fwd = {
+        i: sorted(range(12), key=lambda j: (-cos(va[i], vb[j]), j))[:k]
+        for i in range(12)
+    }
+    bwd = {
+        j: sorted(range(12), key=lambda i: (-cos(vb[j], va[i]), i))[:k]
+        for j in range(12)
+    }
+    dena = {i: sum(cos(va[i], vb[j]) for j in fwd[i]) / (2 * k) for i in fwd}
+    denb = {j: sum(cos(vb[j], va[i]) for i in bwd[j]) / (2 * k) for j in bwd}
+    want = {}
+    for i in range(12):
+        best = min(
+            ((-(cos(va[i], vb[j]) / (dena[i] + denb[j])), j) for j in fwd[i])
+        )
+        want[i] = (100 + best[1], -best[0])
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert abs(got[i][1] - want[i][1]) < 1e-6, (i, got[i], want[i])
+
+
 def test_mmr_rerank_greedy_matches_reference(spark):
     """MMR greedy on a hand-built geometry: q = [1,0]; candidates a
     (aligned), b (near-duplicate of a), c (orthogonal-ish). Plain top-2

@@ -665,10 +665,13 @@ _FLOAT_ORDER_ENTRIES = [
     "c133_fuzzy_join",
     "c105_levenshtein_near_dup",
     # r13 additions: the KN perplexity gate sums MICRO fixed-point
-    # integers per document (order-free by construction — pin it), and
-    # a100's percentileCont emits an interpolated double per group
+    # integers per document (order-free by construction — pin it),
+    # a100's percentileCont emits an interpolated double per group, and
+    # c135's margin divides rank-ordered neighborhood FOLDS (a bare
+    # sum() would be partition-order sensitive — pin the fold)
     "c134_perplexity_filter",
     "a100_text_percentile_disc",
+    "c135_bitext_mining",
 ]
 
 
