@@ -2003,7 +2003,12 @@ def _run_update_then_read(
                 if km:
                     set_props.append(km.group(1))
     for prop in set_props:
-        if re.search(rf"\.\s*{prop}(?![\w$])", prefix_text):
+        # both predicate spellings: `n.prop = …` (WHERE) and the inline
+        # match map `{prop: …}` — either would make the post-write
+        # re-match diverge from Neo4j's bind-then-update
+        if re.search(rf"\.\s*{prop}(?![\w$])", prefix_text) or re.search(
+            rf"(?<![\w$.]){prop}\s*:", prefix_text
+        ):
             raise CypherUnsupported(
                 f"SET…RETURN where the SET property {prop!r} also appears "
                 "in the match predicates is unsupported (the post-write "

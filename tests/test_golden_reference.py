@@ -4578,6 +4578,13 @@ def test_text_update_then_return(spark, tmp_path):
             "MATCH (n:N) WHERE n.v = 2 SET n.v = 5 RETURN n.v AS v",
             store=store,
         )
+    # the inline-match-map spelling of the same predicate overlap
+    with pytest.raises(CypherUnsupported, match="bind-then-update"):
+        run_cypher(
+            spark,
+            "MATCH (n:N {v: 2}) SET n.v = 5 RETURN n.k AS k",
+            store=store,
+        )
 
 
 def test_text_write_aggregate_return(spark, tmp_path):
