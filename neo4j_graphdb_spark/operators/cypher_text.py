@@ -708,16 +708,18 @@ def _clause_split_outside_brackets(masked: str) -> list[str]:
     brackets, and list PREDICATES (``all(x IN xs WHERE …)``) carry it
     inside their parens; neither must open a new clause. Relationship
     and node patterns also use brackets/parens but never contain clause
-    keywords at depth, so depth tracking is safe for all. Returns the
-    same [pre, kw, body, kw, body, …] shape as ``re.split`` with one
-    capture group."""
+    keywords at depth, so depth tracking is safe for all. Braces count
+    too: existential subqueries (``EXISTS { MATCH … }``) legally carry
+    clause keywords inside ``{…}`` and must stay one clause body.
+    Returns the same [pre, kw, body, kw, body, …] shape as ``re.split``
+    with one capture group."""
     depth = 0
     depths = []
     for ch in masked:
-        if ch in "[(":
+        if ch in "[({":
             depth += 1
         depths.append(depth)
-        if ch in "])":
+        if ch in "])}":
             depth -= 1
     parts: list[str] = []
     last = 0
@@ -2376,7 +2378,7 @@ def run_cypher(
         # pure UNWIND <literal list>) run against an empty graph — every
         # client smoke-tests with `RETURN 1`
         pure_clauses = bool(clauses) and all(
-            c.kind in ("UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
+            c.kind in ("UNWIND", "WITH", "RETURN", "ORDER", "SKIP", "LIMIT")
             for c in clauses
         )
         if store is None:
@@ -3643,7 +3645,7 @@ _EXPR_TOKEN_RE = re.compile(
     r"|(?P<param>\$\w+)"
     r"|(?P<cmp><=|>=|<>|=|<|>)"
     r"|(?P<name>\w+)"
-    r"|(?P<op>[+\-*/%^(),.\[\]|]))"
+    r"|(?P<op>\|\||\.\.|[+\-*/%^(),.\[\]|{}:]))"
 )
 
 _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NOT", "NULL"}
@@ -3719,8 +3721,10 @@ def _parse_scalar_expr(text: str):
         take()
 
     def parse_expr():
+        # `||` (Cypher 5 string/list concatenation) parses at the same
+        # additive level as `+` — Neo4j gives the two equal precedence
         n = parse_muldiv()
-        while peek()[0] == "op" and peek()[1] in ("+", "-"):
+        while peek()[0] == "op" and peek()[1] in ("+", "-", "||"):
             _, op = take()
             n = ("bin", op, n, parse_muldiv())
         return n
@@ -3746,11 +3750,25 @@ def _parse_scalar_expr(text: str):
             return ("neg", parse_unary())
         n = parse_primary()
         # postfix subscript: list element access xs[i] (0-based,
-        # negatives from the end, NULL out of range) and dynamic
-        # property access a[key] — left-associative chains allowed
+        # negatives from the end, NULL out of range), dynamic property
+        # access a[key], and list SLICES xs[lo..hi] (0-based,
+        # end-exclusive, negatives from the end, either bound omittable
+        # — openCypher §4.1 list operators) — left-associative chains
         while peek() == ("op", "["):
             take()
+            if peek() == ("op", ".."):  # xs[..hi]
+                take()
+                hi_n = None if peek() == ("op", "]") else parse_expr()
+                expect_op("]")
+                n = ("slice", n, None, hi_n)
+                continue
             idx_n = parse_expr()
+            if peek() == ("op", ".."):  # xs[lo..] / xs[lo..hi]
+                take()
+                hi_n = None if peek() == ("op", "]") else parse_expr()
+                expect_op("]")
+                n = ("slice", n, idx_n, hi_n)
+                continue
             expect_op("]")
             n = ("index", n, idx_n)
         return n
@@ -3804,6 +3822,30 @@ def _parse_scalar_expr(text: str):
                     items.append(parse_expr())
             expect_op("]")
             return ("list", items)
+        if k == "op" and v == "{":
+            # map literal {k: <expr>, …} as a first-class expression —
+            # compiles to a struct (the Row shape map projections
+            # produce), so it nests inside collect()/CASE/comprehensions
+            take()
+            fields = []
+            while peek() != ("op", "}"):
+                fk, fv = take()
+                if fk != "name":
+                    raise CypherUnsupported(
+                        f"map literal keys must be identifiers: {text!r}"
+                    )
+                expect_op(":")
+                fields.append((fv, parse_expr()))
+                if peek() == ("op", ","):
+                    take()
+                elif peek() != ("op", "}"):
+                    raise CypherUnsupported(
+                        f"expected ',' or '}}' in map literal: {text!r}"
+                    )
+            take()  # }
+            if not fields:
+                raise CypherUnsupported("empty map literal")
+            return ("map", fields)
         if k == "name":
             up = v.upper()
             if up == "CASE":
@@ -4033,6 +4075,20 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                         f"unknown relationship property {prop!r}"
                     )
                 col, dt = F.col(prop), dtypes[prop]
+            elif alias in df.columns and dtypes.get(alias, "").startswith(
+                "struct"
+            ):
+                # field access on a WITH-bound map/struct value
+                # (`WITH {a: 1} AS m RETURN m.a`) — plain getField
+                fields = {
+                    f.name: f.dataType.simpleString()
+                    for f in df.schema[alias].dataType.fields
+                }
+                if prop not in fields:
+                    raise CypherUnsupported(
+                        f"unknown map key {prop!r} on {alias!r}"
+                    )
+                col, dt = F.col(alias).getField(prop), fields[prop]
             else:
                 raise CypherUnsupported(f"expression on unbound alias: {alias!r}")
             return col, ty_of(dt)
@@ -4049,6 +4105,24 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             op, lc_ast, rc_ast = n[1], n[2], n[3]
             lc, lt = rec(lc_ast)
             rc, rt = rec(rc_ast)
+            if op == "||":
+                # Cypher 5 concatenation: list || list, else string
+                # concat (numbers stringified, Neo4j's coercion)
+                if lt == rt == "list":
+                    return F.concat(lc, rc), "list"
+                if "list" in (lt, rt):
+                    raise CypherUnsupported(
+                        "|| needs two lists or two stringifiable scalars"
+                    )
+                return F.concat(lc.cast("string"), rc.cast("string")), "str"
+            if op == "+" and "list" in (lt, rt):
+                # Cypher list addition: list+list concatenates,
+                # list+elem appends, elem+list prepends
+                if lt == rt == "list":
+                    return F.concat(lc, rc), "list"
+                if lt == "list":
+                    return F.concat(lc, F.array(rc)), "list"
+                return F.concat(F.array(lc), rc), "list"
             if op == "+" and "str" in (lt, rt):
                 # Cypher: 'a' + 1 = 'a1' — concat, numbers stringified
                 return F.concat(lc.cast("string"), rc.cast("string")), "str"
@@ -4180,6 +4254,41 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 F.when(
                     ic >= 0, F.try_element_at(col, ic + F.lit(1))
                 ).otherwise(F.try_element_at(col, ic)),
+                "other",
+            )
+        if kind == "slice":
+            # xs[lo..hi] — openCypher list slice: 0-based, end-EXCLUSIVE,
+            # negative bounds count from the end, out-of-range clamps to
+            # the list (never NULL, never error). Bounds normalize
+            # against size(xs) so one F.slice covers every case — stays
+            # a single Catalyst expression (codegen), no UDF.
+            base, lo_n, hi_n = n[1], n[2], n[3]
+            col, _ = rec(base)
+            sz = F.size(col).cast("long")
+            if lo_n is None:
+                lo = F.lit(0).cast("long")
+            else:
+                lc0, _ = rec(lo_n)
+                lc0 = lc0.cast("long")
+                lo = F.when(lc0 < 0, F.greatest(sz + lc0, F.lit(0))).otherwise(
+                    F.least(lc0, sz)
+                )
+            if hi_n is None:
+                hi = sz
+            else:
+                hc0, _ = rec(hi_n)
+                hc0 = hc0.cast("long")
+                hi = F.when(hc0 < 0, F.greatest(sz + hc0, F.lit(0))).otherwise(
+                    F.least(hc0, sz)
+                )
+            ln = F.greatest(hi - lo, F.lit(0))
+            # slice(col, 1, 0) is [] — the empty-window case is safe
+            return F.slice(col, (lo + 1).cast("int"), ln.cast("int")), "list"
+        if kind == "map":
+            # {k: <expr>, …} — struct of per-key Columns (one Row-shaped
+            # value; the shape map projections and collect({…}) need)
+            return (
+                F.struct(*[rec(ast0)[0].alias(k0) for k0, ast0 in n[1]]),
                 "other",
             )
         if kind == "reduce":
@@ -4712,7 +4821,12 @@ def _extract_exists(body: str, out: list) -> str:
         pat_text = None
         negated = False
         if m:
-            pat_text = m.group("pat").strip()
+            # Cypher 5 allows a full existential subquery `EXISTS {
+            # MATCH <pattern> }` — the leading MATCH keyword is noise
+            # for the single-pattern form compiled here
+            pat_text = re.sub(
+                r"^MATCH\s+", "", m.group("pat").strip(), flags=re.IGNORECASE
+            )
             negated = bool(m.group("neg"))
         else:
             # legacy bare pattern predicate: `WHERE [NOT] (a)-[:T]->(:L)`
@@ -5809,11 +5923,27 @@ def _run_read(
                     "inline relationship properties are unsupported in OPTIONAL MATCH"
                 )
             sa, s_label = node_match
-            if (m.group("src_alias") or sa) != sa or m.group("src_label"):
-                raise CypherUnsupported(
-                    "OPTIONAL MATCH source must be the bare alias bound by MATCH"
+            p_src, p_dst = m.group("src_alias"), m.group("dst_alias")
+            opt_direction = _rel_direction(m)
+            if (p_src or sa) == sa and not m.group("src_label"):
+                da = p_dst or "b"
+                opt_new_label = m.group("dst_label")
+            elif p_dst == sa and not m.group("dst_label") and p_src and p_src != sa:
+                # bound alias on the TARGET side — `MATCH (p:Pub)
+                # OPTIONAL MATCH (a:Article)-[:W]->(p)` — flip the
+                # pattern to the canonical source-anchored orientation
+                # (same rows: the left-outer expand is orientation-blind
+                # once direction is reversed with it)
+                da = p_src
+                opt_new_label = m.group("src_label")
+                opt_direction = {"out": "in", "in": "out"}.get(
+                    opt_direction, "both"
                 )
-            da = m.group("dst_alias") or "b"
+            else:
+                raise CypherUnsupported(
+                    "OPTIONAL MATCH must anchor one BARE endpoint on the "
+                    "alias bound by MATCH"
+                )
             # the node scan is re-expressed as the LEFT side of the
             # optional expand; deferred predicates on the source alias
             # re-resolve through its new column prefix
@@ -5882,9 +6012,9 @@ def _run_read(
             df = graph.expand_optional(
                 rel_type=_rel_types(m.group("rel_type")),
                 src_label=_node_labels(s_label),
-                dst_label=_node_labels(m.group("dst_label")),
+                dst_label=_node_labels(opt_new_label),
                 src_alias=sa, dst_alias=da,
-                direction=_rel_direction(m),
+                direction=opt_direction,
                 on_extra=on_extra,
             )
             aliases[sa] = f"{sa}_"
@@ -5963,7 +6093,13 @@ def _run_read(
             # instead of terminally. The aggregating form is handled by
             # the recursion pre-pass above.
             if df is None:
-                raise CypherUnsupported("WITH needs a preceding MATCH")
+                # leading WITH of frame-independent expressions —
+                # `WITH {a: 1} AS m RETURN m.a`, the standalone-RETURN
+                # seed shape (alias references refuse downstream as
+                # unknown names, honestly)
+                df = graph.nodes_df.sparkSession.range(1).select(
+                    F.lit(0).alias("_standalone")
+                )
             wbody = c.body
             wdm = re.match(r"^DISTINCT\s+", wbody, re.IGNORECASE)
             with_distinct = bool(wdm)
@@ -6136,7 +6272,10 @@ def _run_read(
             # rows coalesce to 0 — the expand-and-count a Neo4j user
             # writes as `COUNT { (a)-[:T]->(:L) }`; never fan-out on the
             # main frame, the aggregation happens on the edge side
-            pm = _REL_RE.match(cm.group("pat").strip())
+            pm = _REL_RE.match(
+                re.sub(r"^MATCH\s+", "", cm.group("pat").strip(),
+                       flags=re.IGNORECASE)
+            )
             if not pm:
                 raise CypherUnsupported(
                     f"unsupported COUNT pattern: {cm.group('pat').strip()!r}"
@@ -6185,7 +6324,10 @@ def _run_read(
             # same edge-side shape as COUNT {…} — distinct qualifying
             # sources LEFT-joined with a marker flag, unmatched rows
             # coalesce to false (never a fan-out of the main frame)
-            pm = _REL_RE.match(em.group("pat").strip())
+            pm = _REL_RE.match(
+                re.sub(r"^MATCH\s+", "", em.group("pat").strip(),
+                       flags=re.IGNORECASE)
+            )
             if not pm:
                 raise CypherUnsupported(
                     f"unsupported EXISTS pattern: {em.group('pat').strip()!r}"

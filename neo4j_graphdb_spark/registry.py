@@ -8290,6 +8290,88 @@ def q_a102_text_write_agg_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a103_text_list_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A103 ext (r13) — Cypher 5 list/concat algebra (all probed
+    refusals this round): ``||`` concatenation (string and list forms),
+    list ``+`` (concat / append / prepend coercions), and list SLICES
+    ``xs[lo..hi]`` (0-based, end-EXCLUSIVE, negative bounds from the
+    end, open bounds, out-of-range clamps — openCypher §4.1). All pure
+    column algebra — F.concat / F.slice with size-normalized bounds,
+    one Catalyst expression per item, no UDFs (whole-stage codegen).
+    Slice + subscript chain exercises left-associativity."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) "
+        "WITH a.link AS link, split(a.title, ' ') AS toks "
+        "RETURN link, "
+        "size(toks || ['x']) AS n1, "
+        "(toks + 'END')[0..2] AS head2, "
+        "toks[-1..][0] AS lastw, "
+        "link || '#' || size(toks) AS tagged",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a104_text_optional_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A104 ext (r13) — OPTIONAL MATCH anchored on the TARGET side:
+    ``MATCH (p:Publisher) OPTIONAL MATCH (a:Article)-[:W]->(p)`` (a
+    probed refusal — the engine only took source-anchored patterns).
+    The pattern flips to the canonical source-anchored orientation with
+    its direction reversed — same rows, the left-outer expand is
+    orientation-blind. The WHERE folds into the outer join's ON
+    condition (Cypher scoping: a failing predicate NULLs the optional
+    side, never drops the publisher row), so publishers with no
+    qualifying article survive with count 0."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (p:Publisher) "
+        "OPTIONAL MATCH (a:Article)-[:WRITTEN_BY]->(p) "
+        "WHERE a.title CONTAINS 'data' "
+        "RETURN p.publisher AS pub, count(a) AS n_articles",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a105_text_exists_count_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A105 ext (r13) — the Cypher 5 existential-subquery spelling
+    ``EXISTS { MATCH <pattern> }`` / ``COUNT { MATCH … }`` as RETURN
+    values (probed: the clause splitter broke on the inner MATCH —
+    now brace-depth-aware, and the subquery's leading MATCH keyword
+    normalizes away). Edge set is HALVED (even doc_ids only) so both
+    the false/0 and true/n paths carry rows. Each value compiles to
+    one edge-side aggregation LEFT-joined back — never a fan-out of
+    the main frame."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        "doc_id",
+    )
+    nodes = as_nodes(src, "Article", "link", []).unionByName(
+        as_nodes(
+            src.select("publisher").distinct(), "Publisher", "publisher", []
+        ),
+        allowMissingColumns=True,
+    )
+    edges = as_edges(
+        src.filter(F.col("doc_id") % 2 == 0),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, "
+        "EXISTS { MATCH (a)-[:WRITTEN_BY]->(:Publisher) } AS haspub, "
+        "COUNT { MATCH (a)-[:WRITTEN_BY]->(:Publisher) } AS npub",
+        graph=Graph(nodes, edges),
+    ).df
+
+
 def q_c135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C135 (r13) — margin-based bitext mining (operators/similarity.py
     bitext_margin_mine; Artetxe & Schwenk 2019 — the LASER/CCMatrix
@@ -9194,11 +9276,14 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   the r5-era c17-c36 block (20), and the first 7 early rel_*
-#   entries (rel_pricing_summary … rel_market_share; the late-r13
-#   a101 update-then-return and a102 write-agg-return additions
-#   displaced rel_retention and rel_histogram to slots 51-52). Still
-#   unrotated r5-era greens for r14: rel_retention, rel_histogram,
+#   the r5-era c17-c36 block (20), and the first 3 early rel_*
+#   entries (rel_pricing_summary, rel_top_customers,
+#   rel_region_revenue; the late-r13 additions a101/a102/c135 and
+#   a103 list algebra / a104 reversed OPTIONAL MATCH / a105
+#   EXISTS-subquery displaced rel_window_topn, rel_funnel,
+#   rel_moving_window, rel_market_share, rel_retention and
+#   rel_histogram to slots 51-56). Still unrotated r5-era greens for
+#   r14: those six, plus
 #   the remaining early rel_* suite (rel_sessionize, rel_scd2,
 #   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
 #   rel_grouping_sets, rel_asof_join, rel_range_join,
@@ -9222,6 +9307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a101_text_update_return": q_a101_text_update_return,
     "a102_text_write_agg_return": q_a102_text_write_agg_return,
     "c135_bitext_mining": q_c135_bitext_mining,
+    "a103_text_list_algebra": q_a103_text_list_algebra,
+    "a104_text_optional_reverse": q_a104_text_optional_reverse,
+    "a105_text_exists_count_subquery": q_a105_text_exists_count_subquery,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -9261,12 +9349,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
+    # ---- post-window: driver-green blocks, newest rotation last;
+    # (rel_window_topn/rel_funnel/rel_moving_window plus
+    # rel_market_share/rel_retention/rel_histogram displaced to r14
+    # backfill by the late-r13 a101-a105/c135 additions)
     "rel_window_topn": q_rel_window_topn,
     "rel_funnel": q_rel_funnel,
     "rel_moving_window": q_rel_moving_window,
-    # ---- post-window: driver-green blocks, newest rotation last;
-    # (rel_market_share/rel_retention/rel_histogram displaced to r14
-    # backfill by the late-r13 a101/a102/c135 additions)
     "rel_market_share": q_rel_market_share,
     "rel_retention": q_rel_retention,
     "rel_histogram": q_rel_histogram,
@@ -13082,6 +13171,36 @@ ORACLES["a101_text_update_return"] = """
 
 ORACLES["a102_text_write_agg_return"] = """
     SELECT 1::bigint AS n_tags, 'curated' AS name
+"""
+
+ORACLES["a103_text_list_algebra"] = """
+    WITH t AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               string_split(substr(text, 1, 40), ' ') AS toks
+        FROM documents
+    )
+    SELECT link,
+           (len(toks) + 1)::bigint AS n1,
+           list_slice(list_append(toks, 'END'), 1, 2) AS head2,
+           toks[len(toks)] AS lastw,
+           link || '#' || cast(len(toks) AS varchar) AS tagged
+    FROM t
+"""
+
+ORACLES["a104_text_optional_reverse"] = """
+    WITH p AS (SELECT DISTINCT source AS publisher FROM documents),
+         a AS (SELECT substr(text, 1, 40) AS title, source FROM documents)
+    SELECT p.publisher AS pub, count(a.source)::bigint AS n_articles
+    FROM p LEFT JOIN a
+      ON a.source = p.publisher AND contains(a.title, 'data')
+    GROUP BY p.publisher
+"""
+
+ORACLES["a105_text_exists_count_subquery"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           (doc_id % 2 = 0) AS haspub,
+           (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS npub
+    FROM documents
 """
 
 ORACLES["c134_perplexity_filter"] = r"""

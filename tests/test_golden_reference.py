@@ -2796,8 +2796,10 @@ def test_text_list_literals_and_comprehensions(spark):
         graph=g,
     ).df.collect()
     assert [x["k"] for x in rows] == ["k1"]
+    # `[1,2] + 3` APPENDS since r13 (Cypher list-addition coercions);
+    # multiplicative arithmetic on a list operand stays refused
     with _pytest.raises(CypherUnsupported, match="list operand"):
-        run_cypher(spark, "MATCH (n:Doc) RETURN [1,2] + 3 AS bad", graph=g)
+        run_cypher(spark, "MATCH (n:Doc) RETURN [1,2] * 3 AS bad", graph=g)
     with _pytest.raises(CypherUnsupported, match="WHERE and/or"):
         run_cypher(spark, "MATCH (n:Doc) RETURN [x IN [1,2]] AS bad", graph=g)
 
@@ -5034,3 +5036,174 @@ def test_text_path_writes_and_gds_aliases(spark, tmp_path):
         store=store,
     ).df.collect()
     assert len(out) == 1
+
+
+def test_text_r13_list_algebra_and_maps(spark):
+    """Round-13 expression additions: `||` concatenation (string and
+    list — Cypher 5), list `+` (concat / append / prepend), list
+    slices `xs[lo..hi]` (0-based, end-exclusive, negatives from the
+    end, open bounds, out-of-range clamps), map literals as
+    first-class expressions (inside collect(), CASE), struct field
+    access on WITH-bound maps, and a leading frame-independent WITH."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame(
+        [("l1", "alpha beta gamma", 3), ("l2", "delta", 7)],
+        "link string, title string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title", "score"]), None)
+
+    def one(q):
+        rows = run_cypher(spark, q, graph=g).df.collect()
+        assert len(rows) == 1
+        return tuple(rows[0])
+
+    # `||` — string concat (numbers stringified) and list concat
+    assert one("RETURN 'a' || 1 || 'b' AS x") == ("a1b",)
+    assert one("RETURN [1, 2] || [3] AS xs") == ([1, 2, 3],)
+    # list `+`: concat / append / prepend
+    assert one("RETURN [1] + [2, 3] AS xs") == ([1, 2, 3],)
+    assert one("RETURN [1, 2] + 3 AS xs") == ([1, 2, 3],)
+    assert one("RETURN 1 + [2, 3] AS xs") == ([1, 2, 3],)
+    # slices — openCypher semantics (0-based, end-exclusive)
+    assert one("RETURN [1, 2, 3, 4][1..3] AS xs") == ([2, 3],)
+    assert one("RETURN [1, 2, 3, 4][..2] AS xs") == ([1, 2],)
+    assert one("RETURN [1, 2, 3, 4][2..] AS xs") == ([3, 4],)
+    assert one("RETURN [1, 2, 3, 4][-3..-1] AS xs") == ([2, 3],)
+    assert one("RETURN [1, 2][1..9] AS xs") == ([2],)
+    assert one("RETURN [1, 2, 3][2..1] AS xs") == ([],)
+    # slice of a computed list, chained with concat
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, "
+        "(split(a.title, ' ') + 'END')[0..2] AS head2",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["l"], tuple(x["head2"])) for x in r) == [
+        ("l1", ("alpha", "beta")), ("l2", ("delta", "END")),
+    ]
+    # map literal inside collect() — struct rows out
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN collect({l: a.link, s: a.score}) AS rows",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["l"], x["s"]) for x in r[0]["rows"]) == [
+        ("l1", 3), ("l2", 7),
+    ]
+    # map literal in CASE branches
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN CASE WHEN a.score > 4 THEN {hi: a.link} "
+        "ELSE {hi: 'none'} END AS m",
+        graph=g,
+    ).df.collect()
+    assert sorted(x["m"]["hi"] for x in r) == ["l2", "none"]
+    # leading frame-independent WITH + struct field access
+    rows = run_cypher(spark, "WITH {a: 1, b: 'x'} AS m RETURN m.a AS v, m.b AS w").df.collect()
+    assert [tuple(x) for x in rows] == [(1, "x")]
+    # reject matrix
+    for bad in (
+        "RETURN [1, 2] || 3 AS xs",      # || mixes list and scalar
+        "RETURN {} AS m",                # empty map literal
+        "WITH {a: 1} AS m RETURN m.zz AS v",  # unknown map key
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
+
+
+def test_text_r13_optional_reverse_and_exists_subquery(spark):
+    """Round-13 pattern additions: OPTIONAL MATCH anchored on the
+    TARGET side (`MATCH (p) OPTIONAL MATCH (a:L)-[:T]->(p)` — flipped
+    to the canonical source-anchored left-outer expand), and the
+    Cypher 5 existential-subquery spelling `EXISTS { MATCH <pattern> }`
+    (plus `COUNT { MATCH … }`) in WHERE and RETURN."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from pyspark.sql import functions as F
+
+    arts = spark.createDataFrame(
+        [("a1", "P1"), ("a2", "P1"), ("a3", "P2")],
+        "link string, pub string",
+    )
+    pubs = spark.createDataFrame([("P1",), ("P2",), ("P3",)], "pub string")
+    nodes = as_nodes(arts, "Article", "link", []).unionByName(
+        as_nodes(pubs, "Publisher", "pub", []), allowMissingColumns=True
+    )
+    # a3 gets NO edge — exercises the EXISTS=false / COUNT=0 paths
+    edges = as_edges(
+        arts.filter(F.col("link") != "a3"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "pub",
+    )
+    g = Graph(nodes, edges)
+
+    # reversed OPTIONAL MATCH: every publisher appears, P2/P3 with 0
+    r = run_cypher(
+        spark,
+        "MATCH (p:Publisher) OPTIONAL MATCH (a:Article)-[:WRITTEN_BY]->(p) "
+        "RETURN p.pub AS pub, count(a) AS n",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["pub"], x["n"]) for x in r) == [
+        ("P1", 2), ("P2", 0), ("P3", 0),
+    ]
+    # flipped arrow form normalizes the same way
+    r = run_cypher(
+        spark,
+        "MATCH (p:Publisher) OPTIONAL MATCH (p)<-[:WRITTEN_BY]-(a:Article) "
+        "RETURN p.pub AS pub, count(a) AS n",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["pub"], x["n"]) for x in r) == [
+        ("P1", 2), ("P2", 0), ("P3", 0),
+    ]
+    # EXISTS { MATCH … } — subquery spelling, RETURN value position
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, "
+        "EXISTS { MATCH (a)-[:WRITTEN_BY]->(:Publisher) } AS haspub",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["link"], x["haspub"]) for x in r) == [
+        ("a1", True), ("a2", True), ("a3", False),
+    ]
+    # … and in WHERE (semi-join), plus COUNT { MATCH … }
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article) "
+        "WHERE NOT EXISTS { MATCH (a)-[:WRITTEN_BY]->(:Publisher) } "
+        "RETURN a.link AS link",
+        graph=g,
+    ).df.collect()
+    assert [x["link"] for x in r] == ["a3"]
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, "
+        "COUNT { MATCH (a)-[:WRITTEN_BY]->(:Publisher) } AS npub",
+        graph=g,
+    ).df.collect()
+    assert sorted((x["link"], x["npub"]) for x in r) == [
+        ("a1", 1), ("a2", 1), ("a3", 0),
+    ]
+    # reject matrix: both endpoints new / both bound-side labeled stay out
+    for bad in (
+        "MATCH (p:Publisher) OPTIONAL MATCH (x:Article)-[:W]->(y:Publisher) "
+        "RETURN p.pub AS pub",
+        "MATCH (p:Publisher) OPTIONAL MATCH (a:Article)-[:W]->(p:Publisher) "
+        "RETURN p.pub AS pub",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
