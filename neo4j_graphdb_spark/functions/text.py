@@ -1573,3 +1573,49 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"(.)/$", r"$1")
     return u
+
+
+def linear_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Model-based quality gate: score every document with a PRETRAINED
+    linear classifier over hashing-trick features and keep the docs
+    above a margin threshold — the DCLM / DataComp-LM selection recipe
+    (Li et al. 2024: a fasttext linear model over bag-of-words is the
+    single strongest curation filter), same shape as the CCNet/GPT-3
+    "looks-like-reference-corpus" logistic gate.
+
+    Spark-first decomposition: one corpus scan through
+    :func:`hashed_features` (signed hashed unigram counts — no
+    vocabulary pass, fixed width at any corpus size), one broadcast-free
+    per-``(id, bucket)`` aggregation it already does, then a per-doc
+    weighted sum — a sparse dot product as plain column algebra. The
+    coefficient table is DETERMINISTIC (Knuth multiplicative residues of
+    the bucket id, milli units: ``w(b) = ((b+1)·2654435761) % 2001 −
+    1000``): the container ships no model file, so a reproducible
+    stand-in takes its place — swap ``weight_expr`` for a real
+    coefficient join at deployment; the plumbing (feature hash, sparse
+    dot product, integer margin) is the production path. Integer
+    end-to-end: no float crosses an aggregation or the driver hash.
+
+    Returns ``(id, n_features, logit_milli, kept)``.
+    """
+    feats = hashed_features(df, text_col, id_col, dim)
+    w = (
+        (F.col("bucket").cast("bigint") + 1) * F.lit(2654435761)
+    ) % 2001 - 1000
+    return (
+        feats.withColumn("_w", w)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum(F.col("val") * F.col("_w")).cast("bigint").alias(
+                "logit_milli"
+            ),
+        )
+        .withColumn("kept", F.col("logit_milli") >= F.lit(threshold_milli))
+    )

@@ -8372,6 +8372,24 @@ def q_a105_text_exists_count_subquery(spark: SparkSession, sf_dir: str) -> DataF
     ).df
 
 
+def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C136 (r13) — model-based quality gate (functions/text.py
+    linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
+    classifier over bag-of-words is the single strongest curation
+    filter; same shape as the CCNet/GPT-3 reference-corpus logistic
+    gate): hashing-trick unigram features (no vocabulary pass — fixed
+    width at any corpus size), a sparse dot product against a
+    deterministic coefficient table (Knuth multiplicative residues in
+    milli units — the container ships no model file; swap in a real
+    coefficient join at deployment), integer margin gate. One corpus
+    scan + one (doc, bucket) aggregation + one per-doc sum — linear,
+    no UDFs, integer end-to-end so no float crosses the hash."""
+    from neo4j_graphdb_spark.functions.text import linear_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_gate(docs, "text", "doc_id", dim=64)
+
+
 def q_c135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C135 (r13) — margin-based bitext mining (operators/similarity.py
     bitext_margin_mine; Artetxe & Schwenk 2019 — the LASER/CCMatrix
@@ -9276,14 +9294,14 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   the r5-era c17-c36 block (20), and the first 3 early rel_*
-#   entries (rel_pricing_summary, rel_top_customers,
-#   rel_region_revenue; the late-r13 additions a101/a102/c135 and
-#   a103 list algebra / a104 reversed OPTIONAL MATCH / a105
-#   EXISTS-subquery displaced rel_window_topn, rel_funnel,
+#   the r5-era c17-c36 block (20), and the first 2 early rel_*
+#   entries (rel_pricing_summary, rel_top_customers; the late-r13
+#   additions a101/a102/c135, a103 list algebra / a104 reversed
+#   OPTIONAL MATCH / a105 EXISTS-subquery and c136 quality classifier
+#   displaced rel_region_revenue, rel_window_topn, rel_funnel,
 #   rel_moving_window, rel_market_share, rel_retention and
-#   rel_histogram to slots 51-56). Still unrotated r5-era greens for
-#   r14: those six, plus
+#   rel_histogram to slots 51-57). Still unrotated r5-era greens for
+#   r14: those seven, plus
 #   the remaining early rel_* suite (rel_sessionize, rel_scd2,
 #   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
 #   rel_grouping_sets, rel_asof_join, rel_range_join,
@@ -9310,6 +9328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a103_text_list_algebra": q_a103_text_list_algebra,
     "a104_text_optional_reverse": q_a104_text_optional_reverse,
     "a105_text_exists_count_subquery": q_a105_text_exists_count_subquery,
+    "c136_quality_classifier": q_c136_quality_classifier,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -13201,6 +13220,29 @@ ORACLES["a105_text_exists_count_subquery"] = """
            (doc_id % 2 = 0) AS haspub,
            (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS npub
     FROM documents
+"""
+
+ORACLES["c136_quality_classifier"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               (({_MD5_60_SQL.format(x="concat('fh:', tok)")}) % 64)::int AS b,
+               ((({_MD5_60_SQL.format(x="concat('fhsign:', tok)")}) % 2) * 2
+                - 1)::bigint AS s
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents
+        )
+    ),
+    feats AS (
+        SELECT doc_id, b, sum(s)::bigint AS val FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*)::bigint AS n_features,
+           sum(val * (((b + 1) * 2654435761) % 2001 - 1000))::bigint
+               AS logit_milli,
+           (sum(val * (((b + 1) * 2654435761) % 2001 - 1000)) >= 0) AS kept
+    FROM feats GROUP BY doc_id
 """
 
 ORACLES["c134_perplexity_filter"] = r"""

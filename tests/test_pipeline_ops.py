@@ -963,3 +963,65 @@ def test_dataset_card_hand_corpus(spark):
     s2 = out["s2"]
     assert (s2["n_docs"], s2["n_dup_docs"], s2["total_tokens"],
             s2["n_distinct_tokens"], s2["mean_tokens_micro"]) == (1, 0, 1, 1, 1_000_000)
+
+
+def test_linear_quality_gate_hand_corpus(spark):
+    """c136 — the model-based quality gate's dot product is hand-
+    checkable: with dim=1 every token lands in bucket 0, so the weight
+    is the single coefficient w(0) = (1 * 2654435761) % 2001 - 1000 and
+    logit = w(0) * (signed token count). Signs still split by the sign
+    hash, so the val column is the per-bucket signed sum — we recompute
+    it independently from the same md5 fold."""
+    from neo4j_graphdb_spark.functions.hashing import md5_bucket
+    from neo4j_graphdb_spark.functions.text import (
+        hashed_features,
+        linear_quality_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_quality_gate(df, "text", "doc_id", dim=1).collect()
+    }
+    # doc 3 has no [a-z]+ token after the regex — no feature row at all
+    assert set(out) == {1, 2}
+
+    w0 = (1 * 2654435761) % 2001 - 1000
+    # independent signed-count replay via the same md5 fold
+    signs = {
+        r["token"]: r["s"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "token string"
+        )
+        .select(
+            "token",
+            (md5_bucket("token", "fhsign:", 2) * 2 - 1).cast("int").alias("s"),
+        )
+        .collect()
+    }
+    assert out[1]["logit_milli"] == w0 * (2 * signs["alpha"] + signs["beta"])
+    assert out[2]["logit_milli"] == w0 * signs["gamma"]
+    assert out[1]["kept"] == (out[1]["logit_milli"] >= 0)
+    # n_features counts DISTINCT buckets touched (dim=1 -> exactly 1)
+    assert out[1]["n_features"] == 1
+
+    # threshold moves the gate: +inf keeps nothing
+    strict = linear_quality_gate(
+        df, "text", "doc_id", dim=1, threshold_milli=10**15
+    )
+    assert strict.filter("kept").count() == 0
+
+    # wider dim: feature rows split by bucket, logit is the sparse dot
+    feats = hashed_features(df, "text", "doc_id", dim=64)
+    joined = (
+        feats.withColumn(
+            "_w",
+            ((feats["bucket"].cast("bigint") + 1) * 2654435761) % 2001 - 1000,
+        )
+        .groupBy("doc_id")
+        .agg({"*": "count"})
+    )
+    assert joined.count() == 2
