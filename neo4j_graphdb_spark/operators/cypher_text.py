@@ -5447,13 +5447,25 @@ def _run_read(
                     raise CypherUnsupported(
                         "path binding must be the statement's first MATCH"
                     )
-                mpb = _REL_RE.match(pbm.group("pat").strip())
+                pb_pat = pbm.group("pat").strip()
+                mpb = _REL_RE.match(pb_pat)
+                if mpb is not None and not mpb.group("star") and not mpb.group(
+                    "rel_props"
+                ):
+                    # single-hop path binding `p = (a)-[:T]->(b)` —
+                    # exactly the *1..1 var-length (nodes(p) = [a, b],
+                    # length(p) = 1); normalize and recompile
+                    pb_pat = re.sub(r"\]", "*1..1]", pb_pat, count=1)
+                    mpb = _REL_RE.match(pb_pat)
+                    pbm = _PATH_BIND_RE.match(
+                        f"{pbm.group('palias')} = {pb_pat}"
+                    )
                 if not mpb or not mpb.group("min_h") or not mpb.group("max_h"):
                     raise CypherUnsupported(
                         "path binding needs a bounded variable-length "
                         "pattern: p = (a)-[:T*min..max]->(b) — bind "
                         "shortestPath(…) for shortest paths; single-hop "
-                        "paths are *1..1"
+                        "paths normalize to *1..1"
                     )
                 if mpb.group("rel_alias"):
                     raise CypherUnsupported(
@@ -6395,11 +6407,28 @@ def _run_read(
                     "in pattern comprehensions"
                 )
             ca = pm.group("src_alias")
-            if not ca or pm.group("src_label") or ca not in aliases:
-                raise CypherUnsupported(
-                    "pattern-comprehension source must be a bound bare alias"
-                )
             da = pm.group("dst_alias")
+            pc_dir = _rel_direction(pm)
+            pc_new_label = pm.group("dst_label")
+            if ca and not pm.group("src_label") and ca in aliases:
+                pass  # canonical: bound bare alias on the source side
+            elif (
+                da
+                and not pm.group("dst_label")
+                and da in aliases
+                and ca not in aliases
+            ):
+                # bound alias on the TARGET side — `[(x:L)-[:T]->(p) |
+                # x.prop]` with p bound: flip to the canonical
+                # orientation (same rows once the direction reverses)
+                ca, da = da, ca
+                pc_new_label = pm.group("src_label")
+                pc_dir = {"out": "in", "in": "out"}.get(pc_dir, "both")
+            else:
+                raise CypherUnsupported(
+                    "pattern comprehensions must anchor one BARE endpoint "
+                    "on a bound alias"
+                )
             prm = re.fullmatch(
                 r"(?P<a>\w+)\.(?P<p>\w+)", pcm.group("proj").strip()
             )
@@ -6414,8 +6443,8 @@ def _run_read(
             if ce is None:
                 raise CypherUnsupported("graph has no edges")
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
-            ce = _orient_edges(ce, _rel_direction(pm))
-            dstn = graph.match(_node_labels(pm.group("dst_label")))
+            ce = _orient_edges(ce, pc_dir)
+            dstn = graph.match(_node_labels(pc_new_label))
             # key-name fallback, same convention as _prop_col: an
             # unknown property name reads the storage key column
             prop = prm.group("p") if prm.group("p") in dstn.columns else "key"

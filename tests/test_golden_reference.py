@@ -3164,8 +3164,11 @@ def test_text_path_variables_and_list_predicates(spark):
     ]
     with _pytest.raises(CypherUnsupported, match="not both"):
         run_cypher(spark, "MATCH p = (a:N)-[r:T*1..2]->(b:N) RETURN length(p) AS l", graph=g)
-    with _pytest.raises(CypherUnsupported, match="variable-length"):
-        run_cypher(spark, "MATCH p = (a:N)-[:T]->(b:N) RETURN length(p) AS l", graph=g)
+    # single-hop path binding works since r13 (normalizes to *1..1)
+    r = run_cypher(
+        spark, "MATCH p = (a:N)-[:T]->(b:N) RETURN length(p) AS l", graph=g
+    ).df.collect()
+    assert {x["l"] for x in r} == {1}
     with _pytest.raises(CypherUnsupported, match="path variable"):
         run_cypher(spark, "MATCH (a:N)-[:T*1..2]->(b:N) RETURN nodes(a) AS x", graph=g)
 
@@ -5204,6 +5207,67 @@ def test_text_r13_optional_reverse_and_exists_subquery(spark):
         "RETURN p.pub AS pub",
         "MATCH (p:Publisher) OPTIONAL MATCH (a:Article)-[:W]->(p:Publisher) "
         "RETURN p.pub AS pub",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(spark, bad, graph=g)
+
+
+def test_text_r13_single_hop_paths_and_reversed_comprehension(spark):
+    """Round-13 tail: single-hop path binding `p = (a)-[:T]->(b)`
+    (normalizes to the *1..1 var-length ladder — nodes(p) = [a, b],
+    relationships(p) = [T], length(p) = 1) and pattern comprehensions
+    anchored on the TARGET side (`[(x:L)-[:T]->(p) | x.prop]` with p
+    bound — flipped to the canonical orientation; publishers with no
+    article collect [])."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    arts = spark.createDataFrame(
+        [("a1", "P1"), ("a2", "P1"), ("a3", "P2")], "link string, pub string"
+    )
+    pubs = spark.createDataFrame([("P1",), ("P2",), ("P3",)], "pub string")
+    nodes = as_nodes(arts, "Article", "link", []).unionByName(
+        as_nodes(pubs, "Publisher", "pub", []), allowMissingColumns=True
+    )
+    edges = as_edges(
+        arts, "WRITTEN_BY", "Article", "link", "Publisher", "pub"
+    )
+    g = Graph(nodes, edges)
+
+    # single-hop path binding
+    rows = run_cypher(
+        spark,
+        "MATCH p = (a:Article)-[:WRITTEN_BY]->(b:Publisher) "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS l",
+        graph=g,
+    ).df.collect()
+    assert sorted((tuple(r["ns"]), tuple(r["rs"]), r["l"]) for r in rows) == [
+        (("a1", "P1"), ("WRITTEN_BY",), 1),
+        (("a2", "P1"), ("WRITTEN_BY",), 1),
+        (("a3", "P2"), ("WRITTEN_BY",), 1),
+    ]
+    # reversed-anchor pattern comprehension (and the flipped arrow)
+    for q in (
+        "MATCH (p:Publisher) RETURN p.pub AS pub, "
+        "[(a:Article)-[:WRITTEN_BY]->(p) | a.link] AS links",
+        "MATCH (p:Publisher) RETURN p.pub AS pub, "
+        "[(p)<-[:WRITTEN_BY]-(a:Article) | a.link] AS links",
+    ):
+        rows = run_cypher(spark, q, graph=g).df.collect()
+        assert sorted((r["pub"], tuple(r["links"])) for r in rows) == [
+            ("P1", ("a1", "a2")), ("P2", ("a3",)), ("P3", ()),
+        ]
+    # rejects: rel alias + path bind together; both-new comprehension
+    for bad in (
+        "MATCH p = (a:Article)-[r:WRITTEN_BY]->(b) RETURN length(p) AS l",
+        "MATCH (p:Publisher) RETURN [(x:Article)-[:W]->(y:Publisher) "
+        "| x.link] AS xs",
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
