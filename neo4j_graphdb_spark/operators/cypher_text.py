@@ -1711,7 +1711,30 @@ def _run_text_call(
         for i in range(1, len(parts), 2):
             kind = parts[i].upper()
             body = parts[i + 1].strip().rstrip(",")
-            if kind == "RETURN":
+            if kind == "WHERE":
+                # Neo4j allows WHERE directly after YIELD — simple
+                # AND-chained comparisons over YIELD columns (the same
+                # restricted shape the CALL{} subquery tail takes); must
+                # precede RETURN so the filter sees YIELD names
+                if sel is not None:
+                    raise CypherUnsupported(
+                        "WHERE after YIELD must precede RETURN"
+                    )
+                for item in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+                    m2 = _POST_WHERE_RE.match(item.strip())
+                    if not m2 or m2.group("name") not in out.columns:
+                        raise CypherUnsupported(
+                            f"unsupported WHERE after YIELD: {item!r}"
+                        )
+                    out = out.filter(
+                        _OPS[m2.group("op")](
+                            F.col(m2.group("name")),
+                            F.lit(
+                                _where_value(m2.group("val"), lits, params)
+                            ),
+                        )
+                    )
+            elif kind == "RETURN":
                 sel = []
                 aliased_names = set()
                 for item in _split_top_commas(body):
@@ -2994,6 +3017,30 @@ def _derive_write_batch(
         for nm in re.findall(r"(?<![\w$.])(\w+)(?![\w$.(])", c.body):
             if nm in with_names and nm not in read_aliases:
                 bare.add(nm)
+    # bare read aliases as write-pattern ENDPOINTS — `MATCH (a:A), (b:B)
+    # WHERE … MERGE (a)-[:T]->(b)`, Neo4j's create-edge-between-matched
+    # idiom: each such `(alias)` re-anchors as a key-map node
+    # (`(alias:Label {key: $__w_alias_key})`), which the existing
+    # path-write MERGE decomposes to idempotent node re-upserts + the
+    # relationship upsert. Labels come from the MATCH prefix (static,
+    # single-label — alternation endpoints refuse honestly downstream
+    # by never matching this rewrite).
+    alias_labels: dict[str, str] = {}
+    for c in prefix:
+        if c.kind in ("MATCH", "OPTIONAL_MATCH"):
+            for am, lm in re.findall(r"\(\s*(\w+)\s*:\s*(\w+)\s*[),{]", c.body):
+                alias_labels.setdefault(am, lm)
+    endpoint_rewrites: dict[str, str] = {}
+    for c in suffix:
+        if c.kind not in ("MERGE", "CREATE"):
+            continue
+        for nm in re.findall(r"\(\s*(\w+)\s*\)", c.body):
+            if nm in read_aliases and nm in alias_labels:
+                out = f"__w_{nm}_key"
+                refs.setdefault((nm, "key"), out)
+                endpoint_rewrites[nm] = (
+                    f"({nm}:{alias_labels[nm]} {{key: ${out}}})"
+                )
     if not refs and not bare:
         return None  # suffix doesn't consume the read — not this shape
     ret_items = [f"{a}.{pr} AS {out}" for (a, pr), out in refs.items()]
@@ -3010,10 +3057,14 @@ def _derive_write_batch(
         lits,
         params if isinstance(params, dict) else None,
     )
-    # rewrite the suffix onto the batch: a.link → $__w_a_link, g → $g
+    # rewrite the suffix onto the batch: a.link → $__w_a_link, g → $g,
+    # bare endpoints (a) → (a:Label {key: $__w_a_key})
     new_suffix = []
     for c in suffix:
         body = c.body
+        if c.kind in ("MERGE", "CREATE"):
+            for nm, repl in endpoint_rewrites.items():
+                body = re.sub(rf"\(\s*{re.escape(nm)}\s*\)", repl, body)
         for (a, pr), out in refs.items():
             body = re.sub(
                 rf"(?<![\w$]){re.escape(a)}\.{re.escape(pr)}(?![\w(])",
@@ -3853,6 +3904,9 @@ def _parse_scalar_expr(text: str):
             if up == "NULL":
                 take()
                 return ("null",)
+            if up in ("TRUE", "FALSE"):
+                take()
+                return ("bool", up == "TRUE")
             if up in _EXPR_KEYWORDS:
                 raise CypherUnsupported(
                     f"misplaced keyword {v} in expression: {text!r}"
@@ -4004,6 +4058,11 @@ def _parse_scalar_expr(text: str):
             negated = True
         expect_keyword("NULL")
         node = ("isnull", node, negated)
+    elif peek()[0] == "cmp":
+        # top-level comparison as a VALUE: `RETURN a.score > 4 AS hi` —
+        # Neo4j returns the boolean itself
+        _, cop = take()
+        node = ("cmppred", cop, node, parse_expr())
     if idx != len(toks):
         raise CypherUnsupported(f"trailing tokens in expression: {text!r}")
     return node
@@ -4039,6 +4098,8 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             return F.lit(lits[n[1]]), "str"
         if kind == "null":
             return F.lit(None), "other"
+        if kind == "bool":
+            return F.lit(n[1]), "other"
         if kind == "param":
             if not params or n[1] not in params:
                 raise CypherUnsupported(f"unbound parameter ${n[1]} in expression")
@@ -4084,6 +4145,11 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     f.name: f.dataType.simpleString()
                     for f in df.schema[alias].dataType.fields
                 }
+                if prop not in fields and "key" in fields:
+                    # key-name fallback (the _prop_col convention) for
+                    # whole-ENTITY structs: the merge key reads by its
+                    # user-facing name
+                    prop = "key"
                 if prop not in fields:
                     raise CypherUnsupported(
                         f"unknown map key {prop!r} on {alias!r}"
@@ -4096,6 +4162,11 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             # `x IS [NOT] NULL` as a boolean VALUE (top-level postfix)
             c, _ = rec(n[1])
             return (c.isNotNull() if n[2] else c.isNull()), "other"
+        if kind == "cmppred":
+            # top-level comparison as a boolean VALUE
+            lc, _ = rec(n[2])
+            rc, _ = rec(n[3])
+            return _OPS[n[1]](lc, rc), "other"
         if kind == "neg":
             c, t = rec(n[1])
             if t == "str":
@@ -4514,6 +4585,14 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if t == "list":
                 return F.size(c).cast("bigint"), "int"
             return F.length(c).cast("bigint"), "int"
+        if fname == "isempty":
+            # Cypher isEmpty() — true for '' / [] (NULL in → NULL out,
+            # both engines); same type dispatch as size()
+            need(1)
+            c, t = rec(args[0])
+            if t == "list":
+                return F.size(c) == 0, "other"
+            return F.length(c) == 0, "other"
         if fname == "split":
             # Cypher split(s, delim) — delim is a literal string, escaped
             # so it splits verbatim (F.split takes a regex)
@@ -4985,7 +5064,18 @@ def _run_post_with(
                     f"{name!r} is not an entity column; {item!r} needs a "
                     "whole-entity WITH key"
                 )
-            out = m.group("out") or field
+            # key-name fallback, the _prop_col convention: an entity's
+            # merge key reads by its USER-facing name (`p.publisher` on
+            # a Publisher keyed by publisher) even though the storage
+            # column is `key`
+            fnames = {f.name for f in df.schema[name].dataType.fields}
+            if field not in fnames:
+                if "key" not in fnames:
+                    raise CypherUnsupported(
+                        f"unknown field {field!r} on entity {name!r}"
+                    )
+                field = "key"
+            out = m.group("out") or m.group("field")
             out_cols.append(F.col(name)[field].alias(out))
             name_map[out] = f"{name}.{field}"  # F.col resolves the field
         else:

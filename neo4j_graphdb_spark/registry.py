@@ -8372,6 +8372,55 @@ def q_a105_text_exists_count_subquery(spark: SparkSession, sf_dir: str) -> DataF
     ).df
 
 
+def q_a106_text_merge_matched_anchors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A106 ext (r13) — relationship MERGE between two MATCHED anchors:
+    ``MATCH (a:Article), (p:Publisher) WHERE … MERGE (a)-[:T]->(p)`` —
+    THE standard Neo4j way to create edges between existing nodes
+    (probed refusal this round). Rides the derived-write path: bare
+    read aliases appearing as write-pattern endpoints re-anchor as
+    key-map nodes (`(a:Article {key: $__w_a_key})`), the read prefix's
+    frame becomes the write batch, and the existing path-write MERGE
+    decomposes to idempotent node re-upserts + the relationship upsert
+    — one distributed plan, WHERE pushdown intact, no driver loop.
+    Closed form: the HOT_IN edges are (even-id doc, its source)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        F.col("doc_id").cast("int").alias("score"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a106_"))
+    store.merge_nodes(
+        src, label="Article", key_col="link", prop_cols=["publisher", "score"]
+    )
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    # NB `p.key`, not `p.publisher`: the Article label also writes a
+    # `publisher` PROP column, and on a store the unified schema makes
+    # that name resolve to the (NULL-for-Publisher) prop column rather
+    # than Publisher's merge key — the README-documented key-name
+    # collision divergence. `.key` is the unambiguous spelling.
+    run_cypher(
+        spark,
+        "MATCH (a:Article), (p:Publisher) "
+        "WHERE a.score % 2 = 0 AND a.publisher = p.key "
+        "MERGE (a)-[:HOT_IN]->(p)",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:HOT_IN]->(p:Publisher) "
+        "RETURN a.link AS link, p.key AS pub",
+        store=store,
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9294,14 +9343,14 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   the r5-era c17-c36 block (20), and the first 2 early rel_*
-#   entries (rel_pricing_summary, rel_top_customers; the late-r13
-#   additions a101/a102/c135, a103 list algebra / a104 reversed
-#   OPTIONAL MATCH / a105 EXISTS-subquery and c136 quality classifier
-#   displaced rel_region_revenue, rel_window_topn, rel_funnel,
-#   rel_moving_window, rel_market_share, rel_retention and
-#   rel_histogram to slots 51-57). Still unrotated r5-era greens for
-#   r14: those seven, plus
+#   the r5-era c17-c36 block (20), and the first early rel_* entry
+#   (rel_pricing_summary; the late-r13 additions a101/a102/c135,
+#   a103 list algebra / a104 reversed OPTIONAL MATCH / a105
+#   EXISTS-subquery, c136 quality classifier and a106 matched-anchor
+#   MERGE displaced rel_top_customers, rel_region_revenue,
+#   rel_window_topn, rel_funnel, rel_moving_window, rel_market_share,
+#   rel_retention and rel_histogram to slots 51-58). Still unrotated
+#   r5-era greens for r14: those eight, plus
 #   the remaining early rel_* suite (rel_sessionize, rel_scd2,
 #   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
 #   rel_grouping_sets, rel_asof_join, rel_range_join,
@@ -9329,6 +9378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a104_text_optional_reverse": q_a104_text_optional_reverse,
     "a105_text_exists_count_subquery": q_a105_text_exists_count_subquery,
     "c136_quality_classifier": q_c136_quality_classifier,
+    "a106_text_merge_matched_anchors": q_a106_text_merge_matched_anchors,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -13220,6 +13270,12 @@ ORACLES["a105_text_exists_count_subquery"] = """
            (doc_id % 2 = 0) AS haspub,
            (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS npub
     FROM documents
+"""
+
+ORACLES["a106_text_merge_matched_anchors"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           source AS pub
+    FROM documents WHERE doc_id % 2 = 0
 """
 
 ORACLES["c136_quality_classifier"] = f"""

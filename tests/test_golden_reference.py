@@ -5271,3 +5271,105 @@ def test_text_r13_single_hop_paths_and_reversed_comprehension(spark):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(spark, bad, graph=g)
+
+
+def test_text_r13_matched_anchor_merge_and_boolean_values(spark, tmp_path):
+    """Round-13 probe fixes: relationship MERGE between two MATCHED
+    anchors (`MATCH (a:A), (p:B) WHERE … MERGE (a)-[:T]->(p)` — rides
+    the derived-write path, bare endpoints re-anchor as key maps,
+    idempotent), the entity-struct key-name fallback after a
+    whole-entity WITH (`WITH p, count(a) AS n RETURN p.publisher` on a
+    Publisher keyed by publisher), comparisons and boolean literals as
+    RETURN values, isEmpty(), and WHERE directly after CALL … YIELD."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame(
+        [("u1", "P1", 2), ("u2", "P2", 3), ("u3", "P1", 4)],
+        "link string, publisher string, score int",
+    )
+    s.merge_nodes(
+        batch, label="Article", key_col="link", prop_cols=["publisher", "score"]
+    )
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    s.merge_edges(
+        batch.select("link", "publisher"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+
+    # MERGE between matched anchors — create + idempotent re-run
+    q = (
+        "MATCH (a:Article), (p:Publisher) "
+        "WHERE a.score % 2 = 0 AND a.publisher = p.key "
+        "MERGE (a)-[:HOT_IN]->(p)"
+    )
+    r = run_cypher(spark, q, store=s)
+    assert (r.summary.nodes_created, r.summary.relationships_created) == (0, 2)
+    r = run_cypher(spark, q, store=s)
+    assert (r.summary.nodes_created, r.summary.relationships_created) == (0, 0)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:HOT_IN]->(p:Publisher) "
+        "RETURN a.link AS l, p.key AS pub",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [("u1", "P1"), ("u3", "P1")]
+
+    # whole-entity WITH + field access: `p.key` reads the merge key;
+    # `p.publisher` hits the README-documented key-name COLLISION here
+    # (Article also writes a `publisher` prop column, so the name
+    # resolves to the NULL-for-Publisher prop field, not the key) —
+    # both pinned; unknown fields fall back to key (was an
+    # AnalysisException before r13)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WITH p, count(a) AS n WHERE n > 1 RETURN p.key AS pub, n",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [("P1", 2)]
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WITH p, count(a) AS n WHERE n > 1 RETURN p.publisher AS pub, n",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [(None, 2)]
+
+    # comparisons / boolean literals / isEmpty as RETURN values
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS l, a.score > 2 AS hi, "
+        "isEmpty(a.publisher) AS e, true AS t",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [
+        ("u1", False, False, True),
+        ("u2", True, False, True),
+        ("u3", True, False, True),
+    ]
+
+    # WHERE directly after CALL … YIELD (must precede RETURN)
+    rows = run_cypher(
+        spark,
+        "CALL graft.degrees({}) YIELD key, degree WHERE degree > 2 "
+        "RETURN key, degree",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [("P1", 4)]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "CALL graft.degrees({}) YIELD key, degree RETURN key, degree "
+            "WHERE degree > 2",
+            store=s,
+        )
