@@ -307,3 +307,32 @@ def test_perplexity_filter_dimension_joins(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the scalars row
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastExchange" in plan
+
+
+def test_quality_classifier_pruned_scan_no_udf(spark, sf_dir):
+    """c136: the gate is one pruned 2-column scan (doc_id, text) through
+    JVM-side hashing — no Python UDF/Arrow stage anywhere, map-side
+    partial aggregation before both exchanges."""
+    plan = _plan(QUERIES["c136_quality_classifier"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+
+
+def test_optional_reverse_broadcast_no_cartesian(spark, sf_dir):
+    """a104: the target-anchored OPTIONAL MATCH compiles to the same
+    broadcast left-outer expand chain as the canonical orientation —
+    no cartesian product, dimension sides broadcast."""
+    plan = _plan(QUERIES["a104_text_optional_reverse"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_count_subquery_edge_side_aggregation(spark, sf_dir):
+    """a105: EXISTS{}/COUNT{} values aggregate on the EDGE side and
+    left-join back — the main frame is never fanned out, no cartesian."""
+    plan = _plan(QUERIES["a105_text_exists_count_subquery"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
