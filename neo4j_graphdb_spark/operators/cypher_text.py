@@ -559,7 +559,9 @@ _STRING_LIT_RE = re.compile(r"'([^']*)'")
 # MASKED text (string literals are already sentinels), and the same
 # lookbehind as the clause splitter keeps keywords embedded in
 # identifiers (`n.nothing`, `$order`) out of the token stream.
-_BOOL_DELIM_RE = re.compile(r"\(|\)|(?<![.$\w])(?:OR|AND|NOT)\b", re.IGNORECASE)
+_BOOL_DELIM_RE = re.compile(
+    r"\(|\)|(?<![.$\w])(?:OR|XOR|AND|NOT)\b", re.IGNORECASE
+)
 
 
 def _parse_bool_expr(body: str):
@@ -603,7 +605,7 @@ def _parse_bool_expr(body: str):
                 raise CypherUnsupported(f"unbalanced parens in WHERE: {body!r}")
             take()
             return e
-        if t is None or t in (")", "AND", "OR"):
+        if t is None or t in (")", "AND", "OR", "XOR"):
             raise CypherUnsupported(f"unsupported WHERE expression: {body!r}")
         if (
             re.fullmatch(r"(?i)all|any|none|single", t.strip())
@@ -676,11 +678,19 @@ def _parse_bool_expr(body: str):
             n = ("and", n, factor())
         return n
 
-    def expr():
+    def xor_term():
+        # Cypher precedence: NOT > AND > XOR > OR
         n = term()
+        while peek() == "XOR":
+            take()
+            n = ("xor", n, term())
+        return n
+
+    def expr():
+        n = xor_term()
         while peek() == "OR":
             take()
-            n = ("or", n, term())
+            n = ("or", n, xor_term())
         return n
 
     node = expr()
@@ -5345,6 +5355,9 @@ def _run_read(
                 if n[0] == "not":
                     return ~_walk(n[1])
                 left, right = _walk(n[1]), _walk(n[2])
+                if n[0] == "xor":
+                    # Cypher XOR — null-propagating inequality of booleans
+                    return left != right
                 return (left & right) if n[0] == "and" else (left | right)
 
             for node in where_exprs:
@@ -6104,6 +6117,8 @@ def _run_read(
                             if n[0] == "not":
                                 return ~_walk(n[1])
                             l, r = _walk(n[1]), _walk(n[2])
+                            if n[0] == "xor":
+                                return l != r
                             return (l & r) if n[0] == "and" else (l | r)
 
                         return _walk(ast)
@@ -6159,7 +6174,7 @@ def _run_read(
 
                 body = _TEMPORAL_EXPR_RE.sub(_stash, body)
             has_bool = re.search(
-                r"(?<![.$\w])(?:OR|NOT)\b", body, re.IGNORECASE
+                r"(?<![.$\w])(?:OR|XOR|NOT)\b", body, re.IGNORECASE
             )
             if has_bool or re.search(r"[()]", body):
                 # boolean combination: one deferred filter Column; the

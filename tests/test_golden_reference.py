@@ -5373,3 +5373,34 @@ def test_text_r13_matched_anchor_merge_and_boolean_values(spark, tmp_path):
             "WHERE degree > 2",
             store=s,
         )
+
+
+def test_text_xor_in_where(spark):
+    """Cypher XOR (precedence NOT > AND > XOR > OR): compiled as boolean
+    inequality, chains left-associatively, composes with parens."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", "A", 3), ("l2", "A", 7), ("l3", "B", 7), ("l4", "B", 1)],
+        "link string, grp string, score int",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["grp", "score"]), None)
+
+    def links(q):
+        return sorted(
+            x["l"] for x in run_cypher(spark, q, graph=g).df.collect()
+        )
+
+    assert links(
+        "MATCH (a:Doc) WHERE a.score > 4 XOR a.grp = 'A' RETURN a.link AS l"
+    ) == ["l1", "l3"]
+    assert links(
+        "MATCH (a:Doc) WHERE a.score > 4 XOR a.grp = 'A' XOR a.link = 'l4' "
+        "RETURN a.link AS l"
+    ) == ["l1", "l3", "l4"]
+    assert links(
+        "MATCH (a:Doc) WHERE (a.score > 4 OR a.grp = 'A') "
+        "AND NOT (a.score > 4 XOR a.grp = 'A') RETURN a.link AS l"
+    ) == ["l2"]
