@@ -5232,6 +5232,7 @@ def _run_read(
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
     exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
     in_with = False  # inside a non-aggregating WITH segment
+    with_narrowed = False  # a mid-pipeline SKIP/LIMIT shrank the row set
     with_order: list = []  # mid-pipeline sort Columns pending a LIMIT/SKIP
     order_by: list[tuple[str, bool]] = []  # (key, is_desc)
 
@@ -6026,6 +6027,27 @@ def _run_read(
         elif c.kind == "OPTIONAL_MATCH":
             if df is None or node_match is None:
                 raise CypherUnsupported("OPTIONAL MATCH needs a preceding node MATCH")
+            # a WITH horizon (possibly with mid-pipeline ORDER/LIMIT)
+            # narrowed the anchor set — expand_optional re-derives its
+            # left side from the scan, so capture the surviving anchor
+            # ids NOW and semi-join the expanded frame back onto them
+            # (silent row resurrection otherwise: `WITH a LIMIT 1
+            # OPTIONAL MATCH (a)-[…]->(b)` must expand ONE anchor)
+            opt_keep_ids = None
+            if in_with and with_narrowed:
+                if with_order:
+                    with_order = []
+                _sa0 = node_match[0]
+                _idc = f"{aliases.get(_sa0, '')}{NODE_ID}"
+                if _sa0 not in aliases or _idc not in df.columns:
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH after WITH needs the anchor "
+                        "alias carried through the WITH"
+                    )
+                opt_keep_ids = df.select(
+                    F.col(_idc).alias("_opt_anchor")
+                ).distinct()
+                in_with = False
             m = _REL_RE.match(c.body)
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
@@ -6134,6 +6156,14 @@ def _run_read(
                 direction=opt_direction,
                 on_extra=on_extra,
             )
+            if opt_keep_ids is not None:
+                # AQE picks broadcast for the (typically LIMIT-sized)
+                # anchor set; semi keeps per-anchor multiplicities
+                df = df.join(
+                    opt_keep_ids,
+                    F.col(f"{sa}_{NODE_ID}") == F.col("_opt_anchor"),
+                    "left_semi",
+                )
             aliases[sa] = f"{sa}_"
             aliases[da] = f"{da}_"
             rel_alias = opt_rel
@@ -6336,6 +6366,7 @@ def _run_read(
                     df = df.orderBy(*with_order)
                     with_order = []
                 df = df.offset(_page_count(c.body, params, "SKIP"))
+                with_narrowed = True
             else:
                 skip = _page_count(c.body, params, "SKIP")
         elif c.kind == "LIMIT":
@@ -6344,6 +6375,7 @@ def _run_read(
                     df = df.orderBy(*with_order)
                     with_order = []
                 df = df.limit(_page_count(c.body, params, "LIMIT"))
+                with_narrowed = True
             else:
                 limit = _page_count(c.body, params, "LIMIT")
         else:

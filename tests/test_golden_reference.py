@@ -5404,3 +5404,50 @@ def test_text_xor_in_where(spark):
         "MATCH (a:Doc) WHERE (a.score > 4 OR a.grp = 'A') "
         "AND NOT (a.score > 4 XOR a.grp = 'A') RETURN a.link AS l"
     ) == ["l2"]
+
+
+def test_text_optional_match_after_with_limit(spark, tmp_path):
+    """Silent-wrong fix (r13): `WITH a ORDER BY … LIMIT n OPTIONAL
+    MATCH (a)-[…]->(b)` must expand only the n surviving anchors —
+    expand_optional re-derives its left side from the scan, so the
+    narrowed anchor ids semi-join the expanded frame. Bare WITH (no
+    narrowing) keeps the plain plan."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame(
+        [("u1", "P1", 3), ("u2", "P2", 7), ("u3", "P1", 5)],
+        "link string, publisher string, score int",
+    )
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["score"])
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    s.merge_edges(
+        batch.select("link", "publisher"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+
+    def rows(q):
+        return sorted(
+            tuple(x) for x in run_cypher(spark, q, store=s).df.collect()
+        )
+
+    assert rows(
+        "MATCH (a:Article) WITH a ORDER BY a.score DESC LIMIT 1 "
+        "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS l, p.key AS pub"
+    ) == [("u2", "P2")]
+    assert rows(
+        "MATCH (a:Article) WITH a ORDER BY a.score ASC LIMIT 2 "
+        "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS l, p.key AS pub"
+    ) == [("u1", "P1"), ("u3", "P1")]
+    # bare WITH: all anchors, unchanged
+    assert rows(
+        "MATCH (a:Article) WITH a "
+        "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS l, p.key AS pub"
+    ) == [("u1", "P1"), ("u2", "P2"), ("u3", "P1")]
