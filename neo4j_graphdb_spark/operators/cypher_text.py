@@ -3653,18 +3653,26 @@ def _where_value(val: str, lits: list[str], params: dict | None):
     return float(val) if "." in val else int(val)
 
 
+def _isin(col, vals: list):
+    """``col IN vals`` with Cypher's empty-list semantics (always
+    false; Column.isin() rejects zero arguments)."""
+    return col.isin(*vals) if vals else F.lit(False)
+
+
 def _in_list_values(raw: str, lits: list[str], params: dict | None) -> list:
     """Resolve the right side of an ``IN`` predicate: a non-empty $param
     list, or a literal list ``[v1, v2, …]`` (numbers / quoted strings /
     $params — the same element grammar as literal UNWIND)."""
     if raw.startswith("$"):
         vals = (params or {}).get(raw[1:])
-        if not isinstance(vals, list) or not vals:
+        if not isinstance(vals, list):
             raise CypherUnsupported(
-                f"IN needs a non-empty list param, got {raw!r}"
+                f"IN needs a list param, got {raw!r}"
             )
         return vals
     if raw.startswith("["):
+        if not raw[1:-1].strip():
+            return []  # `x IN []` is legal Cypher: always false
         return _unwind_literal_values(raw[1:-1], lits, params)
     raise CypherUnsupported(
         f"IN needs a list param or a literal list, got {raw!r}"
@@ -5268,7 +5276,7 @@ def _run_read(
                         raise CypherUnsupported(f"unknown relationship property {prop!r}")
                     if op.upper() == "IN":
                         df = df.filter(
-                            F.col(prop).isin(*_in_list_values(raw, lits, params))
+                            _isin(F.col(prop), _in_list_values(raw, lits, params))
                         )
                         continue
                     df = df.filter(_op_fn(op)(F.col(prop), _operand(raw)))
@@ -5287,8 +5295,9 @@ def _run_read(
             if op.upper() == "IN":
                 # `prop IN $list | [literals]` — a pushdown-friendly In filter
                 df = df.filter(
-                    _prop_col(df, aliases[alias], prop).isin(
-                        *_in_list_values(raw, lits, params)
+                    _isin(
+                        _prop_col(df, aliases[alias], prop),
+                        _in_list_values(raw, lits, params),
                     )
                 )
                 continue
@@ -5337,7 +5346,7 @@ def _run_read(
                 else:
                     col = _prop_col(df, aliases[alias], prop)
                 if op.upper() == "IN":
-                    return col.isin(*_in_list_values(raw, lits, params))
+                    return _isin(col, _in_list_values(raw, lits, params))
                 if re.fullmatch(r"[A-Za-z_]\w*", raw) and not raw.startswith("\x00"):
                     if raw in df.columns:
                         return _op_fn(op)(col, F.col(raw))
@@ -6121,8 +6130,8 @@ def _run_read(
                                     f"OPTIONAL MATCH WHERE on unbound alias: {al!r}"
                                 )
                             if op.upper() == "IN":
-                                return col.isin(
-                                    *_in_list_values(raw, lits, params)
+                                return _isin(
+                                    col, _in_list_values(raw, lits, params)
                                 )
                             return _op_fn(op)(
                                 col, F.lit(_where_value(raw, lits, params))
@@ -6315,7 +6324,17 @@ def _run_read(
             if dm:
                 return_distinct = True
                 body = body[dm.end():]
-            returns = _split_top_commas(body)
+            if body.strip() == "*":
+                # RETURN * — every bound variable, alphabetical (the
+                # Neo4j column order); compiles as whole-entity items
+                star = sorted(
+                    [*aliases, rel_alias] if rel_alias else aliases
+                )
+                if not star:
+                    raise CypherUnsupported("RETURN * needs bound variables")
+                returns = star
+            else:
+                returns = _split_top_commas(body)
         elif c.kind == "ORDER":
             body = re.sub(r"^BY\s+", "", c.body, flags=re.IGNORECASE)
             for item in _split_top_commas(body):

@@ -795,13 +795,15 @@ def test_text_in_list_predicate(spark, text_store):
     got = sorted(r["title"] for r in res.df.collect())
     assert got == sorted([ARTICLES[0][1], ARTICLES[2][1]])
 
-    with pytest.raises(CypherUnsupported):
-        run_cypher(
-            spark,
-            "MATCH (a:Article) WHERE a.title IN $ts RETURN a.title AS t",
-            {"ts": []},
-            store=text_store,
-        )
+    # `IN` with an EMPTY list param is legal Cypher since r13: always
+    # false, zero rows (was a refusal)
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.title IN $ts RETURN a.title AS t",
+        {"ts": []},
+        store=text_store,
+    )
+    assert res.df.count() == 0
 
 
 def test_text_literal_props_in_match(spark, text_store):
@@ -5451,3 +5453,47 @@ def test_text_optional_match_after_with_limit(spark, tmp_path):
         "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
         "RETURN a.link AS l, p.key AS pub"
     ) == [("u1", "P1"), ("u2", "P2"), ("u3", "P1")]
+
+
+def test_text_return_star_and_empty_in_list(spark, tmp_path):
+    """`RETURN *` projects every bound variable (alphabetical, Neo4j
+    column order) as whole-entity items; `x IN []` (and an empty $list
+    param) is legal Cypher and always false."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame(
+        [("u1", "P1", 3), ("u2", "P2", 7)],
+        "link string, publisher string, score int",
+    )
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["score"])
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    s.merge_edges(
+        batch.select("link", "publisher"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+
+    df = run_cypher(
+        spark, "MATCH (a:Article) RETURN * ORDER BY a.link", store=s
+    ).df
+    assert df.columns == ["a"]
+    assert [r["a"]["key"] for r in df.collect()] == ["u1", "u2"]
+
+    df = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) RETURN *",
+        store=s,
+    ).df
+    assert df.columns == ["a", "p", "r"]
+
+    for q, params in [
+        ("MATCH (a:Article) WHERE a.link IN [] RETURN count(*) AS n", None),
+        ("MATCH (a:Article) WHERE a.link IN $xs RETURN count(*) AS n",
+         {"xs": []}),
+    ]:
+        r = run_cypher(spark, q, params, store=s).df.collect()
+        assert r[0]["n"] == 0
