@@ -1842,6 +1842,25 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     # the a8 contract), where Neo4j's += would remove the key.
     expanded: list[str] = []
     for raw in raw_items:
+        ppm = re.match(r"^(?P<alias>\w+)\s*\+=\s*\$(?P<p>\w+)$", raw)
+        if ppm:
+            # `SET n += $map` — a scalar dict param expands to the same
+            # per-key items as the literal-map form (NULL values keep
+            # the old cell, Neo4j's += contract, via the coalesce merge)
+            pv = (params or {}).get(ppm.group("p")) if isinstance(
+                params, dict
+            ) else None
+            if not isinstance(pv, dict) or not pv:
+                raise CypherUnsupported(
+                    f"SET += ${ppm.group('p')} needs a non-empty map param"
+                )
+            params = {
+                **(params or {}),
+                **{f"__set_{k0}": v0 for k0, v0 in pv.items()},
+            }
+            for k0 in pv:
+                expanded.append(f"{ppm.group('alias')}.{k0} = $__set_{k0}")
+            continue
         pm = re.match(
             r"^(?P<alias>\w+)\s*\+=\s*\{(?P<body>.*)\}$", raw, re.DOTALL
         )

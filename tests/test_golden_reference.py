@@ -5497,3 +5497,28 @@ def test_text_return_star_and_empty_in_list(spark, tmp_path):
     ]:
         r = run_cypher(spark, q, params, store=s).df.collect()
         assert r[0]["n"] == 0
+
+
+def test_text_set_plus_equals_param_map(spark, tmp_path):
+    """`SET n += $map` on the MATCH-update path: the scalar dict param
+    expands to per-key items exactly like the literal-map sugar;
+    untouched keys and unmatched rows keep their cells."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame([("u1", 3), ("u2", 4)], "link string, score int")
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["score"])
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE a.link = 'u1' SET a += $m",
+        {"m": {"score": 11, "extra": "x"}},
+        store=s,
+    )
+    assert r.summary.properties_set == 2
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS l, a.score AS sc, a.extra AS e",
+        store=s,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [("u1", 11, "x"), ("u2", 4, None)]
