@@ -2410,78 +2410,3 @@ def csr_export(edges: DataFrame, bucket_width: int = 1000) -> DataFrame:
         )
     )
 
-
-def _edge_support(und: DataFrame) -> DataFrame:
-    """Per-edge triangle support on a canonical (a < b) undirected edge
-    set: every triangle from the degree-ordered enumeration credits its
-    three edges. Inherits :func:`triangle_count`'s O(sqrt(m)) wedge
-    bound, so the support pass stays alive on power-law graphs."""
-    tri = _triangle_rows(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
-    pairs = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("lo", "y").alias("a"),
-                    F.greatest("lo", "y").alias("b"),
-                ),
-                F.struct(
-                    F.least("lo", "z").alias("a"),
-                    F.greatest("lo", "z").alias("b"),
-                ),
-                F.struct(
-                    F.least("y", "z").alias("a"),
-                    F.greatest("y", "z").alias("b"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    return pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("support")
-    )
-
-
-def k_truss(
-    edges: DataFrame, k: int = 4, max_rounds: int = 3
-) -> DataFrame:
-    """C137 — k-truss decomposition (Cohen 2008): the maximal subgraph
-    whose every edge sits in at least k−2 triangles OF THE SUBGRAPH —
-    the standard cohesive-community relaxation of a clique (a k-truss
-    is a (k−1)-core, but far more selective).
-
-    Spark-first peeling: each round reuses the degree-ordered triangle
-    enumeration (each triangle materializes once, hub wedges never
-    generated), explodes it onto its three edges, aggregates per-edge
-    support, and anti-prunes edges under k−2 — removal cascades into
-    the next round, exactly the fixture-scale analogue of the
-    bulk-peeling k-core loop (`k_core`). ``max_rounds`` is FIXED (no
-    data-dependent early exit) so the SQL oracle replays the identical
-    round count; production would add the usual empty-delta count check
-    per round, like the iterative CC/PageRank loops. The returned
-    support is recomputed on the surviving edge set.
-
-    Returns canonical ``(a, b, support)`` rows, ``a < b``.
-    """
-    if k < 3:
-        raise ValueError("k-truss needs k >= 3")
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    for _ in range(max_rounds):
-        sup = _edge_support(e)
-        e = (
-            e.join(sup, on=["a", "b"], how="left")
-            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select("a", "b")
-            .localCheckpoint(eager=False)
-        )
-    final = _edge_support(e)
-    return e.join(final, on=["a", "b"], how="left").select(
-        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
-    )

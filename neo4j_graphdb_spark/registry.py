@@ -8439,36 +8439,6 @@ def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_gate(docs, "text", "doc_id", dim=64)
 
 
-def q_c137_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C137 (r13) — k-truss decomposition (graph/algorithms.py k_truss;
-    Cohen 2008) of the order/part/supplier co-occurrence graph (the c5
-    triangle substrate, 10% order sample): every surviving edge sits in
-    ≥ k−2 triangles of the subgraph, peeled over a FIXED 3 rounds so
-    the oracle replays the identical cascade. Each round is one
-    degree-ordered triangle enumeration (each triangle once, hub wedges
-    never generated — the O(sqrt m) bound that keeps the support pass
-    alive on power-law graphs) + one (a, b) aggregation + an
-    under-support prune. String keys end-to-end so the oracle joins on
-    the same identities."""
-    from neo4j_graphdb_spark.graph.algorithms import k_truss
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
-        .select(
-            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("ok"),
-            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("pk"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sk"),
-        )
-    )
-    edges = (
-        li.select(F.col("ok").alias("src"), F.col("pk").alias("dst"))
-        .unionByName(li.select(F.col("ok").alias("src"), F.col("sk").alias("dst")))
-        .unionByName(li.select(F.col("pk").alias("src"), F.col("sk").alias("dst")))
-    )
-    return k_truss(edges, k=4, max_rounds=3)
-
-
 def q_c135_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C135 (r13) — margin-based bitext mining (operators/similarity.py
     bitext_margin_mine; Artetxe & Schwenk 2019 — the LASER/CCMatrix
@@ -9373,15 +9343,14 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   and the r5-era c17-c36 block (the late-r13 additions a101/a102/
-#   c135, a103 list algebra / a104 reversed OPTIONAL MATCH / a105
-#   EXISTS-subquery, c136 quality classifier, a106 matched-anchor
-#   MERGE and c137 k-truss displaced rel_pricing_summary,
-#   rel_top_customers, rel_region_revenue, rel_window_topn,
-#   rel_funnel, rel_moving_window, rel_market_share, rel_retention
-#   and rel_histogram to slots 51-59; the window's last slot is
-#   c36_hits). Still unrotated r5-era greens for r14: those nine,
-#   plus
+#   the r5-era c17-c36 block, and the first early rel_* entry
+#   (rel_pricing_summary; the late-r13 additions a101/a102/c135,
+#   a103 list algebra / a104 reversed OPTIONAL MATCH / a105
+#   EXISTS-subquery, c136 quality classifier and a106 matched-anchor
+#   MERGE displaced rel_top_customers, rel_region_revenue,
+#   rel_window_topn, rel_funnel, rel_moving_window, rel_market_share,
+#   rel_retention and rel_histogram to slots 51-58). Still unrotated
+#   r5-era greens for r14: those eight, plus
 #   the remaining early rel_* suite (rel_sessionize, rel_scd2,
 #   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
 #   rel_grouping_sets, rel_asof_join, rel_range_join,
@@ -9410,7 +9379,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a105_text_exists_count_subquery": q_a105_text_exists_count_subquery,
     "c136_quality_classifier": q_c136_quality_classifier,
     "a106_text_merge_matched_anchors": q_a106_text_merge_matched_anchors,
-    "c137_k_truss": q_c137_k_truss,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -13308,80 +13276,6 @@ ORACLES["a106_text_merge_matched_anchors"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            source AS pub
     FROM documents WHERE doc_id % 2 = 0
-"""
-
-ORACLES["c137_k_truss"] = """
-    WITH base AS MATERIALIZED (
-        SELECT concat('O', cast(l_orderkey AS varchar)) AS ok,
-               concat('P', cast(l_partkey AS varchar)) AS pk,
-               concat('S', cast(l_suppkey AS varchar)) AS sk
-        FROM lineitem WHERE l_orderkey % 10 = 0
-    ),
-    e0 AS MATERIALIZED (
-        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        FROM (
-            SELECT ok AS src, pk AS dst FROM base
-            UNION ALL SELECT ok, sk FROM base
-            UNION ALL SELECT pk, sk FROM base
-        ) WHERE src <> dst
-    ),
-    adj0 AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
-    ),
-    s0 AS MATERIALIZED (
-        SELECT e.a, e.b, count(*) AS c
-        FROM e0 e
-        JOIN adj0 x ON x.u = e.a
-        JOIN adj0 y ON y.u = e.b AND y.v = x.v
-        GROUP BY e.a, e.b
-    ),
-    e1 AS MATERIALIZED (
-        SELECT e0.a, e0.b FROM e0
-        LEFT JOIN s0 ON s0.a = e0.a AND s0.b = e0.b
-        WHERE coalesce(s0.c, 0) >= 2
-    ),
-    adj1 AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1
-    ),
-    s1 AS MATERIALIZED (
-        SELECT e.a, e.b, count(*) AS c
-        FROM e1 e
-        JOIN adj1 x ON x.u = e.a
-        JOIN adj1 y ON y.u = e.b AND y.v = x.v
-        GROUP BY e.a, e.b
-    ),
-    e2 AS MATERIALIZED (
-        SELECT e1.a, e1.b FROM e1
-        LEFT JOIN s1 ON s1.a = e1.a AND s1.b = e1.b
-        WHERE coalesce(s1.c, 0) >= 2
-    ),
-    adj2 AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2
-    ),
-    s2 AS MATERIALIZED (
-        SELECT e.a, e.b, count(*) AS c
-        FROM e2 e
-        JOIN adj2 x ON x.u = e.a
-        JOIN adj2 y ON y.u = e.b AND y.v = x.v
-        GROUP BY e.a, e.b
-    ),
-    e3 AS MATERIALIZED (
-        SELECT e2.a, e2.b FROM e2
-        LEFT JOIN s2 ON s2.a = e2.a AND s2.b = e2.b
-        WHERE coalesce(s2.c, 0) >= 2
-    ),
-    adj3 AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM e3 UNION ALL SELECT b, a FROM e3
-    ),
-    s3 AS MATERIALIZED (
-        SELECT e.a, e.b, count(*) AS c
-        FROM e3 e
-        JOIN adj3 x ON x.u = e.a
-        JOIN adj3 y ON y.u = e.b AND y.v = x.v
-        GROUP BY e.a, e.b
-    )
-    SELECT e3.a, e3.b, coalesce(s3.c, 0)::bigint AS support
-    FROM e3 LEFT JOIN s3 ON s3.a = e3.a AND s3.b = e3.b
 """
 
 ORACLES["c136_quality_classifier"] = f"""

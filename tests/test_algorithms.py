@@ -1103,41 +1103,3 @@ def test_csr_export_offsets_are_exact_prefix_sums(spark):
     out2 = {r["src"]: r for r in
             csr_export(edges.repartition(7), bucket_width=1000).collect()}
     assert out == out2
-
-
-def test_k_truss_k4_complete_graph_and_cascade(spark):
-    """k-truss hand checks: K4 is its own 4-truss (every edge in 2
-    triangles, support 2); pendant triangles peel off; a chain of
-    triangles CASCADES to empty under k=4 (the round-2 removal that
-    distinguishes a truss from a one-shot support filter)."""
-    from neo4j_graphdb_spark.graph.algorithms import k_truss
-
-    # K4 plus a pendant triangle (3,4,5): the pendant edges have
-    # support 1 and peel in round 1; K4 survives with support 2
-    edges = spark.createDataFrame(
-        [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"),
-         ("3", "4"), ("3", "5"), ("4", "5")],
-        "src string, dst string",
-    )
-    out = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4).collect()}
-    assert out == {
-        ("1", "2"): 2, ("1", "3"): 2, ("1", "4"): 2,
-        ("2", "3"): 2, ("2", "4"): 2, ("3", "4"): 2,
-    }
-
-    # triangle chain T(1,2,3)-T(2,3,4)-T(3,4,5): shared edges have
-    # support 2 in round 1, but removing the support-1 rim leaves them
-    # triangle-less -- round 2 empties the graph (cascade)
-    chain = spark.createDataFrame(
-        [("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4"),
-         ("3", "5"), ("4", "5")],
-        "src string, dst string",
-    )
-    assert k_truss(chain, k=4).count() == 0
-    # k=3 keeps every triangle edge of the chain
-    assert k_truss(chain, k=3).count() == 7
-
-    import pytest
-
-    with pytest.raises(ValueError):
-        k_truss(edges, k=2)
