@@ -5245,6 +5245,7 @@ def _run_read(
     df: DataFrame | None = None
     aliases: dict[str, str] = {}  # alias -> column prefix ('' = bare node frame)
     rel_alias: str | None = None
+    rel_endpoints: tuple | None = None  # (start, end) aliases of the rel
     rel_prefixed = False
     path_bind: str | None = None  # path variable from `p = (…)-[*…]->(…)`
     all_shortest = False  # p = allShortestPaths(…): keep min-hop rows only
@@ -5984,6 +5985,12 @@ def _run_read(
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
                 rel_alias = path_bind or m.group("rel_alias")
+                # startNode/endNode resolve to the DIRECTED edge's
+                # endpoints; undirected matches leave them unbound
+                if direction == "out":
+                    rel_endpoints = (sa, da)
+                elif direction == "in":
+                    rel_endpoints = (da, sa)
                 rel_prefixed = True
                 if not m.group("star") and m.group("rel_props"):
                     # inline rel-prop map: equality filters on the edge
@@ -6343,6 +6350,17 @@ def _run_read(
             if dm:
                 return_distinct = True
                 body = body[dm.end():]
+            if rel_alias and rel_endpoints:
+                # startNode(r)/endNode(r) [.prop] — rewrite onto the
+                # matched pattern's endpoint aliases (Neo4j: the
+                # DIRECTED edge's source/target)
+                for fn0, al0 in (("startNode", rel_endpoints[0]),
+                                 ("endNode", rel_endpoints[1])):
+                    body = re.sub(
+                        rf"(?i)(?<![\w$]){fn0}\(\s*{re.escape(rel_alias)}\s*\)",
+                        al0,
+                        body,
+                    )
             if body.strip() == "*":
                 # RETURN * — every bound variable, alphabetical (the
                 # Neo4j column order); compiles as whole-entity items

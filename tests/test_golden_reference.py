@@ -5522,3 +5522,49 @@ def test_text_set_plus_equals_param_map(spark, tmp_path):
         store=s,
     ).df.collect()
     assert sorted(tuple(x) for x in rows) == [("u1", 11, "x"), ("u2", 4, None)]
+
+
+def test_text_start_end_node(spark):
+    """startNode(r)/endNode(r) [.prop] resolve to the DIRECTED edge's
+    endpoint aliases regardless of the pattern's arrow spelling;
+    undirected matches leave them unbound (refused)."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    arts = spark.createDataFrame([("a1", "P1"), ("a2", "P2")], "link string, pub string")
+    pubs = spark.createDataFrame([("P1",), ("P2",)], "pub string")
+    nodes = as_nodes(arts, "Article", "link", []).unionByName(
+        as_nodes(pubs, "Publisher", "pub", []), allowMissingColumns=True
+    )
+    g = Graph(nodes, as_edges(arts, "WRITTEN_BY", "Article", "link", "Publisher", "pub"))
+
+    for q in (
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN startNode(r).link AS s, endNode(r).pub AS e",
+        "MATCH (p:Publisher)<-[r:WRITTEN_BY]-(a:Article) "
+        "RETURN startNode(r).link AS s, endNode(r).pub AS e",
+    ):
+        rows = run_cypher(spark, q, graph=g).df.collect()
+        assert sorted(tuple(x) for x in rows) == [("a1", "P1"), ("a2", "P2")]
+    # whole-entity form
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN startNode(r) AS n LIMIT 1",
+        graph=g,
+    ).df.collect()
+    assert r[0]["n"]["label"] == "Article"
+    # undirected: endpoints unbound -> the raw name refuses downstream
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]-(p:Publisher) "
+            "RETURN startNode(r).link AS s",
+            graph=g,
+        )
