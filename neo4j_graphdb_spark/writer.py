@@ -37,6 +37,7 @@ under the hood.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -342,6 +343,36 @@ class GraphStore:
         self._nodes = _VersionedTable(os.path.join(root, "nodes"))
         self._edges = _VersionedTable(os.path.join(root, "edges"))
 
+    # ------------------------------------------------------------- metadata
+
+    @property
+    def _key_names_path(self) -> str:
+        return os.path.join(self.root, "label_keys.json")
+
+    def key_names(self) -> dict[str, str]:
+        """Per-label merge-key PROPERTY names (``{label: key_col}``),
+        recorded at write time. The store erases the user-facing key
+        name into the unified ``key`` column; this sidecar keeps the
+        Neo4j-visible name so readers can resolve ``p.publisher`` on a
+        Publisher keyed by ``publisher`` even when another label claims
+        a prop column of that name (the README key-name-collision
+        divergence — this map is the data the read-side fix needs)."""
+        try:
+            with open(self._key_names_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _record_key_name(self, label: str, key_col: str) -> None:
+        names = self.key_names()
+        if names.get(label) == key_col:
+            return
+        names[label] = key_col
+        tmp = self._key_names_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(names, f, sort_keys=True)
+        os.replace(tmp, self._key_names_path)
+
     # ---------------------------------------------------------------- reads
 
     def nodes(self, version: int | None = None) -> DataFrame | None:
@@ -389,6 +420,7 @@ class GraphStore:
         first-seen stamps and update-only mutations in one batch pass.
         A column may appear in only one of the three prop lists.
         """
+        self._record_key_name(label, key_col)
         prop_cols = prop_cols or []
         create_prop_cols = create_prop_cols or []
         match_prop_cols = match_prop_cols or []
@@ -727,6 +759,7 @@ class GraphStore:
         (label, key-bucket) leaf dirs as MERGE — O(touched buckets)
         write amplification, untouched leaves carry over as hardlinks.
         """
+        self._record_key_name(label, key_col)
         prop_cols = prop_cols or []
         incoming = updates.select(
             F.col(key_col).cast("string").alias("key"),

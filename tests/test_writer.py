@@ -577,3 +577,34 @@ def test_create_with_nonstring_key_agrees_with_merge_and_edges(spark, tmp_path):
     assert store.nodes().filter(F.col("key") == "1").count() == 1
     got = store.nodes().filter(F.col("key") == "1").collect()[0]["title"]
     assert got == "a2"
+
+
+def test_store_records_label_key_names(spark, tmp_path):
+    """The store persists each label's user-facing merge-key name
+    ({label: key_col}, label_keys.json) at write time — the metadata a
+    Neo4j-exact read of `p.<keyname>` needs (README key-name-collision
+    divergence). Survives re-open; last writer wins per label."""
+    import json
+    import os
+
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    root = str(tmp_path / "gs")
+    s = GraphStore(spark, root)
+    batch = spark.createDataFrame([("u1", "P1")], "link string, publisher string")
+    s.merge_nodes(batch, label="Article", key_col="link")
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    s.create_nodes(
+        spark.createDataFrame([("e1",)], "k string"), label="Evt", key_col="k"
+    )
+    assert s.key_names() == {
+        "Article": "link", "Publisher": "publisher", "Evt": "k",
+    }
+    # re-open reads the sidecar from disk
+    assert GraphStore(spark, root).key_names()["Publisher"] == "publisher"
+    assert os.path.exists(os.path.join(root, "label_keys.json"))
+    with open(os.path.join(root, "label_keys.json")) as f:
+        assert json.load(f)["Article"] == "link"
