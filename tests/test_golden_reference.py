@@ -2214,8 +2214,15 @@ def test_text_collect_distinct_in_literal_order_expr(spark):
         spark, "MATCH (a:Doc) RETURN sum(DISTINCT a.score) AS s", graph=g
     ).df.collect()
     assert [tuple(r) for r in sd] == [(20,)]
-    with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (a:Doc) WHERE a.score IN [] RETURN a.link AS l", graph=g)
+    # `IN []` is legal Cypher since r13: always false, zero rows
+    assert (
+        run_cypher(
+            spark,
+            "MATCH (a:Doc) WHERE a.score IN [] RETURN a.link AS l",
+            graph=g,
+        ).df.count()
+        == 0
+    )
 
 
 def test_text_with_expression_projections(spark):
