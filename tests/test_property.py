@@ -738,3 +738,53 @@ def test_c102_is_arrow_batch_order_free(spark):
     finally:
         spark.conf.set(key, prev)
     assert results[0] == results[1] == results[2]
+
+
+@st.composite
+def cypher_list_algebra(draw, depth=0):
+    """(expression text, expected Python list) pairs over the r13 list
+    algebra: literal lists, `||` / `+` concatenation (append/prepend
+    coercions), and slices with negative / open / out-of-range bounds
+    (openCypher: 0-based, end-exclusive, clamped)."""
+    if depth >= 3 or (depth > 0 and draw(st.booleans())):
+        xs = draw(st.lists(st.integers(-9, 9), min_size=0, max_size=4))
+        return ("[" + ", ".join(str(v) for v in xs) + "]", list(xs))
+    kind = draw(st.sampled_from(["concat2", "append", "prepend", "slice"]))
+    ls, lv = draw(cypher_list_algebra(depth=depth + 1))
+    if kind == "concat2":
+        rs, rv = draw(cypher_list_algebra(depth=depth + 1))
+        op = draw(st.sampled_from(["||", "+"]))
+        return (f"({ls} {op} {rs})", lv + rv)
+    if kind == "append":
+        v = draw(st.integers(-9, 9))
+        return (f"({ls} + {v})", lv + [v])
+    if kind == "prepend":
+        v = draw(st.integers(-9, 9))
+        return (f"({v} + {ls})", [v] + lv)
+    lo = draw(st.one_of(st.none(), st.integers(-6, 6)))
+    hi = draw(st.one_of(st.none(), st.integers(-6, 6)))
+    n = len(lv)
+
+    def norm(b, default):
+        if b is None:
+            return default
+        return max(n + b, 0) if b < 0 else min(b, n)
+
+    want = lv[norm(lo, 0):norm(hi, n)]
+    return (
+        f"{ls}[{'' if lo is None else lo}..{'' if hi is None else hi}]",
+        want,
+    )
+
+
+@given(cypher_list_algebra())
+@settings(**_SETTINGS)
+def test_cypher_list_algebra_matches_python(spark, expr):
+    """Differential: randomized list algebra (`||`, list `+`, slices)
+    through the Cypher text front-end equals Python list semantics."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    text, want = expr
+    rows = run_cypher(spark, f"RETURN {text} AS v").df.collect()
+    assert len(rows) == 1
+    assert list(rows[0]["v"]) == want
