@@ -30,11 +30,27 @@ from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 
 
 class Graph:
-    """A queryable property graph over canonical nodes/edges DataFrames."""
+    """A queryable property graph over canonical nodes/edges DataFrames.
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame | None = None):
+    ``key_names`` (optional, OPT-IN): the store's ``{label: key_col}``
+    sidecar (``GraphStore.key_names()``). When given, a SINGLE-label
+    :meth:`match` scan materializes the label's user-facing merge-key
+    name as a real column (``coalesce(existing prop cells, key)``), so
+    ``p.publisher`` on a Publisher keyed by ``publisher`` reads the key
+    Neo4j-exactly even when ANOTHER label claims a prop column of that
+    name (the README key-name-collision divergence). Default ``None``
+    keeps the historical resolution (unknown names fall back to key;
+    colliding names read the raw — NULL for this label — prop column)."""
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame | None = None,
+        key_names: dict[str, str] | None = None,
+    ):
         self.nodes_df = nodes
         self.edges_df = edges
+        self.key_names = key_names or {}
 
     # --- A1 / A2: node scans -------------------------------------------------
 
@@ -55,14 +71,33 @@ class Graph:
         if isinstance(label, (list, tuple)):
             ls = list(label)
             if len(ls) == 1:
-                return self.nodes_df.filter(F.col("label") == ls[0])
+                return self._with_key_name(
+                    self.nodes_df.filter(F.col("label") == ls[0]), ls[0]
+                )
             return self.nodes_df.filter(F.col("label").isin(ls))
         if ":" in label:
             df = self.nodes_df
             for lb in (t.strip() for t in label.split(":") if t.strip()):
                 df = df.filter(self._label_pred(lb))
             return df
-        return self.nodes_df.filter(self._label_pred(label))
+        return self._with_key_name(
+            self.nodes_df.filter(self._label_pred(label)), label
+        )
+
+    def _with_key_name(self, scan: DataFrame, label: str) -> DataFrame:
+        """Opt-in key-name materialization (see class docstring): after a
+        single-label filter, surface the label's merge key under its
+        user-facing name. No-op without ``key_names`` or when the name
+        is already the storage ``key``."""
+        k = self.key_names.get(label)
+        if not k or k == "key" or "key" not in scan.columns:
+            return scan
+        if k in scan.columns:
+            # another label claims the column: this label's own rows
+            # keep any explicitly-SET cell, else read the key (Neo4j:
+            # the property the MERGE map wrote)
+            return scan.withColumn(k, F.coalesce(F.col(k), F.col("key")))
+        return scan.withColumn(k, F.col("key"))
 
     def _label_pred(self, label: str):
         """One label's effective-set membership: ``label == L`` alone on

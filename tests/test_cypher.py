@@ -100,3 +100,63 @@ def test_expand_var_path_rows_and_bounds(spark):
     import pytest as _p
     with _p.raises(ValueError):
         g.expand_var(min_hops=0)
+
+
+def test_graph_key_names_opt_in_resolution(spark, tmp_path):
+    """Opt-in key-name materialization: a Graph built with the store's
+    key_names() sidecar resolves `p.<keyname>` Neo4j-exactly on
+    single-label scans — including under the cross-label prop-column
+    COLLISION (another label wrote a prop of that name) and after an
+    explicit SET on the colliding name. Default Graphs are unchanged."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame(
+        [("u1", "P1"), ("u2", "P2")], "link string, publisher string"
+    )
+    # Article CLAIMS a `publisher` prop column -> collision with the
+    # Publisher label's merge-key name
+    s.merge_nodes(batch, label="Article", key_col="link", prop_cols=["publisher"])
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+
+    g_plain = Graph(s.nodes(), s.edges())
+    g_keyed = Graph(s.nodes(), s.edges(), key_names=s.key_names())
+
+    q = "MATCH (p:Publisher) RETURN p.publisher AS pub"
+    # historical resolution: the colliding prop column, NULL for Publisher
+    assert [r["pub"] for r in run_cypher(spark, q, graph=g_plain).df.collect()] == [
+        None, None,
+    ]
+    # keyed resolution: the merge key under its user-facing name
+    assert sorted(
+        r["pub"] for r in run_cypher(spark, q, graph=g_keyed).df.collect()
+    ) == ["P1", "P2"]
+    # no-collision labels resolve identically either way
+    q2 = "MATCH (a:Article) RETURN a.link AS l"
+    for g in (g_plain, g_keyed):
+        assert sorted(
+            r["l"] for r in run_cypher(spark, q2, graph=g).df.collect()
+        ) == ["u1", "u2"]
+    # an explicitly-SET cell on the colliding name wins over the key
+    enriched = g_keyed.match("Publisher")
+    assert dict(
+        enriched.select("key", "publisher").collect()
+    ) == {"P1": "P1", "P2": "P2"}
+    forced = Graph(
+        s.nodes().withColumn(
+            "publisher",
+            F.when(F.col("label") == "Publisher", F.lit("X")).otherwise(
+                F.col("publisher")
+            ),
+        ),
+        None,
+        key_names=s.key_names(),
+    )
+    assert {r["publisher"] for r in forced.match("Publisher").collect()} == {"X"}
