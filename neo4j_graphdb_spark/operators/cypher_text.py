@@ -4100,6 +4100,18 @@ def _parse_scalar_expr(text: str):
         # Neo4j returns the boolean itself
         _, cop = take()
         node = ("cmppred", cop, node, parse_expr())
+    elif peek()[0] == "name" and (peek()[1] or "").upper() in (
+        "CONTAINS", "STARTS_WITH", "ENDS_WITH",
+    ):
+        # string predicates as VALUES (`a.title CONTAINS 'x' AS f`);
+        # STARTS WITH / ENDS WITH were folded to one token upstream
+        _, sop = take()
+        node = (
+            "cmppred",
+            sop.upper().replace("_", " "),
+            node,
+            parse_expr(),
+        )
     if idx != len(toks):
         raise CypherUnsupported(f"trailing tokens in expression: {text!r}")
     return node

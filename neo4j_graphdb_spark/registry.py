@@ -8421,6 +8421,28 @@ def q_a106_text_merge_matched_anchors(
     ).df
 
 
+def q_a107_text_boolean_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A107 ext (r13) — the boolean-surface pack under one oracle:
+    XOR in WHERE (precedence NOT > AND > XOR > OR, compiled as
+    null-propagating boolean inequality), comparisons and isEmpty() as
+    RETURN VALUES (`a.title CONTAINS 'data' AS has_data`), and
+    startNode()/endNode() resolving to the matched pattern's directed
+    endpoints. All column algebra on the one-hop expand — no UDFs, the
+    same broadcast join plan as a3."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE a.title CONTAINS 'data' XOR a.title CONTAINS 'spark' "
+        "RETURN startNode(r).link AS link, "
+        "endNode(r).publisher AS pub, "
+        "a.title CONTAINS 'data' AS has_data, "
+        "isEmpty(split(a.title, ' ')[0]) AS empty_w0",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9343,14 +9365,15 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spills (a97/c132/c133), the 3 implementation-changed entries
 #   (c105 max_block=None, c104 expression-fused greedy, a85
 #   DataFrame-param batch), the displaced r5-era c11-c16 block (10),
-#   the r5-era c17-c36 block, and the first early rel_* entry
-#   (rel_pricing_summary; the late-r13 additions a101/a102/c135,
-#   a103 list algebra / a104 reversed OPTIONAL MATCH / a105
-#   EXISTS-subquery, c136 quality classifier and a106 matched-anchor
-#   MERGE displaced rel_top_customers, rel_region_revenue,
-#   rel_window_topn, rel_funnel, rel_moving_window, rel_market_share,
-#   rel_retention and rel_histogram to slots 51-58). Still unrotated
-#   r5-era greens for r14: those eight, plus
+#   and the r5-era c17-c36 block (window slot 50 = c36_hits; the
+#   late-r13 additions a101/a102/c135, a103 list algebra / a104
+#   reversed OPTIONAL MATCH / a105 EXISTS-subquery, c136 quality
+#   classifier, a106 matched-anchor MERGE and a107 boolean surface
+#   displaced rel_pricing_summary, rel_top_customers,
+#   rel_region_revenue, rel_window_topn, rel_funnel,
+#   rel_moving_window, rel_market_share, rel_retention and
+#   rel_histogram to slots 51-59). Still unrotated r5-era greens for
+#   r14: those nine, plus
 #   the remaining early rel_* suite (rel_sessionize, rel_scd2,
 #   rel_profile, rel_anti_join, rel_semi_join, rel_set_ops,
 #   rel_grouping_sets, rel_asof_join, rel_range_join,
@@ -9379,6 +9402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a105_text_exists_count_subquery": q_a105_text_exists_count_subquery,
     "c136_quality_classifier": q_c136_quality_classifier,
     "a106_text_merge_matched_anchors": q_a106_text_merge_matched_anchors,
+    "a107_text_boolean_surface": q_a107_text_boolean_surface,
     "a97_text_scalar_subquery": q_a97_text_scalar_subquery,
     "c132_dataset_card": q_c132_dataset_card,
     "c133_fuzzy_join": q_c133_fuzzy_join,
@@ -13276,6 +13300,20 @@ ORACLES["a106_text_merge_matched_anchors"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            source AS pub
     FROM documents WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a107_text_boolean_surface"] = """
+    WITH t AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               source AS pub,
+               substr(text, 1, 40) AS title
+        FROM documents
+    )
+    SELECT link, pub,
+           contains(title, 'data') AS has_data,
+           (length(string_split(title, ' ')[1]) = 0) AS empty_w0
+    FROM t
+    WHERE contains(title, 'data') <> contains(title, 'spark')
 """
 
 ORACLES["c136_quality_classifier"] = f"""

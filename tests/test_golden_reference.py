@@ -5575,3 +5575,28 @@ def test_text_start_end_node(spark):
             "RETURN startNode(r).link AS s",
             graph=g,
         )
+
+
+def test_text_string_predicates_as_values(spark):
+    """CONTAINS / STARTS WITH / ENDS WITH as RETURN values (a107's
+    surface): the boolean itself comes back, composing with aliases."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("l1", "alpha data beta"), ("l2", "gamma")],
+        "link string, title string",
+    )
+    g = Graph(as_nodes(src, "Doc", "link", ["title"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Doc) RETURN a.link AS l, "
+        "a.title CONTAINS 'data' AS c, "
+        "a.title STARTS WITH 'al' AS s, "
+        "a.title ENDS WITH 'ma' AS e",
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [
+        ("l1", True, True, False), ("l2", False, False, True),
+    ]
