@@ -90,6 +90,9 @@ HEADLINE = [
     # cross-table PassJoin fuzzy join at its exact (uncapped) config
     "c134_perplexity_filter",
     "c133_fuzzy_join",
+    # late round 13 — DCLM-style model-based quality gate (hashed
+    # features + sparse dot product, integer margin; pure column algebra)
+    "c136_quality_classifier",
 ]
 
 
