@@ -4570,6 +4570,18 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 ),
                 "other",
             )
+        if fname == "id":
+            # id(n) as a VALUE expression (`WHERE id(a) = $id` — the
+            # Neo4j lookup-by-id idiom): the deterministic
+            # content-derived node id, same value the RETURN-item path
+            # projects
+            need(1)
+            if args[0][0] != "name":
+                raise CypherUnsupported("id() takes a bound node alias")
+            ia = args[0][1]
+            if ia not in aliases:
+                raise CypherUnsupported(f"id() on unbound alias: {ia!r}")
+            return F.col(f"{aliases[ia]}{NODE_ID}"), "int"
         if fname == "labels":
             # labels(n) as a VALUE expression (membership tests, size):
             # [primary] ++ sorted extras — identical construction to the

@@ -5600,3 +5600,36 @@ def test_text_string_predicates_as_values(spark):
     assert sorted(tuple(x) for x in rows) == [
         ("l1", True, True, False), ("l2", False, False, True),
     ]
+
+
+def test_text_id_in_expressions(spark):
+    """id(n) as a VALUE expression — `WHERE id(a) = $id` is Neo4j's
+    lookup-by-id idiom; the id is the deterministic content-derived
+    node id, identical to the RETURN-item projection."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    src = spark.createDataFrame([("l1",), ("l2",)], "link string")
+    g = Graph(as_nodes(src, "Doc", "link", []), None)
+    ids = {
+        r["l"]: r["i"]
+        for r in run_cypher(
+            spark, "MATCH (a:Doc) RETURN id(a) AS i, a.link AS l", graph=g
+        ).df.collect()
+    }
+    r = run_cypher(
+        spark,
+        "MATCH (a:Doc) WHERE id(a) = $id RETURN a.link AS l",
+        {"id": ids["l2"]},
+        graph=g,
+    ).df.collect()
+    assert [x["l"] for x in r] == ["l2"]
+    # id() of an unbound alias refuses
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "MATCH (a:Doc) RETURN id(zz) + 1 AS x", graph=g)
