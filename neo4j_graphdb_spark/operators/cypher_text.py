@@ -1187,7 +1187,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
 # CALL graft.<proc>({cfg}) YIELD cols [RETURN …] [ORDER BY …] [SKIP] [LIMIT]
 _CALL_RE = re.compile(
     r"^CALL\s+(?P<ns>graft|db)\.(?P<proc>\w+)\s*\(\s*(?P<cfg>\{[^{}]*\})?\s*\)\s*"
-    r"YIELD\s+(?P<yields>\w+(?:\s*,\s*\w+)*)\s*(?P<tail>.*)$",
+    r"(?:YIELD\s+(?P<yields>\w+(?:\s*,\s*\w+)*))?\s*(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1336,7 +1336,17 @@ def _run_text_call(
         raise CypherUnsupported(
             f"unknown config key(s) {sorted(unknown_cfg)} for graft.{proc}"
         )
-    yields = [y.strip() for y in cm.group("yields").split(",")]
+    if cm.group("yields") is None:
+        # bare `CALL proc()` — Neo4j returns every output column, in
+        # the procedure's declared order
+        yields = list(yield_cols)
+        if cm.group("tail").strip():
+            raise CypherUnsupported(
+                "a CALL tail (RETURN/WHERE/ORDER BY/…) needs an "
+                "explicit YIELD"
+            )
+    else:
+        yields = [y.strip() for y in cm.group("yields").split(",")]
     for y in yields:
         if y not in yield_cols:
             raise CypherUnsupported(
@@ -1717,6 +1727,7 @@ def _run_text_call(
         limit: int | None = None
         order_by: list[tuple[str, bool]] = []
         sel = None
+        agg_returns: list[str] | None = None
         aliased_names: set[str] = set()
         for i in range(1, len(parts), 2):
             kind = parts[i].upper()
@@ -1745,6 +1756,14 @@ def _run_text_call(
                         )
                     )
             elif kind == "RETURN":
+                items0 = _split_top_commas(body)
+                if any(_is_agg_item(i) for i in items0):
+                    # aggregate RETURN over the YIELD frame
+                    # (`… YIELD degree RETURN sum(degree) AS s`) — the
+                    # implicit-grouping compiler, YIELD names as plain
+                    # columns
+                    agg_returns = items0
+                    continue
                 sel = []
                 aliased_names = set()
                 for item in _split_top_commas(body):
@@ -1762,6 +1781,24 @@ def _run_text_call(
             elif kind == "ORDER":
                 # ORDER BY follows RETURN in Cypher's clause order, so a
                 # RETURN alias is a valid sort key alongside YIELD names
+                if agg_returns is not None:
+                    # aggregate tail: keys resolve against the
+                    # aggregated frame inside _aggregate_return
+                    body2a = re.sub(r"^BY\s+", "", body, flags=re.IGNORECASE)
+                    for item in _split_top_commas(body2a):
+                        m2 = re.match(
+                            r"^(?P<key>\w+)(?:\s+(?P<dir>ASC|DESC))?$",
+                            item, re.IGNORECASE,
+                        )
+                        if not m2:
+                            raise CypherUnsupported(
+                                f"unsupported ORDER BY item: {item!r}"
+                            )
+                        order_by.append((
+                            m2.group("key"),
+                            (m2.group("dir") or "ASC").upper() == "DESC",
+                        ))
+                    continue
                 aliased = aliased_names if sel is not None else set()
                 body2 = re.sub(r"^BY\s+", "", body, flags=re.IGNORECASE)
                 for item in _split_top_commas(body2):
@@ -1787,6 +1824,14 @@ def _run_text_call(
                 limit = _page_count(body, params, "LIMIT")
             else:
                 raise CypherUnsupported(f"{kind} unsupported after CALL YIELD")
+        if agg_returns is not None:
+            return CypherResult(
+                _aggregate_return(
+                    out, agg_returns, {}, None, order_by, skip, limit,
+                    lits, params,
+                ),
+                None,
+            )
         # Cypher clause order: RETURN projects, then ORDER BY — so sort
         # keys may name RETURN aliases. A sort key that names a YIELD
         # column the projection DROPPED still works: the sort runs

@@ -5633,3 +5633,56 @@ def test_text_id_in_expressions(spark):
     # id() of an unbound alias refuses
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Doc) RETURN id(zz) + 1 AS x", graph=g)
+
+
+def test_text_call_bare_and_aggregate_tail(spark, tmp_path):
+    """CALL without YIELD returns every output column (Neo4j's bare
+    form); an aggregate RETURN after YIELD routes through the
+    implicit-grouping compiler (sum/count over YIELD columns, grouped
+    or global, with ORDER BY/LIMIT on the aggregated frame)."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "gs"))
+    batch = spark.createDataFrame(
+        [("u1", "P1"), ("u2", "P1"), ("u3", "P2")],
+        "link string, publisher string",
+    )
+    s.merge_nodes(batch, label="Article", key_col="link")
+    s.merge_nodes(
+        batch.select("publisher").distinct(), label="Publisher",
+        key_col="publisher",
+    )
+    s.merge_edges(
+        batch.select("link", "publisher"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+
+    r = run_cypher(spark, "CALL db.labels()", store=s).df
+    assert r.columns == ["label"]
+    assert sorted(x["label"] for x in r.collect()) == ["Article", "Publisher"]
+
+    r = run_cypher(
+        spark,
+        "CALL graft.degrees({}) YIELD degree "
+        "RETURN sum(degree) AS s, count(*) AS n",
+        store=s,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [(6, 5)]
+
+    r = run_cypher(
+        spark,
+        "CALL graft.degrees({}) YIELD key, degree "
+        "RETURN key, sum(degree) AS s ORDER BY s DESC, key LIMIT 2",
+        store=s,
+    ).df.collect()
+    assert [tuple(x) for x in r] == [("P1", 2), ("P2", 1)]
+
+    # a tail without YIELD stays out (no names to reference)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(spark, "CALL db.labels() RETURN label", store=s)
