@@ -2409,4 +2409,3 @@ def csr_export(edges: DataFrame, bucket_width: int = 1000) -> DataFrame:
             "neighbors",
         )
     )
-

@@ -32,15 +32,17 @@ from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 class Graph:
     """A queryable property graph over canonical nodes/edges DataFrames.
 
-    ``key_names`` (optional, OPT-IN): the store's ``{label: key_col}``
-    sidecar (``GraphStore.key_names()``). When given, a SINGLE-label
+    ``key_names`` (optional): the store's ``{label: key_col}`` sidecar
+    (``GraphStore.key_names()``). When given, a SINGLE-label
     :meth:`match` scan materializes the label's user-facing merge-key
     name as a real column (``coalesce(existing prop cells, key)``), so
     ``p.publisher`` on a Publisher keyed by ``publisher`` reads the key
     Neo4j-exactly even when ANOTHER label claims a prop column of that
-    name (the README key-name-collision divergence). Default ``None``
-    keeps the historical resolution (unknown names fall back to key;
-    colliding names read the raw — NULL for this label — prop column)."""
+    name (the README key-name-collision divergence). Store-built reads
+    pass it by DEFAULT since r14 (``cypher_text._store_graph``); a bare
+    ``Graph(nodes, edges)`` over ad-hoc frames keeps the historical
+    resolution (unknown names fall back to key; colliding names read
+    the raw — NULL for this label — prop column)."""
 
     def __init__(
         self,
@@ -85,7 +87,7 @@ class Graph:
         )
 
     def _with_key_name(self, scan: DataFrame, label: str) -> DataFrame:
-        """Opt-in key-name materialization (see class docstring): after a
+        """Key-name materialization (see class docstring): after a
         single-label filter, surface the label's merge key under its
         user-facing name. No-op without ``key_names`` or when the name
         is already the storage ``key``."""
@@ -95,8 +97,13 @@ class Graph:
         if k in scan.columns:
             # another label claims the column: this label's own rows
             # keep any explicitly-SET cell, else read the key (Neo4j:
-            # the property the MERGE map wrote)
-            return scan.withColumn(k, F.coalesce(F.col(k), F.col("key")))
+            # the property the MERGE map wrote). Keys are stored as
+            # strings; if the colliding prop column is non-string, the
+            # coalesce would fail ANSI coercion — cast the cell.
+            prop = F.col(k)
+            if scan.schema[k].dataType != scan.schema["key"].dataType:
+                prop = prop.cast(scan.schema["key"].dataType)
+            return scan.withColumn(k, F.coalesce(prop, F.col("key")))
         return scan.withColumn(k, F.col("key"))
 
     def _label_pred(self, label: str):
@@ -229,6 +236,50 @@ class Graph:
         if on_extra is not None:
             cond = cond & on_extra(src, matched)
         return src.join(matched, cond, "left").drop("src")
+
+    def expand_optional_from(
+        self,
+        left: DataFrame,
+        rel_type: str | None = None,
+        dst_label: str | None = None,
+        src_alias: str = "a",
+        dst_alias: str = "b",
+        direction: str = "out",
+        on_extra=None,
+    ) -> DataFrame:
+        """A CHAINED ``OPTIONAL MATCH (x)-[:T]->(y)`` leg: left-outer
+        join the matched (edge ⋈ dst) side onto an existing frame
+        ``left`` that already binds ``src_alias`` under its
+        ``{src_alias}_…`` column prefix — instead of re-deriving the
+        left side from the label scan the way :meth:`expand_optional`
+        does. This is what makes multi-leg exploration compose
+        (``MATCH (a) OPTIONAL MATCH (a)-[:T]->(p) OPTIONAL MATCH
+        (a)-[:T2]->(q)``, openCypher-standard), including anchoring on
+        an alias the PREVIOUS optional leg bound: a NULL anchor id
+        never equi-joins, so its row survives with a NULL optional side
+        — exactly openCypher's NULL-anchor rule, for free.
+
+        Unprefixed edge columns in ``left`` that the incoming leg also
+        produces (``rel_type``, edge props — the previous leg's edge
+        payload) are dropped first: the unprefixed edge namespace
+        belongs to the MOST RECENT relationship leg."""
+        if self.edges_df is None:
+            raise ValueError("graph has no edges")
+        e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
+        dst = _prefix(self.match(dst_label), dst_alias)
+        matched = e.join(
+            dst, e["dst"] == dst[f"{dst_alias}_{NODE_ID}"], "inner"
+        ).drop("dst")
+        stale = [
+            c for c in matched.columns
+            if not c.startswith(f"{dst_alias}_") and c in left.columns
+        ]
+        if stale:
+            left = left.drop(*stale)
+        cond = left[f"{src_alias}_{NODE_ID}"] == matched["src"]
+        if on_extra is not None:
+            cond = cond & on_extra(left, matched)
+        return left.join(matched, cond, "left").drop("src")
 
     def expand_var(
         self,

@@ -155,6 +155,20 @@ class CypherUnsupported(ValueError):
     """Statement uses syntax outside the reference subset."""
 
 
+def _store_graph(store: GraphStore, nodes: DataFrame) -> Graph:
+    """Store-backed read graph — key-name resolution ON by default.
+
+    Every store-built :class:`Graph` carries the store's
+    ``{label: merge-key property}`` sidecar so single-label scans
+    materialize each label's key under its user-facing name
+    (``Article.link`` — the reference's merge key,
+    ``/root/reference/src/crwling.py:48``; ``RETURN u, r, t`` at
+    ``/root/reference/cypher.txt:4-5`` exposes the struct shape).
+    Readers that want the raw storage ``key`` column still get it —
+    materialization adds the property column, it never removes ``key``."""
+    return Graph(nodes, store.edges(), key_names=store.key_names())
+
+
 # --------------------------------------------------------------------------
 # parsing
 # --------------------------------------------------------------------------
@@ -482,7 +496,11 @@ _WHERE_ITEM_RE = re.compile(
 # month interval arithmetic preserves exactly that semantics).
 _TEMPORAL_EXPR_RE = re.compile(
     r"datetime\(\s*(?P<arg>\x00\d+\x00)?\s*\)"
-    r"(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?",
+    r"(?:\s*(?P<sign>[+-])\s*duration\(\s*(?P<dur>\x00\d+\x00)\s*\))?"
+    # a trailing `.year`-style component accessor means the scalar
+    # compiler owns the expression (tfield on the constructor value) —
+    # the WHERE-branch stash must not swallow the constructor first
+    r"(?!\s*\.)",
 )
 
 _DURATION_ISO_RE = re.compile(
@@ -654,7 +672,37 @@ def _parse_bool_expr(body: str):
                     f"unbalanced parens in WHERE: {body!r}"
                 )
             return ("exprpred", " ".join(parts))
-        leaf = take().strip()
+        # a scalar leaf: the tokenizer shredded any function-call or
+        # arithmetic parens inside it (`toLower(a.title) CONTAINS 'x'
+        # OR …`) — reassemble through balanced parens until the next
+        # top-level connective / grouping close. A "(" continues the
+        # leaf only when the text so far ends mid-expression (an
+        # identifier = a call, or an operator = an arithmetic group);
+        # a "(" after a complete comparison is NOT consumed (no such
+        # shape exists in the bool grammar anyway).
+        parts = [take().strip()]
+        while True:
+            t = peek()
+            if t is None or t in ("AND", "OR", "XOR", ")", "NOT"):
+                break
+            if t == "(":
+                depth = 0
+                while idx < len(tokens):
+                    tok = take()
+                    parts.append(tok)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                if depth != 0:
+                    raise CypherUnsupported(
+                        f"unbalanced parens in WHERE: {body!r}"
+                    )
+            else:
+                parts.append(take().strip())
+        leaf = " ".join(parts).strip()
         m = _WHERE_ITEM_RE.match(leaf)
         if not m:
             # not the simple alias.prop-vs-value shape: hand the leaf to
@@ -935,7 +983,7 @@ def _run_text_set_labels(
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
-    g = Graph(nodes, store.edges())
+    g = _store_graph(store, nodes)
     df = _run_read(
         head_clauses + [_Clause("RETURN", alias)], g, head_lits, params
     )
@@ -1071,7 +1119,7 @@ def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
-    g = Graph(nodes, store.edges())
+    g = _store_graph(store, nodes)
     # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] REMOVE r.p` — relationship
     # property erase: endpoint keys feed remove_edge_props (a79)
     rel = _rel_head(head_clauses, alias)
@@ -1110,7 +1158,7 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
-    g = Graph(nodes, store.edges())
+    g = _store_graph(store, nodes)
     # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] DELETE r` — relationship
     # deletion: the head resolves through the read path, endpoint keys
     # feed the batch edge delete (nodes untouched)
@@ -1231,7 +1279,7 @@ def _run_text_call(
         nodes = store.nodes()
         if nodes is None:
             raise ValueError("store is empty")
-        graph = Graph(nodes, store.edges())
+        graph = _store_graph(store, nodes)
     nodes_df, edges_df = graph.nodes_df, graph.edges_df
     ns = cm.group("ns").lower()
     if edges_df is None and ns == "graft":
@@ -1736,8 +1784,11 @@ def _run_text_call(
                 # Neo4j allows WHERE directly after YIELD — simple
                 # AND-chained comparisons over YIELD columns (the same
                 # restricted shape the CALL{} subquery tail takes); must
-                # precede RETURN so the filter sees YIELD names
-                if sel is not None:
+                # precede RETURN so the filter sees YIELD names (the
+                # aggregate path too: a WHERE after `RETURN sum(d)`
+                # would otherwise silently filter the PRE-aggregation
+                # frame instead of the result, a HAVING it isn't)
+                if sel is not None or agg_returns is not None:
                     raise CypherUnsupported(
                         "WHERE after YIELD must precede RETURN"
                     )
@@ -1961,7 +2012,7 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
-    g = Graph(nodes, store.edges())
+    g = _store_graph(store, nodes)
     # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] SET r.p = <expr>` —
     # relationship-property update (a79): the head resolves through the
     # read path (rel props are readable columns there), endpoint keys +
@@ -2497,7 +2548,7 @@ def run_cypher(
                 else:
                     raise ValueError("store is empty")
             else:
-                graph = Graph(nodes, store.edges())
+                graph = _store_graph(store, nodes)
     read_params = params if isinstance(params, dict) else None
     return CypherResult(_run_read(clauses, graph, lits, read_params), None)
 
@@ -3123,11 +3174,9 @@ def _derive_write_batch(
     nodes_df = store.nodes()
     if nodes_df is None:
         raise ValueError("store is empty")
-    from neo4j_graphdb_spark.operators.cypher import Graph
-
     frame = _run_read(
         read_clauses,
-        Graph(nodes_df, store.edges()),
+        _store_graph(store, nodes_df),
         lits,
         params if isinstance(params, dict) else None,
     )
@@ -3886,8 +3935,22 @@ def _parse_scalar_expr(text: str):
         # negatives from the end, NULL out of range), dynamic property
         # access a[key], and list SLICES xs[lo..hi] (0-based,
         # end-exclusive, negatives from the end, either bound omittable
-        # — openCypher §4.1 list operators) — left-associative chains
-        while peek() == ("op", "["):
+        # — openCypher §4.1 list operators) — left-associative chains.
+        # A postfix `.field` on a computed value (`datetime().year`,
+        # `duration.between(a, b).days`) is a temporal-component access
+        # on the compiled base — same tfield node the chained
+        # `a.ts.year` property form produces.
+        while peek() in (("op", "["), ("op", ".")):
+            if peek() == ("op", "."):
+                take()
+                fk, fv = peek()
+                if fk != "name":
+                    raise CypherUnsupported(
+                        f"expected component after '.': {text!r}"
+                    )
+                take()
+                n = ("tfield", n, fv)
+                continue
             take()
             if peek() == ("op", ".."):  # xs[..hi]
                 take()
@@ -4068,6 +4131,17 @@ def _parse_scalar_expr(text: str):
                     inner = parse_expr()
                     expect_op(")")
                     return ("ttrunc", unit_ast, inner)
+                if v.lower() == "duration" and pv.lower() == "between":
+                    # duration.between(a, b) — Neo4j's instant
+                    # difference, decomposed into calendar months +
+                    # whole days + a seconds remainder (the three
+                    # component groups Neo4j's duration type keeps)
+                    expect_op("(")
+                    d1 = parse_expr()
+                    expect_op(",")
+                    d2 = parse_expr()
+                    expect_op(")")
+                    return ("dur_between", d1, d2)
                 if peek() == ("op", "."):
                     # chained access: a.ts.year — a temporal COMPONENT of
                     # the property (openCypher instant accessors)
@@ -4487,6 +4561,45 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     del lam_env[var]
 
             return F.aggregate(col, init_col, _merge), "other"
+        if kind == "dur_between":
+            # duration.between(a, b) — Neo4j's instant difference as a
+            # (months, days, seconds) struct: whole calendar months
+            # first (anchor-corrected, since a month has no fixed
+            # length), then whole days, then the seconds remainder.
+            # Negative when b < a — every component flips sign, Neo4j's
+            # own decomposition. Pure Catalyst datetime arithmetic.
+            ca, _ = rec(n[1])
+            cb, _ = rec(n[2])
+            ca, cb = ca.cast("timestamp"), cb.cast("timestamp")
+
+            def _dur_parts(x, y):
+                m_raw = (F.year(y) - F.year(x)) * 12 + (F.month(y) - F.month(x))
+                m = m_raw - F.when(
+                    F.timestamp_add("MONTH", m_raw, x) > y, F.lit(1)
+                ).otherwise(F.lit(0))
+                anchor = F.timestamp_add("MONTH", m, x)
+                total = (F.unix_micros(y) - F.unix_micros(anchor)) / F.lit(1e6)
+                days = F.floor(total / 86400)
+                secs = total - days * 86400
+                return m.cast("bigint"), days.cast("bigint"), secs.cast("double")
+
+            pm, pd, ps = _dur_parts(ca, cb)
+            nm, nd, ns = _dur_parts(cb, ca)
+            return (
+                F.when(
+                    cb >= ca,
+                    F.struct(
+                        pm.alias("months"), pd.alias("days"), ps.alias("seconds")
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (-nm).cast("bigint").alias("months"),
+                        (-nd).cast("bigint").alias("days"),
+                        (-ns).cast("double").alias("seconds"),
+                    )
+                ),
+                "other",
+            )
         if kind == "tfield":
             # a.ts.year / .month / … — openCypher instant component
             # accessors, each ONE Catalyst datetime function (pushdown-
@@ -4494,6 +4607,14 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             base, field = n[1], n[2]
             c, _ = rec(base)
             fl = field.lower()
+            if base[0] == "dur_between":
+                # duration components — fields of the struct above
+                if fl in ("months", "days", "seconds"):
+                    return c.getField(fl), ("float" if fl == "seconds" else "int")
+                raise CypherUnsupported(
+                    f"unsupported duration component {field!r} "
+                    "(supported: months days seconds)"
+                )
             simple = {
                 "year": F.year, "month": F.month, "day": F.dayofmonth,
                 "hour": F.hour, "minute": F.minute, "second": F.second,
@@ -4866,7 +4987,9 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
 
 
 _PRED_SPLIT_RE = re.compile(
-    r"<=|>=|<>|=|<|>|\(|\)|(?<![\w$])(?:CASE|END)(?![\w$])", re.IGNORECASE
+    r"<=|>=|<>|=~|=|<|>|\(|\)"
+    r"|(?<![\w$])(?:CASE|END|CONTAINS|STARTS_WITH|ENDS_WITH)(?![\w$])",
+    re.IGNORECASE,
 )
 
 _IS_NULL_TAIL_RE = re.compile(
@@ -4953,7 +5076,7 @@ def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
     rc, _ = _compile_scalar(
         _parse_scalar_expr(right), df, aliases, rel_alias, lits, params
     )
-    return _OPS[op](lc, rc)
+    return _op_fn(op)(lc, rc)
 
 
 def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
@@ -6129,29 +6252,8 @@ def _run_read(
             for prop, raw in _parse_value_props(n.group("props")):
                 predicates.append((alias, prop, "=", raw))
         elif c.kind == "OPTIONAL_MATCH":
-            if df is None or node_match is None:
-                raise CypherUnsupported("OPTIONAL MATCH needs a preceding node MATCH")
-            # a WITH horizon (possibly with mid-pipeline ORDER/LIMIT)
-            # narrowed the anchor set — expand_optional re-derives its
-            # left side from the scan, so capture the surviving anchor
-            # ids NOW and semi-join the expanded frame back onto them
-            # (silent row resurrection otherwise: `WITH a LIMIT 1
-            # OPTIONAL MATCH (a)-[…]->(b)` must expand ONE anchor)
-            opt_keep_ids = None
-            if in_with and with_narrowed:
-                if with_order:
-                    with_order = []
-                _sa0 = node_match[0]
-                _idc = f"{aliases.get(_sa0, '')}{NODE_ID}"
-                if _sa0 not in aliases or _idc not in df.columns:
-                    raise CypherUnsupported(
-                        "OPTIONAL MATCH after WITH needs the anchor "
-                        "alias carried through the WITH"
-                    )
-                opt_keep_ids = df.select(
-                    F.col(_idc).alias("_opt_anchor")
-                ).distinct()
-                in_with = False
+            if df is None:
+                raise CypherUnsupported("OPTIONAL MATCH needs a preceding MATCH")
             m = _REL_RE.match(c.body)
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
@@ -6163,28 +6265,94 @@ def _run_read(
                 raise CypherUnsupported(
                     "inline relationship properties are unsupported in OPTIONAL MATCH"
                 )
-            sa, s_label = node_match
             p_src, p_dst = m.group("src_alias"), m.group("dst_alias")
             opt_direction = _rel_direction(m)
-            if (p_src or sa) == sa and not m.group("src_label"):
+            # CHAINED leg: the anchor endpoint is already bound in the
+            # current frame under its column prefix (a previous rel
+            # MATCH or OPTIONAL MATCH leg — including an alias the
+            # previous OPTIONAL leg bound: a NULL anchor id never
+            # equi-joins, so openCypher's NULL-anchor rule falls out of
+            # the outer join). Left-joins onto the CURRENT frame, never
+            # rebuilding from the scan.
+            opt_chained = False
+            if p_src and aliases.get(p_src) == f"{p_src}_" and not m.group(
+                "src_label"
+            ):
+                opt_chained = True
+                sa, s_label = p_src, None
                 da = p_dst or "b"
                 opt_new_label = m.group("dst_label")
-            elif p_dst == sa and not m.group("dst_label") and p_src and p_src != sa:
-                # bound alias on the TARGET side — `MATCH (p:Pub)
-                # OPTIONAL MATCH (a:Article)-[:W]->(p)` — flip the
-                # pattern to the canonical source-anchored orientation
-                # (same rows: the left-outer expand is orientation-blind
-                # once direction is reversed with it)
-                da = p_src
+            elif p_dst and aliases.get(p_dst) == f"{p_dst}_" and not m.group(
+                "dst_label"
+            ) and p_src != p_dst:
+                opt_chained = True
+                sa, s_label = p_dst, None
+                da = p_src or "b"
                 opt_new_label = m.group("src_label")
                 opt_direction = {"out": "in", "in": "out"}.get(
                     opt_direction, "both"
                 )
-            else:
+            if opt_chained and da in aliases:
                 raise CypherUnsupported(
-                    "OPTIONAL MATCH must anchor one BARE endpoint on the "
-                    "alias bound by MATCH"
+                    f"OPTIONAL MATCH re-binds alias {da!r}"
                 )
+            # a WITH horizon (possibly with mid-pipeline ORDER/LIMIT)
+            # narrowed the anchor set — the scan-rebuild path below
+            # re-derives its left side from the scan, so capture the
+            # surviving anchor ids NOW and semi-join the expanded frame
+            # back onto them (silent row resurrection otherwise: `WITH a
+            # LIMIT 1 OPTIONAL MATCH (a)-[…]->(b)` must expand ONE
+            # anchor). The chained path joins onto the narrowed frame
+            # directly, so it needs no capture.
+            opt_keep_ids = None
+            if in_with and with_narrowed:
+                if with_order:
+                    with_order = []
+                if not opt_chained:
+                    if node_match is None:
+                        raise CypherUnsupported(
+                            "OPTIONAL MATCH needs a preceding node MATCH"
+                        )
+                    _sa0 = node_match[0]
+                    _idc = f"{aliases.get(_sa0, '')}{NODE_ID}"
+                    if _sa0 not in aliases or _idc not in df.columns:
+                        raise CypherUnsupported(
+                            "OPTIONAL MATCH after WITH needs the anchor "
+                            "alias carried through the WITH"
+                        )
+                    opt_keep_ids = df.select(
+                        F.col(_idc).alias("_opt_anchor")
+                    ).distinct()
+                in_with = False
+            if not opt_chained:
+                if node_match is None:
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH needs a preceding node MATCH"
+                    )
+                sa, s_label = node_match
+                if (p_src or sa) == sa and not m.group("src_label"):
+                    da = p_dst or "b"
+                    opt_new_label = m.group("dst_label")
+                elif (
+                    p_dst == sa and not m.group("dst_label")
+                    and p_src and p_src != sa
+                ):
+                    # bound alias on the TARGET side — `MATCH (p:Pub)
+                    # OPTIONAL MATCH (a:Article)-[:W]->(p)` — flip the
+                    # pattern to the canonical source-anchored orientation
+                    # (same rows: the left-outer expand is orientation-blind
+                    # once direction is reversed with it)
+                    da = p_src
+                    opt_new_label = m.group("src_label")
+                    opt_direction = {"out": "in", "in": "out"}.get(
+                        opt_direction, "both"
+                    )
+                else:
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH must anchor one BARE endpoint on "
+                        "an alias bound by a preceding MATCH or OPTIONAL "
+                        "MATCH leg"
+                    )
             # the node scan is re-expressed as the LEFT side of the
             # optional expand; deferred predicates on the source alias
             # re-resolve through its new column prefix
@@ -6252,14 +6420,24 @@ def _run_read(
                     return _on
 
                 on_extra = _make_on_extra(opt_ast)
-            df = graph.expand_optional(
-                rel_type=_rel_types(m.group("rel_type")),
-                src_label=_node_labels(s_label),
-                dst_label=_node_labels(opt_new_label),
-                src_alias=sa, dst_alias=da,
-                direction=opt_direction,
-                on_extra=on_extra,
-            )
+            if opt_chained:
+                df = graph.expand_optional_from(
+                    df,
+                    rel_type=_rel_types(m.group("rel_type")),
+                    dst_label=_node_labels(opt_new_label),
+                    src_alias=sa, dst_alias=da,
+                    direction=opt_direction,
+                    on_extra=on_extra,
+                )
+            else:
+                df = graph.expand_optional(
+                    rel_type=_rel_types(m.group("rel_type")),
+                    src_label=_node_labels(s_label),
+                    dst_label=_node_labels(opt_new_label),
+                    src_alias=sa, dst_alias=da,
+                    direction=opt_direction,
+                    on_extra=on_extra,
+                )
             if opt_keep_ids is not None:
                 # AQE picks broadcast for the (typically LIMIT-sized)
                 # anchor set; semi keeps per-anchor multiplicities
@@ -6271,9 +6449,28 @@ def _run_read(
             aliases[sa] = f"{sa}_"
             aliases[da] = f"{da}_"
             rel_alias = opt_rel
+            if opt_direction == "out":
+                rel_endpoints = (sa, da)
+            elif opt_direction == "in":
+                rel_endpoints = (da, sa)
+            else:
+                rel_endpoints = None
             rel_prefixed = True
         elif c.kind == "WHERE":
             body = c.body
+            if rel_alias and rel_endpoints:
+                # startNode(r)/endNode(r) in WHERE — the same textual
+                # rewrite onto the matched pattern's endpoint aliases
+                # that RETURN applies (a107): `startNode(r).prop = 'x'`
+                # becomes `sa.prop = 'x'` and flows through the normal
+                # predicate grammar
+                for fn0, al0 in (("startNode", rel_endpoints[0]),
+                                 ("endNode", rel_endpoints[1])):
+                    body = re.sub(
+                        rf"(?i)(?<![\w$]){fn0}\(\s*{re.escape(rel_alias)}\s*\)",
+                        al0,
+                        body,
+                    )
             # normalize null tests FIRST: `IS [NOT] NULL` masks to one
             # token so its NOT never triggers the boolean grammar, and
             # the legacy `exists(a.prop)` property test rewrites to it
@@ -6432,7 +6629,15 @@ def _run_read(
                     )
             if body.strip() == "*":
                 # RETURN * — every bound variable, alphabetical (the
-                # Neo4j column order); compiles as whole-entity items
+                # Neo4j column order); compiles as whole-entity items.
+                # A path variable is bound but has no entity projection
+                # (it is a traversal, not a node/rel) — refuse rather
+                # than project it as if it were a relationship alias
+                if path_bind is not None:
+                    raise CypherUnsupported(
+                        "RETURN * with a bound path variable is "
+                        "unsupported — name the variables explicitly"
+                    )
                 star = sorted(
                     [*aliases, rel_alias] if rel_alias else aliases
                 )

@@ -1111,7 +1111,7 @@ def q_a9_merge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = src.select("link", "publisher")
     store.merge_edges(pairs, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
     store.merge_edges(pairs, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
-    g = Graph(store.nodes(), store.edges())
+    g = Graph(store.nodes(), store.edges(), key_names=store.key_names())
     t = g.expand(rel_type="WRITTEN_BY", src_label="Article", dst_label="Publisher")
     return t.select(F.col("a_key").alias("link"), F.col("b_key").alias("publisher"))
 
@@ -8298,10 +8298,12 @@ def q_a103_text_list_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, open bounds, out-of-range clamps — openCypher §4.1). All pure
     column algebra — F.concat / F.slice with size-normalized bounds,
     one Catalyst expression per item, no UDFs (whole-stage codegen).
-    Slice + subscript chain exercises left-associativity."""
+    Slice + subscript chain exercises left-associativity. The list-typed
+    slice result is serialized with array_join per the a81 convention —
+    the driver's pandas canonicalizer cannot hash raw ArrayType cells."""
     from neo4j_graphdb_spark.operators.cypher_text import run_cypher
 
-    return run_cypher(
+    res = run_cypher(
         spark,
         "MATCH (a:Article) "
         "WITH a.link AS link, split(a.title, ' ') AS toks "
@@ -8312,6 +8314,9 @@ def q_a103_text_list_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "link || '#' || size(toks) AS tagged",
         graph=article_graph(spark, sf_dir),
     ).df
+    return res.select(
+        "link", "n1", F.array_join("head2", "|").alias("head2"), "lastw", "tagged"
+    )
 
 
 def q_a104_text_optional_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13274,7 +13279,7 @@ ORACLES["a103_text_list_algebra"] = """
     )
     SELECT link,
            (len(toks) + 1)::bigint AS n1,
-           list_slice(list_append(toks, 'END'), 1, 2) AS head2,
+           array_to_string(list_slice(list_append(toks, 'END'), 1, 2), '|') AS head2,
            toks[len(toks)] AS lastw,
            link || '#' || cast(len(toks) AS varchar) AS tagged
     FROM t

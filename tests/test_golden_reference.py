@@ -5686,3 +5686,25 @@ def test_text_call_bare_and_aggregate_tail(spark, tmp_path):
     # a tail without YIELD stays out (no names to reference)
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "CALL db.labels() RETURN label", store=s)
+
+
+def test_driver_window_no_list_outputs(spark, sf_dir):
+    """Driver-canonicalizer contract: no entry in the active driver window
+    (the first 60 registry entries — the driver checks the first 50 per
+    round) may return a top-level ArrayType/MapType column. The driver
+    hashes results via pandas sort_values over every output column and a
+    raw list/map cell is unhashable there — the exact failure class that
+    made a103 the only red of round 13 (and a81 of r11). List outputs
+    must be serialized with array_join (the a81 convention). The full
+    303-entry sweep lives in scripts/check_canonicalizable.py (~6 min)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from neo4j_graphdb_spark.registry import QUERIES
+
+    bad = []
+    for name in list(QUERIES)[:60]:
+        df = QUERIES[name](spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType)):
+                bad.append((name, field.name, field.dataType.simpleString()))
+    assert bad == []
