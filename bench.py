@@ -93,6 +93,12 @@ HEADLINE = [
     # late round 13 — DCLM-style model-based quality gate (hashed
     # features + sparse dot product, integer margin; pure column algebra)
     "c136_quality_classifier",
+    # round 14 additions — chained OPTIONAL MATCH (two left-outer legs
+    # on the live frame, the second anchored on the first's optional
+    # alias) and the duration.between decomposition over 100k events
+    # (pure Catalyst datetime arithmetic, zero UDFs)
+    "a109_text_optional_chain",
+    "a110_text_temporal_between",
 ]
 
 

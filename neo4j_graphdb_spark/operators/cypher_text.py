@@ -3576,7 +3576,7 @@ def _run_write(
                 cols.append(_prop_value(param).alias(prop))
                 names.append(prop)
             total = total + store.create_nodes(
-                pdf.select(*cols),
+                pdf.filter(_key_expr(np).isNotNull()).select(*cols),
                 label=np.label,
                 key_col=np.key_prop,
                 prop_cols=names or None,
@@ -3606,8 +3606,13 @@ def _run_write(
                 cols.append(_prop_value(param).alias(prop))
                 names.append(prop)
             group_cols[group] = names
+        # NULL-key rows SKIP the write (an OPTIONAL MATCH prefix feeds
+        # NULL cells on unmatched rows; a merge keyed on one must not
+        # materialize a null-key node — Neo4j refuses a null merge key,
+        # and in a bulk batch the per-row analogue is to skip the row)
         total = total + store.merge_nodes(
-            pdf.select(*cols), label=np.label, key_col=np.key_prop, **group_cols
+            pdf.filter(_key_expr(np).isNotNull()).select(*cols),
+            label=np.label, key_col=np.key_prop, **group_cols,
         )
     for ep in edges:
         rel_type, ecreate = ep.rel_type, ep.create
@@ -3648,6 +3653,10 @@ def _run_write(
             _key_expr(s).alias("_src_key"),
             _key_expr(d).alias("_dst_key"),
             *prop_sel,
+        ).filter(
+            # a NULL endpoint key contributes no edge (same skip rule as
+            # the node path — OPTIONAL-prefix rows with no match)
+            F.col("_src_key").isNotNull() & F.col("_dst_key").isNotNull()
         )
         # MATCH-anchored endpoints: the edge exists only where the
         # anchor node does — semi-join the batch against the store's

@@ -5708,3 +5708,193 @@ def test_driver_window_no_list_outputs(spark, sf_dir):
             if isinstance(field.dataType, (ArrayType, MapType)):
                 bad.append((name, field.name, field.dataType.simpleString()))
     assert bad == []
+
+
+def _small_article_graph(spark):
+    from neo4j_graphdb_spark.model import as_edges, as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    arts = spark.createDataFrame(
+        [("a1", "The Data Guide", "P1"), ("a2", "spark notes", "P1"),
+         ("a3", "other", "P2")],
+        "link string, title string, pub string",
+    )
+    pubs = spark.createDataFrame([("P1",), ("P2",), ("P3",)], "pub string")
+    nodes = as_nodes(arts, "Article", "link", ["title"]).unionByName(
+        as_nodes(pubs, "Publisher", "pub", []), allowMissingColumns=True
+    )
+    return Graph(
+        nodes,
+        as_edges(arts, "WRITTEN_BY", "Article", "link", "Publisher", "pub"),
+    )
+
+
+def test_text_where_string_expr_operands(spark):
+    """a108 semantics matrix: expression operands on EITHER side of the
+    Cypher string predicates in WHERE, composing under OR/NOT/parens
+    and with parameters — every row one (query, expected-links) pin."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    g = _small_article_graph(spark)
+    cases = [
+        ("WHERE toLower(a.title) CONTAINS 'data'", ["a1"]),
+        ("WHERE trim(a.title) STARTS WITH 'spark'", ["a2"]),
+        ("WHERE replace(a.title, ' ', '_') ENDS WITH '_notes'", ["a2"]),
+        ("WHERE toLower(a.title) =~ '.*data.*'", ["a1"]),
+        ("WHERE toUpper(a.title) CONTAINS $x", ["a1"]),
+        # computed operand on the RIGHT side too (CONTAINS is
+        # case-sensitive: trim keeps the capitalized literal intact)
+        ("WHERE a.title CONTAINS trim('  Data ')", ["a1"]),
+        # boolean composition: call parens must survive the bool grammar
+        ("WHERE NOT (toLower(a.title) CONTAINS 'data' "
+         "OR toLower(a.title) CONTAINS 'spark')", ["a3"]),
+        ("WHERE a.link = 'a3' OR NOT toLower(a.title) CONTAINS 'e'", ["a3"]),
+    ]
+    for where, want in cases:
+        rows = run_cypher(
+            spark,
+            f"MATCH (a:Article) {where} RETURN a.link AS l ORDER BY l",
+            graph=g,
+            params={"x": "DATA"},
+        ).df.collect()
+        assert [x["l"] for x in rows] == want, (where, rows)
+
+
+def test_text_chained_optional_match(spark):
+    """a109: chained OPTIONAL MATCH legs left-join onto the CURRENT
+    frame; an anchor the previous optional leg bound follows
+    openCypher's NULL-anchor rule (NULL id joins nothing, row
+    survives); re-binding an alias refuses."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    g = _small_article_graph(spark)
+    # leg1 ON-filters to P1 publishers only; leg2 anchors on the
+    # optional p: a3's P2 row has p NULL, so its sibling count is 0
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article) "
+        "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p) WHERE p.pub = 'P1' "
+        "OPTIONAL MATCH (p)<-[:WRITTEN_BY]-(o) "
+        "RETURN a.link AS l, p.pub AS pub, count(o.link) AS n "
+        "ORDER BY l",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [
+        ("a1", "P1", 2), ("a2", "P1", 2), ("a3", None, 0),
+    ]
+    # chained leg after a rel MATCH head (no node_match bound)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(q) "
+        "RETURN count(*) AS n, count(q.pub) AS nq",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [(3, 3)]
+    with pytest.raises(CypherUnsupported, match="re-binds"):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p) "
+            "OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p) RETURN a.link AS l",
+            graph=g,
+        )
+
+
+def test_text_duration_between_and_constructor_accessors(spark):
+    """a110: datetime('…').year composes (postfix tfield on the fn
+    value); duration.between pins Neo4j's anchor-corrected
+    (months, days, seconds) decomposition including the clamped
+    month-end case and the negative direction."""
+    import pytest
+
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    g = Graph(
+        as_nodes(spark.createDataFrame([("k1",)], "k string"), "Doc", "k", []),
+        None,
+    )
+    pre = "duration.between(datetime('2023-01-31T10:00:00'), datetime('2024-03-01T09:30:00'))"
+    rows = run_cypher(
+        spark,
+        f"MATCH (d:Doc) RETURN datetime('2024-03-15T10:30:00').year AS cy, "
+        f"datetime('2024-03-15T10:30:00').month AS cm, "
+        f"{pre}.months AS mo, {pre}.days AS dd, {pre}.seconds AS ss, "
+        "duration.between(datetime('2024-03-01T00:00:00'), "
+        "datetime('2023-01-31T00:00:00')).months AS neg",
+        graph=g,
+    ).df.collect()
+    # +13 months from Jan 31 clamps to Feb 29 (leap); remainder 23.5 h
+    assert [tuple(x) for x in rows] == [(2024, 3, 13, 0, 84600.0, -13)]
+    with pytest.raises(CypherUnsupported, match="duration component"):
+        run_cypher(
+            spark, f"MATCH (d:Doc) RETURN {pre}.weeks AS w", graph=g
+        )
+
+
+def test_text_startend_node_in_where(spark):
+    """a111: startNode()/endNode() in WHERE resolve through the same
+    directed-endpoint rewrite as RETURN, composing with expression
+    operands."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    g = _small_article_graph(spark)
+    rows = run_cypher(
+        spark,
+        "MATCH (p:Publisher)<-[r:WRITTEN_BY]-(a:Article) "
+        "WHERE toLower(startNode(r).title) CONTAINS 'data' "
+        "AND endNode(r).pub <> 'P9' "
+        "RETURN startNode(r).link AS l, endNode(r).pub AS pub",
+        graph=g,
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [("a1", "P1")]
+
+
+def test_text_optional_prefix_write_null_skip(spark, tmp_path):
+    """a112: a derived write fed by an OPTIONAL MATCH prefix SKIPS rows
+    whose merge key is NULL — no null-key node ever materializes — and
+    edges skip when EITHER endpoint key is NULL."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "ow"))
+    batch = spark.createDataFrame(
+        [("a1", "p1"), ("a2", "p1"), ("a3", None)],
+        "link string, publisher string",
+    )
+    s.merge_nodes(batch.select("link"), label="Article", key_col="link")
+    s.merge_nodes(
+        batch.select("publisher").where("publisher is not null").distinct(),
+        label="Publisher", key_col="publisher",
+    )
+    s.merge_edges(
+        batch.where("publisher is not null"),
+        "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+    )
+    r = run_cypher(
+        spark,
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "MERGE (m:Mirror {key: p.key}) SET m.flag = 'y'",
+        store=s,
+    )
+    assert r.summary.nodes_created == 1  # p1 only — a3's NULL row skipped
+    rows = run_cypher(
+        spark, "MATCH (m:Mirror) RETURN m.key AS k, m.flag AS f", store=s
+    ).df.collect()
+    assert [tuple(x) for x in rows] == [("p1", "y")]
+    # edge write: NULL endpoint key contributes no edge
+    r2 = run_cypher(
+        spark,
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[:WRITTEN_BY]->(p:Publisher) "
+        "MERGE (a)-[:ALSO_BY]->(p)",
+        store=s,
+    )
+    assert r2.summary.relationships_created == 2
