@@ -286,6 +286,14 @@ _SET_ITEM_RE = re.compile(
 # untouched props; our SET coalesce semantics already do)
 _SET_MAP_RE = re.compile(r"^(?P<alias>\w+)\s*\+=\s*\$(?P<param>\w+)$")
 
+# `ON MATCH SET n.p = n.p + <numeric>` — the MERGE counter idiom: the
+# addend (numeric literal or param) rides the batch as its own column
+# and the writer applies old + addend to matched rows only
+_SET_INCR_RE = re.compile(
+    r"^(?P<alias>\w+)\.(?P<prop>\w+)\s*=\s*(?P<alias2>\w+)\.(?P<prop2>\w+)"
+    r"\s*\+\s*(?:\$(?P<param>\w+)|(?P<litval>-?\d+(?:\.\d+)?))$"
+)
+
 _RETURN_ITEM_RE = re.compile(
     r"^(?P<alias>\w+)(?:\.(?P<prop>\w+))?(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
 )
@@ -447,6 +455,8 @@ class _NodePattern:
     # prop name -> param name, or None for datetime()
     create_props: dict[str, str | None] = field(default_factory=dict)  # ON CREATE SET
     match_props: dict[str, str | None] = field(default_factory=dict)  # ON MATCH SET
+    # ON MATCH SET p = p + <v> (counter idiom): prop -> addend encoding
+    match_add_props: dict[str, object] = field(default_factory=dict)
     create: bool = False  # CREATE (duplicate-allowed insert) vs MERGE upsert
     match_only: bool = False  # MATCH anchor in a write: read-only, never created
 
@@ -3486,6 +3496,30 @@ def _run_write(
                     continue
                 m = _SET_ITEM_RE.match(item)
                 if not m:
+                    inc = _SET_INCR_RE.match(item) if mode == "MATCH" else None
+                    if (
+                        inc
+                        and inc.group("alias") == inc.group("alias2")
+                        and inc.group("prop") == inc.group("prop2")
+                    ):
+                        # MERGE counter: ON MATCH SET n.p = n.p + <v>
+                        npi = nodes.get(inc.group("alias"))
+                        if npi is None:
+                            raise CypherUnsupported(
+                                f"SET on unbound alias: {item!r}"
+                            )
+                        if inc.group("param"):
+                            npi.match_add_props[inc.group("prop")] = inc.group(
+                                "param"
+                            )
+                        else:
+                            npi.match_add_props[inc.group("prop")] = (
+                                "lit",
+                                _where_value(
+                                    inc.group("litval"), lits or [], None
+                                ),
+                            )
+                        continue
                     raise CypherUnsupported(f"unsupported SET item: {item!r}")
                 np = nodes.get(m.group("alias")) or edge_aliases.get(
                     m.group("alias")
@@ -3556,7 +3590,8 @@ def _run_write(
     for alias in node_order:
         np = nodes[alias]
         if np.match_only:
-            if np.set_props or np.create_props or np.match_props:
+            if (np.set_props or np.create_props or np.match_props
+                    or np.match_add_props):
                 raise CypherUnsupported(
                     "SET on a MATCH-anchored alias inside a write statement "
                     "is unsupported — use the MATCH … SET update statement"
@@ -3565,7 +3600,7 @@ def _run_write(
         if np.create:
             # CREATE: duplicate-allowed insert — every prop is a created
             # prop (there is no matched branch to condition on)
-            if np.create_props or np.match_props:
+            if np.create_props or np.match_props or np.match_add_props:
                 raise CypherUnsupported(
                     "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
                     "always creates)"
@@ -3606,13 +3641,26 @@ def _run_write(
                 cols.append(_prop_value(param).alias(prop))
                 names.append(prop)
             group_cols[group] = names
+        # MERGE counter idiom — each incremented prop's addend rides the
+        # batch as its own column; the writer applies old + addend to
+        # matched rows only (ON CREATE value, when given, to created)
+        match_add: dict[str, str] = {}
+        for prop, enc in np.match_add_props.items():
+            if prop in np.set_props or prop in np.match_props:
+                raise CypherUnsupported(
+                    f"{prop!r} is both plainly SET and match-incremented"
+                )
+            addc = f"__madd_{prop}"
+            cols.append(_prop_value(enc).alias(addc))
+            match_add[prop] = addc
         # NULL-key rows SKIP the write (an OPTIONAL MATCH prefix feeds
         # NULL cells on unmatched rows; a merge keyed on one must not
         # materialize a null-key node — Neo4j refuses a null merge key,
         # and in a bulk batch the per-row analogue is to skip the row)
         total = total + store.merge_nodes(
             pdf.filter(_key_expr(np).isNotNull()).select(*cols),
-            label=np.label, key_col=np.key_prop, **group_cols,
+            label=np.label, key_col=np.key_prop,
+            match_add_cols=match_add or None, **group_cols,
         )
     for ep in edges:
         rel_type, ecreate = ep.rel_type, ep.create
@@ -3834,7 +3882,7 @@ _EXPR_TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>\x00\d+\x00)"
     r"|(?P<param>\$\w+)"
-    r"|(?P<cmp><=|>=|<>|=|<|>)"
+    r"|(?P<cmp><=|>=|<>|=~|=|<|>)"
     r"|(?P<name>\w+)"
     r"|(?P<op>\|\||\.\.|[+\-*/%^(),.\[\]|{}:]))"
 )
@@ -4179,6 +4227,16 @@ def _parse_scalar_expr(text: str):
             expect_keyword("NULL")
             return ("isnull", left, neg)
         k, op = peek()
+        if k == "name" and (op or "").upper() in (
+            "CONTAINS", "STARTS_WITH", "ENDS_WITH",
+        ):
+            # string predicates as CASE WHEN conditions (`CASE WHEN
+            # a.title CONTAINS 'x' THEN …` — the idiomatic recode);
+            # normalized to the spaced _OPS spelling
+            take()
+            return (
+                "cmp", op.upper().replace("_", " "), left, parse_expr()
+            )
         if k != "cmp":
             raise CypherUnsupported(
                 f"CASE WHEN needs a comparison or IS [NOT] NULL: {text!r}"
@@ -4757,6 +4815,25 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if ia not in aliases:
                 raise CypherUnsupported(f"id() on unbound alias: {ia!r}")
             return F.col(f"{aliases[ia]}{NODE_ID}"), "int"
+        if fname == "type":
+            # type(r) as a VALUE expression (aggregating RETURN, CASE,
+            # concat — anywhere the scalar compiler runs): the matched
+            # relationship's type column, same resolution as the
+            # RETURN-item fast path
+            need(1)
+            if (
+                args[0][0] != "name"
+                or rel_alias is None
+                or args[0][1] != rel_alias
+            ):
+                raise CypherUnsupported(
+                    "type() needs the bound relationship alias"
+                )
+            if "rel_type" not in df.columns:
+                raise CypherUnsupported(
+                    "type() needs a relationship pattern in scope"
+                )
+            return F.col("rel_type"), "str"
         if fname == "labels":
             # labels(n) as a VALUE expression (membership tests, size):
             # [primary] ++ sorted extras — identical construction to the
@@ -5072,6 +5149,19 @@ def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
                 df, aliases, rel_alias, lits, params,
             )
             return F.array_contains(rc, lc)
+        # a bare BOOLEAN-valued expression as the whole conjunct
+        # (`WHERE isEmpty(a.xs)`, `WHERE toBoolean(a.flag)`, `WHERE
+        # a.ok`): compile it and verify the type really is boolean —
+        # schema-only analysis, no job — so non-boolean leaves still
+        # refuse instead of silently coercing
+        try:
+            col, _ = _compile_scalar(
+                _parse_scalar_expr(item), df, aliases, rel_alias, lits, params
+            )
+            if df.select(col.alias("_p")).schema[0].dataType.simpleString() == "boolean":
+                return col
+        except CypherUnsupported:
+            pass
         raise CypherUnsupported(f"unsupported WHERE predicate: {item!r}")
     if split[0] == "isnull":
         c, _ = _compile_scalar(
@@ -6513,6 +6603,19 @@ def _run_read(
                     return f"\x01{len(temporal_cols) - 1}\x01"
 
                 body = _TEMPORAL_EXPR_RE.sub(_stash, body)
+                # reversed comparand order — `datetime() - duration(…)
+                # < a.ts` — flips onto the canonical prop-on-the-left
+                # shape the item grammar takes (sentinels only ever
+                # come from the stash above, so the rewrite is safe)
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                        "=": "=", "<>": "<>"}
+                body = re.sub(
+                    r"(\x01\d+\x01)\s*(<=|>=|<>|=|<|>)\s*(\w+\.\w+)",
+                    lambda m: (
+                        f"{m.group(3)} {flip[m.group(2)]} {m.group(1)}"
+                    ),
+                    body,
+                )
             has_bool = re.search(
                 r"(?<![.$\w])(?:OR|XOR|NOT)\b", body, re.IGNORECASE
             )

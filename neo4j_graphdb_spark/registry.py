@@ -8578,6 +8578,61 @@ def q_a112_text_optional_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a113_text_predicate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A113 ext (r14) — the predicate-composition pack (all probed
+    refusals this round): string predicates as CASE WHEN conditions
+    (``CASE WHEN a.title CONTAINS 'x' THEN …`` — the idiomatic recode),
+    ``type(r)`` as a value expression inside an aggregating RETURN,
+    ``=~`` full-match regex as a VALUE (anchored rlike — Cypher's
+    full-match vs Java's substring semantics), and a bare BOOLEAN
+    function call as a WHERE conjunct (``NOT isEmpty(…)`` — type-checked
+    schema-only, non-boolean leaves still refuse). One broadcast
+    one-hop expand + implicit-grouping aggregation, no UDFs."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE NOT isEmpty(a.title) "
+        "RETURN type(r) AS t, "
+        "CASE WHEN toLower(a.title) CONTAINS 'data' THEN 'data' "
+        "ELSE 'other' END AS cls, "
+        "a.title =~ '.*data.*' AS m, "
+        "count(*) AS n",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a114_text_merge_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A114 ext (r14) — the MERGE counter idiom, Neo4j's canonical
+    ``ON CREATE SET n.c = 1 ON MATCH SET n.c = n.c + 1`` (GraphAcademy
+    example #1 for MERGE; a probed refusal this round): the SAME prop
+    takes different values per branch, the ON MATCH value referencing
+    the OLD stored cell. The addend rides the batch as its own column
+    and the writer applies old + addend to matched rows inside the one
+    full-outer merge join (``writer.merge_nodes(match_add_cols=…)``) —
+    no read-modify-write round trip, still one bucketed partial
+    rewrite. Run twice over the distinct sources: every counter lands
+    at exactly 2."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a114_"))
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("name"))
+        .distinct()
+    )
+    stmt = (
+        "UNWIND $rows AS row MERGE (t:Cnt {name: row.name}) "
+        "ON CREATE SET t.c = 1 ON MATCH SET t.c = t.c + 1"
+    )
+    run_cypher(spark, stmt, store=store, params=batch)
+    run_cypher(spark, stmt, store=store, params=batch)
+    return run_cypher(
+        spark, "MATCH (t:Cnt) RETURN t.name AS name, t.c AS c", store=store
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9457,9 +9512,12 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r14 additions (a108 WHERE expression-operand string predicates, a109
 #   chained OPTIONAL MATCH, a110 duration.between + constructor
 #   accessors, a111 startNode/endNode in WHERE, a112 OPTIONAL-prefix
-#   derived write with NULL-key skip), then the ENTIRE stale-since-r5
+#   derived write with NULL-key skip, a113 predicate-composition
+#   pack, a114 MERGE counter idiom), then the ENTIRE stale-since-r5
 #   relational suite (all 23 rel_* entries, last driver rows r05) and
-#   the first 21 of the r6-era a17-a53 block (a17-a37).
+#   the first 19 of the r6-era a17-a53 block (a17-a35; a36/a37
+#   spilled past slot 50 when a113/a114 landed - locally green this
+#   round).
 #   Still unrotated for r15: the rest of the r6-era block (a42-a44,
 #   a38-a41, a45-a48, a50-a53 - 16 entries) plus everything whose last
 #   row predates r10 as listed in CORRECTNESS_r*.json; the r13 window
@@ -9473,6 +9531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a110_text_temporal_between": q_a110_text_temporal_between,
     "a111_text_startend_where": q_a111_text_startend_where,
     "a112_text_optional_write": q_a112_text_optional_write,
+    "a113_text_predicate_values": q_a113_text_predicate_values,
+    "a114_text_merge_counter": q_a114_text_merge_counter,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -13467,6 +13527,22 @@ ORACLES["a112_text_optional_write"] = """
     SELECT DISTINCT source AS pub, 'y' AS flag
     FROM documents
     WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a114_text_merge_counter"] = """
+    SELECT DISTINCT source AS name, 2::int AS c FROM documents
+"""
+
+ORACLES["a113_text_predicate_values"] = """
+    WITH t AS (SELECT substr(text, 1, 40) AS title FROM documents)
+    SELECT 'WRITTEN_BY' AS t,
+           CASE WHEN contains(lower(title), 'data') THEN 'data'
+                ELSE 'other' END AS cls,
+           regexp_full_match(title, '.*data.*') AS m,
+           count(*)::bigint AS n
+    FROM t
+    WHERE NOT (length(title) = 0)
+    GROUP BY 1, 2, 3
 """
 
 ORACLES["c136_quality_classifier"] = f"""

@@ -406,6 +406,7 @@ class GraphStore:
         order_col: str | None = None,
         create_prop_cols: list[str] | None = None,
         match_prop_cols: list[str] | None = None,
+        match_add_cols: dict[str, str] | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (n:label {key}) SET n.p1=…, n.p2=…``.
 
@@ -419,11 +420,22 @@ class GraphStore:
         rows this merge CREATES (resp. rows that already existed) —
         first-seen stamps and update-only mutations in one batch pass.
         A column may appear in only one of the three prop lists.
+
+        ``match_add_cols`` — ``{prop: addend_batch_column}`` — is the
+        Cypher MERGE counter idiom ``ON MATCH SET n.p = n.p + <v>``:
+        matched rows take ``old value + addend`` (a NULL old value or
+        NULL addend keeps the old cell — Neo4j's NULL-propagating
+        arithmetic composed with the writer's NULL-keeps-old SET).
+        A prop here may ALSO sit in ``create_prop_cols`` (the classic
+        ``ON CREATE SET n.p = 1 ON MATCH SET n.p = n.p + 1``), carried
+        as two batch columns; it may not repeat in prop_cols or
+        match_prop_cols.
         """
         self._record_key_name(label, key_col)
         prop_cols = prop_cols or []
         create_prop_cols = create_prop_cols or []
         match_prop_cols = match_prop_cols or []
+        match_add_cols = match_add_cols or {}
         groups = [set(prop_cols), set(create_prop_cols), set(match_prop_cols)]
         for i in range(3):
             for j in range(i + 1, 3):
@@ -432,19 +444,41 @@ class GraphStore:
                         f"prop column(s) {sorted(groups[i] & groups[j])} appear "
                         "in more than one of prop_cols/create_prop_cols/match_prop_cols"
                     )
+        bad_add = set(match_add_cols) & (set(prop_cols) | set(match_prop_cols))
+        if bad_add:
+            raise ValueError(
+                f"match_add prop(s) {sorted(bad_add)} may not repeat in "
+                "prop_cols/match_prop_cols"
+            )
+        add_props = sorted(match_add_cols)
+        add_cols = [match_add_cols[p] for p in add_props]
         all_prop_cols = prop_cols + create_prop_cols + match_prop_cols
-        carry = all_prop_cols + (
-            [order_col] if order_col and order_col not in all_prop_cols else []
+        carry = all_prop_cols + add_cols + (
+            [order_col]
+            if order_col and order_col not in all_prop_cols
+            else []
         )
         incoming = as_nodes(updates, label, key_col, carry)
+        for p in add_props:
+            if p not in incoming.columns:
+                # match_add-only prop (no ON CREATE value): created rows
+                # keep it absent — a typed NULL batch column gives the
+                # merged schema the prop at the addend's type
+                incoming = incoming.withColumn(
+                    p,
+                    F.lit(None).cast(
+                        incoming.schema[match_add_cols[p]].dataType
+                    ),
+                )
+                all_prop_cols = all_prop_cols + [p]
 
         # within-batch last-writer-wins (B8 in-batch dedup). Rows sharing a
         # node_id also share `key`, so ordering must tie-break on content
         # (a hash of the property values) to stay deterministic when no
         # order_col is given.
         content_tiebreak = F.xxhash64(
-            *[F.col(c).cast("string") for c in all_prop_cols]
-        ) if all_prop_cols else F.lit(0)
+            *[F.col(c).cast("string") for c in all_prop_cols + add_cols]
+        ) if (all_prop_cols or add_cols) else F.lit(0)
         order = (
             [F.col(order_col).desc()] if order_col else []
         ) + [content_tiebreak.desc()]
@@ -468,8 +502,9 @@ class GraphStore:
         existing = self._nodes.read(self.spark)
         if existing is None:
             # fresh store: every row is CREATED — ON CREATE props apply as
-            # plain columns, ON MATCH props cannot apply (no prior row)
-            merged = incoming
+            # plain columns, ON MATCH props cannot apply (no prior row),
+            # match-add addends drop unapplied
+            merged = incoming.drop(*add_cols) if add_cols else incoming
             for c in match_prop_cols:
                 merged = merged.withColumn(
                     c, F.lit(None).cast(incoming.schema[c].dataType)
@@ -508,9 +543,10 @@ class GraphStore:
         all_props = sorted(
             (set(touched.columns) | set(incoming.columns))
             - {NODE_ID, "label", "key", BUCKET_COL}
+            - set(add_cols)  # addends are inputs, never stored props
         )
         old = _with_missing(touched, incoming, all_props).alias("old")
-        new = _with_missing(incoming, touched, all_props).alias("new")
+        new = _with_missing(incoming, touched, all_props + add_cols).alias("new")
 
         # MERGE = full outer on deterministic id; SET = column-wise coalesce.
         # Persisted so the counter pass and the write pass execute the join
@@ -519,6 +555,20 @@ class GraphStore:
         is_created = F.col("old.label").isNull()
 
         def _prop_expr(c: str):
+            if c in match_add_cols:
+                # counter idiom: matched rows take old + addend (NULL old
+                # or NULL addend keeps the old cell); created rows take
+                # the ON CREATE value when one rides the batch, else stay
+                # bare
+                addend = F.col(f"new.{match_add_cols[c]}")
+                created_val = (
+                    F.col(f"new.{c}")
+                    if c in create_prop_cols
+                    else F.col(f"old.{c}")
+                )
+                return F.when(is_created, created_val).otherwise(
+                    F.coalesce(F.col(f"old.{c}") + addend, F.col(f"old.{c}"))
+                )
             if c in create_prop_cols:
                 # ON CREATE SET: only rows this merge creates take the value
                 return F.when(is_created, F.col(f"new.{c}")).otherwise(
@@ -540,6 +590,19 @@ class GraphStore:
         ).withColumn(BUCKET_COL, _bucket_of(F.col("key")))
 
         def _prop_count(c: str):
+            if c in match_add_cols and c not in create_prop_cols:
+                return F.count(
+                    F.when(
+                        ~is_created,
+                        F.col(f"old.{c}") + F.col(f"new.{match_add_cols[c]}"),
+                    )
+                )
+            if c in match_add_cols:  # also ON CREATE: both branches book
+                return F.count(
+                    F.when(is_created, F.col(f"new.{c}")).otherwise(
+                        F.col(f"old.{c}") + F.col(f"new.{match_add_cols[c]}")
+                    )
+                )
             if c in create_prop_cols:
                 return F.count(F.when(is_created, F.col(f"new.{c}")))
             if c in match_prop_cols:
@@ -549,7 +612,8 @@ class GraphStore:
         # one action computes both counters from the persisted join; the
         # non-null new.* cells equal the deduped incoming cells, so this
         # avoids re-executing the incoming plan just to count it
-        counted = prop_cols + create_prop_cols + match_prop_cols
+        counted = (prop_cols + match_prop_cols + add_props
+                   + [c for c in create_prop_cols if c not in match_add_cols])
         row = joined.agg(
             F.count(F.when(F.col("old.label").isNull(), F.lit(1))).alias("_created"),
             *[_prop_count(c).alias(c) for c in counted],

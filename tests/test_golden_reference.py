@@ -5898,3 +5898,61 @@ def test_text_optional_prefix_write_null_skip(spark, tmp_path):
         store=s,
     )
     assert r2.summary.relationships_created == 2
+
+
+def test_text_predicate_composition_pack(spark):
+    """a113: string predicates as CASE WHEN conditions, type(r) as a
+    value expression (aggregates, concat), =~ full-match as a VALUE,
+    bare boolean function calls as WHERE conjuncts, and the reversed
+    temporal comparand (`datetime(…) < e.ts`)."""
+    import pytest
+
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    g = _small_article_graph(spark)
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE NOT isEmpty(a.title) "
+        "RETURN type(r) AS t, "
+        "CASE WHEN toLower(a.title) CONTAINS 'data' THEN 'd' ELSE 'o' END AS c, "
+        "a.title =~ '(?i).*data.*' AS m, count(*) AS n",
+        graph=g,
+    ).df.collect()
+    assert sorted(tuple(x) for x in rows) == [
+        ("WRITTEN_BY", "d", True, 1), ("WRITTEN_BY", "o", False, 2),
+    ]
+    # type(r) concatenates like any string value
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN DISTINCT type(r) || '@' || p.pub AS tp ORDER BY tp",
+        graph=g,
+    ).df.collect()
+    assert [x["tp"] for x in rows] == ["WRITTEN_BY@P1", "WRITTEN_BY@P2"]
+    # a bare NON-boolean expression as a WHERE conjunct still refuses
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE a.title RETURN a.link AS l",
+            graph=g,
+        )
+    # reversed temporal comparand flips onto the canonical shape
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    ev = spark.createDataFrame(
+        [("e1", "2024-01-10 00:00:00"), ("e2", "2024-01-20 00:00:00")],
+        "k string, ts_s string",
+    ).selectExpr("k", "cast(ts_s as timestamp) as ts")
+    ge = Graph(as_nodes(ev, "Ev", "k", ["ts"]), None)
+    rows = run_cypher(
+        spark,
+        "MATCH (e:Ev) WHERE datetime('2024-01-15T00:00:00') < e.ts "
+        "RETURN e.k AS k",
+        graph=ge,
+    ).df.collect()
+    assert [x["k"] for x in rows] == ["e2"]

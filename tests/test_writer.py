@@ -608,3 +608,43 @@ def test_store_records_label_key_names(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "label_keys.json"))
     with open(os.path.join(root, "label_keys.json")) as f:
         assert json.load(f)["Article"] == "link"
+
+
+def test_merge_counter_idiom(spark, tmp_path):
+    """a114: ON CREATE SET n.c = 1 ON MATCH SET n.c = n.c + 1 — the
+    writer's match_add_cols applies old + addend to matched rows inside
+    the one merge join; created rows take the ON CREATE value; NULL
+    old/addend keeps the cell; counters book every applied cell."""
+    from neo4j_graphdb_spark.writer import GraphStore
+    import pyspark.sql.functions as F
+
+    s = GraphStore(spark, str(tmp_path / "ctr"))
+    batch = spark.createDataFrame(
+        [("a", 1, 1), ("b", 1, 1)], "k string, c int, c_add int"
+    )
+    r1 = s.merge_nodes(
+        batch, label="T", key_col="k",
+        create_prop_cols=["c"], match_add_cols={"c": "c_add"},
+    )
+    assert (r1.nodes_created, r1.properties_set) == (2, 2)
+    r2 = s.merge_nodes(
+        batch, label="T", key_col="k",
+        create_prop_cols=["c"], match_add_cols={"c": "c_add"},
+    )
+    assert (r2.nodes_created, r2.properties_set) == (0, 2)
+    rows = {x["key"]: x["c"] for x in s.nodes().collect()}
+    assert rows == {"a": 2, "b": 2}
+    # match_add-only prop (no ON CREATE value): created rows stay bare,
+    # matched rows with a NULL old value keep NULL (NULL + 1 keeps old)
+    b2 = spark.createDataFrame([("a", 5), ("zz", 5)], "k string, d_add int")
+    r3 = s.merge_nodes(b2, label="T", key_col="k", match_add_cols={"d": "d_add"})
+    assert r3.nodes_created == 1 and r3.properties_set == 0  # d was NULL
+    rows = {x["key"]: (x["c"], x["d"]) for x in s.nodes().collect()}
+    assert rows["zz"] == (None, None) and rows["a"][1] is None
+    # overlap validation
+    import pytest
+    with pytest.raises(ValueError, match="may not repeat"):
+        s.merge_nodes(
+            batch, label="T", key_col="k",
+            prop_cols=["c"], match_add_cols={"c": "c_add"},
+        )
