@@ -478,6 +478,8 @@ class _EdgePattern:
     set_props: dict[str, object] = field(default_factory=dict)
     create_props: dict[str, object] = field(default_factory=dict)  # ON CREATE SET
     match_props: dict[str, object] = field(default_factory=dict)  # ON MATCH SET
+    # ON MATCH SET r.p = r.p + <v> (counter idiom): prop -> addend
+    match_add_props: dict[str, object] = field(default_factory=dict)
 
 
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
@@ -3503,7 +3505,9 @@ def _run_write(
                         and inc.group("prop") == inc.group("prop2")
                     ):
                         # MERGE counter: ON MATCH SET n.p = n.p + <v>
-                        npi = nodes.get(inc.group("alias"))
+                        npi = nodes.get(inc.group("alias")) or edge_aliases.get(
+                            inc.group("alias")
+                        )
                         if npi is None:
                             raise CypherUnsupported(
                                 f"SET on unbound alias: {item!r}"
@@ -3665,7 +3669,7 @@ def _run_write(
     for ep in edges:
         rel_type, ecreate = ep.rel_type, ep.create
         s, d = nodes[ep.src_alias], nodes[ep.dst_alias]
-        if ecreate and (ep.create_props or ep.match_props):
+        if ecreate and (ep.create_props or ep.match_props or ep.match_add_props):
             raise CypherUnsupported(
                 "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
                 "always creates)"
@@ -3682,8 +3686,11 @@ def _run_write(
                 raise CypherUnsupported(
                     f"{prop!r} takes different values in ON CREATE and ON MATCH"
                 )
-        seen_props = [p for p, _ in rel_props] + list(ep.create_props) + list(
-            ep.match_props
+        seen_props = (
+            [p for p, _ in rel_props]
+            + list(ep.create_props)
+            + list(ep.match_props)
+            + [p for p in ep.match_add_props if p not in ep.create_props]
         )
         if len(seen_props) != len(set(seen_props)):
             raise CypherUnsupported(
@@ -3696,6 +3703,16 @@ def _run_write(
         prop_sel += [
             _prop_value(enc).alias(prop) for prop, enc in ep.match_props.items()
         ]
+        # counter idiom on relationships: addend rides as its own column
+        e_match_add: dict[str, str] = {}
+        for prop, enc in ep.match_add_props.items():
+            if any(prop == p0 for p0, _ in rel_props) or prop in ep.match_props:
+                raise CypherUnsupported(
+                    f"{prop!r} is both plainly SET and match-incremented"
+                )
+            addc = f"__madd_{prop}"
+            prop_sel.append(_prop_value(enc).alias(addc))
+            e_match_add[prop] = addc
         write_fn = store.create_edges if ecreate else store.merge_edges
         batch = pdf.select(
             _key_expr(s).alias("_src_key"),
@@ -3728,6 +3745,8 @@ def _run_write(
         if not ecreate:
             kwargs["create_prop_cols"] = list(ep.create_props) or None
             kwargs["match_prop_cols"] = list(ep.match_props) or None
+            if e_match_add:
+                kwargs["match_add_cols"] = e_match_add
         total = total + write_fn(
             batch,
             rel_type, s.label, "_src_key", d.label, "_dst_key",

@@ -650,6 +650,7 @@ class GraphStore:
         prop_cols: list[str] | None = None,
         create_prop_cols: list[str] | None = None,
         match_prop_cols: list[str] | None = None,
+        match_add_cols: dict[str, str] | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (a)-[r:REL]->(b) [SET r.p = …]`` —
         create-if-absent, idempotent (``/root/reference/src/crwling.py:54``,
@@ -661,10 +662,13 @@ class GraphStore:
         :meth:`merge_nodes`' ``ON CREATE SET`` / ``ON MATCH SET``: the
         column applies only to edges this merge creates (resp. edges
         that already existed). A column may appear in only one of the
-        three prop lists."""
+        three prop lists. ``match_add_cols`` is the relationship form
+        of merge_nodes' counter idiom — ``ON MATCH SET r.p = r.p +
+        <v>``: matched edges take old + addend."""
         prop_cols = prop_cols or []
         create_prop_cols = create_prop_cols or []
         match_prop_cols = match_prop_cols or []
+        match_add_cols = match_add_cols or {}
         groups = [set(prop_cols), set(create_prop_cols), set(match_prop_cols)]
         for i in range(3):
             for j in range(i + 1, 3):
@@ -673,16 +677,33 @@ class GraphStore:
                         f"prop column(s) {sorted(groups[i] & groups[j])} appear "
                         "in more than one of prop_cols/create_prop_cols/match_prop_cols"
                     )
+        bad_add = set(match_add_cols) & (set(prop_cols) | set(match_prop_cols))
+        if bad_add:
+            raise ValueError(
+                f"match_add prop(s) {sorted(bad_add)} may not repeat in "
+                "prop_cols/match_prop_cols"
+            )
+        add_props = sorted(match_add_cols)
+        add_cols = [match_add_cols[p] for p in add_props]
         all_prop_cols = prop_cols + create_prop_cols + match_prop_cols
         incoming = as_edges(
             updates, rel_type, src_label, src_key_col, dst_label, dst_key_col,
-            all_prop_cols,
+            all_prop_cols + add_cols,
         )
+        for p in add_props:
+            if p not in incoming.columns:
+                incoming = incoming.withColumn(
+                    p,
+                    F.lit(None).cast(
+                        incoming.schema[match_add_cols[p]].dataType
+                    ),
+                )
+                all_prop_cols = all_prop_cols + [p]
         # within-batch last-writer-wins, deterministic via content
         # tiebreak (mirrors merge_nodes)
         content_tiebreak = F.xxhash64(
-            *[F.col(c).cast("string") for c in all_prop_cols]
-        ) if all_prop_cols else F.lit(0)
+            *[F.col(c).cast("string") for c in all_prop_cols + add_cols]
+        ) if (all_prop_cols or add_cols) else F.lit(0)
         w = Window.partitionBy("src", "dst", "rel_type").orderBy(content_tiebreak.desc())
         incoming = (
             incoming.withColumn("_rn", F.row_number().over(w))
@@ -695,7 +716,10 @@ class GraphStore:
         existing = self._edges.read(self.spark)
         if existing is None:
             # fresh store: every edge is CREATED — ON CREATE props apply
-            # as plain columns, ON MATCH props cannot apply (no prior row)
+            # as plain columns, ON MATCH props cannot apply (no prior
+            # row), match-add addends drop unapplied
+            if add_cols:
+                incoming = incoming.drop(*add_cols)
             for c in match_prop_cols:
                 incoming = incoming.withColumn(
                     c, F.lit(None).cast(incoming.schema[c].dataType)
@@ -732,13 +756,27 @@ class GraphStore:
         all_props = sorted(
             (set(touched.columns) | set(incoming.columns))
             - set(edge_key) - {BUCKET_COL}
+            - set(add_cols)  # addends are inputs, never stored props
         )
         old = _with_missing_edges(touched, incoming, all_props).alias("old")
-        new = _with_missing_edges(incoming, touched, all_props).alias("new")
+        new = _with_missing_edges(
+            incoming, touched, all_props + add_cols
+        ).alias("new")
         joined = old.join(new, on=edge_key, how="full_outer").persist()
         is_created = F.col("old._present").isNull()
 
         def _prop_expr(c: str):
+            if c in match_add_cols:
+                # counter idiom on edges: matched take old + addend
+                addend = F.col(f"new.{match_add_cols[c]}")
+                created_val = (
+                    F.col(f"new.{c}")
+                    if c in create_prop_cols
+                    else F.col(f"old.{c}")
+                )
+                return F.when(is_created, created_val).otherwise(
+                    F.coalesce(F.col(f"old.{c}") + addend, F.col(f"old.{c}"))
+                )
             if c in create_prop_cols:
                 # ON CREATE SET: only edges this merge creates take the value
                 return F.when(is_created, F.col(f"new.{c}")).otherwise(
@@ -758,13 +796,27 @@ class GraphStore:
         ).withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
 
         def _prop_count(c: str):
+            if c in match_add_cols and c not in create_prop_cols:
+                return F.count(
+                    F.when(
+                        ~is_created,
+                        F.col(f"old.{c}") + F.col(f"new.{match_add_cols[c]}"),
+                    )
+                )
+            if c in match_add_cols:  # also ON CREATE: both branches book
+                return F.count(
+                    F.when(is_created, F.col(f"new.{c}")).otherwise(
+                        F.col(f"old.{c}") + F.col(f"new.{match_add_cols[c]}")
+                    )
+                )
             if c in create_prop_cols:
                 return F.count(F.when(is_created, F.col(f"new.{c}")))
             if c in match_prop_cols:
                 return F.count(F.when(~is_created, F.col(f"new.{c}")))
             return F.count(F.col(f"new.{c}"))
 
-        counted = prop_cols + create_prop_cols + match_prop_cols
+        counted = (prop_cols + match_prop_cols + add_props
+                   + [c for c in create_prop_cols if c not in match_add_cols])
         row = joined.agg(
             F.count(F.when(is_created, F.lit(1))).alias("_created"),
             *[_prop_count(c).alias(c) for c in counted],

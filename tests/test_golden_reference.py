@@ -5956,3 +5956,29 @@ def test_text_predicate_composition_pack(spark):
         graph=ge,
     ).df.collect()
     assert [x["k"] for x in rows] == ["e2"]
+
+
+def test_text_merge_counter_idiom(spark, tmp_path):
+    """a114: ON CREATE SET p = 1 ON MATCH SET p = p + <v> through the
+    string front-end — node and relationship forms, literal and param
+    addends, counters booking one applied cell per run."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "ctr"))
+    q = ("MERGE (x:Tag {name: 'k'}) ON CREATE SET x.n = 1 "
+         "ON MATCH SET x.n = x.n + $inc RETURN x.n AS n")
+    got = [
+        run_cypher(spark, q, store=s, params={"inc": 10}).df.collect()[0]["n"]
+        for _ in range(3)
+    ]
+    assert got == [1, 11, 21]
+    qe = ("MERGE (a:U {id: 'u1'}) MERGE (b:T {id: 't1'}) "
+          "MERGE (a)-[r:LIKES]->(b) "
+          "ON CREATE SET r.n = 1 ON MATCH SET r.n = r.n + 1")
+    for _ in range(3):
+        rr = run_cypher(spark, qe, store=s)
+        assert rr.summary.properties_set == 1
+    rows = run_cypher(
+        spark, "MATCH (a:U)-[r:LIKES]->(b:T) RETURN r.n AS n", store=s
+    ).df.collect()
+    assert [x["n"] for x in rows] == [3]
