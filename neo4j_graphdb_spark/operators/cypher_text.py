@@ -4853,6 +4853,21 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     "type() needs a relationship pattern in scope"
                 )
             return F.col("rel_type"), "str"
+        if fname == "length":
+            # length(p) as a VALUE expression (aggregating RETURN etc.):
+            # the hop count of a path binding, same resolution as the
+            # RETURN-item fast path
+            need(1)
+            if (
+                args[0][0] != "name"
+                or rel_alias is None
+                or args[0][1] != rel_alias
+                or "hops" not in df.columns
+            ):
+                raise CypherUnsupported(
+                    "length() needs a bound path alias"
+                )
+            return F.col("hops").cast("bigint"), "int"
         if fname == "labels":
             # labels(n) as a VALUE expression (membership tests, size):
             # [primary] ++ sorted extras — identical construction to the

@@ -1318,10 +1318,13 @@ class GraphStore:
         if existing is None:
             target.unpersist()
             return WriteSummary()
-        missing = [p for p in props if p not in existing.columns]
-        if missing:
+        # Neo4j: REMOVE of a property no node stores is a silent no-op
+        # (the verb erases if present) — drop unknown names rather than
+        # refuse; if nothing is left the write books zero cells
+        props = [p for p in props if p in existing.columns]
+        if not props:
             target.unpersist()
-            raise ValueError(f"unknown properties {missing} on label {label!r}")
+            return WriteSummary()
         bucketed = (
             self._nodes.is_partitioned_by(["label", BUCKET_COL])
             and BUCKET_COL in existing.columns

@@ -648,3 +648,18 @@ def test_merge_counter_idiom(spark, tmp_path):
             batch, label="T", key_col="k",
             prop_cols=["c"], match_add_cols={"c": "c_add"},
         )
+
+
+def test_remove_unknown_prop_is_noop(spark, tmp_path):
+    """Neo4j: REMOVE of a property no node stores is a silent no-op;
+    mixed known+unknown still erases the known cells."""
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "rm"))
+    batch = spark.createDataFrame([("a", "x")], "k string, note string")
+    s.merge_nodes(batch, label="T", key_col="k", prop_cols=["note"])
+    r = s.remove_props(batch.select("k"), "T", "k", ["nope"])
+    assert r.properties_set == 0
+    r = s.remove_props(batch.select("k"), "T", "k", ["note", "nope"])
+    assert r.properties_set == 1
+    assert s.nodes().collect()[0]["note"] is None
