@@ -2896,10 +2896,41 @@ def _run_call_subquery(
             _apply_flat_tail(sub.df, post, lits, read_params), None
         )
     if not imp:
-        raise CypherUnsupported(
-            "uncorrelated CALL { … } after MATCH (row-multiplying subquery) "
-            "is outside the subset — lead the statement with it, or import "
-            "rows with WITH"
+        # uncorrelated CALL { … } AFTER a MATCH — openCypher executes
+        # the subquery once per incoming row; uncorrelated, every row
+        # gets the same result set, so the semantics ARE a cross join
+        # of the outer frame with the subquery frame (the idiomatic
+        # shape is a 1-row aggregate — "attach the corpus total to
+        # every row" — where the cross join is a broadcast of one row).
+        # Compile the inner statement independently, then run the outer
+        # clauses with the subquery frame as the broadcast seed.
+        sub = run_cypher(
+            spark, _unmask(inner, lits), params, store=store, graph=graph
+        )
+        if sub.df is None:
+            raise CypherUnsupported(
+                "CALL { … } subquery produced no rows frame"
+            )
+        outer_clauses, outer_lits = split_clauses_masked(
+            _unmask(pre + " " + post, lits)
+        )
+        g = graph
+        if g is None:
+            if store is None:
+                raise CypherUnsupported(
+                    "CALL { … } needs a Graph or GraphStore"
+                )
+            nodes = store.nodes()
+            if nodes is None:
+                raise ValueError("store is empty")
+            g = _store_graph(store, nodes)
+        return CypherResult(
+            _run_read(
+                outer_clauses, g, outer_lits,
+                params if isinstance(params, dict) else None,
+                seed=sub.df,
+            ),
+            None,
         )
     body = inner[imp.end():].strip()
     bm = re.match(

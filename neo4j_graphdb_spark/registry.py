@@ -8633,6 +8633,25 @@ def q_a114_text_merge_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a115_text_uncorrelated_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A115 ext (r14) — uncorrelated ``CALL { … }`` AFTER a MATCH (a
+    probed refusal this round): openCypher runs the subquery once per
+    incoming row; uncorrelated, every row sees the same result set, so
+    the semantics are exactly a cross join — here the idiomatic 1-row
+    aggregate ("attach the corpus total to every publisher"), which
+    compiles to a BROADCAST of one row onto the outer frame (the seed
+    path `_run_read(seed=…)`), never a shuffle."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (p:Publisher) "
+        "CALL { MATCH (a:Article) RETURN count(*) AS total } "
+        "RETURN p.publisher AS pub, total",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9513,11 +9532,12 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   chained OPTIONAL MATCH, a110 duration.between + constructor
 #   accessors, a111 startNode/endNode in WHERE, a112 OPTIONAL-prefix
 #   derived write with NULL-key skip, a113 predicate-composition
-#   pack, a114 MERGE counter idiom), then the ENTIRE stale-since-r5
+#   pack, a114 MERGE counter idiom, a115 uncorrelated mid-pipeline
+#   CALL subquery), then the ENTIRE stale-since-r5
 #   relational suite (all 23 rel_* entries, last driver rows r05) and
-#   the first 19 of the r6-era a17-a53 block (a17-a35; a36/a37
-#   spilled past slot 50 when a113/a114 landed - locally green this
-#   round).
+#   the first 18 of the r6-era a17-a53 block (a17-a34; a35-a37
+#   spilled past slot 50 when a113/a114/a115 landed - locally green
+#   this round).
 #   Still unrotated for r15: the rest of the r6-era block (a42-a44,
 #   a38-a41, a45-a48, a50-a53 - 16 entries) plus everything whose last
 #   row predates r10 as listed in CORRECTNESS_r*.json; the r13 window
@@ -9533,6 +9553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a112_text_optional_write": q_a112_text_optional_write,
     "a113_text_predicate_values": q_a113_text_predicate_values,
     "a114_text_merge_counter": q_a114_text_merge_counter,
+    "a115_text_uncorrelated_call": q_a115_text_uncorrelated_call,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -13527,6 +13548,12 @@ ORACLES["a112_text_optional_write"] = """
     SELECT DISTINCT source AS pub, 'y' AS flag
     FROM documents
     WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a115_text_uncorrelated_call"] = """
+    SELECT DISTINCT source AS pub,
+           (SELECT count(*) FROM documents)::bigint AS total
+    FROM documents
 """
 
 ORACLES["a114_text_merge_counter"] = """

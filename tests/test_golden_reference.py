@@ -3116,12 +3116,28 @@ def test_text_call_subquery_shapes(spark):
     ).df.collect()
     assert [(x["k"], x["np"]) for x in r] == [("a1", 1), ("a2", 1), ("a3", 1)]
 
+    # uncorrelated subquery AFTER a MATCH (r14): openCypher row
+    # multiplication — every outer row crosses with the full subquery
+    # frame (the idiomatic 1-row aggregate attaches a total per row)
+    r = run_cypher(
+        spark,
+        "MATCH (p:Pub) CALL { MATCH (a:Art) RETURN count(*) AS na } "
+        "RETURN p.key AS k, na ORDER BY k",
+        graph=g,
+    ).df.collect()
+    assert [(x["k"], x["na"]) for x in r] == [("p1", 3), ("p2", 3), ("p3", 3)]
+    r = run_cypher(
+        spark,
+        "MATCH (p:Pub) CALL { MATCH (a:Art) RETURN a.key AS k } "
+        "RETURN count(*) AS n",
+        graph=g,
+    ).df.collect()
+    assert r[0]["n"] == 9  # 3 pubs x 3 articles — row-multiplying form
+
     # reject matrix
     for q, pat in [
         ("CALL { MATCH (a:Art) RETURN a.key AS k }", "RETURN tail"),
         ("CALL { } RETURN 1 AS x", "empty CALL"),
-        ("MATCH (p:Pub) CALL { MATCH (a:Art) RETURN a.key AS k } RETURN k",
-         "uncorrelated"),
         ("MATCH (p:Pub) CALL { WITH p MATCH (a:Art)-[:BY]->(p) "
          "RETURN a.key AS k } RETURN k", "aggregates only"),
         ("CALL { CREATE (n:X {k: 'v'}) } RETURN 1 AS x", "read subqueries only"),
