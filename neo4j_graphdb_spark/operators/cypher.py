@@ -69,22 +69,68 @@ class Graph:
         any primary, so the scan is label-unpruned; Neo4j likewise picks
         one label index and filters the rest)."""
         if label is None:
-            return self.nodes_df
+            return self._materialize_key_names(self.nodes_df)
         if isinstance(label, (list, tuple)):
             ls = list(label)
             if len(ls) == 1:
                 return self._with_key_name(
                     self.nodes_df.filter(F.col("label") == ls[0]), ls[0]
                 )
-            return self.nodes_df.filter(F.col("label").isin(ls))
+            return self._materialize_key_names(
+                self.nodes_df.filter(F.col("label").isin(ls)), ls
+            )
         if ":" in label:
             df = self.nodes_df
             for lb in (t.strip() for t in label.split(":") if t.strip()):
                 df = df.filter(self._label_pred(lb))
-            return df
-        return self._with_key_name(
-            self.nodes_df.filter(self._label_pred(label)), label
+            return self._materialize_key_names(df)
+        # the effective-set predicate can match rows whose PRIMARY label
+        # differs (secondary labels) — materialize every recorded
+        # label's key name, not only the scanned one, so `n.link` reads
+        # on a `MATCH (n:Featured)` row whose primary label is Article
+        return self._materialize_key_names(
+            self.nodes_df.filter(self._label_pred(label))
         )
+
+    def _materialize_key_names(
+        self, scan: DataFrame, labels: list[str] | None = None
+    ) -> DataFrame:
+        """Multi-label twin of :meth:`_with_key_name`: on an all-nodes /
+        alternation / conjunction scan, surface EVERY (listed) label's
+        merge key under its user-facing property name — each label's own
+        rows read ``coalesce(explicit cell, key)``, other labels' rows
+        keep their cell (NULL when absent). With the keys readable by
+        name in every scan shape, the strict (key_names) property
+        resolution can return honest NULLs for truly-unknown names —
+        Neo4j's missing-property semantics."""
+        if not self.key_names or "key" not in scan.columns:
+            return scan
+        wanted = {
+            lb: k
+            for lb, k in self.key_names.items()
+            if (labels is None or lb in labels) and k and k != "key"
+        }
+        # one projection per distinct key-prop name; labels sharing a
+        # name fold into one when-chain
+        by_name: dict[str, list[str]] = {}
+        for lb, k in wanted.items():
+            by_name.setdefault(k, []).append(lb)
+        for k, lbs in by_name.items():
+            own = F.col("label").isin(lbs)
+            if k in scan.columns:
+                prop = F.col(k)
+                if scan.schema[k].dataType != scan.schema["key"].dataType:
+                    prop = prop.cast(scan.schema["key"].dataType)
+                scan = scan.withColumn(
+                    k, F.when(own, F.coalesce(prop, F.col("key"))).otherwise(
+                        F.col(k)
+                    )
+                )
+            else:
+                scan = scan.withColumn(
+                    k, F.when(own, F.col("key"))
+                )
+        return scan
 
     def _with_key_name(self, scan: DataFrame, label: str) -> DataFrame:
         """Key-name materialization (see class docstring): after a

@@ -138,6 +138,7 @@ substrate and is supported.
 
 from __future__ import annotations
 
+import contextvars
 import math
 import re
 from dataclasses import dataclass, field
@@ -3839,17 +3840,32 @@ def _run_write(
     return CypherResult(df, total)
 
 
+# Property-resolution strictness, set per read statement by _run_read:
+# a Graph carrying the store's key_names sidecar has every label's merge
+# key MATERIALIZED under its user-facing name in every scan shape
+# (Graph._with_key_name / _materialize_key_names), so a name that still
+# resolves to no column is a truly-unknown property and reads as NULL —
+# Neo4j's missing-property semantics. Graphs WITHOUT key_names (ad-hoc
+# in-memory frames) keep the historical unknown-name → key fallback,
+# the documented README divergence.
+_STRICT_PROPS = contextvars.ContextVar("spark_graft_strict_props", default=False)
+
+
 def _prop_col(df: DataFrame, prefix: str, prop: str):
     """Resolve ``alias.prop`` to a column. A name with no matching
     column resolves to the canonical ``key`` column: each label stores
     its single merge-key property under ``key`` whatever the statement
     called it (``MERGE (a:Article {link: $link})`` stores ``link`` AS
-    the key), so ``a.link`` in WHERE/RETURN means the key."""
+    the key), so ``a.link`` in WHERE/RETURN means the key — except
+    under strict (key_names) resolution, where the key is already
+    materialized by name and an unknown name is an honest NULL."""
     name = f"{prefix}{prop}"
     if name in df.columns:
         return F.col(name)
     key_name = f"{prefix}key"
     if key_name in df.columns:
+        if _STRICT_PROPS.get():
+            return F.lit(None).cast("string")
         return F.col(key_name)
     raise CypherUnsupported(f"unknown property {prop!r}")
 
@@ -5570,6 +5586,20 @@ def _split_multi_hop(body: str):
 
 
 def _run_read(
+    clauses: list[_Clause],
+    graph: Graph,
+    lits: list[str] | None = None,
+    params: dict | None = None,
+    seed: DataFrame | None = None,
+) -> DataFrame:
+    tok = _STRICT_PROPS.set(bool(getattr(graph, "key_names", None)))
+    try:
+        return _run_read_inner(clauses, graph, lits, params, seed)
+    finally:
+        _STRICT_PROPS.reset(tok)
+
+
+def _run_read_inner(
     clauses: list[_Clause],
     graph: Graph,
     lits: list[str] | None = None,

@@ -364,8 +364,16 @@ class GraphStore:
             return {}
 
     def _record_key_name(self, label: str, key_col: str) -> None:
+        # internal write paths (the update/relabel/delete machinery) key
+        # their batches on engine-internal column names (`_k`,
+        # `__w_a_key`, …) — never record those over the user-facing
+        # merge-key property; and a label's merge key is its identity,
+        # so the FIRST recorded name wins (a later batch spelling it
+        # differently cannot re-key the label)
+        if key_col.startswith("_"):
+            return
         names = self.key_names()
-        if names.get(label) == key_col:
+        if label in names:
             return
         names[label] = key_col
         tmp = self._key_names_path + ".tmp"

@@ -5350,11 +5350,11 @@ def test_text_r13_matched_anchor_merge_and_boolean_values(spark, tmp_path):
     assert sorted(tuple(x) for x in rows) == [("u1", "P1"), ("u3", "P1")]
 
     # whole-entity WITH + field access: `p.key` reads the merge key;
-    # `p.publisher` hits the README-documented key-name COLLISION here
-    # (Article also writes a `publisher` prop column, so the name
-    # resolves to the NULL-for-Publisher prop field, not the key) —
-    # both pinned; unknown fields fall back to key (was an
-    # AnalysisException before r13)
+    # `p.publisher` is the key-name COLLISION case (Article also writes
+    # a `publisher` prop column) — since the r14 key_names default,
+    # Publisher's own rows coalesce(explicit cell, key), so the name
+    # reads the merge key Neo4j-exactly (the r13 pin documented the old
+    # NULL divergence; it is now fixed, not documented)
     rows = run_cypher(
         spark,
         "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
@@ -5368,7 +5368,7 @@ def test_text_r13_matched_anchor_merge_and_boolean_values(spark, tmp_path):
         "WITH p, count(a) AS n WHERE n > 1 RETURN p.publisher AS pub, n",
         store=s,
     ).df.collect()
-    assert sorted(tuple(x) for x in rows) == [(None, 2)]
+    assert sorted(tuple(x) for x in rows) == [("P1", 2)]
 
     # comparisons / boolean literals / isEmpty as RETURN values
     rows = run_cypher(
@@ -5998,3 +5998,51 @@ def test_text_merge_counter_idiom(spark, tmp_path):
         spark, "MATCH (a:U)-[r:LIKES]->(b:T) RETURN r.n AS n", store=s
     ).df.collect()
     assert [x["n"] for x in rows] == [3]
+
+
+def test_text_strict_property_resolution(spark, tmp_path):
+    """Store-backed (key_names) reads are Neo4j-exact since r14: every
+    label's merge key is readable under its user-facing name in every
+    scan shape, and a truly-unknown property is an honest NULL — while
+    ad-hoc in-memory graphs keep the historical unknown-name → key
+    fallback."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "strict"))
+    batch = spark.createDataFrame(
+        [("a1", "p1", "t1"), ("a2", "p2", None)],
+        "link string, publisher string, title string",
+    )
+    s.merge_nodes(batch.select("link", "title"), label="Article",
+                  key_col="link", prop_cols=["title"])
+    s.merge_nodes(batch.select("publisher").distinct(), label="Publisher",
+                  key_col="publisher")
+    s.merge_edges(batch, "WRITTEN_BY", "Article", "link",
+                  "Publisher", "publisher")
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0]["n"]
+
+    # unknown props are NULL (count skips, IS NULL keeps)
+    assert one("MATCH (a:Article) RETURN count(a.missing) AS n") == 0
+    assert one("MATCH (a:Article) WHERE a.missing IS NULL RETURN count(*) AS n") == 2
+    # keys readable by name in every scan shape
+    assert one("MATCH (a:Article) WHERE a.link = 'a1' RETURN count(*) AS n") == 1
+    assert one("MATCH (n) RETURN count(n.link) AS n") == 2
+    assert one("MATCH (n) RETURN count(n.publisher) AS n") == 2
+    assert one("MATCH (n:Article|Publisher) RETURN count(n.publisher) AS n") == 2
+    # real props unaffected
+    assert one("MATCH (a:Article) RETURN count(a.title) AS n") == 1
+    # internal writes never clobber the recorded key names (first-wins)
+    run_cypher(spark, "MATCH (a:Article {link: 'a1'}) SET a.seen = 1", store=s)
+    assert s.key_names()["Article"] == "link"
+    assert one("MATCH (a:Article) WHERE a.link = 'a1' RETURN count(*) AS n") == 1
+    # ad-hoc in-memory graphs keep the documented fallback
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+
+    g = Graph(as_nodes(batch.select("link"), "Doc", "link", []), None)
+    r = run_cypher(
+        spark, "MATCH (d:Doc) RETURN count(d.anything) AS n", graph=g
+    ).df.collect()
+    assert r[0]["n"] == 2  # fallback-to-key, README-documented
