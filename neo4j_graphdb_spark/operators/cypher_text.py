@@ -5202,8 +5202,43 @@ _LISTPRED_ITEM_RE = re.compile(
 )
 
 
+_LABEL_TEST_RE = re.compile(
+    r"^(?P<alias>\w+)\s*:\s*(?P<labels>\w+(?:\s*:\s*\w+)*)$"
+)
+
+
+def _label_membership(df, prefix: str, label: str):
+    """``n:Label`` membership over an aliased frame: the primary label
+    column equality, widened over the ``_labels`` secondary set when the
+    frame carries it — the same effective-set semantics as
+    ``Graph._label_pred``, compiled against the alias's prefix."""
+    pred = F.col(f"{prefix}label") == label
+    lcol = f"{prefix}{EXTRA_LABELS}"
+    if lcol in df.columns:
+        pred = pred | F.array_contains(
+            F.split(F.coalesce(F.col(lcol), F.lit("")), ","), label
+        )
+    return pred
+
+
+def _label_test_col(item, df, aliases):
+    """``n:Label[:Label2…]`` as a boolean Column (WHERE leaf or RETURN
+    value — openCypher's label predicate), or None if not that shape."""
+    lt = _LABEL_TEST_RE.match(item.strip())
+    if not lt or lt.group("alias") not in aliases:
+        return None
+    pred = None
+    for lb in (x.strip() for x in lt.group("labels").split(":") if x.strip()):
+        t = _label_membership(df, aliases[lt.group("alias")], lb)
+        pred = t if pred is None else (pred & t)
+    return pred
+
+
 def _compile_where_expr_pred(item, df, aliases, rel_alias, lits, params):
     """Compile an expression-form WHERE conjunct to one filter Column."""
+    lc = _label_test_col(item, df, aliases)
+    if lc is not None:
+        return lc
     lm = _LISTPRED_ITEM_RE.match(item.strip())
     if lm:
         # a bare list predicate IS the conjunct — no comparator to split
@@ -5265,6 +5300,10 @@ def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
     Neo4j result-pane convention)."""
     am = _EXPR_AS_RE.match(item)
     body, out = (am.group("expr"), am.group("out")) if am else (item, None)
+    lc = _label_test_col(body, df, aliases)
+    if lc is not None:
+        # `n:Label AS f` — the label predicate as a boolean VALUE
+        return lc, (out or re.sub(r"\s+", "", body))
     mm = re.match(r"^\{(?P<body>.*)\}$", body.strip(), re.DOTALL)
     if mm:
         # map LITERAL `{k: <expr>, …}` — compiles to a struct of the

@@ -8652,6 +8652,33 @@ def q_a115_text_uncorrelated_call(spark: SparkSession, sf_dir: str) -> DataFrame
     ).df
 
 
+def q_a116_text_label_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A116 ext (r14) — openCypher label predicates (probed refusals
+    this round): ``n:Label`` in WHERE (including OR/NOT composition and
+    the ``n:A:B`` conjunction) and as a boolean VALUE (``n:Featured AS
+    feat``). Membership is the effective-set test — primary label
+    equality widened over the ``_labels`` secondary set — compiled as
+    one Catalyst predicate, no UDFs. Store-backed: even-id articles
+    take a secondary :Featured label through the relabel write path,
+    then one scan returns the per-row membership."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a116_"))
+    src = _article_source(spark, sf_dir)
+    store.merge_nodes(src.select("link"), label="Article", key_col="link")
+    run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE toInteger(split(a.link, '//')[1]) % 2 = 0 "
+        "SET a:Featured",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (n:Article) RETURN n.link AS link, n:Featured AS feat",
+        store=store,
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9533,11 +9560,12 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   accessors, a111 startNode/endNode in WHERE, a112 OPTIONAL-prefix
 #   derived write with NULL-key skip, a113 predicate-composition
 #   pack, a114 MERGE counter idiom, a115 uncorrelated mid-pipeline
-#   CALL subquery), then the ENTIRE stale-since-r5
+#   CALL subquery, a116 label predicates), then the ENTIRE
+#   stale-since-r5
 #   relational suite (all 23 rel_* entries, last driver rows r05) and
-#   the first 18 of the r6-era a17-a53 block (a17-a34; a35-a37
-#   spilled past slot 50 when a113/a114/a115 landed - locally green
-#   this round).
+#   the first 17 of the r6-era a17-a53 block (a17-a33; a34-a37
+#   spilled past slot 50 when a113-a116 landed - locally green this
+#   round).
 #   Still unrotated for r15: the rest of the r6-era block (a42-a44,
 #   a38-a41, a45-a48, a50-a53 - 16 entries) plus everything whose last
 #   row predates r10 as listed in CORRECTNESS_r*.json; the r13 window
@@ -9554,6 +9582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a113_text_predicate_values": q_a113_text_predicate_values,
     "a114_text_merge_counter": q_a114_text_merge_counter,
     "a115_text_uncorrelated_call": q_a115_text_uncorrelated_call,
+    "a116_text_label_predicates": q_a116_text_label_predicates,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "rel_region_revenue": q_rel_region_revenue,
@@ -13548,6 +13577,12 @@ ORACLES["a112_text_optional_write"] = """
     SELECT DISTINCT source AS pub, 'y' AS flag
     FROM documents
     WHERE doc_id % 2 = 0
+"""
+
+ORACLES["a116_text_label_predicates"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           (doc_id % 2 = 0) AS feat
+    FROM documents
 """
 
 ORACLES["a115_text_uncorrelated_call"] = """

@@ -6046,3 +6046,29 @@ def test_text_strict_property_resolution(spark, tmp_path):
         spark, "MATCH (d:Doc) RETURN count(d.anything) AS n", graph=g
     ).df.collect()
     assert r[0]["n"] == 2  # fallback-to-key, README-documented
+
+
+def test_text_label_predicates(spark, tmp_path):
+    """a116: `n:Label` in WHERE (OR/NOT composition, `n:A:B`
+    conjunction) and as a boolean VALUE — effective-set membership over
+    primary + secondary labels."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "lbl"))
+    s.merge_nodes(
+        spark.createDataFrame([("a1",), ("a2",)], "link string"),
+        label="Article", key_col="link",
+    )
+    run_cypher(spark, "MATCH (a:Article {link: 'a1'}) SET a:Featured", store=s)
+    cases = [
+        ("MATCH (n) WHERE n:Article RETURN count(*) AS n", [(2,)]),
+        ("MATCH (n:Article) WHERE n:Featured RETURN count(*) AS n", [(1,)]),
+        ("MATCH (n) WHERE n:Featured OR n:Missing RETURN count(*) AS n", [(1,)]),
+        ("MATCH (n) WHERE NOT n:Featured RETURN count(*) AS n", [(1,)]),
+        ("MATCH (n) WHERE n:Article:Featured RETURN count(*) AS n", [(1,)]),
+        ("MATCH (n:Article) RETURN n.link AS l, n:Featured AS f",
+         [("a1", True), ("a2", False)]),
+    ]
+    for q, want in cases:
+        got = sorted(tuple(x) for x in run_cypher(spark, q, store=s).df.collect())
+        assert got == want, (q, got)
