@@ -1902,7 +1902,8 @@ def _run_text_call(
         # before the projection in that case (same result set — sorting
         # commutes with a narrowing projection).
         sort_cols = [
-            F.col(k).desc() if d else F.col(k).asc() for k, d in order_by
+            F.col(k).desc_nulls_first() if d else F.col(k).asc_nulls_last()
+            for k, d in order_by
         ]
         keys_projected = sel is None or all(
             k in aliased_names for k, _ in order_by
@@ -5559,7 +5560,7 @@ def _run_post_with(
                     f"non-returned WITH names: {key!r}"
                 )
             c = F.col(_pre_name(key) if pre else key)
-            sorts.append(c.desc() if desc else c.asc())
+            sorts.append(c.desc_nulls_first() if desc else c.asc_nulls_last())
         if pre:
             df = df.orderBy(*sorts)
             return _page(df.select(*out_cols), skip, limit)
@@ -6928,7 +6929,9 @@ def _run_read_inner(
                     if a not in aliases:
                         raise CypherUnsupported(f"ORDER BY on unbound alias: {a!r}")
                     col = _prop_col(df, aliases[a], prop)
-                    with_order.append(col.desc() if desc else col.asc())
+                    with_order.append(
+                        col.desc_nulls_first() if desc else col.asc_nulls_last()
+                    )
                 else:
                     order_by.append(
                         (m.group("key"), (m.group("dir") or "ASC").upper() == "DESC")
@@ -7429,7 +7432,10 @@ def _run_read_inner(
                     raise CypherUnsupported(
                         f"ORDER BY with DISTINCT must use a RETURN name, got {key!r}"
                     )
-                sorts.append(F.col(key).desc() if desc else F.col(key).asc())
+                sorts.append(
+                    F.col(key).desc_nulls_first() if desc
+                    else F.col(key).asc_nulls_last()
+                )
             out = out.orderBy(*sorts)
         return _page(out, skip, limit)
     if order_by:
@@ -7454,7 +7460,7 @@ def _run_read_inner(
                 raise CypherUnsupported(
                     f"ORDER BY key {key!r} is neither alias.prop nor a RETURN name"
                 )
-            sorts.append(e.desc() if desc else e.asc())
+            sorts.append(e.desc_nulls_first() if desc else e.asc_nulls_last())
         df = df.orderBy(*sorts)
     out = df.select(*out_cols)
     return _page(out, skip, limit)
@@ -7798,7 +7804,7 @@ def _aggregate_return(
                     f"ORDER BY key {key!r} is not a RETURN name or grouped alias.prop"
                 )
             c = F.col(name_map[key])
-            sorts.append(c.desc() if desc else c.asc())
+            sorts.append(c.desc_nulls_first() if desc else c.asc_nulls_last())
         grouped = grouped.orderBy(*sorts)
     return _page(grouped, skip, limit)
 

@@ -6072,3 +6072,32 @@ def test_text_label_predicates(spark, tmp_path):
     for q, want in cases:
         got = sorted(tuple(x) for x in run_cypher(spark, q, store=s).df.collect())
         assert got == want, (q, got)
+
+
+def test_text_null_ordering(spark):
+    """openCypher: NULL is LARGER than any value — ORDER BY ASC puts
+    NULL rows last, DESC first (Spark's default is the opposite); holds
+    for prop keys, RETURN aliases, expression keys, and mid-pipeline
+    WITH ORDER BY."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    src = spark.createDataFrame(
+        [("k1", "b"), ("k2", None), ("k3", "a")], "k string, v string"
+    )
+    g = Graph(as_nodes(src, "D", "k", ["v"]), None)
+    asc = run_cypher(
+        spark, "MATCH (d:D) RETURN d.k AS k ORDER BY d.v", graph=g
+    ).df.collect()
+    assert [x["k"] for x in asc] == ["k3", "k1", "k2"]
+    desc = run_cypher(
+        spark, "MATCH (d:D) RETURN d.k AS k ORDER BY d.v DESC", graph=g
+    ).df.collect()
+    assert [x["k"] for x in desc] == ["k2", "k1", "k3"]
+    lim = run_cypher(
+        spark,
+        "MATCH (d:D) WITH d ORDER BY d.v LIMIT 2 RETURN d.k AS k ORDER BY k",
+        graph=g,
+    ).df.collect()
+    assert [x["k"] for x in lim] == ["k1", "k3"]  # NULL row dropped by LIMIT
