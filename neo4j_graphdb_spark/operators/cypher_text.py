@@ -2413,6 +2413,25 @@ def run_cypher(
             store=store,
             graph=graph,
         )
+    sm = re.match(
+        r"^\s*SHOW\s+(?P<what>INDEXES|INDEX|CONSTRAINTS|CONSTRAINT)\s*;?\s*$",
+        query,
+        re.IGNORECASE,
+    )
+    if sm:
+        # SHOW INDEXES / SHOW CONSTRAINTS — the store has no secondary
+        # indexes or constraints (scans are label+bucket-pruned Parquet;
+        # merge keys are enforced structurally by the upsert), so the
+        # honest Neo4j-shaped answer is an EMPTY frame with the
+        # introspection columns a Neo4j result pane shows
+        what = sm.group("what").upper()
+        if what.startswith("INDEX"):
+            schema = ("id long, name string, state string, type string, "
+                      "labelsOrTypes string, properties string")
+        else:
+            schema = ("id long, name string, type string, "
+                      "labelsOrTypes string, properties string")
+        return CypherResult(spark.createDataFrame([], schema), None)
     masked_q, q_lits = _mask_strings(query)
     fe = _rewrite_foreach(masked_q)
     if fe is not None:

@@ -6101,3 +6101,16 @@ def test_text_null_ordering(spark):
         graph=g,
     ).df.collect()
     assert [x["k"] for x in lim] == ["k1", "k3"]  # NULL row dropped by LIMIT
+
+
+def test_text_show_introspection(spark, tmp_path):
+    """SHOW INDEXES / SHOW CONSTRAINTS: the store has no secondary
+    indexes or constraints — an empty Neo4j-shaped introspection frame,
+    not a refusal."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "show"))
+    df = run_cypher(spark, "SHOW INDEXES", store=s).df
+    assert df.count() == 0 and "labelsOrTypes" in df.columns
+    df = run_cypher(spark, "show constraints", store=s).df
+    assert df.count() == 0 and "name" in df.columns
