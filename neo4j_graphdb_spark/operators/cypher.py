@@ -49,10 +49,21 @@ class Graph:
         nodes: DataFrame,
         edges: DataFrame | None = None,
         key_names: dict[str, str] | None = None,
+        strict_props: bool | None = None,
     ):
         self.nodes_df = nodes
         self.edges_df = edges
         self.key_names = key_names or {}
+        # strict (NULL-for-unknown) property resolution: ON whenever a
+        # key_names sidecar rides along, UNLESS the builder knows the
+        # sidecar is PARTIAL (a store holding labels written before
+        # key-name recording) — a partial sidecar must keep the
+        # historical unknown-name → key fallback, or reading an
+        # unrecorded label's merge key by its user-facing name silently
+        # returns NULL (a silent upgrade-path regression).
+        self.strict_props = (
+            bool(self.key_names) if strict_props is None else strict_props
+        )
 
     # --- A1 / A2: node scans -------------------------------------------------
 

@@ -166,8 +166,17 @@ def _store_graph(store: GraphStore, nodes: DataFrame) -> Graph:
     ``/root/reference/src/crwling.py:48``; ``RETURN u, r, t`` at
     ``/root/reference/cypher.txt:4-5`` exposes the struct shape).
     Readers that want the raw storage ``key`` column still get it —
-    materialization adds the property column, it never removes ``key``."""
-    return Graph(nodes, store.edges(), key_names=store.key_names())
+    materialization adds the property column, it never removes ``key``.
+
+    Strict (NULL-for-unknown) resolution turns on only when the sidecar
+    covers EVERY label in the store: a partially-recorded store (labels
+    written before key-name recording) keeps the historical
+    unknown-name → key fallback, so an unrecorded label's merge key
+    stays readable by its user-facing name (upgrade-path safety)."""
+    kn = store.key_names()
+    store_labels = store.labels()
+    strict = bool(kn) and all(lb in kn for lb in store_labels)
+    return Graph(nodes, store.edges(), key_names=kn, strict_props=strict)
 
 
 # --------------------------------------------------------------------------
@@ -3661,13 +3670,33 @@ def _run_write(
                     "ON CREATE / ON MATCH SET follow MERGE only (CREATE "
                     "always creates)"
                 )
-            cols = [_key_expr(np).alias(np.key_prop)]
+            # Neo4j's CREATE accepts a NULL key property (it creates the
+            # node WITHOUT the property) — but a keyless node is
+            # unrepresentable in this store, so a NULL-key CREATE row
+            # fails LOUDLY inside the plan (raise_error on the key
+            # expression: zero cost on the happy path, no extra
+            # validation job) instead of the MERGE path's silent skip
+            # (which is correct THERE: Neo4j refuses NULL merge keys,
+            # and the bulk-batch analogue of a per-row refusal is the
+            # row skip).
+            key_c = _key_expr(np)
+            guarded_key = F.when(key_c.isNotNull(), key_c).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"CREATE (:{np.label}) with a NULL key property "
+                        f"{np.key_prop!r}: a keyless node is "
+                        "unrepresentable in this store (Neo4j would "
+                        "create the node without the property)"
+                    )
+                )
+            )
+            cols = [guarded_key.alias(np.key_prop)]
             names = []
             for prop, param in np.set_props.items():
                 cols.append(_prop_value(param).alias(prop))
                 names.append(prop)
             total = total + store.create_nodes(
-                pdf.filter(_key_expr(np).isNotNull()).select(*cols),
+                pdf.select(*cols),
                 label=np.label,
                 key_col=np.key_prop,
                 prop_cols=names or None,
@@ -5651,7 +5680,13 @@ def _run_read(
     params: dict | None = None,
     seed: DataFrame | None = None,
 ) -> DataFrame:
-    tok = _STRICT_PROPS.set(bool(getattr(graph, "key_names", None)))
+    tok = _STRICT_PROPS.set(
+        bool(
+            getattr(
+                graph, "strict_props", bool(getattr(graph, "key_names", None))
+            )
+        )
+    )
     try:
         return _run_read_inner(clauses, graph, lits, params, seed)
     finally:

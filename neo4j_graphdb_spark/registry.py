@@ -13534,31 +13534,48 @@ ORACLES["a109_text_optional_chain"] = """
 """
 
 ORACLES["a110_text_temporal_between"] = """
+    -- symmetric decomposition, mirroring the engine's _dur_parts: the
+    -- positive components come from (lo, hi) = (least, greatest) and
+    -- every component negates when ts > target (Neo4j's toward-zero
+    -- duration sign, NOT floor-toward--inf on the raw month delta)
     WITH t AS (SELECT cast(event_id AS varchar) AS k, ts FROM events),
-    c AS (
+    b AS (
         SELECT k, ts,
-               ((2025 - year(ts)) * 12 + (6 - month(ts))) AS m_raw
+               least(ts, TIMESTAMP '2025-06-01 00:00:00') AS lo,
+               greatest(ts, TIMESTAMP '2025-06-01 00:00:00') AS hi,
+               CASE WHEN ts > TIMESTAMP '2025-06-01 00:00:00'
+                    THEN -1 ELSE 1 END AS sgn
         FROM t
     ),
+    c AS (
+        SELECT k, ts, lo, hi, sgn,
+               ((year(hi) - year(lo)) * 12 + (month(hi) - month(lo))) AS m_raw
+        FROM b
+    ),
     c2 AS (
-        SELECT k, ts,
+        SELECT k, ts, lo, hi, sgn,
                m_raw - CASE
-                   WHEN ts + to_months(m_raw::int)
-                        > TIMESTAMP '2025-06-01 00:00:00' THEN 1
-                   ELSE 0 END AS mo
+                   WHEN lo + to_months(m_raw::int) > hi THEN 1
+                   ELSE 0 END AS mo_abs
         FROM c
     ),
     c3 AS (
-        SELECT k, ts, mo,
-               epoch(TIMESTAMP '2025-06-01 00:00:00')
-               - epoch(ts + to_months(mo::int)) AS total
+        SELECT k, ts, sgn, mo_abs,
+               epoch(hi) - epoch(lo + to_months(mo_abs::int)) AS total
         FROM c2
+    ),
+    c4 AS (
+        SELECT k, ts, sgn, mo_abs,
+               floor(total / 86400) AS d_abs,
+               total - floor(total / 86400) * 86400 AS s_abs
+        FROM c3
     )
-    SELECT k, year(ts)::bigint AS y, mo::bigint AS mo,
-           floor(total / 86400)::bigint AS d,
-           floor(total - floor(total / 86400) * 86400)::bigint AS s,
+    SELECT k, year(ts)::bigint AS y,
+           (sgn * mo_abs)::bigint AS mo,
+           (sgn * d_abs)::bigint AS d,
+           floor(sgn * s_abs)::bigint AS s,
            2024::bigint AS cy
-    FROM c3
+    FROM c4
 """
 
 ORACLES["a111_text_startend_where"] = """

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -363,6 +364,26 @@ class GraphStore:
         except FileNotFoundError:
             return {}
 
+    def labels(self) -> list[str]:
+        """Labels present in the current nodes version, read from the
+        ``label=`` partition directory names — a pure filesystem
+        listing, no Spark job (the same metadata a catalog would hold
+        at 100 TB). Legacy unpartitioned layouts (no ``label=`` dirs)
+        return ``[]``: the caller cannot cheaply verify those, and
+        treats the sidecar as authoritative."""
+        path = self._nodes.current_path()
+        if path is None:
+            return []
+        try:
+            entries = os.listdir(path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            urllib.parse.unquote(d[len("label="):])
+            for d in entries
+            if d.startswith("label=")
+        )
+
     def _record_key_name(self, label: str, key_col: str) -> None:
         # internal write paths (the update/relabel/delete machinery) key
         # their batches on engine-internal column names (`_k`,
@@ -564,10 +585,16 @@ class GraphStore:
 
         def _prop_expr(c: str):
             if c in match_add_cols:
-                # counter idiom: matched rows take old + addend (NULL old
-                # or NULL addend keeps the old cell); created rows take
-                # the ON CREATE value when one rides the batch, else stay
-                # bare
+                # counter idiom: matched BATCH rows take old + addend
+                # with Neo4j's NULL-propagating arithmetic — a NULL old
+                # cell or a NULL addend yields NULL, and SET-to-NULL
+                # removes the property (NOT the a8 keep-old coalesce:
+                # that contract covers plain SET values, not
+                # arithmetic). Matched rows OUTSIDE the batch (the
+                # full-outer's all-NULL new side) keep their cell —
+                # new.key is non-NULL exactly on batch rows. Created
+                # rows take the ON CREATE value when one rides the
+                # batch, else stay bare.
                 addend = F.col(f"new.{match_add_cols[c]}")
                 created_val = (
                     F.col(f"new.{c}")
@@ -575,7 +602,10 @@ class GraphStore:
                     else F.col(f"old.{c}")
                 )
                 return F.when(is_created, created_val).otherwise(
-                    F.coalesce(F.col(f"old.{c}") + addend, F.col(f"old.{c}"))
+                    F.when(
+                        F.col("new.key").isNotNull(),
+                        F.col(f"old.{c}") + addend,
+                    ).otherwise(F.col(f"old.{c}"))
                 )
             if c in create_prop_cols:
                 # ON CREATE SET: only rows this merge creates take the value
@@ -775,7 +805,11 @@ class GraphStore:
 
         def _prop_expr(c: str):
             if c in match_add_cols:
-                # counter idiom on edges: matched take old + addend
+                # counter idiom on edges: matched BATCH edges take
+                # old + addend with Neo4j's NULL-propagating arithmetic
+                # (NULL addend → NULL → property removed); matched edges
+                # outside the batch keep their cell (same batch-row test
+                # as the node path, via the _present marker)
                 addend = F.col(f"new.{match_add_cols[c]}")
                 created_val = (
                     F.col(f"new.{c}")
@@ -783,7 +817,10 @@ class GraphStore:
                     else F.col(f"old.{c}")
                 )
                 return F.when(is_created, created_val).otherwise(
-                    F.coalesce(F.col(f"old.{c}") + addend, F.col(f"old.{c}"))
+                    F.when(
+                        F.col("new._present").isNotNull(),
+                        F.col(f"old.{c}") + addend,
+                    ).otherwise(F.col(f"old.{c}"))
                 )
             if c in create_prop_cols:
                 # ON CREATE SET: only edges this merge creates take the value

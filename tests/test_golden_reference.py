@@ -6114,3 +6114,56 @@ def test_text_show_introspection(spark, tmp_path):
     assert df.count() == 0 and "labelsOrTypes" in df.columns
     df = run_cypher(spark, "show constraints", store=s).df
     assert df.count() == 0 and "name" in df.columns
+
+
+def test_create_null_key_raises_loudly(spark, tmp_path):
+    """Neo4j's CREATE accepts a NULL key prop (node without the prop);
+    a keyless node is unrepresentable here, so the row fails LOUDLY
+    inside the plan — never a silent drop (ADVICE r14). The MERGE path
+    keeps its skip (Neo4j refuses NULL merge keys)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "cnull"))
+    pdf = spark.createDataFrame([("x",), (None,)], "k string")
+    with pytest.raises(Exception, match="NULL key property"):
+        run_cypher(
+            spark, "UNWIND $rows AS row CREATE (n:T {kk: row.k})", pdf, store=s
+        )
+    # MERGE skips the NULL-key row silently (per-row analogue of
+    # Neo4j's refusal) — one node lands
+    res = run_cypher(
+        spark, "UNWIND $rows AS row MERGE (n:T {kk: row.k})", pdf, store=s
+    )
+    assert res.summary.nodes_created == 1
+
+
+def test_partial_key_names_sidecar_keeps_fallback(spark, tmp_path):
+    """A store whose key_names sidecar does NOT cover every label (a
+    label written before key-name recording) must keep the historical
+    unknown-name → key fallback: strict NULL-for-unknown resolution
+    only turns on for fully-recorded stores (ADVICE r14)."""
+    import json
+
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "partial"))
+    run_cypher(spark, "MERGE (u:User {uname: 'kim'})", store=s)
+    run_cypher(spark, "MERGE (t:Tech {tname: 'spark'})", store=s)
+    # fully recorded: strict — unknown names are honest NULLs
+    row = run_cypher(
+        spark, "MATCH (t:Tech) RETURN t.tname AS tn, t.nope AS np", store=s
+    ).df.collect()[0]
+    assert row["tn"] == "spark" and row["np"] is None
+    # erase Tech from the sidecar (simulates a pre-recording store)
+    kn = s.key_names()
+    kn.pop("Tech")
+    with open(s._key_names_path, "w") as f:
+        json.dump(kn, f)
+    # partial sidecar: the unrecorded label's merge key still resolves
+    # by its user-facing name (fallback), instead of a silent NULL
+    row = run_cypher(
+        spark, "MATCH (t:Tech) RETURN t.tname AS tn", store=s
+    ).df.collect()[0]
+    assert row["tn"] == "spark"

@@ -614,7 +614,9 @@ def test_merge_counter_idiom(spark, tmp_path):
     """a114: ON CREATE SET n.c = 1 ON MATCH SET n.c = n.c + 1 — the
     writer's match_add_cols applies old + addend to matched rows inside
     the one merge join; created rows take the ON CREATE value; NULL
-    old/addend keeps the cell; counters book every applied cell."""
+    propagates through the arithmetic Neo4j-exactly (NULL old or NULL
+    addend → NULL) on BATCH rows, while matched rows outside the batch
+    keep their cell; counters book every applied cell."""
     from neo4j_graphdb_spark.writer import GraphStore
     import pyspark.sql.functions as F
 
@@ -641,6 +643,14 @@ def test_merge_counter_idiom(spark, tmp_path):
     assert r3.nodes_created == 1 and r3.properties_set == 0  # d was NULL
     rows = {x["key"]: (x["c"], x["d"]) for x in s.nodes().collect()}
     assert rows["zz"] == (None, None) and rows["a"][1] is None
+    # NULL addend on a BATCH row: Neo4j's NULL-propagating arithmetic —
+    # n.c + NULL = NULL, and SET-to-NULL removes the property. Matched
+    # rows NOT in the batch keep their counter (ADVICE r14).
+    b3 = spark.createDataFrame([("a", None)], "k string, c_add int")
+    s.merge_nodes(b3, label="T", key_col="k", match_add_cols={"c": "c_add"})
+    rows = {x["key"]: x["c"] for x in s.nodes().collect()}
+    assert rows["a"] is None  # removed by NULL arithmetic
+    assert rows["b"] == 2  # outside the batch: untouched
     # overlap validation
     import pytest
     with pytest.raises(ValueError, match="may not repeat"):
@@ -663,3 +673,19 @@ def test_remove_unknown_prop_is_noop(spark, tmp_path):
     r = s.remove_props(batch.select("k"), "T", "k", ["note", "nope"])
     assert r.properties_set == 1
     assert s.nodes().collect()[0]["note"] is None
+
+
+def test_store_labels_listing(spark, tmp_path):
+    """GraphStore.labels() reads the label= partition dirs of the
+    current nodes version — pure filesystem metadata, no Spark job."""
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "lbls"))
+    assert s.labels() == []
+    s.merge_nodes(
+        spark.createDataFrame([("a",)], "k string"), label="B", key_col="k"
+    )
+    s.merge_nodes(
+        spark.createDataFrame([("a",)], "k string"), label="A", key_col="k"
+    )
+    assert s.labels() == ["A", "B"]
