@@ -1312,12 +1312,62 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 rel_prop_cols={p: f"_rp_{p}" for p in rel_props},
             )
             return CypherResult(None, summary)
-    label = _head_match(head_clauses, alias)
+    label = _head_match(head_clauses, alias, allow_unlabeled=True)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
-    keys = df.select(F.col(alias)["key"].alias("_k"))
-    summary = store.delete_nodes(
-        keys, label=label, key_col="_k", detach=dm.group("detach") is not None
-    )
+    detach = dm.group("detach") is not None
+    if label is not None:
+        keys = df.select(F.col(alias)["key"].alias("_k"))
+        summary = store.delete_nodes(
+            keys, label=label, key_col="_k", detach=detach
+        )
+        return CypherResult(None, summary)
+    # `MATCH (n) [DETACH] DELETE n` — the wipe-the-graph idiom (r15):
+    # deletes key on ONE label's bucketed partition at a time, so the
+    # matched batch fans out per label — a bounded driver loop (label
+    # count ≤ partition-dir count), the projected (key, label) frame
+    # persisted so each label's delete re-reads data, not the plan
+    sel = df.select(
+        F.col(alias)["key"].alias("_k"), F.col(alias)["label"].alias("_lbl")
+    ).persist()
+    try:
+        if not detach:
+            # Neo4j refuses the WHOLE statement when any matched node
+            # still has relationships — check up front so the per-label
+            # loop never applies partially (one semi-join + limit-1)
+            edf = store.edges()
+            if edf is not None:
+                doomed_ids = nodes.join(
+                    sel,
+                    (nodes["label"] == sel["_lbl"])
+                    & (nodes["key"] == sel["_k"]),
+                    "left_semi",
+                ).select(NODE_ID)
+                endpoint_ids = (
+                    edf.select(F.col("src").alias(NODE_ID))
+                    .unionByName(edf.select(F.col("dst").alias(NODE_ID)))
+                )
+                connected = doomed_ids.join(
+                    endpoint_ids, on=NODE_ID, how="left_semi"
+                )
+                if connected.limit(1).count() > 0:
+                    raise ValueError(
+                        "cannot DELETE nodes that still have relationships"
+                        " — use DETACH DELETE (Neo4j refuses the whole"
+                        " statement; nothing was deleted)"
+                    )
+        lbs = sorted(
+            r["_lbl"] for r in sel.select("_lbl").distinct().collect()
+        )
+        summary = WriteSummary()
+        for lb in lbs:
+            summary = summary + store.delete_nodes(
+                sel.filter(F.col("_lbl") == lb).select("_k"),
+                label=lb,
+                key_col="_k",
+                detach=detach,
+            )
+    finally:
+        sel.unpersist()
     return CypherResult(None, summary)
 
 
@@ -2703,11 +2753,6 @@ def run_cypher(
 # UNION between whole statements (masked text, so a quoted 'UNION' never
 # splits). The capture group distinguishes UNION ALL from plain UNION.
 _UNION_SPLIT_RE = re.compile(r"(?<![.$\w])UNION(\s+ALL)?(?![\w$])", re.IGNORECASE)
-
-
-_FOREACH_HEAD_RE = re.compile(
-    r"^\s*FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+", re.IGNORECASE
-)
 
 
 _FOREACH_ANY_RE = re.compile(

@@ -6440,3 +6440,37 @@ def test_text_return_star_with_path(spark, tmp_path):
         store=s,
     ).df.collect()[0]
     assert row["p"]["length"] == 1
+
+
+def test_text_unlabeled_delete_and_update(spark, tmp_path):
+    """`MATCH (n) DETACH DELETE n` / `MATCH (n) SET …` without a label
+    (r15): the store keys writes on one label's partition, so unlabeled
+    statements fan out per label (bounded driver loop over the label
+    partition dirs). Plain DELETE keeps Neo4j's whole-statement refusal
+    when ANY matched node still has relationships — checked up front so
+    the loop never applies partially."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "wipe"))
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: 'kim'}) MERGE (t:Tech {tname: 'spark'}) "
+        "MERGE (u)-[:INTERESTED_IN]->(t)",
+        store=s,
+    )
+    run_cypher(spark, "MERGE (p:Pub {pname: 'x'})", store=s)
+    # unlabeled SET fans out across all three labels
+    r = run_cypher(spark, "MATCH (n) SET n.seen = 1", store=s)
+    assert r.summary.properties_set == 3
+    vals = {x["seen"] for x in s.nodes().collect()}
+    assert vals == {1}
+    # plain DELETE refuses atomically while edges exist
+    with pytest.raises(ValueError, match="DETACH"):
+        run_cypher(spark, "MATCH (n) DELETE n", store=s)
+    assert s.nodes().count() == 3  # nothing applied
+    # DETACH DELETE wipes everything
+    r = run_cypher(spark, "MATCH (n) DETACH DELETE n", store=s)
+    assert r.summary.nodes_deleted == 3
+    assert r.summary.relationships_deleted == 1
+    assert s.nodes() is None or s.nodes().count() == 0
