@@ -156,7 +156,14 @@ Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
   projects as a struct (node key sequence, relationship type sequence,
   hop count)
 * ``MATCH (u) SET u.p = <expr>`` without a label — the computed batch
-  fans out per label (bounded by the store's label count)
+  fans out per label (bounded by the store's label count); same
+  fan-out powers ``MATCH (n) [DETACH] DELETE n`` (plain DELETE keeps
+  Neo4j's whole-statement refusal, checked up front) and the untyped
+  relationship delete ``MATCH (a:L)-[r]->(b:M) DELETE r`` (per matched
+  type)
+* ``SET n = {map}`` / ``SET n = $map`` — Neo4j's REPLACE semantics:
+  unlisted properties are removed (one bucketed erase pass), listed
+  ones set (the normal merge); the merge key survives (identity)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
@@ -1264,11 +1271,12 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 raise CypherUnsupported(
                     "variable-length patterns are unsupported in DELETE"
                 )
-            if not rm2.group("rel_type"):
-                raise CypherUnsupported(
-                    "DELETE r needs a typed relationship pattern"
-                )
-            _single_rel_type(rm2.group("rel_type"), "DELETE r")
+            # untyped `[r]` (r15): fan out per MATCHED relationship type
+            # (bounded by the store's type count) — each type's doomed
+            # edges go through the same bucketed delete
+            del_rel_type = rm2.group("rel_type")
+            if del_rel_type:
+                _single_rel_type(del_rel_type, "DELETE r")
             direction = _rel_direction(rm2)
             if direction == "both":
                 raise CypherUnsupported(
@@ -1300,17 +1308,31 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
             ret_items = [f"{sa}.key AS _sk", f"{da}.key AS _dk"] + [
                 f"{rm2.group('rel_alias')}.{p} AS _rp_{p}" for p in rel_props
             ]
+            if not del_rel_type:
+                ret_items.append(f"type({rm2.group('rel_alias')}) AS _rt")
             ret = _Clause("RETURN", ", ".join(ret_items))
             df = _run_read(head_clauses + [ret], g, head_lits, params)
-            summary = store.delete_edges(
-                df,
-                rm2.group("rel_type"),
-                s_label,
-                "_sk",
-                d_label,
-                "_dk",
-                rel_prop_cols={p: f"_rp_{p}" for p in rel_props},
-            )
+            prop_map = {p: f"_rp_{p}" for p in rel_props}
+            if del_rel_type:
+                summary = store.delete_edges(
+                    df, del_rel_type, s_label, "_sk", d_label, "_dk",
+                    rel_prop_cols=prop_map,
+                )
+                return CypherResult(None, summary)
+            df = df.persist()
+            try:
+                types = sorted(
+                    r["_rt"] for r in df.select("_rt").distinct().collect()
+                )
+                summary = WriteSummary()
+                for rt in types:
+                    summary = summary + store.delete_edges(
+                        df.filter(F.col("_rt") == rt).drop("_rt"),
+                        rt, s_label, "_sk", d_label, "_dk",
+                        rel_prop_cols=prop_map,
+                    )
+            finally:
+                df.unpersist()
             return CypherResult(None, summary)
     label = _head_match(head_clauses, alias, allow_unlabeled=True)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
@@ -2077,7 +2099,50 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     # SET-null convention applies (a null value keeps the stored cell —
     # the a8 contract), where Neo4j's += would remove the key.
     expanded: list[str] = []
+    replace_alias: str | None = None  # `SET n = {map}` — erase-then-set
     for raw in raw_items:
+        # `SET n = {k: v, …}` / `SET n = $map` — Neo4j's REPLACE-all
+        # semantics: every property not in the map is REMOVED, listed
+        # ones are set. Expands to per-prop items (same machinery as
+        # +=) plus an erase pass over the label's other prop columns
+        # after the merge. The merge KEY survives (it is the node's
+        # identity in this store — Neo4j has no such required prop).
+        rpm = re.match(
+            r"^(?P<alias>\w+)\s*=\s*(?:\{(?P<body>.*)\}|\$(?P<p>\w+))$",
+            raw,
+            re.DOTALL,
+        )
+        if rpm:
+            if replace_alias is not None or len(raw_items) > 1:
+                raise CypherUnsupported(
+                    "SET n = {map} must be the statement's only SET item"
+                )
+            replace_alias = rpm.group("alias")
+            if rpm.group("p") is not None:
+                pv = (params or {}).get(rpm.group("p")) if isinstance(
+                    params, dict
+                ) else None
+                if not isinstance(pv, dict) or not pv:
+                    raise CypherUnsupported(
+                        f"SET = ${rpm.group('p')} needs a non-empty map param"
+                    )
+                params = {
+                    **(params or {}),
+                    **{f"__set_{k0}": v0 for k0, v0 in pv.items()},
+                }
+                for k0 in pv:
+                    expanded.append(f"{replace_alias}.{k0} = $__set_{k0}")
+            else:
+                for pair in _split_top_commas(rpm.group("body")):
+                    km = re.match(r"^\s*(\w+)\s*:\s*(.+)$", pair, re.DOTALL)
+                    if not km:
+                        raise CypherUnsupported(
+                            f"unsupported map entry in SET =: {unmask(pair)!r}"
+                        )
+                    expanded.append(
+                        f"{replace_alias}.{km.group(1)} = {km.group(2).strip()}"
+                    )
+            continue
         ppm = re.match(r"^(?P<alias>\w+)\s*\+=\s*\$(?P<p>\w+)$", raw)
         if ppm:
             # `SET n += $map` — a scalar dict param expands to the same
@@ -2161,6 +2226,10 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     # properties_set books the applied cells.
     rel = _rel_head(head_clauses, alias)
     if rel is not None:
+        if replace_alias is not None:
+            raise CypherUnsupported(
+                "SET r = {map} on relationships is unsupported"
+            )
         rel_type, sa, da, s_label, d_label = rel
         ret_body = ", ".join(
             [f"{sa}.key AS _sk", f"{da}.key AS _dk"]
@@ -2186,7 +2255,35 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
         unmask(um.group("head")) + " RETURN " + ret_body
     )
     updates = _run_read(upd_clauses, g, upd_lits, params)
+    if replace_alias is not None and label is None:
+        raise CypherUnsupported(
+            "SET n = {map} needs a labeled MATCH (props erase per label)"
+        )
     if label is not None:
+        if replace_alias is not None:
+            # REPLACE semantics: every stored prop cell of the label NOT
+            # listed in the map is erased (the merge key and the
+            # secondary-label set survive — identity and labels are not
+            # properties here), then the listed values apply through the
+            # normal bucketed merge. Two writes, matched keys persisted
+            # between them; counters sum both passes.
+            canon = {NODE_ID, "label", "key", EXTRA_LABELS}
+            others = sorted(
+                c for c in nodes.columns if c not in canon and c not in props
+            )
+            updates = updates.persist()
+            try:
+                summary = WriteSummary()
+                if others:
+                    summary = summary + store.remove_props(
+                        updates.select("_k"), label, "_k", others
+                    )
+                summary = summary + store.merge_nodes(
+                    updates, label=label, key_col="_k", prop_cols=props
+                )
+            finally:
+                updates.unpersist()
+            return CypherResult(None, summary)
         summary = store.merge_nodes(
             updates, label=label, key_col="_k", prop_cols=props
         )

@@ -6474,3 +6474,69 @@ def test_text_unlabeled_delete_and_update(spark, tmp_path):
     assert r.summary.nodes_deleted == 3
     assert r.summary.relationships_deleted == 1
     assert s.nodes() is None or s.nodes().count() == 0
+
+
+def test_text_set_replace_map(spark, tmp_path):
+    """`SET n = {map}` / `SET n = $map` (r15) — Neo4j's REPLACE
+    semantics: every property not in the map is removed, listed ones
+    set. The merge key survives (it is the node's identity here)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "setrep"))
+    run_cypher(spark, "MERGE (u:User {name: 'kim'}) SET u.a = 1, u.b = 'x'", store=s)
+    run_cypher(spark, "MERGE (u:User {name: 'lee'}) SET u.a = 9", store=s)
+    run_cypher(
+        spark,
+        "MATCH (u:User) WHERE u.name = 'kim' SET u = {vip: true, score: 7}",
+        store=s,
+    )
+    rows = {
+        r["name"]: (r["a"], r["b"], r["vip"], r["sc"])
+        for r in run_cypher(
+            spark,
+            "MATCH (u:User) RETURN u.name AS name, u.a AS a, u.b AS b, "
+            "u.vip AS vip, u.score AS sc",
+            store=s,
+        ).df.collect()
+    }
+    assert rows["kim"] == (None, None, True, 7)  # a/b erased, map applied
+    assert rows["lee"][0] == 9  # untouched
+    # $map param form
+    run_cypher(
+        spark, "MATCH (u:User) WHERE u.name = 'lee' SET u = $m",
+        {"m": {"tier": 2}}, store=s,
+    )
+    row = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE u.name = 'lee' "
+        "RETURN u.a AS a, u.tier AS tier",
+        store=s,
+    ).df.collect()[0]
+    assert (row["a"], row["tier"]) == (None, 2)
+
+
+def test_text_untyped_rel_delete(spark, tmp_path):
+    """`MATCH (a:L)-[r]->(b:M) DELETE r` without a relationship type
+    (r15): the doomed edges fan out per MATCHED type — bounded driver
+    loop, one bucketed delete per type."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "urdel"))
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: 'kim'}) MERGE (t:Tech {tname: 'sp'}) "
+        "MERGE (u)-[:LIKES]->(t)",
+        store=s,
+    )
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: 'kim'}) MERGE (t:Tech {tname: 'sp'}) "
+        "MERGE (u)-[:USES]->(t)",
+        store=s,
+    )
+    r = run_cypher(spark, "MATCH (u:User)-[r]->(t:Tech) DELETE r", store=s)
+    assert r.summary.relationships_deleted == 2
+    assert s.edges() is None or s.edges().count() == 0
+    assert s.nodes().count() == 2  # nodes stay
