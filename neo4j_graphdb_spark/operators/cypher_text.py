@@ -164,6 +164,9 @@ Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
 * ``SET n = {map}`` / ``SET n = $map`` — Neo4j's REPLACE semantics:
   unlisted properties are removed (one bucketed erase pass), listed
   ones set (the normal merge); the merge key survives (identity)
+* repeated anchor MATCH — ``MATCH (a:X) MATCH (b:Y)`` folds into the
+  comma multi-anchor form (same cartesian; WHERE equality between the
+  anchors becomes an equi-join inside Catalyst)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
@@ -6278,6 +6281,41 @@ def _run_read_inner(
                 F.broadcast(probe), on=F.lit(True), how="left_anti"
             )
             df = df.unionByName(pad)
+
+    # consecutive node-pattern MATCH clauses fold into ONE comma
+    # multi-anchor MATCH (`MATCH (a:X) MATCH (b:Y)` ≡ `MATCH (a:X),
+    # (b:Y)` — Neo4j's repeated MATCH over disjoint anchors is the same
+    # cartesian, and a WHERE equality between them becomes an equi-join
+    # inside Catalyst). Only plain MATCH folds — an OPTIONAL-derived
+    # clause keeps its pad semantics; rel patterns keep the chain path.
+    def _pure_anchor(c0: _Clause) -> bool:
+        parts0 = _split_top_commas(c0.body)
+        return all(
+            _NODE_RE.match(p.strip()) and not _REL_RE.match(p.strip())
+            for p in parts0
+        )
+
+    folded: list[_Clause] = []
+    for c in clauses:
+        if (
+            c.kind == "MATCH"
+            and folded
+            and folded[-1].kind == "MATCH"
+            and _pure_anchor(c)
+            and _pure_anchor(folded[-1])
+        ):
+            merged_body = folded[-1].body + ", " + c.body
+            anchor_aliases = [
+                _NODE_RE.match(p.strip()).group("alias")
+                for p in _split_top_commas(merged_body)
+            ]
+            if len(set(anchor_aliases)) == len(anchor_aliases) and all(
+                anchor_aliases
+            ):
+                folded[-1] = _Clause("MATCH", merged_body)
+                continue
+        folded.append(c)
+    clauses = folded
 
     consumed: set[int] = set()  # WHERE clauses folded into an OPTIONAL MATCH
     _pending_seed = seed

@@ -6540,3 +6540,27 @@ def test_text_untyped_rel_delete(spark, tmp_path):
     assert r.summary.relationships_deleted == 2
     assert s.edges() is None or s.edges().count() == 0
     assert s.nodes().count() == 2  # nodes stay
+
+
+def test_text_repeated_match_anchors(spark, tmp_path):
+    """`MATCH (a:X) MATCH (b:Y)` (r15) — Neo4j's repeated MATCH over
+    disjoint anchors folds into the comma multi-anchor form (the same
+    cartesian; a WHERE equality between the anchors becomes an
+    equi-join inside Catalyst)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "mm"))
+    for nm in ("a", "b", "c"):
+        run_cypher(spark, f"MERGE (u:User {{name: '{nm}'}})", store=s)
+    run_cypher(spark, "MERGE (t:Tech {tname: 'x'})", store=s)
+    n = run_cypher(
+        spark,
+        "MATCH (u:User) MATCH (v:User) WHERE u = v RETURN count(*) AS n",
+        store=s,
+    ).df.collect()[0]["n"]
+    assert n == 3
+    n = run_cypher(
+        spark, "MATCH (u:User) MATCH (t:Tech) RETURN count(*) AS n", store=s
+    ).df.collect()[0]["n"]
+    assert n == 3  # 3 users x 1 tech
