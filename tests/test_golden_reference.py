@@ -2334,8 +2334,9 @@ def test_text_update_statement(spark, tmp_path):
 def test_text_delete_relationship(spark, tmp_path):
     """MATCH (a)-[r:T]->(p) WHERE ... DELETE r: doomed edges (all
     parallel copies) leave, nodes stay, counters report
-    relationships_deleted; DETACH on a relationship and untyped/
-    unlabeled patterns are refused."""
+    relationships_deleted; DETACH on a relationship and unlabeled
+    endpoints are refused. Untyped `[r]` is supported since r15 —
+    per-matched-type fan-out."""
     from neo4j_graphdb_spark.operators.cypher_text import (
         CypherUnsupported,
         run_cypher,
@@ -2365,9 +2366,12 @@ def test_text_delete_relationship(spark, tmp_path):
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Art)-[r:BY]->(p:Pub) DETACH DELETE r", store=s)
     with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (a:Art)-[r]->(p:Pub) DELETE r", store=s)
-    with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a)-[r:BY]->(p) DELETE r", store=s)
+    # untyped `[r]` became legal in r15: deletes the remaining edge
+    # through the per-matched-type fan-out
+    r2 = run_cypher(spark, "MATCH (a:Art)-[r]->(p:Pub) DELETE r", store=s)
+    assert r2.summary.relationships_deleted == 1
+    assert s.edges() is None or s.edges().count() == 0
 
 
 def test_text_keys_properties_introspection(spark):
