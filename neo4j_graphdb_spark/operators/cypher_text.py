@@ -6297,23 +6297,29 @@ def _run_read_inner(
 
     folded: list[_Clause] = []
     for c in clauses:
-        if (
-            c.kind == "MATCH"
-            and folded
-            and folded[-1].kind == "MATCH"
-            and _pure_anchor(c)
-            and _pure_anchor(folded[-1])
-        ):
-            merged_body = folded[-1].body + ", " + c.body
-            anchor_aliases = [
-                _NODE_RE.match(p.strip()).group("alias")
-                for p in _split_top_commas(merged_body)
-            ]
-            if len(set(anchor_aliases)) == len(anchor_aliases) and all(
-                anchor_aliases
+        if c.kind == "MATCH" and folded and _pure_anchor(c):
+            # look back past interleaved WHERE clauses — conjunctive
+            # filters over a cross product commute, so `MATCH (a:X)
+            # WHERE w MATCH (b:Y)` merges the same as the adjacent form
+            # (WHERE application is deferred to _apply_pending anyway)
+            j = len(folded) - 1
+            while j >= 0 and folded[j].kind == "WHERE":
+                j -= 1
+            if (
+                j >= 0
+                and folded[j].kind == "MATCH"
+                and _pure_anchor(folded[j])
             ):
-                folded[-1] = _Clause("MATCH", merged_body)
-                continue
+                merged_body = folded[j].body + ", " + c.body
+                anchor_aliases = [
+                    _NODE_RE.match(p.strip()).group("alias")
+                    for p in _split_top_commas(merged_body)
+                ]
+                if len(set(anchor_aliases)) == len(anchor_aliases) and all(
+                    anchor_aliases
+                ):
+                    folded[j] = _Clause("MATCH", merged_body)
+                    continue
         folded.append(c)
     clauses = folded
 

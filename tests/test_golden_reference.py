@@ -6568,3 +6568,22 @@ def test_text_repeated_match_anchors(spark, tmp_path):
         spark, "MATCH (u:User) MATCH (t:Tech) RETURN count(*) AS n", store=s
     ).df.collect()[0]["n"]
     assert n == 3  # 3 users x 1 tech
+
+
+def test_text_repeated_match_across_where(spark, tmp_path):
+    """`MATCH (a:X) WHERE w MATCH (b:Y)` (r15) — the anchor fold hops
+    interleaved WHERE clauses: conjunctive filters over a cross product
+    commute, so the merged comma form is semantics-identical."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "mmw"))
+    for nm in ("a", "b"):
+        run_cypher(spark, f"MERGE (u:User {{name: '{nm}'}}) ", store=s)
+    rows = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE u.name = 'a' MATCH (v:User) "
+        "WHERE v.name <> u.name RETURN v.name AS name",
+        store=s,
+    ).df.collect()
+    assert [r["name"] for r in rows] == ["b"]
