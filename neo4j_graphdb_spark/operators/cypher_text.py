@@ -165,8 +165,13 @@ Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
   unlisted properties are removed (one bucketed erase pass), listed
   ones set (the normal merge); the merge key survives (identity)
 * repeated anchor MATCH — ``MATCH (a:X) MATCH (b:Y)`` folds into the
-  comma multi-anchor form (same cartesian; WHERE equality between the
+  comma multi-anchor form, hopping interleaved WHERE clauses (same
+  cartesian — conjunctive filters commute; WHERE equality between the
   anchors becomes an equi-join inside Catalyst)
+* temporal expressions as GENERAL WHERE operands — ``datetime() -
+  duration('P1D') < datetime()``: sentinels that land in an
+  expression-form conjunct unstash to source text for the scalar
+  compiler (the stash serves only the simple prop-op-value grammar)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
@@ -6098,6 +6103,7 @@ def _run_read_inner(
     where_exprs: list = []  # boolean ASTs from OR/NOT/paren WHERE bodies
     expr_predicates: list[str] = []  # expression-form conjuncts (a.x + 1 > 2)
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
+    temporal_srcs: list = []  # the sentinels' original source text
     exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
     in_with = False  # inside a non-aggregating WITH segment
     with_narrowed = False  # a mid-pipeline SKIP/LIMIT shrank the row set
@@ -7239,6 +7245,7 @@ def _run_read_inner(
                 # never reach the boolean-grammar trigger or tokenizer
                 def _stash(m: re.Match) -> str:
                     temporal_cols.append(_temporal_column(m, lits))
+                    temporal_srcs.append(m.group(0))
                     return f"\x01{len(temporal_cols) - 1}\x01"
 
                 body = _TEMPORAL_EXPR_RE.sub(_stash, body)
@@ -7280,8 +7287,19 @@ def _run_read_inner(
                 else:
                     # expression-form conjunct (arithmetic / functions /
                     # CASE over bound props) — compiled in _apply_pending
-                    # where the frame is known
-                    expr_predicates.append(item.strip())
+                    # where the frame is known. Any temporal sentinel the
+                    # stash left here UNSTASHES back to its source text:
+                    # the scalar compiler handles datetime()/duration()
+                    # natively (sentinels exist only for the simple
+                    # prop-op-value grammar, whose operands are raw
+                    # tokens, not expressions)
+                    expr_predicates.append(
+                        re.sub(
+                            r"\x01(\d+)\x01",
+                            lambda mm: temporal_srcs[int(mm.group(1))],
+                            item.strip(),
+                        )
+                    )
         elif c.kind == "WITH":
             # non-aggregating WITH: a mid-pipeline horizon. Deferred
             # filters flush FIRST (Cypher scopes a WHERE to its clause

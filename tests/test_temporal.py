@@ -300,3 +300,38 @@ def test_session_markov_hand_checked(spark):
     assert out[("B", "A")]["cnt"] == 1 and out[("B", "A")]["p"] == 0.5
     assert out[("B", "B")]["cnt"] == 1 and out[("B", "B")]["p"] == 0.5
     assert len(out) == 3
+
+
+def test_where_temporal_expression_operands(spark):
+    """Temporal expressions compose as GENERAL WHERE operands (r15):
+    `datetime() - duration(…) < datetime()` — a sentinel landing in an
+    expression-form conjunct unstashes back to its source text, which
+    the scalar compiler handles natively (the stash exists only for the
+    simple prop-op-value grammar)."""
+    from neo4j_graphdb_spark.model import as_nodes
+    from neo4j_graphdb_spark.operators.cypher import Graph
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.col("event_id").cast("string").alias("k"), "ts"
+    )
+    g = Graph(as_nodes(ev, "Ev", "k", ["ts"]), None)
+    total = run_cypher(
+        spark, "MATCH (e:Ev) RETURN count(*) AS n", graph=g
+    ).df.collect()[0]["n"]
+    n = run_cypher(
+        spark,
+        "MATCH (e:Ev) WHERE datetime() - duration('P1D') < datetime() "
+        "RETURN count(*) AS n",
+        graph=g,
+    ).df.collect()[0]["n"]
+    assert n == total  # constant-true temporal conjunct keeps all rows
+    n = run_cypher(
+        spark,
+        "MATCH (e:Ev) WHERE datetime() + duration('P1D') < datetime() "
+        "RETURN count(*) AS n",
+        graph=g,
+    ).df.collect()[0]["n"]
+    assert n == 0  # constant-false drops all
