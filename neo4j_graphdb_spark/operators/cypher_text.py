@@ -172,6 +172,10 @@ Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
   duration('P1D') < datetime()``: sentinels that land in an
   expression-form conjunct unstash to source text for the scalar
   compiler (the stash serves only the simple prop-op-value grammar)
+* fresh node anchors onto an existing frame — ``… WITH u LIMIT 1 MATCH
+  (v:Tech) …`` and MATCH directly after a statement-leading OPTIONAL
+  MATCH (the pad flushes first; a padded NULL anchor equi-joins to
+  nothing through a chained rel MATCH, openCypher's rule)
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
@@ -6349,10 +6353,12 @@ def _run_read_inner(
             leading_opt_pad = True
             c = _Clause("MATCH", c.body)
         elif c.kind == "MATCH" and leading_opt_pad and df is not None:
-            raise CypherUnsupported(
-                "MATCH after a statement-leading OPTIONAL MATCH needs a "
-                "WITH boundary between them"
-            )
+            # a MATCH directly after the leading-optional segment closes
+            # it: flush the deferred filters + the empty-pad NOW, so the
+            # follow-up pattern composes with openCypher semantics (a
+            # padded NULL anchor equi-joins to nothing; a fresh anchor
+            # cross-joins the padded row through)
+            _apply_pending()
         if c.kind == "UNWIND":
             if df is not None:
                 # mid-pipeline UNWIND (after MATCH or a WITH): explodes a
@@ -6676,6 +6682,34 @@ def _run_read_inner(
                 # broadcast (same shape as Graph.expand_path)
                 m = _REL_RE.match(c.body)
                 if not m:
+                    # a FRESH node anchor onto an existing frame —
+                    # `… WITH u LIMIT 1 MATCH (v:Tech) …` (and the
+                    # leading-OPTIONAL + MATCH shape, once the pad has
+                    # flushed): Neo4j's cartesian; the scan joins
+                    # PREFIXED, so a later WHERE equality becomes an
+                    # equi-join inside Catalyst exactly like the comma
+                    # multi-anchor form. (The pre-loop fold merges
+                    # adjacent anchor MATCHes; this path serves anchors
+                    # separated by a WITH horizon or an optional pad.)
+                    n2 = _NODE_RE.match(c.body)
+                    if n2 and n2.group("alias") and n2.group(
+                        "alias"
+                    ) not in aliases:
+                        from neo4j_graphdb_spark.operators.cypher import (
+                            _prefix,
+                        )
+
+                        if leading_opt_pad:
+                            _apply_pending()
+                        a2 = n2.group("alias")
+                        scan2 = _prefix(
+                            graph.match(_node_labels(n2.group("label"))), a2
+                        )
+                        df = df.crossJoin(scan2)
+                        aliases[a2] = f"{a2}_"
+                        for prop, raw in _parse_value_props(n2.group("props")):
+                            predicates.append((a2, prop, "=", raw))
+                        continue
                     raise CypherUnsupported(
                         f"chained MATCH must be a relationship pattern: {c.body!r}"
                     )

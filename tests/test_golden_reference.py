@@ -6587,3 +6587,46 @@ def test_text_repeated_match_across_where(spark, tmp_path):
         store=s,
     ).df.collect()
     assert [r["name"] for r in rows] == ["b"]
+
+
+def test_text_fresh_anchor_match_composition(spark, tmp_path):
+    """A fresh node anchor onto an existing frame (r15): `WITH u LIMIT 1
+    MATCH (v:Tech)` cross-joins a prefixed scan (Catalyst equi-joins it
+    on a later WHERE equality); after a statement-leading OPTIONAL
+    MATCH the pad flushes first — a padded NULL anchor equi-joins to
+    NOTHING through a chained rel MATCH (openCypher), while a fresh
+    anchor carries the NULL row through the cross."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "fresh"))
+    pdf = spark.createDataFrame(
+        [("kim", "spark"), ("lee", "flink")], "name string, tech string"
+    )
+    run_cypher(
+        spark,
+        "UNWIND $rows AS row MERGE (u:User {name: row.name}) "
+        "MERGE (t:Tech {tname: row.tech}) MERGE (u)-[:INTERESTED_IN]->(t)",
+        pdf,
+        store=s,
+    )
+    n = run_cypher(
+        spark,
+        "MATCH (u:User) WITH u LIMIT 1 MATCH (v:Tech) RETURN count(*) AS n",
+        store=s,
+    ).df.collect()[0]["n"]
+    assert n == 2  # 1 narrowed user x 2 techs
+    rows = run_cypher(
+        spark,
+        "OPTIONAL MATCH (x:Nope) MATCH (u:User) "
+        "RETURN u.name AS name, x.key AS k ORDER BY name",
+        store=s,
+    ).df.collect()
+    assert [(r["name"], r["k"]) for r in rows] == [("kim", None), ("lee", None)]
+    n = run_cypher(
+        spark,
+        "OPTIONAL MATCH (x:Nope) MATCH (x)-[:INTERESTED_IN]->(t) "
+        "RETURN count(*) AS n",
+        store=s,
+    ).df.collect()[0]["n"]
+    assert n == 0  # NULL anchor matches nothing through a plain MATCH
