@@ -176,6 +176,10 @@ Round-15 additions (VERDICT r14 dialect gaps; a117-a121 oracle rows):
   (v:Tech) …`` and MATCH directly after a statement-leading OPTIONAL
   MATCH (the pad flushes first; a padded NULL anchor equi-joins to
   nothing through a chained rel MATCH, openCypher's rule)
+* unlabeled-endpoint relationship delete — ``MATCH ()-[r:T]->()
+  DELETE r`` (and the fully-anonymous wipe ``()-[r]->()``): the doom
+  keys are endpoint NODE IDS (``delete_edges_by_ids``) instead of
+  per-label keys; an edgeless store deletes zero, never errors
 
 Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
@@ -1301,10 +1305,13 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
             if direction == "in":
                 sa, da = da, sa
                 s_label, d_label = d_label, s_label
-            if not s_label or not d_label:
-                raise CypherUnsupported(
-                    "DELETE r needs labeled endpoints (keys resolve per label)"
-                )
+            # unlabeled endpoints (r15): `MATCH ()-[r:T]->() DELETE r`,
+            # the wipe-edges-of-a-type idiom — keys resolve per label,
+            # so the labeled path can't serve it; instead the matched
+            # frame projects the endpoint NODE IDS and the doom keys go
+            # through delete_edges_by_ids (same null-safe prop-extended
+            # doom key, same partial bucket rewrite)
+            id_based = not s_label or not d_label
             # Project the matched relationships' property values alongside
             # the endpoint keys: a WHERE on r's props binds only SOME of
             # the parallel (src, dst, rel_type) copies, so the doom key
@@ -1312,12 +1319,20 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
             # unmatched siblings down too (writer.delete_edges null-safe
             # prop matching).
             edf = store.edges()
+            if edf is None:
+                # an edgeless store matches zero relationships — Neo4j
+                # deletes nothing rather than erroring
+                return CypherResult(None, WriteSummary())
             rel_props = [
                 c
-                for c in (edf.columns if edf is not None else [])
+                for c in edf.columns
                 if c not in ("src", "dst", "rel_type", BUCKET_COL)
             ]
-            ret_items = [f"{sa}.key AS _sk", f"{da}.key AS _dk"] + [
+            if id_based:
+                ret_items = [f"id({sa}) AS _sid", f"id({da}) AS _did"]
+            else:
+                ret_items = [f"{sa}.key AS _sk", f"{da}.key AS _dk"]
+            ret_items += [
                 f"{rm2.group('rel_alias')}.{p} AS _rp_{p}" for p in rel_props
             ]
             if not del_rel_type:
@@ -1325,12 +1340,19 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
             ret = _Clause("RETURN", ", ".join(ret_items))
             df = _run_read(head_clauses + [ret], g, head_lits, params)
             prop_map = {p: f"_rp_{p}" for p in rel_props}
-            if del_rel_type:
-                summary = store.delete_edges(
-                    df, del_rel_type, s_label, "_sk", d_label, "_dk",
+
+            def _del_one(frame: DataFrame, rt: str) -> WriteSummary:
+                if id_based:
+                    return store.delete_edges_by_ids(
+                        frame, rt, "_sid", "_did", rel_prop_cols=prop_map
+                    )
+                return store.delete_edges(
+                    frame, rt, s_label, "_sk", d_label, "_dk",
                     rel_prop_cols=prop_map,
                 )
-                return CypherResult(None, summary)
+
+            if del_rel_type:
+                return CypherResult(None, _del_one(df, del_rel_type))
             df = df.persist()
             try:
                 types = sorted(
@@ -1338,10 +1360,8 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
                 )
                 summary = WriteSummary()
                 for rt in types:
-                    summary = summary + store.delete_edges(
-                        df.filter(F.col("_rt") == rt).drop("_rt"),
-                        rt, s_label, "_sk", d_label, "_dk",
-                        rel_prop_cols=prop_map,
+                    summary = summary + _del_one(
+                        df.filter(F.col("_rt") == rt).drop("_rt"), rt
                     )
             finally:
                 df.unpersist()

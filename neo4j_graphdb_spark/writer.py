@@ -1144,6 +1144,39 @@ class GraphStore:
             .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
             .persist()
         )
+        return self._delete_doomed_edges(doomed, rel_type, prop_map)
+
+    def delete_edges_by_ids(
+        self,
+        pairs: DataFrame,
+        rel_type: str,
+        src_id_col: str,
+        dst_id_col: str,
+        rel_prop_cols: dict[str, str] | None = None,
+    ) -> WriteSummary:
+        """:meth:`delete_edges` keyed on endpoint NODE IDS instead of
+        (label, key) pairs — the shape an UNLABELED-endpoint read
+        produces (``MATCH ()-[r:T]->() DELETE r``): the matched frame
+        already carries the ids, so no per-label key resolution is
+        needed. Same doom-key semantics (props extend the key,
+        null-safe) and the same partial (rel_type, bucket) rewrite."""
+        prop_map = rel_prop_cols or {}
+        doomed = (
+            pairs.select(
+                F.col(src_id_col).alias("src"),
+                F.col(dst_id_col).alias("dst"),
+                F.lit(rel_type).alias("rel_type"),
+                *[F.col(pc).alias(sc) for sc, pc in prop_map.items()],
+            )
+            .distinct()
+            .withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
+            .persist()
+        )
+        return self._delete_doomed_edges(doomed, rel_type, prop_map)
+
+    def _delete_doomed_edges(
+        self, doomed: DataFrame, rel_type: str, prop_map: dict[str, str]
+    ) -> WriteSummary:
         existing = self._edges.read(self.spark)
         if existing is None:
             doomed.unpersist()

@@ -2365,13 +2365,15 @@ def test_text_delete_relationship(spark, tmp_path):
     assert s.nodes().count() == 4
     with pytest.raises(CypherUnsupported):
         run_cypher(spark, "MATCH (a:Art)-[r:BY]->(p:Pub) DETACH DELETE r", store=s)
-    with pytest.raises(CypherUnsupported):
-        run_cypher(spark, "MATCH (a)-[r:BY]->(p) DELETE r", store=s)
     # untyped `[r]` became legal in r15: deletes the remaining edge
     # through the per-matched-type fan-out
     r2 = run_cypher(spark, "MATCH (a:Art)-[r]->(p:Pub) DELETE r", store=s)
     assert r2.summary.relationships_deleted == 1
     assert s.edges() is None or s.edges().count() == 0
+    # unlabeled endpoints became legal in r15 too (id-based doom keys);
+    # nothing left to delete here
+    r3 = run_cypher(spark, "MATCH (a)-[r:BY]->(p) DELETE r", store=s)
+    assert r3.summary.relationships_deleted == 0
 
 
 def test_text_keys_properties_introspection(spark):
@@ -6630,3 +6632,33 @@ def test_text_fresh_anchor_match_composition(spark, tmp_path):
         store=s,
     ).df.collect()[0]["n"]
     assert n == 0  # NULL anchor matches nothing through a plain MATCH
+
+
+def test_text_unlabeled_endpoint_rel_delete(spark, tmp_path):
+    """`MATCH ()-[r:T]->() DELETE r` (r15) — the wipe-edges-of-a-type
+    idiom: unlabeled/anonymous endpoints doom by endpoint NODE IDS
+    (delete_edges_by_ids) instead of per-label keys; composes with the
+    untyped per-type fan-out for a full edge wipe."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "uedel"))
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: 'kim'}) MERGE (t:Tech {tname: 'sp'}) "
+        "MERGE (u)-[:LIKES]->(t)",
+        store=s,
+    )
+    run_cypher(
+        spark,
+        "MERGE (u:User {name: 'kim'}) MERGE (t:Tech {tname: 'sp'}) "
+        "MERGE (u)-[:USES]->(t)",
+        store=s,
+    )
+    r = run_cypher(spark, "MATCH ()-[r:LIKES]->() DELETE r", store=s)
+    assert r.summary.relationships_deleted == 1
+    assert [x["rel_type"] for x in s.edges().collect()] == ["USES"]
+    r = run_cypher(spark, "MATCH ()-[r]->() DELETE r", store=s)
+    assert r.summary.relationships_deleted == 1
+    assert s.edges() is None or s.edges().count() == 0
+    assert s.nodes().count() == 2
