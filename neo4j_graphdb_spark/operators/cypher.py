@@ -52,6 +52,17 @@ class Graph:
         strict_props: bool | None = None,
     ):
         self.nodes_df = nodes
+        if edges is None and nodes is not None:
+            # Zero relationships is a legal graph state (a store read
+            # before its first edge write, or after `MATCH ()-[r]->()
+            # DELETE r` emptied the table). Neo4j answers every
+            # relationship pattern over it with ZERO ROWS, never an
+            # error — synthesize the canonical empty edge frame so each
+            # expand compiles to an (instantly-empty) join plan instead
+            # of raising.
+            edges = nodes.sparkSession.createDataFrame(
+                [], "src long, dst long, rel_type string"
+            )
         self.edges_df = edges
         self.key_names = key_names or {}
         # strict (NULL-for-unknown) property resolution: ON whenever a
@@ -208,8 +219,6 @@ class Graph:
         union on the edge side BEFORE the joins, so the plan shape —
         and the broadcast of the dimension node sides — is unchanged.
         """
-        if self.edges_df is None:
-            raise ValueError("graph has no edges")
         e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
         src = _prefix(self.match(src_label), src_alias)
         dst = _prefix(self.match(dst_label), dst_alias)
@@ -235,8 +244,6 @@ class Graph:
         fact side never moving for broadcastable hops. Output columns
         are prefixed ``n0_…, n1_…`` (or the given ``aliases``).
         """
-        if self.edges_df is None:
-            raise ValueError("graph has no edges")
         aliases = aliases or [f"n{i}" for i in range(len(hops) + 1)]
         cur = _prefix(self.match(start_label), aliases[0])
         prev_alias = aliases[0]
@@ -281,8 +288,6 @@ class Graph:
         NULLs the optional side instead of dropping the row (a
         post-join filter — the thing it must NOT compile to — would
         drop it)."""
-        if self.edges_df is None:
-            raise ValueError("graph has no edges")
         e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
         dst = _prefix(self.match(dst_label), dst_alias)
         matched = e.join(
@@ -320,8 +325,6 @@ class Graph:
         produces (``rel_type``, edge props — the previous leg's edge
         payload) are dropped first: the unprefixed edge namespace
         belongs to the MOST RECENT relationship leg."""
-        if self.edges_df is None:
-            raise ValueError("graph has no edges")
         e = _orient_edges(_rel_filter(self.edges_df, rel_type), direction)
         dst = _prefix(self.match(dst_label), dst_alias)
         matched = e.join(
@@ -372,8 +375,6 @@ class Graph:
         """
         if not 1 <= min_hops <= max_hops:
             raise ValueError("need 1 <= min_hops <= max_hops")
-        if self.edges_df is None:
-            raise ValueError("graph has no edges")
         e_base = self.edges_df
         e_base = _rel_filter(e_base, rel_type)
         if collect_paths:

@@ -1475,8 +1475,6 @@ def _run_text_call(
         graph = _store_graph(store, nodes)
     nodes_df, edges_df = graph.nodes_df, graph.edges_df
     ns = cm.group("ns").lower()
-    if edges_df is None and ns == "graft":
-        raise CypherUnsupported("CALL graft procedures need a graph with edges")
 
     cfg_body = cm.group("cfg") or ""
     cfg_pairs = _CALL_CFG_RE.findall(cfg_body)
@@ -6275,8 +6273,6 @@ def _run_read_inner(
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
             e = graph.edges_df
-            if e is None:
-                raise CypherUnsupported("graph has no edges")
             e = _orient_edges(_cy_rel_filter(e, _rel_types(rel_type)), direction)
             if dst_label is not None:
                 lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
@@ -6608,8 +6604,6 @@ def _run_read_inner(
                 from neo4j_graphdb_spark.operators.cypher import _prefix
 
                 e_sp = graph.edges_df
-                if e_sp is None:
-                    raise CypherUnsupported("graph has no edges")
                 e_sp = _cy_rel_filter(e_sp, _rel_types(pm.group("rel_type")))
                 e_sp = e_sp.select(
                     F.col("src").alias("_spu"), F.col("dst").alias("_spv")
@@ -6763,8 +6757,6 @@ def _run_read_inner(
                 )
 
                 e2 = graph.edges_df
-                if e2 is None:
-                    raise CypherUnsupported("graph has no edges")
                 e2 = _cy_rel_filter(e2, _rel_types(m.group("rel_type")))
                 e2 = _orient_edges(e2, _rel_direction(m)).select(
                     F.col("src").alias("_e2src"), F.col("dst").alias("_e2dst")
@@ -6835,8 +6827,6 @@ def _run_read_inner(
                             f"alias {da_i!r} is already bound"
                         )
                     eh = graph.edges_df
-                    if eh is None:
-                        raise CypherUnsupported("graph has no edges")
                     eh = _cy_rel_filter(eh, _rel_types(rt_i))
                     eh = _orient_edges(eh, dir_i).select(
                         F.col("src").alias("_ehsrc"), F.col("dst").alias("_ehdst")
@@ -7634,8 +7624,6 @@ def _run_read_inner(
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
             ce = graph.edges_df
-            if ce is None:
-                raise CypherUnsupported("graph has no edges")
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, _rel_direction(pm))
             if pm.group("dst_label") is not None:
@@ -7687,8 +7675,6 @@ def _run_read_inner(
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
             xe = graph.edges_df
-            if xe is None:
-                raise CypherUnsupported("graph has no edges")
             xe = _cy_rel_filter(xe, _rel_types(pm.group("rel_type")))
             xe = _orient_edges(xe, _rel_direction(pm))
             if pm.group("dst_label") is not None:
@@ -7766,8 +7752,6 @@ def _run_read_inner(
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
             ce = graph.edges_df
-            if ce is None:
-                raise CypherUnsupported("graph has no edges")
             ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
             ce = _orient_edges(ce, pc_dir)
             dstn = graph.match(_node_labels(pc_new_label))

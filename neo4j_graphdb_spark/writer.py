@@ -1484,12 +1484,14 @@ class GraphStore:
         if existing is None:
             target.unpersist()
             return WriteSummary()
-        missing = [p for p in props if p not in existing.columns]
-        if missing:
+        # Neo4j: REMOVE of a property no relationship stores is a silent
+        # no-op (the verb erases if present) — drop unknown names rather
+        # than refuse, exactly like the node path above; if nothing is
+        # left the write books zero cells
+        props = [p for p in props if p in existing.columns]
+        if not props:
             target.unpersist()
-            raise ValueError(
-                f"unknown relationship properties {missing} on type {rel_type!r}"
-            )
+            return WriteSummary()
         bucketed = (
             self._edges.is_partitioned_by(["rel_type", BUCKET_COL])
             and BUCKET_COL in existing.columns

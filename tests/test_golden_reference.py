@@ -16,6 +16,7 @@ The five statements:
 """
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from neo4j_graphdb_spark.model import node_struct
@@ -6662,3 +6663,102 @@ def test_text_unlabeled_endpoint_rel_delete(spark, tmp_path):
     assert r.summary.relationships_deleted == 1
     assert s.edges() is None or s.edges().count() == 0
     assert s.nodes().count() == 2
+
+
+def test_text_zero_edge_reads_return_empty(spark, tmp_path):
+    """Zero relationships is a legal graph state, not an error: Neo4j
+    answers every relationship pattern over an edgeless store with zero
+    rows (count 0). Matrix covers BOTH ways to reach the state — a read
+    before the first edge write, and a read after `MATCH ()-[r]->()
+    DELETE r` emptied the table — over one-hop, var-length, chained
+    MATCH, EXISTS predicates, and CALL db.relationshipTypes()."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "zeroedge"))
+    run_cypher(spark, "CREATE (a:Article {link: 'l1'})", store=s)
+    run_cypher(spark, "CREATE (p:Publisher {publisher: 'p1'})", store=s)
+
+    def checks():
+        r = run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+            "RETURN count(*) AS c",
+            store=s,
+        )
+        assert r.df.collect() == [Row(c=0)]
+        r = run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+            "RETURN a.link AS link",
+            store=s,
+        )
+        assert r.df.collect() == []
+        r = run_cypher(
+            spark,
+            "MATCH (a:Article)-[:WRITTEN_BY*1..3]->(p) RETURN count(*) AS c",
+            store=s,
+        )
+        assert r.df.collect() == [Row(c=0)]
+        # nodes themselves still read fine; EXISTS over no edges = false
+        r = run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE EXISTS { (a)-[:WRITTEN_BY]->(:Publisher) } "
+            "RETURN count(*) AS c",
+            store=s,
+        )
+        assert r.df.collect() == [Row(c=0)]
+        r = run_cypher(spark, "CALL db.relationshipTypes()", store=s)
+        assert r.df.collect() == []
+
+    # 1) read before the first edge write
+    checks()
+    # 2) write an edge, delete ALL relationships, read again
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MATCH (p:Publisher {publisher: 'p1'}) "
+        "MERGE (a)-[:WRITTEN_BY]->(p)",
+        store=s,
+    )
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) RETURN count(*) AS c",
+        store=s,
+    ).df.collect() == [Row(c=1)]
+    res = run_cypher(spark, "MATCH ()-[r]->() DELETE r", store=s)
+    assert res.summary.relationships_deleted == 1
+    checks()
+
+
+def test_text_remove_absent_rel_prop_is_noop(spark, tmp_path):
+    """`REMOVE r.p` where no edge of the type stores `p` is a silent
+    no-op with properties_set = 0 (Neo4j semantics, matching the node
+    path) — not an error; a later real `p` still erases normally."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "rmabsent"))
+    run_cypher(spark, "CREATE (a:Article {link: 'l1'})", store=s)
+    run_cypher(spark, "CREATE (p:Publisher {publisher: 'p1'})", store=s)
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MATCH (p:Publisher {publisher: 'p1'}) "
+        "MERGE (a)-[:WRITTEN_BY]->(p)",
+        store=s,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) REMOVE r.w",
+        store=s,
+    )
+    assert res.summary.properties_set == 0
+    # the edge survives, and a real prop set/remove still books 1 cell
+    run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) SET r.w = 5",
+        store=s,
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) REMOVE r.w",
+        store=s,
+    )
+    assert res.summary.properties_set == 1

@@ -689,3 +689,23 @@ def test_store_labels_listing(spark, tmp_path):
         spark.createDataFrame([("a",)], "k string"), label="A", key_col="k"
     )
     assert s.labels() == ["A", "B"]
+
+
+def test_remove_unknown_edge_prop_is_noop(spark, tmp_path):
+    """Neo4j: REMOVE of a property no relationship stores is a silent
+    no-op (edge twin of the node-path rule above); mixed known+unknown
+    still erases the known cells."""
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "rme"))
+    batch = spark.createDataFrame([("a", "b", 3)], "u string, t string, w int")
+    s.merge_nodes(batch.select("u"), label="U", key_col="u")
+    s.merge_nodes(batch.select("t"), label="T", key_col="t")
+    s.merge_edges(batch, "R", "U", "u", "T", "t", prop_cols=["w"])
+    r = s.remove_edge_props(batch, "R", "U", "u", "T", "t", ["nope"])
+    assert r.properties_set == 0
+    r = s.remove_edge_props(batch, "R", "U", "u", "T", "t", ["w", "nope"])
+    assert r.properties_set == 1
+    assert s.edges().collect()[0]["w"] is None
+    # edge itself survives both REMOVEs
+    assert s.edges().count() == 1
