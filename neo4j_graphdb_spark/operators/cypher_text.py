@@ -1012,6 +1012,44 @@ def _parse_value_props(props: str | None) -> list[tuple[str, str]]:
     return pairs
 
 
+def _strip_endpoint_props(pat: str) -> tuple[str, str | None, str | None]:
+    """Pop inline property maps off a path pattern's endpoint nodes —
+    ``(a:Article {link: $l})-[:T*1..4]-(b {link: $m})`` becomes
+    ``(a:Article)-[:T*1..4]-(b)`` plus the two raw ``{…}`` texts (left
+    endpoint first) — so the shortestPath / allShortestPaths regexes
+    (whose endpoints admit only alias+label) can match. The caller
+    folds the maps into pushed equality predicates: Neo4j treats the
+    inline-map form as sugar for the equivalent WHERE, and Catalyst
+    plants the equalities into the endpoint node scans exactly like
+    the WHERE form, so the two-specific-nodes idiom never ladders the
+    whole label. A relationship's own ``{…}`` sits inside ``[…]``
+    brackets and is untouched."""
+    left = right = None
+    lm = re.match(
+        r"^\(\s*(?P<alias>\w+)?\s*(?P<label>:\s*\w+(?:\s*[|:]\s*\w+)*)?\s*"
+        r"(?P<props>\{[^{}]*\})\s*\)",
+        pat,
+    )
+    if lm:
+        left = lm.group("props")
+        pat = (
+            f"({lm.group('alias') or ''}{lm.group('label') or ''})"
+            + pat[lm.end():]
+        )
+    rm = re.search(
+        r"\(\s*(?P<alias>\w+)?\s*(?P<label>:\s*\w+(?:\s*[|:]\s*\w+)*)?\s*"
+        r"(?P<props>\{[^{}]*\})\s*\)$",
+        pat,
+    )
+    if rm:
+        right = rm.group("props")
+        pat = (
+            pat[: rm.start()]
+            + f"({rm.group('alias') or ''}{rm.group('label') or ''})"
+        )
+    return pat, left, right
+
+
 def _split_top_commas(s: str) -> list[str]:
     """Split on commas not nested inside (), [] or {}."""
     out, depth, cur = [], 0, []
@@ -6489,6 +6527,7 @@ def _run_read_inner(
                         "allShortestPaths must be the statement's first MATCH"
                     )
                 pat = re.sub(r"\*\s*\.\.", "*1..", asm.group("pat").strip())
+                pat, as_lprops, as_rprops = _strip_endpoint_props(pat)
                 mas = _REL_RE.match(pat)
                 if not mas or not mas.group("max_h"):
                     raise CypherUnsupported(
@@ -6505,6 +6544,13 @@ def _run_read_inner(
                     )
                 path_bind = asm.group("palias")
                 all_shortest = True
+                # endpoint inline maps → pushed equality predicates
+                # (applied at the next _apply_pending, once the ladder
+                # below registers the aliases)
+                for prop, raw in _parse_value_props(as_lprops):
+                    predicates.append((mas.group("src_alias") or "a", prop, "=", raw))
+                for prop, raw in _parse_value_props(as_rprops):
+                    predicates.append((mas.group("dst_alias") or "b", prop, "=", raw))
                 c.body = pat
             pbm = (
                 None
@@ -6558,6 +6604,7 @@ def _run_read_inner(
                 # `*..k` sugar → `*1..k` (Neo4j's shortestPath allows a
                 # minimal length of 0 or 1 only; we support 1)
                 pat = re.sub(r"\*\s*\.\.", "*1..", sm.group("pat").strip())
+                pat, sp_lprops, sp_rprops = _strip_endpoint_props(pat)
                 pm = _REL_RE.match(pat)
                 if not pm or not pm.group("star"):
                     raise CypherUnsupported(
@@ -6682,6 +6729,12 @@ def _run_read_inner(
                 )
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
+                # endpoint inline maps → pushed equality predicates,
+                # keyed by the pattern's own (pre-swap) endpoint names
+                for prop, raw in _parse_value_props(sp_lprops):
+                    predicates.append((pm.group("src_alias") or "a", prop, "=", raw))
+                for prop, raw in _parse_value_props(sp_rprops):
+                    predicates.append((pm.group("dst_alias") or "b", prop, "=", raw))
                 rel_alias = sm.group("palias")
                 rel_prefixed = True
                 continue
