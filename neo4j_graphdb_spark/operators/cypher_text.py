@@ -5810,21 +5810,61 @@ _EXISTS_ITEM_RE = re.compile(
 )
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a WHERE body on ``AND`` connectives at nesting depth 0 —
+    an ``AND`` inside an ``EXISTS { … WHERE x AND y }`` subquery body
+    belongs to the subquery, not the outer conjunction (the naive
+    ``re.split`` would cut straight through the braces)."""
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(s)
+    up = s.upper()
+    while i < n:
+        ch = s[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and i > 0
+            and s[i - 1].isspace()
+            and i + 3 < n
+            and s[i + 3].isspace()
+        ):
+            parts.append(s[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _extract_exists(body: str, out: list) -> str:
-    """Pull ``[NOT] EXISTS { <relationship pattern> }`` conjuncts out of
-    a WHERE body (they compile to LEFT SEMI / LEFT ANTI joins, not
-    Columns, so they must be whole top-level AND conjuncts — anything
-    else is refused). Returns the body with those conjuncts removed."""
+    """Pull ``[NOT] EXISTS { [MATCH] <relationship pattern> [WHERE …] }``
+    conjuncts out of a WHERE body (they compile to LEFT SEMI / LEFT
+    ANTI joins, not Columns, so they must be whole top-level AND
+    conjuncts — anything else is refused). Returns the body with those
+    conjuncts removed.
+
+    Each entry appended to ``out`` is ``(src_alias, rel_type,
+    direction, dst_label, negated, src_label, dst_alias, inner_where)``
+    — the last three serve the full Neo4j-5 existential subquery form
+    ``EXISTS { MATCH (a:Article)-[:T]->(p2:Publisher) WHERE p2.x =
+    p.x }`` (inner alias + correlated predicate); they are None for
+    the bare pattern form."""
     remaining: list[str] = []
-    for it in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+    for it in _split_top_and(body):
         it_s = it.strip()
         m = _EXISTS_ITEM_RE.match(it_s)
         pat_text = None
         negated = False
         if m:
-            # Cypher 5 allows a full existential subquery `EXISTS {
-            # MATCH <pattern> }` — the leading MATCH keyword is noise
-            # for the single-pattern form compiled here
+            # Cypher 5's full existential subquery `EXISTS { MATCH
+            # <pattern> [WHERE <preds>] }` — the leading MATCH keyword
+            # is noise; an inner WHERE rides along as a correlated
+            # join condition
             pat_text = re.sub(
                 r"^MATCH\s+", "", m.group("pat").strip(), flags=re.IGNORECASE
             )
@@ -5841,11 +5881,17 @@ def _extract_exists(body: str, out: list) -> str:
             if re.search(r"(?<![.$\w])EXISTS\b", it_s, re.IGNORECASE):
                 raise CypherUnsupported(
                     "EXISTS must be a whole AND conjunct of the form "
-                    "[NOT] EXISTS { (a)-[:T]->(:L) } (it compiles to a "
-                    "semi/anti join and cannot sit under OR)"
+                    "[NOT] EXISTS { [MATCH] (a)-[:T]->(x:L) [WHERE …] } "
+                    "(it compiles to a semi/anti join and cannot sit "
+                    "under OR)"
                 )
             remaining.append(it)
             continue
+        inner_where = None
+        wsplit = re.split(r"\s+WHERE\s+", pat_text, maxsplit=1,
+                          flags=re.IGNORECASE)
+        if len(wsplit) == 2:
+            pat_text, inner_where = wsplit[0].strip(), wsplit[1].strip()
         pm = _REL_RE.match(pat_text)
         if not pm:
             raise CypherUnsupported(
@@ -5855,13 +5901,19 @@ def _extract_exists(body: str, out: list) -> str:
             raise CypherUnsupported(
                 "variable-length / property patterns are unsupported in EXISTS"
             )
-        if not pm.group("src_alias") or pm.group("src_label"):
+        if not pm.group("src_alias"):
             raise CypherUnsupported(
-                "EXISTS source must be the bare bound alias"
+                "EXISTS source must be a bound alias"
             )
-        if pm.group("dst_alias"):
+        if pm.group("dst_alias") and inner_where is None:
             raise CypherUnsupported(
-                "EXISTS target must be anonymous: () or (:Label)"
+                "EXISTS target alias needs an inner WHERE that uses it "
+                "(otherwise write the anonymous form: () or (:Label))"
+            )
+        if inner_where is not None and not pm.group("dst_alias"):
+            raise CypherUnsupported(
+                "EXISTS inner WHERE needs a named target alias to "
+                "reference: EXISTS { (a)-[:T]->(x:L) WHERE x.p = … }"
             )
         out.append(
             (
@@ -5870,6 +5922,9 @@ def _extract_exists(body: str, out: list) -> str:
                 _rel_direction(pm),
                 _node_labels(pm.group("dst_label")),
                 negated,
+                _node_labels(pm.group("src_label")),
+                pm.group("dst_alias"),
+                inner_where,
             )
         )
     return " AND ".join(remaining).strip()
@@ -6164,7 +6219,8 @@ def _run_read_inner(
     expr_predicates: list[str] = []  # expression-form conjuncts (a.x + 1 > 2)
     temporal_cols: list = []  # Columns behind \x01<i>\x01 operand sentinels
     temporal_srcs: list = []  # the sentinels' original source text
-    exists_preds: list = []  # (alias, rel_type, direction, dst_label, negated)
+    exists_preds: list = []  # (alias, rel_type, direction, dst_label,
+    #   negated, src_label, dst_alias, inner_where) — _extract_exists
     in_with = False  # inside a non-aggregating WITH segment
     with_narrowed = False  # a mid-pipeline SKIP/LIMIT shrank the row set
     with_order: list = []  # mid-pipeline sort Columns pending a LIMIT/SKIP
@@ -6300,28 +6356,110 @@ def _run_read_inner(
             for node in where_exprs:
                 df = df.filter(_walk(node))
 
-        for sa, rel_type, direction, dst_label, negated in exists_preds:
-            # [NOT] EXISTS { (a)-[:T]->(:L) } — one LEFT SEMI (ANTI when
-            # negated) join of the bound frame against the qualifying edge
-            # endpoints; the label restriction is itself a semi join on the
-            # dimension-sized node side, so no new columns and no fan-out
-            # ever reach the main frame
+        for (
+            sa, rel_type, direction, dst_label, negated,
+            src_label, dst_alias, inner_where,
+        ) in exists_preds:
+            # [NOT] EXISTS { (a[:L0])-[:T]->(x:L) [WHERE …] } — one LEFT
+            # SEMI (ANTI when negated) join of the bound frame against
+            # the qualifying edge endpoints; label restrictions are
+            # themselves semi joins on the dimension-sized node side, so
+            # no new columns and no fan-out ever reach the main frame.
+            # An inner WHERE (the Neo4j-5 existential subquery) rides
+            # as extra conjuncts on the semi/anti join condition — the
+            # correlated-predicate compile OPTIONAL MATCH + WHERE uses.
             if sa is None or sa not in aliases:
                 raise CypherUnsupported(f"EXISTS on unbound alias: {sa!r}")
-            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+            from neo4j_graphdb_spark.operators.cypher import (
+                _orient_edges,
+                _prefix,
+            )
 
             e = graph.edges_df
             e = _orient_edges(_cy_rel_filter(e, _rel_types(rel_type)), direction)
-            if dst_label is not None:
-                lbl_ids = graph.match(dst_label).select(F.col(NODE_ID).alias("_xid"))
-                e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
-            srcs = e.select(F.col("src").alias("_xsrc"))
+            if src_label is not None:
+                # `EXISTS { MATCH (a:Article)-[:T]->… }` re-states the
+                # bound alias's label: the pattern only matches when the
+                # source node carries it, so restrict the qualifying
+                # edge srcs to that label's id set
+                s_ids = graph.match(src_label).select(F.col(NODE_ID).alias("_xsid"))
+                e = e.join(s_ids, e["src"] == F.col("_xsid"), "left_semi")
             src_id = (
                 F.col(f"{aliases[sa]}{NODE_ID}") if aliases[sa] else F.col(NODE_ID)
             )
-            df = df.join(
-                srcs, src_id == F.col("_xsrc"), "left_anti" if negated else "left_semi"
+            how = "left_anti" if negated else "left_semi"
+            if inner_where is None:
+                if dst_label is not None:
+                    lbl_ids = graph.match(dst_label).select(
+                        F.col(NODE_ID).alias("_xid")
+                    )
+                    e = e.join(lbl_ids, e["dst"] == F.col("_xid"), "left_semi")
+                srcs = e.select(F.col("src").alias("_xsrc"))
+                df = df.join(srcs, src_id == F.col("_xsrc"), how)
+                continue
+            # full existential subquery: expose the target node's
+            # properties under the inner alias's prefix, then compile
+            # each inner conjunct into the join condition — correlated
+            # comparands resolve against the OUTER frame, inner ones
+            # against the subquery frame, literals/$params bind as
+            # values. Still one semi/anti hash join; nothing fans out.
+            if dst_alias in aliases:
+                raise CypherUnsupported(
+                    f"EXISTS target alias {dst_alias!r} is already bound"
+                )
+            tgt = _prefix(graph.match(dst_label), dst_alias)
+            inner = (
+                e.select("src", "dst")
+                .join(tgt, e["dst"] == tgt[f"{dst_alias}_{NODE_ID}"])
+                .drop("dst")
+                .withColumnRenamed("src", "_xsrc")
             )
+            cond = src_id == inner["_xsrc"]
+            ref_re = re.compile(
+                r"^(?P<a>\w+)\.(?P<p>\w+)$"
+            )
+            cmp_re = re.compile(
+                r"^(?P<lhs>\w+\.\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*(?P<rhs>.+)$"
+            )
+            # the WHERE preprocessor has already collapsed the
+            # multi-word null tests to IS_NULL / IS_NOT_NULL tokens
+            null_re = re.compile(
+                r"^(?P<a>\w+)\.(?P<p>\w+)\s+IS[_\s]+(?P<neg2>NOT[_\s]+)?NULL$",
+                re.IGNORECASE,
+            )
+            def _xq_operand(tok: str):
+                rm_ = ref_re.match(tok.strip())
+                if rm_:
+                    al, pr = rm_.group("a"), rm_.group("p")
+                    if al == dst_alias:
+                        return _prop_col(inner, f"{dst_alias}_", pr)
+                    if al in aliases:
+                        return _prop_col(df, aliases[al], pr)
+                    raise CypherUnsupported(
+                        f"EXISTS inner WHERE references unbound alias {al!r}"
+                    )
+                return F.lit(_where_value(tok.strip(), lits, params))
+            for cj in _split_top_and(inner_where):
+                nm = null_re.match(cj)
+                if nm:
+                    c0 = _xq_operand(f"{nm.group('a')}.{nm.group('p')}")
+                    cond = cond & (
+                        c0.isNotNull() if nm.group("neg2") else c0.isNull()
+                    )
+                    continue
+                cm2 = cmp_re.match(cj)
+                if not cm2:
+                    raise CypherUnsupported(
+                        "EXISTS inner WHERE supports AND-joined "
+                        "comparisons (alias.prop <op> alias.prop | "
+                        "literal | $param) and IS [NOT] NULL, got: "
+                        f"{cj!r}"
+                    )
+                cond = cond & _op_fn(cm2.group("op"))(
+                    _xq_operand(cm2.group("lhs")),
+                    _xq_operand(cm2.group("rhs")),
+                )
+            df = df.join(inner, cond, how)
         predicates.clear()
         where_exprs.clear()
         exists_preds.clear()
