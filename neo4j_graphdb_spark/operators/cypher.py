@@ -351,6 +351,7 @@ class Graph:
         src_alias: str = "a",
         dst_alias: str = "b",
         collect_paths: bool = False,
+        direction: str = "out",
     ) -> DataFrame:
         """``MATCH (a[:L1])-[:T*min..max]->(b[:L2])`` — variable-length
         path with Cypher's RELATIONSHIP-UNIQUENESS: one output row per
@@ -364,44 +365,67 @@ class Graph:
         want the iterative BFS substrate,
         ``graph.algorithms.shortest_paths``, not a join explosion).
 
+        ``direction="both"`` is the undirected ``-[:T*1..k]-`` pattern:
+        every stored edge is walkable in either orientation (the ladder
+        joins a symmetrized walk frame), while the uniqueness filter
+        keeps comparing the edge's STORED identity — one relationship
+        is still usable at most once per path whichever way it is
+        crossed, exactly Neo4j's traversal rule. ``"in"`` is served by
+        the caller swapping the endpoint roles (the ladder itself
+        always walks left→right).
+
         ``collect_paths=True`` additionally materializes the path
         itself: ``path_keys`` (the node merge-keys along the path, in
         order — the oracle-able projection of Cypher's ``nodes(p)``) and
         ``path_types`` (the relationship types in order —
         ``relationships(p)``). One extra hash join enriches each edge
-        with its destination's key BEFORE the ladder, so the arrays
-        assemble from columns already riding the joins — no extra
-        shuffle per hop and no post-hoc path reconstruction.
+        with its WALK-destination's key BEFORE the ladder, so the
+        arrays assemble from columns already riding the joins — no
+        extra shuffle per hop and no post-hoc path reconstruction.
         """
         if not 1 <= min_hops <= max_hops:
             raise ValueError("need 1 <= min_hops <= max_hops")
-        e_base = self.edges_df
-        e_base = _rel_filter(e_base, rel_type)
+        if direction not in ("out", "both"):
+            raise ValueError(
+                "expand_var walks out or both; incoming patterns swap "
+                "the endpoint roles at the call site"
+            )
+        e_base = _rel_filter(self.edges_df, rel_type)
+        # walk frame: (_wsrc → _wdst) join endpoints + the stored-edge
+        # identity struct (orientation-independent, for uniqueness and
+        # path_types)
+        ident = F.struct("src", "dst", "rel_type").alias("_eid")
+        walk = e_base.select(
+            F.col("src").alias("_wsrc"), F.col("dst").alias("_wdst"), ident
+        )
+        if direction == "both":
+            walk = walk.unionByName(
+                e_base.select(
+                    F.col("dst").alias("_wsrc"),
+                    F.col("src").alias("_wdst"),
+                    ident,
+                )
+            )
         if collect_paths:
             key_map = self.nodes_df.select(
                 F.col(NODE_ID).alias("_pkid"), F.col("key").alias("_pkkey")
             )
-            e_base = e_base.join(
-                key_map, e_base["dst"] == F.col("_pkid")
-            ).drop("_pkid")
-        edge_struct = (
-            (lambda: F.struct(
-                F.col("src"), F.col("dst"), F.col("rel_type"),
-                F.col("_pkkey").alias("dst_key"),
-            ))
-            if collect_paths
-            else (lambda: F.struct("src", "dst", "rel_type"))
-        )
+            walk = walk.join(key_map, walk["_wdst"] == F.col("_pkid")).drop(
+                "_pkid"
+            )
         parts = []
         for h in range(min_hops, max_hops + 1):
             cur = _prefix(self.match(src_label), src_alias)
             prev_end = f"{src_alias}_{NODE_ID}"
             for i in range(h):
-                e = e_base.select(
-                    F.col("src").alias(f"_s{i}"),
-                    F.col("dst").alias(f"_d{i}"),
-                    edge_struct().alias(f"_e{i}"),
-                )
+                sel = [
+                    F.col("_wsrc").alias(f"_s{i}"),
+                    F.col("_wdst").alias(f"_d{i}"),
+                    F.col("_eid").alias(f"_e{i}"),
+                ]
+                if collect_paths:
+                    sel.append(F.col("_pkkey").alias(f"_k{i}"))
+                e = walk.select(*sel)
                 cur = cur.join(e, cur[prev_end] == e[f"_s{i}"]).drop(f"_s{i}")
                 prev_end = f"_d{i}"
             dst = _prefix(self.match(dst_label), dst_alias)
@@ -421,10 +445,7 @@ class Graph:
                 extra = [
                     F.concat(
                         F.array(F.col(f"{src_alias}_key")),
-                        F.array(*[
-                            F.col(f"_e{i}").getField("dst_key")
-                            for i in range(h)
-                        ]),
+                        F.array(*[F.col(f"_k{i}") for i in range(h)]),
                     ).alias("path_keys"),
                     F.array(*[
                         F.col(f"_e{i}").getField("rel_type") for i in range(h)
@@ -439,7 +460,6 @@ class Graph:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-
     # --- A5: whole-entity value -----------------------------------------------
 
     def entity(self, df: DataFrame, alias: str, cols: list[str] | None = None) -> Column:

@@ -6706,7 +6706,12 @@ def _run_read_inner(
                         "path binding must be the statement's first MATCH"
                     )
                 pb_pat = pbm.group("pat").strip()
-                mpb = _REL_RE.match(pb_pat)
+                # validate against the props-stripped form (endpoint
+                # inline maps are legal — the var-length compile below
+                # pops them into pushed predicates); keep the original
+                # text in c.body so that compile sees the maps
+                pb_clean, _pbl, _pbr = _strip_endpoint_props(pb_pat)
+                mpb = _REL_RE.match(pb_clean)
                 if mpb is not None and not mpb.group("star") and not mpb.group(
                     "rel_props"
                 ):
@@ -6714,7 +6719,8 @@ def _run_read_inner(
                     # exactly the *1..1 var-length (nodes(p) = [a, b],
                     # length(p) = 1); normalize and recompile
                     pb_pat = re.sub(r"\]", "*1..1]", pb_pat, count=1)
-                    mpb = _REL_RE.match(pb_pat)
+                    pb_clean = re.sub(r"\]", "*1..1]", pb_clean, count=1)
+                    mpb = _REL_RE.match(pb_clean)
                     pbm = _PATH_BIND_RE.match(
                         f"{pbm.group('palias')} = {pb_pat}"
                     )
@@ -7090,6 +7096,18 @@ def _run_read_inner(
                         )
                 continue
             m = _REL_RE.match(c.body)
+            vl_lprops = vl_rprops = None
+            if m is None and "*" in c.body:
+                # var-length pattern with inline endpoint property maps
+                # — `(a:L {p: $v})-[:T*1..k]-(x)`: pop the maps (same
+                # sugar-for-WHERE fold the shortestPath forms use) and
+                # re-match
+                vl_stripped, vl_lprops, vl_rprops = _strip_endpoint_props(
+                    c.body
+                )
+                m2 = _REL_RE.match(vl_stripped)
+                if m2 is not None and m2.group("star"):
+                    m = m2
             if m:
                 sa = m.group("src_alias") or "a"
                 da = m.group("dst_alias") or "b"
@@ -7106,10 +7124,6 @@ def _run_read_inner(
                         raise CypherUnsupported(
                             "inline properties on a variable-length pattern"
                         )
-                    if direction == "both":
-                        raise CypherUnsupported(
-                            "undirected variable-length patterns are unsupported"
-                        )
                     # `-[r:T*min..max]->` — bounded variable-length path
                     # (Graph.expand_var: union of fixed-length join
                     # ladders with relationship uniqueness). The alias
@@ -7117,13 +7131,16 @@ def _run_read_inner(
                     # (`r.hops`), expand_var's path-length column.
                     # Incoming `<-[…*m..n]-` is the same ladder walked
                     # from the right end: swap the endpoint roles.
+                    # Undirected `-[…*m..n]-` walks expand_var's
+                    # symmetrized frame (each stored edge usable either
+                    # way; uniqueness still on stored identity).
                     va_src, va_dst = (
-                        (sa, da) if direction == "out" else (da, sa)
+                        (da, sa) if direction == "in" else (sa, da)
                     )
                     va_src_label, va_dst_label = (
-                        (_node_labels(m.group("src_label")), _node_labels(m.group("dst_label")))
-                        if direction == "out"
-                        else (_node_labels(m.group("dst_label")), _node_labels(m.group("src_label")))
+                        (_node_labels(m.group("dst_label")), _node_labels(m.group("src_label")))
+                        if direction == "in"
+                        else (_node_labels(m.group("src_label")), _node_labels(m.group("dst_label")))
                     )
                     df = graph.expand_var(
                         rel_type=_rel_types(m.group("rel_type")),
@@ -7133,6 +7150,7 @@ def _run_read_inner(
                         dst_label=va_dst_label,
                         src_alias=va_src, dst_alias=va_dst,
                         collect_paths=path_bind is not None,
+                        direction="both" if direction == "both" else "out",
                     )
                     if all_shortest:
                         from pyspark.sql.window import Window
@@ -7155,6 +7173,10 @@ def _run_read_inner(
                     )
                 aliases[sa] = f"{sa}_"
                 aliases[da] = f"{da}_"
+                for prop, raw in _parse_value_props(vl_lprops):
+                    predicates.append((sa, prop, "=", raw))
+                for prop, raw in _parse_value_props(vl_rprops):
+                    predicates.append((da, prop, "=", raw))
                 rel_alias = path_bind or m.group("rel_alias")
                 # startNode/endNode resolve to the DIRECTED edge's
                 # endpoints; undirected matches leave them unbound

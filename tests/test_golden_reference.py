@@ -6892,3 +6892,85 @@ def test_text_exists_subquery_inner_where(spark, tmp_path):
             "(p2:Publisher) } RETURN a.link AS link",
             store=s,
         )
+
+
+def test_text_undirected_var_length(spark, tmp_path):
+    """Undirected variable-length patterns `-[:T*m..n]-` walk
+    expand_var's symmetrized edge frame: every stored edge is usable in
+    either orientation while relationship uniqueness still keys on the
+    STORED edge identity (one relationship per path however crossed) —
+    Neo4j's traversal rule. Covers bare expand, inline endpoint props,
+    path binding with nodes(p), and undirected allShortestPaths."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "undirvar"))
+    for l in ("l1", "l2", "l3"):
+        run_cypher(spark, f"CREATE (a:Article {{link: '{l}'}})", store=s)
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MATCH (b:Article {link: 'l2'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l2'}) MATCH (b:Article {link: 'l3'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+    # from l3, hops 1..2 reach l2 (1 back) and l1 (2 back) exactly once
+    got = {
+        (r["link"], r["c"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article {link: 'l3'})-[:T*1..2]-(x) "
+            "RETURN x.link AS link, count(*) AS c",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("l1", 1), ("l2", 1)}
+    # symmetric row counts: 2 edges x 2 orientations at *1..1; +2 2-hop
+    # trails (l1-l2-l3 and its reverse) at *1..2 — an edge is never
+    # reused within one path (no l1-l2-l1 bounce)
+    counts = lambda q: run_cypher(spark, q, store=s).df.collect()[0]["c"]
+    assert counts(
+        "MATCH (a:Article)-[:T*1..1]-(x:Article) RETURN count(*) AS c"
+    ) == 4
+    assert counts(
+        "MATCH (a:Article)-[:T*1..2]-(x:Article) RETURN count(*) AS c"
+    ) == 6
+    # path binding: nodes(p) lists the walk order, length(p) the hops
+    rows = run_cypher(
+        spark,
+        "MATCH p = (a:Article {link: 'l3'})-[:T*2..2]-(b:Article {link: 'l1'}) "
+        "RETURN nodes(p) AS ns, length(p) AS len",
+        store=s,
+    ).df.collect()
+    assert [(r["ns"], r["len"]) for r in rows] == [(["l3", "l2", "l1"], 2)]
+    # undirected allShortestPaths rides the same symmetrized ladder
+    rows = run_cypher(
+        spark,
+        "MATCH p = allShortestPaths((a:Article {link: 'l1'})-[:T*1..4]-"
+        "(b:Article {link: 'l3'})) RETURN length(p) AS len",
+        store=s,
+    ).df.collect()
+    assert [r["len"] for r in rows] == [2]
+    # directed forms unchanged by the symmetrization
+    assert sorted(
+        r["link"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article {link: 'l1'})-[:T*1..2]->(x) "
+            "RETURN x.link AS link",
+            store=s,
+        ).df.collect()
+    ) == ["l2", "l3"]
+    assert sorted(
+        r["link"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article {link: 'l3'})<-[:T*1..2]-(x) "
+            "RETURN x.link AS link",
+            store=s,
+        ).df.collect()
+    ) == ["l1", "l2"]
