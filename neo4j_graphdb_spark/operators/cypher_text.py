@@ -2294,10 +2294,6 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
     # properties_set books the applied cells.
     rel = _rel_head(head_clauses, alias)
     if rel is not None:
-        if replace_alias is not None:
-            raise CypherUnsupported(
-                "SET r = {map} on relationships is unsupported"
-            )
         rel_type, sa, da, s_label, d_label = rel
         ret_body = ", ".join(
             [f"{sa}.key AS _sk", f"{da}.key AS _dk"]
@@ -2307,6 +2303,36 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
             unmask(um.group("head")) + " RETURN " + ret_body
         )
         updates = _run_read(upd_clauses, g, upd_lits, params)
+        if replace_alias is not None:
+            # `SET r = {map}` — REPLACE semantics, the edge twin of the
+            # node path below: every stored relationship-prop cell NOT
+            # listed in the map is erased on the matched edges
+            # (remove_edge_props — partial bucket rewrite), then the
+            # listed values apply through the normal coalesce upsert.
+            # Two writes, matched endpoint keys persisted between them;
+            # counters sum both passes.
+            edf = store.edges()
+            canon_e = {"src", "dst", "rel_type", BUCKET_COL}
+            others = sorted(
+                c
+                for c in (edf.columns if edf is not None else [])
+                if c not in canon_e and c not in props
+            )
+            updates = updates.persist()
+            try:
+                summary = WriteSummary()
+                if others:
+                    summary = summary + store.remove_edge_props(
+                        updates.select("_sk", "_dk"),
+                        rel_type, s_label, "_sk", d_label, "_dk", others,
+                    )
+                summary = summary + store.merge_edges(
+                    updates, rel_type, s_label, "_sk", d_label, "_dk",
+                    prop_cols=props,
+                )
+            finally:
+                updates.unpersist()
+            return CypherResult(None, summary)
         summary = store.merge_edges(
             updates, rel_type, s_label, "_sk", d_label, "_dk", prop_cols=props
         )

@@ -6974,3 +6974,65 @@ def test_text_undirected_var_length(spark, tmp_path):
             store=s,
         ).df.collect()
     ) == ["l1", "l2"]
+
+
+def test_text_rel_set_map_replace(spark, tmp_path):
+    """`SET r = {map}` on relationships — REPLACE semantics, the edge
+    twin of the node form: every stored rel-prop cell NOT listed in the
+    map is erased on the MATCHED edges (partial bucket rewrite), listed
+    values apply through the coalesce upsert; unmatched edges keep all
+    their cells. Counters sum the erase and set passes. `SET r = $map`
+    binds the same way."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "relsetmap"))
+    batch = spark.createDataFrame(
+        [("u1", "t1", 5, "x"), ("u1", "t2", 1, "y"), ("u2", "t1", 3, "z")],
+        "u string, t string, weight int, note string",
+    )
+    s.merge_nodes(batch.select("u").distinct(), label="User", key_col="u")
+    s.merge_nodes(batch.select("t").distinct(), label="Tech", key_col="t")
+    s.merge_edges(
+        batch, "LIKES", "User", "u", "Tech", "t", prop_cols=["weight", "note"]
+    )
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) WHERE b.t = 't1' "
+        "SET r = {score: 9}",
+        store=s,
+    )
+    # 2 matched edges x (weight+note erased) + 2 score cells = 6
+    assert res.summary.properties_set == 6
+    assert res.summary.relationships_created == 0
+    got = {
+        (r["u"], r["t"]): (r["w"], r["n"], r["sc"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:User)-[r:LIKES]->(b:Tech) RETURN a.u AS u, b.t AS t, "
+            "r.weight AS w, r.note AS n, r.score AS sc",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {
+        ("u1", "t1"): (None, None, 9),
+        ("u1", "t2"): (1, "y", None),  # unmatched: untouched
+        ("u2", "t1"): (None, None, 9),
+    }
+    # $map param form takes the same path
+    res = run_cypher(
+        spark,
+        "MATCH (a:User)-[r:LIKES]->(b:Tech) WHERE b.t = 't2' SET r = $m",
+        {"m": {"grade": "A"}},
+        store=s,
+    )
+    got = {
+        (r["u"], r["t"]): (r["w"], r["g"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:User)-[r:LIKES]->(b:Tech) RETURN a.u AS u, b.t AS t, "
+            "r.weight AS w, r.grade AS g",
+            store=s,
+        ).df.collect()
+    }
+    assert got[("u1", "t2")] == (None, "A")
+    assert got[("u1", "t1")] == (None, None)
