@@ -4164,15 +4164,17 @@ def _run_write(
         # inline {…} props are unconditional — same bucket as plain SET r.p
         rel_props = list(ep.props) + list(ep.set_props.items())
         # a prop set identically in BOTH ON branches is an unconditional
-        # SET (same collapse rule as the node path)
+        # SET (same collapse rule as the node path); DISTINCT values per
+        # branch ride as two batch columns — the create value under the
+        # prop's own name, the match value under a mangled one
+        # (merge_edges match_val_cols applies each to its branch)
+        e_match_vals: dict[str, object] = {}
         for prop in sorted(set(ep.create_props) & set(ep.match_props)):
             if ep.create_props[prop] == ep.match_props[prop]:
                 rel_props.append((prop, ep.create_props.pop(prop)))
                 ep.match_props.pop(prop)
             else:
-                raise CypherUnsupported(
-                    f"{prop!r} takes different values in ON CREATE and ON MATCH"
-                )
+                e_match_vals[prop] = ep.match_props.pop(prop)
         seen_props = (
             [p for p, _ in rel_props]
             + list(ep.create_props)
@@ -4200,6 +4202,11 @@ def _run_write(
             addc = f"__madd_{prop}"
             prop_sel.append(_prop_value(enc).alias(addc))
             e_match_add[prop] = addc
+        e_mval_cols: dict[str, str] = {}
+        for prop, enc in sorted(e_match_vals.items()):
+            mc = f"__mval_{prop}"
+            prop_sel.append(_prop_value(enc).alias(mc))
+            e_mval_cols[prop] = mc
         write_fn = store.create_edges if ecreate else store.merge_edges
         batch = pdf.select(
             _key_expr(s).alias("_src_key"),
@@ -4234,6 +4241,8 @@ def _run_write(
             kwargs["match_prop_cols"] = list(ep.match_props) or None
             if e_match_add:
                 kwargs["match_add_cols"] = e_match_add
+            if e_mval_cols:
+                kwargs["match_val_cols"] = e_mval_cols
         total = total + write_fn(
             batch,
             rel_type, s.label, "_src_key", d.label, "_dst_key",

@@ -689,6 +689,7 @@ class GraphStore:
         create_prop_cols: list[str] | None = None,
         match_prop_cols: list[str] | None = None,
         match_add_cols: dict[str, str] | None = None,
+        match_val_cols: dict[str, str] | None = None,
     ) -> WriteSummary:
         """Batch ``MERGE (a)-[r:REL]->(b) [SET r.p = …]`` —
         create-if-absent, idempotent (``/root/reference/src/crwling.py:54``,
@@ -702,11 +703,21 @@ class GraphStore:
         that already existed). A column may appear in only one of the
         three prop lists. ``match_add_cols`` is the relationship form
         of merge_nodes' counter idiom — ``ON MATCH SET r.p = r.p +
-        <v>``: matched edges take old + addend."""
+        <v>``: matched edges take old + addend.
+
+        ``match_val_cols`` — ``{prop: match_value_batch_column}`` — is
+        the ``ON CREATE SET r.p = v1 ON MATCH SET r.p = v2`` idiom
+        (DISTINCT plain values per branch): the create value rides the
+        prop's own batch column (the prop must therefore also sit in
+        ``create_prop_cols``), the match value its own column; created
+        edges take the former, matched batch edges coalesce the latter
+        over their old cell. The prop may not repeat in prop_cols /
+        match_prop_cols / match_add_cols."""
         prop_cols = prop_cols or []
         create_prop_cols = create_prop_cols or []
         match_prop_cols = match_prop_cols or []
         match_add_cols = match_add_cols or {}
+        match_val_cols = match_val_cols or {}
         groups = [set(prop_cols), set(create_prop_cols), set(match_prop_cols)]
         for i in range(3):
             for j in range(i + 1, 3):
@@ -721,12 +732,29 @@ class GraphStore:
                 f"match_add prop(s) {sorted(bad_add)} may not repeat in "
                 "prop_cols/match_prop_cols"
             )
+        missing_mv = set(match_val_cols) - set(create_prop_cols)
+        if missing_mv:
+            raise ValueError(
+                f"match_val prop(s) {sorted(missing_mv)} must also be in "
+                "create_prop_cols (a match-only value is plain "
+                "match_prop_cols)"
+            )
+        bad_mv = set(match_val_cols) & (
+            set(prop_cols) | set(match_prop_cols) | set(match_add_cols)
+        )
+        if bad_mv:
+            raise ValueError(
+                f"match_val prop(s) {sorted(bad_mv)} may not repeat in "
+                "prop_cols/match_prop_cols/match_add_cols"
+            )
         add_props = sorted(match_add_cols)
         add_cols = [match_add_cols[p] for p in add_props]
+        mval_props = sorted(match_val_cols)
+        mval_cols = [match_val_cols[p] for p in mval_props]
         all_prop_cols = prop_cols + create_prop_cols + match_prop_cols
         incoming = as_edges(
             updates, rel_type, src_label, src_key_col, dst_label, dst_key_col,
-            all_prop_cols + add_cols,
+            all_prop_cols + add_cols + mval_cols,
         )
         for p in add_props:
             if p not in incoming.columns:
@@ -740,8 +768,8 @@ class GraphStore:
         # within-batch last-writer-wins, deterministic via content
         # tiebreak (mirrors merge_nodes)
         content_tiebreak = F.xxhash64(
-            *[F.col(c).cast("string") for c in all_prop_cols + add_cols]
-        ) if (all_prop_cols or add_cols) else F.lit(0)
+            *[F.col(c).cast("string") for c in all_prop_cols + add_cols + mval_cols]
+        ) if (all_prop_cols or add_cols or mval_cols) else F.lit(0)
         w = Window.partitionBy("src", "dst", "rel_type").orderBy(content_tiebreak.desc())
         incoming = (
             incoming.withColumn("_rn", F.row_number().over(w))
@@ -756,8 +784,8 @@ class GraphStore:
             # fresh store: every edge is CREATED — ON CREATE props apply
             # as plain columns, ON MATCH props cannot apply (no prior
             # row), match-add addends drop unapplied
-            if add_cols:
-                incoming = incoming.drop(*add_cols)
+            if add_cols or mval_cols:
+                incoming = incoming.drop(*add_cols, *mval_cols)
             for c in match_prop_cols:
                 incoming = incoming.withColumn(
                     c, F.lit(None).cast(incoming.schema[c].dataType)
@@ -794,11 +822,12 @@ class GraphStore:
         all_props = sorted(
             (set(touched.columns) | set(incoming.columns))
             - set(edge_key) - {BUCKET_COL}
-            - set(add_cols)  # addends are inputs, never stored props
+            # addends / branch-values are inputs, never stored props
+            - set(add_cols) - set(mval_cols)
         )
         old = _with_missing_edges(touched, incoming, all_props).alias("old")
         new = _with_missing_edges(
-            incoming, touched, all_props + add_cols
+            incoming, touched, all_props + add_cols + mval_cols
         ).alias("new")
         joined = old.join(new, on=edge_key, how="full_outer").persist()
         is_created = F.col("old._present").isNull()
@@ -821,6 +850,17 @@ class GraphStore:
                         F.col("new._present").isNotNull(),
                         F.col(f"old.{c}") + addend,
                     ).otherwise(F.col(f"old.{c}"))
+                )
+            if c in match_val_cols:
+                # distinct plain values per branch: created edges take
+                # the create value (the prop's own batch column), the
+                # MATCHED BATCH edges coalesce the match value over
+                # their old cell; matched edges outside the batch have
+                # a NULL match column and keep theirs
+                return F.when(is_created, F.col(f"new.{c}")).otherwise(
+                    F.coalesce(
+                        F.col(f"new.{match_val_cols[c]}"), F.col(f"old.{c}")
+                    )
                 )
             if c in create_prop_cols:
                 # ON CREATE SET: only edges this merge creates take the value
@@ -852,6 +892,14 @@ class GraphStore:
                 return F.count(
                     F.when(is_created, F.col(f"new.{c}")).otherwise(
                         F.col(f"old.{c}") + F.col(f"new.{match_add_cols[c]}")
+                    )
+                )
+            if c in match_val_cols:
+                # both branches book: create value on created edges,
+                # match value on matched batch edges
+                return F.count(
+                    F.when(is_created, F.col(f"new.{c}")).otherwise(
+                        F.col(f"new.{match_val_cols[c]}")
                     )
                 )
             if c in create_prop_cols:

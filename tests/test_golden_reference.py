@@ -7036,3 +7036,34 @@ def test_text_rel_set_map_replace(spark, tmp_path):
     }
     assert got[("u1", "t2")] == (None, "A")
     assert got[("u1", "t1")] == (None, None)
+
+
+def test_text_rel_on_create_on_match_distinct_values(spark, tmp_path):
+    """`MERGE (u)-[r:T]->(t) ON CREATE SET r.w = 1 ON MATCH SET r.w = 2`
+    with DISTINCT plain values per branch: the create value rides the
+    prop's own batch column, the match value its own (merge_edges
+    match_val_cols) — create pass stamps 1, every rematch stamps 2,
+    counters book one cell per pass."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "relmval"))
+    run_cypher(spark, "CREATE (u:User {u: 'u1'})", store=s)
+    run_cypher(spark, "CREATE (t:Tech {t: 't1'})", store=s)
+    q = (
+        "MATCH (u:User {u: 'u1'}) MATCH (t:Tech {t: 't1'}) "
+        "MERGE (u)-[r:LIKES]->(t) ON CREATE SET r.w = 1 ON MATCH SET r.w = 2"
+    )
+
+    def w():
+        return run_cypher(
+            spark, "MATCH (u:User)-[r:LIKES]->(t:Tech) RETURN r.w AS w", store=s
+        ).df.collect()[0]["w"]
+
+    r1 = run_cypher(spark, q, store=s)
+    assert (r1.summary.relationships_created, r1.summary.properties_set) == (1, 1)
+    assert w() == 1
+    r2 = run_cypher(spark, q, store=s)
+    assert (r2.summary.relationships_created, r2.summary.properties_set) == (0, 1)
+    assert w() == 2
+    run_cypher(spark, q, store=s)
+    assert w() == 2  # idempotent thereafter

@@ -709,3 +709,52 @@ def test_remove_unknown_edge_prop_is_noop(spark, tmp_path):
     assert s.edges().collect()[0]["w"] is None
     # edge itself survives both REMOVEs
     assert s.edges().count() == 1
+
+
+def test_merge_edges_match_val_cols(spark, tmp_path):
+    """merge_edges match_val_cols: ON CREATE value rides the prop
+    column, ON MATCH value its own batch column — created edges take
+    the former, matched BATCH edges the latter, matched edges outside
+    the batch keep their cell; validation refuses a match_val prop
+    missing from create_prop_cols or repeated elsewhere."""
+    import pytest
+    from neo4j_graphdb_spark.writer import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "mval"))
+    ab = spark.createDataFrame(
+        [("a", "b", 1, 2)], "u string, t string, w_c int, w_m int"
+    )
+    s.merge_nodes(ab.select("u"), label="U", key_col="u")
+    s.merge_nodes(ab.select("t"), label="T", key_col="t")
+    r = s.merge_edges(
+        ab, "R", "U", "u", "T", "t",
+        create_prop_cols=["w_c"], match_val_cols={"w_c": "w_m"},
+    )
+    assert (r.relationships_created, r.properties_set) == (1, 1)
+    assert s.edges().collect()[0]["w_c"] == 1
+    r = s.merge_edges(
+        ab, "R", "U", "u", "T", "t",
+        create_prop_cols=["w_c"], match_val_cols={"w_c": "w_m"},
+    )
+    assert (r.relationships_created, r.properties_set) == (0, 1)
+    assert s.edges().collect()[0]["w_c"] == 2
+    # an edge OUTSIDE the batch keeps its cell across someone else's merge
+    cd = spark.createDataFrame(
+        [("c", "d", 5, 9)], "u string, t string, w_c int, w_m int"
+    )
+    s.merge_nodes(cd.select("u"), label="U", key_col="u")
+    s.merge_nodes(cd.select("t"), label="T", key_col="t")
+    s.merge_edges(
+        cd, "R", "U", "u", "T", "t",
+        create_prop_cols=["w_c"], match_val_cols={"w_c": "w_m"},
+    )
+    got = {r["w_c"] for r in s.edges().collect()}
+    assert got == {2, 5}
+    with pytest.raises(ValueError, match="must also be in"):
+        s.merge_edges(cd, "R", "U", "u", "T", "t", match_val_cols={"w_c": "w_m"})
+    with pytest.raises(ValueError, match="may not repeat"):
+        s.merge_edges(
+            cd, "R", "U", "u", "T", "t",
+            create_prop_cols=["w_c"], match_add_cols={"w_c": "w_m"},
+            match_val_cols={"w_c": "w_m"},
+        )
