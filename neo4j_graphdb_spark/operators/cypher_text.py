@@ -381,6 +381,15 @@ _FN_ITEM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# `count(*) | count([DISTINCT] alias) [AS out]` as a WRITE-RETURN item:
+# Neo4j books one result row per processed input row, so a batched
+# write's count(alias) aggregates the batch frame itself
+_WRITE_COUNT_RE = re.compile(
+    r"^count\s*\(\s*(?:(?P<star>\*)|(?P<dist>DISTINCT\s+)?(?P<alias>\w+))\s*\)"
+    r"(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
+)
+
 # p = shortestPath((a:L)-[:T*1..k]->(b:M)) — depth-capped shortest path
 _SHORTEST_RE = re.compile(
     r"^(?P<palias>\w+)\s*=\s*shortestPath\s*\((?P<pat>.+)\)$", re.IGNORECASE
@@ -4251,6 +4260,61 @@ def _run_write(
 
     df = None
     if returns:
+        # aggregate form: `UNWIND … MERGE (t:Tech {tech: n}) RETURN
+        # count(t)` — Neo4j books one result row per processed input
+        # row, so count(alias) over a batched write = the batch rows
+        # that actually bound the alias (non-NULL key; both endpoint
+        # keys for a relationship alias); DISTINCT counts distinct keys
+        am_all = [_WRITE_COUNT_RE.match(it.strip()) for it in returns]
+        if all(am_all):
+            aggs = []
+            for am in am_all:
+                out = am.group("out") or re.sub(r"\s+", "", am.group(0))
+                if am.group("star"):
+                    aggs.append(F.count(F.lit(1)).alias(out))
+                    continue
+                tgt = am.group("alias")
+                if tgt in nodes:
+                    key0 = _key_expr(nodes[tgt])
+                elif tgt in edge_aliases:
+                    ep0 = edge_aliases[tgt]
+                    key0 = F.concat_ws(
+                        "\x00",
+                        _key_expr(nodes[ep0.src_alias]).cast("string"),
+                        _key_expr(nodes[ep0.dst_alias]).cast("string"),
+                    )
+                    key0 = F.when(
+                        _key_expr(nodes[ep0.src_alias]).isNotNull()
+                        & _key_expr(nodes[ep0.dst_alias]).isNotNull(),
+                        key0,
+                    )
+                else:
+                    raise CypherUnsupported(
+                        f"write RETURN references unbound alias {tgt!r}"
+                    )
+                aggs.append(
+                    F.count_distinct(key0).alias(out)
+                    if am.group("dist")
+                    else F.count(key0).alias(out)
+                )
+            return CypherResult(pdf.agg(*aggs), total)
+        # written-relationship form: `MERGE (u)-[r:T]->(t) RETURN
+        # type(r)` — the type is pattern-static; one row per batch row
+        # that bound the relationship (both endpoint keys non-NULL)
+        if len(returns) == 1:
+            tm0 = re.match(
+                r"^type\s*\(\s*(?P<a>\w+)\s*\)(?:\s+AS\s+(?P<out>\w+))?$",
+                returns[0].strip(),
+                re.IGNORECASE,
+            )
+            if tm0 and tm0.group("a") in edge_aliases:
+                ep0 = edge_aliases[tm0.group("a")]
+                out = tm0.group("out") or f"type({tm0.group('a')})"
+                df = pdf.filter(
+                    _key_expr(nodes[ep0.src_alias]).isNotNull()
+                    & _key_expr(nodes[ep0.dst_alias]).isNotNull()
+                ).select(F.lit(ep0.rel_type).alias(out))
+                return CypherResult(df, total)
         # whole-entity form: `… RETURN a` — the written node's stored row
         if len(returns) == 1 and "." not in returns[0]:
             alias0 = returns[0].strip()

@@ -7067,3 +7067,60 @@ def test_text_rel_on_create_on_match_distinct_values(spark, tmp_path):
     assert w() == 2
     run_cypher(spark, q, store=s)
     assert w() == 2  # idempotent thereafter
+
+
+def test_text_write_return_rel_alias_and_batch_counts(spark, tmp_path):
+    """Write-RETURN over relationship aliases and batched writes:
+    `MERGE (u)-[r:T]->(t) RETURN type(r)` yields the pattern-static
+    type, one row per batch row that bound the relationship; `UNWIND …
+    MERGE … RETURN count(alias)` aggregates the batch frame itself
+    (Neo4j books one result row per processed input row — duplicates
+    count rows, DISTINCT counts keys). The non-UNWIND `MERGE … RETURN
+    count(t)` continuation route is unchanged."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "wret"))
+    run_cypher(spark, "CREATE (u:User {u: 'u1'})", store=s)
+    run_cypher(spark, "CREATE (t:Gadget {g: 't1'})", store=s)
+    r = run_cypher(
+        spark,
+        "MATCH (u:User {u: 'u1'}) MATCH (t:Gadget {g: 't1'}) "
+        "MERGE (u)-[r:LIKES]->(t) RETURN type(r) AS rt",
+        store=s,
+    )
+    assert [x["rt"] for x in r.df.collect()] == ["LIKES"]
+    assert r.summary.relationships_created == 1
+    # batched write counts
+    r = run_cypher(
+        spark,
+        "UNWIND ['a', 'b', 'c'] AS n MERGE (t:Tech {tech: n}) "
+        "RETURN count(t) AS c",
+        store=s,
+    )
+    assert r.df.collect() == [Row(c=3)]
+    assert r.summary.nodes_created == 3
+    r = run_cypher(
+        spark,
+        "UNWIND ['x', 'x', 'y'] AS n MERGE (t:Tech {tech: n}) "
+        "RETURN count(t) AS c",
+        store=s,
+    )
+    assert r.df.collect() == [Row(c=3)]  # rows, not keys
+    r = run_cypher(
+        spark,
+        "UNWIND ['x', 'x', 'y'] AS n MERGE (t:Tech {tech: n}) "
+        "RETURN count(DISTINCT t) AS c",
+        store=s,
+    )
+    assert r.df.collect() == [Row(c=2)]
+    r = run_cypher(
+        spark,
+        "UNWIND [1, 2] AS n MERGE (t:Num {v: n}) RETURN count(*) AS c",
+        store=s,
+    )
+    assert r.df.collect() == [Row(c=2)]
+    # pre-existing continuation route still serves the non-UNWIND form
+    r = run_cypher(
+        spark, "MERGE (t:Tech {tech: 'Z'}) RETURN count(t) AS c", store=s
+    )
+    assert r.df.collect() == [Row(c=1)]
