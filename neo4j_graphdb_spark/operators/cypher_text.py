@@ -185,6 +185,23 @@ Out of scope (raises ``CypherUnsupported``): unbounded ``[*]`` outside
 ``shortestPath(…)`` — enumerating EVERY path is a join explosion by
 construction; the shortest-path form compiles to the iterative BFS
 substrate and is supported.
+
+RECORDED DIVERGENCES from Neo4j (deliberate, each documented at its
+implementation site):
+
+* ``CREATE (n:L {key: NULL})`` RAISES (``raise_error`` inside the
+  plan) where Neo4j creates the node without the property. This
+  content-keyed store derives node identity from (label, key) — a
+  keyless node is unaddressable by every later MERGE/MATCH, so a
+  silent skip (the pre-r15 behavior) hid data loss; failing loud is
+  the Spark-native analogue of a NOT NULL key constraint. Batch
+  pipelines with occasional NULL keys must filter them first.
+* ``SET n.p = NULL`` keeps the old cell (the a8 upsert contract —
+  coalesce semantics) where Neo4j removes the property; REMOVE is the
+  erase verb here.
+* edge identity is (src, dst, rel_type) — a second MERGE of the same
+  triple is the same edge (no parallel edges; the multigraph
+  divergence documented at the edge-DELETE counter).
 """
 
 from __future__ import annotations
@@ -2787,11 +2804,25 @@ def run_cypher(
     if fe is not None:
         head, var, src, body = fe
         if not head.strip():
-            # whole-statement FOREACH (x IN list | <update>) — sugar for
-            # UNWIND list AS x <update> (identical write effects;
-            # FOREACH just doesn't bind x into a result, and write
-            # statements return only counters anyway). Re-enter whole so
-            # every write path sees the rewrite — ONE batched write.
+            # whole-statement FOREACH (x IN list | <update>) — Neo4j
+            # applies the body once per element IN ORDER, so a body
+            # targeting a FIXED entity (`FOREACH (x IN [1,2] | MERGE
+            # (n:T {k:'a'}) SET n.p = x)`) must end at the LAST
+            # element's value. Literal/range lists (loop programs by
+            # construction) run the same sequential replay as the
+            # read-prefix form — one bucketed write per element,
+            # last-wins guaranteed. A $param list keeps the batched
+            # UNWIND rewrite (identical write effects; within-batch
+            # ties on one entity resolve content-keyed, not by element
+            # order — the documented batch-dedup contract).
+            src_s = src.strip()
+            if src_s.startswith("[") or re.match(
+                r"^range\(", src_s, re.IGNORECASE
+            ):
+                return _run_foreach_seq(
+                    spark, "", var, src, body, q_lits, params,
+                    store=store, graph=graph,
+                )
             return run_cypher(
                 spark,
                 _unmask(f"UNWIND {src} AS {var} {body}", q_lits),
@@ -2937,13 +2968,16 @@ def run_cypher(
         else:
             nodes = store.nodes()
             if nodes is None:
-                if pure_clauses:
-                    empty = spark.createDataFrame(
-                        [], "node_id long, label string, key string"
-                    )
-                    graph = Graph(empty, None)
-                else:
-                    raise ValueError("store is empty")
+                # an EMPTY store is a legal graph state, not an error:
+                # Neo4j answers every read over it — MATCH yields zero
+                # rows, aggregates run over nothing, and a statement-
+                # leading OPTIONAL MATCH pads its one all-NULL row. Run
+                # against the canonical empty graph (Graph synthesizes
+                # the empty edge frame itself).
+                empty = spark.createDataFrame(
+                    [], "node_id long, label string, key string"
+                )
+                graph = Graph(empty, None)
             else:
                 graph = _store_graph(store, nodes)
     read_params = params if isinstance(params, dict) else None
@@ -3045,6 +3079,46 @@ def _run_foreach_seq(
             "FOREACH after a read prefix needs a literal list or a "
             f"literal range(): {_unmask(src, lits)!r}"
         )
+    # Neo4j matches ONCE, then iterates: body writes must not re-shape
+    # the head's match set between elements (`MATCH (n:N) WHERE n.rank
+    # IS NULL FOREACH (x IN [1,2,3] | SET n.rank = x)` must end at 3 —
+    # re-running the head after iteration 1 would find nothing). Pin a
+    # single-node labeled head by materializing its matched keys up
+    # front and replaying every element against the pinned key set;
+    # per-iteration VALUE reads stay current (`SET n.c = n.c + 1` still
+    # accumulates), only the MEMBERSHIP is frozen — exactly Neo4j's
+    # reference-row semantics. Heads this subset can't pin (relationship
+    # patterns, inline props) keep the re-run replay.
+    pin = re.match(
+        r"^MATCH\s+\(\s*(?P<a>\w+)\s*:\s*(?P<l>\w+)\s*\)\s*"
+        r"(?P<w>WHERE\s+.+)?$",
+        head.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if pin is not None and store is not None:
+        a0, l0 = pin.group("a"), pin.group("l")
+        kres = run_cypher(
+            spark,
+            _unmask(f"{head.strip()} RETURN {a0}.key AS _pk", lits),
+            params,
+            store=store,
+            graph=graph,
+        )
+        pinned = [r["_pk"] for r in kres.df.collect()]
+        if not pinned:
+            return CypherResult(None, WriteSummary())
+        if len(pinned) > 100_000:
+            raise CypherUnsupported(
+                "FOREACH after a read prefix pins the matched set "
+                f"({len(pinned)} rows is past the 100k loop-program "
+                "bound) — batch-sized writes want UNWIND's one batched "
+                "write instead"
+            )
+        esc = ", ".join(
+            "'" + str(k).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for k in pinned
+        )
+        head = f"MATCH ({a0}:{l0}) WHERE {a0}.key IN [{esc}]"
     ref = re.compile(rf"(?<![\w$.]){re.escape(var)}(?![\w$.(])")
     total = WriteSummary()
     for v in vals:
@@ -3557,6 +3631,19 @@ def _apply_unwind(
         rows = params[pname]
         if not rows:
             raise ValueError(f"UNWIND ${pname} is empty")
+        if not all(isinstance(r0, dict) for r0 in rows):
+            # scalar list param — `UNWIND $xs AS x MERGE (:L {k: x})`:
+            # the 1-column twin of the literal-list form; bare alias
+            # references rewrite to the batch column
+            pdf = spark.createDataFrame([(v,) for v in rows], [alias])
+            sref = re.compile(rf"(?<![\w$.]){re.escape(alias)}(?![\w$.(])")
+            return (
+                [
+                    _Clause(c.kind, sref.sub(f"${alias}", c.body))
+                    for c in clauses[1:]
+                ],
+                pdf,
+            )
         pdf = spark.createDataFrame(rows)
     else:
         raise CypherUnsupported(

@@ -7124,3 +7124,99 @@ def test_text_write_return_rel_alias_and_batch_counts(spark, tmp_path):
         spark, "MERGE (t:Tech {tech: 'Z'}) RETURN count(t) AS c", store=s
     )
     assert r.df.collect() == [Row(c=1)]
+
+
+def test_text_foreach_matches_once_then_iterates(spark, tmp_path):
+    """Neo4j FOREACH semantics: MATCH evaluates ONCE, then the body
+    applies per element in order. A body write that re-shapes the
+    head's match set must not shrink later iterations (`WHERE n.rank IS
+    NULL` ends at rank=3, not 1); per-iteration VALUE reads stay
+    current (`SET n.c = n.c + 1` accumulates); whole-statement FOREACH
+    over a literal list guarantees last-wins on a fixed entity."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "feonce"))
+    run_cypher(spark, "CREATE (n:N {k: 'n1'})", store=s)
+    run_cypher(spark, "CREATE (n:N {k: 'n2', rank: 9})", store=s)
+    r = run_cypher(
+        spark,
+        "MATCH (n:N) WHERE n.rank IS NULL "
+        "FOREACH (x IN [1,2,3] | SET n.rank = x)",
+        store=s,
+    )
+    assert r.summary.properties_set == 3  # one cell per element
+    got = {
+        x["k"]: x["rank"]
+        for x in run_cypher(
+            spark, "MATCH (n:N) RETURN n.k AS k, n.rank AS rank", store=s
+        ).df.collect()
+    }
+    assert got == {"n1": 3, "n2": 9}
+    # membership frozen, values current: the counter accumulates
+    run_cypher(spark, "MATCH (n:N {k: 'n1'}) SET n.c = 0", store=s)
+    run_cypher(
+        spark,
+        "MATCH (n:N) WHERE n.k = 'n1' FOREACH (x IN [1,2] | SET n.c = n.c + 1)",
+        store=s,
+    )
+    assert run_cypher(
+        spark, "MATCH (n:N {k: 'n1'}) RETURN n.c AS c", store=s
+    ).df.collect() == [Row(c=2)]
+    # whole-statement FOREACH, fixed entity: LAST element wins
+    run_cypher(
+        spark, "FOREACH (x IN [1,2] | MERGE (t:T {k: 'a'}) SET t.p = x)", store=s
+    )
+    assert run_cypher(
+        spark, "MATCH (t:T {k: 'a'}) RETURN t.p AS p", store=s
+    ).df.collect() == [Row(p=2)]
+    run_cypher(
+        spark,
+        "FOREACH (x IN range(1,3) | MERGE (t:T {k: 'b'}) SET t.p = x)",
+        store=s,
+    )
+    assert run_cypher(
+        spark, "MATCH (t:T {k: 'b'}) RETURN t.p AS p", store=s
+    ).df.collect() == [Row(p=3)]
+
+
+def test_text_empty_store_reads(spark, tmp_path):
+    """An empty store is a legal graph state: MATCH yields zero rows,
+    aggregates run over nothing, a relationship pattern answers 0, and
+    a statement-leading OPTIONAL MATCH pads openCypher's one all-NULL
+    row — never a raise."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "emptystore"))
+    assert run_cypher(
+        spark, "OPTIONAL MATCH (n:N) RETURN n.k AS k", store=s
+    ).df.collect() == [Row(k=None)]
+    assert run_cypher(
+        spark, "MATCH (n:N) RETURN n.k AS k", store=s
+    ).df.collect() == []
+    assert run_cypher(
+        spark, "MATCH (n:N) RETURN count(*) AS c", store=s
+    ).df.collect() == [Row(c=0)]
+    assert run_cypher(
+        spark, "MATCH (a:A)-[r:T]->(b:B) RETURN count(*) AS c", store=s
+    ).df.collect() == [Row(c=0)]
+
+
+def test_text_unwind_scalar_list_param_write(spark, tmp_path):
+    """`UNWIND $xs AS x MERGE (:L {k: x})` with a plain Python list
+    param — the 1-column twin of the literal-list form (Neo4j's batch
+    idiom with scalars, not dicts); FOREACH over $list keeps its
+    batched rewrite and so rides the same path."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "scalarunwind"))
+    r = run_cypher(
+        spark, "UNWIND $xs AS x MERGE (n:S {k: x})", {"xs": ["p", "q"]}, store=s
+    )
+    assert r.summary.nodes_created == 2
+    r = run_cypher(
+        spark,
+        "FOREACH (x IN $xs | MERGE (n:S {k: x}))",
+        {"xs": ["p", "q", "r"]},
+        store=s,
+    )
+    assert r.summary.nodes_created == 1  # p, q already exist
