@@ -9689,28 +9689,215 @@ def q_c110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+
+def q_a122_text_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A122 ext (r16) — FULL existential subqueries (VERDICT r15
+    missing #2): ``EXISTS { MATCH <pattern> WHERE <preds> }`` with a
+    named inner alias compiles to ONE left-semi join whose condition
+    carries the inner conjuncts (anti for NOT EXISTS) — the correlated
+    form `p2.publisher = p.publisher` resolves the outer comparand
+    against the bound frame, the literal form against the subquery's
+    prefixed target scan. Nothing fans out; both label restrictions
+    stay dimension-side semi joins."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p:Publisher) "
+        "WHERE EXISTS { MATCH (a)-[:WRITTEN_BY]->(p2:Publisher) "
+        "WHERE p2.publisher = p.publisher } "
+        "AND NOT EXISTS { MATCH (a)-[:WRITTEN_BY]->(p3:Publisher) "
+        "WHERE p3.publisher = 'src0' } "
+        "RETURN p.publisher AS pub, count(*) AS n ORDER BY pub",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a123_text_undirected_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A123 ext (r16) — undirected VARIABLE-LENGTH expand (VERDICT r15
+    missing #5) with an INLINE endpoint property map (missing #1's
+    fold, reused): ``(a:Article {link: 'doc://0'})-[:WRITTEN_BY*1..2]-
+    (b:Article)`` walks expand_var's symmetrized frame — each stored
+    edge usable either way, relationship uniqueness still on stored
+    identity, so the co-published articles sit exactly 2 undirected
+    hops out (a→P←b) and the 2-hop a→P→a bounce is excluded. The map
+    folds into a pushed predicate: Catalyst plants it in the endpoint
+    scan and the ladder never walks the whole label."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    return run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'doc://0'})-[:WRITTEN_BY*1..2]-(b:Article) "
+        "RETURN b.link AS link ORDER BY link",
+        graph=article_graph(spark, sf_dir),
+    ).df
+
+
+def q_a124_text_write_return_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A124 ext (r16) — write-RETURN aggregates over a BATCHED write
+    (VERDICT r15 missing #3): ``UNWIND $xs AS x MERGE (t:Tech {tech:
+    x}) RETURN count(t)`` books one result row per processed input row
+    (Neo4j), so the count aggregates the batch frame itself. The $xs
+    scalar-list param builds the 1-column batch (the literal-list
+    twin); the distinct publisher list is dimension-sized (20 at
+    sf0.1), collected once."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a124_"))
+    res = run_cypher(
+        spark,
+        "UNWIND $xs AS x MERGE (t:Tech {tech: x}) RETURN count(t) AS c",
+        {"xs": srcs},
+        store=store,
+    )
+    return res.df
+
+
+def q_a125_text_rel_set_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A125 ext (r16) — ``SET r = {map}`` REPLACE on relationships
+    (VERDICT r15 missing #4, builder queue #8): every stored rel-prop
+    cell NOT in the map is erased on the MATCHED edges
+    (remove_edge_props — partial bucket rewrite), listed values apply
+    through the coalesce upsert; unmatched edges keep their cells. The
+    src0 articles' edges end with w erased and score=1; all others
+    keep w=doc_id and no score."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.col("source").alias("publisher"),
+        F.col("doc_id").cast("int").alias("w"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a125_"))
+    store.merge_nodes(src.select("link"), label="Article", key_col="link")
+    store.merge_nodes(
+        src.select("publisher").distinct(), label="Publisher", key_col="publisher"
+    )
+    store.merge_edges(
+        src, "WRITTEN_BY", "Article", "link", "Publisher", "publisher",
+        prop_cols=["w"],
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE p.publisher = 'src0' SET r = {score: 1}",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "RETURN a.link AS link, r.w AS w, r.score AS score ORDER BY link",
+        store=store,
+    ).df
+
+
+def q_a126_text_foreach_match_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A126 ext (r16) — FOREACH matches ONCE then iterates (ADVICE r15
+    medium): ``MATCH (n:Doc) WHERE n.rank IS NULL FOREACH (x IN
+    [1,2,3] | SET n.rank = x)`` pins the matched key set up front, so
+    iteration 1's write (rank=1) cannot shrink iteration 2's match —
+    the loop ends at the LAST element (rank=3), Neo4j's reference-row
+    semantics; the pre-ranked half (rank=9) is untouched. Seed bounded
+    to doc_id < 20 (FOREACH loops are loop programs, the pin
+    materializes keys)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    seed = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(9)).alias("rank"),
+    )
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="gs_a126_"))
+    store.merge_nodes(seed, label="Doc", key_col="link", prop_cols=["rank"])
+    run_cypher(
+        spark,
+        "MATCH (n:Doc) WHERE n.rank IS NULL "
+        "FOREACH (x IN [1,2,3] | SET n.rank = x)",
+        store=store,
+    )
+    return run_cypher(
+        spark,
+        "MATCH (n:Doc) RETURN n.link AS link, n.rank AS rank ORDER BY link",
+        store=store,
+    ).df
+
+
 # DRIVER-WINDOW ROTATION LEDGER (the driver correctness gate checks the
 # FIRST 50 entries of QUERIES each round; new entries enter at the head
 # and the ledger tracks which blocks still await a re-check).
-#   r15 window (current first 50) = the five r15 additions (a117
-#   statement-leading OPTIONAL MATCH, a118 FOREACH after MATCH with
-#   sequential last-wins replay, a119 duration-value component
-#   accessors, a120 ORDER BY on an un-projected aggregate, a121
-#   undirected shortestPath) + 45 rotation slots covering the
-#   stale-since-r6/r7 blocks the r14 verdict named: the whole a34-a62
-#   front-end block (a34-a48, a50-a53, a56-a62 - 26 entries, last
-#   driver rows r6/r7), all of c47-c63 (17 entries, r6/r7), and
-#   c85_scc + c93_phash_near_dup (r7; c93 doubles as the host-noise
-#   bench suspect).
-#   Still unrotated for r16 (25 entries, all last checked r6/r7):
-#   c37-c46 block (c37,c38,c39,c40,c42,c43,c44,c45,c46), c64,c65,c84,
-#   c86,c87,c88,c89,c90,c91,c92,c94,c95, and rel_correlated_sub,
-#   rel_outliers, rel_debounce, rel_skyline. Everything else in the
-#   ledger is r10+; after r16 the whole registry is <=3 rounds fresh.
-#   The displaced r14 window (a103+a108-a116, all 23 rel_*, a17-a33 -
-#   all green r14) moved to slots 50+ in its prior order.
+#   r16 window (current first 50) = the five r16 additions (a122 full
+#   existential subqueries with inner WHERE, a123 undirected
+#   variable-length expand with inline endpoint props, a124 batched
+#   write-RETURN count, a125 SET r = {map} REPLACE, a126 FOREACH
+#   match-once pinning) + ALL 25 entries last driver-checked r6/r7
+#   (c37-c46 block, c64, c65, c84, c86-c92, c94, c95,
+#   rel_correlated_sub, rel_outliers, rel_debounce, rel_skyline — the
+#   r15 verdict task #1 block, pre-swept green and judge-sampled 12/12)
+#   + the 20 OLDEST r10 entries (c66-c81 block incl. the rel_* r10
+#   five). After r16 lands, nothing in the registry is older than r10,
+#   and the remaining r10 block is 29 entries (c82, c83, c96-c101,
+#   c103, c41, a49, a54, a55, a63-a78 block) — rotate those in r17.
+#   The displaced r15 window (a117-a121, the a34-a62 front-end block,
+#   c47-c63, c85, c93 — all green r15) moved to slots 50+ in its prior
+#   order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r15 driver window (first 50): rotation ledger above ----
+    # ---- r16 driver window (first 50): rotation ledger above ----
+    "a122_text_exists_subquery": q_a122_text_exists_subquery,
+    "a123_text_undirected_varlen": q_a123_text_undirected_varlen,
+    "a124_text_write_return_count": q_a124_text_write_return_count,
+    "a125_text_rel_set_map": q_a125_text_rel_set_map,
+    "a126_text_foreach_match_once": q_a126_text_foreach_match_once,
+    "c37_node_similarity": q_c37_node_similarity,
+    "c38_random_walks": q_c38_random_walks,
+    "c39_stream_near_dup": q_c39_stream_near_dup,
+    "c40_clustering_coeff": q_c40_clustering_coeff,
+    "c42_mixture_sample": q_c42_mixture_sample,
+    "c43_lm_score": q_c43_lm_score,
+    "c44_closeness": q_c44_closeness,
+    "c45_walk_pairs": q_c45_walk_pairs,
+    "c46_betweenness": q_c46_betweenness,
+    "c64_interleave": q_c64_interleave,
+    "c65_adamic_adar": q_c65_adamic_adar,
+    "c84_graphrag": q_c84_graphrag,
+    "c86_dup_spans": q_c86_dup_spans,
+    "c87_weighted_pagerank": q_c87_weighted_pagerank,
+    "c88_ktruss": q_c88_ktruss,
+    "c89_semdedup": q_c89_semdedup,
+    "c90_window_approx_distinct": q_c90_window_approx_distinct,
+    "c91_overlap_similarity": q_c91_overlap_similarity,
+    "c92_boilerplate": q_c92_boilerplate,
+    "c94_louvain": q_c94_louvain,
+    "c95_stream_phash_gate": q_c95_stream_phash_gate,
+    "rel_correlated_sub": q_rel_correlated_sub,
+    "rel_outliers": q_rel_outliers,
+    "rel_debounce": q_rel_debounce,
+    "rel_skyline": q_rel_skyline,
+    "c66_pq_topk": q_c66_pq_topk,
+    "rel_hierarchy": q_rel_hierarchy,
+    "c67_bpe_merges": q_c67_bpe_merges,
+    "c68_bloom_semi_join": q_c68_bloom_semi_join,
+    "c70_incremental_cc": q_c70_incremental_cc,
+    "c69_stream_outer_join": q_c69_stream_outer_join,
+    "c71_bpe_apply": q_c71_bpe_apply,
+    "rel_distribution": q_rel_distribution,
+    "c72_neighbor_sample": q_c72_neighbor_sample,
+    "c73_hashed_features": q_c73_hashed_features,
+    "c74_ppmi": q_c74_ppmi,
+    "c75_negative_sample": q_c75_negative_sample,
+    "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
+    "rel_pit_join": q_rel_pit_join,
+    "c77_time_decay": q_c77_time_decay,
+    "c78_real_bmp_decode": q_c78_real_bmp_decode,
+    "c79_real_wav_decode": q_c79_real_wav_decode,
+    "c80_real_gif_probe": q_c80_real_gif_probe,
+    "rel_rolling_1h": q_rel_rolling_1h,
+    "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
+    # ---- end of r16 driver window; displaced r15 window and older ----
     "a117_text_leading_optional": q_a117_text_leading_optional,
     "a118_text_foreach_match": q_a118_text_foreach_match,
     "a119_text_duration_accessors": q_a119_text_duration_accessors,
@@ -9761,7 +9948,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c63_bm25_search": q_c63_bm25_search,
     "c85_scc": q_c85_scc,
     "c93_phash_near_dup": q_c93_phash_near_dup,
-    # ---- end of r15 driver window; displaced r14 window and older ----
     "a103_text_list_algebra": q_a103_text_list_algebra,
     "a108_text_where_string_exprs": q_a108_text_where_string_exprs,
     "a109_text_optional_chain": q_a109_text_optional_chain,
@@ -9955,26 +10141,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a79_text_rel_update": q_a79_text_rel_update,
     "a80_text_unbounded_shortest": q_a80_text_unbounded_shortest,
     "a82_text_call_library2": q_a82_text_call_library2,
-    "c66_pq_topk": q_c66_pq_topk,
-    "rel_hierarchy": q_rel_hierarchy,
-    "c67_bpe_merges": q_c67_bpe_merges,
-    "c68_bloom_semi_join": q_c68_bloom_semi_join,
-    "c70_incremental_cc": q_c70_incremental_cc,
-    "c69_stream_outer_join": q_c69_stream_outer_join,
-    "c71_bpe_apply": q_c71_bpe_apply,
-    "rel_distribution": q_rel_distribution,
-    "c72_neighbor_sample": q_c72_neighbor_sample,
-    "c73_hashed_features": q_c73_hashed_features,
-    "c74_ppmi": q_c74_ppmi,
-    "c75_negative_sample": q_c75_negative_sample,
-    "c76_lsh_dedup_eval": q_c76_lsh_dedup_eval,
-    "rel_pit_join": q_rel_pit_join,
-    "c77_time_decay": q_c77_time_decay,
-    "c78_real_bmp_decode": q_c78_real_bmp_decode,
-    "c79_real_wav_decode": q_c79_real_wav_decode,
-    "c80_real_gif_probe": q_c80_real_gif_probe,
-    "rel_rolling_1h": q_rel_rolling_1h,
-    "c81_stream_incremental_cc": q_c81_stream_incremental_cc,
     "c82_assortativity": q_c82_assortativity,
     "c83_node2vec_walks": q_c83_node2vec_walks,
     "c96_span_removal": q_c96_span_removal,
@@ -10004,31 +10170,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c41_quantize": q_c41_quantize,
     "a54_text_create": q_a54_text_create,
     "a55_text_expressions": q_a55_text_expressions,
-    "c92_boilerplate": q_c92_boilerplate,
-    "c94_louvain": q_c94_louvain,
-    "c95_stream_phash_gate": q_c95_stream_phash_gate,
-    "c88_ktruss": q_c88_ktruss,
-    "c89_semdedup": q_c89_semdedup,
-    "c90_window_approx_distinct": q_c90_window_approx_distinct,
-    "c91_overlap_similarity": q_c91_overlap_similarity,
-    "c86_dup_spans": q_c86_dup_spans,
-    "c87_weighted_pagerank": q_c87_weighted_pagerank,
-    "rel_correlated_sub": q_rel_correlated_sub,
-    "rel_outliers": q_rel_outliers,
-    "rel_debounce": q_rel_debounce,
-    "c64_interleave": q_c64_interleave,
-    "c65_adamic_adar": q_c65_adamic_adar,
-    "rel_skyline": q_rel_skyline,
-    "c84_graphrag": q_c84_graphrag,
-    "c37_node_similarity": q_c37_node_similarity,
-    "c38_random_walks": q_c38_random_walks,
-    "c39_stream_near_dup": q_c39_stream_near_dup,
-    "c40_clustering_coeff": q_c40_clustering_coeff,
-    "c42_mixture_sample": q_c42_mixture_sample,
-    "c43_lm_score": q_c43_lm_score,
-    "c44_closeness": q_c44_closeness,
-    "c45_walk_pairs": q_c45_walk_pairs,
-    "c46_betweenness": q_c46_betweenness,
 }
 
 
@@ -13786,6 +13927,46 @@ ORACLES["a120_text_orderby_aggregate"] = """
         SELECT source AS pub, count(*) AS n
         FROM documents GROUP BY source
     ) ORDER BY n DESC, pub LIMIT 10
+"""
+
+ORACLES["a122_text_exists_subquery"] = """
+    SELECT source AS pub, count(*)::bigint AS n
+    FROM documents
+    WHERE source <> 'src0'
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["a123_text_undirected_varlen"] = """
+    WITH art AS (
+        SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+               source AS pub
+        FROM documents
+    ),
+    a0 AS (SELECT pub FROM art WHERE link = 'doc://0')
+    SELECT b.link AS link
+    FROM art b JOIN a0 ON b.pub = a0.pub
+    WHERE b.link <> 'doc://0'
+    ORDER BY link
+"""
+
+ORACLES["a124_text_write_return_count"] = """
+    SELECT count(DISTINCT source)::bigint AS c FROM documents
+"""
+
+ORACLES["a125_text_rel_set_map"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           (CASE WHEN source = 'src0' THEN NULL ELSE doc_id END)::int AS w,
+           (CASE WHEN source = 'src0' THEN 1 ELSE NULL END)::int AS score
+    FROM documents
+    ORDER BY link
+"""
+
+ORACLES["a126_text_foreach_match_once"] = """
+    SELECT concat('doc://', cast(doc_id AS varchar)) AS link,
+           (CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 3 END)::int AS rank
+    FROM documents
+    WHERE doc_id < 20
+    ORDER BY link
 """
 
 ORACLES["a121_text_undirected_shortest"] = """
