@@ -769,15 +769,23 @@ def test_text_rel_on_create_on_match(spark, tmp_path):
     row = s.edges().collect()[0]
     assert row["since"] == "d1" and row["last"] == "d2"
 
-    # same prop with DIFFERENT values per branch is out of the subset
-    with pytest.raises(CypherUnsupported):
-        run_cypher(
-            spark,
-            "MERGE (u:User {id: $u}) MERGE (v:User {id: $v}) "
-            "MERGE (u)-[r:FOLLOWS]->(v) "
-            "ON CREATE SET r.x = $t ON MATCH SET r.x = $u",
-            {"u": "a", "v": "b", "t": "z"}, store=s,
-        )
+    # same prop with DIFFERENT values per branch (r16): each branch
+    # takes its own value — the a-b edge exists, so x gets the ON MATCH
+    # value; a fresh c-d edge gets the ON CREATE one
+    stmt_x = (
+        "MERGE (u:User {id: $u}) MERGE (v:User {id: $v}) "
+        "MERGE (u)-[r:FOLLOWS]->(v) "
+        "ON CREATE SET r.x = $t ON MATCH SET r.x = $u"
+    )
+    run_cypher(spark, stmt_x, {"u": "a", "v": "b", "t": "z"}, store=s)
+    run_cypher(spark, stmt_x, {"u": "c", "v": "d", "t": "z"}, store=s)
+    got_x = {
+        (r["src"], r["x"])
+        for r in s.sql(
+            "SELECT e.src AS src, e.x AS x FROM edges e"
+        ).collect()
+    }
+    assert {x for _, x in got_x} == {"a", "z"}
     # ON CREATE/ON MATCH follow MERGE only — CREATE always creates
     with pytest.raises(CypherUnsupported):
         run_cypher(
