@@ -104,6 +104,11 @@ HEADLINE = [
     # aggregate (hidden-column lift into the one implicit groupBy)
     "a117_text_leading_optional",
     "a120_text_orderby_aggregate",
+    # round 16 additions — full existential subquery (correlated semi +
+    # anti joins in one WHERE) and the undirected variable-length
+    # ladder over the symmetrized edge frame
+    "a122_text_exists_subquery",
+    "a123_text_undirected_varlen",
 ]
 
 
