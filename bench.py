@@ -139,6 +139,17 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
         spark.catalog.clearCache()  # drop warmup-run persists before timing
+        # Force a driver GC between queries: clearCache() releases
+        # persisted DataFrames but NOT localCheckpoint() RDD blocks —
+        # those free only when Spark's ContextCleaner sees the RDD
+        # garbage-collected on the driver. Without this, checkpoint
+        # blocks from the iterative queries (CC/SCC fixpoints, writer
+        # merges) accumulate across the list and later queries absorb
+        # the tenured-heap GC pressure — the r13→r15 "headline drift"
+        # (uniform ~1.1-1.3x on untouched queries, growing with list
+        # length) reproduced at 81.8s and timed at 73.3s with this GC
+        # on the same host, same round.
+        spark.sparkContext._jvm.System.gc()
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
@@ -150,6 +161,7 @@ def main() -> None:
             # into GC pressure (and timing spikes) for later queries
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        spark.sparkContext._jvm.System.gc()
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
