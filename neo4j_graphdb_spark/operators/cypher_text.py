@@ -378,13 +378,15 @@ _RETURN_ITEM_RE = re.compile(
 
 # COUNT { (a)-[:T]->(:L) } — Cypher 5 pattern-count expression in RETURN
 _COUNT_ITEM_RE = re.compile(
-    r"^COUNT\s*\{(?P<pat>[^{}]+)\}(?:\s+AS\s+(?P<out>\w+))?$", re.IGNORECASE
+    r"^COUNT\s*\{(?P<pat>(?:[^{}]|\{[^{}]*\})+)\}(?:\s+AS\s+(?P<out>\w+))?$",
+    re.IGNORECASE,
 )
 
 # `[NOT] EXISTS { (a)-[:T]->(:L) } AS flag` as a RETURN *value* — the
 # boolean itself, not the WHERE semi/anti join form
 _EXISTS_RET_RE = re.compile(
-    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>[^{}]+)\}\s+AS\s+(?P<out>\w+)$",
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>(?:[^{}]|\{[^{}]*\})+)\}"
+    r"\s+AS\s+(?P<out>\w+)$",
     re.IGNORECASE,
 )
 
@@ -5992,7 +5994,8 @@ def _compile_return_expr(item, df, aliases, rel_alias, lits, params):
 
 
 _EXISTS_ITEM_RE = re.compile(
-    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>[^{}]+)\}$", re.IGNORECASE
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>(?:[^{}]|\{[^{}]*\})+)\}$",
+    re.IGNORECASE,
 )
 
 
@@ -6078,25 +6081,45 @@ def _extract_exists(body: str, out: list) -> str:
                           flags=re.IGNORECASE)
         if len(wsplit) == 2:
             pat_text, inner_where = wsplit[0].strip(), wsplit[1].strip()
+        # inline property map on the TARGET node — `EXISTS {
+        # (a)-[:T]->(:L {k: $v}) }` — is sugar for the inner-WHERE
+        # equality (Neo4j treats them identically); mint an alias for
+        # the anonymous form and fold the pairs into the inner WHERE
+        pat_text, x_lp, x_rp = _strip_endpoint_props(pat_text)
+        if x_lp:
+            raise CypherUnsupported(
+                "EXISTS source properties are unsupported — the source "
+                "is the bound alias; filter it in the outer WHERE"
+            )
         pm = _REL_RE.match(pat_text)
         if not pm:
             raise CypherUnsupported(
                 f"unsupported EXISTS pattern: {pat_text!r}"
             )
-        if pm.group("star") or pm.group("rel_props"):
+        if pm.group("star"):
             raise CypherUnsupported(
-                "variable-length / property patterns are unsupported in EXISTS"
+                "variable-length patterns are unsupported in EXISTS"
             )
         if not pm.group("src_alias"):
             raise CypherUnsupported(
                 "EXISTS source must be a bound alias"
             )
-        if pm.group("dst_alias") and inner_where is None:
+        dst_alias = pm.group("dst_alias")
+        if x_rp:
+            dst_alias = dst_alias or "_xt"
+            extra = [
+                f"{dst_alias}.{prop} = {raw}"
+                for prop, raw in _parse_value_props(x_rp)
+            ]
+            inner_where = " AND ".join(
+                extra + ([inner_where] if inner_where else [])
+            )
+        if dst_alias and inner_where is None:
             raise CypherUnsupported(
                 "EXISTS target alias needs an inner WHERE that uses it "
                 "(otherwise write the anonymous form: () or (:Label))"
             )
-        if inner_where is not None and not pm.group("dst_alias"):
+        if inner_where is not None and not dst_alias:
             raise CypherUnsupported(
                 "EXISTS inner WHERE needs a named target alias to "
                 "reference: EXISTS { (a)-[:T]->(x:L) WHERE x.p = … }"
@@ -6109,8 +6132,9 @@ def _extract_exists(body: str, out: list) -> str:
                 _node_labels(pm.group("dst_label")),
                 negated,
                 _node_labels(pm.group("src_label")),
-                pm.group("dst_alias"),
+                dst_alias,
                 inner_where,
+                pm.group("rel_props"),
             )
         )
     return " AND ".join(remaining).strip()
@@ -6544,7 +6568,7 @@ def _run_read_inner(
 
         for (
             sa, rel_type, direction, dst_label, negated,
-            src_label, dst_alias, inner_where,
+            src_label, dst_alias, inner_where, x_relp,
         ) in exists_preds:
             # [NOT] EXISTS { (a[:L0])-[:T]->(x:L) [WHERE …] } — one LEFT
             # SEMI (ANTI when negated) join of the bound frame against
@@ -6561,8 +6585,20 @@ def _run_read_inner(
                 _prefix,
             )
 
-            e = graph.edges_df
-            e = _orient_edges(_cy_rel_filter(e, _rel_types(rel_type)), direction)
+            e = _cy_rel_filter(graph.edges_df, _rel_types(rel_type))
+            if x_relp:
+                # inline relationship property map — equality filters on
+                # the edge columns before orientation; a prop no stored
+                # edge carries reads NULL, and NULL = v never matches
+                for prop, raw in _parse_value_props(x_relp):
+                    if prop in e.columns:
+                        e = e.filter(
+                            F.col(prop)
+                            == F.lit(_where_value(raw, lits, params))
+                        )
+                    else:
+                        e = e.filter(F.lit(False))
+            e = _orient_edges(e, direction)
             if src_label is not None:
                 # `EXISTS { MATCH (a:Article)-[:T]->… }` re-states the
                 # bound alias's label: the pattern only matches when the
@@ -7999,20 +8035,21 @@ def _run_read_inner(
             # rows coalesce to 0 — the expand-and-count a Neo4j user
             # writes as `COUNT { (a)-[:T]->(:L) }`; never fan-out on the
             # main frame, the aggregation happens on the edge side
-            pm = _REL_RE.match(
+            c_pat, c_lp, c_rp = _strip_endpoint_props(
                 re.sub(r"^MATCH\s+", "", cm.group("pat").strip(),
                        flags=re.IGNORECASE)
             )
+            pm = _REL_RE.match(c_pat)
             if not pm:
                 raise CypherUnsupported(
                     f"unsupported COUNT pattern: {cm.group('pat').strip()!r}"
                 )
-            if pm.group("star") or pm.group("rel_props"):
+            if pm.group("star"):
                 raise CypherUnsupported(
-                    "variable-length / property patterns are unsupported in COUNT"
+                    "variable-length patterns are unsupported in COUNT"
                 )
             ca = pm.group("src_alias")
-            if not ca or pm.group("src_label") or ca not in aliases:
+            if not ca or pm.group("src_label") or c_lp or ca not in aliases:
                 raise CypherUnsupported(
                     "COUNT source must be a bound bare alias"
                 )
@@ -8022,13 +8059,28 @@ def _run_read_inner(
                 )
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
-            ce = graph.edges_df
-            ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
-            ce = _orient_edges(ce, _rel_direction(pm))
-            if pm.group("dst_label") is not None:
-                lbl_ids = graph.match(_node_labels(pm.group("dst_label"))).select(
-                    F.col(NODE_ID).alias("_cid")
+            ce = _cy_rel_filter(graph.edges_df, _rel_types(pm.group("rel_type")))
+            # inline rel-prop map — equality filters on the edge columns;
+            # a prop no stored edge carries reads NULL → never matches
+            for prop, raw in _parse_value_props(pm.group("rel_props")):
+                ce = (
+                    ce.filter(
+                        F.col(prop) == F.lit(_where_value(raw, lits, params))
+                    )
+                    if prop in ce.columns
+                    else ce.filter(F.lit(False))
                 )
+            ce = _orient_edges(ce, _rel_direction(pm))
+            if pm.group("dst_label") is not None or c_rp:
+                tgt_scan = graph.match(_node_labels(pm.group("dst_label")))
+                # target inline props — `COUNT { (a)-[:T]->(:L {k: $v}) }`
+                # — equality filters planted into the label scan
+                for prop, raw in _parse_value_props(c_rp):
+                    tgt_scan = tgt_scan.filter(
+                        _prop_col(tgt_scan, "", prop)
+                        == F.lit(_where_value(raw, lits, params))
+                    )
+                lbl_ids = tgt_scan.select(F.col(NODE_ID).alias("_cid"))
                 ce = ce.join(lbl_ids, ce["dst"] == F.col("_cid"), "left_semi")
             name = cm.group("out") or f"count_{ca}"
             cnt = ce.groupBy(F.col("src").alias("_csrc")).agg(
@@ -8049,21 +8101,21 @@ def _run_read_inner(
             # same edge-side shape as COUNT {…} — distinct qualifying
             # sources LEFT-joined with a marker flag, unmatched rows
             # coalesce to false (never a fan-out of the main frame)
-            pm = _REL_RE.match(
+            x_pat, xv_lp, xv_rp = _strip_endpoint_props(
                 re.sub(r"^MATCH\s+", "", em.group("pat").strip(),
                        flags=re.IGNORECASE)
             )
+            pm = _REL_RE.match(x_pat)
             if not pm:
                 raise CypherUnsupported(
                     f"unsupported EXISTS pattern: {em.group('pat').strip()!r}"
                 )
-            if pm.group("star") or pm.group("rel_props"):
+            if pm.group("star"):
                 raise CypherUnsupported(
-                    "variable-length / property patterns are unsupported "
-                    "in EXISTS"
+                    "variable-length patterns are unsupported in EXISTS"
                 )
             ea = pm.group("src_alias")
-            if not ea or pm.group("src_label") or ea not in aliases:
+            if not ea or pm.group("src_label") or xv_lp or ea not in aliases:
                 raise CypherUnsupported(
                     "EXISTS source must be a bound bare alias"
                 )
@@ -8073,13 +8125,26 @@ def _run_read_inner(
                 )
             from neo4j_graphdb_spark.operators.cypher import _orient_edges
 
-            xe = graph.edges_df
-            xe = _cy_rel_filter(xe, _rel_types(pm.group("rel_type")))
-            xe = _orient_edges(xe, _rel_direction(pm))
-            if pm.group("dst_label") is not None:
-                lbl_ids = graph.match(_node_labels(pm.group("dst_label"))).select(
-                    F.col(NODE_ID).alias("_xid")
+            xe = _cy_rel_filter(graph.edges_df, _rel_types(pm.group("rel_type")))
+            # inline rel-prop map — same edge-column equality filters as
+            # the COUNT form above
+            for prop, raw in _parse_value_props(pm.group("rel_props")):
+                xe = (
+                    xe.filter(
+                        F.col(prop) == F.lit(_where_value(raw, lits, params))
+                    )
+                    if prop in xe.columns
+                    else xe.filter(F.lit(False))
                 )
+            xe = _orient_edges(xe, _rel_direction(pm))
+            if pm.group("dst_label") is not None or xv_rp:
+                tgt_scan = graph.match(_node_labels(pm.group("dst_label")))
+                for prop, raw in _parse_value_props(xv_rp):
+                    tgt_scan = tgt_scan.filter(
+                        _prop_col(tgt_scan, "", prop)
+                        == F.lit(_where_value(raw, lits, params))
+                    )
+                lbl_ids = tgt_scan.select(F.col(NODE_ID).alias("_xid"))
                 xe = xe.join(lbl_ids, xe["dst"] == F.col("_xid"), "left_semi")
             name = em.group("out")
             marks = (

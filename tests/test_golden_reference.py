@@ -7228,3 +7228,86 @@ def test_text_unwind_scalar_list_param_write(spark, tmp_path):
         store=s,
     )
     assert r.summary.nodes_created == 1  # p, q already exist
+
+
+def test_text_exists_count_inline_props(spark, tmp_path):
+    """Inline property maps inside EXISTS/COUNT pattern bodies — on the
+    TARGET node (`(:Publisher {tier: 'gold'})`, sugar for the inner
+    WHERE equality) and on the RELATIONSHIP (`[:T {w: 5}]`, an edge-
+    column equality; a prop no stored edge carries matches nothing,
+    never errors). Covers the WHERE conjunct form, the COUNT {} and
+    EXISTS {} value forms, NOT EXISTS, and $param values."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "xprops"))
+    for a in ("a1", "a2", "a3"):
+        run_cypher(spark, f"CREATE (x:Article {{link: '{a}'}})", store=s)
+    run_cypher(
+        spark, "CREATE (x:Publisher {publisher: 'p1', tier: 'gold'})", store=s
+    )
+    run_cypher(
+        spark, "CREATE (x:Publisher {publisher: 'p2', tier: 'silver'})", store=s
+    )
+    for a, p, w in (("a1", "p1", 5), ("a2", "p1", 1), ("a3", "p2", 5)):
+        run_cypher(
+            spark,
+            f"MATCH (x:Article {{link: '{a}'}}) "
+            f"MATCH (y:Publisher {{publisher: '{p}'}}) "
+            f"MERGE (x)-[r:WRITTEN_BY]->(y) SET r.w = {w}",
+            store=s,
+        )
+
+    def links(q, params=None):
+        return sorted(
+            r["link"] for r in run_cypher(spark, q, params, store=s).df.collect()
+        )
+
+    assert links(
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:WRITTEN_BY]->"
+        "(:Publisher {tier: 'gold'}) } RETURN a.link AS link"
+    ) == ["a1", "a2"]
+    assert links(
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:WRITTEN_BY {w: 5}]->"
+        "(:Publisher) } RETURN a.link AS link"
+    ) == ["a1", "a3"]
+    # absent rel prop: zero matches, not an error
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:WRITTEN_BY {zz: 5}]->"
+        "(:Publisher) } RETURN count(*) AS c",
+        store=s,
+    ).df.collect() == [Row(c=0)]
+    assert links(
+        "MATCH (a:Article) WHERE NOT EXISTS { (a)-[:WRITTEN_BY]->"
+        "(:Publisher {tier: 'gold'}) } RETURN a.link AS link"
+    ) == ["a3"]
+    # value forms
+    got = {
+        (r["link"], r["n"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS link, COUNT { (a)-"
+            "[:WRITTEN_BY]->(:Publisher {tier: 'gold'}) } AS n",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("a1", 1), ("a2", 1), ("a3", 0)}
+    got = {
+        (r["link"], r["f"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS link, EXISTS { (a)-"
+            "[:WRITTEN_BY {w: $w}]->(:Publisher) } AS f",
+            {"w": 5},
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("a1", True), ("a2", False), ("a3", True)}
+    # target props compose with an explicit inner WHERE
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE EXISTS { MATCH (a)-[:WRITTEN_BY]->"
+        "(p2:Publisher {tier: 'gold'}) WHERE p2.publisher = 'p1' } "
+        "RETURN count(*) AS c",
+        store=s,
+    ).df.collect() == [Row(c=2)]
