@@ -4404,6 +4404,63 @@ def _run_write(
                     & _key_expr(nodes[ep0.dst_alias]).isNotNull()
                 ).select(F.lit(ep0.rel_type).alias(out))
                 return CypherResult(df, total)
+        # written-relationship state: `MERGE (u)-[r:T]->(t) [SET r.p=…]
+        # RETURN r` / `RETURN r.p AS x` — the rel's POST-WRITE stored
+        # row(s), fetched by the batch rows' (src, dst, type) identity
+        # (the node whole-entity/projection forms' edge twin; ids mint
+        # through the same node_id_expr every write path uses)
+        rel_ret = None
+        if len(returns) == 1 and returns[0].strip() in edge_aliases:
+            rel_ret = (edge_aliases[returns[0].strip()], None)
+        else:
+            mproj = [_RETURN_ITEM_RE.match(it.strip()) for it in returns]
+            if (
+                all(mproj)
+                and all(m2.group("prop") for m2 in mproj)
+                and len({m2.group("alias") for m2 in mproj}) == 1
+                and mproj[0].group("alias") in edge_aliases
+            ):
+                rel_ret = (
+                    edge_aliases[mproj[0].group("alias")],
+                    [
+                        (m2.group("prop"), m2.group("out") or m2.group("prop"))
+                        for m2 in mproj
+                    ],
+                )
+        if rel_ret is not None:
+            from neo4j_graphdb_spark.model import node_id_expr
+
+            ep0, sel0 = rel_ret
+            s0, d0 = nodes[ep0.src_alias], nodes[ep0.dst_alias]
+            written = pdf.select(
+                node_id_expr(s0.label, _key_expr(s0)).alias("src"),
+                node_id_expr(d0.label, _key_expr(d0)).alias("dst"),
+            ).distinct()
+            edf0 = store.edges()
+            if edf0 is None:
+                raise CypherUnsupported(
+                    "write RETURN of a relationship found no edges table"
+                )
+            stored = (
+                edf0.filter(F.col("rel_type") == ep0.rel_type)
+                .join(written, on=["src", "dst"], how="left_semi")
+            )
+            if BUCKET_COL in stored.columns:
+                stored = stored.drop(BUCKET_COL)
+            if sel0 is None:
+                return CypherResult(stored, total)
+            df = stored.select(
+                *[
+                    (
+                        F.col(prop)
+                        if prop in stored.columns
+                        # a never-written property reads as NULL (Neo4j)
+                        else F.lit(None).cast("string")
+                    ).alias(out0)
+                    for prop, out0 in sel0
+                ]
+            )
+            return CypherResult(df, total)
         # whole-entity form: `… RETURN a` — the written node's stored row
         if len(returns) == 1 and "." not in returns[0]:
             alias0 = returns[0].strip()
@@ -7481,9 +7538,73 @@ def _run_read_inner(
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
             if m.group("star"):
-                raise CypherUnsupported(
-                    "variable-length patterns are unsupported in OPTIONAL MATCH"
+                # bounded variable-length OPTIONAL MATCH — `MATCH (a:L)
+                # OPTIONAL MATCH (a)-[:T*1..k]->(x[:L2])`: run the same
+                # expand_var ladder the plain MATCH uses, then LEFT-join
+                # its target columns onto the bound frame by anchor id —
+                # unmatched anchors keep their row with NULL targets
+                # (openCypher), one row per path otherwise. The anchor
+                # must be a bound bare endpoint; the fresh alias binds
+                # the target.
+                if not m.group("min_h") or not m.group("max_h"):
+                    raise CypherUnsupported(
+                        "OPTIONAL MATCH variable-length patterns must be "
+                        "bounded: (a)-[:T*min..max]->(x)"
+                    )
+                if m.group("rel_props"):
+                    raise CypherUnsupported(
+                        "inline properties on a variable-length pattern"
+                    )
+                if m.group("rel_alias"):
+                    raise CypherUnsupported(
+                        "relationship aliases are unsupported on an "
+                        "OPTIONAL var-length pattern"
+                    )
+                ov_dir = _rel_direction(m)
+                ov_sa, ov_da = m.group("src_alias"), m.group("dst_alias")
+                ov_s_label = m.group("src_label")
+                ov_d_label = m.group("dst_label")
+                if ov_dir == "in":
+                    # the ladder always walks left→right: swap roles
+                    ov_sa, ov_da = ov_da, ov_sa
+                    ov_s_label, ov_d_label = ov_d_label, ov_s_label
+                # the BOUND endpoint anchors the left join; the other
+                # side binds fresh (either walk role works — the ladder
+                # exposes both endpoint ids)
+                if ov_sa and ov_sa in aliases and not ov_s_label:
+                    anchored, fresh, fresh_label = ov_sa, ov_da or "b", ov_d_label
+                elif ov_da and ov_da in aliases and not ov_d_label:
+                    anchored, fresh, fresh_label = ov_da, ov_sa or "b", ov_s_label
+                else:
+                    raise CypherUnsupported(
+                        "OPTIONAL var-length must anchor one bare "
+                        "endpoint on a bound alias"
+                    )
+                if fresh in aliases:
+                    raise CypherUnsupported(
+                        f"OPTIONAL MATCH re-binds alias {fresh!r}"
+                    )
+                ladder = graph.expand_var(
+                    rel_type=_rel_types(m.group("rel_type")),
+                    min_hops=int(m.group("min_h")),
+                    max_hops=int(m.group("max_h")),
+                    src_label=_node_labels(ov_s_label),
+                    dst_label=_node_labels(ov_d_label),
+                    src_alias=ov_sa or "b",
+                    dst_alias=ov_da or "b",
+                    direction="both" if ov_dir == "both" else "out",
                 )
+                right = ladder.select(
+                    F.col(f"{anchored}_{NODE_ID}").alias("_ovl_id"),
+                    *[cc for cc in ladder.columns if cc.startswith(f"{fresh}_")],
+                )
+                anchor_id = F.col(f"{aliases[anchored]}{NODE_ID}")
+                df = df.join(
+                    right, anchor_id == F.col("_ovl_id"), "left"
+                ).drop("_ovl_id")
+                aliases[fresh] = f"{fresh}_"
+                rel_prefixed = True
+                continue
             if m.group("rel_props"):
                 raise CypherUnsupported(
                     "inline relationship properties are unsupported in OPTIONAL MATCH"

@@ -7311,3 +7311,89 @@ def test_text_exists_count_inline_props(spark, tmp_path):
         "RETURN count(*) AS c",
         store=s,
     ).df.collect() == [Row(c=2)]
+
+
+def test_text_write_return_rel_projections(spark, tmp_path):
+    """`MERGE (u)-[r:T]->(t) [SET r.p = …] RETURN r` / `RETURN r.p AS x`
+    — the relationship's POST-WRITE stored row(s), fetched by the batch
+    rows' (src, dst, type) identity; a never-written property reads as
+    NULL (the node whole-entity/projection forms' edge twin)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "wrelproj"))
+    run_cypher(spark, "CREATE (x:Article {link: 'a1'})", store=s)
+    run_cypher(spark, "CREATE (y:Publisher {publisher: 'p1'})", store=s)
+    head = (
+        "MATCH (u:Article {link: 'a1'}) MATCH (t:Publisher {publisher: 'p1'}) "
+    )
+    r = run_cypher(
+        spark, head + "MERGE (u)-[r:WB]->(t) SET r.w = 7 RETURN r.w AS w",
+        store=s,
+    )
+    assert r.df.collect() == [Row(w=7)]
+    r = run_cypher(spark, head + "MERGE (u)-[r:WB]->(t) RETURN r", store=s)
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["rel_type"] == "WB" and rows[0]["w"] == 7
+    assert r.summary.relationships_created == 0  # rematch
+    r = run_cypher(
+        spark, head + "MERGE (u)-[r:WB]->(t) RETURN r.zz AS z", store=s
+    )
+    assert r.df.collect() == [Row(z=None)]
+    r = run_cypher(
+        spark,
+        head + "MERGE (u)-[r:WB]->(t) SET r.k = 'x' RETURN r.w AS w, r.k AS k",
+        store=s,
+    )
+    assert r.df.collect() == [Row(w=7, k="x")]
+
+
+def test_text_optional_var_length(spark, tmp_path):
+    """Bounded variable-length OPTIONAL MATCH — the expand_var ladder
+    LEFT-joined onto the bound frame by the anchored endpoint's id:
+    unmatched anchors keep their row with NULL targets, one row per
+    path otherwise; the anchor may sit on either walk endpoint
+    (outgoing, incoming, undirected)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "optvar"))
+    for l in ("l1", "l2", "l3", "iso"):
+        run_cypher(spark, f"CREATE (a:Article {{link: '{l}'}})", store=s)
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MATCH (b:Article {link: 'l2'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l2'}) MATCH (b:Article {link: 'l3'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+    got = {
+        (r["l"], r["c"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) OPTIONAL MATCH (a)-[:T*1..2]->(x) "
+            "RETURN a.link AS l, count(x) AS c",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {("l1", 2), ("l2", 1), ("l3", 0), ("iso", 0)}
+    # unmatched anchor keeps its row, target NULL
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'iso'}) OPTIONAL MATCH (a)-[:T*1..2]->(x) "
+        "RETURN a.link AS l, x.link AS xl",
+        store=s,
+    ).df.collect() == [Row(l="iso", xl=None)]
+    # incoming + undirected anchors
+    counts = lambda q: run_cypher(spark, q, store=s).df.collect()[0]["c"]
+    assert counts(
+        "MATCH (a:Article {link: 'l3'}) OPTIONAL MATCH (a)<-[:T*1..2]-(x) "
+        "RETURN count(x) AS c"
+    ) == 2
+    assert counts(
+        "MATCH (a:Article {link: 'l3'}) OPTIONAL MATCH (a)-[:T*1..2]-(x) "
+        "RETURN count(x) AS c"
+    ) == 2
