@@ -279,7 +279,7 @@ _REL_RE = re.compile(
     r"^\(\s*(?P<src_alias>\w+)?\s*(?::\s*(?P<src_label>\w+(?:\s*[|:]\s*\w+)*))?\s*\)"
     r"\s*(?P<larrow><)?\s*-\s*\[\s*(?P<rel_alias>\w+)?"
     r"(?:\s*:\s*(?P<rel_type>\w+(?:\s*\|\s*\w+)*))?"
-    r"(?:\s*(?P<star>\*)\s*(?:(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+))?)?"
+    r"(?:\s*(?P<star>\*)\s*(?:(?P<min_h>\d+)\s*\.\.\s*(?P<max_h>\d+)?)?)?"
     r"(?:\s*(?P<rel_props>\{[^}]*\}))?\s*\]\s*-\s*(?P<rarrow>>)?\s*"
     r"\(\s*(?P<dst_alias>\w+)?\s*(?::\s*(?P<dst_label>\w+(?:\s*[|:]\s*\w+)*))?\s*\)$"
 )
@@ -7039,9 +7039,14 @@ def _run_read_inner(
                 # BFS substrate (pairwise_shortest_paths) runs instead,
                 # exiting at the first empty frontier (diameter rounds)
                 unbounded = not pm.group("max_h")
-                if pm.group("min_h") not in (None, "1"):
+                # Neo4j's shortestPath admits a minimal length of 0 or
+                # 1; *0..k additionally matches the LENGTH-0 path when
+                # both endpoints are one node (an identity layer the
+                # min-hop aggregation prefers over any cycle)
+                min_zero = pm.group("min_h") == "0"
+                if pm.group("min_h") not in (None, "0", "1"):
                     raise CypherUnsupported(
-                        "shortestPath supports a minimal length of 1 only"
+                        "shortestPath supports a minimal length of 0 or 1"
                     )
                 if pm.group("rel_props"):
                     raise CypherUnsupported(
@@ -7135,13 +7140,32 @@ def _run_read_inner(
                     pairs = layers[0]
                     for lyr in layers[1:]:
                         pairs = pairs.unionByName(lyr)
+                    if min_zero:
+                        pairs = pairs.unionByName(
+                            graph.match(s_label).select(
+                                F.col(NODE_ID).alias("_sps"),
+                                F.col(NODE_ID).alias("_spn"),
+                            ).withColumn("_sph", F.lit(0))
+                        )
                     pairs = pairs.groupBy("_sps", "_spn").agg(
                         F.min("_sph").alias("hops")
                     )
-                if direction == "both":
+                if unbounded and min_zero:
+                    pairs = (
+                        pairs.unionByName(
+                            graph.match(s_label).select(
+                                F.col(NODE_ID).alias("_sps"),
+                                F.col(NODE_ID).alias("_spn"),
+                            ).withColumn("hops", F.lit(0))
+                        )
+                        .groupBy("_sps", "_spn")
+                        .agg(F.min("hops").alias("hops"))
+                    )
+                if direction == "both" and not min_zero:
                     # degenerate same-node endpoints (an undirected
                     # 2-hop a-b-a would reuse the one edge — not a
-                    # trail); Neo4j finds no shortestPath there either
+                    # trail); Neo4j finds no shortestPath there either —
+                    # except at *0.., where the length-0 identity wins
                     pairs = pairs.filter(F.col("_sps") != F.col("_spn"))
                 srcf = _prefix(graph.match(s_label), sa)
                 dstf = _prefix(graph.match(d_label), da)
@@ -7392,7 +7416,7 @@ def _run_read_inner(
                 da = m.group("dst_alias") or "b"
                 direction = _rel_direction(m)
                 if m.group("star"):
-                    if not m.group("min_h"):
+                    if not m.group("min_h") or not m.group("max_h"):
                         raise CypherUnsupported(
                             "unbounded [*] is supported only inside "
                             "shortestPath((a)-[:T*]->(b)) (the iterative BFS "

@@ -7397,3 +7397,56 @@ def test_text_optional_var_length(spark, tmp_path):
         "MATCH (a:Article {link: 'l3'}) OPTIONAL MATCH (a)-[:T*1..2]-(x) "
         "RETURN count(x) AS c"
     ) == 2
+
+
+def test_text_shortest_path_min_zero(spark, tmp_path):
+    """`shortestPath((a)-[:T*0..k]->(b))` — Neo4j's minimal length 0:
+    one-node endpoints match the LENGTH-0 path (an identity layer the
+    min-hop aggregation prefers over any cycle), distinct endpoints
+    keep their usual shortest length; works bounded, unbounded (*0..),
+    and undirected; *1.. same-node undirected still finds nothing."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "minzero"))
+    for l in ("l1", "l2", "l3"):
+        run_cypher(spark, f"CREATE (a:Article {{link: '{l}'}})", store=s)
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MATCH (b:Article {link: 'l2'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+    run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l2'}) MATCH (b:Article {link: 'l3'}) "
+        "MERGE (a)-[:T]->(b)",
+        store=s,
+    )
+
+    def lens(q):
+        return [r["len"] for r in run_cypher(spark, q, store=s).df.collect()]
+
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l1'})-[:T*0..2]->"
+        "(b:Article {link: 'l1'})) RETURN length(p) AS len"
+    ) == [0]
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l1'})-[:T*0..2]->"
+        "(b:Article {link: 'l3'})) RETURN length(p) AS len"
+    ) == [2]
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l2'})-[:T*0..2]-"
+        "(b:Article {link: 'l2'})) RETURN length(p) AS len"
+    ) == [0]
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l2'})-[:T*1..2]-"
+        "(b:Article {link: 'l2'})) RETURN length(p) AS len"
+    ) == []
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l1'})-[:T*0..]->"
+        "(b:Article {link: 'l1'})) RETURN length(p) AS len"
+    ) == [0]
+    assert lens(
+        "MATCH p = shortestPath((a:Article {link: 'l1'})-[:T*0..]->"
+        "(b:Article {link: 'l3'})) RETURN length(p) AS len"
+    ) == [2]
