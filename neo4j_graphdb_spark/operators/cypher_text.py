@@ -7274,7 +7274,15 @@ def _run_read_inner(
                 )
                 aliases[da2] = f"{da2}_"
                 continue
-            hops = _split_multi_hop(c.body)
+            mh_body, mh_lp, mh_rp = _strip_endpoint_props(c.body)
+            hops = _split_multi_hop(mh_body)
+            if hops is not None and (mh_lp or mh_rp) and (
+                (mh_lp and not hops[0][0]) or (mh_rp and not hops[-1][5])
+            ):
+                raise CypherUnsupported(
+                    "inline properties on an anonymous multi-hop endpoint "
+                    "are unsupported — name the endpoint"
+                )
             if hops is not None:
                 # multi-hop single pattern `(a:L1)-[:T1]->(b:L2)-[:T2]->(c:L3)`
                 # — the #1 Cypher idiom after one-hop. Compiles exactly like
@@ -7295,11 +7303,6 @@ def _run_read_inner(
                         "multi-hop patterns must be the statement's first MATCH"
                     )
                 (sa0, sl0, ra0, rt0, dir0, da0, dl0) = hops[0]
-                if ra0:
-                    raise CypherUnsupported(
-                        "relationship aliases are unsupported in multi-hop "
-                        "patterns"
-                    )
                 df = graph.expand(
                     rel_type=_rel_types(rt0),
                     src_label=_node_labels(sl0),
@@ -7309,15 +7312,26 @@ def _run_read_inner(
                 )
                 aliases[sa0] = f"{sa0}_"
                 aliases[da0] = f"{da0}_"
+                if ra0:
+                    # hop-1 rel alias: expand leaves the edge's rel_type
+                    # and prop columns unprefixed — move them under the
+                    # alias prefix so `r1.prop` reads resolve per hop
+                    if ra0 in aliases:
+                        raise CypherUnsupported(f"alias {ra0!r} bound twice")
+                    for rc in [
+                        cc
+                        for cc in df.columns
+                        if not cc.startswith(f"{sa0}_")
+                        and not cc.startswith(f"{da0}_")
+                    ]:
+                        df = df.withColumnRenamed(rc, f"{ra0}_{rc}")
+                    aliases[ra0] = f"{ra0}_"
                 rel_prefixed = True
                 endpoints = [(sa0, rt0)]  # (src alias of hop i, rel type)
                 prev_dst = da0
                 for (sa_i, sl_i, ra_i, rt_i, dir_i, da_i, dl_i) in hops[1:]:
-                    if ra_i:
-                        raise CypherUnsupported(
-                            "relationship aliases are unsupported in "
-                            "multi-hop patterns"
-                        )
+                    if ra_i and ra_i in aliases:
+                        raise CypherUnsupported(f"alias {ra_i!r} bound twice")
                     if sa_i != prev_dst:
                         raise CypherUnsupported(
                             "multi-hop pattern is not a chain"
@@ -7328,9 +7342,19 @@ def _run_read_inner(
                         )
                     eh = graph.edges_df
                     eh = _cy_rel_filter(eh, _rel_types(rt_i))
-                    eh = _orient_edges(eh, dir_i).select(
-                        F.col("src").alias("_ehsrc"), F.col("dst").alias("_ehdst")
-                    )
+                    eh_sel = [
+                        F.col("src").alias("_ehsrc"),
+                        F.col("dst").alias("_ehdst"),
+                    ]
+                    if ra_i:
+                        # hop-i rel alias: carry the edge's rel_type and
+                        # prop columns under the alias prefix
+                        eh_sel += [
+                            F.col(cc).alias(f"{ra_i}_{cc}")
+                            for cc in eh.columns
+                            if cc not in ("src", "dst")
+                        ]
+                    eh = _orient_edges(eh, dir_i).select(*eh_sel)
                     dfh = _prefix(graph.match(_node_labels(dl_i)), da_i)
                     df = (
                         df.join(
@@ -7344,6 +7368,8 @@ def _run_read_inner(
                         .drop("_ehsrc", "_ehdst")
                     )
                     aliases[da_i] = f"{da_i}_"
+                    if ra_i:
+                        aliases[ra_i] = f"{ra_i}_"
                     endpoints.append((sa_i, rt_i))
                     prev_dst = da_i
                 # relationship uniqueness (per-MATCH, Neo4j semantics):
@@ -7366,6 +7392,13 @@ def _run_read_inner(
                 # through Graph.expand's hop join). Forests and simple
                 # graphs — every fixture here — are unaffected; pinned
                 # by the self-loop golden test (a94 docstring).
+                # outer-endpoint inline maps → pushed equality
+                # predicates (the same sugar-for-WHERE fold every other
+                # pattern shape uses)
+                for prop, raw in _parse_value_props(mh_lp):
+                    predicates.append((hops[0][0], prop, "=", raw))
+                for prop, raw in _parse_value_props(mh_rp):
+                    predicates.append((hops[-1][5], prop, "=", raw))
                 chain = [h[0] for h in hops] + [hops[-1][5]]
 
                 def _tset(rt):
@@ -8469,11 +8502,19 @@ def _run_read_inner(
                     )
                 e = F.col("path_keys" if fn == "nodes" else "path_types")
             elif fn == "type":
-                if rel_alias is None or fa != rel_alias:
+                if rel_alias is not None and fa == rel_alias:
+                    e = F.col("rel_type")
+                elif (
+                    fa in aliases
+                    and f"{aliases[fa]}rel_type" in df.columns
+                ):
+                    # a multi-hop pattern's per-hop rel alias — its edge
+                    # columns ride the frame under the alias prefix
+                    e = F.col(f"{aliases[fa]}rel_type")
+                else:
                     raise CypherUnsupported(
                         f"type() needs the bound relationship alias, got {fa!r}"
                     )
-                e = F.col("rel_type")
             elif fn in ("keys", "properties") and (
                 fa in aliases
                 or (rel_alias is not None and fa == rel_alias)

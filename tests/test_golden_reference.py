@@ -7450,3 +7450,60 @@ def test_text_shortest_path_min_zero(spark, tmp_path):
         "MATCH p = shortestPath((a:Article {link: 'l1'})-[:T*0..]->"
         "(b:Article {link: 'l3'})) RETURN length(p) AS len"
     ) == [2]
+
+
+def test_text_multi_hop_rel_aliases_and_props(spark, tmp_path):
+    """Relationship aliases in multi-hop chains — each hop's rel_type
+    and prop columns ride the frame under the alias prefix, so
+    `r1.w` / `type(r2)` resolve per hop (the co-publisher wedge
+    `(a)-[r1:W]->(p)<-[r2:W]-(b)` idiom); inline maps on the OUTER
+    endpoints fold into pushed predicates; per-MATCH relationship
+    uniqueness still excludes same-edge reuse."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "mhrel"))
+    for a in ("a1", "a2", "a3"):
+        run_cypher(spark, f"CREATE (x:Article {{link: '{a}'}})", store=s)
+    run_cypher(spark, "CREATE (y:Publisher {publisher: 'p1'})", store=s)
+    run_cypher(spark, "CREATE (y:Publisher {publisher: 'p2'})", store=s)
+    for a, p, w in (("a1", "p1", 1), ("a2", "p1", 2), ("a3", "p2", 3)):
+        run_cypher(
+            spark,
+            f"MATCH (x:Article {{link: '{a}'}}) "
+            f"MATCH (y:Publisher {{publisher: '{p}'}}) "
+            f"MERGE (x)-[r:WRITTEN_BY]->(y) SET r.w = {w}",
+            store=s,
+        )
+    run_cypher(
+        spark,
+        "MATCH (y:Publisher {publisher: 'p1'}) MATCH (x:Article {link: 'a3'}) "
+        "MERGE (y)-[r:PROMOTES]->(x) SET r.k = 9",
+        store=s,
+    )
+    got = sorted(
+        (r["al"], r["bl"], r["w1"], r["w2"], r["t1"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article)-[r1:WRITTEN_BY]->(p:Publisher)"
+            "<-[r2:WRITTEN_BY]-(b:Article) WHERE a.link < b.link "
+            "RETURN a.link AS al, b.link AS bl, r1.w AS w1, r2.w AS w2, "
+            "type(r1) AS t1",
+            store=s,
+        ).df.collect()
+    )
+    assert got == [("a1", "a2", 1, 2, "WRITTEN_BY")]
+    # endpoint inline map + mid-chain alias across mixed types
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'a1'})-[:WRITTEN_BY]->(p:Publisher)"
+        "-[r2:PROMOTES]->(c:Article) "
+        "RETURN c.link AS cl, r2.k AS k, type(r2) AS t",
+        store=s,
+    ).df.collect() == [Row(cl="a3", k=9, t="PROMOTES")]
+    # uniqueness: a2-p1-a2 (same edge twice) stays excluded
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article)-[r1:WRITTEN_BY]->(p:Publisher)"
+        "<-[r2:WRITTEN_BY]-(b:Article) RETURN count(*) AS c",
+        store=s,
+    ).df.collect() == [Row(c=2)]
