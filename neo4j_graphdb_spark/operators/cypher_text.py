@@ -569,6 +569,7 @@ class _EdgePattern:
     match_props: dict[str, object] = field(default_factory=dict)  # ON MATCH SET
     # ON MATCH SET r.p = r.p + <v> (counter idiom): prop -> addend
     match_add_props: dict[str, object] = field(default_factory=dict)
+    undirected: bool = False  # MERGE (u)-[r:T]-(t): either-orientation match
 
 
 # Same lookbehind rationale as _CLAUSE_RE: `RETURN n.skip` or `$delete`
@@ -3945,7 +3946,10 @@ def _run_write(
                         )
                     _single_rel_type(m.group("rel_type"), c.kind)
                     direction = _rel_direction(m)
-                    if direction == "both":
+                    if direction == "both" and is_create:
+                        # Neo4j itself refuses CREATE of an undirected
+                        # relationship; MERGE accepts it (matches either
+                        # orientation, creates left→right when absent)
                         raise CypherUnsupported(
                             f"{c.kind} requires a directed relationship pattern"
                         )
@@ -3967,6 +3971,7 @@ def _run_write(
                         _parse_write_props(m.group("rel_props"), lits or []),
                         is_create,
                         alias=m.group("rel_alias"),
+                        undirected=direction == "both",
                     )
                     if ep.alias:
                         if ep.alias in nodes or ep.alias in edge_aliases:
@@ -4341,6 +4346,8 @@ def _run_write(
                 kwargs["match_add_cols"] = e_match_add
             if e_mval_cols:
                 kwargs["match_val_cols"] = e_mval_cols
+            if ep.undirected:
+                kwargs["undirected"] = True
         total = total + write_fn(
             batch,
             rel_type, s.label, "_src_key", d.label, "_dst_key",

@@ -690,6 +690,7 @@ class GraphStore:
         match_prop_cols: list[str] | None = None,
         match_add_cols: dict[str, str] | None = None,
         match_val_cols: dict[str, str] | None = None,
+        undirected: bool = False,
     ) -> WriteSummary:
         """Batch ``MERGE (a)-[r:REL]->(b) [SET r.p = …]`` —
         create-if-absent, idempotent (``/root/reference/src/crwling.py:54``,
@@ -712,7 +713,15 @@ class GraphStore:
         ``create_prop_cols``), the match value its own column; created
         edges take the former, matched batch edges coalesce the latter
         over their old cell. The prop may not repeat in prop_cols /
-        match_prop_cols / match_add_cols."""
+        match_prop_cols / match_add_cols.
+
+        ``undirected=True`` is Cypher's ``MERGE (u)-[r:T]-(t)``: the
+        relationship matches in EITHER orientation and creates
+        left→right when absent. Incoming pairs whose exact orientation
+        is absent but whose REVERSE exists normalize to the stored
+        orientation before the directed merge (so they match instead of
+        minting an antiparallel duplicate), and within-batch dedup keys
+        on the unordered pair."""
         prop_cols = prop_cols or []
         create_prop_cols = create_prop_cols or []
         match_prop_cols = match_prop_cols or []
@@ -765,12 +774,53 @@ class GraphStore:
                     ),
                 )
                 all_prop_cols = all_prop_cols + [p]
+        if undirected:
+            ex0 = self._edges.read(self.spark)
+            if ex0 is not None:
+                exp = (
+                    ex0.filter(F.col("rel_type") == rel_type)
+                    .select("src", "dst")
+                    .distinct()
+                )
+                fwd = exp.withColumn("_u_f", F.lit(True))
+                rev = exp.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ).withColumn("_u_r", F.lit(True))
+                incoming = incoming.join(fwd, on=["src", "dst"], how="left")
+                incoming = incoming.join(rev, on=["src", "dst"], how="left")
+                flip = F.col("_u_f").isNull() & F.col("_u_r").isNotNull()
+                keep = [
+                    c for c in incoming.columns if c not in ("_u_f", "_u_r")
+                ]
+                incoming = incoming.select(
+                    *[
+                        (
+                            F.when(flip, F.col("dst"))
+                            .otherwise(F.col("src"))
+                            .alias("src")
+                            if c == "src"
+                            else F.when(flip, F.col("src"))
+                            .otherwise(F.col("dst"))
+                            .alias("dst")
+                            if c == "dst"
+                            else F.col(c)
+                        )
+                        for c in keep
+                    ]
+                )
         # within-batch last-writer-wins, deterministic via content
-        # tiebreak (mirrors merge_nodes)
+        # tiebreak (mirrors merge_nodes); an undirected merge keys the
+        # tie-break on the UNORDERED pair — (u,t) and (t,u) in one batch
+        # are one logical relationship
         content_tiebreak = F.xxhash64(
             *[F.col(c).cast("string") for c in all_prop_cols + add_cols + mval_cols]
         ) if (all_prop_cols or add_cols or mval_cols) else F.lit(0)
-        w = Window.partitionBy("src", "dst", "rel_type").orderBy(content_tiebreak.desc())
+        pair_keys = (
+            [F.least("src", "dst"), F.greatest("src", "dst"), F.col("rel_type")]
+            if undirected
+            else [F.col("src"), F.col("dst"), F.col("rel_type")]
+        )
+        w = Window.partitionBy(*pair_keys).orderBy(content_tiebreak.desc())
         incoming = (
             incoming.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

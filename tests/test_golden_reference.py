@@ -7507,3 +7507,51 @@ def test_text_multi_hop_rel_aliases_and_props(spark, tmp_path):
         "<-[r2:WRITTEN_BY]-(b:Article) RETURN count(*) AS c",
         store=s,
     ).df.collect() == [Row(c=2)]
+
+
+def test_text_merge_undirected_relationship(spark, tmp_path):
+    """`MERGE (u)-[r:T]-(t)` — Neo4j matches the relationship in EITHER
+    orientation and creates left→right when absent: a reversed re-merge
+    matches instead of minting an antiparallel duplicate, ON CREATE /
+    ON MATCH branches apply to the normalized row, and CREATE of an
+    undirected relationship still refuses (Neo4j does too)."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "undirmerge"))
+    run_cypher(spark, "CREATE (x:U {u: 'u1'})", store=s)
+    run_cypher(spark, "CREATE (y:U {u: 'u2'})", store=s)
+    head = "MATCH (a:U {u: 'u1'}) MATCH (b:U {u: 'u2'}) "
+    assert run_cypher(
+        spark, head + "MERGE (a)-[:F]->(b)", store=s
+    ).summary.relationships_created == 1
+    # reversed undirected merge matches the stored edge
+    assert run_cypher(
+        spark, head + "MERGE (b)-[:F]-(a)", store=s
+    ).summary.relationships_created == 0
+    # fresh pair: creates in the pattern's left-to-right orientation
+    assert run_cypher(
+        spark, head + "MERGE (b)-[:G]-(a)", store=s
+    ).summary.relationships_created == 1
+    rows = run_cypher(
+        spark, "MATCH (x)-[r:G]->(y) RETURN x.u AS s, y.u AS d", store=s
+    ).df.collect()
+    assert rows == [Row(s="u2", d="u1")]
+    assert run_cypher(
+        spark, head + "MERGE (a)-[:G]-(b)", store=s
+    ).summary.relationships_created == 0
+    # ON CREATE / ON MATCH across orientations
+    q = "MERGE (a)-[r:H]-(b) ON CREATE SET r.w = 1 ON MATCH SET r.w = 2"
+    run_cypher(spark, head + q, store=s)
+    run_cypher(
+        spark,
+        head + "MERGE (b)-[r:H]-(a) ON CREATE SET r.w = 1 ON MATCH SET r.w = 2",
+        store=s,
+    )
+    assert run_cypher(
+        spark, "MATCH (x)-[r:H]->(y) RETURN r.w AS w", store=s
+    ).df.collect() == [Row(w=2)]
+    with pytest.raises(CypherUnsupported, match="directed"):
+        run_cypher(spark, head + "CREATE (a)-[:Z]-(b)", store=s)
