@@ -6278,6 +6278,32 @@ def _run_post_with(
             df = df.withColumn(
                 um.group("alias"), F.explode(F.col(um.group("name")))
             )
+        elif c.kind == "WITH":
+            # a further non-aggregating WITH over the flat frame — a
+            # plain re-projection/rename of the WITH output names
+            # (Cypher's chained-horizon idiom `… WITH pub, n WHERE
+            # n > 1 …`); expressions/aggregates in this position stay
+            # out of the subset
+            if c.body.strip() == "*":
+                continue
+            sel2 = []
+            for item in _split_top_commas(c.body):
+                mm = re.match(
+                    r"^(?P<name>\w+)(?:\s+AS\s+(?P<out>\w+))?$",
+                    item.strip(),
+                    re.IGNORECASE,
+                )
+                if not mm or mm.group("name") not in df.columns:
+                    raise CypherUnsupported(
+                        "WITH after an aggregating WITH supports plain "
+                        f"re-projections of its output names only: {item!r}"
+                    )
+                sel2.append(
+                    F.col(mm.group("name")).alias(
+                        mm.group("out") or mm.group("name")
+                    )
+                )
+            df = df.select(*sel2)
         else:
             raise CypherUnsupported(f"{c.kind} unsupported after aggregating WITH")
     if not returns:
@@ -7598,10 +7624,20 @@ def _run_read_inner(
         elif c.kind == "OPTIONAL_MATCH":
             if df is None:
                 raise CypherUnsupported("OPTIONAL MATCH needs a preceding MATCH")
-            m = _REL_RE.match(c.body)
+            # inline endpoint property maps are Cypher sugar for the
+            # pattern-scoped WHERE — pop them off and fold them into the
+            # outer join's ON condition below (a post-join filter would
+            # wrongly DROP the source row)
+            ob_body, ob_lp, ob_rp = _strip_endpoint_props(c.body)
+            m = _REL_RE.match(ob_body)
             if not m:
                 raise CypherUnsupported(f"unsupported OPTIONAL MATCH pattern: {c.body!r}")
             if m.group("star"):
+                if ob_lp or ob_rp:
+                    raise CypherUnsupported(
+                        "inline properties are unsupported on an OPTIONAL "
+                        "var-length pattern"
+                    )
                 # bounded variable-length OPTIONAL MATCH — `MATCH (a:L)
                 # OPTIONAL MATCH (a)-[:T*1..k]->(x[:L2])`: run the same
                 # expand_var ladder the plain MATCH uses, then LEFT-join
@@ -7767,6 +7803,7 @@ def _run_read_inner(
             opt_rel = m.group("rel_alias")
             on_extra = None
             nxt = clauses[_ci + 1] if _ci + 1 < len(clauses) else None
+            opt_where_body = None
             if nxt is not None and nxt.kind == "WHERE":
                 # Cypher scopes this WHERE to the OPTIONAL pattern: it
                 # folds into the outer join's ON condition (a failing
@@ -7780,8 +7817,28 @@ def _run_read_inner(
                         "datetime()/EXISTS are unsupported in an "
                         "OPTIONAL MATCH … WHERE"
                     )
-                opt_ast = _parse_bool_expr(nxt.body)
+                opt_where_body = nxt.body
                 consumed.add(_ci + 1)
+            opt_prop_conj = []
+            for side_props, side_alias in (
+                (ob_lp, m.group("src_alias")),
+                (ob_rp, m.group("dst_alias")),
+            ):
+                for prop, raw in _parse_value_props(side_props):
+                    if not side_alias:
+                        raise CypherUnsupported(
+                            "inline properties on an anonymous OPTIONAL "
+                            "MATCH endpoint are unsupported — name the "
+                            "endpoint"
+                        )
+                    opt_prop_conj.append(f"{side_alias}.{prop} = {raw}")
+            if opt_prop_conj:
+                opt_where_body = " AND ".join(
+                    opt_prop_conj
+                    + ([f"({opt_where_body})"] if opt_where_body else [])
+                )
+            if opt_where_body is not None:
+                opt_ast = _parse_bool_expr(opt_where_body)
 
                 def _make_on_extra(ast, sa=sa, da=da, rel=opt_rel):
                     def _on(src_df, matched_df):

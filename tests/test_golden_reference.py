@@ -7555,3 +7555,62 @@ def test_text_merge_undirected_relationship(spark, tmp_path):
     ).df.collect() == [Row(w=2)]
     with pytest.raises(CypherUnsupported, match="directed"):
         run_cypher(spark, head + "CREATE (a)-[:Z]-(b)", store=s)
+
+
+def test_text_optional_inline_props_and_post_with_chain(spark, tmp_path):
+    """Inline property maps on OPTIONAL MATCH endpoints fold into the
+    outer join's ON condition (a failing map NULLs the optional side,
+    never drops the source row) and compose with the pattern-scoped
+    WHERE; a further plain re-projecting WITH after an aggregating WITH
+    (`WITH pub, n WHERE n > 1`) narrows/renames the flat frame."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "optprops"))
+    for a, p, t in (("a1", "p1", "news"), ("a2", "p1", "blog"),
+                    ("a3", "p2", "news")):
+        run_cypher(
+            spark, f"CREATE (x:Article {{link: '{a}', tag: '{t}'}})", store=s
+        )
+    run_cypher(spark, "CREATE (y:Publisher {publisher: 'p1'})", store=s)
+    run_cypher(spark, "CREATE (y:Publisher {publisher: 'p2'})", store=s)
+    for a, p in (("a1", "p1"), ("a2", "p1"), ("a3", "p2")):
+        run_cypher(
+            spark,
+            f"MATCH (x:Article {{link: '{a}'}}) "
+            f"MATCH (y:Publisher {{publisher: '{p}'}}) "
+            "MERGE (x)-[:WRITTEN_BY]->(y)",
+            store=s,
+        )
+
+    def pairs(q):
+        return sorted(
+            (r[0], r[1]) for r in run_cypher(spark, q, store=s).df.collect()
+        )
+
+    assert pairs(
+        "MATCH (p:Publisher) OPTIONAL MATCH (a:Article {tag: 'news'})"
+        "-[:WRITTEN_BY]->(p) RETURN p.publisher AS pub, count(a) AS c"
+    ) == [("p1", 1), ("p2", 1)]
+    # a never-matching map keeps every source row with count 0
+    assert pairs(
+        "MATCH (p:Publisher) OPTIONAL MATCH (a:Article {tag: 'none'})"
+        "-[:WRITTEN_BY]->(p) RETURN p.publisher AS pub, count(a) AS c"
+    ) == [("p1", 0), ("p2", 0)]
+    # map + explicit pattern-scoped WHERE combine in the ON condition
+    assert pairs(
+        "MATCH (p:Publisher) OPTIONAL MATCH (a:Article {tag: 'news'})"
+        "-[:WRITTEN_BY]->(p) WHERE a.link <> 'a3' "
+        "RETURN p.publisher AS pub, count(a) AS c"
+    ) == [("p1", 1), ("p2", 0)]
+    # target-side map on the source-anchored orientation
+    assert pairs(
+        "MATCH (a:Article) OPTIONAL MATCH (a)-[:WRITTEN_BY]->"
+        "(p:Publisher {publisher: 'p1'}) "
+        "RETURN a.link AS l, p.publisher AS pub"
+    ) == [("a1", "p1"), ("a2", "p1"), ("a3", None)]
+    # chained plain WITH after the aggregating WITH (HAVING idiom)
+    assert pairs(
+        "MATCH (a:Article)-[:WRITTEN_BY]->(p) "
+        "WITH p.publisher AS pub, count(*) AS n "
+        "WITH pub, n WHERE n > 1 RETURN pub, n"
+    ) == [("p1", 2)]
