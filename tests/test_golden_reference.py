@@ -1168,14 +1168,17 @@ def test_text_incoming_merge_swaps_endpoints(spark, tmp_path):
         store=s,
     ).df.collect()
     assert [tuple(r) for r in got] == [("Ada", "Spark")]
-    with pytest.raises(CypherUnsupported):
-        run_cypher(
-            spark,
-            "MERGE (t:Tech {name: $tech}) MERGE (u:User {name: $name}) "
-            "MERGE (t)-[:LIKES]-(u)",
-            {"tech": "Spark", "name": "Ada"},
-            store=s,
-        )
+    # undirected MERGE (r16): the reversed pattern MATCHES the stored
+    # u→t edge in either orientation — no antiparallel duplicate
+    res = run_cypher(
+        spark,
+        "MERGE (t:Tech {name: $tech}) MERGE (u:User {name: $name}) "
+        "MERGE (t)-[:LIKES]-(u)",
+        {"tech": "Spark", "name": "Ada"},
+        store=s,
+    )
+    assert res.summary.relationships_created == 0
+    assert s.edges().count() == 1
 
 
 def test_text_chained_match_incoming(spark, text_store):
