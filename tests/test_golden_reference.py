@@ -7617,3 +7617,37 @@ def test_text_optional_inline_props_and_post_with_chain(spark, tmp_path):
         "WITH p.publisher AS pub, count(*) AS n "
         "WITH pub, n WHERE n > 1 RETURN pub, n"
     ) == [("p1", 2)]
+
+
+def test_text_call_procedures_on_edgeless_store(spark, tmp_path):
+    """With zero-edge stores now a legal read state (r16), every graft
+    procedure must answer over the synthesized empty edge frame instead
+    of crashing: per-node algorithms yield their baseline rows (CC =
+    one component per node, pagerank = the teleport mass), edge-derived
+    ones yield zero rows, and required-arg validations still fire."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "edgelesscall"))
+    run_cypher(spark, "CREATE (x:N {k: 'n1'})", store=s)
+    run_cypher(spark, "CREATE (x:N {k: 'n2'})", store=s)
+    per_node = {
+        "cc": 2, "connected_components": 2, "pagerank": 2, "hits": 2,
+        "label_propagation": 2, "louvain": 2, "scc": 2,
+    }
+    empty = ["degrees", "adamic_adar", "betweenness", "closeness",
+             "clustering", "eccentricity", "k_core", "k_truss",
+             "node_similarity"]
+    for proc, want in per_node.items():
+        got = run_cypher(
+            spark, f"CALL graft.{proc}({{}})", store=s
+        ).df.count()
+        assert got == want, (proc, got, want)
+    for proc in empty:
+        got = run_cypher(
+            spark, f"CALL graft.{proc}({{}})", store=s
+        ).df.count()
+        assert got == 0, (proc, got)
+    # single-source reachability: the start node alone
+    assert run_cypher(
+        spark, "CALL graft.bfs({start: 'n1'})", store=s
+    ).df.count() == 1
