@@ -1212,6 +1212,31 @@ def _head_match(head_clauses, alias, allow_unlabeled: bool = False):
     return label
 
 
+def _node_endpoint_label(head_clauses, alias):
+    """If the head's MATCH is a relationship pattern binding ``alias``
+    as a LABELED node endpoint (``MATCH (a:Article)-[r:T]->(p:Pub)``
+    with alias 'a' or 'p'), return that endpoint's label — the target
+    of Neo4j's select-via-pattern node update ``MATCH (a)-[:T]->(p)
+    SET a.seen = 1``. None when the head is not that shape (single-node
+    statements keep the _head_match resolution)."""
+    for c in head_clauses:
+        if c.kind != "MATCH":
+            continue
+        body, _lp, _rp = _strip_endpoint_props(c.body)
+        rm2 = _REL_RE.match(body)
+        if not rm2 or rm2.group("star"):
+            continue
+        if rm2.group("src_alias") == alias and rm2.group("src_label"):
+            return _single_rel_type(
+                rm2.group("src_label"), "pattern-endpoint SET"
+            )
+        if rm2.group("dst_alias") == alias and rm2.group("dst_label"):
+            return _single_rel_type(
+                rm2.group("dst_label"), "pattern-endpoint SET"
+            )
+    return None
+
+
 def _rel_head(head_clauses, alias):
     """If the head's MATCH is a relationship pattern binding ``alias`` as
     its REL alias (``MATCH (a:L1)-[r:T]->(b:L2)`` with alias == 'r'),
@@ -2366,7 +2391,13 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
             updates, rel_type, s_label, "_sk", d_label, "_dk", prop_cols=props
         )
         return CypherResult(None, summary)
-    label = _head_match(head_clauses, alias, allow_unlabeled=True)
+    # node endpoint selected via a relationship pattern — `MATCH
+    # (a:Article)-[r:T]->(p:Pub) SET a.seen = 1`: the endpoint's label
+    # keys the merge; the head compiles through the read path exactly
+    # like the single-node form below
+    label = _node_endpoint_label(head_clauses, alias)
+    if label is None:
+        label = _head_match(head_clauses, alias, allow_unlabeled=True)
     ret_body = ", ".join(
         [f"{alias}.key AS _k"]
         + ([f"{alias}.label AS _lbl"] if label is None else [])

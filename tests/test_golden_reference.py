@@ -7651,3 +7651,79 @@ def test_text_call_procedures_on_edgeless_store(spark, tmp_path):
     assert run_cypher(
         spark, "CALL graft.bfs({start: 'n1'})", store=s
     ).df.count() == 1
+
+
+def test_text_pattern_endpoint_set(spark, tmp_path):
+    """SET on a node alias bound as a relationship-pattern ENDPOINT —
+    `MATCH (a:Article)-[r:W]->(p:Publisher) SET a.seen = 1` — updates
+    only the endpoint nodes the pattern selects (Neo4j's select-via-
+    pattern node update; reference writes via this shape in
+    src/crwling.py's enrichment pass). Covers src + dst endpoints,
+    WHERE narrowing, and a value read off the OTHER endpoint."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "epset"))
+    for link, pub in [("l1", "NYT"), ("l2", "NYT"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $link}) "
+            "MERGE (p:Publisher {name: $pub}) "
+            "MERGE (a)-[:WRITTEN_BY]->(p)",
+            {"link": link, "pub": pub},
+            store=s,
+        )
+    # orphan article with no edge — must NOT be touched by endpoint SET
+    run_cypher(spark, "CREATE (a:Article {link: 'orphan'})", store=s)
+
+    # src endpoint, all matches
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) SET a.seen = 1",
+        store=s,
+    )
+    assert res.summary.properties_set == 3
+    rows = {
+        r["link"]: r["seen"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS link, a.seen AS seen",
+            store=s,
+        ).df.collect()
+    }
+    assert rows == {"l1": 1, "l2": 1, "l3": 1, "orphan": None}
+
+    # dst endpoint behind a WHERE on the src
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "WHERE a.link = 'l3' SET p.flag = 'hot'",
+        store=s,
+    )
+    assert res.summary.properties_set == 1
+    rows = {
+        r["name"]: r["flag"]
+        for r in run_cypher(
+            spark,
+            "MATCH (p:Publisher) RETURN p.name AS name, p.flag AS flag",
+            store=s,
+        ).df.collect()
+    }
+    assert rows == {"NYT": None, "BBC": "hot"}
+
+    # SET value computed from the OTHER endpoint's property
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:WRITTEN_BY]->(p:Publisher) "
+        "SET a.pubname = p.name",
+        store=s,
+    )
+    assert res.summary.properties_set == 3
+    rows = {
+        r["link"]: r["pn"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS link, a.pubname AS pn",
+            store=s,
+        ).df.collect()
+    }
+    assert rows == {"l1": "NYT", "l2": "NYT", "l3": "BBC", "orphan": None}
