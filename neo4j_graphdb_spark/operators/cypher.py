@@ -383,8 +383,8 @@ class Graph:
         arrays assemble from columns already riding the joins — no
         extra shuffle per hop and no post-hoc path reconstruction.
         """
-        if not 1 <= min_hops <= max_hops:
-            raise ValueError("need 1 <= min_hops <= max_hops")
+        if not 0 <= min_hops <= max_hops:
+            raise ValueError("need 0 <= min_hops <= max_hops")
         if direction not in ("out", "both"):
             raise ValueError(
                 "expand_var walks out or both; incoming patterns swap "
@@ -414,7 +414,36 @@ class Graph:
                 "_pkid"
             )
         parts = []
-        for h in range(min_hops, max_hops + 1):
+        if min_hops == 0:
+            # `*0..k` — Cypher's zero-length path: the endpoint aliases
+            # bind the SAME node (dst's label/prop constraints apply to
+            # it), hops = 0, path arrays are [key] / []. A self-join on
+            # the node id, not a scan copy — dst_label may differ.
+            zsrc = _prefix(self.match(src_label), src_alias)
+            zdst = _prefix(self.match(dst_label), dst_alias)
+            zero = zsrc.join(
+                zdst,
+                zsrc[f"{src_alias}_{NODE_ID}"]
+                == zdst[f"{dst_alias}_{NODE_ID}"],
+            )
+            zextra = []
+            if collect_paths:
+                zextra = [
+                    F.array(F.col(f"{src_alias}_key")).alias("path_keys"),
+                    F.array().cast("array<string>").alias("path_types"),
+                ]
+            parts.append(
+                zero.select(
+                    *[
+                        c
+                        for c in zero.columns
+                        if c.startswith(f"{src_alias}_")
+                        or c.startswith(f"{dst_alias}_")
+                    ],
+                    *zextra,
+                ).withColumn("hops", F.lit(0).cast("int"))
+            )
+        for h in range(max(min_hops, 1), max_hops + 1):
             cur = _prefix(self.match(src_label), src_alias)
             prev_end = f"{src_alias}_{NODE_ID}"
             for i in range(h):

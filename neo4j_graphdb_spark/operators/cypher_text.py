@@ -973,6 +973,15 @@ def split_clauses_masked(query: str) -> tuple[list[_Clause], list[str]]:
         raise CypherUnsupported("OPTIONAL outside OPTIONAL MATCH is outside the subset")
     if not clauses:
         raise CypherUnsupported("empty statement")
+    # bare-arrow shorthand — `(a)-->(b)`, `(a)<--(b)`, `(a)--(b)` are
+    # openCypher sugar for the empty-bracket forms; normalize in the
+    # pattern-bearing clauses only (WHERE/RETURN keep their text — a
+    # parenthesized double negative `(x)--(1)` is subtraction there)
+    for c in clauses:
+        if c.kind in ("MATCH", "OPTIONAL_MATCH", "MERGE", "CREATE"):
+            c.body = re.sub(r"\)\s*-->\s*\(", ")-[]->(", c.body)
+            c.body = re.sub(r"\)\s*<--\s*\(", ")<-[]-(", c.body)
+            c.body = re.sub(r"\)\s*--\s*\(", ")-[]-(", c.body)
     return clauses, lits
 
 
@@ -1212,6 +1221,72 @@ def _head_match(head_clauses, alias, allow_unlabeled: bool = False):
     return label
 
 
+_WRITE_HOP_RE = re.compile(
+    r"^\s*(?:(?P<lt><-)|-)\s*\[(?P<rel>[^\]]*)\]\s*(?:(?P<rt>->)|-)\s*"
+    r"(?P<node>\([^()]*\))"
+)
+
+
+def _split_write_path(part: str, mint_base: int) -> list[str] | None:
+    """Decompose an N-hop CREATE/MERGE path pattern —
+    ``(a:L {…})-[:R1]->(b:M {…})<-[:R2]-(c:N {…})`` — into its node
+    patterns plus one bare-alias relationship pattern per hop (the
+    repo's canonical write shape): each element upserts independently,
+    exactly what separate MERGE clauses do here (Neo4j's whole-path
+    MERGE matches the path atomically first; the per-element upsert is
+    this engine's documented MERGE semantics). Returns None when the
+    part is not a splittable path: a lone node pattern, or a single
+    bare-alias hop (those keep the existing bound-endpoints rel path).
+    Anonymous labeled nodes get minted internal aliases; bare-alias
+    nodes (``(y)``) emit no node part — they must be bound elsewhere."""
+    pt = part.strip()
+    m0 = re.match(r"^(?P<node>\([^()]*\))", pt)
+    if not m0:
+        return None
+    node_txts = [m0.group("node")]
+    hops: list[tuple[str | None, str, str | None]] = []
+    rest = pt[m0.end():]
+    if not rest:
+        return None  # lone node pattern — not a path
+    while rest:
+        hm = _WRITE_HOP_RE.match(rest)
+        if not hm:
+            return None
+        hops.append((hm.group("lt"), hm.group("rel"), hm.group("rt")))
+        node_txts.append(hm.group("node"))
+        rest = rest[hm.end():]
+    if len(hops) == 1 and not any(
+        ch in (node_txts[0] + node_txts[1]) for ch in (":", "{")
+    ):
+        # single bare-alias hop `(a)-[r:T]->(b)` — the bound-endpoints
+        # rel path serves it directly
+        return None
+    out: list[str] = []
+    aliases: list[str] = []
+    for i, txt in enumerate(node_txts):
+        am = re.match(r"^\(\s*(\w+)?", txt)
+        a = am.group(1)
+        if not a:
+            a = f"_path{mint_base}n{i}"
+            txt = "(" + a + txt[1:]
+        aliases.append(a)
+        if ":" in txt or "{" in txt:
+            out.append(txt)
+    for i, (lt, rel, rt) in enumerate(hops):
+        a1, a2 = aliases[i], aliases[i + 1]
+        if lt and rt:
+            raise CypherUnsupported(
+                f"relationship pattern cannot point both ways: {part!r}"
+            )
+        if lt:
+            out.append(f"({a1})<-[{rel}]-({a2})")
+        elif rt:
+            out.append(f"({a1})-[{rel}]->({a2})")
+        else:
+            out.append(f"({a1})-[{rel}]-({a2})")
+    return out
+
+
 def _node_endpoint_label(head_clauses, alias):
     """If the head's MATCH is a relationship pattern binding ``alias``
     as a LABELED node endpoint (``MATCH (a:Article)-[r:T]->(p:Pub)``
@@ -1315,15 +1390,21 @@ def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
             remove=True,
         )
     aliases_seen = {i.split(".")[0] for i in items}
-    if len(aliases_seen) != 1:
-        raise CypherUnsupported("REMOVE items must all target one alias")
-    alias = aliases_seen.pop()
-    props = [i.split(".")[1] for i in items]
     head_clauses, head_lits = split_clauses_masked(unmask(rm.group("head")))
     nodes = store.nodes()
     if nodes is None:
         return CypherResult(None, WriteSummary())
     g = _store_graph(store, nodes)
+    if len(aliases_seen) != 1:
+        # multi-target REMOVE (`REMOVE a.seen, r.w, p.flag`) — the
+        # erase twin of multi-target SET: one head read carrying every
+        # group's merge keys (persisted), then one bucketed erase per
+        # alias group (remove_props / remove_edge_props)
+        return _run_text_remove_multi(
+            spark, rm, items, params, store, unmask, head_clauses, g
+        )
+    alias = aliases_seen.pop()
+    props = [i.split(".")[1] for i in items]
     # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] REMOVE r.p` — relationship
     # property erase: endpoint keys feed remove_edge_props (a79)
     rel = _rel_head(head_clauses, alias)
@@ -1337,10 +1418,70 @@ def _run_text_remove(spark, rm, lits, params, store) -> CypherResult:
                 df, rel_type, s_label, "_sk", d_label, "_dk", props
             ),
         )
-    label = _head_match(head_clauses, alias)
+    # node endpoint selected via a relationship pattern — `MATCH
+    # (a:Article)-[r:T]->(p:Pub) REMOVE a.seen`: the endpoint's label
+    # keys the erase, same as the SET twin
+    label = _node_endpoint_label(head_clauses, alias)
+    if label is None:
+        label = _head_match(head_clauses, alias)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
     keys = df.select(F.col(alias)["key"].alias("_k"))
     return CypherResult(None, store.remove_props(keys, label, "_k", props))
+
+
+def _run_text_remove_multi(
+    spark, rm, items, params, store, unmask, head_clauses, g
+) -> CypherResult:
+    """Multi-target REMOVE — ``MATCH (a:L1)-[r:T]->(p:L2) REMOVE
+    a.seen, r.w, p.flag``. One read-path pass over the head collects
+    every alias group's merge keys into a persisted frame, then each
+    group erases through its bucketed writer path (remove_props for
+    node aliases — single-node heads or relationship-pattern
+    endpoints — remove_edge_props for the rel alias). Absent props
+    stay Neo4j's silent no-op inside each writer call."""
+    groups: dict[str, list[str]] = {}
+    for i in items:
+        a, p = i.split(".", 1)
+        groups.setdefault(a, []).append(p)
+    plans = []  # ('rel', rel_type, s_label, d_label, gi, props) | ('node', label, gi, props)
+    sel: list[str] = []
+    for gi, (a, props) in enumerate(groups.items()):
+        rel = _rel_head(head_clauses, a)
+        if rel is not None:
+            rel_type, sa, da, s_label, d_label = rel
+            sel += [f"{sa}.key AS __k{gi}s", f"{da}.key AS __k{gi}d"]
+            plans.append(("rel", rel_type, s_label, d_label, gi, props))
+        else:
+            label = _node_endpoint_label(head_clauses, a)
+            if label is None:
+                label = _head_match(head_clauses, a)
+            sel.append(f"{a}.key AS __k{gi}")
+            plans.append(("node", label, gi, props))
+    upd_clauses, upd_lits = split_clauses_masked(
+        unmask(rm.group("head")) + " RETURN " + ", ".join(sel)
+    )
+    keys = _run_read(upd_clauses, g, upd_lits, params).persist()
+    try:
+        summary = WriteSummary()
+        for plan in plans:
+            if plan[0] == "rel":
+                _, rel_type, s_label, d_label, gi, props = plan
+                frame = keys.select(
+                    F.col(f"__k{gi}s").alias("_sk"),
+                    F.col(f"__k{gi}d").alias("_dk"),
+                )
+                summary = summary + store.remove_edge_props(
+                    frame, rel_type, s_label, "_sk", d_label, "_dk", props
+                )
+            else:
+                _, label, gi, props = plan
+                frame = keys.select(F.col(f"__k{gi}").alias("_k"))
+                summary = summary + store.remove_props(
+                    frame, label, "_k", props
+                )
+    finally:
+        keys.unpersist()
+    return CypherResult(None, summary)
 
 
 def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
@@ -1458,7 +1599,13 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
             finally:
                 df.unpersist()
             return CypherResult(None, summary)
-    label = _head_match(head_clauses, alias, allow_unlabeled=True)
+    # node endpoint selected via a relationship pattern — `MATCH
+    # (a:Article)-[r:T]->(p:Pub) DETACH DELETE a`: the endpoint's label
+    # keys the delete; plain DELETE still refuses (the matched node has
+    # an incident edge by construction — Neo4j refuses the statement)
+    label = _node_endpoint_label(head_clauses, alias)
+    if label is None:
+        label = _head_match(head_clauses, alias, allow_unlabeled=True)
     df = _run_read(head_clauses + [_Clause("RETURN", alias)], g, head_lits, params)
     detach = dm.group("detach") is not None
     if label is not None:
@@ -2330,7 +2477,12 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
         )
     aliases_seen = {a for a, _, _ in items}
     if len(aliases_seen) != 1:
-        raise CypherUnsupported("update SET items must all target one alias")
+        # multi-target SET (`SET a.x = 1, r.y = 2, p.z = 3`) — Neo4j
+        # matches the head ONCE, then applies every item; here the
+        # matched frame is computed once (persisted), and each alias's
+        # item group becomes one bucketed write against that pinned
+        # frame (nodes via merge_nodes, the rel alias via merge_edges)
+        return _run_text_update_multi(spark, um, items, params, store, unmask)
     alias = aliases_seen.pop()
     props = [p for _, p, _ in items]
     if len(set(props)) != len(props):
@@ -2460,6 +2612,82 @@ def _run_text_update(spark, um, lits, params, store) -> CypherResult:
                 key_col="_k",
                 prop_cols=props,
             )
+    finally:
+        updates.unpersist()
+    return CypherResult(None, summary)
+
+
+def _run_text_update_multi(
+    spark, um, items, params, store, unmask
+) -> CypherResult:
+    """Multi-target SET — ``MATCH (a:L1)-[r:T]->(p:L2) SET a.x = 1,
+    r.y = 2, p.z = 3``. Neo4j matches the head once, then applies all
+    items; here the head compiles through the read path ONCE into a
+    frame carrying every group's merge keys + computed values
+    (alias-mangled column names, so same-named props on different
+    aliases can't collide), that frame is persisted, and each alias's
+    item group becomes one bucketed write against it — merge_nodes for
+    node aliases (single-node heads or relationship-pattern endpoints),
+    merge_edges for the rel alias. Write order follows item order;
+    counters sum the passes."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for a, p, e in items:
+        groups.setdefault(a, []).append((p, e))
+    for a, pe in groups.items():
+        ps = [p for p, _ in pe]
+        if len(set(ps)) != len(ps):
+            raise CypherUnsupported("duplicate property in update SET items")
+    head_clauses, _hl = split_clauses_masked(unmask(um.group("head")))
+    nodes = store.nodes()
+    if nodes is None:
+        return CypherResult(None, WriteSummary())
+    g = _store_graph(store, nodes)
+    plans = []  # ('rel', rel_type, s_label, d_label, gi, pe) | ('node', label, gi, pe)
+    sel: list[str] = []
+    for gi, (a, pe) in enumerate(groups.items()):
+        rel = _rel_head(head_clauses, a)
+        if rel is not None:
+            rel_type, sa, da, s_label, d_label = rel
+            sel += [f"{sa}.key AS __k{gi}s", f"{da}.key AS __k{gi}d"]
+            plans.append(("rel", rel_type, s_label, d_label, gi, pe))
+        else:
+            label = _node_endpoint_label(head_clauses, a)
+            if label is None:
+                label = _head_match(head_clauses, a)
+            sel.append(f"{a}.key AS __k{gi}")
+            plans.append(("node", label, gi, pe))
+        sel += [f"{expr} AS __v{gi}_{j}" for j, (_, expr) in enumerate(pe)]
+    upd_clauses, upd_lits = split_clauses_masked(
+        unmask(um.group("head")) + " RETURN " + ", ".join(sel)
+    )
+    updates = _run_read(upd_clauses, g, upd_lits, params).persist()
+    try:
+        summary = WriteSummary()
+        for plan in plans:
+            if plan[0] == "rel":
+                _, rel_type, s_label, d_label, gi, pe = plan
+                cols = [
+                    F.col(f"__k{gi}s").alias("_sk"),
+                    F.col(f"__k{gi}d").alias("_dk"),
+                ] + [
+                    F.col(f"__v{gi}_{j}").alias(p)
+                    for j, (p, _) in enumerate(pe)
+                ]
+                summary = summary + store.merge_edges(
+                    updates.select(*cols), rel_type,
+                    s_label, "_sk", d_label, "_dk",
+                    prop_cols=[p for p, _ in pe],
+                )
+            else:
+                _, label, gi, pe = plan
+                cols = [F.col(f"__k{gi}").alias("_k")] + [
+                    F.col(f"__v{gi}_{j}").alias(p)
+                    for j, (p, _) in enumerate(pe)
+                ]
+                summary = summary + store.merge_nodes(
+                    updates.select(*cols), label=label, key_col="_k",
+                    prop_cols=[p for p, _ in pe],
+                )
     finally:
         updates.unpersist()
     return CypherResult(None, summary)
@@ -3929,41 +4157,9 @@ def _run_write(
             # engine's documented MERGE semantics)
             expanded_parts: list[str] = []
             for part in parts:
-                pm2 = re.match(
-                    r"^(?P<n1>\([^()]*\))\s*"
-                    r"(?P<lt><-)?-?\[(?P<rel>[^\]]*)\]-?(?P<rt>->)?\s*"
-                    r"(?P<n2>\([^()]*\))$",
-                    part.strip(),
-                )
-                node_like = re.match(r"^\([^()]*\)$", part.strip())
-                needs_split = pm2 is not None and any(
-                    ch in (pm2.group("n1") + pm2.group("n2"))
-                    for ch in (":", "{")
-                ) if pm2 else False
-                if (
-                    pm2
-                    and not node_like
-                    and needs_split  # bare-alias rel patterns keep the
-                    # existing bound-endpoints path untouched
-                    and (pm2.group("lt") or pm2.group("rt"))
-                ):
-                    n1_txt, n2_txt = pm2.group("n1"), pm2.group("n2")
-
-                    def _ensure_alias(txt, tag):
-                        m0 = re.match(r"^\(\s*(\w+)?", txt)
-                        if m0.group(1):
-                            return txt, m0.group(1)
-                        minted = f"_path{len(expanded_parts)}{tag}"
-                        return "(" + minted + txt[1:], minted
-
-                    n1_txt, a1 = _ensure_alias(n1_txt, "a")
-                    n2_txt, a2 = _ensure_alias(n2_txt, "b")
-                    arrow = (
-                        f"({a1})<-[{pm2.group('rel')}]-({a2})"
-                        if pm2.group("lt")
-                        else f"({a1})-[{pm2.group('rel')}]->({a2})"
-                    )
-                    expanded_parts.extend([n1_txt, n2_txt, arrow])
+                chain = _split_write_path(part, len(expanded_parts))
+                if chain is not None:
+                    expanded_parts.extend(chain)
                 else:
                     expanded_parts.append(part)
             parts = expanded_parts

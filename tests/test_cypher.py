@@ -97,9 +97,20 @@ def test_expand_var_path_rows_and_bounds(spark):
             g.expand_var(min_hops=1, max_hops=2).collect()}
     assert rows == {("a", "b", 1), ("b", "c", 1), ("a", "c", 2)}
 
+    # min_hops=0 (r16): the zero-length path — each node reaches
+    # itself at hop 0, union'd with the 1..max ladder
+    rows0 = {(r["a_key"], r["b_key"], r["hops"]) for r in
+             g.expand_var(min_hops=0, max_hops=1).collect()}
+    assert rows0 == {
+        ("a", "a", 0), ("b", "b", 0), ("c", "c", 0),
+        ("a", "b", 1), ("b", "c", 1),
+    }
+
     import pytest as _p
     with _p.raises(ValueError):
-        g.expand_var(min_hops=0)
+        g.expand_var(min_hops=-1)
+    with _p.raises(ValueError):
+        g.expand_var(min_hops=2, max_hops=1)
 
 
 def test_graph_key_names_opt_in_resolution(spark, tmp_path):

@@ -7727,3 +7727,313 @@ def test_text_pattern_endpoint_set(spark, tmp_path):
         ).df.collect()
     }
     assert rows == {"l1": "NYT", "l2": "NYT", "l3": "BBC", "orphan": None}
+
+
+def test_text_multi_target_set_and_remove(spark, tmp_path):
+    """Multi-target SET/REMOVE — `MATCH (a:A)-[r:W]->(p:P) SET a.x = 1,
+    r.y = 2, p.z = p.name` (Neo4j matches once, applies every item) and
+    the erase twin `REMOVE a.x, r.y, p.z`. One head read feeds one
+    bucketed write per alias group; same-named props on different
+    aliases stay independent (alias-mangled frame columns)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "mtset"))
+    for link, pub in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": link, "p": pub},
+            store=s,
+        )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) "
+        "SET a.x = 1, r.y = 2, p.z = p.name",
+        store=s,
+    )
+    assert res.summary.properties_set == 6
+    assert res.summary.nodes_created == 0
+    assert res.summary.relationships_created == 0
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:W]->(p:Publisher) "
+            "RETURN a.link AS l, a.x AS x, r.y AS y, p.z AS z",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("l1", 1, 2, "NYT"), ("l2", 1, 2, "BBC")]
+
+    # same prop name on two aliases — independent cells
+    run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) "
+        "SET a.tag = 'art', p.tag = 'pub'",
+        store=s,
+    )
+    tags = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:W]->(p:Publisher) "
+            "RETURN a.tag AS at, p.tag AS pt",
+            store=s,
+        ).df.collect()
+    )
+    assert tags == [("art", "pub"), ("art", "pub")]
+
+    # erase twin: node + rel + other node in one statement
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) REMOVE a.x, r.y, p.z",
+        store=s,
+    )
+    assert res.summary.properties_set == 6
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:W]->(p:Publisher) "
+            "RETURN a.link AS l, a.x AS x, r.y AS y, p.z AS z",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("l1", None, None, None), ("l2", None, None, None)]
+    # absent props in a multi-target REMOVE stay a silent no-op
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) REMOVE a.ghost, r.ghost",
+        store=s,
+    )
+    assert res.summary.properties_set == 0
+
+
+def test_text_pattern_endpoint_remove_and_delete(spark, tmp_path):
+    """REMOVE and DETACH DELETE on a node alias bound as a
+    relationship-pattern endpoint; plain DELETE keeps Neo4j's refusal
+    (the endpoint has an incident edge by construction)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "epdel"))
+    for link, pub in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": link, "p": pub},
+            store=s,
+        )
+    run_cypher(spark, "MATCH (a:Article) SET a.seen = 1", store=s)
+
+    # REMOVE on the src endpoint
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) REMOVE a.seen",
+        store=s,
+    )
+    assert res.summary.properties_set == 2
+    got = {
+        r["l"]: r["s"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS l, a.seen AS s",
+            store=s,
+        ).df.collect()
+    }
+    assert got == {"l1": None, "l2": None}
+
+    # plain DELETE refuses — incident edge
+    with pytest.raises(ValueError, match="DETACH"):
+        run_cypher(
+            spark,
+            "MATCH (a:Article)-[r:W]->(p:Publisher) DELETE a",
+            store=s,
+        )
+
+    # DETACH DELETE takes the node and its edge, WHERE narrows
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher) "
+        "WHERE p.name = 'NYT' DETACH DELETE a",
+        store=s,
+    )
+    assert res.summary.nodes_deleted == 1
+    assert res.summary.relationships_deleted == 1
+    left = sorted(
+        r["l"]
+        for r in run_cypher(
+            spark, "MATCH (a:Article) RETURN a.link AS l", store=s
+        ).df.collect()
+    )
+    assert left == ["l2"]
+
+
+def test_text_write_path_chains(spark, tmp_path):
+    """N-hop CREATE/MERGE path patterns — `CREATE (x:T {k:'x'})-[:R1]->
+    (y:T {k:'y'})-[:R2]->(z:T {k:'z'})` — decompose into per-element
+    upserts (the engine's documented MERGE semantics): every labeled
+    node becomes one node part, every hop one bare-alias rel part,
+    mixed directions and anonymous middles included. Single bare-alias
+    hops keep the bound-endpoints path (regression guard)."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "chain"))
+    res = run_cypher(
+        spark,
+        "CREATE (x:T {k:'x'})-[:R1]->(y:T {k:'y'})-[:R2]->(z:T {k:'z'})",
+        store=s,
+    )
+    assert res.summary.nodes_created == 3
+    assert res.summary.relationships_created == 2
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:T)-[r]->(b:T) "
+            "RETURN a.k AS a, type(r) AS t, b.k AS b",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("x", "R1", "y"), ("y", "R2", "z")]
+
+    # mixed-direction MERGE chain with rel props, idempotent on re-run
+    for want_nodes, want_rels in ((1, 2), (0, 0)):
+        res = run_cypher(
+            spark,
+            "MERGE (x:T {k:'x'})<-[:R3 {w: 1}]-(q:T {k:'q'})-[:R4]->"
+            "(z:T {k:'z'})",
+            store=s,
+        )
+        assert res.summary.nodes_created == want_nodes
+        assert res.summary.relationships_created == want_rels
+    got = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:T)-[r:R3]->(b:T) RETURN a.k AS a, r.w AS w, b.k AS b",
+            store=s,
+        ).df.collect()
+    )
+    assert got == [("q", 1, "x")]
+
+    # anonymous middle node mints an internal alias
+    res = run_cypher(
+        spark,
+        "CREATE (s1:T {k:'s1'})-[:R6]->(:T {k:'mid'})-[:R7]->"
+        "(s2:T {k:'s2'})",
+        store=s,
+    )
+    assert res.summary.nodes_created == 3
+    assert res.summary.relationships_created == 2
+
+    # bound-endpoints single hop unaffected
+    res = run_cypher(
+        spark,
+        "MATCH (x:T {k: 'x'}) MATCH (z:T {k: 'z'}) MERGE (x)-[:R5]->(z)",
+        store=s,
+    )
+    assert res.summary.relationships_created == 1
+
+    # Neo4j refuses CREATE of an undirected relationship — chains too
+    with pytest.raises(CypherUnsupported, match="directed"):
+        run_cypher(
+            spark,
+            "CREATE (u1:T {k:'u1'})-[:RU]-(u2:T {k:'u2'})",
+            store=s,
+        )
+
+
+def test_text_bare_arrow_shorthand(spark, tmp_path):
+    """openCypher's bracketless arrows — `(a)-->(b)`, `(a)<--(b)`,
+    `(a)--(b)` — are sugar for the empty-bracket relationship forms;
+    the clause splitter normalizes them in pattern-bearing clauses
+    (MATCH/OPTIONAL MATCH/MERGE/CREATE) only, so arithmetic text in
+    WHERE/RETURN is untouched."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "arrows"))
+    for l, p in [("l1", "NYT"), ("l2", "NYT"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0][0]
+
+    assert one("MATCH (a:Article)-->(p) RETURN count(*) AS c") == 3
+    assert one("MATCH (p:Publisher)<--(a) RETURN count(*) AS c") == 3
+    assert one("MATCH (a:Article)--(p) RETURN count(*) AS c") == 3
+    # chained arrows: co-published article pairs (NYT has two)
+    assert one(
+        "MATCH (a:Article)-->(p)<--(b:Article) "
+        "WHERE a.link < b.link RETURN count(*) AS c"
+    ) == 1
+    # OPTIONAL MATCH shorthand pads the unmatched side
+    rows = {
+        r["l"]: r["n"]
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) OPTIONAL MATCH (a)-->(p:Publisher) "
+            "RETURN a.link AS l, p.name AS n",
+            store=s,
+        ).df.collect()
+    }
+    assert rows == {"l1": "NYT", "l2": "NYT", "l3": "BBC"}
+
+
+def test_text_zero_min_var_length(spark, tmp_path):
+    """`(a)-[:T*0..k]->(x)` — Cypher's zero-length path: hop 0 binds x
+    to a ITSELF (x's label constraint still applies), union'd with the
+    1..k ladder. length(p) reports 0 for the identity layer."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "vl0"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    rows = sorted(
+        (
+            tuple(r)
+            for r in run_cypher(
+                spark,
+                "MATCH (a:Article)-[:W*0..1]->(x) "
+                "RETURN a.link AS l, x.name AS n",
+                store=s,
+            ).df.collect()
+        ),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert rows == [
+        ("l1", None), ("l1", "NYT"), ("l2", None), ("l2", "BBC"),
+    ]
+    # labeled dst prunes the identity layer (an Article is no Publisher)
+    assert run_cypher(
+        spark,
+        "MATCH (a:Article)-[:W*0..1]->(x:Publisher) RETURN count(*) AS c",
+        store=s,
+    ).df.collect()[0][0] == 2
+    # path binding reports length 0 for the identity rows
+    lens = sorted(
+        r["h"]
+        for r in run_cypher(
+            spark,
+            "MATCH pth = (a:Article)-[:W*0..1]->(x) "
+            "RETURN length(pth) AS h",
+            store=s,
+        ).df.collect()
+    )
+    assert lens == [0, 0, 1, 1]
