@@ -4960,7 +4960,9 @@ def _parse_scalar_expr(text: str):
     def parse_unary():
         if peek() == ("op", "-"):
             take()
-            return ("neg", parse_unary())
+            # unary minus binds LOOSER than ^ in Cypher: -2 ^ 2 is
+            # -(2 ^ 2) = -4.0, so the operand parses at the power level
+            return ("neg", parse_power())
         n = parse_primary()
         # postfix subscript: list element access xs[i] (0-based,
         # negatives from the end, NULL out of range), dynamic property
@@ -5430,6 +5432,10 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 res = lc * rc
             elif op == "%":
                 res = lc % rc
+            elif op == "^":
+                # Cypher exponentiation — Neo4j returns a FLOAT even
+                # for integer operands (2 ^ 3 = 8.0)
+                return F.pow(lc, rc), "float"
             else:  # "/"
                 if lt == rt == "int":
                     # Cypher integer division truncates toward zero (Java).
@@ -6094,6 +6100,15 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             # truncate to whole seconds.
             need(0)
             return F.unix_millis(F.current_timestamp()), "int"
+        if fname == "rand":
+            # rand() — uniform [0, 1) per row, Neo4j's nondeterministic
+            # contract (the engine's own operators stay RNG-free; this
+            # exists for user queries only, so no oracle entry)
+            need(0)
+            return F.rand(), "float"
+        if fname == "randomuuid":
+            need(0)
+            return F.expr("uuid()"), "str"
         raise CypherUnsupported(
             f"unsupported function {fname_raw!r} in expression (supported: "
             "coalesce, toUpper, toLower, toString, toInteger, toFloat, "

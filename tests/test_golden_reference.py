@@ -8037,3 +8037,29 @@ def test_text_zero_min_var_length(spark, tmp_path):
         ).df.collect()
     )
     assert lens == [0, 0, 1, 1]
+
+
+def test_text_power_operator_and_rand(spark, tmp_path):
+    """`^` is Cypher EXPONENTIATION (not XOR): right-associative, binds
+    TIGHTER than unary minus, and returns a float even on integer
+    operands — Neo4j's `-2 ^ 2` is `-(2 ^ 2)` = -4.0. rand() /
+    randomUUID() compile to per-row nondeterministic columns."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "pow"))
+    run_cypher(spark, "CREATE (x:N {k: 'a', v: 3})", store=s)
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0][0]
+
+    assert one("RETURN 2 ^ 3 AS v") == 8.0
+    assert one("RETURN 2 ^ 3 ^ 2 AS v") == 512.0  # right-assoc 2^(3^2)
+    assert one("RETURN 4 ^ 0.5 AS v") == 2.0
+    assert one("MATCH (n:N) RETURN n.v ^ 2 AS v") == 9.0
+    assert one("RETURN -2 ^ 2 AS v") == -4.0
+    assert one("RETURN 7 / 2 AS v") == 3  # int division untouched
+    r = one("RETURN rand() AS r")
+    assert 0.0 <= r < 1.0
+    u1 = one("RETURN randomUUID() AS u")
+    u2 = one("RETURN randomUUID() AS u")
+    assert len(u1) == 36 and u1 != u2
