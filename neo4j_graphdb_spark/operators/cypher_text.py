@@ -213,6 +213,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StructType
 
 from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 from neo4j_graphdb_spark.operators.cypher import Graph
@@ -3875,6 +3876,46 @@ def _apply_unwind(
                 pdf,
             )
         alias = lm.group("alias")
+        toks0 = _split_top_commas(lm.group("items"))
+        if toks0 and toks0[0].lstrip().startswith("{"):
+            # `UNWIND [{link:'u1'}, {link:'u2'}] AS row MERGE (:L {k:
+            # row.link})` — the literal map-list batch-insert idiom:
+            # each map becomes one batch row (missing keys NULL-pad),
+            # `row.col` references rewrite to the batch columns exactly
+            # like the $rows list-of-dicts form
+            dict_rows: list[dict] = []
+            for t in toks0:
+                mm = re.match(r"^\{(?P<body>.*)\}$", t.strip(), re.DOTALL)
+                if not mm:
+                    raise CypherUnsupported(
+                        f"UNWIND list mixes maps with scalars: {t.strip()!r}"
+                    )
+                d = {}
+                for pair in _split_top_commas(mm.group("body")):
+                    km = re.match(r"^\s*(\w+)\s*:\s*(.+)$", pair, re.DOTALL)
+                    if not km:
+                        raise CypherUnsupported(
+                            f"unsupported map entry in UNWIND: {pair!r}"
+                        )
+                    d[km.group(1)] = _where_value(
+                        km.group(2).strip(),
+                        lits or [],
+                        params if isinstance(params, dict) else None,
+                    )
+                dict_rows.append(d)
+            allkeys = sorted({k for d in dict_rows for k in d})
+            pdf = spark.createDataFrame(
+                [tuple(d.get(k) for k in allkeys) for d in dict_rows],
+                allkeys,
+            )
+            mref = re.compile(rf"(?<![\w$.]){re.escape(alias)}\.(\w+)")
+            return (
+                [
+                    _Clause(c.kind, mref.sub(r"$\1", c.body))
+                    for c in clauses[1:]
+                ],
+                pdf,
+            )
         vals = _unwind_literal_values(
             lm.group("items"),
             lits or [],
@@ -5315,6 +5356,21 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             if not params or n[1] not in params:
                 raise CypherUnsupported(f"unbound parameter ${n[1]} in expression")
             v = params[n[1]]
+            if isinstance(v, dict):
+                # a map param — Spark has no map LITERAL for a Python
+                # dict, so it compiles to a struct of literals (field
+                # access via the tfield map/struct probe; heterogeneous
+                # value types are exactly what struct allows)
+                def _lit_value(x):
+                    if isinstance(x, dict):
+                        return F.struct(
+                            *[_lit_value(x2).alias(k2) for k2, x2 in x.items()]
+                        )
+                    if isinstance(x, (list, tuple)):
+                        return F.array(*[_lit_value(x2) for x2 in x])
+                    return F.lit(x)
+
+                return _lit_value(v), "other"
             if isinstance(v, str):
                 tag = "str"
             elif isinstance(v, bool):
@@ -5707,6 +5763,28 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     "years quarters months weeks days hours minutes "
                     "seconds milliseconds)"
                 )
+            # map/struct field access — `$m.k`, `{a: 1}.a`, `row.col`
+            # on a map-typed column: Neo4j's dynamic map accessor, a
+            # missing struct field is NULL (map getItem is NULL-safe
+            # already). Schema-probe the compiled base; non-map bases
+            # fall through to the temporal accessors below.
+            try:
+                _bdt = df.select(c.alias("_t")).schema[0].dataType
+            except Exception:
+                _bdt = None
+            if isinstance(_bdt, MapType):
+                return c.getItem(field), "other"
+            if isinstance(_bdt, StructType):
+                if field not in _bdt.names:
+                    return F.lit(None), "other"
+                _fdt = _bdt[field].dataType.simpleString()
+                _ftag = (
+                    "int" if _fdt in ("bigint", "int", "smallint", "tinyint")
+                    else "float" if _fdt in ("double", "float")
+                    else "str" if _fdt == "string"
+                    else "other"
+                )
+                return c.getField(field), _ftag
             simple = {
                 "year": F.year, "month": F.month, "day": F.dayofmonth,
                 "hour": F.hour, "minute": F.minute, "second": F.second,
@@ -6365,13 +6443,42 @@ def _extract_exists(body: str, out: list) -> str:
             )
             negated = bool(m.group("neg"))
         else:
+            # Neo4j-3 `exists(...)` FUNCTION spelling: a pattern arg is
+            # the bare pattern predicate; a property arg is IS NOT NULL
+            fn = re.match(
+                r"^(?P<neg>NOT\s+)?exists\s*\(\s*(?P<inner>.+?)\s*\)$",
+                it_s, re.IGNORECASE | re.DOTALL,
+            )
+            if fn and re.match(r"^\w+\.\w+$", fn.group("inner")):
+                remaining.append(
+                    f"{fn.group('inner')} IS "
+                    + ("NULL" if fn.group("neg") else "NOT NULL")
+                )
+                continue
+            if fn and fn.group("inner").startswith("("):
+                it_s = (
+                    ("NOT " if fn.group("neg") else "")
+                    + fn.group("inner")
+                    # the conjunct splitter keeps the call's own closing
+                    # paren inside `inner` — the non-greedy inner plus
+                    # the anchored $ guarantee balance here
+                )
             # legacy bare pattern predicate: `WHERE [NOT] (a)-[:T]->(:L)`
-            # — the pre-EXISTS Cypher spelling, same semi/anti compile
+            # — the pre-EXISTS Cypher spelling, same semi/anti compile.
+            # Inline endpoint property maps are legal (the shared
+            # stripper below folds them into the inner WHERE), so the
+            # shape gate runs on the props-STRIPPED text.
             bare = re.match(r"^(?P<neg>NOT\s+)?(?P<pat>\(.+\))$", it_s,
                             re.IGNORECASE | re.DOTALL)
-            if bare and _REL_RE.match(bare.group("pat").strip()):
-                pat_text = bare.group("pat").strip()
-                negated = bool(bare.group("neg"))
+            if bare:
+                cand = bare.group("pat").strip()
+                cand = re.sub(r"\)\s*-->\s*\(", ")-[]->(", cand)
+                cand = re.sub(r"\)\s*<--\s*\(", ")<-[]-(", cand)
+                cand = re.sub(r"\)\s*--\s*\(", ")-[]-(", cand)
+                cand_stripped, _cl, _cr = _strip_endpoint_props(cand)
+                if _REL_RE.match(cand_stripped):
+                    pat_text = cand
+                    negated = bool(bare.group("neg"))
         if pat_text is None:
             if re.search(r"(?<![.$\w])EXISTS\b", it_s, re.IGNORECASE):
                 raise CypherUnsupported(
@@ -8192,7 +8299,7 @@ def _run_read_inner(
                 body,
             )
             if "exists" in body.lower() or re.search(
-                r"\)\s*<?-\s*\[", body
+                r"\)\s*<?-\s*\[|\)\s*(?:-->|<--|--)\s*\(", body
             ):
                 # pattern-existence predicates: `[NOT] EXISTS { (a)-[:T]->(:L) }`
                 # compile to LEFT SEMI / LEFT ANTI joins, so they are

@@ -8063,3 +8063,128 @@ def test_text_power_operator_and_rand(spark, tmp_path):
     u1 = one("RETURN randomUUID() AS u")
     u2 = one("RETURN randomUUID() AS u")
     assert len(u1) == 36 and u1 != u2
+
+
+def test_text_pattern_predicates_in_where(spark, tmp_path):
+    """Bare pattern predicates in WHERE — `WHERE [NOT] (a)-[:T]->(:L
+    {k: v})` — and Neo4j-3's `exists(<pattern>)` / `exists(n.prop)`
+    function spellings, all compiling to the same LEFT SEMI / LEFT
+    ANTI joins the EXISTS {} form uses; inline target maps fold into
+    the correlated condition, bare arrows normalize."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "patpred"))
+    for l, p in [("l1", "NYT"), ("l2", "NYT"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    run_cypher(spark, "CREATE (a:Article {link: 'orphan'})", store=s)
+
+    def rows(q):
+        return sorted(
+            tuple(r) for r in run_cypher(spark, q, store=s).df.collect()
+        )
+
+    assert rows(
+        "MATCH (a:Article) WHERE NOT (a)-[:W]->(:Publisher {name:'NYT'}) "
+        "RETURN a.link AS l"
+    ) == [("l3",), ("orphan",)]
+    assert rows(
+        "MATCH (a:Article) WHERE (a)-[:W]->(:Publisher {name:'BBC'}) "
+        "RETURN a.link AS l"
+    ) == [("l3",)]
+    assert rows(
+        "MATCH (a:Article) WHERE NOT (a)-[:W]->() RETURN a.link AS l"
+    ) == [("orphan",)]
+    assert rows(
+        "MATCH (a:Article) WHERE exists((a)-[:W]->()) RETURN count(*) AS c"
+    ) == [(3,)]
+    assert rows(
+        "MATCH (a:Article) WHERE NOT exists((a)-[:W]->()) RETURN a.link AS l"
+    ) == [("orphan",)]
+    # exists(n.prop) — the property-existence spelling
+    assert rows(
+        "MATCH (a:Article) WHERE NOT exists(a.flag) RETURN count(*) AS c"
+    ) == [(4,)]
+    # bare-arrow inside the predicate
+    assert rows(
+        "MATCH (a:Article) WHERE (a)-->() RETURN count(*) AS c"
+    ) == [(3,)]
+    # composes with plain conjuncts under AND
+    assert rows(
+        "MATCH (a:Article) WHERE (a)-[:W]->(:Publisher {name:'NYT'}) "
+        "AND a.link <> 'l1' RETURN a.link AS l"
+    ) == [("l2",)]
+
+
+def test_text_unwind_map_list_write(spark, tmp_path):
+    """`UNWIND [{..}, {..}] AS row MERGE (:L {k: row.col})` — the
+    literal map-list batch-insert idiom: each map is one batch row,
+    missing keys NULL-pad, `row.col` references bind the batch
+    columns; node + rel writes in one statement."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "unwmap"))
+    res = run_cypher(
+        spark,
+        "UNWIND [{link:'u1', t:'A'}, {link:'u2', t:'B'}] AS row "
+        "MERGE (a:Article {link: row.link}) SET a.title = row.t",
+        store=s,
+    )
+    assert res.summary.nodes_created == 2
+    assert res.summary.properties_set == 2
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS l, a.title AS t",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("u1", "A"), ("u2", "B")]
+    # missing map key NULL-pads (title stays unset for u4)
+    res = run_cypher(
+        spark,
+        "UNWIND [{link:'u3', t:'C'}, {link:'u4'}] AS row "
+        "MERGE (a:Article {link: row.link}) SET a.title = row.t",
+        store=s,
+    )
+    assert res.summary.properties_set == 1
+    # rel write driven by the map batch
+    res = run_cypher(
+        spark,
+        "UNWIND [{l:'u1', p:'NYT'}, {l:'u2', p:'BBC'}] AS row "
+        "MERGE (a:Article {link: row.l}) "
+        "MERGE (pb:Publisher {name: row.p}) MERGE (a)-[:W]->(pb)",
+        store=s,
+    )
+    assert res.summary.relationships_created == 2
+
+
+def test_text_map_field_access(spark, tmp_path):
+    """Dot access on map values — `{a: 1}.a`, `$m.k` (dict params
+    compile to struct literals), missing fields are NULL — while
+    temporal component accessors on timestamps stay untouched."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "mapacc"))
+    run_cypher(
+        spark,
+        "CREATE (n:N {k: 'a', ts: datetime('2024-03-05T10:00:00')})",
+        store=s,
+    )
+
+    def one(q, p=None):
+        return run_cypher(spark, q, p, store=s).df.collect()[0][0]
+
+    assert one("RETURN {a: 1, b: 'x'}.a AS v") == 1
+    assert one("RETURN {a: 1, b: 'x'}.b AS v") == "x"
+    assert one("RETURN {a: 1}.zz AS v") is None
+    assert one("RETURN $m.k AS v", {"m": {"k": 9}}) == 9
+    assert one("RETURN $m.zz AS v", {"m": {"k": 9}}) is None
+    assert one("RETURN $m.inner.d AS v", {"m": {"inner": {"d": 7}}}) == 7
+    assert one("MATCH (n:N) RETURN n.ts.year AS y") == 2024
