@@ -8191,21 +8191,31 @@ def _run_read_inner(
 
                 def _make_on_extra(ast, sa=sa, da=da, rel=opt_rel):
                     def _on(src_df, matched_df):
-                        def _leaf(al, prop, op, raw):
+                        def _col_of(al, prop):
                             if al == sa:
-                                col = _prop_col(src_df, f"{sa}_", prop)
-                            elif al == da:
-                                col = _prop_col(matched_df, f"{da}_", prop)
-                            elif rel is not None and al == rel:
+                                return _prop_col(src_df, f"{sa}_", prop)
+                            if al == da:
+                                return _prop_col(matched_df, f"{da}_", prop)
+                            if rel is not None and al == rel:
                                 if prop not in matched_df.columns:
                                     raise CypherUnsupported(
                                         f"unknown relationship property {prop!r}"
                                     )
-                                col = matched_df[prop]
-                            else:
+                                return matched_df[prop]
+                            # any EARLIER-bound alias rides the
+                            # accumulated source frame under its own
+                            # column prefix (`WHERE b.link <> a.link`
+                            # in a chained OPTIONAL MATCH)
+                            try:
+                                return _prop_col(src_df, f"{al}_", prop)
+                            except Exception:
                                 raise CypherUnsupported(
-                                    f"OPTIONAL MATCH WHERE on unbound alias: {al!r}"
-                                )
+                                    "OPTIONAL MATCH WHERE on unbound "
+                                    f"alias: {al!r}"
+                                ) from None
+
+                        def _leaf(al, prop, op, raw):
+                            col = _col_of(al, prop)
                             if op.upper() == "IN":
                                 return _isin(
                                     col, _in_list_values(raw, lits, params)
@@ -8214,13 +8224,30 @@ def _run_read_inner(
                                 col, F.lit(_where_value(raw, lits, params))
                             )
 
+                        _CROSS_RE = re.compile(
+                            r"^(\w+)\.(\w+)\s*"
+                            r"(=~|<=|>=|<>|=|<|>"
+                            r"|(?i:STARTS_WITH)|(?i:ENDS_WITH)|(?i:CONTAINS))"
+                            r"\s*(\w+)\.(\w+)$"
+                        )
+
                         def _walk(n):
                             if n[0] == "pred":
                                 return _leaf(n[1], n[2], n[3], n[4])
                             if n[0] == "exprpred":
+                                # cross-alias prop comparison — `WHERE
+                                # b.link <> a.link` joins the optional
+                                # side on the OTHER alias's column (both
+                                # resolve against the join's two frames)
+                                cm = _CROSS_RE.match(n[1].strip())
+                                if cm:
+                                    return _op_fn(cm.group(3))(
+                                        _col_of(cm.group(1), cm.group(2)),
+                                        _col_of(cm.group(4), cm.group(5)),
+                                    )
                                 raise CypherUnsupported(
-                                    "list predicates are unsupported in "
-                                    "an OPTIONAL MATCH … WHERE"
+                                    "only simple prop comparisons compose "
+                                    "in an OPTIONAL MATCH … WHERE"
                                 )
                             if n[0] == "not":
                                 return ~_walk(n[1])

@@ -8188,3 +8188,36 @@ def test_text_map_field_access(spark, tmp_path):
     assert one("RETURN $m.zz AS v", {"m": {"k": 9}}) is None
     assert one("RETURN $m.inner.d AS v", {"m": {"inner": {"d": 7}}}) == 7
     assert one("MATCH (n:N) RETURN n.ts.year AS y") == 2024
+
+
+def test_text_optional_match_cross_alias_where(spark, tmp_path):
+    """Cross-alias prop comparisons inside an OPTIONAL MATCH … WHERE —
+    `OPTIONAL MATCH (p)<-[:W]-(b) WHERE b.link <> a.link` (the
+    co-published-others idiom): the predicate folds into the outer
+    join's ON condition, earlier-bound aliases resolve against the
+    accumulated frame, and a failing comparison NULLs the optional
+    side instead of dropping the row."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "omx"))
+    for l, p in [("l1", "NYT"), ("l2", "NYT"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    rows = sorted(
+        (r["l"], r["n"], r["o"])
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) OPTIONAL MATCH (a)-[:W]->(p:Publisher) "
+            "OPTIONAL MATCH (p)<-[:W]-(b:Article) WHERE b.link <> a.link "
+            "RETURN a.link AS l, p.name AS n, b.link AS o",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [
+        ("l1", "NYT", "l2"), ("l2", "NYT", "l1"), ("l3", "BBC", None),
+    ]
