@@ -213,7 +213,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType, StructType
+from pyspark.sql.types import DateType, MapType, StructType
 
 from neo4j_graphdb_spark.model import EXTRA_LABELS, NODE_ID
 from neo4j_graphdb_spark.operators.cypher import Graph
@@ -5480,6 +5480,24 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 raise CypherUnsupported(f"arithmetic {op!r} on a string operand")
             if "list" in (lt, rt):
                 raise CypherUnsupported(f"arithmetic {op!r} on a list operand")
+            if op in ("+", "-") and lt == "other":
+                # date/datetime ± duration — Spark refuses DATE ±
+                # interval-with-microseconds, so a DateType operand
+                # round-trips through timestamp and lands back on DATE
+                # (Neo4j: date + duration = date, truncating sub-day
+                # spill). Probed only on untyped operands — numeric
+                # tags never pay the analysis round-trip.
+                try:
+                    _ldt = df.select(lc.alias("_t")).schema[0].dataType
+                except Exception:
+                    _ldt = None
+                if isinstance(_ldt, DateType):
+                    shifted = (
+                        lc.cast("timestamp") + rc
+                        if op == "+"
+                        else lc.cast("timestamp") - rc
+                    )
+                    return shifted.cast("date"), "other"
             if op == "+":
                 res = lc + rc
             elif op == "-":

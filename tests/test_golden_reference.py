@@ -8221,3 +8221,30 @@ def test_text_optional_match_cross_alias_where(spark, tmp_path):
     assert rows == [
         ("l1", "NYT", "l2"), ("l2", "NYT", "l1"), ("l3", "BBC", None),
     ]
+
+
+def test_text_date_duration_arithmetic(spark, tmp_path):
+    """`date ± duration` — Spark refuses DATE ± microsecond intervals,
+    so DateType operands round-trip through timestamp and land back on
+    DATE (Neo4j: date + duration = date). Calendar-month durations
+    stay calendar (P1M from Jan 31 clamps to Feb 29 on a leap year);
+    datetime arithmetic is untouched."""
+    import datetime as _dt
+
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "dtar"))
+
+    def one(q):
+        v = run_cypher(spark, q, store=s).df.collect()[0][0]
+        return v.replace(tzinfo=None) if getattr(v, "tzinfo", None) else v
+
+    assert one("RETURN date('2024-01-31') + duration('P1D') AS d") == _dt.date(2024, 2, 1)
+    assert one("RETURN date('2024-03-01') - duration('P1D') AS d") == _dt.date(2024, 2, 29)
+    assert one("RETURN date('2024-01-31') + duration('P1M') AS d") == _dt.date(2024, 2, 29)
+    assert one(
+        "RETURN datetime('2024-01-01T10:00:00') + duration('PT2H') AS d"
+    ) == _dt.datetime(2024, 1, 1, 12, 0)
+    assert one(
+        "RETURN datetime('2024-01-08T00:00:00') - duration('P1W') AS d"
+    ) == _dt.datetime(2024, 1, 1, 0, 0)
