@@ -5234,32 +5234,11 @@ def _parse_scalar_expr(text: str):
         raise CypherUnsupported(f"unsupported expression: {text!r}")
 
     def parse_predicate():
-        left = parse_expr()
-        if at_keyword("IS"):
-            take()
-            neg = False
-            if at_keyword("NOT"):
-                take()
-                neg = True
-            expect_keyword("NULL")
-            return ("isnull", left, neg)
-        k, op = peek()
-        if k == "name" and (op or "").upper() in (
-            "CONTAINS", "STARTS_WITH", "ENDS_WITH",
-        ):
-            # string predicates as CASE WHEN conditions (`CASE WHEN
-            # a.title CONTAINS 'x' THEN …` — the idiomatic recode);
-            # normalized to the spaced _OPS spelling
-            take()
-            return (
-                "cmp", op.upper().replace("_", " "), left, parse_expr()
-            )
-        if k != "cmp":
-            raise CypherUnsupported(
-                f"CASE WHEN needs a comparison or IS [NOT] NULL: {text!r}"
-            )
-        take()
-        return ("cmp", op, left, parse_expr())
+        # CASE WHEN conditions share the full boolean grammar with
+        # top-level expressions (comparisons, IS [NOT] NULL, string
+        # predicates, IN, NOT/AND/XOR/OR) — `CASE WHEN a.x > 1 AND
+        # a.y < 2 THEN …` composes exactly like a WHERE would
+        return parse_b_or()
 
     def parse_case():
         expect_keyword("CASE")
@@ -5287,34 +5266,64 @@ def _parse_scalar_expr(text: str):
             return ("case_simple", operand, branches, els)
         return ("case", branches, els)
 
-    node = parse_expr()
-    # top-level postfix null test as a VALUE: `x IS [NOT] NULL` —
-    # Neo4j returns the boolean itself (`RETURN a.p IS NOT NULL AS has`)
-    if at_keyword("IS"):
-        take()
-        negated = False
+    # boolean grammar over condition atoms — comparisons, IS [NOT]
+    # NULL, string predicates, IN, all composable as VALUES under
+    # NOT > AND > XOR > OR (Cypher's precedence): `RETURN a.x > 1 AND
+    # a.y < 2 AS f`, `RETURN n.v IN [3, 4] AS f`, `RETURN NOT done`
+    def parse_cond_atom():
         if at_keyword("NOT"):
             take()
-            negated = True
-        expect_keyword("NULL")
-        node = ("isnull", node, negated)
-    elif peek()[0] == "cmp":
-        # top-level comparison as a VALUE: `RETURN a.score > 4 AS hi` —
-        # Neo4j returns the boolean itself
-        _, cop = take()
-        node = ("cmppred", cop, node, parse_expr())
-    elif peek()[0] == "name" and (peek()[1] or "").upper() in (
-        "CONTAINS", "STARTS_WITH", "ENDS_WITH",
-    ):
-        # string predicates as VALUES (`a.title CONTAINS 'x' AS f`);
-        # STARTS WITH / ENDS WITH were folded to one token upstream
-        _, sop = take()
-        node = (
-            "cmppred",
-            sop.upper().replace("_", " "),
-            node,
-            parse_expr(),
-        )
+            return ("notpred", parse_cond_atom())
+        node = parse_expr()
+        if at_keyword("IS"):
+            take()
+            negated = False
+            if at_keyword("NOT"):
+                take()
+                negated = True
+            expect_keyword("NULL")
+            return ("isnull", node, negated)
+        if peek()[0] == "cmp":
+            _, cop = take()
+            return ("cmppred", cop, node, parse_expr())
+        if peek()[0] == "name" and (peek()[1] or "").upper() in (
+            "CONTAINS", "STARTS_WITH", "ENDS_WITH",
+        ):
+            # STARTS WITH / ENDS WITH were folded to one token upstream
+            _, sop = take()
+            return (
+                "cmppred",
+                sop.upper().replace("_", " "),
+                node,
+                parse_expr(),
+            )
+        if at_keyword("IN"):
+            take()
+            return ("inpred", node, parse_expr())
+        return node
+
+    def parse_b_and():
+        n = parse_cond_atom()
+        while at_keyword("AND"):
+            take()
+            n = ("boolop", "and", n, parse_cond_atom())
+        return n
+
+    def parse_b_xor():
+        n = parse_b_and()
+        while at_keyword("XOR"):
+            take()
+            n = ("boolop", "xor", n, parse_b_and())
+        return n
+
+    def parse_b_or():
+        n = parse_b_xor()
+        while at_keyword("OR"):
+            take()
+            n = ("boolop", "or", n, parse_b_xor())
+        return n
+
+    node = parse_b_or()
     if idx != len(toks):
         raise CypherUnsupported(f"trailing tokens in expression: {text!r}")
     return node
@@ -5446,6 +5455,11 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             lc, _ = rec(n[2])
             rc, _ = rec(n[3])
             return _OPS[n[1]](lc, rc), "other"
+        if kind in ("notpred", "boolop", "inpred"):
+            # boolean connectives / IN as VALUES — `RETURN a AND b`,
+            # `RETURN x IN [1, 2] AS f`: the predicate compiler owns
+            # the three-valued logic, the result is a boolean Column
+            return rec_pred(n), "other"
         if kind == "neg":
             c, t = rec(n[1])
             if t == "str":
@@ -5874,10 +5888,49 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
         if p[0] == "isnull":
             c, _ = rec(p[1])
             return c.isNotNull() if p[2] else c.isNull()
-        _, op, l, r = p
-        lc, _ = rec(l)
-        rc, _ = rec(r)
-        return _OPS[op](lc, rc)
+        if p[0] == "notpred":
+            return ~rec_pred(p[1])
+        if p[0] == "boolop":
+            l, r = rec_pred(p[2]), rec_pred(p[3])
+            if p[1] == "and":
+                return l & r
+            if p[1] == "or":
+                return l | r
+            return l != r  # xor — null-propagating boolean inequality
+        if p[0] == "inpred":
+            # Cypher IN: true when found; NULL when not found but the
+            # list holds a NULL (or the needle is NULL) — exactly
+            # Spark's array_contains three-valued contract. A literal
+            # NULL needle is NULL outright (array_contains refuses the
+            # untyped NullType literal).
+            if p[1] == ("null",):
+                return F.lit(None).cast("boolean")
+            c, _ = rec(p[1])
+            lc, _ = rec(p[2])
+            return F.array_contains(lc, c)
+        if p[0] in ("cmp", "cmppred"):
+            _, op, l, r = p
+            lc, _ = rec(l)
+            rc, _ = rec(r)
+            return _OPS[op](lc, rc)
+        # a plain value node used as a boolean (`CASE WHEN n.flag
+        # THEN`, `RETURN a AND b` over boolean columns) — legal only
+        # when the column IS boolean; anything else keeps the refusal
+        # (Neo4j type-errors a non-boolean predicate at runtime)
+        c, _ = rec(p)
+        try:
+            is_bool = (
+                df.select(c.alias("_p")).schema[0].dataType.simpleString()
+                == "boolean"
+            )
+        except Exception:
+            is_bool = False
+        if not is_bool:
+            raise CypherUnsupported(
+                "predicate position needs a boolean expression "
+                "(comparison, IS [NOT] NULL, IN, or a boolean value)"
+            )
+        return c
 
     def _int_literal(arg_ast, fn: str) -> int:
         if arg_ast[0] != "num" or not isinstance(arg_ast[1], int):

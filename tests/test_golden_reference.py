@@ -8248,3 +8248,40 @@ def test_text_date_duration_arithmetic(spark, tmp_path):
     assert one(
         "RETURN datetime('2024-01-08T00:00:00') - duration('P1W') AS d"
     ) == _dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_text_boolean_value_expressions(spark, tmp_path):
+    """Boolean connectives and IN as VALUE expressions — `RETURN a.x >
+    1 AND a.y < 2 AS f`, `RETURN 2 IN [1,2]`, `RETURN true XOR false`,
+    `RETURN NOT true` — with Cypher precedence NOT > AND > XOR > OR and
+    three-valued IN (`null IN [1,2]` is NULL). CASE WHEN shares the
+    grammar (`CASE WHEN a AND b THEN …`); a non-boolean bare predicate
+    still refuses."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "boolv"))
+    run_cypher(spark, "CREATE (n:N {k: 'a', v: 3})", store=s)
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0][0]
+
+    assert one("MATCH (n:N) RETURN n.v > 2 AND n.v < 5 AS f") is True
+    assert one("RETURN true OR false AS f") is True
+    assert one("RETURN true XOR true AS f") is False
+    assert one("RETURN NOT true AS f") is False
+    assert one("RETURN true OR false AND false AS f") is True  # AND binds tighter
+    assert one("RETURN 2 IN [1,2] AS f") is True
+    assert one("RETURN 5 IN [1,2] AS f") is False
+    assert one("RETURN null IN [1,2] AS f") is None
+    assert one("MATCH (n:N) RETURN n.v IN [3,4] AS f") is True
+    assert one(
+        "RETURN CASE WHEN 1 < 2 AND 2 < 3 THEN 'y' ELSE 'n' END AS v"
+    ) == "y"
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark, "MATCH (n:N) RETURN CASE WHEN n.v THEN 1 END AS x",
+            store=s,
+        )
