@@ -6023,6 +6023,43 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     "length() needs a bound path alias"
                 )
             return F.col("hops").cast("bigint"), "int"
+        if fname in ("nodes", "relationships"):
+            # nodes(p) / relationships(p) as VALUE expressions
+            # (`size(nodes(p))`, comprehensions): the path-collecting
+            # ladder's arrays — node merge-keys / relationship types in
+            # path order, same columns the RETURN-item fast path reads
+            need(1)
+            pcol = "path_keys" if fname == "nodes" else "path_types"
+            if (
+                args[0][0] != "name"
+                or rel_alias is None
+                or args[0][1] != rel_alias
+                or pcol not in df.columns
+            ):
+                raise CypherUnsupported(
+                    f"{fname_raw}() needs a bound path alias"
+                )
+            return F.col(pcol), "list"
+        if fname == "keys":
+            # keys(<map>) as a VALUE expression — struct literals ($m
+            # params, {k: v} literals) yield their field names, map
+            # columns their runtime keys. keys(n) on a node alias stays
+            # a RETURN-item fast path (the full prop-column set lives
+            # there, not in the scalar frame).
+            need(1)
+            kc, _ = rec(args[0])
+            try:
+                _kdt = df.select(kc.alias("_t")).schema[0].dataType
+            except Exception:
+                _kdt = None
+            if isinstance(_kdt, StructType):
+                return F.array(*[F.lit(nm) for nm in _kdt.names]), "list"
+            if isinstance(_kdt, MapType):
+                return F.map_keys(kc), "list"
+            raise CypherUnsupported(
+                "keys() in expressions takes a map value — keys(n) on "
+                "an entity is a top-level RETURN item"
+            )
         if fname == "labels":
             # labels(n) as a VALUE expression (membership tests, size):
             # [primary] ++ sorted extras — identical construction to the
@@ -7284,6 +7321,12 @@ def _run_read_inner(
             # cross-joins the padded row through)
             _apply_pending()
         if c.kind == "UNWIND":
+            if df is None and unwind_frame is not None:
+                # chained UNWIND directly over a leading UNWIND
+                # (`UNWIND [[1,2],[3]] AS xs UNWIND xs AS x`) — promote
+                # the 1-column unwind frame to the pipeline frame so the
+                # second UNWIND explodes it like any carried column
+                df, unwind_frame = unwind_frame, None
             if df is not None:
                 # mid-pipeline UNWIND (after MATCH or a WITH): explodes a
                 # bound list — a carried flat column (`WITH collect(x) AS

@@ -8285,3 +8285,50 @@ def test_text_boolean_value_expressions(spark, tmp_path):
             spark, "MATCH (n:N) RETURN CASE WHEN n.v THEN 1 END AS x",
             store=s,
         )
+
+
+def test_text_path_fns_in_expressions_and_chained_unwind(spark, tmp_path):
+    """nodes(p)/relationships(p)/keys(m) compose inside expressions —
+    `size(nodes(p))`, `'NYT' IN nodes(p)`, `keys($m)` — and UNWIND
+    chains directly over a leading UNWIND (`UNWIND [[1,2],[3]] AS xs
+    UNWIND xs AS x`)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "pfx"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+
+    def rows(q, pm=None):
+        return [
+            tuple(r) for r in run_cypher(spark, q, pm, store=s).df.collect()
+        ]
+
+    assert rows(
+        "MATCH pth = (a:Article)-[:W]->(p) "
+        "RETURN size(nodes(pth)) AS n LIMIT 1"
+    ) == [(2,)]
+    assert rows(
+        "MATCH pth = (a:Article)-[:W]->(p) "
+        "RETURN size(relationships(pth)) AS n LIMIT 1"
+    ) == [(1,)]
+    assert rows(
+        "MATCH pth = (a:Article)-[:W*1..2]->(x) "
+        "WHERE 'NYT' IN nodes(pth) RETURN count(*) AS c"
+    ) == [(1,)]
+    assert rows("RETURN keys({a:1, b:2}) AS ks") == [(["a", "b"],)]
+    assert rows("RETURN keys($m) AS ks", {"m": {"x": 1, "y": 2}}) == [
+        (["x", "y"],)
+    ]
+    assert rows(
+        "UNWIND [[1,2],[3]] AS xs UNWIND xs AS x RETURN x ORDER BY x"
+    ) == [(1,), (2,), (3,)]
+    assert rows(
+        "UNWIND [[[1],[2]],[[3]]] AS a UNWIND a AS b UNWIND b AS c "
+        "RETURN c ORDER BY c"
+    ) == [(1,), (2,), (3,)]
