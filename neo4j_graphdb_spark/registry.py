@@ -9842,6 +9842,10 @@ def q_a126_text_foreach_match_once(spark: SparkSession, sf_dir: str) -> DataFram
 #   five). After r16 lands, nothing in the registry is older than r10,
 #   and the remaining r10 block is 29 entries (c82, c83, c96-c101,
 #   c103, c41, a49, a54, a55, a63-a78 block) — rotate those in r17.
+#   All 29 r17-queue entries PRE-SWEPT GREEN late-r16 at sf0.01 (after
+#   the batch-3 front-end changes: boolean-expression grammar, pattern
+#   predicates, map access, chained UNWIND), so the r17 rotation can
+#   land head-first without a re-sweep.
 #   The displaced r15 window (a117-a121, the a34-a62 front-end block,
 #   c47-c63, c85, c93 — all green r15) moved to slots 50+ in its prior
 #   order.
