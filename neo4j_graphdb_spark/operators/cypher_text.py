@@ -9339,6 +9339,27 @@ def _aggregate_return(
                     # is exactly that (NULL on an unmatched OPTIONAL side,
                     # distinct per entity)
                     return _prop_col(df, aliases[alias], NODE_ID)
+                if fn == "collect":
+                    # collect(n) — the whole-entity list: each element is
+                    # the node's stored-row struct (prefix-stripped field
+                    # names, the same shape `RETURN n` projects). NULL
+                    # bindings (unmatched OPTIONAL side) collapse to a
+                    # NULL element, which collect_list skips — Neo4j
+                    # skips null bindings too.
+                    pre = aliases[alias]
+                    ent_cols = (
+                        [c for c in df.columns if c.startswith(pre)]
+                        if pre
+                        else list(df.columns)
+                    )
+                    ent = F.struct(
+                        *[
+                            F.col(c).alias(c[len(pre):] if pre else c)
+                            for c in ent_cols
+                        ]
+                    )
+                    idc = _prop_col(df, pre, NODE_ID)
+                    return F.when(idc.isNotNull(), ent)
                 raise CypherUnsupported(
                     f"whole-entity {alias!r} unsupported in {fn or 'aggregating'}()"
                 )

@@ -8332,3 +8332,44 @@ def test_text_path_fns_in_expressions_and_chained_unwind(spark, tmp_path):
         "UNWIND [[[1],[2]],[[3]]] AS a UNWIND a AS b UNWIND b AS c "
         "RETURN c ORDER BY c"
     ) == [(1,), (2,), (3,)]
+
+
+def test_text_collect_whole_entity(spark, tmp_path):
+    """`collect(n)` — the whole-entity list aggregate: each element is
+    the node's stored-row struct (same shape `RETURN n` projects),
+    grouped by the implicit keys; NULL bindings from an unmatched
+    OPTIONAL side are skipped, exactly Neo4j's collect()."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "collent"))
+    for l, p in [("l1", "NYT"), ("l2", "NYT"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    xs = run_cypher(
+        spark, "MATCH (a:Article) RETURN collect(a) AS xs", store=s
+    ).df.collect()[0]["xs"]
+    assert sorted(x["link"] for x in xs) == ["l1", "l2", "l3"]
+    rows = run_cypher(
+        spark,
+        "MATCH (a:Article)-[:W]->(p:Publisher) "
+        "RETURN p.name AS n, collect(a) AS arts",
+        store=s,
+    ).df.collect()
+    assert {r["n"]: sorted(x["link"] for x in r["arts"]) for r in rows} == {
+        "NYT": ["l1", "l2"], "BBC": ["l3"],
+    }
+    run_cypher(spark, "CREATE (q:Publisher {name: 'NoArts'})", store=s)
+    rows = run_cypher(
+        spark,
+        "MATCH (p:Publisher) OPTIONAL MATCH (p)<-[:W]-(a:Article) "
+        "RETURN p.name AS n, collect(a) AS arts",
+        store=s,
+    ).df.collect()
+    assert {r["n"]: len(r["arts"]) for r in rows} == {
+        "NYT": 2, "BBC": 1, "NoArts": 0,
+    }
