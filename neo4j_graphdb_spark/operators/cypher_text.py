@@ -3062,6 +3062,18 @@ def run_cypher(
             schema = ("id long, name string, type string, "
                       "labelsOrTypes string, properties string")
         return CypherResult(spark.createDataFrame([], schema), None)
+    im = re.match(
+        r"^\s*(?:CREATE|DROP)\s+(?:INDEX|CONSTRAINT)\b.*$",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if im:
+        # CREATE/DROP INDEX|CONSTRAINT — acknowledged NO-OPS: the store
+        # has no secondary index machinery to build (label scans are
+        # partition-pruned Parquet, merge keys are structural), so the
+        # DDL succeeds with Neo4j's empty result instead of refusing —
+        # schema-management scripts written for Neo4j run through.
+        return CypherResult(None, WriteSummary())
     masked_q, q_lits = _mask_strings(query)
     fe = _split_foreach(masked_q)
     if fe is not None:
@@ -3160,6 +3172,93 @@ def run_cypher(
                 store,
             )
     if not re.search(r"(?<![.$\w])(MERGE|CREATE|SET)\b", masked_q, re.IGNORECASE):
+        stmt_s = masked_q.strip()
+        drm = re.match(
+            r"^(?P<body>.+?\bDELETE\s+\w+)\s+RETURN\s+(?P<ret>.+)$",
+            stmt_s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if drm and _DELETE_RE.match(drm.group("body")):
+            # `… [DETACH] DELETE n RETURN count(*)` — the cleanup-report
+            # idiom. Neo4j refuses value projections of a deleted
+            # entity, so only count aggregates are admitted; the count
+            # runs over the PRE-delete match (Neo4j's bind-then-delete),
+            # materialized to one row before the store mutates.
+            if store is None:
+                raise ValueError("DELETE statement needs a GraphStore")
+            ret_s = drm.group("ret").strip()
+            if not re.match(
+                r"^count\s*\(\s*(?:\*|\w+)\s*\)(?:\s+AS\s+\w+)?\s*$",
+                ret_s,
+                re.IGNORECASE,
+            ):
+                raise CypherUnsupported(
+                    "DELETE … RETURN supports count(*) / count(alias) "
+                    "only (the entity is deleted; Neo4j refuses value "
+                    "projections of it too)"
+                )
+            dm2 = _DELETE_RE.match(drm.group("body"))
+            pre = run_cypher(
+                spark,
+                _unmask(f"{dm2.group('head')} RETURN {ret_s}", q_lits),
+                params,
+                store=store,
+            ).df
+            row = pre.collect()[0]
+            frozen = spark.createDataFrame([row], pre.schema)
+            summary = _run_text_delete(
+                spark, dm2, q_lits,
+                params if isinstance(params, dict) else None, store,
+            ).summary
+            return CypherResult(frozen, summary)
+        rrm = re.match(
+            r"^(?P<head>.+?)\s+REMOVE\s+"
+            r"(?P<items>\w+\s*[.:]\s*\w+(?:\s*,\s*\w+\s*[.:]\s*\w+)*)"
+            r"\s+RETURN\s+(?P<ret>.+)$",
+            stmt_s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if rrm:
+            # `MATCH … REMOVE n.p RETURN …` — erase-then-return: the
+            # erase runs first, then the MATCH prefix re-runs with the
+            # RETURN tail (post-remove values; removed props read NULL).
+            # A removed prop inside the match predicates would make the
+            # re-match diverge from Neo4j's bind-then-update — refused,
+            # same guard as SET…RETURN.
+            if store is None:
+                raise ValueError("REMOVE statement needs a GraphStore")
+            for it in _split_top_commas(rrm.group("items")):
+                pm_i = re.match(r"^\s*\w+\s*\.\s*(\w+)\s*$", it)
+                if pm_i and (
+                    re.search(
+                        rf"\.\s*{pm_i.group(1)}(?![\w$])", rrm.group("head")
+                    )
+                    or re.search(
+                        rf"(?<![\w$.]){pm_i.group(1)}\s*:", rrm.group("head")
+                    )
+                ):
+                    raise CypherUnsupported(
+                        f"REMOVE…RETURN where the removed property "
+                        f"{pm_i.group(1)!r} also appears in the match "
+                        "predicates is unsupported (the post-write "
+                        "re-match would diverge from bind-then-update)"
+                    )
+            rm2 = _REMOVE_RE.match(
+                f"{rrm.group('head')} REMOVE {rrm.group('items')}"
+            )
+            summary = _run_text_remove(
+                spark, rm2, q_lits,
+                params if isinstance(params, dict) else None, store,
+            ).summary
+            res = run_cypher(
+                spark,
+                _unmask(
+                    f"{rrm.group('head')} RETURN {rrm.group('ret')}", q_lits
+                ),
+                params,
+                store=store,
+            )
+            return CypherResult(res.df, summary)
         dm = _DELETE_RE.match(masked_q.strip())
         if dm:
             if store is None:
@@ -4756,35 +4855,69 @@ def _run_write(
         # (Neo4j's MERGE…RETURN a.prop idiom; prop names resolve through
         # the same key-aliasing as the read path)
         sel = []
-        proj_alias = None
+        proj_aliases: list[str] = []
         for item in returns:
             m2 = _RETURN_ITEM_RE.match(item.strip())
             if not m2 or m2.group("prop") is None:
                 raise CypherUnsupported(
                     "write RETURN supports one entity alias or property "
-                    f"projections of one alias: {returns!r}"
+                    f"projections of written aliases: {returns!r}"
                 )
             if m2.group("alias") not in nodes:
                 raise CypherUnsupported(
                     f"write RETURN references unbound alias "
                     f"{m2.group('alias')!r}"
                 )
-            if proj_alias is None:
-                proj_alias = m2.group("alias")
-            elif m2.group("alias") != proj_alias:
-                raise CypherUnsupported(
-                    "write RETURN projections must target one alias"
+            if m2.group("alias") not in proj_aliases:
+                proj_aliases.append(m2.group("alias"))
+            sel.append(
+                (
+                    m2.group("alias"),
+                    m2.group("prop"),
+                    m2.group("out") or m2.group("prop"),
                 )
-            sel.append((m2.group("prop"), m2.group("out") or m2.group("prop")))
-        np = nodes[proj_alias]
-        keys = pdf.select(_key_expr(np).alias("key")).distinct()
-        stored = (
-            store.nodes()
-            .filter(F.col("label") == np.label)
-            .join(keys, on="key", how="left_semi")
-        )
-        df = stored.select(
-            *[_prop_col(stored, "", prop).alias(out) for prop, out in sel]
+            )
+        if len(proj_aliases) == 1:
+            np = nodes[proj_aliases[0]]
+            keys = pdf.select(_key_expr(np).alias("key")).distinct()
+            stored = (
+                store.nodes()
+                .filter(F.col("label") == np.label)
+                .join(keys, on="key", how="left_semi")
+            )
+            df = stored.select(
+                *[
+                    _prop_col(stored, "", prop).alias(out)
+                    for _, prop, out in sel
+                ]
+            )
+            return CypherResult(df, total)
+        # multi-alias projection — `MATCH (a:…) MERGE (t:…) MERGE
+        # (a)-[:R]->(t) RETURN a.link, t.name`: each BATCH row pairs
+        # its own aliases' post-write stored rows, so every referenced
+        # alias LEFT-joins its label's store onto the batch frame by
+        # the row's key expression (prefix-mangled columns; one
+        # broadcast-sized join per alias — the batch is the small side)
+        base = pdf
+        for pa in proj_aliases:
+            np = nodes[pa]
+            stored = store.nodes().filter(F.col("label") == np.label)
+            if BUCKET_COL in stored.columns:
+                stored = stored.drop(BUCKET_COL)
+            st = stored.select(
+                *[F.col(c).alias(f"__wr_{pa}_{c}") for c in stored.columns]
+            )
+            base = base.join(
+                st,
+                _key_expr(np).cast("string")
+                == F.col(f"__wr_{pa}_key"),
+                "left",
+            )
+        df = base.select(
+            *[
+                _prop_col(base, f"__wr_{alias}_", prop).alias(out)
+                for alias, prop, out in sel
+            ]
         )
     return CypherResult(df, total)
 
@@ -7929,16 +8062,17 @@ def _run_read_inner(
                 continue
             m = _REL_RE.match(c.body)
             vl_lprops = vl_rprops = None
-            if m is None and "*" in c.body:
-                # var-length pattern with inline endpoint property maps
-                # — `(a:L {p: $v})-[:T*1..k]-(x)`: pop the maps (same
-                # sugar-for-WHERE fold the shortestPath forms use) and
-                # re-match
+            if m is None and re.search(r"\)\s*<?-", c.body):
+                # relationship pattern with inline endpoint property
+                # maps — `(a:L {p: $v})-[:T]->(x:M {q: $w})`, var-length
+                # included: pop the maps (same sugar-for-WHERE fold the
+                # shortestPath forms use) and re-match; the common tail
+                # below folds them into pushed predicates
                 vl_stripped, vl_lprops, vl_rprops = _strip_endpoint_props(
                     c.body
                 )
                 m2 = _REL_RE.match(vl_stripped)
-                if m2 is not None and m2.group("star"):
+                if m2 is not None:
                     m = m2
             if m:
                 sa = m.group("src_alias") or "a"

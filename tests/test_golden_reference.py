@@ -4227,13 +4227,22 @@ def test_text_write_return_projections(spark, tmp_path):
     ).df.collect()
     assert len(rows) == 1
 
-    for bad in (
+    # multi-alias projections pair per batch row (r16 batch 3)
+    rows = run_cypher(
+        spark,
         "MERGE (a:Article {link: $l}) MERGE (b:Tag {name: $t}) "
         "RETURN a.link, b.name",
-        "MERGE (a:Article {link: $l}) RETURN z.link",
-    ):
-        with pytest.raises(CypherUnsupported):
-            run_cypher(spark, bad, {"l": "a1", "t": "x"}, store=s)
+        {"l": "a1", "t": "x"},
+        store=s,
+    ).df.collect()
+    assert [tuple(r) for r in rows] == [("a1", "x")]
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) RETURN z.link",
+            {"l": "a1"},
+            store=s,
+        )
 
 
 def test_text_anchored_write_with_rel_on_match(spark, tmp_path):
@@ -8373,3 +8382,125 @@ def test_text_collect_whole_entity(spark, tmp_path):
     assert {r["n"]: len(r["arts"]) for r in rows} == {
         "NYT": 2, "BBC": 1, "NoArts": 0,
     }
+
+
+def test_text_inline_props_on_match_endpoints(spark, tmp_path):
+    """Inline property maps on PLAIN single-hop MATCH endpoints —
+    `MATCH (a:Article {link: 'l1'})-[:W]->(p:Publisher {name: 'BBC'})`
+    — fold into pushed equality predicates exactly like the
+    var-length/shortestPath/OPTIONAL forms (sugar for WHERE; Catalyst
+    pushes them into the label scans)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "inlp"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W {w: 1}]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+
+    def one(q, pm=None):
+        return run_cypher(spark, q, pm, store=s).df.collect()[0][0]
+
+    assert one(
+        "MATCH (a:Article)-[r:W]->(p:Publisher {name: 'BBC'}) "
+        "RETURN count(*) AS n"
+    ) == 1
+    assert one(
+        "MATCH (a:Article {link: 'l1'})-[:W]->(p:Publisher) "
+        "RETURN p.name AS n"
+    ) == "NYT"
+    # both endpoints + rel props + param values
+    assert one(
+        "MATCH (a:Article {link: $l})-[r:W {w: 1}]->(p:Publisher "
+        "{name: $p}) RETURN count(*) AS n",
+        {"l": "l2", "p": "BBC"},
+    ) == 1
+    # non-matching map → empty
+    assert one(
+        "MATCH (a:Article {link: 'l1'})-[:W]->(p:Publisher "
+        "{name: 'BBC'}) RETURN count(*) AS n"
+    ) == 0
+
+
+def test_text_write_return_multi_alias_and_ddl_noops(spark, tmp_path):
+    """Write-RETURN projections across MULTIPLE written aliases pair
+    per batch row (`MERGE (a…) MERGE (t…) … RETURN a.link, t.name`);
+    CREATE/DROP INDEX|CONSTRAINT are acknowledged no-ops (the store
+    has no secondary indexes — scans are partition-pruned)."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "wrma"))
+    run_cypher(spark, "CREATE (a:Article {link: 'l1'})", store=s)
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MERGE (t:Tag {name: 'z'}) "
+        "MERGE (a)-[r:TAGGED]->(t) RETURN a.link AS l, t.name AS n",
+        store=s,
+    )
+    assert [tuple(r) for r in res.df.collect()] == [("l1", "z")]
+    res = run_cypher(
+        spark,
+        "UNWIND [{l:'u1', t:'t1'}, {l:'u2', t:'t2'}] AS row "
+        "MERGE (a:Article {link: row.l}) MERGE (t:Tag {name: row.t}) "
+        "MERGE (a)-[:TAGGED]->(t) RETURN a.link AS l, t.name AS n",
+        store=s,
+    )
+    assert sorted(tuple(r) for r in res.df.collect()) == [
+        ("u1", "t1"), ("u2", "t2"),
+    ]
+    # DDL no-ops succeed with empty summaries
+    for ddl in (
+        "CREATE INDEX FOR (n:Article) ON (n.link)",
+        "DROP INDEX some_index IF EXISTS",
+        "CREATE CONSTRAINT FOR (n:Article) REQUIRE n.link IS UNIQUE",
+    ):
+        res = run_cypher(spark, ddl, store=s)
+        assert res.df is None and res.summary.nodes_created == 0
+
+
+def test_text_delete_remove_with_return(spark, tmp_path):
+    """`DETACH DELETE n RETURN count(*)` reports the PRE-delete matched
+    count (bind-then-delete, frozen before the store mutates);
+    `REMOVE n.p RETURN …` re-matches post-erase (removed props read
+    NULL); a removed prop inside the match predicates refuses."""
+    from neo4j_graphdb_spark.operators.cypher_text import (
+        CypherUnsupported,
+        run_cypher,
+    )
+
+    s = GraphStore(spark, str(tmp_path / "delret"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC"), ("l3", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) SET a.flag = 1 "
+            "MERGE (p:Publisher {name: $p}) MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article) REMOVE a.flag RETURN a.link AS l, a.flag AS f",
+        store=s,
+    )
+    assert sorted(tuple(r) for r in res.df.collect()) == [
+        ("l1", None), ("l2", None), ("l3", None),
+    ]
+    assert res.summary.properties_set == 3
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article)-[r:W]->(p:Publisher {name: 'BBC'}) "
+        "DETACH DELETE a RETURN count(*) AS n",
+        store=s,
+    )
+    assert [tuple(r) for r in res.df.collect()] == [(2,)]
+    assert res.summary.nodes_deleted == 2
+    with pytest.raises(CypherUnsupported, match="match predicates"):
+        run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE a.x = 1 REMOVE a.x RETURN a.link AS l",
+            store=s,
+        )
