@@ -7111,6 +7111,8 @@ def _run_read_inner(
     temporal_srcs: list = []  # the sentinels' original source text
     exists_preds: list = []  # (alias, rel_type, direction, dst_label,
     #   negated, src_label, dst_alias, inner_where) — _extract_exists
+    exists_markers: list = []  # pattern texts behind __xmark<i> columns
+    #   (EXISTS under OR — compiled to per-row boolean marker joins)
     in_with = False  # inside a non-aggregating WITH segment
     with_narrowed = False  # a mid-pipeline SKIP/LIMIT shrank the row set
     with_order: list = []  # mid-pipeline sort Columns pending a LIMIT/SKIP
@@ -7201,6 +7203,77 @@ def _run_read_inner(
             )
         expr_predicates.clear()
 
+        for mi, mpat in enumerate(exists_markers):
+            # EXISTS under OR — per-row boolean marker: the distinct
+            # qualifying sources LEFT-join a True flag onto the frame
+            # (the EXISTS-as-VALUE shape), and the rewritten WHERE body
+            # reads the `__xmark<i>` column as an ordinary boolean leaf.
+            # Restricted to the bound-bare-source / anonymous-target
+            # form the value path supports; richer shapes keep the
+            # conjunct-only refusal.
+            xm_pat, xm_lp, xm_rp = _strip_endpoint_props(
+                re.sub(r"^MATCH\s+", "", mpat, flags=re.IGNORECASE)
+            )
+            pm_x = _REL_RE.match(xm_pat)
+            if not pm_x or pm_x.group("star"):
+                raise CypherUnsupported(
+                    f"unsupported EXISTS pattern under OR: {mpat!r}"
+                )
+            ea = pm_x.group("src_alias")
+            if not ea or pm_x.group("src_label") or xm_lp or ea not in aliases:
+                raise CypherUnsupported(
+                    "EXISTS under OR needs a bound bare source alias"
+                )
+            if pm_x.group("dst_alias"):
+                raise CypherUnsupported(
+                    "EXISTS under OR needs an anonymous target: () or (:L)"
+                )
+            from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+            xe = _cy_rel_filter(
+                graph.edges_df, _rel_types(pm_x.group("rel_type"))
+            )
+            for prop, raw in _parse_value_props(pm_x.group("rel_props")):
+                xe = (
+                    xe.filter(
+                        F.col(prop) == F.lit(_where_value(raw, lits, params))
+                    )
+                    if prop in xe.columns
+                    else xe.filter(F.lit(False))
+                )
+            xe = _orient_edges(xe, _rel_direction(pm_x))
+            if pm_x.group("dst_label") is not None or xm_rp:
+                tgt_scan = graph.match(_node_labels(pm_x.group("dst_label")))
+                for prop, raw in _parse_value_props(xm_rp):
+                    tgt_scan = tgt_scan.filter(
+                        _prop_col(tgt_scan, "", prop)
+                        == F.lit(_where_value(raw, lits, params))
+                    )
+                xe = xe.join(
+                    tgt_scan.select(F.col(NODE_ID).alias("_xmid")),
+                    xe["dst"] == F.col("_xmid"),
+                    "left_semi",
+                )
+            marks = (
+                xe.select(F.col("src").alias("_xmsrc"))
+                .distinct()
+                .withColumn(f"__xmark{mi}", F.lit(True))
+            )
+            src_id = (
+                F.col(f"{aliases[ea]}{NODE_ID}")
+                if aliases[ea]
+                else F.col(NODE_ID)
+            )
+            df = df.join(marks, src_id == F.col("_xmsrc"), "left").drop(
+                "_xmsrc"
+            )
+            df = df.withColumn(
+                f"__xmark{mi}",
+                F.coalesce(F.col(f"__xmark{mi}"), F.lit(False)),
+            )
+        had_markers = bool(exists_markers)
+        exists_markers.clear()
+
         if where_exprs:
             # resolve each boolean AST to one filter Column: leaves reuse the
             # simple path's column/value resolution, connectives map to
@@ -7245,6 +7318,13 @@ def _run_read_inner(
 
             for node in where_exprs:
                 df = df.filter(_walk(node))
+
+        if had_markers:
+            # the marker flags served their filters — drop them so they
+            # never leak into RETURN * or downstream projections
+            df = df.drop(
+                *[c for c in df.columns if c.startswith("__xmark")]
+            )
 
         for (
             sa, rel_type, direction, dst_label, negated,
@@ -8579,9 +8659,33 @@ def _run_read_inner(
                 # pattern-existence predicates: `[NOT] EXISTS { (a)-[:T]->(:L) }`
                 # compile to LEFT SEMI / LEFT ANTI joins, so they are
                 # extracted as top-level AND conjuncts BEFORE the boolean
-                # grammar sees the body (a join is not a Column; under OR
-                # it cannot compose — rejected below)
-                body = _extract_exists(body, exists_preds)
+                # grammar sees the body. Under OR a join cannot compose —
+                # those occurrences rewrite to boolean MARKER columns
+                # (`__xmark<i>` — the EXISTS-as-VALUE flag join) that the
+                # boolean grammar then treats as ordinary leaves.
+                try:
+                    ex_tmp: list = []
+                    body2 = _extract_exists(body, ex_tmp)
+                    exists_preds.extend(ex_tmp)
+                    body = body2
+                except CypherUnsupported as ex_err:
+                    if "cannot sit under OR" not in str(ex_err):
+                        raise
+                    def _xmark(mm: re.Match) -> str:
+                        idx = len(exists_markers)
+                        exists_markers.append(mm.group("pat").strip())
+                        return (
+                            ("NOT " if mm.group("neg") else "")
+                            + f"__xmark{idx}"
+                        )
+
+                    body = re.sub(
+                        r"(?P<neg>(?<![.$\w])NOT\s+)?(?<![.$\w])EXISTS"
+                        r"\s*\{(?P<pat>(?:[^{}]|\{[^{}]*\})*)\}",
+                        _xmark,
+                        body,
+                        flags=re.IGNORECASE,
+                    )
                 if not body:
                     continue
             if "datetime" in body.lower():

@@ -8504,3 +8504,55 @@ def test_text_delete_remove_with_return(spark, tmp_path):
             "MATCH (a:Article) WHERE a.x = 1 REMOVE a.x RETURN a.link AS l",
             store=s,
         )
+
+
+def test_text_exists_under_or(spark, tmp_path):
+    """EXISTS pattern predicates UNDER OR — `WHERE EXISTS { (a)-[:W]->
+    (:Publisher {name:'NYT'}) } OR a.link = 'orphan'` — compile to
+    per-row boolean MARKER columns (the EXISTS-as-VALUE flag join)
+    instead of refusing; conjunct-position EXISTS keeps the semi/anti
+    join, and the marker columns never leak into RETURN *."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "xor"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    run_cypher(spark, "CREATE (a:Article {link: 'orphan'})", store=s)
+
+    def rows(q):
+        return sorted(
+            tuple(r) for r in run_cypher(spark, q, store=s).df.collect()
+        )
+
+    assert rows(
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->(:Publisher "
+        "{name:'NYT'}) } OR a.link = 'orphan' RETURN a.link AS l"
+    ) == [("l1",), ("orphan",)]
+    assert rows(
+        "MATCH (a:Article) WHERE NOT EXISTS { (a)-[:W]->() } "
+        "OR a.link = 'l2' RETURN a.link AS l"
+    ) == [("l2",), ("orphan",)]
+    assert rows(
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->(:Publisher "
+        "{name:'NYT'}) } OR EXISTS { (a)-[:W]->(:Publisher "
+        "{name:'BBC'}) } RETURN a.link AS l"
+    ) == [("l1",), ("l2",)]
+    # conjunct position still the semi-join path
+    assert rows(
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->(:Publisher) } "
+        "RETURN count(*) AS c"
+    ) == [(2,)]
+    # markers don't leak into RETURN *
+    cols = run_cypher(
+        spark,
+        "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->() } "
+        "OR a.link = 'orphan' RETURN *",
+        store=s,
+    ).df.columns
+    assert not [c for c in cols if c.startswith("__xmark")]
