@@ -1127,7 +1127,8 @@ class CypherResult:
 
 
 _DELETE_RE = re.compile(
-    r"^(?P<head>.+?)\s+(?P<detach>DETACH\s+)?DELETE\s+(?P<alias>\w+)\s*$",
+    r"^(?P<head>.+?)\s+(?P<detach>DETACH\s+)?DELETE\s+"
+    r"(?P<alias>\w+(?:\s*,\s*\w+)*)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1324,7 +1325,11 @@ def _rel_head(head_clauses, alias):
     for c in head_clauses:
         if c.kind != "MATCH":
             continue
-        rm2 = _REL_RE.match(c.body)
+        # inline endpoint property maps are legal on the head (they
+        # compile to pushed predicates in the read pass) — the SHAPE
+        # detection runs on the props-stripped text
+        body2, _rl, _rr = _strip_endpoint_props(c.body)
+        rm2 = _REL_RE.match(body2)
         if rm2 and rm2.group("rel_alias") == alias:
             if rm2.group("star"):
                 raise CypherUnsupported(
@@ -1505,13 +1510,80 @@ def _run_text_delete(spark, dm, lits, params, store) -> CypherResult:
     if nodes is None:
         return CypherResult(None, WriteSummary())
     g = _store_graph(store, nodes)
+    if "," in alias:
+        # `[DETACH] DELETE r, b` / `DELETE a, b` — multi-target delete:
+        # every target's doom keys pin from ONE pre-delete head read
+        # (Neo4j binds once, then deletes atomically — sequential
+        # re-matching would lose later targets once earlier deletions
+        # shrink the match), then deletes apply relationship targets
+        # FIRST (so a plain-DELETE node whose edges die in the same
+        # statement passes the incident-edge check, exactly Neo4j).
+        targets = [a.strip() for a in alias.split(",")]
+        detach = dm.group("detach") is not None
+        rel_heads = {}
+        for t in targets:
+            rh = _rel_head(head_clauses, t)
+            if rh is not None:
+                if detach:
+                    raise CypherUnsupported(
+                        "DETACH applies to nodes, not relationships"
+                    )
+                rel_heads[t] = rh
+        plans = []
+        sel: list[str] = []
+        for gi, t in enumerate(targets):
+            if t in rel_heads:
+                rel_type, sa2, da2, s_label, d_label = rel_heads[t]
+                if not s_label or not d_label:
+                    raise CypherUnsupported(
+                        "multi-target DELETE needs labeled rel endpoints"
+                    )
+                sel += [f"{sa2}.key AS __d{gi}s", f"{da2}.key AS __d{gi}d"]
+                plans.append(("rel", rel_type, s_label, d_label, gi))
+            else:
+                lb = _node_endpoint_label(head_clauses, t)
+                if lb is None:
+                    lb = _head_match(head_clauses, t)
+                sel.append(f"{t}.key AS __d{gi}")
+                plans.append(("node", lb, gi))
+        upd_clauses, upd_lits = split_clauses_masked(
+            unmask(dm.group("head")) + " RETURN " + ", ".join(sel)
+        )
+        doomed = _run_read(upd_clauses, g, upd_lits, params).persist()
+        try:
+            summary = WriteSummary()
+            # relationships first, then nodes
+            for plan in [p for p in plans if p[0] == "rel"] + [
+                p for p in plans if p[0] == "node"
+            ]:
+                if plan[0] == "rel":
+                    _, rel_type, s_label, d_label, gi = plan
+                    summary = summary + store.delete_edges(
+                        doomed.select(
+                            F.col(f"__d{gi}s").alias("_sk"),
+                            F.col(f"__d{gi}d").alias("_dk"),
+                        ),
+                        rel_type, s_label, "_sk", d_label, "_dk",
+                    )
+                else:
+                    _, lb, gi = plan
+                    summary = summary + store.delete_nodes(
+                        doomed.select(F.col(f"__d{gi}").alias("_k")),
+                        label=lb, key_col="_k", detach=detach,
+                    )
+        finally:
+            doomed.unpersist()
+        return CypherResult(None, summary)
     # `MATCH (a:L1)-[r:T]->(b:L2) [WHERE …] DELETE r` — relationship
     # deletion: the head resolves through the read path, endpoint keys
     # feed the batch edge delete (nodes untouched)
     for c in head_clauses:
         if c.kind != "MATCH":
             continue
-        rm2 = _REL_RE.match(c.body)
+        # shape detection on the props-stripped text (inline endpoint
+        # maps push as read predicates; see _rel_head)
+        body2, _dl, _dr = _strip_endpoint_props(c.body)
+        rm2 = _REL_RE.match(body2)
         if rm2 and rm2.group("rel_alias") == alias:
             if dm.group("detach"):
                 raise CypherUnsupported(

@@ -8556,3 +8556,52 @@ def test_text_exists_under_or(spark, tmp_path):
         store=s,
     ).df.columns
     assert not [c for c in cols if c.startswith("__xmark")]
+
+
+def test_text_multi_target_delete(spark, tmp_path):
+    """`[DETACH] DELETE a, b` / `DELETE r, b` — multi-target delete:
+    every target's doom keys pin from ONE pre-delete read (bind once,
+    then delete), relationships delete FIRST so a plain-DELETE node
+    whose edges die in the same statement passes the incident-edge
+    check; a node still holding OTHER edges refuses the statement."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    def fresh(tag):
+        s = GraphStore(spark, str(tmp_path / tag))
+        for i in (1, 2):
+            run_cypher(
+                spark,
+                f"MERGE (a:A {{k:'a{i}'}}) MERGE (b:B {{k:'b{i}'}}) "
+                "MERGE (a)-[:R]->(b)",
+                store=s,
+            )
+        return s
+
+    s = fresh("d1")
+    res = run_cypher(
+        spark, "MATCH (a:A {k:'a1'})-[r:R]->(b:B) DETACH DELETE a, b",
+        store=s,
+    )
+    assert res.summary.nodes_deleted == 2
+    assert res.summary.relationships_deleted == 1
+    assert run_cypher(
+        spark, "MATCH (a:A)-[r:R]->(b:B) RETURN count(*) AS c", store=s
+    ).df.collect()[0][0] == 1
+
+    s = fresh("d2")
+    res = run_cypher(
+        spark, "MATCH (a:A {k:'a1'})-[r:R]->(b:B) DELETE r, b", store=s
+    )
+    assert res.summary.nodes_deleted == 1
+    assert res.summary.relationships_deleted == 1
+
+    s = fresh("d3")
+    run_cypher(
+        spark,
+        "MATCH (a:A {k:'a1'}) MERGE (c:C {k:'c1'}) MERGE (a)-[:S]->(c)",
+        store=s,
+    )
+    with pytest.raises(ValueError, match="DETACH"):
+        run_cypher(
+            spark, "MATCH (a:A {k:'a1'})-[r:R]->(b:B) DELETE r, a", store=s
+        )
