@@ -4156,13 +4156,10 @@ def _derive_write_batch(
         for c in prefix
     ):
         return None
-    # the anchored-write path owns key-prop MATCH prefixes with no
-    # WHERE/WITH: `MATCH (a:L {k: $p}) MERGE (a)-[:T]->(…)`
-    if all(
+    anchored_shape = all(
         c.kind in ("MATCH", "OPTIONAL_MATCH") and "{" in c.body
         for c in prefix
-    ):
-        return None
+    )
     # read-bound aliases: node aliases in the prefix patterns, plus the
     # last WITH's output names (flat columns)
     read_aliases: set[str] = set()
@@ -4186,6 +4183,13 @@ def _derive_write_batch(
                     (mm.group(1), mm.group(2)),
                     f"__w_{mm.group(1)}_{mm.group(2)}",
                 )
+    # the anchored-write path owns key-prop MATCH prefixes with no
+    # WHERE/WITH — `MATCH (a:L {k: $p}) MERGE (a)-[:T]->(…)` — UNLESS
+    # the suffix reads a prefix alias's PROPERTY (`MERGE (y:Year
+    # {y: a.year})`): that derive-then-upsert shape needs the read
+    # compiler, so it stays here
+    if anchored_shape and not refs:
+        return None
     bare: set[str] = set()
     for c in suffix:
         for nm in re.findall(r"(?<![\w$.])(\w+)(?![\w$.(])", c.body):

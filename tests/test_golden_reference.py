@@ -8605,3 +8605,47 @@ def test_text_multi_target_delete(spark, tmp_path):
         run_cypher(
             spark, "MATCH (a:A {k:'a1'})-[r:R]->(b:B) DELETE r, a", store=s
         )
+
+
+def test_text_anchored_derived_write(spark, tmp_path):
+    """A key-prop-anchored MATCH feeding a MERGE that READS the
+    anchor's properties — `MATCH (a:Article {link: 'l1'}) MERGE
+    (y:Year {y: a.year})` — routes through the derived-write read
+    compiler (the anchored fast path owns only suffixes that never
+    read prefix props); plain anchored rel writes keep the fast
+    path."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "adw"))
+    for l, y in [("l1", 2020), ("l2", 2021)]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) SET a.year = $y",
+            {"l": l, "y": y},
+            store=s,
+        )
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MERGE (y:Year {y: a.year})",
+        store=s,
+    )
+    assert res.summary.nodes_created == 1
+    assert [
+        r["y"]
+        for r in run_cypher(
+            spark, "MATCH (y:Year) RETURN y.y AS y", store=s
+        ).df.collect()
+    ] == ["2020"]
+    # anchored rel write (no prop reads) keeps the anchor fast path
+    res = run_cypher(
+        spark,
+        "MATCH (a:Article {link: 'l1'}) MERGE (t:Tag {name: 'x'}) "
+        "MERGE (a)-[:TAGGED]->(t)",
+        store=s,
+    )
+    assert res.summary.relationships_created == 1
+    # unanchored derive unchanged
+    res = run_cypher(
+        spark, "MATCH (a:Article) MERGE (y:Year {y: a.year})", store=s
+    )
+    assert res.summary.nodes_created == 1  # 2021 new, 2020 exists
