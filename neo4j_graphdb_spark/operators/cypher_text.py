@@ -7119,6 +7119,139 @@ def _split_multi_hop(body: str):
     return out
 
 
+def _compile_pattern_comp(pcm, df, graph, aliases, lits, params):
+    """Compile one pattern-comprehension item — ``[(a)-[:T]->(x)
+    [WHERE …] | x.prop] AS xs`` (optionally size()-wrapped) — onto
+    the frame: ONE aggregation on the edge side grouped by the
+    source node id, LEFT-joined back (never a fan-out). Returns
+    ``(df, column, out_name)``. Shared by the RETURN-item and WITH
+    projection paths."""
+    # pattern comprehension `[(a)-[:T]->(x) | x.prop] AS xs`
+    # (openCypher §3.10), optionally wrapped in size(). Compiles
+    # like COUNT {…}: ONE aggregation on the edge side grouped
+    # by the source node id, then a broadcastable left join —
+    # never a fan-out of the main frame. The collected list is
+    # sort_array'd: Neo4j leaves comprehension order undefined,
+    # a canonical order makes results partitioning-independent.
+    pc_pat = pcm.group("pat").strip()
+    pc_where = None
+    pc_wsp = re.split(
+        r"\s+WHERE\s+", pc_pat, maxsplit=1, flags=re.IGNORECASE
+    )
+    if len(pc_wsp) == 2:
+        # `[(p)<-[:W]-(a) WHERE a.year > 2019 | a.link]` — the
+        # filtered comprehension; conjuncts on the TARGET alias
+        # plant as filters into its label scan below
+        pc_pat, pc_where = pc_wsp[0].strip(), pc_wsp[1].strip()
+    pm = _REL_RE.match(pc_pat)
+    if not pm:
+        raise CypherUnsupported(
+            f"unsupported comprehension pattern: {pcm.group('pat')!r}"
+        )
+    if pm.group("star") or pm.group("rel_props"):
+        raise CypherUnsupported(
+            "variable-length / property patterns are unsupported "
+            "in pattern comprehensions"
+        )
+    ca = pm.group("src_alias")
+    da = pm.group("dst_alias")
+    pc_dir = _rel_direction(pm)
+    pc_new_label = pm.group("dst_label")
+    if ca and not pm.group("src_label") and ca in aliases:
+        pass  # canonical: bound bare alias on the source side
+    elif (
+        da
+        and not pm.group("dst_label")
+        and da in aliases
+        and ca not in aliases
+    ):
+        # bound alias on the TARGET side — `[(x:L)-[:T]->(p) |
+        # x.prop]` with p bound: flip to the canonical
+        # orientation (same rows once the direction reverses)
+        ca, da = da, ca
+        pc_new_label = pm.group("src_label")
+        pc_dir = {"out": "in", "in": "out"}.get(pc_dir, "both")
+    else:
+        raise CypherUnsupported(
+            "pattern comprehensions must anchor one BARE endpoint "
+            "on a bound alias"
+        )
+    prm = re.fullmatch(
+        r"(?P<a>\w+)\.(?P<p>\w+)", pcm.group("proj").strip()
+    )
+    if not da or not prm or prm.group("a") != da:
+        raise CypherUnsupported(
+            "pattern-comprehension projection must be "
+            "<target alias>.<property>"
+        )
+    from neo4j_graphdb_spark.operators.cypher import _orient_edges
+
+    ce = graph.edges_df
+    ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
+    ce = _orient_edges(ce, pc_dir)
+    dstn = graph.match(_node_labels(pc_new_label))
+    if pc_where:
+        for conj in _split_top_and(pc_where):
+            wm2 = _WHERE_ITEM_RE.match(conj.strip())
+            if not wm2 or wm2.group("alias") != da:
+                raise CypherUnsupported(
+                    "pattern-comprehension WHERE supports simple "
+                    "target-alias conjuncts (<target>.<prop> <op> "
+                    "<value>)"
+                )
+            wcol = _prop_col(dstn, "", wm2.group("prop"))
+            if wm2.group("op").upper() == "IN":
+                dstn = dstn.filter(
+                    _isin(
+                        wcol,
+                        _in_list_values(wm2.group("val"), lits, params),
+                    )
+                )
+            else:
+                dstn = dstn.filter(
+                    _op_fn(wm2.group("op"))(
+                        wcol,
+                        F.lit(
+                            _where_value(wm2.group("val"), lits, params)
+                        ),
+                    )
+                )
+    # key-name fallback, same convention as _prop_col: an
+    # unknown property name reads the storage key column
+    prop = prm.group("p") if prm.group("p") in dstn.columns else "key"
+    name = pcm.group("out")
+    if not name:
+        raise CypherUnsupported(
+            "pattern comprehensions need an AS alias"
+        )
+    side = (
+        ce.join(
+            dstn.select(
+                F.col(NODE_ID).alias("_pcid"),
+                F.col(prop).alias("_pcval"),
+            ),
+            ce["dst"] == F.col("_pcid"),
+        )
+        .groupBy(F.col("src").alias("_pcsrc"))
+        .agg(F.sort_array(F.collect_list("_pcval")).alias(f"_pcl_{name}"))
+    )
+    src_id = (
+        F.col(f"{aliases[ca]}{NODE_ID}") if aliases[ca] else F.col(NODE_ID)
+    )
+    df = df.join(side, src_id == F.col("_pcsrc"), "left").drop("_pcsrc")
+    arr_dt = dict(side.dtypes)[f"_pcl_{name}"]
+    filled = F.coalesce(
+        F.col(f"_pcl_{name}"), F.lit(None).cast(arr_dt)
+    )
+    if pcm.group("size"):
+        e = F.coalesce(F.size(filled), F.lit(0)).cast("bigint")
+    else:
+        e = F.coalesce(
+            filled, F.expr(f"cast(array() as {arr_dt})")
+        )
+    return df, e, name
+
+
 def _run_read(
     clauses: list[_Clause],
     graph: Graph,
@@ -8873,11 +9006,22 @@ def _run_read_inner(
             for raw, carried in with_exprs:
                 if carried is not None:
                     computed_cols.append(F.col(carried))
-                else:
-                    e, nm = _compile_return_expr(
-                        raw, df, aliases, rel_alias, lits, params
+                    continue
+                pcm_w = _PAT_COMP_RE.match(raw)
+                if pcm_w:
+                    # pattern comprehension as a WITH projection —
+                    # `WITH p, [(p)<-[:W]-(a) | a.link] AS links`:
+                    # same side-aggregation join as the RETURN form;
+                    # the helper's join column drops with the horizon
+                    df, e, nm = _compile_pattern_comp(
+                        pcm_w, df, graph, aliases, lits, params
                     )
                     computed_cols.append(e.alias(nm))
+                    continue
+                e, nm = _compile_return_expr(
+                    raw, df, aliases, rel_alias, lits, params
+                )
+                computed_cols.append(e.alias(nm))
             keep_prefixes = [aliases[it] for it in keep]
             if "" not in keep_prefixes:
                 cols = [
@@ -9211,93 +9355,9 @@ def _run_read_inner(
             continue
         pcm = _PAT_COMP_RE.match(item)
         if pcm:
-            # pattern comprehension `[(a)-[:T]->(x) | x.prop] AS xs`
-            # (openCypher §3.10), optionally wrapped in size(). Compiles
-            # like COUNT {…}: ONE aggregation on the edge side grouped
-            # by the source node id, then a broadcastable left join —
-            # never a fan-out of the main frame. The collected list is
-            # sort_array'd: Neo4j leaves comprehension order undefined,
-            # a canonical order makes results partitioning-independent.
-            pm = _REL_RE.match(pcm.group("pat").strip())
-            if not pm:
-                raise CypherUnsupported(
-                    f"unsupported comprehension pattern: {pcm.group('pat')!r}"
-                )
-            if pm.group("star") or pm.group("rel_props"):
-                raise CypherUnsupported(
-                    "variable-length / property patterns are unsupported "
-                    "in pattern comprehensions"
-                )
-            ca = pm.group("src_alias")
-            da = pm.group("dst_alias")
-            pc_dir = _rel_direction(pm)
-            pc_new_label = pm.group("dst_label")
-            if ca and not pm.group("src_label") and ca in aliases:
-                pass  # canonical: bound bare alias on the source side
-            elif (
-                da
-                and not pm.group("dst_label")
-                and da in aliases
-                and ca not in aliases
-            ):
-                # bound alias on the TARGET side — `[(x:L)-[:T]->(p) |
-                # x.prop]` with p bound: flip to the canonical
-                # orientation (same rows once the direction reverses)
-                ca, da = da, ca
-                pc_new_label = pm.group("src_label")
-                pc_dir = {"out": "in", "in": "out"}.get(pc_dir, "both")
-            else:
-                raise CypherUnsupported(
-                    "pattern comprehensions must anchor one BARE endpoint "
-                    "on a bound alias"
-                )
-            prm = re.fullmatch(
-                r"(?P<a>\w+)\.(?P<p>\w+)", pcm.group("proj").strip()
+            df, e, name = _compile_pattern_comp(
+                pcm, df, graph, aliases, lits, params
             )
-            if not da or not prm or prm.group("a") != da:
-                raise CypherUnsupported(
-                    "pattern-comprehension projection must be "
-                    "<target alias>.<property>"
-                )
-            from neo4j_graphdb_spark.operators.cypher import _orient_edges
-
-            ce = graph.edges_df
-            ce = _cy_rel_filter(ce, _rel_types(pm.group("rel_type")))
-            ce = _orient_edges(ce, pc_dir)
-            dstn = graph.match(_node_labels(pc_new_label))
-            # key-name fallback, same convention as _prop_col: an
-            # unknown property name reads the storage key column
-            prop = prm.group("p") if prm.group("p") in dstn.columns else "key"
-            name = pcm.group("out")
-            if not name:
-                raise CypherUnsupported(
-                    "pattern comprehensions need an AS alias"
-                )
-            side = (
-                ce.join(
-                    dstn.select(
-                        F.col(NODE_ID).alias("_pcid"),
-                        F.col(prop).alias("_pcval"),
-                    ),
-                    ce["dst"] == F.col("_pcid"),
-                )
-                .groupBy(F.col("src").alias("_pcsrc"))
-                .agg(F.sort_array(F.collect_list("_pcval")).alias(f"_pcl_{name}"))
-            )
-            src_id = (
-                F.col(f"{aliases[ca]}{NODE_ID}") if aliases[ca] else F.col(NODE_ID)
-            )
-            df = df.join(side, src_id == F.col("_pcsrc"), "left").drop("_pcsrc")
-            arr_dt = dict(side.dtypes)[f"_pcl_{name}"]
-            filled = F.coalesce(
-                F.col(f"_pcl_{name}"), F.lit(None).cast(arr_dt)
-            )
-            if pcm.group("size"):
-                e = F.coalesce(F.size(filled), F.lit(0)).cast("bigint")
-            else:
-                e = F.coalesce(
-                    filled, F.expr(f"cast(array() as {arr_dt})")
-                )
             out_cols.append(e.alias(name))
             out_exprs[name] = e
             out_names.append(name)

@@ -8649,3 +8649,43 @@ def test_text_anchored_derived_write(spark, tmp_path):
         spark, "MATCH (a:Article) MERGE (y:Year {y: a.year})", store=s
     )
     assert res.summary.nodes_created == 1  # 2021 new, 2020 exists
+
+
+def test_text_pattern_comprehension_where_and_with(spark, tmp_path):
+    """Pattern comprehensions take an inner WHERE (`[(p)<-[:W]-(a)
+    WHERE a.year > 2019 | a.link]` — conjuncts plant into the target
+    label scan) and compose as WITH projections (`WITH p, […] AS
+    links`), sharing one side-aggregation compile with the RETURN
+    form."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "pcwf"))
+    for l, p, y in [
+        ("l1", "NYT", 2020), ("l2", "NYT", 2021), ("l3", "BBC", 2019),
+    ]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) SET a.year = $y "
+            "MERGE (p:Publisher {name: $p}) MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p, "y": y},
+            store=s,
+        )
+
+    def rows(q):
+        return sorted(
+            tuple(r) for r in run_cypher(spark, q, store=s).df.collect()
+        )
+
+    assert rows(
+        "MATCH (p:Publisher) RETURN p.name AS n, "
+        "[(p)<-[:W]-(a) WHERE a.year > 2019 | a.link] AS links"
+    ) == [("BBC", []), ("NYT", ["l1", "l2"])]
+    assert rows(
+        "MATCH (p:Publisher) WITH p, [(p)<-[:W]-(a) | a.link] AS links "
+        "RETURN p.name AS n, size(links) AS deg"
+    ) == [("BBC", 1), ("NYT", 2)]
+    assert rows(
+        "MATCH (p:Publisher) WITH p, "
+        "[(p)<-[:W]-(a) WHERE a.year >= 2021 | a.link] AS links "
+        "RETURN p.name AS n, links"
+    ) == [("BBC", []), ("NYT", ["l2"])]
