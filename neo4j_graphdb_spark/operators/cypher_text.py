@@ -9375,20 +9375,52 @@ def _run_read_inner(
                     f"map projection on unbound alias: {alias!r}"
                 )
             entries = [
-                f.strip() for f in mp.group("fields").split(",") if f.strip()
+                f.strip()
+                for f in _split_top_commas(mp.group("fields"))
+                if f.strip()
             ]
             if not entries:
                 raise CypherUnsupported("empty map projection")
             cols = []
             for f in entries:
                 fm2 = re.fullmatch(r"\.\s*(\w+)", f)
-                if not fm2:
-                    raise CypherUnsupported(
-                        "map projection supports .prop entries only "
-                        f"(no .*, variables, or literal entries): {f!r}"
+                if fm2:
+                    prop = fm2.group(1)
+                    cols.append(
+                        _prop_col(df, aliases[alias], prop).alias(prop)
                     )
-                prop = fm2.group(1)
-                cols.append(_prop_col(df, aliases[alias], prop).alias(prop))
+                    continue
+                if f == ".*":
+                    # all-properties spread — every stored prop column
+                    # of the alias (the merge key included; node id /
+                    # label bookkeeping excluded), sorted for a
+                    # deterministic field order
+                    pre = aliases[alias]
+                    mp_skip = {NODE_ID, "label", EXTRA_LABELS}
+                    spread = sorted(
+                        c0[len(pre):] if pre else c0
+                        for c0 in df.columns
+                        if (not pre or c0.startswith(pre))
+                        and (c0[len(pre):] if pre else c0) not in mp_skip
+                    )
+                    cols.extend(
+                        F.col(f"{pre}{p0}").alias(p0) for p0 in spread
+                    )
+                    continue
+                km2 = re.match(r"^(\w+)\s*:\s*(.+)$", f, re.DOTALL)
+                if km2:
+                    # computed entry `era: a.year - 2000` — any scalar
+                    # expression over the bound frame
+                    ec, _ = _compile_scalar(
+                        _parse_scalar_expr(km2.group(2).strip()),
+                        df, aliases, rel_alias, lits, params,
+                    )
+                    cols.append(ec.alias(km2.group(1)))
+                    continue
+                raise CypherUnsupported(
+                    "map projection entries are .prop, .*, or "
+                    f"key: <expr> — got {f!r}"
+                )
             name = mp.group("out") or alias
             e = F.struct(*cols)
             out_cols.append(e.alias(name))

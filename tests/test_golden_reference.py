@@ -1433,13 +1433,15 @@ def test_text_exists_pattern_predicate(spark, text_store):
         store=text_store,
     ).df
     assert none.count() == 0
-    with pytest.raises(CypherUnsupported):
-        run_cypher(
-            spark,
-            "MATCH (u:User) WHERE EXISTS { (u)-[:X]->() } OR u.name = 'a' "
-            "RETURN u.name AS name",
-            store=text_store,
-        )
+    # EXISTS under OR compiles to a boolean marker join (r16 batch 3):
+    # no user has an :X edge, so the OR's second arm selects Beomzh
+    orx = run_cypher(
+        spark,
+        "MATCH (u:User) WHERE EXISTS { (u)-[:X]->() } OR u.name = 'Beomzh' "
+        "RETURN u.name AS name",
+        store=text_store,
+    ).df
+    assert [r["name"] for r in orx.collect()] == ["Beomzh"]
     with pytest.raises(CypherUnsupported):
         run_cypher(
             spark,
@@ -3327,8 +3329,22 @@ def test_text_map_projection_and_temporal_parts(spark):
     assert [x["m"].asDict() for x in r] == [
         {"t": "T1", "n": 2}, {"t": "T2", "n": 2},
     ]
+    # `.*` spreads every stored prop (sorted field order); computed
+    # entries compile as scalar expressions (r16 batch 3)
+    r = run_cypher(
+        spark, "MATCH (a:Art) RETURN a {.*} AS m ORDER BY a.link", graph=g
+    ).df.collect()
+    assert r[0]["m"].asDict() == {
+        "content": "c1", "key": "u1", "title": "T1",
+    }
+    r = run_cypher(
+        spark,
+        "MATCH (a:Art) RETURN a {.link, n: size(a.title)} AS m "
+        "ORDER BY a.link",
+        graph=g,
+    ).df.collect()
+    assert r[0]["m"].asDict() == {"link": "u1", "n": 2}
     for q, pat in [
-        ("MATCH (a:Art) RETURN a {.*} AS m", "prop entries only"),
         ("MATCH (a:Art) RETURN a {} AS m", "empty map projection"),
         ("MATCH (a:Art) RETURN b {.title} AS m", "unbound alias"),
     ]:
