@@ -5559,6 +5559,7 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
         return "other"
 
     lam_env: dict = {}  # comprehension variables, bound around the HOF call
+    lam_tags: dict = {}  # their type tags where known (reduce acc = init's)
 
     def rec(n):
         kind = n[0]
@@ -5603,7 +5604,7 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
         if kind == "name":
             nm = n[1]
             if nm in lam_env:
-                return lam_env[nm], "other"
+                return lam_env[nm], lam_tags.get(nm, "other")
             if nm in df.columns:
                 return F.col(nm), ty_of(dtypes.get(nm, ""))
             if nm in aliases:
@@ -5910,11 +5911,16 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                     )
                 lam_env[acc] = a
                 lam_env[var] = x
+                # the accumulator's value is always init-shaped — its
+                # tag flows into the body so `acc + x` concatenates
+                # when the fold is over strings
+                lam_tags[acc] = init_tag
                 try:
                     return rec(body)[0]
                 finally:
                     del lam_env[acc]
                     del lam_env[var]
+                    lam_tags.pop(acc, None)
 
             return F.aggregate(col, init_col, _merge), "other"
         if kind == "dur_between":

@@ -8705,3 +8705,28 @@ def test_text_pattern_comprehension_where_and_with(spark, tmp_path):
         "[(p)<-[:W]-(a) WHERE a.year >= 2021 | a.link] AS links "
         "RETURN p.name AS n, links"
     ) == [("BBC", []), ("NYT", ["l2"])]
+
+
+def test_text_reduce_string_fold(spark, tmp_path):
+    """reduce() folds over STRINGS concatenate — the accumulator
+    inherits the init expression's type tag, so `acc + x` picks
+    Cypher's string-concat branch instead of numeric addition;
+    numeric folds are unchanged."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "redf"))
+    run_cypher(spark, "CREATE (n:N {k:'a'})", store=s)
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0][0]
+
+    assert one("RETURN reduce(acc = 0, x IN [1,2,3] | acc + x) AS v") == 6
+    assert one(
+        "RETURN reduce(acc = '', x IN ['a','b','c'] | acc + x) AS v"
+    ) == "abc"
+    assert one(
+        "RETURN reduce(acc = 'go:', x IN ['a','b'] | acc + x) AS v"
+    ) == "go:ab"
+    assert one(
+        "RETURN reduce(acc = 0.0, x IN [1.5, 2.5] | acc + x) AS v"
+    ) == 4.0
