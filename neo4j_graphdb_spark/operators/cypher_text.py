@@ -7426,9 +7426,17 @@ def _run_read_inner(
             # Restricted to the bound-bare-source / anonymous-target
             # form the value path supports; richer shapes keep the
             # conjunct-only refusal.
-            xm_pat, xm_lp, xm_rp = _strip_endpoint_props(
-                re.sub(r"^MATCH\s+", "", mpat, flags=re.IGNORECASE)
+            xm_body = re.sub(r"^MATCH\s+", "", mpat, flags=re.IGNORECASE)
+            xm_inner = None
+            xm_wsp = re.split(
+                r"\s+WHERE\s+", xm_body, maxsplit=1, flags=re.IGNORECASE
             )
+            if len(xm_wsp) == 2:
+                # inner WHERE — value conjuncts on the TARGET alias
+                # plant into its label scan (correlated outer refs need
+                # the conjunct-position semi-join; they refuse below)
+                xm_body, xm_inner = xm_wsp[0].strip(), xm_wsp[1].strip()
+            xm_pat, xm_lp, xm_rp = _strip_endpoint_props(xm_body)
             pm_x = _REL_RE.match(xm_pat)
             if not pm_x or pm_x.group("star"):
                 raise CypherUnsupported(
@@ -7439,7 +7447,7 @@ def _run_read_inner(
                 raise CypherUnsupported(
                     "EXISTS under OR needs a bound bare source alias"
                 )
-            if pm_x.group("dst_alias"):
+            if pm_x.group("dst_alias") and not xm_inner and not xm_rp:
                 raise CypherUnsupported(
                     "EXISTS under OR needs an anonymous target: () or (:L)"
                 )
@@ -7457,13 +7465,45 @@ def _run_read_inner(
                     else xe.filter(F.lit(False))
                 )
             xe = _orient_edges(xe, _rel_direction(pm_x))
-            if pm_x.group("dst_label") is not None or xm_rp:
+            if pm_x.group("dst_label") is not None or xm_rp or xm_inner:
                 tgt_scan = graph.match(_node_labels(pm_x.group("dst_label")))
                 for prop, raw in _parse_value_props(xm_rp):
                     tgt_scan = tgt_scan.filter(
                         _prop_col(tgt_scan, "", prop)
                         == F.lit(_where_value(raw, lits, params))
                     )
+                if xm_inner:
+                    xda = pm_x.group("dst_alias")
+                    for conj in _split_top_and(xm_inner):
+                        wm3 = _WHERE_ITEM_RE.match(conj.strip())
+                        if not wm3 or wm3.group("alias") != xda:
+                            raise CypherUnsupported(
+                                "EXISTS under OR supports inner-WHERE "
+                                "value conjuncts on the target alias "
+                                "only (correlated refs need the "
+                                "conjunct-position form)"
+                            )
+                        wcol3 = _prop_col(tgt_scan, "", wm3.group("prop"))
+                        if wm3.group("op").upper() == "IN":
+                            tgt_scan = tgt_scan.filter(
+                                _isin(
+                                    wcol3,
+                                    _in_list_values(
+                                        wm3.group("val"), lits, params
+                                    ),
+                                )
+                            )
+                        else:
+                            tgt_scan = tgt_scan.filter(
+                                _op_fn(wm3.group("op"))(
+                                    wcol3,
+                                    F.lit(
+                                        _where_value(
+                                            wm3.group("val"), lits, params
+                                        )
+                                    ),
+                                )
+                            )
                 xe = xe.join(
                     tgt_scan.select(F.col(NODE_ID).alias("_xmid")),
                     xe["dst"] == F.col("_xmid"),

@@ -8730,3 +8730,45 @@ def test_text_reduce_string_fold(spark, tmp_path):
     assert one(
         "RETURN reduce(acc = 0.0, x IN [1.5, 2.5] | acc + x) AS v"
     ) == 4.0
+
+
+def test_text_exists_under_or_inner_where(spark, tmp_path):
+    """EXISTS under OR also takes an inner WHERE of value conjuncts on
+    the target alias — `EXISTS { (a)-[:W]->(p2:Publisher) WHERE
+    p2.year > 2019 } OR …` — planting into the target scan of the
+    marker join; correlated inner refs keep the conjunct-position
+    refusal."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "xwi"))
+    for l, p, y in [("l1", "NYT", 2020), ("l2", "BBC", 2019)]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "SET p.year = $y MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p, "y": y},
+            store=s,
+        )
+    run_cypher(spark, "CREATE (a:Article {link: 'orphan'})", store=s)
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->(p2:Publisher) "
+            "WHERE p2.year > 2019 } OR a.link = 'orphan' "
+            "RETURN a.link AS l",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("l1",), ("orphan",)]
+    rows = sorted(
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) WHERE EXISTS { (a)-[:W]->(p2:Publisher) "
+            "WHERE p2.name IN ['BBC'] } OR a.link = 'orphan' "
+            "RETURN a.link AS l",
+            store=s,
+        ).df.collect()
+    )
+    assert rows == [("l2",), ("orphan",)]
