@@ -4176,6 +4176,9 @@ def _derive_write_batch(
         read_aliases &= with_names  # aliases that survived the horizon
     # alias.prop references in the suffix that belong to the read scope
     refs: dict[tuple[str, str], str] = {}
+    write_refs = 0  # prop refs inside WRITE clauses (RETURN items are
+    # the write-RETURN machinery's to resolve — they must not force the
+    # derive path, whose $-param rewrite that machinery can't parse)
     for c in suffix:
         for mm in re.finditer(r"(?<![\w$])(\w+)\.(\w+)(?![\w(])", c.body):
             if mm.group(1) in read_aliases:
@@ -4183,12 +4186,14 @@ def _derive_write_batch(
                     (mm.group(1), mm.group(2)),
                     f"__w_{mm.group(1)}_{mm.group(2)}",
                 )
+                if c.kind != "RETURN":
+                    write_refs += 1
     # the anchored-write path owns key-prop MATCH prefixes with no
     # WHERE/WITH — `MATCH (a:L {k: $p}) MERGE (a)-[:T]->(…)` — UNLESS
-    # the suffix reads a prefix alias's PROPERTY (`MERGE (y:Year
+    # a WRITE clause reads a prefix alias's PROPERTY (`MERGE (y:Year
     # {y: a.year})`): that derive-then-upsert shape needs the read
     # compiler, so it stays here
-    if anchored_shape and not refs:
+    if anchored_shape and not write_refs:
         return None
     bare: set[str] = set()
     for c in suffix:
