@@ -3105,6 +3105,20 @@ def run_cypher(
     record, the reference's shape) or a DataFrame of parameter columns
     (batch-native).
     """
+    _sm0, _ = _mask_strings(query)
+    if ";" in _sm0:
+        if len([s0 for s0 in _sm0.split(";") if s0.strip()]) > 1:
+            # a `;`-separated SCRIPT passed to the single-statement
+            # entry — delegate to run_cypher_script (sequential, later
+            # reads see earlier writes) and hand back the LAST
+            # statement's result, the REPL convention; quoted
+            # semicolons never split (masked)
+            return run_cypher_script(
+                spark, query, params, graph=graph, store=store
+            )[-1]
+        if _sm0.rstrip().endswith(";"):
+            # a single statement with a trailing terminator
+            query = query.rstrip().rstrip(";")
     em = _EXPLAIN_RE.match(query)
     if em:
         return _run_explain(

@@ -8772,3 +8772,32 @@ def test_text_exists_under_or_inner_where(spark, tmp_path):
         ).df.collect()
     )
     assert rows == [("l2",), ("orphan",)]
+
+
+def test_text_inline_script_delegation(spark, tmp_path):
+    """A `;`-separated script passed to the single-statement run_cypher
+    entry delegates to run_cypher_script (sequential, later reads see
+    earlier writes) and returns the LAST statement's result; quoted
+    semicolons never split."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "scrd"))
+    res = run_cypher(
+        spark,
+        "CREATE (a:S {k:'s1'}); CREATE (b:S {k:'s2'}); "
+        "MATCH (x:S) RETURN count(*) AS c",
+        store=s,
+    )
+    assert [tuple(r) for r in res.df.collect()] == [(2,)]
+    # a quoted semicolon stays one statement
+    res = run_cypher(spark, "CREATE (a:S {k:'x;y'})", store=s)
+    assert res.summary.nodes_created == 1
+    got = run_cypher(
+        spark, "MATCH (x:S {k: 'x;y'}) RETURN count(*) AS c", store=s
+    ).df.collect()[0][0]
+    assert got == 1
+    # a single statement with a trailing terminator runs untouched
+    got = run_cypher(
+        spark, "MATCH (x:S) RETURN count(*) AS c;", store=s
+    ).df.collect()[0][0]
+    assert got == 3
