@@ -3634,6 +3634,21 @@ def _run_union(
         raise CypherUnsupported("UNION supports read statements only")
     if any(not s for s in stmts):
         raise CypherUnsupported("empty statement in UNION")
+    # a trailing ORDER BY [SKIP/LIMIT] on the LAST branch scopes to the
+    # WHOLE union result (a per-branch sort cannot survive the union
+    # concat anyway; Neo4j's own rule is final-result ordering). Only
+    # simple output-column keys hoist — anything else stays put and the
+    # branch compiles as written.
+    union_tail = re.search(
+        r"\s+ORDER\s+BY\s+"
+        r"(?P<keys>\w+(?:\s+(?:ASC|DESC))?(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
+        r"(?:\s+SKIP\s+(?P<skip>\$?\w+))?(?:\s+LIMIT\s+(?P<limit>\$?\w+))?"
+        r"\s*$",
+        stmts[-1],
+        re.IGNORECASE,
+    )
+    if union_tail is not None:
+        stmts[-1] = stmts[-1][: union_tail.start()].strip()
     frames: list[DataFrame] = []
     for s in stmts:
         res = run_cypher(spark, _unmask(s, lits), params, store=store, graph=graph)
@@ -3651,6 +3666,35 @@ def _run_union(
         out = out.unionByName(f)
     if not alls.pop():
         out = out.dropDuplicates()
+    if union_tail is not None:
+        sorts = []
+        for k in _split_top_commas(union_tail.group("keys")):
+            km = re.fullmatch(
+                r"(\w+)(?:\s+(ASC|DESC))?", k.strip(), re.IGNORECASE
+            )
+            name0, dirn = km.group(1), (km.group(2) or "ASC").upper()
+            if name0 not in out.columns:
+                raise CypherUnsupported(
+                    f"UNION ORDER BY key {name0!r} is not a RETURN column"
+                )
+            sorts.append(
+                F.col(name0).desc_nulls_first()
+                if dirn == "DESC"
+                else F.col(name0).asc_nulls_last()
+            )
+        out = out.orderBy(*sorts)
+        pd0 = params if isinstance(params, dict) else None
+        u_skip = (
+            _page_count(union_tail.group("skip"), pd0, "SKIP")
+            if union_tail.group("skip")
+            else None
+        )
+        u_limit = (
+            _page_count(union_tail.group("limit"), pd0, "LIMIT")
+            if union_tail.group("limit")
+            else None
+        )
+        out = _page(out, u_skip, u_limit)
     return CypherResult(out, None)
 
 

@@ -8801,3 +8801,41 @@ def test_text_inline_script_delegation(spark, tmp_path):
         spark, "MATCH (x:S) RETURN count(*) AS c;", store=s
     ).df.collect()[0][0]
     assert got == 3
+
+
+def test_text_union_trailing_order(spark, tmp_path):
+    """A trailing ORDER BY [SKIP/LIMIT] on a UNION's LAST branch scopes
+    to the WHOLE union result (final-result ordering) — hoisted onto
+    the combined frame instead of silently sorting one branch."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "uord"))
+    for l, p in [("l1", "NYT"), ("l2", "BBC")]:
+        run_cypher(
+            spark,
+            "MERGE (a:Article {link: $l}) MERGE (p:Publisher {name: $p}) "
+            "MERGE (a)-[:W]->(p)",
+            {"l": l, "p": p},
+            store=s,
+        )
+    rows = [
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS v "
+            "UNION MATCH (p:Publisher) RETURN p.name AS v ORDER BY v",
+            store=s,
+        ).df.collect()
+    ]
+    assert rows == [("BBC",), ("NYT",), ("l1",), ("l2",)]
+    rows = [
+        tuple(r)
+        for r in run_cypher(
+            spark,
+            "MATCH (a:Article) RETURN a.link AS v "
+            "UNION MATCH (p:Publisher) RETURN p.name AS v "
+            "ORDER BY v DESC LIMIT 2",
+            store=s,
+        ).df.collect()
+    ]
+    assert rows == [("l2",), ("l1",)]
