@@ -6421,14 +6421,19 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
                 )
             delim = lits[args[1][1]]
             return F.split(c, re.escape(delim)), "list"
-        if fname == "head":
+        if fname in ("head", "last"):
+            # head([]) / last([]) are NULL in Cypher — try_element_at
+            # instead of element_at, which ANSI-errors on the empty
+            # list; a literal NULL argument is NULL outright (the
+            # untyped VOID literal can't feed element_at)
             need(1)
+            if args[0] == ("null",):
+                return F.lit(None), "other"
             c, _ = rec(args[0])
-            return F.element_at(c, 1), "other"
-        if fname == "last":
-            need(1)
-            c, _ = rec(args[0])
-            return F.element_at(c, -1), "other"
+            return (
+                F.try_element_at(c, F.lit(1 if fname == "head" else -1)),
+                "other",
+            )
         if fname == "tail":
             # tail(xs) — everything after the head; empty list for a
             # singleton, NULL for NULL (slice semantics match Cypher)

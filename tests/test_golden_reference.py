@@ -8839,3 +8839,21 @@ def test_text_union_trailing_order(spark, tmp_path):
         ).df.collect()
     ]
     assert rows == [("l2",), ("l1",)]
+
+
+def test_text_head_last_empty_null(spark, tmp_path):
+    """head([]) / last([]) / head(null) are NULL — Cypher's lenient
+    list accessors; non-empty lists unchanged."""
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "hle"))
+    run_cypher(spark, "CREATE (n:N {k:'a'})", store=s)
+
+    def one(q):
+        return run_cypher(spark, q, store=s).df.collect()[0][0]
+
+    assert one("RETURN head([]) AS v") is None
+    assert one("RETURN last([]) AS v") is None
+    assert one("RETURN head(null) AS v") is None
+    assert one("RETURN head([1,2]) AS v") == 1
+    assert one("RETURN last([1,2]) AS v") == 2
