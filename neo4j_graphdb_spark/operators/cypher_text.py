@@ -6233,6 +6233,20 @@ def _compile_scalar(ast, df, aliases, rel_alias, lits, params):
             need(0, 1)
             if not args:
                 return F.current_timestamp(), "other"
+            if args[0][0] == "map":
+                # datetime({epochMillis: <expr>}) — the millisecond
+                # constructor (the write path's a103 twin): any scalar
+                # expression supplies the millis
+                mf = dict(args[0][1])
+                if set(mf) == {"epochMillis"}:
+                    mc, _ = rec(mf["epochMillis"])
+                    return (
+                        F.timestamp_millis(mc.cast("bigint")),
+                        "other",
+                    )
+                raise CypherUnsupported(
+                    "datetime(map) supports {epochMillis: <expr>}"
+                )
             if args[0][0] != "str":
                 raise CypherUnsupported(
                     "datetime() takes a literal ISO string"

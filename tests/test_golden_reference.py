@@ -8857,3 +8857,29 @@ def test_text_head_last_empty_null(spark, tmp_path):
     assert one("RETURN head(null) AS v") is None
     assert one("RETURN head([1,2]) AS v") == 1
     assert one("RETURN last([1,2]) AS v") == 2
+
+
+def test_text_datetime_epoch_millis_value(spark, tmp_path):
+    """`datetime({epochMillis: <expr>})` as a VALUE expression — the
+    millisecond constructor the write path already takes (a103), now
+    composing in RETURN/WHERE with params and component accessors."""
+    import datetime as _dt
+
+    from neo4j_graphdb_spark.operators.cypher_text import run_cypher
+
+    s = GraphStore(spark, str(tmp_path / "dtm"))
+    run_cypher(spark, "CREATE (n:N {k:'a'})", store=s)
+    got = run_cypher(
+        spark,
+        "RETURN datetime({epochMillis: 1700000000000}) AS dt",
+        store=s,
+    ).df.collect()[0][0]
+    if got.tzinfo:
+        got = got.replace(tzinfo=None)
+    assert got == _dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert run_cypher(
+        spark,
+        "RETURN datetime({epochMillis: $m}).year AS y",
+        {"m": 1700000000000},
+        store=s,
+    ).df.collect()[0][0] == 2023
