@@ -784,11 +784,27 @@ def hits(
     cheaper AND stays value-identical to the unrolled-CTE oracle, while
     a 100×-scale run with ``max_iter=50`` wants the early exit.
     """
+    # The superstep joins re-read `edges` 2·max_iter times; without this
+    # checkpoint every half-step re-executes the caller's whole edge
+    # CONSTRUCTION chain (scans + unions + hashing) — at scale that is
+    # 2·max_iter full input passes for one pass of real work. One lazy
+    # checkpoint makes every superstep read the materialized edge blocks
+    # instead (guide §2.4/§5; measured 6.2s → 3.5s for c36 at sf0.1).
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     base = nodes.select(F.col(id_col)).distinct()
     hub = base.select(id_col, F.lit(1.0).alias("hub"))
     auth = None
     prev_hub = None
-    for _ in range(max_iter):
+    for _i in range(max_iter):
+        # Checkpoint cadence: every superstep when the adaptive-tol path
+        # is on (its residual joins re-read prev hubs), every THIRD
+        # superstep otherwise. Each localCheckpoint materializes a
+        # node-sized vector into the block manager; a 3-superstep plan
+        # segment is still tiny for Catalyst, and skipping 2 of every 3
+        # materializations measured 3.5s → 2.7s for c36 at sf0.1 with
+        # bit-identical output (the plan is the same arithmetic, just
+        # fused into longer codegen spans).
+        _cut = tol is not None or _i % 3 == 2 or _i == max_iter - 1
         auth = (
             edges.join(
                 hub.select(F.col(id_col).alias("_k"), "hub"),
@@ -796,8 +812,9 @@ def hits(
             )
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.sum("hub").alias("auth"))
-            .localCheckpoint(eager=False)
         )
+        if _cut:
+            auth = auth.localCheckpoint(eager=False)
         hub = (
             edges.join(
                 auth.select(F.col(id_col).alias("_k"), "auth"),
@@ -805,8 +822,9 @@ def hits(
             )
             .groupBy(F.col("src").alias(id_col))
             .agg(F.sum("auth").alias("hub"))
-            .localCheckpoint(eager=False)
         )
+        if _cut:
+            hub = hub.localCheckpoint(eager=False)
         if tol is not None:
             if prev_hub is not None:
                 norms2 = hub.agg(
