@@ -61,14 +61,24 @@ def pagerank(
       iteration would too (the update is a deterministic function of
       the ranks), so stopping is provably value-identical to the full
       ``max_iter`` unroll and the unrolled-CTE oracles stay valid.
-      The checksum rides the same one-action-per-superstep job that
-      materializes the lazy checkpoint — no extra Spark jobs.
+      Checked every 4th superstep (exiting up to 3 supersteps past the
+      fixpoint is value-identical by the same stationarity argument);
+      the checksum action is the only job barrier in the loop, so the
+      cadence makes one job cover four supersteps.
     * ``tol`` (opt-in, default off): additionally stop when
       ``max |Δrank| < tol`` — the practical production exit at scale
       (L∞ residual, the standard PageRank stopping rule). This is an
       approximation relative to the fixed unroll, so oracle-checked
       registry entries leave it ``None``.
     """
+    # Every superstep joins `edges`; without this checkpoint the caller's
+    # edge-construction chain (scans + unions + id hashing) re-executes
+    # max_iter+1 times per run (out_deg + one join per superstep). One
+    # lazy localCheckpoint makes all of them read materialized blocks
+    # (guide §2.4/§5 — same fix as hits()).
+    edges = edges.select(
+        "src", "dst", *([weight_col] if weight_col is not None else [])
+    ).localCheckpoint(eager=False)
     n_nodes = nodes.select(id_col).distinct().count()
     if weight_col is None:
         out_deg = edges.groupBy(F.col("src").alias(id_col)).agg(
@@ -109,8 +119,19 @@ def pagerank(
         base.withColumn("rank", F.col("tele")).repartition(id_col).localCheckpoint()
     )
 
+    # Convergence-check cadence: the stationarity checksum is the ONLY
+    # per-superstep driver action, and each action is a full job barrier
+    # (plus its own agg stages). Checking every 4th superstep instead of
+    # every superstep cannot change results — the bit-exact checksum exit
+    # only ever fires at a true fixpoint, where every further superstep
+    # reproduces the same ranks, so exiting up to 3 supersteps later is
+    # value-identical by the same argument that justifies the exit at
+    # all. The opt-in tol path needs its per-superstep residual, so it
+    # keeps cadence 1. Measured 3.4s -> 2.6s for c87 at sf0.01,
+    # bit-identical output.
+    check_every = 1 if tol is not None else 4
     prev_sum: tuple | None = None
-    for _ in range(max_iter):
+    for _i in range(max_iter):
         # dangling mass stays a lazy 1-row aggregate broadcast into the
         # update — one Spark job per superstep, no driver-side collect
         dangling = ranks.filter(F.col("out_deg") == 0).agg(
@@ -148,18 +169,21 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        # one action per superstep: materializes the lazy checkpoint AND
-        # folds the convergence evidence (bit-exact checksum + L∞ delta)
-        row = ranks.agg(
-            F.expr(f"bit_xor(xxhash64({id_col}, rank))").alias("_h"),
-            F.count(F.lit(1)).alias("_n"),
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
-        ).collect()[0]
+        # the cadence action materializes the lazy checkpoints of every
+        # superstep since the last one AND folds the convergence evidence
+        # (bit-exact checksum + L∞ delta) in the same job
+        if (_i + 1) % check_every == 0 or _i == max_iter - 1:
+            row = ranks.agg(
+                F.expr(f"bit_xor(xxhash64({id_col}, rank))").alias("_h"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
+            ).collect()[0]
+            cur_sum = (row["_h"], row["_n"])
+            if cur_sum == prev_sum or (tol is not None and row["_delta"] < tol):
+                ranks = ranks.drop("_prev")
+                break
+            prev_sum = cur_sum
         ranks = ranks.drop("_prev")
-        cur_sum = (row["_h"], row["_n"])
-        if cur_sum == prev_sum or (tol is not None and row["_delta"] < tol):
-            break
-        prev_sum = cur_sum
     return ranks.select(id_col, "rank")
 
 
@@ -1550,6 +1574,12 @@ def merge_delta_components(
     graph has one node per existing component, and min-id label algebra
     keeps every step exact (composition of exact steps is exact, so N
     micro-batches ≡ one full recompute, bit for bit)."""
+    # `labels` is consumed FOUR times below (both contraction sides, the
+    # contracted node set, and the final re-attach join); without this
+    # checkpoint the caller's whole labeling plan — for
+    # incremental_components, an entire CC fixpoint's final join —
+    # re-executes once per consumer (guide §5: reuse justifies the cut)
+    labels = labels.select("id", "comp").localCheckpoint(eager=False)
     lab_s = labels.select(F.col("id").alias("src"), F.col("comp").alias("_cs"))
     lab_d = labels.select(F.col("id").alias("dst"), F.col("comp").alias("_cd"))
     contracted = (
@@ -1810,18 +1840,21 @@ def strongly_connected_components(
     so later rounds shrink. No collects beyond the 1-row convergence
     checksums.
     """
-    active = nodes.select(id_col).distinct().localCheckpoint()
+    active = nodes.select(id_col).distinct().localCheckpoint(eager=False)
     e = (
         edges.select("src", "dst")
         .distinct()
         .join(active.select(F.col(id_col).alias("src")), on="src", how="left_semi")
         .join(active.select(F.col(id_col).alias("dst")), on="dst", how="left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     result = active.select(id_col, F.col(id_col).alias("scc")).limit(0)
+    # one emptiness probe at ENTRY only (empty input graph); inside the
+    # loop the live count rides the inner checksum row instead of paying
+    # a limit(1).count() job per round
+    if active.limit(1).count() == 0:
+        return result
     for _ in range(max_rounds):
-        if active.limit(1).count() == 0:
-            return result
         # forward and backward minima advance in ONE fused superstep
         # loop (both message aggregations land in the same Spark job),
         # so the round costs half the job-scheduling overhead of two
@@ -1863,9 +1896,13 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
+            # the same 1-row action also counts how many of the live
+            # nodes have settled (_f == _b), so the round boundary below
+            # needs NO extra jobs to decide whether the algorithm is done
             row = lbl.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr(f"bit_xor(xxhash64({id_col}, _f, _b))").alias("h"),
+                F.sum((F.col("_f") == F.col("_b")).cast("long")).alias("ns"),
             ).collect()[0]
             cur = (row["n"], row["h"])
             if cur == prev:
@@ -1882,25 +1919,34 @@ def strongly_connected_components(
                 f"max_iter={max_iter}; raise it (iterations needed ~ longest "
                 "shortest-path within one SCC)"
             )
+        # round-boundary frames checkpoint LAZILY: each eager checkpoint
+        # here used to be its own driver-blocking job (4 per round); the
+        # lazy ones materialize inside the next round's first checksum
+        # job instead — same work, 4 fewer barriers per round. The plans
+        # are still cut at planning time, so lineage never stacks.
         settled = (
             lbl.filter(F.col("_f") == F.col("_b"))
             .select(id_col, F.col("_f").alias("scc"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        result = result.unionByName(settled).localCheckpoint()
+        result = result.unionByName(settled).localCheckpoint(eager=False)
+        if row["ns"] == row["n"]:
+            # every live node settled this round — done, and the
+            # emptiness of the next round is known without another job
+            return result
         done = settled.select(id_col)
-        active = active.join(done, on=id_col, how="left_anti").localCheckpoint()
+        active = active.join(done, on=id_col, how="left_anti").localCheckpoint(
+            eager=False
+        )
         e = (
             e.join(done.withColumnRenamed(id_col, "src"), on="src", how="left_anti")
             .join(done.withColumnRenamed(id_col, "dst"), on="dst", how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    if active.limit(1).count() != 0:
-        raise ValueError(
-            f"SCC did not settle within max_rounds={max_rounds}; "
-            "raise it (rounds needed = condensation levels of the graph)"
-        )
-    return result
+    raise ValueError(
+        f"SCC did not settle within max_rounds={max_rounds}; "
+        "raise it (rounds needed = condensation levels of the graph)"
+    )
 
 
 def k_truss(edges: DataFrame, k: int = 4, max_iter: int = 20) -> DataFrame:
