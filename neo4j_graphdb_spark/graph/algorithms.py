@@ -344,7 +344,9 @@ def _cc_min_propagation(
         new_comp = comp.join(msgs, on="id", how="left").select(
             "id", F.least(F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))).alias("comp")
         )
-        new_comp = new_comp.localCheckpoint()
+        # lazy: the `changed` probe below materializes the checkpoint in
+        # the same job that answers convergence (was 2 jobs per round)
+        new_comp = new_comp.localCheckpoint(eager=False)
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), on="id")
@@ -371,21 +373,27 @@ def shortest_paths(
     Bounded-depth — the engine's variable-length-path substrate
     (Cypher ``()-[*1..k]->()``).
     """
+    # one checkpoint so per-hop expansion reads materialized edge blocks
+    # instead of re-running the caller's construction chain per hop
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     dist = sources.select(F.col(id_col).alias("id")).distinct().withColumn(
         "dist", F.lit(0)
     ).localCheckpoint()
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # ONE job per hop: count() materializes the lazy checkpoint and
+        # answers the emptiness exit (was 3 jobs: eager ckpt +
+        # limit(1).count() + eager union ckpt)
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist, on="id", how="left_anti")
             .withColumn("dist", F.lit(hop))
-        ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return dist
 
@@ -429,13 +437,14 @@ def pairwise_shortest_paths(
         )
         if dist is not None:
             nxt = nxt.join(dist.select("source", "id"), on=["source", "id"], how="left_anti")
-        nxt = nxt.localCheckpoint()
-        if nxt.limit(1).count() == 0:
+        # ONE job per round (count materializes + answers emptiness)
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         tagged = nxt.withColumn("hops", F.lit(h))
         dist = (
             tagged if dist is None
-            else dist.unionByName(tagged).localCheckpoint()
+            else dist.unionByName(tagged).localCheckpoint(eager=False)
         )
         frontier = nxt
     if dist is None:  # no source has any out-edge
@@ -1097,6 +1106,10 @@ def _landmark_distances(
     the smallest ``md5(id)`` (deterministic, RNG-free, replayable in the
     SQL oracles). O(V · k) rows; each round is one frontier⋈edges
     shuffle plus an anti-join against the visited set."""
+    # one checkpoint so the per-hop frontier joins read materialized
+    # blocks instead of re-running the caller's edge-construction chain
+    # max_hops times (guide §2.4/§5 — same fix as hits/pagerank)
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -1112,16 +1125,20 @@ def _landmark_distances(
     ).localCheckpoint()
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # ONE job per hop: the count() both materializes the lazy
+        # checkpoint and answers the emptiness exit (the previous shape
+        # — eager checkpoint, then limit(1).count(), then an eager
+        # union checkpoint — was three driver-blocking jobs per hop)
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select("lm", F.col("dst").alias("id"))
             .distinct()
             .join(dist, on=["lm", "id"], how="left_anti")
             .withColumn("dist", F.lit(hop))
-        ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return dist
 
