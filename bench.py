@@ -112,6 +112,28 @@ HEADLINE = [
 ]
 
 
+def _release_blocks(spark) -> None:
+    """Inter-query cleanup, OUTSIDE every timed region — the per-query
+    timing methodology (one warmup, two timed runs, min) is unchanged.
+
+    ``clearCache()`` releases persisted DataFrames but NOT
+    ``localCheckpoint()`` RDD blocks; those normally free only when the
+    ContextCleaner notices the driver-side RDD object got GC'd, which is
+    lazy and unbounded. Left alone, checkpoint blocks from the iterative
+    queries (CC/SCC fixpoints, writer merges) accumulate across the list
+    and LATER queries absorb the tenured-heap GC pressure — measured as
+    e.g. c134_perplexity_filter costing 7.7 s in-bench vs 1.6 s isolated
+    on the identical code (and the r13→r15 "headline drift"). Explicitly
+    unpersisting every still-persisted RDD between queries makes the
+    cleanup deterministic. Safe HERE because between queries no live
+    DataFrame can reference the dropped blocks (each timed run builds its
+    plan from scratch); it would NOT be safe inside a query."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -138,18 +160,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
-        spark.catalog.clearCache()  # drop warmup-run persists before timing
-        # Force a driver GC between queries: clearCache() releases
-        # persisted DataFrames but NOT localCheckpoint() RDD blocks —
-        # those free only when Spark's ContextCleaner sees the RDD
-        # garbage-collected on the driver. Without this, checkpoint
-        # blocks from the iterative queries (CC/SCC fixpoints, writer
-        # merges) accumulate across the list and later queries absorb
-        # the tenured-heap GC pressure — the r13→r15 "headline drift"
-        # (uniform ~1.1-1.3x on untouched queries, growing with list
-        # length) reproduced at 81.8s and timed at 73.3s with this GC
-        # on the same host, same round.
-        spark.sparkContext._jvm.System.gc()
+        _release_blocks(spark)  # drop warmup-run persists before timing
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
@@ -157,11 +168,10 @@ def main() -> None:
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            # drop this run's persists so cached blocks don't accumulate
-            # into GC pressure (and timing spikes) for later queries
-            spark.catalog.clearCache()
+            # drop this run's blocks so they don't accumulate into GC
+            # pressure (and timing spikes) for the next run / next query
+            _release_blocks(spark)
         timings[name] = round(best, 3)
-        spark.sparkContext._jvm.System.gc()
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -931,6 +931,12 @@ def bpe_train(
         .orderBy(F.col("cnt").desc(), F.col("word").asc())
         .limit(top_words)
         .select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+        # the docstring's "corpus is scanned exactly once" promise needs
+        # this cut: step 1's winner broadcast, step 1's rewrite AND the
+        # step-1 row of the returned merge table all reference this frame
+        # — without the checkpoint each re-executed the corpus scan +
+        # word-frequency shuffle (3 full input passes; guide §5)
+        .localCheckpoint(eager=False)
     )
 
     merges = []

@@ -6970,12 +6970,18 @@ def q_c84_graphrag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = bm25_search(docs, "doc_id", "text", ["table", "join", "query"], k=5)
+    # k rows, consumed twice (seed_links + the centroid build) — without
+    # the checkpoint the whole BM25 scoring pass re-executes per consumer
+    seeds = bm25_search(
+        docs, "doc_id", "text", ["table", "join", "query"], k=5
+    ).localCheckpoint(eager=False)
 
     g = article_graph(spark, sf_dir)
+    # consumed twice (seed→publisher probe + publisher→candidate fanout);
+    # one checkpoint stops the expand join chain running twice
     a2p = g.expand("WRITTEN_BY", "Article", "Publisher", "a", "p").select(
         F.col("a_key").alias("link"), F.col("p_key").alias("pub")
-    )
+    ).localCheckpoint(eager=False)
     seed_links = seeds.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("link")
     )

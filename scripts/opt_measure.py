@@ -49,6 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_table(spark, args.sf, "lineitem").count()  # JVM warmup
 
+    def release_blocks():
+        # deterministic inter-measurement cleanup (same as bench.py):
+        # clearCache misses localCheckpoint blocks; unpersist them all
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     if args.plandir:
         os.makedirs(args.plandir, exist_ok=True)
 
@@ -65,8 +73,7 @@ def main() -> None:
         # warmup (mirrors bench.py)
         sc.setJobDescription(f"{name}: warmup")
         QUERIES[name](spark, args.sf).count()
-        spark.catalog.clearCache()
-        sc._jvm.System.gc()
+        release_blocks()
         noop_best = cnt_best = None
         rows = 0
         for i in range(args.runs):
@@ -75,14 +82,13 @@ def main() -> None:
             QUERIES[name](spark, args.sf).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             noop_best = dt if noop_best is None else min(noop_best, dt)
-            spark.catalog.clearCache()
+            release_blocks()
             sc.setJobDescription(f"{name}: count run {i}")
             t0 = time.time()
             rows = QUERIES[name](spark, args.sf).count()
             dt = time.time() - t0
             cnt_best = dt if cnt_best is None else min(cnt_best, dt)
-            spark.catalog.clearCache()
-        sc._jvm.System.gc()
+            release_blocks()
         sc.setJobDescription(None)
         out[name] = {"noop_s": round(noop_best, 3), "count_s": round(cnt_best, 3), "rows": rows}
         print(f"{name}: noop={noop_best:.3f}s count={cnt_best:.3f}s rows={rows}", file=sys.stderr)
