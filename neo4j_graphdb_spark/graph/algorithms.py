@@ -745,6 +745,10 @@ def weighted_shortest_paths(
     id, no broadcast of anything growing, so the 100×-scale story is
     the standard Pregel one: O(diameter) rounds of O(|E|) work.
     """
+    # one checkpoint so each relax superstep reads materialized edge
+    # blocks instead of re-running the caller's edge-construction chain
+    # (guide §2.4/§5 — same fix as hits/pagerank/shortest_paths)
+    edges = edges.select("src", "dst", weight_col).localCheckpoint(eager=False)
     dist = (
         sources.select(F.col(id_col).alias("id"))
         .distinct()
