@@ -748,6 +748,11 @@ def minhash_lsh_pairs(
     sh = (
         _spread(df.join(cand_ids, on=id_col, how="left_semi"))
         .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+        # consumed as BOTH join sides below — without this cut the
+        # corpus semi-join + re-shingle ran twice (two LeftSemi SMJs
+        # over the doc table in the verify plan; at scale, two corpus
+        # reads where one suffices)
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -959,6 +964,10 @@ def embedding_near_dup_pairs(
         bucketed = parts[0]
         for p in parts[1:]:
             bucketed = bucketed.unionByName(p)
+        # both self-join sides read this frame; without the cut the
+        # num_tables hyperplane-projection passes (HOF dot products per
+        # row) execute twice
+        bucketed = bucketed.localCheckpoint(eager=False)
         a = bucketed.select("_t", "_b", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
         b = bucketed.select("_t", "_b", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
         pairs = (
@@ -997,7 +1006,9 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         word_shingles(text_col, shingle_n).alias("sh"),
-    )
+    # both self-join sides read this frame; the checkpoint stops the
+    # tokenize+shingle pass (and the upstream scan) running twice
+    ).localCheckpoint(eager=False)
     a = sh.select(*block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(*block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
