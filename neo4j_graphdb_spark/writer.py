@@ -42,7 +42,7 @@ import os
 import urllib.parse
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes, node_id_expr
@@ -54,6 +54,25 @@ from neo4j_graphdb_spark.model import NODE_ID, as_edges, as_nodes, node_id_expr
 # (e.g. 1024) so one bucket ≈ one comfortable rewrite unit.
 N_KEY_BUCKETS = int(os.environ.get("SPARK_GRAFT_MERGE_BUCKETS", "16"))
 BUCKET_COL = "_kb"
+
+
+def _observed_counters(obs: Observation, names: list[str]) -> dict:
+    """Read write counters off an ``observe``/CollectMetrics node after
+    the write action completed.
+
+    When Spark's adaptive empty-relation propagation proves at RUNTIME
+    that the observed subtree yields zero rows (e.g. a zero-row MERGE
+    batch: the anchored-write "missing anchor writes nothing" path), it
+    replaces the subtree — CollectMetrics included — with an empty
+    relation, and ``Observation.get`` then fails converting the absent
+    metrics row (``toPyRow`` assertion). That pruning can only fire for
+    a provably EMPTY observed input, where every counter here (all
+    ``count(...)`` aggregates) is its zero-row value — so 0 for every
+    metric is the exact answer, not an approximation."""
+    try:
+        return obs.get
+    except Exception:
+        return {n: 0 for n in names}
 
 
 def _bucket_of(*cols) -> "F.Column":
@@ -538,17 +557,23 @@ class GraphStore:
                 merged = merged.withColumn(
                     c, F.lit(None).cast(incoming.schema[c].dataType)
                 )
-            merged = merged.persist()
             counted = prop_cols + create_prop_cols
-            # one action for both counters (created + non-null prop cells)
-            row = merged.agg(
+            # counters ride the WRITE itself (observe/CollectMetrics): the
+            # old persist + separate agg action materialized the whole
+            # batch into the block manager just to fuse two passes — at
+            # scale that is a full extra copy of the table (guide §5);
+            # observe computes the same aggregates in-flight, exactly once
+            # per row of the completed write action
+            obs = Observation()
+            merged = merged.observe(
+                obs,
                 F.count(F.lit(1)).alias("_created"),
                 *[F.count(F.col(c)).alias(c) for c in counted],
-            ).collect()[0]
+            )
+            self._nodes.write_next(merged, partition_by=["label", BUCKET_COL])
+            row = _observed_counters(obs, ["_created", *counted])
             created = int(row["_created"])
             props_set = int(sum(row[c] for c in counted))
-            self._nodes.write_next(merged, partition_by=["label", BUCKET_COL])
-            merged.unpersist()
             return WriteSummary(nodes_created=created, properties_set=props_set)
 
         # File-pruned MERGE: a batch touches exactly one label, and within
@@ -578,9 +603,13 @@ class GraphStore:
         new = _with_missing(incoming, touched, all_props + add_cols).alias("new")
 
         # MERGE = full outer on deterministic id; SET = column-wise coalesce.
-        # Persisted so the counter pass and the write pass execute the join
-        # once — at 100 TB re-running the merge join doubles write cost.
-        joined = old.join(new, on=NODE_ID, how="full_outer").persist()
+        # The write counters ride the write action itself via
+        # observe/CollectMetrics (attached below), so the join executes
+        # exactly once WITHOUT being persisted — the old persist existed
+        # only to fuse the counter pass with the write pass, at the cost
+        # of materializing the whole merged table into the block manager
+        # (a full extra copy at 100 TB; guide §5).
+        joined = old.join(new, on=NODE_ID, how="full_outer")
         is_created = F.col("old.label").isNull()
 
         def _prop_expr(c: str):
@@ -620,13 +649,6 @@ class GraphStore:
                 ).otherwise(F.col(f"old.{c}"))
             return F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
 
-        merged = joined.select(
-            F.col(NODE_ID),
-            F.coalesce(F.col("new.label"), F.col("old.label")).alias("label"),
-            F.coalesce(F.col("new.key"), F.col("old.key")).alias("key"),
-            *[_prop_expr(c).alias(c) for c in all_props],
-        ).withColumn(BUCKET_COL, _bucket_of(F.col("key")))
-
         def _prop_count(c: str):
             if c in match_add_cols and c not in create_prop_cols:
                 return F.count(
@@ -647,17 +669,23 @@ class GraphStore:
                 return F.count(F.when(~is_created, F.col(f"new.{c}")))
             return F.count(F.col(f"new.{c}"))
 
-        # one action computes both counters from the persisted join; the
-        # non-null new.* cells equal the deduped incoming cells, so this
-        # avoids re-executing the incoming plan just to count it
+        # both counters ride the write action via observe (the non-null
+        # new.* cells equal the deduped incoming cells, so this also
+        # avoids re-executing the incoming plan just to count it)
         counted = (prop_cols + match_prop_cols + add_props
                    + [c for c in create_prop_cols if c not in match_add_cols])
-        row = joined.agg(
+        obs = Observation()
+        joined = joined.observe(
+            obs,
             F.count(F.when(F.col("old.label").isNull(), F.lit(1))).alias("_created"),
             *[_prop_count(c).alias(c) for c in counted],
-        ).collect()[0]
-        created = int(row["_created"])
-        props_set = int(sum(row[c] for c in counted))
+        )
+        merged = joined.select(
+            F.col(NODE_ID),
+            F.coalesce(F.col("new.label"), F.col("old.label")).alias("label"),
+            F.coalesce(F.col("new.key"), F.col("old.key")).alias("key"),
+            *[_prop_expr(c).alias(c) for c in all_props],
+        ).withColumn(BUCKET_COL, _bucket_of(F.col("key")))
         if bucketed:
             self._nodes.write_next_partial(
                 merged, ["label", BUCKET_COL], [(label, b) for b in buckets]
@@ -674,7 +702,9 @@ class GraphStore:
                 untouched.unionByName(merged, allowMissingColumns=True),
                 partition_by=["label", BUCKET_COL],
             )
-        joined.unpersist()
+        row = _observed_counters(obs, ["_created", *counted])
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in counted))
         return WriteSummary(nodes_created=created, properties_set=props_set)
 
     def merge_edges(
@@ -840,16 +870,19 @@ class GraphStore:
                 incoming = incoming.withColumn(
                     c, F.lit(None).cast(incoming.schema[c].dataType)
                 )
-            incoming = incoming.persist()
+            # counters ride the write via observe — no persist, no second
+            # pass over the batch (same rationale as merge_nodes)
             counted = prop_cols + create_prop_cols
-            row = incoming.agg(
+            obs = Observation()
+            incoming = incoming.observe(
+                obs,
                 F.count(F.lit(1)).alias("_created"),
                 *[F.count(F.col(c)).alias(c) for c in counted],
-            ).collect()[0]
+            )
+            self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
+            row = _observed_counters(obs, ["_created", *counted])
             created = int(row["_created"])
             props_set = int(sum(row[c] for c in counted))
-            self._edges.write_next(incoming, partition_by=["rel_type", BUCKET_COL])
-            incoming.unpersist()
             return WriteSummary(
                 relationships_created=created, properties_set=props_set
             )
@@ -879,7 +912,9 @@ class GraphStore:
         new = _with_missing_edges(
             incoming, touched, all_props + add_cols + mval_cols
         ).alias("new")
-        joined = old.join(new, on=edge_key, how="full_outer").persist()
+        # counters ride the write via observe (attached below) — the join
+        # executes once without a block-manager copy (see merge_nodes)
+        joined = old.join(new, on=edge_key, how="full_outer")
         is_created = F.col("old._present").isNull()
 
         def _prop_expr(c: str):
@@ -925,11 +960,6 @@ class GraphStore:
                 ).otherwise(F.col(f"old.{c}"))
             return F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}"))
 
-        merged = joined.select(
-            *edge_key,
-            *[_prop_expr(c).alias(c) for c in all_props],
-        ).withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
-
         def _prop_count(c: str):
             if c in match_add_cols and c not in create_prop_cols:
                 return F.count(
@@ -960,12 +990,16 @@ class GraphStore:
 
         counted = (prop_cols + match_prop_cols + add_props
                    + [c for c in create_prop_cols if c not in match_add_cols])
-        row = joined.agg(
+        obs = Observation()
+        joined = joined.observe(
+            obs,
             F.count(F.when(is_created, F.lit(1))).alias("_created"),
             *[_prop_count(c).alias(c) for c in counted],
-        ).collect()[0]
-        created = int(row["_created"])
-        props_set = int(sum(row[c] for c in counted))
+        )
+        merged = joined.select(
+            *edge_key,
+            *[_prop_expr(c).alias(c) for c in all_props],
+        ).withColumn(BUCKET_COL, _bucket_of(F.col("src"), F.col("dst")))
         if bucketed:
             self._edges.write_next_partial(
                 merged,
@@ -985,7 +1019,9 @@ class GraphStore:
                 untouched.unionByName(merged, allowMissingColumns=True),
                 partition_by=["rel_type", BUCKET_COL],
             )
-        joined.unpersist()
+        row = _observed_counters(obs, ["_created", *counted])
+        created = int(row["_created"])
+        props_set = int(sum(row[c] for c in counted))
         return WriteSummary(relationships_created=created, properties_set=props_set)
 
     def create_nodes(
