@@ -113,7 +113,13 @@ def extract_media_features(
 
     from neo4j_graphdb_spark.session import spread_partitions
 
-    return spread_partitions(media).mapInPandas(featurize, schema=FEATURE_SCHEMA)
+    # project to exactly the columns the kernel touches BEFORE the Arrow
+    # boundary: Spark cannot see inside the Python function, so without
+    # this every extra input column (e.g. a per-row metadata map) ships
+    # to the workers and back for nothing (guide §4.1)
+    return spread_partitions(media.select("media_id", "kind", "payload")).mapInPandas(
+        featurize, schema=FEATURE_SCHEMA
+    )
 
 
 def _resize_stub(payload: bytes | None, kind: str, max_bytes: int) -> bytes | None:
@@ -180,7 +186,10 @@ def resize_media(media: DataFrame, max_bytes: int = 4096) -> DataFrame:
             T.StructField("thumb", T.BinaryType(), True),
         ]
     )
-    return spread_partitions(media).mapInPandas(run, schema=schema)
+    # same §4.1 projection rationale as extract_media_features
+    return spread_partitions(media.select("media_id", "kind", "payload")).mapInPandas(
+        run, schema=schema
+    )
 
 
 def _frame_stub(payload: bytes | None, frame_bytes: int, stride: int) -> list[tuple[int, bytes]]:
@@ -240,7 +249,9 @@ def sample_frames(
         ]
     )
     vids = media.filter(F.col("kind") == "video")
-    return spread_partitions(vids).mapInPandas(run, schema=schema)
+    return spread_partitions(vids.select("media_id", "payload")).mapInPandas(
+        run, schema=schema
+    )
 
 
 def synthetic_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -540,4 +551,7 @@ def bmp_dhash(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_partitions(media).mapInPandas(run, schema=schema)
+    # kernel reads only (media_id, payload) — project before Arrow (§4.1)
+    return spread_partitions(media.select("media_id", "payload")).mapInPandas(
+        run, schema=schema
+    )
