@@ -129,9 +129,18 @@ def _release_blocks(spark) -> None:
     DataFrame can reference the dropped blocks (each timed run builds its
     plan from scratch); it would NOT be safe inside a query."""
     spark.catalog.clearCache()
+    # blocking unpersist: the non-blocking form (r16) returned before the
+    # block manager actually dropped the blocks, so the removal I/O raced
+    # into the NEXT timed region
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
+    # full GC keeps tenured garbage from iterative queries out of later
+    # queries' timed regions (measured r16: late-list queries 2-6× slower
+    # without it); the short settle pause lets the post-GC async work the
+    # GC kicks off (ContextCleaner shuffle/broadcast cleanup) finish
+    # OUTSIDE the next timed region instead of racing into it
     spark.sparkContext._jvm.System.gc()
+    time.sleep(0.25)
 
 
 def main() -> None:

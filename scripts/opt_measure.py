@@ -54,8 +54,9 @@ def main() -> None:
         # clearCache misses localCheckpoint blocks; unpersist them all
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(False)
+            rdd.unpersist(True)  # blocking — drop blocks NOW, not mid-next-run
         spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)  # let post-GC async cleanup land outside timed regions
 
     if args.plandir:
         os.makedirs(args.plandir, exist_ok=True)
