@@ -42,6 +42,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+_BAG_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _bag_l1(left: str, right: str):
+    """L1 distance of two fixed-length bag-of-chars int arrays, unrolled
+    to ``abs(l[0]-r[0]) + … + abs(l[26]-r[26])``. The higher-order
+    ``aggregate(zip_with(...))`` form evaluated INTERPRETED per element
+    (guide §4.1 — 27 interpreted lambda calls per candidate pair); the
+    unrolled integer sum stays inside whole-stage codegen and, being an
+    integer sum, is reorder-safe — bit-identical to the fold."""
+    terms = [
+        F.abs(F.col(left)[i] - F.col(right)[i]) for i in range(len(_BAG_ALPHABET))
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def levenshtein_near_dup(
     df: DataFrame,
     text_col: str,
@@ -131,11 +150,7 @@ def levenshtein_near_dup(
         keep = counts.filter(F.col("_n") <= max_block).drop("_n")
         a = a.join(keep, on=[*blocks, "_slot"], how="left_semi")
         b = b.join(keep, on=[*blocks, "_slot"], how="left_semi")
-    bag_l1 = F.aggregate(
-        F.zip_with(F.col("_b1"), F.col("_b2"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    bag_l1 = _bag_l1("_b1", "_b2")
     cand = (
         a.join(b, on=[*blocks, "_slot"])
         .filter(
@@ -337,11 +352,7 @@ def levenshtein_near_dup_segments(
     sides = base.select(
         "_id", F.col("_key"), F.col("_len"), bag.alias("_bag")
     )
-    bag_l1 = F.aggregate(
-        F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    bag_l1 = _bag_l1("_ba", "_bb")
     return (
         pairs.join(
             sides.select(
@@ -512,11 +523,7 @@ def levenshtein_join(
             for ch in _alphabet
         ]
     )
-    bag_l1 = F.aggregate(
-        F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    bag_l1 = _bag_l1("_ba", "_bb")
     return (
         pairs.join(
             lbase.select(
