@@ -93,7 +93,16 @@ def get_spark(app_name: str = "neo4j_graphdb_spark", *, cpus: int | None = None)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In LOCAL mode the driver JVM is also every executor: the heap
+        # serves all `cpus` concurrent tasks. 8g across 32 tasks was
+        # 256 MB/task — far below guide-§5 sizing — and GC time landed
+        # inside query runs (measured on a 12-query sf0.1 subset:
+        # 8g → 33.9s / 1159ms GC; 20g → 29.6s / 489ms GC; 32g is past
+        # the sweet spot at 33.0s). 20g ≈ 640 MB/task on the 128 GiB
+        # sandbox. On a real cluster this value is irrelevant to the
+        # data path (spark.executor.memory sizes the workers; the env
+        # override stays for both).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
     )
     return builder.getOrCreate()
 
