@@ -63,7 +63,7 @@ from neo4j_graphdb_spark.graph.algorithms import (
     shortest_paths,
     triangle_count,
 )
-from neo4j_graphdb_spark.session import load_table
+from neo4j_graphdb_spark.session import load_table, spread_partitions
 from neo4j_graphdb_spark.streaming.windows import (
     session_window_agg,
     tumbling_window_agg,
@@ -2770,7 +2770,10 @@ def q_c78_real_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    # spread BEFORE the Arrow boundary: the id scan is one parquet file
+    # = ONE partition, which would serialize the whole Python build
+    # kernel on a single task (guide §2.6/§4)
+    media = spread_partitions(ids).mapInPandas(build, schema=MEDIA_SCHEMA)
     feats = extract_media_features(media, decoders={"image": bmp_decode_kernel})
     f = F.col("feature")
     return feats.select(
@@ -2826,7 +2829,10 @@ def q_c79_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    # spread BEFORE the Arrow boundary: the id scan is one parquet file
+    # = ONE partition, which would serialize the whole Python build
+    # kernel on a single task (guide §2.6/§4)
+    media = spread_partitions(ids).mapInPandas(build, schema=MEDIA_SCHEMA)
     feats = extract_media_features(media, decoders={"audio": wav_decode_kernel})
     f = F.col("feature")
     return feats.select(
@@ -2877,7 +2883,10 @@ def q_c80_real_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    # spread BEFORE the Arrow boundary: the id scan is one parquet file
+    # = ONE partition, which would serialize the whole Python build
+    # kernel on a single task (guide §2.6/§4)
+    media = spread_partitions(ids).mapInPandas(build, schema=MEDIA_SCHEMA)
     feats = extract_media_features(media, decoders={"video": gif_probe_kernel})
     f = F.col("feature")
     return feats.select(
@@ -6567,7 +6576,9 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+    # spread BEFORE the Arrow boundary: one-file scan = one partition,
+    # which would serialize the Python BMP synthesis on a single task
+    return spread_partitions(ids).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def q_c93_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
