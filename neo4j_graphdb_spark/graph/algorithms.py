@@ -119,18 +119,17 @@ def pagerank(
         base.withColumn("rank", F.col("tele")).repartition(id_col).localCheckpoint()
     )
 
-    # Convergence-check cadence: the stationarity checksum is the ONLY
+    # Convergence-check cadence: the stationarity check is the ONLY
     # per-superstep driver action, and each action is a full job barrier
     # (plus its own agg stages). Checking every 4th superstep instead of
-    # every superstep cannot change results — the bit-exact checksum exit
-    # only ever fires at a true fixpoint, where every further superstep
+    # every superstep cannot change results — the exit fires only on a
+    # proven fixpoint (see below), where every further superstep
     # reproduces the same ranks, so exiting up to 3 supersteps later is
     # value-identical by the same argument that justifies the exit at
     # all. The opt-in tol path needs its per-superstep residual, so it
     # keeps cadence 1. Measured 3.4s -> 2.6s for c87 at sf0.01,
     # bit-identical output.
     check_every = 1 if tol is not None else 4
-    prev_sum: tuple | None = None
     for _i in range(max_iter):
         # dangling mass stays a lazy 1-row aggregate broadcast into the
         # update — one Spark job per superstep, no driver-side collect
@@ -174,15 +173,25 @@ def pagerank(
         # (bit-exact checksum + L∞ delta) in the same job
         if (_i + 1) % check_every == 0 or _i == max_iter - 1:
             row = ranks.agg(
-                F.expr(f"bit_xor(xxhash64({id_col}, rank))").alias("_h"),
                 F.count(F.lit(1)).alias("_n"),
                 F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
             ).collect()[0]
-            cur_sum = (row["_h"], row["_n"])
-            if cur_sum == prev_sum or (tol is not None and row["_delta"] < tol):
+            # exit ONLY on proven consecutive-state equality: _delta is
+            # max |rank − _prev| over the LAST superstep, so 0.0 proves
+            # rank(i) == rank(i−1) — a true fixpoint, where every further
+            # superstep reproduces identical ranks and the early exit is
+            # value-identical to the full unroll. (The previous
+            # cadence-apart checksum comparison proved only
+            # rank(i) == rank(i−4), which a floating-point limit cycle
+            # near convergence could satisfy without being a fixpoint —
+            # ADVICE r16.) An empty node set exits at the first check.
+            if (
+                row["_n"] == 0
+                or row["_delta"] == 0.0
+                or (tol is not None and row["_delta"] < tol)
+            ):
                 ranks = ranks.drop("_prev")
                 break
-            prev_sum = cur_sum
         ranks = ranks.drop("_prev")
     return ranks.select(id_col, "rank")
 

@@ -71,8 +71,13 @@ def _observed_counters(obs: Observation, names: list[str]) -> dict:
     metric is the exact answer, not an approximation."""
     try:
         return obs.get
-    except Exception:
+    except AssertionError:
+        # the absent-metrics-row conversion failure described above —
+        # the one case where all-zero counters ARE the exact answer
         return {n: 0 for n in names}
+    # any other failure (py4j error, listener race) is a REAL metrics
+    # problem on a possibly non-empty write: propagate instead of
+    # silently reporting nodes_created=0 (ADVICE r16)
 
 
 def _bucket_of(*cols) -> "F.Column":
